@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central loader for the driver-generated parquet tables
+  * (see /root/repo/TESTDATA.md). Schemas are fixed and known; we never
+  * infer beyond the parquet footer. The `events.ts` column is physically
+  * INT64 TIMESTAMP(NANOS) which Spark only reads via the
+  * `spark.sql.legacy.parquet.nanosAsLong` flag — so `events` exposes
+  * `ts` as epoch-nanosecond Long plus a derived `ts_ms` epoch-millis Long.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.Exact._
+import graft.ingest.GlobPath
+
+/** The reference's operator pipeline re-expressed as verifiable batch
+  * queries over the `events`/`documents` tables (SURVEY.md §2.1 #1-17).
+  * `events` plays the role of the FTP listing stream: `user_id` ×
+  * `event_type` is a "file", `ts` its mtime, `value` the appended byte
+  * count. The real streaming implementation of the same semantics lives
+  * in `graft.ingest`; these queries make the per-operator semantics
+  * oracle-checkable.
+  *
+  * `events.ts` is epoch-*nanosecond* Long on the Spark side (see
+  * [[graft.Tables]]); oracles use `epoch_ns(ts)` so both engines do
+  * identical integer arithmetic.
+  */
+object IngestAnalog extends QueryPack {
+
+  /** 2024-01-15T00:00:00Z / 2024-01-22T00:00:00Z in epoch nanos. */
+  private val CutoffNs = 1705276800000000000L
+  private val SevenDaysNs = 7L * 86400L * 1000000000L
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── #4 max-age filter: keep events within 7 days of the newest ──
+    "ref_maxage_filter" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val newest = ev.agg(max($"ts").as("max_ts"))
+        ev.crossJoin(broadcast(newest))
+          .filter($"ts" >= $"max_ts" - SevenDaysNs)
+          .select($"event_id", $"user_id", $"event_type",
+            expr("ts div 1000000").as("ts_ms"))
+          .orderBy($"event_id")
+      },
+      oracle = Some(s"""
+        SELECT event_id, user_id, event_type,
+               epoch_ns(ts) // 1000000 AS ts_ms
+        FROM events
+        WHERE epoch_ns(ts) >= (SELECT MAX(epoch_ns(ts)) FROM events) - $SevenDaysNs
+        ORDER BY event_id""")),
+
+    // ── #6 change detection, "unseen" case: left-anti of listing vs state ──
+    "ref_change_antijoin" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val state = ev.filter($"ts" < CutoffNs)
+          .select($"user_id", $"event_type").distinct()
+        val listing = ev.filter($"ts" >= CutoffNs)
+          .select($"user_id", $"event_type").distinct()
+        listing.join(state, Seq("user_id", "event_type"), "left_anti")
+          .orderBy($"user_id", $"event_type")
+      },
+      oracle = Some(s"""
+        SELECT DISTINCT user_id, event_type FROM events WHERE epoch_ns(ts) >= $CutoffNs
+        EXCEPT
+        SELECT DISTINCT user_id, event_type FROM events WHERE epoch_ns(ts) < $CutoffNs
+        ORDER BY user_id, event_type""")),
+
+    // ── #5+#6 requiresFetch: unseen OR size changed OR mtime changed ──
+    // (FtpMonitor.scala:35-46: outer-join the listing against persisted
+    // state and keep rows where state is missing or attributes differ)
+    "ref_change_detect" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val current = ev.groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("cur_size"),
+               expr("max(ts) div 1000000").as("cur_mtime_ms"))
+        val state = ev.filter($"ts" < CutoffNs)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("prev_size"),
+               expr("max(ts) div 1000000").as("prev_mtime_ms"))
+        current.join(state, Seq("user_id", "event_type"), "left_outer")
+          .filter($"prev_size".isNull ||
+                  $"cur_size" =!= $"prev_size" ||
+                  $"cur_mtime_ms" =!= $"prev_mtime_ms")
+          .orderBy($"user_id", $"event_type")
+      },
+      oracle = Some(s"""
+        WITH current AS (
+          SELECT user_id, event_type, COUNT(*) AS cur_size,
+                 MAX(epoch_ns(ts)) // 1000000 AS cur_mtime_ms
+          FROM events GROUP BY user_id, event_type),
+        state AS (
+          SELECT user_id, event_type, COUNT(*) AS prev_size,
+                 MAX(epoch_ns(ts)) // 1000000 AS prev_mtime_ms
+          FROM events WHERE epoch_ns(ts) < $CutoffNs GROUP BY user_id, event_type)
+        SELECT c.user_id, c.event_type, c.cur_size, c.cur_mtime_ms,
+               s.prev_size, s.prev_mtime_ms
+        FROM current c LEFT JOIN state s
+          ON c.user_id = s.user_id AND c.event_type = s.event_type
+        WHERE s.prev_size IS NULL
+           OR c.cur_size <> s.prev_size
+           OR c.cur_mtime_ms <> s.prev_mtime_ms
+        ORDER BY c.user_id, c.event_type""")),
+
+    // ── #8 tail offsets: running append-offset per file (lag-sum window) ──
+    "ref_tail_offsets" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("offset",
+            coalesce(
+              sum(dec($"value")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0).cast(Money)).cast(DoubleType))
+          .select($"event_id", $"user_id", expr("ts div 1000000").as("ts_ms"),
+            dec($"value").cast(DoubleType).as("appended"), $"offset")
+          .orderBy($"user_id", $"ts_ms", $"event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+          CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS appended,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS offset
+        FROM events
+        ORDER BY user_id, ts_ms, event_id"""),
+      headline = true),
+
+    // ── #2 glob predicate over synthetic paths ──
+    "ref_glob_filter" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val regex = GlobPath.globToRegex("src1*/*.txt")
+        Tables.documents(s, d)
+          .withColumn("path", concat($"source", lit("/"),
+            $"doc_id".cast(StringType), lit(".txt")))
+          .filter($"path".rlike(regex))
+          .select($"doc_id", $"path")
+          .orderBy($"doc_id")
+      },
+      oracle = Some {
+        val regex = GlobPath.globToRegex("src1*/*.txt")
+        s"""
+        SELECT doc_id, source || '/' || doc_id || '.txt' AS path
+        FROM documents
+        WHERE regexp_matches(source || '/' || doc_id || '.txt', '$regex')
+        ORDER BY doc_id"""
+      }),
+
+    // ── #9 record shaping: string and struct key styles, flattened ──
+    "ref_key_projection" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("path", concat($"source", lit("/"),
+            $"doc_id".cast(StringType), lit(".txt")))
+          .select(
+            $"doc_id",
+            $"path".as("key_string"),
+            $"path".as("key_name"),
+            lit(0L).as("key_offset"),
+            $"n_chars".as("value_len"),
+            lit("docs").as("topic"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          source || '/' || doc_id || '.txt' AS key_string,
+          source || '/' || doc_id || '.txt' AS key_name,
+          CAST(0 AS BIGINT) AS key_offset,
+          n_chars AS value_len,
+          'docs' AS topic
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ── #14 topic routing: path→topic map as a CASE, fanned-out counts ──
+    "ref_topic_routing" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("topic",
+            when($"event_type" === "click", "topic_clicks")
+              .when($"event_type" === "view", "topic_views")
+              .when($"event_type" === "purchase", "topic_purchases")
+              .otherwise("topic_other"))
+          .groupBy($"topic")
+          .agg(count(lit(1)).as("n_records"), sum($"event_id").as("id_sum"))
+          .orderBy($"topic")
+      },
+      oracle = Some("""
+        SELECT CASE event_type
+                 WHEN 'click' THEN 'topic_clicks'
+                 WHEN 'view' THEN 'topic_views'
+                 WHEN 'purchase' THEN 'topic_purchases'
+                 ELSE 'topic_other' END AS topic,
+               COUNT(*) AS n_records, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events
+        GROUP BY 1
+        ORDER BY topic""")),
+
+    // ── #13 union over monitored sources, tagged with their path ──
+    "ref_union_sources" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter($"event_type" === "click")
+          .withColumn("monitored_path", lit("/clicks/"))
+        val views = ev.filter($"event_type" === "view")
+          .withColumn("monitored_path", lit("/views/"))
+        clicks.unionByName(views)
+          .select($"monitored_path", $"event_id", expr("ts div 1000000").as("ts_ms"))
+          .orderBy($"monitored_path", $"event_id")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT '/clicks/' AS monitored_path, event_id,
+                 epoch_ns(ts) // 1000000 AS ts_ms
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT '/views/' AS monitored_path, event_id,
+                 epoch_ns(ts) // 1000000 AS ts_ms
+          FROM events WHERE event_type = 'view')
+        ORDER BY monitored_path, event_id""")),
+
+    // ── #12 bounded poll: deterministic LIMIT (max.poll.records analog) ──
+    "ref_limit_poll" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id", $"event_type", $"user_id")
+          .orderBy($"event_id")
+          .limit(5000)
+      },
+      oracle = Some("""
+        SELECT event_id, event_type, user_id
+        FROM events
+        ORDER BY event_id
+        LIMIT 5000""")),
+
+    // ── #7 content hashing (sha-256 of the body) ──
+    "ref_sha2_hash" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", sha2($"text", 256).as("body_sha256"),
+            length($"text").as("body_len"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, sha256(text) AS body_sha256, LENGTH(text) AS body_len
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ── #17 exponential backoff schedule (1s step, 30min cap) ──
+    "ref_backoff_schedule" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        s.range(0, 21)
+          .select($"id".as("iteration"),
+            least((lit(1000.0) * pow(lit(2.0), $"id")).cast(LongType),
+              lit(1800000L)).as("wait_ms"))
+          .orderBy($"iteration")
+      },
+      oracle = Some("""
+        SELECT i AS iteration,
+               LEAST(CAST(1000 * pow(2, i) AS BIGINT), 1800000) AS wait_ms
+        FROM range(0, 21) t(i)
+        ORDER BY iteration""")),
+
+    // ── #16 state codec: Instant ↔ epoch-millis round trip ──
+    "ref_state_codec" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            expr("ts div 1000000").as("ts_ms"),
+            (expr("ts div 1000000") * 1000000L).as("ts_restored_ns"))
+          .orderBy($"event_id")
+      },
+      oracle = Some("""
+        SELECT event_id,
+               epoch_ns(ts) // 1000000 AS ts_ms,
+               (epoch_ns(ts) // 1000000) * 1000000 AS ts_restored_ns
+        FROM events
+        ORDER BY event_id""")),
+
+    // ── props JSON-ish extraction (regex-based so both engines agree) ──
+    "evt_props_extract" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast(LongType).as("k"))
+          .orderBy($"event_id")
+      },
+      oracle = Some("""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events
+        ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,363 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.Exact._
+
+/** Relational query surface (SURVEY.md §2.2 starred categories): joins
+  * (broadcast/sort-merge/semi/anti), aggregations (plain, rollup,
+  * distinct), windows, set ops, sorts/limits, scalar functions — all
+  * over the TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (`nation`, `region`, `part`, `supplier`) are
+  *    explicitly `broadcast()` — they stay small at any SF;
+  *  - fact-fact joins (lineitem × orders) shuffle on the join key and
+  *    benefit from AQE; no driver-side collection anywhere;
+  *  - aggregates are map-side partial (Catalyst does this for all
+  *    hash aggregates), so shuffle volume is #groups, not #rows.
+  */
+object Relational extends QueryPack {
+
+  private val one = lit(1).cast(DecimalType(3, 2))
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** 1 - discount, exact, kept narrow so products stay within 38 digits. */
+  private def omd(disc: Column): Column = (one - rate(disc)).cast(DecimalType(5, 2))
+  private def opt(tax: Column): Column = (one + rate(tax)).cast(DecimalType(5, 2))
+
+  // DuckDB spellings of the same exact arithmetic.
+  private val sqlD = "CAST(%s AS DECIMAL(12,2))"
+  private val sqlOmd = "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))"
+  private val sqlOpt = "CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2))"
+
+  private def ts(s: String): Column = lit(LocalDateTime.parse(s))
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── TPC-H Q1 analog: full-scan aggregate with exact decimal math ──
+    "q1_pricing_summary" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= ts("1998-09-01T00:00:00"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            dsumExpr(dec($"l_extendedprice") * omd($"l_discount")).as("sum_disc_price"),
+            dsumExpr(dec($"l_extendedprice") * omd($"l_discount") * opt($"l_tax")).as("sum_charge"),
+            davg($"l_quantity").as("avg_qty"),
+            davg($"l_extendedprice").as("avg_price"),
+            davg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(${sqlD.format("l_quantity")}) AS DOUBLE) AS sum_qty,
+          CAST(SUM(${sqlD.format("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(${sqlD.format("l_extendedprice")} * $sqlOmd) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(${sqlD.format("l_extendedprice")} * $sqlOmd * $sqlOpt) AS DOUBLE) AS sum_charge,
+          CAST(SUM(${sqlD.format("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(${sqlD.format("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(SUM(${sqlD.format("l_discount")}) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // ── TPC-H Q3 analog: 3-way join, aggregate, top-10 ──
+    "q3_shipping_priority" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val ord = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-03-15T00:00:00"))
+        val li = Tables.lineitem(s, d).filter($"l_shipdate" > ts("1998-03-15T00:00:00"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsumExpr(dec($"l_extendedprice") * omd($"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      oracle = Some(s"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+          CAST(SUM(${sqlD.format("l_extendedprice")} * $sqlOmd) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10"""),
+      headline = true),
+
+    // ── TPC-H Q5 analog: 6-way join (2 broadcast dims), group by nation ──
+    "q5_local_supplier" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val region = Tables.region(s, d).filter($"r_name" === "EUROPE")
+        val nation = Tables.nation(s, d)
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" >= ts("1996-01-01T00:00:00") &&
+                  $"o_orderdate" < ts("1998-01-01T00:00:00"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.supplier(s, d)),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(dsumExpr(dec($"l_extendedprice") * omd($"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      oracle = Some(s"""
+        SELECT n_name,
+          CAST(SUM(${sqlD.format("l_extendedprice")} * $sqlOmd) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""),
+      headline = true),
+
+    // ── TPC-H Q6 analog: pure filter + single aggregate (pushdown test) ──
+    "q6_revenue_forecast" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= ts("1996-01-01T00:00:00") &&
+                  $"l_shipdate" < ts("1997-01-01T00:00:00") &&
+                  $"l_discount" >= 0.02 && $"l_discount" <= 0.06 &&
+                  $"l_quantity" < 24)
+          .agg(dsumExpr(dec($"l_extendedprice") * rate($"l_discount")).as("revenue"),
+               count(lit(1)).as("n_rows"))
+      },
+      oracle = Some(s"""
+        SELECT
+          CAST(SUM(${sqlD.format("l_extendedprice")} * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24"""),
+      headline = true),
+
+    // ── semi join: customers having an urgent order, counted by segment ──
+    "q_semi_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ── anti join: customers with no urgent orders ──
+    "q_anti_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"), sum($"c_custkey").as("custkey_sum"))
+          .orderBy($"c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ── window: top-3 orders per customer by total price ──
+    "q_window_topk" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"o_custkey", $"rk", $"o_orderkey",
+            dec($"o_totalprice").cast(DoubleType).as("total_price"))
+          .orderBy($"o_custkey", $"rk")
+      },
+      oracle = Some("""
+        SELECT o_custkey, rk, o_orderkey, total_price FROM (
+          SELECT o_custkey, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk"""),
+      headline = true),
+
+    // ── rollup aggregate with grouping() disambiguation ──
+    "q_rollup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+            grouping($"l_returnflag").as("g_rf"),
+            grouping($"l_linestatus").as("g_ls"))
+          .select(
+            when($"g_rf" === 1, lit("ALL")).otherwise($"l_returnflag").as("returnflag"),
+            when($"g_ls" === 1, lit("ALL")).otherwise($"l_linestatus").as("linestatus"),
+            $"sum_qty", $"n_rows")
+          .orderBy($"returnflag", $"linestatus")
+      },
+      oracle = Some("""
+        SELECT
+          CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+          CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ── exact distinct aggregates ──
+    "q_distinct_agg" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS n_parts,
+          COUNT(DISTINCT l_suppkey) AS n_supps,
+          COUNT(DISTINCT l_orderkey) AS n_orders,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ── set op: EXCEPT (distinct semantics in both engines) ──
+    "q_setop_except" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val open = Tables.orders(s, d).filter($"o_orderstatus" === "O").select($"o_custkey")
+        val done = Tables.orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey")
+        open.except(done).orderBy($"o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_custkey""")),
+
+    // ── set op: INTERSECT ──
+    "q_setop_intersect" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val open = Tables.orders(s, d).filter($"o_orderstatus" === "O").select($"o_custkey")
+        val done = Tables.orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey")
+        open.intersect(done).orderBy($"o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_custkey""")),
+
+    // ── broadcast dim join: parts by brand revenue ──
+    "q_dim_join_brand" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+          .orderBy($"p_brand")
+      },
+      oracle = Some("""
+        SELECT p_brand,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand"""),
+      headline = true),
+
+    // ── sort + limit: top-100 line items by price ──
+    "q_orderby_limit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber",
+            dec($"l_extendedprice").cast(DoubleType).as("price"))
+          .orderBy($"price".desc, $"l_orderkey", $"l_linenumber")
+          .limit(100)
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM lineitem
+        ORDER BY price DESC, l_orderkey, l_linenumber
+        LIMIT 100""")),
+
+    // ── scalar function zoo over orders ──
+    "q_scalar_funcs" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(
+            $"o_orderkey",
+            upper(substring($"o_orderpriority", 3, 100)).as("prio_name"),
+            regexp_extract($"o_orderpriority", "([0-9]+)", 1).cast(LongType).as("prio_num"),
+            concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("tag"),
+            length($"o_orderpriority").as("prio_len"),
+            coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_or_open"))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+          UPPER(SUBSTRING(o_orderpriority, 3, 100)) AS prio_name,
+          CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS BIGINT) AS prio_num,
+          CONCAT_WS('|', o_orderstatus, o_orderpriority) AS tag,
+          LENGTH(o_orderpriority) AS prio_len,
+          COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+        FROM orders
+        ORDER BY o_orderkey"""))
+  )
+}

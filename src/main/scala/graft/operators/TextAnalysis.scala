@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Text-analysis operators for the training-data-pipeline track: token
+  * counting, quality scoring, language ID, term statistics — all pure
+  * `functions._` column expressions (whole-stage-codegen friendly, no
+  * UDFs) with DuckDB oracles. Regexes stick to constructs with
+  * identical Java-regex / RE2 semantics.
+  *
+  * At 100 TB these are embarrassingly parallel scans; the only shuffle
+  * is the term-frequency groupBy, whose key cardinality (vocabulary) is
+  * tiny relative to the corpus, so map-side partial aggregation
+  * collapses nearly all traffic.
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
+  private def kwCount(kw: String): String =
+    s"(length(text) - length(replace(text, ' $kw '))) div ${kw.length + 2}"
+  private def kwCountSql(kw: String): String =
+    s"(length(text) - length(replace(text, ' $kw ', ''))) // ${kw.length + 2}"
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── token + char counting ──
+    "llm_token_count" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"),
+            length($"text").cast(LongType).as("n_chars_measured"),
+            $"n_chars")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_measured,
+          n_chars
+        FROM documents
+        ORDER BY doc_id"""),
+      headline = true),
+
+    // ── heuristic quality score: alpha ratio, punctuation, length ──
+    "llm_quality_score" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val n = length($"text").cast(DoubleType)
+        val alphaCnt = (length($"text") -
+          length(regexp_replace($"text", "[a-zA-Z]", ""))).cast(DoubleType)
+        val punctCnt = (length($"text") -
+          length(regexp_replace($"text", "[.,!?;:]", ""))).cast(DoubleType)
+        val spaceCnt = (length($"text") -
+          length(replace($"text", lit(" ")))).cast(DoubleType)
+        Tables.documents(s, d)
+          .select($"doc_id",
+            n.as("n_chars_d"),
+            (alphaCnt / nullif(n, lit(0.0))).as("alpha_ratio"),
+            (punctCnt / nullif(n, lit(0.0))).as("punct_ratio"),
+            (spaceCnt / nullif(n, lit(0.0))).as("space_ratio"),
+            (lit(0.5) * (alphaCnt / nullif(n, lit(0.0))) +
+             lit(0.3) * (lit(1.0) - punctCnt / nullif(n, lit(0.0))) +
+             lit(0.2) * least(lit(1.0), n / lit(500.0))).as("quality_score"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS n,
+            CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_cnt,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct_cnt,
+            CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS space_cnt
+          FROM documents)
+        SELECT doc_id,
+          n AS n_chars_d,
+          alpha_cnt / nullif(n, 0.0) AS alpha_ratio,
+          punct_cnt / nullif(n, 0.0) AS punct_ratio,
+          space_cnt / nullif(n, 0.0) AS space_ratio,
+          0.5 * (alpha_cnt / nullif(n, 0.0)) +
+          0.3 * (1.0 - punct_cnt / nullif(n, 0.0)) +
+          0.2 * least(1.0, n / 500.0) AS quality_score
+        FROM q
+        ORDER BY doc_id""")),
+
+    // ── stopword-marker language ID (n-gram heuristic) ──
+    "llm_lang_id" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("cnt_en", expr(kwCount("the")))
+          .withColumn("cnt_de", expr(kwCount("der")))
+          .withColumn("cnt_fr", expr(kwCount("le")))
+          .withColumn("cnt_es", expr(kwCount("el")))
+          .withColumn("lang_pred",
+            when($"cnt_en" >= $"cnt_de" && $"cnt_en" >= $"cnt_fr" && $"cnt_en" >= $"cnt_es", "en")
+              .when($"cnt_de" >= $"cnt_fr" && $"cnt_de" >= $"cnt_es", "de")
+              .when($"cnt_fr" >= $"cnt_es", "fr")
+              .otherwise("es"))
+          .select($"doc_id", $"cnt_en", $"cnt_de", $"cnt_fr", $"cnt_es",
+            $"lang_pred", $"lang", ($"lang_pred" === $"lang").as("is_match"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH c AS (
+          SELECT doc_id, lang,
+            ${kwCountSql("the")} AS cnt_en,
+            ${kwCountSql("der")} AS cnt_de,
+            ${kwCountSql("le")} AS cnt_fr,
+            ${kwCountSql("el")} AS cnt_es
+          FROM documents)
+        SELECT doc_id, cnt_en, cnt_de, cnt_fr, cnt_es,
+          CASE
+            WHEN cnt_en >= cnt_de AND cnt_en >= cnt_fr AND cnt_en >= cnt_es THEN 'en'
+            WHEN cnt_de >= cnt_fr AND cnt_de >= cnt_es THEN 'de'
+            WHEN cnt_fr >= cnt_es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+          lang,
+          (CASE
+            WHEN cnt_en >= cnt_de AND cnt_en >= cnt_fr AND cnt_en >= cnt_es THEN 'en'
+            WHEN cnt_de >= cnt_fr AND cnt_de >= cnt_es THEN 'de'
+            WHEN cnt_fr >= cnt_es THEN 'fr'
+            ELSE 'es' END) = lang AS is_match
+        FROM c
+        ORDER BY doc_id""")),
+
+    // ── corpus term frequency, top 50 ──
+    "llm_top_terms" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
+          .filter($"term" =!= "")
+          .groupBy($"term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"term")
+          .limit(50)
+      },
+      oracle = Some("""
+        SELECT term, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY term
+        ORDER BY n DESC, term
+        LIMIT 50"""),
+      headline = true),
+
+    // ── word-bigram frequency, top 30 ──
+    "llm_bigram_freq" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("tokens", split(lower(trim($"text")), "\\s+"))
+          .filter(size($"tokens") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(tokens) - 1), i -> concat(tokens[i-1], ' ', tokens[i]))"))
+            .as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram")
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+          FROM documents),
+        grams AS (
+          SELECT unnest(list_transform(generate_series(2, len(tokens)),
+                        i -> tokens[i-1] || ' ' || tokens[i])) AS bigram
+          FROM toks WHERE len(tokens) >= 2)
+        SELECT bigram, COUNT(*) AS n
+        FROM grams
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 30"""))
+  )
+}
