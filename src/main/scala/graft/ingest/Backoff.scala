@@ -1,0 +1,33 @@
+package graft.ingest
+
+/** Driver-side failure/retry policy (SURVEY.md §2 #17): exponential
+  * backoff with a cap, reset on success — behaviorally equivalent to the
+  * reference's `ExponentialBackOff.scala:5-22` (interval doubles per
+  * failure, capped; default step 1 s, cap 30 min per
+  * `FtpSourceConfig.scala:40`). Pure value class: the poll driver holds
+  * one and sleeps/schedules around it; no Catalyst involvement.
+  */
+final case class ExponentialBackoff(
+    stepMs: Long,
+    capMs: Long,
+    iteration: Int = 0,
+    sinceMs: Long = 0L) {
+
+  /** Current wait interval: step * 2^iteration, capped. */
+  def intervalMs: Long =
+    if (iteration >= 62) capMs
+    else math.min(capMs, stepMs * (1L << iteration))
+
+  def endTimeMs: Long = sinceMs + intervalMs
+
+  /** Has the current wait window elapsed? */
+  def passed(nowMs: Long): Boolean = nowMs >= endTimeMs
+
+  /** Successful poll: reset to the base interval. */
+  def nextSuccess(nowMs: Long): ExponentialBackoff =
+    copy(iteration = 0, sinceMs = nowMs)
+
+  /** Failed poll: double the wait (up to the cap). */
+  def nextFailure(nowMs: Long): ExponentialBackoff =
+    copy(iteration = iteration + 1, sinceMs = nowMs)
+}

@@ -1,0 +1,94 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Directory-listing scan (SURVEY.md §2 #1-4): Spark's `binaryFile`
+  * source replaces the reference's `FtpFileLister` (`FtpFileLister.scala:
+  * 27-53`). The glob goes straight into the load path, where Catalyst's
+  * `InMemoryFileIndex` performs the same directory-pruned descent the
+  * reference hand-rolls (it never lists subtrees that can't match), but
+  * parallelized across the cluster for large directory trees.
+  *
+  * Listing is metadata-only: `content` is not selected, and the
+  * binaryFile source prunes the column, so no byte is downloaded before
+  * the change-detection filter decides it must be (mirrors the
+  * reference's list-before-fetch split, at executor scale).
+  */
+object Listing {
+
+  /** binaryFile's fixed schema (needed explicitly for readStream). */
+  val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  private def stripScheme(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:", "")
+
+  /** Metadata-only listing of one monitored glob:
+    * (path, size, timestamp-millis). Missing/empty matches → empty frame
+    * (a monitored dir that doesn't exist yet is not an error, same as an
+    * FTP dir that hasn't been created).
+    *
+    * Uses Hadoop `globStatus` — the same engine behind Catalyst's
+    * `InMemoryFileIndex`, with identical glob semantics and pruned
+    * directory descent — rather than a `binaryFile` scan, because
+    * Spark's file sources plan zero splits for zero-length files, which
+    * would make empty files invisible to change detection (the reference
+    * emits a record for an emptying update, EndToEnd.scala:90-92). The
+    * glob expansion runs where the reference's LIST ran (driver); for
+    * huge trees, monitored globs fan out per-directory and this is
+    * trivially parallelized over `dirs` before the union in Monitor.
+    */
+  def list(spark: SparkSession, mp: MonitoredPath): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(mp.glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    statuses.filter(_.isFile)
+      .map(st => (st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+      .toSeq
+      .toDF("path", "size", "timestamp")
+  }
+
+  /** Max-age cutoff on listing metadata (SURVEY.md §2 #4) — evaluated
+    * before any content is read, like `FtpMonitor.scala:110`. */
+  def filterMaxAge(listing: DataFrame, maxAgeMs: Option[Long], nowMs: Long): DataFrame =
+    maxAgeMs match {
+      case Some(ms) => listing.filter(col("timestamp") >= nowMs - ms)
+      case None => listing
+    }
+
+  /** Content fetch for an explicit set of (path, size, timestamp-ms)
+    * listing rows — the bounded post-diff fetch list. Non-empty files
+    * are read by the executor-parallel `binaryFile` source; zero-length
+    * files (which binaryFile cannot plan) are synthesized from the
+    * listing metadata with an empty body. Returns
+    * (path, size, timestamp, body). */
+  def fetch(spark: SparkSession, files: Seq[(String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val emptySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("size", LongType),
+      StructField("timestamp", LongType),
+      StructField("body", BinaryType)))
+    val (zeroLen, nonEmpty) = files.partition(_._2 == 0L)
+    val zeroDf = zeroLen
+      .map { case (p, _, ts) => (p, 0L, ts, Array.emptyByteArray) }
+      .toDF("path", "size", "timestamp", "body")
+    val bodyDf =
+      if (nonEmpty.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), emptySchema)
+      else
+        spark.read.format("binaryFile").load(nonEmpty.map(_._1): _*)
+          .select(
+            stripScheme(col("path")).as("path"),
+            col("length").as("size"),
+            unix_millis(col("modificationTime")).as("timestamp"),
+            col("content").as("body"))
+    bodyDf.unionByName(zeroDf)
+  }
+}

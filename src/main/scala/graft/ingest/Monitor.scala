@@ -1,0 +1,122 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The poll loop (SURVEY.md §3.2) as a pure batch transformation:
+  * list → max-age filter → state lookup → change-detection →
+  * fetch → tail/diff → records + new state.
+  *
+  * Each `poll` is one micro-batch; driving it repeatedly with the
+  * returned state is exactly the reference's
+  * `FtpSourcePoller.poll()` loop, and is what the E2E suite replays.
+  *
+  * Scale design:
+  *  - listing and fetching run on executors (binaryFile source);
+  *    only the *diff* — the set of paths that actually changed since
+  *    the last poll, bounded by `maxFilesPerPoll` (the reference's
+  *    `ftp.max.poll.records` analog, default 10k) — ever reaches the
+  *    driver, mirroring how Spark's own FileStreamSource tracks
+  *    per-batch file lists.
+  *  - change detection is a broadcast-friendly left-outer join of the
+  *    listing against the state table on `path` (SURVEY.md §2 #5-6);
+  *    no content is read for unchanged files.
+  *  - state is a plain Dataset; persist it as parquet (or let the
+  *    streaming variant keep it in the state store) between polls.
+  */
+object Monitor {
+
+  final case class PollOutput(
+      records: Dataset[FileChangeRecord],
+      newState: Dataset[FileMetaData])
+
+  /** One poll over all monitored paths. */
+  def poll(
+      spark: SparkSession,
+      dirs: Seq[MonitoredPath],
+      state: Dataset[FileMetaData],
+      maxAgeMs: Option[Long] = None,
+      maxFilesPerPoll: Int = 10000,
+      nowMs: Long = System.currentTimeMillis()): PollOutput = {
+    import spark.implicits._
+
+    // 1. list all monitored globs (metadata only), tag with mode/topic
+    val listings = dirs.map { mp =>
+      Listing.filterMaxAge(Listing.list(spark, mp), maxAgeMs, nowMs)
+        .withColumn("tail", lit(mp.tail))
+        .withColumn("topic", lit(mp.topic))
+    }
+    val listing = listings.reduceLeftOption(_ unionByName _) match {
+      case Some(df) => df
+      case None => return PollOutput(spark.emptyDataset[FileChangeRecord], state)
+    }
+
+    // 2+3. state probe + requiresFetch (left-outer join, OR-of-inequalities:
+    // unseen, size changed, or mtime changed — FtpMonitor.scala:35-46)
+    val prev = state.toDF().select(
+      $"path", $"size".as("prev_size"), $"timestamp".as("prev_ts"))
+    val toFetch = listing.join(prev, Seq("path"), "left_outer")
+      .filter($"prev_size".isNull ||
+              $"size" =!= $"prev_size" ||
+              $"timestamp" =!= $"prev_ts")
+      .select($"path", $"tail", $"topic", $"size", $"timestamp")
+      .limit(maxFilesPerPoll)
+      .collect()
+
+    if (toFetch.isEmpty) return PollOutput(spark.emptyDataset[FileChangeRecord], state)
+    val modeByPath = toFetch.map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val modeDf = modeByPath.toSeq
+      .map { case (p, (t, tp)) => (p, t, tp) }
+      .toDF("path", "tail", "topic")
+
+    // 4. fetch bodies for changed paths only (executors do the IO),
+    //    re-join previous full state, run the tail/diff state machine
+    val fetched = Listing.fetch(spark,
+        toFetch.map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq)
+      .join(broadcast(modeDf), Seq("path"))
+      .join(state.toDF().select($"path",
+        struct(state.columns.map(col): _*).as("prev")), Seq("path"), "left_outer")
+
+    val handled = fetched.select(
+        $"path", $"size", $"timestamp", $"body", $"tail", $"topic", $"prev")
+      .as[(String, Long, Long, Array[Byte], Boolean, String, Option[FileMetaData])]
+      .map { case (path, size, tsMs, body, tail, topic, prevMeta) =>
+        val (meta, delta) = TailDiff.handleFetchedFile(
+          tail, prevMeta, FetchedFile(path, size, tsMs, body), nowMs)
+        (meta, FileChangeRecord(topic, path, delta.offset, delta.bytes))
+      }
+      .cache() // consumed twice (records + state); one executor pass
+
+    val records = handled.map(_._2)
+    val newMetas = handled.map(_._1)
+
+    // 5. state upsert: keep untouched rows, replace refreshed ones
+    val untouched = state.join(newMetas.toDF().select($"path"), Seq("path"), "left_anti")
+      .as[FileMetaData]
+    PollOutput(records, untouched.union(newMetas))
+  }
+
+  /** Convenience: poll with parquet-persisted state (the batch analog of
+    * the streaming state store; survives process restarts like the
+    * reference's Connect offsets topic — SURVEY.md §3.3). */
+  def pollWithStateDir(
+      spark: SparkSession,
+      dirs: Seq[MonitoredPath],
+      stateDir: String,
+      maxAgeMs: Option[Long] = None,
+      maxFilesPerPoll: Int = 10000): Dataset[FileChangeRecord] = {
+    import spark.implicits._
+    val statePath = s"$stateDir/state.parquet"
+    val state =
+      if (new java.io.File(statePath).exists())
+        spark.read.parquet(statePath).as[FileMetaData]
+      else spark.emptyDataset[FileMetaData]
+    val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll)
+    val tmp = s"$stateDir/state.tmp.parquet"
+    out.newState.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(statePath)
+    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    new java.io.File(tmp).renameTo(target)
+    out.records
+  }
+}

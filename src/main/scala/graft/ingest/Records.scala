@@ -1,0 +1,86 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Record shaping + pluggable conversion (SURVEY.md §2 #9-11, #14).
+  *
+  * The output contract is a Kafka-shaped DataFrame — `key: binary`,
+  * `value: binary`, `topic: string` — which `writeStream.format("kafka")`
+  * (or batch `write.format("kafka")`) produces verbatim; the `topic`
+  * column gives per-record routing (one query, many topics), replacing
+  * the reference's `monitor2topic` lookup (`FtpSourceTask.scala:24-25`).
+  */
+object Records {
+
+  sealed trait KeyStyle
+  object KeyStyle {
+    /** key = file path (SimpleFileConverter.scala:43-52) */
+    case object StringKey extends KeyStyle
+    /** key = {name, offset} struct, JSON-serialized
+      * (SimpleFileConverter.scala:54-66) */
+    case object StructKey extends KeyStyle
+  }
+
+  /** Shape change records for the Kafka sink. `dropEmpty` filters the
+    * EmptyFileBody no-op records (unchanged/shrunk cases) that the
+    * reference leaves to consumers to ignore. */
+  def toKafkaFrame(
+      records: Dataset[FileChangeRecord],
+      keyStyle: KeyStyle = KeyStyle.StringKey,
+      dropEmpty: Boolean = true): DataFrame = {
+    val base = if (dropEmpty) records.filter(r => r.value.nonEmpty) else records
+    val keyed = keyStyle match {
+      case KeyStyle.StringKey =>
+        base.toDF().withColumn("key", col("path").cast("binary"))
+      case KeyStyle.StructKey =>
+        base.toDF().withColumn("key",
+          to_json(struct(col("path").as("name"), col("offset"))).cast("binary"))
+    }
+    keyed.select(col("key"), col("value"), col("topic"))
+  }
+
+  /** Pluggable 1→N record expansion (SURVEY.md §2 #10): the UDTF-like
+    * converter surface (`SourceRecordConverter.scala:9-17`). Implemented
+    * as a serializable function applied via typed `flatMap` so it runs
+    * distributed and inside the same stage as the tail-diff map. */
+  trait RecordConverter extends Serializable {
+    def convert(in: FileChangeRecord): Seq[FileChangeRecord]
+  }
+
+  /** Default no-op converter. */
+  final class NopRecordConverter extends RecordConverter {
+    override def convert(in: FileChangeRecord): Seq[FileChangeRecord] = Seq(in)
+  }
+
+  /** Example converter: split a text payload into one record per line,
+    * preserving byte offsets (the README's CSV-to-rows use case,
+    * /root/reference/README.md:61-92). */
+  final class LineSplitRecordConverter extends RecordConverter {
+    override def convert(in: FileChangeRecord): Seq[FileChangeRecord] = {
+      if (in.value.isEmpty) return Seq(in)
+      var off = in.offset
+      new String(in.value, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toIndexedSeq.filter(_.nonEmpty).map { line =>
+          val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val r = FileChangeRecord(in.topic, in.path, off, bytes)
+          off += bytes.length + 1
+          r
+        }
+    }
+  }
+
+  /** Reflective plugin loading, like `FileConverter.scala:20-26`:
+    * converters are named by class in config and must have a no-arg
+    * constructor. */
+  def loadConverter(className: String): RecordConverter =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[RecordConverter]
+
+  def applyConverter(
+      records: Dataset[FileChangeRecord],
+      converter: RecordConverter): Dataset[FileChangeRecord] = {
+    import records.sparkSession.implicits._
+    records.flatMap(converter.convert _)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Smoke: every registered query executes at sf0.001 and the flagship
+  * entry returns rows (the driver's t1 check). Oracle equivalence is
+  * checked by graft.Verify + tools/check.py at sf0.01.
+  */
+class QuerySmokeSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every query name has unique, well-formed oracle wiring") {
+    val qs = SparkEntry.allQueries
+    qs.keys.foreach(k => k should fullyMatch regex "[a-z0-9_]+")
+    SparkEntry.oracleSql.keySet.subsetOf(qs.keySet) shouldBe true
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name executes at sf0.001") {
+      noException should be thrownBy fn(spark, sf).count()
+    }
+  }
+}

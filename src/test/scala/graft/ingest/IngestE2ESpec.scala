@@ -1,0 +1,168 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** End-to-end replay of the reference's black-box suite
+  * (/root/reference/src/test/scala/.../EndToEnd.scala, scenarios in
+  * /root/repo/FIXTURES.md §1): five sequential change-sets over two
+  * tailed and two updated files, driven through `Monitor.poll` with the
+  * state threaded between polls, asserting per-poll records match the
+  * applied diffs exactly — topic, key path, struct offset, value bytes.
+  */
+class IngestE2ESpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  // byte payloads from EndToEnd.scala:102-106
+  private val sEmpty = Array.emptyByteArray
+  private val s0 = (0 to 255).map(_.toByte).toArray
+  private val s1 = "Hebban olla vogala nestas hagunnan hinase hic enda thu wat unbidan we nu\r\n\t :)".getBytes(UTF_8)
+  private val s2 = "<mandatory quote to show off erudition here>".getBytes(UTF_8)
+  private val s3 = "!".getBytes(UTF_8)
+
+  sealed trait Change { def body: Array[Byte] }
+  case class Update(body: Array[Byte]) extends Change
+  case class Append(body: Array[Byte]) extends Change
+
+  /** Expected emitted diff: (value bytes, struct-key offset). */
+  case class Diff(body: Array[Byte], offset: Long)
+
+  /** Local-FS mutator with the reference's semantics: Update =
+    * truncate-write (always produces a diff, even when empty); Append
+    * drops zero-length bodies entirely (EndToEnd.scala:83-97). */
+  private def applyChanges(root: Path, chgs: Seq[(String, Change)]): Seq[(String, Diff)] =
+    chgs.flatMap { case (name, chg) =>
+      val p = root.resolve(name.stripPrefix("/"))
+      Files.createDirectories(p.getParent)
+      chg match {
+        case Update(body) =>
+          Files.write(p, body, StandardOpenOption.CREATE,
+            StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+          Some(name -> Diff(body, 0L))
+        case Append(body) if body.nonEmpty =>
+          val oldSize = if (Files.exists(p)) Files.size(p) else 0L
+          Files.write(p, body, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          Some(name -> Diff(body, oldSize))
+        case _ => None
+      }
+    }
+
+  test("happy flow: file changes surface as correctly-keyed records across 5 polls") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-e2e")
+    val dirs = Seq(
+      MonitoredPath(s"$root/tails/", tail = true, topic = "tails"),
+      MonitoredPath(s"$root/updates/", tail = false, topic = "updates"))
+    val topicOf = Map("/tails/t0" -> "tails", "/tails/t1" -> "tails",
+      "/updates/u0" -> "updates", "/updates/u1" -> "updates")
+
+    // change-sets from EndToEnd.scala:113-135 / FIXTURES.md §1
+    val changeSets: Seq[Seq[(String, Change)]] = Seq(
+      Seq("/tails/t0" -> Append(s0), "/tails/t1" -> Append(sEmpty),
+          "/updates/u0" -> Update(s1), "/updates/u1" -> Update(sEmpty)),
+      Seq("/tails/t0" -> Append(s1), "/tails/t1" -> Append(s3),
+          "/updates/u0" -> Update(sEmpty), "/updates/u1" -> Update(s2)),
+      Seq("/tails/t0" -> Append(s3), "/updates/u1" -> Update(s1)),
+      Seq("/tails/t1" -> Append(s1), "/updates/u0" -> Update(s2)),
+      Seq("/tails/t0" -> Append(s0), "/tails/t1" -> Append(s2),
+          "/updates/u0" -> Update(s3), "/updates/u1" -> Update(s2)))
+
+    var state = spark.emptyDataset[FileMetaData]
+    var pollNo = 0
+    changeSets.foreach { chgs =>
+      pollNo += 1
+      val diffs = applyChanges(root, chgs)
+      val out = Monitor.poll(spark, dirs, state, nowMs = 10000L + pollNo)
+      val got = out.records.collect()
+        .map(r => (r.topic, r.path, r.offset, r.value.toSeq)).toSet
+      val expected = diffs.map { case (name, d) =>
+        (topicOf(name), s"$root${name}", d.offset, d.body.toSeq)
+      }.toSet
+      withClue(s"poll $pollNo: ") { got shouldBe expected }
+      state = out.newState
+      // state invariant: one row per known file
+      val st = state.collect()
+      st.map(_.path).distinct.length shouldBe st.length
+    }
+
+    // final state reflects the final file contents
+    val finalState = state.collect().map(m => m.path -> m).toMap
+    finalState(s"$root/tails/t0").size shouldBe (s0.length + s1.length + s3.length + s0.length).toLong
+    finalState(s"$root/updates/u1").size shouldBe s2.length.toLong
+  }
+
+  test("quiescent poll emits nothing and preserves state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-quiet")
+    val dirs = Seq(MonitoredPath(s"$root/tails/", tail = true, topic = "tails"))
+    applyChanges(root, Seq("/tails/a" -> Append(s1)))
+    val p1 = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData], nowMs = 1L)
+    p1.records.count() shouldBe 1L
+    val st1 = p1.newState.collect().toSeq
+    val p2 = Monitor.poll(spark, dirs, p1.newState, nowMs = 2L)
+    p2.records.count() shouldBe 0L
+    p2.newState.collect().toSeq shouldBe st1
+  }
+
+  test("max-age filter drops old files before fetch (FtpMonitor.scala:110)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-age")
+    val dirs = Seq(MonitoredPath(s"$root/d/", tail = false, topic = "t"))
+    applyChanges(root, Seq("/d/old" -> Update(s1)))
+    val mtime = Files.getLastModifiedTime(root.resolve("d/old")).toMillis
+    // cutoff excludes the file: now - maxAge > mtime
+    val out = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData],
+      maxAgeMs = Some(1000L), nowMs = mtime + 10000L)
+    out.records.count() shouldBe 0L
+    // cutoff includes it
+    val out2 = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData],
+      maxAgeMs = Some(60000L), nowMs = mtime + 10000L)
+    out2.records.count() shouldBe 1L
+  }
+
+  test("limit bounds records per poll; remainder arrives on the next poll") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-limit")
+    val dirs = Seq(MonitoredPath(s"$root/d/", tail = false, topic = "t"))
+    applyChanges(root, (0 until 5).map(i => s"/d/f$i" -> Update(s3)))
+    val p1 = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData],
+      maxFilesPerPoll = 3, nowMs = 1L)
+    p1.records.count() shouldBe 3L
+    val p2 = Monitor.poll(spark, dirs, p1.newState, maxFilesPerPoll = 3, nowMs = 2L)
+    p2.records.count() shouldBe 2L
+    val p3 = Monitor.poll(spark, dirs, p2.newState, maxFilesPerPoll = 3, nowMs = 3L)
+    p3.records.count() shouldBe 0L
+  }
+
+  test("record converter expands one record into N (line split)") {
+    val conv = new Records.LineSplitRecordConverter
+    val in = FileChangeRecord("t", "/f.csv", 0L, "a,1\nb,2\nc,3".getBytes(UTF_8))
+    val out = conv.convert(in)
+    out.map(r => new String(r.value, UTF_8)) shouldBe Seq("a,1", "b,2", "c,3")
+    out.map(_.offset) shouldBe Seq(0L, 4L, 8L)
+    // reflective loading, like FileConverter.scala:20-26
+    val loaded = Records.loadConverter("graft.ingest.Records$LineSplitRecordConverter")
+    loaded.convert(in).length shouldBe 3
+  }
+
+  test("kafka frame shaping: both key styles, empty bodies dropped") {
+    import spark.implicits._
+    val recs = Seq(
+      FileChangeRecord("t1", "/a", 0L, "x".getBytes(UTF_8)),
+      FileChangeRecord("t2", "/b", 7L, "y".getBytes(UTF_8)),
+      FileChangeRecord("t1", "/c", 0L, Array.emptyByteArray)).toDS()
+    val stringFrame = Records.toKafkaFrame(recs, Records.KeyStyle.StringKey).collect()
+    stringFrame.length shouldBe 2
+    stringFrame.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSet shouldBe Set("/a", "/b")
+    val structFrame = Records.toKafkaFrame(recs, Records.KeyStyle.StructKey).collect()
+    structFrame.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSet shouldBe
+      Set("""{"name":"/a","offset":0}""", """{"name":"/b","offset":7}""")
+    structFrame.map(_.getAs[String]("topic")).toSet shouldBe Set("t1", "t2")
+  }
+}

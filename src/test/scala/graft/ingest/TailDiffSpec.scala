@@ -1,0 +1,145 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Unit + property coverage of the six tail/diff cases
+  * (reference semantics: /root/reference/src/main/scala/.../FtpMonitor
+  * .scala:70-105) and the change-detection predicate (`:35-46`).
+  */
+class TailDiffSpec extends AnyFunSuite with Matchers {
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val now = 1000L
+  private def fetched(path: String, body: Array[Byte], ts: Long = 5L) =
+    FetchedFile(path, body.length.toLong, ts, body)
+  private def metaOf(body: Array[Byte], ts: Long = 5L, path: String = "/f") =
+    TailDiff.metaAfterFetch(fetched(path, body, ts), None, 1L)
+
+  test("requiresFetch: unseen, size change, mtime change, unchanged") {
+    val attrs = FileAttributes("/f", 10L, 5L)
+    TailDiff.requiresFetch(attrs, None) shouldBe true
+    TailDiff.requiresFetch(attrs, Some(metaOf(Array.fill(9)(1.toByte)))) shouldBe true
+    TailDiff.requiresFetch(attrs, Some(metaOf(Array.fill(10)(1.toByte), ts = 4L))) shouldBe true
+    TailDiff.requiresFetch(attrs, Some(metaOf(Array.fill(10)(1.toByte), ts = 5L))) shouldBe false
+  }
+
+  test("(f) new file emits whole body at offset 0") {
+    val body = "hello".getBytes
+    val (meta, fb) = TailDiff.handleFetchedFile(tail = true, None, fetched("/f", body), now)
+    fb.bytes shouldBe body
+    fb.offset shouldBe 0L
+    meta.firstFetched shouldBe now
+    meta.lastModified shouldBe now
+  }
+
+  test("(a) tail append with matching prefix emits only the delta") {
+    val before = "abcdef".getBytes
+    val after = "abcdefGHI".getBytes
+    val prev = metaOf(before)
+    val (meta, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev), fetched("/f", after, 6L), now)
+    new String(fb.bytes) shouldBe "GHI"
+    fb.offset shouldBe 6L
+    meta.size shouldBe 9L
+    meta.firstFetched shouldBe prev.firstFetched // preserved across fetches
+  }
+
+  test("(b) tail grew but prefix changed: fall back to whole file at 0") {
+    val prev = metaOf("abcdef".getBytes)
+    val after = "XXXdefGHI".getBytes
+    val (_, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev), fetched("/f", after, 6L), now)
+    fb.bytes shouldBe after
+    fb.offset shouldBe 0L
+  }
+
+  test("(c) tail shrunk: empty body") {
+    val prev = metaOf("abcdef".getBytes)
+    val (_, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev), fetched("/f", "abc".getBytes, 6L), now)
+    fb.bytes shouldBe empty
+  }
+
+  test("(d) update mode emits whole body on change") {
+    val prev = metaOf("abcdef".getBytes)
+    val after = "changed!".getBytes
+    val (_, fb) = TailDiff.handleFetchedFile(tail = false, Some(prev), fetched("/f", after, 6L), now)
+    fb.bytes shouldBe after
+    fb.offset shouldBe 0L
+  }
+
+  test("(e) unchanged content (mtime-only change): empty body, lastInspected touched") {
+    val body = "same".getBytes
+    val prev = metaOf(body, ts = 5L)
+    val (meta, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev), fetched("/f", body, 9L), now)
+    fb.bytes shouldBe empty
+    meta.lastInspected shouldBe now
+    meta.lastModified shouldBe prev.lastModified // NOT touched
+  }
+
+  test("empty update of an existing file emits an empty whole-body record") {
+    val prev = metaOf("text".getBytes)
+    val (_, fb) = TailDiff.handleFetchedFile(tail = false, Some(prev), fetched("/f", Array.emptyByteArray, 6L), now)
+    fb.bytes shouldBe empty
+    fb.offset shouldBe 0L
+  }
+
+  // ── properties (SURVEY.md §5: scalacheck upgrade) ──
+
+  private val chunkGen = Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+
+  test("property: concatenation of emitted tail deltas reconstructs the file; offsets are contiguous") {
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(chunkGen)) { chunks =>
+      var file = Array.emptyByteArray
+      var state: Option[FileMetaData] = None
+      var emitted = Array.emptyByteArray
+      var nextOffset = 0L
+      var ts = 0L
+      var offsetsOk = true
+      chunks.foreach { c =>
+        file = file ++ c
+        ts += 1
+        val (m, fb) = TailDiff.handleFetchedFile(tail = true, state, fetched("/f", file, ts), ts)
+        offsetsOk &&= (fb.offset == nextOffset)
+        emitted = emitted ++ fb.bytes
+        nextOffset += fb.bytes.length
+        state = Some(m)
+      }
+      offsetsOk && java.util.Arrays.equals(emitted, file)
+    })
+  }
+
+  test("property: update mode always emits the latest content at offset 0") {
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(chunkGen)) { versions =>
+      var state: Option[FileMetaData] = None
+      var ts = 0L
+      var ok = true
+      versions.foreach { v =>
+        ts += 1
+        val (m, fb) = TailDiff.handleFetchedFile(tail = false, state, fetched("/f", v, ts), ts)
+        val changed = !state.exists(s => s.size == v.length && s.hash == TailDiff.sha256Hex(v))
+        ok &&= (if (changed) java.util.Arrays.equals(fb.bytes, v) && fb.offset == 0L
+                else fb.bytes.isEmpty)
+        state = Some(m)
+      }
+      ok
+    })
+  }
+
+  test("backoff doubles up to cap and resets on success") {
+    var b = ExponentialBackoff(stepMs = 1000L, capMs = 30 * 60 * 1000L)
+    b.intervalMs shouldBe 1000L
+    b = b.nextFailure(0L); b.intervalMs shouldBe 2000L
+    b = b.nextFailure(0L); b.intervalMs shouldBe 4000L
+    (1 to 60).foreach(_ => b = b.nextFailure(0L))
+    b.intervalMs shouldBe 30 * 60 * 1000L // capped
+    b.passed(0L) shouldBe false
+    b.passed(30 * 60 * 1000L) shouldBe true
+    b = b.nextSuccess(100L)
+    b.intervalMs shouldBe 1000L
+    b.endTimeMs shouldBe 1100L
+  }
+}

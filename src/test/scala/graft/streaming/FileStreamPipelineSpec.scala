@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, StandardOpenOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Streaming tail over chunked uploads: chunks of a logical file arrive
+  * across micro-batches; `flatMapGroupsWithState` stitches them into
+  * contiguous offsets persisted in the state store.
+  */
+class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  test("chunk offsets accumulate across micro-batches via state store") {
+    val dir = Files.createTempDirectory("graft-stream")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    def write(name: String, body: String): Unit =
+      Files.write(dir.resolve(name), body.getBytes(UTF_8), StandardOpenOption.CREATE)
+
+    val q = FileStreamPipeline.changeRecords(spark, s"$dir/*", "chunks")
+      .writeStream
+      .format("memory")
+      .queryName("chunks_out")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .start()
+    try {
+      write("fileA.part0", "hello")
+      write("fileB.part0", "xy")
+      q.processAllAvailable()
+      write("fileA.part1", " world")
+      q.processAllAvailable()
+      write("fileA.part2", "!")
+      write("fileB.part1", "z")
+      q.processAllAvailable()
+
+      val rows = spark.table("chunks_out").collect()
+        .map(r => (r.getAs[String]("path"), r.getAs[Long]("offset"),
+          new String(r.getAs[Array[Byte]]("value"), UTF_8)))
+        .sortBy(r => (r._1, r._2))
+      val (aRows, bRows) = rows.partition(_._1.endsWith("fileA"))
+      aRows.map(r => (r._2, r._3)) shouldBe Seq((0L, "hello"), (5L, " world"), (11L, "!"))
+      bRows.map(r => (r._2, r._3)) shouldBe Seq((0L, "xy"), (2L, "z"))
+      // reconstructing the logical file from deltas yields the full content
+      aRows.map(_._3).mkString shouldBe "hello world!"
+    } finally q.stop()
+  }
+
+  test("chunkKey strips part suffix only") {
+    FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
+    FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
+    FileStreamPipeline.chunkKey("/d/f.part") shouldBe "/d/f.part"
+  }
+}
