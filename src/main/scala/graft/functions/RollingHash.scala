@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: polynomial rolling hash of a string —
+  * the document-fingerprinting primitive (SURVEY.md §2.3 / the
+  * training-data-pipeline track). `h = fold(h * prime + char) mod
+  * 1e9+7` over UTF-16 code units.
+  *
+  * Implemented as a codegen'd `UnaryExpression` rather than a Scala UDF
+  * so it stays inside whole-stage codegen (no serialization boundary,
+  * no boxing per row): `doGenCode` emits a static call on the raw
+  * `UTF8String`. The same fold is expressible in ANSI SQL
+  * (`list_reduce` over codepoints), which is what the DuckDB oracle
+  * uses — identical for ASCII/BMP text.
+  */
+case class RollingHash(child: Expression, prime: Long = 31L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String], prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c, ${prime}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Mod: Long = 1000000007L
+
+  /** Static helper invoked from generated code. */
+  def hash(s: UTF8String, prime: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * prime + str.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  /** Column-level entry point; input is cast to string if needed. */
+  def rolling_hash(c: Column, prime: Long = 31L): Column =
+    Shim.column(RollingHash(Cast(Shim.expression(c), StringType), prime))
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding math as codegen'd higher-order functions — no UDFs, no
+  * serialization boundary; every operation stays inside whole-stage
+  * codegen over the raw `array<float>` column (cast element-wise to
+  * double for cross-engine determinism: the fold is strictly
+  * left-to-right in both Spark's `aggregate` and DuckDB's `list_sum`).
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double>, element-wise. */
+  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Left-to-right dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Component i of deterministic pseudo-random hyperplane j: a
+    * Knuth-multiplicative integer mix mapped into [-0.5, 0.5). No RNG
+    * state — reproducible anywhere, stable across runs/partitions. */
+  def planeComponent(j: Int, i: Int, dim: Int): Double = {
+    val mixed = ((j.toLong * dim + i) * 2654435761L) & 0x7fffffffL
+    mixed.toDouble / 2147483648.0 - 0.5
+  }
+
+  /** Sign-bit LSH bucket over `nPlanes` deterministic hyperplanes
+    * (Charikar-style random-hyperplane LSH): bucket = integer formed by
+    * the sign bits of the plane dot products. Planes are literal arrays
+    * folded into the plan, so the whole bucket computation codegens into
+    * the scan stage — no shuffle until the bucket groupBy.
+    */
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      val p = array((0 until dim).map(i => lit(planeComponent(j, i, dim))): _*)
+      when(dot(emb, p) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.{QueryDef, QueryPack, Tables}
+
+/** Multimodal-column operators (SURVEY.md §2.3): media payloads are
+  * opaque `binary` columns with typed metadata — exactly the reference's
+  * data model, whose record values are raw bytes
+  * (`SimpleFileConverter.scala:50-51`). The documents' text bodies stand
+  * in as payloads (the container has no image/audio codecs), so the
+  * *decode* step is a clearly-marked deterministic stub
+  * ([[Multimodal.decodeStub]]); everything around it — binary schema,
+  * batch-shaped `mapPartitions`, frame sampling, metadata extraction —
+  * is real Spark plumbing and oracle-tested where SQL-expressible.
+  */
+object Multimodal extends QueryPack {
+
+  /** Typed metadata the stub "decoder" yields for a payload. */
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int, format: String)
+
+  /** STUB — deterministic fake decode. A real deployment swaps this for
+    * an image/audio codec (on PySpark: a pandas UDF over mapInPandas);
+    * the signature and batch shape are what matter to the pipeline. */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    MediaMeta(
+      doc_id = docId,
+      byte_len = n.toLong,
+      width = (n % 640) + 1,
+      height = ((n * 3) % 480) + 1,
+      format = (n % 3) match {
+        case 0 => "img/fake-png"
+        case 1 => "img/fake-jpeg"
+        case _ => "audio/fake-wav"
+      })
+  }
+
+  /** Batch-shaped decode: one partition in, one iterator of typed
+    * metadata out — the Scala twin of `mapInPandas` (vectorized batches,
+    * decoder initialized once per partition, never per row). */
+  def decodePartitions(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      // per-partition decoder init would go here (expensive codec setup)
+      it.map { case (id, bytes) => decodeStub(id, bytes) }
+    }
+  }
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── binary payload + metadata extraction (SQL-expressible half) ──
+    "mm_meta_extract" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("payload", $"text".cast(BinaryType))
+          .select(
+            $"doc_id",
+            length($"payload").as("byte_len"),
+            sha2($"payload", 256).as("payload_sha256"),
+            hex(substring($"text", 1, 4)).as("magic_hex"),
+            (($"n_chars" % 640) + 1).as("width"),
+            ((($"n_chars" * 3) % 480) + 1).as("height"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          sha256(text) AS payload_sha256,
+          hex(substring(text, 1, 4)) AS magic_hex,
+          (n_chars % 640) + 1 AS width,
+          ((n_chars * 3) % 480) + 1 AS height
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ── frame sampling: every other 16-byte frame of each payload ──
+    "mm_frame_sample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(expr(
+            """filter(
+                 transform(sequence(0, CAST(length(text) DIV 32 AS INT)),
+                   i -> struct(CAST(i AS BIGINT) AS idx, substring(text, i*32 + 1, 16) AS chunk)),
+                 s -> s.chunk != '')""")).as("fr"))
+          .select($"doc_id", $"fr.idx".as("frame_idx"),
+            hex($"fr.chunk").as("frame_hex"))
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+            unnest(list_filter(
+              list_transform(generate_series(0, length(text) // 32),
+                i -> {'idx': i, 'chunk': substr(text, i*32 + 1, 16)}),
+              s -> s.chunk <> '')) AS fr
+          FROM documents)
+        SELECT doc_id, fr.idx AS frame_idx, hex(fr.chunk) AS frame_hex
+        FROM f
+        ORDER BY doc_id, frame_idx""")),
+
+    // ── typed mapPartitions decode path (stubbed codec) ──
+    "mm_decode_stub" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, d)
+          .select($"doc_id", $"text".cast(BinaryType).as("payload"))
+          .as[(Long, Array[Byte])]
+        decodePartitions(payloads).toDF().orderBy($"doc_id")
+      },
+      // the stub decode is deterministic arithmetic, so even the typed
+      // mapPartitions path gets a full value oracle
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+          CAST(((octet_length(encode(text)) * 3) % 480) + 1 AS INT) AS height,
+          CASE octet_length(encode(text)) % 3
+            WHEN 0 THEN 'img/fake-png'
+            WHEN 1 THEN 'img/fake-jpeg'
+            ELSE 'audio/fake-wav' END AS format
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}

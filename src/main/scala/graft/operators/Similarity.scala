@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.3):
+  * brute-force cosine top-k as the exact baseline (oracle-checked), plus
+  * two sub-linear scale paths — random-hyperplane LSH buckets with
+  * multiprobe, and a one-round IVF (inverted-file) index.
+  *
+  * Scale design: the query set is always the broadcast side; candidates
+  * stream through the scan stage where the dot products codegen. The
+  * exact variant's per-query ranking is a window over (queries ×
+  * candidates) — fine for a handful of queries; LSH/IVF cut the
+  * candidate set to a bucket before ranking, which is the shape that
+  * survives 10^9 vectors: bucket assignment is map-only, the join is an
+  * equality join on bucket id, and ranking happens per bucket.
+  */
+object Similarity extends QueryPack {
+
+  private val Dim = 64
+
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("emb"))
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── exact brute-force cosine top-10 for 5 query vectors ──
+    "sim_topk_bruteforce" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embDouble(s, d)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+        e.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 10)
+          .select($"query_id", $"rnk".cast(LongType).as("rnk"), $"vec_id", $"cos_sim")
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        pairs AS (
+          SELECT q.query_id, e.vec_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(q.qemb)),
+                i -> q.qemb[i] * e.emb[i])) /
+              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
+          FROM q, e WHERE e.vec_id <> q.query_id)
+        SELECT query_id, rnk, vec_id, cos_sim FROM (
+          SELECT query_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM pairs)
+        WHERE rnk <= 10
+        ORDER BY query_id, rnk"""),
+      headline = true),
+
+    // ── random-hyperplane LSH with hamming-1 multiprobe ──
+    "sim_ann_lsh" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val nPlanes = 6
+        val e = embDouble(s, d).withColumn("bucket", lshBucket($"emb", nPlanes, Dim))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"bucket".as("qbucket"))
+        // multiprobe: the query's own bucket plus all hamming-1 neighbors
+        val probes = q.withColumn("probe",
+          explode(concat(array($"qbucket"),
+            array((0 until nPlanes).map(j => $"qbucket".bitwiseXOR(lit(1L << j))): _*))))
+        val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+        probes.join(e, $"probe" === $"bucket")
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"rnk".cast(LongType).as("rnk"), $"vec_id",
+            $"cos_sim", $"bucket")
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = None),
+
+    // ── one-round IVF: assign to nearest of 8 seed centroids, search
+    //    only the query's cell ──
+    "sim_ann_ivf" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embDouble(s, d)
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("centroid_id"), $"emb".as("cemb"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("dist", normSq(zip_with($"emb", $"cemb", (x, y) => x - y)))
+          .withColumn("r", row_number().over(wAssign))
+          .filter($"r" === 1)
+          .select($"vec_id", $"label", $"emb", $"centroid_id")
+        val q = assigned.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+            $"centroid_id".as("qcell"))
+        val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+        broadcast(q).join(assigned, $"qcell" === $"centroid_id")
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"qcell", $"rnk".cast(LongType).as("rnk"),
+            $"vec_id", $"cos_sim")
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = None),
+
+    // ── label centroids: the aggregation face of embedding work ──
+    "sim_label_centroids" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        // mean vector per label, then each label's vector count and the
+        // centroid's L2 norm (rounded for cross-engine compare)
+        val e = embDouble(s, d)
+          .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        e.groupBy($"label", $"pos")
+          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          .groupBy($"label")
+          .agg(
+            max($"n").as("n_vectors"),
+            round(sqrt(sum(($"sv" / $"n") * ($"sv" / $"n"))), 6).as("centroid_norm"))
+          .orderBy($"label")
+      },
+      oracle = None)
+  )
+}

@@ -150,6 +150,29 @@ object TextAnalysis extends QueryPack {
         LIMIT 50"""),
       headline = true),
 
+    // ── document fingerprint via the native RollingHash expression ──
+    "llm_fingerprint" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            graft.functions.RollingHash.rolling_hash($"text").as("fingerprint"),
+            graft.functions.RollingHash.rolling_hash($"text", 131).as("fingerprint_alt"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CASE WHEN length(text) = 0 THEN 0 ELSE
+            list_reduce(list_prepend(0::BIGINT,
+              list_transform(string_split(text, ''), ch -> unicode(ch)::BIGINT)),
+              (acc, ch) -> (acc * 31 + ch) % 1000000007) END AS fingerprint,
+          CASE WHEN length(text) = 0 THEN 0 ELSE
+            list_reduce(list_prepend(0::BIGINT,
+              list_transform(string_split(text, ''), ch -> unicode(ch)::BIGINT)),
+              (acc, ch) -> (acc * 131 + ch) % 1000000007) END AS fingerprint_alt
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ── word-bigram frequency, top 30 ──
     "llm_bigram_freq" -> QueryDef(
       fn = (s, d) => {
