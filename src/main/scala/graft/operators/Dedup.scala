@@ -60,6 +60,34 @@ object Dedup extends QueryPack {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tokens", tokensCol)
 
+  /** Materialization barrier before explode/join fan-out. Spark's
+    * Generate re-evaluates its generator expression per OUTPUT row, so
+    * exploding a nested-HOF array column (shingles: CASE + transform +
+    * sequence + array_distinct over a regex split) costs O(rows ×
+    * fan-out × expr) — measured 19 s vs 0.25 s at sf0.1. A plain
+    * repartition doesn't help (the optimizer pushes the projection
+    * above the exchange); an object roundtrip is a boundary Catalyst
+    * cannot project through, so the arrays are computed exactly once
+    * per row. Serde cost is one row per document — negligible against
+    * the O(fan-out) recomputation it removes. */
+  private[operators] def materialized(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.map(identity(_))(enc)
+  }
+
+  /** 60-bit SimHash as a single aggregation: each bit's vote is its own
+    * sum-aggregate over the grouped token fingerprints (`fp` column),
+    * and the sketch is assembled in the projection — one shuffle of one
+    * row per group, map-side combined. */
+  private def simhashOf(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
+    val votes = (0 until 60).map(b =>
+      sum(when(expr(s"(fp >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    grouped.agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _))
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── exact dedup: group identical bodies by sha-256 ──
@@ -79,17 +107,22 @@ object Dedup extends QueryPack {
         ORDER BY body_sha256""")),
 
     // ── MinHash signatures: 16 permutations over shingle fingerprints ──
-    // minhash_i = min over shingles of ((2i+1)*fp(s) + 7919i + 12345) mod p
+    // minhash_i = min over shingles of ((2i+1)*fp(s) + 7919i + 12345) mod p.
+    // One shuffle: all 16 mins are column aggregates of a single groupBy
+    // (map-side partial agg reduces shuffle volume to one row per doc),
+    // then stack() unpivots to the (doc, perm, minhash) oracle shape.
     "dedup_minhash_sig" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val sh = docsWithTokens(s, d)
-          .select($"doc_id", explode(shinglesCol).as("shingle"))
+        val sh = materialized(docsWithTokens(s, d)
+            .select($"doc_id", shinglesCol.as("shingles")))
+          .select($"doc_id", explode($"shingles").as("shingle"))
           .withColumn("fp", rolling_hash($"shingle"))
-        sh.crossJoin(broadcast(s.range(16).select($"id".as("perm"))))
-          .groupBy($"doc_id", $"perm")
-          .agg(min(((lit(2) * $"perm" + 1) * $"fp" + lit(7919) * $"perm" + 12345) % Mod)
-            .as("minhash"))
+        val aggs = (0 until 16).map(i =>
+          min(((lit(2L * i + 1)) * $"fp" + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+        val unpivot = (0 until 16).map(i => s"${i}L, m$i").mkString(", ")
+        sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+          .select($"doc_id", expr(s"stack(16, $unpivot)").as(Seq("perm", "minhash")))
           .orderBy($"doc_id", $"perm")
       },
       oracle = Some(s"""
@@ -108,21 +141,19 @@ object Dedup extends QueryPack {
     "dedup_minhash_pairs" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val docs = docsWithTokens(s, d).withColumn("shingles", shinglesCol)
+        val docs = materialized(docsWithTokens(s, d)
+          .select($"doc_id", shinglesCol.as("shingles")))
         val sh = docs.select($"doc_id", explode($"shingles").as("shingle"))
           .withColumn("fp", rolling_hash($"shingle"))
-        val sigs = sh
-          .crossJoin(broadcast(s.range(16).select($"id".as("perm"))))
-          .groupBy($"doc_id", $"perm")
-          .agg(min(((lit(2) * $"perm" + 1) * $"fp" + lit(7919) * $"perm" + 12345) % Mod)
-            .as("minhash"))
-        // 4 bands × 4 rows: equal band signature → candidate pair
-        val bands = sigs
-          .withColumn("band", ($"perm" / 4).cast(IntegerType))
-          .groupBy($"doc_id", $"band")
-          .agg(concat_ws("_",
-            transform(array_sort(collect_list(struct($"perm", $"minhash"))),
-              x => x.getField("minhash"))).as("band_key"))
+        // one shuffle: 16 min-aggregates in a single groupBy
+        val aggs = (0 until 16).map(i =>
+          min(((lit(2L * i + 1)) * $"fp" + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+        val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+        // 4 bands × 4 rows, band key built by projection (no second agg)
+        val bandKeys = (0 until 4).map(b =>
+          concat_ws("_", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))
+        val bands = sigs16.select($"doc_id",
+          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
         val cand = bands.as("a")
           .join(bands.as("b"),
             $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
@@ -142,21 +173,20 @@ object Dedup extends QueryPack {
           .select($"doc1", $"doc2", $"jaccard")
           .orderBy($"doc1", $"doc2")
       },
-      oracle = None),
+      oracle = None,
+      headline = true),
 
     // ── SimHash: 60-bit per-document sketch, bit-vote over token fps ──
     "dedup_simhash" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val tok = docsWithTokens(s, d)
+        val tok = materialized(docsWithTokens(s, d).select($"doc_id", $"tokens"))
           .select($"doc_id", explode($"tokens").as("t"))
           .withColumn("fp", rolling_hash($"t", 31) + rolling_hash($"t", 131) * Mod)
-        tok.crossJoin(broadcast(s.range(60).select($"id".cast(IntegerType).as("b"))))
-          .groupBy($"doc_id", $"b")
-          .agg(sum(when(expr("(fp >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
-          .groupBy($"doc_id")
-          .agg(sum(when($"vote" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(0L)).as("simhash"))
+        // one shuffle: the 60 bit-votes are column aggregates of one
+        // groupBy; the sketch is recombined in a projection
+        simhashOf(tok.groupBy($"doc_id"))
+          .select($"doc_id", $"simhash")
           .orderBy($"doc_id")
       },
       oracle = Some(s"""
@@ -179,16 +209,11 @@ object Dedup extends QueryPack {
     "dedup_simhash_pairs" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val tok = docsWithTokens(s, d)
+        val tok = materialized(docsWithTokens(s, d).select($"doc_id", $"lang", $"tokens"))
           .select($"doc_id", $"lang", explode($"tokens").as("t"))
           .withColumn("fp", rolling_hash($"t", 31) + rolling_hash($"t", 131) * Mod)
-        val sim = tok
-          .crossJoin(broadcast(s.range(60).select($"id".cast(IntegerType).as("b"))))
-          .groupBy($"doc_id", $"lang", $"b")
-          .agg(sum(when(expr("(fp >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
-          .groupBy($"doc_id", $"lang")
-          .agg(sum(when($"vote" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(0L)).as("simhash"))
+        val sim = simhashOf(tok.groupBy($"doc_id", $"lang"))
+          .select($"doc_id", $"lang", $"simhash")
         sim.as("a").join(sim.as("b"),
             $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
           .withColumn("hamming", bit_count($"a.simhash".bitwiseXOR($"b.simhash")))
@@ -221,8 +246,8 @@ object Dedup extends QueryPack {
     "dedup_ngram_jaccard" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val docs = docsWithTokens(s, d)
-          .select($"doc_id", $"lang", $"n_chars", shinglesCol.as("sh"))
+        val docs = materialized(docsWithTokens(s, d)
+            .select($"doc_id", $"lang", $"n_chars", shinglesCol.as("sh")))
           .filter(size($"sh") > 0)
         docs.as("a").join(docs.as("b"),
             $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&

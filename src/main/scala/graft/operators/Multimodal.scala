@@ -82,11 +82,15 @@ object Multimodal extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .select($"doc_id", explode(expr(
+          .select($"doc_id", expr(
             """filter(
                  transform(sequence(0, CAST(length(text) DIV 32 AS INT)),
                    i -> struct(CAST(i AS BIGINT) AS idx, substring(text, i*32 + 1, 16) AS chunk)),
-                 s -> s.chunk != '')""")).as("fr"))
+                 s -> s.chunk != '')""").as("frames"))
+          // barrier: materialize the frame array once per row before the
+          // explode (Generate re-evaluates its generator per output row)
+          .transform(Dedup.materialized)
+          .select($"doc_id", explode($"frames").as("fr"))
           .select($"doc_id", $"fr.idx".as("frame_idx"),
             hex($"fr.chunk").as("frame_hex"))
           .orderBy($"doc_id", $"frame_idx")

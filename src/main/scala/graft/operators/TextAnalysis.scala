@@ -180,9 +180,13 @@ object TextAnalysis extends QueryPack {
         Tables.documents(s, d)
           .withColumn("tokens", split(lower(trim($"text")), "\\s+"))
           .filter(size($"tokens") >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(tokens) - 1), i -> concat(tokens[i-1], ' ', tokens[i]))"))
-            .as("bigram"))
+          .select($"doc_id", expr(
+            "transform(sequence(1, size(tokens) - 1), i -> concat(tokens[i-1], ' ', tokens[i]))")
+            .as("bigrams"))
+          // barrier: Generate re-evaluates its generator per output row —
+          // materialize the nested-HOF array once per doc before exploding
+          .transform(Dedup.materialized)
+          .select(explode($"bigrams").as("bigram"))
           .groupBy($"bigram")
           .agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"bigram")
