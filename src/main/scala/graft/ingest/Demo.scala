@@ -63,6 +63,22 @@ object Demo {
     val sample = Seq(FileChangeRecord("logs", "/logs/app.log", 6L, "line2\n".getBytes(UTF_8))).toDS()
     Records.toKafkaFrame(sample, Records.KeyStyle.StructKey).show(false)
 
+    println("== config-driven poll loop (MonitorConfig + PollDriver + converter)")
+    val loopRoot = Files.createTempDirectory("graft-demo-loop")
+    val loopState = Files.createTempDirectory("graft-demo-loop-state").toString
+    val cfg = MonitorConfig(Map(
+      MonitorConfig.MonitorUpdate -> s"$loopRoot/in/:csvtopic",
+      MonitorConfig.Refresh -> "PT0S",
+      MonitorConfig.SourceRecordConverter -> "graft.ingest.Records$LineSplitRecordConverter"))
+    val driver = new PollDriver(spark, cfg, loopState,
+      sink = recs => recs.collect().sortBy(_.offset).foreach(r =>
+        println(s"loop: topic=${r.topic} offset=${r.offset} " +
+          s"value=${new String(r.value, UTF_8)}")))
+    Files.createDirectories(loopRoot.resolve("in"))
+    Files.write(loopRoot.resolve("in/rows.csv"), "id,qty\n1,10\n2,20".getBytes(UTF_8))
+    println(s"poll -> ${driver.pollOnce()} records (line-split)")
+    println(s"quiet poll -> ${driver.pollOnce()} records; backoff=${driver.currentBackoffMs}ms")
+
     println("== streaming: chunked uploads stitched with state store offsets")
     val streamDir = Files.createTempDirectory("graft-demo-stream")
     val ckpt = Files.createTempDirectory("graft-demo-ckpt")

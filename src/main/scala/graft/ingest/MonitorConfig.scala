@@ -1,0 +1,84 @@
+package graft.ingest
+
+import java.time.Duration
+
+/** Typed configuration surface — the "query language" of the ingestion
+  * engine (SURVEY.md §2 #18; reference `FtpSourceConfig.scala:19-77`).
+  * Parses the same shapes: `path:topic` monitor lists, ISO-8601
+  * durations, a key-style enum, reflective converter class names —
+  * with fail-fast validation at construction (the reference throws from
+  * the connector's `start`, `FtpSourceConnector.scala:34-37`).
+  */
+final case class MonitorConfig(
+    tailDirs: Seq[MonitoredPath],
+    updateDirs: Seq[MonitoredPath],
+    refresh: Duration,
+    maxAge: Option[Duration],
+    maxBackoff: Duration,
+    maxFilesPerPoll: Int,
+    keyStyle: Records.KeyStyle,
+    converterClass: Option[String]) {
+  def dirs: Seq[MonitoredPath] = tailDirs ++ updateDirs
+  def converter: Records.RecordConverter = converterClass
+    .map(Records.loadConverter)
+    .getOrElse(new Records.NopRecordConverter)
+}
+
+object MonitorConfig {
+  val MonitorTail = "monitor.tail"
+  val MonitorUpdate = "monitor.update"
+  val Refresh = "refresh"
+  val FileMaxAge = "file.maxage"
+  val MaxBackoff = "max.backoff"
+  val MaxPollRecords = "max.poll.records"
+  val KeyStyleKey = "keystyle"
+  val SourceRecordConverter = "sourcerecordconverter"
+
+  /** `path:topic[,path:topic...]` — same grammar as the reference
+    * (`FtpSourceConfig.scala:55-59`). */
+  private[ingest] def parseMonitors(
+      spec: String, tail: Boolean): Seq[MonitoredPath] =
+    spec.split(',').filter(_.nonEmpty).toSeq.map { pair =>
+      pair.split(':') match {
+        case Array(path, topic) if path.nonEmpty && topic.nonEmpty =>
+          MonitoredPath(path.trim, tail, topic.trim)
+        case _ => throw new IllegalArgumentException(
+          s"invalid monitor spec '$pair': expected path:topic")
+      }
+    }
+
+  def apply(props: Map[String, String]): MonitorConfig = {
+    def duration(key: String, default: String): Duration =
+      try Duration.parse(props.getOrElse(key, default))
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"invalid ISO-8601 duration for $key: '${props(key)}'", e)
+      }
+    val tails = props.get(MonitorTail).map(parseMonitors(_, tail = true))
+      .getOrElse(Seq.empty)
+    val updates = props.get(MonitorUpdate).map(parseMonitors(_, tail = false))
+      .getOrElse(Seq.empty)
+    if (tails.isEmpty && updates.isEmpty)
+      throw new IllegalArgumentException(
+        s"at least one of $MonitorTail / $MonitorUpdate must be set")
+    val keyStyle = props.getOrElse(KeyStyleKey, "string") match {
+      case "string" => Records.KeyStyle.StringKey
+      case "struct" => Records.KeyStyle.StructKey
+      case other => throw new IllegalArgumentException(
+        s"invalid $KeyStyleKey '$other': expected string|struct")
+    }
+    val maxPoll = props.getOrElse(MaxPollRecords, "10000").toInt
+    if (maxPoll <= 0)
+      throw new IllegalArgumentException(s"$MaxPollRecords must be positive")
+    MonitorConfig(
+      tailDirs = tails,
+      updateDirs = updates,
+      refresh = duration(Refresh, "PT1M"),
+      maxAge = props.get(FileMaxAge).map(_ => duration(FileMaxAge, "")),
+      maxBackoff = duration(MaxBackoff, "PT30M"),
+      maxFilesPerPoll = maxPoll,
+      keyStyle = keyStyle,
+      converterClass = props.get(SourceRecordConverter))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.Exact._
+
+/** Event-time operators over the `events` stream table: tumbling
+  * windows, gap-based sessionization, and a backward as-of join — the
+  * batch-checkable faces of the streaming primitives (the watermarked
+  * streaming twin lives in `graft.streaming.FileStreamPipeline
+  * .ingestStats`). All time arithmetic stays in epoch-nanosecond longs
+  * so both engines do identical integer math (no calendar/bucket-origin
+  * ambiguity).
+  *
+  * Scale notes: tumbling windows aggregate with map-side combine on
+  * (bucket, type) — shuffle is O(buckets×types). Sessionization and
+  * as-of are per-user window scans: one shuffle on user_id, then a
+  * single ordered pass per user — the standard log-processing shape
+  * that survives billions of rows per day as long as no single user
+  * dominates (salt the heavy key if one does).
+  */
+object EventTime extends QueryPack {
+
+  private val HourNs = 3600L * 1000000000L
+  private val GapNs = 30L * 60L * 1000000000L
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── tumbling 1-hour event-time windows ──
+    "evt_windowed_agg" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("bucket_start_ms",
+            expr(s"(ts div $HourNs) * ${HourNs / 1000000L}"))
+          .groupBy($"bucket_start_ms", $"event_type")
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+          .orderBy($"bucket_start_ms", $"event_type")
+      },
+      oracle = Some(s"""
+        SELECT (epoch_ns(ts) // $HourNs) * ${HourNs / 1000000L} AS bucket_start_ms,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket_start_ms, event_type"""),
+      headline = true),
+
+    // ── gap-based sessionization (30-minute inactivity gap) ──
+    "evt_sessionize" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
+          .withColumn("session_no",
+            sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_no")
+          .agg(
+            expr("min(ts) div 1000000").as("session_start_ms"),
+            expr("max(ts) div 1000000").as("session_end_ms"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"user_id", $"session_no")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                 LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_tns
+          FROM events),
+        flags AS (
+          SELECT user_id, event_id, tns,
+                 CASE WHEN prev_tns IS NULL OR tns - prev_tns > $GapNs
+                      THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sessions AS (
+          SELECT user_id, tns,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY tns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_no
+          FROM flags)
+        SELECT user_id, session_no,
+               MIN(tns) // 1000000 AS session_start_ms,
+               MAX(tns) // 1000000 AS session_end_ms,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_no""")),
+
+    // ── backward as-of join: each purchase ↔ the user's latest
+    //    preceding click (composed from a running conditional max —
+    //    no custom operator needed) ──
+    "evt_asof_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .filter($"event_type".isin("click", "purchase"))
+          .withColumn("last_click_ns",
+            max(when($"event_type" === "click", $"ts")).over(w))
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id",
+            expr("ts div 1000000").as("purchase_ms"),
+            expr("last_click_ns div 1000000").as("last_click_ms"))
+          .orderBy($"event_id")
+      },
+      oracle = Some("""
+        WITH ce AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns, ts
+          FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        j AS (
+          SELECT event_id, user_id, event_type, tns,
+                 MAX(CASE WHEN event_type = 'click' THEN tns END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_ns
+          FROM ce)
+        SELECT event_id, user_id,
+               tns // 1000000 AS purchase_ms,
+               last_click_ns // 1000000 AS last_click_ms
+        FROM j
+        WHERE event_type = 'purchase'
+        ORDER BY event_id""")),
+
+    // ── approximate distinct (HLL++) next to the exact count ──
+    "agg_approx_distinct" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            approx_count_distinct($"user_id", 0.02).as("approx_users"),
+            countDistinct($"user_id").as("exact_users"))
+          .orderBy($"event_type")
+      },
+      oracle = None)
+  )
+}

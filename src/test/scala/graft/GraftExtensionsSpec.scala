@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** SQL-surface registration of graft's custom expressions. */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("graft_rolling_hash is callable from SQL via extensions") {
+    // getOrCreate reuses any active session and would skip extension
+    // registration — clear the session slots (keeping the shared
+    // SparkContext) so a fresh session with extensions is built
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        "SELECT graft_rolling_hash('abc'), graft_rolling_hash('abc', 131)")
+        .collect().head
+      r.getLong(0) shouldBe 96354L // ((97*31)+98)*31+99
+      r.getLong(1) shouldBe "abc".foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+      val err = intercept[Exception] {
+        spark.sql("SELECT graft_rolling_hash('a', 'b', 'c')").collect()
+      }
+      err.getMessage should include("graft_rolling_hash")
+    } finally {
+      // don't stop(): that would kill the SparkContext shared with the
+      // other suites — just restore the previous session slots
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
