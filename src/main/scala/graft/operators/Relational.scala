@@ -336,6 +336,23 @@ object Relational extends QueryPack {
         ORDER BY price DESC, l_orderkey, l_linenumber
         LIMIT 100""")),
 
+    // ── dropDuplicates: row-level dedup on a key subset ──
+    "q_drop_duplicates" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        // distinct (custkey, orderstatus) pairs — dropDuplicates on a
+        // key subset is nondeterministic about which row survives, so
+        // the verifiable face projects exactly the key columns
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderstatus")
+          .dropDuplicates("o_custkey", "o_orderstatus")
+          .orderBy($"o_custkey", $"o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT DISTINCT o_custkey, o_orderstatus
+        FROM orders
+        ORDER BY o_custkey, o_orderstatus""")),
+
     // ── scalar function zoo over orders ──
     "q_scalar_funcs" -> QueryDef(
       fn = (s, d) => {

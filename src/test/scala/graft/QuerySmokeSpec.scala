@@ -11,6 +11,10 @@ class QuerySmokeSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("provenance summary resolves from the build resource") {
+    Provenance.summary should startWith("kafkaconnectftpspark 0.1.0")
+  }
+
   test("entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
