@@ -336,6 +336,37 @@ object Relational extends QueryPack {
         ORDER BY price DESC, l_orderkey, l_linenumber
         LIMIT 100""")),
 
+    // ── per-key top-k via the typed bounded-buffer Aggregator: same
+    //    result (and oracle) as q_window_topk, but the shuffle carries
+    //    at most k rows per key instead of every row ──
+    "q_topk_aggregate" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.TopKAggregator(3)
+        Tables.orders(s, d)
+          .select($"o_custkey",
+            dec($"o_totalprice").cast(DoubleType).as("p"), $"o_orderkey")
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn)
+          .flatMap { case (cust, top) =>
+            top.zipWithIndex.map { case ((p, ok), i) => (cust, i + 1L, ok, p) }
+          }
+          .toDF("o_custkey", "rk", "o_orderkey", "total_price")
+          .orderBy($"o_custkey", $"rk")
+      },
+      oracle = Some("""
+        SELECT o_custkey, rk, o_orderkey, total_price FROM (
+          SELECT o_custkey, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk"""),
+      headline = true),
+
     // ── dropDuplicates: row-level dedup on a key subset ──
     "q_drop_duplicates" -> QueryDef(
       fn = (s, d) => {
