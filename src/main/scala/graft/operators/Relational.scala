@@ -249,6 +249,52 @@ object Relational extends QueryPack {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus""")),
 
+    // ── cube aggregate (all grouping-set combinations) ──
+    "q_cube" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(dsum($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"),
+            grouping($"o_orderstatus").as("g_s"),
+            grouping($"o_orderpriority").as("g_p"))
+          .select(
+            when($"g_s" === 1, lit("ALL")).otherwise($"o_orderstatus").as("status"),
+            when($"g_p" === 1, lit("ALL")).otherwise($"o_orderpriority").as("priority"),
+            $"sum_price", $"n_rows")
+          .orderBy($"status", $"priority")
+      },
+      oracle = Some("""
+        SELECT
+          CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+          CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+          COUNT(*) AS n_rows
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ── exact interpolated percentiles (rounded for FP-formula parity) ──
+    "q_percentiles" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderstatus")
+          .agg(
+            round(expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5)"), 4).as("p50"),
+            round(expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+          round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5), 4) AS p50,
+          round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.9), 4) AS p90,
+          COUNT(*) AS n_rows
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
     // ── exact distinct aggregates ──
     "q_distinct_agg" -> QueryDef(
       fn = (s, d) => {

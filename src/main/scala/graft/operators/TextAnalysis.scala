@@ -128,6 +128,46 @@ object TextAnalysis extends QueryPack {
         FROM c
         ORDER BY doc_id""")),
 
+    // ── edit distance between adjacent same-language documents ──
+    "llm_edit_distance" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"lang", substring($"text", 1, 40).as("head"))
+        docs.as("a").join(docs.as("b"),
+            $"a.lang" === $"b.lang" && $"b.doc_id" === $"a.doc_id" + 1)
+          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+            levenshtein($"a.head", $"b.head").cast(LongType).as("edit_dist"))
+          .orderBy($"doc1")
+      },
+      oracle = Some("""
+        WITH h AS (SELECT doc_id, lang, substring(text, 1, 40) AS head FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM h a JOIN h b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+        ORDER BY doc1""")),
+
+    // ── order-insensitive token-set signature per document ──
+    "llm_token_signature" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            concat_ws(" ",
+              array_sort(array_distinct(
+                filter(split(lower(trim($"text")), "\\s+"), t => t =!= ""))))
+              .as("token_signature"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          array_to_string(
+            list_sort(list_distinct(
+              list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))),
+            ' ') AS token_signature
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ── corpus term frequency, top 50 ──
     "llm_top_terms" -> QueryDef(
       fn = (s, d) => {

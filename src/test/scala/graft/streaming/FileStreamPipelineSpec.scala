@@ -51,6 +51,39 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("watermarked ingest stats aggregate per event-time window") {
+    val dir = Files.createTempDirectory("graft-stats")
+    val q = FileStreamPipeline.ingestStats(spark, s"$dir/*")
+      .writeStream.format("memory").queryName("stats_out")
+      .outputMode("complete").start()
+    try {
+      Files.write(dir.resolve("a.bin"), "12345".getBytes(UTF_8))
+      Files.write(dir.resolve("b.bin"), "678".getBytes(UTF_8))
+      q.processAllAvailable()
+      val rows = spark.table("stats_out").collect()
+      rows.map(_.getAs[Long]("n_files")).sum shouldBe 2L
+      rows.map(_.getAs[Long]("n_bytes")).sum shouldBe 8L
+    } finally q.stop()
+  }
+
+  test("streaming records shape into kafka frames (key/value/topic)") {
+    val dir = Files.createTempDirectory("graft-kshape")
+    val ckpt = Files.createTempDirectory("graft-kshape-ckpt")
+    val frames = graft.ingest.Records.toKafkaFrame(
+      FileStreamPipeline.changeRecords(spark, s"$dir/*", "media"),
+      graft.ingest.Records.KeyStyle.StructKey)
+    val q = frames.writeStream.format("memory").queryName("kframe_out")
+      .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+    try {
+      Files.write(dir.resolve("x.part0"), "abc".getBytes(UTF_8))
+      q.processAllAvailable()
+      val r = spark.table("kframe_out").collect().head
+      new String(r.getAs[Array[Byte]]("key"), UTF_8) should include(""""offset":0""")
+      new String(r.getAs[Array[Byte]]("value"), UTF_8) shouldBe "abc"
+      r.getAs[String]("topic") shouldBe "media"
+    } finally q.stop()
+  }
+
   test("chunkKey strips part suffix only") {
     FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
