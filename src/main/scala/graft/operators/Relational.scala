@@ -278,12 +278,11 @@ object Relational extends QueryPack {
     "q_percentiles" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        val price = dec($"o_totalprice").cast(DoubleType)
+        def pct(p: Double) = round(percentile(price, lit(p)), 4)
         Tables.orders(s, d)
           .groupBy($"o_orderstatus")
-          .agg(
-            round(expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5)"), 4).as("p50"),
-            round(expr("percentile(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.9)"), 4).as("p90"),
-            count(lit(1)).as("n_rows"))
+          .agg(pct(0.5).as("p50"), pct(0.9).as("p90"), count(lit(1)).as("n_rows"))
           .orderBy($"o_orderstatus")
       },
       oracle = Some("""

@@ -18,6 +18,11 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object TextAnalysis extends QueryPack {
 
+  /** Lowercased whitespace tokens of `text` (shared by the term/bigram/
+    * signature queries — the regex must stay Java/RE2-identical). */
+  private def tokens: org.apache.spark.sql.Column =
+    split(lower(trim(org.apache.spark.sql.functions.col("text"))), "\\s+")
+
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
     s"(length(text) - length(replace(text, ' $kw '))) div ${kw.length + 2}"
@@ -129,11 +134,17 @@ object TextAnalysis extends QueryPack {
         ORDER BY doc_id""")),
 
     // ── edit distance between adjacent same-language documents ──
+    // (inputs are projected to [a-z0-9 ] first: Spark's levenshtein is
+    // codepoint-based while DuckDB's is byte-based, so non-ASCII text
+    // would silently diverge — the ASCII projection makes the parity
+    // hold for any future fixture content, not just today's)
     "llm_edit_distance" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .select($"doc_id", $"lang", substring($"text", 1, 40).as("head"))
+          .select($"doc_id", $"lang",
+            substring(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), 1, 40)
+              .as("head"))
         docs.as("a").join(docs.as("b"),
             $"a.lang" === $"b.lang" && $"b.doc_id" === $"a.doc_id" + 1)
           .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
@@ -141,7 +152,11 @@ object TextAnalysis extends QueryPack {
           .orderBy($"doc1")
       },
       oracle = Some("""
-        WITH h AS (SELECT doc_id, lang, substring(text, 1, 40) AS head FROM documents)
+        WITH h AS (
+          SELECT doc_id, lang,
+                 substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40)
+                   AS head
+          FROM documents)
         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
         FROM h a JOIN h b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
@@ -154,8 +169,7 @@ object TextAnalysis extends QueryPack {
         Tables.documents(s, d)
           .select($"doc_id",
             concat_ws(" ",
-              array_sort(array_distinct(
-                filter(split(lower(trim($"text")), "\\s+"), t => t =!= ""))))
+              array_sort(array_distinct(filter(tokens, t => t =!= ""))))
               .as("token_signature"))
           .orderBy($"doc_id")
       },
@@ -173,7 +187,7 @@ object TextAnalysis extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
+          .select(explode(tokens).as("term"))
           .filter($"term" =!= "")
           .groupBy($"term")
           .agg(count(lit(1)).as("n"))
@@ -218,7 +232,7 @@ object TextAnalysis extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .withColumn("tokens", split(lower(trim($"text")), "\\s+"))
+          .withColumn("tokens", tokens)
           .filter(size($"tokens") >= 2)
           .select($"doc_id", expr(
             "transform(sequence(1, size(tokens) - 1), i -> concat(tokens[i-1], ' ', tokens[i]))")

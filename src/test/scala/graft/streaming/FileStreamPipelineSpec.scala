@@ -51,18 +51,33 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
-  test("watermarked ingest stats aggregate per event-time window") {
+  test("watermarked ingest stats: append mode emits a window only after the watermark passes it") {
+    import java.nio.file.attribute.FileTime
     val dir = Files.createTempDirectory("graft-stats")
+    val ckpt = Files.createTempDirectory("graft-stats-ckpt")
+    def writeAt(name: String, body: String, mtimeMs: Long): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p, body.getBytes(UTF_8))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+    val t0 = (System.currentTimeMillis() / 60000L) * 60000L // minute-aligned
     val q = FileStreamPipeline.ingestStats(spark, s"$dir/*")
       .writeStream.format("memory").queryName("stats_out")
-      .outputMode("complete").start()
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
     try {
-      Files.write(dir.resolve("a.bin"), "12345".getBytes(UTF_8))
-      Files.write(dir.resolve("b.bin"), "678".getBytes(UTF_8))
+      writeAt("a.bin", "12345", t0)
       q.processAllAvailable()
+      // watermark (= t0 - 10min) hasn't passed a's window yet → nothing
+      spark.table("stats_out").count() shouldBe 0L
+      // a file 30 minutes later pushes the watermark past a's window
+      writeAt("late-driver.bin", "678", t0 + 30 * 60000L)
+      q.processAllAvailable()
+      q.processAllAvailable() // one more batch for the state flush
       val rows = spark.table("stats_out").collect()
-      rows.map(_.getAs[Long]("n_files")).sum shouldBe 2L
-      rows.map(_.getAs[Long]("n_bytes")).sum shouldBe 8L
+      rows.length shouldBe 1L // a's window emitted; the new window still open
+      rows.head.getAs[Long]("n_files") shouldBe 1L
+      rows.head.getAs[Long]("n_bytes") shouldBe 5L
     } finally q.stop()
   }
 
