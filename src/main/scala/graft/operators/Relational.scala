@@ -249,6 +249,32 @@ object Relational extends QueryPack {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus""")),
 
+    // ── range (non-equi) join: orders binned into broadcast price bands ──
+    "q_range_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val bands = s.range(5).select(
+          $"id".as("band"),
+          ($"id" * 100000L).as("lo"),
+          (($"id" + 1L) * 100000L).as("hi"))
+        Tables.orders(s, d)
+          .join(broadcast(bands),
+            $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"band")
+      },
+      oracle = Some("""
+        SELECT band, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        JOIN (SELECT i AS band, i*100000 AS lo, (i+1)*100000 AS hi
+              FROM range(5) t(i))
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        ORDER BY band""")),
+
     // ── cube aggregate (all grouping-set combinations) ──
     "q_cube" -> QueryDef(
       fn = (s, d) => {

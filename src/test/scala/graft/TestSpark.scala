@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites (build forks a single test JVM). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
