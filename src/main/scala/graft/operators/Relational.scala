@@ -249,6 +249,57 @@ object Relational extends QueryPack {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus""")),
 
+    // ── window-relative filter: orders above their status's average ──
+    "q_above_avg" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"o_orderstatus")
+        Tables.orders(s, d)
+          .withColumn("status_avg",
+            (sum(dec($"o_totalprice")).over(w).cast(DoubleType) /
+              count(lit(1)).over(w)))
+          .filter(dec($"o_totalprice").cast(DoubleType) > $"status_avg")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_above"), dsum($"o_totalprice").as("sum_above"))
+          .orderBy($"o_orderstatus")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT o_orderstatus, o_totalprice,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   OVER (PARTITION BY o_orderstatus) AS DOUBLE) /
+            COUNT(*) OVER (PARTITION BY o_orderstatus) AS status_avg
+          FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n_above,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_above
+        FROM w
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) > status_avg
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ── pivot: status × priority counts as columns ──
+    "q_pivot" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderstatus")
+          .pivot($"o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .toDF("status", "p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")
+          .orderBy($"status")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus AS status,
+          COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+          COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+          COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+          COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+          COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY status""")),
+
     // ── range (non-equi) join: orders binned into broadcast price bands ──
     "q_range_join" -> QueryDef(
       fn = (s, d) => {

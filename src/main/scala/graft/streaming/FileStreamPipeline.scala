@@ -84,6 +84,19 @@ object FileStreamPipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(tailStateFn(topic))
   }
 
+  /** Streaming exact dedup bounded by a watermark: drops re-delivered
+    * records with the same keys arriving within `delay` of each other —
+    * the streaming face of exact dedup for at-least-once upstreams
+    * (state is evicted once the watermark passes, so memory stays
+    * bounded, unlike an unbounded `dropDuplicates`). */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      eventTimeCol: String,
+      delay: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Event-time ingest statistics: per-minute file counts/bytes with a
     * watermark for late arrivals — the observability the reference lacks
     * entirely, free in Structured Streaming. */

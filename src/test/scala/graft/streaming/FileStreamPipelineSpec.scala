@@ -99,6 +99,28 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("dedup within watermark drops re-delivered records across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val deduped = FileStreamPipeline.dedupWithinWatermark(
+      input.toDF().toDF("path", "offset", "ts"), "ts", "10 minutes",
+      Seq("path", "offset"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(minute: Int) = new java.sql.Timestamp(1700000000000L + minute * 60000L)
+      input.addData(("/a", 0L, ts(0)), ("/a", 0L, ts(1))) // in-batch duplicate
+      q.processAllAvailable()
+      input.addData(("/a", 0L, ts(2)), ("/b", 0L, ts(2))) // cross-batch duplicate
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      rows.sorted.toSeq shouldBe Seq(("/a", 0L), ("/b", 0L))
+    } finally q.stop()
+  }
+
   test("chunkKey strips part suffix only") {
     FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
