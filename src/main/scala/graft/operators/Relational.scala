@@ -422,6 +422,71 @@ object Relational extends QueryPack {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         ORDER BY o_custkey""")),
 
+    // ── multiset set ops: EXCEPT ALL / INTERSECT ALL cardinalities ──
+    "q_setop_all" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val open = Tables.orders(s, d).filter($"o_orderstatus" === "O").select($"o_custkey")
+        val done = Tables.orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey")
+        open.exceptAll(done).groupBy($"o_custkey").agg(count(lit(1)).as("n_copies"))
+          .unionByName(
+            open.intersectAll(done).groupBy($"o_custkey")
+              .agg((count(lit(1)) * -1).as("n_copies")))
+          .orderBy($"o_custkey", $"n_copies")
+      },
+      oracle = Some("""
+        SELECT o_custkey, n_copies FROM (
+          SELECT o_custkey, COUNT(*) AS n_copies FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          GROUP BY o_custkey
+          UNION ALL
+          SELECT o_custkey, -COUNT(*) AS n_copies FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          GROUP BY o_custkey)
+        ORDER BY o_custkey, n_copies""")),
+
+    // ── Pearson correlation from exact decimal sums (bit-identical both
+    //    engines — the built-in corr() merges FP partials in
+    //    engine-specific order and cannot hash-match) ──
+    "q_corr_manual" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val q = dec($"l_quantity")
+        val p = dec($"l_extendedprice")
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).cast(DoubleType).as("sx"),
+            sum(p).cast(DoubleType).as("sy"),
+            sum(q * q).cast(DoubleType).as("sxx"),
+            sum(p * p).cast(DoubleType).as("syy"),
+            sum(q * p).cast(DoubleType).as("sxy"))
+          .select($"l_returnflag", $"n",
+            (($"n" * $"sxy" - $"sx" * $"sy") /
+              sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+                   ($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            AS corr_qty_price
+        FROM s
+        ORDER BY l_returnflag""")),
+
     // ── broadcast dim join: parts by brand revenue ──
     "q_dim_join_brand" -> QueryDef(
       fn = (s, d) => {

@@ -99,6 +99,37 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query resumes offsets and tail state") {
+    val dir = Files.createTempDirectory("graft-recover")
+    val ckpt = Files.createTempDirectory("graft-recover-ckpt")
+    val out = Files.createTempDirectory("graft-recover-out")
+    def write(name: String, body: String): Unit =
+      Files.write(dir.resolve(name), body.getBytes(UTF_8), StandardOpenOption.CREATE)
+    // memory sink can't recover from a checkpoint; the parquet sink can
+    def startQuery() = FileStreamPipeline.changeRecords(spark, s"$dir/*", "rec")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+
+    val q1 = startQuery()
+    write("f.part0", "hello")
+    q1.processAllAvailable()
+    q1.stop() // simulated crash/restart boundary (SURVEY.md §3.3)
+
+    write("f.part1", " again")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getAs[Long]("offset"), new String(r.getAs[Array[Byte]]("value"), UTF_8)))
+        .sortBy(_._1)
+      // offset 5 for part1 proves the tail state (totalSize=5) survived
+      // the restart via the checkpointed state store; part0 not re-emitted
+      // proves source offsets were recovered
+      rows.toSeq shouldBe Seq((0L, "hello"), (5L, " again"))
+    } finally q2.stop()
+  }
+
   test("dedup within watermark drops re-delivered records across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
