@@ -13,10 +13,15 @@ final case class ExponentialBackoff(
     iteration: Int = 0,
     sinceMs: Long = 0L) {
 
-  /** Current wait interval: step * 2^iteration, capped. */
-  def intervalMs: Long =
-    if (iteration >= 62) capMs
-    else math.min(capMs, stepMs * (1L << iteration))
+  /** Current wait interval: step * 2^iteration, capped. Overflow-safe:
+    * the cap is applied via division before the multiply, so huge
+    * step × 2^n products can never wrap negative and disable gating. */
+  def intervalMs: Long = {
+    if (stepMs <= 0L) return 0L
+    val shift = 1L << math.min(iteration, 62)
+    if (iteration >= 62 || shift > capMs / stepMs) capMs
+    else math.min(capMs, stepMs * shift)
+  }
 
   def endTimeMs: Long = sinceMs + intervalMs
 

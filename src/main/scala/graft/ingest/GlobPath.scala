@@ -39,12 +39,15 @@ object GlobPath {
           }
           sb.append(']')
         case '{' =>
-          // alternation {a,b,c} -> (a|b|c)
+          // alternation {a,b,c} -> (a|b|c); an unbalanced '{' is literal
           val close = g.indexOf('}', i)
-          val body = g.substring(i + 1, close)
-          sb.append(body.split(',').map(java.util.regex.Pattern.quote)
-            .mkString("(", "|", ")"))
-          i = close
+          if (close < 0) sb.append("\\{")
+          else {
+            val body = g.substring(i + 1, close)
+            sb.append(body.split(',').map(java.util.regex.Pattern.quote)
+              .mkString("(", "|", ")"))
+            i = close
+          }
         case c if "\\.[]{}()<>+-=!$|^".contains(c) => sb.append('\\').append(c)
         case c => sb.append(c)
       }

@@ -25,8 +25,17 @@ object Listing {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
+  /** Normalize a source-reported URI to a bare path — strips any scheme
+    * and authority (`file:`, `hdfs://namenode`, `s3a://bucket` …) so it
+    * joins against the `toUri.getPath` form the listing produces. */
   private def stripScheme(c: org.apache.spark.sql.Column) =
-    regexp_replace(c, "^file:", "")
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
+  /** Escape Hadoop-glob metacharacters so a literal listed path is never
+    * re-interpreted as a pattern by `load()` (a file named `data[1].csv`
+    * must fetch itself, not glob-expand). */
+  private def escapeGlob(path: String): String =
+    path.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
 
   /** Metadata-only listing of one monitored glob:
     * (path, size, timestamp-millis). Missing/empty matches → empty frame
@@ -75,7 +84,14 @@ object Listing {
       StructField("size", LongType),
       StructField("timestamp", LongType),
       StructField("body", BinaryType)))
-    val (zeroLen, nonEmpty) = files.partition(_._2 == 0L)
+    val (zeroLen, nonEmptyAll) = files.partition(_._2 == 0L)
+    // tolerate files deleted between list and fetch (the reference's
+    // poll has the same race and simply retries next cycle): a missing
+    // path must not fail the whole batch and wedge the loop
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val nonEmpty = nonEmptyAll.filter(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(f._1)))
     val zeroDf = zeroLen
       .map { case (p, _, ts) => (p, 0L, ts, Array.emptyByteArray) }
       .toDF("path", "size", "timestamp", "body")
@@ -83,7 +99,7 @@ object Listing {
       if (nonEmpty.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), emptySchema)
       else
-        spark.read.format("binaryFile").load(nonEmpty.map(_._1): _*)
+        spark.read.format("binaryFile").load(nonEmpty.map(f => escapeGlob(f._1)): _*)
           .select(
             stripScheme(col("path")).as("path"),
             col("length").as("size"),

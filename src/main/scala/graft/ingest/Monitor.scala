@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Monitor {
 
+  /** `cleanup` releases the poll's cached intermediate — call it once
+    * `records` and `newState` have both been materialized (collected or
+    * written); a long-running poll loop that never cleans up leaks one
+    * cached dataset of file bodies per poll. */
   final case class PollOutput(
       records: Dataset[FileChangeRecord],
-      newState: Dataset[FileMetaData])
+      newState: Dataset[FileMetaData],
+      cleanup: () => Unit = () => ())
 
   /** One poll over all monitored paths. */
   def poll(
@@ -64,15 +69,20 @@ object Monitor {
       .collect()
 
     if (toFetch.isEmpty) return PollOutput(spark.emptyDataset[FileChangeRecord], state)
-    val modeByPath = toFetch.map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
-    val modeDf = modeByPath.toSeq
-      .map { case (p, (t, tp)) => (p, t, tp) }
+    // one row per (path, spec): a path matched by several monitored specs
+    // is fetched once but emitted once per spec with that spec's
+    // mode/topic, like the reference's per-directory streams
+    // (FtpMonitor.scala:164-170)
+    val modeDf = toFetch.toSeq
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .distinct
       .toDF("path", "tail", "topic")
+    val fetchList = toFetch.toSeq
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).distinct
 
     // 4. fetch bodies for changed paths only (executors do the IO),
     //    re-join previous full state, run the tail/diff state machine
-    val fetched = Listing.fetch(spark,
-        toFetch.map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq)
+    val fetched = Listing.fetch(spark, fetchList)
       .join(broadcast(modeDf), Seq("path"))
       .join(state.toDF().select($"path",
         struct(state.columns.map(col): _*).as("prev")), Seq("path"), "left_outer")
@@ -88,12 +98,14 @@ object Monitor {
       .cache() // consumed twice (records + state); one executor pass
 
     val records = handled.map(_._2)
-    val newMetas = handled.map(_._1)
+    // a multi-spec path yields one meta per spec (identical values) —
+    // dedupe for the single-row-per-path state invariant
+    val newMetas = handled.map(_._1).dropDuplicates("path").as[FileMetaData]
 
     // 5. state upsert: keep untouched rows, replace refreshed ones
     val untouched = state.join(newMetas.toDF().select($"path"), Seq("path"), "left_anti")
       .as[FileMetaData]
-    PollOutput(records, untouched.union(newMetas))
+    PollOutput(records, untouched.union(newMetas), () => { handled.unpersist(); () })
   }
 
   /** Convenience: poll with parquet-persisted state (the batch analog of
@@ -112,11 +124,22 @@ object Monitor {
         spark.read.parquet(statePath).as[FileMetaData]
       else spark.emptyDataset[FileMetaData]
     val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll)
+    // Materialize BOTH outputs to disk before swapping the state dir:
+    // the records Dataset's lineage reads the old state parquet, so
+    // deleting it first would make any later recomputation (cache
+    // eviction, executor loss) fail with missing part-files. Spooling
+    // records also means the caller's sink never re-runs the fetch.
+    val recordsPath = s"$stateDir/records.parquet"
     val tmp = s"$stateDir/state.tmp.parquet"
+    out.records.write.mode("overwrite").parquet(recordsPath)
     out.newState.write.mode("overwrite").parquet(tmp)
+    out.cleanup()
     val target = new java.io.File(statePath)
     if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
     new java.io.File(tmp).renameTo(target)
-    out.records
+    val hasParts = Option(new java.io.File(recordsPath).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasParts) spark.read.parquet(recordsPath).as[FileChangeRecord]
+    else spark.emptyDataset[FileChangeRecord]
   }
 }

@@ -20,9 +20,12 @@ final class PollDriver(
     sink: Dataset[FileChangeRecord] => Unit,
     clock: () => Long = () => System.currentTimeMillis()) {
 
-  // sinceMs far in the past so the very first poll is never gated
+  // step = the refresh rate, like the reference (FtpSourceTask.scala:27,30
+  // builds the backoff from ftp.refresh); sinceMs far in the past so the
+  // very first poll is never gated
   @volatile private var backoff = ExponentialBackoff(
-    stepMs = 1000L, capMs = cfg.maxBackoff.toMillis, sinceMs = Long.MinValue / 2)
+    stepMs = cfg.refresh.toMillis, capMs = cfg.maxBackoff.toMillis,
+    sinceMs = Long.MinValue / 2)
   private val converter = cfg.converter
 
   /** One poll: returns the number of records emitted, or -1 when a

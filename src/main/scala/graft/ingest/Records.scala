@@ -55,18 +55,21 @@ object Records {
 
   /** Example converter: split a text payload into one record per line,
     * preserving byte offsets (the README's CSV-to-rows use case,
-    * /root/reference/README.md:61-92). */
+    * /root/reference/README.md:61-92). Blank lines emit no record but
+    * still advance the offset — every emitted offset is the line's true
+    * byte position in the file. */
   final class LineSplitRecordConverter extends RecordConverter {
     override def convert(in: FileChangeRecord): Seq[FileChangeRecord] = {
       if (in.value.isEmpty) return Seq(in)
       var off = in.offset
+      val out = Seq.newBuilder[FileChangeRecord]
       new String(in.value, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n", -1).toIndexedSeq.filter(_.nonEmpty).map { line =>
+        .split("\n", -1).foreach { line =>
           val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val r = FileChangeRecord(in.topic, in.path, off, bytes)
-          off += bytes.length + 1
-          r
+          if (bytes.nonEmpty) out += FileChangeRecord(in.topic, in.path, off, bytes)
+          off += bytes.length + 1 // +1 for the newline, even on skipped blanks
         }
+      out.result()
     }
   }
 

@@ -40,18 +40,28 @@ object FileStreamPipeline {
     * of the same logical file share state. */
   def chunkKey(path: String): String = path.replaceAll("\\.part[0-9]+$", "")
 
+  /** Numeric-aware chunk ordering: `x.part10` must stitch AFTER
+    * `x.part2`, so sort by the extracted part number first (lexicographic
+    * path order would transpose bytes once ≥10 parts land in one batch),
+    * falling back to the path for non-numbered names. */
+  private val PartNum = ".*\\.part([0-9]+)$".r
+  def chunkOrder(path: String): (Long, String) = path match {
+    case PartNum(n) => (n.toLong, path)
+    case _ => (Long.MaxValue, path)
+  }
+
   /** The stateful tail operator: chunks of one logical file arrive in
     * any batch; each is emitted as a delta record whose offset is the
     * accumulated size — the streaming twin of
     * `TailDiff.handleFetchedFile` case (a). Chunks within a batch are
-    * ordered by path for deterministic offsets.
+    * ordered by part number (then path) for deterministic offsets.
     */
   def tailStateFn(topic: String)(
       key: String,
       chunks: Iterator[Chunk],
       state: GroupState[ChunkTailState]): Iterator[FileChangeRecord] = {
     var st = state.getOption.getOrElse(ChunkTailState(0L, 0L))
-    val out = chunks.toIndexedSeq.sortBy(_.path).map { c =>
+    val out = chunks.toIndexedSeq.sortBy(c => chunkOrder(c.path)).map { c =>
       val rec = FileChangeRecord(topic, key, st.totalSize, c.body)
       st = ChunkTailState(st.totalSize + c.body.length, st.nChunks + 1)
       rec

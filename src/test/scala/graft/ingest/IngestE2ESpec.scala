@@ -146,9 +146,44 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     val out = conv.convert(in)
     out.map(r => new String(r.value, UTF_8)) shouldBe Seq("a,1", "b,2", "c,3")
     out.map(_.offset) shouldBe Seq(0L, 4L, 8L)
+    // blank lines emit nothing but still advance the byte offsets
+    val blanks = conv.convert(FileChangeRecord("t", "/g", 0L, "a\n\nb".getBytes(UTF_8)))
+    blanks.map(r => new String(r.value, UTF_8)) shouldBe Seq("a", "b")
+    blanks.map(_.offset) shouldBe Seq(0L, 3L) // "b" is truly at byte 3
     // reflective loading, like FileConverter.scala:20-26
     val loaded = Records.loadConverter("graft.ingest.Records$LineSplitRecordConverter")
     loaded.convert(in).length shouldBe 3
+  }
+
+  test("glob-metachar filenames are fetched literally, not pattern-expanded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-meta")
+    val dirs = Seq(MonitoredPath(s"$root/in/", tail = false, topic = "t"))
+    applyChanges(root, Seq("/in/data[1].csv" -> Update(s3), "/in/x{y}.bin" -> Update(s2)))
+    val out = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData], nowMs = 1L)
+    out.records.collect().map(r => (r.path.split('/').last, r.value.toSeq)).toSet shouldBe
+      Set(("data[1].csv", s3.toSeq), ("x{y}.bin", s2.toSeq))
+  }
+
+  test("a path matched by two monitored specs emits to both topics with each spec's mode") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-multispec")
+    val dirs = Seq(
+      MonitoredPath(s"$root/d/", tail = true, topic = "raw"),
+      MonitoredPath(s"$root/d/", tail = false, topic = "full"))
+    applyChanges(root, Seq("/d/f" -> Update(s1)))
+    val p1 = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData], nowMs = 1L)
+    p1.records.collect().map(_.topic).sorted.toSeq shouldBe Seq("full", "raw")
+    // state keeps exactly one row for the file
+    p1.newState.collect().length shouldBe 1
+    // append: the tail spec emits only the delta, the update spec the whole file
+    applyChanges(root, Seq("/d/f" -> Append(s3)))
+    val p2 = Monitor.poll(spark, dirs, p1.newState, nowMs = 2L)
+    val byTopic = p2.records.collect().map(r => r.topic -> r).toMap
+    byTopic("raw").value.toSeq shouldBe s3.toSeq // delta only
+    byTopic("raw").offset shouldBe s1.length.toLong
+    byTopic("full").value.toSeq shouldBe (s1 ++ s3).toSeq // whole body
+    byTopic("full").offset shouldBe 0L
   }
 
   test("kafka frame shaping: both key styles, empty bodies dropped") {

@@ -23,7 +23,7 @@ class PollDriverSpec extends AnyFunSuite with Matchers {
     val stateDir = Files.createTempDirectory("graft-driver-state").toString
     val cfg = MonitorConfig(Map(
       MonitorConfig.MonitorUpdate -> s"$root/in/:t",
-      MonitorConfig.Refresh -> "PT0S",
+      MonitorConfig.Refresh -> "PT1S",
       MonitorConfig.SourceRecordConverter -> "graft.ingest.Records$LineSplitRecordConverter"))
 
     var batches = Vector.empty[Seq[String]]
@@ -38,6 +38,7 @@ class PollDriverSpec extends AnyFunSuite with Matchers {
 
     now += 10000
     driver.pollOnce() shouldBe 0L // quiescent: no changes, sink gets empty batch
+    // backoff step = the configured refresh rate (reference semantics)
     driver.currentBackoffMs shouldBe 1000L
 
     // failure: make the state dir unwritable by breaking the path

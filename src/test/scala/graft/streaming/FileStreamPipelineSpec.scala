@@ -157,4 +157,26 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
     FileStreamPipeline.chunkKey("/d/f.part") shouldBe "/d/f.part"
   }
+
+  test("chunk ordering is numeric: part10 stitches after part2") {
+    val paths = Seq("/d/f.part10", "/d/f.part2", "/d/f.part0", "/d/f.part1")
+    paths.sortBy(FileStreamPipeline.chunkOrder) shouldBe
+      Seq("/d/f.part0", "/d/f.part1", "/d/f.part2", "/d/f.part10")
+  }
+
+  test("10+ chunks arriving in one batch stitch in part order") {
+    val dir = Files.createTempDirectory("graft-manyparts")
+    val ckpt = Files.createTempDirectory("graft-manyparts-ckpt")
+    (0 to 11).foreach(i => Files.write(dir.resolve(s"v.part$i"), s"[$i]".getBytes(UTF_8)))
+    val q = FileStreamPipeline.changeRecords(spark, s"$dir/*", "c")
+      .writeStream.format("memory").queryName("manyparts_out")
+      .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val body = spark.table("manyparts_out").collect()
+        .map(r => (r.getAs[Long]("offset"), new String(r.getAs[Array[Byte]]("value"), UTF_8)))
+        .sortBy(_._1).map(_._2).mkString
+      body shouldBe (0 to 11).map(i => s"[$i]").mkString
+    } finally q.stop()
+  }
 }
