@@ -38,8 +38,24 @@ case class RollingHash(child: Expression, prime: Long = 31L)
 object RollingHash {
   val Mod: Long = 1000000007L
 
-  /** Static helper invoked from generated code. */
+  /** Static helper invoked from generated code. ASCII fast path reads
+    * the UTF8String's bytes directly (no per-row String allocation in
+    * the codegen hot loop); non-ASCII falls back to a UTF-16 decode so
+    * the result always equals the charAt fold. */
   def hash(s: UTF8String, prime: Long): Long = {
+    val n = s.numBytes
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return hashViaString(s, prime) // non-ASCII byte
+      h = (h * prime + b) % Mod
+      i += 1
+    }
+    h
+  }
+
+  private def hashViaString(s: UTF8String, prime: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0

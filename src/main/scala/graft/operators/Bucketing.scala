@@ -17,19 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a managed bucketed+sorted table, replacing any
-    * previous version. */
+    * previous version in one call (no drop-then-write window where a
+    * failed write would leave no table at all). */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+      buckets: Int): Unit =
     df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
-  }
 
   /** Equi-join two bucketed tables on their bucket key. When both sides
     * are bucketed with the same bucket count on `key`, the plan is a

@@ -32,12 +32,8 @@ object Dedup extends QueryPack {
 
   private val Mod = 1000000007L
 
-  /** Lowercased whitespace tokens, empties removed (both engines drop
-    * the empty-string artifacts of splitting). */
-  private def tokensCol: Column =
-    filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
-  private val tokensSql =
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+  private def tokensCol: Column = graft.functions.TextTokens.tokens
+  private val tokensSql = graft.functions.TextTokens.tokensSql
 
   /** Distinct word 3-gram shingles. */
   private def shinglesCol: Column = array_distinct(expr(
@@ -60,20 +56,8 @@ object Dedup extends QueryPack {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tokens", tokensCol)
 
-  /** Materialization barrier before explode/join fan-out. Spark's
-    * Generate re-evaluates its generator expression per OUTPUT row, so
-    * exploding a nested-HOF array column (shingles: CASE + transform +
-    * sequence + array_distinct over a regex split) costs O(rows ×
-    * fan-out × expr) — measured 19 s vs 0.25 s at sf0.1. A plain
-    * repartition doesn't help (the optimizer pushes the projection
-    * above the exchange); an object roundtrip is a boundary Catalyst
-    * cannot project through, so the arrays are computed exactly once
-    * per row. Serde cost is one row per document — negligible against
-    * the O(fan-out) recomputation it removes. */
-  private[operators] def materialized(df: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(df.schema)
-    df.map(identity(_))(enc)
-  }
+  private def materialized(df: DataFrame): DataFrame =
+    graft.functions.TextTokens.materialized(df)
 
   /** 60-bit SimHash as a single aggregation: each bit's vote is its own
     * sum-aggregate over the grouped token fingerprints (`fp` column),

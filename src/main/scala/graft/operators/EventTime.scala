@@ -24,8 +24,13 @@ import graft.functions.Exact._
   */
 object EventTime extends QueryPack {
 
-  private val HourNs = 3600L * 1000000000L
-  private val GapNs = 30L * 60L * 1000000000L
+  // All internal ordering/gap/bucket arithmetic runs at MICROsecond
+  // precision: DuckDB reads the parquet timestamp[ns] column as a
+  // µs-resolution TIMESTAMP, so ns-resolution comparisons on the Spark
+  // side could order same-µs events differently. `ts div 1000` aligns
+  // both engines on identical integers.
+  private val HourUs = 3600L * 1000000L
+  private val GapUs = 30L * 60L * 1000000L
 
   override val queries: Map[String, QueryDef] = Map(
 
@@ -35,13 +40,13 @@ object EventTime extends QueryPack {
         import s.implicits._
         Tables.events(s, d)
           .withColumn("bucket_start_ms",
-            expr(s"(ts div $HourNs) * ${HourNs / 1000000L}"))
+            expr(s"((ts div 1000) div $HourUs) * ${HourUs / 1000L}"))
           .groupBy($"bucket_start_ms", $"event_type")
           .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
           .orderBy($"bucket_start_ms", $"event_type")
       },
       oracle = Some(s"""
-        SELECT (epoch_ns(ts) // $HourNs) * ${HourNs / 1000000L} AS bucket_start_ms,
+        SELECT (epoch_us(ts) // $HourUs) * ${HourUs / 1000L} AS bucket_start_ms,
                event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
@@ -53,41 +58,42 @@ object EventTime extends QueryPack {
     "evt_sessionize" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        Tables.events(s, d)
-          .withColumn("prev_ts", lag($"ts", 1).over(w))
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        ev
+          .withColumn("prev_tus", lag($"tus", 1).over(w))
           .withColumn("new_session",
-            when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
+            when($"prev_tus".isNull || $"tus" - $"prev_tus" > GapUs, 1L).otherwise(0L))
           .withColumn("session_no",
             sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy($"user_id", $"session_no")
           .agg(
-            expr("min(ts) div 1000000").as("session_start_ms"),
-            expr("max(ts) div 1000000").as("session_end_ms"),
+            expr("min(tus) div 1000").as("session_start_ms"),
+            expr("max(tus) div 1000").as("session_end_ms"),
             count(lit(1)).as("n_events"))
           .orderBy($"user_id", $"session_no")
       },
       oracle = Some(s"""
         WITH t AS (
-          SELECT user_id, event_id, epoch_ns(ts) AS tns,
-                 LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_tns
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id) AS prev_tus
           FROM events),
         flags AS (
-          SELECT user_id, event_id, tns,
-                 CASE WHEN prev_tns IS NULL OR tns - prev_tns > $GapNs
+          SELECT user_id, event_id, tus,
+                 CASE WHEN prev_tus IS NULL OR tus - prev_tus > $GapUs
                       THEN 1 ELSE 0 END AS new_session
           FROM t),
         sessions AS (
-          SELECT user_id, tns,
+          SELECT user_id, tus,
                  CAST(SUM(new_session) OVER (PARTITION BY user_id
-                   ORDER BY tns, event_id
+                   ORDER BY tus, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS session_no
           FROM flags)
         SELECT user_id, session_no,
-               MIN(tns) // 1000000 AS session_start_ms,
-               MAX(tns) // 1000000 AS session_end_ms,
+               MIN(tus) // 1000 AS session_start_ms,
+               MAX(tus) // 1000 AS session_end_ms,
                COUNT(*) AS n_events
         FROM sessions
         GROUP BY user_id, session_no
@@ -99,33 +105,34 @@ object EventTime extends QueryPack {
     "evt_asof_join" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.events(s, d)
+        ev
           .filter($"event_type".isin("click", "purchase"))
-          .withColumn("last_click_ns",
-            max(when($"event_type" === "click", $"ts")).over(w))
+          .withColumn("last_click_us",
+            max(when($"event_type" === "click", $"tus")).over(w))
           .filter($"event_type" === "purchase")
           .select($"event_id", $"user_id",
-            expr("ts div 1000000").as("purchase_ms"),
-            expr("last_click_ns div 1000000").as("last_click_ms"))
+            expr("tus div 1000").as("purchase_ms"),
+            expr("last_click_us div 1000").as("last_click_ms"))
           .orderBy($"event_id")
       },
       oracle = Some("""
         WITH ce AS (
-          SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns, ts
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
           FROM events
           WHERE event_type IN ('click', 'purchase')),
         j AS (
-          SELECT event_id, user_id, event_type, tns,
-                 MAX(CASE WHEN event_type = 'click' THEN tns END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+          SELECT event_id, user_id, event_type, tus,
+                 MAX(CASE WHEN event_type = 'click' THEN tus END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS last_click_ns
+                   AS last_click_us
           FROM ce)
         SELECT event_id, user_id,
-               tns // 1000000 AS purchase_ms,
-               last_click_ns // 1000000 AS last_click_ms
+               tus // 1000 AS purchase_ms,
+               last_click_us // 1000 AS last_click_ms
         FROM j
         WHERE event_type = 'purchase'
         ORDER BY event_id""")),

@@ -22,9 +22,12 @@ import graft.ingest.GlobPath
   */
 object IngestAnalog extends QueryPack {
 
-  /** 2024-01-15T00:00:00Z / 2024-01-22T00:00:00Z in epoch nanos. */
+  /** 2024-01-15T00:00:00Z in epoch nanos. Threshold/ordering arithmetic
+    * runs at MICROsecond precision (`ts div 1000` / `epoch_us`): DuckDB
+    * reads the parquet timestamp[ns] column at µs resolution, so both
+    * engines must compare identical integers. */
   private val CutoffNs = 1705276800000000000L
-  private val SevenDaysNs = 7L * 86400L * 1000000000L
+  private val SevenDaysUs = 7L * 86400L * 1000000L
 
   override val queries: Map[String, QueryDef] = Map(
 
@@ -32,38 +35,48 @@ object IngestAnalog extends QueryPack {
     "ref_maxage_filter" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
-        val newest = ev.agg(max($"ts").as("max_ts"))
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val newest = ev.agg(max($"tus").as("max_tus"))
         ev.crossJoin(broadcast(newest))
-          .filter($"ts" >= $"max_ts" - SevenDaysNs)
+          .filter($"tus" >= $"max_tus" - SevenDaysUs)
           .select($"event_id", $"user_id", $"event_type",
-            expr("ts div 1000000").as("ts_ms"))
+            expr("tus div 1000").as("ts_ms"))
           .orderBy($"event_id")
       },
       oracle = Some(s"""
         SELECT event_id, user_id, event_type,
-               epoch_ns(ts) // 1000000 AS ts_ms
+               epoch_us(ts) // 1000 AS ts_ms
         FROM events
-        WHERE epoch_ns(ts) >= (SELECT MAX(epoch_ns(ts)) FROM events) - $SevenDaysNs
+        WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - $SevenDaysUs
         ORDER BY event_id""")),
 
-    // ── #6 change detection, "unseen" case: left-anti of listing vs state ──
+    // ── #6 change detection, "unseen" case: left-anti of the listing
+    //    against the already-ingested set. The "file" is an event_id;
+    //    state = everything up to a 90% ingest watermark; the anti-join
+    //    surfaces listed-but-not-yet-ingested entries (non-vacuous at
+    //    any SF, unlike entity-level cutoffs in this saturated data) ──
     "ref_change_antijoin" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
-        val state = ev.filter($"ts" < CutoffNs)
-          .select($"user_id", $"event_type").distinct()
-        val listing = ev.filter($"ts" >= CutoffNs)
-          .select($"user_id", $"event_type").distinct()
-        listing.join(state, Seq("user_id", "event_type"), "left_anti")
-          .orderBy($"user_id", $"event_type")
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val watermark = ev.agg(expr("(max(event_id) * 9) div 10").as("wm"))
+        val listing = ev.crossJoin(broadcast(ev.agg(max($"tus").as("max_tus"))))
+          .filter($"tus" >= $"max_tus" - SevenDaysUs)
+          .select($"event_id", $"user_id", $"event_type")
+        val state = ev.crossJoin(broadcast(watermark))
+          .filter($"event_id" < $"wm")
+          .select($"event_id")
+        listing.join(state, Seq("event_id"), "left_anti")
+          .orderBy($"event_id")
       },
       oracle = Some(s"""
-        SELECT DISTINCT user_id, event_type FROM events WHERE epoch_ns(ts) >= $CutoffNs
-        EXCEPT
-        SELECT DISTINCT user_id, event_type FROM events WHERE epoch_ns(ts) < $CutoffNs
-        ORDER BY user_id, event_type""")),
+        WITH wm AS (SELECT MAX(event_id) * 9 // 10 AS w FROM events),
+        listing AS (
+          SELECT event_id, user_id, event_type FROM events
+          WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - $SevenDaysUs)
+        SELECT event_id, user_id, event_type FROM listing
+        WHERE event_id NOT IN (SELECT event_id FROM events, wm WHERE event_id < wm.w)
+        ORDER BY event_id""")),
 
     // ── #5+#6 requiresFetch: unseen OR size changed OR mtime changed ──
     // (FtpMonitor.scala:35-46: outer-join the listing against persisted
@@ -107,21 +120,22 @@ object IngestAnalog extends QueryPack {
     "ref_tail_offsets" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        Tables.events(s, d)
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        ev
           .withColumn("offset",
             coalesce(
               sum(dec($"value")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
               lit(0).cast(Money)).cast(DoubleType))
-          .select($"event_id", $"user_id", expr("ts div 1000000").as("ts_ms"),
+          .select($"event_id", $"user_id", expr("tus div 1000").as("ts_ms"),
             dec($"value").cast(DoubleType).as("appended"), $"offset")
           .orderBy($"user_id", $"ts_ms", $"event_id")
       },
       oracle = Some("""
-        SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+        SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS appended,
           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS offset
         FROM events
         ORDER BY user_id, ts_ms, event_id"""),
@@ -291,12 +305,16 @@ object IngestAnalog extends QueryPack {
         import s.implicits._
         Tables.events(s, d)
           .select($"event_id",
-            regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast(LongType).as("k"))
+            // NULLIF guards the no-match case: both engines then yield
+            // NULL instead of Spark erroring under ANSI and DuckDB
+            // hard-failing the whole oracle on CAST('' AS BIGINT)
+            nullif(regexp_extract($"props", "\"k\": ([0-9]+)", 1), lit(""))
+              .cast(LongType).as("k"))
           .orderBy($"event_id")
       },
       oracle = Some("""
         SELECT event_id,
-               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+               CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
         FROM events
         ORDER BY event_id"""))
   )

@@ -89,7 +89,7 @@ object Multimodal extends QueryPack {
                  s -> s.chunk != '')""").as("frames"))
           // barrier: materialize the frame array once per row before the
           // explode (Generate re-evaluates its generator per output row)
-          .transform(Dedup.materialized)
+          .transform(graft.functions.TextTokens.materialized)
           .select($"doc_id", explode($"frames").as("fr"))
           .select($"doc_id", $"fr.idx".as("frame_idx"),
             hex($"fr.chunk").as("frame_hex"))

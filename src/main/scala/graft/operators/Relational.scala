@@ -281,12 +281,16 @@ object Relational extends QueryPack {
     "q_pivot" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        Tables.orders(s, d)
+        val pivoted = Tables.orders(s, d)
           .groupBy($"o_orderstatus")
           .pivot($"o_orderpriority",
             Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
           .agg(count(lit(1)))
           .toDF("status", "p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")
+        // pivot yields NULL for empty cells; COUNT semantics (and the
+        // oracle's FILTER form) require 0
+        pivoted.select($"status" +:
+          pivoted.columns.tail.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
           .orderBy($"status")
       },
       oracle = Some("""
@@ -530,9 +534,11 @@ object Relational extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val topk = new graft.functions.TopKAggregator(3)
+        // rank by the RAW price (matching the oracle's ROW_NUMBER and the
+        // window variant); only the OUTPUT value goes through the decimal
+        // cast — otherwise >2dp prices would rank differently here
         Tables.orders(s, d)
-          .select($"o_custkey",
-            dec($"o_totalprice").cast(DoubleType).as("p"), $"o_orderkey")
+          .select($"o_custkey", $"o_totalprice".as("p"), $"o_orderkey")
           .as[(Long, Double, Long)]
           .groupByKey(_._1)
           .mapValues(t => (t._2, t._3))
@@ -541,6 +547,7 @@ object Relational extends QueryPack {
             top.zipWithIndex.map { case ((p, ok), i) => (cust, i + 1L, ok, p) }
           }
           .toDF("o_custkey", "rk", "o_orderkey", "total_price")
+          .withColumn("total_price", dec($"total_price").cast(DoubleType))
           .orderBy($"o_custkey", $"rk")
       },
       oracle = Some("""

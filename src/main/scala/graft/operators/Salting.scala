@@ -23,13 +23,22 @@ object Salting {
   private val SaltCol = "__graft_salt"
 
   /** Inner equi-join of a skewed `big` side against a `small` side on
-    * `key`, salted `nSalts` ways. Result equals `big.join(small, key)`.
+    * `key`, salted `nSalts` ways. Result equals `big.join(small, key)`
+    * for ANY salt assignment (each big row matches exactly one replica).
+    *
+    * The salt is `rand(seed)`-based rather than a content hash: the
+    * canonical skew case is millions of byte-identical rows under one
+    * hot key (null-bucket/default rows), which a content hash would all
+    * map to the SAME salt, defeating the spread. `rand` is seeded per
+    * partition, so recomputation of a partition from a deterministic
+    * source (file scans) reproduces the same salts.
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int): DataFrame = {
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String, nSalts: Int,
+      seed: Long = 42L): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    // deterministic per-row salt: hash of all big-side columns
     val salted = big.withColumn(SaltCol,
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(nSalts.toLong)))
+      floor(rand(seed) * nSalts).cast("long"))
     val replicated = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)

@@ -18,10 +18,9 @@ import graft.{QueryDef, QueryPack, Tables}
   */
 object TextAnalysis extends QueryPack {
 
-  /** Lowercased whitespace tokens of `text` (shared by the term/bigram/
-    * signature queries — the regex must stay Java/RE2-identical). */
+  /** Shared token definition — see [[graft.functions.TextTokens]]. */
   private def tokens: org.apache.spark.sql.Column =
-    split(lower(trim(org.apache.spark.sql.functions.col("text"))), "\\s+")
+    graft.functions.TextTokens.tokens
 
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
@@ -239,7 +238,7 @@ object TextAnalysis extends QueryPack {
             .as("bigrams"))
           // barrier: Generate re-evaluates its generator per output row —
           // materialize the nested-HOF array once per doc before exploding
-          .transform(Dedup.materialized)
+          .transform(graft.functions.TextTokens.materialized)
           .select(explode($"bigrams").as("bigram"))
           .groupBy($"bigram")
           .agg(count(lit(1)).as("n"))
