@@ -6,8 +6,21 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Non-headline queries are correctness-only and
   * excluded so the benchmark measures the scan/join/agg/window hot paths
   * rather than 40 tiny projections.
+  *
+  * Timing materializes EVERY output column via `sum(xxhash64(*))` — a
+  * plain `.count()` would let Catalyst prune projections the count does
+  * not need (e.g. a window sum that no filter reads), so some queries
+  * would time scan+count instead of the operator under test.
   */
 object Bench {
+
+  /** Column-pruning-proof materialization: the hash consumes all output
+    * columns, so the full plan must execute; the result is one long. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,14 +37,14 @@ object Bench {
     // JVM + parquet-footer warm-up on the smallest SF so the timed runs
     // measure execution, not first-touch classloading/codegen.
     SparkEntry.headlineQueries.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      try materialize(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.headlineQueries.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -3,6 +3,13 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** Buffer/output of the top-k aggregator: parallel arrays sorted
+  * best-first (score desc, id asc). A flat Product of primitive arrays
+  * encodes to Tungsten `UnsafeArrayData` — the shuffle carries compact
+  * binary rows that Catalyst can size and compare, unlike an opaque
+  * Kryo blob. */
+final case class TopK(scores: Array[Double], ids: Array[Long])
+
 /** Typed per-group top-k as an `Aggregator` — the UDAF surface the
   * reference lacks entirely (SURVEY.md §2.2), and the scale path for
   * per-key ranking: a window `row_number` must shuffle and sort EVERY
@@ -13,36 +20,50 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering: score descending, id ascending as the deterministic
   * tiebreak (matching the window-variant queries and their oracles).
   *
-  * Input rows are (score, id); the buffer is a best-first list capped
-  * at k (k is small by construction — top-3/top-10 — so linear insert
+  * The buffer is a best-first pair of parallel arrays capped at k
+  * (k is small by construction — top-3/top-10 — so linear insert
   * beats heap bookkeeping).
   */
-final class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+final class TopKAggregator(k: Int) extends Aggregator[(Double, Long), TopK, TopK] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
 
-  override def zero: List[(Double, Long)] = Nil
+  override def zero: TopK = TopK(Array.emptyDoubleArray, Array.emptyLongArray)
 
-  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
-    insert(buf, in)
+  override def reduce(buf: TopK, in: (Double, Long)): TopK =
+    insert(buf, in._1, in._2)
 
-  override def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
-    b2.foldLeft(b1)(insert)
-
-  private def insert(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = {
-    if (buf.sizeIs >= k && better(buf.last, in)) buf
-    else {
-      val (front, back) = buf.span(better(_, in))
-      (front ::: in :: back).take(k)
+  override def merge(b1: TopK, b2: TopK): TopK = {
+    var acc = b1
+    var i = 0
+    while (i < b2.scores.length) {
+      acc = insert(acc, b2.scores(i), b2.ids(i))
+      i += 1
     }
+    acc
   }
 
-  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+  private def insert(buf: TopK, s: Double, id: Long): TopK = {
+    val n = buf.scores.length
+    if (n >= k && better(buf.scores(n - 1), buf.ids(n - 1), s, id)) return buf
+    var pos = 0
+    while (pos < n && better(buf.scores(pos), buf.ids(pos), s, id)) pos += 1
+    val m = math.min(n + 1, k)
+    val ss = new Array[Double](m)
+    val ii = new Array[Long](m)
+    System.arraycopy(buf.scores, 0, ss, 0, pos)
+    System.arraycopy(buf.ids, 0, ii, 0, pos)
+    ss(pos) = s
+    ii(pos) = id
+    val rest = m - pos - 1
+    System.arraycopy(buf.scores, pos, ss, pos + 1, rest)
+    System.arraycopy(buf.ids, pos, ii, pos + 1, rest)
+    TopK(ss, ii)
+  }
 
-  override def bufferEncoder: Encoder[List[(Double, Long)]] =
-    Encoders.kryo[List[(Double, Long)]]
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    Encoders.kryo[Seq[(Double, Long)]]
+  override def finish(buf: TopK): TopK = buf
+
+  override def bufferEncoder: Encoder[TopK] = Encoders.product[TopK]
+  override def outputEncoder: Encoder[TopK] = Encoders.product[TopK]
 }

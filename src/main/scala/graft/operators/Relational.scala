@@ -544,7 +544,7 @@ object Relational extends QueryPack {
           .mapValues(t => (t._2, t._3))
           .agg(topk.toColumn)
           .flatMap { case (cust, top) =>
-            top.zipWithIndex.map { case ((p, ok), i) => (cust, i + 1L, ok, p) }
+            top.scores.indices.map(i => (cust, i + 1L, top.ids(i), top.scores(i)))
           }
           .toDF("o_custkey", "rk", "o_orderkey", "total_price")
           .withColumn("total_price", dec($"total_price").cast(DoubleType))
