@@ -72,6 +72,41 @@ object Dedup extends QueryPack {
           .reduce(_ + _))
   }
 
+  /** (doc_id, lang, simhash): the shared sketch input of both SimHash
+    * pair queries — one shuffle, 60 bit-votes as column aggregates. */
+  private def simhashByLang(s: SparkSession, d: String): DataFrame = {
+    val tok = materialized(
+        docsWithTokens(s, d).select(col("doc_id"), col("lang"), col("tokens")))
+      .select(col("doc_id"), col("lang"), explode(col("tokens")).as("t"))
+      .withColumn("fp", rolling_hash(col("t"), 31) + rolling_hash(col("t"), 131) * Mod)
+    simhashOf(tok.groupBy(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"), col("simhash"))
+  }
+
+  /** Shared oracle of `dedup_simhash_pairs` and its banded twin — the
+    * banded plan must produce byte-identical rows, so passing the same
+    * SQL for both IS the equality proof, checked per round by the
+    * driver's DuckDB compare. */
+  private lazy val simhashPairsSql: String = s"""
+        WITH toks AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
+        tok AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks),
+        f AS (SELECT doc_id, lang,
+                ${fpSql("t", 31)} + ${fpSql("t", 131)} * $Mod AS fp FROM tok),
+        votes AS (
+          SELECT doc_id, lang, b,
+                 SUM(CASE WHEN (fp >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM f, range(60) t(b)
+          GROUP BY doc_id, lang, b),
+        sim AS (
+          SELECT doc_id, lang,
+                 SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id, lang)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.lang AS lang,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        ORDER BY doc1, doc2"""
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── exact dedup: group identical bodies by sha-256 ──
@@ -125,10 +160,16 @@ object Dedup extends QueryPack {
     "dedup_minhash_pairs" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        // carry shingle FINGERPRINTS (long arrays), not the strings: the
+        // candidate-verify joins then ship ~8 bytes per shingle instead
+        // of whole 3-gram strings, and exact Jaccard over the distinct
+        // fingerprint sets equals string-set Jaccard (mod 2^-60-rate
+        // collisions in a 10^9+7 space)
         val docs = materialized(docsWithTokens(s, d)
-          .select($"doc_id", shinglesCol.as("shingles")))
-        val sh = docs.select($"doc_id", explode($"shingles").as("shingle"))
-          .withColumn("fp", rolling_hash($"shingle"))
+            .select($"doc_id", shinglesCol.as("shingles")))
+          .select($"doc_id",
+            array_distinct(transform($"shingles", sh => rolling_hash(sh))).as("fps"))
+        val sh = docs.select($"doc_id", explode($"fps").as("fp"))
         // one shuffle: 16 min-aggregates in a single groupBy
         val aggs = (0 until 16).map(i =>
           min(((lit(2L * i + 1)) * $"fp" + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
@@ -144,15 +185,15 @@ object Dedup extends QueryPack {
             $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
           .distinct()
-        // verify candidates with exact shingle Jaccard
-        val sets = docs.select($"doc_id", $"shingles")
+        // verify candidates with exact fingerprint-set Jaccard
+        val sets = docs.select($"doc_id", $"fps")
         cand
-          .join(sets.select($"doc_id".as("doc1"), $"shingles".as("sh1")), Seq("doc1"))
-          .join(sets.select($"doc_id".as("doc2"), $"shingles".as("sh2")), Seq("doc2"))
-          .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+          .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
+          .join(sets.select($"doc_id".as("doc2"), $"fps".as("f2")), Seq("doc2"))
+          .withColumn("inter", size(array_intersect($"f1", $"f2")))
           .withColumn("jaccard",
             $"inter".cast(DoubleType) /
-              (size($"sh1") + size($"sh2") - $"inter").cast(DoubleType))
+              (size($"f1") + size($"f2") - $"inter").cast(DoubleType))
           .filter($"jaccard" >= 0.2)
           .select($"doc1", $"doc2", $"jaccard")
           .orderBy($"doc1", $"doc2")
@@ -190,14 +231,12 @@ object Dedup extends QueryPack {
         ORDER BY doc_id""")),
 
     // ── SimHash near-dup pairs: hamming distance within language ──
+    // Quadratic within language — kept as the ORACLE FACE; the banded
+    // variant below is the production plan and must emit identical rows.
     "dedup_simhash_pairs" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val tok = materialized(docsWithTokens(s, d).select($"doc_id", $"lang", $"tokens"))
-          .select($"doc_id", $"lang", explode($"tokens").as("t"))
-          .withColumn("fp", rolling_hash($"t", 31) + rolling_hash($"t", 131) * Mod)
-        val sim = simhashOf(tok.groupBy($"doc_id", $"lang"))
-          .select($"doc_id", $"lang", $"simhash")
+        val sim = simhashByLang(s, d)
         sim.as("a").join(sim.as("b"),
             $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
           .withColumn("hamming", bit_count($"a.simhash".bitwiseXOR($"b.simhash")))
@@ -206,25 +245,41 @@ object Dedup extends QueryPack {
             $"a.lang".as("lang"), $"hamming".cast(LongType).as("hamming"))
           .orderBy($"doc1", $"doc2")
       },
-      oracle = Some(s"""
-        WITH toks AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
-        tok AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks),
-        f AS (SELECT doc_id, lang,
-                ${fpSql("t", 31)} + ${fpSql("t", 131)} * $Mod AS fp FROM tok),
-        votes AS (
-          SELECT doc_id, lang, b,
-                 SUM(CASE WHEN (fp >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM f, range(60) t(b)
-          GROUP BY doc_id, lang, b),
-        sim AS (
-          SELECT doc_id, lang,
-                 SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
-          FROM votes GROUP BY doc_id, lang)
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.lang AS lang,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-        ORDER BY doc1, doc2""")),
+      oracle = Some(simhashPairsSql)),
+
+    // ── SimHash pairs, pigeonhole-banded (the 100 TB plan) ──
+    // Hamming ≤ 8 over 60 bits means at least one of 9 disjoint bit
+    // segments is IDENTICAL (pigeonhole), so candidates come from an
+    // equality join on (lang, segment-index, segment-value) — the same
+    // shape as the MinHash band join, O(sum of bucket²) instead of the
+    // per-language all-pairs — then the full sketch verifies the true
+    // hamming distance. Same rows as dedup_simhash_pairs by
+    // construction; the shared oracle SQL is the equality proof.
+    "dedup_simhash_pairs_banded" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val sim = simhashByLang(s, d)
+        val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 segments, 60 bits
+        val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
+        val segs = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
+          struct(lit(i).as("band"),
+            shiftright($"simhash", off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
+        }
+        val bands = sim
+          .select($"doc_id", $"lang", $"simhash", explode(array(segs: _*)).as("bs"))
+          .select($"doc_id", $"lang", $"simhash",
+            $"bs.band".as("band"), $"bs.seg".as("seg"))
+        bands.as("a").join(bands.as("b"),
+            $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
+            $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
+          .withColumn("hamming", bit_count($"a.simhash".bitwiseXOR($"b.simhash")))
+          .filter($"hamming" <= 8)
+          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+            $"a.lang".as("lang"), $"hamming".cast(LongType).as("hamming"))
+          .distinct()
+          .orderBy($"doc1", $"doc2")
+      },
+      oracle = Some(simhashPairsSql)),
 
     // ── exact word-shingle Jaccard pairs (oracle for the LSH shortcut) ──
     "dedup_ngram_jaccard" -> QueryDef(
@@ -262,7 +317,9 @@ object Dedup extends QueryPack {
               >= 0.05
         ORDER BY doc1, doc2""")),
 
-    // ── embedding-cosine near-duplicate pairs ──
+    // ── embedding-cosine near-duplicate pairs (ORACLE FACE: unblocked
+    //    all-pairs — the small-SF fixture; the blocked twin below is the
+    //    distributed plan and shares this oracle as its equality proof) ──
     "dedup_embedding_cosine" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -275,7 +332,103 @@ object Dedup extends QueryPack {
           .select($"a.vec_id".as("vec1"), $"b.vec_id".as("vec2"), $"cos")
           .orderBy($"vec1", $"vec2")
       },
-      oracle = Some("""
+      oracle = Some(embeddingCosineSql)),
+
+    // ── exact embedding dedup, block-partitioned (the 100 TB plan for
+    //    GUARANTEED recall) ──
+    // Exact all-pairs cosine at a weak threshold (0.35 ⇒ θ≈70°) is
+    // irreducibly O(n²) COMPUTE — no sub-quadratic blocking can keep
+    // 100% recall at that angle (sign-LSH collision curves flatten;
+    // norm/segment bounds don't discriminate on normalized data). What
+    // CAN scale is the PLAN: partition vectors into B blocks, enumerate
+    // the B(B+1)/2 unordered block pairs, and give each (bi,bj) task its
+    // own bounded slice — O(n²/tasks) per executor, no broadcast of the
+    // full table, no single cartesian partition, work spread evenly by
+    // construction. This is the classic distributed all-pairs schedule;
+    // it produces byte-identical rows to dedup_embedding_cosine (shared
+    // oracle = per-round equality proof).
+    "dedup_embedding_blocked" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val nBlocks = 8
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+          .withColumn("blk", pmod($"vec_id", lit(nBlocks)).cast(IntegerType))
+        val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+          yield (i, j)).toDF("b1", "b2")
+        val left = e.select($"blk".as("b1"), $"vec_id".as("vec_id_a"), $"emb".as("emb_a"))
+        val right = e.select($"blk".as("b2"), $"vec_id".as("vec_id_b"), $"emb".as("emb_b"))
+        left.join(broadcast(blockPairs), Seq("b1"))
+          .join(right, Seq("b2"))
+          // same-block pairs once via id order; cross-block rows are
+          // already unique per unordered pair (sides fixed by block)
+          .filter($"b1" =!= $"b2" || $"vec_id_a" < $"vec_id_b")
+          .withColumn("cos",
+            round(VectorFunctions.cosine($"emb_a", $"emb_b"), 9))
+          .filter($"cos" >= 0.35)
+          .select(
+            least($"vec_id_a", $"vec_id_b").as("vec1"),
+            greatest($"vec_id_a", $"vec_id_b").as("vec2"),
+            $"cos")
+          .orderBy($"vec1", $"vec2")
+      },
+      oracle = Some(embeddingCosineSql)),
+
+    // ── ANN embedding dedup: multi-table sign-LSH banding (sub-quadratic) ──
+    // The production shortcut for DUPLICATE-GRADE thresholds: L band
+    // tables of b sign-bits each (independent deterministic hyperplane
+    // families), candidates from equality joins on (band, bucket), then
+    // exact cosine verification. Collision probability per band is
+    // (1-θ/π)^b, so at near-dup angles (cos ≥ 0.9 ⇒ θ ≤ 26°) recall is
+    // 1-(1-0.857^4)^16 ≈ 1-5e-6 — DedupSpec's planted-duplicate gate
+    // asserts 100% there. At this fixture's weak 0.35 threshold the same
+    // parameters recover ~90% of pairs at a fraction of the comparisons;
+    // use dedup_embedding_blocked when guaranteed recall at weak
+    // thresholds is required.
+    "dedup_embedding_ann_pairs" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+        embeddingAnnPairs(e, nBands = 16, bitsPerBand = 4, dim = 64,
+          threshold = 0.35)
+      },
+      oracle = None)
+  )
+
+  /** Multi-table sign-LSH banded near-dup pairs over a (vec_id, emb)
+    * frame: candidates from equality joins on (band, bucket) — never
+    * all-pairs — then exact-cosine verification against `threshold`.
+    * Shared by the `dedup_embedding_ann_pairs` query and the
+    * planted-duplicate recall gate in DedupSpec. */
+  def embeddingAnnPairs(
+      e: DataFrame,
+      nBands: Int,
+      bitsPerBand: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    val buckets = (0 until nBands).map(t =>
+      VectorFunctions.lshBucket(col("emb"), bitsPerBand, dim, base = t * bitsPerBand))
+    val banded = e.select(col("vec_id"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"))
+      .distinct()
+    val byId = e.select(col("vec_id"), col("emb"))
+    cand
+      .join(byId.select(col("vec_id").as("vec1"), col("emb").as("e1")), Seq("vec1"))
+      .join(byId.select(col("vec_id").as("vec2"), col("emb").as("e2")), Seq("vec2"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("e1"), col("e2")), 9))
+      .filter(col("cos") >= threshold)
+      .select(col("vec1"), col("vec2"), col("cos"))
+      .orderBy(col("vec1"), col("vec2"))
+  }
+
+  /** Shared oracle of `dedup_embedding_cosine` and its block-partitioned
+    * twin — identical SQL for both is the equality proof. */
+  private lazy val embeddingCosineSql: String = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         pairs AS (
           SELECT a.vec_id AS vec1, b.vec_id AS vec2,
@@ -288,6 +441,5 @@ object Dedup extends QueryPack {
         SELECT vec1, vec2, cos
         FROM pairs
         WHERE cos >= 0.35
-        ORDER BY vec1, vec2"""))
-  )
+        ORDER BY vec1, vec2"""
 }

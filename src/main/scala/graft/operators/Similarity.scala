@@ -121,21 +121,44 @@ object Similarity extends QueryPack {
       oracle = None),
 
     // ── label centroids: the aggregation face of embedding work ──
+    // Exact cross-engine arithmetic (the `Exact` decimal-sum pattern,
+    // graft/functions/Exact.scala): double SUMs are order-dependent, so
+    // every aggregation step quantizes first — component values rounded
+    // to 7 digits then summed as DECIMAL(20,7) (associative, exact), the
+    // mean taken with one double division, its square re-quantized to
+    // DECIMAL(38,12) before the second sum. Both engines then produce
+    // bit-identical doubles and the query is fully oracle-checkable.
     "sim_label_centroids" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        // mean vector per label, then each label's vector count and the
-        // centroid's L2 norm (rounded for cross-engine compare)
         val e = embDouble(s, d)
           .select($"label", posexplode($"emb").as(Seq("pos", "v")))
         e.groupBy($"label", $"pos")
-          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          .agg(
+            sum(round($"v", 7).cast(DecimalType(20, 7))).as("sv"),
+            count(lit(1)).as("n"))
+          .withColumn("c", $"sv".cast(DoubleType) / $"n")
+          .withColumn("c2", round($"c" * $"c", 12).cast(DecimalType(38, 12)))
           .groupBy($"label")
           .agg(
             max($"n").as("n_vectors"),
-            round(sqrt(sum(($"sv" / $"n") * ($"sv" / $"n"))), 6).as("centroid_norm"))
+            round(sqrt(sum($"c2").cast(DoubleType)), 6).as("centroid_norm"))
           .orderBy($"label")
       },
-      oracle = None)
+      oracle = Some("""
+        WITH e AS (
+          SELECT label, pos, embedding[pos]::DOUBLE AS v
+          FROM embeddings, range(1, 65) t(pos)),
+        q AS (
+          SELECT label, pos,
+                 SUM(CAST(round(v, 7) AS DECIMAL(20,7))) AS sv,
+                 COUNT(*) AS n
+          FROM e GROUP BY label, pos),
+        c AS (SELECT label, n, CAST(sv AS DOUBLE) / n AS c FROM q),
+        c2 AS (SELECT label, n, CAST(round(c * c, 12) AS DECIMAL(38,12)) AS c2 FROM c)
+        SELECT label, MAX(n) AS n_vectors,
+               round(sqrt(CAST(SUM(c2) AS DOUBLE)), 6) AS centroid_norm
+        FROM c2 GROUP BY label
+        ORDER BY label"""))
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+/** Scale-path equality and recall gates for the dedup operators: every
+  * banded/blocked production plan must reproduce its quadratic oracle
+  * face exactly, and the ANN shortcut must achieve 100% recall at
+  * duplicate-grade cosine on planted near-duplicates.
+  */
+class DedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rowsOf(name: String): Seq[Seq[Any]] =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+
+  test("banded simhash pairs equal the quadratic oracle face") {
+    val banded = rowsOf("dedup_simhash_pairs_banded")
+    val quad = rowsOf("dedup_simhash_pairs")
+    banded should not be empty
+    banded shouldBe quad
+  }
+
+  test("block-partitioned embedding dedup equals the all-pairs oracle face") {
+    val blocked = rowsOf("dedup_embedding_blocked")
+    val exact = rowsOf("dedup_embedding_cosine")
+    blocked should not be empty
+    blocked shouldBe exact
+  }
+
+  test("ANN embedding dedup: 100% recall on planted near-duplicates") {
+    import spark.implicits._
+    val dim = 64
+    // plant one near-duplicate per vector: dup = emb + 0.08 * noise,
+    // noise from the same deterministic avalanche stream as the LSH
+    // planes (keyed far away at 9000+vec_id) — cosine lands ~0.98
+    val base = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+      .as[(Long, Array[Double])]
+      .collect()
+    val planted = base.map { case (id, emb) =>
+      val dup = Array.tabulate(dim)(k =>
+        emb(k) + 0.08 * VectorFunctions.planeComponent(9000 + id.toInt, k, dim))
+      (id + 100000L, dup)
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "emb")
+
+    val found = Dedup.embeddingAnnPairs(all, nBands = 16, bitsPerBand = 4,
+        dim = dim, threshold = 0.9)
+      .select($"vec1", $"vec2").as[(Long, Long)].collect().toSet
+
+    // every planted (i, i+100000) pair has cos >= 0.9 by construction
+    val expected = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val missed = expected -- found
+    withClue(s"missed ${missed.size} of ${expected.size} planted pairs: ") {
+      missed shouldBe empty
+    }
+  }
+
+  test("ANN embedding dedup output is a subset of the exact pairs with high recall") {
+    val exact = rowsOf("dedup_embedding_cosine").map(r => (r(0), r(1))).toSet
+    val ann = rowsOf("dedup_embedding_ann_pairs").map(r => (r(0), r(1))).toSet
+    ann should not be empty
+    // verification step guarantees precision 1.0
+    (ann -- exact) shouldBe empty
+    // weak-threshold recall is documented best-effort; assert the floor
+    val recall = (ann & exact).size.toDouble / exact.size
+    recall should be >= 0.85
+  }
+}
