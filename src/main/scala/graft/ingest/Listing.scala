@@ -87,11 +87,19 @@ object Listing {
     val (zeroLen, nonEmptyAll) = files.partition(_._2 == 0L)
     // tolerate files deleted between list and fetch (the reference's
     // poll has the same race and simply retries next cycle): a missing
-    // path must not fail the whole batch and wedge the loop
+    // path must not fail the whole batch and wedge the loop. The guard
+    // is batched per PARENT DIRECTORY — one listStatus RPC per dir, not
+    // one exists() round-trip per file, so a 10k-file poll costs a
+    // handful of namenode calls instead of 10k sequential ones
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val nonEmpty = nonEmptyAll.filter(f =>
-      fs.exists(new org.apache.hadoop.fs.Path(f._1)))
+    val parents = nonEmptyAll
+      .map(f => new org.apache.hadoop.fs.Path(f._1).getParent).distinct
+    val existing: Set[String] = parents.flatMap { dir =>
+      try fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.toUri.getPath)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+    }.toSet
+    val nonEmpty = nonEmptyAll.filter(f => existing.contains(f._1))
     val zeroDf = zeroLen
       .map { case (p, _, ts) => (p, 0L, ts, Array.emptyByteArray) }
       .toDF("path", "size", "timestamp", "body")

@@ -16,6 +16,7 @@ final case class MonitorConfig(
     maxAge: Option[Duration],
     maxBackoff: Duration,
     maxFilesPerPoll: Int,
+    maxPollRecords: Int,
     keyStyle: Records.KeyStyle,
     converterClass: Option[String]) {
   def dirs: Seq[MonitoredPath] = tailDirs ++ updateDirs
@@ -30,7 +31,13 @@ object MonitorConfig {
   val Refresh = "refresh"
   val FileMaxAge = "file.maxage"
   val MaxBackoff = "max.backoff"
+  /** Cap on RECORDS per poll, applied after converter expansion with a
+    * carry-over buffer — the reference's `ftp.max.poll.records`
+    * (`FtpSourceTask.scala:47-52`). */
   val MaxPollRecords = "max.poll.records"
+  /** Cap on FILES fetched per poll (listing-level rate limit; the
+    * streaming analog is `maxFilesPerTrigger`). */
+  val MaxPollFiles = "max.poll.files"
   val KeyStyleKey = "keystyle"
   val SourceRecordConverter = "sourcerecordconverter"
 
@@ -68,16 +75,19 @@ object MonitorConfig {
       case other => throw new IllegalArgumentException(
         s"invalid $KeyStyleKey '$other': expected string|struct")
     }
-    val maxPoll = props.getOrElse(MaxPollRecords, "10000").toInt
-    if (maxPoll <= 0)
-      throw new IllegalArgumentException(s"$MaxPollRecords must be positive")
+    def positiveInt(key: String): Int = {
+      val v = props.getOrElse(key, "10000").toInt
+      if (v <= 0) throw new IllegalArgumentException(s"$key must be positive")
+      v
+    }
     MonitorConfig(
       tailDirs = tails,
       updateDirs = updates,
       refresh = duration(Refresh, "PT1M"),
       maxAge = props.get(FileMaxAge).map(_ => duration(FileMaxAge, "")),
       maxBackoff = duration(MaxBackoff, "PT30M"),
-      maxFilesPerPoll = maxPoll,
+      maxFilesPerPoll = positiveInt(MaxPollFiles),
+      maxPollRecords = positiveInt(MaxPollRecords),
       keyStyle = keyStyle,
       converterClass = props.get(SourceRecordConverter))
   }

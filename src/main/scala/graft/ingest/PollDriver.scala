@@ -28,21 +28,63 @@ final class PollDriver(
     sinceMs = Long.MinValue / 2)
   private val converter = cfg.converter
 
+  private val carryPath = s"$stateDir/carryover.parquet"
+
+  private def readCarry(): Dataset[FileChangeRecord] = {
+    import spark.implicits._
+    val hasParts = Option(new java.io.File(carryPath).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasParts) spark.read.parquet(carryPath).as[FileChangeRecord]
+    else spark.emptyDataset[FileChangeRecord]
+  }
+
+  /** Spool the unserved tail durably BEFORE the old spool is replaced —
+    * the head Dataset's lineage may still read the old parquet. */
+  private def writeCarry(tail: Dataset[FileChangeRecord]): Unit = {
+    val tmp = s"$stateDir/carryover.tmp.parquet"
+    tail.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(carryPath)
+    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    new java.io.File(tmp).renameTo(target)
+  }
+
   /** One poll: returns the number of records emitted, or -1 when a
     * failure escalated the backoff, or 0 while waiting out the backoff
-    * window. */
+    * window.
+    *
+    * Record-level cap with carry-over, mirroring the reference's
+    * `poll()` exactly (`FtpSourceTask.scala:47-52`): if the carry-over
+    * buffer is non-empty, serve from it WITHOUT fetching (files are
+    * only touched when their records are actually wanted — the
+    * laziness the reference's streaming test asserts,
+    * `EndToEnd.scala:205-230`); otherwise fetch + convert, then
+    * `splitAt(max.poll.records)` — head to the sink, tail spooled for
+    * the next poll. The cap counts records AFTER the 1→N converter, so
+    * an expanding converter cannot exceed it. */
   def pollOnce(): Long = {
     val now = clock()
-    if (!backoff.passed(now)) return 0L
+    val carry = readCarry()
+    val haveCarry = carry.take(1).nonEmpty
+    if (!haveCarry && !backoff.passed(now)) return 0L
     try {
-      val records = Monitor.pollWithStateDir(
-        spark, cfg.dirs, stateDir,
-        maxAgeMs = cfg.maxAge.map(_.toMillis),
-        maxFilesPerPoll = cfg.maxFilesPerPoll)
-      val converted = Records.applyConverter(records, converter)
-      sink(converted)
-      backoff = backoff.nextSuccess(now)
-      converted.count()
+      val batch =
+        if (haveCarry) carry
+        else {
+          val records = Monitor.pollWithStateDir(
+            spark, cfg.dirs, stateDir,
+            maxAgeMs = cfg.maxAge.map(_.toMillis),
+            maxFilesPerPoll = cfg.maxFilesPerPoll)
+          Records.applyConverter(records, converter)
+        }
+      val (head, tail) = Records.splitAt(batch, cfg.maxPollRecords.toLong)
+      // count + sink consume head before the spool swap touches lineage
+      val served = head.cache()
+      val n = served.count()
+      sink(served)
+      writeCarry(tail)
+      served.unpersist()
+      if (!haveCarry) backoff = backoff.nextSuccess(now)
+      n
     } catch {
       case scala.util.control.NonFatal(_) =>
         backoff = backoff.nextFailure(now)

@@ -86,4 +86,30 @@ object Records {
     import records.sparkSession.implicits._
     records.flatMap(converter.convert _)
   }
+
+  /** Deterministic (head, tail) split of a record batch at `n` records —
+    * the reference's `stream.splitAt(maxPollRecords)` carry-over
+    * pagination (`FtpSourceTask.scala:47-52`), applied AFTER converter
+    * expansion so a 1→N converter cannot blow past the cap.
+    *
+    * A split needs a total order; ranking runs over the METADATA triple
+    * (path, offset, topic) only — the value bytes never enter the
+    * single-partition window — and the full rows rejoin by semi/anti
+    * join, so payload stays distributed. Per-poll volume is already
+    * bounded by the file-level cap upstream. Converters must emit
+    * unique (path, offset, topic) per record for the split to be exact
+    * (both built-ins do: offsets advance per line). */
+  def splitAt(
+      records: Dataset[FileChangeRecord],
+      n: Long): (Dataset[FileChangeRecord], Dataset[FileChangeRecord]) = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("path", "offset", "topic")
+    val w = Window.orderBy(keys.map(col): _*)
+    val head = records.toDF().select(keys.map(col): _*)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= n).drop("rn")
+    import records.sparkSession.implicits._
+    (records.join(head, keys, "left_semi").as[FileChangeRecord],
+     records.join(head, keys, "left_anti").as[FileChangeRecord])
+  }
 }

@@ -120,6 +120,44 @@ object FileStreamPipeline {
       .agg(count(lit(1)).as("n_files"), sum(col("length")).as("n_bytes"))
   }
 
+  /** Update-mode monitoring as a streaming query: Spark's file stream
+    * source only ever sees NEW files, so in-place mutation — the
+    * reference's update-mode re-fetch on size/mtime change
+    * (`FtpMonitor.scala:35-46`, whole body re-emitted at offset 0,
+    * `FtpMonitor.scala:87-95`) — is re-detected by running the batch
+    * change-detection poll (`Monitor.pollWithStateDir`: re-list →
+    * state compare → fetch → tail/diff) inside each micro-batch of a
+    * ticking stream. State lives in the poll's parquet store, offsets
+    * in the checkpoint; each tick is one reference `ftp.refresh` cycle,
+    * so streaming-only deployments no longer need a separate batch loop
+    * for mutating files.
+    *
+    * `ticks` is any streaming DataFrame whose micro-batches set the
+    * cadence — `rateTicks` for wall-clock refresh, a MemoryStream in
+    * tests. */
+  def updateMonitorPolls(
+      ticks: DataFrame,
+      dirs: Seq[graft.ingest.MonitoredPath],
+      stateDir: String,
+      sink: Dataset[FileChangeRecord] => Unit,
+      maxFilesPerPoll: Int = 10000,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val spark = ticks.sparkSession
+    val onBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (_, _) => sink(graft.ingest.Monitor.pollWithStateDir(
+        spark, dirs, stateDir, maxFilesPerPoll = maxFilesPerPoll))
+    ticks.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch(onBatch)
+      .start()
+  }
+
+  /** Wall-clock tick source for [[updateMonitorPolls]]: one poll per
+    * `refreshInterval` (the reference's `ftp.refresh`). */
+  def rateTicks(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+
   /** Kafka sink wiring (requires the spark-sql-kafka package on the
     * cluster's classpath; not present in this offline test image, where
     * the suites use the memory sink instead). At-least-once into Kafka

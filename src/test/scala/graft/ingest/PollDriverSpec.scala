@@ -51,4 +51,40 @@ class PollDriverSpec extends AnyFunSuite with Matchers {
     badDriver.pollOnce() shouldBe -1L
     badDriver.currentBackoffMs shouldBe 4000L // doubled again
   }
+
+  test("record-level poll cap with carry-over: records served 1-by-1, no refetch " +
+      "(reference FtpSourceTask.scala:47-52, EndToEnd.scala:205-230)") {
+    val root = Files.createTempDirectory("graft-cap")
+    val stateDir = Files.createTempDirectory("graft-cap-state").toString
+    val cfg = MonitorConfig(Map(
+      MonitorConfig.MonitorUpdate -> s"$root/in/:t",
+      MonitorConfig.Refresh -> "PT1S",
+      MonitorConfig.MaxPollRecords -> "1", // cap RECORDS, not files
+      MonitorConfig.SourceRecordConverter -> "graft.ingest.Records$LineSplitRecordConverter"))
+
+    var served = Vector.empty[String]
+    var now = 0L
+    val driver = new PollDriver(spark, cfg, stateDir,
+      sink = ds => served ++= ds.collect().toSeq.map(r => new String(r.value, UTF_8)),
+      clock = () => now)
+
+    // ONE file that the converter expands to THREE records: the file-level
+    // cap can't see this; only a record-level cap holds the contract
+    write(root.resolve("in/f.csv"), "a\nb\nc")
+    driver.pollOnce() shouldBe 1L
+    served shouldBe Vector("a")
+
+    // delete the source; the buffered records must still be served
+    // WITHOUT refetching (the reference's laziness assertion)
+    Files.delete(root.resolve("in/f.csv"))
+    driver.pollOnce() shouldBe 1L
+    driver.pollOnce() shouldBe 1L
+    served shouldBe Vector("a", "b", "c")
+
+    // buffer drained; a fresh poll sees no changes (deletion is not a
+    // change event) and emits nothing
+    now += 10000
+    driver.pollOnce() shouldBe 0L
+    served shouldBe Vector("a", "b", "c")
+  }
 }

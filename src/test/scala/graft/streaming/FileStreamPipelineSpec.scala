@@ -152,6 +152,42 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("update-mode monitoring: in-place mutation re-detected in streaming " +
+      "(FtpMonitor.scala:35-46,87-95)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-upd")
+    val stateDir = Files.createTempDirectory("graft-upd-state")
+    val ticks = MemoryStream[Int]
+    @volatile var out = Vector.empty[(String, Long, String)]
+    val q = FileStreamPipeline.updateMonitorPolls(
+      ticks.toDF(),
+      Seq(graft.ingest.MonitoredPath(s"$dir/*", tail = false, topic = "t")),
+      stateDir.toString,
+      sink = ds => out ++= ds.collect().toSeq
+        .map(r => (r.path, r.offset, new String(r.value, UTF_8))))
+    try {
+      Files.write(dir.resolve("u0"), "v1".getBytes(UTF_8))
+      ticks.addData(1)
+      q.processAllAvailable()
+      out.map(r => (r._2, r._3)) shouldBe Vector((0L, "v1"))
+
+      // rewrite history IN PLACE: the file stream source would never
+      // re-deliver this path; the per-tick state compare must
+      ticks.addData(2) // quiescent tick first: no change → no record
+      q.processAllAvailable()
+      out.size shouldBe 1
+
+      Files.write(dir.resolve("u0"), "v2-longer".getBytes(UTF_8),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      ticks.addData(3)
+      q.processAllAvailable()
+      out.map(r => (r._2, r._3)) shouldBe
+        Vector((0L, "v1"), (0L, "v2-longer")) // whole body again at offset 0
+    } finally q.stop()
+  }
+
   test("chunkKey strips part suffix only") {
     FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
