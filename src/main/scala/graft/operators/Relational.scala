@@ -533,21 +533,23 @@ object Relational extends QueryPack {
     "q_topk_aggregate" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val topk = new graft.functions.TopKAggregator(3)
-        // rank by the RAW price (matching the oracle's ROW_NUMBER and the
-        // window variant); only the OUTPUT value goes through the decimal
-        // cast — otherwise >2dp prices would rank differently here
+        // untyped UDAF registration keeps the whole plan in DataFrame
+        // land (no groupByKey object conversion); the aggregator's
+        // bounded k-element buffer still caps map-side output at k rows
+        // per key. Rank by the RAW price (matching the oracle's
+        // ROW_NUMBER and the window variant); only the OUTPUT value
+        // goes through the decimal cast — otherwise >2dp prices would
+        // rank differently here
+        val topk = udaf(new graft.functions.TopKAggregator(3))
         Tables.orders(s, d)
-          .select($"o_custkey", $"o_totalprice".as("p"), $"o_orderkey")
-          .as[(Long, Double, Long)]
-          .groupByKey(_._1)
-          .mapValues(t => (t._2, t._3))
-          .agg(topk.toColumn)
-          .flatMap { case (cust, top) =>
-            top.scores.indices.map(i => (cust, i + 1L, top.ids(i), top.scores(i)))
-          }
-          .toDF("o_custkey", "rk", "o_orderkey", "total_price")
-          .withColumn("total_price", dec($"total_price").cast(DoubleType))
+          .groupBy($"o_custkey")
+          .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+          .select($"o_custkey",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"o_custkey",
+            ($"i" + 1).cast(LongType).as("rk"),
+            $"pair.ids".as("o_orderkey"),
+            dec($"pair.scores").cast(DoubleType).as("total_price"))
           .orderBy($"o_custkey", $"rk")
       },
       oracle = Some("""
@@ -559,6 +561,48 @@ object Relational extends QueryPack {
           FROM orders)
         WHERE rk <= 3
         ORDER BY o_custkey, rk"""),
+      headline = true),
+
+    // ── top-k under GIANT groups: the regime the bounded-buffer
+    //    aggregator exists for. Grouping by o_orderstatus (3 values)
+    //    makes each group ~n/3 rows: the window plan must shuffle EVERY
+    //    row into 3 partitions and sort them single-threaded per group,
+    //    while the aggregator map-side-combines to k rows per key per
+    //    partition — shuffle volume k×3×partitions, no skewed sort.
+    //    Both are headline so the bench records the gap; identical
+    //    oracle = identical results. ──
+    "q_topk_skew_aggregate" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.TopKAggregator(3))
+        Tables.orders(s, d)
+          .groupBy($"o_orderstatus")
+          .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+          .select($"o_orderstatus",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"o_orderstatus",
+            ($"i" + 1).cast(LongType).as("rk"),
+            $"pair.ids".as("o_orderkey"),
+            dec($"pair.scores").cast(DoubleType).as("total_price"))
+          .orderBy($"o_orderstatus", $"rk")
+      },
+      oracle = Some(topkSkewSql),
+      headline = true),
+
+    "q_topk_skew_window" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter($"rk" <= 3)
+          .select($"o_orderstatus", $"rk", $"o_orderkey",
+            dec($"o_totalprice").cast(DoubleType).as("total_price"))
+          .orderBy($"o_orderstatus", $"rk")
+      },
+      oracle = Some(topkSkewSql),
       headline = true),
 
     // ── dropDuplicates: row-level dedup on a key subset ──
@@ -602,4 +646,16 @@ object Relational extends QueryPack {
         FROM orders
         ORDER BY o_orderkey"""))
   )
+
+  /** Shared oracle of the giant-group top-k pair — identical SQL for
+    * the window and aggregator plans is the equality proof. */
+  private lazy val topkSkewSql: String = """
+        SELECT o_orderstatus, rk, o_orderkey, total_price FROM (
+          SELECT o_orderstatus, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        WHERE rk <= 3
+        ORDER BY o_orderstatus, rk"""
 }
