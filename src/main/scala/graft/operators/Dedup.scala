@@ -83,6 +83,69 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("lang"), col("simhash"))
   }
 
+  /** The banded (pigeonhole) SimHash pair plan, shared by
+    * `dedup_simhash_pairs_banded` and the clustering pipeline:
+    * hamming ≤ 8 over 60 bits ⇒ at least one of 9 disjoint segments is
+    * IDENTICAL, so candidates come from an equality join on
+    * (lang, segment-index, segment-value) and the full sketch verifies
+    * the true distance. Returns (doc1, doc2, lang, hamming), unordered. */
+  private def bandedSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashByLang(s, d)
+    val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 segments, 60 bits
+    val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
+    val segs = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
+    }
+    val bands = sim
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array(segs: _*)).as("bs"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("bs.band").as("band"), col("bs.seg").as("seg"))
+    bands.as("a").join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.seg") === col("b.seg") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 8)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.lang").as("lang"), col("hamming").cast(LongType).as("hamming"))
+      .distinct()
+  }
+
+  /** Recursive-CTE oracle for `dedup_clusters`: component id = min
+    * doc_id reachable over the verified near-dup pair graph. */
+  private lazy val clustersSql: String = s"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
+        tok AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks),
+        f AS (SELECT doc_id, lang,
+                ${fpSql("t", 31)} + ${fpSql("t", 131)} * $Mod AS fp FROM tok),
+        votes AS (
+          SELECT doc_id, lang, b,
+                 SUM(CASE WHEN (fp >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM f, range(60) t(b)
+          GROUP BY doc_id, lang, b),
+        sim AS (
+          SELECT doc_id, lang,
+                 SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id, lang),
+        pairs AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+        edges AS (
+          SELECT doc1 AS src, doc2 AS dst FROM pairs
+          UNION ALL
+          SELECT doc2, doc1 FROM pairs),
+        comp(doc_id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, c.lbl FROM comp c JOIN edges e ON c.doc_id = e.src)
+        SELECT doc_id, MIN(lbl) AS cluster_id,
+               (doc_id = MIN(lbl)) AS is_canonical
+        FROM comp GROUP BY doc_id
+        ORDER BY doc_id"""
+
   /** Shared oracle of `dedup_simhash_pairs` and its banded twin — the
     * banded plan must produce byte-identical rows, so passing the same
     * SQL for both IS the equality proof, checked per round by the
@@ -256,30 +319,59 @@ object Dedup extends QueryPack {
     // hamming distance. Same rows as dedup_simhash_pairs by
     // construction; the shared oracle SQL is the equality proof.
     "dedup_simhash_pairs_banded" -> QueryDef(
+      fn = (s, d) => bandedSimhashPairs(s, d)
+        .orderBy(col("doc1"), col("doc2")),
+      oracle = Some(simhashPairsSql)),
+
+    // ── near-dup CLUSTERS with canonical selection (the full dedup
+    //    pipeline a training corpus actually runs) ──
+    // sketch → banded candidates → verified pairs → connected
+    // components → keep the min-id doc per component. Components are
+    // found by distributed min-label propagation: each iteration is one
+    // equality join + groupBy (all executor-side); the driver only
+    // reads a scalar change-count per iteration, and iterations are
+    // bounded by component DIAMETER (near-dup clusters are shallow —
+    // a handful of hops), not component size. `localCheckpoint`
+    // truncates lineage so plans stay constant-size across iterations.
+    // Oracle: DuckDB recursive CTE computing min reachable id.
+    "dedup_clusters" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val sim = simhashByLang(s, d)
-        val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 segments, 60 bits
-        val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
-        val segs = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
-          struct(lit(i).as("band"),
-            shiftright($"simhash", off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
+        val pairs = bandedSimhashPairs(s, d).select($"doc1", $"doc2")
+        val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+          .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+          .localCheckpoint(true)
+        var labels = Tables.documents(s, d)
+          .select($"doc_id", $"doc_id".as("cluster"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          // one neighbor-min step...
+          val nmin = edges
+            .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .groupBy($"dst".as("doc_id")).agg(min($"cluster").as("nc"))
+          val stepped = labels.join(nmin, Seq("doc_id"), "left_outer")
+            .select($"doc_id", $"cluster".as("old"),
+              least($"cluster", coalesce($"nc", $"cluster")).as("mid"))
+          // ...then pointer-jump (label := label's label): path
+          // compression turns O(diameter) rounds into O(log diameter)
+          val reps = labels
+            .select($"doc_id".as("mid"), $"cluster".as("rep"))
+          val updated = stepped.join(reps, Seq("mid"), "left_outer")
+            .select($"doc_id", $"old",
+              least($"mid", coalesce($"rep", $"mid")).as("cluster"))
+            .localCheckpoint(true)
+          changed = updated.filter($"cluster" =!= $"old").count()
+          labels = updated.select($"doc_id", $"cluster")
+          iter += 1
         }
-        val bands = sim
-          .select($"doc_id", $"lang", $"simhash", explode(array(segs: _*)).as("bs"))
-          .select($"doc_id", $"lang", $"simhash",
-            $"bs.band".as("band"), $"bs.seg".as("seg"))
-        bands.as("a").join(bands.as("b"),
-            $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
-            $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
-          .withColumn("hamming", bit_count($"a.simhash".bitwiseXOR($"b.simhash")))
-          .filter($"hamming" <= 8)
-          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
-            $"a.lang".as("lang"), $"hamming".cast(LongType).as("hamming"))
-          .distinct()
-          .orderBy($"doc1", $"doc2")
+        labels.select($"doc_id", $"cluster".as("cluster_id"),
+            ($"doc_id" === $"cluster").as("is_canonical"))
+          .orderBy($"doc_id")
       },
-      oracle = Some(simhashPairsSql)),
+      oracle = Some(clustersSql),
+      headline = true),
 
     // ── exact word-shingle Jaccard pairs (oracle for the LSH shortcut) ──
     "dedup_ngram_jaccard" -> QueryDef(

@@ -159,6 +159,40 @@ object Similarity extends QueryPack {
         SELECT label, MAX(n) AS n_vectors,
                round(sqrt(CAST(SUM(c2) AS DOUBLE)), 6) AS centroid_norm
         FROM c2 GROUP BY label
-        ORDER BY label"""))
+        ORDER BY label""")),
+
+    // ── int8 symmetric quantization + reconstruction error ──
+    // The storage face of embedding work at 100 TB: 4x smaller vectors
+    // with measured fidelity. Pure per-row HOF arithmetic — codegen'd
+    // map work in the scan stage, no shuffle, no UDF. Every fp step is
+    // ordered identically in both engines (array-order folds, same
+    // association), so the error values hash-match exactly.
+    "sim_quantize_int8" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        embDouble(s, d)
+          .withColumn("scale",
+            aggregate(transform($"emb", x => abs(x)), lit(0.0),
+              (a, b) => greatest(a, b)))
+          .select($"vec_id", $"label",
+            round($"scale", 9).as("qscale"),
+            round(sqrt(aggregate(
+              transform($"emb", x =>
+                pow(x - round(x / $"scale" * 127) * $"scale" / 127, 2.0)),
+              lit(0.0), (a, b) => a + b)), 9).as("recon_err"))
+          .orderBy($"vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        s AS (SELECT vec_id, label, emb,
+                list_reduce(list_prepend(0.0, list_transform(emb, x -> abs(x))),
+                  (a, b) -> greatest(a, b)) AS scale
+              FROM e)
+        SELECT vec_id, label, round(scale, 9) AS qscale,
+          round(sqrt(list_sum(list_transform(generate_series(1, len(emb)), i ->
+            pow(emb[i] - round(emb[i] / scale * 127) * scale / 127, 2)))), 9)
+            AS recon_err
+        FROM s
+        ORDER BY vec_id"""))
   )
 }

@@ -257,6 +257,83 @@ object TextAnalysis extends QueryPack {
         FROM grams
         GROUP BY bigram
         ORDER BY n DESC, bigram
-        LIMIT 30"""))
+        LIMIT 30""")),
+
+    // ── stratified sampling for training-data mixes ──
+    // Deterministic hash-gated sampling with a per-language rate table
+    // (broadcast dim join): reproducible across runs, machines, and
+    // engines — the property `df.sample()` cannot give — and exactly
+    // the shape of corpus-mixing at 100 TB: a map-only scan with a
+    // broadcast rate lookup, no shuffle at all.
+    "llm_stratified_sample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val rates = Seq(("en", 100L), ("de", 400L), ("fr", 400L), ("es", 700L))
+          .toDF("lang", "rate_pm")
+        Tables.documents(s, d)
+          .join(broadcast(rates), Seq("lang"), "left_outer")
+          .withColumn("rate_pm", coalesce($"rate_pm", lit(1000L)))
+          .filter(($"doc_id" * 2654435761L) % 1000 < $"rate_pm")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH rates(lang, rate_pm) AS (
+          VALUES ('en', 100), ('de', 400), ('fr', 400), ('es', 700))
+        SELECT doc_id, d.lang
+        FROM documents d LEFT JOIN rates r USING (lang)
+        WHERE (doc_id * 2654435761) % 1000 < COALESCE(r.rate_pm, 1000)
+        ORDER BY doc_id""")),
+
+    // ── TF-IDF top terms per document ──
+    // tf and df are two shuffles (doc×term, then term); idf is
+    // quantized to 6 digits before the multiply so the only
+    // transcendental (ln) can't drift an ulp between engines. The
+    // per-doc ranking window partitions by doc_id — high cardinality,
+    // so it parallelizes, unlike a global sort.
+    "llm_tfidf_top_terms" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = graft.functions.TextTokens.materialized(
+            Tables.documents(s, d).withColumn("tokens", tokens)
+              .select($"doc_id", $"tokens"))
+          .select($"doc_id", explode($"tokens").as("term"))
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+        tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(ndocs))
+          .withColumn("tfidf",
+            $"tf".cast(DoubleType) *
+              round(log($"n_docs".cast(DoubleType) / $"df"), 6))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter($"rk" <= 3)
+          .select($"doc_id", $"rk", $"term", $"tfidf")
+          .orderBy($"doc_id", $"rk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+          FROM documents),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+            CAST(tf.tf AS DOUBLE) *
+              round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, rk, term, tfidf FROM (
+          SELECT doc_id, term, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        WHERE rk <= 3
+        ORDER BY doc_id, rk"""),
+      headline = true)
   )
 }
