@@ -91,20 +91,43 @@ object Similarity extends QueryPack {
       },
       oracle = None),
 
-    // ── one-round IVF: assign to nearest of 8 seed centroids, search
-    //    only the query's cell ──
+    // ── IVF: k-means cells (deterministic seeds + Lloyd iterations),
+    //    search only the query's cell ──
+    // The real inverted-file build, not a toy seeding: 8 seeds chosen
+    // by an avalanche hash of vec_id (spread, reproducible), refined by
+    // 3 Lloyd rounds. Each round is one broadcast-crossJoin argmin
+    // (codegen'd distance HOFs, window tie-broken by centroid id) plus
+    // a (cell, dim)-keyed mean — all distributed; only the 8×64 centroid
+    // table ever sits on the driver side of a broadcast. Means are
+    // quantized to 6 digits so run-order fp wobble cannot flip a
+    // near-tie assignment between runs.
     "sim_ann_ivf" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
         val e = embDouble(s, d)
-        val cents = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("centroid_id"), $"emb".as("cemb"))
-        val wAssign = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("dist", normSq(zip_with($"emb", $"cemb", (x, y) => x - y)))
-          .withColumn("r", row_number().over(wAssign))
-          .filter($"r" === 1)
-          .select($"vec_id", $"label", $"emb", $"centroid_id")
+        def assignTo(cents: DataFrame): DataFrame = {
+          val wAssign = Window.partitionBy($"vec_id")
+            .orderBy($"dist".asc, $"centroid_id")
+          e.crossJoin(broadcast(cents))
+            .withColumn("dist", normSq(zip_with($"emb", $"cemb", (x, y) => x - y)))
+            .withColumn("r", row_number().over(wAssign))
+            .filter($"r" === 1)
+            .select($"vec_id", $"label", $"emb", $"centroid_id")
+        }
+        // deterministic spread seeds: 8 smallest avalanche-mixed ids
+        var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(8)
+          .select(row_number().over(Window.orderBy($"vec_id")).as("centroid_id"),
+            $"emb".as("cemb"))
+        for (_ <- 1 to 3) {
+          cents = assignTo(cents)
+            .select($"centroid_id", posexplode($"emb").as(Seq("pos", "v")))
+            .groupBy($"centroid_id", $"pos")
+            .agg(round(avg($"v"), 6).as("m"))
+            .groupBy($"centroid_id")
+            .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+              s => s.getField("m")).as("cemb"))
+        }
+        val assigned = assignTo(cents)
         val q = assigned.filter($"vec_id" < 5)
           .select($"vec_id".as("query_id"), $"emb".as("qemb"),
             $"centroid_id".as("qcell"))
@@ -160,6 +183,72 @@ object Similarity extends QueryPack {
                round(sqrt(CAST(SUM(c2) AS DOUBLE)), 6) AS centroid_norm
         FROM c2 GROUP BY label
         ORDER BY label""")),
+
+    // ── kNN label prediction: similarity search put to use ──
+    // Majority label of the 5 nearest neighbors (cosine) for 100 query
+    // vectors — the eval face of embedding search. Query side broadcast,
+    // candidate side streamed; per-query ranking and voting are windows
+    // over high-cardinality keys (parallelizes). Deterministic
+    // tie-breaks everywhere: neighbor rank by (cos desc, vec_id), vote
+    // by (votes desc, label asc).
+    "sim_knn_classify" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embDouble(s, d)
+        val q = e.filter($"vec_id" < 100)
+          .select($"vec_id".as("query_id"), $"label".as("true_label"),
+            $"emb".as("qemb"))
+        val wRank = Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"vec_id")
+        val neighbors = e.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter($"rnk" <= 5)
+        val wVote = Window.partitionBy($"query_id")
+          .orderBy($"votes".desc, $"label")
+        neighbors
+          .groupBy($"query_id", $"true_label", $"label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter($"vr" === 1)
+          .select($"query_id", $"true_label", $"label".as("pred_label"),
+            ($"label" === $"true_label").as("correct"))
+          .orderBy($"query_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, label AS true_label, emb AS qemb
+          FROM e WHERE vec_id < 100),
+        scored AS (
+          SELECT q.query_id, q.true_label, e.vec_id, e.label,
+            round(
+              list_sum(list_transform(generate_series(1, len(q.qemb)),
+                i -> q.qemb[i] * e.emb[i])) /
+              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
+          FROM q, e WHERE e.vec_id <> q.query_id),
+        top5 AS (
+          SELECT * FROM (
+            SELECT query_id, true_label, label, cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM scored)
+          WHERE rnk <= 5),
+        votes AS (
+          SELECT query_id, true_label, label, COUNT(*) AS votes
+          FROM top5 GROUP BY query_id, true_label, label)
+        SELECT query_id, true_label, label AS pred_label,
+               (label = true_label) AS correct
+        FROM (
+          SELECT query_id, true_label, label, votes,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) AS vr
+          FROM votes)
+        WHERE vr = 1
+        ORDER BY query_id""")),
 
     // ── int8 symmetric quantization + reconstruction error ──
     // The storage face of embedding work at 100 TB: 4x smaller vectors

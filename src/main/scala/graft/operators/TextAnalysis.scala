@@ -298,7 +298,11 @@ object TextAnalysis extends QueryPack {
             Tables.documents(s, d).withColumn("tokens", tokens)
               .select($"doc_id", $"tokens"))
           .select($"doc_id", explode($"tokens").as("term"))
-        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        // object barrier: tf feeds BOTH the score join and the df
+        // aggregate — without it Catalyst inlines the whole
+        // tokenize+explode+agg subtree twice
+        val tf = graft.functions.TextTokens.materialized(
+          toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
