@@ -63,6 +63,19 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("MinHash-LSH pairs recall 100% of true >=0.9-Jaccard pairs") {
+    // the COVERAGE.md gate: banded MinHash (16 perms, 4 bands of 4) has
+    // per-band collision prob j^4, so at duplicate-grade Jaccard >= 0.9
+    // miss prob is (1-0.9^4)^4 ~ 1.4% per pair theoretical worst case —
+    // this asserts the fixture's actual near-dups are all found
+    val jacc = rowsOf("dedup_ngram_jaccard")
+      .filter(_(2).asInstanceOf[Double] >= 0.9)
+      .map(r => (r(0), r(1))).toSet
+    val mh = rowsOf("dedup_minhash_pairs").map(r => (r(0), r(1))).toSet
+    jacc should not be empty
+    (jacc -- mh) shouldBe empty
+  }
+
   test("ANN embedding dedup output is a subset of the exact pairs with high recall") {
     val exact = rowsOf("dedup_embedding_cosine").map(r => (r(0), r(1))).toSet
     val ann = rowsOf("dedup_embedding_ann_pairs").map(r => (r(0), r(1))).toSet
