@@ -285,6 +285,49 @@ object TextAnalysis extends QueryPack {
         WHERE (doc_id * 2654435761) % 1000 < COALESCE(r.rate_pm, 1000)
         ORDER BY doc_id""")),
 
+    // ── composite corpus-cleanup filter (the C4-style chain) ──
+    // quality floor + language allowlist + token-length band + exact-dup
+    // keep-first, in ONE pass: the dedup-survivor choice is a window
+    // min over the content hash (no self-join), filters are codegen'd
+    // scan-stage predicates, and the whole thing is a single shuffle
+    // (the hash window). Integer-count arithmetic with one final double
+    // division keeps both engines bit-identical.
+    "llm_corpus_filter" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val n = length($"text").cast(DoubleType)
+        val alphaCnt = (length($"text") -
+          length(regexp_replace($"text", "[a-zA-Z]", ""))).cast(DoubleType)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2($"text", 256))
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(tokens).cast(LongType))
+          .withColumn("alpha_ratio", alphaCnt / nullif(n, lit(0.0)))
+          .withColumn("keep_id", min($"doc_id").over(w))
+          .filter($"doc_id" === $"keep_id" &&
+            $"lang".isin("en", "de", "fr", "es") &&
+            $"alpha_ratio" >= 0.6 &&
+            $"n_tokens".between(20, 5000))
+          .select($"doc_id", $"lang", $"n_tokens", $"alpha_ratio")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '')) AS BIGINT) AS n_tokens,
+            CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+              / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alpha_ratio,
+            MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+          FROM documents)
+        SELECT doc_id, lang, n_tokens, alpha_ratio
+        FROM scored
+        WHERE doc_id = keep_id
+          AND lang IN ('en', 'de', 'fr', 'es')
+          AND alpha_ratio >= 0.6
+          AND n_tokens BETWEEN 20 AND 5000
+        ORDER BY doc_id""")),
+
     // ── TF-IDF top terms per document ──
     // tf and df are two shuffles (doc×term, then term); idf is
     // quantized to 6 digits before the multiply so the only
