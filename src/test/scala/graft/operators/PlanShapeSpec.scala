@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Physical-plan regression gates for the scale-critical queries: the
+  * point is not that they run, but that they run with the plan a
+  * 1000-executor cluster needs — equality joins instead of cartesian
+  * products, broadcasts on dim sides, map-side partial aggregation.
+  * A refactor that silently degrades one of these shapes fails here
+  * long before a benchmark would catch it.
+  */
+class PlanShapeSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("blocked embedding dedup joins by block keys — no cartesian, no nested loop") {
+    val p = plan("dedup_embedding_blocked")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("banded simhash pairs join on segment equality — no cartesian, no nested loop") {
+    val p = plan("dedup_simhash_pairs_banded")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("minhash LSH pairs join on band keys — no cartesian, no nested loop") {
+    val p = plan("dedup_minhash_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("ANN embedding dedup joins on bucket equality — no cartesian, no nested loop") {
+    val p = plan("dedup_embedding_ann_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("stratified sample reads documents with a broadcast rate lookup") {
+    val p = plan("llm_stratified_sample")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("brand dim join broadcasts the part table") {
+    plan("q_dim_join_brand") should include("BroadcastHashJoin")
+  }
+
+  test("exact dedup aggregates with a map-side partial phase") {
+    plan("dedup_exact") should include("partial_min")
+  }
+
+  test("skew top-k aggregator combines map-side (partial aggregation)") {
+    val p = plan("q_topk_skew_aggregate")
+    p.toLowerCase should include("objecthashaggregate")
+  }
+
+  test("TPC-H q5 keeps small dims on broadcast joins") {
+    // supplier/nation/region broadcast; the fact-fact joins may shuffle
+    plan("q5_local_supplier") should include("BroadcastHashJoin")
+  }
+}
