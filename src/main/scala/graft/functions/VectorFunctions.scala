@@ -3,23 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding math as codegen'd higher-order functions — no UDFs, no
-  * serialization boundary; every operation stays inside whole-stage
-  * codegen over the raw `array<float>` column (cast element-wise to
-  * double for cross-engine determinism: the fold is strictly
-  * left-to-right in both Spark's `aggregate` and DuckDB's `list_sum`).
+/** Embedding math over `array<double>` columns — no UDFs, no
+  * serialization boundary. The reductions (dot, norm², L2²) are native
+  * codegen'd Catalyst expressions ([[VectorExprs]]): Spark's built-in
+  * higher-order functions are CodegenFallback (interpreted, boxed per
+  * element), which made them the hot-path cost of the similarity
+  * stack. Fold order is strictly left-to-right, identical to the HOF
+  * formulation and DuckDB's `list_sum`, so oracle values are
+  * bit-for-bit unchanged.
   */
 object VectorFunctions {
 
   /** array<float> → array<double>, element-wise. */
   def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Left-to-right dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right dot product (codegen'd primitive loop). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
-  def normSq(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+  def normSq(a: Column): Column = VectorExprs.dot(a, a)
+
+  /** Squared L2 distance (codegen'd primitive loop). */
+  def l2sq(a: Column, b: Column): Column = VectorExprs.l2sq(a, b)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

@@ -109,7 +109,7 @@ object Similarity extends QueryPack {
           val wAssign = Window.partitionBy($"vec_id")
             .orderBy($"dist".asc, $"centroid_id")
           e.crossJoin(broadcast(cents))
-            .withColumn("dist", normSq(zip_with($"emb", $"cemb", (x, y) => x - y)))
+            .withColumn("dist", l2sq($"emb", $"cemb"))
             .withColumn("r", row_number().over(wAssign))
             .filter($"r" === 1)
             .select($"vec_id", $"label", $"emb", $"centroid_id")
