@@ -31,6 +31,16 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         spark.sql("SELECT graft_rolling_hash('a', 'b', 'c')").collect()
       }
       err.getMessage should include("graft_rolling_hash")
+
+      // native vector expressions, and parity with the plain-Scala fold
+      val v = spark.sql(
+        """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(-1.0d, 0.5d, 2.0d)),
+                  graft_l2sq(array(1.0d, 2.0d), array(3.0d, -1.0d)),
+                  graft_dot(array(1.0d), CAST(null AS ARRAY<DOUBLE>))""")
+        .collect().head
+      v.getDouble(0) shouldBe (1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0)
+      v.getDouble(1) shouldBe (4.0 + 9.0)
+      v.isNullAt(2) shouldBe true
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites — just restore the previous session slots
