@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session sizing for the target deployment, stated as rules rather
+  * than magic numbers (SURVEY.md §7; the 100 TB design contract):
+  *
+  *  - `shuffle.partitions`: ~2× total cores so every core gets work
+  *    even with stragglers, while AQE coalescing merges the tail of
+  *    small partitions after each exchange. At 1000 executors × 4
+  *    cores that's 8000 — never the 200 default, which would put
+  *    12.5 GB in every reducer at 100 TB.
+  *  - `files.maxPartitionBytes` 128 MiB: a scan task's working set
+  *    must fit the per-core memory slice (executor-mem ×
+  *    memory-fraction / cores, typically ~1 GiB) with room for the
+  *    operator above it; 128 MiB compressed parquet decodes to
+  *    several× that in memory.
+  *  - AQE on, with skew-join splitting: runtime re-planning handles
+  *    the skew that static planning cannot know (hot users, hot
+  *    terms, giant near-dup clusters) by splitting oversized
+  *    partitions at shuffle boundaries; pair with explicit salting
+  *    (`operators/Salting`) only for keys skewed beyond AQE's split
+  *    factor.
+  *  - Broadcast threshold 64 MiB: dimension tables (region, nation,
+  *    rate tables, query vectors, block-pair maps) must broadcast —
+  *    a shuffle of the fact side against a 25-row dim is the single
+  *    largest avoidable cost in the TPC-H-shaped queries.
+  *  - UTC session timezone and nanosAsLong: cross-engine timestamp
+  *    determinism for the oracle compare (see graft.Tables).
+  */
+object Tuning {
+
+  /** Apply the sizing rules for a deployment with `totalCores` cores.
+    * Local test sessions pass the local core count; a cluster deploy
+    * passes executors × cores-per-executor. */
+  def configure(b: SparkSession.Builder, totalCores: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", math.max(totalCores * 2, 8))
+    .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

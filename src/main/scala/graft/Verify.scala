@@ -7,14 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Tuning sets UTC + nanosAsLong (events.parquet carries INT64
+    // TIMESTAMP(NANOS); see graft.Tables) on top of the sizing rules
+    val spark = Tuning.configure(SparkSession.builder(), cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS); Spark only reads
-      // it as epoch-nano Long behind this flag (see graft.Tables).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
