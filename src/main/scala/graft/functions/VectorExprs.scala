@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd vector arithmetic.
   *
@@ -27,10 +28,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // constructed internally on array<double> columns only
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot"
+
+  // SQL-reachable via GraftExtensions: reject anything but
+  // array<double> at analysis time — ArrayData.getDouble on an
+  // array<float> would silently read garbage, not throw
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -67,10 +79,21 @@ case class DotProduct(left: Expression, right: Expression)
 case class L2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // constructed internally on array<double> columns only
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_l2sq"
+
+  // SQL-reachable via GraftExtensions: reject anything but
+  // array<double> at analysis time — ArrayData.getDouble on an
+  // array<float> would silently read garbage, not throw
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

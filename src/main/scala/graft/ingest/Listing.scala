@@ -87,17 +87,27 @@ object Listing {
     val (zeroLen, nonEmptyAll) = files.partition(_._2 == 0L)
     // tolerate files deleted between list and fetch (the reference's
     // poll has the same race and simply retries next cycle): a missing
-    // path must not fail the whole batch and wedge the loop. The guard
-    // is batched per PARENT DIRECTORY — one listStatus RPC per dir, not
-    // one exists() round-trip per file, so a 10k-file poll costs a
-    // handful of namenode calls instead of 10k sequential ones
+    // path must not fail the whole batch and wedge the loop. Strategy
+    // per PARENT DIRECTORY, chosen by how many of ITS files we fetch:
+    // few → per-file exists() (bounded RPCs, no dependence on directory
+    // size); many → one listStatus (one RPC amortized over the batch,
+    // but O(directory size) on object stores — only worth it when the
+    // fetch list itself is large)
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val parents = nonEmptyAll
-      .map(f => new org.apache.hadoop.fs.Path(f._1).getParent).distinct
-    val existing: Set[String] = parents.flatMap { dir =>
-      try fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.toUri.getPath)
-      catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+    val listThreshold = 16
+    val byDir = nonEmptyAll.groupBy(f => new org.apache.hadoop.fs.Path(f._1).getParent)
+    val existing: Set[String] = byDir.iterator.flatMap { case (dir, files) =>
+      if (files.size < listThreshold)
+        files.iterator.map(_._1)
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      else {
+        val listed =
+          try fs.listStatus(dir).iterator
+            .filter(_.isFile).map(_.getPath.toUri.getPath).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        files.iterator.map(_._1).filter(listed.contains)
+      }
     }.toSet
     val nonEmpty = nonEmptyAll.filter(f => existing.contains(f._1))
     val zeroDf = zeroLen

@@ -29,23 +29,40 @@ final class PollDriver(
   private val converter = cfg.converter
 
   private val carryPath = s"$stateDir/carryover.parquet"
+  private val carryOldPath = s"$stateDir/carryover.old.parquet"
 
+  private def hasParts(dir: String): Boolean =
+    Option(new java.io.File(dir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+
+  /** Reads the carry spool; falls back to the `.old` generation if a
+    * crash landed between the rename steps of [[writeCarry]] — at worst
+    * records are re-served (at-least-once), never lost. */
   private def readCarry(): Dataset[FileChangeRecord] = {
     import spark.implicits._
-    val hasParts = Option(new java.io.File(carryPath).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (hasParts) spark.read.parquet(carryPath).as[FileChangeRecord]
+    if (hasParts(carryPath)) spark.read.parquet(carryPath).as[FileChangeRecord]
+    else if (hasParts(carryOldPath))
+      spark.read.parquet(carryOldPath).as[FileChangeRecord]
     else spark.emptyDataset[FileChangeRecord]
   }
 
   /** Spool the unserved tail durably BEFORE the old spool is replaced —
-    * the head Dataset's lineage may still read the old parquet. */
+    * the head Dataset's lineage may still read the old parquet.
+    * Generation swap instead of delete-then-rename: the previous spool
+    * is moved aside (not deleted) until the new one is in place, and
+    * every rename result is checked, so no crash window silently drops
+    * carried records. */
   private def writeCarry(tail: Dataset[FileChangeRecord]): Unit = {
     val tmp = s"$stateDir/carryover.tmp.parquet"
-    tail.write.mode("overwrite").parquet(tmp)
+    tail.write.mode("overwrite").parquet(tmp) // materializes from old spool
     val target = new java.io.File(carryPath)
-    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
-    new java.io.File(tmp).renameTo(target)
+    val old = new java.io.File(carryOldPath)
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (target.exists() && !target.renameTo(old))
+      throw new java.io.IOException(s"cannot stage $carryPath -> $carryOldPath")
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"cannot publish $tmp -> $carryPath")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
   /** One poll: returns the number of records emitted, or -1 when a
@@ -61,11 +78,16 @@ final class PollDriver(
     * `splitAt(max.poll.records)` — head to the sink, tail spooled for
     * the next poll. The cap counts records AFTER the 1→N converter, so
     * an expanding converter cannot exceed it. */
+  // Carry-over serving ignores the (refresh-cadence) backoff like the
+  // reference's buffer-first poll — EXCEPT right after a failure, where
+  // retrying the carry at full speed would hot-loop a down sink.
+  @volatile private var lastFailed = false
+
   def pollOnce(): Long = {
     val now = clock()
     val carry = readCarry()
     val haveCarry = carry.take(1).nonEmpty
-    if (!haveCarry && !backoff.passed(now)) return 0L
+    if ((!haveCarry || lastFailed) && !backoff.passed(now)) return 0L
     try {
       val batch =
         if (haveCarry) carry
@@ -81,13 +103,17 @@ final class PollDriver(
       val served = head.cache()
       val n = served.count()
       sink(served)
-      writeCarry(tail)
+      // idle polls (no carry, nothing over the cap) skip the spool swap
+      // entirely — no per-cycle parquet churn on quiet directories
+      if (haveCarry || tail.take(1).nonEmpty) writeCarry(tail)
       served.unpersist()
       if (!haveCarry) backoff = backoff.nextSuccess(now)
+      lastFailed = false
       n
     } catch {
       case scala.util.control.NonFatal(_) =>
         backoff = backoff.nextFailure(now)
+        lastFailed = true
         -1L
     }
   }

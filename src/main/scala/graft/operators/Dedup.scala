@@ -225,17 +225,22 @@ object Dedup extends QueryPack {
         import s.implicits._
         // carry shingle FINGERPRINTS (long arrays), not the strings: the
         // candidate-verify joins then ship ~8 bytes per shingle instead
-        // of whole 3-gram strings, and exact Jaccard over the distinct
-        // fingerprint sets equals string-set Jaccard (mod 2^-60-rate
-        // collisions in a 10^9+7 space)
+        // of whole 3-gram strings. The fingerprint is the double-prime
+        // ~2^60-space hash (h31 + h131*Mod, the simhash trick) so
+        // set-Jaccard over distinct fps equals string-set Jaccard even
+        // at corpus scale — a single 10^9+7 hash would already have
+        // ~30% collision odds at sf0.1's 27k distinct shingles.
         val docs = materialized(docsWithTokens(s, d)
             .select($"doc_id", shinglesCol.as("shingles")))
-          .select($"doc_id",
-            array_distinct(transform($"shingles", sh => rolling_hash(sh))).as("fps"))
+          .select($"doc_id", array_distinct(transform($"shingles",
+            sh => rolling_hash(sh, 31) + rolling_hash(sh, 131) * Mod)).as("fps"))
         val sh = docs.select($"doc_id", explode($"fps").as("fp"))
-        // one shuffle: 16 min-aggregates in a single groupBy
+        // one shuffle: 16 min-aggregates in a single groupBy. Signatures
+        // permute fp % Mod — which IS rolling_hash(sh, 31), so the
+        // minhash values are unchanged by the wider fingerprint (and the
+        // pre-mod keeps (2i+1)*fp inside Long under ANSI)
         val aggs = (0 until 16).map(i =>
-          min(((lit(2L * i + 1)) * $"fp" + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+          min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
         val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
         // 4 bands × 4 rows, band key built by projection (no second agg)
         val bandKeys = (0 until 4).map(b =>
@@ -442,16 +447,24 @@ object Dedup extends QueryPack {
     "dedup_embedding_blocked" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val nBlocks = 8
+        // B scales with the cluster so the B(B+1)/2 block-pair tasks
+        // keep every core busy (sqrt(2·parallelism) ⇒ ~parallelism
+        // tasks); both sides are tagged with the composite (b1, b2) and
+        // the join keys on BOTH, so the shuffle distributes over all
+        // block pairs — keying on one block id alone would collapse the
+        // join to B reduce partitions
+        val nBlocks = math.max(8,
+          math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
         val e = Tables.embeddings(s, d)
           .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
           .withColumn("blk", pmod($"vec_id", lit(nBlocks)).cast(IntegerType))
         val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
           yield (i, j)).toDF("b1", "b2")
         val left = e.select($"blk".as("b1"), $"vec_id".as("vec_id_a"), $"emb".as("emb_a"))
+          .join(broadcast(blockPairs), Seq("b1"))
         val right = e.select($"blk".as("b2"), $"vec_id".as("vec_id_b"), $"emb".as("emb_b"))
-        left.join(broadcast(blockPairs), Seq("b1"))
-          .join(right, Seq("b2"))
+          .join(broadcast(blockPairs), Seq("b2"))
+        left.join(right, Seq("b1", "b2"))
           // same-block pairs once via id order; cross-block rows are
           // already unique per unordered pair (sides fixed by block)
           .filter($"b1" =!= $"b2" || $"vec_id_a" < $"vec_id_b")

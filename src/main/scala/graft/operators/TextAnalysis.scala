@@ -270,10 +270,14 @@ object TextAnalysis extends QueryPack {
         import s.implicits._
         val rates = Seq(("en", 100L), ("de", 400L), ("fr", 400L), ("es", 700L))
           .toDF("lang", "rate_pm")
+        // pre-reduce the id so the Knuth multiply can never overflow a
+        // 64-bit BIGINT: (1000003-1) * 2654435761 ≈ 2.7e15 << 2^63.
+        // Spark's ANSI mode would THROW on overflow at doc_id ≥ 3.5e9
+        // (and DuckDB errors too) — this keeps the gate valid at any id
         Tables.documents(s, d)
           .join(broadcast(rates), Seq("lang"), "left_outer")
           .withColumn("rate_pm", coalesce($"rate_pm", lit(1000L)))
-          .filter(($"doc_id" * 2654435761L) % 1000 < $"rate_pm")
+          .filter((($"doc_id" % 1000003L) * 2654435761L) % 1000 < $"rate_pm")
           .select($"doc_id", $"lang")
           .orderBy($"doc_id")
       },
@@ -282,7 +286,7 @@ object TextAnalysis extends QueryPack {
           VALUES ('en', 100), ('de', 400), ('fr', 400), ('es', 700))
         SELECT doc_id, d.lang
         FROM documents d LEFT JOIN rates r USING (lang)
-        WHERE (doc_id * 2654435761) % 1000 < COALESCE(r.rate_pm, 1000)
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000 < COALESCE(r.rate_pm, 1000)
         ORDER BY doc_id""")),
 
     // ── composite corpus-cleanup filter (the C4-style chain) ──
@@ -360,10 +364,9 @@ object TextAnalysis extends QueryPack {
           .select($"doc_id", $"rk", $"term", $"tfidf")
           .orderBy($"doc_id", $"rk")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH toks AS (
-          SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
           FROM documents),
         t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),

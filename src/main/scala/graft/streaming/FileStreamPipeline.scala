@@ -153,10 +153,24 @@ object FileStreamPipeline {
       .start()
   }
 
-  /** Wall-clock tick source for [[updateMonitorPolls]]: one poll per
-    * `refreshInterval` (the reference's `ftp.refresh`). */
+  /** Wall-clock tick source: rows accumulate continuously, but polls
+    * fire once per micro-batch, so the poll cadence is set by the
+    * TRIGGER, not by rowsPerSecond — use [[updateMonitorStream]] which
+    * wires both. */
   def rateTicks(spark: SparkSession): DataFrame =
     spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+
+  /** Convenience wiring: one state-compare poll per `refreshInterval`
+    * (the reference's `ftp.refresh`, `FtpSourceTask.scala:27`). */
+  def updateMonitorStream(
+      spark: SparkSession,
+      dirs: Seq[graft.ingest.MonitoredPath],
+      stateDir: String,
+      sink: Dataset[FileChangeRecord] => Unit,
+      refreshInterval: String = "1 minute",
+      maxFilesPerPoll: Int = 10000): StreamingQuery =
+    updateMonitorPolls(rateTicks(spark), dirs, stateDir, sink, maxFilesPerPoll,
+      Trigger.ProcessingTime(refreshInterval))
 
   /** Kafka sink wiring (requires the spark-sql-kafka package on the
     * cluster's classpath; not present in this offline test image, where
