@@ -137,6 +137,34 @@ object EventTime extends QueryPack {
         WHERE event_type = 'purchase'
         ORDER BY event_id""")),
 
+    // ── RANGE-frame sliding window: per-user activity in the trailing
+    //    hour, frame bounded by VALUE (event-time) not row count — the
+    //    time-series window mode the ROWS-frame queries can't express.
+    //    Peers at the same timestamp share a frame in both engines, so
+    //    no tiebreak column is needed (or allowed) in a RANGE order. ──
+    "evt_range_window" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus")
+          .rangeBetween(-HourUs, 0)
+        Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .select($"event_id", $"user_id",
+            count(lit(1)).over(w).as("n_last_hour"),
+            sum(dec($"value")).over(w).cast(DoubleType).as("sum_last_hour"))
+          .orderBy($"event_id")
+      },
+      oracle = Some(s"""
+        SELECT event_id, user_id,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW) AS n_last_hour,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS sum_last_hour
+        FROM events
+        ORDER BY event_id""")),
+
     // ── approximate distinct (HLL++) next to the exact count ──
     "agg_approx_distinct" -> QueryDef(
       fn = (s, d) => {

@@ -605,6 +605,33 @@ object Relational extends QueryPack {
       oracle = Some(topkSkewSql),
       headline = true),
 
+    // ── GROUPING SETS: arbitrary grouping combinations in one pass
+    //    (rollup/cube's general form; Spark expands to a single
+    //    Expand+Aggregate, one shuffle for all three groupings) ──
+    "q_grouping_sets" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+              Seq($"o_orderstatus"), Seq.empty[org.apache.spark.sql.Column]),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(
+            grouping_id().cast(LongType).as("gid"),
+            count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority""")),
+
     // ── dropDuplicates: row-level dedup on a key subset ──
     "q_drop_duplicates" -> QueryDef(
       fn = (s, d) => {
