@@ -24,21 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_rolling_hash(str[, prime]) expects 1 or 2 arguments")
       }))
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(a, b) => DotProduct(a, b)
-        case _ => throw new IllegalArgumentException(
-          "graft_dot(array<double>, array<double>) expects 2 arguments")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_l2sq"),
-      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(a, b) => L2Sq(a, b)
-        case _ => throw new IllegalArgumentException(
-          "graft_l2sq(array<double>, array<double>) expects 2 arguments")
-      }))
+    def injectBinary(name: String, cls: Class[_],
+        make: (Expression, Expression) => Expression): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(a, b) => make(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"$name(array<double>, array<double>) expects 2 arguments")
+        }))
+    injectBinary("graft_dot", classOf[DotProduct], DotProduct.apply)
+    injectBinary("graft_l2sq", classOf[L2Sq], L2Sq.apply)
   }
 }

@@ -21,15 +21,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Fold order is strictly left-to-right — IDENTICAL to the
   * `aggregate(zip_with(...))` formulation they replace and to DuckDB's
   * `list_sum(list_transform(...))` — so every oracle-checked value is
-  * bit-for-bit unchanged. Null elements inside vectors are not
-  * supported (the embedding columns carry none); a null ARRAY input
-  * yields null via nullIntolerant.
+  * bit-for-bit unchanged. Null semantics also match that formulation:
+  * a null ARRAY input, a null element, or mismatched lengths (which
+  * zip_with pads with nulls) all yield a null result — never a silent
+  * partial value.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can yield null even for non-null inputs (length mismatch / null
+  // element), so nullable must not be derived from the children —
+  // otherwise codegen folds ev.isNull into a literal
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   // SQL-reachable via GraftExtensions: reject anything but
@@ -47,10 +52,15 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -60,12 +70,15 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 
@@ -81,6 +94,8 @@ case class L2Sq(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // see DotProduct.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_l2sq"
 
   // SQL-reachable via GraftExtensions: reject anything but
@@ -98,10 +113,12 @@ case class L2Sq(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -116,13 +133,16 @@ case class L2Sq(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = $a.getDouble($i) - $b.getDouble($i);
-          $acc += $d * $d;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $d = $a.getDouble($i) - $b.getDouble($i);
+            $acc += $d * $d;
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -119,10 +119,15 @@ object Monitor {
       maxFilesPerPoll: Int = 10000): Dataset[FileChangeRecord] = {
     import spark.implicits._
     val statePath = s"$stateDir/state.parquet"
-    val state =
-      if (new java.io.File(statePath).exists())
-        spark.read.parquet(statePath).as[FileMetaData]
-      else spark.emptyDataset[FileMetaData]
+    val stateOldPath = s"$stateDir/state.old.parquet"
+    // GenSwap fallback: a crash mid-publish leaves the previous state
+    // generation readable — the next poll then re-detects (and
+    // re-emits) that generation's changes: at-least-once, like the
+    // reference's uncommitted-offsets window (SURVEY.md §3.3)
+    val state = GenSwap.readable(statePath, stateOldPath) match {
+      case Some(dir) => spark.read.parquet(dir).as[FileMetaData]
+      case None => spark.emptyDataset[FileMetaData]
+    }
     val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll)
     // Materialize BOTH outputs to disk before swapping the state dir:
     // the records Dataset's lineage reads the old state parquet, so
@@ -134,9 +139,7 @@ object Monitor {
     out.records.write.mode("overwrite").parquet(recordsPath)
     out.newState.write.mode("overwrite").parquet(tmp)
     out.cleanup()
-    val target = new java.io.File(statePath)
-    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
-    new java.io.File(tmp).renameTo(target)
+    GenSwap.publish(tmp, statePath, stateOldPath)
     val hasParts = Option(new java.io.File(recordsPath).listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
     if (hasParts) spark.read.parquet(recordsPath).as[FileChangeRecord]

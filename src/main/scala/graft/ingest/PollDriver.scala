@@ -31,39 +31,30 @@ final class PollDriver(
   private val carryPath = s"$stateDir/carryover.parquet"
   private val carryOldPath = s"$stateDir/carryover.old.parquet"
 
-  private def hasParts(dir: String): Boolean =
-    Option(new java.io.File(dir).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-
   /** Reads the carry spool; falls back to the `.old` generation if a
     * crash landed between the rename steps of [[writeCarry]] — at worst
     * records are re-served (at-least-once), never lost. */
   private def readCarry(): Dataset[FileChangeRecord] = {
     import spark.implicits._
-    if (hasParts(carryPath)) spark.read.parquet(carryPath).as[FileChangeRecord]
-    else if (hasParts(carryOldPath))
-      spark.read.parquet(carryOldPath).as[FileChangeRecord]
-    else spark.emptyDataset[FileChangeRecord]
+    GenSwap.readable(carryPath, carryOldPath) match {
+      case Some(dir) => spark.read.parquet(dir).as[FileChangeRecord]
+      case None => spark.emptyDataset[FileChangeRecord]
+    }
   }
 
   /** Spool the unserved tail durably BEFORE the old spool is replaced —
-    * the head Dataset's lineage may still read the old parquet.
-    * Generation swap instead of delete-then-rename: the previous spool
-    * is moved aside (not deleted) until the new one is in place, and
-    * every rename result is checked, so no crash window silently drops
-    * carried records. */
+    * the head Dataset's lineage may still read the old parquet; the
+    * crash-safety contract lives in [[GenSwap.publish]]. */
   private def writeCarry(tail: Dataset[FileChangeRecord]): Unit = {
     val tmp = s"$stateDir/carryover.tmp.parquet"
     tail.write.mode("overwrite").parquet(tmp) // materializes from old spool
-    val target = new java.io.File(carryPath)
-    val old = new java.io.File(carryOldPath)
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    if (target.exists() && !target.renameTo(old))
-      throw new java.io.IOException(s"cannot stage $carryPath -> $carryOldPath")
-    if (!new java.io.File(tmp).renameTo(target))
-      throw new java.io.IOException(s"cannot publish $tmp -> $carryPath")
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    GenSwap.publish(tmp, carryPath, carryOldPath)
   }
+
+  // Carry-over serving ignores the (refresh-cadence) backoff like the
+  // reference's buffer-first poll — EXCEPT right after a failure, where
+  // retrying the carry at full speed would hot-loop a down sink.
+  @volatile private var lastFailed = false
 
   /** One poll: returns the number of records emitted, or -1 when a
     * failure escalated the backoff, or 0 while waiting out the backoff
@@ -78,11 +69,6 @@ final class PollDriver(
     * `splitAt(max.poll.records)` — head to the sink, tail spooled for
     * the next poll. The cap counts records AFTER the 1→N converter, so
     * an expanding converter cannot exceed it. */
-  // Carry-over serving ignores the (refresh-cadence) backoff like the
-  // reference's buffer-first poll — EXCEPT right after a failure, where
-  // retrying the carry at full speed would hot-loop a down sink.
-  @volatile private var lastFailed = false
-
   def pollOnce(): Long = {
     val now = clock()
     val carry = readCarry()
@@ -104,8 +90,10 @@ final class PollDriver(
       val n = served.count()
       sink(served)
       // idle polls (no carry, nothing over the cap) skip the spool swap
-      // entirely — no per-cycle parquet churn on quiet directories
-      if (haveCarry || tail.take(1).nonEmpty) writeCarry(tail)
+      // entirely — no per-cycle parquet churn on quiet directories. The
+      // tail can only be non-empty when head hit the cap, so the served
+      // count decides without re-running the split lineage
+      if (haveCarry || n >= cfg.maxPollRecords) writeCarry(tail)
       served.unpersist()
       if (!haveCarry) backoff = backoff.nextSuccess(now)
       lastFailed = false

@@ -36,11 +36,21 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       val v = spark.sql(
         """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(-1.0d, 0.5d, 2.0d)),
                   graft_l2sq(array(1.0d, 2.0d), array(3.0d, -1.0d)),
-                  graft_dot(array(1.0d), CAST(null AS ARRAY<DOUBLE>))""")
+                  graft_dot(array(1.0d), CAST(null AS ARRAY<DOUBLE>)),
+                  graft_dot(array(1.0d, CAST(null AS DOUBLE)), array(2.0d, 3.0d)),
+                  graft_dot(array(1.0d), array(1.0d, 2.0d))""")
         .collect().head
       v.getDouble(0) shouldBe (1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0)
       v.getDouble(1) shouldBe (4.0 + 9.0)
-      v.isNullAt(2) shouldBe true
+      v.isNullAt(2) shouldBe true // null array -> null
+      v.isNullAt(3) shouldBe true // null element -> null, never 0.0
+      v.isNullAt(4) shouldBe true // length mismatch -> null, no truncation
+      // non-array<double> input rejected at analysis, not silently read
+      val typeErr = intercept[Exception] {
+        spark.sql("SELECT graft_dot(CAST(array(1.0) AS ARRAY<FLOAT>), " +
+          "CAST(array(1.0) AS ARRAY<FLOAT>))").collect()
+      }
+      typeErr.getMessage.toLowerCase should include("graft_dot")
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites — just restore the previous session slots
