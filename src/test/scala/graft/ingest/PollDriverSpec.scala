@@ -87,4 +87,31 @@ class PollDriverSpec extends AnyFunSuite with Matchers {
     driver.pollOnce() shouldBe 0L
     served shouldBe Vector("a", "b", "c")
   }
+
+  test("carry-over survives a crash mid-publish: the .old generation is served") {
+    val root = Files.createTempDirectory("graft-crash")
+    val stateDir = Files.createTempDirectory("graft-crash-state").toString
+    val cfg = MonitorConfig(Map(
+      MonitorConfig.MonitorUpdate -> s"$root/in/:t",
+      MonitorConfig.Refresh -> "PT1S",
+      MonitorConfig.MaxPollRecords -> "1",
+      MonitorConfig.SourceRecordConverter -> "graft.ingest.Records$LineSplitRecordConverter"))
+    var served = Vector.empty[String]
+    var now = 0L
+    val driver = new PollDriver(spark, cfg, stateDir,
+      sink = ds => served ++= ds.collect().toSeq.map(r => new String(r.value, UTF_8)),
+      clock = () => now)
+
+    write(root.resolve("in/f.csv"), "a\nb")
+    driver.pollOnce() shouldBe 1L // serves "a", spools "b"
+
+    // simulate a crash that landed between the stage and publish
+    // renames: the spool exists only as the .old generation
+    val carry = new java.io.File(s"$stateDir/carryover.parquet")
+    val old = new java.io.File(s"$stateDir/carryover.old.parquet")
+    carry.renameTo(old) shouldBe true
+
+    driver.pollOnce() shouldBe 1L // "b" recovered from .old
+    served shouldBe Vector("a", "b")
+  }
 }
