@@ -35,6 +35,27 @@ case class RollingHash(child: Expression, prime: Long = 31L)
     copy(child = newChild)
 }
 
+/** Fused double-prime rolling hash: `h31 + h131 * Mod` (the ~2^60
+  * fingerprint used by the SimHash/MinHash pipelines) computed in ONE
+  * scan of the string instead of two separate [[RollingHash]]
+  * evaluations — the token/shingle fingerprint is the hottest
+  * per-character loop in the dedup stack. Value is bit-identical to
+  * the two-expression formulation (and its DuckDB oracle spelling). */
+case class RollingHash2(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash2(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash2($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash2 =
+    copy(child = newChild)
+}
+
 object RollingHash {
   val Mod: Long = 1000000007L
 
@@ -66,7 +87,41 @@ object RollingHash {
     h
   }
 
+  /** Fused h31 + h131*Mod in one scan; see [[RollingHash2]]. */
+  def hash2(s: UTF8String): Long = {
+    val n = s.numBytes
+    var h31 = 0L
+    var h131 = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return hash2ViaString(s) // non-ASCII byte
+      h31 = (h31 * 31L + b) % Mod
+      h131 = (h131 * 131L + b) % Mod
+      i += 1
+    }
+    h31 + h131 * Mod
+  }
+
+  private def hash2ViaString(s: UTF8String): Long = {
+    val str = s.toString
+    var h31 = 0L
+    var h131 = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      h31 = (h31 * 31L + c) % Mod
+      h131 = (h131 * 131L + c) % Mod
+      i += 1
+    }
+    h31 + h131 * Mod
+  }
+
   /** Column-level entry point; input is cast to string if needed. */
   def rolling_hash(c: Column, prime: Long = 31L): Column =
     Shim.column(RollingHash(Cast(Shim.expression(c), StringType), prime))
+
+  /** Column-level fused double-prime fingerprint. */
+  def rolling_hash2(c: Column): Column =
+    Shim.column(RollingHash2(Cast(Shim.expression(c), StringType)))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.{QueryDef, QueryPack, Tables}
-import graft.functions.RollingHash.rolling_hash
+import graft.functions.RollingHash.{rolling_hash, rolling_hash2}
 import graft.functions.VectorFunctions
 
 /** Deduplication operators for the training-data-pipeline track
@@ -78,7 +78,7 @@ object Dedup extends QueryPack {
     val tok = materialized(
         docsWithTokens(s, d).select(col("doc_id"), col("lang"), col("tokens")))
       .select(col("doc_id"), col("lang"), explode(col("tokens")).as("t"))
-      .withColumn("fp", rolling_hash(col("t"), 31) + rolling_hash(col("t"), 131) * Mod)
+      .withColumn("fp", rolling_hash2(col("t"))) // one scan, both primes
     simhashOf(tok.groupBy(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"), col("simhash"))
   }
@@ -233,7 +233,7 @@ object Dedup extends QueryPack {
         val docs = materialized(docsWithTokens(s, d)
             .select($"doc_id", shinglesCol.as("shingles")))
           .select($"doc_id", array_distinct(transform($"shingles",
-            sh => rolling_hash(sh, 31) + rolling_hash(sh, 131) * Mod)).as("fps"))
+            sh => rolling_hash2(sh))).as("fps"))
         val sh = docs.select($"doc_id", explode($"fps").as("fp"))
         // one shuffle: 16 min-aggregates in a single groupBy. Signatures
         // permute fp % Mod — which IS rolling_hash(sh, 31), so the
@@ -275,7 +275,7 @@ object Dedup extends QueryPack {
         import s.implicits._
         val tok = materialized(docsWithTokens(s, d).select($"doc_id", $"tokens"))
           .select($"doc_id", explode($"tokens").as("t"))
-          .withColumn("fp", rolling_hash($"t", 31) + rolling_hash($"t", 131) * Mod)
+          .withColumn("fp", rolling_hash2($"t")) // fused h31 + h131*Mod
         // one shuffle: the 60 bit-votes are column aggregates of one
         // groupBy; the sketch is recombined in a projection
         simhashOf(tok.groupBy($"doc_id"))

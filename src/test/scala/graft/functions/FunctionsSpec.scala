@@ -23,6 +23,12 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     }
     // 'abc' = ((97*31)+98)*31+99 = 96354 — the value the DuckDB oracle computes
     expected("abc", 31L) shouldBe 96354L
+    // fused double-prime fingerprint == the two-expression formulation,
+    // ASCII fast path and non-ASCII fallback alike
+    val df2 = (inputs :+ "非ascii 文本 ±5°").toDF("s").select($"s",
+      RollingHash.rolling_hash2($"s").as("h2"),
+      (rolling_hash($"s", 31) + rolling_hash($"s", 131) * RollingHash.Mod).as("ref2"))
+    df2.collect().foreach(r => r.getLong(1) shouldBe r.getLong(2))
     // null-safe
     Seq[Option[String]](None).toDF("s").select(rolling_hash($"s")).collect()
       .head.isNullAt(0) shouldBe true
