@@ -605,6 +605,67 @@ object Relational extends QueryPack {
       oracle = Some(topkSkewSql),
       headline = true),
 
+    // ── full outer join: nations' supplier presence vs customer
+    //    presence (the high-balance supplier filter leaves some nations
+    //    supplier-less, so both null sides actually occur) ──
+    "q_full_outer" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val sc = Tables.supplier(s, d).filter($"s_acctbal" > 9000)
+          .groupBy($"s_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_rich_suppliers"))
+        val cc = Tables.customer(s, d).filter($"c_acctbal" > 9000)
+          .groupBy($"c_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_rich_customers"))
+        sc.join(cc, Seq("nationkey"), "full_outer")
+          .select($"nationkey",
+            coalesce($"n_rich_suppliers", lit(0L)).as("n_rich_suppliers"),
+            coalesce($"n_rich_customers", lit(0L)).as("n_rich_customers"))
+          .orderBy($"nationkey")
+      },
+      oracle = Some("""
+        WITH sc AS (
+          SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey),
+        cc AS (
+          SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+          FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey)
+        SELECT COALESCE(sc.nationkey, cc.nationkey) AS nationkey,
+               COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers,
+               COALESCE(n_rich_customers, 0) AS n_rich_customers
+        FROM sc FULL OUTER JOIN cc ON sc.nationkey = cc.nationkey
+        ORDER BY nationkey""")),
+
+    // ── unpivot (melt): wide per-status counts back to long via the
+    //    Dataset.unpivot API (stack()'s typed face) ──
+    "q_unpivot" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .na.fill(0L, Seq("F", "O", "P"))
+          .unpivot(Array($"o_orderpriority"), Array($"F", $"O", $"P"),
+            "status", "n_orders")
+          .orderBy($"o_orderpriority", $"status")
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT o_orderpriority,
+            COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS f,
+            COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS o,
+            COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS p
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, status, CAST(n_orders AS BIGINT) AS n_orders
+        FROM (
+          SELECT o_orderpriority, 'F' AS status, f AS n_orders FROM counts
+          UNION ALL
+          SELECT o_orderpriority, 'O', o FROM counts
+          UNION ALL
+          SELECT o_orderpriority, 'P', p FROM counts)
+        ORDER BY o_orderpriority, status""")),
+
     // ── GROUPING SETS: arbitrary grouping combinations in one pass
     //    (rollup/cube's general form; Spark expands to a single
     //    Expand+Aggregate, one shuffle for all three groupings) ──
