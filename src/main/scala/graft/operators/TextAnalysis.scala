@@ -332,6 +332,54 @@ object TextAnalysis extends QueryPack {
           AND n_tokens BETWEEN 20 AND 5000
         ORDER BY doc_id""")),
 
+    // ── unigram surprisal: corpus-LM quality scoring ──
+    // Per-document mean -ln p(token) under the corpus unigram model —
+    // the quality-filter signal behind CCNet-style pipelines (low
+    // surprisal ≈ repetitive boilerplate, high ≈ rare-token noise).
+    // Two shuffles (corpus counts, per-doc mean) + one broadcast of the
+    // vocabulary counts; per-term surprisal is quantized to 6 digits
+    // and summed in DECIMAL so the mean is bit-identical across
+    // engines (the ln-ulp + sum-order rules from sim_label_centroids).
+    "llm_unigram_surprisal" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = graft.functions.TextTokens.materialized(
+            Tables.documents(s, d).withColumn("tokens", tokens)
+              .select($"doc_id", $"tokens"))
+          .select($"doc_id", explode($"tokens").as("term"))
+        val counts = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(counts, Seq("term"))
+          .crossJoin(broadcast(total))
+          .withColumn("surprisal",
+            round(log($"n_total".cast(DoubleType) / $"c"), 6)
+              .cast(DecimalType(20, 6)))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum($"surprisal").cast(DoubleType).as("sum_surprisal"))
+          .withColumn("mean_surprisal", round($"sum_surprisal" / $"n_tokens", 6))
+          .select($"doc_id", $"n_tokens", $"mean_surprisal")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_total FROM t),
+        s AS (
+          SELECT t.doc_id,
+            CAST(round(ln(CAST(n.n_total AS DOUBLE) / c.c), 6) AS DECIMAL(20,6))
+              AS surprisal
+          FROM t JOIN c USING (term) CROSS JOIN n)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(CAST(SUM(surprisal) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_surprisal
+        FROM s GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ── TF-IDF top terms per document ──
     // tf and df are two shuffles (doc×term, then term); idf is
     // quantized to 6 digits before the multiply so the only
