@@ -137,6 +137,47 @@ object EventTime extends QueryPack {
         WHERE event_type = 'purchase'
         ORDER BY event_id""")),
 
+    // ── native session_window: the streaming-capable sessionizer ──
+    // Same gap semantics as evt_sessionize's manual window chain,
+    // expressed with the built-in session_window — the form that runs
+    // unchanged under Structured Streaming with watermark-based state
+    // eviction. Boundary nuance: session_window starts a NEW session
+    // when the gap equals the timeout (t - prev >= gap), while the
+    // manual variant splits only when strictly greater; the oracle
+    // mirrors the native (>=) rule.
+    "evt_session_window_native" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+          .groupBy($"user_id", session_window($"t", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            unix_micros($"w.start").as("session_start_us"),
+            $"n_events")
+          .orderBy($"user_id", $"session_start_us")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id) AS prev_tus
+          FROM events),
+        flags AS (
+          SELECT user_id, tus,
+                 CASE WHEN prev_tus IS NULL OR tus - prev_tus >= $GapUs
+                      THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sessions AS (
+          SELECT user_id, tus,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM flags)
+        SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start_us""")),
+
     // ── RANGE-frame sliding window: per-user activity in the trailing
     //    hour, frame bounded by VALUE (event-time) not row count — the
     //    time-series window mode the ROWS-frame queries can't express.
