@@ -32,6 +32,29 @@ object EventTime extends QueryPack {
   private val HourUs = 3600L * 1000000L
   private val GapUs = 30L * 60L * 1000000L
 
+  /** Shared gap-sessionization CTE chain (split on gap STRICTLY
+    * greater than the timeout, event_id tiebreak for same-microsecond
+    * events) — used by both the manual and native session queries, so
+    * the two oracles cannot drift. */
+  private lazy val sessionsCte: String = s"""
+        t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id) AS prev_tus
+          FROM events),
+        flags AS (
+          SELECT user_id, event_id, tus,
+                 CASE WHEN prev_tus IS NULL OR tus - prev_tus > $GapUs
+                      THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sessions AS (
+          SELECT user_id, tus,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_no
+          FROM flags)"""
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── tumbling 1-hour event-time windows ──
@@ -74,23 +97,7 @@ object EventTime extends QueryPack {
           .orderBy($"user_id", $"session_no")
       },
       oracle = Some(s"""
-        WITH t AS (
-          SELECT user_id, event_id, epoch_us(ts) AS tus,
-                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                         ORDER BY epoch_us(ts), event_id) AS prev_tus
-          FROM events),
-        flags AS (
-          SELECT user_id, event_id, tus,
-                 CASE WHEN prev_tus IS NULL OR tus - prev_tus > $GapUs
-                      THEN 1 ELSE 0 END AS new_session
-          FROM t),
-        sessions AS (
-          SELECT user_id, tus,
-                 CAST(SUM(new_session) OVER (PARTITION BY user_id
-                   ORDER BY tus, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   AS session_no
-          FROM flags)
+        WITH $sessionsCte
         SELECT user_id, session_no,
                MIN(tus) // 1000 AS session_start_ms,
                MAX(tus) // 1000 AS session_end_ms,
@@ -138,13 +145,13 @@ object EventTime extends QueryPack {
         ORDER BY event_id""")),
 
     // ── native session_window: the streaming-capable sessionizer ──
-    // Same gap semantics as evt_sessionize's manual window chain,
+    // Same gap semantics as evt_sessionize's manual window chain
+    // (verified empirically on this Spark build: events exactly one
+    // timeout apart MERGE; only a strictly greater gap splits),
     // expressed with the built-in session_window — the form that runs
     // unchanged under Structured Streaming with watermark-based state
-    // eviction. Boundary nuance: session_window starts a NEW session
-    // when the gap equals the timeout (t - prev >= gap), while the
-    // manual variant splits only when strictly greater; the oracle
-    // mirrors the native (>=) rule.
+    // eviction. The oracle shares evt_sessionize's CTE chain, so the
+    // two sessionizers are provably consistent.
     "evt_session_window_native" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -158,21 +165,7 @@ object EventTime extends QueryPack {
           .orderBy($"user_id", $"session_start_us")
       },
       oracle = Some(s"""
-        WITH t AS (
-          SELECT user_id, event_id, epoch_us(ts) AS tus,
-                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                         ORDER BY epoch_us(ts), event_id) AS prev_tus
-          FROM events),
-        flags AS (
-          SELECT user_id, tus,
-                 CASE WHEN prev_tus IS NULL OR tus - prev_tus >= $GapUs
-                      THEN 1 ELSE 0 END AS new_session
-          FROM t),
-        sessions AS (
-          SELECT user_id, tus,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-          FROM flags)
+        WITH $sessionsCte
         SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
         FROM sessions
         GROUP BY user_id, session_no

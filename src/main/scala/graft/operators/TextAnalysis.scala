@@ -343,12 +343,16 @@ object TextAnalysis extends QueryPack {
     "llm_unigram_surprisal" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val toks = graft.functions.TextTokens.materialized(
-            Tables.documents(s, d).withColumn("tokens", tokens)
-              .select($"doc_id", $"tokens"))
+        // the exploded term list feeds the count aggregate AND the join
+        // left side; checkpoint it so tokenize+explode runs once (plain
+        // plan reuse would inline the subtree per use — no ReusedExchange
+        // fires across these shapes)
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
           .select($"doc_id", explode($"tokens").as("term"))
+          .localCheckpoint()
         val counts = toks.groupBy($"term").agg(count(lit(1)).as("c"))
-        val total = toks.agg(count(lit(1)).as("n_total"))
+        // total derives from counts — not a third pass over the corpus
+        val total = counts.agg(sum($"c").as("n_total"))
         toks.join(counts, Seq("term"))
           .crossJoin(broadcast(total))
           .withColumn("surprisal",
@@ -389,15 +393,13 @@ object TextAnalysis extends QueryPack {
     "llm_tfidf_top_terms" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val toks = graft.functions.TextTokens.materialized(
-            Tables.documents(s, d).withColumn("tokens", tokens)
-              .select($"doc_id", $"tokens"))
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
           .select($"doc_id", explode($"tokens").as("term"))
-        // object barrier: tf feeds BOTH the score join and the df
-        // aggregate — without it Catalyst inlines the whole
-        // tokenize+explode+agg subtree twice
-        val tf = graft.functions.TextTokens.materialized(
-          toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
+        // checkpoint: tf feeds BOTH the score join and the df aggregate —
+        // a plain plan (even behind an object barrier) is inlined per
+        // use, re-running tokenize+explode+agg twice
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
