@@ -66,4 +66,20 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     // supplier/nation/region broadcast; the fact-fact joins may shuffle
     plan("q5_local_supplier") should include("BroadcastHashJoin")
   }
+
+  test("q6 range predicates push down to the parquet scan") {
+    val p = plan("q6_revenue_forecast")
+    p should include("PushedFilters")
+    p should include("GreaterThanOrEqual(l_shipdate")
+    p should include("LessThan(l_quantity")
+  }
+
+  test("q_orderby_limit prunes unused lineitem columns at the scan") {
+    val p = plan("q_orderby_limit")
+    // reads only (l_orderkey, l_linenumber, l_extendedprice): columns the
+    // query never touches must not survive into the scan schema
+    p should not include "l_returnflag"
+    p should not include "l_tax"
+    p should not include "l_partkey"
+  }
 }
