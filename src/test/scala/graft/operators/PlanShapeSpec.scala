@@ -19,6 +19,12 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Formatted mode keeps full scan metadata (PushedFilters/ReadSchema)
+    * that the simple plan string truncates. */
+  private def formattedPlan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   test("blocked embedding dedup joins by block keys — no cartesian, no nested loop") {
     val p = plan("dedup_embedding_blocked")
     p should not include "CartesianProduct"
@@ -68,14 +74,14 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
   }
 
   test("q6 range predicates push down to the parquet scan") {
-    val p = plan("q6_revenue_forecast")
+    val p = formattedPlan("q6_revenue_forecast")
     p should include("PushedFilters")
     p should include("GreaterThanOrEqual(l_shipdate")
     p should include("LessThan(l_quantity")
   }
 
   test("q_orderby_limit prunes unused lineitem columns at the scan") {
-    val p = plan("q_orderby_limit")
+    val p = formattedPlan("q_orderby_limit")
     // reads only (l_orderkey, l_linenumber, l_extendedprice): columns the
     // query never touches must not survive into the scan schema
     p should not include "l_returnflag"
