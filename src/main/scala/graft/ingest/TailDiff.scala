@@ -65,13 +65,21 @@ object TailDiff {
       case Some(p) if p.size != meta.size || p.hash != meta.hash =>
         if (tail) {
           if (meta.size > p.size) {
-            require(p.size <= Int.MaxValue && cur.body.length <= Int.MaxValue,
+            require(p.size <= Int.MaxValue,
               s"tail slice beyond 2 GiB unsupported for in-memory bodies: ${cur.path}")
-            val prefixHash = sha256Hex(cur.body, p.size.toInt)
-            if (p.hash == prefixHash) { // (a) clean append
-              val delta = java.util.Arrays.copyOfRange(cur.body, p.size.toInt, cur.body.length)
-              (meta.modifiedAt(now), FileBody(delta, p.size))
-            } else { // (b) previously-seen content changed: fall back to full
+            if (cur.body.length >= p.size.toInt) {
+              val prefixHash = sha256Hex(cur.body, p.size.toInt)
+              if (p.hash == prefixHash) { // (a) clean append
+                val delta = java.util.Arrays.copyOfRange(cur.body, p.size.toInt, cur.body.length)
+                (meta.modifiedAt(now), FileBody(delta, p.size))
+              } else { // (b) previously-seen content changed: fall back to full
+                (meta.modifiedAt(now), FileBody(cur.body, 0))
+              }
+            } else {
+              // listed size grew but the in-hand body is shorter than
+              // the known prefix (truncated between list and read):
+              // the prefix cannot be verified — (b)-style full dump of
+              // what was actually read, never a crash of the poll batch
               (meta.modifiedAt(now), FileBody(cur.body, 0))
             }
           } else { // (c) shrunk (or same size, different hash) while tailing

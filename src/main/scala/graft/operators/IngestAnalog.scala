@@ -29,6 +29,14 @@ object IngestAnalog extends QueryPack {
   private val CutoffNs = 1705276800000000000L
   private val SevenDaysUs = 7L * 86400L * 1000000L
 
+  /** Events within 7 days of the newest (the shared max-age listing of
+    * #4 and #6): one broadcast scalar, filter in the scan stage. */
+  private def maxAgeListing(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    ev.crossJoin(broadcast(ev.agg(max(col("tus")).as("max_tus"))))
+      .filter(col("tus") >= col("max_tus") - SevenDaysUs)
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── #4 max-age filter: keep events within 7 days of the newest ──
@@ -36,9 +44,7 @@ object IngestAnalog extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
-        val newest = ev.agg(max($"tus").as("max_tus"))
-        ev.crossJoin(broadcast(newest))
-          .filter($"tus" >= $"max_tus" - SevenDaysUs)
+        maxAgeListing(ev)
           .select($"event_id", $"user_id", $"event_type",
             expr("tus div 1000").as("ts_ms"))
           .orderBy($"event_id")
@@ -60,8 +66,7 @@ object IngestAnalog extends QueryPack {
         import s.implicits._
         val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
         val watermark = ev.agg(expr("(max(event_id) * 9) div 10").as("wm"))
-        val listing = ev.crossJoin(broadcast(ev.agg(max($"tus").as("max_tus"))))
-          .filter($"tus" >= $"max_tus" - SevenDaysUs)
+        val listing = maxAgeListing(ev)
           .select($"event_id", $"user_id", $"event_type")
         val state = ev.crossJoin(broadcast(watermark))
           .filter($"event_id" < $"wm")

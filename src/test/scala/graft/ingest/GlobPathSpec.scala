@@ -45,6 +45,23 @@ class GlobPathSpec extends AnyFunSuite with Matchers {
     GlobPath.matches("/d/[!ab]0", "/d/a0") shouldBe false
   }
 
+  test("wildcards inside groups are live, like NIO glob (the reference's engine)") {
+    // java.nio PathMatcher("glob:{app*,sys*}.log") matches app1.log
+    GlobPath.matches("/logs/{app*,sys*}.log", "/logs/app1.log") shouldBe true
+    GlobPath.matches("/logs/{app*,sys*}.log", "/logs/sys.log") shouldBe true
+    GlobPath.matches("/logs/{app*,sys*}.log", "/logs/kernel.log") shouldBe false
+    GlobPath.matches("/d/{a[0-9],b?}.csv", "/d/a7.csv") shouldBe true
+    GlobPath.matches("/d/{a[0-9],b?}.csv", "/d/bz.csv") shouldBe true
+    GlobPath.matches("/d/{a[0-9],b?}.csv", "/d/ax.csv") shouldBe false
+  }
+
+  test("malformed globs fail fast, like NIO, instead of silently matching nothing") {
+    intercept[IllegalArgumentException](GlobPath.globToRegex("/d/a[bc"))
+    intercept[IllegalArgumentException](GlobPath.globToRegex("/d/{a,b"))
+    intercept[IllegalArgumentException](GlobPath.globToRegex("/d/{a,{b,c}}"))
+    intercept[IllegalArgumentException](GlobPath.globToRegex("/d/a[x/]b"))
+  }
+
   test("regex metacharacters in literals are escaped") {
     GlobPath.matches("/d/a.b", "/d/a.b") shouldBe true
     GlobPath.matches("/d/a.b", "/d/axb") shouldBe false

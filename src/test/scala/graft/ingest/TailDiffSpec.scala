@@ -57,6 +57,17 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     fb.offset shouldBe 0L
   }
 
+  test("(b') listed-grew but body truncated mid-read: full dump, never a crash") {
+    // the listing said the file grew to 20 bytes, but by read time it
+    // held only 3 — the known 6-byte prefix cannot be verified, so the
+    // in-hand body dumps at offset 0 instead of crashing the poll batch
+    val prev = metaOf("abcdef".getBytes)
+    val cur = FetchedFile("/f", 20L, 6L, "xyz".getBytes)
+    val (_, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev), cur, now)
+    new String(fb.bytes) shouldBe "xyz"
+    fb.offset shouldBe 0L
+  }
+
   test("(c) tail shrunk: empty body") {
     val prev = metaOf("abcdef".getBytes)
     val (_, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev), fetched("/f", "abc".getBytes, 6L), now)
