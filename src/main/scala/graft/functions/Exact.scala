@@ -26,6 +26,11 @@ object Exact {
   /** SUM of a decimal-valued expression (already exact), as double. */
   def dsumExpr(c: Column): Column = sum(c).cast(DoubleType)
 
-  /** AVG = exact decimal SUM cast to double, divided by COUNT in double. */
+  /** Mean over ALL rows: exact decimal SUM cast to double, divided by
+    * COUNT(*). NOTE this is NOT SQL AVG for nullable inputs — AVG
+    * divides by the non-null count, this divides by the row count
+    * (matching the SUM/COUNT(*) oracles it pairs with; the TPC-H money
+    * columns are non-null, where the two coincide). For a nullable
+    * column use sum(dec(c))/count(c). */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
 }

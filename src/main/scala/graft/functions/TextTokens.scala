@@ -7,17 +7,22 @@ import org.apache.spark.sql.functions._
   * dedup, and multimodal query packs. ONE definition of "token" (and
   * its DuckDB spelling) so a tokenizer change can't silently diverge
   * between queries or between an implementation and its oracle.
+  *
+  * The whitespace class is EXPLICIT (space/tab/LF/CR/FF) rather than
+  * `\s`: Java's \s matches U+000B (vertical tab) while DuckDB's RE2
+  * \s does not, so the shorthand silently diverges on exotic
+  * whitespace; the enumerated class is identical in both engines.
   */
 object TextTokens {
 
   /** Lowercased whitespace tokens of the `text` column, empty artifacts
     * removed. Regex restricted to Java/RE2-identical constructs. */
   def tokens: Column =
-    filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"), t => t =!= "")
 
   /** The DuckDB spelling of [[tokens]]. */
   val tokensSql: String =
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+    "list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+'), t -> t <> '')"
 
   /** Materialization barrier before explode/join fan-out. Spark's
     * Generate re-evaluates its generator expression per OUTPUT row, so

@@ -25,6 +25,7 @@ final case class TopK(scores: Array[Double], ids: Array[Long])
   * beats heap bookkeeping).
   */
 final class TopKAggregator(k: Int) extends Aggregator[(Double, Long), TopK, TopK] {
+  require(k > 0, s"k must be positive, got $k")
 
   private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)

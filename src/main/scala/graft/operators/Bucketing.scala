@@ -16,15 +16,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a managed bucketed+sorted table, replacing any
-    * previous version in one call (no drop-then-write window where a
-    * failed write would leave no table at all). */
+  /** Write `df` as a managed bucketed+sorted table. The pre-write
+    * `repartition(buckets, key)` uses the same murmur3 hash as the
+    * bucketing, so each bucket lands in exactly ONE file — without it
+    * every input task writes into every bucket (inputPartitions ×
+    * buckets small files), and Spark only reports the bucketed scan's
+    * sort order when buckets are single-file, so multi-file buckets
+    * silently re-sort both sides of every "co-located" join.
+    *
+    * Note `SaveMode.Overwrite` on a managed table is drop-then-recreate
+    * — NOT atomic: a failed write leaves no table. A serving pipeline
+    * should write to a versioned name and swap with ALTER/rename (the
+    * same generation pattern as `ingest.GenSwap`). */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
       buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

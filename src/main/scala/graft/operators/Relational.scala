@@ -471,9 +471,12 @@ object Relational extends QueryPack {
             sum(p * p).cast(DoubleType).as("syy"),
             sum(q * p).cast(DoubleType).as("sxy"))
           .select($"l_returnflag", $"n",
+            // nullif guard: a zero-variance group yields NULL in both
+            // engines (Spark double/0 would give Infinity, DuckDB NULL —
+            // a silent parity break without the guard)
             (($"n" * $"sxy" - $"sx" * $"sy") /
-              sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
-                   ($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+              nullif(sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+                   ($"n" * $"syy" - $"sy" * $"sy")), lit(0.0))).as("corr_qty_price"))
           .orderBy($"l_returnflag")
       },
       oracle = Some("""
@@ -486,7 +489,8 @@ object Relational extends QueryPack {
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-          (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+          (n * sxy - sx * sy) /
+            NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
             AS corr_qty_price
         FROM s
         ORDER BY l_returnflag""")),

@@ -1,17 +1,16 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Key-salting for skewed joins. When one join key dominates (the
   * celebrity-user / null-bucket problem), all its rows land in one
   * shuffle partition and a single task runs for hours. Salting splits
-  * each hot key into `nSalts` sub-keys: the big side gets a
-  * deterministic salt derived from its row content, the small side is
-  * replicated once per salt value, and the join key becomes
-  * (key, salt) — spreading the hot key over `nSalts` tasks while
-  * preserving exact join semantics (each big-side row matches exactly
-  * one replica).
+  * each hot key into `nSalts` sub-keys: the big side gets a salt, the
+  * small side is replicated once per salt value, and the join key
+  * becomes (key, salt) — spreading the hot key over `nSalts` tasks
+  * while preserving exact join semantics (each big-side row matches
+  * exactly one replica).
   *
   * AQE's skew-join splitting handles moderate skew automatically; the
   * explicit salt is for the pathological single-key case AQE can't
@@ -26,19 +25,23 @@ object Salting {
     * `key`, salted `nSalts` ways. Result equals `big.join(small, key)`
     * for ANY salt assignment (each big row matches exactly one replica).
     *
-    * The salt is `rand(seed)`-based rather than a content hash: the
-    * canonical skew case is millions of byte-identical rows under one
-    * hot key (null-bucket/default rows), which a content hash would all
-    * map to the SAME salt, defeating the spread. `rand` is seeded per
-    * partition, so recomputation of a partition from a deterministic
-    * source (file scans) reproduces the same salts.
-    */
+    * The DEFAULT salt is a content hash of the whole row — fully
+    * deterministic, so a recomputed task under retry assigns the same
+    * salts and the join stays exact for any input (aggregates,
+    * repartition outputs, caches), not just file scans. The one case a
+    * content hash cannot spread is millions of byte-IDENTICAL rows
+    * under the hot key; for that workload pass an explicit `salt`
+    * such as `floor(rand(seed) * nSalts)` — but only over a
+    * deterministic source (a file scan), because rand re-draws on
+    * task retry and can silently duplicate/drop rows otherwise
+    * (the SPARK-23207 class of hazard). */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, nSalts: Int,
-      seed: Long = 42L): DataFrame = {
+      salt: Option[Column] = None): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    val saltExpr = salt.getOrElse(xxhash64(big.columns.map(col): _*))
     val salted = big.withColumn(SaltCol,
-      floor(rand(seed) * nSalts).cast("long"))
+      pmod(saltExpr.cast("long"), lit(nSalts.toLong)))
     val replicated = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)

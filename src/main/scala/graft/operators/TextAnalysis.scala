@@ -36,14 +36,14 @@ object TextAnalysis extends QueryPack {
         import s.implicits._
         Tables.documents(s, d)
           .select($"doc_id",
-            size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"),
+            size(split(trim($"text"), "[ \\t\\n\\r\\f]+")).cast(LongType).as("n_tokens"),
             length($"text").cast(LongType).as("n_chars_measured"),
             $"n_chars")
           .orderBy($"doc_id")
       },
       oracle = Some("""
         SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS n_tokens,
           CAST(length(text) AS BIGINT) AS n_chars_measured,
           n_chars
         FROM documents
@@ -176,7 +176,7 @@ object TextAnalysis extends QueryPack {
         SELECT doc_id,
           array_to_string(
             list_sort(list_distinct(
-              list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))),
+              list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'), t -> t <> ''))),
             ' ') AS token_signature
         FROM documents
         ORDER BY doc_id""")),
@@ -195,7 +195,7 @@ object TextAnalysis extends QueryPack {
       },
       oracle = Some("""
         SELECT term, COUNT(*) AS n
-        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f]+')) AS term
               FROM documents)
         WHERE term <> ''
         GROUP BY term
@@ -247,7 +247,7 @@ object TextAnalysis extends QueryPack {
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+          SELECT regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f]+') AS tokens
           FROM documents),
         grams AS (
           SELECT unnest(list_transform(generate_series(2, len(tokens)),
@@ -318,7 +318,7 @@ object TextAnalysis extends QueryPack {
       oracle = Some("""
         WITH scored AS (
           SELECT doc_id, lang,
-            CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
                      t -> t <> '')) AS BIGINT) AS n_tokens,
             CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
               / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alpha_ratio,
