@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * infer beyond the parquet footer. The `events.ts` column is physically
   * INT64 TIMESTAMP(NANOS) which Spark only reads via the
   * `spark.sql.legacy.parquet.nanosAsLong` flag — so `events` exposes
-  * `ts` as epoch-nanosecond Long plus a derived `ts_ms` epoch-millis Long.
+  * `ts` as an epoch-nanosecond Long; consumers derive coarser units
+  * themselves (`ts div 1000` → µs, `div 1000000` → ms).
   */
 object Tables {
   val names: Seq[String] = Seq(

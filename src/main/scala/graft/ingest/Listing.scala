@@ -27,8 +27,10 @@ object Listing {
 
   /** Normalize a source-reported URI to a bare path — strips any scheme
     * and authority (`file:`, `hdfs://namenode`, `s3a://bucket` …) so it
-    * joins against the `toUri.getPath` form the listing produces. */
-  private def stripScheme(c: org.apache.spark.sql.Column) =
+    * joins against the `toUri.getPath` form the listing produces.
+    * Shared with the streaming source so batch and streaming record
+    * paths are identical for the same file. */
+  private[graft] def stripScheme(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
 
   /** Escape Hadoop-glob metacharacters so a literal listed path is never

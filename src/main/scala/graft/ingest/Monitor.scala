@@ -60,12 +60,17 @@ object Monitor {
     // unseen, size changed, or mtime changed — FtpMonitor.scala:35-46)
     val prev = state.toDF().select(
       $"path", $"size".as("prev_size"), $"timestamp".as("prev_ts"))
-    val toFetch = listing.join(prev, Seq("path"), "left_outer")
+    val changed = listing.join(prev, Seq("path"), "left_outer")
       .filter($"prev_size".isNull ||
               $"size" =!= $"prev_size" ||
               $"timestamp" =!= $"prev_ts")
       .select($"path", $"tail", $"topic", $"size", $"timestamp")
-      .limit(maxFilesPerPoll)
+    // the cap bounds distinct PATHS, then re-attaches every matching
+    // spec: capping raw (path, spec) rows could keep topic A's row and
+    // drop topic B's for the same path — the state upsert would then
+    // mark the path clean and topic B would NEVER see the change
+    val keptPaths = changed.select($"path").distinct().limit(maxFilesPerPoll)
+    val toFetch = changed.join(keptPaths, Seq("path"), "left_semi")
       .collect()
 
     if (toFetch.isEmpty) return PollOutput(spark.emptyDataset[FileChangeRecord], state)
@@ -110,7 +115,16 @@ object Monitor {
 
   /** Convenience: poll with parquet-persisted state (the batch analog of
     * the streaming state store; survives process restarts like the
-    * reference's Connect offsets topic — SURVEY.md §3.3). */
+    * reference's Connect offsets topic — SURVEY.md §3.3).
+    *
+    * `stateDir` must be a DRIVER-LOCAL directory (the generation swap
+    * renames through `java.io.File`; object stores have no atomic
+    * rename anyway) — for cluster-shared durability point it at a
+    * shared mount, or use the streaming pipeline whose state lives in
+    * the checkpointed state store. The returned Dataset reads this
+    * poll's `records.parquet` spool, which the NEXT poll overwrites:
+    * consumers must fully materialize it before polling again (the
+    * PollDriver sink contract does — it collects/writes per poll). */
   def pollWithStateDir(
       spark: SparkSession,
       dirs: Seq[MonitoredPath],
@@ -140,9 +154,8 @@ object Monitor {
     out.newState.write.mode("overwrite").parquet(tmp)
     out.cleanup()
     GenSwap.publish(tmp, statePath, stateOldPath)
-    val hasParts = Option(new java.io.File(recordsPath).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (hasParts) spark.read.parquet(recordsPath).as[FileChangeRecord]
+    if (GenSwap.hasParts(recordsPath))
+      spark.read.parquet(recordsPath).as[FileChangeRecord]
     else spark.emptyDataset[FileChangeRecord]
   }
 }

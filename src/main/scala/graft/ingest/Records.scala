@@ -29,7 +29,10 @@ object Records {
       records: Dataset[FileChangeRecord],
       keyStyle: KeyStyle = KeyStyle.StringKey,
       dropEmpty: Boolean = true): DataFrame = {
-    val base = if (dropEmpty) records.filter(r => r.value.nonEmpty) else records
+    // column predicate, not a typed lambda: stays in whole-stage
+    // codegen instead of deserializing every record's full payload
+    val base =
+      if (dropEmpty) records.filter(length(col("value")) > 0) else records
     val keyed = keyStyle match {
       case KeyStyle.StringKey =>
         base.toDF().withColumn("key", col("path").cast("binary"))
@@ -53,22 +56,32 @@ object Records {
     override def convert(in: FileChangeRecord): Seq[FileChangeRecord] = Seq(in)
   }
 
-  /** Example converter: split a text payload into one record per line,
+  /** Example converter: split a payload into one record per line,
     * preserving byte offsets (the README's CSV-to-rows use case,
     * /root/reference/README.md:61-92). Blank lines emit no record but
     * still advance the offset — every emitted offset is the line's true
-    * byte position in the file. */
+    * byte position in the file.
+    *
+    * Splits on the RAW bytes, never through a String round-trip: a
+    * UTF-8 decode would substitute U+FFFD for non-UTF-8 payloads
+    * (latin-1 CSVs, binary frames), corrupting the emitted value AND
+    * drifting every subsequent offset. */
   final class LineSplitRecordConverter extends RecordConverter {
     override def convert(in: FileChangeRecord): Seq[FileChangeRecord] = {
       if (in.value.isEmpty) return Seq(in)
-      var off = in.offset
+      val body = in.value
       val out = Seq.newBuilder[FileChangeRecord]
-      new String(in.value, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n", -1).foreach { line =>
-          val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          if (bytes.nonEmpty) out += FileChangeRecord(in.topic, in.path, off, bytes)
-          off += bytes.length + 1 // +1 for the newline, even on skipped blanks
+      var start = 0
+      var i = 0
+      while (i <= body.length) {
+        if (i == body.length || body(i) == '\n') {
+          if (i > start)
+            out += FileChangeRecord(in.topic, in.path, in.offset + start,
+              java.util.Arrays.copyOfRange(body, start, i))
+          start = i + 1
         }
+        i += 1
+      }
       out.result()
     }
   }

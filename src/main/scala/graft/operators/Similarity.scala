@@ -119,6 +119,10 @@ object Similarity extends QueryPack {
           .select(row_number().over(Window.orderBy($"vec_id")).as("centroid_id"),
             $"emb".as("cemb"))
         for (_ <- 1 to 3) {
+          // checkpoint each round's 8-row centroid table: without the
+          // barrier every later round (and both consumers of the final
+          // assignment) would re-execute the whole nested Lloyd lineage,
+          // re-scanning the base table several-fold
           cents = assignTo(cents)
             .select($"centroid_id", posexplode($"emb").as(Seq("pos", "v")))
             .groupBy($"centroid_id", $"pos")
@@ -126,8 +130,9 @@ object Similarity extends QueryPack {
             .groupBy($"centroid_id")
             .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
               s => s.getField("m")).as("cemb"))
+            .localCheckpoint()
         }
-        val assigned = assignTo(cents)
+        val assigned = assignTo(cents).localCheckpoint()
         val q = assigned.filter($"vec_id" < 5)
           .select($"vec_id".as("query_id"), $"emb".as("qemb"),
             $"centroid_id".as("qcell"))

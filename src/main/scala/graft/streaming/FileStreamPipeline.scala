@@ -33,8 +33,17 @@ object FileStreamPipeline {
   final case class Chunk(
       fileKey: String, path: String, size: Long, timestamp: Long, body: Array[Byte])
 
-  /** Per-logical-file tail state: total bytes seen = next append offset. */
-  final case class ChunkTailState(totalSize: Long, nChunks: Long)
+  /** Per-logical-file tail state: total bytes seen = next append offset,
+    * the next part number expected, and any parts that arrived EARLY
+    * (cross-batch reordering buffer — the file source's own ordering is
+    * path-lexicographic, so `part10` can land a micro-batch before
+    * `part2`; emitting it then would transpose bytes). A missing part
+    * stalls its successors in `pending` until it arrives. */
+  final case class ChunkTailState(
+      totalSize: Long,
+      nChunks: Long,
+      nextPart: Long = 0L,
+      pending: Map[Long, Array[Byte]] = Map.empty)
 
   /** Logical file identity: strips a `.partN` suffix so chunked uploads
     * of the same logical file share state. */
@@ -51,23 +60,35 @@ object FileStreamPipeline {
   }
 
   /** The stateful tail operator: chunks of one logical file arrive in
-    * any batch; each is emitted as a delta record whose offset is the
-    * accumulated size — the streaming twin of
-    * `TailDiff.handleFetchedFile` case (a). Chunks within a batch are
-    * ordered by part number (then path) for deterministic offsets.
-    */
+    * any batch, in any order; each is emitted as a delta record whose
+    * offset is the accumulated size — the streaming twin of
+    * `TailDiff.handleFetchedFile` case (a). Numbered parts emit
+    * strictly in part order ACROSS batches: early arrivals wait in the
+    * state's pending buffer until their predecessors land (a producer
+    * that never writes a part stalls that file's tail — by design, the
+    * alternative is transposed bytes). Unnumbered paths (one chunk per
+    * key by construction of [[chunkKey]]) emit on arrival. */
   def tailStateFn(topic: String)(
       key: String,
       chunks: Iterator[Chunk],
       state: GroupState[ChunkTailState]): Iterator[FileChangeRecord] = {
     var st = state.getOption.getOrElse(ChunkTailState(0L, 0L))
-    val out = chunks.toIndexedSeq.sortBy(c => chunkOrder(c.path)).map { c =>
-      val rec = FileChangeRecord(topic, key, st.totalSize, c.body)
-      st = ChunkTailState(st.totalSize + c.body.length, st.nChunks + 1)
-      rec
+    val out = IndexedSeq.newBuilder[FileChangeRecord]
+    def emit(body: Array[Byte]): Unit = {
+      out += FileChangeRecord(topic, key, st.totalSize, body)
+      st = st.copy(totalSize = st.totalSize + body.length, nChunks = st.nChunks + 1)
     }
-    state.update(st)
-    out.iterator
+    val (numbered, unnumbered) = chunks.toIndexedSeq.partition(c =>
+      chunkOrder(c.path)._1 != Long.MaxValue)
+    unnumbered.sortBy(_.path).foreach(c => emit(c.body))
+    var pending = st.pending ++ numbered.map(c => chunkOrder(c.path)._1 -> c.body)
+    while (pending.contains(st.nextPart)) {
+      emit(pending(st.nextPart))
+      pending -= st.nextPart
+      st = st.copy(nextPart = st.nextPart + 1)
+    }
+    state.update(st.copy(pending = pending))
+    out.result().iterator
   }
 
   /** File-source → tail-stitched change records. */
@@ -83,7 +104,9 @@ object FileStreamPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(glob)
       .select(
-        regexp_replace($"path", "^file:", "").as("path"),
+        // same scheme/authority normalization as the batch path, so a
+        // file yields the SAME record path from either pipeline
+        graft.ingest.Listing.stripScheme($"path").as("path"),
         $"length".as("size"),
         unix_millis($"modificationTime").as("timestamp"),
         $"content".as("body"))

@@ -200,6 +200,29 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
       Seq("/d/f.part0", "/d/f.part1", "/d/f.part2", "/d/f.part10")
   }
 
+  test("cross-batch out-of-order parts wait for their predecessors") {
+    val dir = Files.createTempDirectory("graft-ooo")
+    val ckpt = Files.createTempDirectory("graft-ooo-ckpt")
+    def write(name: String, body: String): Unit =
+      Files.write(dir.resolve(name), body.getBytes(UTF_8), StandardOpenOption.CREATE)
+    val q = FileStreamPipeline.changeRecords(spark, s"$dir/*", "ooo")
+      .writeStream.format("memory").queryName("ooo_out")
+      .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+    try {
+      // part1 lands a whole micro-batch BEFORE part0: nothing may emit
+      write("f.part1", "WORLD")
+      q.processAllAvailable()
+      spark.table("ooo_out").count() shouldBe 0L
+      // part0 arrives: both emit, in part order, with correct offsets
+      write("f.part0", "HELLO ")
+      q.processAllAvailable()
+      val rows = spark.table("ooo_out").collect()
+        .map(r => (r.getAs[Long]("offset"), new String(r.getAs[Array[Byte]]("value"), UTF_8)))
+        .sortBy(_._1)
+      rows.toSeq shouldBe Seq((0L, "HELLO "), (6L, "WORLD"))
+    } finally q.stop()
+  }
+
   test("10+ chunks arriving in one batch stitch in part order") {
     val dir = Files.createTempDirectory("graft-manyparts")
     val ckpt = Files.createTempDirectory("graft-manyparts-ckpt")
