@@ -42,14 +42,22 @@ object Bench {
 
     val results = SparkEntry.headlineQueries.map { name =>
       val t0 = System.nanoTime()
-      try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(SparkEntry.queries(name)(spark, sfDir))
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // a failed query must not masquerade as a fast one: flag it
+          // with a negative time and say so on stderr
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

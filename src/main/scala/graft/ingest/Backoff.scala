@@ -15,12 +15,17 @@ final case class ExponentialBackoff(
 
   /** Current wait interval: step * 2^iteration, capped. Overflow-safe:
     * the cap is applied via division before the multiply, so huge
-    * step × 2^n products can never wrap negative and disable gating. */
+    * step × 2^n products can never wrap negative and disable gating.
+    *
+    * A zero step (continuous polling) still must not hot-loop on
+    * FAILURE: after the first failure the doubling base is floored at
+    * 1 s — the reference's own idle sleep (`FtpSourceTask.scala:71`). */
   def intervalMs: Long = {
-    if (stepMs <= 0L) return 0L
+    val base = if (iteration > 0) math.max(stepMs, 1000L) else stepMs
+    if (base <= 0L) return 0L
     val shift = 1L << math.min(iteration, 62)
-    if (iteration >= 62 || shift > capMs / stepMs) capMs
-    else math.min(capMs, stepMs * shift)
+    if (iteration >= 62 || shift > capMs / base) capMs
+    else math.min(capMs, base * shift)
   }
 
   def endTimeMs: Long = sinceMs + intervalMs

@@ -130,21 +130,41 @@ object Monitor {
       dirs: Seq[MonitoredPath],
       stateDir: String,
       maxAgeMs: Option[Long] = None,
-      maxFilesPerPoll: Int = 10000): Dataset[FileChangeRecord] = {
+      maxFilesPerPoll: Int = 10000,
+      nowMs: Long = System.currentTimeMillis()): Dataset[FileChangeRecord] = {
+    val (records, commit) =
+      pollWithStateDirStaged(spark, dirs, stateDir, maxAgeMs, maxFilesPerPoll, nowMs)
+    commit()
+    records
+  }
+
+  /** Like [[pollWithStateDir]] but the state publish is DEFERRED to the
+    * returned `commit` thunk: callers that deliver records to a sink
+    * invoke it only after delivery succeeds, so a sink failure or crash
+    * re-detects (and re-emits) the same changes on the next poll —
+    * at-least-once, like the reference's uncommitted-offsets window
+    * (SURVEY.md §3.3). Committing BEFORE delivery would silently drop
+    * the batch on a sink failure. */
+  def pollWithStateDirStaged(
+      spark: SparkSession,
+      dirs: Seq[MonitoredPath],
+      stateDir: String,
+      maxAgeMs: Option[Long] = None,
+      maxFilesPerPoll: Int = 10000,
+      nowMs: Long = System.currentTimeMillis()): (Dataset[FileChangeRecord], () => Unit) = {
     import spark.implicits._
     val statePath = s"$stateDir/state.parquet"
     val stateOldPath = s"$stateDir/state.old.parquet"
     // GenSwap fallback: a crash mid-publish leaves the previous state
-    // generation readable — the next poll then re-detects (and
-    // re-emits) that generation's changes: at-least-once, like the
-    // reference's uncommitted-offsets window (SURVEY.md §3.3)
+    // generation readable — the next poll then re-detects that
+    // generation's changes
     val state = GenSwap.readable(statePath, stateOldPath) match {
       case Some(dir) => spark.read.parquet(dir).as[FileMetaData]
       case None => spark.emptyDataset[FileMetaData]
     }
-    val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll)
-    // Materialize BOTH outputs to disk before swapping the state dir:
-    // the records Dataset's lineage reads the old state parquet, so
+    val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll, nowMs)
+    // Materialize BOTH outputs to disk before any state swap: the
+    // records Dataset's lineage reads the old state parquet, so
     // deleting it first would make any later recomputation (cache
     // eviction, executor loss) fail with missing part-files. Spooling
     // records also means the caller's sink never re-runs the fetch.
@@ -153,9 +173,10 @@ object Monitor {
     out.records.write.mode("overwrite").parquet(recordsPath)
     out.newState.write.mode("overwrite").parquet(tmp)
     out.cleanup()
-    GenSwap.publish(tmp, statePath, stateOldPath)
-    if (GenSwap.hasParts(recordsPath))
-      spark.read.parquet(recordsPath).as[FileChangeRecord]
-    else spark.emptyDataset[FileChangeRecord]
+    val records =
+      if (GenSwap.hasParts(recordsPath))
+        spark.read.parquet(recordsPath).as[FileChangeRecord]
+      else spark.emptyDataset[FileChangeRecord]
+    (records, () => GenSwap.publish(tmp, statePath, stateOldPath))
   }
 }

@@ -46,22 +46,32 @@ object MonitorConfig {
   private[ingest] def parseMonitors(
       spec: String, tail: Boolean): Seq[MonitoredPath] =
     spec.split(',').filter(_.nonEmpty).toSeq.map { pair =>
-      pair.split(':') match {
+      // trim BEFORE the non-empty guard: "  :topic" must fail fast,
+      // not produce an empty monitored path
+      pair.split(':').map(_.trim) match {
         case Array(path, topic) if path.nonEmpty && topic.nonEmpty =>
-          MonitoredPath(path.trim, tail, topic.trim)
+          MonitoredPath(path, tail, topic)
         case _ => throw new IllegalArgumentException(
           s"invalid monitor spec '$pair': expected path:topic")
       }
     }
 
   def apply(props: Map[String, String]): MonitorConfig = {
-    def duration(key: String, default: String): Duration =
-      try Duration.parse(props.getOrElse(key, default))
-      catch {
-        case e: java.time.format.DateTimeParseException =>
-          throw new IllegalArgumentException(
-            s"invalid ISO-8601 duration for $key: '${props(key)}'", e)
-      }
+    def duration(key: String, default: String): Duration = {
+      val d =
+        try Duration.parse(props.getOrElse(key, default))
+        catch {
+          case e: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"invalid ISO-8601 duration for $key: '${props(key)}'", e)
+        }
+      // ISO-8601 parses negative durations ("PT-5S") — reject them.
+      // Zero stays legal: refresh PT0S means continuous polling (the
+      // failure backoff floors its doubling base at 1 s regardless)
+      if (d.isNegative) throw new IllegalArgumentException(
+        s"$key must be a non-negative duration, got '$d'")
+      d
+    }
     val tails = props.get(MonitorTail).map(parseMonitors(_, tail = true))
       .getOrElse(Seq.empty)
     val updates = props.get(MonitorUpdate).map(parseMonitors(_, tail = false))
@@ -76,7 +86,13 @@ object MonitorConfig {
         s"invalid $KeyStyleKey '$other': expected string|struct")
     }
     def positiveInt(key: String): Int = {
-      val v = props.getOrElse(key, "10000").toInt
+      val raw = props.getOrElse(key, "10000")
+      val v =
+        try raw.toInt
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be an integer, got '$raw'", e)
+        }
       if (v <= 0) throw new IllegalArgumentException(s"$key must be positive")
       v
     }

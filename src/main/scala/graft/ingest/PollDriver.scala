@@ -51,6 +51,16 @@ final class PollDriver(
     GenSwap.publish(tmp, carryPath, carryOldPath)
   }
 
+  /** Remove a fully-drained spool so gated polls can skip the carry
+    * probe with a pure file-existence check (no Spark job). Runs after
+    * the sink consumed the served head; a crash before this re-serves
+    * the carry (at-least-once), never loses it. */
+  private def dropCarry(): Unit =
+    Seq(carryPath, carryOldPath).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+
   // Carry-over serving ignores the (refresh-cadence) backoff like the
   // reference's buffer-first poll — EXCEPT right after a failure, where
   // retrying the carry at full speed would hot-loop a down sink.
@@ -71,33 +81,45 @@ final class PollDriver(
     * an expanding converter cannot exceed it. */
   def pollOnce(): Long = {
     val now = clock()
-    val carry = readCarry()
-    val haveCarry = carry.take(1).nonEmpty
-    if ((!haveCarry || lastFailed) && !backoff.passed(now)) return 0L
+    // cheap gates first — no Spark job is launched while waiting out a
+    // backoff window: after a failure nothing bypasses the gate, and
+    // without a spool on disk (file-level check) there is no carry
+    if (!backoff.passed(now) &&
+        (lastFailed || GenSwap.readable(carryPath, carryOldPath).isEmpty))
+      return 0L
     try {
+      val carry = readCarry()
+      val haveCarry = carry.take(1).nonEmpty
+      if (!haveCarry && !backoff.passed(now)) return 0L
+      // state publish is DEFERRED past sink delivery (at-least-once:
+      // a sink failure below leaves state unpublished, so the next
+      // poll re-detects and re-emits this batch)
+      var commitState: () => Unit = () => ()
       val batch =
         if (haveCarry) carry
         else {
-          val records = Monitor.pollWithStateDir(
+          val (records, commit) = Monitor.pollWithStateDirStaged(
             spark, cfg.dirs, stateDir,
             maxAgeMs = cfg.maxAge.map(_.toMillis),
-            maxFilesPerPoll = cfg.maxFilesPerPoll)
+            maxFilesPerPoll = cfg.maxFilesPerPoll,
+            nowMs = now)
+          commitState = commit
           Records.applyConverter(records, converter)
         }
       val (head, tail) = Records.splitAt(batch, cfg.maxPollRecords.toLong)
       // count + sink consume head before the spool swap touches lineage
       val served = head.cache()
-      val n = served.count()
-      sink(served)
-      // idle polls (no carry, nothing over the cap) skip the spool swap
-      // entirely — no per-cycle parquet churn on quiet directories. The
-      // tail can only be non-empty when head hit the cap, so the served
-      // count decides without re-running the split lineage
-      if (haveCarry || n >= cfg.maxPollRecords) writeCarry(tail)
-      served.unpersist()
-      if (!haveCarry) backoff = backoff.nextSuccess(now)
-      lastFailed = false
-      n
+      try {
+        val n = served.count()
+        sink(served)
+        if (haveCarry && n < cfg.maxPollRecords) dropCarry() // drained
+        else if (haveCarry || n >= cfg.maxPollRecords) writeCarry(tail)
+        // else: idle poll — no spool churn on quiet directories
+        commitState()
+        if (!haveCarry) backoff = backoff.nextSuccess(now)
+        lastFailed = false
+        n
+      } finally served.unpersist()
     } catch {
       case scala.util.control.NonFatal(_) =>
         backoff = backoff.nextFailure(now)
