@@ -15,10 +15,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Column-pruning-proof materialization: the hash consumes all output
-    * columns, so the full plan must execute; the result is one long. */
+    * columns, so the full plan must execute; the result is one long.
+    * The fold is BIT_XOR, not SUM — summing xxhash64 longs overflows
+    * almost immediately under ANSI mode and aborts the query mid-run
+    * (which the old silent catch recorded as a fast "success"); XOR
+    * cannot overflow and is order-independent. */
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
+    df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
     ()
   }
   def main(args: Array[String]): Unit = {
