@@ -36,6 +36,17 @@ class MonitorConfigSpec extends AnyFunSuite with Matchers {
       MonitorConfig(base.updated(MonitorConfig.KeyStyleKey, "banana"))
     an[IllegalArgumentException] should be thrownBy
       MonitorConfig(base.updated(MonitorConfig.MaxPollRecords, "0"))
+    // negative ISO-8601 durations parse but must be rejected (hot loop)
+    an[IllegalArgumentException] should be thrownBy
+      MonitorConfig(base.updated(MonitorConfig.Refresh, "PT-5S"))
+    // whitespace-only path must fail fast, not yield an empty glob
+    an[IllegalArgumentException] should be thrownBy
+      MonitorConfig(base.updated(MonitorConfig.MonitorTail, "  :topic"))
+    // non-numeric int names the offending key
+    val e = intercept[IllegalArgumentException] {
+      MonitorConfig(base.updated(MonitorConfig.MaxPollRecords, "10k"))
+    }
+    e.getMessage should include(MonitorConfig.MaxPollRecords)
   }
 
   test("reflective converter loading") {
