@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver extracts graft.Bench's single JSON stdout line. Without
+// these, sbt's logger prefixes every forked-process line with [info]
+// and appends a [success] summary line, so the JSON never parses
+// (BENCH_r01/r02 both recorded parsed: null). StdoutOutput inherits the
+// parent's raw stdout/stderr; showSuccess drops the trailing banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task, so
+// the unused-key lint false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,10 +7,10 @@ import org.apache.spark.sql.SparkSession
   * excluded so the benchmark measures the scan/join/agg/window hot paths
   * rather than 40 tiny projections.
   *
-  * Timing materializes EVERY output column via `sum(xxhash64(*))` — a
-  * plain `.count()` would let Catalyst prune projections the count does
-  * not need (e.g. a window sum that no filter reads), so some queries
-  * would time scan+count instead of the operator under test.
+  * Timing materializes EVERY output column via `bit_xor(xxhash64(*))` —
+  * a plain `.count()` would let Catalyst prune projections the count
+  * does not need (e.g. a window sum that no filter reads), so some
+  * queries would time scan+count instead of the operator under test.
   */
 object Bench {
 

@@ -112,9 +112,18 @@ final class PollDriver(
       try {
         val n = served.count()
         sink(served)
-        if (haveCarry && n < cfg.maxPollRecords) dropCarry() // drained
-        else if (haveCarry || n >= cfg.maxPollRecords) writeCarry(tail)
-        // else: idle poll — no spool churn on quiet directories
+        // Spool decision keys on whether the TAIL has records, not on
+        // n == cap: a batch of exactly maxPollRecords has an empty tail,
+        // and spooling that empty generation would pass the cheap
+        // file-existence gate above — every gated poll during a backoff
+        // window would then launch a Spark job (readCarry + take(1)),
+        // defeating the no-Spark-job-while-gated contract. n < cap means
+        // the tail is empty by construction; only the n == cap edge pays
+        // the one-row probe.
+        val drained = n < cfg.maxPollRecords || tail.take(1).isEmpty
+        if (haveCarry && drained) dropCarry() // drained
+        else if (!drained) writeCarry(tail)
+        // else: idle or exact-cap poll — no spool churn
         commitState()
         if (!haveCarry) backoff = backoff.nextSuccess(now)
         lastFailed = false

@@ -371,6 +371,14 @@ object Dedup extends QueryPack {
           labels = updated.select($"doc_id", $"cluster")
           iter += 1
         }
+        // The iteration cap is a safety net, not an exit path: labels
+        // still moving at the cap would silently return wrong clusters
+        // (the oracle catches it at fixture scale but nothing would at
+        // the 100 TB scale this targets), so fail loudly instead.
+        require(changed == 0,
+          s"dedup_clusters: min-label propagation not converged after $iter " +
+            s"iterations ($changed labels still changing) — component " +
+            "diameter exceeds the cap; raise the iteration bound")
         labels.select($"doc_id", $"cluster".as("cluster_id"),
             ($"doc_id" === $"cluster").as("is_canonical"))
           .orderBy($"doc_id")

@@ -148,9 +148,9 @@ object FileStreamPipeline {
     * reference's update-mode re-fetch on size/mtime change
     * (`FtpMonitor.scala:35-46`, whole body re-emitted at offset 0,
     * `FtpMonitor.scala:87-95`) — is re-detected by running the batch
-    * change-detection poll (`Monitor.pollWithStateDir`: re-list →
-    * state compare → fetch → tail/diff) inside each micro-batch of a
-    * ticking stream. State lives in the poll's parquet store, offsets
+    * change-detection poll (`Monitor.pollWithStateDirStaged`: re-list →
+    * state compare → fetch → tail/diff, state committed only after the
+    * sink succeeds) inside each micro-batch of a ticking stream. State lives in the poll's parquet store, offsets
     * in the checkpoint; each tick is one reference `ftp.refresh` cycle,
     * so streaming-only deployments no longer need a separate batch loop
     * for mutating files.
@@ -167,8 +167,17 @@ object FileStreamPipeline {
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
     val spark = ticks.sparkSession
     val onBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (_, _) => sink(graft.ingest.Monitor.pollWithStateDir(
-        spark, dirs, stateDir, maxFilesPerPoll = maxFilesPerPoll))
+      (_, _) => {
+        // Staged poll: publish the new state generation only AFTER the
+        // sink returns, so a sink failure (or crash mid-batch) leaves the
+        // old state in place and the streaming retry re-detects and
+        // re-emits this batch's changes — the same at-least-once contract
+        // the batch PollDriver enforces by deferring commit past delivery.
+        val (records, commit) = graft.ingest.Monitor.pollWithStateDirStaged(
+          spark, dirs, stateDir, maxFilesPerPoll = maxFilesPerPoll)
+        sink(records)
+        commit()
+      }
     ticks.writeStream
       .outputMode("append")
       .trigger(trigger)

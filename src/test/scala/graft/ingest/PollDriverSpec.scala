@@ -88,6 +88,52 @@ class PollDriverSpec extends AnyFunSuite with Matchers {
     served shouldBe Vector("a", "b", "c")
   }
 
+  test("a batch of exactly maxPollRecords leaves no stale spool behind") {
+    val root = Files.createTempDirectory("graft-exact")
+    val stateDir = Files.createTempDirectory("graft-exact-state").toString
+    val cfg = MonitorConfig(Map(
+      MonitorConfig.MonitorUpdate -> s"$root/in/:t",
+      MonitorConfig.Refresh -> "PT1S",
+      MonitorConfig.MaxPollRecords -> "2",
+      MonitorConfig.SourceRecordConverter -> "graft.ingest.Records$LineSplitRecordConverter"))
+    var served = Vector.empty[String]
+    var now = 0L
+    val driver = new PollDriver(spark, cfg, stateDir,
+      sink = ds => served ++= ds.collect().toSeq.map(r => new String(r.value, UTF_8)),
+      clock = () => now)
+
+    // 3 records against cap 2: first poll serves 2 and spools 1
+    write(root.resolve("in/f.csv"), "a\nb\nc")
+    driver.pollOnce() shouldBe 2L
+    // second poll drains the carry — n (1) < cap, so the spool is DROPPED,
+    // not rewritten as an empty generation
+    driver.pollOnce() shouldBe 1L
+    served shouldBe Vector("a", "b", "c")
+    GenSwap.readable(s"$stateDir/carryover.parquet",
+      s"$stateDir/carryover.old.parquet") shouldBe None
+
+    // 2 records against cap 2 (fresh poll, n == cap, empty tail): nothing
+    // may be spooled — a stale empty generation would make every gated
+    // poll during a backoff window launch a Spark job just to find it empty
+    now += 10000
+    write(root.resolve("in/g.csv"), "d\ne")
+    driver.pollOnce() shouldBe 2L
+    served shouldBe Vector("a", "b", "c", "d", "e")
+    GenSwap.readable(s"$stateDir/carryover.parquet",
+      s"$stateDir/carryover.old.parquet") shouldBe None
+
+    // carry batch of exactly cap: poll 1 serves 2 of 4 and spools 2; poll 2
+    // serves the 2-record carry (n == cap, empty tail) and must DROP the
+    // spool rather than spool an empty generation
+    now += 10000
+    write(root.resolve("in/h.csv"), "f\ng\nh\ni")
+    driver.pollOnce() shouldBe 2L
+    driver.pollOnce() shouldBe 2L
+    served shouldBe Vector("a", "b", "c", "d", "e", "f", "g", "h", "i")
+    GenSwap.readable(s"$stateDir/carryover.parquet",
+      s"$stateDir/carryover.old.parquet") shouldBe None
+  }
+
   test("carry-over survives a crash mid-publish: the .old generation is served") {
     val root = Files.createTempDirectory("graft-crash")
     val stateDir = Files.createTempDirectory("graft-crash-state").toString

@@ -188,6 +188,43 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("update-mode monitoring is at-least-once: a sink failure leaves state " +
+      "unpublished, so a restarted query re-emits the batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-alo")
+    val stateDir = Files.createTempDirectory("graft-alo-state")
+    val dirs = Seq(graft.ingest.MonitoredPath(s"$dir/*", tail = false, topic = "t"))
+    Files.write(dir.resolve("f0"), "payload".getBytes(UTF_8))
+
+    // first delivery attempt: the sink throws AFTER the poll ran — the
+    // state publish must not have happened yet, or the record is lost
+    val ticks1 = MemoryStream[Int]
+    val q1 = FileStreamPipeline.updateMonitorPolls(
+      ticks1.toDF(), dirs, stateDir.toString,
+      sink = _ => throw new RuntimeException("sink down"))
+    ticks1.addData(1)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+
+    // recovery: a fresh query over the SAME state dir must re-detect and
+    // re-emit the batch the failed sink never delivered
+    val ticks2 = MemoryStream[Int]
+    @volatile var out = Vector.empty[(Long, String)]
+    val q2 = FileStreamPipeline.updateMonitorPolls(
+      ticks2.toDF(), dirs, stateDir.toString,
+      sink = ds => out ++= ds.collect().toSeq
+        .map(r => (r.offset, new String(r.value, UTF_8))))
+    try {
+      ticks2.addData(1)
+      q2.processAllAvailable()
+      out shouldBe Vector((0L, "payload"))
+    } finally q2.stop()
+  }
+
   test("chunkKey strips part suffix only") {
     FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
