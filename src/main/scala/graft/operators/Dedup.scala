@@ -73,7 +73,13 @@ object Dedup extends QueryPack {
   }
 
   /** (doc_id, lang, simhash): the shared sketch input of both SimHash
-    * pair queries — one shuffle, 60 bit-votes as column aggregates. */
+    * pair queries — one shuffle, 60 bit-votes as column aggregates.
+    * The result is locally checkpointed: every consumer SELF-JOINS it,
+    * and two uses of one plan inline the tokenize+vote subtree twice
+    * (Catalyst reuses exchanges only for identical exchange subtrees,
+    * which the `a`/`b` alias resolution breaks) — the checkpoint makes
+    * the expensive corpus scan run exactly once, and the sketch itself
+    * is one small row per document. */
   private def simhashByLang(s: SparkSession, d: String): DataFrame = {
     val tok = materialized(
         docsWithTokens(s, d).select(col("doc_id"), col("lang"), col("tokens")))
@@ -81,6 +87,7 @@ object Dedup extends QueryPack {
       .withColumn("fp", rolling_hash2(col("t"))) // one scan, both primes
     simhashOf(tok.groupBy(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"), col("simhash"))
+      .localCheckpoint(true)
   }
 
   /** The banded (pigeonhole) SimHash pair plan, shared by
@@ -230,10 +237,14 @@ object Dedup extends QueryPack {
         // set-Jaccard over distinct fps equals string-set Jaccard even
         // at corpus scale — a single 10^9+7 hash would already have
         // ~30% collision odds at sf0.1's 27k distinct shingles.
+        // checkpointed: this frame feeds the signature agg once and the
+        // candidate-verify join twice — without the checkpoint each use
+        // re-runs the tokenize+shingle+fingerprint corpus scan
         val docs = materialized(docsWithTokens(s, d)
             .select($"doc_id", shinglesCol.as("shingles")))
           .select($"doc_id", array_distinct(transform($"shingles",
             sh => rolling_hash2(sh))).as("fps"))
+          .localCheckpoint(true)
         val sh = docs.select($"doc_id", explode($"fps").as("fp"))
         // one shuffle: 16 min-aggregates in a single groupBy. Signatures
         // permute fp % Mod — which IS rolling_hash(sh, 31), so the
@@ -241,7 +252,10 @@ object Dedup extends QueryPack {
         // pre-mod keeps (2i+1)*fp inside Long under ANSI)
         val aggs = (0 until 16).map(i =>
           min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+        // one small row per doc; checkpointed so the band self-join's two
+        // sides don't each re-run the explode+agg
         val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(true)
         // 4 bands × 4 rows, band key built by projection (no second agg)
         val bandKeys = (0 until 4).map(b =>
           concat_ws("_", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))
@@ -342,7 +356,10 @@ object Dedup extends QueryPack {
     "dedup_clusters" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        // checkpoint BEFORE the union: its two branches would otherwise
+        // each inline (and re-run) the whole banded-pair pipeline
         val pairs = bandedSimhashPairs(s, d).select($"doc1", $"doc2")
+          .localCheckpoint(true)
         val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
           .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
           .localCheckpoint(true)
