@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.TextTokens.{materialized, tokens, tokensSql}
+
+/** Corpus-assembly operators: the steps BETWEEN a filtered/deduped
+  * document set and actual training batches — sequence packing,
+  * benchmark-contamination detection, repetition scoring, target-mix
+  * rebalancing, and percentile length trimming. All are `functions._`
+  * column expressions with DuckDB oracles; no UDFs.
+  *
+  * 100 TB shapes: packing and trimming are per-partition window scans
+  * (partitioned by language here; a production run sub-partitions by
+  * (lang, shard) so no single window key sees the whole corpus — noted
+  * per query); contamination is an equality join on n-gram keys (never
+  * all-pairs); mix rebalancing is two tiny aggregates broadcast back
+  * over a map-only scan.
+  */
+object CorpusAssembly extends QueryPack {
+
+  /** Tokens-per-sequence budget for packing (a GPT-style context). */
+  private val SeqLen = 2048L
+
+  /** Deterministic per-doc sampling gate in [0, 1e6): the id is
+    * pre-reduced so the Knuth multiply stays far inside a 64-bit long
+    * (ANSI mode throws on overflow — same guard as
+    * llm_stratified_sample). */
+  private val gateExpr = "((doc_id % 1000003) * 2654435761) % 1000000"
+
+  /** Source-domain target weights for the mix query: a fixed dim table
+    * (broadcast at scale), weights varied so the rebalance is
+    * non-uniform. */
+  private val mixWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", (i * 7L) % 5L + 1L))
+  private val mixWeightSum: Long = mixWeights.map(_._2).sum
+  private val mixWeightsSqlValues: String =
+    mixWeights.map { case (s, w) => s"('$s', ${w}::BIGINT)" }.mkString(", ")
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── sequence packing: concatenate-and-chunk into fixed token
+    //    budgets (how pretraining batches are actually laid out) ──
+    // Each language's token stream (docs in doc_id order) is cut into
+    // SeqLen-token sequences; a doc's placement is fully determined by
+    // the running token count BEFORE it — one window scan, no shuffle
+    // beyond the partitioning. At 100 TB the window key is (lang,
+    // shard) so no single partition sees the whole corpus; packing is
+    // then per-shard, which is exactly how batch assembly shards in
+    // practice.
+    "llm_seq_packing" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(tokens).cast(LongType))
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .select($"doc_id", $"lang", $"n_tokens",
+            expr(s"cum_before div $SeqLen").as("seq_id"),
+            ($"cum_before" % SeqLen).as("seq_offset"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len($tokensSql) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which surfaces as a
+            -- float column in the compare harness
+            COALESCE(CAST(SUM(n_tokens) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS cum_before
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               cum_before // $SeqLen AS seq_id,
+               cum_before % $SeqLen AS seq_offset
+        FROM c
+        ORDER BY doc_id""")),
+
+    // ── benchmark contamination: token-8-gram overlap between the
+    //    training split and a held-out "benchmark" split ──
+    // The shape that matters at 100 TB: distinct (doc, gram) pairs on
+    // both sides, then an EQUALITY join on the gram — work scales with
+    // shared-gram bucket sizes, never all-pairs. At scale the join key
+    // is a 128-bit gram hash instead of the string (8 bytes shipped per
+    // gram, collisions negligible); the string key here keeps the
+    // oracle exact. Docs shorter than the gram width are excluded on
+    // BOTH sides before the n-gram expansion (Spark's sequence(8, n)
+    // counts DOWN when n < 8 while DuckDB's generate_series is empty —
+    // the filter keeps the engines identical).
+    "llm_contamination" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val grams = materialized(
+          Tables.documents(s, d)
+            .withColumn("tokens", tokens)
+            .filter(size($"tokens") >= 8)
+            .select($"doc_id", $"source",
+              transform(sequence(lit(8), size($"tokens")),
+                i => concat_ws(" ", slice($"tokens", i - 7, lit(8)))).as("grams")))
+          .select($"doc_id", $"source", explode($"grams").as("gram"))
+          .distinct()
+        val eval = grams.filter($"source".isin("src0", "src1"))
+          .select($"doc_id".as("eval_doc"), $"gram")
+        val train = grams.filter(!$"source".isin("src0", "src1"))
+          .select($"doc_id".as("train_doc"), $"gram")
+        train.join(eval, "gram")
+          .groupBy($"train_doc", $"eval_doc")
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .filter($"n_shared_grams" >= 3)
+          .orderBy($"train_doc", $"eval_doc")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, $tokensSql AS tokens FROM documents),
+        g AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(generate_series(8, len(tokens)),
+                        i -> array_to_string(tokens[i-7:i], ' '))) AS gram
+          FROM toks WHERE len(tokens) >= 8),
+        gd AS (SELECT DISTINCT doc_id, source, gram FROM g)
+        SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+               COUNT(*) AS n_shared_grams
+        FROM gd t JOIN gd e USING (gram)
+        WHERE t.source NOT IN ('src0', 'src1')
+          AND e.source IN ('src0', 'src1')
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ORDER BY train_doc, eval_doc"""),
+      headline = true),
+
+    // ── repetition scoring: type-token ratio + top-token share ──
+    // The Gopher-style repetition gate (boilerplate has a few tokens
+    // dominating). Two aggregations — (doc, term) then doc — both
+    // map-side combined; ratios are single integer-to-double divisions
+    // rounded AFTER, so both engines produce identical doubles.
+    "llm_repetition" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val tf = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        tf.groupBy($"doc_id")
+          .agg(sum($"c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max($"c").as("max_c"))
+          .withColumn("type_token_ratio",
+            round($"n_distinct".cast(DoubleType) / $"n_tokens".cast(DoubleType), 6))
+          .withColumn("top_token_ratio",
+            round($"max_c".cast(DoubleType) / $"n_tokens".cast(DoubleType), 6))
+          .withColumn("is_repetitive",
+            $"top_token_ratio" > 0.05 || $"type_token_ratio" < 0.3)
+          .select($"doc_id", $"n_tokens", $"n_distinct",
+            $"type_token_ratio", $"top_token_ratio", $"is_repetitive")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT) AS max_c
+          FROM tf GROUP BY doc_id),
+        r AS (
+          SELECT doc_id, n_tokens, n_distinct,
+                 round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS type_token_ratio,
+                 round(CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS top_token_ratio
+          FROM agg)
+        SELECT doc_id, n_tokens, n_distinct, type_token_ratio, top_token_ratio,
+               (top_token_ratio > 0.05 OR type_token_ratio < 0.3) AS is_repetitive
+        FROM r
+        ORDER BY doc_id""")),
+
+    // ── domain-mix rebalancing: sample each source toward a target
+    //    share (the data-mixture step of corpus assembly) ──
+    // Unlike llm_stratified_sample's FIXED rates, the keep rate here is
+    // DATA-DEPENDENT: rate_s = min(1, target_share_s · N / count_s),
+    // i.e. oversized domains are downsampled to their target share of
+    // the corpus. Two tiny aggregates (per-source counts, corpus total)
+    // broadcast onto a map-only hash-gated scan — no shuffle of the
+    // corpus itself. The threshold compare is pure INTEGER arithmetic
+    // (weight ≤ 5 · 1e6 · N stays inside a long up to N ≈ 3.6e12 docs;
+    // ANSI overflow would throw, not wrap, same guard as the sampler).
+    "llm_domain_mix" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val weights = mixWeights.toDF("source", "w")
+        val counts = Tables.documents(s, d).groupBy($"source")
+          .agg(count(lit(1)).as("n_src"))
+        val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+        Tables.documents(s, d)
+          .join(broadcast(weights.join(counts, "source")), "source")
+          .crossJoin(broadcast(total))
+          .withColumn("keep_threshold",
+            least(lit(1000000L),
+              expr(s"(w * 1000000 * n_total) div ($mixWeightSum * n_src)")))
+          .filter(expr(gateExpr) < $"keep_threshold")
+          .select($"doc_id", $"source", $"keep_threshold")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH w(source, w) AS (VALUES $mixWeightsSqlValues),
+        c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        n AS (SELECT COUNT(*) AS n_total FROM documents)
+        SELECT d.doc_id, d.source,
+               least(1000000, (w.w * 1000000 * n.n_total)
+                              // ($mixWeightSum * c.n_src)) AS keep_threshold
+        FROM documents d
+        JOIN w USING (source) JOIN c USING (source) CROSS JOIN n
+        WHERE $gateExpr <
+              least(1000000, (w.w * 1000000 * n.n_total)
+                             // ($mixWeightSum * c.n_src))
+        ORDER BY doc_id""")),
+
+    // ── percentile length trimming: drop per-language outliers ──
+    // Keeps docs whose token count sits inside the [5th, 95th]
+    // percentile band of their language — the outlier trim that
+    // precedes packing. percent_rank is (rank-1)/(n-1), a single exact
+    // division, and the ordering carries doc_id as a unique tiebreak so
+    // both engines rank identically. Same (lang, shard) sub-window note
+    // as llm_seq_packing for the 100 TB run.
+    "llm_length_trim" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(tokens).cast(LongType))
+          .withColumn("pr", percent_rank().over(w))
+          .filter($"pr" >= 0.05 && $"pr" <= 0.95)
+          .select($"doc_id", $"lang", $"n_tokens",
+            round($"pr", 6).as("length_pct_rank"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len($tokensSql) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang, n_tokens,
+                 percent_rank() OVER (
+                   PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr
+          FROM t)
+        SELECT doc_id, lang, n_tokens, round(pr, 6) AS length_pct_rank
+        FROM r
+        WHERE pr >= 0.05 AND pr <= 0.95
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** Invariant checks for the corpus-assembly operators (the DuckDB
+  * oracles prove engine parity; these prove the SEMANTICS — packing
+  * reconstructs the token stream, contamination pairs genuinely share
+  * grams, the mix rebalance hits its data-dependent thresholds).
+  */
+class CorpusAssemblySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("seq packing reconstructs each language's contiguous token stream") {
+    val rows = run("llm_seq_packing")
+      .select("lang", "doc_id", "n_tokens", "seq_id", "seq_offset")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    val seqLen = 2048L
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, n, seqId, off) =>
+        // a doc's placement is exactly the running token count before it
+        seqId shouldBe cum / seqLen
+        off shouldBe cum % seqLen
+        cum += n
+      }
+    }
+  }
+
+  test("contamination pairs share >= 3 distinct token 8-grams, recomputed directly") {
+    def gramsOf(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val pairs = run("llm_contamination").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (train, eval, n) =>
+      val (tText, tSrc) = texts(train)
+      val (eText, eSrc) = texts(eval)
+      // split membership: train docs never come from the eval sources
+      Set("src0", "src1") should contain(eSrc)
+      Set("src0", "src1") should not contain tSrc
+      (gramsOf(tText) & gramsOf(eText)).size shouldBe n
+      n should be >= 3L
+    }
+  }
+
+  test("repetition ratios are consistent with direct token counting") {
+    val byDoc = run("llm_repetition").collect().toSeq
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc should not be empty
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      if (toks.isEmpty) byDoc should not contain key(id)
+      else {
+        val (n, nd, ttr, ttr2) = byDoc(id)
+        n shouldBe toks.length.toLong
+        nd shouldBe toks.distinct.length.toLong
+        val counts = toks.groupBy(identity).map(_._2.length)
+        ttr shouldBe (math.round(nd.toDouble / n * 1e6) / 1e6)
+        ttr2 shouldBe (math.round(counts.max.toDouble / n * 1e6) / 1e6)
+      }
+    }
+  }
+
+  test("domain mix keeps exactly the docs passing their source's data-dependent gate") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val total = docs.length.toLong
+    val counts = docs.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val weights = (0 until 20).map(i => s"src$i" -> ((i * 7L) % 5L + 1L)).toMap
+    val sumW = weights.values.sum
+    val expected = docs.filter { case (id, src) =>
+      val gate = ((id % 1000003L) * 2654435761L) % 1000000L
+      val thr = math.min(1000000L, weights(src) * 1000000L * total / (sumW * counts(src)))
+      gate < thr
+    }.map(_._1).toSet
+    val kept = run("llm_domain_mix").select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe expected
+  }
+
+  test("length trim drops per-language extremes and keeps the middle band") {
+    val kept = run("llm_length_trim").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    kept should not be empty
+    // every surviving rank is inside the band
+    kept.foreach { case (_, _, pr) =>
+      pr should be >= 0.05
+      pr should be <= 0.95
+    }
+    // the shortest doc of each language (percent_rank 0) is never kept
+    val trimmed = kept.map(_._1).toSet
+    val minDocs = Tables.documents(spark, sf)
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(graft.functions.TextTokens.tokens))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
+      .filter(col("rk") === 1).select("doc_id").collect().map(_.getLong(0))
+    minDocs.foreach(d => trimmed should not contain d)
+  }
+}
