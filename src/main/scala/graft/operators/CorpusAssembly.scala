@@ -107,6 +107,10 @@ object CorpusAssembly extends QueryPack {
                 i => concat_ws(" ", slice($"tokens", i - 7, lit(8)))).as("grams")))
           .select($"doc_id", $"source", explode($"grams").as("gram"))
           .distinct()
+          // checkpointed: the eval and train splits below both read this
+          // frame — without it each side re-runs the gram expansion and
+          // its distinct shuffle
+          .localCheckpoint(true)
         val eval = grams.filter($"source".isin("src0", "src1"))
           .select($"doc_id".as("eval_doc"), $"gram")
         val train = grams.filter(!$"source".isin("src0", "src1"))

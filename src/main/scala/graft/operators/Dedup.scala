@@ -73,22 +73,25 @@ object Dedup extends QueryPack {
   }
 
   /** (doc_id, lang, simhash): the shared sketch input of both SimHash
-    * pair queries — one shuffle, 60 bit-votes as column aggregates.
+    * pair queries — computed by the native codegen'd
+    * [[graft.functions.SimHash.simhash60]] expression as a MAP-ONLY
+    * projection: no token explode (~300 rows per doc), no 60-buffer
+    * aggregate, no shuffle. Bit-identical to `dedup_simhash`'s
+    * explode+aggregate formulation (DedupSpec pins the equality; the
+    * shared pair-oracle SQL re-proves it against DuckDB every round).
+    * Empty-token docs are dropped, as explode's zero rows would have.
     * The result is locally checkpointed: every consumer SELF-JOINS it,
-    * and two uses of one plan inline the tokenize+vote subtree twice
-    * (Catalyst reuses exchanges only for identical exchange subtrees,
-    * which the `a`/`b` alias resolution breaks) — the checkpoint makes
-    * the expensive corpus scan run exactly once, and the sketch itself
-    * is one small row per document. */
-  private def simhashByLang(s: SparkSession, d: String): DataFrame = {
-    val tok = materialized(
-        docsWithTokens(s, d).select(col("doc_id"), col("lang"), col("tokens")))
-      .select(col("doc_id"), col("lang"), explode(col("tokens")).as("t"))
-      .withColumn("fp", rolling_hash2(col("t"))) // one scan, both primes
-    simhashOf(tok.groupBy(col("doc_id"), col("lang")))
-      .select(col("doc_id"), col("lang"), col("simhash"))
+    * and two uses of one plan inline the scan subtree twice (Catalyst
+    * reuses exchanges only for identical exchange subtrees, which the
+    * `a`/`b` alias resolution breaks) — the checkpoint makes the
+    * corpus scan run exactly once, and the sketch itself is one small
+    * row per document. */
+  private def simhashByLang(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.SimHash.simhash60(col("tokens")).as("simhash"))
+      .filter(col("simhash").isNotNull)
       .localCheckpoint(true)
-  }
 
   /** The banded (pigeonhole) SimHash pair plan, shared by
     * `dedup_simhash_pairs_banded` and the clustering pipeline:

@@ -34,6 +34,52 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head.isNullAt(0) shouldBe true
   }
 
+  test("SimHash60 equals the explode+60-vote-aggregate formulation") {
+    import spark.implicits._
+    // fixture docs (the real consumer) plus adversarial token arrays:
+    // empty array (must be NULL — explode drops the doc), null element
+    // (votes -1 on every bit, like the aggregate's otherwise(-1)),
+    // single token, ties (vote 0 → bit clear)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", graft.functions.TextTokens.tokens.as("tokens"))
+    val viaExpr = docs
+      .select($"doc_id", SimHash.simhash60($"tokens").as("simhash"))
+      .filter($"simhash".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = {
+      val votes = (0 until 60).map(b =>
+        sum(when(expr(s"(fp >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+      docs.select($"doc_id", explode($"tokens").as("t"))
+        .withColumn("fp", RollingHash.rolling_hash2($"t"))
+        .groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+        .withColumn("simhash",
+          (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _))
+        .select($"doc_id", $"simhash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    viaExpr.nonEmpty shouldBe true
+    viaExpr shouldBe viaAgg
+
+    // edge cases the fixture can't produce
+    val edge = Seq(
+      (1L, Seq.empty[String]),          // -> null sketch
+      (2L, Seq("onetoken")),
+      (3L, Seq("a", "b"))               // mixed votes, possible ties
+    ).toDF("doc_id", "tokens")
+    val got = edge.select($"doc_id", SimHash.simhash60($"tokens").as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    got(1L) shouldBe None
+    // one token: sketch == the positive bits of its fingerprint
+    val fp = RollingHash.hash2(org.apache.spark.unsafe.types.UTF8String.fromString("onetoken"))
+    got(2L) shouldBe Some(fp & ((1L << 60) - 1))
+    // null element votes -1 everywhere: with one real token the tie on
+    // that token's set bits (+1-1=0) clears EVERY bit
+    val withNull = Seq((4L, Seq(Some("onetoken"), None))).toDF("doc_id", "tokens")
+    withNull.select(SimHash.simhash60($"tokens")).collect().head.getLong(0) shouldBe 0L
+  }
+
   test("cosine/dot/norm agree with plain-Scala math") {
     import spark.implicits._
     val a = Array(1.0, 2.0, 3.0)
