@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // quiet Spark INFO for the forked bench/verify/test JVMs WITHOUT
+  // packaging a log4j2.properties into the library artifact (a bundled
+  // config would hijack any downstream consumer's logging)
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2.properties"}",
 )

@@ -90,6 +90,13 @@ final class PollDriver(
     try {
       val carry = readCarry()
       val haveCarry = carry.take(1).nonEmpty
+      // heal a stale EMPTY spool generation (a pre-fix writer could have
+      // spooled one on an exact-cap batch): without this, dropCarry is
+      // unreachable while haveCarry is false, so the empty generation
+      // would keep passing the cheap file-existence gate forever and
+      // every gated poll would launch this read just to find it empty
+      if (!haveCarry && GenSwap.readable(carryPath, carryOldPath).nonEmpty)
+        dropCarry()
       if (!haveCarry && !backoff.passed(now)) return 0L
       // state publish is DEFERRED past sink delivery (at-least-once:
       // a sink failure below leaves state unpublished, so the next

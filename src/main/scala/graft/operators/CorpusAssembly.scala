@@ -148,8 +148,11 @@ object CorpusAssembly extends QueryPack {
     "llm_repetition" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val tf = Tables.documents(s, d)
-          .select($"doc_id", explode(tokens).as("term"))
+        // barrier before the explode so the tokenizer HOF chain is
+        // evaluated once per document, not once per exploded output row
+        val tf = materialized(
+            Tables.documents(s, d).select($"doc_id", tokens.as("tokens")))
+          .select($"doc_id", explode($"tokens").as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
         tf.groupBy($"doc_id")
           .agg(sum($"c").as("n_tokens"),
@@ -202,9 +205,13 @@ object CorpusAssembly extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val weights = mixWeights.toDF("source", "w")
+        // one tiny row per source; checkpointed because it feeds both the
+        // rate join and the total derivation — and the total derives from
+        // counts (sum over 20 rows), not a second corpus scan
         val counts = Tables.documents(s, d).groupBy($"source")
           .agg(count(lit(1)).as("n_src"))
-        val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+          .localCheckpoint(true)
+        val total = counts.agg(sum($"n_src").as("n_total"))
         Tables.documents(s, d)
           .join(broadcast(weights.join(counts, "source")), "source")
           .crossJoin(broadcast(total))

@@ -77,8 +77,9 @@ object Dedup extends QueryPack {
     * [[graft.functions.SimHash.simhash60]] expression as a MAP-ONLY
     * projection: no token explode (~300 rows per doc), no 60-buffer
     * aggregate, no shuffle. Bit-identical to `dedup_simhash`'s
-    * explode+aggregate formulation (DedupSpec pins the equality; the
-    * shared pair-oracle SQL re-proves it against DuckDB every round).
+    * explode+aggregate formulation (FunctionsSpec's native-vs-aggregate
+    * equality test pins it; the shared pair-oracle SQL re-proves it
+    * against DuckDB every round).
     * Empty-token docs are dropped, as explode's zero rows would have.
     * The result is locally checkpointed: every consumer SELF-JOINS it,
     * and two uses of one plan inline the scan subtree twice (Catalyst
