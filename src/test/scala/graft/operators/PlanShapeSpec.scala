@@ -88,4 +88,31 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "l_tax"
     p should not include "l_partkey"
   }
+
+  test("domain mix is a broadcast-gated map scan that never reads text") {
+    val p = plan("llm_domain_mix")
+    // the rate lookup rides on broadcasts; the corpus is never shuffled
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // the gate needs only (doc_id, source): the text column must be
+    // pruned from the main scan (at 100 TB text IS the table)
+    val f = formattedPlan("llm_domain_mix")
+    f should not include "string>) text"
+    f should not include "text#"
+  }
+
+  test("contamination joins grams by equality — no cartesian, no nested loop") {
+    val p = plan("llm_contamination")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("seq packing is one window over the language partitioning") {
+    // a single hashpartitioning exchange on lang feeds the cumulative
+    // window; no join, no extra shuffle
+    val p = plan("llm_seq_packing")
+    p should include("Window")
+    p should not include "Join"
+    "hashpartitioning\\(lang".r.findAllIn(p).size shouldBe 1
+  }
 }
