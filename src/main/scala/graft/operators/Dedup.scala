@@ -367,7 +367,15 @@ object Dedup extends QueryPack {
         val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
           .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
           .localCheckpoint(true)
-        var labels = Tables.documents(s, d)
+        // Propagate over CONNECTED vertices only: a doc with no near-dup
+        // pair can never change its label, yet at corpus scale isolated
+        // docs are the overwhelming majority (duplicate rates are a
+        // small fraction of 100 TB) — carrying them through every
+        // iteration would multiply each loop shuffle by 1/dup-rate.
+        // Singletons are appended once, after convergence.
+        val verts = edges.select($"src".as("doc_id")).distinct()
+          .localCheckpoint(true)
+        var labels = verts
           .select($"doc_id", $"doc_id".as("cluster"))
           .localCheckpoint(true)
         var changed = 1L
@@ -400,7 +408,11 @@ object Dedup extends QueryPack {
           s"dedup_clusters: min-label propagation not converged after $iter " +
             s"iterations ($changed labels still changing) — component " +
             "diameter exceeds the cap; raise the iteration bound")
-        labels.select($"doc_id", $"cluster".as("cluster_id"),
+        val isolated = Tables.documents(s, d).select($"doc_id")
+          .join(verts, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"doc_id".as("cluster"))
+        labels.union(isolated)
+          .select($"doc_id", $"cluster".as("cluster_id"),
             ($"doc_id" === $"cluster").as("is_canonical"))
           .orderBy($"doc_id")
       },
