@@ -555,8 +555,12 @@ object Dedup extends QueryPack {
       threshold: Double): DataFrame = {
     val buckets = (0 until nBands).map(t =>
       VectorFunctions.lshBucket(col("emb"), bitsPerBand, dim, base = t * bitsPerBand))
+    // 16 rows of (vec_id, band, bucket) per vector; checkpointed so the
+    // self-join's two sides don't each recompute the 16 hyperplane-LSH
+    // bucket assignments (4k flops per vector per side)
     val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
