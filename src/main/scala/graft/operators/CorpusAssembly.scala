@@ -88,13 +88,15 @@ object CorpusAssembly extends QueryPack {
     //    training split and a held-out "benchmark" split ──
     // The shape that matters at 100 TB: distinct (doc, gram) pairs on
     // both sides, then an EQUALITY join on the gram — work scales with
-    // shared-gram bucket sizes, never all-pairs. At scale the join key
-    // is a 128-bit gram hash instead of the string (8 bytes shipped per
-    // gram, collisions negligible); the string key here keeps the
-    // oracle exact. Docs shorter than the gram width are excluded on
-    // BOTH sides before the n-gram expansion (Spark's sequence(8, n)
-    // counts DOWN when n < 8 while DuckDB's generate_series is empty —
-    // the filter keeps the engines identical).
+    // shared-gram bucket sizes, never all-pairs. Grams are carried as
+    // the fused double-prime ~2^60 FINGERPRINT, not the string (8 bytes
+    // shipped per gram through the distinct and the join; same
+    // collision argument as dedup_minhash_pairs — the string-keyed
+    // DuckDB oracle would catch a fixture collision as a count
+    // mismatch). Docs shorter than the gram width are excluded on BOTH
+    // sides before the n-gram expansion (Spark's sequence(8, n) counts
+    // DOWN when n < 8 while DuckDB's generate_series is empty — the
+    // filter keeps the engines identical).
     "llm_contamination" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -104,7 +106,8 @@ object CorpusAssembly extends QueryPack {
             .filter(size($"tokens") >= 8)
             .select($"doc_id", $"source",
               transform(sequence(lit(8), size($"tokens")),
-                i => concat_ws(" ", slice($"tokens", i - 7, lit(8)))).as("grams")))
+                i => graft.functions.RollingHash.rolling_hash2(
+                  concat_ws(" ", slice($"tokens", i - 7, lit(8))))).as("grams")))
           .select($"doc_id", $"source", explode($"grams").as("gram"))
           .distinct()
           // checkpointed: the eval and train splits below both read this
