@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, L2Sq, RollingHash}
+import graft.functions.{DotProduct, L2Sq, RollingHash, SimHash60}
 
 /** Session extension registering graft's custom expressions for SQL
   * users: `spark.sql("SELECT graft_rolling_hash(text)")`,
-  * `graft_dot(a, b)`, `graft_l2sq(a, b)` — enable with
+  * `graft_dot(a, b)`, `graft_l2sq(a, b)`,
+  * `graft_simhash60(tokens)` — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   */
@@ -36,5 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     injectBinary("graft_dot", classOf[DotProduct], DotProduct.apply)
     injectBinary("graft_l2sq", classOf[L2Sq], L2Sq.apply)
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => SimHash60(c)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash60(array<string>) expects 1 argument")
+      }))
   }
 }

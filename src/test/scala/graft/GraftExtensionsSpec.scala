@@ -51,6 +51,19 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
           "CAST(array(1.0) AS ARRAY<FLOAT>))").collect()
       }
       typeErr.getMessage.toLowerCase should include("graft_dot")
+
+      // simhash60 over a literal token array matches the expression API
+      val sh = spark.sql(
+        """SELECT graft_simhash60(array('a', 'b')),
+                  graft_simhash60(array())""").collect().head
+      val expected = {
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        import org.apache.spark.unsafe.types.UTF8String
+        graft.functions.SimHash.simhash60Boxed(new GenericArrayData(
+          Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"))))
+      }
+      sh.getLong(0) shouldBe expected.longValue()
+      sh.isNullAt(1) shouldBe true // empty array -> null (explode drop-out)
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites — just restore the previous session slots
