@@ -199,6 +199,54 @@ object Dedup extends QueryPack {
         GROUP BY sha256(text)
         ORDER BY body_sha256""")),
 
+    // ── INCREMENTAL exact dedup: a new batch against accumulated state ──
+    // The operational mode a 100 TB pipeline actually runs: dedup is not
+    // one big batch but a daily increment anti-joined against the hash
+    // state of everything already ingested. Here the "state" is the
+    // deterministic 3/4 of the corpus (doc_id % 4 < 3) and the
+    // "increment" the remaining 1/4: survivors are increment docs whose
+    // content hash is (a) absent from state — a hash-EQUALITY anti-join,
+    // which at scale runs against a state table bucketed by hash so
+    // increments co-locate with zero state shuffle — and (b) first of
+    // their hash WITHIN the increment (window min, only over new-batch
+    // collisions). State update is the union of state hashes and
+    // survivor hashes — same parquet-generation pattern as
+    // ingest/Monitor's file-metadata store.
+    "dedup_incremental" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val state = docs.filter($"doc_id" % 4 < 3)
+          .select(sha2($"text", 256).as("body_sha256")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"body_sha256")
+        docs.filter($"doc_id" % 4 >= 3)
+          .select($"doc_id", sha2($"text", 256).as("body_sha256"))
+          .join(state, Seq("body_sha256"), "left_anti")
+          .withColumn("keep", min($"doc_id").over(w))
+          .filter($"doc_id" === $"keep")
+          .select($"doc_id", $"body_sha256")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH state AS (
+          SELECT DISTINCT sha256(text) AS body_sha256
+          FROM documents WHERE doc_id % 4 < 3),
+        b AS (
+          SELECT doc_id, sha256(text) AS body_sha256
+          FROM documents WHERE doc_id % 4 >= 3),
+        f AS (
+          SELECT b.doc_id, b.body_sha256
+          FROM b LEFT JOIN state s ON b.body_sha256 = s.body_sha256
+          WHERE s.body_sha256 IS NULL),
+        k AS (
+          SELECT doc_id, body_sha256,
+                 MIN(doc_id) OVER (PARTITION BY body_sha256) AS keep
+          FROM f)
+        SELECT doc_id, body_sha256
+        FROM k WHERE doc_id = keep
+        ORDER BY doc_id""")),
+
     // ── MinHash signatures: 16 permutations over shingle fingerprints ──
     // minhash_i = min over shingles of ((2i+1)*fp(s) + 7919i + 12345) mod p.
     // One shuffle: all 16 mins are column aggregates of a single groupBy

@@ -76,6 +76,30 @@ class DedupSpec extends AnyFunSuite with Matchers {
     (jacc -- mh) shouldBe empty
   }
 
+  test("incremental dedup: survivors are new content, first-of-hash, nothing missed") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stateHashes = docs.filter(_._1 % 4 < 3).map(_._2).toSet
+    val batch = docs.filter(_._1 % 4 >= 3)
+    val survivors = rowsOf("dedup_incremental")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+    survivors should not be empty
+    // precision: no survivor's content exists in state, and each hash
+    // survives exactly once
+    survivors.foreach { case (_, h) => stateHashes should not contain h }
+    survivors.map(_._2).distinct.size shouldBe survivors.size
+    // recall: every batch doc is either a survivor, shadowed by state,
+    // or shadowed by an earlier batch doc with the same hash
+    val kept = survivors.toSet
+    batch.foreach { case (id, h) =>
+      val shadowed = stateHashes.contains(h) ||
+        batch.exists { case (id2, h2) => h2 == h && id2 < id }
+      kept.contains((id, h)) shouldBe !shadowed
+    }
+  }
+
   test("ANN embedding dedup output is a subset of the exact pairs with high recall") {
     val exact = rowsOf("dedup_embedding_cosine").map(r => (r(0), r(1))).toSet
     val ann = rowsOf("dedup_embedding_ann_pairs").map(r => (r(0), r(1))).toSet

@@ -225,6 +225,29 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q2.stop()
   }
 
+  test("text operators compose on the streaming ingest output") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-compose")
+    Files.write(dir.resolve("a.txt"), "Alpha beta  GAMMA".getBytes(UTF_8))
+    Files.write(dir.resolve("b.txt"), "one two three four five".getBytes(UTF_8))
+    // the same token/quality column expressions the batch pack uses run
+    // unchanged on the streaming change-record frame
+    val scored = FileStreamPipeline.changeRecords(spark, s"$dir/*", "t")
+      .toDF()
+      .withColumn("text", col("value").cast("string"))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(graft.functions.TextTokens.tokens))
+      .select(col("path"), col("n_tokens"))
+    val q = scored.writeStream.format("memory")
+      .queryName("graft_compose_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("graft_compose_stream").collect()
+        .map(r => (r.getString(0).split('/').last, r.getInt(1))).toMap
+      rows shouldBe Map("a.txt" -> 3, "b.txt" -> 5)
+    } finally q.stop()
+  }
+
   test("chunkKey strips part suffix only") {
     FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
