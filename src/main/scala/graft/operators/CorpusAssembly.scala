@@ -239,6 +239,82 @@ object CorpusAssembly extends QueryPack {
                              // ($mixWeightSum * c.n_src))
         ORDER BY doc_id""")),
 
+    // ── BPE-ish subword counting: the token budget a GPT-style
+    //    tokenizer would actually charge ──
+    // Whitespace counts (llm_token_count) under-estimate the trained
+    // tokenizer's budget; the standard approximation is a GPT-2-style
+    // regex over letter runs / digit runs / punctuation. The pattern
+    // sticks to alternation + enumerated classes (no lookaround, no \\p
+    // classes) so Java regex and DuckDB's RE2 agree byte-for-byte.
+    // Map-only scan; the ratio column is one integer-to-double division.
+    "llm_bpe_token_count" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"
+        Tables.documents(s, d)
+          .withColumn("n_ws_tokens", size(tokens).cast(LongType))
+          .withColumn("n_bpe_tokens",
+            size(regexp_extract_all(lower($"text"), lit(pat), lit(0))).cast(LongType))
+          .filter($"n_ws_tokens" > 0)
+          .select($"doc_id", $"n_ws_tokens", $"n_bpe_tokens",
+            round($"n_bpe_tokens".cast(DoubleType) /
+              $"n_ws_tokens".cast(DoubleType), 6).as("subword_ratio"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len($tokensSql) AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]')) AS BIGINT) AS n_bpe_tokens
+          FROM documents)
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               round(CAST(n_bpe_tokens AS DOUBLE) /
+                     CAST(n_ws_tokens AS DOUBLE), 6) AS subword_ratio
+        FROM t WHERE n_ws_tokens > 0
+        ORDER BY doc_id""")),
+
+    // ── stopword ratio: the quality-score component llm_quality_score
+    //    doesn't cover ──
+    // Fraction of token OCCURRENCES that are stopwords (multi-language
+    // list, broadcast-sized constant). High ratio ≈ natural prose, low ≈
+    // tables/boilerplate/code. filter-then-size keeps occurrence
+    // semantics (array_intersect would count distinct matches only).
+    "llm_stopword_ratio" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is",
+          "der", "die", "das", "und", "le", "la", "et", "el", "los", "y")
+        val stopArr = array(stops.map(lit): _*)
+        Tables.documents(s, d)
+          .withColumn("toks", tokens)
+          .filter(size($"toks") > 0)
+          .select($"doc_id", $"lang",
+            size($"toks").cast(LongType).as("n_tokens"),
+            size(filter($"toks", t => array_contains(stopArr, t)))
+              .cast(LongType).as("n_stopwords"))
+          .withColumn("stopword_ratio",
+            round($"n_stopwords".cast(DoubleType) /
+              $"n_tokens".cast(DoubleType), 6))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+        c AS (
+          SELECT doc_id, lang,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(toks, t -> list_contains(
+              ['the','a','of','and','to','in','is',
+               'der','die','das','und','le','la','et','el','los','y'], t)))
+              AS BIGINT) AS n_stopwords
+          FROM t WHERE len(toks) > 0)
+        SELECT doc_id, lang, n_tokens, n_stopwords,
+               round(CAST(n_stopwords AS DOUBLE) /
+                     CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
+        FROM c
+        ORDER BY doc_id""")),
+
     // ── percentile length trimming: drop per-language outliers ──
     // Keeps docs whose token count sits inside the [5th, 95th]
     // percentile band of their language — the outlier trim that
