@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the full 60-bit SimHash sketch of a
@@ -31,6 +32,22 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  // SQL-reachable via GraftExtensions: reject anything but
+  // array<string> at analysis time — getUTF8String on, say, an
+  // array<bigint> would reinterpret the long as an (offset, size)
+  // pair and read unchecked garbage, not throw
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      // array() / array(null, ...): every element is null, which the
+      // eval handles without ever reading an element as a string
+      case ArrayType(org.apache.spark.sql.types.NullType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.catalogString}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     SimHash.simhash60Boxed(input.asInstanceOf[ArrayData]) // null for empty arrays

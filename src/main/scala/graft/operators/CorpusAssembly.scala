@@ -30,6 +30,20 @@ object CorpusAssembly extends QueryPack {
     * llm_stratified_sample). */
   private val gateExpr = "((doc_id % 1000003) * 2654435761) % 1000000"
 
+  /** GPT-2-style subword pattern — ONE definition feeding both the
+    * Spark regex and (via interpolation, which skips escape
+    * re-processing) the DuckDB oracle, so the two can't diverge.
+    * Alternation + enumerated classes only: identical in Java regex
+    * and RE2. */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"
+
+  /** Stopword list for the ratio query — single source for the Spark
+    * array literal and the DuckDB list literal. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "der", "die", "das", "und", "le", "la", "et", "el", "los", "y")
+  private val stopwordsSqlList: String =
+    stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+
   /** Source-domain target weights for the mix query: a fixed dim table
     * (broadcast at scale), weights varied so the rebalance is
     * non-uniform. */
@@ -250,11 +264,11 @@ object CorpusAssembly extends QueryPack {
     "llm_bpe_token_count" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val pat = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"
         Tables.documents(s, d)
           .withColumn("n_ws_tokens", size(tokens).cast(LongType))
           .withColumn("n_bpe_tokens",
-            size(regexp_extract_all(lower($"text"), lit(pat), lit(0))).cast(LongType))
+            size(regexp_extract_all(lower($"text"), lit(bpePattern), lit(0)))
+              .cast(LongType))
           .filter($"n_ws_tokens" > 0)
           .select($"doc_id", $"n_ws_tokens", $"n_bpe_tokens",
             round($"n_bpe_tokens".cast(DoubleType) /
@@ -266,7 +280,7 @@ object CorpusAssembly extends QueryPack {
           SELECT doc_id,
             CAST(len($tokensSql) AS BIGINT) AS n_ws_tokens,
             CAST(len(regexp_extract_all(lower(text),
-                 '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]')) AS BIGINT) AS n_bpe_tokens
+                 '$bpePattern')) AS BIGINT) AS n_bpe_tokens
           FROM documents)
         SELECT doc_id, n_ws_tokens, n_bpe_tokens,
                round(CAST(n_bpe_tokens AS DOUBLE) /
@@ -283,9 +297,7 @@ object CorpusAssembly extends QueryPack {
     "llm_stopword_ratio" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val stops = Seq("the", "a", "of", "and", "to", "in", "is",
-          "der", "die", "das", "und", "le", "la", "et", "el", "los", "y")
-        val stopArr = array(stops.map(lit): _*)
+        val stopArr = array(stopwords.map(lit): _*)
         Tables.documents(s, d)
           .withColumn("toks", tokens)
           .filter(size($"toks") > 0)
@@ -305,9 +317,7 @@ object CorpusAssembly extends QueryPack {
           SELECT doc_id, lang,
             CAST(len(toks) AS BIGINT) AS n_tokens,
             CAST(len(list_filter(toks, t -> list_contains(
-              ['the','a','of','and','to','in','is',
-               'der','die','das','und','le','la','et','el','los','y'], t)))
-              AS BIGINT) AS n_stopwords
+              $stopwordsSqlList, t))) AS BIGINT) AS n_stopwords
           FROM t WHERE len(toks) > 0)
         SELECT doc_id, lang, n_tokens, n_stopwords,
                round(CAST(n_stopwords AS DOUBLE) /

@@ -64,6 +64,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       }
       sh.getLong(0) shouldBe expected.longValue()
       sh.isNullAt(1) shouldBe true // empty array -> null (explode drop-out)
+      // wrong-typed input rejected at analysis, not read via Unsafe
+      val shErr = intercept[Exception] {
+        spark.sql("SELECT graft_simhash60('not an array')").collect()
+      }
+      shErr.getMessage.toLowerCase should include("graft_simhash60")
+      val shErr2 = intercept[Exception] {
+        spark.sql("SELECT graft_simhash60(array(1L, 2L))").collect()
+      }
+      shErr2.getMessage.toLowerCase should include("graft_simhash60")
     } finally {
       // don't stop(): that would kill the SparkContext shared with the
       // other suites — just restore the previous session slots
