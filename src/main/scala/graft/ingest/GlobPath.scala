@@ -66,7 +66,17 @@ object GlobPath {
         case '}' if inGroup =>
           inGroup = false
           sb.append(')')
-        case c if "\\.]}()<>+-=!$|^".contains(c) => sb.append('\\').append(c)
+        case '\\' =>
+          // NIO PathMatcher semantics: backslash ESCAPES the next
+          // character (glob a\*b matches the literal name "a*b") — it
+          // is not a literal backslash
+          i += 1
+          if (i >= g.length) throw new IllegalArgumentException(
+            s"trailing escape in glob: $glob")
+          val c = g.charAt(i)
+          if ("\\.[]{}()<>+-=!$|^*?&".contains(c)) sb.append('\\')
+          sb.append(c)
+        case c if ".]}()<>+-=!$|^".contains(c) => sb.append('\\').append(c)
         case c => sb.append(c)
       }
       i += 1

@@ -40,9 +40,14 @@ object Listing {
     path.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
 
   /** Metadata-only listing of one monitored glob:
-    * (path, size, timestamp-millis). Missing/empty matches → empty frame
-    * (a monitored dir that doesn't exist yet is not an error, same as an
-    * FTP dir that hasn't been created).
+    * (path, uri, size, timestamp-millis). `path` is the scheme-stripped
+    * record identity (shared with the streaming pipeline); `uri` is the
+    * fully-qualified form the FETCH must use — resolving the bare path
+    * against the default FileSystem would silently read nothing for a
+    * monitored dir on a non-default filesystem (s3a:// / hdfs:// source
+    * on a cluster whose fs.defaultFS differs). Missing/empty matches →
+    * empty frame (a monitored dir that doesn't exist yet is not an
+    * error, same as an FTP dir that hasn't been created).
     *
     * Uses Hadoop `globStatus` — the same engine behind Catalyst's
     * `InMemoryFileIndex`, with identical glob semantics and pruned
@@ -60,9 +65,10 @@ object Listing {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
     statuses.filter(_.isFile)
-      .map(st => (st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+      .map(st => (st.getPath.toUri.getPath, st.getPath.toString,
+        st.getLen, st.getModificationTime))
       .toSeq
-      .toDF("path", "size", "timestamp")
+      .toDF("path", "uri", "size", "timestamp")
   }
 
   /** Max-age cutoff on listing metadata (SURVEY.md §2 #4) — evaluated
@@ -73,12 +79,16 @@ object Listing {
       case None => listing
     }
 
-  /** Content fetch for an explicit set of (path, size, timestamp-ms)
-    * listing rows — the bounded post-diff fetch list. Non-empty files
-    * are read by the executor-parallel `binaryFile` source; zero-length
-    * files (which binaryFile cannot plan) are synthesized from the
-    * listing metadata with an empty body. Returns
-    * (path, size, timestamp, body). */
+  /** Content fetch for an explicit set of (uri, size, timestamp-ms)
+    * listing rows — the bounded post-diff fetch list, addressed by the
+    * QUALIFIED uri from [[list]] so files on non-default filesystems
+    * resolve correctly (the emitted `path` column is scheme-stripped
+    * back to the record identity). Non-empty files are read by the
+    * executor-parallel `binaryFile` source; zero-length files (which
+    * binaryFile cannot plan) are synthesized from the listing metadata
+    * with an empty body — but only if they still exist, so a 0-byte
+    * file deleted between list and fetch is not fabricated into the
+    * records and state. Returns (path, size, timestamp, body). */
   def fetch(spark: SparkSession, files: Seq[(String, Long, Long)]): DataFrame = {
     import spark.implicits._
     val emptySchema = StructType(Seq(
@@ -94,26 +104,30 @@ object Listing {
     // few → per-file exists() (bounded RPCs, no dependence on directory
     // size); many → one listStatus (one RPC amortized over the batch,
     // but O(directory size) on object stores — only worth it when the
-    // fetch list itself is large)
-    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    // fetch list itself is large). The FileSystem is resolved PER
+    // DIRECTORY from the qualified uri, never from fs.defaultFS.
+    val conf = spark.sparkContext.hadoopConfiguration
     val listThreshold = 16
-    val byDir = nonEmptyAll.groupBy(f => new org.apache.hadoop.fs.Path(f._1).getParent)
+    val byDir = (nonEmptyAll ++ zeroLen)
+      .groupBy(f => new org.apache.hadoop.fs.Path(f._1).getParent)
     val existing: Set[String] = byDir.iterator.flatMap { case (dir, files) =>
+      val fs = dir.getFileSystem(conf)
       if (files.size < listThreshold)
         files.iterator.map(_._1)
           .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       else {
         val listed =
           try fs.listStatus(dir).iterator
-            .filter(_.isFile).map(_.getPath.toUri.getPath).toSet
+            .filter(_.isFile).map(_.getPath.toString).toSet
           catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-        files.iterator.map(_._1).filter(listed.contains)
+        files.iterator.map(_._1).filter(u =>
+          listed.contains(new org.apache.hadoop.fs.Path(u).toString))
       }
     }.toSet
     val nonEmpty = nonEmptyAll.filter(f => existing.contains(f._1))
-    val zeroDf = zeroLen
-      .map { case (p, _, ts) => (p, 0L, ts, Array.emptyByteArray) }
+    val zeroDf = zeroLen.filter(f => existing.contains(f._1))
+      .map { case (u, _, ts) =>
+        (new org.apache.hadoop.fs.Path(u).toUri.getPath, 0L, ts, Array.emptyByteArray) }
       .toDF("path", "size", "timestamp", "body")
     val bodyDf =
       if (nonEmpty.isEmpty)

@@ -64,7 +64,7 @@ object Monitor {
       .filter($"prev_size".isNull ||
               $"size" =!= $"prev_size" ||
               $"timestamp" =!= $"prev_ts")
-      .select($"path", $"tail", $"topic", $"size", $"timestamp")
+      .select($"path", $"uri", $"tail", $"topic", $"size", $"timestamp")
     // the cap bounds distinct PATHS, then re-attaches every matching
     // spec: capping raw (path, spec) rows could keep topic A's row and
     // drop topic B's for the same path — the state upsert would then
@@ -79,11 +79,13 @@ object Monitor {
     // mode/topic, like the reference's per-directory streams
     // (FtpMonitor.scala:164-170)
     val modeDf = toFetch.toSeq
-      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .map(r => (r.getString(0), r.getBoolean(2), r.getString(3)))
       .distinct
       .toDF("path", "tail", "topic")
+    // fetch addresses files by the QUALIFIED uri (non-default
+    // filesystems); records/state keep the stripped path identity
     val fetchList = toFetch.toSeq
-      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).distinct
+      .map(r => (r.getString(1), r.getLong(4), r.getLong(5))).distinct
 
     // 4. fetch bodies for changed paths only (executors do the IO),
     //    re-join previous full state, run the tail/diff state machine

@@ -42,13 +42,20 @@ object MonitorConfig {
   val SourceRecordConverter = "sourcerecordconverter"
 
   /** `path:topic[,path:topic...]` — same grammar as the reference
-    * (`FtpSourceConfig.scala:55-59`). */
+    * (`FtpSourceConfig.scala:55-59`), except the path side may itself
+    * contain colons (`s3a://bucket/in/`, `hdfs://nn/dir/`): the spec
+    * splits on the LAST colon, since topics cannot contain one
+    * (Kafka's legal topic charset is [a-zA-Z0-9._-]). */
   private[ingest] def parseMonitors(
       spec: String, tail: Boolean): Seq[MonitoredPath] =
     spec.split(',').filter(_.nonEmpty).toSeq.map { pair =>
       // trim BEFORE the non-empty guard: "  :topic" must fail fast,
       // not produce an empty monitored path
-      pair.split(':').map(_.trim) match {
+      val cut = pair.lastIndexOf(':')
+      val parts =
+        if (cut < 0) Array(pair.trim)
+        else Array(pair.substring(0, cut).trim, pair.substring(cut + 1).trim)
+      parts match {
         case Array(path, topic) if path.nonEmpty && topic.nonEmpty =>
           MonitoredPath(path, tail, topic)
         case _ => throw new IllegalArgumentException(

@@ -65,6 +65,10 @@ final class PollDriver(
   // reference's buffer-first poll — EXCEPT right after a failure, where
   // retrying the carry at full speed would hot-loop a down sink.
   @volatile private var lastFailed = false
+  /** Cause of the most recent failed poll (None after a success) — the
+    * diagnostic the operator reads when polls keep returning -1. */
+  @volatile private var lastFailureCause: Option[Throwable] = None
+  def lastError: Option[Throwable] = lastFailureCause
 
   /** One poll: returns the number of records emitted, or -1 when a
     * failure escalated the backoff, or 0 while waiting out the backoff
@@ -134,10 +138,18 @@ final class PollDriver(
         commitState()
         if (!haveCarry) backoff = backoff.nextSuccess(now)
         lastFailed = false
+        lastFailureCause = None
         n
       } finally served.unpersist()
     } catch {
-      case scala.util.control.NonFatal(_) =>
+      case scala.util.control.NonFatal(e) =>
+        // a swallowed cause turns every operational problem into a
+        // silent -1 stall; surface it before escalating the backoff
+        // (the reference lets the Connect framework log it)
+        System.err.println(
+          s"[graft.PollDriver] poll failed (backoff ${backoff.intervalMs} ms " +
+            s"-> next attempt gated): $e")
+        lastFailureCause = Some(e)
         backoff = backoff.nextFailure(now)
         lastFailed = true
         -1L

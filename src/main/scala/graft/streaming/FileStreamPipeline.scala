@@ -55,7 +55,11 @@ object FileStreamPipeline {
     * falling back to the path for non-numbered names. */
   private val PartNum = ".*\\.part([0-9]+)$".r
   def chunkOrder(path: String): (Long, String) = path match {
-    case PartNum(n) => (n.toLong, path)
+    // toLong can overflow on absurd part numbers (20+ digits); treating
+    // such a name as unnumbered beats crash-looping the streaming query
+    // on one poison filename (the checkpoint would replay it forever)
+    case PartNum(n) => scala.util.Try(n.toLong).toOption
+      .fold((Long.MaxValue, path))(v => (v, path))
     case _ => (Long.MaxValue, path)
   }
 
@@ -67,11 +71,24 @@ object FileStreamPipeline {
     * state's pending buffer until their predecessors land (a producer
     * that never writes a part stalls that file's tail — by design, the
     * alternative is transposed bytes). Unnumbered paths (one chunk per
-    * key by construction of [[chunkKey]]) emit on arrival. */
-  def tailStateFn(topic: String)(
+    * key by construction of [[chunkKey]]) emit on arrival.
+    *
+    * `idleTimeout` (set by [[changeRecords]]) bounds state growth: a
+    * logical file whose chunks stop arriving for that long has its
+    * state evicted — without eviction, per-file state (and stranded
+    * `pending` buffers for files whose earlier part never lands)
+    * accumulates forever across millions of ingested files, growing
+    * every checkpoint until the query needs a destructive reset. An
+    * evicted file that later receives a straggler part restarts at
+    * offset 0 — the documented abandon-the-stall tradeoff. */
+  def tailStateFn(topic: String, idleTimeout: Option[String] = None)(
       key: String,
       chunks: Iterator[Chunk],
       state: GroupState[ChunkTailState]): Iterator[FileChangeRecord] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(ChunkTailState(0L, 0L))
     val out = IndexedSeq.newBuilder[FileChangeRecord]
     def emit(body: Array[Byte]): Unit = {
@@ -88,6 +105,7 @@ object FileStreamPipeline {
       st = st.copy(nextPart = st.nextPart + 1)
     }
     state.update(st.copy(pending = pending))
+    idleTimeout.foreach(state.setTimeoutDuration)
     out.result().iterator
   }
 
@@ -96,7 +114,13 @@ object FileStreamPipeline {
       spark: SparkSession,
       glob: String,
       topic: String,
-      maxFilesPerTrigger: Int = 10000): Dataset[FileChangeRecord] = {
+      maxFilesPerTrigger: Int = 10000,
+      // opt-in: ProcessingTimeTimeout keeps the micro-batch engine
+      // scheduling timeout-check batches, so continuous-test harnesses
+      // (processAllAvailable) never see the query idle — long-running
+      // 100 TB deployments SHOULD set this (e.g. "24 hours") to bound
+      // state-store/checkpoint growth over millions of ingested files
+      idleStateTimeout: Option[String] = None): Dataset[FileChangeRecord] = {
     import spark.implicits._
     spark.readStream
       .format("binaryFile")
@@ -114,7 +138,13 @@ object FileStreamPipeline {
       .map { case (p, s, t, b) => Chunk(chunkKey(p), p, s, t, b) }
       .groupByKey(_.fileKey)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(tailStateFn(topic))
+        OutputMode.Append,
+        // idle-key eviction bounds state-store/checkpoint growth over
+        // millions of ingested files (see tailStateFn); None keeps
+        // state forever for deployments that resume stalled tails
+        idleStateTimeout.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout)
+      )(tailStateFn(topic, idleStateTimeout))
   }
 
   /** Streaming exact dedup bounded by a watermark: drops re-delivered

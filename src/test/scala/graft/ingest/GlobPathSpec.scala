@@ -62,6 +62,18 @@ class GlobPathSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException](GlobPath.globToRegex("/d/a[x/]b"))
   }
 
+  test("backslash escapes the next character, like NIO's PathMatcher") {
+    // a\*b matches the literal name "a*b", never a wildcard expansion
+    GlobPath.matches("/d/a\\*b", "/d/a*b") shouldBe true
+    GlobPath.matches("/d/a\\*b", "/d/axxb") shouldBe false
+    GlobPath.matches("/d/a\\?b", "/d/a?b") shouldBe true
+    GlobPath.matches("/d/a\\?b", "/d/axb") shouldBe false
+    // escaped backslash is a literal backslash
+    GlobPath.matches("/d/a\\\\b", "/d/a\\b") shouldBe true
+    // a trailing bare escape is malformed, like NIO
+    intercept[IllegalArgumentException](GlobPath.globToRegex("/d/a\\"))
+  }
+
   test("regex metacharacters in literals are escaped") {
     GlobPath.matches("/d/a.b", "/d/a.b") shouldBe true
     GlobPath.matches("/d/a.b", "/d/axb") shouldBe false

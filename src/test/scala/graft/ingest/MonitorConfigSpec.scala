@@ -26,6 +26,17 @@ class MonitorConfigSpec extends AnyFunSuite with Matchers {
     cfg.converter shouldBe a[Records.NopRecordConverter]
   }
 
+  test("monitor specs accept scheme-qualified paths (split on the LAST colon)") {
+    val ms = MonitorConfig.parseMonitors(
+      "s3a://bucket/in/:landing,hdfs://nn:8020/dir/:t2,/plain/:t3", tail = false)
+    ms shouldBe Seq(
+      MonitoredPath("s3a://bucket/in/", tail = false, "landing"),
+      MonitoredPath("hdfs://nn:8020/dir/", tail = false, "t2"),
+      MonitoredPath("/plain/", tail = false, "t3"))
+    an[IllegalArgumentException] should be thrownBy
+      MonitorConfig.parseMonitors("no-topic-here", tail = false)
+  }
+
   test("fail-fast validation") {
     an[IllegalArgumentException] should be thrownBy MonitorConfig(Map.empty)
     an[IllegalArgumentException] should be thrownBy

@@ -248,6 +248,40 @@ class FileStreamPipelineSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("idle-state eviction: a timed-out key drops its state and emits nothing") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // timed-out invocation: state must be removed, no records emitted
+    val timedOut = TestGroupState.create[FileStreamPipeline.ChunkTailState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        FileStreamPipeline.ChunkTailState(10L, 1L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = FileStreamPipeline.tailStateFn("t", Some("1 hour"))(
+      "f", Iterator.empty, timedOut).toSeq
+    out shouldBe empty
+    timedOut.isRemoved shouldBe true
+
+    // live invocation with a timeout configured: the deadline is set so
+    // an idle key eventually times out instead of living forever
+    val live = TestGroupState.create[FileStreamPipeline.ChunkTailState](
+      optionalState = org.apache.spark.api.java.Optional.empty[FileStreamPipeline.ChunkTailState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val rec = FileStreamPipeline.tailStateFn("t", Some("1 hour"))(
+      "f", Iterator(FileStreamPipeline.Chunk("f", "f", 2L, 0L, Array[Byte](1, 2))),
+      live).toSeq
+    rec.map(r => (r.offset, r.value.toSeq)) shouldBe Seq((0L, Seq[Byte](1, 2)))
+    live.isRemoved shouldBe false
+    live.getTimeoutTimestampMs.isPresent shouldBe true
+
+    // poison part number: treated as unnumbered, not a crash
+    FileStreamPipeline.chunkOrder("x.part99999999999999999999")._1 shouldBe Long.MaxValue
+  }
+
   test("chunkKey strips part suffix only") {
     FileStreamPipeline.chunkKey("/d/f.part12") shouldBe "/d/f"
     FileStreamPipeline.chunkKey("/d/f.log") shouldBe "/d/f.log"
