@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.{DotProduct, L2Sq, RollingHash, SimHash60}
 
@@ -19,9 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(c) => RollingHash(c)
-        case Seq(c, Literal(p: Long, _)) => RollingHash(c, p)
-        case Seq(c, Literal(p: Int, _)) => RollingHash(c, p.toLong)
+        // Cast like the Scala-level rolling_hash entry point: without
+        // it a non-string SQL argument passes analysis and dies at
+        // runtime in the UTF8String cast
+        case Seq(c) => RollingHash(Cast(c, StringType))
+        case Seq(c, Literal(p: Long, _)) => RollingHash(Cast(c, StringType), p)
+        case Seq(c, Literal(p: Int, _)) => RollingHash(Cast(c, StringType), p.toLong)
         case _ => throw new IllegalArgumentException(
           "graft_rolling_hash(str[, prime]) expects 1 or 2 arguments")
       }))

@@ -58,6 +58,10 @@ case class RollingHash2(child: Expression) extends UnaryExpression {
 
 object RollingHash {
   val Mod: Long = 1000000007L
+  // the fused-fingerprint primes (hash2 = hashP1 + hashP2 * Mod); the
+  // Dedup oracle SQL derives its spelling from these same constants
+  val P1: Long = 31L
+  val P2: Long = 131L
 
   /** Static helper invoked from generated code. ASCII fast path reads
     * the UTF8String's bytes directly (no per-row String allocation in
@@ -96,8 +100,8 @@ object RollingHash {
     while (i < n) {
       val b = s.getByte(i)
       if (b < 0) return hash2ViaString(s) // non-ASCII byte
-      h31 = (h31 * 31L + b) % Mod
-      h131 = (h131 * 131L + b) % Mod
+      h31 = (h31 * P1 + b) % Mod
+      h131 = (h131 * P2 + b) % Mod
       i += 1
     }
     h31 + h131 * Mod
@@ -110,8 +114,8 @@ object RollingHash {
     var i = 0
     while (i < str.length) {
       val c = str.charAt(i)
-      h31 = (h31 * 31L + c) % Mod
-      h131 = (h131 * 131L + c) % Mod
+      h31 = (h31 * P1 + c) % Mod
+      h131 = (h131 * P2 + c) % Mod
       i += 1
     }
     h31 + h131 * Mod

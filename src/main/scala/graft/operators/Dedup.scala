@@ -30,7 +30,11 @@ import graft.functions.VectorFunctions
   */
 object Dedup extends QueryPack {
 
-  private val Mod = 1000000007L
+  // single-source hash constants: the oracle fingerprint SQL must stay
+  // bit-identical to RollingHash.hash2 (fp = hashP1 + hashP2 * Mod)
+  private val Mod = graft.functions.RollingHash.Mod
+  private val P1 = graft.functions.RollingHash.P1.toInt
+  private val P2 = graft.functions.RollingHash.P2.toInt
 
   private def tokensCol: Column = graft.functions.TextTokens.tokens
   private val tokensSql = graft.functions.TextTokens.tokensSql
@@ -130,7 +134,7 @@ object Dedup extends QueryPack {
         toks AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
         tok AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks),
         f AS (SELECT doc_id, lang,
-                ${fpSql("t", 31)} + ${fpSql("t", 131)} * $Mod AS fp FROM tok),
+                ${fpSql("t", P1)} + ${fpSql("t", P2)} * $Mod AS fp FROM tok),
         votes AS (
           SELECT doc_id, lang, b,
                  SUM(CASE WHEN (fp >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -165,7 +169,7 @@ object Dedup extends QueryPack {
         WITH toks AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
         tok AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks),
         f AS (SELECT doc_id, lang,
-                ${fpSql("t", 31)} + ${fpSql("t", 131)} * $Mod AS fp FROM tok),
+                ${fpSql("t", P1)} + ${fpSql("t", P2)} * $Mod AS fp FROM tok),
         votes AS (
           SELECT doc_id, lang, b,
                  SUM(CASE WHEN (fp >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -269,7 +273,7 @@ object Dedup extends QueryPack {
       oracle = Some(s"""
         WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
         sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
-        f AS (SELECT doc_id, ${fpSql("shingle", 31)} AS fp FROM sh)
+        f AS (SELECT doc_id, ${fpSql("shingle", P1)} AS fp FROM sh)
         SELECT doc_id, perm,
                MIN(((2*perm + 1) * fp + 7919*perm + 12345) % $Mod) AS minhash
         FROM f, range(16) t(perm)
@@ -352,7 +356,7 @@ object Dedup extends QueryPack {
         WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
         tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
         f AS (SELECT doc_id,
-                ${fpSql("t", 31)} + ${fpSql("t", 131)} * $Mod AS fp FROM tok),
+                ${fpSql("t", P1)} + ${fpSql("t", P2)} * $Mod AS fp FROM tok),
         votes AS (
           SELECT doc_id, b, SUM(CASE WHEN (fp >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
           FROM f, range(60) t(b)

@@ -471,12 +471,15 @@ object Relational extends QueryPack {
             sum(p * p).cast(DoubleType).as("syy"),
             sum(q * p).cast(DoubleType).as("sxy"))
           .select($"l_returnflag", $"n",
-            // nullif guard: a zero-variance group yields NULL in both
-            // engines (Spark double/0 would give Infinity, DuckDB NULL —
-            // a silent parity break without the guard)
+            // guards: a zero-variance group yields NULL in both engines
+            // (Spark double/0 would give Infinity, DuckDB NULL), and the
+            // variance product is clamped at 0 first — double rounding
+            // can push it a few ulps NEGATIVE for near-constant groups,
+            // where Spark's sqrt returns NaN but DuckDB's ERRORS out
             (($"n" * $"sxy" - $"sx" * $"sy") /
-              nullif(sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
-                   ($"n" * $"syy" - $"sy" * $"sy")), lit(0.0))).as("corr_qty_price"))
+              nullif(sqrt(greatest(lit(0.0),
+                ($"n" * $"sxx" - $"sx" * $"sx") *
+                  ($"n" * $"syy" - $"sy" * $"sy"))), lit(0.0))).as("corr_qty_price"))
           .orderBy($"l_returnflag")
       },
       oracle = Some("""
@@ -490,7 +493,8 @@ object Relational extends QueryPack {
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
           (n * sxy - sx * sy) /
-            NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+            NULLIF(sqrt(greatest(0.0,
+              (n * sxx - sx * sx) * (n * syy - sy * sy))), 0.0)
             AS corr_qty_price
         FROM s
         ORDER BY l_returnflag""")),

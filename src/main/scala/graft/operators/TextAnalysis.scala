@@ -172,11 +172,10 @@ object TextAnalysis extends QueryPack {
               .as("token_signature"))
           .orderBy($"doc_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT doc_id,
           array_to_string(
-            list_sort(list_distinct(
-              list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'), t -> t <> ''))),
+            list_sort(list_distinct(${graft.functions.TextTokens.tokensSql})),
             ' ') AS token_signature
         FROM documents
         ORDER BY doc_id""")),
@@ -193,11 +192,10 @@ object TextAnalysis extends QueryPack {
           .orderBy($"n".desc, $"term")
           .limit(50)
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT term, COUNT(*) AS n
-        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f]+')) AS term
+        FROM (SELECT unnest(${graft.functions.TextTokens.tokensSql}) AS term
               FROM documents)
-        WHERE term <> ''
         GROUP BY term
         ORDER BY n DESC, term
         LIMIT 50"""),
@@ -245,9 +243,9 @@ object TextAnalysis extends QueryPack {
           .orderBy($"n".desc, $"bigram")
           .limit(30)
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH toks AS (
-          SELECT regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f]+') AS tokens
+          SELECT ${graft.functions.TextTokens.tokensSql} AS tokens
           FROM documents),
         grams AS (
           SELECT unnest(list_transform(generate_series(2, len(tokens)),
@@ -315,11 +313,10 @@ object TextAnalysis extends QueryPack {
           .select($"doc_id", $"lang", $"n_tokens", $"alpha_ratio")
           .orderBy($"doc_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH scored AS (
           SELECT doc_id, lang,
-            CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
-                     t -> t <> '')) AS BIGINT) AS n_tokens,
+            CAST(len(${graft.functions.TextTokens.tokensSql}) AS BIGINT) AS n_tokens,
             CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
               / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alpha_ratio,
             MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
