@@ -121,6 +121,18 @@ object RollingHash {
     h31 + h131 * Mod
   }
 
+  /** DuckDB spelling of [[hash]] for a NON-EMPTY string expression —
+    * kept next to the Scala implementation so an oracle and the
+    * expression cannot drift (empty-string callers must guard with
+    * their own CASE, as `llm_fingerprint` does). */
+  def fpSql(v: String, prime: Long): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(string_split($v, ''), ch -> unicode(ch)::BIGINT)),
+        (acc, ch) -> (acc * $prime + ch) % $Mod)"""
+
+  /** DuckDB spelling of [[hash2]] (fused fp = hP1 + hP2 · Mod). */
+  def fp2Sql(v: String): String = s"${fpSql(v, P1)} + ${fpSql(v, P2)} * $Mod"
+
   /** Column-level entry point; input is cast to string if needed. */
   def rolling_hash(c: Column, prime: Long = 31L): Column =
     Shim.column(RollingHash(Cast(Shim.expression(c), StringType), prime))

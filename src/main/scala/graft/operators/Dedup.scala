@@ -51,11 +51,10 @@ object Dedup extends QueryPack {
            tokens[i-2] || ' ' || tokens[i-1] || ' ' || tokens[i])
        ELSE [] END)"""
 
-  /** DuckDB twin of RollingHash(prime) for a non-empty string expr. */
+  /** DuckDB twin of RollingHash(prime) for a non-empty string expr
+    * (single-sourced next to the Scala implementation). */
   private def fpSql(v: String, prime: Int): String =
-    s"""list_reduce(list_prepend(0::BIGINT,
-          list_transform(string_split($v, ''), ch -> unicode(ch)::BIGINT)),
-        (acc, ch) -> (acc * $prime + ch) % $Mod)"""
+    graft.functions.RollingHash.fpSql(v, prime)
 
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tokens", tokensCol)
@@ -338,6 +337,74 @@ object Dedup extends QueryPack {
       },
       oracle = None,
       headline = true),
+
+    // ── MinHash-LSH at duplicate grade, fully oracle-checked ──
+    // `dedup_minhash_pairs` verifies candidates at a weak τ=0.2, where
+    // 4×4 banding has low theoretical recall (legitimate as a candidate
+    // generator, so it stays rows-only + gated). At DUPLICATE grade
+    // (τ=0.9) banding can be made essentially lossless: with 8 bands of
+    // 2 rows a true j≥0.9 pair is missed with probability
+    // (1-j²)⁸ ≤ 0.19⁸ ≈ 2e-6, so the verified output IS the exact
+    // Jaccard-≥0.9 pair set and DuckDB can recompute it independently —
+    // sub-quadratically on both sides: the oracle intersects shingle
+    // sets by an equality join on the shingle fingerprint, never
+    // all-pairs. This makes the whole shingle→minhash→band→bucket-join→
+    // verify pipeline a hash-checked equality proof, not just a recall
+    // gate.
+    "dedup_minhash_verified" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = materialized(docsWithTokens(s, d)
+            .select($"doc_id", shinglesCol.as("shingles")))
+          .select($"doc_id", array_distinct(transform($"shingles",
+            sh => rolling_hash2(sh))).as("fps"))
+          .localCheckpoint(true)
+        val sh = docs.select($"doc_id", explode($"fps").as("fp"))
+        val aggs = (0 until 16).map(i =>
+          min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+        val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(true)
+        // 8 bands × 2 rows: near-certain recall at duplicate grade
+        val bandKeys = (0 until 8).map(b =>
+          concat_ws("_", col(s"m${b * 2}"), col(s"m${b * 2 + 1}")))
+        val bands = sigs16.select($"doc_id",
+          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+            $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+          .distinct()
+        val sets = docs.select($"doc_id", $"fps")
+        cand
+          .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
+          .join(sets.select($"doc_id".as("doc2"), $"fps".as("f2")), Seq("doc2"))
+          .withColumn("inter", size(array_intersect($"f1", $"f2")))
+          .withColumn("jaccard",
+            $"inter".cast(DoubleType) /
+              (size($"f1") + size($"f2") - $"inter").cast(DoubleType))
+          .filter($"jaccard" >= 0.9)
+          .select($"doc1", $"doc2", $"jaccard")
+          .orderBy($"doc1", $"doc2")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+        sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+        f AS (SELECT DISTINCT doc_id,
+                ${fpSql("shingle", P1)} + ${fpSql("shingle", P2)} * $Mod AS fp
+              FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc1, doc2,
+               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc1
+        JOIN sizes sb ON sb.doc_id = doc2
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
+        ORDER BY doc1, doc2""")),
 
     // ── SimHash: 60-bit per-document sketch, bit-vote over token fps ──
     "dedup_simhash" -> QueryDef(

@@ -200,6 +200,13 @@ object EventTime extends QueryPack {
         ORDER BY event_id""")),
 
     // ── approximate distinct (HLL++) next to the exact count ──
+    // The HLL estimate itself is engine-specific (DuckDB's approx sketch
+    // differs bit-for-bit), so the oracle-checkable contract is the
+    // documented accuracy bound: with rsd=0.02 the estimate must land
+    // within ±5% of the exact count (2.5 standard deviations). Emitting
+    // the boolean next to the exact count makes the row a full
+    // hash-checked assertion — DuckDB recomputes the exact count and
+    // expects the bound to hold — instead of a rows-only entry.
     "agg_approx_distinct" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -208,8 +215,17 @@ object EventTime extends QueryPack {
           .agg(
             approx_count_distinct($"user_id", 0.02).as("approx_users"),
             countDistinct($"user_id").as("exact_users"))
+          .select($"event_type", $"exact_users",
+            (abs($"approx_users" - $"exact_users").cast(DoubleType)
+              <= lit(0.05) * $"exact_users").as("approx_within_5pct"))
           .orderBy($"event_type")
       },
-      oracle = None)
+      oracle = Some("""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

@@ -22,6 +22,16 @@ object TextAnalysis extends QueryPack {
   private def tokens: org.apache.spark.sql.Column =
     graft.functions.TextTokens.tokens
 
+  /** DuckDB twin of the fused double-prime fingerprint (single-sourced
+    * next to the Scala implementation in [[graft.functions.RollingHash]]). */
+  private def fp2Sql(v: String): String = graft.functions.RollingHash.fp2Sql(v)
+
+  // PII patterns — Java-regex and RE2 read these identically (no \s,
+  // no backreferences, no lookaround); single-sourced so the Spark
+  // expression and the DuckDB oracle cannot diverge.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "555-[0-9]{4}"
+
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
     s"(length(text) - length(replace(text, ' $kw '))) div ${kw.length + 2}"
@@ -222,6 +232,114 @@ object TextAnalysis extends QueryPack {
               list_transform(string_split(text, ''), ch -> unicode(ch)::BIGINT)),
               (acc, ch) -> (acc * 131 + ch) % 1000000007) END AS fingerprint_alt
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ── winnowing-style local fingerprints (MOSS family) ──
+    // Whole-document fingerprints (llm_fingerprint) miss partial
+    // overlap; plagiarism/near-copy detection samples LOCAL fingerprints
+    // instead: hash every positional token 3-gram, then keep a k-gram
+    // iff its fp is ≤ the minimum of the previous w-1=3 fps (the
+    // rightmost-min of each trailing window of 4 — a deterministic
+    // min-sampling rule that guarantees a selected fp in every run of
+    // w consecutive k-grams while thinning to ~1/w of positions; ties
+    // resolve to the later position, as in winnowing). Two documents
+    // sharing a long-enough substring share selected (fp) values, so
+    // matching is an equality join on fp — never all-pairs. Map-only +
+    // one window per doc: embarrassingly parallel at 100 TB.
+    "llm_winnowing" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(-3, -1)
+        Tables.documents(s, d)
+          .withColumn("tokens", tokens)
+          .filter(size($"tokens") >= 3)
+          .select($"doc_id", expr(
+            """transform(sequence(1, size(tokens) - 2), i ->
+                 concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))""").as("grams"))
+          .transform(graft.functions.TextTokens.materialized)
+          .select($"doc_id", posexplode($"grams").as(Seq("pos", "gram")))
+          .withColumn("fp", graft.functions.RollingHash.rolling_hash2($"gram"))
+          .withColumn("prev_min", min($"fp").over(w))
+          .filter($"prev_min".isNull || $"fp" <= $"prev_min")
+          .select($"doc_id", $"pos".cast(LongType).as("pos"), $"fp")
+          .orderBy($"doc_id", $"pos")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(3, len(tokens)),
+                   i -> tokens[i-2] || ' ' || tokens[i-1] || ' ' || tokens[i])) AS gram,
+                 unnest(generate_series(0, len(tokens) - 3)) AS pos
+          FROM toks WHERE len(tokens) >= 3),
+        f AS (
+          SELECT doc_id, pos,
+                 ${fp2Sql("gram")} AS fp
+          FROM grams),
+        sel AS (
+          SELECT doc_id, pos, fp,
+                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_min
+          FROM f)
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp
+        FROM sel
+        WHERE prev_min IS NULL OR fp <= prev_min
+        ORDER BY doc_id, pos""")),
+
+    // ── PII detection + redaction ──
+    // A 100 TB training-data pipeline scrubs emails/phone numbers in a
+    // map-only scan: regex detection (count per kind) + replacement with
+    // typed placeholder tokens, all codegen'd `functions._` expressions.
+    // The synthetic corpus contains no PII, so the query PLANTS it
+    // deterministically from doc_id in BOTH engines (docs where
+    // doc_id%3>0 gain an email, docs where doc_id%2=0 gain a phone) —
+    // this exercises match, no-match, and mixed paths with a full value
+    // oracle instead of an all-zeros no-op. Patterns restricted to
+    // Java-regex/RE2-identical constructs, defined ONCE in Scala and
+    // interpolated into the oracle (single-source-literal rule).
+    "llm_pii_redact" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val id = $"doc_id".cast(StringType)
+        val aug = concat($"text",
+          when($"doc_id" % 3 > 0,
+            concat(lit(" contact user"), id, lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 2 === 0,
+            concat(lit(" call 555-"), lpad(id, 4, "0"), lit(" today")))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .withColumn("aug", aug)
+          .select($"doc_id",
+            size(regexp_extract_all($"aug", lit(EmailPat), lit(0)))
+              .cast(LongType).as("n_emails"),
+            size(regexp_extract_all($"aug", lit(PhonePat), lit(0)))
+              .cast(LongType).as("n_phones"),
+            regexp_replace(regexp_replace($"aug", EmailPat, "<EMAIL>"),
+              PhonePat, "<PHONE>").as("redacted"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 > 0 THEN
+                 ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+            || CASE WHEN doc_id % 2 = 0 THEN
+                 ' call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' today'
+               ELSE '' END AS aug
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '$EmailPat')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '$PhonePat')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(aug, '$EmailPat', '<EMAIL>', 'g'),
+            '$PhonePat', '<PHONE>', 'g') AS redacted
+        FROM aug
         ORDER BY doc_id""")),
 
     // ── word-bigram frequency, top 30 ──
