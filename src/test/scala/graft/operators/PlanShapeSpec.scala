@@ -115,4 +115,33 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "Join"
     "hashpartitioning\\(lang".r.findAllIn(p).size shouldBe 1
   }
+
+  test("verified minhash pairs join on band keys — no cartesian, no nested loop") {
+    val p = plan("dedup_minhash_verified")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("dedup recall eval never re-reads a corpus: zero parquet scans in the executed plan") {
+    // every base-table read is behind a localCheckpoint barrier shared by
+    // truth and found sides (shingleFps once, embeddings once); a
+    // refactor that drops a checkpoint re-inlines the corpus scan per
+    // consumer and fails here
+    val p = plan("dedup_ann_recall")
+    "Scan parquet".r.findAllIn(p).size shouldBe 0
+  }
+
+  test("winnowing reads only (doc_id, text) and windows per document") {
+    val f = formattedPlan("llm_winnowing")
+    f should not include "lang#"
+    f should not include "source#"
+    plan("llm_winnowing") should include("Window")
+  }
+
+  test("PII redaction is a map-only scan — no shuffle, no join") {
+    val p = plan("llm_pii_redact")
+    p should not include "Join"
+    // the only exchange allowed is the output ordering's range partition
+    p should not include "hashpartitioning"
+  }
 }
