@@ -667,6 +667,7 @@ object Dedup extends QueryPack {
           .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
         embeddingAnnPairs(e, nBands = 16, bitsPerBand = 4, dim = 64,
           threshold = 0.35)
+          .orderBy($"vec1", $"vec2")
       },
       oracle = None),
 
@@ -692,8 +693,12 @@ object Dedup extends QueryPack {
           truth.join(found.withColumn("hit", lit(1)), keys, "left")
             .agg(
               count(lit(1)).as("n_true_pairs"),
-              (sum(coalesce($"hit", lit(0))).cast(DoubleType) /
-                count(lit(1)).cast(DoubleType) >= floor).as("recall_floor_met"))
+              // empty truth is vacuously met (sum over zero rows is
+              // NULL; without the guard the boolean would be NULL and
+              // hash-mismatch the oracle's TRUE)
+              (count(lit(1)) === 0 ||
+                sum(coalesce($"hit", lit(0))).cast(DoubleType) /
+                  count(lit(1)).cast(DoubleType) >= floor).as("recall_floor_met"))
             .select(lit(method).as("method"), $"n_true_pairs",
               $"recall_floor_met")
         }
@@ -783,7 +788,8 @@ object Dedup extends QueryPack {
       .withColumn("cos", round(VectorFunctions.cosine(col("e1"), col("e2")), 9))
       .filter(col("cos") >= threshold)
       .select(col("vec1"), col("vec2"), col("cos"))
-      .orderBy(col("vec1"), col("vec2"))
+    // unordered: the pair-listing query adds its own orderBy; the recall
+    // eval and the DedupSpec gates aggregate, where a sort is wasted work
   }
 
   /** Shared oracle of `dedup_embedding_cosine` and its block-partitioned

@@ -188,8 +188,12 @@ object Similarity extends QueryPack {
             .localCheckpoint(true) // counted AND ranked below
           val top5 = scored
             .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
-          top5
-            .join(exact.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+          // recall denominates over the TRUE top-5 rows (exact left-join
+          // found), so a query whose bucket returns fewer than 5
+          // candidates counts its misses instead of shrinking the
+          // denominator into a precision number
+          exact
+            .join(top5.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
             .agg(
               countDistinct($"query_id").as("n_queries"),
               (sum(coalesce($"hit", lit(0))).cast(DoubleType) /

@@ -234,24 +234,28 @@ object TextAnalysis extends QueryPack {
         FROM documents
         ORDER BY doc_id""")),
 
-    // ── winnowing-style local fingerprints (MOSS family) ──
+    // ── winnowing local fingerprints (MOSS family) ──
     // Whole-document fingerprints (llm_fingerprint) miss partial
     // overlap; plagiarism/near-copy detection samples LOCAL fingerprints
-    // instead: hash every positional token 3-gram, then keep a k-gram
-    // iff its fp is ≤ the minimum of the previous w-1=3 fps (the
-    // rightmost-min of each trailing window of 4 — a deterministic
-    // min-sampling rule that guarantees a selected fp in every run of
-    // w consecutive k-grams while thinning to ~1/w of positions; ties
-    // resolve to the later position, as in winnowing). Two documents
-    // sharing a long-enough substring share selected (fp) values, so
-    // matching is an equality join on fp — never all-pairs. Map-only +
-    // one window per doc: embarrassingly parallel at 100 TB.
+    // instead. Textbook winnowing (w=4 over token-3-gram hashes): every
+    // window of 4 consecutive k-gram fps selects its minimum, ties
+    // broken to the RIGHTMOST position; the fingerprint set is the
+    // distinct selected (pos, fp). This guarantees a selected fp inside
+    // EVERY run of 4 consecutive k-grams (each is exactly one window),
+    // so two documents sharing ≥ w+k-1 = 7 consecutive tokens are
+    // guaranteed a common selected fp — matching is an equality join on
+    // fp, never all-pairs. Leading partial windows (prefixes shorter
+    // than w) also select, so any doc with ≥ 1 gram fingerprints.
+    // Implementation: each gram j joins the windows ending at
+    // t ∈ [j, j+3] (t < n_grams), one row_number per (doc, t) picks the
+    // rightmost min — explicit window expansion instead of a 4-case
+    // argmin fold, identical in both engines. The 4× row fan-out is
+    // (pos, fp) longs only; still a per-doc map + one window at 100 TB.
     "llm_winnowing" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")
-          .rowsBetween(-3, -1)
+        val wSel = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id", $"t").orderBy($"fp".asc, $"j".desc)
         Tables.documents(s, d)
           .withColumn("tokens", tokens)
           .filter(size($"tokens") >= 3)
@@ -259,11 +263,15 @@ object TextAnalysis extends QueryPack {
             """transform(sequence(1, size(tokens) - 2), i ->
                  concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))""").as("grams"))
           .transform(graft.functions.TextTokens.materialized)
-          .select($"doc_id", posexplode($"grams").as(Seq("pos", "gram")))
+          .select($"doc_id", size($"grams").as("n"),
+            posexplode($"grams").as(Seq("j", "gram")))
           .withColumn("fp", graft.functions.RollingHash.rolling_hash2($"gram"))
-          .withColumn("prev_min", min($"fp").over(w))
-          .filter($"prev_min".isNull || $"fp" <= $"prev_min")
-          .select($"doc_id", $"pos".cast(LongType).as("pos"), $"fp")
+          .select($"doc_id", $"j", $"fp",
+            explode(sequence($"j", least($"j" + 3, $"n" - 1))).as("t"))
+          .withColumn("rn", row_number().over(wSel))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"j", $"fp").distinct()
+          .select($"doc_id", $"j".cast(LongType).as("pos"), $"fp")
           .orderBy($"doc_id", $"pos")
       },
       oracle = Some(s"""
@@ -272,22 +280,26 @@ object TextAnalysis extends QueryPack {
           FROM documents),
         grams AS (
           SELECT doc_id,
+                 len(tokens) - 2 AS n,
                  unnest(list_transform(generate_series(3, len(tokens)),
                    i -> tokens[i-2] || ' ' || tokens[i-1] || ' ' || tokens[i])) AS gram,
-                 unnest(generate_series(0, len(tokens) - 3)) AS pos
+                 unnest(generate_series(0, len(tokens) - 3)) AS j
           FROM toks WHERE len(tokens) >= 3),
         f AS (
-          SELECT doc_id, pos,
+          SELECT doc_id, n, j,
                  ${fp2Sql("gram")} AS fp
           FROM grams),
+        wins AS (
+          SELECT doc_id, j, fp, j + r AS t
+          FROM f, range(0, 4) rr(r)
+          WHERE j + r < n),
         sel AS (
-          SELECT doc_id, pos, fp,
-                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_min
-          FROM f)
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp
-        FROM sel
-        WHERE prev_min IS NULL OR fp <= prev_min
+          SELECT doc_id, t, j, fp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, t
+                                    ORDER BY fp ASC, j DESC) AS rn
+          FROM wins)
+        SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos, fp
+        FROM sel WHERE rn = 1
         ORDER BY doc_id, pos""")),
 
     // ── PII detection + redaction ──

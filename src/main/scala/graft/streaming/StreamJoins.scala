@@ -31,9 +31,11 @@ object StreamJoins {
     * full_outer (outer types require exactly this watermark + interval
     * shape, which is why the helper owns it).
     *
-    * Column names shared by both sides other than the join keys must be
-    * disambiguated by the caller beforehand; the result carries the key
-    * columns once plus both sides' payloads.
+    * The joined sides keep their `l`/`r` aliases, and the key columns
+    * appear on BOTH (an expression-condition join does not merge them):
+    * select `col("l.k")` / `col("r.k")` to disambiguate. For outer
+    * types, read the key from the side that is always present (left for
+    * left_outer, right for right_outer) or coalesce the two.
     */
   def intervalJoin(
       left: DataFrame,
