@@ -511,6 +511,86 @@ object TextAnalysis extends QueryPack {
         FROM s GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ── bigram-LM surprisal: context-aware fluency scoring ──
+    // Unigram surprisal scores vocabulary rarity; a bigram model also
+    // scores SEQUENCE plausibility — the fluency signal that separates
+    // shuffled-word salad from real prose even when the vocabularies
+    // match. Per-token-pair surprisal is -ln of the interpolated
+    // probability 0.7·p(w2|w1) + 0.3·p(w2) (interpolation keeps unseen
+    // continuations finite without smoothing hyperparameters), averaged
+    // per document. Two count shuffles (bigram, unigram) + equality
+    // joins back — O(corpus) with map-side combine; the ln is rounded
+    // to 6 digits before the decimal sum (JVM/libm can differ 1 ulp)
+    // and every division/multiply is written identically in both
+    // engines, so the means hash-match exactly.
+    "llm_bigram_surprisal" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).withColumn("tokens", tokens)
+        val uni = docs.select($"doc_id", explode($"tokens").as("term"))
+          .localCheckpoint()
+        val c1 = uni.groupBy($"term").agg(count(lit(1)).as("c1"))
+        val total = uni.agg(count(lit(1)).as("n_total"))
+        // positional bigrams; checkpointed — feeds the c2 aggregate AND
+        // the scoring join (plan reuse would inline the explode twice)
+        val big = graft.functions.TextTokens.materialized(
+            docs.filter(size($"tokens") >= 2)
+              .select($"doc_id", expr(
+                """transform(sequence(1, size(tokens) - 1), i ->
+                     struct(tokens[i-1] AS w1, tokens[i] AS w2))""").as("bs")))
+          .select($"doc_id", explode($"bs").as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+          .localCheckpoint()
+        val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        big
+          .join(c2, Seq("w1", "w2"))
+          .join(c1.select($"term".as("w1"), $"c1".as("cw1")), Seq("w1"))
+          .join(c1.select($"term".as("w2"), $"c1".as("cw2")), Seq("w2"))
+          .crossJoin(broadcast(total))
+          .withColumn("p",
+            lit(0.7) * ($"c2".cast(DoubleType) / $"cw1".cast(DoubleType)) +
+              lit(0.3) * ($"cw2".cast(DoubleType) / $"n_total".cast(DoubleType)))
+          .withColumn("surprisal",
+            round(-log($"p"), 6).cast(DecimalType(20, 6)))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum($"surprisal").cast(DoubleType).as("sum_surprisal"))
+          .withColumn("mean_bigram_surprisal",
+            round($"sum_surprisal" / $"n_bigrams", 6))
+          .select($"doc_id", $"n_bigrams", $"mean_bigram_surprisal")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        c1 AS (SELECT term, COUNT(*) AS c1 FROM t GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_total FROM t),
+        bg AS (
+          SELECT doc_id,
+                 unnest(tokens[1:len(tokens)-1]) AS w1,
+                 unnest(tokens[2:len(tokens)]) AS w2
+          FROM toks WHERE len(tokens) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        sc AS (
+          SELECT bg.doc_id,
+            CAST(round(-ln(
+              CAST(0.7 AS DOUBLE) * (CAST(c2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)) +
+              CAST(0.3 AS DOUBLE) * (CAST(u2.c1 AS DOUBLE) / CAST(n.n_total AS DOUBLE))
+            ), 6) AS DECIMAL(20,6)) AS surprisal
+          FROM bg
+          JOIN c2 USING (w1, w2)
+          JOIN c1 u1 ON u1.term = bg.w1
+          JOIN c1 u2 ON u2.term = bg.w2
+          CROSS JOIN n)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(SUM(surprisal) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_bigram_surprisal
+        FROM sc GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ── TF-IDF top terms per document ──
     // tf and df are two shuffles (doc×term, then term); idf is
     // quantized to 6 digits before the multiply so the only
