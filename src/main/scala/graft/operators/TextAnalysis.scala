@@ -246,16 +246,30 @@ object TextAnalysis extends QueryPack {
     // guaranteed a common selected fp — matching is an equality join on
     // fp, never all-pairs. Leading partial windows (prefixes shorter
     // than w) also select, so any doc with ≥ 1 gram fingerprints.
-    // Implementation: each gram j joins the windows ending at
-    // t ∈ [j, j+3] (t < n_grams), one row_number per (doc, t) picks the
-    // rightmost min — explicit window expansion instead of a 4-case
-    // argmin fold, identical in both engines. The 4× row fan-out is
-    // (pos, fp) longs only; still a per-doc map + one window at 100 TB.
+    // The Spark implementation avoids the 4× window expansion: j is the
+    // rightmost min of the window ending at t = j+r iff everything in
+    // the window left of j is ≥ fp_j and everything right of j (up to
+    // t) is STRICTLY > fp_j, so selection is an OR over r ∈ 0..3 of
+    // [Lmin(3-r preceding) ≥ fp] ∧ [Rmin(r following) > fp] ∧ [t < n] —
+    // six min-aggregates over ONE per-doc window pass, no row fan-out,
+    // no (doc,t)-keyed shuffle (measured 8 s → sub-second at sf0.1).
+    // The DuckDB oracle keeps the textbook explicit-expansion form, so
+    // the hash match is an equality PROOF that this fold implements the
+    // definition.
     "llm_winnowing" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val wSel = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id", $"t").orderBy($"fp".asc, $"j".desc)
+        val byPos = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"j")
+        def lmin(m: Int) = coalesce(
+          min($"fp").over(byPos.rowsBetween(-m, -1)), lit(Long.MaxValue))
+        def rmin(r: Int) = coalesce(
+          min($"fp").over(byPos.rowsBetween(1, r)), lit(Long.MaxValue))
+        val selected =
+          (lmin(3) >= $"fp") ||
+          ($"j" + 1 <= $"n" - 1 && lmin(2) >= $"fp" && rmin(1) > $"fp") ||
+          ($"j" + 2 <= $"n" - 1 && lmin(1) >= $"fp" && rmin(2) > $"fp") ||
+          ($"j" + 3 <= $"n" - 1 && rmin(3) > $"fp")
         Tables.documents(s, d)
           .withColumn("tokens", tokens)
           .filter(size($"tokens") >= 3)
@@ -266,11 +280,8 @@ object TextAnalysis extends QueryPack {
           .select($"doc_id", size($"grams").as("n"),
             posexplode($"grams").as(Seq("j", "gram")))
           .withColumn("fp", graft.functions.RollingHash.rolling_hash2($"gram"))
-          .select($"doc_id", $"j", $"fp",
-            explode(sequence($"j", least($"j" + 3, $"n" - 1))).as("t"))
-          .withColumn("rn", row_number().over(wSel))
-          .filter($"rn" === 1)
-          .select($"doc_id", $"j", $"fp").distinct()
+          .withColumn("sel", selected) // window exprs can't sit in a WHERE
+          .filter($"sel")
           .select($"doc_id", $"j".cast(LongType).as("pos"), $"fp")
           .orderBy($"doc_id", $"pos")
       },
