@@ -311,7 +311,8 @@ object TextAnalysis extends QueryPack {
           FROM wins)
         SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos, fp
         FROM sel WHERE rn = 1
-        ORDER BY doc_id, pos""")),
+        ORDER BY doc_id, pos"""),
+      headline = true),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a
@@ -600,7 +601,8 @@ object TextAnalysis extends QueryPack {
                round(CAST(SUM(surprisal) AS DOUBLE) / COUNT(*), 6)
                  AS mean_bigram_surprisal
         FROM sc GROUP BY doc_id
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      headline = true),
 
     // ── TF-IDF top terms per document ──
     // tf and df are two shuffles (doc×term, then term); idf is
