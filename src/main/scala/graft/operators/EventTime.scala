@@ -199,6 +199,61 @@ object EventTime extends QueryPack {
         FROM events
         ORDER BY event_id""")),
 
+    // ── ordered-funnel analysis: view → click → purchase ──
+    // Sequential pattern matching over event history (the analytics
+    // operator SQL MATCH_RECOGNIZE serves elsewhere): each stage's
+    // timestamp is the MIN event time of that type STRICTLY AFTER the
+    // previous stage, computed as three chained conditional window
+    // minima over one user partitioning — a single shuffle, no
+    // self-joins, no per-user collect. Stage times are carried in raw
+    // nanosecond longs (exact; `ts div 1000` truncation could collide),
+    // deltas surfaced as integer milliseconds.
+    "evt_funnel" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts".as("ns"))
+          .withColumn("tv",
+            min(when($"event_type" === "view", $"ns")).over(w))
+          .withColumn("tc",
+            min(when($"event_type" === "click" && $"ns" > $"tv", $"ns")).over(w))
+          .withColumn("tp",
+            min(when($"event_type" === "purchase" && $"ns" > $"tc", $"ns")).over(w))
+          .groupBy($"user_id")
+          .agg(max($"tv").as("tv"), max($"tc").as("tc"), max($"tp").as("tp"))
+          .select($"user_id",
+            $"tv".isNotNull.as("viewed"),
+            $"tc".isNotNull.as("clicked_after_view"),
+            $"tp".isNotNull.as("purchased_after_click"),
+            expr("(tc - tv) div 1000000").as("ms_view_to_click"),
+            expr("(tp - tv) div 1000000").as("ms_view_to_purchase"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+        a AS (
+          SELECT *, MIN(CASE WHEN event_type = 'view' THEN ns END)
+            OVER (PARTITION BY user_id) AS tv
+          FROM ev),
+        b AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND ns > tv THEN ns END)
+            OVER (PARTITION BY user_id) AS tc
+          FROM a),
+        c AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ns > tc THEN ns END)
+            OVER (PARTITION BY user_id) AS tp
+          FROM b)
+        SELECT user_id,
+               (MAX(tv) IS NOT NULL) AS viewed,
+               (MAX(tc) IS NOT NULL) AS clicked_after_view,
+               (MAX(tp) IS NOT NULL) AS purchased_after_click,
+               CAST((MAX(tc) - MAX(tv)) // 1000000 AS BIGINT) AS ms_view_to_click,
+               CAST((MAX(tp) - MAX(tv)) // 1000000 AS BIGINT) AS ms_view_to_purchase
+        FROM c
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
     // ── approximate distinct (HLL++) next to the exact count ──
     // The HLL estimate itself is engine-specific (DuckDB's approx sketch
     // differs bit-for-bit), so the oracle-checkable contract is the
