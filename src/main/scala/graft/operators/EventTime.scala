@@ -205,51 +205,55 @@ object EventTime extends QueryPack {
     // timestamp is the MIN event time of that type STRICTLY AFTER the
     // previous stage, computed as three chained conditional window
     // minima over one user partitioning — a single shuffle, no
-    // self-joins, no per-user collect. Stage times are carried in raw
-    // nanosecond longs (exact; `ts div 1000` truncation could collide),
-    // deltas surfaced as integer milliseconds.
+    // self-joins, no per-user collect. Stage times use the file's
+    // microsecond convention (`ts div 1000` ↔ `epoch_us(ts)`): DuckDB
+    // reads this parquet's TIMESTAMP(NANOS) column at µs precision, so
+    // comparing at ns on the Spark side only would leave the
+    // strictly-after booleans and ms deltas one truncation apart —
+    // both engines must truncate IDENTICALLY for the hash to be a
+    // parity proof. Deltas surface as integer milliseconds.
     "evt_funnel" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"user_id")
         Tables.events(s, d)
-          .select($"user_id", $"event_type", $"ts".as("ns"))
+          .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
           .withColumn("tv",
-            min(when($"event_type" === "view", $"ns")).over(w))
+            min(when($"event_type" === "view", $"tus")).over(w))
           .withColumn("tc",
-            min(when($"event_type" === "click" && $"ns" > $"tv", $"ns")).over(w))
+            min(when($"event_type" === "click" && $"tus" > $"tv", $"tus")).over(w))
           .withColumn("tp",
-            min(when($"event_type" === "purchase" && $"ns" > $"tc", $"ns")).over(w))
+            min(when($"event_type" === "purchase" && $"tus" > $"tc", $"tus")).over(w))
           .groupBy($"user_id")
           .agg(max($"tv").as("tv"), max($"tc").as("tc"), max($"tp").as("tp"))
           .select($"user_id",
             $"tv".isNotNull.as("viewed"),
             $"tc".isNotNull.as("clicked_after_view"),
             $"tp".isNotNull.as("purchased_after_click"),
-            expr("(tc - tv) div 1000000").as("ms_view_to_click"),
-            expr("(tp - tv) div 1000000").as("ms_view_to_purchase"))
+            expr("(tc - tv) div 1000").as("ms_view_to_click"),
+            expr("(tp - tv) div 1000").as("ms_view_to_purchase"))
           .orderBy($"user_id")
       },
       oracle = Some("""
-        WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         a AS (
-          SELECT *, MIN(CASE WHEN event_type = 'view' THEN ns END)
+          SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
             OVER (PARTITION BY user_id) AS tv
           FROM ev),
         b AS (
-          SELECT *, MIN(CASE WHEN event_type = 'click' AND ns > tv THEN ns END)
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > tv THEN tus END)
             OVER (PARTITION BY user_id) AS tc
           FROM a),
         c AS (
-          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ns > tc THEN ns END)
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > tc THEN tus END)
             OVER (PARTITION BY user_id) AS tp
           FROM b)
         SELECT user_id,
                (MAX(tv) IS NOT NULL) AS viewed,
                (MAX(tc) IS NOT NULL) AS clicked_after_view,
                (MAX(tp) IS NOT NULL) AS purchased_after_click,
-               CAST((MAX(tc) - MAX(tv)) // 1000000 AS BIGINT) AS ms_view_to_click,
-               CAST((MAX(tp) - MAX(tv)) // 1000000 AS BIGINT) AS ms_view_to_purchase
+               CAST((MAX(tc) - MAX(tv)) // 1000 AS BIGINT) AS ms_view_to_click,
+               CAST((MAX(tp) - MAX(tv)) // 1000 AS BIGINT) AS ms_view_to_purchase
         FROM c
         GROUP BY user_id
         ORDER BY user_id""")),

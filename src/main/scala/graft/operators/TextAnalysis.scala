@@ -542,7 +542,9 @@ object TextAnalysis extends QueryPack {
         val uni = docs.select($"doc_id", explode($"tokens").as("term"))
           .localCheckpoint()
         val c1 = uni.groupBy($"term").agg(count(lit(1)).as("c1"))
-        val total = uni.agg(count(lit(1)).as("n_total"))
+        // total derives from the vocabulary-sized c1 aggregate — not a
+        // second pass over the exploded corpus (unigram-surprisal rule)
+        val total = c1.agg(sum($"c1").as("n_total"))
         // positional bigrams; checkpointed — feeds the c2 aggregate AND
         // the scoring join (plan reuse would inline the explode twice)
         val big = graft.functions.TextTokens.materialized(
@@ -579,7 +581,7 @@ object TextAnalysis extends QueryPack {
           FROM documents),
         t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
         c1 AS (SELECT term, COUNT(*) AS c1 FROM t GROUP BY term),
-        n AS (SELECT COUNT(*) AS n_total FROM t),
+        n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_total FROM c1),
         bg AS (
           SELECT doc_id,
                  unnest(tokens[1:len(tokens)-1]) AS w1,
