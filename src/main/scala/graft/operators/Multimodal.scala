@@ -128,6 +128,70 @@ object Multimodal extends QueryPack {
             WHEN 1 THEN 'img/fake-jpeg'
             ELSE 'audio/fake-wav' END AS format
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ── resize: deterministic stride downsample of the payload ──
+    // The resize stage of a media pipeline, payload-agnostic: pick every
+    // k-th unit (k = ceil(len/64), so output ≤ 64 units) — the Spark
+    // plumbing a real codec-backed resize shares (per-row HOF over the
+    // payload, codegen'd, no shuffle); only the kernel is the stub.
+    "mm_resize_stub" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter(length($"text") > 0)
+          .withColumn("k", expr("(length(text) - 1) div 64 + 1"))
+          .select($"doc_id", $"k".as("stride"),
+            expr("""concat_ws('', transform(
+                      sequence(0, (length(text) - 1) div k),
+                      i -> substring(text, CAST(i * k + 1 AS INT), 1)))""")
+              .as("resized"))
+          .withColumn("out_len", length($"resized").cast(LongType))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, text, (length(text) - 1) // 64 + 1 AS k
+          FROM documents WHERE length(text) > 0)
+        SELECT doc_id, k AS stride,
+          array_to_string(list_transform(
+            generate_series(0, (length(text) - 1) // k),
+            i -> substr(text, CAST(i * k + 1 AS INT), 1)), '') AS resized,
+          CAST(length(array_to_string(list_transform(
+            generate_series(0, (length(text) - 1) // k),
+            i -> substr(text, CAST(i * k + 1 AS INT), 1)), '')) AS BIGINT)
+            AS out_len
+        FROM p
+        ORDER BY doc_id""")),
+
+    // ── feature extraction: 16-bin payload-unit histogram ──
+    // The feature-extraction stage (embedding-ish fixed-width vector per
+    // media payload) with a deterministic kernel: histogram of payload
+    // units binned by codepoint mod 16, emitted as an ordered count
+    // array. Map-only codegen'd HOF arithmetic — the exact shape a real
+    // feature extractor (color histogram, MFCC bucket) runs at 100 TB.
+    "mm_feature_hist" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("bins", expr(
+            "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) % 16)"))
+          .select($"doc_id",
+            expr("""transform(sequence(0, 15),
+                      b -> CAST(size(filter(bins, x -> x = b)) AS BIGINT))""")
+              .as("hist"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''), ch -> unicode(ch) % 16)
+                   AS bins
+          FROM documents)
+        SELECT doc_id,
+          list_transform(generate_series(0, 15),
+            b -> CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)) AS hist
+        FROM b
         ORDER BY doc_id"""))
   )
 }
