@@ -538,17 +538,24 @@ object TextAnalysis extends QueryPack {
     "llm_bigram_surprisal" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d).withColumn("tokens", tokens)
-        val uni = docs.select($"doc_id", explode($"tokens").as("term"))
+        // ONE corpus scan: the tokenized frame is checkpointed and both
+        // the unigram and bigram branches derive from it (two plain
+        // `docs` uses would each inline the parquet scan)
+        val toks = graft.functions.TextTokens.materialized(
+            Tables.documents(s, d).withColumn("tokens", tokens)
+              .select($"doc_id", $"tokens"))
           .localCheckpoint()
+        val uni = toks.select($"doc_id", explode($"tokens").as("term"))
         val c1 = uni.groupBy($"term").agg(count(lit(1)).as("c1"))
         // total derives from the vocabulary-sized c1 aggregate — not a
         // second pass over the exploded corpus (unigram-surprisal rule)
         val total = c1.agg(sum($"c1").as("n_total"))
-        // positional bigrams; checkpointed — feeds the c2 aggregate AND
-        // the scoring join (plan reuse would inline the explode twice)
+        // positional bigrams; materialized before the explode (Generate
+        // re-evaluates its generator per output row) and checkpointed —
+        // feeds the c2 aggregate AND the scoring join (plain plan reuse
+        // would inline the explode twice)
         val big = graft.functions.TextTokens.materialized(
-            docs.filter(size($"tokens") >= 2)
+            toks.filter(size($"tokens") >= 2)
               .select($"doc_id", expr(
                 """transform(sequence(1, size(tokens) - 1), i ->
                      struct(tokens[i-1] AS w1, tokens[i] AS w2))""").as("bs")))

@@ -138,6 +138,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     plan("llm_winnowing") should include("Window")
   }
 
+  test("bigram surprisal scans the corpus once: zero parquet scans in the executed plan") {
+    // the tokenized frame is checkpointed; unigram and bigram branches
+    // both derive from it — a dropped checkpoint re-inlines the scan
+    val p = plan("llm_bigram_surprisal")
+    "Scan parquet".r.findAllIn(p).size shouldBe 0
+  }
+
   test("PII redaction is a map-only scan — no shuffle, no join") {
     val p = plan("llm_pii_redact")
     p should not include "Join"
