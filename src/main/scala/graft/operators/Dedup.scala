@@ -592,6 +592,7 @@ object Dedup extends QueryPack {
         import s.implicits._
         val e = Tables.embeddings(s, d)
           .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+          .localCheckpoint(true) // both self-join sides read it
         e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
           .withColumn("cos",
             round(VectorFunctions.cosine($"a.emb", $"b.emb"), 9))
@@ -628,6 +629,7 @@ object Dedup extends QueryPack {
         val e = Tables.embeddings(s, d)
           .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
           .withColumn("blk", pmod($"vec_id", lit(nBlocks)).cast(IntegerType))
+          .localCheckpoint(true) // left and right block sides both read it
         val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
           yield (i, j)).toDF("b1", "b2")
         val left = e.select($"blk".as("b1"), $"vec_id".as("vec_id_a"), $"emb".as("emb_a"))
@@ -665,6 +667,7 @@ object Dedup extends QueryPack {
         import s.implicits._
         val e = Tables.embeddings(s, d)
           .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+          .localCheckpoint(true) // band assignment + two verify joins read it
         embeddingAnnPairs(e, nBands = 16, bitsPerBand = 4, dim = 64,
           threshold = 0.35)
           .orderBy($"vec1", $"vec2")

@@ -29,12 +29,20 @@ object Similarity extends QueryPack {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("emb"))
 
+  /** [[embDouble]] checkpointed: every consumer below derives its query
+    * side from the same frame it scans as candidates (and IVF's Lloyd
+    * rounds pass over it repeatedly) — without the barrier each use
+    * re-inlines the parquet scan, and at 10^9 vectors the embedding
+    * table is the IO. One small row per vector. */
+  private def embCheckpointed(s: SparkSession, d: String): DataFrame =
+    embDouble(s, d).localCheckpoint(true)
+
   /** Exact cosine top-k for the 5 query vectors — the brute-force
     * baseline `sim_topk_bruteforce` exposes and `sim_ann_recall`
     * measures the ANN paths against. */
   private def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, d)
+    val e = embCheckpointed(s, d)
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
@@ -54,6 +62,7 @@ object Similarity extends QueryPack {
     import s.implicits._
     val nPlanes = 6
     val e = embDouble(s, d).withColumn("bucket", lshBucket($"emb", nPlanes, Dim))
+      .localCheckpoint(true) // query side + probe join both read it
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"bucket".as("qbucket"))
     // multiprobe: the query's own bucket plus all hamming-1 neighbors
@@ -82,7 +91,9 @@ object Similarity extends QueryPack {
     * per scanned (query, candidate). */
   private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, d)
+    // Lloyd rounds pass over the vectors once per round — from the
+    // checkpointed frame, not a fresh parquet scan per round
+    val e = embCheckpointed(s, d)
     def assignTo(cents: DataFrame): DataFrame = {
       val wAssign = Window.partitionBy($"vec_id")
         .orderBy($"dist".asc, $"centroid_id")
@@ -278,7 +289,7 @@ object Similarity extends QueryPack {
     "sim_knn_classify" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val e = embDouble(s, d)
+        val e = embCheckpointed(s, d)
         val q = e.filter($"vec_id" < 100)
           .select($"vec_id".as("query_id"), $"label".as("true_label"),
             $"emb".as("qemb"))

@@ -145,6 +145,16 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     "Scan parquet".r.findAllIn(p).size shouldBe 0
   }
 
+  test("similarity queries scan the embeddings table once (checkpoint barriers)") {
+    // query sides derive from the same frame the candidates stream
+    // from; at 10^9 vectors a re-inlined scan doubles the query's IO
+    for (q <- Seq("sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+        "sim_knn_classify", "dedup_embedding_cosine", "dedup_embedding_blocked",
+        "dedup_embedding_ann_pairs")) {
+      withClue(q) { "Scan parquet".r.findAllIn(plan(q)).size shouldBe 0 }
+    }
+  }
+
   test("PII redaction is a map-only scan — no shuffle, no join") {
     val p = plan("llm_pii_redact")
     p should not include "Join"
