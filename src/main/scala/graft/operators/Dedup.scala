@@ -555,6 +555,7 @@ object Dedup extends QueryPack {
         val docs = materialized(docsWithTokens(s, d)
             .select($"doc_id", $"lang", $"n_chars", shinglesCol.as("sh")))
           .filter(size($"sh") > 0)
+          .localCheckpoint(true) // both self-join sides read it
         docs.as("a").join(docs.as("b"),
             $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
             abs($"a.n_chars" - $"b.n_chars") <= 50)

@@ -154,6 +154,7 @@ object TextAnalysis extends QueryPack {
           .select($"doc_id", $"lang",
             substring(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), 1, 40)
               .as("head"))
+          .localCheckpoint(true) // both self-join sides read it
         docs.as("a").join(docs.as("b"),
             $"a.lang" === $"b.lang" && $"b.doc_id" === $"a.doc_id" + 1)
           .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
