@@ -174,6 +174,10 @@ object Multimodal extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
+          // empty-payload guard on BOTH sides: Spark's sequence(1, 0)
+          // counts DOWN while DuckDB's split of '' is [''] — the
+          // sequence-counts-down gotcha
+          .filter(length($"text") > 0)
           .withColumn("bins", expr(
             "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) % 16)"))
           .select($"doc_id",
@@ -187,7 +191,7 @@ object Multimodal extends QueryPack {
           SELECT doc_id,
                  list_transform(string_split(text, ''), ch -> unicode(ch) % 16)
                    AS bins
-          FROM documents)
+          FROM documents WHERE length(text) > 0)
         SELECT doc_id,
           list_transform(generate_series(0, 15),
             b -> CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)) AS hist

@@ -39,10 +39,11 @@ object Similarity extends QueryPack {
 
   /** Exact cosine top-k for the 5 query vectors — the brute-force
     * baseline `sim_topk_bruteforce` exposes and `sim_ann_recall`
-    * measures the ANN paths against. */
-  private def exactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    * measures the ANN paths against. `e` must be a checkpointed
+    * [[embDouble]] frame (all helpers below share one so a composite
+    * query scans the table once). */
+  private def exactTopK(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    val e = embCheckpointed(s, d)
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
@@ -58,11 +59,12 @@ object Similarity extends QueryPack {
     * neighbor buckets (multiprobe), scored. One row per scanned
     * (query, candidate) — `sim_ann_recall` counts these to price the
     * index against random scanning. */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  private def lshCandidates(s: SparkSession, eIn: DataFrame): DataFrame = {
     import s.implicits._
     val nPlanes = 6
-    val e = embDouble(s, d).withColumn("bucket", lshBucket($"emb", nPlanes, Dim))
-      .localCheckpoint(true) // query side + probe join both read it
+    // bucket assignment is map-only arithmetic over the checkpointed
+    // frame — both consumers recompute it from memory, never the scan
+    val e = eIn.withColumn("bucket", lshBucket($"emb", nPlanes, Dim))
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"bucket".as("qbucket"))
     // multiprobe: the query's own bucket plus all hamming-1 neighbors
@@ -76,10 +78,10 @@ object Similarity extends QueryPack {
 
   /** Random-hyperplane LSH top-k with hamming-1 multiprobe (shared by
     * `sim_ann_lsh` and `sim_ann_recall`). */
-  private def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def lshTopK(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    lshCandidates(s, d)
+    lshCandidates(s, e)
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"query_id", $"rnk".cast(LongType).as("rnk"), $"vec_id",
@@ -89,11 +91,10 @@ object Similarity extends QueryPack {
   /** IVF candidate set: k-means cells (deterministic seeds + 3 Lloyd
     * rounds), search restricted to the query's cell — one scored row
     * per scanned (query, candidate). */
-  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+  private def ivfCandidates(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     // Lloyd rounds pass over the vectors once per round — from the
-    // checkpointed frame, not a fresh parquet scan per round
-    val e = embCheckpointed(s, d)
+    // caller's checkpointed frame, not a fresh parquet scan per round
     def assignTo(cents: DataFrame): DataFrame = {
       val wAssign = Window.partitionBy($"vec_id")
         .orderBy($"dist".asc, $"centroid_id")
@@ -132,10 +133,10 @@ object Similarity extends QueryPack {
 
   /** IVF top-k over [[ivfCandidates]] (shared by `sim_ann_ivf` and
     * `sim_ann_recall`). */
-  private def ivfTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def ivfTopK(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    ivfCandidates(s, d)
+    ivfCandidates(s, e)
       .withColumn("rnk", row_number().over(wRank))
       .filter($"rnk" <= k)
       .select($"query_id", $"qcell", $"rnk".cast(LongType).as("rnk"),
@@ -146,7 +147,8 @@ object Similarity extends QueryPack {
 
     // ── exact brute-force cosine top-10 for 5 query vectors ──
     "sim_topk_bruteforce" -> QueryDef(
-      fn = (s, d) => exactTopK(s, d, 10).orderBy(col("query_id"), col("rnk")),
+      fn = (s, d) => exactTopK(s, embCheckpointed(s, d), 10)
+        .orderBy(col("query_id"), col("rnk")),
       oracle = Some("""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
@@ -169,7 +171,8 @@ object Similarity extends QueryPack {
 
     // ── random-hyperplane LSH with hamming-1 multiprobe ──
     "sim_ann_lsh" -> QueryDef(
-      fn = (s, d) => lshTopK(s, d, 5).orderBy(col("query_id"), col("rnk")),
+      fn = (s, d) => lshTopK(s, embCheckpointed(s, d), 5)
+        .orderBy(col("query_id"), col("rnk")),
       oracle = None),
 
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
@@ -190,9 +193,13 @@ object Similarity extends QueryPack {
     "sim_ann_recall" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val exact = exactTopK(s, d, 5).select($"query_id", $"vec_id")
-          .localCheckpoint(true) // two consumers; scan the corpus once
-        val nCorpus = embDouble(s, d).count()
+        // ONE checkpointed embeddings frame feeds the exact baseline,
+        // both ANN candidate pipelines, and the corpus count — a single
+        // parquet scan and a single resident copy for the whole eval
+        val e = embCheckpointed(s, d)
+        val exact = exactTopK(s, e, 5).select($"query_id", $"vec_id")
+          .localCheckpoint(true) // two consumers below
+        val nCorpus = e.count()
         def eval(method: String, cand: DataFrame): DataFrame = {
           val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
           val scored = cand.select($"query_id", $"vec_id", $"cos_sim")
@@ -214,8 +221,8 @@ object Similarity extends QueryPack {
               ($"recall" >= lit(1.5) * $"n_scanned".cast(DoubleType) /
                 (lit(5.0) * (nCorpus - 1))).as("beats_random_scan"))
         }
-        eval("ivf", ivfCandidates(s, d))
-          .unionAll(eval("lsh", lshCandidates(s, d)))
+        eval("ivf", ivfCandidates(s, e))
+          .unionAll(eval("lsh", lshCandidates(s, e)))
           .orderBy($"method")
       },
       oracle = Some("""
@@ -235,7 +242,8 @@ object Similarity extends QueryPack {
     // quantized to 6 digits so run-order fp wobble cannot flip a
     // near-tie assignment between runs.
     "sim_ann_ivf" -> QueryDef(
-      fn = (s, d) => ivfTopK(s, d, 5).orderBy(col("query_id"), col("rnk")),
+      fn = (s, d) => ivfTopK(s, embCheckpointed(s, d), 5)
+        .orderBy(col("query_id"), col("rnk")),
       oracle = None),
 
     // ── label centroids: the aggregation face of embedding work ──

@@ -539,15 +539,19 @@ object TextAnalysis extends QueryPack {
     "llm_bigram_surprisal" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        // ONE corpus scan: the tokenized frame is checkpointed and both
-        // the unigram and bigram branches derive from it (two plain
-        // `docs` uses would each inline the parquet scan)
-        val toks = graft.functions.TextTokens.materialized(
-            Tables.documents(s, d).withColumn("tokens", tokens)
-              .select($"doc_id", $"tokens"))
+        // ONE corpus scan: the tokenized frame is checkpointed (the
+        // checkpoint is itself a materialization barrier) and both the
+        // unigram and bigram branches derive from it (two plain `docs`
+        // uses would each inline the parquet scan)
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", $"tokens")
           .localCheckpoint()
         val uni = toks.select($"doc_id", explode($"tokens").as("term"))
+        // vocabulary-sized; checkpointed — three consumers (total, the
+        // cw1 join, the cw2 join) would each re-run the corpus-wide
+        // explode+aggregate otherwise
         val c1 = uni.groupBy($"term").agg(count(lit(1)).as("c1"))
+          .localCheckpoint()
         // total derives from the vocabulary-sized c1 aggregate — not a
         // second pass over the exploded corpus (unigram-surprisal rule)
         val total = c1.agg(sum($"c1").as("n_total"))
