@@ -37,14 +37,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev aid: SPARK_GRAFT_QUERIES=a,b,c times just those queries (any
+    // registered query, headline or not). Unset = the headline set.
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None       => SparkEntry.headlineQueries
+    }
+
     // JVM + parquet-footer warm-up on the smallest SF so the timed runs
     // measure execution, not first-touch classloading/codegen.
-    SparkEntry.headlineQueries.foreach { name =>
+    names.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
-
-    val results = SparkEntry.headlineQueries.map { name =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try {
         materialize(SparkEntry.queries(name)(spark, sfDir))

@@ -30,6 +30,7 @@ object EventTime extends QueryPack {
   // side could order same-µs events differently. `ts div 1000` aligns
   // both engines on identical integers.
   private val HourUs = 3600L * 1000000L
+  private val DayUs = 24L * HourUs
   private val GapUs = 30L * 60L * 1000000L
 
   /** Shared gap-sessionization CTE chain (split on gap STRICTLY
@@ -257,6 +258,129 @@ object EventTime extends QueryPack {
         FROM c
         GROUP BY user_id
         ORDER BY user_id""")),
+
+    // ── cohort retention: signup cohort × day offset ──
+    // The canonical product-analytics rollup: cohort = the user's first
+    // signup day; a cell counts distinct users from that cohort active
+    // N days later. Two shuffles (per-user cohort agg, then the
+    // cohort×offset distinct count) joined on user_id — the cohort side
+    // is one row per user, so at 100 TB the join shuffles both sides on
+    // user_id once; no broadcast needed and no skew (users are the key).
+    // Day arithmetic is integer division of epoch-µs, identical in both
+    // engines.
+    "evt_retention" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type",
+            expr(s"(ts div 1000) div $DayUs").as("day"))
+        val cohorts = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        ev.join(cohorts, Seq("user_id"))
+          .filter($"day" >= $"cohort_day")
+          .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) // $DayUs AS day
+          FROM events),
+        c AS (
+          SELECT user_id, MIN(day) AS cohort_day
+          FROM ev WHERE event_type = 'signup' GROUP BY user_id)
+        SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+               COUNT(DISTINCT ev.user_id) AS n_active
+        FROM ev JOIN c USING (user_id)
+        WHERE ev.day >= c.cohort_day
+        GROUP BY 1, 2
+        ORDER BY cohort_day, day_offset"""),
+      headline = true),
+
+    // ── event-type transition matrix (first-order Markov counts) ──
+    // Per-user ordered LAG pairs (one shuffle on user_id), then a count
+    // per (prev, next) cell and a per-prev row-normalized probability.
+    // The probability is a single division of two exact longs — IEEE
+    // deterministic, so it hash-matches without decimal scaffolding.
+    "evt_transitions" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type",
+            expr("ts div 1000").as("tus"))
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type".as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            $"n".cast(DoubleType) /
+              sum($"n").over(Window.partitionBy($"prev_type")).cast(DoubleType))
+          .orderBy($"prev_type", $"next_type")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id)
+                   AS prev_type
+          FROM events),
+        cells AS (
+          SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM t WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        FROM cells
+        ORDER BY prev_type, next_type""")),
+
+    // ── z-score outlier counts in EXACT integer arithmetic ──
+    // Per event_type, count events more than 3 standard deviations from
+    // the type mean. The float formulation ((x-μ)/σ) can flip a
+    // boundary row between engines by one ulp, so the test is algebra
+    // on exact integers instead: with c = value in cents,
+    //   z² > 9  ⇔  (n·c − Σc)² > 9·(n·Σc² − (Σc)²)
+    // — both sides integer-exact in DECIMAL(38,0) (HUGEINT in DuckDB),
+    // overflow-safe past sf100. Two aggregations with a broadcast of
+    // the tiny per-type moments table between them; both map-side
+    // combine, so the shuffle is O(types), not O(rows).
+    "evt_anomaly" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+          .select($"event_type",
+            (dec($"value") * 100).cast(LongType).cast(big).as("c"))
+        val moments = ev.groupBy($"event_type").agg(
+          count(lit(1)).cast(big).as("n"),
+          sum($"c").as("sc"),
+          sum($"c" * $"c").as("sc2"))
+        ev.join(broadcast(moments), Seq("event_type"))
+          .withColumn("lhs", ($"n" * $"c" - $"sc") * ($"n" * $"c" - $"sc"))
+          .withColumn("rhs", lit(9) * ($"n" * $"sc2" - $"sc" * $"sc"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"lhs" > $"rhs", 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS HUGEINT) AS c
+          FROM events),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(c) AS sc, SUM(c * c) AS sc2
+          FROM ev GROUP BY event_type)
+        SELECT ev.event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN (m.n * ev.c - m.sc) * (m.n * ev.c - m.sc)
+                                  > 9 * (m.n * m.sc2 - m.sc * m.sc)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM ev JOIN m USING (event_type)
+        GROUP BY ev.event_type
+        ORDER BY ev.event_type""")),
 
     // ── approximate distinct (HLL++) next to the exact count ──
     // The HLL estimate itself is engine-specific (DuckDB's approx sketch

@@ -375,6 +375,105 @@ object Relational extends QueryPack {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // ── approximate percentile (KLL-style sketch) under a contract ──
+    // Like agg_approx_distinct: the sketch value is engine-specific, so
+    // the oracle-checkable claim is the accuracy contract — with
+    // accuracy=10000 the rank error is ≤ n/10000 rows, far inside the
+    // [p45, p55] exact-percentile band asserted here. Booleans are
+    // computed Spark-side from Spark's own exact percentiles, so no
+    // cross-engine float comparison sits on a knife edge.
+    "agg_approx_percentile" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val price = dec($"o_totalprice").cast(DoubleType)
+        Tables.orders(s, d)
+          .groupBy($"o_orderstatus")
+          .agg(
+            percentile_approx(price, lit(0.5), lit(10000)).as("approx"),
+            percentile(price, lit(0.45)).as("lo"),
+            percentile(price, lit(0.55)).as("hi"),
+            count(lit(1)).as("n_rows"))
+          .select($"o_orderstatus", $"n_rows",
+            ($"approx" >= $"lo" && $"approx" <= $"hi").as("approx_in_p45_p55"))
+          .orderBy($"o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_rows, TRUE AS approx_in_p45_p55
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ── GLOBAL ntile, distributed (no single-partition window) ──
+    // A naive `ntile(10) OVER (ORDER BY …)` funnels the whole table
+    // through ONE task — the canonical global-sort scale trap. This
+    // plan is the distributed equivalent: range-repartition on the
+    // full (unique) sort key gives non-overlapping sorted partitions;
+    // the driver collects only the per-partition COUNTS (bounded by
+    // the partition count, like zipWithIndex); the global rank is then
+    // a pure PROJECTION — monotonically_increasing_id's documented
+    // layout is (partition id << 33) + in-partition record number, so
+    // the low 33 bits ARE the per-partition row index of the sorted,
+    // checkpointed layout — plus a broadcast per-partition offset. The
+    // tile comes from SQL ntile's exact remainder rule. Zero shuffles
+    // after the range sort (a row_number window would re-shuffle the
+    // whole table on pid: the checkpoint hides the layout from
+    // Catalyst, so the window's clustering requirement isn't seen as
+    // satisfied). The localCheckpoint is CORRECTNESS, not caching:
+    // repartitionByRange samples its boundaries, so without pinning
+    // the layout the counts job and the final job could disagree on
+    // partition assignment — and the id column must be frozen too.
+    "q_ntile_global" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val k = 10L
+        val parts = math.max(1, s.sparkContext.defaultParallelism)
+        val sorted = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice",
+            dec($"o_totalprice").cast(DoubleType).as("price"))
+          .repartitionByRange(parts, $"price", $"o_orderkey")
+          .sortWithinPartitions($"price", $"o_orderkey")
+          .withColumn("pid", spark_partition_id())
+          .withColumn("ridx",
+            monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+          .localCheckpoint(true)
+        val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+          .orderBy($"pid").collect()
+        val total = counts.map(_.getLong(1)).sum
+        val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
+        val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+          .toDF("pid", "off")
+        val q = total / k
+        val r = total % k
+        val cut = (q + 1) * r
+        sorted.join(broadcast(offsetDf), Seq("pid"))
+          .withColumn("rank0", $"ridx" + $"off")
+          .withColumn("decile",
+            when($"rank0" < cut, expr(s"rank0 div ${q + 1}") + 1L)
+              // max(q,1) only guards ANSI div-by-zero when total < k
+              // (branch is unreachable then: every rank0 < cut)
+              .otherwise(expr(s"(rank0 - $cut) div ${math.max(q, 1L)}") + r + 1L))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_orders"),
+            min($"price").as("min_price"),
+            max($"price").as("max_price"),
+            dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"decile")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_totalprice,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+                 CAST(ntile(10) OVER (
+                   ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE),
+                            o_orderkey) AS BIGINT) AS decile
+          FROM orders)
+        SELECT decile, COUNT(*) AS n_orders,
+               MIN(price) AS min_price, MAX(price) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM t
+        GROUP BY decile
+        ORDER BY decile""")),
+
     // ── exact distinct aggregates ──
     "q_distinct_agg" -> QueryDef(
       fn = (s, d) => {

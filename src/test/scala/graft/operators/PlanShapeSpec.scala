@@ -155,6 +155,25 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("global ntile is rank-by-projection — no window, no re-shuffle, no single partition") {
+    val p = plan("q_ntile_global")
+    // the range sort happened inside the checkpoint job; the visible
+    // plan must be projection + broadcast offset join + the tiny
+    // 10-group aggregate. A naive global ntile would show Exchange
+    // SinglePartition + Window; a row_number formulation would show
+    // Exchange hashpartitioning(pid…) re-shuffling the whole table.
+    p should not include "SinglePartition"
+    p should not include "Window"
+    p should not include "hashpartitioning(pid"
+    p should include("BroadcastHashJoin")
+  }
+
+  test("anomaly z-score broadcasts the per-type moments — no fact-fact shuffle join") {
+    val p = plan("evt_anomaly")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("PII redaction is a map-only scan — no shuffle, no join") {
     val p = plan("llm_pii_redact")
     p should not include "Join"

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Equality gates for the distributed reformulations in the relational
+  * pack: the scale-safe plan must produce EXACTLY the rows of the
+  * textbook (but non-scalable) formulation it replaces.
+  */
+class RelationalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_ntile_global equals the single-partition ntile(10) it replaces") {
+    import spark.implicits._
+    import graft.functions.Exact._
+    val distributed = graft.SparkEntry.queries("q_ntile_global")(spark, sf)
+      .collect().toSeq
+    // the textbook formulation: one global window, one task
+    val w = Window.orderBy($"price", $"o_orderkey")
+    val naive = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice",
+        dec($"o_totalprice").cast("double").as("price"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"price").as("min_price"),
+        max($"price").as("max_price"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"decile")
+      .collect().toSeq
+    distributed shouldBe naive
+  }
+
+  test("q_ntile_global survives totals not divisible by the tile count") {
+    // 10 tiles over 23 rows: first 3 tiles get 3 rows, the rest 2 —
+    // the SQL remainder rule on a total the fixture tables never hit
+    import spark.implicits._
+    val rows = (1 to 23).map(i => (i.toLong, (i * 37 % 23).toLong))
+    val df = rows.toDF("id", "v")
+    val w = Window.orderBy($"v", $"id")
+    val naive = df.withColumn("t", ntile(10).over(w).cast("long"))
+      .select($"id", $"t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replicate the query's arithmetic at this scale
+    val total = 23L
+    val q = total / 10; val r = total % 10; val cut = (q + 1) * r
+    val ranked = df.orderBy($"v", $"id").collect().zipWithIndex
+    ranked.foreach { case (row, rank0) =>
+      val tile =
+        if (rank0 < cut) rank0 / (q + 1) + 1
+        else (rank0 - cut) / q + r + 1
+      withClue(s"id=${row.getLong(0)} rank0=$rank0") {
+        tile shouldBe naive(row.getLong(0))
+      }
+    }
+  }
+}
