@@ -211,6 +211,108 @@ object Dedup extends QueryPack {
       .distinct()
   }
 
+  /** Connected-component labels (min doc_id per component) over a
+    * CHECKPOINTED near-dup pair frame; one (doc_id, cluster) row per
+    * connected vertex (callers append singletons themselves).
+    *
+    * Adaptive execution, the same move as Spark's broadcast-join
+    * threshold: verified near-dup edges are a small fraction of any
+    * corpus (the pair set is the OUTPUT of dedup detection, not the
+    * corpus), so when it fits one task comfortably
+    * (≤ `localEdgeThreshold` edges; the count is free on a
+    * checkpointed frame) a path-compressed union-find labels the
+    * whole graph in a single job — no per-iteration shuffle barriers,
+    * no convergence loop. Larger graphs take the distributed
+    * min-label-propagation + pointer-jumping loop: per iteration one
+    * equality join + groupBy, executor-side only, with the driver
+    * reading a scalar change-count; rounds are O(log diameter) thanks
+    * to the pointer-jump, and `localCheckpoint` keeps plans
+    * constant-size. DedupSpec proves the two paths emit identical
+    * labels on the fixture graph.
+    */
+  private[operators] def componentLabels(
+      s: SparkSession,
+      pairs: DataFrame,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
+    import s.implicits._
+    val nEdges = pairs.count()
+    if (nEdges <= localEdgeThreshold) {
+      pairs.select(col("doc1"), col("doc2")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != r) {
+              val n = parent.getOrElse(c, c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            // min root wins, so every component's root IS its min id
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          val verts = parent.keys.toArray
+          verts.iterator.map(v => (v, find(v)))
+        }
+        .toDF("doc_id", "cluster")
+        // two consumers downstream (singleton anti-join + the union):
+        // pin the one-task result so the union-find runs once
+        .localCheckpoint(true)
+    } else {
+      val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+        .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+        .localCheckpoint(true)
+      // Propagate over CONNECTED vertices only: a doc with no near-dup
+      // pair can never change its label, yet at corpus scale isolated
+      // docs are the overwhelming majority (duplicate rates are a
+      // small fraction of 100 TB) — carrying them through every
+      // iteration would multiply each loop shuffle by 1/dup-rate.
+      val verts = edges.select($"src".as("doc_id")).distinct()
+        .localCheckpoint(true)
+      var labels = verts
+        .select($"doc_id", $"doc_id".as("cluster"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        // one neighbor-min step...
+        val nmin = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy($"dst".as("doc_id")).agg(min($"cluster").as("nc"))
+        val stepped = labels.join(nmin, Seq("doc_id"), "left_outer")
+          .select($"doc_id", $"cluster".as("old"),
+            least($"cluster", coalesce($"nc", $"cluster")).as("mid"))
+        // ...then pointer-jump (label := label's label): path
+        // compression turns O(diameter) rounds into O(log diameter)
+        val reps = labels
+          .select($"doc_id".as("mid"), $"cluster".as("rep"))
+        val updated = stepped.join(reps, Seq("mid"), "left_outer")
+          .select($"doc_id", $"old",
+            least($"mid", coalesce($"rep", $"mid")).as("cluster"))
+          .localCheckpoint(true)
+        changed = updated.filter($"cluster" =!= $"old").count()
+        labels = updated.select($"doc_id", $"cluster")
+        iter += 1
+      }
+      // The iteration cap is a safety net, not an exit path: labels
+      // still moving at the cap would silently return wrong clusters
+      // (the oracle catches it at fixture scale but nothing would at
+      // the 100 TB scale this targets), so fail loudly instead.
+      require(changed == 0,
+        s"dedup_clusters: min-label propagation not converged after $iter " +
+          s"iterations ($changed labels still changing) — component " +
+          "diameter exceeds the cap; raise the iteration bound")
+      labels
+    }
+  }
+
   /** Recursive-CTE oracle for `dedup_clusters`: component id = min
     * doc_id reachable over the verified near-dup pair graph. */
   private lazy val clustersSql: String = s"""
@@ -478,13 +580,10 @@ object Dedup extends QueryPack {
     // ── near-dup CLUSTERS with canonical selection (the full dedup
     //    pipeline a training corpus actually runs) ──
     // sketch → banded candidates → verified pairs → connected
-    // components → keep the min-id doc per component. Components are
-    // found by distributed min-label propagation: each iteration is one
-    // equality join + groupBy (all executor-side); the driver only
-    // reads a scalar change-count per iteration, and iterations are
-    // bounded by component DIAMETER (near-dup clusters are shallow —
-    // a handful of hops), not component size. `localCheckpoint`
-    // truncates lineage so plans stay constant-size across iterations.
+    // components ([[componentLabels]]: size-gated single-task
+    // union-find for small edge sets, distributed min-label
+    // propagation + pointer jumping beyond the threshold) → keep the
+    // min-id doc per component.
     // Oracle: DuckDB recursive CTE computing min reachable id.
     "dedup_clusters" -> QueryDef(
       fn = (s, d) => {
@@ -493,52 +592,9 @@ object Dedup extends QueryPack {
         // each inline (and re-run) the whole banded-pair pipeline
         val pairs = bandedSimhashPairs(s, d).select($"doc1", $"doc2")
           .localCheckpoint(true)
-        val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
-          .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
-          .localCheckpoint(true)
-        // Propagate over CONNECTED vertices only: a doc with no near-dup
-        // pair can never change its label, yet at corpus scale isolated
-        // docs are the overwhelming majority (duplicate rates are a
-        // small fraction of 100 TB) — carrying them through every
-        // iteration would multiply each loop shuffle by 1/dup-rate.
-        // Singletons are appended once, after convergence.
-        val verts = edges.select($"src".as("doc_id")).distinct()
-          .localCheckpoint(true)
-        var labels = verts
-          .select($"doc_id", $"doc_id".as("cluster"))
-          .localCheckpoint(true)
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 25) {
-          // one neighbor-min step...
-          val nmin = edges
-            .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-            .groupBy($"dst".as("doc_id")).agg(min($"cluster").as("nc"))
-          val stepped = labels.join(nmin, Seq("doc_id"), "left_outer")
-            .select($"doc_id", $"cluster".as("old"),
-              least($"cluster", coalesce($"nc", $"cluster")).as("mid"))
-          // ...then pointer-jump (label := label's label): path
-          // compression turns O(diameter) rounds into O(log diameter)
-          val reps = labels
-            .select($"doc_id".as("mid"), $"cluster".as("rep"))
-          val updated = stepped.join(reps, Seq("mid"), "left_outer")
-            .select($"doc_id", $"old",
-              least($"mid", coalesce($"rep", $"mid")).as("cluster"))
-            .localCheckpoint(true)
-          changed = updated.filter($"cluster" =!= $"old").count()
-          labels = updated.select($"doc_id", $"cluster")
-          iter += 1
-        }
-        // The iteration cap is a safety net, not an exit path: labels
-        // still moving at the cap would silently return wrong clusters
-        // (the oracle catches it at fixture scale but nothing would at
-        // the 100 TB scale this targets), so fail loudly instead.
-        require(changed == 0,
-          s"dedup_clusters: min-label propagation not converged after $iter " +
-            s"iterations ($changed labels still changing) — component " +
-            "diameter exceeds the cap; raise the iteration bound")
+        val labels = componentLabels(s, pairs)
         val isolated = Tables.documents(s, d).select($"doc_id")
-          .join(verts, Seq("doc_id"), "left_anti")
+          .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
           .select($"doc_id", $"doc_id".as("cluster"))
         labels.union(isolated)
           .select($"doc_id", $"cluster".as("cluster_id"),

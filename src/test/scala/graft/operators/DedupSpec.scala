@@ -20,6 +20,28 @@ class DedupSpec extends AnyFunSuite with Matchers {
     graft.SparkEntry.queries(name)(spark, sf)
       .collect().toSeq.map(_.toSeq)
 
+  test("local union-find and distributed label propagation emit identical components") {
+    import spark.implicits._
+    // a graph with a chain (0-1-2-3), a triangle (10,11,12), a
+    // 2-cycle-ish pair, and a star — shapes that exercise pointer
+    // jumping and min-root selection
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (31L, 33L))
+      .toDF("doc1", "doc2").localCheckpoint(true)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val local = sorted(Dedup.componentLabels(spark, pairs))
+    val dist = sorted(Dedup.componentLabels(spark, pairs, localEdgeThreshold = 0L))
+    local should not be empty
+    local shouldBe dist
+    // min-id canonicalization: every label is its component's min
+    local.filter(_._1 <= 3L).map(_._2).distinct shouldBe Seq(0L)
+    local.filter(v => v._1 >= 30L).map(_._2).distinct shouldBe Seq(30L)
+  }
+
   test("banded simhash pairs equal the quadratic oracle face") {
     val banded = rowsOf("dedup_simhash_pairs_banded")
     val quad = rowsOf("dedup_simhash_pairs")
