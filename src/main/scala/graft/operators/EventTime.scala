@@ -271,9 +271,13 @@ object EventTime extends QueryPack {
     "evt_retention" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        // cohort side and probe side both consume this projection: the
+        // checkpoint keeps the events scan to exactly one (scan-once
+        // rule; at 100 TB the probe-side rescan doubles source IO)
         val ev = Tables.events(s, d)
           .select($"user_id", $"event_type",
             expr(s"(ts div 1000) div $DayUs").as("day"))
+          .localCheckpoint(true)
         val cohorts = ev.filter($"event_type" === "signup")
           .groupBy($"user_id").agg(min($"day").as("cohort_day"))
         ev.join(cohorts, Seq("user_id"))
@@ -349,9 +353,12 @@ object EventTime extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val big = DecimalType(38, 0)
+        // moments side and probe side both consume this projection:
+        // checkpoint so the events scan runs once (scan-once rule)
         val ev = Tables.events(s, d)
           .select($"event_type",
             (dec($"value") * 100).cast(LongType).cast(big).as("c"))
+          .localCheckpoint(true)
         val moments = ev.groupBy($"event_type").agg(
           count(lit(1)).cast(big).as("n"),
           sum($"c").as("sc"),

@@ -37,6 +37,66 @@ object Relational extends QueryPack {
 
   private def ts(s: String): Column = lit(LocalDateTime.parse(s))
 
+  /** Distributed GLOBAL ntile: input rows plus a `tile` column in
+    * [1, k], identical to SQL `ntile(k) OVER (ORDER BY sortCols)` —
+    * without the single-partition window that formulation funnels the
+    * whole table through. Range-repartition on the full sort key gives
+    * non-overlapping sorted partitions; the driver collects only the
+    * per-partition COUNTS (bounded by the partition count, like
+    * zipWithIndex); the global rank is then a pure PROJECTION —
+    * monotonically_increasing_id's documented layout is
+    * (partition id << 33) + in-partition record number, so the low 33
+    * bits ARE the per-partition row index of the sorted, checkpointed
+    * layout — plus a broadcast per-partition offset. The tile comes
+    * from SQL ntile's exact remainder rule: the first (total mod k)
+    * tiles get one extra row. Zero shuffles after the range sort (a
+    * row_number window would re-shuffle the whole table on pid: the
+    * checkpoint hides the layout from Catalyst, so the window's
+    * clustering requirement isn't seen as satisfied). The
+    * localCheckpoint is CORRECTNESS, not caching: repartitionByRange
+    * samples its boundaries, so without pinning the layout the counts
+    * job and the final job could disagree on partition assignment —
+    * and the id column must be frozen too.
+    *
+    * `sortCols` must be a total order (include a unique tiebreak) or
+    * ties may land in either tile. */
+  private[operators] def globalNtile(
+      s: SparkSession, df: DataFrame, k: Long, sortCols: Seq[Column]): DataFrame = {
+    import s.implicits._
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("ridx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(true)
+    val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+      .orderBy($"pid").collect()
+    // the 33-bit record index wraps silently past 2^33 rows in ONE
+    // partition; the per-partition counts are already on the driver,
+    // so fail loudly instead of returning wrong ranks (size `parts`
+    // so this never trips: it caps partitions at ~8.6B rows)
+    require(counts.forall(_.getLong(1) < (1L << 33)),
+      s"globalNtile: a range partition exceeds 2^33 rows and would wrap " +
+        s"the record index — raise the partition count above $parts")
+    val total = counts.map(_.getLong(1)).sum
+    val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+      .toDF("pid", "off")
+    val q = total / k
+    val r = total % k
+    val cut = (q + 1) * r
+    sorted.join(broadcast(offsetDf), Seq("pid"))
+      .withColumn("rank0", $"ridx" + $"off")
+      .withColumn("tile",
+        when($"rank0" < cut, expr(s"rank0 div ${q + 1}") + 1L)
+          // max(q,1) only guards ANSI div-by-zero when total < k
+          // (branch is unreachable then: every rank0 < cut)
+          .otherwise(expr(s"(rank0 - $cut) div ${math.max(q, 1L)}") + r + 1L))
+      .drop("pid", "ridx", "off", "rank0")
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── TPC-H Q1 analog: full-scan aggregate with exact decimal math ──
@@ -404,54 +464,20 @@ object Relational extends QueryPack {
         ORDER BY o_orderstatus""")),
 
     // ── GLOBAL ntile, distributed (no single-partition window) ──
-    // A naive `ntile(10) OVER (ORDER BY …)` funnels the whole table
-    // through ONE task — the canonical global-sort scale trap. This
-    // plan is the distributed equivalent: range-repartition on the
-    // full (unique) sort key gives non-overlapping sorted partitions;
-    // the driver collects only the per-partition COUNTS (bounded by
-    // the partition count, like zipWithIndex); the global rank is then
-    // a pure PROJECTION — monotonically_increasing_id's documented
-    // layout is (partition id << 33) + in-partition record number, so
-    // the low 33 bits ARE the per-partition row index of the sorted,
-    // checkpointed layout — plus a broadcast per-partition offset. The
-    // tile comes from SQL ntile's exact remainder rule. Zero shuffles
-    // after the range sort (a row_number window would re-shuffle the
-    // whole table on pid: the checkpoint hides the layout from
-    // Catalyst, so the window's clustering requirement isn't seen as
-    // satisfied). The localCheckpoint is CORRECTNESS, not caching:
-    // repartitionByRange samples its boundaries, so without pinning
-    // the layout the counts job and the final job could disagree on
-    // partition assignment — and the id column must be frozen too.
+    // Deciles of the whole orders table by price via [[globalNtile]]
+    // — the scale-safe replacement for `ntile(10) OVER (ORDER BY …)`,
+    // which would funnel the entire table through ONE task. See the
+    // helper's scaladoc for the plan shape (range sort → bounded
+    // count collect → rank by projection, zero post-sort shuffles).
     "q_ntile_global" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val k = 10L
-        val parts = math.max(1, s.sparkContext.defaultParallelism)
-        val sorted = Tables.orders(s, d)
-          .select($"o_orderkey", $"o_totalprice",
-            dec($"o_totalprice").cast(DoubleType).as("price"))
-          .repartitionByRange(parts, $"price", $"o_orderkey")
-          .sortWithinPartitions($"price", $"o_orderkey")
-          .withColumn("pid", spark_partition_id())
-          .withColumn("ridx",
-            monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-          .localCheckpoint(true)
-        val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-          .orderBy($"pid").collect()
-        val total = counts.map(_.getLong(1)).sum
-        val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
-        val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
-          .toDF("pid", "off")
-        val q = total / k
-        val r = total % k
-        val cut = (q + 1) * r
-        sorted.join(broadcast(offsetDf), Seq("pid"))
-          .withColumn("rank0", $"ridx" + $"off")
-          .withColumn("decile",
-            when($"rank0" < cut, expr(s"rank0 div ${q + 1}") + 1L)
-              // max(q,1) only guards ANSI div-by-zero when total < k
-              // (branch is unreachable then: every rank0 < cut)
-              .otherwise(expr(s"(rank0 - $cut) div ${math.max(q, 1L)}") + r + 1L))
+        globalNtile(s,
+            Tables.orders(s, d)
+              .select($"o_orderkey", $"o_totalprice",
+                dec($"o_totalprice").cast(DoubleType).as("price")),
+            k = 10L, sortCols = Seq($"price", $"o_orderkey"))
+          .withColumnRenamed("tile", "decile")
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_orders"),
             min($"price").as("min_price"),

@@ -174,6 +174,15 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "SortMergeJoin"
   }
 
+  test("retention and anomaly scan events once: zero parquet scans in the executed plan") {
+    // cohort/moments side and probe side share one checkpointed
+    // projection; a dropped checkpoint re-inlines the events scan per
+    // consumer and fails here
+    for (q <- Seq("evt_retention", "evt_anomaly")) {
+      withClue(q) { "Scan parquet".r.findAllIn(plan(q)).size shouldBe 0 }
+    }
+  }
+
   test("PII redaction is a map-only scan — no shuffle, no join") {
     val p = plan("llm_pii_redact")
     p should not include "Join"

@@ -36,26 +36,27 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     distributed shouldBe naive
   }
 
-  test("q_ntile_global survives totals not divisible by the tile count") {
+  test("globalNtile survives totals not divisible by the tile count") {
     // 10 tiles over 23 rows: first 3 tiles get 3 rows, the rest 2 —
-    // the SQL remainder rule on a total the fixture tables never hit
+    // the remainder branch (rank0 < cut) that every fixture table's
+    // 10-divisible row count leaves unexecuted. Drives the PRODUCTION
+    // helper, not a replica of its arithmetic.
     import spark.implicits._
     val rows = (1 to 23).map(i => (i.toLong, (i * 37 % 23).toLong))
     val df = rows.toDF("id", "v")
     val w = Window.orderBy($"v", $"id")
     val naive = df.withColumn("t", ntile(10).over(w).cast("long"))
       .select($"id", $"t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // replicate the query's arithmetic at this scale
-    val total = 23L
-    val q = total / 10; val r = total % 10; val cut = (q + 1) * r
-    val ranked = df.orderBy($"v", $"id").collect().zipWithIndex
-    ranked.foreach { case (row, rank0) =>
-      val tile =
-        if (rank0 < cut) rank0 / (q + 1) + 1
-        else (rank0 - cut) / q + r + 1
-      withClue(s"id=${row.getLong(0)} rank0=$rank0") {
-        tile shouldBe naive(row.getLong(0))
-      }
+    val got = Relational.globalNtile(spark, df, 10L, Seq($"v", $"id"))
+      .select($"id", $"tile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe naive.keySet
+    got.foreach { case (id, tile) =>
+      withClue(s"id=$id") { tile shouldBe naive(id) }
     }
+    // the remainder rule really fired: tiles 1-3 have 3 rows, 4-10 have 2
+    val sizes = got.values.groupBy(identity).map { case (t, vs) => t -> vs.size }
+    (1L to 3L).foreach(t => sizes(t) shouldBe 3)
+    (4L to 10L).foreach(t => sizes(t) shouldBe 2)
   }
 }
