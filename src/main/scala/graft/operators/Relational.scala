@@ -239,6 +239,59 @@ object Relational extends QueryPack {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
 
+    // ── Bloom-filter semi-join reduction under a contract ──
+    // The 100 TB shuffle-avoidance move: instead of shuffling the full
+    // probe side into a semi join, build a Bloom filter over the
+    // (filtered) build side's keys — a single small aggregate — and
+    // pre-filter the probe with might_contain as a MAP-ONLY scan.
+    // The sketch bits are engine-specific, so the oracle-checkable
+    // claims are the filter's guarantees: NO false negatives (every
+    // true member passes — bloom_pass counts per segment must be ≥ the
+    // exact semi-join counts, asserted as a boolean next to the exact
+    // value) and a sane false-positive rate (pass count within 2% of
+    // exact at 1M-bit/NDV sizing). DuckDB recomputes the exact counts
+    // and expects both bounds to hold.
+    "q_bloom_semi_reduction" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+        // might_contain requires a CONSTANT (or scalar-subquery) sketch
+        // — the same shape Spark's own InjectRuntimeFilter produces: the
+        // filter materializes on the driver (bounded: numBits/8 ≈ 100 KB
+        // regardless of data size) and ships to executors as a literal,
+        // so the probe is a genuinely map-only scan.
+        val bf = urgent.agg(
+          graft.functions.Bloom
+            .bloomFilterAgg($"o_custkey", 50000L, 800000L).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val passed = Tables.customer(s, d)
+          .filter(graft.functions.Bloom.mightContain(lit(bf), $"c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("bloom_pass"))
+        val exact = Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("exact_members"))
+        exact.join(passed, Seq("c_mktsegment"))
+          .select($"c_mktsegment", $"exact_members",
+            ($"bloom_pass" >= $"exact_members").as("no_false_negatives"),
+            ($"bloom_pass" <= ($"exact_members".cast(DoubleType) * 1.02))
+              .as("fpr_under_2pct"))
+          .orderBy($"c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment,
+               COUNT(*) AS exact_members,
+               TRUE AS no_false_negatives,
+               TRUE AS fpr_under_2pct
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
     // ── anti join: customers with no urgent orders ──
     "q_anti_join" -> QueryDef(
       fn = (s, d) => {

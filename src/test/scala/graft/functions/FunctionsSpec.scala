@@ -128,6 +128,25 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Bloom filter: zero false negatives, bounded false positives") {
+    import spark.implicits._
+    // the sketch must reach might_contain as a constant (the same
+    // driver-materialized shape Spark's runtime filters use)
+    val bf = (0L until 1000L).toDF("k")
+      .agg(Bloom.bloomFilterAgg($"k", 1000L, 16000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val res = (0L until 2000L).toDF("k")
+      .select($"k", Bloom.mightContain(lit(bf), $"k").as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    // the Bloom guarantee: every inserted key passes
+    res.filter(_._1 < 1000L).foreach { case (k, hit) =>
+      withClue(s"k=$k") { hit shouldBe true }
+    }
+    // ~16 bits/key → expected FPR well under 1%; allow 5% slack
+    val fps = res.count { case (k, hit) => k >= 1000L && hit }
+    fps should be < 50
+  }
+
   test("multimodal decode stub: batch shape and determinism") {
     import spark.implicits._
     val payloads = Seq((1L, "abcd".getBytes), (2L, Array.emptyByteArray))
