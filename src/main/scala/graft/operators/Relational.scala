@@ -553,6 +553,41 @@ object Relational extends QueryPack {
         GROUP BY decile
         ORDER BY decile""")),
 
+    // ── LATERAL correlated subquery (SQL surface) ──
+    // Per-nation top-2 customers by balance through a correlated
+    // LATERAL subquery with ORDER BY + LIMIT — the dependent-join
+    // operator class, exercised through spark.sql to prove the SQL
+    // front door works alongside the DataFrame surface. Catalyst
+    // decorrelates the limit into a per-key ranking (no per-row
+    // re-execution), so the plan is the same shuffle-once shape as the
+    // window top-k — which is exactly why the decorrelation matters at
+    // 100 TB.
+    "q_lateral_topn" -> QueryDef(
+      fn = (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("lat_nation")
+        Tables.customer(s, d).createOrReplaceTempView("lat_customer")
+        s.sql("""
+          SELECT n.n_name, t.c_custkey, t.acctbal
+          FROM lat_nation n JOIN LATERAL (
+            SELECT c_custkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+            FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY acctbal DESC, c_custkey
+            LIMIT 2) t
+          ORDER BY n.n_name, t.c_custkey""")
+      },
+      oracle = Some("""
+        SELECT n.n_name, t.c_custkey, t.acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY acctbal DESC, c_custkey
+          LIMIT 2) t
+        ORDER BY n.n_name, t.c_custkey""")),
+
     // ── exact distinct aggregates ──
     "q_distinct_agg" -> QueryDef(
       fn = (s, d) => {

@@ -174,6 +174,15 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "SortMergeJoin"
   }
 
+  test("lateral top-n decorrelates to a ranked join — no per-outer-row re-execution") {
+    val p = plan("q_lateral_topn")
+    // Catalyst rewrites the correlated LIMIT into a per-key ranking
+    // joined back to the outer side; a dependent-join execution would
+    // show a nested loop re-running the subquery per nation
+    p should include("Window")
+    p should not include "CartesianProduct"
+  }
+
   test("retention and anomaly scan events once: zero parquet scans in the executed plan") {
     // cohort/moments side and probe side share one checkpointed
     // projection; a dropped checkpoint re-inlines the events scan per
