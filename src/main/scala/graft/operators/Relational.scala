@@ -249,21 +249,31 @@ object Relational extends QueryPack {
     // true member passes — bloom_pass counts per segment must be ≥ the
     // exact semi-join counts, asserted as a boolean next to the exact
     // value) and a sane false-positive rate (pass count within 2% of
-    // exact at 1M-bit/NDV sizing). DuckDB recomputes the exact counts
-    // and expects both bounds to hold.
+    // exact). The filter is sized FROM THE DATA — 16 bits per
+    // approx-distinct build key (FPR ≈ 5e-4 at any SF) — because a
+    // hardcoded capacity silently degrades the FPR the moment the
+    // build side outgrows it. DuckDB recomputes the exact counts and
+    // expects both bounds to hold.
     "q_bloom_semi_reduction" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        // three consumers (NDV sizing, sketch build, exact semi join):
+        // checkpoint so the filtered scan runs once
         val urgent = Tables.orders(s, d)
           .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey")
+          .localCheckpoint(true)
+        val items = math.max(1L,
+          urgent.agg(approx_count_distinct($"o_custkey", 0.05).as("n"))
+            .head().getLong(0))
         // might_contain requires a CONSTANT (or scalar-subquery) sketch
         // — the same shape Spark's own InjectRuntimeFilter produces: the
-        // filter materializes on the driver (bounded: numBits/8 ≈ 100 KB
+        // filter materializes on the driver (bounded: numBits/8 bytes
         // regardless of data size) and ships to executors as a literal,
         // so the probe is a genuinely map-only scan.
         val bf = urgent.agg(
           graft.functions.Bloom
-            .bloomFilterAgg($"o_custkey", 50000L, 800000L).as("bf"))
+            .bloomFilterAgg($"o_custkey", items, items * 16L).as("bf"))
           .head().getAs[Array[Byte]]("bf")
         val passed = Tables.customer(s, d)
           .filter(graft.functions.Bloom.mightContain(lit(bf), $"c_custkey"))
@@ -566,7 +576,7 @@ object Relational extends QueryPack {
       fn = (s, d) => {
         Tables.nation(s, d).createOrReplaceTempView("lat_nation")
         Tables.customer(s, d).createOrReplaceTempView("lat_customer")
-        s.sql("""
+        val df = s.sql("""
           SELECT n.n_name, t.c_custkey, t.acctbal
           FROM lat_nation n JOIN LATERAL (
             SELECT c_custkey,
@@ -576,6 +586,12 @@ object Relational extends QueryPack {
             ORDER BY acctbal DESC, c_custkey
             LIMIT 2) t
           ORDER BY n.n_name, t.c_custkey""")
+        // sql() analyzes eagerly (views are resolved into the plan), so
+        // dropping now keeps the shared session catalog clean — a later
+        // invocation against another sf dir can't race or leak
+        s.catalog.dropTempView("lat_nation")
+        s.catalog.dropTempView("lat_customer")
+        df
       },
       oracle = Some("""
         SELECT n.n_name, t.c_custkey, t.acctbal

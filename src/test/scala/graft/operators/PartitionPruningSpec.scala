@@ -23,18 +23,41 @@ import graft.{Tables, TestSpark}
   *  3. dynamic partition pruning: a join against a filtered dim prunes
   *     fact partitions at RUNTIME from the dim side's values.
   */
-class PartitionPruningSpec extends AnyFunSuite with Matchers {
+class PartitionPruningSpec extends AnyFunSuite with Matchers
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def writePartitioned(): String = {
+  // one shared layout: the data is identical across tests, and the
+  // temp tree is removed after the suite
+  private lazy val partDir: String = {
     val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
     Tables.events(spark, sf)
       .write.mode("overwrite")
       .partitionBy("event_type")
       .parquet(dir)
+    dirsToClean += dir
     dir
   }
+  private val dirsToClean = scala.collection.mutable.Buffer.empty[String]
+
+  override def afterAll(): Unit = {
+    dirsToClean.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+    super.afterAll()
+  }
+
+  /** Partition values present on disk (self-maintaining: read from the
+    * written layout, not hardcoded fixture knowledge). */
+  private def partsOnDisk(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      .map(_.getName.stripPrefix("event_type="))
 
   /** Parquet files on disk under one partition directory. */
   private def filesUnder(dir: String, part: String): Long = {
@@ -58,7 +81,7 @@ class PartitionPruningSpec extends AnyFunSuite with Matchers {
   }
 
   test("filter on the partition column prunes directories before the scan") {
-    val dir = writePartitioned()
+    val dir = partDir
     val df = spark.read.parquet(dir).filter(col("event_type") === "purchase")
 
     // the plan carries the predicate as a PartitionFilter (metadata),
@@ -73,8 +96,8 @@ class PartitionPruningSpec extends AnyFunSuite with Matchers {
     purchaseFiles should be > 0L
     scan.metrics("numFiles").value shouldBe purchaseFiles
     // and that is a strict subset of the table's files
-    val allFiles = Seq("purchase", "click", "view", "signup", "error")
-      .map(filesUnder(dir, _)).sum
+    partsOnDisk(dir).size should be > 1
+    val allFiles = partsOnDisk(dir).map(filesUnder(dir, _)).sum
     purchaseFiles should be < allFiles
 
     // values survive the round-trip (partition column re-materialized)
@@ -83,7 +106,7 @@ class PartitionPruningSpec extends AnyFunSuite with Matchers {
   }
 
   test("partition filters compose with data filters (which push down separately)") {
-    val dir = writePartitioned()
+    val dir = partDir
     val df = spark.read.parquet(dir)
       .filter(col("event_type") === "click" && col("value") > 100.0)
     val formatted = df.queryExecution.explainString(
@@ -94,7 +117,7 @@ class PartitionPruningSpec extends AnyFunSuite with Matchers {
   }
 
   test("dynamic partition pruning fires on a join against a filtered dim") {
-    val dir = writePartitioned()
+    val dir = partDir
     import spark.implicits._
     // the stats-based benefit estimate declines DPP on kilobyte-scale
     // fixtures; the fallback ratio path is what a real lake hits when
@@ -110,6 +133,7 @@ class PartitionPruningSpec extends AnyFunSuite with Matchers {
       // constant-folded by ConvertToLocalRelation, leaving no Filter
       // node for the rule to see
       val dimDir = Files.createTempDirectory("graft_dim").toFile.getAbsolutePath
+      dirsToClean += dimDir
       Seq(("purchase", "conversion"), ("click", "browse"),
         ("view", "browse"), ("signup", "account"), ("error", "noise"))
         .toDF("etype", "category")
