@@ -389,6 +389,39 @@ object EventTime extends QueryPack {
         GROUP BY ev.event_type
         ORDER BY ev.event_type""")),
 
+    // ── MERGEABLE distinct sketches: per-day HLL rolled up by union ──
+    // The pre-aggregation pattern that makes distinct counts feasible
+    // at 100 TB: each partition/day keeps a fixed-size Datasketches HLL
+    // of its users (hll_sketch_agg — one pass, map-side combined), and
+    // any rollup (week, month, total) is a UNION OF SKETCHES
+    // (hll_union_agg) — never a re-scan of raw data. Sketch bytes are
+    // engine-specific, so the oracle-checked contract is the estimate's
+    // accuracy: the union-of-daily-sketches estimate must land within
+    // ±5% of the exact total distinct count DuckDB recomputes, asserted
+    // next to that exact value. lgConfigK=14 → ~0.8% RSE, so 5% is ~6
+    // standard errors.
+    "agg_hll_mergeable" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .select($"user_id", expr(s"(ts div 1000) div $DayUs").as("day"))
+          .groupBy($"day")
+          .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+        daily.agg(
+            hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"),
+            count(lit(1)).as("n_days"))
+          .join(Tables.events(s, d)
+            .agg(countDistinct($"user_id").as("exact_users")))
+          .select($"n_days", $"exact_users",
+            (abs($"est" - $"exact_users").cast(DoubleType)
+              <= lit(0.05) * $"exact_users").as("union_within_5pct"))
+      },
+      oracle = Some(s"""
+        SELECT COUNT(DISTINCT epoch_us(ts) // $DayUs) AS n_days,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS union_within_5pct
+        FROM events""")),
+
     // ── approximate distinct (HLL++) next to the exact count ──
     // The HLL estimate itself is engine-specific (DuckDB's approx sketch
     // differs bit-for-bit), so the oracle-checkable contract is the
