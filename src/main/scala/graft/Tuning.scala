@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Session sizing for the target deployment, stated as rules rather
   * than magic numbers (SURVEY.md §7; the 100 TB design contract):
@@ -42,4 +43,28 @@ object Tuning {
     .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Pin a multi-consumer frame so its upstream scan runs exactly once
+    * (Catalyst reuses exchanges only for byte-identical subtrees, which
+    * self-join alias resolution breaks — without pinning, each consumer
+    * re-runs the source scan).
+    *
+    * Strategy is a deployment choice, selected by `spark.graft.scanOnce`:
+    *  - `localCheckpoint` (default): eager materialization on executor
+    *    local storage — fastest, right for local/ephemeral sessions and
+    *    for plans that also need lineage truncation. NOT fault-tolerant:
+    *    losing an executor aborts the query.
+    *  - `persist`: lazy `DISK_ONLY_2` persistence — 2-replica blocks
+    *    survive a single executor loss and missing partitions recompute
+    *    from lineage, the right trade on a 1000-executor cluster where
+    *    some executor loss per 100 TB query is expected.
+    *
+    * Callers that need checkpointing for CORRECTNESS (frozen layout or
+    * frozen nondeterministic ids, e.g. `Relational.globalNtile`) must
+    * keep calling `localCheckpoint` directly, not this. */
+  def scanOnce(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.scanOnce", "localCheckpoint") match {
+      case "persist" => df.persist(StorageLevel.DISK_ONLY_2)
+      case _         => df.localCheckpoint(eager = true)
+    }
 }

@@ -604,7 +604,10 @@ object Dedup extends QueryPack {
       oracle = Some(clustersSql),
       headline = true),
 
-    // ── exact word-shingle Jaccard pairs (oracle for the LSH shortcut) ──
+    // ── exact word-shingle Jaccard pairs (ORACLE FACE: quadratic within
+    //    the (lang, |Δn_chars| ≤ 50) block — the small-SF fixture; the
+    //    fingerprint-banded twin below is the production plan and shares
+    //    this oracle SQL as its per-round equality proof) ──
     "dedup_ngram_jaccard" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -623,23 +626,48 @@ object Dedup extends QueryPack {
           .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"), $"jaccard")
           .orderBy($"doc1", $"doc2")
       },
-      oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id, lang, n_chars, $tokensSql AS tokens FROM documents),
-        sh AS (
-          SELECT doc_id, lang, n_chars, $shinglesSql AS sh FROM toks),
-        nz AS (SELECT * FROM sh WHERE len(sh) > 0)
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 AS jaccard
-        FROM nz a JOIN nz b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
-         AND abs(a.n_chars - b.n_chars) <= 50
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              >= 0.05
-        ORDER BY doc1, doc2""")),
+      oracle = Some(ngramJaccardSql)),
+
+    // ── word-shingle Jaccard, fingerprint-banded (the 100 TB plan) ──
+    // Any pair with jaccard ≥ 0.05 shares at least one shingle, so
+    // candidates come from an EQUALITY join on the shingle fingerprint
+    // (each shingle's posting list, the [[exactJaccardPairs]] trick)
+    // restricted by the same (lang, |Δn_chars| ≤ 50) block, then the
+    // STRING shingle sets verify the exact Jaccard — candidate
+    // generation is lossless by construction, and fp collisions cannot
+    // corrupt output because verification re-intersects the strings.
+    // O(sum of posting-list²), not O(block²): sub-quadratic whenever
+    // shingles discriminate, and each posting list is itself a skew-
+    // bounded bucket. Byte-identical rows to dedup_ngram_jaccard; the
+    // shared oracle SQL is the equality proof.
+    "dedup_ngram_jaccard_banded" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = materialized(docsWithTokens(s, d)
+            .select($"doc_id", $"lang", $"n_chars", shinglesCol.as("sh")))
+          .filter(size($"sh") > 0)
+          .localCheckpoint(true) // posting explode + two verify joins
+        val posts = docs.select($"doc_id", $"lang", $"n_chars",
+          explode(transform($"sh", x => rolling_hash2(x))).as("fp"))
+        val cand = posts.as("a").join(posts.as("b"),
+            $"a.fp" === $"b.fp" && $"a.lang" === $"b.lang" &&
+            $"a.doc_id" < $"b.doc_id" &&
+            abs($"a.n_chars" - $"b.n_chars") <= 50)
+          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+          .distinct()
+        val byId = docs.select($"doc_id", $"sh")
+        cand
+          .join(byId.select($"doc_id".as("doc1"), $"sh".as("s1")), Seq("doc1"))
+          .join(byId.select($"doc_id".as("doc2"), $"sh".as("s2")), Seq("doc2"))
+          .withColumn("inter", size(array_intersect($"s1", $"s2")))
+          .withColumn("jaccard",
+            $"inter".cast(DoubleType) /
+              (size($"s1") + size($"s2") - $"inter").cast(DoubleType))
+          .filter($"jaccard" >= 0.05)
+          .select($"doc1", $"doc2", $"jaccard")
+          .orderBy($"doc1", $"doc2")
+      },
+      oracle = Some(ngramJaccardSql)),
 
     // ── embedding-cosine near-duplicate pairs (ORACLE FACE: unblocked
     //    all-pairs — the small-SF fixture; the blocked twin below is the
@@ -851,6 +879,26 @@ object Dedup extends QueryPack {
     // unordered: the pair-listing query adds its own orderBy; the recall
     // eval and the DedupSpec gates aggregate, where a sort is wasted work
   }
+
+  /** Shared oracle of `dedup_ngram_jaccard` and its fingerprint-banded
+    * twin — identical SQL for both is the equality proof. */
+  private lazy val ngramJaccardSql: String = s"""
+        WITH toks AS (
+          SELECT doc_id, lang, n_chars, $tokensSql AS tokens FROM documents),
+        sh AS (
+          SELECT doc_id, lang, n_chars, $shinglesSql AS sh FROM toks),
+        nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 AS jaccard
+        FROM nz a JOIN nz b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 50
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              >= 0.05
+        ORDER BY doc1, doc2"""
 
   /** Shared oracle of `dedup_embedding_cosine` and its block-partitioned
     * twin — identical SQL for both is the equality proof. */

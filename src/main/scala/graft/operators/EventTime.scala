@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.{QueryDef, QueryPack, Tables}
+import graft.{QueryDef, QueryPack, Tables, Tuning}
 import graft.functions.Exact._
 
 /** Event-time operators over the `events` stream table: tumbling
@@ -271,13 +271,13 @@ object EventTime extends QueryPack {
     "evt_retention" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        // cohort side and probe side both consume this projection: the
-        // checkpoint keeps the events scan to exactly one (scan-once
-        // rule; at 100 TB the probe-side rescan doubles source IO)
-        val ev = Tables.events(s, d)
+        // cohort side and probe side both consume this projection:
+        // scanOnce keeps the events scan to exactly one (at 100 TB the
+        // probe-side rescan doubles source IO); on a real cluster set
+        // spark.graft.scanOnce=persist for the fault-tolerant pin
+        val ev = Tuning.scanOnce(Tables.events(s, d)
           .select($"user_id", $"event_type",
-            expr(s"(ts div 1000) div $DayUs").as("day"))
-          .localCheckpoint(true)
+            expr(s"(ts div 1000) div $DayUs").as("day")))
         val cohorts = ev.filter($"event_type" === "signup")
           .groupBy($"user_id").agg(min($"day").as("cohort_day"))
         ev.join(cohorts, Seq("user_id"))
@@ -354,11 +354,11 @@ object EventTime extends QueryPack {
         import s.implicits._
         val big = DecimalType(38, 0)
         // moments side and probe side both consume this projection:
-        // checkpoint so the events scan runs once (scan-once rule)
-        val ev = Tables.events(s, d)
+        // scanOnce so the events scan runs once (fault-tolerant pin
+        // selectable via spark.graft.scanOnce=persist on real clusters)
+        val ev = Tuning.scanOnce(Tables.events(s, d)
           .select($"event_type",
-            (dec($"value") * 100).cast(LongType).cast(big).as("c"))
-          .localCheckpoint(true)
+            (dec($"value") * 100).cast(LongType).cast(big).as("c")))
         val moments = ev.groupBy($"event_type").agg(
           count(lit(1)).cast(big).as("n"),
           sum($"c").as("sc"),

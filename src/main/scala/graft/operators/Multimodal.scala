@@ -167,9 +167,12 @@ object Multimodal extends QueryPack {
     // ── feature extraction: 16-bin payload-unit histogram ──
     // The feature-extraction stage (embedding-ish fixed-width vector per
     // media payload) with a deterministic kernel: histogram of payload
-    // units binned by codepoint mod 16, emitted as an ordered count
-    // array. Map-only codegen'd HOF arithmetic — the exact shape a real
-    // feature extractor (color histogram, MFCC bucket) runs at 100 TB.
+    // units binned by codepoint mod 16. Map-only codegen'd HOF
+    // arithmetic — the exact shape a real feature extractor (color
+    // histogram, MFCC bucket) runs at 100 TB. Emitted as long-form
+    // (doc_id, bin, n) rows: the vector stays a single row inside the
+    // plan (one transform per payload, posexplode at the very end), and
+    // long-form is what a downstream aggregation joins on anyway.
     "mm_feature_hist" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -180,11 +183,12 @@ object Multimodal extends QueryPack {
           .filter(length($"text") > 0)
           .withColumn("bins", expr(
             "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) % 16)"))
-          .select($"doc_id",
+          .withColumn("hist",
             expr("""transform(sequence(0, 15),
-                      b -> CAST(size(filter(bins, x -> x = b)) AS BIGINT))""")
-              .as("hist"))
-          .orderBy($"doc_id")
+                      b -> CAST(size(filter(bins, x -> x = b)) AS BIGINT))"""))
+          .select($"doc_id", posexplode($"hist").as(Seq("bin", "n")))
+          .select($"doc_id", $"bin".cast(LongType).as("bin"), $"n")
+          .orderBy($"doc_id", $"bin")
       },
       oracle = Some("""
         WITH b AS (
@@ -192,10 +196,9 @@ object Multimodal extends QueryPack {
                  list_transform(string_split(text, ''), ch -> unicode(ch) % 16)
                    AS bins
           FROM documents WHERE length(text) > 0)
-        SELECT doc_id,
-          list_transform(generate_series(0, 15),
-            b -> CAST(len(list_filter(bins, x -> x = b)) AS BIGINT)) AS hist
-        FROM b
-        ORDER BY doc_id"""))
+        SELECT doc_id, g.bin AS bin,
+          CAST(len(list_filter(bins, x -> x = g.bin)) AS BIGINT) AS n
+        FROM b, (SELECT unnest(generate_series(0, 15)) AS bin) g
+        ORDER BY doc_id, bin"""))
   )
 }

@@ -24,6 +24,9 @@ import graft.functions.Exact._
   */
 object Relational extends QueryPack {
 
+  /** Monotone per-invocation suffix for `q_lateral_topn`'s temp views. */
+  private val lateralViewTag = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val one = lit(1).cast(DecimalType(3, 2))
   private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
   /** 1 - discount, exact, kept narrow so products stay within 38 digits. */
@@ -59,20 +62,27 @@ object Relational extends QueryPack {
     * and the id column must be frozen too.
     *
     * `sortCols` must be a total order (include a unique tiebreak) or
-    * ties may land in either tile. */
+    * ties may land in either tile.
+    *
+    * Internal working columns use a `__gn_` prefix so they can never
+    * silently replace (and corrupt) a caller column of the same name —
+    * `withColumn` overwrites on collision; only the `tile` output may
+    * not pre-exist, enforced loudly. */
   private[operators] def globalNtile(
       s: SparkSession, df: DataFrame, k: Long, sortCols: Seq[Column]): DataFrame = {
     import s.implicits._
+    require(!df.columns.contains("tile"),
+      "globalNtile: input already has a 'tile' column — rename it first")
     val parts = math.max(1, s.sparkContext.defaultParallelism)
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .withColumn("ridx",
+      .withColumn("__gn_pid", spark_partition_id())
+      .withColumn("__gn_ridx",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .localCheckpoint(true)
-    val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-      .orderBy($"pid").collect()
+    val counts = sorted.groupBy($"__gn_pid").agg(count(lit(1)).as("cnt"))
+      .orderBy($"__gn_pid").collect()
     // the 33-bit record index wraps silently past 2^33 rows in ONE
     // partition; the per-partition counts are already on the driver,
     // so fail loudly instead of returning wrong ranks (size `parts`
@@ -83,18 +93,18 @@ object Relational extends QueryPack {
     val total = counts.map(_.getLong(1)).sum
     val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
     val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
-      .toDF("pid", "off")
+      .toDF("__gn_pid", "__gn_off")
     val q = total / k
     val r = total % k
     val cut = (q + 1) * r
-    sorted.join(broadcast(offsetDf), Seq("pid"))
-      .withColumn("rank0", $"ridx" + $"off")
+    sorted.join(broadcast(offsetDf), Seq("__gn_pid"))
+      .withColumn("__gn_rank0", $"__gn_ridx" + $"__gn_off")
       .withColumn("tile",
-        when($"rank0" < cut, expr(s"rank0 div ${q + 1}") + 1L)
+        when($"__gn_rank0" < cut, expr(s"__gn_rank0 div ${q + 1}") + 1L)
           // max(q,1) only guards ANSI div-by-zero when total < k
           // (branch is unreachable then: every rank0 < cut)
-          .otherwise(expr(s"(rank0 - $cut) div ${math.max(q, 1L)}") + r + 1L))
-      .drop("pid", "ridx", "off", "rank0")
+          .otherwise(expr(s"(__gn_rank0 - $cut) div ${math.max(q, 1L)}") + r + 1L))
+      .drop("__gn_pid", "__gn_ridx", "__gn_off", "__gn_rank0")
   }
 
   override val queries: Map[String, QueryDef] = Map(
@@ -263,9 +273,25 @@ object Relational extends QueryPack {
           .filter($"o_orderpriority" === "1-URGENT")
           .select($"o_custkey")
           .localCheckpoint(true)
-        val items = math.max(1L,
+        val rawItems = math.max(1L,
           urgent.agg(approx_count_distinct($"o_custkey", 0.05).as("n"))
             .head().getLong(0))
+        // BloomFilterAggregate rejects (AnalysisException) estimates
+        // beyond the runtime-filter caps — clamp to the session's
+        // configured limits (Spark defaults: 4M items, 2^26 bits) so
+        // the query keeps running past ~4M build NDV, at a degraded
+        // FPR the downstream exact-count contract columns still bound.
+        val maxItems = s.conf.get(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+        val maxBits = s.conf.get(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+        val items = math.min(rawItems, maxItems)
+        val numBits = math.min(rawItems * 16L, maxBits)
+        if (rawItems > maxItems || rawItems * 16L > maxBits)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"bloom build NDV $rawItems exceeds configured caps " +
+              s"($maxItems items / $maxBits bits); sketch FPR degrades " +
+              "above the 16-bits-per-item design point")
         // might_contain requires a CONSTANT (or scalar-subquery) sketch
         // — the same shape Spark's own InjectRuntimeFilter produces: the
         // filter materializes on the driver (bounded: numBits/8 bytes
@@ -273,7 +299,7 @@ object Relational extends QueryPack {
         // so the probe is a genuinely map-only scan.
         val bf = urgent.agg(
           graft.functions.Bloom
-            .bloomFilterAgg($"o_custkey", items, items * 16L).as("bf"))
+            .bloomFilterAgg($"o_custkey", items, numBits).as("bf"))
           .head().getAs[Array[Byte]]("bf")
         val passed = Tables.customer(s, d)
           .filter(graft.functions.Bloom.mightContain(lit(bf), $"c_custkey"))
@@ -574,23 +600,30 @@ object Relational extends QueryPack {
     // 100 TB.
     "q_lateral_topn" -> QueryDef(
       fn = (s, d) => {
-        Tables.nation(s, d).createOrReplaceTempView("lat_nation")
-        Tables.customer(s, d).createOrReplaceTempView("lat_customer")
-        val df = s.sql("""
+        // per-invocation view names: two concurrent invocations (even
+        // against different sf dirs) in one shared SparkSession can
+        // never interleave each other's createOrReplace/sql/drop —
+        // fixed names made the eager-analysis note cover only
+        // sequential use
+        val tag = lateralViewTag.incrementAndGet()
+        val vNation = s"lat_nation_$tag"
+        val vCustomer = s"lat_customer_$tag"
+        Tables.nation(s, d).createOrReplaceTempView(vNation)
+        Tables.customer(s, d).createOrReplaceTempView(vCustomer)
+        val df = s.sql(s"""
           SELECT n.n_name, t.c_custkey, t.acctbal
-          FROM lat_nation n JOIN LATERAL (
+          FROM $vNation n JOIN LATERAL (
             SELECT c_custkey,
                    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
-            FROM lat_customer
+            FROM $vCustomer
             WHERE c_nationkey = n.n_nationkey
             ORDER BY acctbal DESC, c_custkey
             LIMIT 2) t
           ORDER BY n.n_name, t.c_custkey""")
         // sql() analyzes eagerly (views are resolved into the plan), so
-        // dropping now keeps the shared session catalog clean — a later
-        // invocation against another sf dir can't race or leak
-        s.catalog.dropTempView("lat_nation")
-        s.catalog.dropTempView("lat_customer")
+        // dropping now keeps the shared session catalog clean
+        s.catalog.dropTempView(vNation)
+        s.catalog.dropTempView(vCustomer)
         df
       },
       oracle = Some("""
