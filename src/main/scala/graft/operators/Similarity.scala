@@ -88,10 +88,9 @@ object Similarity extends QueryPack {
         $"cos_sim", $"bucket")
   }
 
-  /** IVF candidate set: k-means cells (deterministic seeds + 3 Lloyd
-    * rounds), search restricted to the query's cell — one scored row
-    * per scanned (query, candidate). */
-  private def ivfCandidates(s: SparkSession, e: DataFrame): DataFrame = {
+  /** Final IVF cell assignment (vec_id, label, emb, centroid_id):
+    * k-means cells from deterministic seeds + 3 Lloyd rounds. */
+  private def ivfAssignment(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     // Lloyd rounds pass over the vectors once per round — from the
     // caller's checkpointed frame, not a fresh parquet scan per round
@@ -122,7 +121,13 @@ object Similarity extends QueryPack {
           s => s.getField("m")).as("cemb"))
         .localCheckpoint()
     }
-    val assigned = assignTo(cents).localCheckpoint()
+    assignTo(cents).localCheckpoint()
+  }
+
+  /** Cell-restricted scored candidates over an [[ivfAssignment]] frame —
+    * one scored row per scanned (query, candidate). */
+  private def ivfCandidatesFrom(s: SparkSession, assigned: DataFrame): DataFrame = {
+    import s.implicits._
     val q = assigned.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"),
         $"centroid_id".as("qcell"))
@@ -131,16 +136,86 @@ object Similarity extends QueryPack {
       .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
   }
 
-  /** IVF top-k over [[ivfCandidates]] (shared by `sim_ann_ivf` and
-    * `sim_ann_recall`). */
-  private def ivfTopK(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+  /** IVF candidate set (build + restrict), used by `sim_ann_recall`. */
+  private def ivfCandidates(s: SparkSession, e: DataFrame): DataFrame =
+    ivfCandidatesFrom(s, ivfAssignment(s, e))
+
+  /** IVF top-k over an [[ivfAssignment]] frame (`sim_ann_ivf`). */
+  private def ivfTopKFrom(s: SparkSession, assigned: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    ivfCandidates(s, e)
+    ivfCandidatesFrom(s, assigned)
       .withColumn("rnk", row_number().over(wRank))
       .filter($"rnk" <= k)
       .select($"query_id", $"qcell", $"rnk".cast(LongType).as("rnk"),
         $"vec_id", $"cos_sim")
+  }
+
+  /** Side-table directory for oracle-visible index state. The IVF seeds
+    * hang off Spark's `xxhash64` (not reproducible in DuckDB), so the
+    * deterministic CELL ASSIGNMENT is exported as parquet and the
+    * oracle re-derives the restricted-search ranking from it — the
+    * ranking, cosine scores, and top-k are then value-checked even
+    * though the index build itself is engine-specific. The query fn
+    * overwrites the export on every run, and the comparer always runs
+    * oracles after the dump, so the table matches the compared run. */
+  private[operators] val SidecarDir = "/tmp/graft_sidecar"
+
+  /** Self-contained value oracle for `sim_ann_lsh`: the 6 hyperplanes
+    * are literal splitmix64 values (no RNG state), so the SQL carries
+    * all 6×64 components and DuckDB recomputes bucket signs, hamming-1
+    * probes, the restricted scan, and the final ranking end to end.
+    * `Double.toString` round-trips exactly through DuckDB's correctly-
+    * rounded parser, and the sign test `dot > 0` is ulp-robust: a plane
+    * dot within float-noise of zero has ~0 probability on continuous
+    * embeddings (and a flip would fail the hash compare loudly). */
+  private lazy val lshOracleSql: String = {
+    val planeRows = (0 until 6).map { j =>
+      val comps = (0 until Dim)
+        .map(i => graft.functions.VectorFunctions.planeComponent(j, i, Dim))
+        .mkString(", ")
+      s"($j, [$comps])"
+    }.mkString(",\n            ")
+    s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        planes AS (
+          SELECT * FROM (VALUES
+            $planeRows) t(j, p)),
+        bkt AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_sum(list_transform(
+                        generate_series(1, $Dim), i -> e.emb[i] * pl.p[i])) > 0
+                      THEN (1::BIGINT << pl.j) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, planes pl
+          GROUP BY e.vec_id),
+        be AS (
+          SELECT e.vec_id, e.emb, bkt.bucket
+          FROM e JOIN bkt USING (vec_id)),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+          FROM be WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qemb,
+                 unnest(list_prepend(qbucket,
+                   list_transform(generate_series(0, 5),
+                     j -> xor(qbucket, 1::BIGINT << j)))) AS probe
+          FROM q),
+        scored AS (
+          SELECT p.query_id, b.vec_id, b.bucket,
+            round(
+              list_sum(list_transform(generate_series(1, $Dim),
+                i -> p.qemb[i] * b.emb[i])) /
+              (sqrt(list_sum(list_transform(p.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 9) AS cos_sim
+          FROM probes p JOIN be b ON b.bucket = p.probe
+          WHERE b.vec_id <> p.query_id)
+        SELECT query_id, rnk, vec_id, cos_sim, bucket FROM (
+          SELECT query_id, vec_id, bucket, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
   }
 
   override val queries: Map[String, QueryDef] = Map(
@@ -170,10 +245,15 @@ object Similarity extends QueryPack {
       headline = true),
 
     // ── random-hyperplane LSH with hamming-1 multiprobe ──
+    // FULLY value-checked: the hyperplanes are pure splitmix64
+    // arithmetic ([[graft.functions.VectorFunctions.planeComponent]]),
+    // so their 6×64 component values are embedded in the oracle SQL as
+    // literals and DuckDB independently rebuilds the bucket assignment,
+    // the probe set, the restricted candidate scan, and the ranking.
     "sim_ann_lsh" -> QueryDef(
       fn = (s, d) => lshTopK(s, embCheckpointed(s, d), 5)
         .orderBy(col("query_id"), col("rnk")),
-      oracle = None),
+      oracle = Some(lshOracleSql)),
 
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
     // The operation a real pipeline runs before trusting an ANN index:
@@ -241,10 +321,47 @@ object Similarity extends QueryPack {
     // table ever sits on the driver side of a broadcast. Means are
     // quantized to 6 digits so run-order fp wobble cannot flip a
     // near-tie assignment between runs.
+    // Value-checked via the [[SidecarDir]] assignment export: DuckDB
+    // reads (vec_id, centroid_id), re-restricts the search to each
+    // query's cell, recomputes every cosine, and re-ranks — so the
+    // whole search face of the index is oracle-verified; only the
+    // xxhash64-seeded build itself is engine-specific.
     "sim_ann_ivf" -> QueryDef(
-      fn = (s, d) => ivfTopK(s, embCheckpointed(s, d), 5)
-        .orderBy(col("query_id"), col("rnk")),
-      oracle = None),
+      fn = (s, d) => {
+        import s.implicits._
+        val assigned = ivfAssignment(s, embCheckpointed(s, d))
+        assigned.select($"vec_id", $"centroid_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$SidecarDir/ivf_assign")
+        ivfTopKFrom(s, assigned, 5).orderBy(col("query_id"), col("rnk"))
+      },
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT vec_id, centroid_id
+          FROM '$SidecarDir/ivf_assign/*.parquet'),
+        e AS (
+          SELECT e0.vec_id, e0.emb, a.centroid_id
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e0
+          JOIN a USING (vec_id)),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb, centroid_id AS qcell
+          FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, q.qcell, e.vec_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(q.qemb)),
+                i -> q.qemb[i] * e.emb[i])) /
+              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
+          FROM q JOIN e ON e.centroid_id = q.qcell
+          WHERE e.vec_id <> q.query_id)
+        SELECT query_id, qcell, rnk, vec_id, cos_sim FROM (
+          SELECT query_id, qcell, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
 
     // ── label centroids: the aggregation face of embedding work ──
     // Exact cross-engine arithmetic (the `Exact` decimal-sum pattern,
