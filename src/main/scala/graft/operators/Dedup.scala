@@ -77,6 +77,69 @@ object Dedup extends QueryPack {
       .localCheckpoint(true)
   }
 
+  /** Distinct unordered id pairs (`id1` < `id2`) co-bucketed by
+    * `keyCols` — the candidate primitive behind every LSH band join —
+    * with per-task work bounded even under a PATHOLOGICAL hot bucket
+    * (constant-ish documents collapsing a band key, the one skew AQE
+    * cannot subdivide because the quadratic blowup happens inside a
+    * single join group, not across partitions).
+    *
+    * Adaptive, like [[componentLabels]]: bucket widths cost one count
+    * over the (small, sketch-derived) banded frame; when every bucket
+    * is ≤ `maxBucket` wide the plan IS the plain equality self-join of
+    * before. Past the cap, each hot bucket's rows are split into
+    * G = ceil(width / maxBucket) deterministic hash groups and the join
+    * enumerates the G(G+1)/2 group pairs — the
+    * `dedup_embedding_blocked` schedule applied inside one bucket — so
+    * no task ever compares more than ~`maxBucket`² rows while the pair
+    * set stays EXACTLY the plain join's (DedupSpec's planted-skew gate
+    * asserts equality on both paths). Replication cost on a hot row is
+    * G+1 copies; untouched buckets replicate nothing (G = 1). */
+  private[operators] def boundedBucketPairs(
+      df: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      maxBucket: Long = 4096L): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(maxBucket > 0, "maxBucket must be positive")
+    val keys = keyCols.map(col)
+    val sameKeys = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val widths = df.groupBy(keys: _*).agg(count(lit(1)).as("__bb_w"))
+    val maxW = widths.agg(max($"__bb_w")).head().get(0) match {
+      case null => 0L
+      case w: Long => w
+    }
+    if (maxW <= maxBucket) {
+      df.as("a").join(df.as("b"),
+          sameKeys && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+        .distinct()
+    } else {
+      val grouped = df.join(widths, keyCols)
+        .withColumn("__bb_g",
+          expr(s"(__bb_w + ${maxBucket - 1}) div $maxBucket"))
+        .withColumn("__bb_p", pmod(xxhash64(col(idCol)), $"__bb_g"))
+      // a row serves as the FIRST element of group pairs (p, q≥p) and
+      // as the SECOND of (o≤p, p); joining (p, q) against (o, p') with
+      // p = o and q = p' enumerates each unordered group pair once
+      val lhs = grouped.withColumn("__bb_q",
+        explode(sequence($"__bb_p", $"__bb_g" - 1)))
+      val rhs = grouped.withColumn("__bb_o",
+        explode(sequence(lit(0L), $"__bb_p")))
+      lhs.as("a").join(rhs.as("b"),
+          sameKeys &&
+          $"a.__bb_p" === $"b.__bb_o" && $"a.__bb_q" === $"b.__bb_p" &&
+          // same-group pairs dedupe by id order; cross-group pairs are
+          // unique per construction but arrive in either id order
+          ($"a.__bb_p" =!= $"b.__bb_p" || col(s"a.$idCol") < col(s"b.$idCol")))
+        .select(
+          least(col(s"a.$idCol"), col(s"b.$idCol")).as("id1"),
+          greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id2"))
+        .distinct()
+    }
+  }
+
   /** The banded MinHash-LSH pair plan over a [[shingleFps]] frame:
     * 16 minhashes in ONE groupBy (signatures permute fp % Mod — which
     * IS rolling_hash(sh, 31), so minhash values are unchanged by the
@@ -105,12 +168,10 @@ object Dedup extends QueryPack {
         col(s"m${b * rowsPerBand + i}")): _*))
     val bands = sigs16.select($"doc_id",
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-      .distinct()
+    // skew-bounded band join: plain equality self-join until a bucket
+    // exceeds the cap, then intra-bucket block-pair scheduling
+    val cand = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"))
+      .select($"id1".as("doc1"), $"id2".as("doc2"))
     val sets = docs.select($"doc_id", $"fps")
     cand
       .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
@@ -197,18 +258,21 @@ object Dedup extends QueryPack {
         shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
     }
     val bands = sim
-      .select(col("doc_id"), col("lang"), col("simhash"),
+      .select(col("doc_id"), col("lang"),
         explode(array(segs: _*)).as("bs"))
-      .select(col("doc_id"), col("lang"), col("simhash"),
+      .select(col("doc_id"), col("lang"),
         col("bs.band").as("band"), col("bs.seg").as("seg"))
-    bands.as("a").join(bands.as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-        col("a.seg") === col("b.seg") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+    // skew-bounded candidates, then the full sketches (one small
+    // checkpointed row per doc) verify the true hamming distance
+    boundedBucketPairs(bands, "doc_id", Seq("lang", "band", "seg"))
+      .join(sim.select(col("doc_id").as("id1"), col("lang"),
+        col("simhash").as("sim1")), Seq("id1"))
+      .join(sim.select(col("doc_id").as("id2"),
+        col("simhash").as("sim2")), Seq("id2"))
+      .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .filter(col("hamming") <= 8)
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.lang").as("lang"), col("hamming").cast(LongType).as("hamming"))
-      .distinct()
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        col("lang"), col("hamming").cast(LongType).as("hamming"))
   }
 
   /** Connected-component labels (min doc_id per component) over a
@@ -864,11 +928,10 @@ object Dedup extends QueryPack {
     val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
       .localCheckpoint(true)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"))
-      .distinct()
+    // skew-bounded band join (see Dedup.boundedBucketPairs): identical
+    // pairs to the plain equality self-join, hot buckets block-paired
+    val cand = boundedBucketPairs(banded, "vec_id", Seq("band", "bucket"))
+      .select(col("id1").as("vec1"), col("id2").as("vec2"))
     val byId = e.select(col("vec_id"), col("emb"))
     cand
       .join(byId.select(col("vec_id").as("vec1"), col("emb").as("e1")), Seq("vec1"))

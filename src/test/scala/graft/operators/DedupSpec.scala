@@ -122,6 +122,37 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("planted hot bucket: skew-bounded band join equals the plain self-join") {
+    import spark.implicits._
+    // one pathological bucket (200 rows share a band key — the
+    // constant-document collapse), plus normal buckets of 1-3 rows and
+    // ids co-bucketed under several keys (distinct-pair dedupe path)
+    val rows =
+      (0L until 200L).map(i => (i, 0L, "HOT")) ++
+      (200L until 230L).map(i => (i, 1L, s"k${i % 10}")) ++
+      // ids 0 and 1 also co-bucket under (1, k0): the (0,1) pair is
+      // produced by two buckets and must dedupe to one row
+      Seq((0L, 1L, "k0"), (1L, 1L, "k0"))
+    val df = rows.toDF("doc_id", "band", "band_key").localCheckpoint(true)
+    def pairsAt(cap: Long): Set[(Long, Long)] =
+      Dedup.boundedBucketPairs(df, "doc_id", Seq("band", "band_key"), cap)
+        .as[(Long, Long)].collect().toSet
+    // cap 16 forces G = ceil(200/16) = 13 groups on the hot bucket;
+    // cap 4096 takes the plain-join path — identical pair sets, and
+    // both match a driver-side brute force
+    val grouped = pairsAt(16L)
+    val plain = pairsAt(4096L)
+    val brute = rows.groupBy(r => (r._2, r._3)).values.flatMap { bucket =>
+      val ids = bucket.map(_._1)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    grouped.size shouldBe brute.size
+    grouped shouldBe brute
+    plain shouldBe brute
+    // ordering contract: id1 < id2 on every row of the grouped path
+    grouped.foreach { case (a, b) => a should be < b }
+  }
+
   test("ANN embedding dedup output is a subset of the exact pairs with high recall") {
     val exact = rowsOf("dedup_embedding_cosine").map(r => (r(0), r(1))).toSet
     val ann = rowsOf("dedup_embedding_ann_pairs").map(r => (r(0), r(1))).toSet
