@@ -33,11 +33,6 @@ object Listing {
   private[graft] def stripScheme(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
 
-  /** Escape Hadoop-glob metacharacters so a literal listed path is never
-    * re-interpreted as a pattern by `load()` (a file named `data[1].csv`
-    * must fetch itself, not glob-expand). */
-  private def escapeGlob(path: String): String =
-    path.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
 
   /** Metadata-only listing of one monitored glob:
     * (path, uri, size, timestamp-millis). `path` is the scheme-stripped
@@ -79,66 +74,68 @@ object Listing {
       case None => listing
     }
 
-  /** Content fetch for an explicit set of (uri, size, timestamp-ms)
-    * listing rows — the bounded post-diff fetch list, addressed by the
-    * QUALIFIED uri from [[list]] so files on non-default filesystems
-    * resolve correctly (the emitted `path` column is scheme-stripped
-    * back to the record identity). Non-empty files are read by the
-    * executor-parallel `binaryFile` source; zero-length files (which
-    * binaryFile cannot plan) are synthesized from the listing metadata
-    * with an empty body — but only if they still exist, so a 0-byte
-    * file deleted between list and fetch is not fabricated into the
-    * records and state. Returns (path, size, timestamp, body). */
-  def fetch(spark: SparkSession, files: Seq[(String, Long, Long)]): DataFrame = {
+  /** Content fetch for the post-diff change set, fully DISTRIBUTED:
+    * the `uri` column of `files` streams to executors, and each task
+    * stats + reads its files directly through the Hadoop FileSystem
+    * API — no driver-side path list (the previous `binaryFile` face
+    * required `load(paths*)`, putting every fetched path in driver
+    * memory), so the fetch set is bounded by cluster IO, not by the
+    * driver. Each FileSystem resolves from its QUALIFIED uri, never
+    * from `fs.defaultFS`, so non-default filesystems fetch correctly.
+    *
+    * Missing files are skipped per-task (a file deleted between list
+    * and fetch simply retries next poll — the reference's own race
+    * posture, and binaryFile would have failed the whole batch).
+    * Zero-length files need no special case: an empty read IS the
+    * empty body (binaryFile plans zero splits for them — the other
+    * reason it lost this job). Returns (path, size, timestamp, body)
+    * with `path` scheme-stripped to the record identity and
+    * size/timestamp re-stat'd at read time (binaryFile's contract). */
+  /** Java-serializable Hadoop Configuration carrier (Configuration is
+    * Writable but not Serializable; Spark's own equivalent is
+    * private[spark]) — lets the fetch tasks resolve FileSystems with
+    * the driver's full conf, not a default-constructed one. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  def fetch(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
-    val emptySchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("size", LongType),
-      StructField("timestamp", LongType),
-      StructField("body", BinaryType)))
-    val (zeroLen, nonEmptyAll) = files.partition(_._2 == 0L)
-    // tolerate files deleted between list and fetch (the reference's
-    // poll has the same race and simply retries next cycle): a missing
-    // path must not fail the whole batch and wedge the loop. Strategy
-    // per PARENT DIRECTORY, chosen by how many of ITS files we fetch:
-    // few → per-file exists() (bounded RPCs, no dependence on directory
-    // size); many → one listStatus (one RPC amortized over the batch,
-    // but O(directory size) on object stores — only worth it when the
-    // fetch list itself is large). The FileSystem is resolved PER
-    // DIRECTORY from the qualified uri, never from fs.defaultFS.
-    val conf = spark.sparkContext.hadoopConfiguration
-    val listThreshold = 16
-    val byDir = (nonEmptyAll ++ zeroLen)
-      .groupBy(f => new org.apache.hadoop.fs.Path(f._1).getParent)
-    val existing: Set[String] = byDir.iterator.flatMap { case (dir, files) =>
-      val fs = dir.getFileSystem(conf)
-      if (files.size < listThreshold)
-        files.iterator.map(_._1)
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      else {
-        val listed =
-          try fs.listStatus(dir).iterator
-            .filter(_.isFile).map(_.getPath.toString).toSet
-          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-        files.iterator.map(_._1).filter(u =>
-          listed.contains(new org.apache.hadoop.fs.Path(u).toString))
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    files.select(col("uri")).distinct()
+      .repartition(parts) // spread the IO round-robin across executors
+      .as[String]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { uri =>
+          val p = new org.apache.hadoop.fs.Path(uri)
+          try {
+            val fs = p.getFileSystem(conf)
+            val st = fs.getFileStatus(p)
+            val out = new java.io.ByteArrayOutputStream(
+              math.max(math.min(st.getLen, 1L << 20).toInt, 64))
+            val in = fs.open(p)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+            finally in.close()
+            Iterator.single(
+              (p.toUri.getPath, st.getLen, st.getModificationTime, out.toByteArray))
+          } catch {
+            case _: java.io.FileNotFoundException => Iterator.empty
+          }
+        }
       }
-    }.toSet
-    val nonEmpty = nonEmptyAll.filter(f => existing.contains(f._1))
-    val zeroDf = zeroLen.filter(f => existing.contains(f._1))
-      .map { case (u, _, ts) =>
-        (new org.apache.hadoop.fs.Path(u).toUri.getPath, 0L, ts, Array.emptyByteArray) }
       .toDF("path", "size", "timestamp", "body")
-    val bodyDf =
-      if (nonEmpty.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), emptySchema)
-      else
-        spark.read.format("binaryFile").load(nonEmpty.map(f => escapeGlob(f._1)): _*)
-          .select(
-            stripScheme(col("path")).as("path"),
-            col("length").as("size"),
-            unix_millis(col("modificationTime")).as("timestamp"),
-            col("content").as("body"))
-    bodyDf.unionByName(zeroDf)
   }
 }

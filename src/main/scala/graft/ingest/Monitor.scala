@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * `FtpSourcePoller.poll()` loop, and is what the E2E suite replays.
   *
   * Scale design:
-  *  - listing and fetching run on executors (binaryFile source);
-  *    only the *diff* — the set of paths that actually changed since
-  *    the last poll, bounded by `maxFilesPerPoll` (the reference's
-  *    `ftp.max.poll.records` analog, default 10k) — ever reaches the
-  *    driver, mirroring how Spark's own FileStreamSource tracks
-  *    per-batch file lists.
+  *  - fetching is fully distributed (Listing.fetch maps uris to
+  *    executor-side FileSystem reads): the changed-path set, bounded
+  *    by `maxFilesPerPoll` (the reference's `ftp.max.poll.records`
+  *    analog, default 10k), never collects to the driver — only the
+  *    glob LISTING metadata is driver-resident (globStatus, where the
+  *    reference's LIST also ran).
   *  - change detection is a broadcast-friendly left-outer join of the
   *    listing against the state table on `path` (SURVEY.md §2 #5-6);
   *    no content is read for unchanged files.
@@ -70,27 +70,29 @@ object Monitor {
     // drop topic B's for the same path — the state upsert would then
     // mark the path clean and topic B would NEVER see the change
     val keptPaths = changed.select($"path").distinct().limit(maxFilesPerPoll)
+    // the capped change set stays a DATASET end to end: the fetch list
+    // is never collected to the driver (Listing.fetch reads uris on
+    // executors), so raising maxFilesPerPoll costs cluster IO, not
+    // driver memory. The checkpoint pins the small metadata frame for
+    // its three consumers (empty probe, spec map, fetch).
     val toFetch = changed.join(keptPaths, Seq("path"), "left_semi")
-      .collect()
+      .localCheckpoint(true)
 
     if (toFetch.isEmpty) return PollOutput(spark.emptyDataset[FileChangeRecord], state)
     // one row per (path, spec): a path matched by several monitored specs
     // is fetched once but emitted once per spec with that spec's
     // mode/topic, like the reference's per-directory streams
-    // (FtpMonitor.scala:164-170)
-    val modeDf = toFetch.toSeq
-      .map(r => (r.getString(0), r.getBoolean(2), r.getString(3)))
-      .distinct
-      .toDF("path", "tail", "topic")
-    // fetch addresses files by the QUALIFIED uri (non-default
-    // filesystems); records/state keep the stripped path identity
-    val fetchList = toFetch.toSeq
-      .map(r => (r.getString(1), r.getLong(4), r.getLong(5))).distinct
+    // (FtpMonitor.scala:164-170). Joined adaptively (no forced
+    // broadcast): AQE broadcasts while it fits and degrades to a
+    // shuffle join for huge polls instead of OOMing the driver.
+    val modeDf = toFetch.select($"path", $"tail", $"topic").distinct()
 
     // 4. fetch bodies for changed paths only (executors do the IO),
-    //    re-join previous full state, run the tail/diff state machine
-    val fetched = Listing.fetch(spark, fetchList)
-      .join(broadcast(modeDf), Seq("path"))
+    //    re-join previous full state, run the tail/diff state machine;
+    //    fetch addresses files by the QUALIFIED uri (non-default
+    //    filesystems); records/state keep the stripped path identity
+    val fetched = Listing.fetch(spark, toFetch.select($"uri"))
+      .join(modeDf, Seq("path"))
       .join(state.toDF().select($"path",
         struct(state.columns.map(col): _*).as("prev")), Seq("path"), "left_outer")
 
