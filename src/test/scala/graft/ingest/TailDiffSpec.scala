@@ -140,6 +140,80 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  /** Generated byte source: `total` bytes of `byteAt(i)`, never
+    * materialized — how the >2 GiB cases run without 2 GiB of heap. */
+  private class PatternStream(total: Long, byteAt: Long => Byte)
+      extends java.io.InputStream {
+    private var pos = 0L
+    override def read(): Int =
+      if (pos >= total) -1 else { val b = byteAt(pos); pos += 1; b & 0xff }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= total) return -1
+      val n = math.min(len.toLong, total - pos).toInt
+      var i = 0
+      while (i < n) { buf(off + i) = byteAt(pos + i); i += 1 }
+      pos += n
+      n
+    }
+    override def skip(n: Long): Long = {
+      val s = math.max(0L, math.min(n, total - pos)); pos += s; s
+    }
+  }
+
+  test("streaming tail: clean append past the 2 GiB boundary emits only the delta") {
+    // prev size one JVM-array-bound past Int.MaxValue: the case the
+    // reference silently corrupts (Int casts, FtpMonitor.scala:77,80)
+    // and the array path cannot represent at all
+    val prevSize = Int.MaxValue.toLong + 10L
+    val delta = "appended-after-two-gib".getBytes
+    val total = prevSize + delta.length
+    def byteAt(i: Long): Byte =
+      if (i < prevSize) ((i * 31) ^ (i >>> 13)).toByte
+      else delta((i - prevSize).toInt)
+    // prev state as an earlier streaming poll would have recorded it
+    val (prevHash, digested) =
+      TailDiff.sha256HexPrefixStream(new PatternStream(prevSize, byteAt), prevSize)
+    digested shouldBe prevSize
+    val prev = FileMetaData("/big.log", prevSize, 5L, prevHash, 1L, 1L, 1L)
+    val (meta, fb) = TailDiff.handleFetchedStream(tail = true, Some(prev),
+      "/big.log", total, 6L, () => new PatternStream(total, byteAt), now)
+    fb.offset shouldBe prevSize
+    fb.bytes.toSeq shouldBe delta.toSeq
+    meta.size shouldBe total
+    meta.lastModified shouldBe now
+    meta.firstFetched shouldBe 1L
+  }
+
+  test("array path: prev size beyond the array bound degrades to a full dump, not a crash") {
+    // state written by a streaming poll of a >2 GiB file, then the
+    // (shrunk) file is fetched as an in-memory body: the known prefix
+    // can never match an array, which IS the truncated case (b')
+    val prev = FileMetaData("/big.log", Int.MaxValue.toLong + 10L, 5L,
+      "0" * 64, 1L, 1L, 1L)
+    val body = "rewritten".getBytes
+    val (_, fb) = TailDiff.handleFetchedFile(tail = true, Some(prev),
+      FetchedFile("/big.log", Int.MaxValue.toLong + 20L, 6L, body), now)
+    fb.offset shouldBe 0L
+    fb.bytes shouldBe body
+  }
+
+  test("property: stream and array paths agree on every case at small scale") {
+    val bodies = Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+    checkProp(Prop.forAll(bodies, bodies, Gen.oneOf(true, false),
+        Gen.oneOf(true, false)) { (b1: Array[Byte], b2: Array[Byte],
+        tail: Boolean, seen: Boolean) =>
+      val prev = if (seen) Some(metaOf(b1)) else None
+      val arr = TailDiff.handleFetchedFile(tail, prev,
+        FetchedFile("/f", b2.length.toLong, 6L, b2), now)
+      val str = TailDiff.handleFetchedStream(tail, prev, "/f",
+        b2.length.toLong, 6L,
+        () => new java.io.ByteArrayInputStream(b2), now)
+      arr._1 == str._1 &&
+        arr._2.offset == str._2.offset &&
+        java.util.Arrays.equals(arr._2.bytes, str._2.bytes)
+    })
+  }
+
   test("backoff doubles up to cap and resets on success") {
     var b = ExponentialBackoff(stepMs = 1000L, capMs = 30 * 60 * 1000L)
     b.intervalMs shouldBe 1000L
