@@ -94,12 +94,21 @@ object Dedup extends QueryPack {
     * no task ever compares more than ~`maxBucket`² rows while the pair
     * set stays EXACTLY the plain join's (DedupSpec's planted-skew gate
     * asserts equality on both paths). Replication cost on a hot row is
-    * G+1 copies; untouched buckets replicate nothing (G = 1). */
+    * G+1 copies; untouched buckets replicate nothing (G = 1).
+    *
+    * `carry` columns ride along into the output as `<col>1`/`<col>2`
+    * (side-consistent with the id ordering), so verification data a
+    * caller already has in the banded frame — a 60-bit sketch, a lang
+    * tag — needs no re-join against the pair set. The width probe is
+    * one extra ACTION over the banded frame per call: the price of
+    * adaptivity, ~a job at fixture scale, one aggregate pass of the
+    * smallest frame in the pipeline at 100 TB. */
   private[operators] def boundedBucketPairs(
       df: DataFrame,
       idCol: String,
       keyCols: Seq[String],
-      maxBucket: Long = 4096L): DataFrame = {
+      maxBucket: Long = 4096L,
+      carry: Seq[String] = Nil): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     require(maxBucket > 0, "maxBucket must be positive")
@@ -110,10 +119,13 @@ object Dedup extends QueryPack {
       case null => 0L
       case w: Long => w
     }
+    def outCols(side1: String => Column, side2: String => Column): Seq[Column] =
+      side1(idCol).as("id1") +: side2(idCol).as("id2") +:
+        carry.flatMap(c => Seq(side1(c).as(s"${c}1"), side2(c).as(s"${c}2")))
     if (maxW <= maxBucket) {
       df.as("a").join(df.as("b"),
           sameKeys && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+        .select(outCols(c => col(s"a.$c"), c => col(s"b.$c")): _*)
         .distinct()
     } else {
       val grouped = df.join(widths, keyCols)
@@ -127,16 +139,22 @@ object Dedup extends QueryPack {
         explode(sequence($"__bb_p", $"__bb_g" - 1)))
       val rhs = grouped.withColumn("__bb_o",
         explode(sequence(lit(0L), $"__bb_p")))
+      // cross-group pairs arrive in either id order: pack each side
+      // (id + carries) as a struct and swap the STRUCTS, so carried
+      // values stay glued to their id through the reorder
+      val aS = struct((idCol +: carry).map(c => col(s"a.$c")): _*)
+      val bS = struct((idCol +: carry).map(c => col(s"b.$c")): _*)
+      val aFirst = col(s"a.$idCol") < col(s"b.$idCol")
       lhs.as("a").join(rhs.as("b"),
           sameKeys &&
           $"a.__bb_p" === $"b.__bb_o" && $"a.__bb_q" === $"b.__bb_p" &&
           // same-group pairs dedupe by id order; cross-group pairs are
           // unique per construction but arrive in either id order
           ($"a.__bb_p" =!= $"b.__bb_p" || col(s"a.$idCol") < col(s"b.$idCol")))
-        .select(
-          least(col(s"a.$idCol"), col(s"b.$idCol")).as("id1"),
-          greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id2"))
+        .select(when(aFirst, aS).otherwise(bS).as("__bb_1"),
+          when(aFirst, bS).otherwise(aS).as("__bb_2"))
         .distinct()
+        .select(outCols(c => col(s"__bb_1.$c"), c => col(s"__bb_2.$c")): _*)
     }
   }
 
@@ -258,21 +276,20 @@ object Dedup extends QueryPack {
         shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
     }
     val bands = sim
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("simhash"),
         explode(array(segs: _*)).as("bs"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("simhash"),
         col("bs.band").as("band"), col("bs.seg").as("seg"))
-    // skew-bounded candidates, then the full sketches (one small
-    // checkpointed row per doc) verify the true hamming distance
-    boundedBucketPairs(bands, "doc_id", Seq("lang", "band", "seg"))
-      .join(sim.select(col("doc_id").as("id1"), col("lang"),
-        col("simhash").as("sim1")), Seq("id1"))
-      .join(sim.select(col("doc_id").as("id2"),
-        col("simhash").as("sim2")), Seq("id2"))
-      .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
+    // skew-bounded candidates; the full sketches ride THROUGH the pair
+    // primitive (carry), so verification is a projection on the pair
+    // set — no re-join against the sketch table
+    boundedBucketPairs(bands, "doc_id", Seq("lang", "band", "seg"),
+        carry = Seq("lang", "simhash"))
+      .withColumn("hamming",
+        bit_count(col("simhash1").bitwiseXOR(col("simhash2"))))
       .filter(col("hamming") <= 8)
       .select(col("id1").as("doc1"), col("id2").as("doc2"),
-        col("lang"), col("hamming").cast(LongType).as("hamming"))
+        col("lang1").as("lang"), col("hamming").cast(LongType).as("hamming"))
   }
 
   /** Connected-component labels (min doc_id per component) over a
@@ -923,8 +940,8 @@ object Dedup extends QueryPack {
     val buckets = (0 until nBands).map(t =>
       VectorFunctions.lshBucket(col("emb"), bitsPerBand, dim, base = t * bitsPerBand))
     // 16 rows of (vec_id, band, bucket) per vector; checkpointed so the
-    // self-join's two sides don't each recompute the 16 hyperplane-LSH
-    // bucket assignments (4k flops per vector per side)
+    // width probe and the self-join's two sides don't each recompute
+    // the 16 hyperplane-LSH bucket assignments (4k flops per vector)
     val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
       .localCheckpoint(true)

@@ -151,6 +151,20 @@ class DedupSpec extends AnyFunSuite with Matchers {
     plain shouldBe brute
     // ordering contract: id1 < id2 on every row of the grouped path
     grouped.foreach { case (a, b) => a should be < b }
+    // carry contract: payload columns ride side-consistently through
+    // the id reorder on BOTH paths (doc_id*7 is checkable per side)
+    val withPayload = df.withColumn("payload", $"doc_id" * 7L)
+    Seq(16L, 4096L).foreach { cap =>
+      val carried = Dedup.boundedBucketPairs(
+          withPayload, "doc_id", Seq("band", "band_key"), cap,
+          carry = Seq("payload"))
+        .as[(Long, Long, Long, Long)].collect()
+      carried.map(r => (r._1, r._2)).toSet shouldBe brute
+      carried.foreach { case (id1, id2, p1, p2) =>
+        p1 shouldBe id1 * 7L
+        p2 shouldBe id2 * 7L
+      }
+    }
   }
 
   test("ANN embedding dedup output is a subset of the exact pairs with high recall") {
