@@ -549,7 +549,13 @@ object Dedup extends QueryPack {
 
     // ── MinHash-LSH near-dup pairs: band signatures → bucket join →
     //    exact Jaccard verification (the full shingle→minhash→band→
-    //    bucket-join pipeline; LSH mechanics are Spark-side only) ──
+    //    bucket-join pipeline) ──
+    // FULLY value-checked: the minhash permutations are the same
+    // oracle-reproducible arithmetic dedup_minhash_sig already proves,
+    // so DuckDB rebuilds the 4×4 band keys (string_agg of minhash
+    // values in perm order = concat_ws), the band equality join, and
+    // the exact-Jaccard verification at τ=0.2 — the entire LSH
+    // candidate mechanism is hash-compared, not just its recall.
     "dedup_minhash_pairs" -> QueryDef(
       fn = (s, d) =>
         // 4 bands × 4 rows, candidates verified at the weak τ=0.2 —
@@ -558,13 +564,47 @@ object Dedup extends QueryPack {
         minhashLshPairs(s, shingleFps(s, d), nBands = 4, rowsPerBand = 4,
           tau = 0.2)
           .orderBy(col("doc1"), col("doc2")),
-      oracle = None,
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+        sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+        f AS (SELECT DISTINCT doc_id,
+                ${fpSql("shingle", P1)} + ${fpSql("shingle", P2)} * $Mod AS fp
+              FROM sh),
+        f1 AS (SELECT doc_id, fp % $Mod AS fp1 FROM f),
+        sig AS (
+          SELECT doc_id, perm,
+                 MIN(((2*perm + 1) * fp1 + 7919*perm + 12345) % $Mod) AS minhash
+          FROM f1, range(16) t(perm)
+          GROUP BY doc_id, perm),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band,
+                 string_agg(minhash::VARCHAR, '_' ORDER BY perm) AS band_key
+          FROM sig GROUP BY doc_id, perm // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT c.doc1, c.doc2,
+               CAST(x.i AS DOUBLE) / CAST(sa.n + sb.n - x.i AS DOUBLE) AS jaccard
+        FROM cand c
+        JOIN inter x ON x.doc1 = c.doc1 AND x.doc2 = c.doc2
+        JOIN sizes sa ON sa.doc_id = c.doc1
+        JOIN sizes sb ON sb.doc_id = c.doc2
+        WHERE CAST(x.i AS DOUBLE) / CAST(sa.n + sb.n - x.i AS DOUBLE) >= 0.2
+        ORDER BY 1, 2"""),
       headline = true),
 
     // ── MinHash-LSH at duplicate grade, fully oracle-checked ──
     // `dedup_minhash_pairs` verifies candidates at a weak τ=0.2, where
     // 4×4 banding has low theoretical recall (legitimate as a candidate
-    // generator, so it stays rows-only + gated). At DUPLICATE grade
+    // generator — its recall CONTRACT is dedup_ann_recall's row; its
+    // VALUES are hash-checked above). At DUPLICATE grade
     // (τ=0.9) banding can be made essentially lossless: with 8 bands of
     // 2 rows a true j≥0.9 pair is missed with probability
     // (1-j²)⁸ ≤ 0.19⁸ ≈ 2e-6, so the verified output IS the exact
@@ -828,6 +868,10 @@ object Dedup extends QueryPack {
     // parameters recover ~90% of pairs at a fraction of the comparisons;
     // use dedup_embedding_blocked when guaranteed recall at weak
     // thresholds is required.
+    // FULLY value-checked, the sim_ann_lsh pattern at 4× the width: all
+    // 64 hyperplanes (16 bands × 4 bits) are splitmix64 literals in the
+    // oracle SQL, so DuckDB rebuilds every band's bucket assignment,
+    // the (band, bucket) candidate join, and the exact-cosine verify.
     "dedup_embedding_ann_pairs" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -838,12 +882,12 @@ object Dedup extends QueryPack {
           threshold = 0.35)
           .orderBy($"vec1", $"vec2")
       },
-      oracle = None),
+      oracle = Some(embeddingAnnPairsSql)),
 
     // ── dedup-index recall evaluation, oracle-checked ──
-    // The two approximate dedup pipelines that stay rows-only
-    // (dedup_minhash_pairs at its weak τ, dedup_embedding_ann_pairs)
-    // get their quality contract HERE as a hash-checked assertion, the
+    // The two approximate dedup pipelines (dedup_minhash_pairs at its
+    // weak τ, dedup_embedding_ann_pairs) are value-checked above; this
+    // adds their RECALL quality contract as a hash-checked assertion, the
     // pattern of `sim_ann_recall`: in-engine ground truth (exact
     // Jaccard pairs via the sub-quadratic fp-equality join; exact
     // cosine pairs all-pairs at fixture scale), recall of each LSH
@@ -958,6 +1002,53 @@ object Dedup extends QueryPack {
       .select(col("vec1"), col("vec2"), col("cos"))
     // unordered: the pair-listing query adds its own orderBy; the recall
     // eval and the DedupSpec gates aggregate, where a sort is wasted work
+  }
+
+  /** Self-contained value oracle for `dedup_embedding_ann_pairs`: the
+    * 64 sign-LSH hyperplanes (16 bands × 4 bits, plane id = band*4 +
+    * bit) are literal splitmix64 values, embedded so DuckDB rebuilds
+    * bucket signs, the (band, bucket) candidate join, and the
+    * exact-cosine verification with no engine-side state. Same
+    * robustness argument as `sim_ann_lsh`'s oracle: Double.toString
+    * round-trips exactly, and a plane dot within float-noise of zero
+    * has ~0 probability on continuous embeddings. */
+  private lazy val embeddingAnnPairsSql: String = {
+    val planeRows = (0 until 64).map { pid =>
+      val comps = (0 until 64)
+        .map(i => VectorFunctions.planeComponent(pid, i, 64)).mkString(", ")
+      s"($pid, [$comps])"
+    }.mkString(",\n            ")
+    s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        planes AS (
+          SELECT * FROM (VALUES
+            $planeRows) t(pid, p)),
+        sb AS (
+          SELECT e.vec_id, pl.pid // 4 AS band,
+                 CAST(SUM(CASE WHEN list_sum(list_transform(
+                        generate_series(1, 64), i -> e.emb[i] * pl.p[i])) > 0
+                      THEN (1::BIGINT << (pl.pid % 4)) ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM e, planes pl
+          GROUP BY e.vec_id, pl.pid // 4),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+          FROM sb a JOIN sb b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT c.vec1, c.vec2,
+            round(
+              list_sum(list_transform(generate_series(1, len(ea.emb)),
+                i -> ea.emb[i] * eb.emb[i])) /
+              (sqrt(list_sum(list_transform(ea.emb, x -> x*x))) *
+               sqrt(list_sum(list_transform(eb.emb, x -> x*x)))), 9) AS cos
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec1
+          JOIN e eb ON eb.vec_id = c.vec2)
+        SELECT vec1, vec2, cos FROM scored
+        WHERE cos >= 0.35
+        ORDER BY vec1, vec2"""
   }
 
   /** Shared oracle of `dedup_ngram_jaccard` and its fingerprint-banded
