@@ -49,6 +49,12 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("banded ngram Jaccard joins on shingle fingerprints — no cartesian, no nested loop") {
+    val p = plan("dedup_ngram_jaccard_banded")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("stratified sample reads documents with a broadcast rate lookup") {
     val p = plan("llm_stratified_sample")
     p should include("BroadcastHashJoin")
