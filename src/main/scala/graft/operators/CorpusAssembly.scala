@@ -44,6 +44,22 @@ object CorpusAssembly extends QueryPack {
   private val stopwordsSqlList: String =
     stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
+  /** Shards for the shuffle-reshard query (a production run sizes this
+    * to target output-file size; the mechanism is count-invariant). */
+  private val NShards = 32L
+
+  /** Per-language token budget for `llm_token_budget` — sized so the
+    * fixture selects a strict, non-trivial subset of every language. */
+  private val TokenBudget = 10000L
+
+  /** Deterministic shuffle-order hash: Knuth multiply mod the 1e9+7
+    * prime — injective for doc_id below the pre-reduction modulus, and
+    * always totally ordered with the doc_id tiebreak. Pure arithmetic,
+    * bit-identical in both engines (the pre-reduction keeps the product
+    * inside a Long under ANSI). */
+  private val shuffleHashExpr = "((doc_id % 1000003) * 2654435761) % 1000000007"
+  private val shuffleHashSql = shuffleHashExpr
+
   /** Source-domain target weights for the mix query: a fixed dim table
     * (broadcast at scale), weights varied so the rebalance is
     * non-uniform. */
@@ -358,6 +374,77 @@ object CorpusAssembly extends QueryPack {
         SELECT doc_id, lang, n_tokens, round(pr, 6) AS length_pct_rank
         FROM r
         WHERE pr >= 0.05 AND pr <= 0.95
+        ORDER BY doc_id""")),
+
+    // ── deterministic global shuffle + fixed-count resharding ──
+    // Training consumes the corpus in a random-but-REPRODUCIBLE order,
+    // cut into a fixed number of shards. Order = a Knuth-multiply hash
+    // of doc_id (injective below the prime; doc_id tiebreak restores a
+    // total order past it); shards = Relational.globalNtile over that
+    // order — the distributed rank-by-projection primitive (range
+    // repartition + per-partition counts + broadcast offsets, ZERO
+    // post-sort shuffles), already equality-proven against SQL ntile.
+    // So the global shuffle never funnels through a single-partition
+    // window, the classic 100 TB bottleneck of naive ORDER BY rand():
+    // the plan is the one a production reshard job wants, and DuckDB's
+    // own ntile re-derives every shard assignment exactly.
+    "llm_shuffle_shard" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val df = Tables.documents(s, d)
+          .select($"doc_id", $"lang", expr(shuffleHashExpr).as("h"))
+        Relational.globalNtile(s, df, NShards, Seq($"h", $"doc_id"))
+          .select($"doc_id", $"lang", $"h", $"tile".as("shard"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $shuffleHashSql AS h
+          FROM documents)
+        SELECT doc_id, lang, h,
+               CAST(ntile($NShards) OVER (ORDER BY h, doc_id) AS BIGINT)
+                 AS shard
+        FROM t
+        ORDER BY doc_id""")),
+
+    // ── token-budget selection: fill a per-language budget in shuffle
+    //    order (the data-mixing primitive behind "N tokens of lang X") ──
+    // Docs stream in the deterministic shuffle order; a doc is taken
+    // while the cumulative token count BEFORE it is inside the budget
+    // (the straddling doc is included, matching how sequence packing
+    // consumes it). One window scan per language — the same (lang,
+    // shard) sub-partitioning note as llm_seq_packing at 100 TB, with
+    // per-shard budgets summing to the language budget.
+    "llm_token_budget" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"h", $"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(tokens).cast(LongType))
+          .withColumn("h", expr(shuffleHashExpr))
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .filter($"cum_before" < TokenBudget)
+          .select($"doc_id", $"lang", $"n_tokens", $"cum_before")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+                 $shuffleHashSql AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            COALESCE(CAST(SUM(n_tokens) OVER (
+              PARTITION BY lang ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS cum_before
+          FROM t)
+        SELECT doc_id, lang, n_tokens, cum_before
+        FROM c
+        WHERE cum_before < $TokenBudget
         ORDER BY doc_id"""))
   )
 }
