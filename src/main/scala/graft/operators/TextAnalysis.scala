@@ -315,6 +315,69 @@ object TextAnalysis extends QueryPack {
         ORDER BY doc_id, pos"""),
       headline = true),
 
+    // ── exact-substring duplication: repeated cross-document spans ──
+    // The exact-substring dedup signal (the "repeated 50-gram" family of
+    // training-data dedup): fingerprint every 8-token window of every
+    // document, count DISTINCT documents per window fingerprint, and
+    // score each document by the fraction of its windows that also
+    // appear in another document — the per-doc gate a curation pass
+    // thresholds on before cutting spans. Plan shape at 100 TB: window
+    // fingerprints are map work in the scan (codegen'd rolling hash
+    // over a slice), the doc-count is one fp-keyed groupBy with
+    // map-side combine, and the score join is fp-equality — work scales
+    // with shared-span bucket sizes, never all-pairs. Windows are
+    // stride-1 for exactness; a production pass strides W/2 and widens
+    // W, which only changes two literals.
+    "llm_repeated_spans" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val wfp = Tables.documents(s, d)
+          .withColumn("tokens", tokens)
+          .filter(size($"tokens") >= 8)
+          .select($"doc_id", expr(
+            """transform(sequence(1, size(tokens) - 7), i ->
+                 concat_ws(' ', slice(tokens, i, 8)))""").as("grams"))
+          .transform(graft.functions.TextTokens.materialized)
+          .select($"doc_id", posexplode($"grams").as(Seq("j", "gram")))
+          .withColumn("fp", graft.functions.RollingHash.rolling_hash2($"gram"))
+          .select($"doc_id", $"j", $"fp")
+          .localCheckpoint(true) // doc-count agg + score join both read it
+        val fpDocs = wfp.select($"doc_id", $"fp").distinct()
+          .groupBy($"fp").agg(countDistinct($"doc_id").as("n_docs"))
+        wfp.join(fpDocs, Seq("fp"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_windows"),
+            sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_repeated"))
+          .withColumn("dup_frac",
+            round($"n_repeated".cast(DoubleType) / $"n_windows", 9))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(8, len(tokens)),
+                   i -> array_to_string(tokens[i-7:i], ' '))) AS gram
+          FROM toks WHERE len(tokens) >= 8),
+        wfp AS (
+          SELECT doc_id, ${fp2Sql("gram")} AS fp
+          FROM grams),
+        fd AS (
+          SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+          FROM wfp GROUP BY fp)
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN fd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repeated,
+               round(CAST(SUM(CASE WHEN fd.n_docs >= 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 9) AS dup_frac
+        FROM wfp w JOIN fd ON w.fp = fd.fp
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id""")),
+
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a
     // map-only scan: regex detection (count per kind) + replacement with
