@@ -66,6 +66,44 @@ object Listing {
       .toDF("path", "uri", "size", "timestamp")
   }
 
+  /** Listing for a whole monitored-path SET, tagged with each spec's
+    * (tail, topic). Few specs (the common config) list on the driver —
+    * where the reference's LIST ran, with zero job overhead. Many specs
+    * DISTRIBUTE: each executor task globs its slice of the specs, so a
+    * deployment monitoring thousands of directories is bounded by
+    * cluster-wide RPC parallelism, not a serial driver loop — the last
+    * driver-resident piece of the poll becomes O(specs), not O(files).
+    */
+  def listAll(
+      spark: SparkSession,
+      mps: Seq[MonitoredPath],
+      distributeThreshold: Int = 8): DataFrame = {
+    import spark.implicits._
+    if (mps.size < distributeThreshold) {
+      mps.map { mp =>
+        list(spark, mp)
+          .withColumn("tail", lit(mp.tail))
+          .withColumn("topic", lit(mp.topic))
+      }.reduceLeft(_ unionByName _)
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val slices = math.min(mps.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext
+        .parallelize(mps.map(mp => (mp.glob, mp.tail, mp.topic)), slices)
+        .flatMap { case (glob, tail, topic) =>
+          val p = new org.apache.hadoop.fs.Path(glob)
+          val fs = p.getFileSystem(confBc.value.value)
+          Option(fs.globStatus(p)).getOrElse(Array.empty).iterator
+            .filter(_.isFile)
+            .map(st => (st.getPath.toUri.getPath, st.getPath.toString,
+              st.getLen, st.getModificationTime, tail, topic))
+        }
+        .toDF("path", "uri", "size", "timestamp", "tail", "topic")
+    }
+  }
+
   /** Max-age cutoff on listing metadata (SURVEY.md §2 #4) — evaluated
     * before any content is read, like `FtpMonitor.scala:110`. */
   def filterMaxAge(listing: DataFrame, maxAgeMs: Option[Long], nowMs: Long): DataFrame =
@@ -95,7 +133,7 @@ object Listing {
     * Writable but not Serializable; Spark's own equivalent is
     * private[spark]) — lets the fetch tasks resolve FileSystems with
     * the driver's full conf, not a default-constructed one. */
-  private class SerializableHadoopConf(
+  private[ingest] class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

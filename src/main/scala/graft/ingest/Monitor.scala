@@ -45,16 +45,13 @@ object Monitor {
       nowMs: Long = System.currentTimeMillis()): PollOutput = {
     import spark.implicits._
 
-    // 1. list all monitored globs (metadata only), tag with mode/topic
-    val listings = dirs.map { mp =>
-      Listing.filterMaxAge(Listing.list(spark, mp), maxAgeMs, nowMs)
-        .withColumn("tail", lit(mp.tail))
-        .withColumn("topic", lit(mp.topic))
-    }
-    val listing = listings.reduceLeftOption(_ unionByName _) match {
-      case Some(df) => df
-      case None => return PollOutput(spark.emptyDataset[FileChangeRecord], state)
-    }
+    // 1. list all monitored globs (metadata only), tag with mode/topic;
+    // many specs glob on executors (Listing.listAll), so the driver
+    // holds O(specs), never O(files-in-tree)
+    if (dirs.isEmpty)
+      return PollOutput(spark.emptyDataset[FileChangeRecord], state)
+    val listing =
+      Listing.filterMaxAge(Listing.listAll(spark, dirs), maxAgeMs, nowMs)
 
     // 2+3. state probe + requiresFetch (left-outer join, OR-of-inequalities:
     // unseen, size changed, or mtime changed — FtpMonitor.scala:35-46)

@@ -155,6 +155,28 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     loaded.convert(in).length shouldBe 3
   }
 
+  test("distributed listing equals the driver listing, spec tags intact") {
+    val root = Files.createTempDirectory("graft-distlist")
+    (0 until 3).foreach { i =>
+      Files.write(root.resolve(s"f$i.txt"), s"body$i".getBytes(UTF_8))
+      Files.write(root.resolve(s"g$i.log"), s"log$i".getBytes(UTF_8))
+    }
+    // 10 specs (over the distribute threshold), two of them overlapping
+    // the same files under different topics
+    val mps = (0 until 8).map(i =>
+      MonitoredPath(s"$root/f${i % 3}.txt", tail = true, topic = s"t$i")) ++
+      Seq(MonitoredPath(s"$root/*.log", tail = false, topic = "logs"),
+        MonitoredPath(s"$root/*.txt", tail = true, topic = "all-txt"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getString(5))).sortBy(r => (r._1, r._6))
+    val distributed = rows(Listing.listAll(spark, mps))
+    val driver = rows(Listing.listAll(spark, mps, distributeThreshold = 1000))
+    distributed should not be empty
+    distributed.length shouldBe 8 + 3 + 3 // 8 single-file specs + 2 globs
+    distributed shouldBe driver
+  }
+
   test("glob-metachar filenames are fetched literally, not pattern-expanded") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-meta")
