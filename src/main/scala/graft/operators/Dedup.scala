@@ -267,7 +267,8 @@ object Dedup extends QueryPack {
     * IDENTICAL, so candidates come from an equality join on
     * (lang, segment-index, segment-value) and the full sketch verifies
     * the true distance. Returns (doc1, doc2, lang, hamming), unordered. */
-  private def bandedSimhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def bandedSimhashPairs(
+      s: SparkSession, d: String, maxBucket: Long = 4096L): DataFrame = {
     val sim = simhashByLang(s, d)
     val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 segments, 60 bits
     val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
@@ -284,7 +285,7 @@ object Dedup extends QueryPack {
     // primitive (carry), so verification is a projection on the pair
     // set — no re-join against the sketch table
     boundedBucketPairs(bands, "doc_id", Seq("lang", "band", "seg"),
-        carry = Seq("lang", "simhash"))
+        maxBucket = maxBucket, carry = Seq("lang", "simhash"))
       .withColumn("hamming",
         bit_count(col("simhash1").bitwiseXOR(col("simhash2"))))
       .filter(col("hamming") <= 8)

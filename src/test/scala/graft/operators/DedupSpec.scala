@@ -167,6 +167,21 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("grouped skew path preserves the real banded-pair query end to end") {
+    // maxBucket = 1 forces EVERY band bucket through the block-pair
+    // scheduling (the hot-bucket path) on the actual fixture corpus —
+    // the output must be byte-identical to the default plain-join plan
+    def sorted(mb: Long) =
+      Dedup.bandedSimhashPairs(spark, sf, maxBucket = mb)
+        .orderBy(org.apache.spark.sql.functions.col("doc1"),
+          org.apache.spark.sql.functions.col("doc2"))
+        .collect().toSeq.map(_.toSeq)
+    val grouped = sorted(1L)
+    val plain = sorted(4096L)
+    grouped should not be empty
+    grouped shouldBe plain
+  }
+
   test("ANN embedding dedup output is a subset of the exact pairs with high recall") {
     val exact = rowsOf("dedup_embedding_cosine").map(r => (r(0), r(1))).toSet
     val ann = rowsOf("dedup_embedding_ann_pairs").map(r => (r(0), r(1))).toSet
