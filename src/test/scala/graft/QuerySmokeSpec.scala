@@ -25,6 +25,18 @@ class QuerySmokeSpec extends AnyFunSuite with Matchers {
     SparkEntry.oracleSql.keySet.subsetOf(qs.keySet) shouldBe true
   }
 
+  test("scanOnce persist mode produces identical results to localCheckpoint") {
+    // the fault-tolerant pin (spark.graft.scanOnce=persist, DISK_ONLY_2)
+    // must be a pure strategy swap: same rows from the scan-once queries
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toSeq)
+    val before = Seq("evt_retention", "evt_anomaly").map(n => n -> rows(n))
+    spark.conf.set("spark.graft.scanOnce", "persist")
+    try before.foreach { case (n, expected) =>
+      withClue(s"$n under persist mode: ") { rows(n) shouldBe expected }
+    } finally spark.conf.unset("spark.graft.scanOnce")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name executes at sf0.001") {
       noException should be thrownBy fn(spark, sf).count()

@@ -55,6 +55,12 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("repeated-spans scoring joins on span fingerprints — no cartesian, no nested loop") {
+    val p = plan("llm_repeated_spans")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("stratified sample reads documents with a broadcast rate lookup") {
     val p = plan("llm_stratified_sample")
     p should include("BroadcastHashJoin")
