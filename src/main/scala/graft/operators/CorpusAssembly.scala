@@ -405,7 +405,8 @@ object CorpusAssembly extends QueryPack {
                CAST(ntile($NShards) OVER (ORDER BY h, doc_id) AS BIGINT)
                  AS shard
         FROM t
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      headline = true),
 
     // ── token-budget selection: fill a per-language budget in shuffle
     //    order (the data-mixing primitive behind "N tokens of lang X") ──

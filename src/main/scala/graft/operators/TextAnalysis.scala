@@ -376,7 +376,8 @@ object TextAnalysis extends QueryPack {
                  AS DOUBLE) / COUNT(*), 9) AS dup_frac
         FROM wfp w JOIN fd ON w.fp = fd.fp
         GROUP BY w.doc_id
-        ORDER BY w.doc_id""")),
+        ORDER BY w.doc_id"""),
+      headline = true),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a
