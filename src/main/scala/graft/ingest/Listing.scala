@@ -79,7 +79,10 @@ object Listing {
       mps: Seq[MonitoredPath],
       distributeThreshold: Int = 8): DataFrame = {
     import spark.implicits._
-    if (mps.size < distributeThreshold) {
+    if (mps.isEmpty) {
+      Seq.empty[(String, String, Long, Long, Boolean, String)]
+        .toDF("path", "uri", "size", "timestamp", "tail", "topic")
+    } else if (mps.size < distributeThreshold) {
       mps.map { mp =>
         list(spark, mp)
           .withColumn("tail", lit(mp.tail))
@@ -126,9 +129,17 @@ object Listing {
     * posture, and binaryFile would have failed the whole batch).
     * Zero-length files need no special case: an empty read IS the
     * empty body (binaryFile plans zero splits for them — the other
-    * reason it lost this job). Returns (path, size, timestamp, body)
-    * with `path` scheme-stripped to the record identity and
-    * size/timestamp re-stat'd at read time (binaryFile's contract). */
+    * reason it lost this job). Returns (path, uri, size, timestamp,
+    * body) with `path` scheme-stripped to the record identity and
+    * size/timestamp re-stat'd at read time (binaryFile's contract).
+    *
+    * Files larger than `inlineBodyMax` are NOT read here: their `body`
+    * is null, and the tail/diff stage streams them through
+    * [[TailDiff.handleFetchedStream]] (digests + the emitted range
+    * only) — an in-memory body caps at the JVM array bound and, long
+    * before that, at the executor's per-task memory slice, so a
+    * 100 TB deployment's multi-GiB append logs must never materialize
+    * whole. */
   /** Java-serializable Hadoop Configuration carrier (Configuration is
     * Writable but not Serializable; Spark's own equivalent is
     * private[spark]) — lets the fetch tasks resolve FileSystems with
@@ -147,7 +158,14 @@ object Listing {
     }
   }
 
-  def fetch(spark: SparkSession, files: DataFrame): DataFrame = {
+  /** Default inline-body cap for [[fetch]] — comfortably inside a
+    * ~1 GiB per-core executor memory slice with operator headroom. */
+  val DefaultInlineBodyMax: Long = 256L << 20
+
+  def fetch(
+      spark: SparkSession,
+      files: DataFrame,
+      inlineBodyMax: Long = DefaultInlineBodyMax): DataFrame = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -162,18 +180,23 @@ object Listing {
           try {
             val fs = p.getFileSystem(conf)
             val st = fs.getFileStatus(p)
-            val out = new java.io.ByteArrayOutputStream(
-              math.max(math.min(st.getLen, 1L << 20).toInt, 64))
-            val in = fs.open(p)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-            finally in.close()
+            val body: Array[Byte] =
+              if (st.getLen > inlineBodyMax) null
+              else {
+                val out = new java.io.ByteArrayOutputStream(
+                  math.max(math.min(st.getLen, 1L << 20).toInt, 64))
+                val in = fs.open(p)
+                try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+                finally in.close()
+                out.toByteArray
+              }
             Iterator.single(
-              (p.toUri.getPath, st.getLen, st.getModificationTime, out.toByteArray))
+              (p.toUri.getPath, uri, st.getLen, st.getModificationTime, body))
           } catch {
             case _: java.io.FileNotFoundException => Iterator.empty
           }
         }
       }
-      .toDF("path", "size", "timestamp", "body")
+      .toDF("path", "uri", "size", "timestamp", "body")
   }
 }

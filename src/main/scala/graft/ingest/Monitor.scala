@@ -35,14 +35,19 @@ object Monitor {
       newState: Dataset[FileMetaData],
       cleanup: () => Unit = () => ())
 
-  /** One poll over all monitored paths. */
+  /** One poll over all monitored paths. `inlineBodyMax` caps the
+    * per-file in-memory body (see [[Listing.fetch]]): larger files run
+    * the streaming tail/diff ([[TailDiff.handleFetchedStream]]), so a
+    * multi-GiB append log costs two streamed passes and only its DELTA
+    * in memory. */
   def poll(
       spark: SparkSession,
       dirs: Seq[MonitoredPath],
       state: Dataset[FileMetaData],
       maxAgeMs: Option[Long] = None,
       maxFilesPerPoll: Int = 10000,
-      nowMs: Long = System.currentTimeMillis()): PollOutput = {
+      nowMs: Long = System.currentTimeMillis(),
+      inlineBodyMax: Long = Listing.DefaultInlineBodyMax): PollOutput = {
     import spark.implicits._
 
     // 1. list all monitored globs (metadata only), tag with mode/topic;
@@ -57,11 +62,15 @@ object Monitor {
     // unseen, size changed, or mtime changed — FtpMonitor.scala:35-46)
     val prev = state.toDF().select(
       $"path", $"size".as("prev_size"), $"timestamp".as("prev_ts"))
+    // size/timestamp end here: the distributed fetch re-stats at read
+    // time (binaryFile's contract), so the capped change set carries
+    // only what its consumers read — (path, uri) for the fetch, (path,
+    // tail, topic) for the spec map
     val changed = listing.join(prev, Seq("path"), "left_outer")
       .filter($"prev_size".isNull ||
               $"size" =!= $"prev_size" ||
               $"timestamp" =!= $"prev_ts")
-      .select($"path", $"uri", $"tail", $"topic", $"size", $"timestamp")
+      .select($"path", $"uri", $"tail", $"topic")
     // the cap bounds distinct PATHS, then re-attaches every matching
     // spec: capping raw (path, spec) rows could keep topic A's row and
     // drop topic B's for the same path — the state upsert would then
@@ -87,18 +96,30 @@ object Monitor {
     // 4. fetch bodies for changed paths only (executors do the IO),
     //    re-join previous full state, run the tail/diff state machine;
     //    fetch addresses files by the QUALIFIED uri (non-default
-    //    filesystems); records/state keep the stripped path identity
-    val fetched = Listing.fetch(spark, toFetch.select($"uri"))
+    //    filesystems); records/state keep the stripped path identity.
+    //    Bodies over inlineBodyMax arrive null and stream through the
+    //    digest-based tail/diff instead (the executor task opens the
+    //    file itself, resolved per uri with the broadcast conf).
+    val fetched = Listing.fetch(spark, toFetch.select($"uri"), inlineBodyMax)
       .join(modeDf, Seq("path"))
       .join(state.toDF().select($"path",
         struct(state.columns.map(col): _*).as("prev")), Seq("path"), "left_outer")
 
+    val confBc = spark.sparkContext.broadcast(
+      new Listing.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val handled = fetched.select(
-        $"path", $"size", $"timestamp", $"body", $"tail", $"topic", $"prev")
-      .as[(String, Long, Long, Array[Byte], Boolean, String, Option[FileMetaData])]
-      .map { case (path, size, tsMs, body, tail, topic, prevMeta) =>
-        val (meta, delta) = TailDiff.handleFetchedFile(
-          tail, prevMeta, FetchedFile(path, size, tsMs, body), nowMs)
+        $"path", $"uri", $"size", $"timestamp", $"body", $"tail", $"topic", $"prev")
+      .as[(String, String, Long, Long, Array[Byte], Boolean, String, Option[FileMetaData])]
+      .map { case (path, uri, size, tsMs, body, tail, topic, prevMeta) =>
+        val (meta, delta) =
+          if (body != null)
+            TailDiff.handleFetchedFile(
+              tail, prevMeta, FetchedFile(path, size, tsMs, body), nowMs)
+          else {
+            val p = new org.apache.hadoop.fs.Path(uri)
+            TailDiff.handleFetchedStream(tail, prevMeta, path, size, tsMs,
+              () => p.getFileSystem(confBc.value.value).open(p), nowMs)
+          }
         (meta, FileChangeRecord(topic, path, delta.offset, delta.bytes))
       }
       .cache() // consumed twice (records + state); one executor pass

@@ -155,6 +155,42 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     loaded.convert(in).length shouldBe 3
   }
 
+  test("streamed tail/diff path (inlineBodyMax=1) emits the same records as the array path") {
+    import spark.implicits._
+    val rootA = Files.createTempDirectory("graft-stream-a")
+    val rootB = Files.createTempDirectory("graft-stream-b")
+    // identical change sequences in two roots: root A polls with the
+    // default inline path, root B forces EVERY non-empty body through
+    // TailDiff.handleFetchedStream (size > 1 byte => null body) — the
+    // production wiring of the >2 GiB path, proven equivalent at small
+    // scale (the 2 GiB-boundary behavior itself is TailDiffSpec's
+    // generated-stream case)
+    val changeSets: Seq[Seq[(String, Change)]] = Seq(
+      Seq("/tails/t0" -> Append(s0), "/updates/u0" -> Update(s1)),
+      Seq("/tails/t0" -> Append(s1), "/updates/u0" -> Update(s2)),
+      Seq("/tails/t0" -> Append(s3), "/updates/u0" -> Update(sEmpty)))
+    def run(root: Path, inlineMax: Long): Seq[Set[(String, String, Long, Seq[Byte])]] = {
+      val dirs = Seq(
+        MonitoredPath(s"$root/tails/", tail = true, topic = "tails"),
+        MonitoredPath(s"$root/updates/", tail = false, topic = "updates"))
+      var state = spark.emptyDataset[FileMetaData]
+      changeSets.zipWithIndex.map { case (chgs, i) =>
+        applyChanges(root, chgs)
+        val out = Monitor.poll(spark, dirs, state, nowMs = 100L + i,
+          inlineBodyMax = inlineMax)
+        val got = out.records.collect()
+          .map(r => (r.topic, r.path.stripPrefix(root.toString), r.offset,
+            r.value.toSeq)).toSet
+        state = out.newState
+        got
+      }
+    }
+    val arrayPath = run(rootA, Listing.DefaultInlineBodyMax)
+    val streamPath = run(rootB, 1L)
+    streamPath.flatten should not be empty
+    streamPath shouldBe arrayPath
+  }
+
   test("distributed listing equals the driver listing, spec tags intact") {
     val root = Files.createTempDirectory("graft-distlist")
     (0 until 3).foreach { i =>
