@@ -88,8 +88,20 @@ object Similarity extends QueryPack {
         $"cos_sim", $"bucket")
   }
 
+  /** Engine-neutral seed-order hash: Knuth multiply mod the 1e9+7
+    * prime — pure BIGINT arithmetic both engines evaluate identically
+    * (the pre-reduction keeps the product inside a Long under ANSI),
+    * unlike the xxhash64 it replaced, which DuckDB cannot reproduce. */
+  private val seedHashSql = "((vec_id % 1000003) * 2654435761) % 1000000007"
+
   /** Final IVF cell assignment (vec_id, label, emb, centroid_id):
-    * k-means cells from deterministic seeds + 3 Lloyd rounds. */
+    * k-means cells from deterministic seeds + 3 Lloyd rounds. Every
+    * arithmetic step is engine-reproducible — seed order is a pure
+    * BIGINT hash, and the per-dimension means are decimal-exact
+    * (values quantized to 7 digits, summed as DECIMAL — associative —
+    * then one double division, rounded to 6), so a SQL engine can
+    * rebuild the exact centroids and assignments: that is what makes
+    * `sim_ann_ivf`'s oracle self-contained. */
   private def ivfAssignment(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     // Lloyd rounds pass over the vectors once per round — from the
@@ -103,8 +115,8 @@ object Similarity extends QueryPack {
         .filter($"r" === 1)
         .select($"vec_id", $"label", $"emb", $"centroid_id")
     }
-    // deterministic spread seeds: 8 smallest avalanche-mixed ids
-    var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(8)
+    // deterministic spread seeds: 8 smallest hash-ordered ids
+    var cents = e.orderBy(expr(seedHashSql), $"vec_id").limit(8)
       .select(row_number().over(Window.orderBy($"vec_id")).as("centroid_id"),
         $"emb".as("cemb"))
     for (_ <- 1 to 3) {
@@ -115,7 +127,9 @@ object Similarity extends QueryPack {
       cents = assignTo(cents)
         .select($"centroid_id", posexplode($"emb").as(Seq("pos", "v")))
         .groupBy($"centroid_id", $"pos")
-        .agg(round(avg($"v"), 6).as("m"))
+        .agg(round(
+          sum(round($"v", 7).cast(DecimalType(27, 7))).cast(DoubleType) /
+            count(lit(1)), 6).as("m"))
         .groupBy($"centroid_id")
         .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
           s => s.getField("m")).as("cemb"))
@@ -151,15 +165,73 @@ object Similarity extends QueryPack {
         $"vec_id", $"cos_sim")
   }
 
-  /** Side-table directory for oracle-visible index state. The IVF seeds
-    * hang off Spark's `xxhash64` (not reproducible in DuckDB), so the
-    * deterministic CELL ASSIGNMENT is exported as parquet and the
-    * oracle re-derives the restricted-search ranking from it — the
-    * ranking, cosine scores, and top-k are then value-checked even
-    * though the index build itself is engine-specific. The query fn
-    * overwrites the export on every run, and the comparer always runs
-    * oracles after the dump, so the table matches the compared run. */
-  private[operators] val SidecarDir = "/tmp/graft_sidecar"
+  /** Self-contained value oracle for `sim_ann_ivf`: the whole k-means
+    * build unrolls into SQL — hash-ordered seeds, then 3 Lloyd rounds
+    * of (argmin assignment, decimal-exact per-dimension means), then
+    * the final assignment, cell-restricted scan, and ranking. Distances
+    * compare as doubles computed by the identical left-to-right fold
+    * on both engines; centroid values are bit-identical because every
+    * mean is quantized decimal arithmetic (see [[ivfAssignment]]).
+    * No side state: an earlier sidecar-parquet design could pair the
+    * oracle with a stale export when another invocation interleaved. */
+  private lazy val ivfOracleSql: String = {
+    def assign(a: String, c: String): String = s"""
+        $a AS (
+          SELECT vec_id, emb, centroid_id FROM (
+            SELECT e.vec_id, e.emb, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS rn
+            FROM e, $c c) x
+          WHERE rn = 1)"""
+    def means(c: String, a: String): String = s"""
+        $c AS (
+          SELECT centroid_id, list(m ORDER BY pos) AS cemb FROM (
+            SELECT a.centroid_id, t.pos,
+              round(CAST(SUM(CAST(round(a.emb[t.pos], 7) AS DECIMAL(27,7)))
+                  AS DOUBLE) / COUNT(*), 6) AS m
+            FROM $a a, range(1, ${Dim + 1}) t(pos)
+            GROUP BY a.centroid_id, t.pos) g
+          GROUP BY centroid_id)"""
+    s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        seeds AS (
+          SELECT vec_id, emb FROM e
+          ORDER BY $seedHashSql, vec_id
+          LIMIT 8),
+        c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT)
+                   AS centroid_id,
+                 emb AS cemb
+          FROM seeds),
+        ${assign("a1", "c0")},
+        ${means("c1", "a1")},
+        ${assign("a2", "c1")},
+        ${means("c2", "a2")},
+        ${assign("a3", "c2")},
+        ${means("c3", "a3")},
+        ${assign("fin", "c3")},
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb, centroid_id AS qcell
+          FROM fin WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, q.qcell, f.vec_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(q.qemb)),
+                i -> q.qemb[i] * f.emb[i])) /
+              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(f.emb, x -> x*x)))), 9) AS cos_sim
+          FROM q JOIN fin f ON f.centroid_id = q.qcell
+          WHERE f.vec_id <> q.query_id)
+        SELECT query_id, qcell, rnk, vec_id, cos_sim FROM (
+          SELECT query_id, qcell, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored) r
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
+  }
 
   /** Self-contained value oracle for `sim_ann_lsh`: the 6 hyperplanes
     * are literal splitmix64 values (no RNG state), so the SQL carries
@@ -321,47 +393,16 @@ object Similarity extends QueryPack {
     // table ever sits on the driver side of a broadcast. Means are
     // quantized to 6 digits so run-order fp wobble cannot flip a
     // near-tie assignment between runs.
-    // Value-checked via the [[SidecarDir]] assignment export: DuckDB
-    // reads (vec_id, centroid_id), re-restricts the search to each
-    // query's cell, recomputes every cosine, and re-ranks — so the
-    // whole search face of the index is oracle-verified; only the
-    // xxhash64-seeded build itself is engine-specific.
+    // FULLY value-checked with no side state: the whole k-means build
+    // is engine-reproducible arithmetic (hash seeds, decimal-exact
+    // means — see [[ivfAssignment]]), so the oracle unrolls seeds +
+    // 3 Lloyd rounds + final assignment + restricted search + ranking
+    // entirely in SQL ([[ivfOracleSql]]).
     "sim_ann_ivf" -> QueryDef(
-      fn = (s, d) => {
-        import s.implicits._
-        val assigned = ivfAssignment(s, embCheckpointed(s, d))
-        assigned.select($"vec_id", $"centroid_id")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$SidecarDir/ivf_assign")
-        ivfTopKFrom(s, assigned, 5).orderBy(col("query_id"), col("rnk"))
-      },
-      oracle = Some(s"""
-        WITH a AS (
-          SELECT vec_id, centroid_id
-          FROM '$SidecarDir/ivf_assign/*.parquet'),
-        e AS (
-          SELECT e0.vec_id, e0.emb, a.centroid_id
-          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e0
-          JOIN a USING (vec_id)),
-        q AS (
-          SELECT vec_id AS query_id, emb AS qemb, centroid_id AS qcell
-          FROM e WHERE vec_id < 5),
-        scored AS (
-          SELECT q.query_id, q.qcell, e.vec_id,
-            round(
-              list_sum(list_transform(generate_series(1, len(q.qemb)),
-                i -> q.qemb[i] * e.emb[i])) /
-              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
-               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
-          FROM q JOIN e ON e.centroid_id = q.qcell
-          WHERE e.vec_id <> q.query_id)
-        SELECT query_id, qcell, rnk, vec_id, cos_sim FROM (
-          SELECT query_id, qcell, vec_id, cos_sim,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cos_sim DESC, vec_id) AS rnk
-          FROM scored)
-        WHERE rnk <= 5
-        ORDER BY query_id, rnk""")),
+      fn = (s, d) =>
+        ivfTopKFrom(s, ivfAssignment(s, embCheckpointed(s, d)), 5)
+          .orderBy(col("query_id"), col("rnk")),
+      oracle = Some(ivfOracleSql)),
 
     // ── label centroids: the aggregation face of embedding work ──
     // Exact cross-engine arithmetic (the `Exact` decimal-sum pattern,
