@@ -153,9 +153,11 @@ object Monitor {
       stateDir: String,
       maxAgeMs: Option[Long] = None,
       maxFilesPerPoll: Int = 10000,
-      nowMs: Long = System.currentTimeMillis()): Dataset[FileChangeRecord] = {
+      nowMs: Long = System.currentTimeMillis(),
+      inlineBodyMax: Long = Listing.DefaultInlineBodyMax): Dataset[FileChangeRecord] = {
     val (records, commit) =
-      pollWithStateDirStaged(spark, dirs, stateDir, maxAgeMs, maxFilesPerPoll, nowMs)
+      pollWithStateDirStaged(spark, dirs, stateDir, maxAgeMs, maxFilesPerPoll,
+        nowMs, inlineBodyMax)
     commit()
     records
   }
@@ -173,7 +175,8 @@ object Monitor {
       stateDir: String,
       maxAgeMs: Option[Long] = None,
       maxFilesPerPoll: Int = 10000,
-      nowMs: Long = System.currentTimeMillis()): (Dataset[FileChangeRecord], () => Unit) = {
+      nowMs: Long = System.currentTimeMillis(),
+      inlineBodyMax: Long = Listing.DefaultInlineBodyMax): (Dataset[FileChangeRecord], () => Unit) = {
     import spark.implicits._
     val statePath = s"$stateDir/state.parquet"
     val stateOldPath = s"$stateDir/state.old.parquet"
@@ -184,7 +187,8 @@ object Monitor {
       case Some(dir) => spark.read.parquet(dir).as[FileMetaData]
       case None => spark.emptyDataset[FileMetaData]
     }
-    val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll, nowMs)
+    val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll, nowMs,
+      inlineBodyMax)
     // Materialize BOTH outputs to disk before any state swap: the
     // records Dataset's lineage reads the old state parquet, so
     // deleting it first would make any later recomputation (cache
