@@ -25,6 +25,18 @@ object Bench {
     df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
     ()
   }
+
+  /** Release everything a query pinned (localCheckpoint/persist/cache).
+    * ~20 of the 24 headliners checkpoint a shared frame; without an
+    * explicit blocking unpersist the async ContextCleaner lets storage
+    * accumulate across reps and queries, and later queries in the
+    * alphabet pay for earlier queries' blocks (the r04 2-5x inflation
+    * of the llm_* tail). Runs OUTSIDE the timed region. */
+  private def releaseStorage(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +61,7 @@ object Bench {
     names.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
+      releaseStorage(spark)
     }
     // Per-query MEDIAN of `reps` runs (default 3): single-shot timings
     // on a shared machine carry ±0.3 s of scheduler noise on sub-second
@@ -63,24 +76,38 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          materialize(SparkEntry.queries(name)(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            // a failed query must not masquerade as a fast one: flag it
-            // with a negative time and say so on stderr
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
+        val elapsed =
+          try {
+            materialize(SparkEntry.queries(name)(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              // a failed query must not masquerade as a fast one: flag it
+              // with a negative time and say so on stderr
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+          }
+        // storage hygiene between reps, outside the timed region: every
+        // rep starts from an empty block store, so medians compare
+        // like-for-like and load vs. leak is diagnosable from the
+        // per-rep times below
+        releaseStorage(spark)
+        elapsed
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+      name -> (if (times.exists(_ < 0)) (-1.0, times) else (median(times), times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // per-rep times so a one-off load spike is distinguishable from a
+    // genuine regression without rerunning
+    val repsJson = results.map { case (k, (_, ts)) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson","reps":$reps,"stat":"median"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repsJson,"sf":"$sfJson","reps":$reps,"stat":"median"}""")
     spark.stop()
   }
 }
