@@ -41,15 +41,45 @@ object Similarity extends QueryPack {
     * baseline `sim_topk_bruteforce` exposes and `sim_ann_recall`
     * measures the ANN paths against. `e` must be a checkpointed
     * [[embDouble]] frame (all helpers below share one so a composite
-    * query scans the table once). */
+    * query scans the table once).
+    *
+    * Ranking rides the bounded-buffer [[graft.functions.TopKAggregator]]
+    * (score desc, id asc — the same total order as the window twin), so
+    * the shuffle carries at most k rows per query instead of the whole
+    * scored candidate set: at 10^9 vectors the window form would sort
+    * O(n) rows per query partition in a single task. The window
+    * formulation survives as [[exactTopKWindow]] / `sim_topk_window`,
+    * sharing this query's oracle — a per-round equality proof. */
   private def exactTopK(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scoredPairs(s, e)
+      .groupBy($"query_id")
+      .agg(topk($"cos_sim", $"vec_id").as("top"))
+      .select($"query_id",
+        posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+      .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
+        $"pair.ids".as("vec_id"), $"pair.scores".as("cos_sim"))
+  }
+
+  /** The scored (query × candidate) frame both exact-top-k forms rank. */
+  private def scoredPairs(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+  }
+
+  /** Window-ranked twin of [[exactTopK]] — the full-candidate
+    * `row_number` form, kept (non-headline) purely as the equality
+    * proof for the aggregator path: both share one oracle, so the
+    * driver re-verifies their equivalence every round. */
+  private def exactTopKWindow(s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    scoredPairs(s, e)
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"query_id", $"rnk".cast(LongType).as("rnk"), $"vec_id", $"cos_sim")
@@ -290,13 +320,21 @@ object Similarity extends QueryPack {
         ORDER BY query_id, rnk"""
   }
 
-  override val queries: Map[String, QueryDef] = Map(
+  /** Scored (query × candidate) frame both kNN forms rank: 100 query
+    * vectors broadcast, candidates streamed, cosine codegen'd. */
+  private def knnScored(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val q = e.filter($"vec_id" < 100)
+      .select($"vec_id".as("query_id"), $"label".as("true_label"),
+        $"emb".as("qemb"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+  }
 
-    // ── exact brute-force cosine top-10 for 5 query vectors ──
-    "sim_topk_bruteforce" -> QueryDef(
-      fn = (s, d) => exactTopK(s, embCheckpointed(s, d), 10)
-        .orderBy(col("query_id"), col("rnk")),
-      oracle = Some("""
+  /** Shared by `sim_topk_bruteforce` (aggregator) and `sim_topk_window`
+    * (window) — one oracle, two plans: a per-round equality proof. */
+  private val bruteforceOracleSql = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
         pairs AS (
@@ -313,8 +351,62 @@ object Similarity extends QueryPack {
                                     ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM pairs)
         WHERE rnk <= 10
-        ORDER BY query_id, rnk"""),
+        ORDER BY query_id, rnk"""
+
+  /** Shared by `sim_knn_classify` (aggregator) and `sim_knn_window`
+    * (window) — identical oracle = identical results, re-proved every
+    * round by the driver's hash compare. */
+  private val knnOracleSql = """
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, label AS true_label, emb AS qemb
+          FROM e WHERE vec_id < 100),
+        scored AS (
+          SELECT q.query_id, q.true_label, e.vec_id, e.label,
+            round(
+              list_sum(list_transform(generate_series(1, len(q.qemb)),
+                i -> q.qemb[i] * e.emb[i])) /
+              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
+          FROM q, e WHERE e.vec_id <> q.query_id),
+        top5 AS (
+          SELECT * FROM (
+            SELECT query_id, true_label, label, cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM scored)
+          WHERE rnk <= 5),
+        votes AS (
+          SELECT query_id, true_label, label, COUNT(*) AS votes
+          FROM top5 GROUP BY query_id, true_label, label)
+        SELECT query_id, true_label, label AS pred_label,
+               (label = true_label) AS correct
+        FROM (
+          SELECT query_id, true_label, label, votes,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) AS vr
+          FROM votes)
+        WHERE vr = 1
+        ORDER BY query_id"""
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── exact brute-force cosine top-10 for 5 query vectors, ranked by
+    //    the bounded-buffer aggregator (≤k rows per query cross the
+    //    shuffle; no full-candidate window sort) ──
+    "sim_topk_bruteforce" -> QueryDef(
+      fn = (s, d) => exactTopK(s, embCheckpointed(s, d), 10)
+        .orderBy(col("query_id"), col("rnk")),
+      oracle = Some(bruteforceOracleSql),
       headline = true),
+
+    // ── window-ranked twin: same oracle, full-candidate row_number —
+    //    the equality proof for the aggregator path ──
+    "sim_topk_window" -> QueryDef(
+      fn = (s, d) => exactTopKWindow(s, embCheckpointed(s, d), 10)
+        .orderBy(col("query_id"), col("rnk")),
+      oracle = Some(bruteforceOracleSql)),
 
     // ── random-hyperplane LSH with hamming-1 multiprobe ──
     // FULLY value-checked: the hyperplanes are pure splitmix64
@@ -448,22 +540,52 @@ object Similarity extends QueryPack {
     // ── kNN label prediction: similarity search put to use ──
     // Majority label of the 5 nearest neighbors (cosine) for 100 query
     // vectors — the eval face of embedding search. Query side broadcast,
-    // candidate side streamed; per-query ranking and voting are windows
-    // over high-cardinality keys (parallelizes). Deterministic
-    // tie-breaks everywhere: neighbor rank by (cos desc, vec_id), vote
-    // by (votes desc, label asc).
+    // candidate side streamed. BOTH rankings ride the bounded-buffer
+    // TopKAggregator (neighbor rank by (cos desc, vec_id), vote by
+    // (votes desc, label asc) — the aggregator's (score desc, id asc)
+    // order), so no stage ever sorts the full candidate set in one
+    // task: the shuffle carries ≤5 rows per query, and the neighbor
+    // labels come back via a broadcast of the ≤5×Q winner rows against
+    // the already-checkpointed frame (map-only). The window twin
+    // `sim_knn_window` shares this oracle as the equality proof.
     "sim_knn_classify" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
         val e = embCheckpointed(s, d)
-        val q = e.filter($"vec_id" < 100)
-          .select($"vec_id".as("query_id"), $"label".as("true_label"),
-            $"emb".as("qemb"))
+        val topk = udaf(new graft.functions.TopKAggregator(5))
+        val top5 = knnScored(s, e)
+          .groupBy($"query_id", $"true_label")
+          .agg(topk($"cos_sim", $"vec_id").as("top"))
+          .select($"query_id", $"true_label", explode($"top.ids").as("vec_id"))
+        // the winners are ≤ k rows per query — broadcast them back over
+        // the checkpointed frame for their labels (no shuffle of e)
+        val neighbors = e.select($"vec_id", $"label")
+          .join(broadcast(top5), Seq("vec_id"))
+        val top1 = udaf(new graft.functions.TopKAggregator(1))
+        neighbors
+          .groupBy($"query_id", $"true_label", $"label")
+          .agg(count(lit(1)).as("votes"))
+          // ≤5 vote rows per query; vote counts are small exact ints,
+          // so the double score ranks them exactly
+          .groupBy($"query_id", $"true_label")
+          .agg(top1($"votes".cast(DoubleType), $"label".cast(LongType)).as("v"))
+          .select($"query_id", $"true_label",
+            $"v.ids".getItem(0).cast(IntegerType).as("pred_label"))
+          .withColumn("correct", $"pred_label" === $"true_label")
+          .orderBy($"query_id")
+      },
+      oracle = Some(knnOracleSql)),
+
+    // ── window-ranked twin of sim_knn_classify: the full-candidate
+    //    row_number form, kept (non-headline) as the per-round equality
+    //    proof for the aggregator path — identical oracle ──
+    "sim_knn_window" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
         val wRank = Window.partitionBy($"query_id")
           .orderBy($"cos_sim".desc, $"vec_id")
-        val neighbors = e.crossJoin(broadcast(q))
-          .filter($"vec_id" =!= $"query_id")
-          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+        val neighbors = knnScored(s, e)
           .withColumn("rnk", row_number().over(wRank))
           .filter($"rnk" <= 5)
         val wVote = Window.partitionBy($"query_id")
@@ -477,39 +599,7 @@ object Similarity extends QueryPack {
             ($"label" === $"true_label").as("correct"))
           .orderBy($"query_id")
       },
-      oracle = Some("""
-        WITH e AS (
-          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        q AS (
-          SELECT vec_id AS query_id, label AS true_label, emb AS qemb
-          FROM e WHERE vec_id < 100),
-        scored AS (
-          SELECT q.query_id, q.true_label, e.vec_id, e.label,
-            round(
-              list_sum(list_transform(generate_series(1, len(q.qemb)),
-                i -> q.qemb[i] * e.emb[i])) /
-              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
-               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
-          FROM q, e WHERE e.vec_id <> q.query_id),
-        top5 AS (
-          SELECT * FROM (
-            SELECT query_id, true_label, label, cos_sim,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY cos_sim DESC, vec_id) AS rnk
-            FROM scored)
-          WHERE rnk <= 5),
-        votes AS (
-          SELECT query_id, true_label, label, COUNT(*) AS votes
-          FROM top5 GROUP BY query_id, true_label, label)
-        SELECT query_id, true_label, label AS pred_label,
-               (label = true_label) AS correct
-        FROM (
-          SELECT query_id, true_label, label, votes,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY votes DESC, label) AS vr
-          FROM votes)
-        WHERE vr = 1
-        ORDER BY query_id""")),
+      oracle = Some(knnOracleSql)),
 
     // ── int8 symmetric quantization + reconstruction error ──
     // The storage face of embedding work at 100 TB: 4x smaller vectors

@@ -204,6 +204,21 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("exact top-k and kNN rank via the bounded-buffer aggregator — no full-candidate window") {
+    // the window form would sort O(candidates) rows in one task per
+    // query partition; the aggregator path must show a (partial)
+    // object-hash aggregate and zero WindowExec nodes
+    for (q <- Seq("sim_topk_bruteforce", "sim_knn_classify")) withClue(q) {
+      val p = plan(q)
+      p should not include "Window"
+      p.toLowerCase should include("objecthashaggregate")
+    }
+    // the equality-proof twins keep the window formulation
+    for (q <- Seq("sim_topk_window", "sim_knn_window")) withClue(q) {
+      plan(q) should include("Window")
+    }
+  }
+
   test("PII redaction is a map-only scan — no shuffle, no join") {
     val p = plan("llm_pii_redact")
     p should not include "Join"
