@@ -25,6 +25,13 @@ object Similarity extends QueryPack {
 
   private val Dim = 64
 
+  /** Cells each IVF query scans in the multiprobe path: the assignment
+    * cell plus the next-nearest centroids. 3 of 8 cells lifts measured
+    * recall@5 from the single-cell ceiling (0.28 on the near-uniform
+    * fixture at sf0.001/0.01) to 0.56-0.76 while still skipping most
+    * of the corpus. */
+  private val IvfNProbe = 3
+
   private def embDouble(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("emb"))
@@ -132,7 +139,13 @@ object Similarity extends QueryPack {
     * then one double division, rounded to 6), so a SQL engine can
     * rebuild the exact centroids and assignments: that is what makes
     * `sim_ann_ivf`'s oracle self-contained. */
-  private def ivfAssignment(s: SparkSession, e: DataFrame): DataFrame = {
+  private def ivfAssignment(s: SparkSession, e: DataFrame): DataFrame =
+    ivfModel(s, e)._1
+
+  /** IVF build exposing both faces of the index: the final assignment
+    * AND the final 8-row centroid table (the multiprobe path ranks
+    * cells by distance against it). */
+  private def ivfModel(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     // Lloyd rounds pass over the vectors once per round — from the
     // caller's checkpointed frame, not a fresh parquet scan per round
@@ -165,7 +178,32 @@ object Similarity extends QueryPack {
           s => s.getField("m")).as("cemb"))
         .localCheckpoint()
     }
-    assignTo(cents).localCheckpoint()
+    (assignTo(cents).localCheckpoint(), cents)
+  }
+
+  /** Multiprobe IVF candidates: each query scans its `nprobe` nearest
+    * cells (distance to the final centroids, tie-broken by centroid id —
+    * the same total order as the assignment argmin, so probe #1 IS the
+    * query's own cell). Still an equality join on centroid_id: the
+    * probe fan-out multiplies only the 8-row broadcast side, never the
+    * corpus — the shape that holds at 10^9 vectors. Each vector lives
+    * in exactly one cell, so probes never produce duplicate candidates. */
+  private def ivfProbedCandidates(s: SparkSession, assigned: DataFrame,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val q = assigned.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"cdist".asc, $"centroid_id")
+    // 5 queries × 8 cells: driver-trivial, executes inside the broadcast
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sq($"qemb", $"cemb"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= nprobe)
+      .select($"query_id", $"qemb", $"centroid_id".as("pcell"))
+    broadcast(probes).join(assigned, $"pcell" === $"centroid_id")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
   }
 
   /** Cell-restricted scored candidates over an [[ivfAssignment]] frame —
@@ -179,10 +217,6 @@ object Similarity extends QueryPack {
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
   }
-
-  /** IVF candidate set (build + restrict), used by `sim_ann_recall`. */
-  private def ivfCandidates(s: SparkSession, e: DataFrame): DataFrame =
-    ivfCandidatesFrom(s, ivfAssignment(s, e))
 
   /** IVF top-k over an [[ivfAssignment]] frame (`sim_ann_ivf`). */
   private def ivfTopKFrom(s: SparkSession, assigned: DataFrame, k: Int): DataFrame = {
@@ -204,7 +238,9 @@ object Similarity extends QueryPack {
     * mean is quantized decimal arithmetic (see [[ivfAssignment]]).
     * No side state: an earlier sidecar-parquet design could pair the
     * oracle with a stale export when another invocation interleaved. */
-  private lazy val ivfOracleSql: String = {
+  /** The k-means build as a CTE chain ending in `fin` (assignments) and
+    * `c3` (final centroids) — the shared prefix of both IVF oracles. */
+  private lazy val ivfBuildCtes: String = {
     def assign(a: String, c: String): String = s"""
         $a AS (
           SELECT vec_id, emb, centroid_id FROM (
@@ -241,7 +277,11 @@ object Similarity extends QueryPack {
         ${means("c2", "a2")},
         ${assign("a3", "c2")},
         ${means("c3", "a3")},
-        ${assign("fin", "c3")},
+        ${assign("fin", "c3")}"""
+  }
+
+  private lazy val ivfOracleSql: String = s"""
+        $ivfBuildCtes,
         q AS (
           SELECT vec_id AS query_id, emb AS qemb, centroid_id AS qcell
           FROM fin WHERE vec_id < 5),
@@ -261,7 +301,40 @@ object Similarity extends QueryPack {
           FROM scored) r
         WHERE rnk <= 5
         ORDER BY query_id, rnk"""
-  }
+
+  /** Multiprobe twin: ranks every cell by the same l2 distance the
+    * assignment argmin used (identical arithmetic, identical tie-break)
+    * and scans the top [[IvfNProbe]] cells per query. */
+  private lazy val ivfProbeOracleSql: String = s"""
+        $ivfBuildCtes,
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb
+          FROM fin WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qemb, centroid_id AS pcell FROM (
+            SELECT q.query_id, q.qemb, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS pr
+            FROM q, c3 c) x
+          WHERE pr <= $IvfNProbe),
+        scored AS (
+          SELECT p.query_id, f.vec_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(p.qemb)),
+                i -> p.qemb[i] * f.emb[i])) /
+              (sqrt(list_sum(list_transform(p.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(f.emb, x -> x*x)))), 9) AS cos_sim
+          FROM probes p JOIN fin f ON f.centroid_id = p.pcell
+          WHERE f.vec_id <> p.query_id)
+        SELECT query_id, rnk, vec_id, cos_sim FROM (
+          SELECT query_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored) r
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
 
   /** Self-contained value oracle for `sim_ann_lsh`: the 6 hyperplanes
     * are literal splitmix64 values (no RNG state), so the SQL carries
@@ -428,12 +501,17 @@ object Similarity extends QueryPack {
     // uniformly yields expected recall f, so the contract asserted here
     // is recall@5 ≥ 1.5 × (candidates scanned / corpus scanned by
     // brute force). On this fixture (near-uniform synthetic embeddings,
-    // the hard case for sign-LSH) both paths clear ~2-3× random;
-    // measured recall@5: LSH 0.24-0.36, IVF 0.32-0.40 at sf0.01/0.001.
-    // The recall VALUE is Spark-side (DuckDB cannot rebuild the LSH
-    // buckets or k-means cells), so — as with `agg_approx_distinct` —
-    // the oracle-checkable contract is the assertion: all counts are
-    // exact integers, the ratios deterministic divisions.
+    // the hard case for sign-LSH) all paths clear ~2-3× random;
+    // measured recall@5 at sf0.001/0.01: LSH 0.24-0.36, IVF single-cell
+    // 0.28, IVF probe3 0.56-0.76 — each also asserted against an
+    // absolute per-method floor (`meets_floor`), with ivf_probe3's
+    // floor set ABOVE the single-cell measurement so the multiprobe
+    // gain is itself part of the contract.
+    // The recall VALUE is computed Spark-side, so — as with
+    // `agg_approx_distinct` — the oracle-checkable contract is the
+    // assertion: all counts are exact integers, the ratios
+    // deterministic divisions (and SimilaritySpec recomputes the
+    // recalls independently from the public query outputs).
     "sim_ann_recall" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -442,9 +520,9 @@ object Similarity extends QueryPack {
         // parquet scan and a single resident copy for the whole eval
         val e = embCheckpointed(s, d)
         val exact = exactTopK(s, e, 5).select($"query_id", $"vec_id")
-          .localCheckpoint(true) // two consumers below
+          .localCheckpoint(true) // consumers below
         val nCorpus = e.count()
-        def eval(method: String, cand: DataFrame): DataFrame = {
+        def eval(method: String, floor: Double, cand: DataFrame): DataFrame = {
           val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
           val scored = cand.select($"query_id", $"vec_id", $"cos_sim")
             .localCheckpoint(true) // counted AND ranked below
@@ -463,16 +541,30 @@ object Similarity extends QueryPack {
             .join(scored.agg(count(lit(1)).as("n_scanned")))
             .select(lit(method).as("method"), $"n_queries",
               ($"recall" >= lit(1.5) * $"n_scanned".cast(DoubleType) /
-                (lit(5.0) * (nCorpus - 1))).as("beats_random_scan"))
+                (lit(5.0) * (nCorpus - 1))).as("beats_random_scan"),
+              ($"recall" >= floor).as("meets_floor"))
         }
-        eval("ivf", ivfCandidates(s, e))
-          .unionAll(eval("lsh", lshCandidates(s, e)))
+        // ONE IVF build feeds both the single-cell and multiprobe evals
+        val (assigned, cents) = ivfModel(s, e)
+        // floors: safely under the measured recall@5 at sf0.001/0.01
+        // (cell1 0.28, probe3 0.56-0.76, lsh 0.24-0.36) but above what
+        // the next-cheaper path reaches — ivf_probe3's floor 0.50
+        // EXCEEDS the single-cell measurement, so the multiprobe gain
+        // itself is oracle-asserted every round (deterministic inputs:
+        // these are exact computations on fixed data, no drift)
+        eval("ivf_cell1", 0.25, ivfCandidatesFrom(s, assigned))
+          .unionAll(eval("ivf_probe3", 0.50,
+            ivfProbedCandidates(s, assigned, cents, IvfNProbe)))
+          .unionAll(eval("lsh", 0.18, lshCandidates(s, e)))
           .orderBy($"method")
       },
       oracle = Some("""
-        SELECT 'ivf' AS method, 5::BIGINT AS n_queries, TRUE AS beats_random_scan
+        SELECT 'ivf_cell1' AS method, 5::BIGINT AS n_queries,
+               TRUE AS beats_random_scan, TRUE AS meets_floor
         UNION ALL
-        SELECT 'lsh', 5::BIGINT, TRUE
+        SELECT 'ivf_probe3', 5::BIGINT, TRUE, TRUE
+        UNION ALL
+        SELECT 'lsh', 5::BIGINT, TRUE, TRUE
         ORDER BY method""")),
 
     // ── IVF: k-means cells (deterministic seeds + Lloyd iterations),
@@ -495,6 +587,29 @@ object Similarity extends QueryPack {
         ivfTopKFrom(s, ivfAssignment(s, embCheckpointed(s, d)), 5)
           .orderBy(col("query_id"), col("rnk")),
       oracle = Some(ivfOracleSql)),
+
+    // ── IVF multiprobe: scan the 3 nearest cells, not just the
+    //    assignment cell ──
+    // Single-cell search caps recall at whatever fraction of true
+    // neighbors shares the query's cell (~0.32-0.40 measured on this
+    // fixture); probing the next-nearest cells is the standard
+    // recall/cost dial. The probe ranking reuses the assignment's exact
+    // distance arithmetic, so the oracle unrolls it the same way the
+    // Lloyd rounds unroll ([[ivfProbeOracleSql]]) — the whole multiprobe
+    // mechanism is value-checked end to end.
+    "sim_ann_ivf_probe" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (assigned, cents) = ivfModel(s, embCheckpointed(s, d))
+        val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+        ivfProbedCandidates(s, assigned, cents, IvfNProbe)
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"rnk".cast(LongType).as("rnk"),
+            $"vec_id", $"cos_sim")
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some(ivfProbeOracleSql)),
 
     // ── label centroids: the aggregation face of embedding work ──
     // Exact cross-engine arithmetic (the `Exact` decimal-sum pattern,
