@@ -102,7 +102,19 @@ object Dedup extends QueryPack {
     * tag — needs no re-join against the pair set. The width probe is
     * one extra ACTION over the banded frame per call: the price of
     * adaptivity, ~a job at fixture scale, one aggregate pass of the
-    * smallest frame in the pipeline at 100 TB. */
+    * smallest frame in the pipeline at 100 TB.
+    *
+    * Probe-free alternatives were A/B-measured at sf0.1 and REJECTED:
+    * (1) always-general block-pair plan with the df⋈widths frame
+    * checkpointed — 13.2 s vs 9.2 s over the five LSH bench queries
+    * (the heavier join + struct distinct dwarf the probe job saved);
+    * (2) data-dependent cool/hot split (plain join under the cap,
+    * block-pair above, union) — 13.8 s, because the widths JOIN is a
+    * full shuffle of the banded frame where the probe is a map-side-
+    * combined count (and dropping the caller checkpoints recomputed
+    * the LSH assignments per branch: dedup_embedding_ann_pairs 3.6 →
+    * 7.2 s). The probe job is the cheapest adaptivity mechanism of the
+    * three measured. */
   private[operators] def boundedBucketPairs(
       df: DataFrame,
       idCol: String,
@@ -453,6 +465,35 @@ object Dedup extends QueryPack {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         ORDER BY doc1, doc2"""
 
+  /** Incremental exact dedup against a PERSISTENT bucketed hash state —
+    * the shape `dedup_incremental` documents, proven here: `stateTable`
+    * is a managed table bucketed (and sorted) by `body_sha256`
+    * ([[Bucketing.writeBucketed]]), so the anti-join reads state
+    * buckets co-located with the join and plans with NO exchange on
+    * the state side — only the (much smaller) daily increment shuffles,
+    * once, to align with the bucketing. At 100 TB of accumulated state
+    * that asymmetry IS the operator: state is never re-shuffled, ever.
+    *
+    * `increment` must carry (doc_id, body_sha256). Survivors are
+    * increment docs whose hash is absent from state AND first of their
+    * hash within the increment (the anti-join output is already
+    * partitioned by hash, so the keep-min window adds no exchange
+    * either — BucketingSpec asserts exactly one exchange in the whole
+    * plan). State update = append survivors' hashes as the next state
+    * generation (same GenSwap pattern as the ingest store). */
+  def incrementalAgainstState(
+      spark: SparkSession,
+      increment: DataFrame,
+      stateTable: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"body_sha256")
+    increment
+      .join(spark.table(stateTable), Seq("body_sha256"), "left_anti")
+      .withColumn("keep", min($"doc_id").over(w))
+      .filter($"doc_id" === $"keep")
+      .select($"doc_id", $"body_sha256")
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── exact dedup: group identical bodies by sha-256 ──
@@ -472,6 +513,11 @@ object Dedup extends QueryPack {
         ORDER BY body_sha256""")),
 
     // ── INCREMENTAL exact dedup: a new batch against accumulated state ──
+    // The bucketed-state production path (zero state shuffle) is
+    // [[incrementalAgainstState]]; this query is its parquet-direct
+    // twin, value-checked against DuckDB (BucketingSpec proves the two
+    // produce identical rows and that the bucketed plan has no
+    // exchange on the state side).
     // The operational mode a 100 TB pipeline actually runs: dedup is not
     // one big batch but a daily increment anti-joined against the hash
     // state of everything already ingested. Here the "state" is the

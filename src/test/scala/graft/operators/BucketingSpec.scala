@@ -12,6 +12,45 @@ import graft.{Tables, TestSpark}
 class BucketingSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
 
+  test("incremental dedup against bucketed state: no exchange on the state side") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, sha2}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the real SMJ anti-join (at 100 TB the state is never
+    // broadcastable; the fixture must exercise the same plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      // accumulated state: hashes of the deterministic 3/4 of the
+      // corpus, persisted bucketed+sorted by hash
+      Bucketing.writeBucketed(
+        docs.filter(col("doc_id") % 4 < 3)
+          .select(sha2(col("text"), 256).as("body_sha256")).distinct(),
+        "b_hash_state", "body_sha256", 4)
+      val increment = docs.filter(col("doc_id") % 4 >= 3)
+        .select(col("doc_id"), sha2(col("text"), 256).as("body_sha256"))
+
+      val survivors = Dedup.incrementalAgainstState(spark, increment, "b_hash_state")
+      val plan = survivors.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      // exactly ONE exchange in the whole plan — the increment side
+      // aligning with the state bucketing; the state scan and the
+      // keep-min window reuse that partitioning
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      plan should not include "ShuffleExchange"
+
+      // identical rows to the parquet-direct oracle-checked query
+      val expected = graft.SparkEntry.queries("dedup_incremental")(spark, sf)
+        .collect().map(_.toString).sorted
+      survivors.orderBy(col("doc_id")).collect()
+        .map(_.toString).sorted shouldBe expected
+      expected.length should be > 0
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_hash_state")
+    }
+  }
+
   test("bucketed fact-fact join eliminates both shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
     // force a real sort-merge join (no broadcast shortcut at this SF)
