@@ -140,21 +140,40 @@ object Listing {
     * before that, at the executor's per-task memory slice, so a
     * 100 TB deployment's multi-GiB append logs must never materialize
     * whole. */
-  /** Java-serializable Hadoop Configuration carrier (Configuration is
+  /** Serializable Hadoop Configuration carrier (Configuration is
     * Writable but not Serializable; Spark's own equivalent is
     * private[spark]) — lets the fetch tasks resolve FileSystems with
-    * the driver's full conf, not a default-constructed one. */
+    * the driver's full conf, not a default-constructed one.
+    *
+    * The conf is EAGERLY flattened to a byte array at construction
+    * rather than via writeObject/readObject hooks: Spark serializes
+    * broadcast values with the configured `spark.serializer`, and
+    * Kryo's FieldSerializer bypasses Java serialization hooks entirely
+    * (it would ship a null `@transient` field) — a deployment setting
+    * `spark.serializer=KryoSerializer` must not silently lose the
+    * conf. A plain byte-array field round-trips under BOTH
+    * serializers. */
   private[ingest] class SerializableHadoopConf(
-      @transient var value: org.apache.hadoop.conf.Configuration)
+      conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      value.write(out)
+    private val bytes: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      conf.write(dos)
+      dos.flush()
+      bos.toByteArray
     }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
+    @transient private var cached: org.apache.hadoop.conf.Configuration = conf
+    def value: org.apache.hadoop.conf.Configuration = {
+      if (cached == null) synchronized {
+        if (cached == null) {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          c.readFields(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          cached = c
+        }
+      }
+      cached
     }
   }
 
@@ -180,20 +199,29 @@ object Listing {
           try {
             val fs = p.getFileSystem(conf)
             val st = fs.getFileStatus(p)
-            val body: Array[Byte] =
-              if (st.getLen > inlineBodyMax) null
-              else {
-                val out = new java.io.ByteArrayOutputStream(
-                  math.max(math.min(st.getLen, 1L << 20).toInt, 64))
-                val in = fs.open(p)
-                try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-                finally in.close()
-                out.toByteArray
-              }
-            Iterator.single(
-              (p.toUri.getPath, uri, st.getLen, st.getModificationTime, body))
+            // the listing filtered isFile, but a path replaced by a
+            // directory between list and fetch re-opens the hole —
+            // skip it like a deleted file (retry next poll)
+            if (!st.isFile) Iterator.empty
+            else {
+              val body: Array[Byte] =
+                if (st.getLen > inlineBodyMax) null
+                else {
+                  val out = new java.io.ByteArrayOutputStream(
+                    math.max(math.min(st.getLen, 1L << 20).toInt, 64))
+                  val in = fs.open(p)
+                  try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+                  finally in.close()
+                  out.toByteArray
+                }
+              Iterator.single(
+                (p.toUri.getPath, uri, st.getLen, st.getModificationTime, body))
+            }
           } catch {
-            case _: java.io.FileNotFoundException => Iterator.empty
+            // deleted/replaced/unreadable between list and fetch: one
+            // file's race must not fail the whole fetch job — the
+            // retry-next-poll posture (FNF is an IOException subclass)
+            case _: java.io.IOException => Iterator.empty
           }
         }
       }

@@ -47,7 +47,8 @@ object Monitor {
       maxAgeMs: Option[Long] = None,
       maxFilesPerPoll: Int = 10000,
       nowMs: Long = System.currentTimeMillis(),
-      inlineBodyMax: Long = Listing.DefaultInlineBodyMax): PollOutput = {
+      inlineBodyMax: Long = Listing.DefaultInlineBodyMax,
+      maxRecordBytes: Int = TailDiff.DefaultMaxRecordBytes): PollOutput = {
     import spark.implicits._
 
     // 1. list all monitored globs (metadata only), tag with mode/topic;
@@ -110,17 +111,29 @@ object Monitor {
     val handled = fetched.select(
         $"path", $"uri", $"size", $"timestamp", $"body", $"tail", $"topic", $"prev")
       .as[(String, String, Long, Long, Array[Byte], Boolean, String, Option[FileMetaData])]
-      .map { case (path, uri, size, tsMs, body, tail, topic, prevMeta) =>
-        val (meta, delta) =
-          if (body != null)
-            TailDiff.handleFetchedFile(
-              tail, prevMeta, FetchedFile(path, size, tsMs, body), nowMs)
-          else {
-            val p = new org.apache.hadoop.fs.Path(uri)
-            TailDiff.handleFetchedStream(tail, prevMeta, path, size, tsMs,
-              () => p.getFileSystem(confBc.value.value).open(p), nowMs)
+      .flatMap { case (path, uri, size, tsMs, body, tail, topic, prevMeta) =>
+        if (body != null) {
+          val (meta, delta) = TailDiff.handleFetchedFile(
+            tail, prevMeta, FetchedFile(path, size, tsMs, body), nowMs)
+          Iterator.single((meta, FileChangeRecord(topic, path, delta.offset, delta.bytes)))
+        } else {
+          val p = new org.apache.hadoop.fs.Path(uri)
+          // chunked: an oversized delta emits N bounded records with
+          // advancing offsets instead of hitting the JVM array bound
+          try {
+            val (meta, chunks) = TailDiff.handleFetchedStreamChunked(
+              tail, prevMeta, path, size, tsMs,
+              () => p.getFileSystem(confBc.value.value).open(p), nowMs,
+              maxRecordBytes)
+            chunks.map(fb => (meta, FileChangeRecord(topic, path, fb.offset, fb.bytes)))
+          } catch {
+            // deleted between the fetch stat and the digest pass: skip
+            // the row — retry next poll, the inline path's posture
+            // (Listing.fetch catches the same race); a missing file
+            // must not fail the whole batch
+            case _: java.io.FileNotFoundException => Iterator.empty
           }
-        (meta, FileChangeRecord(topic, path, delta.offset, delta.bytes))
+        }
       }
       .cache() // consumed twice (records + state); one executor pass
 
@@ -154,10 +167,11 @@ object Monitor {
       maxAgeMs: Option[Long] = None,
       maxFilesPerPoll: Int = 10000,
       nowMs: Long = System.currentTimeMillis(),
-      inlineBodyMax: Long = Listing.DefaultInlineBodyMax): Dataset[FileChangeRecord] = {
+      inlineBodyMax: Long = Listing.DefaultInlineBodyMax,
+      maxRecordBytes: Int = TailDiff.DefaultMaxRecordBytes): Dataset[FileChangeRecord] = {
     val (records, commit) =
       pollWithStateDirStaged(spark, dirs, stateDir, maxAgeMs, maxFilesPerPoll,
-        nowMs, inlineBodyMax)
+        nowMs, inlineBodyMax, maxRecordBytes)
     commit()
     records
   }
@@ -176,7 +190,8 @@ object Monitor {
       maxAgeMs: Option[Long] = None,
       maxFilesPerPoll: Int = 10000,
       nowMs: Long = System.currentTimeMillis(),
-      inlineBodyMax: Long = Listing.DefaultInlineBodyMax): (Dataset[FileChangeRecord], () => Unit) = {
+      inlineBodyMax: Long = Listing.DefaultInlineBodyMax,
+      maxRecordBytes: Int = TailDiff.DefaultMaxRecordBytes): (Dataset[FileChangeRecord], () => Unit) = {
     import spark.implicits._
     val statePath = s"$stateDir/state.parquet"
     val stateOldPath = s"$stateDir/state.old.parquet"
@@ -188,7 +203,7 @@ object Monitor {
       case None => spark.emptyDataset[FileMetaData]
     }
     val out = poll(spark, dirs, state, maxAgeMs, maxFilesPerPoll, nowMs,
-      inlineBodyMax)
+      inlineBodyMax, maxRecordBytes)
     // Materialize BOTH outputs to disk before any state swap: the
     // records Dataset's lineage reads the old state parquet, so
     // deleting it first would make any later recomputation (cache

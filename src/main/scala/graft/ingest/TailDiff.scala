@@ -115,6 +115,96 @@ object TailDiff {
     (md.digest().map("%02x".format(_)).mkString, len - remaining)
   }
 
+  /** Default per-record byte cap for [[handleFetchedStreamChunked]]:
+    * large enough that normal deltas stay one record, small enough that
+    * a task never holds more than one modest chunk in memory. */
+  val DefaultMaxRecordBytes: Int = 64 << 20
+
+  /** Read up to `want` bytes at byte `pos` from a fresh stream —
+    * TOLERANT: a source that ends early (truncated between the digest
+    * pass and this read) or vanishes (deleted) yields the bytes that
+    * were actually readable, possibly none, never an exception. The
+    * missing-tail inconsistency is repaired by the next poll (size/
+    * mtime change re-detects), the same race posture as list/fetch. */
+  private def readUpTo(
+      open: () => java.io.InputStream,
+      pos: Long,
+      want: Int): Array[Byte] =
+    try {
+      val in = open()
+      try {
+        var skipped = 0L
+        var eof = false
+        while (skipped < pos && !eof) {
+          val s = in.skip(pos - skipped)
+          if (s <= 0) {
+            // skip() may return 0 without EOF; disambiguate with a read
+            if (in.read() < 0) eof = true else skipped += 1
+          } else skipped += s
+        }
+        if (eof) Array.emptyByteArray
+        else {
+          val out = new java.io.ByteArrayOutputStream(math.min(want, 1 << 20))
+          val buf = new Array[Byte](64 * 1024)
+          var remaining = want
+          var done = false
+          while (remaining > 0 && !done) {
+            val n = in.read(buf, 0, math.min(remaining, buf.length))
+            if (n < 0) done = true
+            else { out.write(buf, 0, n); remaining -= n }
+          }
+          out.toByteArray
+        }
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => Array.emptyByteArray
+    }
+
+  /** Lazy chunked emission of byte range [from, until): one
+    * [[FileBody]] of at most `maxChunk` bytes per pull, offsets
+    * advancing like the LineSplit converter's. Guarantees at least one
+    * record (empty-body) even when the range is empty or the source
+    * vanished — every handled fetch produces a record. A short read
+    * ends the iteration after its (short) record. */
+  private final class RangeChunks(
+      open: () => java.io.InputStream,
+      from: Long,
+      until: Long,
+      maxChunk: Int) extends Iterator[FileBody] {
+    private var pos = from
+    private var emitted = 0
+    private var finished = false
+    private var pending: FileBody = _
+    private def advance(): Unit = {
+      if (pending != null || finished) return
+      if (pos >= until) {
+        if (emitted == 0) { pending = FileBody.empty; return }
+        finished = true; return
+      }
+      val want = math.min(until - pos, maxChunk.toLong).toInt
+      val got = readUpTo(open, pos, want)
+      if (got.length == 0) {
+        // source truncated/vanished at pos: stop, keeping the
+        // record-per-fetch guarantee
+        if (emitted == 0) pending = FileBody.empty else finished = true
+      } else {
+        pending = FileBody(got, pos)
+        pos += got.length
+        // a short chunk means EOF: the next advance() sees pos < until,
+        // reads zero bytes, and finishes
+      }
+    }
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): FileBody = {
+      advance()
+      if (pending == null) throw new NoSuchElementException("RangeChunks")
+      val out = pending
+      pending = null
+      emitted += 1
+      out
+    }
+  }
+
   /** [[handleFetchedFile]] for bodies that must NOT be materialized —
     * the >2 GiB append-log case a 100 TB corpus actually has. Same
     * six-case semantics, re-derived over a re-openable byte source:
@@ -123,28 +213,36 @@ object TailDiff {
     *    hash for the state row, and the known-prefix hash for the
     *    append check), counting actual bytes;
     *  - pass 2 re-reads ONLY the range being emitted (the appended
-    *    delta, or the whole body on fallback).
+    *    delta, or the whole body on fallback), LAZILY in chunks of at
+    *    most `maxRecordBytes` with advancing offsets — a 10 GiB append
+    *    emits N bounded records instead of failing on the JVM array
+    *    bound, and only one chunk is in memory at a time.
     *
-    * Nothing but the emitted record is ever in memory, so the JVM
-    * array bound applies exactly where it is intrinsic: the record
-    * itself. A clean tail-append of any size file works as long as
-    * the DELTA fits an array; the loud failure is reserved for a
-    * full-dump of a >2 GiB body, which no in-memory record model can
-    * represent (the reference's model has the same bound and silently
-    * corrupts instead, Int-casting at FtpMonitor.scala:77,80).
+    * The state row records the byte count ACTUALLY digested
+    * (`actualLen`), not the listed size, so size and hash always
+    * describe the same bytes even when the file grows or shrinks
+    * during pass 1 — a listed-size row with a different-content hash
+    * would never prefix-match again and every subsequent poll would
+    * full-dump.
     *
-    * `open` must yield a fresh stream per call (both passes). A file
-    * mutating between the passes can pair pass-1 state with pass-2
-    * bytes — the same list/fetch race posture as the poll itself: the
-    * next poll re-detects and repairs. */
-  def handleFetchedStream(
+    * Truncation between the passes degrades to emitting the bytes
+    * actually readable (short final record), and a source deleted
+    * between the passes ends the emission — never an exception from a
+    * mid-batch race; the next poll re-detects and repairs. Pass-1
+    * failures (file deleted before the digest read) DO propagate:
+    * the caller decides whether a missing file skips the row.
+    *
+    * `open` must yield a fresh stream per call. */
+  def handleFetchedStreamChunked(
       tail: Boolean,
       prev: Option[FileMetaData],
       path: String,
       listedSize: Long,
       timestamp: Long,
       open: () => java.io.InputStream,
-      now: Long): (FileMetaData, FileBody) = {
+      now: Long,
+      maxRecordBytes: Int = DefaultMaxRecordBytes): (FileMetaData, Iterator[FileBody]) = {
+    require(maxRecordBytes > 0, "maxRecordBytes must be positive")
     val prefixLen = prev.map(_.size).getOrElse(0L)
     // pass 1: full + prefix digests in one read
     val fullMd = MessageDigest.getInstance("SHA-256")
@@ -168,54 +266,57 @@ object TailDiff {
     }
     val fullHash = fullMd.digest().map("%02x".format(_)).mkString
     val prefixHash = prefixMd.digest().map("%02x".format(_)).mkString
+    // size = actualLen (the bytes the hash describes), NOT listedSize:
+    // the two differ when the file mutates between list and read
     val meta = prev match {
-      case None => FileMetaData(path, listedSize, timestamp, fullHash, now, now, now)
-      case Some(old) => FileMetaData(path, listedSize, timestamp, fullHash,
+      case None => FileMetaData(path, actualLen, timestamp, fullHash, now, now, now)
+      case Some(old) => FileMetaData(path, actualLen, timestamp, fullHash,
         old.firstFetched, old.lastModified, now)
     }
-    def readRange(from: Long, until: Long): Array[Byte] = {
-      val len = until - from
-      require(len <= Int.MaxValue,
-        s"emitted record exceeds the JVM array bound ($len bytes): $path")
-      val out = new Array[Byte](len.toInt)
-      val in = open()
-      try {
-        var skipped = 0L
-        while (skipped < from) {
-          val s = in.skip(from - skipped)
-          if (s <= 0) throw new java.io.EOFException(
-            s"source ended at $skipped while skipping to $from: $path")
-          skipped += s
-        }
-        var off = 0
-        while (off < out.length) {
-          val n = in.read(out, off, out.length - off)
-          if (n < 0) throw new java.io.EOFException(
-            s"source ended at ${from + off} reading to $until: $path")
-          off += n
-        }
-        out
-      } finally in.close()
-    }
+    def emit(from: Long): Iterator[FileBody] =
+      new RangeChunks(open, from, actualLen, maxRecordBytes)
     prev match {
       case Some(p) if p.size != meta.size || p.hash != meta.hash =>
         if (tail) {
           if (meta.size > p.size) {
             if (actualLen >= p.size && p.hash == prefixHash) { // (a)
-              (meta.modifiedAt(now), FileBody(readRange(p.size, actualLen), p.size))
+              (meta.modifiedAt(now), emit(p.size))
             } else { // (b) prefix changed / (b') truncated mid-read
-              (meta.modifiedAt(now), FileBody(readRange(0L, actualLen), 0))
+              (meta.modifiedAt(now), emit(0L))
             }
           } else { // (c) shrunk (or same size, different hash)
-            (meta.modifiedAt(now), FileBody.empty)
+            (meta.modifiedAt(now), Iterator.single(FileBody.empty))
           }
         } else { // (d) update mode
-          (meta.modifiedAt(now), FileBody(readRange(0L, actualLen), 0))
+          (meta.modifiedAt(now), emit(0L))
         }
       case Some(_) => // (e) content identical
-        (meta, FileBody.empty)
+        (meta, Iterator.single(FileBody.empty))
       case None => // (f) new file
-        (meta.modifiedAt(now), FileBody(readRange(0L, actualLen), 0))
+        (meta.modifiedAt(now), emit(0L))
     }
+  }
+
+  /** Single-record face of [[handleFetchedStreamChunked]] (the
+    * streaming pipeline's record model): fails loudly if the emitted
+    * range cannot fit one in-memory record — the bound is intrinsic to
+    * a single-record model (the reference Int-casts and silently
+    * corrupts instead, FtpMonitor.scala:77,80); batch callers use the
+    * chunked face, which has no such bound. */
+  def handleFetchedStream(
+      tail: Boolean,
+      prev: Option[FileMetaData],
+      path: String,
+      listedSize: Long,
+      timestamp: Long,
+      open: () => java.io.InputStream,
+      now: Long): (FileMetaData, FileBody) = {
+    val (meta, chunks) = handleFetchedStreamChunked(
+      tail, prev, path, listedSize, timestamp, open, now,
+      maxRecordBytes = Int.MaxValue - 8)
+    val first = chunks.next()
+    require(!chunks.hasNext,
+      s"emitted record exceeds the JVM array bound: $path")
+    (meta, first)
   }
 }

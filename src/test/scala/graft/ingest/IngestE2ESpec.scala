@@ -191,6 +191,40 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     streamPath shouldBe arrayPath
   }
 
+  test("chunked append: an oversized delta emits N records that reconstruct the file") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-chunked")
+    val dirs = Seq(MonitoredPath(s"$root/logs/", tail = true, topic = "logs"))
+    // poll 1: seed a tailed file (one chunk wide)
+    applyChanges(root, Seq("/logs/app.log" -> Update(s3)))
+    val p1 = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData],
+      nowMs = 1L, inlineBodyMax = 0L, maxRecordBytes = 7)
+    p1.records.count() shouldBe 1L
+    // poll 2: append a delta far wider than maxRecordBytes — the
+    // streaming tail/diff must emit ceil(len/7) records with advancing
+    // offsets (the LineSplit discipline) instead of one oversized body
+    val delta = (0 until 100).map(i => ('a' + i % 26).toChar).mkString.getBytes(UTF_8)
+    applyChanges(root, Seq("/logs/app.log" -> Append(delta)))
+    val p2 = Monitor.poll(spark, dirs, p1.newState,
+      nowMs = 2L, inlineBodyMax = 0L, maxRecordBytes = 7)
+    val recs = p2.records.collect().sortBy(_.offset)
+    recs.length shouldBe (delta.length + 6) / 7
+    recs.head.offset shouldBe s3.length.toLong // delta starts after the seed
+    // offsets advance by each record's width, with no gaps or overlaps
+    recs.sliding(2).foreach {
+      case Array(a, b) => b.offset shouldBe a.offset + a.value.length
+      case _ => ()
+    }
+    recs.flatMap(_.value).toSeq shouldBe delta.toSeq
+    // the full file reconstructs from ALL emitted records in offset order
+    val all = (p1.records.collect() ++ recs).sortBy(_.offset)
+    all.flatMap(_.value).toSeq shouldBe (s3 ++ delta).toSeq
+    // state carries the true size: the next poll sees no change
+    val p3 = Monitor.poll(spark, dirs, p2.newState, nowMs = 3L,
+      inlineBodyMax = 0L, maxRecordBytes = 7)
+    p3.records.count() shouldBe 0L
+  }
+
   test("distributed listing equals the driver listing, spec tags intact") {
     val root = Files.createTempDirectory("graft-distlist")
     (0 until 3).foreach { i =>
