@@ -35,13 +35,19 @@ object Salting {
     * deterministic source (a file scan), because rand re-draws on
     * task retry and can silently duplicate/drop rows otherwise
     * (the SPARK-23207 class of hazard). */
+  /** The deterministic content-hash salt [[saltedJoin]] applies to the
+    * big side by default, exposed so tests/diagnostics can measure the
+    * per-(key, salt) spread the join will actually shuffle with. */
+  def defaultSalt(big: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(big.columns.map(col): _*).cast("long"), lit(nSalts.toLong))
+
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, nSalts: Int,
       salt: Option[Column] = None): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val saltExpr = salt.getOrElse(xxhash64(big.columns.map(col): _*))
-    val salted = big.withColumn(SaltCol,
-      pmod(saltExpr.cast("long"), lit(nSalts.toLong)))
+    val saltExpr = salt.map(c => pmod(c.cast("long"), lit(nSalts.toLong)))
+      .getOrElse(defaultSalt(big, nSalts))
+    val salted = big.withColumn(SaltCol, saltExpr)
     val replicated = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
