@@ -214,6 +214,98 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chunked emission: exact chunk boundaries, advancing offsets, reconstruction") {
+    val prevBody = "0123456789".getBytes // 10 bytes
+    val delta = "abcdefghijklmnopqrstu".getBytes // 21 bytes
+    val full = prevBody ++ delta
+    val prev = metaOf(prevBody)
+    for (chunk <- Seq(1, 7, 20, 21, 22, 1000)) withClue(s"chunk=$chunk: ") {
+      val (meta, it) = TailDiff.handleFetchedStreamChunked(
+        tail = true, Some(prev), "/f", full.length.toLong, 6L,
+        () => new java.io.ByteArrayInputStream(full), now, maxRecordBytes = chunk)
+      val bodies = it.toSeq
+      meta.size shouldBe full.length.toLong
+      bodies.length shouldBe (delta.length + chunk - 1) / chunk
+      bodies.head.offset shouldBe prevBody.length.toLong
+      bodies.sliding(2).foreach {
+        case Seq(a, b) => b.offset shouldBe a.offset + a.bytes.length
+        case _ => ()
+      }
+      bodies.flatMap(_.bytes).toArray shouldBe delta
+    }
+  }
+
+  test("chunked emission: empty range still yields exactly one empty record") {
+    // unchanged content (case e) and an empty new file (case f) both
+    // guarantee a record per handled fetch
+    val body = "same".getBytes
+    val prev = metaOf(body)
+    val (_, itE) = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", body.length.toLong, 5L,
+      () => new java.io.ByteArrayInputStream(body), now, maxRecordBytes = 3)
+    itE.toSeq shouldBe Seq(FileBody.empty)
+    val (metaF, itF) = TailDiff.handleFetchedStreamChunked(
+      tail = true, None, "/f", 0L, 5L,
+      () => new java.io.ByteArrayInputStream(Array.emptyByteArray), now,
+      maxRecordBytes = 3)
+    metaF.size shouldBe 0L
+    val recs = itF.toSeq
+    recs.length shouldBe 1
+    recs.head.bytes shouldBe empty
+  }
+
+  test("truncation between passes degrades to the bytes actually readable") {
+    // pass 1 digests 30 bytes; the source then shrinks to 17 before the
+    // emission pass — emitted records cover [10, 17) and stop, no EOF
+    val prevBody = "0123456789".getBytes
+    val full = prevBody ++ "abcdefghijklmnopqrst".getBytes // 30 bytes
+    val prev = metaOf(prevBody)
+    var opens = 0
+    def open(): java.io.InputStream = {
+      opens += 1
+      if (opens == 1) new java.io.ByteArrayInputStream(full)
+      else new java.io.ByteArrayInputStream(full.take(17))
+    }
+    val (meta, it) = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", full.length.toLong, 6L,
+      () => open(), now, maxRecordBytes = 4)
+    meta.size shouldBe 30L // pass-1 digest state
+    val bodies = it.toSeq
+    bodies.head.offset shouldBe 10L
+    bodies.flatMap(_.bytes).toArray shouldBe full.slice(10, 17)
+  }
+
+  test("source deleted between passes ends emission without an exception") {
+    val prevBody = "0123456789".getBytes
+    val full = prevBody ++ "abcdef".getBytes
+    val prev = metaOf(prevBody)
+    var opens = 0
+    def open(): java.io.InputStream = {
+      opens += 1
+      if (opens == 1) new java.io.ByteArrayInputStream(full)
+      else throw new java.io.FileNotFoundException("/f")
+    }
+    val (_, it) = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", full.length.toLong, 6L,
+      () => open(), now, maxRecordBytes = 4)
+    // the record-per-fetch guarantee holds even when nothing is readable
+    it.toSeq shouldBe Seq(FileBody.empty)
+  }
+
+  test("single-record face fails loudly only past the array bound semantics") {
+    // a normal emission returns one record identical to the chunked
+    // face's concatenation
+    val prevBody = "0123456789".getBytes
+    val delta = "abc".getBytes
+    val full = prevBody ++ delta
+    val prev = metaOf(prevBody)
+    val (_, fb) = TailDiff.handleFetchedStream(
+      tail = true, Some(prev), "/f", full.length.toLong, 6L,
+      () => new java.io.ByteArrayInputStream(full), now)
+    fb.offset shouldBe 10L
+    fb.bytes shouldBe delta
+  }
+
   test("backoff doubles up to cap and resets on success") {
     var b = ExponentialBackoff(stepMs = 1000L, capMs = 30 * 60 * 1000L)
     b.intervalMs shouldBe 1000L
