@@ -32,6 +32,14 @@ object Similarity extends QueryPack {
     * of the corpus. */
   private val IvfNProbe = 3
 
+  // Product quantization: 8 subspaces of 8 dims, 4 codewords each,
+  // 2 Lloyd rounds — 64 doubles compress to 8 codes (64x). Small k on
+  // the near-uniform fixture; a real deployment uses k=256 per
+  // subspace, which changes nothing structurally.
+  private val PqSub = 8
+  private val PqSubDim = 8
+  private val PqK = 4
+
   private def embDouble(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("emb"))
@@ -238,6 +246,147 @@ object Similarity extends QueryPack {
     * mean is quantized decimal arithmetic (see [[ivfAssignment]]).
     * No side state: an earlier sidecar-parquet design could pair the
     * oracle with a stale export when another invocation interleaved. */
+  // ──────────────────── product quantization (PQ) ────────────────────
+
+  /** Exploded subvectors (vec_id, sub, semb): PqSub rows per vector,
+    * map-only from the checkpointed embedding frame. */
+  private def pqSubvectors(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val subs = (0 until PqSub).map(i => struct(lit(i).as("sub"),
+      slice($"emb", i * PqSubDim + 1, PqSubDim).as("semb")))
+    e.select($"vec_id", explode(array(subs: _*)).as("x"))
+      .select($"vec_id", $"x.sub".as("sub"), $"x.semb".as("semb"))
+  }
+
+  /** PQ model: per-subspace k-means codebooks plus the final code
+    * assignment — the storage-side compression IVF's cells pair with in
+    * a billion-scale ANN index (64 doubles → PqSub codes). Same
+    * engine-reproducible discipline as [[ivfModel]] (hash-ordered
+    * seeds, argmin tie-broken by code id, decimal-exact means quantized
+    * to 6 digits), so the entire build unrolls into oracle SQL
+    * ([[pqBuildCtes]]). All subspaces train in the SAME plan — `sub` is
+    * a grouping column, so each Lloyd round is one pass over the
+    * exploded subvectors covering every subspace at once, and only the
+    * PqSub×PqK codebook ever sits driver-side of a broadcast.
+    * Returns (codes = (vec_id, sub, semb, code),
+    *          codebooks = (sub, code, cemb)). */
+  private def pqModel(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sv = pqSubvectors(s, e).localCheckpoint(true)
+    def assignTo(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id", $"sub").orderBy($"dist".asc, $"code")
+      sv.join(broadcast(cents), Seq("sub"))
+        .withColumn("dist", l2sq($"semb", $"cemb"))
+        .withColumn("r", row_number().over(w))
+        .filter($"r" === 1)
+        .select($"vec_id", $"sub", $"semb", $"code")
+    }
+    // seeds: every subspace uses the subvectors of the same PqK
+    // hash-ordered vectors (spread, reproducible)
+    val seedIds = e.orderBy(expr(seedHashSql), $"vec_id").limit(PqK)
+      .select(row_number().over(Window.orderBy($"vec_id")).as("code"), $"vec_id")
+    var cents = sv.join(broadcast(seedIds), Seq("vec_id"))
+      .select($"sub", $"code", $"semb".as("cemb"))
+      .localCheckpoint()
+    for (_ <- 1 to 2) {
+      cents = assignTo(cents)
+        .select($"sub", $"code", posexplode($"semb").as(Seq("pos", "v")))
+        .groupBy($"sub", $"code", $"pos")
+        .agg(round(
+          sum(round($"v", 7).cast(DecimalType(27, 7))).cast(DoubleType) /
+            count(lit(1)), 6).as("m"))
+        .groupBy($"sub", $"code")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x.getField("m")).as("cemb"))
+        .localCheckpoint()
+    }
+    (assignTo(cents).localCheckpoint(true), cents)
+  }
+
+  /** PQ k-means build as a CTE chain ending in `codes` (assignments)
+    * and `pc2` (final codebooks) — shared by both PQ oracles. */
+  private lazy val pqBuildCtes: String = {
+    def assign(a: String, c: String): String = s"""
+        $a AS (
+          SELECT vec_id, sub, semb, code FROM (
+            SELECT sv.vec_id, sv.sub, sv.semb, c.code,
+              ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                list_sum(list_transform(generate_series(1, $PqSubDim),
+                  i -> (sv.semb[i] - c.cemb[i]) * (sv.semb[i] - c.cemb[i]))) ASC,
+                c.code) AS rn
+            FROM sv JOIN $c c ON c.sub = sv.sub) x
+          WHERE rn = 1)"""
+    def means(c: String, a: String): String = s"""
+        $c AS (
+          SELECT sub, code, list(m ORDER BY pos) AS cemb FROM (
+            SELECT a.sub, a.code, t.pos,
+              round(CAST(SUM(CAST(round(a.semb[t.pos], 7) AS DECIMAL(27,7)))
+                  AS DOUBLE) / COUNT(*), 6) AS m
+            FROM $a a, range(1, ${PqSubDim + 1}) t(pos)
+            GROUP BY a.sub, a.code, t.pos) g
+          GROUP BY sub, code)"""
+    s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        sv AS (
+          SELECT vec_id, s.sub,
+                 emb[(s.sub * $PqSubDim + 1):(s.sub * $PqSubDim + $PqSubDim)]
+                   AS semb
+          FROM e, range(0, $PqSub) s(sub)),
+        seedids AS (
+          SELECT vec_id FROM e ORDER BY $seedHashSql, vec_id LIMIT $PqK),
+        seeds AS (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT)
+                   AS code
+          FROM seedids),
+        pc0 AS (
+          SELECT sv.sub, seeds.code, sv.semb AS cemb
+          FROM sv JOIN seeds USING (vec_id)),
+        ${assign("pa1", "pc0")},
+        ${means("pc1", "pa1")},
+        ${assign("pa2", "pc1")},
+        ${means("pc2", "pa2")},
+        ${assign("codes", "pc2")}"""
+  }
+
+  /** Self-contained value oracle for `sim_pq_reconstruction`. */
+  private lazy val pqReconOracleSql: String = s"""
+        $pqBuildCtes
+        SELECT vec_id,
+          round(sqrt(CAST(SUM(CAST(round(
+            list_sum(list_transform(generate_series(1, $PqSubDim),
+              i -> (k.semb[i] - c.cemb[i]) * (k.semb[i] - c.cemb[i]))), 9)
+            AS DECIMAL(27,9))) AS DOUBLE)), 6) AS recon_err
+        FROM codes k JOIN pc2 c ON c.sub = k.sub AND c.code = k.code
+        GROUP BY vec_id
+        ORDER BY vec_id"""
+
+  /** Self-contained value oracle for `sim_ann_pq_adc`: rebuilds the
+    * codebooks, the per-query lookup table, and the exact decimal ADC
+    * sums, then ranks. */
+  private lazy val pqAdcOracleSql: String = s"""
+        $pqBuildCtes,
+        q AS (
+          SELECT vec_id AS query_id, sub, semb AS qsemb
+          FROM sv WHERE vec_id < 5),
+        lut AS (
+          SELECT q.query_id, c.sub, c.code,
+            CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+              i -> (q.qsemb[i] - c.cemb[i]) * (q.qsemb[i] - c.cemb[i]))), 9)
+              AS DECIMAL(27,9)) AS pdist
+          FROM q JOIN pc2 c ON c.sub = q.sub),
+        adc AS (
+          SELECT l.query_id, k.vec_id, CAST(SUM(l.pdist) AS DOUBLE) AS adist
+          FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+          WHERE k.vec_id <> l.query_id
+          GROUP BY l.query_id, k.vec_id)
+        SELECT query_id, rnk, vec_id, adist FROM (
+          SELECT query_id, vec_id, adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist ASC, vec_id) AS rnk
+          FROM adc) r
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
+
   /** The k-means build as a CTE chain ending in `fin` (assignments) and
     * `c3` (final centroids) — the shared prefix of both IVF oracles. */
   private lazy val ivfBuildCtes: String = {
@@ -610,6 +759,61 @@ object Similarity extends QueryPack {
           .orderBy($"query_id", $"rnk")
       },
       oracle = Some(ivfProbeOracleSql)),
+
+    // ── product quantization: reconstruction fidelity ──
+    // The compression companion to sim_quantize_int8: 64 doubles → 8
+    // codebook codes (64x smaller). Per-vector reconstruction error is
+    // the exact decimal sum of per-subspace distances to the assigned
+    // codewords — the whole build AND the error arithmetic unroll into
+    // the oracle ([[pqBuildCtes]]), so the k-means mechanism itself is
+    // hash-checked like IVF's.
+    "sim_pq_reconstruction" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (codes, books) = pqModel(s, embCheckpointed(s, d))
+        codes.join(broadcast(books), Seq("sub", "code"))
+          .withColumn("sdist",
+            round(l2sq($"semb", $"cemb"), 9).cast(DecimalType(27, 9)))
+          .groupBy($"vec_id")
+          .agg(round(sqrt(sum($"sdist").cast(DoubleType)), 6).as("recon_err"))
+          .orderBy($"vec_id")
+      },
+      oracle = Some(pqReconOracleSql)),
+
+    // ── PQ asymmetric-distance (ADC) top-k: search over codes ──
+    // The billion-scale search shape: the query precomputes a PqSub×PqK
+    // lookup table of subspace distances (one tiny broadcast), every
+    // candidate's approximate distance is then PqSub LUT hits summed —
+    // a map-side broadcast join + partial aggregate over the CODES, the
+    // raw vectors never read at query time. Distances sum as exact
+    // decimals (order-free), ranking rides the bounded-buffer
+    // aggregator (adist asc == negated score desc), and the oracle
+    // rebuilds codebooks, LUT, sums, and ranking end to end.
+    "sim_ann_pq_adc" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        val (codes, books) = pqModel(s, e)
+        val q = pqSubvectors(s, e.filter($"vec_id" < 5))
+          .select($"vec_id".as("query_id"), $"sub", $"semb".as("qsemb"))
+        val lut = q.join(broadcast(books), Seq("sub"))
+          .select($"query_id", $"sub", $"code",
+            round(l2sq($"qsemb", $"cemb"), 9).cast(DecimalType(27, 9)).as("pdist"))
+        val topk = udaf(new graft.functions.TopKAggregator(5))
+        codes.select($"vec_id", $"sub", $"code")
+          .join(broadcast(lut), Seq("sub", "code"))
+          .filter($"vec_id" =!= $"query_id")
+          .groupBy($"query_id", $"vec_id")
+          .agg(sum($"pdist").cast(DoubleType).as("adist"))
+          .groupBy($"query_id")
+          .agg(topk(-$"adist", $"vec_id").as("top"))
+          .select($"query_id",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
+            $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some(pqAdcOracleSql)),
 
     // ── label centroids: the aggregation face of embedding work ──
     // Exact cross-engine arithmetic (the `Exact` decimal-sum pattern,

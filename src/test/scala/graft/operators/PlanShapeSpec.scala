@@ -204,6 +204,17 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("PQ ADC search is broadcast-LUT + aggregate: no shuffle join, no parquet re-scan") {
+    val p = plan("sim_ann_pq_adc")
+    // the query-time path joins candidate CODES against the broadcast
+    // lookup table — a sort-merge join here would mean the corpus is
+    // being shuffled per query
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // everything derives from the checkpointed embedding frame
+    "Scan parquet".r.findAllIn(p).size shouldBe 0
+  }
+
   test("exact top-k and kNN rank via the bounded-buffer aggregator — no full-candidate window") {
     // the window form would sort O(candidates) rows in one task per
     // query partition; the aggregator path must show a (partial)
