@@ -80,6 +80,40 @@ object CorpusAssembly extends QueryPack {
     // shard) so no single partition sees the whole corpus; packing is
     // then per-shard, which is exactly how batch assembly shards in
     // practice.
+    // ── deterministic train/val split with per-stratum accounting ──
+    // The reproducibility primitive every corpus build starts from: a
+    // pure-arithmetic hash gate (no RNG state, identical on any engine
+    // or cluster size) routes each document to a split; the output is
+    // the (split, lang) census a pipeline checks before training —
+    // document and token counts per stratum. Map-only gate + one
+    // partial-aggregated groupBy; membership is stable under
+    // re-partitioning, retries, and engine changes by construction.
+    "llm_train_val_split" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", tokens)
+          .withColumn("split",
+            when(expr(gateExpr) < 900000L, "train").otherwise("val"))
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size($"toks")).cast(LongType).as("n_tokens"))
+          .orderBy($"split", $"lang")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
+        g AS (
+          SELECT lang,
+                 CASE WHEN $gateExpr < 900000 THEN 'train' ELSE 'val' END
+                   AS split,
+                 len(tokens) AS nt
+          FROM toks)
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM g GROUP BY split, lang
+        ORDER BY split, lang""")),
+
     "llm_seq_packing" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._

@@ -686,6 +686,108 @@ object Dedup extends QueryPack {
         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
         ORDER BY doc1, doc2""")),
 
+    // ── INCREMENTAL near-dup dedup: a new batch against the corpus ──
+    // The nightly job a 100 TB pipeline actually runs for NEAR
+    // duplicates (the exact-hash face is dedup_incremental): survivors
+    // are increment docs (doc_id % 4 >= 3) with no duplicate-grade
+    // (τ=0.9) match in the accumulated state (doc_id % 4 < 3) and no
+    // match to a smaller-id increment doc — the deterministic greedy
+    // leader rule. Candidates ride the essentially-lossless 8×2
+    // banding (recall loss ≤2e-6 at τ=0.9, see dedup_minhash_verified),
+    // so at scale the state side is the accumulated BAND-KEY table
+    // bucketed by (band, band_key): increments co-locate exactly like
+    // incrementalAgainstState's hash state, with zero state shuffle.
+    "dedup_incremental_near" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = shingleFps(s, d)
+        // duplicate-grade pairs over the whole corpus; doc1 < doc2
+        val pairs = minhashLshPairs(s, docs, nBands = 8, rowsPerBand = 2,
+          tau = 0.9).select($"doc1", $"doc2").localCheckpoint(true)
+        val inc = docs.select($"doc_id").filter($"doc_id" % 4 >= 3)
+        // an increment doc is blocked by ANY pair partner that is state,
+        // or any smaller-id increment partner (doc1 < doc2 makes doc1
+        // the leader side)
+        val blocked = pairs.filter($"doc2" % 4 >= 3).select($"doc2".as("doc_id"))
+          .union(pairs.filter($"doc1" % 4 >= 3 && $"doc2" % 4 < 3)
+            .select($"doc1".as("doc_id")))
+        inc.join(blocked, Seq("doc_id"), "left_anti")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+        sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+        f AS (SELECT DISTINCT doc_id,
+                ${fpSql("shingle", P1)} + ${fpSql("shingle", P2)} * $Mod AS fp
+              FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (
+          SELECT doc1, doc2
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc1
+          JOIN sizes sb ON sb.doc_id = doc2
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9),
+        inc AS (SELECT doc_id FROM documents WHERE doc_id % 4 >= 3),
+        blocked AS (
+          SELECT doc2 AS doc_id FROM p WHERE doc2 % 4 >= 3
+          UNION
+          SELECT doc1 FROM p WHERE doc1 % 4 >= 3 AND doc2 % 4 < 3)
+        SELECT i.doc_id
+        FROM inc i LEFT JOIN blocked b USING (doc_id)
+        WHERE b.doc_id IS NULL
+        ORDER BY i.doc_id""")),
+
+    // ── cross-source leakage: duplicate-grade pairs spanning sources ──
+    // The train/test-contamination shape: near-identical documents that
+    // live under DIFFERENT sources are the ones that silently leak eval
+    // data into training mixes. Rides the duplicate-grade (τ=0.9,
+    // essentially lossless 8×2 banding — see dedup_minhash_verified)
+    // pair pipeline, then gates on source inequality; the source lookup
+    // is a pruned two-column projection joined once per pair side.
+    "dedup_cross_source" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        // one pruned (doc_id, source) scan shared by both join sides
+        val src = Tables.documents(s, d).select($"doc_id", $"source")
+          .localCheckpoint(true)
+        minhashLshPairs(s, shingleFps(s, d), nBands = 8, rowsPerBand = 2,
+            tau = 0.9)
+          .join(src.select($"doc_id".as("doc1"), $"source".as("source1")), Seq("doc1"))
+          .join(src.select($"doc_id".as("doc2"), $"source".as("source2")), Seq("doc2"))
+          .filter($"source1" =!= $"source2")
+          .select($"doc1", $"doc2", $"source1", $"source2", $"jaccard")
+          .orderBy($"doc1", $"doc2")
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $tokensSql AS tokens FROM documents),
+        sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+        f AS (SELECT DISTINCT doc_id,
+                ${fpSql("shingle", P1)} + ${fpSql("shingle", P2)} * $Mod AS fp
+              FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (
+          SELECT doc1, doc2,
+                 CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc1
+          JOIN sizes sb ON sb.doc_id = doc2
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9)
+        SELECT p.doc1, p.doc2, a.source AS source1, b.source AS source2,
+               p.jaccard
+        FROM p
+        JOIN documents a ON a.doc_id = p.doc1
+        JOIN documents b ON b.doc_id = p.doc2
+        WHERE a.source <> b.source
+        ORDER BY p.doc1, p.doc2""")),
+
     // ── SimHash: 60-bit per-document sketch, bit-vote over token fps ──
     "dedup_simhash" -> QueryDef(
       fn = (s, d) => {
