@@ -739,7 +739,8 @@ object Dedup extends QueryPack {
         SELECT i.doc_id
         FROM inc i LEFT JOIN blocked b USING (doc_id)
         WHERE b.doc_id IS NULL
-        ORDER BY i.doc_id""")),
+        ORDER BY i.doc_id"""),
+      headline = true),
 
     // ── cross-source leakage: duplicate-grade pairs spanning sources ──
     // The train/test-contamination shape: near-identical documents that

@@ -225,6 +225,29 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     p3.records.count() shouldBe 0L
   }
 
+  test("broadcast conf carrier survives both Java and Kryo serializers") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.key", "v1")
+    val carrier = new Listing.SerializableHadoopConf(conf)
+    // Java serialization (default spark.serializer)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(carrier); oos.close()
+    val viaJava = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Listing.SerializableHadoopConf]
+    viaJava.value.get("graft.test.key") shouldBe "v1"
+    // Kryo (a deployment setting spark.serializer=KryoSerializer):
+    // FieldSerializer bypasses writeObject/readObject hooks, so the
+    // carrier must not rely on them — the eager byte-array field is
+    // what round-trips here
+    val kryo = new org.apache.spark.serializer.KryoSerializer(
+      new org.apache.spark.SparkConf(false)).newInstance()
+    val viaKryo = kryo.deserialize[Listing.SerializableHadoopConf](
+      kryo.serialize(carrier))
+    viaKryo.value.get("graft.test.key") shouldBe "v1"
+  }
+
   test("distributed listing equals the driver listing, spec tags intact") {
     val root = Files.createTempDirectory("graft-distlist")
     (0 until 3).foreach { i =>
