@@ -163,7 +163,11 @@ object Listing {
       dos.flush()
       bos.toByteArray
     }
-    @transient private var cached: org.apache.hadoop.conf.Configuration = conf
+    // @volatile: tasks on one executor share the broadcast object; the
+    // unsynchronized fast-path read needs a happens-before edge with
+    // the constructing thread's write or it can observe a
+    // partially-published Configuration
+    @transient @volatile private var cached: org.apache.hadoop.conf.Configuration = conf
     def value: org.apache.hadoop.conf.Configuration = {
       if (cached == null) synchronized {
         if (cached == null) {
@@ -214,14 +218,30 @@ object Listing {
                   finally in.close()
                   out.toByteArray
                 }
+              // size = the bytes the body (and its hash) actually
+              // holds, not the pre-read stat: a file appended between
+              // getFileStatus and the read would otherwise persist a
+              // state row pairing the stale size with the hash of the
+              // longer content — a pair that can never prefix-match,
+              // full-dumping on every later poll. The streaming path
+              // (null body) keeps the stat size; its tail/diff re-counts
+              // during the digest pass anyway (actualLen).
+              val size = if (body != null) body.length.toLong else st.getLen
               Iterator.single(
-                (p.toUri.getPath, uri, st.getLen, st.getModificationTime, body))
+                (p.toUri.getPath, uri, size, st.getModificationTime, body))
             }
           } catch {
+            // a Spark task kill must still kill the task
+            case e: java.io.InterruptedIOException => throw e
             // deleted/replaced/unreadable between list and fetch: one
-            // file's race must not fail the whole fetch job — the
-            // retry-next-poll posture (FNF is an IOException subclass)
-            case _: java.io.IOException => Iterator.empty
+            // file's race (or bad permissions) must not fail the whole
+            // fetch job — the retry-next-poll posture (FNF is an
+            // IOException subclass). Logged so a permanently
+            // unreadable file is diagnosable from the executor log.
+            case e: java.io.IOException =>
+              System.err.println(
+                s"[graft.fetch] skipping unreadable $uri (retry next poll): $e")
+              Iterator.empty
           }
         }
       }

@@ -37,9 +37,10 @@ object Monitor {
 
   /** One poll over all monitored paths. `inlineBodyMax` caps the
     * per-file in-memory body (see [[Listing.fetch]]): larger files run
-    * the streaming tail/diff ([[TailDiff.handleFetchedStream]]), so a
-    * multi-GiB append log costs two streamed passes and only its DELTA
-    * in memory. */
+    * the streaming tail/diff ([[TailDiff.handleFetchedStreamChunked]]),
+    * so a multi-GiB append log costs two streamed passes and only one
+    * `maxRecordBytes`-bounded chunk of its delta in memory at a time —
+    * an oversized delta emits as N records with advancing offsets. */
   def poll(
       spark: SparkSession,
       dirs: Seq[MonitoredPath],
@@ -115,32 +116,53 @@ object Monitor {
         if (body != null) {
           val (meta, delta) = TailDiff.handleFetchedFile(
             tail, prevMeta, FetchedFile(path, size, tsMs, body), nowMs)
-          Iterator.single((meta, FileChangeRecord(topic, path, delta.offset, delta.bytes)))
+          Iterator.single(
+            (Option(meta), FileChangeRecord(topic, path, delta.offset, delta.bytes)))
         } else {
           val p = new org.apache.hadoop.fs.Path(uri)
           // chunked: an oversized delta emits N bounded records with
-          // advancing offsets instead of hitting the JVM array bound
+          // advancing offsets instead of hitting the JVM array bound.
+          // The state row rides ONLY the last chunk (finalMeta): a
+          // truncated emission then publishes a self-invalidating row
+          // so the next poll re-fetches instead of skipping the
+          // undelivered suffix (TailDiff.ChunkedEmission).
           try {
-            val (meta, chunks) = TailDiff.handleFetchedStreamChunked(
-              tail, prevMeta, path, size, tsMs,
+            val em = TailDiff.handleFetchedStreamChunked(
+              tail, prevMeta, path, tsMs,
               () => p.getFileSystem(confBc.value.value).open(p), nowMs,
               maxRecordBytes)
-            chunks.map(fb => (meta, FileChangeRecord(topic, path, fb.offset, fb.bytes)))
+            new Iterator[(Option[FileMetaData], FileChangeRecord)] {
+              override def hasNext: Boolean = em.chunks.hasNext
+              override def next(): (Option[FileMetaData], FileChangeRecord) = {
+                val fb = em.chunks.next()
+                val meta = if (em.chunks.hasNext) None else Some(em.finalMeta())
+                (meta, FileChangeRecord(topic, path, fb.offset, fb.bytes))
+              }
+            }
           } catch {
-            // deleted between the fetch stat and the digest pass: skip
-            // the row — retry next poll, the inline path's posture
-            // (Listing.fetch catches the same race); a missing file
-            // must not fail the whole batch
-            case _: java.io.FileNotFoundException => Iterator.empty
+            // a Spark task kill must still kill the task
+            case e: java.io.InterruptedIOException => throw e
+            // deleted/replaced/unreadable between the fetch stat and
+            // the digest pass: skip the row — retry next poll, the
+            // inline path's posture (Listing.fetch has the same
+            // catch); one file's race or bad permissions must not
+            // fail the whole batch. Logged so a permanently
+            // unreadable file is diagnosable from the executor log.
+            case e: java.io.IOException =>
+              System.err.println(
+                s"[graft.poll] skipping unreadable $path (retry next poll): $e")
+              Iterator.empty
           }
         }
       }
       .cache() // consumed twice (records + state); one executor pass
 
     val records = handled.map(_._2)
-    // a multi-spec path yields one meta per spec (identical values) —
-    // dedupe for the single-row-per-path state invariant
-    val newMetas = handled.map(_._1).dropDuplicates("path").as[FileMetaData]
+    // one meta per (path, spec) — the inline path emits it on its one
+    // row, the chunked path on its LAST row; a multi-spec path yields
+    // one per spec (identical values), deduped for the
+    // single-row-per-path state invariant
+    val newMetas = handled.flatMap(_._1).dropDuplicates("path").as[FileMetaData]
 
     // 5. state upsert: keep untouched rows, replace refreshed ones
     val untouched = state.join(newMetas.toDF().select($"path"), Seq("path"), "left_anti")

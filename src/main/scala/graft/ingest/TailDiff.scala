@@ -157,7 +157,12 @@ object TailDiff {
         }
       } finally in.close()
     } catch {
-      case _: java.io.FileNotFoundException => Array.emptyByteArray
+      // a Spark task kill must still kill the task
+      case e: java.io.InterruptedIOException => throw e
+      // vanished or unreadable between the digest pass and this read:
+      // treated as truncation-at-pos — the caller's finalMeta
+      // self-invalidates the state row so the next poll re-fetches
+      case _: java.io.IOException => Array.emptyByteArray
     }
 
   /** Lazy chunked emission of byte range [from, until): one
@@ -165,8 +170,11 @@ object TailDiff {
     * advancing like the LineSplit converter's. Guarantees at least one
     * record (empty-body) even when the range is empty or the source
     * vanished — every handled fetch produces a record. A short read
-    * ends the iteration after its (short) record. */
-  private final class RangeChunks(
+    * (the source truncated or deleted between the digest pass and this
+    * one) ends the iteration after its (short) record and raises the
+    * `truncated` flag, which [[ChunkedEmission.finalMeta]] turns into a
+    * self-invalidating state row. */
+  private[ingest] final class RangeChunks(
       open: () => java.io.InputStream,
       from: Long,
       until: Long,
@@ -175,6 +183,11 @@ object TailDiff {
     private var emitted = 0
     private var finished = false
     private var pending: FileBody = _
+    /** True once a read came up short of the digested range. */
+    private[ingest] var truncated = false
+    /** Position after the last byte actually emitted. */
+    private[ingest] def endPos: Long = pos
+    private[ingest] def rangeLen: Long = until - from
     private def advance(): Unit = {
       if (pending != null || finished) return
       if (pos >= until) {
@@ -186,12 +199,17 @@ object TailDiff {
       if (got.length == 0) {
         // source truncated/vanished at pos: stop, keeping the
         // record-per-fetch guarantee
+        truncated = true
         if (emitted == 0) pending = FileBody.empty else finished = true
       } else {
         pending = FileBody(got, pos)
         pos += got.length
-        // a short chunk means EOF: the next advance() sees pos < until,
-        // reads zero bytes, and finishes
+        if (got.length < want) {
+          // readUpTo only returns short on EOF: the source ended early —
+          // finish after this chunk without another probe read
+          truncated = true
+          finished = true
+        }
       }
     }
     override def hasNext: Boolean = { advance(); pending != null }
@@ -204,6 +222,21 @@ object TailDiff {
       out
     }
   }
+
+  /** A chunked tail/diff emission. `chunks` must be drained before
+    * `finalMeta()` is read: on a clean emission it returns the digest
+    * pass's metadata, but when the source was truncated or deleted
+    * between the two passes it returns a SELF-INVALIDATING state row
+    * (size = bytes whose emission is certain, hash = a marker no
+    * sha-256 hex can equal), so the next poll can never prefix-match or
+    * content-match it and must re-fetch + full-dump — the undelivered
+    * suffix is re-delivered instead of silently skipped, preserving
+    * at-least-once even if the file later returns to byte-identical
+    * pass-1 content. */
+  final case class ChunkedEmission(
+      initialMeta: FileMetaData,
+      chunks: Iterator[FileBody],
+      finalMeta: () => FileMetaData)
 
   /** [[handleFetchedFile]] for bodies that must NOT be materialized —
     * the >2 GiB append-log case a 100 TB corpus actually has. Same
@@ -228,20 +261,21 @@ object TailDiff {
     * Truncation between the passes degrades to emitting the bytes
     * actually readable (short final record), and a source deleted
     * between the passes ends the emission — never an exception from a
-    * mid-batch race; the next poll re-detects and repairs. Pass-1
-    * failures (file deleted before the digest read) DO propagate:
-    * the caller decides whether a missing file skips the row.
+    * mid-batch race; `finalMeta()` then self-invalidates the state row
+    * so the next poll re-fetches and full-dumps (see
+    * [[ChunkedEmission]]). Pass-1 failures (file deleted before the
+    * digest read) DO propagate: the caller decides whether a missing
+    * file skips the row.
     *
     * `open` must yield a fresh stream per call. */
   def handleFetchedStreamChunked(
       tail: Boolean,
       prev: Option[FileMetaData],
       path: String,
-      listedSize: Long,
       timestamp: Long,
       open: () => java.io.InputStream,
       now: Long,
-      maxRecordBytes: Int = DefaultMaxRecordBytes): (FileMetaData, Iterator[FileBody]) = {
+      maxRecordBytes: Int = DefaultMaxRecordBytes): ChunkedEmission = {
     require(maxRecordBytes > 0, "maxRecordBytes must be positive")
     val prefixLen = prev.map(_.size).getOrElse(0L)
     // pass 1: full + prefix digests in one read
@@ -266,57 +300,70 @@ object TailDiff {
     }
     val fullHash = fullMd.digest().map("%02x".format(_)).mkString
     val prefixHash = prefixMd.digest().map("%02x".format(_)).mkString
-    // size = actualLen (the bytes the hash describes), NOT listedSize:
-    // the two differ when the file mutates between list and read
+    // size = actualLen (the bytes the hash describes), NOT the listed
+    // size: the two differ when the file mutates between list and read,
+    // and a (listed-size, actual-content-hash) pair would never
+    // prefix-match again — every later poll would full-dump
     val meta = prev match {
       case None => FileMetaData(path, actualLen, timestamp, fullHash, now, now, now)
       case Some(old) => FileMetaData(path, actualLen, timestamp, fullHash,
         old.firstFetched, old.lastModified, now)
     }
-    def emit(from: Long): Iterator[FileBody] =
-      new RangeChunks(open, from, actualLen, maxRecordBytes)
+    def emission(m: FileMetaData, from: Long): ChunkedEmission = {
+      val rc = new RangeChunks(open, from, actualLen, maxRecordBytes)
+      ChunkedEmission(m, rc, () =>
+        if (!rc.truncated) m
+        else m.copy(size = rc.endPos, hash = s"!truncated@${rc.endPos}"))
+    }
+    def silent(m: FileMetaData): ChunkedEmission =
+      ChunkedEmission(m, Iterator.single(FileBody.empty), () => m)
     prev match {
       case Some(p) if p.size != meta.size || p.hash != meta.hash =>
         if (tail) {
           if (meta.size > p.size) {
             if (actualLen >= p.size && p.hash == prefixHash) { // (a)
-              (meta.modifiedAt(now), emit(p.size))
+              emission(meta.modifiedAt(now), p.size)
             } else { // (b) prefix changed / (b') truncated mid-read
-              (meta.modifiedAt(now), emit(0L))
+              emission(meta.modifiedAt(now), 0L)
             }
           } else { // (c) shrunk (or same size, different hash)
-            (meta.modifiedAt(now), Iterator.single(FileBody.empty))
+            silent(meta.modifiedAt(now))
           }
         } else { // (d) update mode
-          (meta.modifiedAt(now), emit(0L))
+          emission(meta.modifiedAt(now), 0L)
         }
       case Some(_) => // (e) content identical
-        (meta, Iterator.single(FileBody.empty))
+        silent(meta)
       case None => // (f) new file
-        (meta.modifiedAt(now), emit(0L))
+        emission(meta.modifiedAt(now), 0L)
     }
   }
 
-  /** Single-record face of [[handleFetchedStreamChunked]] (the
-    * streaming pipeline's record model): fails loudly if the emitted
-    * range cannot fit one in-memory record — the bound is intrinsic to
-    * a single-record model (the reference Int-casts and silently
-    * corrupts instead, FtpMonitor.scala:77,80); batch callers use the
-    * chunked face, which has no such bound. */
+  /** Single-record face of [[handleFetchedStreamChunked]]: fails loudly
+    * — BEFORE reading or allocating anything — if the emitted range
+    * cannot fit one in-memory record; the bound is intrinsic to a
+    * single-record model (the reference Int-casts and silently corrupts
+    * instead, FtpMonitor.scala:77,80). Batch callers use the chunked
+    * face, which has no such bound. */
   def handleFetchedStream(
       tail: Boolean,
       prev: Option[FileMetaData],
       path: String,
-      listedSize: Long,
       timestamp: Long,
       open: () => java.io.InputStream,
       now: Long): (FileMetaData, FileBody) = {
-    val (meta, chunks) = handleFetchedStreamChunked(
-      tail, prev, path, listedSize, timestamp, open, now,
+    val em = handleFetchedStreamChunked(
+      tail, prev, path, timestamp, open, now,
       maxRecordBytes = Int.MaxValue - 8)
-    val first = chunks.next()
-    require(!chunks.hasNext,
+    em.chunks match {
+      case rc: RangeChunks =>
+        require(rc.rangeLen <= Int.MaxValue - 8,
+          s"emitted record exceeds the JVM array bound (${rc.rangeLen} bytes): $path")
+      case _ => ()
+    }
+    val first = em.chunks.next()
+    require(!em.chunks.hasNext,
       s"emitted record exceeds the JVM array bound: $path")
-    (meta, first)
+    (em.finalMeta(), first)
   }
 }

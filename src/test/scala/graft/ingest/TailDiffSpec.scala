@@ -176,7 +176,7 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     digested shouldBe prevSize
     val prev = FileMetaData("/big.log", prevSize, 5L, prevHash, 1L, 1L, 1L)
     val (meta, fb) = TailDiff.handleFetchedStream(tail = true, Some(prev),
-      "/big.log", total, 6L, () => new PatternStream(total, byteAt), now)
+      "/big.log", 6L, () => new PatternStream(total, byteAt), now)
     fb.offset shouldBe prevSize
     fb.bytes.toSeq shouldBe delta.toSeq
     meta.size shouldBe total
@@ -205,8 +205,7 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
       val prev = if (seen) Some(metaOf(b1)) else None
       val arr = TailDiff.handleFetchedFile(tail, prev,
         FetchedFile("/f", b2.length.toLong, 6L, b2), now)
-      val str = TailDiff.handleFetchedStream(tail, prev, "/f",
-        b2.length.toLong, 6L,
+      val str = TailDiff.handleFetchedStream(tail, prev, "/f", 6L,
         () => new java.io.ByteArrayInputStream(b2), now)
       arr._1 == str._1 &&
         arr._2.offset == str._2.offset &&
@@ -220,11 +219,11 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     val full = prevBody ++ delta
     val prev = metaOf(prevBody)
     for (chunk <- Seq(1, 7, 20, 21, 22, 1000)) withClue(s"chunk=$chunk: ") {
-      val (meta, it) = TailDiff.handleFetchedStreamChunked(
-        tail = true, Some(prev), "/f", full.length.toLong, 6L,
+      val em = TailDiff.handleFetchedStreamChunked(
+        tail = true, Some(prev), "/f", 6L,
         () => new java.io.ByteArrayInputStream(full), now, maxRecordBytes = chunk)
-      val bodies = it.toSeq
-      meta.size shouldBe full.length.toLong
+      val bodies = em.chunks.toSeq
+      em.finalMeta().size shouldBe full.length.toLong // clean emission
       bodies.length shouldBe (delta.length + chunk - 1) / chunk
       bodies.head.offset shouldBe prevBody.length.toLong
       bodies.sliding(2).foreach {
@@ -240,16 +239,16 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     // guarantee a record per handled fetch
     val body = "same".getBytes
     val prev = metaOf(body)
-    val (_, itE) = TailDiff.handleFetchedStreamChunked(
-      tail = true, Some(prev), "/f", body.length.toLong, 5L,
+    val emE = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", 5L,
       () => new java.io.ByteArrayInputStream(body), now, maxRecordBytes = 3)
-    itE.toSeq shouldBe Seq(FileBody.empty)
-    val (metaF, itF) = TailDiff.handleFetchedStreamChunked(
-      tail = true, None, "/f", 0L, 5L,
+    emE.chunks.toSeq shouldBe Seq(FileBody.empty)
+    val emF = TailDiff.handleFetchedStreamChunked(
+      tail = true, None, "/f", 5L,
       () => new java.io.ByteArrayInputStream(Array.emptyByteArray), now,
       maxRecordBytes = 3)
-    metaF.size shouldBe 0L
-    val recs = itF.toSeq
+    emF.initialMeta.size shouldBe 0L
+    val recs = emF.chunks.toSeq
     recs.length shouldBe 1
     recs.head.bytes shouldBe empty
   }
@@ -266,13 +265,21 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
       if (opens == 1) new java.io.ByteArrayInputStream(full)
       else new java.io.ByteArrayInputStream(full.take(17))
     }
-    val (meta, it) = TailDiff.handleFetchedStreamChunked(
-      tail = true, Some(prev), "/f", full.length.toLong, 6L,
+    val em = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", 6L,
       () => open(), now, maxRecordBytes = 4)
-    meta.size shouldBe 30L // pass-1 digest state
-    val bodies = it.toSeq
+    em.initialMeta.size shouldBe 30L // pass-1 digest state
+    val bodies = em.chunks.toSeq
     bodies.head.offset shouldBe 10L
     bodies.flatMap(_.bytes).toArray shouldBe full.slice(10, 17)
+    // the PUBLISHED state row self-invalidates: size covers only the
+    // bytes whose emission is certain, and the hash marker can never
+    // match a sha-256 — the next poll must re-fetch and full-dump, so
+    // the undelivered suffix is re-delivered even if the file returns
+    // to byte-identical pass-1 content (at-least-once preserved)
+    val fin = em.finalMeta()
+    fin.size shouldBe 17L
+    fin.hash shouldBe "!truncated@17"
   }
 
   test("source deleted between passes ends emission without an exception") {
@@ -285,11 +292,13 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
       if (opens == 1) new java.io.ByteArrayInputStream(full)
       else throw new java.io.FileNotFoundException("/f")
     }
-    val (_, it) = TailDiff.handleFetchedStreamChunked(
-      tail = true, Some(prev), "/f", full.length.toLong, 6L,
+    val em = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", 6L,
       () => open(), now, maxRecordBytes = 4)
     // the record-per-fetch guarantee holds even when nothing is readable
-    it.toSeq shouldBe Seq(FileBody.empty)
+    em.chunks.toSeq shouldBe Seq(FileBody.empty)
+    // and the state row self-invalidates at the emission start
+    em.finalMeta().hash shouldBe "!truncated@10"
   }
 
   test("single-record face fails loudly only past the array bound semantics") {
@@ -300,7 +309,7 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     val full = prevBody ++ delta
     val prev = metaOf(prevBody)
     val (_, fb) = TailDiff.handleFetchedStream(
-      tail = true, Some(prev), "/f", full.length.toLong, 6L,
+      tail = true, Some(prev), "/f", 6L,
       () => new java.io.ByteArrayInputStream(full), now)
     fb.offset shouldBe 10L
     fb.bytes shouldBe delta
