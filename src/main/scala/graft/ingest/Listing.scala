@@ -208,15 +208,30 @@ object Listing {
             // skip it like a deleted file (retry next poll)
             if (!st.isFile) Iterator.empty
             else {
+              // the cap is enforced on the bytes actually read, not
+              // just the pre-read stat: a file that grows past the cap
+              // (or the JVM array bound) between getFileStatus and the
+              // read must fall back to the streaming path instead of
+              // buffering unboundedly. Reading cap+1 detects overflow
+              // without materializing the overage.
+              val cap = math.min(inlineBodyMax, (Int.MaxValue - 16).toLong)
               val body: Array[Byte] =
-                if (st.getLen > inlineBodyMax) null
+                if (st.getLen > cap) null
                 else {
                   val out = new java.io.ByteArrayOutputStream(
                     math.max(math.min(st.getLen, 1L << 20).toInt, 64))
                   val in = fs.open(p)
-                  try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-                  finally in.close()
-                  out.toByteArray
+                  try {
+                    val buf = new Array[Byte](64 * 1024)
+                    var total = 0L
+                    var done = false
+                    while (!done && total <= cap) {
+                      val n = in.read(buf)
+                      if (n < 0) done = true
+                      else { out.write(buf, 0, n); total += n }
+                    }
+                    if (total > cap) null else out.toByteArray
+                  } finally in.close()
                 }
               // size = the bytes the body (and its hash) actually
               // holds, not the pre-read stat: a file appended between
@@ -231,8 +246,11 @@ object Listing {
                 (p.toUri.getPath, uri, size, st.getModificationTime, body))
             }
           } catch {
-            // a Spark task kill must still kill the task
+            // a Spark task kill must still kill the task (NIO interrupt
+            // surfaces as ClosedByInterrupt, an IOException that is not
+            // an InterruptedIOException)
             case e: java.io.InterruptedIOException => throw e
+            case e: java.nio.channels.ClosedByInterruptException => throw e
             // deleted/replaced/unreadable between list and fetch: one
             // file's race (or bad permissions) must not fail the whole
             // fetch job — the retry-next-poll posture (FNF is an

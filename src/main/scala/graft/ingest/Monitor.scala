@@ -38,9 +38,11 @@ object Monitor {
   /** One poll over all monitored paths. `inlineBodyMax` caps the
     * per-file in-memory body (see [[Listing.fetch]]): larger files run
     * the streaming tail/diff ([[TailDiff.handleFetchedStreamChunked]]),
-    * so a multi-GiB append log costs two streamed passes and only one
-    * `maxRecordBytes`-bounded chunk of its delta in memory at a time —
-    * an oversized delta emits as N records with advancing offsets. */
+    * so a multi-GiB append log costs two streamed passes and at most
+    * TWO `maxRecordBytes`-bounded chunks of its delta in memory at a
+    * time (the wrapper looks one chunk ahead to attach the state row
+    * to the last record) — an oversized delta emits as N records with
+    * advancing offsets. */
   def poll(
       spark: SparkSession,
       dirs: Seq[MonitoredPath],
@@ -140,8 +142,11 @@ object Monitor {
               }
             }
           } catch {
-            // a Spark task kill must still kill the task
+            // a Spark task kill must still kill the task (NIO interrupt
+            // surfaces as ClosedByInterrupt, an IOException that is not
+            // an InterruptedIOException)
             case e: java.io.InterruptedIOException => throw e
+            case e: java.nio.channels.ClosedByInterruptException => throw e
             // deleted/replaced/unreadable between the fetch stat and
             // the digest pass: skip the row — retry next poll, the
             // inline path's posture (Listing.fetch has the same
@@ -159,10 +164,20 @@ object Monitor {
 
     val records = handled.map(_._2)
     // one meta per (path, spec) — the inline path emits it on its one
-    // row, the chunked path on its LAST row; a multi-spec path yields
-    // one per spec (identical values), deduped for the
-    // single-row-per-path state invariant
-    val newMetas = handled.flatMap(_._1).dropDuplicates("path").as[FileMetaData]
+    // row, the chunked path on its LAST row. A multi-spec path yields
+    // one per spec; under a mid-poll mutation the per-spec STREAMING
+    // runs can disagree (each digests independently — one truncated,
+    // one clean), so the reduction to the single-row-per-path state
+    // invariant must be deterministic AND conservative: keep the
+    // smallest (size, hash) row. Smaller size = fewer bytes claimed
+    // delivered = the next poll re-fetches and re-delivers for every
+    // spec (at-least-once); an arbitrary dropDuplicates could keep a
+    // clean larger row and permanently skip another topic's suffix.
+    val newMetas = handled.flatMap(_._1)
+      .groupByKey(_.path)
+      .reduceGroups((a, b) =>
+        if (a.size < b.size || (a.size == b.size && a.hash <= b.hash)) a else b)
+      .map(_._2)
 
     // 5. state upsert: keep untouched rows, replace refreshed ones
     val untouched = state.join(newMetas.toDF().select($"path"), Seq("path"), "left_anti")

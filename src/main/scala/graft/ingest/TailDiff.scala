@@ -62,6 +62,12 @@ object TailDiff {
       now: Long): (FileMetaData, FileBody) = {
     val meta = metaAfterFetch(cur, prev, now)
     prev match {
+      // a state row self-invalidated by a truncated STREAMING emission
+      // (see [[ChunkedEmission]]) matches nothing: full re-dump, even
+      // when the file shrank to (or below) the previously emitted
+      // length — case (c) would otherwise skip the never-delivered base
+      case Some(p) if p.hash.startsWith(TruncatedMarkerPrefix) =>
+        (meta.modifiedAt(now), FileBody(cur.body, 0))
       case Some(p) if p.size != meta.size || p.hash != meta.hash =>
         if (tail) {
           if (meta.size > p.size) {
@@ -157,8 +163,11 @@ object TailDiff {
         }
       } finally in.close()
     } catch {
-      // a Spark task kill must still kill the task
+      // a Spark task kill must still kill the task (an interrupt on an
+      // NIO-channel-backed stream surfaces as ClosedByInterrupt, which
+      // is an IOException but NOT an InterruptedIOException)
       case e: java.io.InterruptedIOException => throw e
+      case e: java.nio.channels.ClosedByInterruptException => throw e
       // vanished or unreadable between the digest pass and this read:
       // treated as truncation-at-pos — the caller's finalMeta
       // self-invalidates the state row so the next poll re-fetches
@@ -187,7 +196,6 @@ object TailDiff {
     private[ingest] var truncated = false
     /** Position after the last byte actually emitted. */
     private[ingest] def endPos: Long = pos
-    private[ingest] def rangeLen: Long = until - from
     private def advance(): Unit = {
       if (pending != null || finished) return
       if (pos >= until) {
@@ -223,20 +231,30 @@ object TailDiff {
     }
   }
 
+  /** Prefix of the self-invalidating state-row hash written when an
+    * emission was truncated (see [[ChunkedEmission]]). Both tail/diff
+    * faces treat a previous hash with this prefix as never-matchable:
+    * the whole current content full-dumps, whatever the sizes say. */
+  private[ingest] val TruncatedMarkerPrefix = "!truncated@"
+
   /** A chunked tail/diff emission. `chunks` must be drained before
     * `finalMeta()` is read: on a clean emission it returns the digest
     * pass's metadata, but when the source was truncated or deleted
     * between the two passes it returns a SELF-INVALIDATING state row
-    * (size = bytes whose emission is certain, hash = a marker no
-    * sha-256 hex can equal), so the next poll can never prefix-match or
-    * content-match it and must re-fetch + full-dump — the undelivered
-    * suffix is re-delivered instead of silently skipped, preserving
-    * at-least-once even if the file later returns to byte-identical
-    * pass-1 content. */
+    * (size = bytes whose emission is certain, hash = a
+    * [[TruncatedMarkerPrefix]] marker no sha-256 hex can equal), so
+    * the next poll's handlers full-dump unconditionally — the
+    * undelivered suffix is re-delivered instead of silently skipped,
+    * preserving at-least-once even if the file returns to
+    * byte-identical pass-1 content or shrinks to the emitted length.
+    * `rangeLen` is the emission range's width in bytes (0 for the
+    * empty-body cases) — the single-record face checks it BEFORE
+    * reading anything. */
   final case class ChunkedEmission(
       initialMeta: FileMetaData,
       chunks: Iterator[FileBody],
-      finalMeta: () => FileMetaData)
+      finalMeta: () => FileMetaData,
+      rangeLen: Long)
 
   /** [[handleFetchedFile]] for bodies that must NOT be materialized —
     * the >2 GiB append-log case a 100 TB corpus actually has. Same
@@ -313,11 +331,19 @@ object TailDiff {
       val rc = new RangeChunks(open, from, actualLen, maxRecordBytes)
       ChunkedEmission(m, rc, () =>
         if (!rc.truncated) m
-        else m.copy(size = rc.endPos, hash = s"!truncated@${rc.endPos}"))
+        else m.copy(size = rc.endPos,
+          hash = s"$TruncatedMarkerPrefix${rc.endPos}"),
+        actualLen - from)
     }
     def silent(m: FileMetaData): ChunkedEmission =
-      ChunkedEmission(m, Iterator.single(FileBody.empty), () => m)
+      ChunkedEmission(m, Iterator.single(FileBody.empty), () => m, 0L)
     prev match {
+      // a self-invalidated state row matches nothing: full re-dump,
+      // whatever the size comparison says — the bytes it covers were
+      // never confirmed delivered (a shrink to exactly the emitted
+      // length would otherwise slip through case (c) silently)
+      case Some(p) if p.hash.startsWith(TruncatedMarkerPrefix) =>
+        emission(meta.modifiedAt(now), 0L)
       case Some(p) if p.size != meta.size || p.hash != meta.hash =>
         if (tail) {
           if (meta.size > p.size) {
@@ -355,15 +381,11 @@ object TailDiff {
     val em = handleFetchedStreamChunked(
       tail, prev, path, timestamp, open, now,
       maxRecordBytes = Int.MaxValue - 8)
-    em.chunks match {
-      case rc: RangeChunks =>
-        require(rc.rangeLen <= Int.MaxValue - 8,
-          s"emitted record exceeds the JVM array bound (${rc.rangeLen} bytes): $path")
-      case _ => ()
-    }
+    require(em.rangeLen <= Int.MaxValue - 8,
+      s"emitted record exceeds the JVM array bound (${em.rangeLen} bytes): $path")
     val first = em.chunks.next()
-    require(!em.chunks.hasNext,
-      s"emitted record exceeds the JVM array bound: $path")
+    // rangeLen <= maxRecordBytes guarantees a single chunk
+    em.chunks.foreach(_ => ())
     (em.finalMeta(), first)
   }
 }

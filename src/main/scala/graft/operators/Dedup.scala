@@ -183,7 +183,8 @@ object Dedup extends QueryPack {
       docs: DataFrame,
       nBands: Int,
       rowsPerBand: Int,
-      tau: Double): DataFrame = {
+      tau: Double,
+      keepCand: Option[(Column, Column) => Column] = None): DataFrame = {
     import s.implicits._
     require(nBands * rowsPerBand <= 16, "only 16 minhash permutations exist")
     val sh = docs.select($"doc_id", explode($"fps").as("fp"))
@@ -200,8 +201,14 @@ object Dedup extends QueryPack {
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     // skew-bounded band join: plain equality self-join until a bucket
     // exceeds the cap, then intra-bucket block-pair scheduling
-    val cand = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"))
+    val candAll = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"))
       .select($"id1".as("doc1"), $"id2".as("doc2"))
+    // `keepCand` prunes candidate pairs BEFORE the exact-Jaccard
+    // verify — the verify (fingerprint-array intersection) dominates
+    // the pipeline, so a caller that only consumes a subset of pairs
+    // (e.g. incremental dedup discarding state-state pairs) must not
+    // pay for the rest
+    val cand = keepCand.fold(candAll)(f => candAll.filter(f($"doc1", $"doc2")))
     val sets = docs.select($"doc_id", $"fps")
     cand
       .join(sets.select($"doc_id".as("doc1"), $"fps".as("f1")), Seq("doc1"))
@@ -701,9 +708,14 @@ object Dedup extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val docs = shingleFps(s, d)
-        // duplicate-grade pairs over the whole corpus; doc1 < doc2
+        // duplicate-grade pairs over the corpus (doc1 < doc2) — but
+        // state-state pairs can never block anything, so they're pruned
+        // BEFORE the exact-Jaccard verify (with a 3:1 state:increment
+        // split that drops ~9/16 of the verify work)
         val pairs = minhashLshPairs(s, docs, nBands = 8, rowsPerBand = 2,
-          tau = 0.9).select($"doc1", $"doc2").localCheckpoint(true)
+          tau = 0.9,
+          keepCand = Some((d1, d2) => d1 % 4 >= 3 || d2 % 4 >= 3))
+          .select($"doc1", $"doc2").localCheckpoint(true)
         val inc = docs.select($"doc_id").filter($"doc_id" % 4 >= 3)
         // an increment doc is blocked by ANY pair partner that is state,
         // or any smaller-id increment partner (doc1 < doc2 makes doc1

@@ -301,6 +301,27 @@ class TailDiffSpec extends AnyFunSuite with Matchers {
     em.finalMeta().hash shouldBe "!truncated@10"
   }
 
+  test("a self-invalidated state row forces a full dump in both faces") {
+    // state written by a truncated streaming emission; the file then
+    // shrinks to exactly the emitted length with DIFFERENT content —
+    // size-based case (c) would silently skip the never-delivered base
+    val prev = FileMetaData("/f", 17L, 5L, "!truncated@17", 1L, 1L, 1L)
+    val body = "seventeen-bytes!!".getBytes
+    body.length shouldBe 17
+    val (m1, fb1) = TailDiff.handleFetchedFile(
+      tail = true, Some(prev), fetched("/f", body, 6L), now)
+    fb1.offset shouldBe 0L
+    fb1.bytes shouldBe body
+    m1.hash should not startWith "!truncated"
+    val em = TailDiff.handleFetchedStreamChunked(
+      tail = true, Some(prev), "/f", 6L,
+      () => new java.io.ByteArrayInputStream(body), now, maxRecordBytes = 1000)
+    val bodies = em.chunks.toSeq
+    bodies.head.offset shouldBe 0L
+    bodies.flatMap(_.bytes).toArray shouldBe body
+    em.finalMeta().hash should not startWith "!truncated"
+  }
+
   test("single-record face fails loudly only past the array bound semantics") {
     // a normal emission returns one record identical to the chunked
     // face's concatenation
