@@ -301,6 +301,42 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     byTopic("full").offset shouldBe 0L
   }
 
+  test("multi-spec path through the STREAMING branch: both topics, one state row, chunked") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-multispec-stream")
+    val dirs = Seq(
+      MonitoredPath(s"$root/d/", tail = true, topic = "raw"),
+      MonitoredPath(s"$root/d/", tail = false, topic = "full"))
+    // inlineBodyMax=0 forces every body through the chunked streaming
+    // tail/diff; maxRecordBytes=7 forces multi-record emission — the
+    // conservative smallest-(size, hash) state reduce must still
+    // produce exactly one row per path from the two specs' last-chunk
+    // metas
+    applyChanges(root, Seq("/d/f" -> Update(s1)))
+    val p1 = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData],
+      nowMs = 1L, inlineBodyMax = 0L, maxRecordBytes = 7)
+    val r1 = p1.records.collect()
+    r1.map(_.topic).distinct.sorted.toSeq shouldBe Seq("full", "raw")
+    // each topic's chunked records reconstruct the file
+    for (t <- Seq("raw", "full")) withClue(t) {
+      r1.filter(_.topic == t).sortBy(_.offset).flatMap(_.value).toSeq shouldBe s1.toSeq
+    }
+    val st1 = p1.newState.collect()
+    st1.length shouldBe 1
+    st1.head.size shouldBe s1.length.toLong
+    // append: tail spec emits chunked delta, update spec chunked whole
+    applyChanges(root, Seq("/d/f" -> Append(s3)))
+    val p2 = Monitor.poll(spark, dirs, p1.newState,
+      nowMs = 2L, inlineBodyMax = 0L, maxRecordBytes = 7)
+    val r2 = p2.records.collect()
+    r2.filter(_.topic == "raw").sortBy(_.offset)
+      .flatMap(_.value).toSeq shouldBe s3.toSeq
+    r2.filter(_.topic == "raw").map(_.offset).min shouldBe s1.length.toLong
+    r2.filter(_.topic == "full").sortBy(_.offset)
+      .flatMap(_.value).toSeq shouldBe (s1 ++ s3).toSeq
+    p2.newState.collect().length shouldBe 1
+  }
+
   test("kafka frame shaping: both key styles, empty bodies dropped") {
     import spark.implicits._
     val recs = Seq(
