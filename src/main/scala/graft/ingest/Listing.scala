@@ -185,10 +185,16 @@ object Listing {
     * ~1 GiB per-core executor memory slice with operator headroom. */
   val DefaultInlineBodyMax: Long = 256L << 20
 
+  /** `skipped` (when given) counts files dropped by the per-file
+    * IOException catch below — a permanently unreadable file (e.g.
+    * bad permissions) is otherwise skipped on EVERY poll with only an
+    * executor-stderr line to show for it; the accumulator makes the
+    * condition observable from the driver (see Monitor.PollOutput). */
   def fetch(
       spark: SparkSession,
       files: DataFrame,
-      inlineBodyMax: Long = DefaultInlineBodyMax): DataFrame = {
+      inlineBodyMax: Long = DefaultInlineBodyMax,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -226,7 +232,10 @@ object Listing {
                     var total = 0L
                     var done = false
                     while (!done && total <= cap) {
-                      val n = in.read(buf)
+                      // clamp to cap+1-total so the transient buffer
+                      // never exceeds the cap by more than one byte
+                      val want = math.min(buf.length.toLong, cap + 1 - total).toInt
+                      val n = in.read(buf, 0, want)
                       if (n < 0) done = true
                       else { out.write(buf, 0, n); total += n }
                     }
@@ -259,6 +268,7 @@ object Listing {
             case e: java.io.IOException =>
               System.err.println(
                 s"[graft.fetch] skipping unreadable $uri (retry next poll): $e")
+              skipped.foreach(_.add(1L))
               Iterator.empty
           }
         }

@@ -29,11 +29,19 @@ object Monitor {
   /** `cleanup` releases the poll's cached intermediate — call it once
     * `records` and `newState` have both been materialized (collected or
     * written); a long-running poll loop that never cleans up leaks one
-    * cached dataset of file bodies per poll. */
+    * cached dataset of file bodies per poll.
+    *
+    * `skippedFiles` reads the poll's skipped-file accumulator (files
+    * dropped by the per-file unreadable-IOException catch in
+    * Listing.fetch or the chunked digest path) — meaningful only AFTER
+    * `records`/`newState` have been materialized. A nonzero count that
+    * persists across polls means a permanently unreadable file is being
+    * silently re-skipped every poll; callers should alert on it. */
   final case class PollOutput(
       records: Dataset[FileChangeRecord],
       newState: Dataset[FileMetaData],
-      cleanup: () => Unit = () => ())
+      cleanup: () => Unit = () => (),
+      skippedFiles: () => Long = () => 0L)
 
   /** One poll over all monitored paths. `inlineBodyMax` caps the
     * per-file in-memory body (see [[Listing.fetch]]): larger files run
@@ -104,7 +112,10 @@ object Monitor {
     //    Bodies over inlineBodyMax arrive null and stream through the
     //    digest-based tail/diff instead (the executor task opens the
     //    file itself, resolved per uri with the broadcast conf).
-    val fetched = Listing.fetch(spark, toFetch.select($"uri"), inlineBodyMax)
+    val skippedAcc =
+      spark.sparkContext.longAccumulator("graft.poll.skippedFiles")
+    val fetched =
+      Listing.fetch(spark, toFetch.select($"uri"), inlineBodyMax, Some(skippedAcc))
       .join(modeDf, Seq("path"))
       .join(state.toDF().select($"path",
         struct(state.columns.map(col): _*).as("prev")), Seq("path"), "left_outer")
@@ -156,6 +167,7 @@ object Monitor {
             case e: java.io.IOException =>
               System.err.println(
                 s"[graft.poll] skipping unreadable $path (retry next poll): $e")
+              skippedAcc.add(1L)
               Iterator.empty
           }
         }
@@ -182,7 +194,8 @@ object Monitor {
     // 5. state upsert: keep untouched rows, replace refreshed ones
     val untouched = state.join(newMetas.toDF().select($"path"), Seq("path"), "left_anti")
       .as[FileMetaData]
-    PollOutput(records, untouched.union(newMetas), () => { handled.unpersist(); () })
+    PollOutput(records, untouched.union(newMetas),
+      () => { handled.unpersist(); () }, () => skippedAcc.value)
   }
 
   /** Convenience: poll with parquet-persisted state (the batch analog of

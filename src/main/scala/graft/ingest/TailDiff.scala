@@ -206,9 +206,14 @@ object TailDiff {
       val got = readUpTo(open, pos, want)
       if (got.length == 0) {
         // source truncated/vanished at pos: stop, keeping the
-        // record-per-fetch guarantee
+        // record-per-fetch guarantee. `finished` is set even when the
+        // guarantee record is still pending — otherwise the next
+        // hasNext would re-open and re-read the source, and a
+        // reappeared file would emit extra chunks under a permanently
+        // raised `truncated` flag.
         truncated = true
-        if (emitted == 0) pending = FileBody.empty else finished = true
+        finished = true
+        if (emitted == 0) pending = FileBody.empty
       } else {
         pending = FileBody(got, pos)
         pos += got.length

@@ -337,6 +337,23 @@ class IngestE2ESpec extends AnyFunSuite with Matchers {
     p2.newState.collect().length shouldBe 1
   }
 
+  test("a file vanishing before fetch is skipped AND counted in skippedFiles") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-skipcount")
+    val dirs = Seq(MonitoredPath(s"$root/in/", tail = false, topic = "t"))
+    applyChanges(root, Seq("/in/keep.csv" -> Update(s1), "/in/gone.csv" -> Update(s2)))
+    // the change-set metadata is materialized inside poll() (localCheckpoint),
+    // but the fetch runs when records are first consumed — deleting here
+    // lands deterministically between list and fetch
+    val out = Monitor.poll(spark, dirs, spark.emptyDataset[FileMetaData], nowMs = 1L)
+    Files.delete(root.resolve("in/gone.csv"))
+    val got = out.records.collect()
+    got.map(_.path.split('/').last).toSeq shouldBe Seq("keep.csv")
+    out.skippedFiles() shouldBe 1L
+    // the vanished file never reaches state: the next poll re-detects it
+    out.newState.collect().map(_.path.split('/').last).toSeq shouldBe Seq("keep.csv")
+  }
+
   test("kafka frame shaping: both key styles, empty bodies dropped") {
     import spark.implicits._
     val recs = Seq(
