@@ -51,6 +51,39 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("PQ ADC search over codes bucketed by vec_id: zero shuffle exchanges") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    try {
+      val (codes, books) = Similarity.pqPersistedModel(spark, sf)
+      Bucketing.writeBucketed(codes, "b_pq_codes", "vec_id", 4)
+      val lut = Similarity.pqQueryLut(spark, sf, books)
+
+      // bucketed codes: the (query_id, vec_id) aggregation inherits the
+      // scan's vec_id partitioning (a subset of the grouping key), so
+      // the WHOLE distance computation is exchange-free — at 10^9
+      // vectors this shuffle is the search cost
+      val bucketed = Similarity.pqAdcDistances(spark.table("b_pq_codes"), lut)
+      val bp = bucketed.queryExecution.executedPlan.toString
+      bp should include("BroadcastHashJoin")
+      "Exchange hashpartitioning".r.findAllIn(bp).size shouldBe 0
+      bp should not include "ShuffleExchange"
+
+      // the plain parquet artifact pays exactly that one exchange
+      val plain = Similarity.pqAdcDistances(codes, lut)
+      "Exchange hashpartitioning".r
+        .findAllIn(plain.queryExecution.executedPlan.toString).size shouldBe 1
+
+      // identical distances either way
+      val key = (r: org.apache.spark.sql.Row) => r.toString
+      bucketed.orderBy(col("query_id"), col("vec_id")).collect().map(key) shouldBe
+        plain.orderBy(col("query_id"), col("vec_id")).collect().map(key)
+      bucketed.count() should be > 0L
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_pq_codes")
+    }
+  }
+
   test("bucketed fact-fact join eliminates both shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
     // force a real sort-merge join (no broadcast shortcut at this SF)

@@ -215,6 +215,16 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     "Scan parquet".r.findAllIn(p).size shouldBe 0
   }
 
+  test("PQ artifact search reads codes, not embeddings: query-side scan is vec_id-pushed") {
+    val p = formattedPlan("sim_ann_pq_search")
+    // search-only: no SortMergeJoin (the LUT rides a broadcast), and
+    // the ONLY embeddings scan is the 5 query vectors — its pushdown
+    // must reach parquet; the candidates come from the codes artifact
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]")
+  }
+
   test("exact top-k and kNN rank via the bounded-buffer aggregator — no full-candidate window") {
     // the window form would sort O(candidates) rows in one task per
     // query partition; the aggregator path must show a (partial)
