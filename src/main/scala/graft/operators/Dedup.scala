@@ -1051,6 +1051,51 @@ object Dedup extends QueryPack {
       },
       oracle = Some(embeddingAnnPairsSql)),
 
+    // ── SEMANTIC dedup (the SemDeDup shape): cluster, prune in-cluster ──
+    // The modern corpus-dedup operator for meaning-level duplicates:
+    // k-means the embeddings (the SAME oracle-unrolled IVF build as
+    // sim_ann_ivf — deterministic seeds, 3 decimal-exact Lloyd rounds),
+    // then find cosine near-dups ONLY within a cluster and keep one
+    // exemplar per duplicate: a vector is pruned iff some same-cluster
+    // partner with a smaller id matches at τ, and its reported leader
+    // is the smallest such partner. Never all-pairs: the cells bound
+    // WHAT compares (O(n²/k) instead of O(n²), k grows with the
+    // corpus), and the per-cell block-pair schedule bounds WHERE it
+    // runs (each (cell, b1, b2) task gets a bounded slice — the
+    // dedup_embedding_blocked plan with the cell key prepended, so no
+    // single task ever holds a whole cell's quadratic work).
+    // FULLY value-checked: the oracle unrolls the k-means build
+    // (shared ivfBuildCtes) AND the in-cluster prune, so cells,
+    // pair set, leaders, and cosines are all engine-reproduced.
+    "dedup_semantic" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val a = Similarity.ivfAssignedFor(s, d)
+          .select($"vec_id", $"centroid_id", $"emb")
+        val nBlocks = math.max(2, math.ceil(math.sqrt(
+          2.0 * s.sparkContext.defaultParallelism / 8.0)).toInt)
+        val e = a.withColumn("blk", pmod($"vec_id", lit(nBlocks)).cast(IntegerType))
+        val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+          yield (i, j)).toDF("b1", "b2")
+        val left = e.select($"centroid_id", $"blk".as("b1"),
+          $"vec_id".as("va"), $"emb".as("ea"))
+          .join(broadcast(blockPairs), Seq("b1"))
+        val right = e.select($"centroid_id", $"blk".as("b2"),
+          $"vec_id".as("vb"), $"emb".as("eb"))
+          .join(broadcast(blockPairs), Seq("b2"))
+        left.join(right, Seq("centroid_id", "b1", "b2"))
+          .filter($"b1" =!= $"b2" || $"va" < $"vb")
+          .withColumn("cos", round(VectorFunctions.cosine($"ea", $"eb"), 9))
+          .filter($"cos" >= 0.35)
+          .select($"centroid_id",
+            least($"va", $"vb").as("pa"), greatest($"va", $"vb").as("pb"), $"cos")
+          .groupBy($"pb", $"centroid_id")
+          .agg(min($"pa").as("leader"), max($"cos").as("best_cos"))
+          .select($"pb".as("vec_id"), $"centroid_id", $"leader", $"best_cos")
+          .orderBy($"vec_id")
+      },
+      oracle = Some(semanticDedupSql)),
+
     // ── dedup-index recall evaluation, oracle-checked ──
     // The two approximate dedup pipelines (dedup_minhash_pairs at its
     // weak τ, dedup_embedding_ann_pairs) are value-checked above; this
@@ -1237,6 +1282,28 @@ object Dedup extends QueryPack {
               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               >= 0.05
         ORDER BY doc1, doc2"""
+
+  /** Self-contained value oracle for `dedup_semantic`: the shared IVF
+    * k-means build ([[Similarity.ivfBuildCtes]] — seeds, 3 Lloyd
+    * rounds, final assignment) plus the in-cluster cosine pair scan
+    * and the greedy smallest-partner prune. */
+  private lazy val semanticDedupSql: String = s"""
+        ${Similarity.ivfBuildCtes},
+        sp AS (
+          SELECT a.centroid_id, a.vec_id AS pa, b.vec_id AS pb,
+            round(
+              list_sum(list_transform(generate_series(1, len(a.emb)),
+                i -> a.emb[i] * b.emb[i])) /
+              (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 9) AS cos
+          FROM fin a JOIN fin b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+        SELECT pb AS vec_id, centroid_id,
+               MIN(pa) AS leader, MAX(cos) AS best_cos
+        FROM sp
+        WHERE cos >= 0.35
+        GROUP BY pb, centroid_id
+        ORDER BY vec_id"""
 
   /** Shared oracle of `dedup_embedding_cosine` and its block-partitioned
     * twin — identical SQL for both is the equality proof. */

@@ -50,7 +50,98 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** dHash-style perceptual sketch of a payload: resample to 61 units
+    * (position of unit b = floor(b·(len−1)/60)+1 — always in range,
+    * length-proportional like an image resize), then one bit per
+    * adjacent comparison: bit b = unit b > unit b+1. 60 bits so the
+    * hamming banding uses the same pigeonhole mechanism as simhash's.
+    * Map-only codegen'd HOF arithmetic; a codec-backed deployment
+    * swaps the unit extractor (pixel luma, audio RMS frame) and keeps
+    * everything downstream. Input must carry (doc_id, text). */
+  private[operators] def phashSketch(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(length($"text") > 0)
+      .withColumn("u", expr(
+        """transform(sequence(0, 60),
+             b -> ascii(substring(text, b * (length(text) - 1) div 60 + 1, 1)))"""))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 59), 0L,
+             (acc, b) -> acc + CASE
+               WHEN element_at(u, b + 1) > element_at(u, b + 2)
+               THEN shiftleft(1L, b) ELSE 0L END)"""))
+      .select($"doc_id", $"phash")
+  }
+
+  /** Perceptual near-dup pairs over [[phashSketch]]: hamming ≤ 13 over
+    * 60 bits ⇒ at least one of 14 disjoint segments identical
+    * (pigeonhole), so candidates come from an equality join on
+    * (segment-index, segment-value) through the skew-bounded pair
+    * primitive — the dedup_simhash_pairs_banded machinery applied to
+    * payload sketches; sketches ride the pair primitive's carry so
+    * verification is a projection, not a re-join. The gate is wider
+    * than simhash's ≤8 because edits that change payload LENGTH shift
+    * the resample grid (genuine fixture near-dups land at hamming
+    * 12-13 while unrelated payloads sit at binomial(60, 1/2) ≈ 30 ±4 —
+    * still >4σ of separation); the narrower 4-5-bit segments cost more
+    * candidates per band, which the bounded pair primitive schedules. */
+  private[operators] def phashPairs(docs: DataFrame): DataFrame = {
+    val sk = phashSketch(docs).localCheckpoint(true) // both band-join sides
+    val widths = Seq(5, 5, 5, 5, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4) // 14 segs, 60 bits
+    val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
+    val segs = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
+      struct(lit(i).as("band"),
+        shiftright(col("phash"), off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
+    }
+    val bands = sk
+      .select(col("doc_id"), col("phash"), explode(array(segs: _*)).as("bs"))
+      .select(col("doc_id"), col("phash"),
+        col("bs.band").as("band"), col("bs.seg").as("seg"))
+    Dedup.boundedBucketPairs(bands, "doc_id", Seq("band", "seg"),
+        carry = Seq("phash"))
+      .withColumn("hamming",
+        bit_count(col("phash1").bitwiseXOR(col("phash2"))))
+      .filter(col("hamming") <= 13)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"),
+        col("hamming").cast(LongType).as("hamming"))
+  }
+
   override val queries: Map[String, QueryDef] = Map(
+
+    // ── perceptual near-dup pairs over payload sketches ──
+    // The near-dup face of the multimodal pack: exact meta/frame/hist
+    // ops exist above, this finds payloads that are ALMOST the same
+    // bytes — the resized-thumbnail / re-encoded-audio duplicate class.
+    // FULLY value-checked: the resample + bit arithmetic unrolls into
+    // the oracle, and DuckDB finds pairs by quadratic scan while Spark
+    // uses the banded pigeonhole join — mechanism equality every round.
+    "mm_phash_neardup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        phashPairs(Tables.documents(s, d).select($"doc_id", $"text"))
+          .orderBy($"doc1", $"doc2")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        u AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 60),
+              b -> unicode(substr(text, b * (length(text) - 1) // 60 + 1, 1)))
+              AS u
+          FROM p),
+        sk AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(generate_series(0, 59),
+              b -> CASE WHEN u[b + 1] > u[b + 2]
+                   THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+              AS phash
+          FROM u)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 13
+        ORDER BY doc1, doc2""")),
 
     // ── binary payload + metadata extraction (SQL-expressible half) ──
     "mm_meta_extract" -> QueryDef(

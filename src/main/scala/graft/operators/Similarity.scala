@@ -490,9 +490,17 @@ object Similarity extends QueryPack {
         WHERE rnk <= 5
         ORDER BY query_id, rnk"""
 
+  /** The IVF cell assignment over `d`'s embeddings — exposed to the
+    * dedup pack: SemDeDup-style semantic dedup clusters with exactly
+    * this build so its oracle shares [[ivfBuildCtes]] and the k-means
+    * mechanism stays value-checked in one place. */
+  private[operators] def ivfAssignedFor(s: SparkSession, d: String): DataFrame =
+    ivfAssignment(s, embCheckpointed(s, d))
+
   /** The k-means build as a CTE chain ending in `fin` (assignments) and
-    * `c3` (final centroids) — the shared prefix of both IVF oracles. */
-  private lazy val ivfBuildCtes: String = {
+    * `c3` (final centroids) — the shared prefix of both IVF oracles
+    * (and of `dedup_semantic`'s, via [[ivfAssignedFor]]). */
+  private[operators] lazy val ivfBuildCtes: String = {
     def assign(a: String, c: String): String = s"""
         $a AS (
           SELECT vec_id, emb, centroid_id FROM (

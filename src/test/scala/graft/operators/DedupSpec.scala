@@ -85,6 +85,29 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("semantic dedup prunes exactly the in-cluster exact-cosine duplicates") {
+    import spark.implicits._
+    val sem = rowsOf("dedup_semantic") // (vec_id, centroid_id, leader, best_cos)
+    sem should not be empty
+    // independent recompute: the exact pair list comes from the
+    // separately-oracled all-pairs query; a vector must be pruned iff
+    // it is the larger id of an exact >=0.35 pair whose two vectors
+    // landed in the same k-means cell
+    val exact = rowsOf("dedup_embedding_cosine")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val cell = Similarity.ivfAssignedFor(spark, sf)
+      .select($"vec_id", $"centroid_id").as[(Long, Int)].collect().toMap
+    val expectedPruned = exact.collect {
+      case (a, b) if cell(a) == cell(b) => b
+    }
+    sem.map(_(0).asInstanceOf[Long]).toSet shouldBe expectedPruned
+    // every reported leader really is a smaller-id exact partner
+    for (r <- sem) {
+      val (v, leader) = (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      withClue(s"leader $leader of $v: ") { exact should contain((leader, v)) }
+    }
+  }
+
   test("MinHash-LSH pairs recall 100% of true >=0.9-Jaccard pairs") {
     // the COVERAGE.md gate: banded MinHash (16 perms, 4 bands of 4) has
     // per-band collision prob j^4, so at duplicate-grade Jaccard >= 0.9

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Contracts for the perceptual near-dup sketch: planted-perturbation
+  * recall (the pigeonhole banding must find every sketch-identical
+  * pair) and discrimination on unrelated payloads.
+  */
+class MultimodalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("perceptual near-dup: 100% recall on planted perturbed payloads") {
+    import spark.implicits._
+    val base = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      // len >= 200 so the 61 sampled positions leave plenty of
+      // untouched positions to perturb (a len-62 doc samples 61 of 62)
+      .filter(_._2.length >= 200)
+    base.length should be > 10
+    // perturb ONLY positions the 61-unit resample never reads: the
+    // sketch stays bit-identical, so hamming is 0 and the pigeonhole
+    // banding must recover every planted pair (no probabilistic slack)
+    val planted = base.map { case (id, text) =>
+      val len = text.length
+      val sampled = (0 to 60).map(b => b * (len - 1) / 60).toSet
+      val sb = new StringBuilder(text)
+      var changed = 0
+      var i = 1
+      while (changed < 12 && i < len) {
+        if (!sampled.contains(i)) {
+          sb.setCharAt(i, if (text.charAt(i) == 'x') 'y' else 'x')
+          changed += 1
+        }
+        i += 7
+      }
+      changed should be > 0
+      (id + 100000L, sb.toString)
+    }
+    val all = (base ++ planted).toSeq.toDF("doc_id", "text")
+    val found = Multimodal.phashPairs(all)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val expected = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val missed = expected -- found
+    withClue(s"missed ${missed.size} of ${expected.size} planted pairs: ") {
+      missed shouldBe empty
+    }
+  }
+
+  test("phash discriminates: unrelated payloads rarely pair at the hamming gate") {
+    // unrelated fixture texts land ~binomial(60, 1/2) hamming apart
+    // (mean 30), so the pair count must stay FAR below the quadratic —
+    // only genuine duplicate-grade payloads (the fixture's planted
+    // dup groups) may survive the <=8 gate
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val n = docs.count()
+    val pairs = Multimodal.phashPairs(docs).count()
+    pairs should be < n
+  }
+}
