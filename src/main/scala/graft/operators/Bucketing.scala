@@ -51,4 +51,78 @@ object Bucketing {
       rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Fold a (small) increment into an existing bucketed table as ONE
+    * new file per bucket: pre-shuffle the increment to the table's
+    * bucket layout, then append. The write takes its bucket spec from
+    * the catalog, so the rows land in correctly-tagged bucket files and
+    * every downstream co-located join keeps planning without a
+    * state-side exchange — only the increment (the small side, by
+    * construction) ever shuffles. This is how `incrementalAgainstState`
+    * state gets UPDATED at 100 TB: the accumulated state is never
+    * rewritten per increment, it just gains one bucket-aligned file
+    * generation per fold. Bounded by periodic [[compact]].
+    *
+    * The bucket/sort spec is read from the catalog and restated on the
+    * write — Spark refuses an append whose spec is absent or mismatched
+    * (`PreprocessTableCreation`), which is exactly the guard that keeps
+    * a mis-bucketed fold from silently corrupting co-located joins. */
+  def appendBucketAligned(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val spec = df.sparkSession.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).bucketSpec.getOrElse(
+        throw new IllegalArgumentException(s"$table is not bucketed"))
+    val w = df
+      .repartition(spec.numBuckets,
+        spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).format("parquet").saveAsTable(table)
+  }
+
+  /** Rewrite a bucketed table back to one file per bucket WITHOUT a
+    * shuffle. Per-fold appends accumulate one file per bucket per
+    * increment; after F folds every bucketed scan opens F× the files
+    * and loses the single-file sorted-bucket fast path (Spark only
+    * reports bucket sort order when buckets are single-file, so joins
+    * re-sort). This compaction restores the layout: force the bucketed
+    * scan (one partition per bucket — `autoBucketedScan` would
+    * otherwise coalesce by size for a bare scan), and feed it straight
+    * into a bucketed write of the SAME spec. Each task then holds
+    * exactly one bucket's rows and writes exactly one bucket file: the
+    * whole maintenance job is scan → sort-within-bucket → write, ZERO
+    * exchanges (BucketingSpec captures the write plan and asserts it),
+    * so at 100 TB compaction costs one sequential pass, never a
+    * re-shuffle of accumulated state. Swap is drop-then-rename
+    * (same generation pattern as `ingest.GenSwap`; a mid-compaction
+    * crash leaves the original table untouched). */
+  def compact(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val tmp = table + "_compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val w = spark.table(table)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(spec.numBuckets,
+          spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+        .format("parquet")
+      (if (spec.sortColumnNames.nonEmpty)
+        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      else w).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    } finally spark.conf.set(autoKey, prevAuto)
+  }
 }

@@ -51,6 +51,82 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bucket-aligned fold + zero-exchange compaction keep the state-side no-shuffle property") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, sha2}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val table = "b_compact_state"
+    try {
+      val docs = Tables.documents(spark, sf)
+      def hashes(pred: org.apache.spark.sql.Column) =
+        docs.filter(pred).select(sha2(col("text"), 256).as("body_sha256")).distinct()
+      // generation 0: state = hashes of half the corpus
+      Bucketing.writeBucketed(hashes(col("doc_id") % 4 < 2), table, "body_sha256", 4)
+      // fold in the next quarter bucket-aligned — the accumulated state
+      // now equals the dedup_incremental oracle's state (doc_id % 4 < 3)
+      Bucketing.appendBucketAligned(hashes(col("doc_id") % 4 === 2), table)
+
+      def tableFiles(): Array[java.io.File] = {
+        val loc = new java.io.File(new java.net.URI(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+        loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      }
+      // one file per bucket per generation
+      tableFiles().length shouldBe 8
+
+      val increment = docs.filter(col("doc_id") % 4 >= 3)
+        .select(col("doc_id"), sha2(col("text"), 256).as("body_sha256"))
+      val expected = graft.SparkEntry.queries("dedup_incremental")(spark, sf)
+        .collect().map(_.toString).sorted
+
+      // multi-file buckets still co-locate: exactly one exchange (the
+      // increment side) and the oracle-checked survivor set — this also
+      // proves the append really landed bucket-tagged (mis-bucketed
+      // files would silently produce wrong rows here)
+      val before = Dedup.incrementalAgainstState(spark, increment, table)
+      "Exchange hashpartitioning".r
+        .findAllIn(before.queryExecution.executedPlan.toString).size shouldBe 1
+      before.collect().map(_.toString).sorted shouldBe expected
+
+      // compact back to one file per bucket; capture the rewrite's
+      // executed plan and prove it is exchange-free (scan→sort→write)
+      @volatile var plans = List.empty[String]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          plans = qe.executedPlan.toString :: plans
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val writePlan = try {
+        Bucketing.compact(spark, table)
+        // QueryExecutionListener delivery is async — poll for the write
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def find() = plans.find(_.contains("Scan parquet"))
+        var p = find()
+        while (p.isEmpty && System.nanoTime() < deadline) { Thread.sleep(100); p = find() }
+        p.getOrElse(fail("compaction write plan not captured"))
+      } finally spark.listenerManager.unregister(listener)
+      writePlan should not include "Exchange"
+
+      tableFiles().length shouldBe 4
+
+      // the zero-state-shuffle property survives compaction
+      val after = Dedup.incrementalAgainstState(spark, increment, table)
+      "Exchange hashpartitioning".r
+        .findAllIn(after.queryExecution.executedPlan.toString).size shouldBe 1
+      after.collect().map(_.toString).sorted shouldBe expected
+      expected.length should be > 0
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    }
+  }
+
   test("PQ ADC search over codes bucketed by vec_id: zero shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.col
