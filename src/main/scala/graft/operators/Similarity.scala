@@ -326,18 +326,24 @@ object Similarity extends QueryPack {
     * unrolled oracle: DuckDB rebuilds the codebook from the table and
     * must land on exactly the persisted values.
     *
-    * Codes persist WITHOUT the raw subvectors — (vec_id, sub, code)
-    * only, 64 doubles → 8 small ints per vector. That is the point of
-    * PQ storage: at 10^9 vectors the search tier holds codes + the
-    * PqSub×PqK codebook, never the embeddings.
+    * Codes persist WITHOUT the raw subvectors — wide (vec_id, codes
+    * array<int>) rows, 64 doubles → 8 small ints per vector. That is
+    * the point of PQ storage: at 10^9 vectors the search tier holds
+    * codes + the PqSub×PqK codebook, never the embeddings.
     *
-    * A/B note (sf0.1, medians of 3): a wide layout (one row per
-    * vector, codes array) + per-candidate decimal `aggregate` fold
-    * over a nested broadcast LUT — theoretically map-only with no
-    * (sub, code) join — measured 1.01 s vs 0.62 s for the long layout
-    * with a codegen'd broadcast-hash join + map-side partial SUM: the
-    * decimal HOF fold runs off whole-stage codegen and costs more
-    * than the join it saves. Long layout kept.
+    * A/B history (sf0.1, medians of 3): round 5 tried a wide layout
+    * with a per-candidate decimal `aggregate` HOF fold — map-only in
+    * shape but 1.01 s vs 0.62 s for the long layout's codegen'd
+    * broadcast-hash join + map-side partial SUM, because decimal HOFs
+    * run interpreted. Round 6 made the map-only shape win by replacing
+    * the HOF with the native codegen'd [[graft.functions.PqAdcSum]]
+    * (exact scaled-long fold, bit-identical doubles): no (sub, code)
+    * join, no (query, vec) aggregation exchange — at 10^9 vectors that
+    * exchange carries Q×N rows, the dominant search cost — and only
+    * the ≤k-per-query top-k shuffle remains. Same-session A/B (sf0.1,
+    * 7-rep medians, one machine state): join path 1.22 s → map-only
+    * fold 1.04 s → + coordinator-side LUT ([[pqQueryLutWide]]) 0.91 s,
+    * with the plan down from three hash exchanges to one.
     *
     * Single-writer per process; a concurrent second process at worst
     * rebuilds the same bytes (mode overwrite, deterministic
@@ -347,9 +353,12 @@ object Similarity extends QueryPack {
     // regenerated testdata or changed build code both miss the cache
     // instead of pairing with a stale codebook
     val src = new java.io.File(d, "embeddings.parquet")
-    // "fmt3" = long codes layout (vec_id, sub, code); bump on any
-    // artifact-format change so old layouts can't be misread
-    val key = s"fmt3|$pqBuildCtes|$d|${src.lastModified}|${src.length}"
+    // "fmt4" = wide codes layout (vec_id, codes array<int> ordered by
+    // sub) — one row per vector, the shape the map-only ADC search
+    // consumes directly ([[pqCodesLong]] derives the long form without
+    // a shuffle); bump on any artifact-format change so old layouts
+    // can't be misread
+    val key = s"fmt4|$pqBuildCtes|$d|${src.lastModified}|${src.length}"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
@@ -373,10 +382,25 @@ object Similarity extends QueryPack {
     if (!complete(codesPath) || !complete(booksPath)) {
       val (codes, books) = pqModel(s, embCheckpointed(s, d))
       books.write.mode("overwrite").parquet(booksPath)
-      codes.select($"vec_id", $"sub", $"code")
+      // wide: one row per vector, codes ordered by sub — the build
+      // pays this one groupBy so every search is a map-only scan
+      codes.select($"vec_id", struct($"sub", $"code").as("sc"))
+        .groupBy($"vec_id")
+        .agg(array_sort(collect_list($"sc")).as("sc"))
+        .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
         .write.mode("overwrite").parquet(codesPath)
     }
     (s.read.parquet(codesPath), s.read.parquet(booksPath))
+  }
+
+  /** Long-form (vec_id, sub, code) view of the wide codes artifact —
+    * map-only (posexplode preserves the scan's partitioning, so a
+    * vec_id-bucketed codes table keeps its zero-exchange property
+    * through this, BucketingSpec gates it). */
+  private[operators] def pqCodesLong(codesWide: DataFrame): DataFrame = {
+    val s = codesWide.sparkSession
+    import s.implicits._
+    codesWide.select($"vec_id", posexplode($"codes").as(Seq("sub", "code")))
   }
 
   /** The per-query PqSub×PqK lookup table of subspace distances — the
@@ -390,6 +414,35 @@ object Similarity extends QueryPack {
       .join(broadcast(books), Seq("sub"))
       .select($"query_id", $"sub", $"code",
         round(l2sq($"qsemb", $"cemb"), 9).cast(DecimalType(27, 9)).as("pdist"))
+  }
+
+  /** [[pqQueryLut]] flattened to one row per query: `lut` is the
+    * scale-9 fixed-point subspace distances as longs, sub-major and
+    * code-ordered — exactly the layout [[graft.functions.PqAdcSum]]
+    * indexes. The DECIMAL(27,9)→long conversion is exact (values are
+    * integral after ×10^9), so the map-only fold reproduces the
+    * grouped decimal SUM bit for bit.
+    *
+    * Assembled DRIVER-side, deliberately: the LUT is
+    * O(queries-per-batch × PqSub × PqK) — 160 values here, tiny by
+    * construction at any scale — and a real ADC server computes it on
+    * the coordinator per query batch. Collecting it removes the
+    * groupBy exchange (and its whole AQE stage) a distributed
+    * assembly would pay just to regroup 160 rows; the distance
+    * arithmetic itself stays in [[pqQueryLut]]'s plan — the driver
+    * only regroups finished longs (the `Bloom`-build O(sketch)
+    * precedent). */
+  private[operators] def pqQueryLutWide(s: SparkSession, d: String, books: DataFrame): DataFrame = {
+    import s.implicits._
+    val rows = pqQueryLut(s, d, books)
+      .select($"query_id", $"sub", $"code",
+        ($"pdist" * 1000000000L).cast(LongType).as("v"))
+      .collect()
+    rows.groupBy(_.getLong(0)).toSeq
+      .map { case (q, rs) =>
+        (q, rs.sortBy(r => (r.getInt(1), r.getInt(2))).map(_.getLong(3)).toSeq)
+      }
+      .toDF("query_id", "lut")
   }
 
   /** ADC distance aggregation: candidate codes ⋈ broadcast LUT on
@@ -920,23 +973,31 @@ object Similarity extends QueryPack {
     // ── PQ ADC top-k over the PERSISTED artifact: search-only ──
     // The billion-scale serving shape end to end: codes + codebook come
     // from the parquet artifact (built at most once per sf dir by
-    // [[pqPersistedModel]]), the query precomputes a PqSub×PqK lookup
-    // table of subspace distances (one tiny broadcast), every
-    // candidate's approximate distance is then PqSub LUT hits summed —
-    // a codegen'd broadcast-hash join on (sub, code) + map-side
-    // partial SUM over the CODES; the raw embeddings are read ONLY
-    // for the 5 query vectors (vec_id pushdown), never for
-    // candidates. (A map-only decimal-fold alternative was A/B'd and
-    // rejected — see [[pqArtifactDir]]'s scaladoc.) Shares the
-    // self-contained unrolled oracle with `sim_ann_pq_adc`: the build
-    // is deterministic, so DuckDB's from-scratch rebuild checks the
-    // persisted artifact's values too.
+    // [[pqPersistedModel]]), the query precomputes one tiny PqSub×PqK
+    // lookup table per query (broadcast, 5 rows wide), and every
+    // candidate's approximate distance is a single codegen'd
+    // [[graft.functions.PqAdcSum]] fold over its code array — MAP-ONLY
+    // over the codes scan (no (sub, code) join, no (query, vec)
+    // aggregation exchange; at 10^9 vectors that exchange carries Q×N
+    // rows and IS the search cost — here only the ≤k-per-query top-k
+    // aggregation shuffles, plan-gated in PlanShapeSpec). The raw
+    // embeddings are read ONLY for the 5 query vectors (vec_id
+    // pushdown), never for candidates. The join-based long-layout
+    // alternative ([[pqAdcDistances]]) is kept for vec_id-bucketed
+    // deployments; A/B history in [[pqArtifactDir]]'s scaladoc.
+    // Shares the self-contained unrolled oracle with `sim_ann_pq_adc`:
+    // the build is deterministic, so DuckDB's from-scratch rebuild
+    // checks the persisted artifact's values too — and the scaled-long
+    // fold must land on the oracle's decimal sums bit for bit.
     "sim_ann_pq_search" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
         val (codes, books) = pqPersistedModel(s, d)
         val topk = udaf(new graft.functions.TopKAggregator(5))
-        pqAdcDistances(codes, pqQueryLut(s, d, books))
+        codes.crossJoin(broadcast(pqQueryLutWide(s, d, books)))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))
           .groupBy($"query_id")
           .agg(topk(-$"adist", $"vec_id").as("top"))
           .select($"query_id",

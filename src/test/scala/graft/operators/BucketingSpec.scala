@@ -132,7 +132,7 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     import org.apache.spark.sql.functions.col
     try {
       val (codes, books) = Similarity.pqPersistedModel(spark, sf)
-      Bucketing.writeBucketed(codes, "b_pq_codes", "vec_id", 4)
+      Bucketing.writeBucketed(Similarity.pqCodesLong(codes), "b_pq_codes", "vec_id", 4)
       val lut = Similarity.pqQueryLut(spark, sf, books)
 
       // bucketed codes: the (query_id, vec_id) aggregation inherits the
@@ -146,7 +146,7 @@ class BucketingSpec extends AnyFunSuite with Matchers {
       bp should not include "ShuffleExchange"
 
       // the plain parquet artifact pays exactly that one exchange
-      val plain = Similarity.pqAdcDistances(codes, lut)
+      val plain = Similarity.pqAdcDistances(Similarity.pqCodesLong(codes), lut)
       "Exchange hashpartitioning".r
         .findAllIn(plain.queryExecution.executedPlan.toString).size shouldBe 1
 

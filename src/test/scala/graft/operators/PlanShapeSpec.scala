@@ -216,13 +216,38 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
   }
 
   test("PQ artifact search reads codes, not embeddings: query-side scan is vec_id-pushed") {
-    val p = formattedPlan("sim_ann_pq_search")
-    // search-only: no SortMergeJoin (the LUT rides a broadcast), and
-    // the ONLY embeddings scan is the 5 query vectors — its pushdown
-    // must reach parquet; the candidates come from the codes artifact
-    p should include("BroadcastHashJoin")
+    // the LUT derivation is the only PQ-search plan that touches the
+    // embeddings table, and its scan must be the 5 query vectors with
+    // the predicate pushed to parquet — candidates only ever read the
+    // codes artifact
+    val (_, books) = Similarity.pqPersistedModel(spark, sf)
+    val lutPlan = Similarity.pqQueryLut(spark, sf, books).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    lutPlan should include("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]")
+    lutPlan should not include "SortMergeJoin"
+    // the search plan itself: the codes artifact is its ONLY table scan
+    // (the collected LUT arrives as a broadcast local relation) —
+    // count on the simple plan string, where each scan prints once
+    val p = plan("sim_ann_pq_search")
     p should not include "SortMergeJoin"
-    p should include("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("PQ artifact search is map-only over the codes scan: candidates meet the " +
+      "LUT in a broadcast nested-loop, and no exchange carries candidate rows") {
+    val p = plan("sim_ann_pq_search")
+    // the per-query LUT (5 rows wide) reaches every candidate via a
+    // broadcast cross join; the PqAdcSum fold computes the whole ADC
+    // distance in-place, so the codes scan flows straight into the
+    // top-k partial aggregate with no join on (sub, code) and no
+    // (query, vec) re-grouping exchange
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    // exactly ONE hash exchange, and it never carries candidates: the
+    // bounded top-k aggregation (≤k rows per query after the partial
+    // agg); the LUT is assembled coordinator-side like a real ADC
+    // server, so no exchange exists just to regroup 160 rows
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
   test("exact top-k and kNN rank via the bounded-buffer aggregator — no full-candidate window") {
