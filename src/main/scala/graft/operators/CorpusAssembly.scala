@@ -48,6 +48,12 @@ object CorpusAssembly extends QueryPack {
     * to target output-file size; the mechanism is count-invariant). */
   private val NShards = 32L
 
+  /** Expected sample size (docs) for `llm_temperature_mix` — sized so
+    * fixture rates sit strictly inside (0, 1) and every source keeps a
+    * non-trivial subset. Written as a double literal: it enters the
+    * IEEE rate arithmetic directly. */
+  private val TemperatureBudget = 200.0
+
   /** Per-language token budget for `llm_token_budget` — sized so the
     * fixture selects a strict, non-trivial subset of every language. */
   private val TokenBudget = 10000L
@@ -480,6 +486,61 @@ object CorpusAssembly extends QueryPack {
         SELECT doc_id, lang, n_tokens, cum_before
         FROM c
         WHERE cum_before < $TokenBudget
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── temperature-based language sampling: keep rate ∝ n^α / n ──
+    // The multilingual-mix sampler (mT5/XLM-R shape): languages are
+    // sampled with probability proportional to count^α, α<1, so
+    // low-resource languages are UP-weighted relative to their natural
+    // share without the explicit per-domain targets of llm_domain_mix
+    // (the fixture's lang column is genuinely skewed, en ≈ 3× fr). α
+    // is fixed at 1/2 deliberately: sqrt is IEEE-correctly-rounded in
+    // both engines where pow(x, 0.3) is transcendental and may differ
+    // an ulp — this keeps the whole rate arithmetic bit-reproducible
+    // (the per-language weights quantize to 9 digits and sum as exact
+    // decimals before the one double division chain, written with
+    // identical association on both sides). Same scale shape as the
+    // other samplers: two tiny broadcast aggregates onto a map-only
+    // hash-gated corpus scan — the corpus itself never shuffles, the
+    // output census is one ≤|langs| aggregation.
+    "llm_temperature_mix" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val counts = Tables.documents(s, d).groupBy($"lang")
+          .agg(count(lit(1)).as("n_lang"))
+          .localCheckpoint(true) // feeds the weight sum AND the rate join
+        val sw = counts
+          .agg(sum(round(sqrt($"n_lang"), 9).cast(DecimalType(27, 9)))
+            .cast(DoubleType).as("sw"))
+        val rates = counts.crossJoin(broadcast(sw))
+          .withColumn("rate", least(lit(1.0),
+            lit(TemperatureBudget) * round(sqrt($"n_lang"), 9) / $"sw" / $"n_lang"))
+          .localCheckpoint(true) // feeds the gate join AND the census
+        val kept = Tables.documents(s, d)
+          .join(broadcast(rates.select($"lang", $"rate")), "lang")
+          .filter(expr(gateExpr) < $"rate" * 1000000.0)
+          .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("lang"), "left")
+          .select($"lang", $"n_lang",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            round($"rate", 6).as("rate6"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        s AS (SELECT CAST(SUM(CAST(round(sqrt(n_lang), 9) AS DECIMAL(27,9)))
+                       AS DOUBLE) AS sw FROM c),
+        r AS (SELECT lang, n_lang,
+                least(1.0, $TemperatureBudget * round(sqrt(n_lang), 9)
+                           / s.sw / n_lang) AS rate
+              FROM c CROSS JOIN s),
+        k AS (SELECT d.lang, COUNT(*) AS n_kept
+              FROM documents d JOIN r USING (lang)
+              WHERE $gateExpr < r.rate * 1000000.0
+              GROUP BY d.lang)
+        SELECT r.lang, r.n_lang, COALESCE(k.n_kept, 0) AS n_kept,
+               round(r.rate, 6) AS rate6
+        FROM r LEFT JOIN k USING (lang)
+        ORDER BY r.lang"""))
   )
 }

@@ -29,6 +29,12 @@ object TextAnalysis extends QueryPack {
   // PII patterns — Java-regex and RE2 read these identically (no \s,
   // no backreferences, no lookaround); single-sourced so the Spark
   // expression and the DuckDB oracle cannot diverge.
+  /** Vocabulary size for `llm_vocab_coverage` — small against the
+    * fixture's ~31-term vocabulary so OOV rates are non-trivial; a
+    * production tokenizer run sizes this in the tens of thousands (the
+    * mechanism is K-invariant: the vocab is always a broadcast). */
+  private val VocabK = 10
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "555-[0-9]{4}"
 
@@ -732,6 +738,60 @@ object TextAnalysis extends QueryPack {
           FROM scored)
         WHERE rk <= 3
         ORDER BY doc_id, rk"""),
-      headline = true)
+      headline = true),
+
+    // ── vocabulary coverage: corpus-built top-K vocab + per-doc OOV ──
+    // The tokenizer-design loop's first question: how much of each
+    // document does a K-term vocabulary cover? Vocab = the top-VocabK
+    // terms by corpus occurrence count (ties broken by term — a total
+    // order, so the vocab is deterministic and the oracle rebuilds it
+    // exactly); each document then scores the share of its token
+    // OCCURRENCES outside the vocab. Plan shape: one map-side-combined
+    // (doc, term) count, a K-row TakeOrdered vocab that broadcasts,
+    // and one per-doc aggregation over the tf frame with the vocab
+    // membership resolved by the broadcast left join — the corpus
+    // never shuffles for the membership test, only for the two counts.
+    "llm_vocab_coverage" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", explode($"tokens").as("term"))
+        // checkpoint: tf feeds the vocab build AND the per-doc scoring —
+        // inlined plans would tokenize + count the corpus twice
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val vocab = tf.groupBy($"term").agg(sum($"tf").as("n"))
+          .orderBy($"n".desc, $"term").limit(VocabK)
+          .select($"term", lit(1L).as("iv"))
+        tf.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy($"doc_id")
+          .agg(sum($"tf").as("n_tokens"),
+            sum(when($"iv".isNotNull, $"tf").otherwise(0L)).as("n_cov"))
+          .select($"doc_id", $"n_tokens",
+            ($"n_tokens" - $"n_cov").as("n_oov"),
+            round(($"n_tokens" - $"n_cov").cast(DoubleType) / $"n_tokens", 6)
+              .as("oov_rate"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        v AS (SELECT term FROM (
+                SELECT term, SUM(tf) AS n FROM tf GROUP BY term)
+              ORDER BY n DESC, term LIMIT $VocabK),
+        per AS (
+          SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+                 SUM(CASE WHEN v.term IS NOT NULL THEN tf.tf ELSE 0 END) AS n_cov
+          FROM tf LEFT JOIN v ON v.term = tf.term
+          GROUP BY tf.doc_id)
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - n_cov AS BIGINT) AS n_oov,
+               round(CAST(n_tokens - n_cov AS DOUBLE) / n_tokens, 6) AS oov_rate
+        FROM per
+        ORDER BY doc_id"""))
   )
 }

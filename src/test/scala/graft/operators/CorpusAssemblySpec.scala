@@ -96,6 +96,38 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     kept shouldBe expected
   }
 
+  test("temperature sampling up-weights low-resource languages and meets its budget") {
+    val rows = run("llm_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.length shouldBe 5
+    // rate = B / (S · sqrt(n)) is strictly decreasing in language size:
+    // the low-resource up-weighting that defines temperature sampling
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach { case Array((_, n1, _, r1), (_, n2, _, r2)) =>
+      if (n1 < n2) r2 should be < r1
+      if (n1 == n2) r2 shouldBe r1
+    }
+    // sampled share of the SMALLEST language exceeds its natural share,
+    // and the largest language's falls below it — the α<1 signature
+    // (the fixture is genuinely skewed, en ≈ 3× fr)
+    val total = rows.map(_._2).sum.toDouble
+    val expTotal = rows.map { case (_, n, _, r) => n * r }.sum
+    val smallest = bySize.head; val largest = bySize.last
+    smallest._2.toDouble should be < largest._2.toDouble
+    (smallest._2 * smallest._4 / expTotal) should be >
+      (smallest._2 / total)
+    (largest._2 * largest._4 / expTotal) should be <
+      (largest._2 / total)
+    // no clamped rates in the fixture, so expected take ≈ the budget
+    rows.foreach { case (_, _, _, r) => r should be < 1.0 }
+    expTotal shouldBe 200.0 +- 0.01
+    // the gate really subsamples: every language keeps a strict subset
+    rows.foreach { case (_, n, k, _) =>
+      k should be >= 0L
+      k should be < n
+    }
+  }
+
   test("length trim drops per-language extremes and keeps the middle band") {
     val kept = run("llm_length_trim").collect().toSeq
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))

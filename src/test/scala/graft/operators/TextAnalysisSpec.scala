@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** Semantic gates for text-analysis operators whose oracle proves
+  * engine parity but not the intent — here, that `llm_vocab_coverage`
+  * really builds the frequency-ranked vocabulary and counts OOV
+  * occurrences per document.
+  */
+class TextAnalysisSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("vocab coverage matches a direct recompute of the top-K vocab and OOV rates") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val tf = docs.flatMap { case (_, t) => toks(t) }
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val vocab = tf.toSeq.sortBy { case (w, n) => (-n, w) }.take(10).map(_._1).toSet
+    val expected = docs.map { case (id, t) =>
+      val ts = toks(t)
+      id -> ((ts.length.toLong, ts.count(w => !vocab.contains(w)).toLong))
+    }.toMap
+
+    val got = graft.SparkEntry.queries("llm_vocab_coverage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.length shouldBe expected.size
+    got.foreach { case (id, n, oov, rate) =>
+      val (en, eoov) = expected(id)
+      withClue(s"doc $id:") {
+        (n, oov) shouldBe ((en, eoov))
+        rate shouldBe BigDecimal(eoov.toDouble / en)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    // the vocab is a strict subset of the fixture vocabulary, so OOV
+    // must actually occur — the gate is non-vacuous
+    got.map(_._3).sum should be > 0L
+  }
+}
