@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** End-to-end gate for the continuous dedup pipeline: in-batch dupes,
+  * cross-batch dupes, and state-vs-batch dupes all resolve exactly as
+  * the batch operator would, the state table accumulates one
+  * bucket-aligned generation per batch, and the periodic compact keeps
+  * the bucket layout (and the survivors) intact.
+  */
+class StreamingDedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming exact dedup: survivors, state folds, and periodic compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "sd_state"
+    val ckpt = Files.createTempDirectory("graft-sdedup-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val input = MemoryStream[(Long, String)]
+    @volatile var out = Vector.empty[(Long, String)]
+    val q = StreamingDedup.exactDedupStream(
+      input.toDF().toDF("doc_id", "text"), table, buckets = 4,
+      ckpt.toString,
+      sink = ds => out ++= ds.collect().toVector
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1),
+      compactEvery = 2L)
+
+    def tableFiles(): Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+
+    try {
+      // batch 0: one in-batch duplicate (doc 3 repeats doc 1's body)
+      input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+      q.processAllAvailable()
+      out.map(_._1) shouldBe Vector(1L, 2L)
+
+      // batch 1: doc 5 duplicates state (doc 2's body) — only 4 survives;
+      // (batchId+1) % 2 == 0 → compact runs after the fold
+      input.addData((4L, "ccc"), (5L, "bbb"))
+      q.processAllAvailable()
+      out.map(_._1) shouldBe Vector(1L, 2L, 4L)
+      tableFiles() should be <= 4 // compacted: one file per bucket
+
+      // batch 2: in-batch dup (8=6) AND state dup (7=4's body)
+      input.addData((6L, "ddd"), (7L, "ccc"), (8L, "ddd"))
+      q.processAllAvailable()
+      out.map(_._1) shouldBe Vector(1L, 2L, 4L, 6L)
+
+      // the state is exactly the survivor hash set
+      spark.table(table).collect().map(_.getString(0)).sorted shouldBe
+        out.map(_._2).sorted
+      // survivor hashes really are the batch bodies' sha-256
+      out.toMap.apply(1L) shouldBe
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest("aaa".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+}
