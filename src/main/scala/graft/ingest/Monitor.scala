@@ -34,9 +34,15 @@ object Monitor {
     * `skippedFiles` reads the poll's skipped-file accumulator (files
     * dropped by the per-file unreadable-IOException catch in
     * Listing.fetch or the chunked digest path) — meaningful only AFTER
-    * `records`/`newState` have been materialized. A nonzero count that
-    * persists across polls means a permanently unreadable file is being
-    * silently re-skipped every poll; callers should alert on it. */
+    * `records`/`newState` have been materialized, and AT-LEAST-ONCE,
+    * not exact: accumulators updated inside transformations re-count on
+    * task retries and on recomputation of an evicted cached partition,
+    * so a transient error can register a skip even though the retry
+    * succeeded. Treat it as a health SIGNAL, not a ledger: a nonzero
+    * count that persists across SEVERAL consecutive polls means a
+    * permanently unreadable file is being silently re-skipped every
+    * poll — alert on that pattern, not on a single poll's exact
+    * value. */
   final case class PollOutput(
       records: Dataset[FileChangeRecord],
       newState: Dataset[FileMetaData],

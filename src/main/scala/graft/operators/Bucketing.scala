@@ -68,20 +68,53 @@ object Bucketing {
     * (`PreprocessTableCreation`), which is exactly the guard that keeps
     * a mis-bucketed fold from silently corrupting co-located joins. */
   def appendBucketAligned(df: DataFrame, table: String): Unit = {
+    val spec = bucketSpecOf(df.sparkSession, table)
+    bucketedWriter(
+      df.repartition(spec.numBuckets,
+        spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*),
+      spec, org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
+  }
+
+  /** Catalog bucket spec of `table`, or throw — shared guard for the
+    * fold and compaction paths. */
+  private def bucketSpecOf(spark: SparkSession, table: String) = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    val spec = df.sparkSession.sessionState.catalog
-      .getTableMetadata(TableIdentifier(table)).bucketSpec.getOrElse(
+    spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+      .bucketSpec.getOrElse(
         throw new IllegalArgumentException(s"$table is not bucketed"))
-    val w = df
-      .repartition(spec.numBuckets,
-        spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
-      .write
-      .mode(org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** The one bucketed-writer construction both [[appendBucketAligned]]
+    * and [[compact]] must agree on — a spec-handling change applied to
+    * one path and not the other would silently skew append vs
+    * compaction layouts. */
+  private def bucketedWriter(
+      df: DataFrame,
+      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
+      mode: org.apache.spark.sql.SaveMode) = {
+    val w = df.write.mode(mode)
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)
       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-    else w).format("parquet").saveAsTable(table)
+    else w).format("parquet")
+  }
+
+  /** Finish an interrupted [[compact]] swap, if one is pending. The
+    * swap is two catalog operations (drop, rename) — a crash between
+    * them leaves `table` missing while `<table>_compacting` holds the
+    * complete compacted data. This preamble renames it into place;
+    * both [[compact]] itself and any caller that creates the table
+    * when absent (e.g. `streaming.StreamingDedup`) MUST run it first,
+    * otherwise the gap reads as "no state yet" and the only copy of
+    * the data is later dropped as a stale temp. Returns true if a
+    * recovery was performed. */
+  def recoverCompaction(spark: SparkSession, table: String): Boolean = {
+    val tmp = table + "_compacting"
+    val pending = !spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(tmp)
+    if (pending) spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    pending
   }
 
   /** Rewrite a bucketed table back to one file per bucket WITHOUT a
@@ -97,30 +130,24 @@ object Bucketing {
     * whole maintenance job is scan → sort-within-bucket → write, ZERO
     * exchanges (BucketingSpec captures the write plan and asserts it),
     * so at 100 TB compaction costs one sequential pass, never a
-    * re-shuffle of accumulated state. Swap is drop-then-rename
-    * (same generation pattern as `ingest.GenSwap`; a mid-compaction
-    * crash leaves the original table untouched). */
+    * re-shuffle of accumulated state.
+    *
+    * Swap = write tmp, drop original, rename tmp into place. A crash
+    * BEFORE the drop leaves the original untouched; a crash between
+    * drop and rename is the one unsafe window, closed by
+    * [[recoverCompaction]], which this method (and table-creating
+    * callers) run first. */
   def compact(spark: SparkSession, table: String): Unit = {
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    val meta = spark.sessionState.catalog
-      .getTableMetadata(TableIdentifier(table))
-    val spec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(s"$table is not bucketed"))
+    recoverCompaction(spark, table)
+    val spec = bucketSpecOf(spark, table)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
     try {
       val tmp = table + "_compacting"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      val w = spark.table(table)
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(spec.numBuckets,
-          spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
-        .format("parquet")
-      (if (spec.sortColumnNames.nonEmpty)
-        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-      else w).saveAsTable(tmp)
+      bucketedWriter(spark.table(table), spec,
+        org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tmp)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     } finally spark.conf.set(autoKey, prevAuto)

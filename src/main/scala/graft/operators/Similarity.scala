@@ -348,17 +348,24 @@ object Similarity extends QueryPack {
     * Single-writer per process; a concurrent second process at worst
     * rebuilds the same bytes (mode overwrite, deterministic
     * content). */
-  private def pqArtifactDir(d: String): String = {
+  private def pqArtifactDir(s: SparkSession, d: String): String = {
     // key = build semantics + source-table identity (path, mtime, size):
     // regenerated testdata or changed build code both miss the cache
-    // instead of pairing with a stale codebook
-    val src = new java.io.File(d, "embeddings.parquet")
+    // instead of pairing with a stale codebook. Identity comes from the
+    // Hadoop FileSystem, not java.io.File — a java.io stat of an
+    // hdfs://. or s3a:// path silently reads (0, 0) and the key would
+    // never change across regenerations; getFileStatus also throws
+    // loudly when the source is absent instead of caching a 0|0 key
+    val srcPath = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
+    val src = srcPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcPath)
     // "fmt4" = wide codes layout (vec_id, codes array<int> ordered by
     // sub) — one row per vector, the shape the map-only ADC search
     // consumes directly ([[pqCodesLong]] derives the long form without
     // a shuffle); bump on any artifact-format change so old layouts
     // can't be misread
-    val key = s"fmt4|$pqBuildCtes|$d|${src.lastModified}|${src.length}"
+    val key = s"fmt4|$pqBuildCtes|$d|${src.getModificationTime}|${src.getLen}"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
@@ -372,7 +379,7 @@ object Similarity extends QueryPack {
     * not the build plan. */
   private[operators] def pqPersistedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val dir = pqArtifactDir(d)
+    val dir = pqArtifactDir(s, d)
     val codesPath = s"$dir/codes.parquet"
     val booksPath = s"$dir/codebook.parquet"
     def complete(p: String): Boolean = {
@@ -440,7 +447,16 @@ object Similarity extends QueryPack {
       .collect()
     rows.groupBy(_.getLong(0)).toSeq
       .map { case (q, rs) =>
-        (q, rs.sortBy(r => (r.getInt(1), r.getInt(2))).map(_.getLong(3)).toSeq)
+        // DENSE sub-major layout, always PqK slots per subspace: a
+        // codeword that loses every member during the Lloyd rounds
+        // drops out of the codebook, and a gap here would silently
+        // shift PqAdcSum's index arithmetic (k = len/nSub). Codes
+        // never reference a vanished codeword, so the sentinel slot
+        // is never read; /16 keeps even a hypothetical PqSub-term
+        // sum of sentinels inside a long
+        val lut = Array.fill(PqSub * PqK)(Long.MaxValue / 16)
+        rs.foreach(r => lut(r.getInt(1) * PqK + r.getInt(2) - 1) = r.getLong(3))
+        (q, lut.toSeq)
       }
       .toDF("query_id", "lut")
   }

@@ -49,6 +49,11 @@ object StreamingDedup {
         val s = batch.sparkSession
         val inc = batch.select(col("doc_id"),
           sha2(col("text"), 256).as("body_sha256"))
+        // a crash inside compact's drop→rename window would otherwise
+        // read as "no state yet" here, and creating a fresh empty
+        // table would orphan (and later destroy) the only copy of the
+        // accumulated hashes
+        Bucketing.recoverCompaction(s, stateTable)
         if (!s.catalog.tableExists(stateTable))
           Bucketing.writeBucketed(inc.select("body_sha256").limit(0),
             stateTable, "body_sha256", buckets)

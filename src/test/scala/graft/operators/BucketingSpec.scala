@@ -127,6 +127,38 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("recoverCompaction finishes an interrupted drop-then-rename swap") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, sha2}
+    val table = "b_recover"
+    try {
+      Bucketing.writeBucketed(
+        Tables.documents(spark, sf)
+          .select(sha2(col("text"), 256).as("body_sha256")).distinct(),
+        table, "body_sha256", 4)
+      val expected = spark.table(table).count()
+      expected should be > 0L
+      // simulate a crash inside compact's swap window: the original is
+      // gone, the complete data sits under the _compacting name
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}_compacting")
+      spark.catalog.tableExists(table) shouldBe false
+
+      Bucketing.recoverCompaction(spark, table) shouldBe true
+      spark.catalog.tableExists(table) shouldBe true
+      spark.table(table).count() shouldBe expected
+      // the recovered table still has its bucket spec — the property
+      // every downstream co-located plan depends on
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets) shouldBe Some(4)
+      // idempotent once recovered
+      Bucketing.recoverCompaction(spark, table) shouldBe false
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    }
+  }
+
   test("PQ ADC search over codes bucketed by vec_id: zero shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.col

@@ -52,13 +52,16 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
 
   test("phash discriminates: unrelated payloads rarely pair at the hamming gate") {
     // unrelated fixture texts land ~binomial(60, 1/2) hamming apart
-    // (mean 30), so the pair count must stay FAR below the quadratic —
-    // only genuine duplicate-grade payloads (the fixture's planted
-    // dup groups) may survive the <=8 gate
+    // (mean 30, sd ~3.9), so the <=13 production gate sits >4σ out and
+    // the pair count must stay FAR below the ~125k quadratic — only
+    // genuine duplicate-grade payloads survive (measured: 3 pairs on
+    // the 500-doc fixture; n/25 = 20 leaves margin for fixture drift
+    // while still catching any discrimination collapse, e.g. a broken
+    // segment mask pairing whole bands)
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
     val n = docs.count()
     val pairs = Multimodal.phashPairs(docs).count()
-    pairs should be < n
+    pairs should be < n / 25
   }
 }
