@@ -158,4 +158,47 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out.head.format shouldBe "img/fake-jpeg"
     out(1).format shouldBe "img/fake-png"
   }
+
+  test("PqAdcSum matches the decimal reference fold and nulls every bad shape") {
+    import spark.implicits._
+    // random-ish but deterministic fixtures across sub/k geometries
+    val cases = for {
+      (nSub, k) <- Seq((1, 1), (4, 3), (8, 4), (8, 256))
+      seed <- 1 to 3
+    } yield {
+      val lut = Array.tabulate(nSub * k)(i =>
+        ((i.toLong * 2654435761L + seed * 97L) % 1000000007L))
+      val codes = Array.tabulate(nSub)(s =>
+        ((s * 31 + seed * 7) % k) + 1) // 1-based, always in range
+      (codes.toSeq, lut.toSeq)
+    }
+    def reference(codes: Seq[Int], lut: Seq[Long]): Double = {
+      val k = lut.length / codes.length
+      val sum = codes.zipWithIndex
+        .map { case (c, s) => lut(s * k + c - 1) }.sum
+      java.math.BigDecimal.valueOf(sum, 9).doubleValue()
+    }
+    val df = cases.toDF("codes", "lut")
+      .select($"codes", $"lut",
+        graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("d"))
+    df.collect().zip(cases).foreach { case (r, (codes, lut)) =>
+      r.getDouble(2) shouldBe reference(codes, lut)
+    }
+    // the value is exactly what SUM(DECIMAL(27,9)) cast to double gives
+    val (c0, l0) = cases.head
+    reference(c0, l0) shouldBe
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(
+        l0(c0.head - 1)), 9).doubleValue()
+
+    // bad shapes → null, never a silent partial sum: empty codes, LUT
+    // length not a multiple, out-of-range (0-based or >k) codes
+    val bad = Seq(
+      (Seq.empty[Int], Seq(1L, 2L)),
+      (Seq(1, 2), Seq(1L, 2L, 3L)),
+      (Seq(0, 1), Seq(1L, 2L, 3L, 4L)),
+      (Seq(3, 1), Seq(1L, 2L, 3L, 4L)))
+    bad.toDF("codes", "lut")
+      .select(graft.functions.VectorExprs.pqAdcSum($"codes", $"lut"))
+      .collect().foreach(_.isNullAt(0) shouldBe true)
+  }
 }
