@@ -33,11 +33,20 @@ object Bucketing {
       table: String,
       key: String,
       buckets: Int): Unit =
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Composite-key variant — e.g. the near-dup band-key state, which
+    * buckets AND joins on (band, band_key). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int): Unit =
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

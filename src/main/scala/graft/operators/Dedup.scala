@@ -68,13 +68,23 @@ object Dedup extends QueryPack {
     * Checkpointed: this frame feeds the signature agg once and the
     * candidate-verify join twice — without the checkpoint each use
     * re-runs the tokenize+shingle+fingerprint corpus scan. */
-  private def shingleFps(s: SparkSession, d: String): DataFrame = {
+  private def shingleFps(s: SparkSession, d: String): DataFrame =
+    fpsOf(Tables.documents(s, d)).localCheckpoint(true)
+
+  /** The (doc_id, text) → (doc_id, fps) transformation behind
+    * [[shingleFps]], usable on ANY document frame (e.g. a streaming
+    * micro-batch in `streaming.StreamingDedup.nearDedupStream`) —
+    * same tokenizer, shingling, and double-prime fingerprints, so
+    * fps frames from different entry points verify against each
+    * other exactly. NOT checkpointed; multi-consumer callers pin it
+    * themselves. */
+  private[graft] def fpsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    materialized(docsWithTokens(s, d)
+    materialized(docs.withColumn("tokens", tokensCol)
         .select($"doc_id", shinglesCol.as("shingles")))
       .select($"doc_id", array_distinct(transform($"shingles",
         sh => rolling_hash2(sh))).as("fps"))
-      .localCheckpoint(true)
   }
 
   /** Distinct unordered id pairs (`id1` < `id2`) co-bucketed by
@@ -178,6 +188,31 @@ object Dedup extends QueryPack {
     * equality self-join on (band, key), then exact fingerprint-set
     * Jaccard verification at `tau`. Checkpoints keep each stage's
     * input computed once. Returns (doc1, doc2, jaccard), unordered. */
+  /** (doc_id, band, band_key) over a fps frame — the 16 minhash
+    * permutations in ONE groupBy, band keys by projection. Shared by
+    * the self-join pair plan ([[minhashLshPairs]]) and the
+    * batch-vs-state incremental path
+    * ([[nearIncrementalAgainstState]]), so both sides of a persisted
+    * band-key state agree on the banding byte for byte. The signature
+    * frame is checkpointed (one small row per doc; the band join's
+    * sides must not each re-run the explode+agg). */
+  private[graft] def bandFrame(
+      docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(nBands * rowsPerBand <= 16, "only 16 minhash permutations exist")
+    val sh = docs.select($"doc_id", explode($"fps").as("fp"))
+    val aggs = (0 until 16).map(i =>
+      min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
+    val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val bandKeys = (0 until nBands).map(b =>
+      concat_ws("_", (0 until rowsPerBand).map(i =>
+        col(s"m${b * rowsPerBand + i}")): _*))
+    sigs16.select($"doc_id",
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
   private def minhashLshPairs(
       s: SparkSession,
       docs: DataFrame,
@@ -186,19 +221,7 @@ object Dedup extends QueryPack {
       tau: Double,
       keepCand: Option[(Column, Column) => Column] = None): DataFrame = {
     import s.implicits._
-    require(nBands * rowsPerBand <= 16, "only 16 minhash permutations exist")
-    val sh = docs.select($"doc_id", explode($"fps").as("fp"))
-    val aggs = (0 until 16).map(i =>
-      min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
-    // one small row per doc; checkpointed so the band self-join's two
-    // sides don't each re-run the explode+agg
-    val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
-    val bandKeys = (0 until nBands).map(b =>
-      concat_ws("_", (0 until rowsPerBand).map(i =>
-        col(s"m${b * rowsPerBand + i}")): _*))
-    val bands = sigs16.select($"doc_id",
-      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    val bands = bandFrame(docs, nBands, rowsPerBand)
     // skew-bounded band join: plain equality self-join until a bucket
     // exceeds the cap, then intra-bucket block-pair scheduling
     val candAll = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"))
@@ -499,6 +522,62 @@ object Dedup extends QueryPack {
       .withColumn("keep", min($"doc_id").over(w))
       .filter($"doc_id" === $"keep")
       .select($"doc_id", $"body_sha256")
+  }
+
+  /** NEAR-dup increment against PERSISTED banded state — the
+    * [[incrementalAgainstState]] asymmetry applied to the τ-Jaccard
+    * near-dup job (the continuous form of `dedup_incremental_near`,
+    * which derives its state in-query): the accumulated corpus lives
+    * in two bucketed tables and NEVER shuffles —
+    *
+    *  - `bandsTable` (doc_id, band, band_key) bucketed by
+    *    (band, band_key): the increment's bands equality-join it for
+    *    candidates, increment side aligning with the bucketing;
+    *  - `fpsTable` (doc_id, fps) bucketed by doc_id: candidate pairs
+    *    fetch state fingerprints for the exact-Jaccard verify, again
+    *    co-located on the state side.
+    *
+    * Survivors = increment docs with no τ-match in state and no
+    * smaller-id τ-match within the increment (same greedy leader rule,
+    * same [[bandFrame]] banding, same verify arithmetic as the batch
+    * query — fps frames from either entry point verify identically).
+    * `incFps` must be a (doc_id, fps) frame (see [[fpsOf]]); pinned
+    * here because it feeds the banding, the verify, and the output. */
+  private[graft] def nearIncrementalAgainstState(
+      s: SparkSession,
+      incFps: DataFrame,
+      bandsTable: String,
+      fpsTable: String,
+      nBands: Int = 8,
+      rowsPerBand: Int = 2,
+      tau: Double = 0.9): DataFrame = {
+    import s.implicits._
+    val inc = incFps.localCheckpoint(true)
+    val incBands = bandFrame(inc, nBands, rowsPerBand)
+    // candidates: increment bands against the bucketed band-key state —
+    // zero exchange on the state scan (StreamingDedupSpec plan-gates
+    // this shape the way BucketingSpec gates the exact-dedup one)
+    val candState = incBands.as("i")
+      .join(s.table(bandsTable).as("st"), Seq("band", "band_key"))
+      .select($"i.doc_id".as("inc_id"), $"st.doc_id".as("state_id"))
+      .distinct()
+    val matchedByState = candState
+      .join(inc.select($"doc_id".as("inc_id"), $"fps".as("f1")), Seq("inc_id"))
+      .join(s.table(fpsTable).select($"doc_id".as("state_id"), $"fps".as("f2")),
+        Seq("state_id"))
+      .withColumn("inter", size(array_intersect($"f1", $"f2")))
+      .withColumn("jaccard",
+        $"inter".cast(DoubleType) /
+          (size($"f1") + size($"f2") - $"inter").cast(DoubleType))
+      .filter($"jaccard" >= tau)
+      .select($"inc_id".as("doc_id"))
+    // within-increment greedy leader: doc1 < doc2 makes doc1 the
+    // leader side, so doc2 is blocked whatever doc1's own fate
+    val blockedInBatch = minhashLshPairs(s, inc, nBands, rowsPerBand, tau)
+      .select($"doc2".as("doc_id"))
+    inc.select($"doc_id")
+      .join(matchedByState.union(blockedInBatch).distinct(),
+        Seq("doc_id"), "left_anti")
   }
 
   override val queries: Map[String, QueryDef] = Map(

@@ -70,4 +70,58 @@ object StreamingDedup {
           Bucketing.compact(s, stateTable)
       }
       .start()
+
+  /** Continuous NEAR-dup — the τ-Jaccard sibling of
+    * [[exactDedupStream]] and the streaming form of the
+    * `dedup_incremental_near` nightly job: per micro-batch, survivors
+    * come from [[graft.operators.Dedup.nearIncrementalAgainstState]]
+    * (banded candidates against the (band, band_key)-bucketed state,
+    * exact-fingerprint-Jaccard verify against the doc_id-bucketed fps
+    * state — ZERO exchange on either state table), then the batch's
+    * survivors fold into BOTH state tables bucket-aligned, and every
+    * `compactEvery` batches both compact back to one file per bucket.
+    * The same replay-safety argument as exact dedup holds: duplicate
+    * band/fps state rows only produce duplicate CANDIDATES, which the
+    * verify + distinct collapse, so a replayed fold changes no later
+    * batch's survivors. */
+  def nearDedupStream(
+      records: DataFrame,
+      bandsTable: String,
+      fpsTable: String,
+      buckets: Int,
+      checkpointDir: String,
+      sink: DataFrame => Unit,
+      nBands: Int = 8,
+      rowsPerBand: Int = 2,
+      tau: Double = 0.9,
+      compactEvery: Long = 0L): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val inc = Dedup.fpsOf(batch.select(col("doc_id"), col("text")))
+          .localCheckpoint(true)
+        Bucketing.recoverCompaction(s, bandsTable)
+        Bucketing.recoverCompaction(s, fpsTable)
+        if (!s.catalog.tableExists(bandsTable))
+          Bucketing.writeBucketed(
+            Dedup.bandFrame(inc, nBands, rowsPerBand).limit(0),
+            bandsTable, Seq("band", "band_key"), buckets)
+        if (!s.catalog.tableExists(fpsTable))
+          Bucketing.writeBucketed(inc.limit(0), fpsTable, "doc_id", buckets)
+        val survivors = Dedup.nearIncrementalAgainstState(
+          s, inc, bandsTable, fpsTable, nBands, rowsPerBand, tau)
+          .localCheckpoint(true) // feeds sink + both folds; must not
+                                 // observe its own state writes
+        sink(survivors)
+        val survFps = inc.join(survivors, Seq("doc_id"))
+        Bucketing.appendBucketAligned(
+          Dedup.bandFrame(survFps, nBands, rowsPerBand), bandsTable)
+        Bucketing.appendBucketAligned(survFps, fpsTable)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Bucketing.compact(s, bandsTable)
+          Bucketing.compact(s, fpsTable)
+        }
+      }
+      .start()
 }

@@ -127,6 +127,53 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("near-dup band-key and fps state tables co-locate: one increment-side " +
+      "exchange per join, zero on the state scans") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val all = Dedup.fpsOf(Tables.documents(spark, sf)).localCheckpoint(true)
+      val stateFps = all.filter(col("doc_id") % 4 < 3)
+      Bucketing.writeBucketed(Dedup.bandFrame(stateFps, 8, 2),
+        "b_near_bands", Seq("band", "band_key"), 4)
+      Bucketing.writeBucketed(stateFps, "b_near_fps", "doc_id", 4)
+      val inc = all.filter(col("doc_id") % 4 >= 3).localCheckpoint(true)
+
+      // candidates: increment bands against the bucketed band-key state
+      val cand = Dedup.bandFrame(inc, 8, 2)
+        .join(spark.table("b_near_bands"), Seq("band", "band_key"))
+      val cp = cand.queryExecution.executedPlan.toString
+      cp should include("SortMergeJoin")
+      // the signature aggregation ran inside bandFrame's checkpoint, so
+      // the ONLY hash exchange in this plan is the increment side
+      // aligning with the state bucketing — the state scan has none
+      "Exchange hashpartitioning".r.findAllIn(cp).size shouldBe 1
+
+      // verify fetch: candidate doc_ids against the doc_id-bucketed fps
+      val fetch = inc.select(col("doc_id"))
+        .join(spark.table("b_near_fps"), Seq("doc_id"))
+      val fp = fetch.queryExecution.executedPlan.toString
+      fp should include("SortMergeJoin")
+      "Exchange hashpartitioning".r.findAllIn(fp).size shouldBe 1
+
+      // and the full incremental operator agrees with the in-query twin:
+      // same survivors as dedup_incremental_near (state = doc_id%4<3)
+      val survivors = Dedup.nearIncrementalAgainstState(
+        spark, inc, "b_near_bands", "b_near_fps")
+        .collect().map(_.getLong(0)).sorted
+      val expected = graft.SparkEntry.queries("dedup_incremental_near")(spark, sf)
+        .collect().map(_.getLong(0)).sorted
+      survivors shouldBe expected
+      expected.length should be > 0
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_near_bands")
+      spark.sql("DROP TABLE IF EXISTS b_near_fps")
+    }
+  }
+
   test("recoverCompaction finishes an interrupted drop-then-rename swap") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.{col, sha2}

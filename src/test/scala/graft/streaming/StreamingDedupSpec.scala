@@ -69,4 +69,57 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("streaming NEAR-dup: banded state blocks tau-matches across batches, " +
+      "folds and compaction keep both state tables") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bands = "snd_bands"; val fps = "snd_fps"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $bands")
+    spark.sql(s"DROP TABLE IF EXISTS $fps")
+    // 30-token docs: appending one token keeps 28 of 29 shingles →
+    // jaccard 28/29 ≈ 0.966, comfortably over τ=0.9; disjoint vocab
+    // between different docs keeps unrelated jaccard at 0
+    def doc(prefix: String) = (0 until 30).map(i => s"$prefix$i").mkString(" ")
+    val (a, b, c, d) = (doc("alpha"), doc("beta"), doc("gamma"), doc("delta"))
+    val input = MemoryStream[(Long, String)]
+    @volatile var out = Vector.empty[Long]
+    val q = StreamingDedup.nearDedupStream(
+      input.toDF().toDF("doc_id", "text"), bands, fps, buckets = 4,
+      ckpt.toString,
+      sink = ds => out ++= ds.collect().map(_.getLong(0)).sorted,
+      compactEvery = 2L)
+    try {
+      // batch 0: 3 is a near-dup of 1 (in-batch) → survivors 1, 2
+      input.addData((1L, a), (2L, b), (3L, a + " alphaX"))
+      q.processAllAvailable()
+      out shouldBe Vector(1L, 2L)
+
+      // batch 1: 5 near-dups STATE doc 2 → only 4 survives; compaction
+      // of both state tables runs after this batch
+      input.addData((4L, c), (5L, b + " betaX"))
+      q.processAllAvailable()
+      out shouldBe Vector(1L, 2L, 4L)
+
+      // batch 2: 7 near-dups state (4), 8 near-dups 6 in-batch → 6 only;
+      // state matches still block AFTER the compaction
+      input.addData((6L, d), (7L, c + " gammaX"), (8L, d + " deltaX"))
+      q.processAllAvailable()
+      out shouldBe Vector(1L, 2L, 4L, 6L)
+
+      // both state tables hold exactly the survivors
+      spark.table(fps).select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+        Array(1L, 2L, 4L, 6L)
+      spark.table(bands).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 4L, 6L)
+      // 8 bands per doc
+      spark.table(bands).count() shouldBe 32L
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $bands")
+      spark.sql(s"DROP TABLE IF EXISTS $fps")
+    }
+  }
 }
