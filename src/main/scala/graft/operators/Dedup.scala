@@ -180,14 +180,6 @@ object Dedup extends QueryPack {
     }
   }
 
-  /** The banded MinHash-LSH pair plan over a [[shingleFps]] frame:
-    * 16 minhashes in ONE groupBy (signatures permute fp % Mod — which
-    * IS rolling_hash(sh, 31), so minhash values are unchanged by the
-    * wider fingerprint, and the pre-mod keeps (2i+1)*fp inside Long
-    * under ANSI), band keys built by projection (no second agg),
-    * equality self-join on (band, key), then exact fingerprint-set
-    * Jaccard verification at `tau`. Checkpoints keep each stage's
-    * input computed once. Returns (doc1, doc2, jaccard), unordered. */
   /** (doc_id, band, band_key) over a fps frame — the 16 minhash
     * permutations in ONE groupBy, band keys by projection. Shared by
     * the self-join pair plan ([[minhashLshPairs]]) and the
@@ -195,7 +187,9 @@ object Dedup extends QueryPack {
     * ([[nearIncrementalAgainstState]]), so both sides of a persisted
     * band-key state agree on the banding byte for byte. The signature
     * frame is checkpointed (one small row per doc; the band join's
-    * sides must not each re-run the explode+agg). */
+    * sides must not each re-run the explode+agg) — which also makes
+    * EVERY call run the signature job, so per-batch callers compute
+    * one band frame and pass it to each consumer. */
   private[graft] def bandFrame(
       docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
     val s = docs.sparkSession
@@ -213,15 +207,26 @@ object Dedup extends QueryPack {
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
+  /** The banded MinHash-LSH pair plan over a [[shingleFps]] frame:
+    * 16 minhashes in ONE groupBy (signatures permute fp % Mod — which
+    * IS rolling_hash(sh, 31), so minhash values are unchanged by the
+    * wider fingerprint, and the pre-mod keeps (2i+1)*fp inside Long
+    * under ANSI), band keys built by projection (no second agg),
+    * equality self-join on (band, key), then exact fingerprint-set
+    * Jaccard verification at `tau`. Checkpoints keep each stage's
+    * input computed once. `prebuiltBands` lets a caller that already
+    * ran [[bandFrame]] over `docs` reuse it instead of paying the
+    * signature job twice. Returns (doc1, doc2, jaccard), unordered. */
   private def minhashLshPairs(
       s: SparkSession,
       docs: DataFrame,
       nBands: Int,
       rowsPerBand: Int,
       tau: Double,
-      keepCand: Option[(Column, Column) => Column] = None): DataFrame = {
+      keepCand: Option[(Column, Column) => Column] = None,
+      prebuiltBands: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val bands = bandFrame(docs, nBands, rowsPerBand)
+    val bands = prebuiltBands.getOrElse(bandFrame(docs, nBands, rowsPerBand))
     // skew-bounded band join: plain equality self-join until a bucket
     // exceeds the cap, then intra-bucket block-pair scheduling
     val candAll = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"))
@@ -541,8 +546,14 @@ object Dedup extends QueryPack {
     * smaller-id τ-match within the increment (same greedy leader rule,
     * same [[bandFrame]] banding, same verify arithmetic as the batch
     * query — fps frames from either entry point verify identically).
-    * `incFps` must be a (doc_id, fps) frame (see [[fpsOf]]); pinned
-    * here because it feeds the banding, the verify, and the output. */
+    *
+    * `incFps` must be a CHECKPOINTED (doc_id, fps) frame (see
+    * [[fpsOf]]) — it feeds the banding, the verify, and the output,
+    * and the caller usually also folds it into state afterwards, so
+    * pinning belongs to the caller (one copy, every consumer).
+    * `incBands` likewise lets the caller run the signature job once
+    * and share the band frame between the state join, the in-batch
+    * pair plan, and its own state fold. */
   private[graft] def nearIncrementalAgainstState(
       s: SparkSession,
       incFps: DataFrame,
@@ -550,14 +561,16 @@ object Dedup extends QueryPack {
       fpsTable: String,
       nBands: Int = 8,
       rowsPerBand: Int = 2,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9,
+      incBands: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val inc = incFps.localCheckpoint(true)
-    val incBands = bandFrame(inc, nBands, rowsPerBand)
+    val inc = incFps
+    val bands = incBands.getOrElse(bandFrame(inc, nBands, rowsPerBand))
     // candidates: increment bands against the bucketed band-key state —
-    // zero exchange on the state scan (StreamingDedupSpec plan-gates
-    // this shape the way BucketingSpec gates the exact-dedup one)
-    val candState = incBands.as("i")
+    // zero exchange on the state scan (BucketingSpec plan-gates both
+    // this shape and the full operator plan, the way it gates the
+    // exact-dedup one)
+    val candState = bands.as("i")
       .join(s.table(bandsTable).as("st"), Seq("band", "band_key"))
       .select($"i.doc_id".as("inc_id"), $"st.doc_id".as("state_id"))
       .distinct()
@@ -573,7 +586,8 @@ object Dedup extends QueryPack {
       .select($"inc_id".as("doc_id"))
     // within-increment greedy leader: doc1 < doc2 makes doc1 the
     // leader side, so doc2 is blocked whatever doc1's own fate
-    val blockedInBatch = minhashLshPairs(s, inc, nBands, rowsPerBand, tau)
+    val blockedInBatch = minhashLshPairs(s, inc, nBands, rowsPerBand, tau,
+        prebuiltBands = Some(bands))
       .select($"doc2".as("doc_id"))
     inc.select($"doc_id")
       .join(matchedByState.union(blockedInBatch).distinct(),

@@ -100,28 +100,71 @@ object StreamingDedup {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val inc = Dedup.fpsOf(batch.select(col("doc_id"), col("text")))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // one pinned copy feeds banding,
+                                 // verify, survivors, and both folds
         Bucketing.recoverCompaction(s, bandsTable)
         Bucketing.recoverCompaction(s, fpsTable)
         if (!s.catalog.tableExists(bandsTable))
-          Bucketing.writeBucketed(
-            Dedup.bandFrame(inc, nBands, rowsPerBand).limit(0),
+          Bucketing.writeBucketed(emptyBandsFrame(s),
             bandsTable, Seq("band", "band_key"), buckets)
         if (!s.catalog.tableExists(fpsTable))
           Bucketing.writeBucketed(inc.limit(0), fpsTable, "doc_id", buckets)
+        // a restart with a DIFFERENT banding would join increment band
+        // keys against incompatible state keys and silently detect
+        // nothing — pin the banding on the table and fail loudly
+        ensureBanding(s, bandsTable, nBands, rowsPerBand)
+        // the signature job runs ONCE per batch; the state join, the
+        // in-batch pair plan, and the fold all share this frame
+        val incBands = Dedup.bandFrame(inc, nBands, rowsPerBand)
         val survivors = Dedup.nearIncrementalAgainstState(
-          s, inc, bandsTable, fpsTable, nBands, rowsPerBand, tau)
+          s, inc, bandsTable, fpsTable, nBands, rowsPerBand, tau,
+          incBands = Some(incBands))
           .localCheckpoint(true) // feeds sink + both folds; must not
                                  // observe its own state writes
         sink(survivors)
-        val survFps = inc.join(survivors, Seq("doc_id"))
         Bucketing.appendBucketAligned(
-          Dedup.bandFrame(survFps, nBands, rowsPerBand), bandsTable)
-        Bucketing.appendBucketAligned(survFps, fpsTable)
+          incBands.join(survivors, Seq("doc_id")), bandsTable)
+        Bucketing.appendBucketAligned(
+          inc.join(survivors, Seq("doc_id")), fpsTable)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Bucketing.compact(s, bandsTable)
           Bucketing.compact(s, fpsTable)
+          // compaction's CTAS+rename drops table properties; restore
+          // the banding pin in the same batch so the guard never sees
+          // a legitimately-absent property across a restart
+          ensureBanding(s, bandsTable, nBands, rowsPerBand)
         }
       }
       .start()
+
+  private val BandingProp = "graft.near.banding"
+
+  /** Pin (or validate) the banding configuration on the bands state
+    * table: adopt when absent, REQUIRE equality when present. */
+  private def ensureBanding(
+      s: org.apache.spark.sql.SparkSession,
+      bandsTable: String, nBands: Int, rowsPerBand: Int): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val expected = s"${nBands}x$rowsPerBand"
+    s.sessionState.catalog.getTableMetadata(TableIdentifier(bandsTable))
+      .properties.get(BandingProp) match {
+      case Some(p) => require(p == expected,
+        s"$bandsTable was built with banding $p but this stream runs " +
+          s"$expected — near-dup state would silently stop matching; " +
+          "rebuild the state or restore the original banding")
+      case None => s.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES " +
+        s"('$BandingProp'='$expected')")
+    }
+  }
+
+  /** Empty (doc_id, band, band_key) frame for first-batch state-table
+    * creation — a static schema, so creating the table costs no
+    * signature job over the batch. */
+  private def emptyBandsFrame(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("band", IntegerType),
+      StructField("band_key", StringType))))
+  }
 }

@@ -158,11 +158,25 @@ class BucketingSpec extends AnyFunSuite with Matchers {
       fp should include("SortMergeJoin")
       "Exchange hashpartitioning".r.findAllIn(fp).size shouldBe 1
 
+      // the REAL operator's plan: both state tables appear exactly once
+      // as scans, and the total exchange count is pinned — every one of
+      // them is on the increment/candidate side, so a regression that
+      // re-shuffles a state scan (e.g. alias-propagation of the
+      // bucketed partitioning breaking under a refactor or Spark
+      // upgrade) shows up as a count increase here, not just in the
+      // simplified sub-plans above
+      val op = Dedup.nearIncrementalAgainstState(
+        spark, inc, "b_near_bands", "b_near_fps")
+      val opPlan = op.queryExecution.executedPlan.toString
+      "Scan parquet".r.findAllIn(opPlan).size shouldBe 2
+      // 14 = the increment-sized machinery (banding self-join, candidate
+      // distinct, verify joins, union-distinct, anti-join) — measured
+      // with the state sides proven exchange-free by the sub-plan gates
+      "Exchange hashpartitioning".r.findAllIn(opPlan).size shouldBe 14
+
       // and the full incremental operator agrees with the in-query twin:
       // same survivors as dedup_incremental_near (state = doc_id%4<3)
-      val survivors = Dedup.nearIncrementalAgainstState(
-        spark, inc, "b_near_bands", "b_near_fps")
-        .collect().map(_.getLong(0)).sorted
+      val survivors = op.collect().map(_.getLong(0)).sorted
       val expected = graft.SparkEntry.queries("dedup_incremental_near")(spark, sf)
         .collect().map(_.getLong(0)).sorted
       survivors shouldBe expected

@@ -116,6 +116,24 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
         .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 4L, 6L)
       // 8 bands per doc
       spark.table(bands).count() shouldBe 32L
+
+      // restarting over the same state with a DIFFERENT banding must
+      // fail loudly — a silent mismatch would join incompatible band
+      // keys and stop detecting near-dups entirely
+      q.stop()
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt2")
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = StreamingDedup.nearDedupStream(
+        input2.toDF().toDF("doc_id", "text"), bands, fps, buckets = 4,
+        ckpt2.toString, sink = _ => (), nBands = 4, rowsPerBand = 4)
+      try {
+        input2.addData((99L, doc("omega")))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        // and the guard fired BEFORE any state mutation
+        spark.table(fps).count() shouldBe 4L
+      } finally q2.stop()
     } finally {
       q.stop()
       spark.sql(s"DROP TABLE IF EXISTS $bands")
