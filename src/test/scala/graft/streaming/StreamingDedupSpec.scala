@@ -70,6 +70,45 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("continuous dedup survives a restart: offsets recover, the bucketed " +
+      "state persists, and cross-restart duplicates stay blocked") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-rckpt")
+    val table = "sd_restart_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def writeDocs(name: String, docs: (Long, String)*): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes(UTF_8))
+    def source() = spark.readStream
+      .schema("doc_id LONG, text STRING").json(dir.toString)
+    @volatile var out = Vector.empty[Long]
+    def start() = StreamingDedup.exactDedupStream(
+      source(), table, buckets = 4, ckpt.toString,
+      sink = ds => out ++= ds.collect().map(_.getLong(0)).sorted)
+
+    writeDocs("b0.json", (1L, "aaa"), (2L, "bbb"))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // crash/restart boundary
+    out shouldBe Vector(1L, 2L)
+
+    // doc 3 duplicates PRE-restart state; doc 4 is new. The restarted
+    // query must not re-emit batch 0 (offsets recovered) and must
+    // still block 3 (state table persisted outside the checkpoint)
+    writeDocs("b1.json", (3L, "aaa"), (4L, "ccc"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      out shouldBe Vector(1L, 2L, 4L)
+      spark.table(table).count() shouldBe 3L
+    } finally {
+      q2.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streaming NEAR-dup: banded state blocks tau-matches across batches, " +
       "folds and compaction keep both state tables") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
