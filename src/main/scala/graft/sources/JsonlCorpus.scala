@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, struct, to_json, when}
 import org.apache.spark.sql.types._
 
 /** JSONL document-corpus source — the format large text corpora
@@ -17,10 +17,19 @@ import org.apache.spark.sql.types._
   *    100 TB would be a second full read before the first real one;
   *  - extra JSON fields are simply not projected (schema projection is
   *    Spark's JSON-pushdown: the parser skips unrequested fields);
-  *  - corrupt lines are quarantined, not fatal: PERMISSIVE mode routes
-  *    them to `_corrupt_record`, [[documents]] drops them and
-  *    [[corruptLines]] exposes them for the health check a pipeline
-  *    should run per ingest (the ADVICE-r05 skip-observability rule
+  *  - row MEMBERSHIP is projection-independent: the only validity
+  *    gate is `doc_id IS NOT NULL`, and referencing doc_id in the
+  *    filter forces it into every scan's required schema — so counts,
+  *    pruned queries, and full reads agree on which rows exist. A
+  *    row whose OTHER fields fail conversion stays a member (those
+  *    fields read as null, PERMISSIVE semantics) and is surfaced by
+  *    [[quarantine]]; gating membership on `_corrupt_record` instead
+  *    would make validity depend on which columns a query happens to
+  *    read, silently shifting results between query shapes;
+  *  - malformed input is quarantined, not fatal and not silent:
+  *    [[quarantine]] reports unparseable lines AND doc_id-less rows
+  *    AND partially-corrupt members for the per-ingest health check a
+  *    pipeline should run (the ADVICE-r05 skip-observability rule
   *    applied to the corpus tier);
   *  - gzip shards are NOT splittable — one task per shard, so shard
   *    size (not count) sets parallelism; a corpus staged as ~128 MiB
@@ -38,46 +47,59 @@ object JsonlCorpus {
     StructField("n_chars", LongType),
     StructField("_corrupt_record", StringType)))
 
-  private def raw(s: SparkSession, path: String): DataFrame =
-    s.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+  /** One definition of the parse configuration and the membership
+    * predicate for BOTH faces — the batch and streaming readers must
+    * never drift in row-acceptance semantics. */
+  private val parseOpts = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record")
+  private def isMember: Column = col("doc_id").isNotNull
 
-  /** Well-formed documents from JSONL shards, `documents`-shaped:
-    * drop-in for `Tables.documents` output (JsonlCorpusSpec proves
+  private def raw(s: SparkSession, path: String): DataFrame =
+    s.read.schema(schema).options(parseOpts).json(path)
+
+  /** Member documents from JSONL shards, `documents`-shaped: drop-in
+    * for `Tables.documents` output (JsonlCorpusSpec proves
     * byte-equality of a parquet→jsonl→read round trip). */
   def documents(s: SparkSession, path: String): DataFrame =
-    raw(s, path)
-      .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
-      .drop("_corrupt_record")
+    raw(s, path).filter(isMember).drop("_corrupt_record")
 
-  /** The quarantined raw lines — route to a dead-letter sink and alert
-    * when nonzero, mirroring `Monitor.PollOutput.skippedFiles`. Spark
-    * refuses a query whose only referenced column on a raw JSON scan
-    * is the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
-    * so the parse goes through an object barrier first — this is the
-    * small periodic audit path, not the ingest hot path. */
-  def corruptLines(s: SparkSession, path: String): DataFrame = {
+  /** The dead-letter audit frame: (line, reason) for every input row
+    * that is not a fully-clean member — `unparseable` (no doc_id could
+    * be read: dropped from [[documents]]), `no_doc_id` (valid JSON
+    * without a doc_id: also dropped), `partial` (a MEMBER row whose
+    * non-key fields failed conversion and read as null). Route it to a
+    * dead-letter sink and alert when nonzero, mirroring
+    * `Monitor.PollOutput.skippedFiles`. Runs a FULL parse behind an
+    * object barrier (Spark refuses corrupt-record-only projections on
+    * raw JSON scans) — this is the small periodic audit path, not the
+    * ingest hot path. */
+  def quarantine(s: SparkSession, path: String): DataFrame = {
     val r = raw(s, path)
     r.map(identity(_))(org.apache.spark.sql.Encoders.row(r.schema))
-      .filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("line"))
+      .filter(col("_corrupt_record").isNotNull || !isMember)
+      .select(
+        coalesce(col("_corrupt_record"),
+          to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))).as("line"),
+        when(col("doc_id").isNull && col("_corrupt_record").isNotNull,
+            lit("unparseable"))
+          .when(col("doc_id").isNull, lit("no_doc_id"))
+          .otherwise(lit("partial")).as("reason"))
   }
 
   /** Streaming face over a growing shard directory — new files become
-    * micro-batches (`maxFilesPerTrigger` paces ingest like the file
-    * monitor's `max.poll.files`), composing directly with
-    * `streaming.StreamingDedup`'s continuous dedup. Corrupt lines are
-    * dropped here (a stream can't fork a side output; run
-    * [[corruptLines]] as a periodic batch audit instead). */
-  def documentsStream(s: SparkSession, path: String): DataFrame =
-    s.readStream
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
+    * micro-batches, composing directly with `streaming.StreamingDedup`'s
+    * continuous dedup. `options` passes reader options through, e.g.
+    * `Map("maxFilesPerTrigger" -> "16")` to pace a backlog the way the
+    * file monitor's `max.poll.files` does. Same membership predicate
+    * as [[documents]]; run [[quarantine]] as a periodic batch audit
+    * (a stream cannot fork a side output). */
+  def documentsStream(
+      s: SparkSession,
+      path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    s.readStream.schema(schema).options(parseOpts ++ options).json(path)
+      .filter(isMember)
       .drop("_corrupt_record")
 }

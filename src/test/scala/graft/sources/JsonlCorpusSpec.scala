@@ -9,8 +9,9 @@ import org.scalatest.matchers.should.Matchers
 import graft.{Tables, TestSpark}
 
 /** Proves the JSONL source is a drop-in for the parquet documents
-  * table: a parquet→jsonl→read round trip is row-identical, corrupt
-  * lines quarantine instead of failing or silently vanishing, gzip
+  * table: a parquet→jsonl→read round trip is row-identical, membership
+  * is projection-independent, malformed input lands in the quarantine
+  * frame with the right reason instead of failing or vanishing, gzip
   * shards read transparently, and the operator pack runs unchanged on
   * the JSONL-sourced frame.
   */
@@ -26,14 +27,16 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
     back.schema.fieldNames.sorted shouldBe docs.schema.fieldNames.sorted
     back.orderBy("doc_id").collect().map(_.toString) shouldBe
       docs.orderBy("doc_id").collect().map(_.toString)
-    JsonlCorpus.corruptLines(spark, dir).count() shouldBe 0L
+    JsonlCorpus.quarantine(spark, dir).count() shouldBe 0L
   }
 
-  test("corrupt lines quarantine; good lines and gzip shards still read") {
+  test("malformed input quarantines by reason; membership is projection-independent") {
     val dir = Files.createTempDirectory("graft-jsonl-bad")
     Files.write(dir.resolve("good.jsonl"),
       ("""{"doc_id":1,"text":"alpha beta","lang":"en","source":"s0","n_chars":10}""" + "\n" +
        """not json at all""" + "\n" +
+       """{"text":"orphan without id","lang":"en","source":"s0","n_chars":17}""" + "\n" +
+       """{"doc_id":5,"text":"bad count","lang":"en","source":"s0","n_chars":"oops"}""" + "\n" +
        """{"doc_id":2,"text":"gamma","lang":"de","source":"s1","n_chars":5}""")
         .getBytes(UTF_8))
     // a gzip shard: must read transparently via the Hadoop codec
@@ -44,10 +47,25 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
     gz.close()
 
     val docs = JsonlCorpus.documents(spark, dir.toString)
+    // doc 5's bad n_chars reads as null but the row IS a member — and
+    // membership agrees between a pruned projection, a full read, and
+    // a count (the parquet drop-in contract)
+    docs.count() shouldBe 4L
+    docs.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 2L, 3L, 5L)
     docs.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
-      Array((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
-    JsonlCorpus.corruptLines(spark, dir.toString)
-      .collect().map(_.getString(0)) shouldBe Array("not json at all")
+      Array((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"), (5L, "bad count"))
+    docs.filter("doc_id = 5").collect().head.isNullAt(4) shouldBe true
+
+    // every non-clean input surfaces, each with its reason
+    JsonlCorpus.quarantine(spark, dir.toString)
+      .collect().map(r => (r.getString(1), r.getString(0))).sortBy(_._1) shouldBe
+      Array(
+        ("no_doc_id",
+          """{"text":"orphan without id","lang":"en","source":"s0","n_chars":17}"""),
+        ("partial",
+          """{"doc_id":5,"text":"bad count","lang":"en","source":"s0","n_chars":"oops"}"""),
+        ("unparseable", "not json at all"))
   }
 
   test("the operator pack runs unchanged on a JSONL-sourced frame") {

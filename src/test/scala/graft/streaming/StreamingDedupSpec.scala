@@ -88,25 +88,24 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
       source(), table, buckets = 4, ckpt.toString,
       sink = ds => out ++= ds.collect().map(_.getLong(0)).sorted)
 
-    writeDocs("b0.json", (1L, "aaa"), (2L, "bbb"))
-    val q1 = start()
-    q1.processAllAvailable()
-    q1.stop() // crash/restart boundary
-    out shouldBe Vector(1L, 2L)
-
-    // doc 3 duplicates PRE-restart state; doc 4 is new. The restarted
-    // query must not re-emit batch 0 (offsets recovered) and must
-    // still block 3 (state table persisted outside the checkpoint)
-    writeDocs("b1.json", (3L, "aaa"), (4L, "ccc"))
-    val q2 = start()
     try {
-      q2.processAllAvailable()
-      out shouldBe Vector(1L, 2L, 4L)
-      spark.table(table).count() shouldBe 3L
-    } finally {
-      q2.stop()
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-    }
+      writeDocs("b0.json", (1L, "aaa"), (2L, "bbb"))
+      val q1 = start()
+      try q1.processAllAvailable()
+      finally q1.stop() // crash/restart boundary
+      out shouldBe Vector(1L, 2L)
+
+      // doc 3 duplicates PRE-restart state; doc 4 is new. The restarted
+      // query must not re-emit batch 0 (offsets recovered) and must
+      // still block 3 (state table persisted outside the checkpoint)
+      writeDocs("b1.json", (3L, "aaa"), (4L, "ccc"))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        out shouldBe Vector(1L, 2L, 4L)
+        spark.table(table).count() shouldBe 3L
+      } finally q2.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   test("streaming NEAR-dup: banded state blocks tau-matches across batches, " +
