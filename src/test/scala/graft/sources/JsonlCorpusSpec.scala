@@ -68,6 +68,48 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
         ("unparseable", "not json at all"))
   }
 
+  test("documentsStream feeds continuous dedup, one shard per micro-batch") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("graft-jsonl-stream")
+    val ckpt = Files.createTempDirectory("graft-jsonl-stream-ckpt")
+    val table = "jsonl_dedup_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def shard(name: String, mtimeMs: Long, docs: (Long, String)*): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p,
+        docs.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t","lang":"en","source":"s0","n_chars":${t.length}}"""
+        }.mkString("\n").getBytes(UTF_8))
+      // the file source orders batches by mtime; same-millisecond
+      // shards tie-break unspecified, so pin distinct mtimes
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // shard 2 repeats shard 1's body: with one shard per micro-batch
+    // the duplicate is blocked by STATE, not in-batch — proving both
+    // the pacing option and the cross-batch state path
+    val t0 = System.currentTimeMillis() - 60000L
+    shard("s1.jsonl", t0, (1L, "aaa"), (2L, "bbb"))
+    shard("s2.jsonl", t0 + 5000L, (3L, "aaa"), (4L, "ccc"))
+    @volatile var batches = Vector.empty[Vector[Long]]
+    val q = graft.streaming.StreamingDedup.exactDedupStream(
+      JsonlCorpus.documentsStream(spark, dir.toString,
+        Map("maxFilesPerTrigger" -> "1")),
+      table, buckets = 4, ckpt.toString,
+      sink = ds => {
+        val ids = ds.collect().map(_.getLong(0)).sorted.toVector
+        if (ids.nonEmpty) batches :+= ids
+      })
+    try {
+      q.processAllAvailable()
+      // two non-empty micro-batches (one per shard), duplicate dropped
+      batches shouldBe Vector(Vector(1L, 2L), Vector(4L))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("the operator pack runs unchanged on a JSONL-sourced frame") {
     val dir = Files.createTempDirectory("graft-jsonl-ops").toString
     Tables.documents(spark, sf).write.mode("overwrite").json(dir)
