@@ -126,6 +126,28 @@ object Bucketing {
     pending
   }
 
+  /** Table properties that should survive a [[compact]] rewrite —
+    * everything the user (or a caller like `streaming.StreamingDedup`'s
+    * banding pin) set, minus catalog-internal bookkeeping. Copied onto
+    * the `_compacting` table BEFORE the swap, so a crash at any point
+    * (including one recovered by [[recoverCompaction]]) never yields a
+    * property-less state table: losing the `graft.near.banding` pin
+    * would let a restart with different banding be silently ADOPTED
+    * instead of rejected — exactly the no-match failure the pin
+    * exists to prevent. */
+  private def userProperties(
+      spark: SparkSession, table: String): Map[String, String] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+      .properties.filterNot { case (k, _) =>
+        k.startsWith("spark.sql.") || k == "transient_lastDdlTime" ||
+          k == "EXTERNAL" || k == "comment" || k == "owner"
+      }
+  }
+
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Rewrite a bucketed table back to one file per bucket WITHOUT a
     * shuffle. Per-fold appends accumulate one file per bucket per
     * increment; after F folds every bucketed scan opens F× the files
@@ -145,10 +167,14 @@ object Bucketing {
     * BEFORE the drop leaves the original untouched; a crash between
     * drop and rename is the one unsafe window, closed by
     * [[recoverCompaction]], which this method (and table-creating
-    * callers) run first. */
+    * callers) run first. [[userProperties]] are copied onto the tmp
+    * table before the drop, so whichever table survives a crash
+    * carries them — callers need not (but may, as a validation)
+    * re-pin after compaction. */
   def compact(spark: SparkSession, table: String): Unit = {
     recoverCompaction(spark, table)
     val spec = bucketSpecOf(spark, table)
+    val props = userProperties(spark, table)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
@@ -157,6 +183,12 @@ object Bucketing {
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       bucketedWriter(spark.table(table), spec,
         org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tmp)
+      if (props.nonEmpty) {
+        val kvs = props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'${sqlLit(k)}'='${sqlLit(v)}'" }
+          .mkString(", ")
+        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($kvs)")
+      }
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     } finally spark.conf.set(autoKey, prevAuto)

@@ -57,10 +57,21 @@ object Multimodal extends QueryPack {
     * hamming banding uses the same pigeonhole mechanism as simhash's.
     * Map-only codegen'd HOF arithmetic; a codec-backed deployment
     * swaps the unit extractor (pixel luma, audio RMS frame) and keeps
-    * everything downstream. Input must carry (doc_id, text). */
+    * everything downstream. Input must carry (doc_id, text).
+    *
+    * The unit stream is the payload restricted to PRINTABLE ASCII
+    * (0x20–0x7E), stripped before resampling: on that alphabet Spark's
+    * `ascii()` (first UTF-8 byte, signed) and DuckDB's `unicode()`
+    * (code point) agree exactly, so the sketch is engine-defined on ANY
+    * corpus — a non-ASCII document contributes its ASCII subsequence
+    * to the grid instead of silently diverging between engines (Spark
+    * would read negative first-bytes where DuckDB reads code points).
+    * Documents with no ASCII content drop out of the sketch, matching
+    * the empty-payload filter. */
   private[operators] def phashSketch(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
+      .withColumn("text", regexp_replace($"text", "[^\\x20-\\x7e]", ""))
       .filter(length($"text") > 0)
       .withColumn("u", expr(
         """transform(sequence(0, 60),
@@ -122,8 +133,12 @@ object Multimodal extends QueryPack {
           .orderBy($"doc1", $"doc2")
       },
       oracle = Some("""
-        WITH p AS (
-          SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS text
+          FROM documents),
+        p AS (
+          SELECT doc_id, text FROM a WHERE length(text) > 0),
         u AS (
           SELECT doc_id,
             list_transform(generate_series(0, 60),

@@ -345,9 +345,14 @@ object Similarity extends QueryPack {
     * fold 1.04 s → + coordinator-side LUT ([[pqQueryLutWide]]) 0.91 s,
     * with the plan down from three hash exchanges to one.
     *
-    * Single-writer per process; a concurrent second process at worst
-    * rebuilds the same bytes (mode overwrite, deterministic
-    * content). */
+    * Concurrent builders are safe: each builds in a process-unique
+    * staging dir and RENAMES it into the keyed path (first rename
+    * wins, losers discard their staging copy), so a reader that has
+    * already passed the `_SUCCESS` check can never have parquet files
+    * deleted out from under its scan — deterministic content makes
+    * either winner's bytes identical. Stale `pq_*` siblings (left by
+    * testdata regeneration changing the key) are TTL-pruned
+    * best-effort after a successful build. */
   private def pqArtifactDir(s: SparkSession, d: String): String = {
     // key = build semantics + source-table identity (path, mtime, size):
     // regenerated testdata or changed build code both miss the cache
@@ -382,23 +387,63 @@ object Similarity extends QueryPack {
     val dir = pqArtifactDir(s, d)
     val codesPath = s"$dir/codes.parquet"
     val booksPath = s"$dir/codebook.parquet"
+    val hconf = s.sparkContext.hadoopConfiguration
     def complete(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+      hp.getFileSystem(hconf).exists(hp)
     }
-    if (!complete(codesPath) || !complete(booksPath)) {
+    def built: Boolean = complete(codesPath) && complete(booksPath)
+    if (!built) {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(hconf)
+      // stage → atomic rename: never delete/overwrite the keyed path a
+      // reader may already be scanning (see scaladoc above)
+      val stage = new org.apache.hadoop.fs.Path(
+        dir + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
       val (codes, books) = pqModel(s, embCheckpointed(s, d))
-      books.write.mode("overwrite").parquet(booksPath)
+      books.write.mode("overwrite").parquet(s"$stage/codebook.parquet")
       // wide: one row per vector, codes ordered by sub — the build
       // pays this one groupBy so every search is a map-only scan
       codes.select($"vec_id", struct($"sub", $"code").as("sc"))
         .groupBy($"vec_id")
         .agg(array_sort(collect_list($"sc")).as("sc"))
         .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
-        .write.mode("overwrite").parquet(codesPath)
+        .write.mode("overwrite").parquet(s"$stage/codes.parquet")
+      fs.mkdirs(dirPath.getParent)
+      if (!fs.rename(stage, dirPath)) {
+        // destination occupied: a concurrent builder won with a
+        // complete artifact (keep theirs — readers may hold it), or a
+        // crashed legacy/partial writer left an incomplete dir (no
+        // reader can have passed the _SUCCESS check on it — replace)
+        if (!built) {
+          fs.delete(dirPath, true)
+          if (!fs.rename(stage, dirPath) && !built)
+            throw new java.io.IOException(
+              s"could not install PQ artifact at $dir")
+        }
+        fs.delete(stage, true)
+      }
+      pruneStaleArtifacts(fs, dirPath)
     }
     (s.read.parquet(codesPath), s.read.parquet(booksPath))
   }
+
+  /** Best-effort TTL prune of sibling `pq_*` artifact dirs under the
+    * shared artifacts root — testdata regeneration changes the cache
+    * key, and without this the orphaned old-key dirs accumulate in
+    * tmpdir unboundedly. 24 h TTL keeps anything a live process could
+    * still be reading or staging. */
+  private def pruneStaleArtifacts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      current: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      fs.listStatus(current.getParent).foreach { st =>
+        if (st.getPath.getName.startsWith("pq_") &&
+            st.getPath != current && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Long-form (vec_id, sub, code) view of the wide codes artifact —
     * map-only (posexplode preserves the scan's partitioning, so a

@@ -129,9 +129,10 @@ object StreamingDedup {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Bucketing.compact(s, bandsTable)
           Bucketing.compact(s, fpsTable)
-          // compaction's CTAS+rename drops table properties; restore
-          // the banding pin in the same batch so the guard never sees
-          // a legitimately-absent property across a restart
+          // compact() copies user properties onto its tmp table before
+          // the swap, so the banding pin survives compaction (and any
+          // crash recoverCompaction finishes); this call is a pure
+          // validation — it REQUIRES the preserved pin to match
           ensureBanding(s, bandsTable, nBands, rowsPerBand)
         }
       }

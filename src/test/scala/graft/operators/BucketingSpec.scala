@@ -220,6 +220,44 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("compact preserves user table properties across the swap and crash recovery") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, sha2}
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val table = "b_props"
+    def props(): Map[String, String] =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+        .properties
+    try {
+      Bucketing.writeBucketed(
+        Tables.documents(spark, sf)
+          .select(sha2(col("text"), 256).as("body_sha256")).distinct(),
+        table, "body_sha256", 4)
+      val expected = spark.table(table).count()
+      spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('graft.near.banding'='8x2')")
+
+      // the normal path: the pin must ride through the CTAS+rename swap
+      Bucketing.compact(spark, table)
+      props().get("graft.near.banding") shouldBe Some("8x2")
+      spark.table(table).count() shouldBe expected
+
+      // the crash path the pin must also survive: compact dropped the
+      // original but died before the rename — recoverCompaction renames
+      // the _compacting table into place, and because compact copies
+      // properties BEFORE the drop, the recovered table still carries
+      // the pin (a property-less recovery would let a restart with
+      // different banding be silently adopted)
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}_compacting")
+      Bucketing.recoverCompaction(spark, table) shouldBe true
+      props().get("graft.near.banding") shouldBe Some("8x2")
+      spark.table(table).count() shouldBe expected
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    }
+  }
+
   test("PQ ADC search over codes bucketed by vec_id: zero shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.col

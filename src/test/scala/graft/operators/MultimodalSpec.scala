@@ -50,6 +50,28 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("phash sketch is engine-defined on non-ASCII payloads (printable-ASCII unit stream)") {
+    import spark.implicits._
+    // Spark ascii() reads the first (signed) UTF-8 byte where DuckDB
+    // unicode() reads the code point — they agree only on ASCII. The
+    // sketch therefore strips to printable ASCII before resampling: a
+    // payload with multibyte characters must sketch EXACTLY like its
+    // ASCII subsequence, so both engines compute the same bits on any
+    // corpus (and Spark's units can never go negative).
+    val ascii = "the quick brown fox jumps over the lazy dog " * 8
+    val noisy = ascii.grouped(7)
+      .mkString("é") + "中文\n\t" // é, CJK, control chars
+    val df = Seq((1L, ascii), (2L, noisy)).toDF("doc_id", "text")
+    val sk = Multimodal.phashSketch(df)
+      .as[(Long, Long)].collect().toMap
+    sk(2L) shouldBe sk(1L)
+    // a document with NO printable-ASCII content drops out entirely
+    // (matching the empty-payload filter) instead of sketching garbage
+    val none = Multimodal.phashSketch(
+      Seq((3L, "中文é\n")).toDF("doc_id", "text"))
+    none.count() shouldBe 0L
+  }
+
   test("phash discriminates: unrelated payloads rarely pair at the hamming gate") {
     // unrelated fixture texts land ~binomial(60, 1/2) hamming apart
     // (mean 30, sd ~3.9), so the <=13 production gate sits >4σ out and
