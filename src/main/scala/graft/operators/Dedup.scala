@@ -1189,6 +1189,41 @@ object Dedup extends QueryPack {
       },
       oracle = Some(semanticDedupSql)),
 
+    // ── prototype pruning (the SSL-prototypes half of D4) ──
+    // The complement of dedup_semantic: where SemDeDup drops vectors
+    // that are near-duplicates of EACH OTHER, prototype pruning drops
+    // the most PROTOTYPICAL members of each cluster — the points
+    // closest to their own centroid carry the least marginal training
+    // signal (Sorscher et al.'s self-supervised prototype metric; D4
+    // chains both prunes). Per cluster: cosine to the final centroid,
+    // rank desc (ties by vec_id), drop the top ceil(25%). Map-only up
+    // to the rank: the 8-row centroid table broadcasts onto the
+    // assignment scan, and the only shuffle is the per-cell rank —
+    // bounded at O(n/k) rows per cell, and k grows with the corpus (a
+    // deployment sizes k so cells fit an executor's sort buffer).
+    // FULLY value-checked: the oracle unrolls the shared k-means build
+    // (ivfBuildCtes) and re-ranks every cluster, so centroids, cosines,
+    // ranks, and the keep/drop frontier are all engine-reproduced.
+    "dedup_prototypes" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+        val (assigned, cents) = Similarity.ivfModelFor(s, d)
+        assigned.join(broadcast(cents), Seq("centroid_id"))
+          .withColumn("proto_cos",
+            round(VectorFunctions.cosine($"emb", $"cemb"), 9))
+          .withColumn("crank", row_number().over(
+            w.partitionBy($"centroid_id")
+              .orderBy($"proto_cos".desc, $"vec_id")).cast(LongType))
+          .withColumn("cluster_n",
+            count(lit(1)).over(w.partitionBy($"centroid_id")))
+          .withColumn("keep", $"crank" > ceil(lit(0.25) * $"cluster_n"))
+          .select($"vec_id", $"centroid_id", $"proto_cos", $"crank",
+            $"cluster_n", $"keep")
+          .orderBy($"vec_id")
+      },
+      oracle = Some(prototypesSql)),
+
     // ── dedup-index recall evaluation, oracle-checked ──
     // The two approximate dedup pipelines (dedup_minhash_pairs at its
     // weak τ, dedup_embedding_ann_pairs) are value-checked above; this
@@ -1396,6 +1431,34 @@ object Dedup extends QueryPack {
         FROM sp
         WHERE cos >= 0.35
         GROUP BY pb, centroid_id
+        ORDER BY vec_id"""
+
+  /** Self-contained value oracle for `dedup_prototypes`: the shared
+    * IVF build ([[Similarity.ivfBuildCtes]]) plus centroid-cosine
+    * ranking and the 25% prototypical-drop frontier per cluster.
+    * Spark's `ceil` on a double returns BIGINT where DuckDB's returns
+    * DOUBLE — the explicit CAST pins the comparison type. */
+  private lazy val prototypesSql: String = s"""
+        ${Similarity.ivfBuildCtes},
+        proto AS (
+          SELECT f.vec_id, f.centroid_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(f.emb)),
+                i -> f.emb[i] * c.cemb[i])) /
+              (sqrt(list_sum(list_transform(f.emb, x -> x*x))) *
+               sqrt(list_sum(list_transform(c.cemb, x -> x*x)))), 9)
+              AS proto_cos
+          FROM fin f JOIN c3 c ON c.centroid_id = f.centroid_id),
+        ranked AS (
+          SELECT vec_id, centroid_id, proto_cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+                 ORDER BY proto_cos DESC, vec_id) AS BIGINT) AS crank,
+            CAST(COUNT(*) OVER (PARTITION BY centroid_id) AS BIGINT)
+              AS cluster_n
+          FROM proto)
+        SELECT vec_id, centroid_id, proto_cos, crank, cluster_n,
+               crank > CAST(ceil(0.25 * cluster_n) AS BIGINT) AS keep
+        FROM ranked
         ORDER BY vec_id"""
 
   /** Shared oracle of `dedup_embedding_cosine` and its block-partitioned

@@ -611,6 +611,14 @@ object Similarity extends QueryPack {
   private[operators] def ivfAssignedFor(s: SparkSession, d: String): DataFrame =
     ivfAssignment(s, embCheckpointed(s, d))
 
+  /** Both faces of the IVF build over `d`'s embeddings — assignment AND
+    * the final centroid table. Exposed to the dedup pack: prototype
+    * pruning (`dedup_prototypes`) ranks vectors by distance to their
+    * own centroid, so it needs the centroids the shared oracle's `c3`
+    * CTE reproduces. */
+  private[operators] def ivfModelFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfModel(s, embCheckpointed(s, d))
+
   /** The k-means build as a CTE chain ending in `fin` (assignments) and
     * `c3` (final centroids) — the shared prefix of both IVF oracles
     * (and of `dedup_semantic`'s, via [[ivfAssignedFor]]). */

@@ -108,6 +108,30 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("prototype pruning drops exactly the top-quartile most-prototypical of each cluster") {
+    // independent recompute of the keep/drop frontier from the query's
+    // own per-vector scores: within every cluster the dropped set must
+    // be exactly the ceil(25%) highest centroid-cosines (ties by
+    // vec_id), never more, never a less-prototypical vector
+    val rows = rowsOf("dedup_prototypes")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int],
+        r(2).asInstanceOf[Double], r(5).asInstanceOf[Boolean]))
+    rows should not be empty
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val dropTarget = math.ceil(0.25 * members.length).toLong
+      val dropped = members.filterNot(_._4)
+      withClue(s"cell $cell (${members.length} members): ") {
+        dropped.length.toLong shouldBe dropTarget
+        val byProto = members.sortBy { case (v, _, cos, _) => (-cos, v) }
+        byProto.take(dropped.length).map(_._1).toSet shouldBe
+          dropped.map(_._1).toSet
+      }
+    }
+    // both sides of the frontier are populated on the fixture
+    rows.count(_._4) should be > 0
+    rows.count(!_._4) should be > 0
+  }
+
   test("MinHash-LSH pairs recall 100% of true >=0.9-Jaccard pairs") {
     // the COVERAGE.md gate: banded MinHash (16 perms, 4 bands of 4) has
     // per-band collision prob j^4, so at duplicate-grade Jaccard >= 0.9
