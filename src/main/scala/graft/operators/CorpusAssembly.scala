@@ -264,6 +264,134 @@ object CorpusAssembly extends QueryPack {
         FROM r
         ORDER BY doc_id""")),
 
+    // ── the Gopher repetition-rule battery (Rae et al. 2021, A1) ──
+    // The full n-gram half of Gopher's quality filters, long-form one
+    // row per (doc, rule): for n∈{2,3,4} the character share of the
+    // MOST FREQUENT n-gram (thresholds .20/.18/.16), for n∈{5..10}
+    // the character share of ALL duplicated n-grams — every occurrence
+    // of any n-gram appearing ≥2× (thresholds .15→.10). Character
+    // shares are over the whitespace-normalized document (tokens
+    // joined by single spaces), so the arithmetic is pure integer
+    // counts + one IEEE division — engine-exact with no rounding.
+    // (The line/paragraph dup rules belong to corpora with line
+    // structure; this fixture is single-line, so they'd be vacuous —
+    // the n-gram battery is the substantive half.)
+    //
+    // Scale shape: ONE gram explosion covering all nine n's (~9× the
+    // token stream, map-only from the materialized token arrays), one
+    // map-side-combined (doc, n, gram) count — the dominant shuffle,
+    // high-cardinality keys so it partitions well — a per-(doc, n)
+    // bounded rank for the top gram, and a broadcast 9-row rule grid.
+    // Never all-pairs, no per-n re-scans.
+    "llm_gopher_rules" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+        val base = materialized(
+            Tables.documents(s, d).select($"doc_id", tokens.as("toks")))
+          .select($"doc_id", $"toks",
+            length(array_join($"toks", " ")).cast(LongType).as("doc_len"))
+          .localCheckpoint(true) // gram explosion + rule grid read it
+        val grams = base.filter(size($"toks") >= 2)
+          .select($"doc_id", explode(expr(
+            """flatten(transform(sequence(2, least(10, size(toks))), n ->
+                 transform(sequence(0, size(toks) - n), i ->
+                   named_struct(
+                     'n', n,
+                     'gram', array_join(slice(toks, i + 1, n), ' ')))))"""))
+            .as("g"))
+          .select($"doc_id", $"g.n".as("n"), $"g.gram".as("gram"))
+        val cnt = grams.groupBy($"doc_id", $"n", $"gram")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // top rank + dup sum both read it
+        val top = cnt
+          .withColumn("r", row_number().over(
+            w.partitionBy($"doc_id", $"n").orderBy($"c".desc, $"gram")))
+          .filter($"r" === 1)
+          .select($"doc_id", $"n", ($"c" * length($"gram")).as("top_chars"))
+        val dup = cnt.filter($"c" >= 2)
+          .groupBy($"doc_id", $"n")
+          .agg(sum($"c" * length($"gram")).as("dup_chars"))
+        val rules = Seq(
+          (2, "top", 0.20), (3, "top", 0.18), (4, "top", 0.16),
+          (5, "dup", 0.15), (6, "dup", 0.14), (7, "dup", 0.13),
+          (8, "dup", 0.12), (9, "dup", 0.11), (10, "dup", 0.10))
+          .toDF("n", "kind", "threshold")
+        base.select($"doc_id", $"doc_len")
+          .crossJoin(broadcast(rules))
+          .join(top, Seq("doc_id", "n"), "left")
+          .join(dup, Seq("doc_id", "n"), "left")
+          .withColumn("chars",
+            when($"kind" === "top", coalesce($"top_chars", lit(0L)))
+              .otherwise(coalesce($"dup_chars", lit(0L))))
+          .withColumn("frac",
+            when($"doc_len" > 0,
+              $"chars".cast(DoubleType) / $"doc_len".cast(DoubleType))
+              .otherwise(lit(0.0)))
+          .withColumn("rule",
+            concat($"kind", lit("_"), $"n".cast(StringType), lit("gram")))
+          .withColumn("pass", $"frac" <= $"threshold")
+          .select($"doc_id", $"rule", $"frac", $"threshold", $"pass")
+          .orderBy($"doc_id", $"rule")
+      },
+      headline = true,
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $tokensSql AS toks FROM documents),
+        b AS (
+          SELECT doc_id, toks,
+                 CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS doc_len
+          FROM t),
+        g AS (
+          SELECT doc_id, n,
+                 array_to_string(toks[i + 1 : i + n], ' ') AS gram
+          FROM (
+            SELECT doc_id, toks, n.n AS n,
+                   unnest(generate_series(0, len(toks) - n.n)) AS i
+            FROM b, generate_series(2, 10) n(n)
+            WHERE len(toks) >= n.n) s),
+        cnt AS (
+          SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        top AS (
+          SELECT doc_id, n, CAST(c * length(gram) AS BIGINT) AS top_chars
+          FROM (
+            SELECT doc_id, n, gram, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                      ORDER BY c DESC, gram) AS r
+            FROM cnt) x
+          WHERE r = 1),
+        dup AS (
+          SELECT doc_id, n, CAST(SUM(c * length(gram)) AS BIGINT) AS dup_chars
+          FROM cnt WHERE c >= 2 GROUP BY doc_id, n),
+        rules AS (
+          SELECT * FROM (VALUES
+            (2, 'top', CAST(0.20 AS DOUBLE)),
+            (3, 'top', CAST(0.18 AS DOUBLE)),
+            (4, 'top', CAST(0.16 AS DOUBLE)),
+            (5, 'dup', CAST(0.15 AS DOUBLE)),
+            (6, 'dup', CAST(0.14 AS DOUBLE)),
+            (7, 'dup', CAST(0.13 AS DOUBLE)),
+            (8, 'dup', CAST(0.12 AS DOUBLE)),
+            (9, 'dup', CAST(0.11 AS DOUBLE)),
+            (10, 'dup', CAST(0.10 AS DOUBLE))) v(n, kind, threshold)),
+        f AS (
+          SELECT gr.doc_id,
+                 gr.kind || '_' || CAST(gr.n AS VARCHAR) || 'gram' AS rule,
+                 CASE WHEN gr.doc_len > 0 THEN
+                   CAST(CASE WHEN gr.kind = 'top'
+                             THEN COALESCE(t.top_chars, 0)
+                             ELSE COALESCE(d.dup_chars, 0) END AS DOUBLE)
+                   / CAST(gr.doc_len AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END AS frac,
+                 gr.threshold
+          FROM (SELECT b.doc_id, b.doc_len, r.n, r.kind, r.threshold
+                FROM b, rules r) gr
+          LEFT JOIN top t ON t.doc_id = gr.doc_id AND t.n = gr.n
+          LEFT JOIN dup d ON d.doc_id = gr.doc_id AND d.n = gr.n)
+        SELECT doc_id, rule, frac, threshold, frac <= threshold AS pass
+        FROM f
+        ORDER BY doc_id, rule""")),
+
     // ── domain-mix rebalancing: sample each source toward a target
     //    share (the data-mixture step of corpus assembly) ──
     // Unlike llm_stratified_sample's FIXED rates, the keep rate here is

@@ -80,6 +80,46 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("gopher rule battery matches a direct per-doc n-gram recompute") {
+    // independent reimplementation of both rule kinds in plain Scala:
+    // every (doc, rule) fraction must match the query's exactly — the
+    // arithmetic is integer counts + one IEEE division, so equality is
+    // exact, no tolerance
+    val got = run("llm_gopher_rules").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getBoolean(4)))).toMap
+    got should not be empty
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val thresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15,
+      6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("[ \t\n\r\f]+")
+        .filter(_.nonEmpty).toSeq
+      val docLen = toks.mkString(" ").length.toLong
+      for (n <- 2 to 10) {
+        val grams = toks.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.length).toMap
+        val chars: Long =
+          if (n <= 4) { // most-frequent-gram share
+            if (counts.isEmpty) 0L
+            else {
+              val (g, c) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+              c.toLong * g.length
+            }
+          } else // duplicated-gram share, all occurrences
+            counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }
+              .sum
+        val frac = if (docLen > 0) chars.toDouble / docLen else 0.0
+        val rule = (if (n <= 4) "top_" else "dup_") + n + "gram"
+        withClue(s"doc $id $rule: ") {
+          got((id, rule)) shouldBe ((frac, frac <= thresholds(n)))
+        }
+      }
+    }
+  }
+
   test("domain mix keeps exactly the docs passing their source's data-dependent gate") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
