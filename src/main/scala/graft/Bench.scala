@@ -101,13 +101,18 @@ object Bench {
     val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     // per-rep times so a one-off load spike is distinguishable from a
-    // genuine regression without rerunning
+    // genuine regression without rerunning. Printed as a SEPARATE line:
+    // the harness that collects the bench keeps only a bounded tail of
+    // stdout and parses the LAST line as JSON — with 27 queries the
+    // combined line crossed that buffer and round 6's total was lost
+    // ("parsed": null). The final line must stay compact.
     val repsJson = results.map { case (k, (_, ts)) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    println(s"""{"metric":"rep_times","rep_times":$repsJson}""")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repsJson,"sf":"$sfJson","reps":$reps,"stat":"median"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfJson","reps":$reps,"stat":"median"}""")
     spark.stop()
   }
 }
