@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusAssembly, Dedup, EventTime, IngestAnalog, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{CorpusAssembly, Dedup, EventTime, IngestAnalog, Layout, Multimodal, Relational, Scoring, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * The query surface is assembled from themed packs; each pack entry
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All query packs (SURVEY.md §2 inventory + §2.3 extensions). */
   def packs: Seq[QueryPack] =
-    Seq(Relational, IngestAnalog, TextAnalysis, CorpusAssembly, Dedup, Similarity, Multimodal, EventTime)
+    Seq(Relational, IngestAnalog, TextAnalysis, CorpusAssembly, Dedup, Similarity, Multimodal, EventTime, Scoring, Layout)
 
   def allQueries: Map[String, QueryDef] =
     packs.foldLeft(Map.empty[String, QueryDef]) { (acc, p) =>

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryPack, Tables}
+import graft.functions.RollingHash.{fpSql, rolling_hash}
+import graft.functions.TextTokens.{tokens, tokensSql}
+
+/** Corpus scoring + selection operators for the training-data track:
+  * hashed importance reweighting (DSIR-shaped), a hashed linear quality
+  * classifier (the fastText-inference-at-scale shape), bottom-k uniform
+  * sampling, and sketch-based heavy hitters. All hash arithmetic is the
+  * repo's engine-reproducible fingerprint ([[graft.functions.RollingHash]]),
+  * so every oracle rebuilds the feature hashing itself in SQL.
+  *
+  * Scale shapes: the classifier is a pure map-only scan (zero shuffles);
+  * DSIR adds only two B-row bucket aggregates broadcast back plus one
+  * map-side-combined per-doc aggregation; bottom-k carries ≤k rows per
+  * group across its shuffle; heavy hitters carries ≤cap counters per
+  * partition. Nothing here materializes a vocabulary- or corpus-sized
+  * structure on the driver.
+  */
+object Scoring extends QueryPack {
+
+  /** Hashed-feature bucket count shared by DSIR and the classifier.
+    * Small against a production setting (DSIR uses 10k buckets) so the
+    * fixture's ~31-term vocabulary still collides a little; the
+    * mechanism is B-invariant — B only widens two broadcast tables. */
+  private val B = 32
+
+  /** bucket(term) in [0, B): the codegen'd rolling-hash fingerprint mod
+    * B (non-negative by construction), and its DuckDB spelling. */
+  private def bucket(c: org.apache.spark.sql.Column) = rolling_hash(c) % B
+  private def bucketSql(v: String) = s"(${fpSql(v, 31L)}) % $B"
+
+  /** Deterministic stand-in weights for the hashed linear classifier,
+    * in integer micro-units (≤1e6 ≙ 1.0): splitmix64 finalizer over the
+    * bucket id, folded into [-1e6, 1e6]. A real deployment swaps these
+    * literals for trained fastText/logreg weights via the same
+    * broadcast-free `element_at` lookup — the inference plan (the part
+    * that must scale) is identical. Embedded as literals in BOTH the
+    * Spark expression and the oracle SQL, the `sim_ann_lsh` hyperplane
+    * pattern, so DuckDB re-runs the full inference. */
+  private[operators] val weightsMicro: IndexedSeq[Long] = (0 until B).map { b =>
+    var z = b.toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Math.floorMod(z, 2000001L) - 1000000L
+  }
+
+  /** Per-language sample size for the bottom-k sampler. */
+  private val SampleK = 10
+
+  /** Misra–Gries counter capacity; the heavy-hitter threshold is
+    * count · (cap+1) > N. 64 counters ⇒ share > 1/65 ≈ 1.54%. */
+  private val HHCap = 64
+
+  /** Knuth-multiply hash of doc_id — the repo's reproducible shuffle
+    * order (injective below the prime; doc_id tiebreak past it). */
+  private val docHash = "((doc_id % 1000003) * 2654435761) % 1000000007"
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── DSIR-shaped importance reweighting ──
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw document by how much more likely its hashed-feature bag
+    // is under a TARGET distribution (here: the corpus's English slice,
+    // standing in for "high-quality domain") than under the RAW corpus
+    // distribution. log w(d) = Σ_tokens [ln p_t(bucket) − ln p_r(bucket)]
+    // with add-one smoothing over B buckets. The per-bucket log-ratio is
+    // ln of a ratio of exactly-representable integer products, rounded
+    // to 6 digits and decimal-summed per doc (the unigram-surprisal
+    // bit-parity idiom), so the weights hash-match across engines.
+    // Scale: two B-row aggregates (broadcast), one broadcast join onto
+    // the token stream, one map-side-combined per-doc sum. The corpus
+    // scan happens once (checkpointed token frame feeds all three
+    // consumers).
+    "llm_dsir_weights" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", $"lang", explode(tokens).as("term"))
+          .withColumn("b", bucket($"term"))
+          .select($"doc_id", $"lang", $"b")
+          .localCheckpoint() // 3 consumers: raw counts, target counts, weight join
+        val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+        val tgt = toks.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
+        val stats = s.range(0, B).select($"id".as("b"))
+          .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
+          .select($"b", coalesce($"cr", lit(0L)).as("cr"), coalesce($"ct", lit(0L)).as("ct"))
+        val totals = stats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+        val lr = stats.crossJoin(broadcast(totals))
+          .withColumn("lr",
+            round(log((($"ct" + lit(1.0)) * ($"nr" + lit(B.toDouble))) /
+                      (($"cr" + lit(1.0)) * ($"nt" + lit(B.toDouble)))), 6)
+              .cast(DecimalType(20, 6)))
+          .select($"b", $"lr")
+        toks.join(broadcast(lr), Seq("b"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"), sum($"lr").as("lw"))
+          .select($"doc_id", $"lang", $"n_tokens",
+            $"lw".cast(DoubleType).as("log_weight"),
+            ($"lw" > 0).as("selected"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, unnest($tokensSql) AS term FROM documents),
+        tb AS (
+          SELECT doc_id, lang, ${bucketSql("term")} AS b FROM t),
+        raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        st AS (
+          SELECT sp.b, COALESCE(raw.cr, 0) AS cr, COALESCE(tgt.ct, 0) AS ct
+          FROM (SELECT range AS b FROM range($B)) sp
+          LEFT JOIN raw ON raw.b = sp.b
+          LEFT JOIN tgt ON tgt.b = sp.b),
+        tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM st),
+        lr AS (
+          SELECT b,
+            CAST(round(ln(((ct + 1.0) * (nr + $B.0)) /
+                          ((cr + 1.0) * (nt + $B.0))), 6) AS DECIMAL(20,6)) AS lr
+          FROM st, tot),
+        d AS (
+          SELECT tb.doc_id, tb.lang, COUNT(*) AS n_tokens, SUM(lr.lr) AS lw
+          FROM tb JOIN lr USING (b)
+          GROUP BY tb.doc_id, tb.lang)
+        SELECT doc_id, lang, n_tokens,
+               CAST(lw AS DOUBLE) AS log_weight,
+               lw > 0 AS selected
+        FROM d
+        ORDER BY doc_id"""),
+      headline = true),
+
+    // ── hashed linear quality classifier (fastText-inference shape) ──
+    // score(d) = Σ_tokens w[bucket(token)] in integer micro-units: a
+    // bag-of-hashed-features linear model evaluated entirely inside one
+    // codegen'd projection — `aggregate` over the token array with an
+    // `element_at` lookup into the B-entry literal weight table. ZERO
+    // shuffles, zero joins: the classifier-filtering pass over a 100 TB
+    // corpus is embarrassingly parallel, and integer accumulation makes
+    // the logit exact in both engines (no float-association drift).
+    "llm_hash_classifier" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val warr = array(weightsMicro.map(lit): _*)
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", tokens.as("toks"))
+          .select($"doc_id", $"lang",
+            size($"toks").cast(LongType).as("n_tokens"),
+            aggregate($"toks", lit(0L),
+              (acc, t) => acc + element_at(warr, (bucket(t) + 1).cast(IntegerType)))
+              .as("logit_micro"))
+          .withColumn("pred_keep", $"logit_micro" > 0)
+          .orderBy($"doc_id")
+      },
+      oracle = Some {
+        val wList = weightsMicro.mkString("[", ", ", "]")
+        s"""
+        WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents)
+        SELECT doc_id, lang,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(toks,
+                t -> CAST($wList[${bucketSql("t")} + 1] AS BIGINT))),
+            (acc, x) -> acc + x) AS logit_micro,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(toks,
+                t -> CAST($wList[${bucketSql("t")} + 1] AS BIGINT))),
+            (acc, x) -> acc + x) > 0 AS pred_keep
+        FROM t
+        ORDER BY doc_id"""
+      }),
+
+    // ── bottom-k uniform sample per language ──
+    // The distributed replacement for per-group reservoir sampling:
+    // tag every doc with a reproducible hash and keep each language's k
+    // smallest tags — a mergeable bottom-k sketch, so the sample of a
+    // union is computable from per-partition samples. Ranking rides the
+    // bounded-buffer TopKAggregator: at most k rows per language cross
+    // the shuffle, never a per-group window sort over the whole corpus.
+    "llm_bottomk_sample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.TopKAggregator(SampleK))
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", expr(docHash).as("h"))
+          .groupBy($"lang")
+          // h < 2^30 is exact in Double; score = -h ranks ascending-h
+          // with the aggregator's (score desc, id asc) order, so ties
+          // on h fall back to doc_id asc — matching the oracle window
+          .agg(topk(-$"h".cast(DoubleType), $"doc_id").as("top"))
+          .select($"lang",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"lang", ($"i" + 1).cast(LongType).as("pos"),
+            $"pair.ids".as("doc_id"),
+            (-$"pair.scores").cast(LongType).as("h"))
+          .orderBy($"lang", $"pos")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $docHash AS h FROM documents),
+        r AS (
+          SELECT lang, doc_id, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+          FROM t)
+        SELECT lang, CAST(rn AS BIGINT) AS pos, doc_id, h
+        FROM r
+        WHERE rn <= $SampleK
+        ORDER BY lang, pos""")),
+
+    // ── heavy hitters: Misra–Gries candidates + exact recount ──
+    // Two passes over one checkpointed token stream. Pass 1 folds the
+    // corpus into a single mergeable MG summary (≤cap counters per
+    // partition cross the shuffle) and the total token count in the
+    // SAME aggregation. Pass 2 exactly recounts ONLY the ≤cap candidate
+    // terms (broadcast semi-join) and keeps those above the N/(cap+1)
+    // frequency threshold. The MG guarantee (no heavy hitter evicted —
+    // preserved under merge, Agarwal et al. 2012) makes the output
+    // deterministic and EXACTLY the true heavy-hitter set even though
+    // the sketch itself is partitioning-dependent — so the oracle is a
+    // plain exact-frequency query, and a sketch bug that dropped a
+    // frequent term would hash-mismatch.
+    "llm_heavy_hitters" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val mg = udaf(new graft.functions.MisraGriesAggregator(HHCap))
+        val toks = Tables.documents(s, d)
+          .select(explode(tokens).as("term"))
+          .localCheckpoint() // 2 consumers: sketch pass + exact recount
+        val sketch = toks.agg(mg($"term").as("mg"), count(lit(1)).as("n_total"))
+        val cands = sketch.select(explode($"mg.terms").as("term"), $"n_total")
+        toks.join(broadcast(cands), Seq("term"))
+          .groupBy($"term", $"n_total")
+          .agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" * (HHCap + 1) > $"n_total")
+          .select($"term", $"cnt")
+          .orderBy($"cnt".desc, $"term")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT unnest($tokensSql) AS term FROM documents),
+        n AS (SELECT COUNT(*) AS n_total FROM t),
+        c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+        SELECT term, cnt
+        FROM c, n
+        WHERE cnt * ${HHCap + 1} > n_total
+        ORDER BY cnt DESC, term"""),
+      headline = true),
+  )
+}

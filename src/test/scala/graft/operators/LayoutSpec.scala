@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** Gates for the Z-order layout: the oracle proves the rank + curve
+  * arithmetic and bucket assignment; these prove the LAYOUT CLAIM —
+  * curve buckets bound BOTH key dimensions, which is what makes
+  * min-max file skipping work for filters on either key, unlike a
+  * single-key sort.
+  */
+class LayoutSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Scala reference interleave (a-bits on even positions, b on odd). */
+  private def zRef(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("the generated z expression equals the reference bit interleave") {
+    import spark.implicits._
+    val probes = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (19999L, 999L), (12345L, 678L), (15L, 15L), (1L, 1L))
+    val got = probes.toDF("a", "b")
+      .selectExpr("a", "b", s"${Layout.zExpr("a", "b", 16, "div")} AS z")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    probes.foreach { case (a, b) =>
+      withClue(s"($a, $b):") { got((a, b)) shouldBe zRef(a, b, 16) }
+    }
+  }
+
+  /** ntile cut points: first (n % k) tiles get one extra row. */
+  private def ntileSlices(n: Int, k: Int): Seq[(Int, Int)] = {
+    val q = n / k; val r = n % k
+    val sizes = Seq.tabulate(k)(i => if (i < r) q + 1 else q)
+    sizes.scanLeft(0)(_ + _).zip(sizes)
+  }
+
+  /** Reference recompute of the whole rank→curve→bucket pipeline.
+    * (l_orderkey, l_linenumber) is not unique, so ranks are assigned
+    * per row INDEX with the same content-determining tiebreaks the
+    * query sorts on — tied rows are identical tuples, so any tie order
+    * yields the same bucket statistics. */
+  private def referenceBuckets(rows: Array[(Long, Int, Long, Long)])
+      : Seq[Array[(Long, Int, Long, Long)]] = {
+    val n = rows.length
+    def ranksBy[K: Ordering](key: Int => K): Array[Int] = {
+      val order = rows.indices.sortBy(key)
+      val rank = new Array[Int](n)
+      ntileSlices(n, 16).zipWithIndex.foreach { case ((o, sz), t) =>
+        order.slice(o, o + sz).foreach(i => rank(i) = t + 1)
+      }
+      rank
+    }
+    val pkRank = ranksBy { i =>
+      val (ok, ln, pk, sk) = rows(i); (pk, ok, ln, sk) }
+    val skRank = ranksBy { i =>
+      val (ok, ln, pk, sk) = rows(i); (sk, ok, ln, pk, pkRank(i)) }
+    val z = rows.indices.map(i => zRef(pkRank(i) - 1L, skRank(i) - 1L, 4))
+    val curved = rows.indices.sortBy { i =>
+      val (ok, ln, pk, sk) = rows(i); (z(i), ok, ln, pk, sk) }
+    ntileSlices(n, 16).map { case (o, sz) =>
+      curved.slice(o, o + sz).map(rows).toArray }
+  }
+
+  private lazy val rows: Array[(Long, Int, Long, Long)] =
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+  test("z buckets bound BOTH dims; a single-key sort leaves the other dim unbounded") {
+    val pkRange = (rows.map(_._3).max - rows.map(_._3).min + 1).toDouble
+    val skRange = (rows.map(_._4).max - rows.map(_._4).min + 1).toDouble
+    def spanPk(b: Array[(Long, Int, Long, Long)]) =
+      (b.map(_._3).max - b.map(_._3).min + 1).toDouble
+    def spanSk(b: Array[(Long, Int, Long, Long)]) =
+      (b.map(_._4).max - b.map(_._4).min + 1).toDouble
+
+    val zBuckets = referenceBuckets(rows)
+    // single-key comparison layout: same bucket count, sorted by pk only
+    val pkSorted = rows.sortBy { case (ok, ln, pk, _) => (pk, ok, ln) }
+    val pkBuckets = ntileSlices(rows.length, 16).map { case (o, sz) =>
+      pkSorted.slice(o, o + sz) }
+
+    // the 1-D layout cannot cluster the second key: every bucket's
+    // suppkey envelope stays essentially full-range
+    pkBuckets.map(spanSk).min should be > skRange * 0.8
+    // the Z layout bounds BOTH envelopes in every bucket
+    all(zBuckets.map(spanPk)) should be < pkRange * 0.6
+    all(zBuckets.map(spanSk)) should be < skRange * 0.6
+    // so for a filter on suppkey alone, min-max stats skip most
+    // Z-buckets but no pk-sorted bucket: mean covered fraction of the
+    // suppkey range must be at least 2x better under Z
+    val zCover = zBuckets.map(spanSk).sum / zBuckets.size / skRange
+    val pkCover = pkBuckets.map(spanSk).sum / pkBuckets.size / skRange
+    zCover should be < pkCover * 0.5
+  }
+
+  test("q_zorder_layout bucket stats agree with the reference pipeline recompute") {
+    val expected = referenceBuckets(rows).zipWithIndex.map { case (b, i) =>
+      (i + 1L) -> ((b.length.toLong, b.map(_._3).min, b.map(_._3).max,
+        b.map(_._4).min, b.map(_._4).max))
+    }.toMap
+    val got = graft.SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
+    got.length shouldBe 16
+    got.foreach { row =>
+      val (cnt, minPk, maxPk, minSk, maxSk) = expected(row.getLong(0))
+      withClue(s"bucket ${row.getLong(0)}:") {
+        row.getLong(1) shouldBe cnt
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5)) shouldBe
+          ((minPk, maxPk, minSk, maxSk))
+      }
+    }
+  }
+}

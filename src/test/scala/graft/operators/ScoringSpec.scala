@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Tables, TestSpark}
+
+/** Semantic gates for the scoring/selection pack: the oracles prove
+  * engine parity; these prove intent against independent direct
+  * recomputes, and exercise the sketch-pipeline paths (eviction) the
+  * tiny fixture vocabulary cannot reach.
+  */
+class ScoringSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks(t: String): Array[String] =
+    t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+
+  private def bucket(term: String): Int =
+    (graft.functions.RollingHash.hash(UTF8String.fromString(term), 31L) % 32L).toInt
+
+  private lazy val docs: Array[(Long, String, String)] =
+    Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("llm_heavy_hitters equals the exact frequency filter (direct recompute)") {
+    val all = docs.flatMap { case (_, _, t) => toks(t) }
+    val n = all.length.toLong
+    val expected = all.groupBy(identity).view
+      .mapValues(_.length.toLong)
+      .filter { case (_, c) => c * 65 > n }
+      .toMap
+    val got = graft.SparkEntry.queries("llm_heavy_hitters")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+    expected should not be empty // the gate must gate something
+  }
+
+  test("MG candidates + exact recount stays exact under real eviction (cap < vocabulary)") {
+    // 200-term alphabet vs cap=4: the sketch constantly evicts, yet the
+    // two-pass pipeline must still produce exactly the true heavy set
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stream = (1 to 300).map(_ => "hot") ++
+      (1 to 200).map(_ => "warm") ++
+      (0 until 200).flatMap(i => Seq.fill(2)(s"cold$i"))
+    val df = stream.toDF("term").repartition(7) // force partial summaries
+    val cap = 4
+    val mg = udaf(new graft.functions.MisraGriesAggregator(cap))
+    val sketch = df.agg(mg($"term").as("mg"), count(lit(1)).as("n_total"))
+    val cands = sketch.select(explode($"mg.terms").as("term"), $"n_total")
+    val got = df.join(broadcast(cands), Seq("term"))
+      .groupBy($"term", $"n_total").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * (cap + 1) > $"n_total")
+      .select($"term", $"cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stream.length.toLong
+    val expected = stream.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c * (cap + 1) > n }.toMap
+    got shouldBe expected
+    expected.keySet shouldBe Set("hot", "warm")
+  }
+
+  test("llm_dsir_weights matches a direct recompute of the smoothed bucket log-ratios") {
+    val B = 32
+    val tokenBuckets = docs.map { case (id, lang, t) =>
+      (id, lang, toks(t).map(bucket)) }
+    val cr = new Array[Long](B)
+    val ct = new Array[Long](B)
+    tokenBuckets.foreach { case (_, lang, bs) =>
+      bs.foreach { b => cr(b) += 1; if (lang == "en") ct(b) += 1 }
+    }
+    val nt = ct.sum.toDouble
+    val nr = cr.sum.toDouble
+    val lr: Array[BigDecimal] = Array.tabulate(B) { b =>
+      BigDecimal(math.log(((ct(b) + 1.0) * (nr + B)) / ((cr(b) + 1.0) * (nt + B))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = tokenBuckets.map { case (id, lang, bs) =>
+      id -> ((lang, bs.length.toLong, bs.map(lr).sum))
+    }.toMap
+
+    val got = graft.SparkEntry.queries("llm_dsir_weights")(spark, sf).collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val (lang, n, lw) = expected(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}:") {
+        r.getString(1) shouldBe lang
+        r.getLong(2) shouldBe n
+        r.getDouble(3) shouldBe lw.toDouble
+        r.getBoolean(4) shouldBe (lw > 0)
+      }
+    }
+    // the reweighting must separate the target slice: mean log-weight
+    // of 'en' docs strictly above the non-'en' mean
+    val (en, rest) = got.partition(_.getString(1) == "en")
+    val mean = (xs: Array[org.apache.spark.sql.Row]) =>
+      xs.map(_.getDouble(3)).sum / xs.length
+    mean(en) should be > mean(rest)
+  }
+
+  test("llm_hash_classifier matches a direct recompute over the literal weights") {
+    val w = Scoring.weightsMicro
+    val expected = docs.map { case (id, lang, t) =>
+      val ts = toks(t)
+      id -> ((lang, ts.length.toLong, ts.map(x => w(bucket(x))).sum))
+    }.toMap
+    val got = graft.SparkEntry.queries("llm_hash_classifier")(spark, sf).collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val (lang, n, logit) = expected(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}:") {
+        r.getString(1) shouldBe lang
+        r.getLong(2) shouldBe n
+        r.getLong(3) shouldBe logit
+        r.getBoolean(4) shouldBe (logit > 0)
+      }
+    }
+    // weights must be two-sided, or the classifier degenerates
+    w.exists(_ > 0) shouldBe true
+    w.exists(_ < 0) shouldBe true
+  }
+
+  test("llm_bottomk_sample takes each language's k hash-smallest docs in order") {
+    val k = 10
+    val expected = docs.groupBy(_._2).view.mapValues { ds =>
+      ds.map { case (id, _, _) => (id, ((id % 1000003L) * 2654435761L) % 1000000007L) }
+        .sortBy { case (id, h) => (h, id) }.take(k).toList
+    }.toMap
+    val got = graft.SparkEntry.queries("llm_bottomk_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = got.groupBy(_._1)
+    byLang.keySet shouldBe expected.keySet
+    byLang.foreach { case (lang, rows) =>
+      withClue(s"lang $lang:") {
+        rows.sortBy(_._2).toList.map(t => (t._3, t._4)) shouldBe expected(lang)
+        rows.map(_._2).toList.sorted shouldBe (1 to rows.length).map(_.toLong).toList
+        rows.length shouldBe math.min(k, docs.count(_._2 == lang))
+      }
+    }
+  }
+}
