@@ -66,6 +66,22 @@ object CorpusAssembly extends QueryPack {
   private val shuffleHashExpr = "((doc_id % 1000003) * 2654435761) % 1000000007"
   private val shuffleHashSql = shuffleHashExpr
 
+  // ── gopher gram fingerprints: fused double-prime polynomial fold
+  //    over per-token rolling-hash fingerprints (fp = hA + hB·M, both
+  //    folds mod M), computed by the native
+  //    [[graft.functions.GopherGrams]] expression; the constants are
+  //    single-sourced from it into the oracle SQL. Products stay
+  //    inside a Long under ANSI: (M−1)·PB ≈ 1.0e15, and
+  //    hA + hB·M < M² + M ≈ 1.0e18. ──
+  private val GramM = graft.functions.GopherGrams.M
+  private val GramPA = graft.functions.GopherGrams.PA
+  private val GramPB = graft.functions.GopherGrams.PB
+
+  /** DuckDB spelling of the per-token fingerprint the gram folds
+    * consume — [[graft.functions.RollingHash.hash]] at prime 31. */
+  private def gramTokenFpSql(v: String): String =
+    graft.functions.RollingHash.fpSql(v, 31L)
+
   /** Source-domain target weights for the mix query: a fixed dim table
     * (broadcast at scale), weights varied so the rebalance is
     * non-uniform. */
@@ -278,40 +294,55 @@ object CorpusAssembly extends QueryPack {
     // the n-gram battery is the substantive half.)
     //
     // Scale shape: ONE gram explosion covering all nine n's (~9× the
-    // token stream, map-only from the materialized token arrays), one
-    // map-side-combined (doc, n, gram) count — the dominant shuffle,
-    // high-cardinality keys so it partitions well — a per-(doc, n)
-    // bounded rank for the top gram, and a broadcast 9-row rule grid.
+    // token stream, generated by the native compiled
+    // [[graft.functions.GopherGrams]] grid expression), ONE shuffle
+    // partitioned by (doc, n) serving the gram count and both
+    // per-(doc, n) reductions, a max-struct HASH AGGREGATE for the
+    // top gram (no window sort), and a broadcast 9-row rule grid.
     // Never all-pairs, no per-n re-scans.
+    //
+    // Grams travel as FINGERPRINTS, never strings: each token hashes
+    // once, and a gram's identity is a fused double-prime polynomial
+    // fold over its token fingerprints — 8-byte shuffle keys, with the
+    // character length carried as Σ token lengths + (n−1). ~2^60 fp
+    // space over ≤~500 grams per (doc, n) makes a collision
+    // vanishingly rare, and the oracle recomputes the identical folds,
+    // so any fixture collision would surface as a hash mismatch (the
+    // dedup_ngram_jaccard_banded argument). Top-gram count ties break
+    // by fingerprint — deterministic and engine-shared.
+    //
+    // A/B history (sf0.1, medians): string grams + per-(doc,n) window
+    // 7.1 s; + materialized gram-array column 10.2 s (struct-array
+    // serde dominates); fp grams via nested transform/slice/aggregate
+    // HOFs 11.9 s (HOFs run interpreted); native grid expression +
+    // single (doc, n) exchange 2.6-2.8 s.
     "llm_gopher_rules" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
         val base = materialized(
             Tables.documents(s, d).select($"doc_id", tokens.as("toks")))
           .select($"doc_id", $"toks",
             length(array_join($"toks", " ")).cast(LongType).as("doc_len"))
-          .localCheckpoint(true) // gram explosion + rule grid read it
-        val grams = base.filter(size($"toks") >= 2)
-          .select($"doc_id", explode(expr(
-            """flatten(transform(sequence(2, least(10, size(toks))), n ->
-                 transform(sequence(0, size(toks) - n), i ->
-                   named_struct(
-                     'n', n,
-                     'gram', array_join(slice(toks, i + 1, n), ' ')))))"""))
-            .as("g"))
-          .select($"doc_id", $"g.n".as("n"), $"g.gram".as("gram"))
-        val cnt = grams.groupBy($"doc_id", $"n", $"gram")
-          .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // top rank + dup sum both read it
-        val top = cnt
-          .withColumn("r", row_number().over(
-            w.partitionBy($"doc_id", $"n").orderBy($"c".desc, $"gram")))
-          .filter($"r" === 1)
-          .select($"doc_id", $"n", ($"c" * length($"gram")).as("top_chars"))
+          .localCheckpoint(true) // ONE corpus scan: grid + rule frame
+        val grams = base
+          .select($"doc_id",
+            explode(graft.functions.GopherGrams.gopher_grams($"toks")).as("g"))
+          .select($"doc_id", $"g.n".as("n"), $"g.fp".as("fp"), $"g.len".as("len"))
+        // ONE shuffle, partitioned by (doc_id, n) — a subset of the
+        // count's grouping key, so the gram count AND both per-(doc, n)
+        // reductions below are satisfied by the same exchange (the
+        // 3-key hash partitioning would scatter (doc_id, n) groups and
+        // force a second exchange each); no checkpoint — pinning 2.4M
+        // counted rows measured slower than sharing the exchange
+        val cnt = grams.repartition($"doc_id", $"n")
+          .groupBy($"doc_id", $"n", $"fp")
+          .agg(count(lit(1)).as("c"), max($"len").as("len"))
+        val top = cnt.groupBy($"doc_id", $"n")
+          .agg(max(struct($"c", $"fp", $"len")).as("t"))
+          .select($"doc_id", $"n", ($"t.c" * $"t.len").as("top_chars"))
         val dup = cnt.filter($"c" >= 2)
           .groupBy($"doc_id", $"n")
-          .agg(sum($"c" * length($"gram")).as("dup_chars"))
+          .agg(sum($"c" * $"len").as("dup_chars"))
         val rules = Seq(
           (2, "top", 0.20), (3, "top", 0.18), (4, "top", 0.16),
           (5, "dup", 0.15), (6, "dup", 0.14), (7, "dup", 0.13),
@@ -339,29 +370,36 @@ object CorpusAssembly extends QueryPack {
         WITH t AS (
           SELECT doc_id, $tokensSql AS toks FROM documents),
         b AS (
-          SELECT doc_id, toks,
-                 CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS doc_len
+          SELECT doc_id,
+                 CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS doc_len,
+                 list_transform(toks, tk -> ${gramTokenFpSql("tk")}) AS tfps,
+                 list_transform(toks, tk -> CAST(length(tk) AS BIGINT)) AS tlens
           FROM t),
         g AS (
           SELECT doc_id, n,
-                 array_to_string(toks[i + 1 : i + n], ' ') AS gram
+                 list_reduce(list_prepend(0::BIGINT, tfps[i + 1 : i + n]),
+                   (a, tv) -> (a * $GramPA + tv) % $GramM)
+                 + list_reduce(list_prepend(0::BIGINT, tfps[i + 1 : i + n]),
+                     (a, tv) -> (a * $GramPB + tv) % $GramM) * $GramM AS fp,
+                 CAST(list_sum(tlens[i + 1 : i + n]) AS BIGINT) + n - 1 AS len
           FROM (
-            SELECT doc_id, toks, n.n AS n,
-                   unnest(generate_series(0, len(toks) - n.n)) AS i
+            SELECT doc_id, tfps, tlens, n.n AS n,
+                   unnest(generate_series(0, len(tfps) - n.n)) AS i
             FROM b, generate_series(2, 10) n(n)
-            WHERE len(toks) >= n.n) s),
+            WHERE len(tfps) >= n.n) s),
         cnt AS (
-          SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+          SELECT doc_id, n, fp, COUNT(*) AS c, MAX(len) AS len
+          FROM g GROUP BY 1, 2, 3),
         top AS (
-          SELECT doc_id, n, CAST(c * length(gram) AS BIGINT) AS top_chars
+          SELECT doc_id, n, CAST(c * len AS BIGINT) AS top_chars
           FROM (
-            SELECT doc_id, n, gram, c,
+            SELECT doc_id, n, c, len,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, n
-                                      ORDER BY c DESC, gram) AS r
+                                      ORDER BY c DESC, fp DESC) AS r
             FROM cnt) x
           WHERE r = 1),
         dup AS (
-          SELECT doc_id, n, CAST(SUM(c * length(gram)) AS BIGINT) AS dup_chars
+          SELECT doc_id, n, CAST(SUM(c * len) AS BIGINT) AS dup_chars
           FROM cnt WHERE c >= 2 GROUP BY doc_id, n),
         rules AS (
           SELECT * FROM (VALUES

@@ -97,19 +97,31 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
       val toks = text.trim.toLowerCase.split("[ \t\n\r\f]+")
         .filter(_.nonEmpty).toSeq
       val docLen = toks.mkString(" ").length.toLong
+      // gram identity = the query's fused double-prime fold over token
+      // rolling hashes (ties in the top rule break by fp, so the
+      // recompute must share the fingerprint definition)
+      val M = 1000000007L
+      val tfps = toks.map(t => graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 31L))
+      def gramFp(fps: Seq[Long]): Long = {
+        val hA = fps.foldLeft(0L)((a, t) => (a * 1000003L + t) % M)
+        val hB = fps.foldLeft(0L)((a, t) => (a * 1000033L + t) % M)
+        hA + hB * M
+      }
       for (n <- 2 to 10) {
-        val grams = toks.sliding(n).filter(_.length == n)
-          .map(_.mkString(" ")).toSeq
+        val grams = toks.indices.dropRight(n - 1).map { i =>
+          (gramFp(tfps.slice(i, i + n)), toks.slice(i, i + n).mkString(" ").length.toLong)
+        }
         val counts = grams.groupBy(identity).view.mapValues(_.length).toMap
         val chars: Long =
-          if (n <= 4) { // most-frequent-gram share
+          if (n <= 4) { // most-frequent-gram share, ties by fp desc
             if (counts.isEmpty) 0L
             else {
-              val (g, c) = counts.toSeq.minBy { case (g, c) => (-c, g) }
-              c.toLong * g.length
+              val ((_, len), c) = counts.toSeq.maxBy { case ((fp, _), c) => (c, fp) }
+              c.toLong * len
             }
           } else // duplicated-gram share, all occurrences
-            counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }
+            counts.collect { case ((_, len), c) if c >= 2 => c.toLong * len }
               .sum
         val frac = if (docLen > 0) chars.toDouble / docLen else 0.0
         val rule = (if (n <= 4) "top_" else "dup_") + n + "gram"
