@@ -398,52 +398,128 @@ object Similarity extends QueryPack {
       val fs = dirPath.getFileSystem(hconf)
       // stage → atomic rename: never delete/overwrite the keyed path a
       // reader may already be scanning (see scaladoc above)
-      val stage = new org.apache.hadoop.fs.Path(
-        dir + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
-      val (codes, books) = pqModel(s, embCheckpointed(s, d))
-      books.write.mode("overwrite").parquet(s"$stage/codebook.parquet")
-      // wide: one row per vector, codes ordered by sub — the build
-      // pays this one groupBy so every search is a map-only scan
-      codes.select($"vec_id", struct($"sub", $"code").as("sc"))
-        .groupBy($"vec_id")
-        .agg(array_sort(collect_list($"sc")).as("sc"))
-        .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
-        .write.mode("overwrite").parquet(s"$stage/codes.parquet")
-      fs.mkdirs(dirPath.getParent)
-      if (!fs.rename(stage, dirPath)) {
-        // destination occupied: a concurrent builder won with a
-        // complete artifact (keep theirs — readers may hold it), or a
-        // crashed legacy/partial writer left an incomplete dir (no
-        // reader can have passed the _SUCCESS check on it — replace)
-        if (!built) {
-          fs.delete(dirPath, true)
-          if (!fs.rename(stage, dirPath) && !built)
-            throw new java.io.IOException(
-              s"could not install PQ artifact at $dir")
-        }
-        fs.delete(stage, true)
+      installArtifact(fs, dirPath, "PQ")(built) { stage =>
+        val (codes, books) = pqModel(s, embCheckpointed(s, d))
+        books.write.mode("overwrite").parquet(s"$stage/codebook.parquet")
+        // wide: one row per vector, codes ordered by sub — the build
+        // pays this one groupBy so every search is a map-only scan
+        codes.select($"vec_id", struct($"sub", $"code").as("sc"))
+          .groupBy($"vec_id")
+          .agg(array_sort(collect_list($"sc")).as("sc"))
+          .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
+          .write.mode("overwrite").parquet(s"$stage/codes.parquet")
       }
-      pruneStaleArtifacts(fs, dirPath)
     }
     (s.read.parquet(codesPath), s.read.parquet(booksPath))
   }
 
-  /** Best-effort TTL prune of sibling `pq_*` artifact dirs under the
-    * shared artifacts root — testdata regeneration changes the cache
-    * key, and without this the orphaned old-key dirs accumulate in
-    * tmpdir unboundedly. 24 h TTL keeps anything a live process could
-    * still be reading or staging. */
+  /** Stage → atomic-rename install shared by the artifact builders: the
+    * keyed path is never deleted/overwritten while a reader may be
+    * scanning it (see [[pqPersistedModel]]'s scaladoc for the race
+    * analysis). `complete` re-checks whether a concurrent builder won. */
+  private def installArtifact(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, what: String)(complete: => Boolean)(
+      writeTo: String => Unit): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(
+      dirPath.toString + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
+    writeTo(stage.toString)
+    fs.mkdirs(dirPath.getParent)
+    if (!fs.rename(stage, dirPath)) {
+      // destination occupied: a concurrent builder won with a
+      // complete artifact (keep theirs — readers may hold it), or a
+      // crashed legacy/partial writer left an incomplete dir (no
+      // reader can have passed the _SUCCESS check on it — replace)
+      if (!complete) {
+        fs.delete(dirPath, true)
+        if (!fs.rename(stage, dirPath) && !complete)
+          throw new java.io.IOException(
+            s"could not install $what artifact at $dirPath")
+      }
+      fs.delete(stage, true)
+    }
+    pruneStaleArtifacts(fs, dirPath)
+  }
+
+  /** Best-effort TTL prune of sibling artifact dirs with the SAME kind
+    * prefix as `current` (`pq_*`, `ivfpq_*`, …) under the shared
+    * artifacts root — testdata regeneration changes the cache key, and
+    * without this the orphaned old-key dirs accumulate in tmpdir
+    * unboundedly. 24 h TTL keeps anything a live process could still
+    * be reading or staging. */
   private def pruneStaleArtifacts(
       fs: org.apache.hadoop.fs.FileSystem,
       current: org.apache.hadoop.fs.Path): Unit =
     try {
+      val prefix = current.getName.substring(0, current.getName.lastIndexOf('_') + 1)
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
       fs.listStatus(current.getParent).foreach { st =>
-        if (st.getPath.getName.startsWith("pq_") &&
+        if (prefix.nonEmpty && st.getPath.getName.startsWith(prefix) &&
             st.getPath != current && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
     } catch { case _: java.io.IOException => () }
+
+  /** Keyed location of the IVF+PQ artifact — same discipline as
+    * [[pqArtifactDir]]: the key states the COMBINED build semantics
+    * (both unrolled chains) plus the source table's identity, so a
+    * change to either index build, or regenerated testdata, misses the
+    * cache instead of pairing stale pieces. */
+  private def ivfpqArtifactDir(s: SparkSession, d: String): String = {
+    val srcPath = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
+    val src = srcPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcPath)
+    val key = s"fmt2|$ivfBuildChain|$pqBuildChain|$d|${src.getModificationTime}|${src.getLen}"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_artifacts/ivfpq_$digest"
+  }
+
+  /** Deployment-shaped IVF+PQ artifact: the INVERTED-FILE layout a
+    * billion-scale ANN serving tier actually holds (the FAISS
+    * IVFADC/IVF-PQ structure) — every vector's PQ codes stored WITH
+    * its IVF cell assignment, the table PARTITIONED BY CELL so each
+    * cell's rows are one directory (= one inverted list: a probe reads
+    * only its cells' files and the scan prunes the rest), plus the
+    * 8-row centroid table the coordinator ranks probes against.
+    * Returns (cells = (vec_id, codes: array&lt;int&gt;, centroid_id
+    * [partition col]), centroids = (centroid_id, cemb)).
+    *
+    * Composes the two existing deterministic builds — the persisted PQ
+    * codes ([[pqPersistedModel]]) joined to the IVF assignment
+    * ([[ivfModelFor]]) — so DuckDB's from-scratch rebuild of BOTH
+    * chains must land on exactly the persisted values; the raw
+    * embeddings never enter the artifact. */
+  private[operators] def ivfpqPersistedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val dir = ivfpqArtifactDir(s, d)
+    val cellsPath = s"$dir/cells.parquet"
+    val centsPath = s"$dir/centroids.parquet"
+    val hconf = s.sparkContext.hadoopConfiguration
+    def complete(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def built: Boolean = complete(cellsPath) && complete(centsPath)
+    if (!built) {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(hconf)
+      installArtifact(fs, dirPath, "IVF+PQ")(built) { stage =>
+        val (codesWide, _) = pqPersistedModel(s, d)
+        val (assigned, cents) = ivfModelFor(s, d)
+        cents.write.mode("overwrite").parquet(s"$stage/centroids.parquet")
+        assigned.select($"vec_id", $"centroid_id")
+          .join(codesWide, Seq("vec_id"))
+          // one COMPACT file per cell: the inverted list a serving
+          // tier holds, not 32 shuffle shards per partition dir
+          .repartition($"centroid_id")
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$stage/cells.parquet")
+      }
+    }
+    (s.read.parquet(cellsPath), s.read.parquet(centsPath))
+  }
 
   /** Long-form (vec_id, sub, code) view of the wide codes artifact —
     * map-only (posexplode preserves the scan's partitioning, so a
@@ -522,7 +598,12 @@ object Similarity extends QueryPack {
 
   /** PQ k-means build as a CTE chain ending in `codes` (assignments)
     * and `pc2` (final codebooks) — shared by both PQ oracles. */
-  private lazy val pqBuildCtes: String = {
+  private lazy val pqBuildCtes: String =
+    s"$embCteSql,\n$pqBuildChain"
+
+  /** [[pqBuildCtes]] minus the `WITH e` head — composable after any
+    * chain that already defines `e` (the IVF+PQ oracle). */
+  private[operators] lazy val pqBuildChain: String = {
     def assign(a: String, c: String): String = s"""
         $a AS (
           SELECT vec_id, sub, semb, code FROM (
@@ -543,21 +624,20 @@ object Similarity extends QueryPack {
             GROUP BY a.sub, a.code, t.pos) g
           GROUP BY sub, code)"""
     s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         sv AS (
           SELECT vec_id, s.sub,
                  emb[(s.sub * $PqSubDim + 1):(s.sub * $PqSubDim + $PqSubDim)]
                    AS semb
           FROM e, range(0, $PqSub) s(sub)),
-        seedids AS (
+        pqseedids AS (
           SELECT vec_id FROM e ORDER BY $seedHashSql, vec_id LIMIT $PqK),
-        seeds AS (
+        pqseeds AS (
           SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT)
                    AS code
-          FROM seedids),
+          FROM pqseedids),
         pc0 AS (
-          SELECT sv.sub, seeds.code, sv.semb AS cemb
-          FROM sv JOIN seeds USING (vec_id)),
+          SELECT sv.sub, pqseeds.code, sv.semb AS cemb
+          FROM sv JOIN pqseeds USING (vec_id)),
         ${assign("pa1", "pc0")},
         ${means("pc1", "pa1")},
         ${assign("pa2", "pc1")},
@@ -604,6 +684,53 @@ object Similarity extends QueryPack {
         WHERE rnk <= 5
         ORDER BY query_id, rnk"""
 
+  /** Self-contained value oracle for `sim_ann_ivfpq`: both index
+    * builds unroll into ONE statement ([[ivfBuildChain]] +
+    * [[pqBuildChain]] over the shared `e`), then the probe ranking,
+    * the per-query LUT, the cell-restricted ADC sums, and the final
+    * ranking — DuckDB re-derives every piece of the composed index
+    * from the raw table. */
+  private lazy val ivfPqOracleSql: String = s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $pqBuildChain,
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, centroid_id AS pcell FROM (
+            SELECT q.query_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS pr
+            FROM q, c3 c) x
+          WHERE pr <= $IvfNProbe),
+        qsub AS (
+          SELECT vec_id AS query_id, sub, semb AS qsemb
+          FROM sv WHERE vec_id < 5),
+        lut AS (
+          SELECT qsub.query_id, c.sub, c.code,
+            CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+              i -> (qsub.qsemb[i] - c.cemb[i]) * (qsub.qsemb[i] - c.cemb[i]))), 9)
+              AS DECIMAL(27,9)) AS pdist
+          FROM qsub JOIN pc2 c ON c.sub = qsub.sub),
+        adc AS (
+          SELECT p.query_id, f.vec_id, CAST(SUM(l.pdist) AS DOUBLE) AS adist
+          FROM probes p
+          JOIN fin f ON f.centroid_id = p.pcell
+          JOIN codes k ON k.vec_id = f.vec_id
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.sub = k.sub AND l.code = k.code
+          WHERE f.vec_id <> p.query_id
+          GROUP BY p.query_id, f.vec_id)
+        SELECT query_id, rnk, vec_id, adist FROM (
+          SELECT query_id, vec_id, adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist ASC, vec_id) AS rnk
+          FROM adc) r
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
+
   /** The IVF cell assignment over `d`'s embeddings — exposed to the
     * dedup pack: SemDeDup-style semantic dedup clusters with exactly
     * this build so its oracle shares [[ivfBuildCtes]] and the k-means
@@ -619,10 +746,22 @@ object Similarity extends QueryPack {
   private[operators] def ivfModelFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfModel(s, embCheckpointed(s, d))
 
+  /** The one CTE both index builds hang off: the embedding table as
+    * DOUBLE[] arrays. Factored out so [[ivfBuildCtes]] and
+    * [[pqBuildCtes]] compose into a single statement for the IVF+PQ
+    * oracle ([[ivfPqBuildCtes]]) without defining `e` twice. */
+  private[operators] val embCteSql: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+
   /** The k-means build as a CTE chain ending in `fin` (assignments) and
     * `c3` (final centroids) — the shared prefix of both IVF oracles
     * (and of `dedup_semantic`'s, via [[ivfAssignedFor]]). */
-  private[operators] lazy val ivfBuildCtes: String = {
+  private[operators] lazy val ivfBuildCtes: String =
+    s"$embCteSql,\n$ivfBuildChain"
+
+  /** [[ivfBuildCtes]] minus the `WITH e` head — composable after any
+    * chain that already defines `e`. */
+  private[operators] lazy val ivfBuildChain: String = {
     def assign(a: String, c: String): String = s"""
         $a AS (
           SELECT vec_id, emb, centroid_id FROM (
@@ -643,7 +782,6 @@ object Similarity extends QueryPack {
             GROUP BY a.centroid_id, t.pos) g
           GROUP BY centroid_id)"""
     s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         seeds AS (
           SELECT vec_id, emb FROM e
           ORDER BY $seedHashSql, vec_id
@@ -1076,6 +1214,61 @@ object Similarity extends QueryPack {
           .orderBy($"query_id", $"rnk")
       },
       oracle = Some(pqAdcOracleSql),
+      headline = true),
+
+    // ── IVF+PQ: the composed serving index (FAISS IVFADC shape) ──
+    // The structure a billion-scale ANN deployment actually runs:
+    // cells bound WHAT is scanned (inverted lists, here physical
+    // partitions of the persisted artifact — the probe filter prunes
+    // the non-probed cells' files at the scan, plan-gated in
+    // SimilaritySpec), PQ codes bound WHAT each scan costs (ADC: one
+    // codegen'd [[graft.functions.PqAdcSum]] fold per candidate, raw
+    // embeddings read only for the 5 query vectors). The probe plan is
+    // built coordinator-side from the 8-row centroid table (the
+    // [[pqQueryLutWide]] O(queries × cells) precedent — a real serving
+    // coordinator ranks probes exactly there), candidates pair with
+    // their queries through a 15-row broadcast, and ranking rides the
+    // bounded-buffer aggregator: ≤k rows per query cross the only
+    // shuffle. The oracle re-derives BOTH builds, the probe ranking,
+    // and the restricted ADC search in one statement.
+    "sim_ann_ivfpq" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (cells, cents) = ivfpqPersistedModel(s, d)
+        val (_, books) = pqPersistedModel(s, d)
+        val q = embDouble(s, d).filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val wProbe = Window.partitionBy($"query_id")
+          .orderBy($"cdist".asc, $"centroid_id")
+        // the coordinator's probe list: queries × 8 cells, ranked by
+        // the same distance arithmetic as the assignment argmin
+        val probeRows = q.crossJoin(broadcast(cents))
+          .withColumn("cdist", l2sq($"qemb", $"cemb"))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter($"pr" <= IvfNProbe)
+          .select($"query_id", $"centroid_id")
+          .collect()
+        val probedCells = probeRows.map(_.getInt(1)).distinct.toSeq
+        val probePairs = probeRows.map(r => (r.getLong(0), r.getInt(1)))
+          .toSeq.toDF("query_id", "centroid_id")
+        val topk = udaf(new graft.functions.TopKAggregator(5))
+        cells
+          // static partition pruning: only probed cells' files scan
+          .filter($"centroid_id".isin(probedCells: _*))
+          .join(broadcast(probePairs), Seq("centroid_id"))
+          .filter($"vec_id" =!= $"query_id")
+          .join(broadcast(pqQueryLutWide(s, d, books)), Seq("query_id"))
+          .select($"query_id", $"vec_id",
+            graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))
+          .groupBy($"query_id")
+          .agg(topk(-$"adist", $"vec_id").as("top"))
+          .select($"query_id",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
+            $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some(ivfPqOracleSql),
       headline = true),
 
     // ── PQ asymmetric-distance (ADC) top-k: self-contained build+search ──

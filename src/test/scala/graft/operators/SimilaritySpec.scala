@@ -59,4 +59,67 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val win = graft.SparkEntry.queries("sim_knn_window")(spark, sf).collect()
     agg.map(_.toString).toSeq shouldBe win.map(_.toString).toSeq
   }
+
+  test("IVF+PQ: the inverted-file layout prunes non-probed cells and answers from them") {
+    import org.apache.spark.sql.functions.col
+    val (cells, cents) = Similarity.ivfpqPersistedModel(spark, sf)
+
+    // re-derive the probe plan in plain Scala from the persisted pieces
+    val centroids = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 5).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probesOf: Map[Long, Seq[Int]] = queries.map { case (q, emb) =>
+      q -> centroids.toSeq.map { case (c, ce) => (l2(emb, ce), c) }
+        .sortBy { case (dist, c) => (dist, c) }.take(3).map(_._2)
+    }.toMap
+    val probedCells = probesOf.values.flatten.toSet
+
+    // the physical layout IS the inverted file: restricting to probed
+    // cells is pure partition pruning — the executed scan opens only
+    // those cells' files (and that must be a strict subset)
+    val byCell = cells.inputFiles.groupBy { f =>
+      "centroid_id=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
+        .getOrElse(fail(s"unpartitioned cells file: $f"))
+    }
+    byCell.keySet.size should be > probedCells.size // something to prune
+    val pruned = cells.filter(col("centroid_id").isin(probedCells.toSeq: _*))
+    pruned.collect()
+    val finalPlan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the pruned cells plan"))
+    val probedFiles = byCell.filter(kv => probedCells(kv._1)).values.map(_.length).sum
+    scan.metrics("numFiles").value shouldBe probedFiles.toLong
+    probedFiles should be < cells.inputFiles.length
+
+    // the full query's plan carries the cell restriction as a
+    // partition filter (metadata pruning), not a data filter
+    val df = graft.SparkEntry.queries("sim_ann_ivfpq")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    formatted should include regex "PartitionFilters.*centroid_id"
+
+    // and every answered neighbor lives in a cell its query probed
+    val cellOf = cells.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = df.collect()
+    rows.length shouldBe 25 // 5 queries x top-5
+    rows.foreach { r =>
+      val (q, rnk, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      withClue(s"query $q rank $rnk -> vec $v: ") {
+        probesOf(q) should contain(cellOf(v))
+      }
+    }
+  }
 }
