@@ -12,7 +12,7 @@ import org.apache.commons.io.FileUtils
   * worst a crash re-serves/re-fetches a generation (at-least-once),
   * never loses one.
   */
-private[ingest] object GenSwap {
+private[graft] object GenSwap {
 
   def hasParts(dir: String): Boolean =
     Option(new File(dir).listFiles())

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.{MG, MisraGriesAggregator}
+import graft.ingest.GenSwap
+
+/** Continuous corpus-wide heavy hitters — the streaming face of
+  * `llm_heavy_hitters`, and the frequent-items sibling of the
+  * mergeable-HLL pattern (`agg_hll_mergeable`): because the
+  * Misra–Gries summary is MERGEABLE (error ≤ N/(cap+1) preserved
+  * under any merge tree — Agarwal et al., PODS 2012), a growing
+  * corpus never needs re-scanning. Each micro-batch pays one
+  * map-side-combined aggregation over ITS tokens (≤cap counters per
+  * partition cross the shuffle), and the accumulated summary updates
+  * with a driver-side merge of two ≤cap-counter summaries — the
+  * coordinator step, O(cap) work and bytes.
+  *
+  * State = the (term, count) counters plus the total token count and
+  * the last folded batch id, committed via the crash-safe
+  * [[graft.ingest.GenSwap]] generation swap (the poll-spool
+  * discipline: at any crash point one complete generation is
+  * readable). `foreachBatch` can re-run a batch after a crash, so the
+  * fold is made idempotent by the batch id: a re-run of an
+  * already-committed batch skips the fold (counts never double) and
+  * only re-emits — exactly-once state maintenance on at-least-once
+  * emission.
+  *
+  * After any prefix of batches, every term with overall frequency
+  * > n_total/(cap+1) is guaranteed present in the emitted summary —
+  * the candidate set a periodic exact recount (the batch query's
+  * second pass) turns into the exact heavy-hitter set.
+  */
+object StreamingScoring {
+
+  /** Start the stream. `records` carries a `text` column; `sink`
+    * receives, per batch, the MERGED summary so far as rows
+    * (term, count_lb, n_total, batch_id) — `count_lb` is the MG lower
+    * bound (undercounts by ≤ n_total/(cap+1), never overcounts). */
+  def heavyHittersStream(
+      records: DataFrame,
+      stateDir: String,
+      cap: Int,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    val agg = new MisraGriesAggregator(cap)
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/mg"
+        val old = s"$stateDir/mg.old"
+        val tmp = s"$stateDir/mg.tmp"
+
+        val (stateMG, stateN, lastBatch) =
+          GenSwap.readable(target, old) match {
+            case Some(dir) =>
+              val rows = s.read.parquet(dir).collect()
+              val n = if (rows.isEmpty) 0L else rows.head.getLong(2)
+              val lb = if (rows.isEmpty) -1L else rows.head.getLong(3)
+              (MG(rows.map(_.getString(0)), rows.map(_.getLong(1))), n, lb)
+            case None => (agg.zero, 0L, -1L)
+          }
+
+        val (merged, mergedN) =
+          if (batchId <= lastBatch) (stateMG, stateN) // replayed batch: fold once
+          else {
+            val mgUdaf = udaf(agg)
+            val toks = batch
+              .select(explode(graft.functions.TextTokens.tokens).as("term"))
+            val row = toks.agg(mgUdaf($"term").as("mg"), count(lit(1)).as("n"))
+              .collect().head
+            val bm = row.getStruct(0)
+            val batchMG = MG(
+              bm.getSeq[String](0).toArray, bm.getSeq[Long](1).toArray)
+            val m = agg.merge(stateMG, batchMG)
+            val n = stateN + row.getLong(1)
+            // commit BEFORE emitting: a crash between commit and sink
+            // re-runs the batch, hits the batchId guard, and re-emits
+            // the already-folded summary — never a double fold
+            val outRows = m.terms.zip(m.counts).toSeq
+              .map { case (t, c) => (t, c, n, batchId) }
+            new java.io.File(stateDir).mkdirs()
+            outRows.toDF("term", "count_lb", "n_total", "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            GenSwap.publish(tmp, target, old)
+            (m, n)
+          }
+
+        sink(merged.terms.zip(merged.counts).toSeq
+          .map { case (t, c) => (t, c, mergedN, batchId) }
+          .toDF("term", "count_lb", "n_total", "batch_id"))
+      }
+      .start()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** E2E gates for the continuous heavy-hitters stream: the mergeable
+  * summary accumulates across micro-batches and restarts, the MG
+  * containment guarantee holds against the exact frequencies of
+  * everything streamed so far, and counts are lower bounds within the
+  * N/(cap+1) error budget.
+  */
+class StreamingScoringSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def toks(t: String): Seq[String] =
+    t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).toSeq
+
+  test("continuous heavy hitters: state merges across batches and restarts, " +
+      "containment and error bounds hold") {
+    val src = java.nio.file.Files.createTempDirectory("graft-shh-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shh-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-shh-state")
+    val cap = 4
+
+    def writeDocs(name: String, texts: Seq[String]): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        texts.zipWithIndex.map { case (t, i) =>
+          s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n").getBytes(UTF_8))
+
+    @volatile var emitted = Vector.empty[Array[Row]]
+    def start() = StreamingScoring.heavyHittersStream(
+      spark.readStream.schema("doc_id LONG, text STRING").json(src.toString),
+      state.toString, cap, ckpt.toString,
+      sink = df => emitted :+= df.collect())
+
+    // a 200-term cold tail forces constant eviction at cap=4
+    val b0 = Seq(Seq.fill(60)("hot").mkString(" "),
+      (0 until 100).map(i => s"cold$i").mkString(" "))
+    val b1 = Seq(Seq.fill(50)("warm").mkString(" "),
+      (100 until 200).map(i => s"cold$i").mkString(" "),
+      Seq.fill(20)("hot").mkString(" "))
+    val all = scala.collection.mutable.Buffer.empty[String]
+
+    def checkAgainst(batchRows: Array[Row]): Unit = {
+      val truth = all.flatMap(toks).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val n = truth.values.sum
+      batchRows.foreach(_.getLong(2) shouldBe n) // n_total tracks the stream
+      val summary = batchRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      summary.size should be <= cap
+      // containment: every true heavy hitter is in the summary
+      truth.foreach { case (t, c) =>
+        if (c.toDouble > n.toDouble / (cap + 1))
+          withClue(s"heavy term $t (c=$c, n=$n) missing: ") {
+            summary.keySet should contain(t)
+          }
+      }
+      // counts are lower bounds within the merge-preserved error budget
+      summary.foreach { case (t, lb) =>
+        val c = truth.getOrElse(t, 0L)
+        withClue(s"term $t lb=$lb true=$c n=$n: ") {
+          lb should be <= c
+          (c - lb).toDouble should be <= n.toDouble / (cap + 1)
+        }
+      }
+    }
+
+    writeDocs("b0.json", b0); all ++= b0
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop() // restart boundary
+    checkAgainst(emitted.last)
+    emitted.last.map(_.getString(0)) should contain("hot")
+
+    // the restarted query must resume from the persisted summary (not
+    // re-fold b0: offsets recovered) and fold only the new batch
+    writeDocs("b1.json", b1); all ++= b1
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    checkAgainst(emitted.last)
+    val last = emitted.last.map(r => r.getString(0) -> r.getLong(1)).toMap
+    last.keySet should contain allOf ("hot", "warm")
+    // the two-pass exact recount over the candidates equals the true
+    // heavy-hitter set (the batch query's design, fed by this state)
+    val truth = all.flatMap(toks).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val n = truth.values.sum
+    val exactHH = truth.filter { case (_, c) => c * (cap + 1) > n }.keySet
+    last.keySet.filter(t => truth(t) * (cap + 1) > n) shouldBe exactHH
+  }
+}
