@@ -90,6 +90,8 @@ object Scoring extends QueryPack {
         val stats = s.range(0, B).select($"id".as("b"))
           .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
           .select($"b", coalesce($"cr", lit(0L)).as("cr"), coalesce($"ct", lit(0L)).as("ct"))
+          .localCheckpoint(true) // B rows; totals + lr would otherwise
+                                 // each re-run both token aggregations
         val totals = stats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
         val lr = stats.crossJoin(broadcast(totals))
           .withColumn("lr",

@@ -38,7 +38,12 @@ object StreamingScoring {
   /** Start the stream. `records` carries a `text` column; `sink`
     * receives, per batch, the MERGED summary so far as rows
     * (term, count_lb, n_total, batch_id) — `count_lb` is the MG lower
-    * bound (undercounts by ≤ n_total/(cap+1), never overcounts). */
+    * bound (undercounts by ≤ n_total/(cap+1), never overcounts).
+    *
+    * `stateDir` is PAIRED with `checkpointDir`: batch ids are scoped
+    * to one checkpoint, so pointing a fresh checkpoint at an existing
+    * state dir would misread old batch ids as replays — start both
+    * fresh or resume both. */
   def heavyHittersStream(
       records: DataFrame,
       stateDir: String,

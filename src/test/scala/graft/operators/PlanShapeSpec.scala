@@ -271,4 +271,38 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     // the only exchange allowed is the output ordering's range partition
     p should not include "hashpartitioning"
   }
+
+  test("hash classifier inference is a map-only scan — no join, no hash exchange") {
+    // the fastText-at-scale claim: the literal weight table lives
+    // inside the projection (element_at on an array literal), so the
+    // classifier pass is embarrassingly parallel; only the output
+    // ordering's range partition may shuffle
+    val p = plan("llm_hash_classifier")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("heavy hitters: sketch pass and exact recount share one checkpointed token frame") {
+    val p = plan("llm_heavy_hitters")
+    // both passes read the checkpoint, never parquet twice
+    "Scan parquet".r.findAllIn(p).size shouldBe 0
+    // the ≤cap candidate set reaches the recount as a broadcast — a
+    // sort-merge join here would shuffle the token stream
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("bottom-k sample ranks via the bounded-buffer aggregator — no window") {
+    val p = plan("llm_bottomk_sample")
+    p should not include "Window"
+    p.toLowerCase should include("objecthashaggregate")
+  }
+
+  test("DSIR weights: bucket stats broadcast back, the corpus never shuffle-joins") {
+    val p = plan("llm_dsir_weights")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // every consumer derives from the checkpointed token frame
+    "Scan parquet".r.findAllIn(p).size shouldBe 0
+  }
 }
