@@ -35,6 +35,28 @@ object Layout extends QueryPack {
   /** Z-buckets produced (= files a layout rewrite would emit). */
   private val NBuckets = 16
 
+  /** Bloom bits per word: 62 keeps every `1 << bit` a positive BIGINT
+    * in both engines. Each "file" (shard) sizes its own filter at ~10
+    * bits per distinct key — `words = (10·ndv + 61) div 62` — the way
+    * Parquet sizes row-group blooms by NDV, so the false-positive rate
+    * (~1% at 10 bits/key, 2 hashes) is scale-invariant: a fixed-width
+    * filter would saturate as files grow. Probed by two
+    * universal-family hashes `((a·key + b) mod P) mod nbits` whose
+    * products stay below 2^63 for keys < P (the same overflow-free
+    * construction as the Count-Min rows in [[Scoring]]). */
+  private val WordBits = 62
+  private val BitsPerKey = 10
+  private[operators] val BloomHashes: IndexedSeq[(Long, Long)] =
+    IndexedSeq((2654435761L, 97L), (40503L, 9176L))
+
+  /** Reproducible hash-shard of a lineitem ROW to one of 8 "files" —
+    * the `llm_shuffle_shard` Knuth-multiply idiom over the row
+    * identity (l_orderkey, l_linenumber), so one order's lines spread
+    * across files (the ingest-sharded layout where a point lookup on
+    * l_orderkey has no min/max envelope to prune with). */
+  private val ShardSql =
+    "(((l_orderkey * 8 + l_linenumber) % 1000003) * 2654435761) % 1000000007 % 8"
+
   /** z = Σ_i aBit_i·4^i + 2·Σ_i bBit_i·4^i — bit interleaving of two
     * already-normalized non-negative ints, written as div/mod/multiply
     * by literals so ONE generator yields both the Spark (`div`) and
@@ -116,5 +138,130 @@ object Layout extends QueryPack {
         GROUP BY bucket
         ORDER BY bucket"""),
       headline = true),
+
+    // ── Bloom file-skipping index: point-predicate pruning where
+    //    min/max envelopes can't help ──
+    // The complement to the Z-order envelopes: in an ingest-sharded
+    // layout (rows hashed to files by row identity), a point lookup on
+    // l_orderkey finds full-width min/max in every file — range stats
+    // skip nothing — but a per-file Bloom filter (the Parquet
+    // bloom_filter / Iceberg puffin shape) still prunes: an order's
+    // lines live in ≤4 of the 8 files and the index passes only those
+    // (± ~1% false positives). Each file's filter is sized by ITS
+    // distinct-key count at ~10 bits/key, stored long-form as 62-bit
+    // words; probing 5 present + 5 absent keys reports, per key, files
+    // passed vs files truly containing it, plus a false-negative count
+    // the Bloom contract forces to 0. Scale shape: the index is
+    // O(Σ ndv/6.2) rows built by ONE map-side-combined bit_or
+    // aggregation after the distinct; the 8-row size table and probe
+    // verdicts broadcast — a scan planner touches only passing files,
+    // never the data. DuckDB rebuilds the sharding, the per-file
+    // sizing, the words, and every probe verdict bit for bit.
+    "q_bloom_skipping" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val S = 8
+        def hashPos = array(BloomHashes.map { case (a, b) =>
+          (lit(a) * $"l_orderkey" + lit(b)) % 1000000007L % $"nbits" }: _*)
+        def unpack = Seq(
+          expr(s"pos div $WordBits").as("w"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $WordBits AS INT))").as("m"))
+        val keys = Tables.lineitem(s, d)
+          .select(expr(ShardSql).as("shard"), $"l_orderkey")
+          .distinct()
+          .localCheckpoint() // 3 consumers: sizes, bloom build, membership
+        val sizes = keys.groupBy($"shard").agg(count(lit(1)).as("ndv"))
+          .withColumn("nbits",
+            expr(s"((ndv * $BitsPerKey + ${WordBits - 1}) div $WordBits) * $WordBits"))
+          .select($"shard", $"nbits")
+        val bloom = keys.join(broadcast(sizes), Seq("shard"))
+          .select($"shard", posexplode(hashPos).as(Seq("hr", "pos")))
+          .select(($"shard" +: unpack): _*)
+          .groupBy($"shard", $"w").agg(expr("bit_or(m)").as("bits"))
+        val ok = keys.select($"l_orderkey").distinct()
+        val present = ok.orderBy($"l_orderkey").limit(5)
+          .withColumn("expected_present", lit(true))
+        val absent = s.range(1, 6)
+          .crossJoin(broadcast(ok.agg(max($"l_orderkey").as("mx"))))
+          .select(($"mx" + $"id").as("l_orderkey"), lit(false).as("expected_present"))
+        val probes = present.union(absent)
+        val verdicts = probes
+          .crossJoin(broadcast(sizes)) // one row per (probe, file)
+          .select($"l_orderkey", $"expected_present", $"shard",
+            posexplode(hashPos).as(Seq("hr", "pos")))
+          .select(($"l_orderkey" +: $"expected_present" +: $"shard" +: unpack): _*)
+          .join(broadcast(bloom), Seq("shard", "w"), "left")
+          .groupBy($"l_orderkey", $"expected_present", $"shard")
+          .agg(expr("bool_and(coalesce((bits & m) = m, false))").as("pass"))
+        val membership = keys
+          .join(broadcast(probes.select($"l_orderkey")), Seq("l_orderkey"))
+          .withColumn("actual", lit(true))
+        verdicts
+          .join(broadcast(membership), Seq("l_orderkey", "shard"), "left")
+          .groupBy($"l_orderkey", $"expected_present")
+          .agg(sum(when($"pass", 1L).otherwise(0L)).as("n_shards_pass"),
+            sum(when(coalesce($"actual", lit(false)), 1L).otherwise(0L)).as("n_shards_actual"),
+            sum(when(coalesce($"actual", lit(false)) && !$"pass", 1L).otherwise(0L))
+              .as("n_false_neg"))
+          .select($"l_orderkey".as("probe_key"), $"expected_present",
+            $"n_shards_pass", $"n_shards_actual", $"n_false_neg")
+          .orderBy($"probe_key")
+      },
+      oracle = Some {
+        val rowsSql = BloomHashes.zipWithIndex
+          .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+        s"""
+        WITH li AS (SELECT $ShardSql AS shard, l_orderkey FROM lineitem),
+        keys AS (SELECT DISTINCT shard, l_orderkey FROM li),
+        sizes AS (
+          SELECT shard,
+                 ((COUNT(*) * $BitsPerKey + ${WordBits - 1}) // $WordBits)
+                   * $WordBits AS nbits
+          FROM keys GROUP BY shard),
+        hr AS (SELECT * FROM (VALUES $rowsSql) v(hr, a, b)),
+        bloom AS (
+          SELECT shard, pos // $WordBits AS w,
+                 bit_or(1::BIGINT << CAST(pos % $WordBits AS INT)) AS bits
+          FROM (
+            SELECT k.shard,
+                   ((hr.a * k.l_orderkey + hr.b) % 1000000007) % sz.nbits AS pos
+            FROM keys k JOIN sizes sz USING (shard), hr)
+          GROUP BY 1, 2),
+        ok AS (SELECT DISTINCT l_orderkey FROM keys),
+        present AS (
+          SELECT l_orderkey, true AS expected_present
+          FROM ok ORDER BY l_orderkey LIMIT 5),
+        absent AS (
+          SELECT (SELECT MAX(l_orderkey) FROM ok) + range AS l_orderkey,
+                 false AS expected_present
+          FROM range(1, 6)),
+        probes AS (
+          SELECT * FROM present UNION ALL SELECT * FROM absent),
+        pr AS (
+          SELECT p.l_orderkey, p.expected_present, sz.shard,
+                 ((hr.a * p.l_orderkey + hr.b) % 1000000007) % sz.nbits AS pos
+          FROM probes p, sizes sz, hr),
+        verdicts AS (
+          SELECT pr.l_orderkey, pr.expected_present, pr.shard,
+                 bool_and(COALESCE(
+                   (b.bits & (1::BIGINT << CAST(pr.pos % $WordBits AS INT)))
+                     = (1::BIGINT << CAST(pr.pos % $WordBits AS INT)), false)) AS pass
+          FROM pr LEFT JOIN bloom b
+            ON b.shard = pr.shard AND b.w = pr.pos // $WordBits
+          GROUP BY 1, 2, 3),
+        act AS (
+          SELECT l_orderkey, shard, true AS actual FROM keys
+          WHERE l_orderkey IN (SELECT l_orderkey FROM probes))
+        SELECT v.l_orderkey AS probe_key, v.expected_present,
+          CAST(SUM(CASE WHEN v.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_shards_pass,
+          CAST(SUM(CASE WHEN COALESCE(a.actual, false) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shards_actual,
+          CAST(SUM(CASE WHEN COALESCE(a.actual, false) AND NOT v.pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+        FROM verdicts v LEFT JOIN act a
+          ON a.l_orderkey = v.l_orderkey AND a.shard = v.shard
+        GROUP BY 1, 2
+        ORDER BY probe_key"""
+      }),
   )
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,6 +61,54 @@ object Scoring extends QueryPack {
   /** Knuth-multiply hash of doc_id — the repo's reproducible shuffle
     * order (injective below the prime; doc_id tiebreak past it). */
   private val docHash = "((doc_id % 1000003) * 2654435761) % 1000000007"
+
+  // ── Count-Min sketch parameters ──
+  // depth 4 × width 64 counters; row hashes are universal-family
+  // `((a·fp + b) mod P) mod W` over the engine-reproducible rolling-hash
+  // fingerprint (fp < P, a ≤ 2.7e9 ⇒ a·fp < 2.7e18: overflow-free in
+  // BOTH engines' BIGINT, unlike a splitmix finalizer whose wrapping
+  // 64-bit multiplies DuckDB would reject). Small width so the fixture
+  // actually collides; the mechanism is W-invariant.
+  private[operators] val CmMod: Long = 1000000007L
+  private[operators] val CmW: Int = 64
+  private[operators] val CmHashes: IndexedSeq[(Long, Long)] =
+    IndexedSeq((2654435761L, 97L), (40503L, 9176L), (69069L, 13L), (1103515245L, 12345L))
+
+  private def cmCol(fp: Column, a: Long, b: Long): Column =
+    (lit(a) * fp + lit(b)) % CmMod % CmW
+  private def cmColSql(fp: String, a: Long, b: Long): String =
+    s"((($a * ($fp)) + $b) % $CmMod) % $CmW"
+
+  /** Long-form Count-Min counters `(r, col, cnt)` over a frame with an
+    * `fp` fingerprint column (one row per token OCCURRENCE). One
+    * map-side-combined aggregation; at most depth×W counters per
+    * partition cross the shuffle — the sketch is mergeable by counter
+    * addition, which is what makes it the 100 TB shape (per-shard
+    * sketches sum into the corpus sketch without a token-level pass). */
+  private[operators] def cmCounters(withFp: DataFrame): DataFrame = {
+    val s = withFp.sparkSession
+    import s.implicits._
+    withFp
+      .select(posexplode(array(CmHashes.map { case (a, b) => cmCol($"fp", a, b) }: _*))
+        .as(Seq("r", "col")))
+      .groupBy($"r", $"col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a probe frame carrying `fp`:
+    * est(term) = min over rows r of counter[r, col_r(fp)] — never an
+    * underestimate (every occurrence of the term incremented all four
+    * of its counters). */
+  private[operators] def cmEstimate(probes: DataFrame, counters: DataFrame): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val pcols = probes.select(probes.columns.map(col) :+
+      posexplode(array(CmHashes.map { case (a, b) => cmCol($"fp", a, b) }: _*))
+        .as(Seq("r", "col")): _*)
+    val keep = probes.columns.filterNot(_ == "fp")
+    pcols.join(broadcast(counters), Seq("r", "col"))
+      .groupBy(keep.map(col): _*)
+      .agg(min($"cnt").as("cnt_est"))
+  }
 
   override val queries: Map[String, QueryDef] = Map(
 
@@ -252,5 +301,60 @@ object Scoring extends QueryPack {
         WHERE cnt * ${HHCap + 1} > n_total
         ORDER BY cnt DESC, term"""),
       headline = true),
+
+    // ── Count-Min sketch: mergeable frequency estimation ──
+    // The other half of the sketch pair with Misra–Gries: MG answers
+    // "which terms are frequent" (candidate set, undercounts), Count-Min
+    // answers "how frequent is THIS term" (point estimate, never an
+    // undercount). Build: every token occurrence increments one counter
+    // per hash row — one map-side-combined aggregation; ≤ depth×W
+    // counters per partition cross the shuffle, and counters SUM across
+    // shards (mergeable), so a 100 TB corpus sketches per-partition and
+    // folds. Probe: the 20 most frequent terms (deterministic
+    // count-desc/term tiebreak), est = min over 4 rows of the probed
+    // counter, reported against the exact count. The oracle rebuilds
+    // the entire sketch — hash rows, counters, min-probe — from the
+    // same universal-hash arithmetic, so a counter off by one anywhere
+    // hash-mismatches; the overestimate-only guarantee is additionally
+    // property-gated over EVERY term in ScoringSpec.
+    "llm_count_min" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(tokens).as("term"))
+          .withColumn("fp", rolling_hash($"term"))
+          .localCheckpoint() // 2 consumers: counters + exact counts
+        val counters = cmCounters(toks)
+        val probes = toks.groupBy($"term", $"fp")
+          .agg(count(lit(1)).as("cnt_true"))
+          .orderBy($"cnt_true".desc, $"term").limit(20)
+        cmEstimate(probes, counters)
+          .select($"term", $"cnt_true", $"cnt_est",
+            ($"cnt_est" - $"cnt_true").as("overcount"))
+          .orderBy($"cnt_true".desc, $"term")
+      },
+      oracle = Some {
+        val rowsSql = CmHashes.zipWithIndex
+          .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+        s"""
+        WITH t AS (SELECT unnest($tokensSql) AS term FROM documents),
+        f AS (SELECT term, ${fpSql("term", 31L)} AS fp FROM t),
+        hr AS (SELECT * FROM (VALUES $rowsSql) v(r, a, b)),
+        ctr AS (
+          SELECT hr.r, (((hr.a * f.fp) + hr.b) % $CmMod) % $CmW AS col,
+                 COUNT(*) AS cnt
+          FROM f, hr GROUP BY 1, 2),
+        ex AS (SELECT term, fp, COUNT(*) AS cnt_true FROM f GROUP BY term, fp),
+        probes AS (SELECT * FROM ex ORDER BY cnt_true DESC, term LIMIT 20),
+        pe AS (
+          SELECT p.term, p.cnt_true, hr.r,
+                 (((hr.a * p.fp) + hr.b) % $CmMod) % $CmW AS col
+          FROM probes p, hr)
+        SELECT pe.term, pe.cnt_true, MIN(ctr.cnt) AS cnt_est,
+               MIN(ctr.cnt) - pe.cnt_true AS overcount
+        FROM pe JOIN ctr ON ctr.r = pe.r AND ctr.col = pe.col
+        GROUP BY pe.term, pe.cnt_true
+        ORDER BY cnt_true DESC, term"""
+      }),
   )
 }

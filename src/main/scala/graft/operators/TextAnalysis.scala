@@ -792,6 +792,105 @@ object TextAnalysis extends QueryPack {
                CAST(n_tokens - n_cov AS BIGINT) AS n_oov,
                round(CAST(n_tokens - n_cov AS DOUBLE) / n_tokens, 6) AS oov_rate
         FROM per
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── TextRank keyword significance (unrolled weighted PageRank) ──
+    // Mihalcea & Tarau 2004 over the corpus co-occurrence graph: nodes
+    // are terms, an undirected edge weights how often two terms are
+    // adjacent; 5 damped power-iteration rounds score each term by how
+    // central it is among central terms — the graph upgrade of raw
+    // frequency (llm_top_terms) that promotes connective vocabulary.
+    // Bit-parity across engines runs the ranks in integer NANO-units
+    // (fixed point): each per-edge contribution is an IEEE-
+    // deterministic double chain (mul/div are correctly rounded, so
+    // identical given equal inputs) FLOORed to a BIGINT — floor reads
+    // the binary value directly, unlike round(), whose
+    // shortest-decimal-string semantics in Spark can split from
+    // DuckDB's binary rounding at a half boundary — and summed
+    // exactly as integers, so association order can't drift an ulp.
+    // The oracle unrolls all 5 rounds as CTEs over the same
+    // arithmetic.
+    // Scale: the edge list is one map-side-combined groupBy of the
+    // token stream; each round is one equality join of the O(vocab)
+    // rank table into the edge list (shuffle on u) + one map-side-
+    // combined sum (shuffle on v) — never O(corpus) per round, and the
+    // iteration count is fixed, not data-dependent.
+    "llm_textrank" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val Iters = 5
+        val pairs = Tables.documents(s, d)
+          .withColumn("toks", tokens)
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS u, toks[i] AS v))")
+            .as("prs"))
+          // barrier: Generate re-evaluates its generator per output row
+          .transform(graft.functions.TextTokens.materialized)
+          .select(explode($"prs").as("p"))
+          .select($"p.u".as("u"), $"p.v".as("v"))
+          .filter($"u" =!= $"v")
+        val edges = pairs
+          .union(pairs.select($"v".as("u"), $"u".as("v")))
+          .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+          .localCheckpoint() // reused by wsum, nodes, and all 5 rounds
+        val wsum = edges.groupBy($"u").agg(sum($"w").as("wu"))
+        val ew = edges.join(wsum, Seq("u"))
+        val nDf = edges.select($"u").distinct().agg(count(lit(1)).as("n"))
+        var ranks = edges.select($"u".as("term")).distinct()
+          .crossJoin(broadcast(nDf))
+          .select($"term", floor(lit(1.0e9) / $"n").cast(LongType).as("r"))
+        for (_ <- 1 to Iters) {
+          ranks = ew.join(ranks, $"u" === $"term")
+            .select($"v",
+              floor(lit(0.85) * $"r" * $"w" / $"wu").cast(LongType).as("c"))
+            .groupBy($"v").agg(sum($"c").as("cs"))
+            .crossJoin(broadcast(nDf))
+            .select($"v".as("term"),
+              (floor(lit(0.15e9) / $"n").cast(LongType) + $"cs").as("r"))
+        }
+        ranks
+          .select($"term", $"r".as("rank_nano"))
+          .orderBy($"rank_nano".desc, $"term")
+          .limit(25)
+      },
+      oracle = Some {
+        val rounds = (1 to 5).map { i =>
+          s"""
+        c$i AS (
+          SELECT e.v,
+                 CAST(SUM(CAST(FLOOR(0.85::DOUBLE * p.r * e.w / ws.wu) AS BIGINT))
+                   AS BIGINT) AS cs
+          FROM edges e JOIN r${i - 1} p ON p.term = e.u
+                       JOIN wsum ws ON ws.u = e.u
+          GROUP BY e.v),
+        r$i AS (
+          SELECT c.v AS term,
+                 CAST(FLOOR(0.15e9::DOUBLE / n.n) AS BIGINT) + c.cs AS r
+          FROM c$i c, n)"""
+        }.mkString(",")
+        s"""
+        WITH toks AS (
+          SELECT ${graft.functions.TextTokens.tokensSql} AS toks FROM documents),
+        dp AS (
+          SELECT unnest(list_transform(generate_series(2, len(toks)),
+                        i -> {'u': toks[i-1], 'v': toks[i]})) AS p
+          FROM toks WHERE len(toks) >= 2),
+        pairs AS (SELECT p.u AS u, p.v AS v FROM dp WHERE p.u <> p.v),
+        edges AS (
+          SELECT u, v, COUNT(*) AS w FROM (
+            SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)
+          GROUP BY u, v),
+        wsum AS (SELECT u, SUM(w) AS wu FROM edges GROUP BY u),
+        n AS (SELECT COUNT(DISTINCT u) AS n FROM edges),
+        r0 AS (
+          SELECT DISTINCT u AS term,
+                 CAST(FLOOR(1.0e9::DOUBLE / n.n) AS BIGINT) AS r
+          FROM edges, n),$rounds
+        SELECT term, r AS rank_nano
+        FROM r5
+        ORDER BY rank_nano DESC, term
+        LIMIT 25"""
+      }),
   )
 }

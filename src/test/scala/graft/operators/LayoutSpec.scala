@@ -123,4 +123,57 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  // ── Bloom file-skipping: contract + effectiveness + direct recompute ──
+
+  test("q_bloom_skipping has zero false negatives and actually prunes") {
+    val out = graft.SparkEntry.queries("q_bloom_skipping")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.length shouldBe 10
+    // the Bloom contract: no file containing the key is ever skipped
+    all(out.map(_._5)) shouldBe 0L
+    val (present, absent) = out.partition(_._2)
+    present.length shouldBe 5
+    // present keys truly exist, and the index passes at least their files
+    all(present.map(_._4)) should be >= 1L
+    present.foreach { case (k, _, pass, actual, _) =>
+      withClue(s"key $k:") { pass should be >= actual }
+    }
+    // absent keys exist in no file; at ~1% fp the 40 absent probe-file
+    // checks should pass almost nowhere — pruning must be real
+    all(absent.map(_._4)) shouldBe 0L
+    absent.map(_._3).sum should be <= 10L
+    // and some present key must spread over >1 file, or the layout
+    // degenerated and the test proves nothing
+    present.map(_._4).max should be > 1L
+  }
+
+  test("q_bloom_skipping verdicts match a direct single-threaded bloom recompute") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    def shard(ok: Long, ln: Long): Long =
+      (((ok * 8 + ln) % 1000003L) * 2654435761L) % 1000000007L % 8L
+    val keys = li.map { case (ok, ln) => (shard(ok, ln), ok) }.distinct
+    val perShard = keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nbits = perShard.view.mapValues(ks =>
+      ((ks.size.toLong * 10 + 61) / 62) * 62).toMap
+    val hashes = Layout.BloomHashes
+    def bits(s: Long): Set[Long] = perShard(s).flatMap(k =>
+      hashes.map { case (a, b) => (a * k + b) % 1000000007L % nbits(s) })
+    val bloom: Map[Long, Set[Long]] = perShard.keys.map(s => s -> bits(s)).toMap
+    val allKeys = keys.map(_._2).distinct.sorted
+    val probes = allKeys.take(5).map((_, true)) ++
+      (1 to 5).map(i => (allKeys.max + i, false))
+    val expected = probes.map { case (k, exp) =>
+      val pass = (0L until 8L).count { s =>
+        nbits.contains(s) && hashes.forall { case (a, b) =>
+          bloom.get(s).exists(_.contains((a * k + b) % 1000000007L % nbits(s))) }
+      }.toLong
+      val actual = (0L until 8L).count(s => perShard.get(s).exists(_.contains(k))).toLong
+      (k, exp, pass, actual, 0L)
+    }
+    val got = graft.SparkEntry.queries("q_bloom_skipping")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.sortBy(_._1) shouldBe expected.sortBy(_._1).toArray
+  }
 }

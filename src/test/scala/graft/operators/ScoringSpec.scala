@@ -141,4 +141,60 @@ class ScoringSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  // ── Count-Min: the sketch guarantees, checked over EVERY term ──
+
+  private def cmRow(fp: Long, a: Long, b: Long): Int =
+    (((a * fp + b) % 1000000007L) % 64L).toInt
+
+  /** Direct single-threaded Count-Min recompute over the fixture. */
+  private def cmDirect(all: Seq[String]): (Map[(Int, Int), Long], Map[String, Long]) = {
+    val hashes = Scoring.CmHashes
+    val fps = all.map(t => graft.functions.RollingHash.hash(UTF8String.fromString(t), 31L))
+    val counters = fps.flatMap { fp =>
+      hashes.zipWithIndex.map { case ((a, b), r) => (r, cmRow(fp, a, b)) }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    (counters, exact)
+  }
+
+  test("count-min estimate is never below the true count, for EVERY term") {
+    val all = docs.flatMap { case (_, _, t) => toks(t) }.toSeq
+    val (counters, exact) = cmDirect(all)
+    val hashes = Scoring.CmHashes
+    exact.foreach { case (term, trueCnt) =>
+      val fp = graft.functions.RollingHash.hash(UTF8String.fromString(term), 31L)
+      val est = hashes.zipWithIndex.map { case ((a, b), r) =>
+        counters((r, cmRow(fp, a, b)))
+      }.min
+      withClue(s"term '$term':") { est should be >= trueCnt }
+    }
+    // the gate must gate a COLLIDING sketch, not a trivially-injective
+    // one: some row must map two distinct terms to the same counter
+    // (birthday-certain for this vocabulary at W=64), i.e. per row the
+    // occupied columns number fewer than the distinct fingerprints
+    val fps = exact.keySet.map(t =>
+      graft.functions.RollingHash.hash(UTF8String.fromString(t), 31L))
+    val someRowCollides = hashes.zipWithIndex.exists { case ((a, b), _) =>
+      fps.map(fp => cmRow(fp, a, b)).size < fps.size
+    }
+    someRowCollides shouldBe true
+  }
+
+  test("distributed counters equal the direct recompute and merge by addition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val all = docs.flatMap { case (_, _, t) => toks(t) }.toSeq
+    val (expected, _) = cmDirect(all)
+    def countersOf(df: org.apache.spark.sql.DataFrame) =
+      Scoring.cmCounters(df.withColumn("fp", graft.functions.RollingHash.rolling_hash($"term")))
+        .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val whole = countersOf(all.toDF("term").repartition(7))
+    whole shouldBe expected
+    // mergeability: sketch(half1) + sketch(half2) == sketch(whole)
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val merged = (countersOf(h1.toDF("term")).toSeq ++ countersOf(h2.toDF("term")).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    merged shouldBe whole
+  }
 }

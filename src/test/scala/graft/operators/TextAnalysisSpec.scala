@@ -42,4 +42,36 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     // must actually occur — the gate is non-vacuous
     got.map(_._3).sum should be > 0L
   }
+
+  test("llm_textrank matches a direct fixed-point power-iteration recompute") {
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    // undirected adjacency edges with weights, self-loops dropped
+    val directed = docs.flatMap { t =>
+      val ts = toks(t)
+      ts.zip(ts.drop(1)).filter { case (a, b) => a != b }
+    }
+    val edges = (directed ++ directed.map(_.swap))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wsum = edges.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nodes = edges.keys.map(_._1).toSet
+    val n = nodes.size
+    var r: Map[String, Long] = nodes.map(_ -> math.floor(1.0e9 / n).toLong).toMap
+    val teleport = math.floor(0.15e9 / n).toLong
+    for (_ <- 1 to 5) {
+      val cs = edges.toSeq.map { case ((u, v), w) =>
+        v -> math.floor(0.85 * r(u) * w / wsum(u)).toLong
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = cs.map { case (v, c) => v -> (teleport + c) }
+    }
+    val expected = r.toSeq.sortBy { case (t, rn) => (-rn, t) }.take(25)
+    val got = graft.SparkEntry.queries("llm_textrank")(spark, sf).collect()
+      .map(row => (row.getString(0), row.getLong(1))).toSeq
+    got shouldBe expected
+    // ranks must differentiate (a constant vector would mean the graph
+    // degenerated and the power iteration did nothing)
+    got.map(_._2).distinct.size should be > 5
+  }
 }
