@@ -91,7 +91,7 @@ object CorpusAssembly extends QueryPack {
   private val mixWeightsSqlValues: String =
     mixWeights.map { case (s, w) => s"('$s', ${w}::BIGINT)" }.mkString(", ")
 
-  override val queries: Map[String, QueryDef] = Map(
+  private val baseQueries: Map[String, QueryDef] = Map(
 
     // ── sequence packing: concatenate-and-chunk into fixed token
     //    budgets (how pretraining batches are actually laid out) ──
@@ -708,5 +708,92 @@ object CorpusAssembly extends QueryPack {
                round(r.rate, 6) AS rate6
         FROM r LEFT JOIN k USING (lang)
         ORDER BY r.lang"""))
+  )
+
+  /** Number of BPE merges `llm_bpe_learn` performs. */
+  private val BpeMerges = 6
+
+  override val queries: Map[String, QueryDef] = baseQueries ++ Map(
+
+    // ── BPE merge learning: tokenizer TRAINING, distributed ──
+    // The actual byte-pair-encoding training loop (Sennrich et al.
+    // 2016), not just tokenization-by-regex (`llm_bpe_token_count`):
+    // each round counts adjacent symbol pairs over the word-frequency
+    // table, takes the argmax pair (count desc, pair asc —
+    // deterministic), and merges its non-overlapping left-to-right
+    // occurrences in every word. Output is the learned merge table —
+    // what a tokenizer ships. Scale: classic BPE trains off the
+    // DISTINCT-word count table, not the corpus — the corpus is
+    // scanned ONCE for word counts (map-side combined); each of the
+    // fixed M rounds then costs one vocabulary-sized pair count
+    // (shuffle on the pair key) plus a broadcast of the single winning
+    // pair. Symbol sequences ride a sentinel-spaced string — tokens
+    // joined by TWO spaces with single-space ends — so the merge is a
+    // literal `replace(' x  y ', ' xy ')`: left-to-right non-overlap
+    // replacement consumes one sentinel from each boundary, which
+    // restores the invariant and resolves overlapping runs (a a a a →
+    // aa aa) exactly as greedy BPE does, identically in both engines.
+    // The oracle unrolls all M rounds: pair counts, argmax, and every
+    // merged sequence are re-derived by DuckDB, so the whole training
+    // trajectory is hash-checked.
+    "llm_bpe_learn" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        var seqs = Tables.documents(s, d)
+          .select(explode(tokens).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+          .select($"c", concat(lit(" "),
+            array_join(filter(split($"term", ""), ch => ch =!= ""), "  "),
+            lit(" ")).as("seq"))
+          .localCheckpoint() // one corpus scan; M rounds re-read the vocab
+        val bests = (1 to BpeMerges).map { step =>
+          val pairs = seqs
+            .withColumn("syms", split(trim($"seq"), " +"))
+            .filter(size($"syms") >= 2)
+            .select($"c", explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
+              .as("p"))
+            .groupBy($"p.u".as("u"), $"p.v".as("v"))
+            .agg(sum($"c").as("pair_n"))
+          val best = pairs.orderBy($"pair_n".desc, $"u", $"v").limit(1)
+            .localCheckpoint() // tiny; consumed by the merge AND the output
+          seqs = seqs.crossJoin(broadcast(best.select($"u", $"v")))
+            .select($"c",
+              expr("replace(seq, concat(' ', u, '  ', v, ' '), concat(' ', u, v, ' '))")
+                .as("seq"))
+          best.select(lit(step).as("step"), $"u".as("lhs"), $"v".as("rhs"), $"pair_n")
+        }
+        bests.reduce(_ union _).orderBy($"step")
+      },
+      oracle = Some {
+        val rounds = (1 to BpeMerges).map { i =>
+          s"""
+        p$i AS (
+          SELECT syms[j-1] AS u, syms[j] AS v, CAST(SUM(c) AS BIGINT) AS pair_n
+          FROM (SELECT c, string_split_regex(trim(seq), ' +') AS syms FROM s${i - 1}),
+               unnest(generate_series(2, len(syms))) AS t(j)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        b$i AS (SELECT u, v, pair_n FROM p$i ORDER BY pair_n DESC, u, v LIMIT 1),
+        s$i AS (
+          SELECT c, replace(seq, ' ' || b.u || '  ' || b.v || ' ',
+                                 ' ' || b.u || b.v || ' ') AS seq
+          FROM s${i - 1}, b$i b)"""
+        }.mkString(",")
+        val out = (1 to BpeMerges)
+          .map(i => s"SELECT $i AS step, u AS lhs, v AS rhs, pair_n FROM b$i")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH w AS (
+          SELECT term, COUNT(*) AS c FROM (
+            SELECT unnest($tokensSql) AS term FROM documents)
+          GROUP BY term),
+        s0 AS (
+          SELECT c, ' ' || array_to_string(
+            list_filter(string_split(term, ''), ch -> ch <> ''), '  ') || ' ' AS seq
+          FROM w),$rounds
+        $out
+        ORDER BY step"""
+      }),
   )
 }

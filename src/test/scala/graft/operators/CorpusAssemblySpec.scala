@@ -200,4 +200,37 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
       .filter(col("rk") === 1).select("doc_id").collect().map(_.getLong(0))
     minDocs.foreach(d => trimmed should not contain d)
   }
+
+  test("llm_bpe_learn matches a direct single-threaded BPE training recompute") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val wordCounts = texts.flatMap(toks).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    var seqs: Map[List[String], Long] = wordCounts.toSeq
+      .map { case (w, c) => w.map(_.toString).toList -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def mergeSeq(s: List[String], u: String, v: String): List[String] = s match {
+      case a :: b :: rest if a == u && b == v => (u + v) :: mergeSeq(rest, u, v)
+      case a :: rest => a :: mergeSeq(rest, u, v)
+      case Nil => Nil
+    }
+    val expected = (1 to 6).map { step =>
+      val pairs = seqs.toSeq.flatMap { case (s, c) =>
+        s.zip(s.drop(1)).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((u, v), n) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      seqs = seqs.toSeq.map { case (s, c) => mergeSeq(s, u, v) -> c }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (step, u, v, n)
+    }
+    val got = run("llm_bpe_learn").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    got shouldBe expected
+    // trajectory invariants: merging the argmax pair can only create
+    // pairs no more frequent than it, so the winning counts are
+    // non-increasing; and a merged pair can never win again
+    got.map(_._4).sliding(2).foreach { case Seq(a, b) => b should be <= a }
+    got.map(t => (t._2, t._3)).distinct.size shouldBe got.size
+  }
 }
