@@ -69,9 +69,9 @@ object Scoring extends QueryPack {
   // BOTH engines' BIGINT, unlike a splitmix finalizer whose wrapping
   // 64-bit multiplies DuckDB would reject). Small width so the fixture
   // actually collides; the mechanism is W-invariant.
-  private[operators] val CmMod: Long = 1000000007L
-  private[operators] val CmW: Int = 64
-  private[operators] val CmHashes: IndexedSeq[(Long, Long)] =
+  private[graft] val CmMod: Long = 1000000007L
+  private[graft] val CmW: Int = 64
+  private[graft] val CmHashes: IndexedSeq[(Long, Long)] =
     IndexedSeq((2654435761L, 97L), (40503L, 9176L), (69069L, 13L), (1103515245L, 12345L))
 
   private def cmCol(fp: Column, a: Long, b: Long): Column =
@@ -85,7 +85,7 @@ object Scoring extends QueryPack {
     * partition cross the shuffle — the sketch is mergeable by counter
     * addition, which is what makes it the 100 TB shape (per-shard
     * sketches sum into the corpus sketch without a token-level pass). */
-  private[operators] def cmCounters(withFp: DataFrame): DataFrame = {
+  private[graft] def cmCounters(withFp: DataFrame): DataFrame = {
     val s = withFp.sparkSession
     import s.implicits._
     withFp
@@ -98,7 +98,7 @@ object Scoring extends QueryPack {
     * est(term) = min over rows r of counter[r, col_r(fp)] — never an
     * underestimate (every occurrence of the term incremented all four
     * of its counters). */
-  private[operators] def cmEstimate(probes: DataFrame, counters: DataFrame): DataFrame = {
+  private[graft] def cmEstimate(probes: DataFrame, counters: DataFrame): DataFrame = {
     val s = probes.sparkSession
     import s.implicits._
     val pcols = probes.select(probes.columns.map(col) :+

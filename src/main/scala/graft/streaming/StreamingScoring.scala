@@ -101,4 +101,74 @@ object StreamingScoring {
       }
       .start()
   }
+
+  /** Continuous Count-Min — the streaming face of `llm_count_min` and
+    * the point-estimate sibling of [[heavyHittersStream]]: MG keeps the
+    * candidate SET, Count-Min answers "how frequent is THIS term" with
+    * a never-undercounting estimate. Counters are mergeable by plain
+    * addition, so each micro-batch pays ONE map-side-combined
+    * aggregation over its own tokens (≤ depth×W counters per partition
+    * cross the shuffle) and the accumulated sketch updates with a
+    * driver-side counter-wise sum — O(depth×W) coordinator work, and
+    * the stream never re-scans history. The total token count rides
+    * the sketch itself (row 0's counters sum to N), so no second
+    * aggregation is paid.
+    *
+    * Same state discipline as the MG stream: (r, col, cnt) rows plus
+    * n_total and the last folded batch id, GenSwap-committed before
+    * emission; a replayed batch hits the batch-id guard and re-emits
+    * without re-folding (exactly-once state on at-least-once
+    * emission). `stateDir` is PAIRED with `checkpointDir`. `sink`
+    * receives, per batch, the merged counters
+    * (r, col, cnt, n_total, batch_id); point estimates are a pure
+    * downstream probe (min over rows of the hashed counter —
+    * `Scoring.cmEstimate`). */
+  def countMinStream(
+      records: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/cm"
+        val old = s"$stateDir/cm.old"
+        val tmp = s"$stateDir/cm.tmp"
+
+        val (stateCtrs, stateN, lastBatch) =
+          GenSwap.readable(target, old) match {
+            case Some(dir) =>
+              val rows = s.read.parquet(dir).collect()
+              val n = if (rows.isEmpty) 0L else rows.head.getLong(3)
+              val lb = if (rows.isEmpty) -1L else rows.head.getLong(4)
+              (rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap, n, lb)
+            case None => (Map.empty[(Int, Long), Long], 0L, -1L)
+          }
+
+        val (merged, mergedN) =
+          if (batchId <= lastBatch) (stateCtrs, stateN) // replayed batch: fold once
+          else {
+            val batchCtrs = graft.operators.Scoring.cmCounters(
+              batch.select(explode(graft.functions.TextTokens.tokens).as("term"))
+                .withColumn("fp", graft.functions.RollingHash.rolling_hash($"term")))
+              .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+            val m = (stateCtrs.toSeq ++ batchCtrs.toSeq)
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            // every occurrence increments exactly one row-0 counter
+            val n = stateN + batchCtrs.collect { case ((0, _), c) => c }.sum
+            new java.io.File(stateDir).mkdirs()
+            m.toSeq.map { case ((r, col), c) => (r, col, c, n, batchId) }
+              .toDF("r", "col", "cnt", "n_total", "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            GenSwap.publish(tmp, target, old)
+            (m, n)
+          }
+
+        sink(merged.toSeq.map { case ((r, col), c) => (r, col, c, mergedN, batchId) }
+          .toDF("r", "col", "cnt", "n_total", "batch_id"))
+      }
+      .start()
+  }
 }

@@ -94,4 +94,66 @@ class StreamingScoringSpec extends AnyFunSuite with Matchers {
     val exactHH = truth.filter { case (_, c) => c * (cap + 1) > n }.keySet
     last.keySet.filter(t => truth(t) * (cap + 1) > n) shouldBe exactHH
   }
+
+  test("continuous count-min: counters fold exactly across batches and restarts, " +
+      "estimates never undercount") {
+    val src = java.nio.file.Files.createTempDirectory("graft-scm-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scm-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-scm-state")
+
+    def writeDocs(name: String, texts: Seq[String]): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        texts.zipWithIndex.map { case (t, i) =>
+          s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n").getBytes(UTF_8))
+
+    @volatile var emitted = Vector.empty[Array[Row]]
+    def start() = StreamingScoring.countMinStream(
+      spark.readStream.schema("doc_id LONG, text STRING").json(src.toString),
+      state.toString, ckpt.toString,
+      sink = df => emitted :+= df.collect())
+
+    val hashes = graft.operators.Scoring.CmHashes
+    def fp(t: String): Long =
+      graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 31L)
+    def cmCol(f: Long, a: Long, b: Long): Long = (a * f + b) % 1000000007L % 64L
+    def directCounters(terms: Seq[String]): Map[(Int, Long), Long] =
+      terms.flatMap { t =>
+        hashes.zipWithIndex.map { case ((a, b), r) => (r, cmCol(fp(t), a, b)) }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val b0 = Seq(Seq.fill(40)("hot").mkString(" "),
+      (0 until 50).map(i => s"cold$i").mkString(" "))
+    val b1 = Seq(Seq.fill(30)("warm").mkString(" "),
+      (50 until 120).map(i => s"cold$i").mkString(" "))
+    val all = scala.collection.mutable.Buffer.empty[String]
+
+    def checkAgainst(rows: Array[Row]): Unit = {
+      val streamed = all.flatMap(toks).toSeq
+      val expected = directCounters(streamed)
+      val got = rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      got shouldBe expected // counter-sum merge is EXACT, not approximate
+      rows.foreach(_.getLong(3) shouldBe streamed.size.toLong)
+      // point estimates off the streamed state never undercount
+      val truth = streamed.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (t, c) =>
+        val est = hashes.zipWithIndex
+          .map { case ((a, b), r) => got.getOrElse((r, cmCol(fp(t), a, b)), 0L) }.min
+        withClue(s"term $t:") { est should be >= c }
+      }
+    }
+
+    writeDocs("b0.json", b0); all ++= b0
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop() // restart boundary
+    checkAgainst(emitted.last)
+
+    // restart: resume from persisted counters, fold only the new batch
+    writeDocs("b1.json", b1); all ++= b1
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    checkAgainst(emitted.last)
+  }
 }
