@@ -710,8 +710,63 @@ object CorpusAssembly extends QueryPack {
         ORDER BY r.lang"""))
   )
 
-  /** Number of BPE merges `llm_bpe_learn` performs. */
+  /** Number of BPE merges the learn/apply pair performs. */
   private val BpeMerges = 6
+
+  /** Run the M BPE merge rounds over a seed frame carrying `c` (word
+    * count), `seq` (sentinel-spaced symbol string), and any extra
+    * columns (carried through untouched). Returns one 1-row best-pair
+    * frame per round plus the fully-merged frame — the SAME trajectory
+    * serves training (emit the bests) and application (read the final
+    * seqs), which is what keeps the two queries consistent. */
+  private def bpeTrain(seqs0: org.apache.spark.sql.DataFrame)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val s = seqs0.sparkSession
+    import s.implicits._
+    val carry = seqs0.columns.filterNot(_ == "seq")
+    var seqs = seqs0
+    val bests = (1 to BpeMerges).map { _ =>
+      val pairs = seqs
+        .withColumn("syms", split(trim($"seq"), " +"))
+        .filter(size($"syms") >= 2)
+        .select($"c", explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
+          .as("p"))
+        .groupBy($"p.u".as("u"), $"p.v".as("v"))
+        .agg(sum($"c").as("pair_n"))
+      val best = pairs.orderBy($"pair_n".desc, $"u", $"v").limit(1)
+        .localCheckpoint() // tiny; consumed by the merge AND the output
+      seqs = seqs.crossJoin(broadcast(best.select($"u", $"v")))
+        .select(carry.map(col) :+
+          expr("replace(seq, concat(' ', u, '  ', v, ' '), concat(' ', u, v, ' '))")
+            .as("seq"): _*)
+      best
+    }
+    (bests, seqs)
+  }
+
+  /** Sentinel-spaced character sequence of a term column (Spark side):
+    * chars joined by two spaces, single-space ends. */
+  private def seqExpr(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(" "),
+      array_join(filter(split(term, ""), ch => ch =!= ""), "  "), lit(" "))
+
+  /** DuckDB spelling of the M unrolled merge rounds over CTE `s0`;
+    * `carry` lists the columns each s_i keeps alongside `seq`. */
+  private def bpeRoundsSql(carry: String): String = (1 to BpeMerges).map { i =>
+    s"""
+        p$i AS (
+          SELECT syms[j-1] AS u, syms[j] AS v, CAST(SUM(c) AS BIGINT) AS pair_n
+          FROM (SELECT c, string_split_regex(trim(seq), ' +') AS syms FROM s${i - 1}),
+               unnest(generate_series(2, len(syms))) AS t(j)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        b$i AS (SELECT u, v, pair_n FROM p$i ORDER BY pair_n DESC, u, v LIMIT 1),
+        s$i AS (
+          SELECT $carry, replace(seq, ' ' || b.u || '  ' || b.v || ' ',
+                                 ' ' || b.u || b.v || ' ') AS seq
+          FROM s${i - 1}, b$i b)"""
+  }.mkString(",")
 
   override val queries: Map[String, QueryDef] = baseQueries ++ Map(
 
@@ -739,47 +794,17 @@ object CorpusAssembly extends QueryPack {
     "llm_bpe_learn" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        var seqs = Tables.documents(s, d)
+        val seqs0 = Tables.documents(s, d)
           .select(explode(tokens).as("term"))
           .groupBy($"term").agg(count(lit(1)).as("c"))
-          .select($"c", concat(lit(" "),
-            array_join(filter(split($"term", ""), ch => ch =!= ""), "  "),
-            lit(" ")).as("seq"))
+          .select($"c", seqExpr($"term").as("seq"))
           .localCheckpoint() // one corpus scan; M rounds re-read the vocab
-        val bests = (1 to BpeMerges).map { step =>
-          val pairs = seqs
-            .withColumn("syms", split(trim($"seq"), " +"))
-            .filter(size($"syms") >= 2)
-            .select($"c", explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
-              .as("p"))
-            .groupBy($"p.u".as("u"), $"p.v".as("v"))
-            .agg(sum($"c").as("pair_n"))
-          val best = pairs.orderBy($"pair_n".desc, $"u", $"v").limit(1)
-            .localCheckpoint() // tiny; consumed by the merge AND the output
-          seqs = seqs.crossJoin(broadcast(best.select($"u", $"v")))
-            .select($"c",
-              expr("replace(seq, concat(' ', u, '  ', v, ' '), concat(' ', u, v, ' '))")
-                .as("seq"))
-          best.select(lit(step).as("step"), $"u".as("lhs"), $"v".as("rhs"), $"pair_n")
-        }
-        bests.reduce(_ union _).orderBy($"step")
+        val (bests, _) = bpeTrain(seqs0)
+        bests.zipWithIndex.map { case (b, i) =>
+          b.select(lit(i + 1).as("step"), $"u".as("lhs"), $"v".as("rhs"), $"pair_n")
+        }.reduce(_ union _).orderBy($"step")
       },
       oracle = Some {
-        val rounds = (1 to BpeMerges).map { i =>
-          s"""
-        p$i AS (
-          SELECT syms[j-1] AS u, syms[j] AS v, CAST(SUM(c) AS BIGINT) AS pair_n
-          FROM (SELECT c, string_split_regex(trim(seq), ' +') AS syms FROM s${i - 1}),
-               unnest(generate_series(2, len(syms))) AS t(j)
-          WHERE len(syms) >= 2
-          GROUP BY 1, 2),
-        b$i AS (SELECT u, v, pair_n FROM p$i ORDER BY pair_n DESC, u, v LIMIT 1),
-        s$i AS (
-          SELECT c, replace(seq, ' ' || b.u || '  ' || b.v || ' ',
-                                 ' ' || b.u || b.v || ' ') AS seq
-          FROM s${i - 1}, b$i b)"""
-        }.mkString(",")
         val out = (1 to BpeMerges)
           .map(i => s"SELECT $i AS step, u AS lhs, v AS rhs, pair_n FROM b$i")
           .mkString("\n        UNION ALL ")
@@ -791,9 +816,59 @@ object CorpusAssembly extends QueryPack {
         s0 AS (
           SELECT c, ' ' || array_to_string(
             list_filter(string_split(term, ''), ch -> ch <> ''), '  ') || ' ' AS seq
-          FROM w),$rounds
+          FROM w),${bpeRoundsSql("c")}
         $out
         ORDER BY step"""
       }),
+
+    // ── BPE application: tokenizer INFERENCE with the learned merges ──
+    // The other half of the tokenizer pair: re-derives the same merge
+    // trajectory (identical plan prefix as `llm_bpe_learn` — a
+    // deployment reads the persisted merge table instead) and
+    // segments the corpus with it, reporting per document the
+    // whitespace-token, character, and resulting SUBWORD counts — the
+    // numbers that size a training run under a learned vocabulary.
+    // Scale shape: merges apply to the DISTINCT-word table (the final
+    // trajectory frame IS the applied vocabulary), and the per-doc
+    // numbers come from ONE broadcast join of that vocabulary onto the
+    // token stream + one map-side-combined per-doc sum — the corpus is
+    // never re-segmented row by row.
+    "llm_bpe_apply" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docToks = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens).as("term"))
+          .localCheckpoint() // 2 consumers: vocab build + per-doc join
+        val seqs0 = docToks
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+          .select($"term", $"c", seqExpr($"term").as("seq"))
+        val (_, applied) = bpeTrain(seqs0)
+        val vocab = applied.select($"term",
+          size(split(trim($"seq"), " +")).cast(LongType).as("n_sub"))
+        docToks.join(broadcast(vocab), Seq("term"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(length($"term")).cast(LongType).as("n_chars"),
+            sum($"n_sub").as("n_subwords"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+        w AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        s0 AS (
+          SELECT term, c, ' ' || array_to_string(
+            list_filter(string_split(term, ''), ch -> ch <> ''), '  ') || ' ' AS seq
+          FROM w),${bpeRoundsSql("term, c")}
+        , vocab AS (
+          SELECT term,
+                 CAST(len(string_split_regex(trim(seq), ' +')) AS BIGINT) AS n_sub
+          FROM s$BpeMerges)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(length(t.term)) AS BIGINT) AS n_chars,
+               CAST(SUM(v.n_sub) AS BIGINT) AS n_subwords
+        FROM t JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+        ORDER BY doc_id""")),
   )
 }

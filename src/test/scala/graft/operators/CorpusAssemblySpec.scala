@@ -232,5 +232,24 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     // non-increasing; and a merged pair can never win again
     got.map(_._4).sliding(2).foreach { case Seq(a, b) => b should be <= a }
     got.map(t => (t._2, t._3)).distinct.size shouldBe got.size
+
+    // ── application: per-doc subword counts under the learned merges ──
+    val vocabSeqs = seqs.keys.map(s0 => s0.mkString -> s0.length).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expApply = docs.map { case (id, t) =>
+      val ts = toks(t)
+      (id, ts.length.toLong, ts.map(_.length.toLong).sum,
+        ts.map(w => vocabSeqs(w).toLong).sum)
+    }.sortBy(_._1).toSeq
+    val gotApply = run("llm_bpe_apply").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    gotApply shouldBe expApply
+    // segmentation bounds: tokens <= subwords <= chars, with real
+    // compression somewhere (some word merged below its char count)
+    gotApply.foreach { case (id, nt, nc, ns) =>
+      withClue(s"doc $id:") { ns should be >= nt; ns should be <= nc }
+    }
+    gotApply.map { case (_, _, nc, ns) => nc - ns }.sum should be > 0L
   }
 }
