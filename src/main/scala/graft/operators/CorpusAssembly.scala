@@ -819,7 +819,8 @@ object CorpusAssembly extends QueryPack {
           FROM w),${bpeRoundsSql("c")}
         $out
         ORDER BY step"""
-      }),
+      },
+      headline = true),
 
     // ── BPE application: tokenizer INFERENCE with the learned merges ──
     // The other half of the tokenizer pair: re-derives the same merge

@@ -891,6 +891,7 @@ object TextAnalysis extends QueryPack {
         FROM r5
         ORDER BY rank_nano DESC, term
         LIMIT 25"""
-      }),
+      },
+      headline = true),
   )
 }

@@ -305,4 +305,30 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     // every consumer derives from the checkpointed token frame
     "Scan parquet".r.findAllIn(p).size shouldBe 0
   }
+
+  test("count-min: probes meet the tiny counter table by broadcast, never a window") {
+    val p = plan("llm_count_min")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("bloom skipping: the index and verdicts ride broadcasts — no shuffle join, no cartesian product") {
+    val p = plan("q_bloom_skipping")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+    p should include("BroadcastHashJoin")
+  }
+
+  test("textrank: each power-iteration round is an equality join, never a cartesian or window") {
+    val p = plan("llm_textrank")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("bpe apply: the corpus meets the applied vocabulary by broadcast, never a shuffle join") {
+    val p = plan("llm_bpe_apply")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
 }
