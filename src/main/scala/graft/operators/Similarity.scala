@@ -1271,6 +1271,88 @@ object Similarity extends QueryPack {
       oracle = Some(ivfPqOracleSql),
       headline = true),
 
+    // ── IVF+PQ index maintenance: encode an arriving batch against the
+    //    FROZEN serving index — no rebuild, no corpus scan ──
+    // The operation a 10^9-vector serving tier runs continuously:
+    // newly-arrived vectors are cell-assigned against the persisted
+    // 8-row centroid table and PQ-encoded against the persisted
+    // codebooks (both broadcast), producing exactly the inverted-file
+    // rows `Bucketing.appendBucketAligned` would fold into the
+    // cell-partitioned artifact. Per-batch cost is O(batch ×
+    // (cells + codebook)) map-only work — the index never retrains
+    // between scheduled rebuilds, which is how FAISS-style deployments
+    // actually run. The arriving batch is deterministic arithmetic
+    // (midpoints of consecutive base vectors, ids offset by 1e6), so
+    // the oracle rebuilds BOTH k-means chains from scratch plus the
+    // batch itself and must land on the same cells and codes — the
+    // frozen-artifact read is thereby re-proven equal to a fresh build
+    // every round.
+    "sim_ivfpq_append" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        val (_, cents) = ivfpqPersistedModel(s, d)
+        val (_, books) = pqPersistedModel(s, d)
+        val base = e.filter($"vec_id" < 10).select($"vec_id", $"emb")
+        val nxt = e.filter($"vec_id" >= 1 && $"vec_id" <= 10)
+          .select(($"vec_id" - 1).as("vec_id"), $"emb".as("emb2"))
+        val newVecs = base.join(nxt, Seq("vec_id"))
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            zip_with($"emb", $"emb2", (a, b) => round((a + b) / 2, 6)).as("emb"))
+          .localCheckpoint() // 2 consumers: cell assign + subvector encode
+        val wCell = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
+        val assigned = newVecs.crossJoin(broadcast(cents))
+          .withColumn("dist", l2sq($"emb", $"cemb"))
+          .withColumn("r", row_number().over(wCell)).filter($"r" === 1)
+          .select($"vec_id", $"centroid_id")
+        val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist".asc, $"code")
+        val encoded = pqSubvectors(s, newVecs)
+          .join(broadcast(books), Seq("sub"))
+          .withColumn("dist", l2sq($"semb", $"cemb"))
+          .withColumn("r", row_number().over(wCode)).filter($"r" === 1)
+          .select($"vec_id", $"sub", $"code")
+        assigned.join(encoded, Seq("vec_id"))
+          .select($"vec_id", $"centroid_id", $"sub", $"code")
+          .orderBy($"vec_id", $"sub")
+      },
+      oracle = Some(s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $pqBuildChain,
+        nv AS (
+          SELECT b.vec_id + 1000000 AS vec_id,
+                 list_transform(generate_series(1, $Dim),
+                   i -> round((b.emb[i] + n.emb2[i]) / 2, 6)) AS emb
+          FROM (SELECT vec_id, emb FROM e WHERE vec_id < 10) b
+          JOIN (SELECT vec_id - 1 AS vec_id, emb AS emb2 FROM e
+                WHERE vec_id BETWEEN 1 AND 10) n USING (vec_id)),
+        cellq AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT nv.vec_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (nv.emb[i] - c.cemb[i]) * (nv.emb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS rn
+            FROM nv, c3 c) x
+          WHERE rn = 1),
+        nsv AS (
+          SELECT vec_id, s.sub,
+                 emb[(s.sub * $PqSubDim + 1):(s.sub * $PqSubDim + $PqSubDim)]
+                   AS semb
+          FROM nv, range(0, $PqSub) s(sub)),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT nsv.vec_id, nsv.sub, c.code,
+              ROW_NUMBER() OVER (PARTITION BY nsv.vec_id, nsv.sub ORDER BY
+                list_sum(list_transform(generate_series(1, $PqSubDim),
+                  i -> (nsv.semb[i] - c.cemb[i]) * (nsv.semb[i] - c.cemb[i]))) ASC,
+                c.code) AS rn
+            FROM nsv JOIN pc2 c ON c.sub = nsv.sub) x
+          WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, e2.sub, e2.code
+        FROM cellq a JOIN enc e2 USING (vec_id)
+        ORDER BY vec_id, sub""")),
+
     // ── PQ asymmetric-distance (ADC) top-k: self-contained build+search ──
     // The original one-query form: builds the codebooks in-plan and
     // searches, with the oracle rebuilding codebooks, LUT, exact

@@ -122,4 +122,40 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("IVF+PQ append: every appended row is the argmin cell and argmin codeword " +
+      "against the frozen artifact") {
+    import org.apache.spark.sql.functions.col
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (_, centsDf) = Similarity.ivfpqPersistedModel(spark, sf)
+    val (_, booksDf) = Similarity.pqPersistedModel(spark, sf)
+    val cents = centsDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val books = booksDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+      .toMap
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    def newVec(id: Long): IndexedSeq[Double] = {
+      val a = emb(id - 1000000L); val b = emb(id - 1000000L + 1)
+      a.zip(b).map { case (x, y) =>
+        BigDecimal((x + y) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    }
+    val got = graft.SparkEntry.queries("sim_ivfpq_append")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    got.length shouldBe 10 * 8
+    got.map(_._1).distinct.length shouldBe 10
+    got.foreach { case (id, cell, sub, code) =>
+      val v = newVec(id)
+      val bestCell = cents.minBy { case (cid, ce) => (l2(v, ce), cid) }._1
+      withClue(s"vec $id cell: ") { cell shouldBe bestCell }
+      val sv = v.slice(sub * 8, sub * 8 + 8)
+      val bestCode = books.collect { case ((s2, c2), ce) if s2 == sub => (c2, ce) }
+        .minBy { case (c2, ce) => (l2(sv, ce), c2) }._1
+      withClue(s"vec $id sub $sub code: ") { code shouldBe bestCode }
+    }
+  }
 }
