@@ -143,6 +143,49 @@ object Relational extends QueryPack {
         ORDER BY l_returnflag, l_linestatus"""),
       headline = true),
 
+    // ── incremental aggregate maintenance (materialized-view fold) ──
+    // The IVM shape: "yesterday's" partial aggregates (count / decimal
+    // sums / min / max per group — every one MERGEABLE) fold with an
+    // increment's partials instead of re-scanning history. Both phases
+    // are map-side-combined groupBys; the fold itself aggregates
+    // O(groups) rows. Decimal sums make the fold EXACTLY equal to the
+    // one-pass aggregation (double sums would drift with association
+    // order), which is what the oracle asserts: DuckDB computes the
+    // single-pass GROUP BY over everything, and the folded result must
+    // hash-match it. At 100 TB the state side is a persisted
+    // group-bucketed partials table (the `incrementalAgainstState`
+    // pattern of the dedup pack) and each day folds only its increment.
+    "agg_incremental_fold" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_returnflag", $"l_linestatus",
+          $"l_orderkey", $"l_quantity", $"l_extendedprice")
+        def partials(df: DataFrame): DataFrame =
+          df.groupBy($"l_returnflag", $"l_linestatus")
+            .agg(count(lit(1)).as("n"),
+              sum(dec($"l_quantity")).as("sq"),
+              sum(dec($"l_extendedprice")).as("sp"),
+              min($"l_orderkey").as("mno"), max($"l_orderkey").as("mxo"))
+        val state = partials(li.filter($"l_orderkey" % 8 < 6))
+        val increment = partials(li.filter($"l_orderkey" % 8 >= 6))
+        state.union(increment)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"n").as("n_rows"),
+            sum($"sq").cast(DoubleType).as("sum_qty"),
+            sum($"sp").cast(DoubleType).as("sum_price"),
+            min($"mno").as("min_orderkey"), max($"mxo").as("max_orderkey"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(${sqlD.format("l_quantity")}) AS DOUBLE) AS sum_qty,
+          CAST(SUM(${sqlD.format("l_extendedprice")}) AS DOUBLE) AS sum_price,
+          MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
     // ── TPC-H Q3 analog: 3-way join, aggregate, top-10 ──
     "q3_shipping_priority" -> QueryDef(
       fn = (s, d) => {

@@ -59,4 +59,24 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     (1L to 3L).foreach(t => sizes(t) shouldBe 3)
     (4L to 10L).foreach(t => sizes(t) shouldBe 2)
   }
+
+  test("incremental aggregate fold genuinely folds two non-empty phases per group") {
+    import org.apache.spark.sql.functions.col
+    // non-vacuity for the oracle's incremental==one-pass equality: every
+    // output group must draw rows from BOTH the state and the increment
+    // partition, or the fold degenerates to a plain aggregation
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val byGroup = li.groupBy(_._1)
+    byGroup.foreach { case (g, rows) =>
+      withClue(s"group $g:") {
+        rows.count(_._2 % 8 < 6) should be > 0
+        rows.count(_._2 % 8 >= 6) should be > 0
+      }
+    }
+    // and the query's row count covers every group
+    graft.SparkEntry.queries("agg_incremental_fold")(spark, sf).count() shouldBe
+      byGroup.size.toLong
+  }
 }
