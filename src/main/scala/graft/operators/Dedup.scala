@@ -1307,7 +1307,96 @@ object Dedup extends QueryPack {
         SELECT 'minhash_lsh',
                (SELECT CAST(n AS BIGINT) FROM mh),
                TRUE
-        ORDER BY method"""))
+        ORDER BY method""")),
+
+    // ── content-defined chunking (CDC): storage-layer shared-bytes dedup ──
+    // The rsync/restic/LLM-data-storage mechanism the token-window pack
+    // (llm_repeated_spans) does not cover: chunk boundaries are placed
+    // where a W=8-char rolling window's hash ≡ 0 mod 16 — a property of
+    // the CONTENT, not the position — so an insertion anywhere shifts
+    // only the one chunk it touches and every other chunk's bytes (and
+    // fingerprint) survive verbatim, where fixed-offset blocks would
+    // all shift. Each doc becomes variable-size chunks (expected ~16
+    // chars); chunk fingerprints (the ~2^60 fused fp) group-count
+    // DISTINCT docs, and a doc's shared-bytes fraction is the chars it
+    // stores in chunks seen in ≥2 docs — the dedupable-storage measure.
+    // Scale: the per-position hashing is the scan (the HOF lambda runs
+    // interpreted here; the native-expression upgrade is the
+    // GopherGrams pattern when it turns hot); everything after is ONE
+    // map-side-combined fp groupBy + one fp-equality join — never
+    // all-pairs. DuckDB re-derives boundaries, chunks, fingerprints,
+    // and the shares, so the whole mechanism is hash-checked.
+    "dedup_cdc_chunks" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val W = 8
+        val Div = 16
+        val winFp = (i: Column) =>
+          rolling_hash($"text".substr((i - (W - 1)).cast(IntegerType), lit(W)))
+        val chunks = Tables.documents(s, d)
+          .select($"doc_id", $"text", length($"text").as("n"))
+          .filter($"n" >= 1)
+          .withColumn("cuts",
+            when($"n" >= W,
+              filter(filter(sequence(lit(W), $"n"), i => winFp(i) % Div === 0),
+                i => i < $"n"))
+              .otherwise(array().cast("array<int>")))
+          .withColumn("starts", concat(array(lit(0)), $"cuts"))
+          .withColumn("ends", concat($"cuts", array($"n")))
+          .select($"doc_id",
+            explode(transform(sequence(lit(1), size($"ends")), j =>
+              $"text".substr(element_at($"starts", j) + 1,
+                element_at($"ends", j) - element_at($"starts", j))))
+              .as("chunk"))
+          .select($"doc_id", length($"chunk").as("clen"),
+            rolling_hash2($"chunk").as("cfp"))
+          .localCheckpoint() // 2 consumers: fp stats + per-doc shares
+        val stats = chunks.groupBy($"cfp")
+          .agg(countDistinct($"doc_id").as("ndocs"))
+        chunks.join(stats, Seq("cfp"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_shared"),
+            sum(when($"ndocs" >= 2, $"clen").otherwise(0L)).as("shared_chars"),
+            sum($"clen").cast(LongType).as("total_chars"))
+          .select($"doc_id", $"n_chunks", $"n_shared",
+            round($"shared_chars".cast(DoubleType) / $"total_chars", 6)
+              .as("shared_frac"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 1),
+        c AS (
+          SELECT doc_id, text, n,
+            list_filter(list_filter(generate_series(8, n),
+              i -> (${fpSql("substr(text, CAST(i AS INT) - 7, 8)", P1)}) % 16 = 0),
+              i -> i < n) AS cuts
+          FROM d),
+        sp AS (
+          SELECT doc_id, text, n,
+            list_prepend(0::BIGINT, cuts) AS starts,
+            list_append(cuts, n::BIGINT) AS ends
+          FROM c),
+        ch AS (
+          SELECT doc_id,
+            substr(text, CAST(starts[j] + 1 AS INT),
+                   CAST(ends[j] - starts[j] AS INT)) AS chunk
+          FROM sp, unnest(generate_series(1, len(ends))) AS t(j)),
+        cf AS (
+          SELECT doc_id, length(chunk) AS clen,
+                 ${fpSql("chunk", P1)} + ${fpSql("chunk", P2)} * $Mod AS cfp
+          FROM ch),
+        stats AS (SELECT cfp, COUNT(DISTINCT doc_id) AS ndocs FROM cf GROUP BY cfp)
+        SELECT cf.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          round(CAST(SUM(CASE WHEN s.ndocs >= 2 THEN cf.clen ELSE 0 END) AS DOUBLE)
+                / SUM(cf.clen), 6) AS shared_frac
+        FROM cf JOIN stats s USING (cfp)
+        GROUP BY cf.doc_id
+        ORDER BY doc_id""")),
   )
 
   /** Multi-table sign-LSH banded near-dup pairs over a (vec_id, emb)

@@ -239,4 +239,58 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val recall = (ann & exact).size.toDouble / exact.size
     recall should be >= 0.85
   }
+
+  // ── CDC chunking: direct recompute + the shift-robustness property ──
+
+  /** Single-threaded replica of the CDC mechanism (W=8, div 16). */
+  private def cdcChunks(text: String): Seq[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = text.length
+    val cuts = (8 to n).filter { i =>
+      graft.functions.RollingHash.hash(
+        UTF8String.fromString(text.substring(i - 8, i)), 31L) % 16 == 0
+    }.filter(_ < n)
+    val bounds = (0 +: cuts) :+ n
+    bounds.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+  }
+
+  test("dedup_cdc_chunks matches a direct single-threaded chunking recompute") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, t) => id -> cdcChunks(t) }
+    val fpDocs = perDoc.flatMap { case (id, cs) =>
+      cs.map(c => graft.functions.RollingHash.hash2(UTF8String.fromString(c)) -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = perDoc.map { case (id, cs) =>
+      val shared = cs.filter(c =>
+        fpDocs(graft.functions.RollingHash.hash2(UTF8String.fromString(c))) >= 2)
+      val frac = BigDecimal(shared.map(_.length).sum.toDouble / cs.map(_.length).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cs.length.toLong, shared.length.toLong, frac)
+    }.sortBy(_._1).toSeq
+    val got = rowsOf("dedup_cdc_chunks")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Double]))
+    got.sortBy(_._1) shouldBe expected
+    // non-vacuous: the fixture must actually share chunks somewhere
+    expected.map(_._3).sum should be > 0L
+  }
+
+  test("CDC boundaries are content-defined: an insertion disturbs only its chunk") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest before nightfall comes again"
+    val shifted = "X" + base // every fixed-offset block would change
+    val a = cdcChunks(base)
+    val b = cdcChunks(shifted)
+    a.size should be > 3 // the probe must be long enough to chunk
+    // all base chunks except those touching the insertion point
+    // reappear verbatim in the shifted doc
+    val bSet = b.toSet
+    val surviving = a.count(bSet.contains)
+    surviving should be >= a.size - 2
+    // and concatenation invariants hold (chunking loses nothing)
+    a.mkString shouldBe base
+    b.mkString shouldBe shifted
+  }
 }
