@@ -264,6 +264,55 @@ object Scoring extends QueryPack {
         WHERE rn <= $SampleK
         ORDER BY lang, pos""")),
 
+    // ── weighted priority sample per language ──
+    // The weighted sibling of `llm_bottomk_sample` (Efraimidis-Spirakis
+    // shape: rank by randomness scaled by weight, keep the k best):
+    // each doc's priority is its reproducible hash divided by its
+    // token count, so a doc with w× the tokens is ~w× as likely to
+    // make the sample — length-proportional corpus sampling with NO
+    // RNG state. The division is INTEGER arithmetic ((h·10^6) div w,
+    // products bounded < 2^50) so priorities are bit-identical across
+    // engines — no float rank can drift an ulp. Ranking rides the
+    // bounded-buffer TopKAggregator: ≤k rows per language cross the
+    // shuffle, never a per-group window sort.
+    "llm_weighted_sample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val topk = udaf(new graft.functions.TopKAggregator(SampleK))
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", size(tokens).cast(LongType).as("w"),
+            expr(docHash).as("h"))
+          .filter($"w" >= 1)
+          .withColumn("pri", expr("(h * 1000000) div w"))
+          .groupBy($"lang")
+          // pri < 2^50 is exact in Double; -pri ranks ascending priority
+          // with (score desc, id asc), so ties fall to doc_id asc
+          .agg(topk(-$"pri".cast(DoubleType), $"doc_id").as("top"))
+          .select($"lang",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"lang", ($"i" + 1).cast(LongType).as("pos"),
+            $"pair.ids".as("doc_id"),
+            (-$"pair.scores").cast(LongType).as("pri"))
+          .orderBy($"lang", $"pos")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len($tokensSql) AS BIGINT) AS w,
+                 $docHash AS h
+          FROM documents),
+        p AS (
+          SELECT doc_id, lang, (h * 1000000) // w AS pri
+          FROM t WHERE w >= 1),
+        r AS (
+          SELECT lang, doc_id, pri,
+                 row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+          FROM p)
+        SELECT lang, CAST(rn AS BIGINT) AS pos, doc_id, pri
+        FROM r
+        WHERE rn <= $SampleK
+        ORDER BY lang, pos""")),
+
     // ── heavy hitters: Misra–Gries candidates + exact recount ──
     // Two passes over one checkpointed token stream. Pass 1 folds the
     // corpus into a single mergeable MG summary (≤cap counters per

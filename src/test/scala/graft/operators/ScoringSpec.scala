@@ -142,6 +142,38 @@ class ScoringSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("llm_weighted_sample takes each language's k smallest hash/weight priorities " +
+      "and is genuinely length-biased") {
+    val k = 10
+    val withW = docs.map { case (id, lang, t) => (id, lang, toks(t).length.toLong) }
+      .filter(_._3 >= 1)
+    val expected = withW.groupBy(_._2).view.mapValues { ds =>
+      ds.map { case (id, _, w) =>
+        (id, (((id % 1000003L) * 2654435761L) % 1000000007L) * 1000000L / w, w)
+      }.sortBy { case (id, pri, _) => (pri, id) }.take(k).toList
+    }.toMap
+    val got = graft.SparkEntry.queries("llm_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = got.groupBy(_._1)
+    byLang.keySet shouldBe expected.keySet
+    byLang.foreach { case (lang, rows) =>
+      withClue(s"lang $lang:") {
+        rows.sortBy(_._2).toList.map(t => (t._3, t._4)) shouldBe
+          expected(lang).map { case (id, pri, _) => (id, pri) }
+      }
+    }
+    // the weighting must matter: sampled docs skew longer than the corpus
+    val sampledW = expected.values.flatten.map(_._3)
+    val meanSampled = sampledW.sum.toDouble / sampledW.size
+    val meanAll = withW.map(_._3).sum.toDouble / withW.size
+    meanSampled should be > meanAll
+    // and the sample differs from the UNWEIGHTED bottom-k (else the
+    // weights were a no-op)
+    val uw = graft.SparkEntry.queries("llm_bottomk_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    got.map(r => (r._1, r._3)).toSet should not equal uw
+  }
+
   // ── Count-Min: the sketch guarantees, checked over EVERY term ──
 
   private def cmRow(fp: Long, a: Long, b: Long): Int =
