@@ -331,4 +331,16 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
   }
+
+  test("weighted sample ranks via the bounded-buffer aggregator — no window") {
+    val p = plan("llm_weighted_sample")
+    p should not include "Window"
+    p.toLowerCase should include("objecthashaggregate")
+  }
+
+  test("CDC chunk dedup joins on chunk fingerprints — no cartesian, no nested loop") {
+    val p = plan("dedup_cdc_chunks")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
