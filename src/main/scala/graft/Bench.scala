@@ -63,18 +63,23 @@ object Bench {
       catch { case _: Throwable => () }
       releaseStorage(spark)
     }
-    // Per-query MEDIAN of `reps` runs (default 3): single-shot timings
-    // on a shared machine carry ±0.3 s of scheduler noise on sub-second
-    // queries, which made round-over-round deltas unattributable; the
-    // median of three is robust to one bad draw while keeping the
-    // bench under ~3x one pass.
+    // Per-query MEDIAN of `reps` runs (default 3), with reps INTERLEAVED
+    // as passes: run every query once (pass 1), then pass 2, then pass 3,
+    // and take each query's median ACROSS passes. Same total cost as
+    // back-to-back reps, but a contiguous ambient-load window (the
+    // multi-minute stalls that inflated the alphabetically-adjacent
+    // llm_* block 2-5x in rounds 5-7) now hits each query at most once
+    // instead of all three of its reps, so the median survives one
+    // contaminated pass. Single-shot timings carry ±0.3 s scheduler
+    // noise on sub-second queries; the cross-pass median is robust to
+    // one bad draw per query from either source.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+    val passTimes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         val elapsed =
           try {
@@ -87,21 +92,26 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               -1.0
           }
-        // storage hygiene between reps, outside the timed region: every
-        // rep starts from an empty block store, so medians compare
-        // like-for-like and load vs. leak is diagnosable from the
-        // per-rep times below
+        // storage hygiene between queries, outside the timed region:
+        // every timing starts from an empty block store, so passes
+        // compare like-for-like and load vs. leak is diagnosable from
+        // the per-pass times below
         releaseStorage(spark)
-        elapsed
-      }
+        name -> elapsed
+      }.toMap
+    }
+    val results = names.map { name =>
+      val times = passTimes.map(_(name))
       name -> (if (times.exists(_ < 0)) (-1.0, times) else (median(times), times))
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    // per-rep times so a one-off load spike is distinguishable from a
-    // genuine regression without rerunning. Printed as a SEPARATE line:
+    // per-pass times (pass order = list order) so a one-off load spike
+    // is distinguishable from a genuine regression without rerunning —
+    // a contaminated pass shows as the SAME index elevated across many
+    // queries. Printed as a SEPARATE line:
     // the harness that collects the bench keeps only a bounded tail of
     // stdout and parses the LAST line as JSON — with 27 queries the
     // combined line crossed that buffer and round 6's total was lost
@@ -112,7 +122,7 @@ object Bench {
     println(s"""{"metric":"rep_times","rep_times":$repsJson}""")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfJson","reps":$reps,"stat":"median"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfJson","reps":$reps,"stat":"median-across-passes"}""")
     spark.stop()
   }
 }

@@ -227,7 +227,7 @@ object CorpusAssembly extends QueryPack {
         GROUP BY 1, 2
         HAVING COUNT(*) >= 3
         ORDER BY train_doc, eval_doc"""),
-      headline = true),
+      headline = false),
 
     // ── repetition scoring: type-token ratio + top-token share ──
     // The Gopher-style repetition gate (boilerplate has a few tokens
@@ -612,7 +612,7 @@ object CorpusAssembly extends QueryPack {
                  AS shard
         FROM t
         ORDER BY doc_id"""),
-      headline = true),
+      headline = false),
 
     // ── token-budget selection: fill a per-language budget in shuffle
     //    order (the data-mixing primitive behind "N tokens of lang X") ──

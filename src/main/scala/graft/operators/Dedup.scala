@@ -745,7 +745,7 @@ object Dedup extends QueryPack {
         JOIN sizes sb ON sb.doc_id = c.doc2
         WHERE CAST(x.i AS DOUBLE) / CAST(sa.n + sb.n - x.i AS DOUBLE) >= 0.2
         ORDER BY 1, 2"""),
-      headline = true),
+      headline = false),
 
     // ── MinHash-LSH at duplicate grade, fully oracle-checked ──
     // `dedup_minhash_pairs` verifies candidates at a weak τ=0.2, where

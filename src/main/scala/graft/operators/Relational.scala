@@ -414,7 +414,7 @@ object Relational extends QueryPack {
           FROM orders)
         WHERE rk <= 3
         ORDER BY o_custkey, rk"""),
-      headline = true),
+      headline = false),
 
     // ── rollup aggregate with grouping() disambiguation ──
     "q_rollup" -> QueryDef(
@@ -821,7 +821,7 @@ object Relational extends QueryPack {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
         ORDER BY p_brand"""),
-      headline = true),
+      headline = false),
 
     // ── sort + limit: top-100 line items by price ──
     "q_orderby_limit" -> QueryDef(
@@ -916,7 +916,7 @@ object Relational extends QueryPack {
           .orderBy($"o_orderstatus", $"rk")
       },
       oracle = Some(topkSkewSql),
-      headline = true),
+      headline = false),
 
     // ── full outer join: nations' supplier presence vs customer
     //    presence (the high-balance supplier filter leaves some nations

@@ -1175,7 +1175,7 @@ object Similarity extends QueryPack {
         SELECT sub, code::BIGINT AS code, t.pos, c.cemb[t.pos] AS val
         FROM pc2 c, range(1, ${PqSubDim + 1}) t(pos)
         ORDER BY sub, code, pos"""),
-      headline = true),
+      headline = false),
 
     // ── PQ ADC top-k over the PERSISTED artifact: search-only ──
     // The billion-scale serving shape end to end: codes + codebook come
@@ -1214,7 +1214,7 @@ object Similarity extends QueryPack {
           .orderBy($"query_id", $"rnk")
       },
       oracle = Some(pqAdcOracleSql),
-      headline = true),
+      headline = false),
 
     // ── IVF+PQ: the composed serving index (FAISS IVFADC shape) ──
     // The structure a billion-scale ANN deployment actually runs:

@@ -686,7 +686,7 @@ object TextAnalysis extends QueryPack {
                  AS mean_bigram_surprisal
         FROM sc GROUP BY doc_id
         ORDER BY doc_id"""),
-      headline = true),
+      headline = false),
 
     // ── TF-IDF top terms per document ──
     // tf and df are two shuffles (doc×term, then term); idf is
