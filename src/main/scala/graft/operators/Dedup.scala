@@ -1359,9 +1359,12 @@ object Dedup extends QueryPack {
             sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_shared"),
             sum(when($"ndocs" >= 2, $"clen").otherwise(0L)).as("shared_chars"),
             sum($"clen").cast(LongType).as("total_chars"))
+          // exact BIGINT numerator/denominator, not round(double, 6):
+          // a quotient landing on a decimal half boundary would split
+          // Spark's string-based HALF_UP from DuckDB's binary rounding;
+          // consumers derive the fraction at whatever precision they need
           .select($"doc_id", $"n_chunks", $"n_shared",
-            round($"shared_chars".cast(DoubleType) / $"total_chars", 6)
-              .as("shared_frac"))
+            $"shared_chars".cast(LongType).as("shared_chars"), $"total_chars")
           .orderBy($"doc_id")
       },
       oracle = Some(s"""
@@ -1392,8 +1395,9 @@ object Dedup extends QueryPack {
         SELECT cf.doc_id,
           CAST(COUNT(*) AS BIGINT) AS n_chunks,
           CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-          round(CAST(SUM(CASE WHEN s.ndocs >= 2 THEN cf.clen ELSE 0 END) AS DOUBLE)
-                / SUM(cf.clen), 6) AS shared_frac
+          CAST(SUM(CASE WHEN s.ndocs >= 2 THEN cf.clen ELSE 0 END) AS BIGINT)
+            AS shared_chars,
+          CAST(SUM(cf.clen) AS BIGINT) AS total_chars
         FROM cf JOIN stats s USING (cfp)
         GROUP BY cf.doc_id
         ORDER BY doc_id""")),

@@ -161,8 +161,12 @@ object Layout extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val S = 8
+        // reduce the key below 1000003 BEFORE the multiply: a*key with a
+        // raw BIGINT key overflows once keys pass ~3.5e9 (Spark would
+        // wrap silently, DuckDB would raise) — bounded products keep the
+        // two engines bit-identical at any scale factor
         def hashPos = array(BloomHashes.map { case (a, b) =>
-          (lit(a) * $"l_orderkey" + lit(b)) % 1000000007L % $"nbits" }: _*)
+          (lit(a) * ($"l_orderkey" % 1000003L) + lit(b)) % 1000000007L % $"nbits" }: _*)
         def unpack = Seq(
           expr(s"pos div $WordBits").as("w"),
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $WordBits AS INT))").as("m"))
@@ -224,7 +228,7 @@ object Layout extends QueryPack {
                  bit_or(1::BIGINT << CAST(pos % $WordBits AS INT)) AS bits
           FROM (
             SELECT k.shard,
-                   ((hr.a * k.l_orderkey + hr.b) % 1000000007) % sz.nbits AS pos
+                   ((hr.a * (k.l_orderkey % 1000003) + hr.b) % 1000000007) % sz.nbits AS pos
             FROM keys k JOIN sizes sz USING (shard), hr)
           GROUP BY 1, 2),
         ok AS (SELECT DISTINCT l_orderkey FROM keys),
@@ -239,7 +243,7 @@ object Layout extends QueryPack {
           SELECT * FROM present UNION ALL SELECT * FROM absent),
         pr AS (
           SELECT p.l_orderkey, p.expected_present, sz.shard,
-                 ((hr.a * p.l_orderkey + hr.b) % 1000000007) % sz.nbits AS pos
+                 ((hr.a * (p.l_orderkey % 1000003) + hr.b) % 1000000007) % sz.nbits AS pos
           FROM probes p, sizes sz, hr),
         verdicts AS (
           SELECT pr.l_orderkey, pr.expected_present, pr.shard,

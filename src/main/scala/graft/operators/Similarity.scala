@@ -1296,9 +1296,15 @@ object Similarity extends QueryPack {
         val base = e.filter($"vec_id" < 10).select($"vec_id", $"emb")
         val nxt = e.filter($"vec_id" >= 1 && $"vec_id" <= 10)
           .select(($"vec_id" - 1).as("vec_id"), $"emb".as("emb2"))
+        // floor-based fixed point, not round(double, 6): Spark rounds the
+        // shortest-decimal string HALF_UP while DuckDB rounds the binary
+        // double, and a midpoint landing on a decimal half boundary would
+        // split the engines. floor(x*1e6)/1e6 is the same IEEE arithmetic
+        // in both.
         val newVecs = base.join(nxt, Seq("vec_id"))
           .select(($"vec_id" + 1000000L).as("vec_id"),
-            zip_with($"emb", $"emb2", (a, b) => round((a + b) / 2, 6)).as("emb"))
+            zip_with($"emb", $"emb2",
+              (a, b) => floor((a + b) / 2 * lit(1e6)) / lit(1e6)).as("emb"))
           .localCheckpoint() // 2 consumers: cell assign + subvector encode
         val wCell = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
         val assigned = newVecs.crossJoin(broadcast(cents))
@@ -1322,7 +1328,7 @@ object Similarity extends QueryPack {
         nv AS (
           SELECT b.vec_id + 1000000 AS vec_id,
                  list_transform(generate_series(1, $Dim),
-                   i -> round((b.emb[i] + n.emb2[i]) / 2, 6)) AS emb
+                   i -> floor((b.emb[i] + n.emb2[i]) / 2 * 1e6) / 1e6) AS emb
           FROM (SELECT vec_id, emb FROM e WHERE vec_id < 10) b
           JOIN (SELECT vec_id - 1 AS vec_id, emb AS emb2 FROM e
                 WHERE vec_id BETWEEN 1 AND 10) n USING (vec_id)),

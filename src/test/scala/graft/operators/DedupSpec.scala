@@ -265,13 +265,12 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val expected = perDoc.map { case (id, cs) =>
       val shared = cs.filter(c =>
         fpDocs(graft.functions.RollingHash.hash2(UTF8String.fromString(c))) >= 2)
-      val frac = BigDecimal(shared.map(_.length).sum.toDouble / cs.map(_.length).sum)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (id, cs.length.toLong, shared.length.toLong, frac)
+      (id, cs.length.toLong, shared.length.toLong,
+        shared.map(_.length.toLong).sum, cs.map(_.length.toLong).sum)
     }.sortBy(_._1).toSeq
     val got = rowsOf("dedup_cdc_chunks")
       .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
-        r(2).asInstanceOf[Long], r(3).asInstanceOf[Double]))
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))
     got.sortBy(_._1) shouldBe expected
     // non-vacuous: the fixture must actually share chunks somewhere
     expected.map(_._3).sum should be > 0L

@@ -159,7 +159,7 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       ((ks.size.toLong * 10 + 61) / 62) * 62).toMap
     val hashes = Layout.BloomHashes
     def bits(s: Long): Set[Long] = perShard(s).flatMap(k =>
-      hashes.map { case (a, b) => (a * k + b) % 1000000007L % nbits(s) })
+      hashes.map { case (a, b) => (a * (k % 1000003L) + b) % 1000000007L % nbits(s) })
     val bloom: Map[Long, Set[Long]] = perShard.keys.map(s => s -> bits(s)).toMap
     val allKeys = keys.map(_._2).distinct.sorted
     val probes = allKeys.take(5).map((_, true)) ++
@@ -167,7 +167,7 @@ class LayoutSpec extends AnyFunSuite with Matchers {
     val expected = probes.map { case (k, exp) =>
       val pass = (0L until 8L).count { s =>
         nbits.contains(s) && hashes.forall { case (a, b) =>
-          bloom.get(s).exists(_.contains((a * k + b) % 1000000007L % nbits(s))) }
+          bloom.get(s).exists(_.contains((a * (k % 1000003L) + b) % 1000000007L % nbits(s))) }
       }.toLong
       val actual = (0L until 8L).count(s => perShard.get(s).exists(_.contains(k))).toLong
       (k, exp, pass, actual, 0L)
