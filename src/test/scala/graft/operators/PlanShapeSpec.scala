@@ -343,4 +343,21 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("residual IVFADC: candidates meet probes and LUTs by broadcast — no cartesian, no shuffle join") {
+    val p = plan("sim_ann_ivfpq_residual")
+    // (the plan's nested-loop joins are all crossJoins against the
+    // broadcast 8-row centroid table — the k-means/probe pattern)
+    p should not include "CartesianProduct"
+    // probe list and per-cell LUTs reach the candidates by broadcast;
+    // the one shuffle join in the plan is the build-side
+    // assignment ⋈ codes equality join on vec_id — exactly what the
+    // deployment artifact (ivfpqPersistedModel) materializes offline,
+    // so the SEARCH pays only broadcasts plus the bounded top-k
+    p should include("BroadcastHashJoin")
+    // ranking rides the bounded-buffer aggregator (the only windows in
+    // the plan are the Q×8-row probe ranking and the k-means argmins,
+    // all on broadcast-sized or per-vector-bounded groups)
+    p.toLowerCase should include("objecthashaggregate")
+  }
 }
