@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,6 +38,50 @@ object TextAnalysis extends QueryPack {
 
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "555-[0-9]{4}"
+
+  /** Minimum token length for an emitted duplicated span
+    * (`llm_dup_spans`). Lee et al. 2022 use 50 BPE tokens against
+    * web-scale corpora; the fixture's documents are short, so the
+    * threshold sits above the W=8 window (any single duplicated
+    * window would qualify otherwise) but low enough that organic
+    * cross-doc repetition in the fixture surfaces. */
+  private val DupSpanMinLen = 12
+
+  /** Maximal cross-document duplicated spans over a (doc_id, text)
+    * frame — the Lee et al. 2022 exact-substring removal operator
+    * re-expressed as a windowed fold + fp-equality join (see
+    * `llm_dup_spans`). Exposed to DedupSpecs so the planted-duplicate
+    * reconstruction gate runs the same code as the query. */
+  private[operators] def dupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wfp = docs
+      .withColumn("tokens", tokens)
+      .filter(size($"tokens") >= 8)
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(tokens) - 7), i ->
+             concat_ws(' ', slice(tokens, i, 8)))""").as("grams"))
+      .transform(graft.functions.TextTokens.materialized)
+      .select($"doc_id", posexplode($"grams").as(Seq("j", "gram")))
+      .withColumn("fp", graft.functions.RollingHash.rolling_hash2($"gram"))
+      .select($"doc_id", $"j", $"fp")
+      .localCheckpoint(true) // fp doc-count agg + span join both read it
+    val dupFps = wfp.select($"doc_id", $"fp").distinct()
+      .groupBy($"fp").agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"j")
+    wfp.join(dupFps, Seq("fp"))
+      .select($"doc_id", $"j")
+      .withColumn("grp", $"j" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"j").as("jmin"), max($"j").as("jmax"))
+      .filter($"jmax" - $"jmin" + 8 >= minLen)
+      .select($"doc_id", $"jmin".cast(LongType).as("start"),
+        ($"jmax" - $"jmin" + 8).cast(LongType).as("len"))
+      .orderBy($"doc_id", $"start")
+  }
 
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
@@ -383,6 +428,60 @@ object TextAnalysis extends QueryPack {
         FROM wfp w JOIN fd ON w.fp = fd.fp
         GROUP BY w.doc_id
         ORDER BY w.doc_id"""),
+      headline = true),
+
+    // ── maximal cross-document duplicated SPANS: the removal operator ──
+    // llm_repeated_spans scores documents; this emits the spans
+    // themselves — (doc_id, start, len) for every maximal run of
+    // duplicated tokens ≥ DupSpanMinLen — the "Deduplicating Training
+    // Data Makes Language Models Better" (Lee et al. 2022) exact-
+    // substring removal operator. Lee et al. build a suffix array; at
+    // 100 TB a suffix array is a single-machine artifact, so the same
+    // spans come from chaining the stride-1 window fingerprints the
+    // scoring pass already computes: a token run of length R ≥ W is
+    // duplicated cross-doc iff all R−W+1 of its windows are duplicated,
+    // so maximal spans = maximal runs of consecutive duplicated window
+    // positions (gaps-and-islands: grp = j − row_number over j), and
+    // the span covers tokens [start, start+len) with len = jmax−jmin+W.
+    // Plan shape: the same fp groupBy + fp-equality join as the score,
+    // then a per-doc window over DUPLICATED positions only (bounded by
+    // doc length, partitioned by doc_id — never a global sort, never a
+    // driver-side suffix array). DedupSpecs gate reconstructs a planted
+    // long duplicate exactly; the oracle re-derives islands in SQL.
+    "llm_dup_spans" -> QueryDef(
+      fn = (s, d) => dupSpans(
+        Tables.documents(s, d), DupSpanMinLen),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(8, len(tokens)),
+                   i -> array_to_string(tokens[i-7:i], ' '))) AS gram,
+                 unnest(generate_series(0, len(tokens) - 8)) AS j
+          FROM toks WHERE len(tokens) >= 8),
+        wfp AS (
+          SELECT doc_id, j, ${fp2Sql("gram")} AS fp
+          FROM grams),
+        fd AS (
+          SELECT fp FROM (
+            SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+            FROM wfp GROUP BY fp) x
+          WHERE n_docs >= 2),
+        dup AS (
+          SELECT w.doc_id, w.j FROM wfp w JOIN fd USING (fp)),
+        isl AS (
+          SELECT doc_id, j,
+                 j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+                   AS grp
+          FROM dup)
+        SELECT doc_id, CAST(MIN(j) AS BIGINT) AS start,
+               CAST(MAX(j) - MIN(j) + 8 AS BIGINT) AS len
+        FROM isl
+        GROUP BY doc_id, grp
+        HAVING MAX(j) - MIN(j) + 8 >= $DupSpanMinLen
+        ORDER BY doc_id, start"""),
       headline = true),
 
     // ── PII detection + redaction ──

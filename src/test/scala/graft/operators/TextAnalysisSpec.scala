@@ -74,4 +74,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     // degenerated and the power iteration did nothing)
     got.map(_._2).distinct.size should be > 5
   }
+
+  test("dup spans reconstruct a planted cross-doc duplicate exactly") {
+    import spark.implicits._
+    // doc 1: 20 unique tokens, the shared 30-token run, 10 unique; the
+    // run starts at token 20. doc 2: 5 unique tokens, the same run at
+    // token 5, 15 unique. doc 3: fully unique. All filler tokens are
+    // doc-distinct, so no 8-token window outside the run can repeat.
+    val shared = (0 until 30).map(i => s"s$i").mkString(" ")
+    val d1 = ((0 until 20).map(i => s"a$i") :+ shared) ++
+      (0 until 10).map(i => s"z$i")
+    val d2 = ((0 until 5).map(i => s"b$i") :+ shared) ++
+      (0 until 15).map(i => s"y$i")
+    val d3 = (0 until 60).map(i => s"c$i")
+    val docs = Seq(
+      (1L, d1.mkString(" ")), (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // maximal spans are EXACTLY the planted runs: right start, right
+    // length, no bleed into the unique filler on either side
+    got shouldBe Seq((1L, 20L, 30L), (2L, 5L, 30L))
+  }
 }
