@@ -1329,27 +1329,8 @@ object Dedup extends QueryPack {
     "dedup_cdc_chunks" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val W = 8
-        val Div = 16
-        val winFp = (i: Column) =>
-          rolling_hash($"text".substr((i - (W - 1)).cast(IntegerType), lit(W)))
-        val chunks = Tables.documents(s, d)
-          .select($"doc_id", $"text", length($"text").as("n"))
-          .filter($"n" >= 1)
-          .withColumn("cuts",
-            when($"n" >= W,
-              filter(filter(sequence(lit(W), $"n"), i => winFp(i) % Div === 0),
-                i => i < $"n"))
-              .otherwise(array().cast("array<int>")))
-          .withColumn("starts", concat(array(lit(0)), $"cuts"))
-          .withColumn("ends", concat($"cuts", array($"n")))
-          .select($"doc_id",
-            explode(transform(sequence(lit(1), size($"ends")), j =>
-              $"text".substr(element_at($"starts", j) + 1,
-                element_at($"ends", j) - element_at($"starts", j))))
-              .as("chunk"))
-          .select($"doc_id", length($"chunk").as("clen"),
-            rolling_hash2($"chunk").as("cfp"))
+        val chunks = cdcChunkFrame(
+          Tables.documents(s, d).select($"doc_id", $"text"))
           .localCheckpoint() // 2 consumers: fp stats + per-doc shares
         val stats = chunks.groupBy($"cfp")
           .agg(countDistinct($"doc_id").as("ndocs"))
@@ -1402,6 +1383,62 @@ object Dedup extends QueryPack {
         GROUP BY cf.doc_id
         ORDER BY doc_id""")),
   )
+
+  /** Content-defined chunk rows (doc_id, clen, cfp) for a
+    * (doc_id, text) frame — the CDC mechanism of `dedup_cdc_chunks`
+    * (W=8 rolling window, boundary where hash ≡ 0 mod 16), factored
+    * out so the continuous face
+    * ([[graft.streaming.StreamingDedup.cdcDedupStream]]) chunks each
+    * micro-batch with EXACTLY the batch query's arithmetic. */
+  private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = 8
+    val Div = 16
+    val winFp = (i: Column) =>
+      rolling_hash($"text".substr((i - (W - 1)).cast(IntegerType), lit(W)))
+    docs
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .filter($"n" >= 1)
+      .withColumn("cuts",
+        when($"n" >= W,
+          filter(filter(sequence(lit(W), $"n"), i => winFp(i) % Div === 0),
+            i => i < $"n"))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(0)), $"cuts"))
+      .withColumn("ends", concat($"cuts", array($"n")))
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ends")), j =>
+          $"text".substr(element_at($"starts", j) + 1,
+            element_at($"ends", j) - element_at($"starts", j))))
+          .as("chunk"))
+      .select($"doc_id", length($"chunk").as("clen"),
+        rolling_hash2($"chunk").as("cfp"))
+  }
+
+  /** NEW chunks of an increment against the accumulated cfp-bucketed
+    * chunk-fingerprint state: the in-batch collapse is one
+    * map-side-combined groupBy on cfp (clen is content-determined, so
+    * min == the value; first_doc = min doc_id is the deterministic
+    * "stored by" owner), and the anti-join meets the state ON ITS
+    * BUCKETING — the groupBy's hashpartitioning(cfp) is the table's
+    * layout, so the plan's only exchange is the increment side
+    * aligning (BucketingSpec gates it). At 100 TB of accumulated
+    * chunks the per-batch cost is proportional to the BATCH, never
+    * the state — the exact-dedup asymmetry, kept for storage-layer
+    * chunk dedup. */
+  def cdcIncrementalAgainstState(
+      spark: SparkSession,
+      chunks: DataFrame,
+      stateTable: String): DataFrame = {
+    import spark.implicits._
+    chunks
+      .groupBy($"cfp")
+      .agg(min($"clen").cast(LongType).as("clen"),
+        min($"doc_id").as("first_doc"))
+      .join(spark.table(stateTable), Seq("cfp"), "left_anti")
+      .select($"cfp", $"clen", $"first_doc")
+  }
 
   /** Multi-table sign-LSH banded near-dup pairs over a (vec_id, emb)
     * frame: candidates from equality joins on (band, bucket) — never

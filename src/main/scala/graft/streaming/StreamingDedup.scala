@@ -138,6 +138,54 @@ object StreamingDedup {
       }
       .start()
 
+  /** Continuous CDC chunk dedup — the storage-layer sibling of
+    * [[exactDedupStream]] and the streaming face of the
+    * `dedup_cdc_chunks` mechanism: per micro-batch, documents are
+    * content-defined-chunked with the batch query's exact arithmetic
+    * ([[graft.operators.Dedup.cdcChunkFrame]]), NEW chunks come from
+    * [[graft.operators.Dedup.cdcIncrementalAgainstState]] (one
+    * map-side-combined in-batch collapse + cfp-equality anti-join
+    * meeting the state ON its bucketing — zero state-side exchange),
+    * the sink receives each batch's new chunks
+    * (cfp, clen, first_doc), and their fingerprints fold into the
+    * state as one bucket-aligned generation; every `compactEvery`
+    * batches the generations compact back to one file per bucket with
+    * zero exchanges. Because boundaries are content-defined, an
+    * insertion in a re-sent document disturbs only the chunk it
+    * touches — every other chunk of the new version anti-joins away
+    * against the state, which is the rsync/restic storage economics
+    * run continuously. Replay safety is the same membership-set
+    * argument as exact dedup: a re-run batch double-appends cfp rows,
+    * which change no later batch's anti-join. */
+  def cdcDedupStream(
+      records: DataFrame,
+      stateTable: String,
+      buckets: Int,
+      checkpointDir: String,
+      sink: DataFrame => Unit,
+      compactEvery: Long = 0L): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val chunks = Dedup.cdcChunkFrame(
+          batch.select(col("doc_id"), col("text")))
+        Bucketing.recoverCompaction(s, stateTable)
+        if (!s.catalog.tableExists(stateTable))
+          Bucketing.writeBucketed(chunks.select("cfp").limit(0),
+            stateTable, "cfp", buckets)
+        // materialize BEFORE the fold: new chunks feed the sink AND
+        // the state append, and the append writes into the very table
+        // the anti-join reads
+        val fresh = Dedup.cdcIncrementalAgainstState(s, chunks, stateTable)
+          .localCheckpoint(true)
+        sink(fresh)
+        Bucketing.appendBucketAligned(fresh.select("cfp"), stateTable)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Bucketing.compact(s, stateTable)
+      }
+      .start()
+
   private val BandingProp = "graft.near.banding"
 
   /** Pin (or validate) the banding configuration on the bands state

@@ -51,6 +51,51 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CDC chunk dedup against cfp-bucketed state: no exchange on the state side") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at 100 TB the accumulated chunk state is never broadcastable;
+    // the fixture must exercise the same SMJ anti-join plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val table = "b_cfp_state"
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      // accumulated state: chunk fps of the deterministic 3/4 of the
+      // corpus, persisted bucketed by cfp
+      Bucketing.writeBucketed(
+        Dedup.cdcChunkFrame(docs.filter(col("doc_id") % 4 < 3))
+          .select("cfp").distinct(),
+        table, "cfp", 4)
+      val increment = Dedup.cdcChunkFrame(docs.filter(col("doc_id") % 4 >= 3))
+
+      val fresh = Dedup.cdcIncrementalAgainstState(spark, increment, table)
+      val plan = fresh.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      // exactly ONE exchange — the increment's in-batch collapse
+      // aligning with the state bucketing; the state scan and the
+      // anti-join reuse that partitioning
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      plan should not include "ShuffleExchange"
+
+      // survivors match a direct recompute: batch fps minus state fps,
+      // owner = min doc_id in the batch
+      val stateFps = spark.table(table).collect().map(_.getLong(0)).toSet
+      val expected = increment.collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+        .groupBy(_._3).map { case (cfp, rs) =>
+          (cfp, rs.head._2, rs.map(_._1).min) }
+        .filterNot { case (cfp, _, _) => stateFps.contains(cfp) }
+        .toSeq.sortBy(_._1)
+      fresh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq shouldBe expected
+      expected.length should be > 0
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("bucket-aligned fold + zero-exchange compaction keep the state-side no-shuffle property") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.{col, sha2}

@@ -108,6 +108,89 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming CDC dedup: only new chunks emit, insertions share all " +
+      "undisturbed chunks cross-batch, compaction keeps the state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "scdc_state"
+    val ckpt = Files.createTempDirectory("graft-scdc-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    // single-threaded twin of the streamed chunker (same as DedupSpec's)
+    def cdcChunks(text: String): Seq[String] = {
+      val n = text.length
+      val cuts = (8 to n).filter { i =>
+        graft.functions.RollingHash.hash(
+          UTF8String.fromString(text.substring(i - 8, i)), 31L) % 16 == 0
+      }.filter(_ < n)
+      val bounds = (0 +: cuts) :+ n
+      bounds.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    def fpsOf(text: String): Set[Long] = cdcChunks(text)
+      .map(c => graft.functions.RollingHash.hash2(UTF8String.fromString(c)))
+      .toSet
+
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest before nightfall comes again"
+    val other = "entirely different content words making a separate " +
+      "document body so its chunk fingerprints are disjoint from the first"
+    val shifted = "X" + base // insertion at the front shifts every offset
+
+    val input = MemoryStream[(Long, String)]
+    @volatile var out = Vector.empty[(Long, Long, Long)] // (cfp, clen, first_doc)
+    val q = StreamingDedup.cdcDedupStream(
+      input.toDF().toDF("doc_id", "text"), table, buckets = 4,
+      ckpt.toString,
+      sink = ds => out ++= ds.collect().toVector
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1),
+      compactEvery = 2L)
+
+    def tableFiles(): Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+
+    try {
+      // batch 0: doc 3 duplicates doc 1 verbatim (in-batch) — every
+      // chunk emits once, base chunks owned by doc 1 (min doc_id)
+      input.addData((1L, base), (2L, other), (3L, base))
+      q.processAllAvailable()
+      out.map(_._1).toSet shouldBe (fpsOf(base) ++ fpsOf(other))
+      out.filter(t => fpsOf(base).contains(t._1)).map(_._3).toSet shouldBe Set(1L)
+
+      // batch 1: a front insertion in a re-sent document — fixed-size
+      // blocks would all shift, but content-defined boundaries keep
+      // every chunk after the disturbance, and those anti-join away
+      // against the STATE (cross-batch sharing); only the genuinely
+      // new prefix chunk(s) emit. Compaction runs after this batch.
+      val expectedNew = fpsOf(shifted) -- fpsOf(base)
+      expectedNew.size should be > 0
+      expectedNew.size should be < cdcChunks(shifted).size // most survive
+      val before = out.map(_._1).toSet
+      input.addData((4L, shifted))
+      q.processAllAvailable()
+      out.map(_._1).toSet -- before shouldBe expectedNew
+      tableFiles() should be <= 4 // compacted: one file per bucket
+
+      // batch 2: verbatim resend AFTER compaction — zero new chunks
+      val atCompact = out.size
+      input.addData((5L, other))
+      q.processAllAvailable()
+      out.size shouldBe atCompact
+
+      // the state is exactly the emitted fingerprint set
+      spark.table(table).collect().map(_.getLong(0)).sorted shouldBe
+        out.map(_._1).sorted.toArray
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streaming NEAR-dup: banded state blocks tau-matches across batches, " +
       "folds and compaction keep both state tables") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
