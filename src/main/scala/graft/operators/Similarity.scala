@@ -419,7 +419,7 @@ object Similarity extends QueryPack {
     * keyed path is never deleted/overwritten while a reader may be
     * scanning it (see [[pqPersistedModel]]'s scaladoc for the race
     * analysis). `complete` re-checks whether a concurrent builder won. */
-  private def installArtifact(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def installArtifact(fs: org.apache.hadoop.fs.FileSystem,
       dirPath: org.apache.hadoop.fs.Path, what: String)(complete: => Boolean)(
       writeTo: String => Unit): Unit = {
     val stage = new org.apache.hadoop.fs.Path(

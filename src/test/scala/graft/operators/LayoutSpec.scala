@@ -176,4 +176,46 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     got.sortBy(_._1) shouldBe expected.sortBy(_._1).toArray
   }
+
+  test("cut-point routing reproduces the full rewrite's assignment row-for-row") {
+    import spark.implicits._
+    // sf0.01: the 4-tuple (orderkey, linenumber, partkey, suppkey) is
+    // unique there, so per-row equality is well-defined (sf0.001 has
+    // one duplicated tuple, which the rewrite may split across a tile
+    // boundary while routing cannot — identical rows are
+    // interchangeable, but multiset comparison would see it)
+    val base = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val ranked = Layout.zorderRanked(spark, base).localCheckpoint(true)
+    val cuts = Layout.zorderCutRows(ranked)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("l_orderkey")),
+        r.getInt(r.fieldIndex("l_linenumber")),
+        r.getLong(r.fieldIndex("l_partkey")),
+        r.getLong(r.fieldIndex("l_suppkey")))
+    val rewrite = ranked.collect()
+      .map(r => key(r) -> r.getLong(r.fieldIndex("bucket"))).toMap
+    val routed = Layout.routeByCuts(spark, base, cuts).collect()
+      .map(r => key(r) -> r.getLong(r.fieldIndex("bucket")))
+    routed.length shouldBe rewrite.size
+    routed.foreach { case (k, b) =>
+      withClue(s"row $k:") { b shouldBe rewrite(k) }
+    }
+  }
+
+  test("cut-point routing is a pure projection: no exchange, no join, no sort") {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val cuts = Layout.zorderCutRows(
+      Layout.zorderRanked(spark, base).localCheckpoint(true))
+    val inc = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" % 8 === 7)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val plan = Layout.routeByCuts(spark, inc, cuts)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+    plan should not include "Sort"
+  }
 }
