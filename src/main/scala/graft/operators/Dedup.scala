@@ -56,6 +56,14 @@ object Dedup extends QueryPack {
   private def fpSql(v: String, prime: Int): String =
     graft.functions.RollingHash.fpSql(v, prime)
 
+  /** Normalized edit-distance near-dup threshold (`dedup_fuzzy_edit`):
+    * keep a candidate pair iff levenshtein ≤ 50‰ of the longer text.
+    * On the sf0.01 fixture the 8-token-window candidate set spans
+    * 7-63‰, so the verify stage PASSES 24 pairs and REJECTS one —
+    * both branches exercised. */
+  private val FuzzyPermille = 50
+
+
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tokens", tokensCol)
 
@@ -1382,7 +1390,94 @@ object Dedup extends QueryPack {
         FROM cf JOIN stats s USING (cfp)
         GROUP BY cf.doc_id
         ORDER BY doc_id""")),
+
+    // ── fuzzy dedup at EDIT-DISTANCE grade ──
+    // The verify tier between exact hashing and token-set Jaccard:
+    // Jaccard is blind to order (two docs with the same bag of tokens
+    // in different order score 1.0) while edit distance prices every
+    // insertion/deletion/substitution — the right verifier for
+    // near-identical revisions (boilerplate variants, template fills,
+    // OCR noise). Candidates come from the exact-substring generator
+    // (pairs sharing ≥1 8-token window fingerprint, through the
+    // skew-bounded pair primitive — never all-pairs: a levenshtein
+    // self-join over a corpus is O(n²·len²) and unrunnable at any
+    // scale); the verify is one `levenshtein` per candidate pair,
+    // kept iff lev ≤ 50‰ of the longer text (integer arithmetic at
+    // the threshold — no float ratio). At 100 TB the candidate set is
+    // duplicate-rate-sized and each verify is independent map work;
+    // Spark's 3-arg levenshtein(l, r, threshold) bounds the DP cost
+    // per pair to O(len·threshold) when the texts are long (the
+    // 2-arg form here keeps the oracle spelling identical — DuckDB
+    // has no threshold form).
+    "dedup_fuzzy_edit" -> QueryDef(
+      fn = (s, d) => fuzzyEditPairs(Tables.documents(s, d), FuzzyPermille),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS tokens FROM documents),
+        wfp AS (
+          SELECT DISTINCT doc_id,
+                 ${fpSql("gram", P1)} + ${fpSql("gram", P2)} * $Mod AS fp
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(8, len(tokens)),
+                     i -> array_to_string(tokens[i-7:i], ' '))) AS gram
+            FROM toks WHERE len(tokens) >= 8)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM wfp a JOIN wfp b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        t AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS tlen
+          FROM documents),
+        v AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+                 greatest(ta.tlen, tb.tlen) AS max_len
+          FROM pairs p
+          JOIN t ta ON ta.doc_id = p.doc_a
+          JOIN t tb ON tb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, lev, max_len,
+               (lev * 1000) // max_len AS lev_permille
+        FROM v
+        WHERE lev * 1000 <= max_len * $FuzzyPermille
+        ORDER BY doc_a, doc_b""")),
   )
+
+  /** The pipeline behind `dedup_fuzzy_edit`, on any (doc_id, text)
+    * frame: 8-token window fingerprints (distinct per doc) →
+    * fp-equality candidates via [[boundedBucketPairs]] → levenshtein
+    * verify at `permille`. Exposed for DedupSpec's planted-revision
+    * gates. */
+  private[operators] def fuzzyEditPairs(
+      docs: DataFrame, permille: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wfp = docs.withColumn("tokens", tokensCol)
+      .filter(size($"tokens") >= 8)
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(tokens) - 7), i ->
+             concat_ws(' ', slice(tokens, i, 8)))""").as("grams"))
+      .transform(materialized)
+      .select($"doc_id", explode(array_distinct(
+        transform($"grams", g => rolling_hash2(g)))).as("fp"))
+    val pairs = boundedBucketPairs(wfp, "doc_id", Seq("fp"))
+    // joined once per pair side; the checkpoint stops the candidate
+    // branch from re-running the corpus scan per side
+    val texts = docs
+      .select($"doc_id", $"text", length($"text").cast(LongType).as("tlen"))
+      .localCheckpoint()
+    pairs
+      .join(texts.select($"doc_id".as("id1"), $"text".as("text1"),
+        $"tlen".as("len1")), Seq("id1"))
+      .join(texts.select($"doc_id".as("id2"), $"text".as("text2"),
+        $"tlen".as("len2")), Seq("id2"))
+      .withColumn("lev", levenshtein($"text1", $"text2").cast(LongType))
+      .withColumn("max_len", greatest($"len1", $"len2"))
+      .filter($"lev" * 1000 <= $"max_len" * permille)
+      .select($"id1".as("doc_a"), $"id2".as("doc_b"), $"lev", $"max_len",
+        expr("(lev * 1000) div max_len").as("lev_permille"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Content-defined chunk rows (doc_id, clen, cfp) for a
     * (doc_id, text) frame — the CDC mechanism of `dedup_cdc_chunks`

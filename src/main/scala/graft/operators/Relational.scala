@@ -1045,7 +1045,92 @@ object Relational extends QueryPack {
           LENGTH(o_orderpriority) AS prio_len,
           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
         FROM orders
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ── SCD type-2 dimension merge (Kimball slowly-changing dim) ──
+    // The warehouse-maintenance twin of `agg_incremental_fold`: fold a
+    // change batch into a versioned dimension, closing superseded
+    // versions and keeping full history. The change batch is derived
+    // deterministically from the dimension itself (updates: every
+    // custkey ≡ 3 (mod 7) moves to segment 'MOVED' with nationkey+1
+    // mod 25; inserts: every custkey ≡ 5 (mod 11) re-keyed +10^7 into
+    // segment 'NEW'), so the oracle re-derives batch and merge from
+    // scratch. c_acctbal passes through bit-unchanged — no float
+    // arithmetic at the oracle boundary. valid_to uses the Kimball
+    // high-date sentinel (9999) instead of NULL so "open" rows compare
+    // deterministically.
+    // Plan shape: ONE pass over the dimension — a single equality
+    // LEFT join against the (broadcast) update batch, matched rows
+    // fanning into (closed old version, new current version) via a
+    // 2-element array explode (map-side), inserts unioned on top. At
+    // 100 TB the dimension is the big side and stays unshuffled
+    // (broadcast batch); with a bucketed dimension table the fold is
+    // `Bucketing.appendBucketAligned`'s zero-state-exchange shape —
+    // real CDC batches are small against the dimension by definition.
+    "q_scd2_merge" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val dim = Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        val upd = dim.filter($"c_custkey" % 7 === 3)
+          .select($"c_custkey",
+            (($"c_nationkey" + 1) % 25).as("u_nationkey"),
+            $"c_acctbal".as("u_acctbal"),
+            lit("MOVED").as("u_mktsegment"))
+        val ins = dim.filter($"c_custkey" % 11 === 5)
+          .select(($"c_custkey" + 10000000L).as("c_custkey"),
+            $"c_nationkey", $"c_acctbal",
+            lit("NEW").as("c_mktsegment"),
+            lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
+            lit(true).as("is_current"))
+        val merged = dim.join(broadcast(upd), Seq("c_custkey"), "left")
+          .select($"c_custkey", explode(when($"u_mktsegment".isNotNull,
+            array(
+              struct($"c_nationkey", $"c_acctbal", $"c_mktsegment",
+                lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+                lit(false).as("is_current")),
+              struct($"u_nationkey".as("c_nationkey"),
+                $"u_acctbal".as("c_acctbal"),
+                $"u_mktsegment".as("c_mktsegment"),
+                lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
+                lit(true).as("is_current"))))
+            .otherwise(array(
+              struct($"c_nationkey", $"c_acctbal", $"c_mktsegment",
+                lit(0L).as("valid_from"), lit(9999L).as("valid_to"),
+                lit(true).as("is_current"))))).as("v"))
+          .select($"c_custkey", $"v.c_nationkey", $"v.c_acctbal",
+            $"v.c_mktsegment", $"v.valid_from", $"v.valid_to",
+            $"v.is_current")
+        merged.unionByName(ins)
+          .orderBy($"c_custkey", $"valid_from")
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer),
+        upd AS (
+          SELECT c_custkey,
+                 CAST((c_nationkey + 1) % 25 AS INTEGER) AS u_nationkey,
+                 c_acctbal AS u_acctbal,
+                 'MOVED' AS u_mktsegment
+          FROM dim WHERE c_custkey % 7 = 3),
+        merged AS (
+          SELECT d.c_custkey, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+                 CAST(0 AS BIGINT) AS valid_from,
+                 CAST(CASE WHEN u.c_custkey IS NULL THEN 9999 ELSE 1 END
+                      AS BIGINT) AS valid_to,
+                 u.c_custkey IS NULL AS is_current
+          FROM dim d LEFT JOIN upd u USING (c_custkey)
+          UNION ALL
+          SELECT c_custkey, u_nationkey, u_acctbal, u_mktsegment,
+                 CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
+          FROM upd
+          UNION ALL
+          SELECT c_custkey + 10000000, c_nationkey, c_acctbal, 'NEW',
+                 CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
+          FROM dim WHERE c_custkey % 11 = 5)
+        SELECT * FROM merged
+        ORDER BY c_custkey, valid_from"""))
   )
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for

@@ -40,6 +40,11 @@ object Similarity extends QueryPack {
   private val PqSubDim = 8
   private val PqK = 4
 
+  /** Candidates surviving the Hamming prefilter into the exact rerank
+    * (`sim_binary_rerank`) — 10× the k=5 answer size, the usual
+    * binary-quantization oversampling ratio. */
+  private val BqRerankC = 50
+
   private def embDouble(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("emb"))
@@ -1761,6 +1766,113 @@ object Similarity extends QueryPack {
             pow(emb[i] - round(emb[i] / scale * 127) * scale / 127, 2)))), 9)
             AS recon_err
         FROM s
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ── binary (1-bit) quantization + Hamming prefilter + exact rerank ──
+    // The third compression tier after int8 (`sim_quantize_int8`) and
+    // PQ (`sim_ann_pq_search`), and the two-stage serving pattern
+    // production vector stores ship as "binary quantization with
+    // oversampled rescore": each vector compresses 512× to one sign
+    // bit per dimension (bit i set iff emb[i] > 0 — the embeddings
+    // are zero-centered, so the sign plane is the natural 1-bit
+    // quantizer and the comparison is float-exact in both engines),
+    // stage 1 ranks ALL candidates by Hamming distance on the packed
+    // words (XOR + popcount — the cheapest distance that exists), and
+    // stage 2 re-scores only the top-[[BqRerankC]] survivors with
+    // exact cosine. Bits pack into TWO 32-bit-filled BIGINT words
+    // (not one 64-bit word: bit 63 flips the sign and a sum-of-
+    // disjoint-powers build would overflow under ANSI; two positive
+    // words keep the build pure integer arithmetic in both engines,
+    // and hamming = popcount(xor(lo)) + popcount(xor(hi))).
+    // Plan shape: the words table is ONE map-only projection (the
+    // 64-element fold runs once per row; a deployment persists it
+    // like the PQ codes artifact), stage 1 is a broadcast of 5 query
+    // words onto that scan with the bounded-buffer TopKAggregator
+    // (≤C rows per query cross the shuffle), and stage 2 broadcasts
+    // the Q×C surviving ids back onto the embedding scan — the raw
+    // vectors are read map-only, never shuffled. At 10^9 vectors
+    // stage 1 touches 8 bytes/vector instead of 512.
+    "sim_binary_rerank" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        val words = e.select($"vec_id",
+          expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc + IF(element_at(emb, i+1) > 0D, shiftleft(1L, i), 0L))")
+            .as("w_lo"),
+          expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+            "acc + IF(element_at(emb, i+1) > 0D, shiftleft(1L, i-32), 0L))")
+            .as("w_hi"))
+          .localCheckpoint() // the persisted-codes stand-in: built once,
+                             // scanned by stage 1 and the query side
+        val qw = words.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"w_lo".as("q_lo"),
+            $"w_hi".as("q_hi"))
+        val topC = udaf(new graft.functions.TopKAggregator(BqRerankC))
+        val cands = words.crossJoin(broadcast(qw))
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("ham",
+            expr("bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi)")
+              .cast(LongType))
+          .groupBy($"query_id")
+          // -ham: aggregator ranks score desc, id asc == ham asc, id asc
+          .agg(topC(-$"ham".cast(DoubleType), $"vec_id").as("top"))
+          .select($"query_id", explode($"top.ids").as("vec_id"))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val top5 = udaf(new graft.functions.TopKAggregator(5))
+        e.join(broadcast(cands), Seq("vec_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+          .groupBy($"query_id")
+          .agg(top5($"cos_sim", $"vec_id").as("top"))
+          .select($"query_id",
+            posexplode(arrays_zip($"top.scores", $"top.ids"))
+              .as(Seq("i", "pair")))
+          .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
+            $"pair.ids".as("vec_id"), $"pair.scores".as("cos_sim"))
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        w AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i-1))
+                   ELSE 0 END)) AS BIGINT) AS w_lo,
+            CAST(list_sum(list_transform(generate_series(33, 64),
+              i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i-33))
+                   ELSE 0 END)) AS BIGINT) AS w_hi
+          FROM e),
+        qw AS (
+          SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
+          FROM w WHERE vec_id < 5),
+        cand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT qw.query_id, w.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qw.query_id ORDER BY
+                bit_count(xor(w.w_lo, qw.q_lo)) +
+                bit_count(xor(w.w_hi, qw.q_hi)) ASC,
+                w.vec_id) AS cr
+            FROM qw, w WHERE w.vec_id <> qw.query_id) x
+          WHERE cr <= $BqRerankC),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(q.qemb)),
+                i -> q.qemb[i] * e.emb[i])) /
+              (sqrt(list_sum(list_transform(q.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(e.emb, x -> x*x)))), 9) AS cos_sim
+          FROM cand c
+          JOIN e ON e.vec_id = c.vec_id
+          JOIN q ON q.query_id = c.query_id)
+        SELECT query_id, rnk, vec_id, cos_sim FROM (
+          SELECT query_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk"""))
   )
 }

@@ -47,6 +47,20 @@ object TextAnalysis extends QueryPack {
     * cross-doc repetition in the fixture surfaces. */
   private val DupSpanMinLen = 12
 
+  /** BM25 query term set (`llm_bm25_topk`): four near-ubiquitous terms
+    * (df ≈ 390/500 at sf0.01 — idf ≈ 0.24, ranking driven by tf and
+    * length normalization) plus the rare `dup` (df = 25 — idf ≈ 3.0,
+    * its presence dominates), so the top list exercises BOTH halves
+    * of the score. A deployment parameterizes this list; the plan is
+    * term-count-invariant (membership filter + broadcast idf join). */
+  private val BmQueryTerms: Seq[String] =
+    Seq("spark", "hash", "window", "merge", "dup")
+  private val BmQueryTermsSql: String =
+    BmQueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Documents returned by the BM25 ranking. */
+  private val BmK = 10
+
   /** Maximal cross-document duplicated spans over a (doc_id, text)
     * frame — the Lee et al. 2022 exact-substring removal operator
     * re-expressed as a windowed fold + fp-equality join (see
@@ -261,7 +275,10 @@ object TextAnalysis extends QueryPack {
         GROUP BY term
         ORDER BY n DESC, term
         LIMIT 50"""),
-      headline = true),
+      // demoted from the headline set when llm_bm25_topk joined (its
+      // tf groupBy + bounded global top-k shape is priced by both
+      // llm_tfidf_top_terms and llm_bm25_topk); stays oracle-checked
+      headline = false),
 
     // ── document fingerprint via the native RollingHash expression ──
     "llm_fingerprint" -> QueryDef(
@@ -991,6 +1008,126 @@ object TextAnalysis extends QueryPack {
         ORDER BY rank_nano DESC, term
         LIMIT 25"""
       },
+      headline = true),
+
+    // ── BM25 ranked retrieval (Robertson & Zaragoza 2009) ──
+    // The retrieval operator a curation pipeline runs for targeted
+    // selection and benchmark decontamination sweeps: score every
+    // document against a query term set under BM25 (k1=1.2, b=0.75,
+    // idf = ln((N+1)/(df+0.5)) spelled as integer-ratio ln((2N+2)/
+    // (2df+1))) and return the top-BmK. The whole score chain is
+    // integer/decimal fixed point — the ONLY float op is the idf ln,
+    // quantized to 6 digits (the DSIR idiom) — so ranks cannot drift
+    // an ulp between engines:
+    //   avgdl_u  = floor(Σdl·10^6 / N)        exact via div/mod split
+    //              (no 10^6·Σdl BIGINT product — Σdl at 100 TB is
+    //              ~10^14 tokens and the naive product overflows)
+    //   r_u      = (dl·10^6) div avgdl_u      dl/avgdl, micro units
+    //   den      = 10·tf·10^6 + 3·10^6 + 9·r_u   10×micro units of
+    //              tf + 0.3 + 0.9·dl/avgdl (k1=1.2, b=0.75 ×10 exact)
+    //   ratio_u  = (22·tf·10^6 ·10^6) div den    tf·(k1+1)/den, micro;
+    //              the 10^19-capable product rides DECIMAL(38,0) with
+    //              Spark `div` / DuckDB HUGEINT `//` — both exact
+    //              integral division, no decimal-scale rounding
+    //   score_u  = floor(Σ_terms idf_d6 · ratio_u)  micro units, the
+    //              per-term product DECIMAL(20,6)×BIGINT (exact)
+    // Plan shape: the tf branch filters to the 5 query terms BEFORE
+    // its groupBy (the per-doc-term shuffle carries only query-term
+    // rows — at 100 TB the broadcast-membership filter is the point
+    // of an inverted index, expressed here as predicate + map-side
+    // combine); df and the (N, Σdl) stats are two tiny broadcast
+    // aggregates; ranking rides the bounded-buffer TopKAggregator
+    // (≤BmK rows per partition cross the single-group shuffle), never
+    // a global window sort. Corpus scanned twice (dl needs all
+    // tokens, tf only query-term rows) — both scans map-only.
+    "llm_bm25_topk" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val terms = BmQueryTerms
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens).as("term"))
+        val dl = Tables.documents(s, d)
+          .select($"doc_id", size(tokens).cast(LongType).as("dl"))
+          .filter($"dl" >= 1)
+          .localCheckpoint() // feeds the stats aggregate AND the score join
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sumdl"))
+          .withColumn("avg_u",
+            expr("(sumdl div n_docs) * 1000000 + " +
+              "((sumdl % n_docs) * 1000000) div n_docs"))
+        val tf = toks.filter($"term".isin(terms: _*))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // feeds df AND the per-doc score
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val idf = dfreq.crossJoin(broadcast(stats))
+          .select($"term",
+            expr("cast(round(ln((2.0*n_docs + 2.0)/(2.0*df + 1.0)), 6) " +
+              "as decimal(20,6))").as("idf_d6"))
+        val topk = udaf(new graft.functions.TopKAggregator(BmK))
+        val scored = tf
+          .join(dl, Seq("doc_id"))
+          .join(broadcast(idf), Seq("term"))
+          .crossJoin(broadcast(stats.select($"avg_u")))
+          .withColumn("r_u", expr("(dl * 1000000) div avg_u"))
+          .withColumn("den", lit(10000000L) * $"tf" + lit(3000000L) +
+            lit(9L) * $"r_u")
+          .withColumn("ratio_u",
+            expr("(cast(22000000 * tf as decimal(38,0)) * 1000000) div den"))
+          .groupBy($"doc_id")
+          .agg(expr("cast(floor(sum(idf_d6 * ratio_u)) as bigint)")
+            .as("score_u"))
+        scored
+          .groupBy()
+          .agg(topk($"score_u".cast(DoubleType), $"doc_id").as("top"))
+          .select(posexplode(arrays_zip($"top.scores", $"top.ids"))
+            .as(Seq("i", "pair")))
+          .select(($"i" + 1).cast(LongType).as("rnk"),
+            $"pair.ids".as("doc_id"),
+            $"pair.scores".cast(LongType).as("score_u"))
+          .orderBy($"rnk")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        dl AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+          FROM toks WHERE len(tokens) >= 1),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sumdl
+          FROM dl),
+        st AS (
+          SELECT n_docs, sumdl,
+                 (sumdl // n_docs) * 1000000 +
+                   ((sumdl % n_docs) * 1000000) // n_docs AS avg_u
+          FROM stats),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM t
+          WHERE term IN ($BmQueryTermsSql)
+          GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        idf AS (
+          SELECT term,
+                 CAST(round(ln((2.0*st.n_docs + 2.0)/(2.0*df + 1.0)), 6)
+                      AS DECIMAL(20,6)) AS idf_d6
+          FROM dfq, st),
+        scored AS (
+          SELECT tf.doc_id,
+            CAST(FLOOR(SUM(idf.idf_d6 *
+              ((CAST(22000000 * tf.tf AS HUGEINT) * 1000000) //
+               (10000000 * tf.tf + 3000000 +
+                9 * ((dl.dl * 1000000) // st.avg_u))))) AS BIGINT) AS score_u
+          FROM tf
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN idf ON idf.term = tf.term
+          CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+                 AS BIGINT) AS rnk, doc_id, score_u
+        FROM scored
+        ORDER BY score_u DESC, doc_id
+        LIMIT $BmK"""),
       headline = true),
   )
 }

@@ -42,6 +42,35 @@ class DedupSpec extends AnyFunSuite with Matchers {
     local.filter(v => v._1 >= 30L).map(_._2).distinct shouldBe Seq(30L)
   }
 
+  test("fuzzy edit-distance dedup: planted revision passes, divergent " +
+      "candidate is verify-rejected, window-disjoint docs never pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // one substituted token: a candidate (39 shared windows) that the
+    // levenshtein verify keeps (2 edited chars over ~290)
+    val rev = base.replace("tok20 ", "tokXX ")
+    // shares EXACTLY the first 8-token window with base, then
+    // diverges: a candidate the verify must reject
+    val div = ((1 to 8).map(i => s"tok$i") ++
+      (1 to 60).map(i => s"zz$i")).mkString(" ")
+    // no shared window: must never reach the verify
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, rev), (3L, div), (4L, other))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyEditPairs(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    out.map(t => (t._1, t._2)) shouldBe Seq((1L, 2L))
+    // the kept pair's distance is exactly the planted edit
+    out.head._3 shouldBe 2L
+    // the rejected candidate was REJECTED by the verify, not missed by
+    // the candidate stage: at permille=1000 (accept everything) the
+    // (1,3) and (2,3) pairs surface
+    val all = Dedup.fuzzyEditPairs(docs, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    all should contain allOf ((1L, 3L), (2L, 3L))
+    all.flatMap(t => Seq(t._1, t._2)) should not contain 4L
+  }
+
   test("banded simhash pairs equal the quadratic oracle face") {
     val banded = rowsOf("dedup_simhash_pairs_banded")
     val quad = rowsOf("dedup_simhash_pairs")

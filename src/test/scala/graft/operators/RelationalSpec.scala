@@ -79,4 +79,40 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     graft.SparkEntry.queries("agg_incremental_fold")(spark, sf).count() shouldBe
       byGroup.size.toLong
   }
+
+  test("q_scd2_merge: versioning invariants hold for every key class") {
+    import spark.implicits._
+    val dim = graft.Tables.customer(spark, sf)
+    val nDim = dim.count()
+    val nUpd = dim.filter($"c_custkey" % 7 === 3).count()
+    val nIns = dim.filter($"c_custkey" % 11 === 5).count()
+    nUpd should be > 0L
+    nIns should be > 0L
+    val out = graft.SparkEntry.queries("q_scd2_merge")(spark, sf)
+      .select($"c_custkey", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    // row accounting: dim + one new version per update + inserts
+    out.size.toLong shouldBe nDim + nUpd + nIns
+    // exactly ONE current version per key, everywhere
+    out.filter(_._4).groupBy(_._1).values.foreach(_.size shouldBe 1)
+    out.map(_._1).distinct.size shouldBe out.count(_._4)
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (key, rows) =>
+      if (key >= 10000000L) {
+        // insert: a single open version born at t=1
+        rows shouldBe Seq((key, 1L, 9999L, true))
+      } else if (key % 7 == 3) {
+        // update: closed v0 chained to open v1 — valid_to of the old
+        // version equals valid_from of its successor (no gap, no
+        // overlap: the SCD2 contract)
+        rows.sortBy(_._2) shouldBe
+          Seq((key, 0L, 1L, false), (key, 1L, 9999L, true))
+      } else {
+        // untouched: the original open version
+        rows shouldBe Seq((key, 0L, 9999L, true))
+      }
+    }
+  }
 }

@@ -48,6 +48,16 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     recall("sim_ann_lsh") should be >= 0.18
   }
 
+  test("binary-quantization rerank clears its recall floor and beats " +
+      "the prefilter's random baseline by an order of magnitude") {
+    // measured 0.80 at sf0.001 / 0.72 at sf0.01 with C=50 of 500
+    // candidates; the floor sits at 0.60 — far above the ~0.10 a
+    // random 50-candidate prefilter would deliver — so a broken sign
+    // plane or hamming ranking fails loudly while float-free slack
+    // absorbs fixture regeneration
+    recall("sim_binary_rerank") should be >= 0.60
+  }
+
   test("aggregator and window top-k forms are row-identical") {
     val agg = graft.SparkEntry.queries("sim_topk_bruteforce")(spark, sf).collect()
     val win = graft.SparkEntry.queries("sim_topk_window")(spark, sf).collect()

@@ -96,4 +96,51 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     // length, no bleed into the unique filler on either side
     got shouldBe Seq((1L, 20L, 30L), (2L, 5L, 30L))
   }
+
+  test("BM25 top-k matches an independent integer-arithmetic recompute") {
+    // reimplements the llm_bm25_topk score chain with BigInt/BigDecimal
+    // (no Spark expressions), so a broken floor/div/quantization in the
+    // Column pipeline cannot hide behind an oracle that repeats it
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val terms = Seq("spark", "hash", "window", "merge", "dup")
+    val dl = docs.map { case (id, t) => id -> toks(t).length.toLong }
+      .filter(_._2 >= 1).toMap
+    val n = dl.size.toLong
+    val sumdl = dl.values.sum
+    val avgU = (sumdl / n) * 1000000L + ((sumdl % n) * 1000000L) / n
+    val tf: Map[(Long, String), Long] = docs
+      .flatMap { case (id, t) => toks(t).filter(terms.contains).map(id -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val dfreq: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    def idfD6(df: Long): BigDecimal = BigDecimal.valueOf(
+      math.log((2.0 * n + 2.0) / (2.0 * df + 1.0)))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val scores: Map[Long, Long] = tf.toSeq
+      .map { case ((id, t), f) =>
+        val rU = BigInt(dl(id)) * 1000000 / avgU
+        val den = BigInt(10000000) * f + 3000000 + 9 * rU
+        val ratioU = BigInt(22000000) * f * 1000000 / den
+        id -> idfD6(dfreq(t)) * BigDecimal(ratioU)
+      }
+      .groupBy(_._1)
+      .map { case (id, xs) =>
+        id -> xs.map(_._2).sum.setScale(0,
+          scala.math.BigDecimal.RoundingMode.FLOOR).toLongExact
+      }
+    val expected = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+    val got = graft.SparkEntry.queries("llm_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    // both score halves are live: the rare high-idf term dominates the
+    // head of the list, and scores strictly decrease somewhere (tf /
+    // length normalization differentiating docs)
+    val dupDocs = docs.filter(d => toks(d._2).contains("dup")).map(_._1).toSet
+    dupDocs should not be empty
+    got.take(dupDocs.size min 3).foreach(r => dupDocs should contain(r._2))
+  }
 }
