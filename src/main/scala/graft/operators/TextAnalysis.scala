@@ -275,10 +275,11 @@ object TextAnalysis extends QueryPack {
         GROUP BY term
         ORDER BY n DESC, term
         LIMIT 50"""),
-      // demoted from the headline set when llm_bm25_topk joined (its
-      // tf groupBy + bounded global top-k shape is priced by both
-      // llm_tfidf_top_terms and llm_bm25_topk); stays oracle-checked
-      headline = false),
+      // DEMOTES next round (its tf groupBy + bounded global top-k
+      // shape is priced by both llm_tfidf_top_terms and llm_bm25_topk)
+      // but stays headlined THIS round: it carries a round-7 `weak`
+      // mark that only a driver-visible clean record can clear
+      headline = true),
 
     // ── document fingerprint via the native RollingHash expression ──
     "llm_fingerprint" -> QueryDef(
