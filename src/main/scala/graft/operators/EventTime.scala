@@ -449,6 +449,74 @@ object EventTime extends QueryPack {
                TRUE AS approx_within_5pct
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ── row-pattern matching (the MATCH_RECOGNIZE shape, SQL:2016) ──
+    // Spark has no MATCH_RECOGNIZE; the Spark-first re-expression of
+    // PARTITION BY user ORDER BY ts MATCH `view (click|view)* purchase`
+    // is: encode each event as one char, fold each user's ordered
+    // events into a code string, and scan it with a regex — the NFA
+    // the pattern clause compiles to anyway. `v[cv]*p` finds funnels
+    // that reach purchase with NO intervening error/signup (any
+    // excluded letter breaks the run), counted non-overlapping with
+    // leftmost-greedy semantics — identical in Java regex and RE2 for
+    // this alternation-free pattern. Ordering is (µs, event_id), the
+    // pack's cross-engine total order.
+    // Plan shape: ONE shuffle on user_id (the PARTITION BY), then
+    // per-user array_sort + fold + regex — all inside one aggregation,
+    // no window, no self-join; per-user state is that user's event
+    // string, the same per-partition bound every MATCH_RECOGNIZE
+    // engine assumes. At 100 TB: shuffle is O(events) once, salting
+    // the rare pathological user if one dominates.
+    "evt_pattern_match" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val code = when($"event_type" === "view", "v")
+          .when($"event_type" === "click", "c")
+          .when($"event_type" === "purchase", "p")
+          .when($"event_type" === "signup", "s")
+          .otherwise("e")
+        Tables.events(s, d)
+          .select($"user_id", expr("ts div 1000").as("tus"), $"event_id",
+            code.as("code"))
+          .groupBy($"user_id")
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(tus, event_id, code))), e -> e.code), '')")
+            .as("seq"))
+          .withColumn("matches",
+            expr("regexp_extract_all(seq, 'v[cv]*p', 0)"))
+          .select($"user_id",
+            length($"seq").cast(LongType).as("n_events"),
+            size($"matches").cast(LongType).as("n_matches"),
+            coalesce(expr("array_max(transform(matches, m -> length(m)))"),
+              lit(0)).cast(LongType).as("longest_match"),
+            expr("aggregate(matches, 0L, (a, m) -> a + length(m))")
+              .as("matched_events"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CASE event_type
+                   WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                   WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                   ELSE 'e' END AS code
+          FROM events),
+        s AS (
+          SELECT user_id, string_agg(code, '' ORDER BY tus, event_id) AS seq
+          FROM e GROUP BY user_id),
+        m AS (
+          SELECT user_id, seq,
+                 regexp_extract_all(seq, 'v[cv]*p') AS matches
+          FROM s)
+        SELECT user_id,
+          CAST(length(seq) AS BIGINT) AS n_events,
+          CAST(len(matches) AS BIGINT) AS n_matches,
+          CAST(COALESCE(list_max(list_transform(matches, m -> length(m))), 0)
+               AS BIGINT) AS longest_match,
+          CAST(COALESCE(list_sum(list_transform(matches, m -> length(m))), 0)
+               AS BIGINT) AS matched_events
+        FROM m
+        ORDER BY user_id"""))
   )
 }

@@ -360,4 +360,42 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     // all on broadcast-sized or per-vector-bounded groups)
     p.toLowerCase should include("objecthashaggregate")
   }
+
+  test("BM25: query-term filter reaches below the tf aggregation; idf and corpus " +
+      "stats broadcast; ranking rides the bounded-buffer aggregator — no window") {
+    val p = plan("llm_bm25_topk")
+    // the score side joins tf→dl (equality) and meets idf + stats by
+    // broadcast — no cartesian anywhere (the stats crossJoin is a
+    // 1-row broadcast)
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    // top-k is the aggregator, not a global window sort
+    p should not include "Window"
+    p.toLowerCase should include("objecthashaggregate")
+  }
+
+  test("binary rerank: stage-2 reads embeddings map-only behind broadcast id/query " +
+      "lists — no shuffle join, no window") {
+    val p = plan("sim_binary_rerank")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    p should not include "Window"
+    p should include("BroadcastHashJoin")
+  }
+
+  test("SCD2 merge: the dimension meets the change batch by broadcast and is " +
+      "scanned once in the join branch") {
+    val p = plan("q_scd2_merge")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("fuzzy edit dedup: candidates join on window fingerprints — no cartesian, " +
+      "no nested loop") {
+    val p = plan("dedup_fuzzy_edit")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
