@@ -41,40 +41,54 @@ object StreamingScd2 {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        Bucketing.recoverCompaction(s, stateTable)
-        if (!s.catalog.tableExists(stateTable))
-          Bucketing.writeBucketed(
-            batch.select($"c_custkey", $"c_nationkey", $"c_acctbal",
-              $"c_mktsegment", lit(0L).as("valid_from")).limit(0),
-            stateTable, "c_custkey", buckets)
-        // last-change-per-key-wins: the CDC contract (change_seq unique
-        // per key within a batch) makes the row_number deterministic;
-        // the window runs over the BATCH, never the state
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"c_custkey").orderBy($"change_seq".desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
-          .select($"c_custkey", $"c_nationkey", $"c_acctbal",
-            $"c_mktsegment", lit(batchId).as("valid_from"))
-          // pinned: feeds the sink AND the fold, and the fold appends
-          // into a table this plan would otherwise re-derive against
-          .localCheckpoint(true)
-        sink(latest)
-        // idempotence guard: a replayed batch re-derives identical
-        // rows stamped with the same valid_from = batchId, so "rows
-        // with this stamp already present" ⟺ "fold already ran".
-        // The probe prunes on valid_from min/max parquet stats —
-        // near-free against any state size.
-        val alreadyFolded =
-          !s.table(stateTable).filter($"valid_from" === batchId).isEmpty
-        if (!alreadyFolded)
-          Bucketing.appendBucketAligned(latest, stateTable)
+        foldBatch(batch.toDF(), batchId, stateTable, buckets, sink)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          Bucketing.compact(s, stateTable)
+          Bucketing.compact(batch.sparkSession, stateTable)
       }
       .start()
+
+  /** One micro-batch's fold — factored out so the replay-idempotence
+    * contract is directly testable: invoking this twice with the same
+    * `batchId` (what a crash between the sink and the checkpoint
+    * commit produces) must leave the version log unchanged on the
+    * second call. */
+  private[streaming] def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      buckets: Int,
+      sink: DataFrame => Unit): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    Bucketing.recoverCompaction(s, stateTable)
+    if (!s.catalog.tableExists(stateTable))
+      Bucketing.writeBucketed(
+        batch.select($"c_custkey", $"c_nationkey", $"c_acctbal",
+          $"c_mktsegment", lit(0L).as("valid_from")).limit(0),
+        stateTable, "c_custkey", buckets)
+    // last-change-per-key-wins: the CDC contract (change_seq unique
+    // per key within a batch) makes the row_number deterministic;
+    // the window runs over the BATCH, never the state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_custkey").orderBy($"change_seq".desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        $"c_mktsegment", lit(batchId).as("valid_from"))
+      // pinned: feeds the sink AND the fold, and the fold appends
+      // into a table this plan would otherwise re-derive against
+      .localCheckpoint(true)
+    sink(latest)
+    // idempotence guard: a replayed batch re-derives identical
+    // rows stamped with the same valid_from = batchId, so "rows
+    // with this stamp already present" ⟺ "fold already ran".
+    // The probe prunes on valid_from min/max parquet stats —
+    // near-free against any state size.
+    val alreadyFolded =
+      !s.table(stateTable).filter($"valid_from" === batchId).isEmpty
+    if (!alreadyFolded)
+      Bucketing.appendBucketAligned(latest, stateTable)
+  }
 
   /** The serving view: reconstruct (valid_to, is_current) from the
     * version log — `valid_to` is the successor version's `valid_from`

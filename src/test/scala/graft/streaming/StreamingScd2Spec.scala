@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -75,6 +76,35 @@ class StreamingScd2Spec extends AnyFunSuite with Matchers {
         (3L, 1L, 9999L, true, "BIKE"))
     } finally {
       q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("a replayed batch leaves the version log unchanged (batch-id idempotence)") {
+    import spark.implicits._
+    val table = "scd2_replay_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val b0 = Seq((1L, 5, 10.0, "AUTO", 1L), (2L, 7, 20.0, "HOME", 2L))
+        .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment",
+          "change_seq")
+      var emissions = 0
+      StreamingScd2.foldBatch(b0, 0L, table, 4, _ => emissions += 1)
+      val after1 = spark.table(table).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).sorted.toSeq
+      // the crash-replay path: same batch, same id, run again
+      StreamingScd2.foldBatch(b0, 0L, table, 4, _ => emissions += 1)
+      val after2 = spark.table(table).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).sorted.toSeq
+      after2 shouldBe after1
+      after2 shouldBe Seq((1L, 0L), (2L, 0L))
+      // emission is at-least-once by contract — the replay re-emits
+      emissions shouldBe 2
+      // a NEW batch id still folds
+      StreamingScd2.foldBatch(b0.withColumn("c_mktsegment", lit("MOVED")),
+        1L, table, 4, _ => ())
+      spark.table(table).count() shouldBe 4L
+    } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
