@@ -1130,5 +1130,64 @@ object TextAnalysis extends QueryPack {
         ORDER BY score_u DESC, doc_id
         LIMIT $BmK"""),
       headline = true),
+
+    // ── character-bigram entropy (compression-proxy quality filter) ──
+    // The entropy/compressibility heuristic of the Dolma/RefinedWeb
+    // filter stacks: machine-generated boilerplate and pathological
+    // repetition compress far better than natural text, and char-bigram
+    // Shannon entropy is the codec-free proxy — H = ln N − (Σ c·ln c)/N
+    // over the doc's bigram counts (N = len−1 bigrams, c = each
+    // distinct bigram's count). All arithmetic is the repo's fixed-
+    // point idiom: each ln rides CAST(round(ln x, 6) AS DECIMAL(20,6))
+    // (the DSIR spelling), products/sums stay exact DECIMAL, the final
+    // division is integer `div` on micro-units — no float association
+    // anywhere, so the score is bit-identical in both engines.
+    // Plan shape: one explode + ONE (doc_id, bigram) map-side-combined
+    // count (the Gopher-battery altitude), one per-doc fold — shuffle
+    // is O(distinct (doc, bigram)), embarrassingly parallel at 100 TB.
+    // A per-row array_sort+fold HOF alternative would avoid the
+    // exchange but runs interpreted per character (the measured reason
+    // the gram operators compile natively instead).
+    "llm_char_entropy" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val bi = Tables.documents(s, d)
+          .filter(length($"text") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, length(text) - 1), " +
+              "i -> substring(text, i, 2))")).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        bi.groupBy($"doc_id")
+          .agg(sum($"c").as("n_bigrams"),
+            count(lit(1)).as("distinct_bigrams"),
+            expr("sum(c * cast(round(ln(cast(c as double)), 6) " +
+              "as decimal(20,6)))").as("sum_clnc"))
+          .select($"doc_id", $"n_bigrams", $"distinct_bigrams",
+            expr("cast((cast(round(ln(cast(n_bigrams as double)), 6) " +
+              "as decimal(20,6)) * n_bigrams - sum_clnc) * 1000000 " +
+              "as bigint) div n_bigrams").as("entropy_u"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, length(text) - 1),
+                   i -> text[i:i+1])) AS bg
+          FROM documents WHERE length(text) >= 2),
+        cnt AS (
+          SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+                 SUM(c * CAST(round(ln(CAST(c AS DOUBLE)), 6)
+                     AS DECIMAL(20,6))) AS sum_clnc
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, distinct_bigrams,
+               CAST((CAST(round(ln(CAST(n_bigrams AS DOUBLE)), 6)
+                     AS DECIMAL(20,6)) * n_bigrams - sum_clnc) * 1000000
+                    AS BIGINT) // n_bigrams AS entropy_u
+        FROM agg
+        ORDER BY doc_id""")),
   )
 }

@@ -143,4 +143,40 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     dupDocs should not be empty
     got.take(dupDocs.size min 3).foreach(r => dupDocs should contain(r._2))
   }
+
+  /** Independent fixed-point recompute of `llm_char_entropy`'s score:
+    * H_micro = (round6(ln N)·N − Σ c·round6(ln c)) · 10^6 div N, all
+    * exact BigDecimal/Long — mirrors the Spark/DuckDB spelling without
+    * either engine's expression machinery. */
+  private def entropyU(text: String): Long = {
+    def d6(x: Double): BigDecimal = BigDecimal.valueOf(math.log(x))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val bgs = text.sliding(2).toSeq
+    val n = bgs.size.toLong
+    val s = bgs.groupBy(identity).values
+      .map(g => BigDecimal(g.size) * d6(g.size.toDouble)).sum
+    ((d6(n.toDouble) * BigDecimal(n) - s) * BigDecimal(1000000))
+      .setScale(0, scala.math.BigDecimal.RoundingMode.FLOOR)
+      .toLongExact / n
+  }
+
+  test("char-bigram entropy matches an independent fixed-point recompute " +
+      "and discriminates repetition from diversity") {
+    // formula truths: repetition scores low, diversity high, constant=0
+    entropyU("aaaaaaaaaa") shouldBe 0L
+    entropyU("abcdefghij") should be > entropyU("ababababab")
+    entropyU("ababababab") should be > entropyU("aaaaaaaaaa")
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 2)
+    val expected = docs.map { case (id, t) =>
+      (id, t.length.toLong - 1, t.sliding(2).toSet.size.toLong, entropyU(t))
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("llm_char_entropy")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+  }
 }
