@@ -1130,7 +1130,65 @@ object Relational extends QueryPack {
                  CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
           FROM dim WHERE c_custkey % 11 = 5)
         SELECT * FROM merged
-        ORDER BY c_custkey, valid_from"""))
+        ORDER BY c_custkey, valid_from""")),
+
+    // ── equi-height column histograms (ANALYZE ... FOR COLUMNS shape) ──
+    // The optimizer-stats maintenance job every warehouse schedules:
+    // per column, an 8-bucket equi-height histogram — bucket row
+    // counts, [lo, hi] envelopes, and per-bucket NDV — the artifact
+    // selectivity estimation and skew detection read. Rides
+    // `globalNtile` (range repartition + rank-by-projection, ZERO
+    // post-sort shuffles — never a single-partition global window),
+    // with (value, l_orderkey, l_linenumber) as the total order so
+    // bucket assignment is deterministic; values ride DECIMAL(12,2)
+    // casts (exact) and surface as DOUBLE per the pack convention.
+    // At 100 TB: one range-sort pass + one map-side-combined aggregate
+    // per column — the same cost as writing the data sorted once.
+    "q_stats_histogram" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        def hist(c: String): DataFrame = {
+          val base = Tables.lineitem(s, d)
+            .select(col(c).cast(DecimalType(12, 2)).cast(DoubleType).as("v"),
+              $"l_orderkey", $"l_linenumber")
+          globalNtile(s, base, 8L,
+              Seq($"v", $"l_orderkey", $"l_linenumber"))
+            .groupBy($"tile")
+            .agg(count(lit(1)).as("n"),
+              min($"v").as("lo"), max($"v").as("hi"),
+              countDistinct($"v").as("ndv"))
+            .select(lit(c).as("column_name"),
+              $"tile".cast(LongType).as("bucket"), $"n", $"lo", $"hi",
+              $"ndv")
+        }
+        hist("l_quantity").unionByName(hist("l_extendedprice"))
+          .orderBy($"column_name", $"bucket")
+      },
+      oracle = Some("""
+        WITH src AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qv,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS pv,
+                 l_orderkey, l_linenumber
+          FROM lineitem),
+        qt AS (
+          SELECT qv AS v, CAST(ntile(8) OVER (
+                   ORDER BY qv, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+          FROM src),
+        pt AS (
+          SELECT pv AS v, CAST(ntile(8) OVER (
+                   ORDER BY pv, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+          FROM src),
+        h AS (
+          SELECT 'l_quantity' AS column_name, bucket, COUNT(*) AS n,
+                 MIN(v) AS lo, MAX(v) AS hi, COUNT(DISTINCT v) AS ndv
+          FROM qt GROUP BY bucket
+          UNION ALL
+          SELECT 'l_extendedprice', bucket, COUNT(*),
+                 MIN(v), MAX(v), COUNT(DISTINCT v)
+          FROM pt GROUP BY bucket)
+        SELECT column_name, bucket, n, lo, hi, ndv
+        FROM h
+        ORDER BY column_name, bucket"""))
   )
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for

@@ -115,4 +115,29 @@ class RelationalSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("q_stats_histogram: equi-height buckets, ordered non-overlapping " +
+      "envelopes, exact row accounting") {
+    val total = graft.Tables.lineitem(spark, sf).count()
+    val rows = graft.SparkEntry.queries("q_stats_histogram")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (colName, hs) =>
+      withClue(s"$colName: ") {
+        hs.length shouldBe 8
+        // equi-height: bucket sizes differ by at most one, sum to total
+        hs.map(_._3).sum shouldBe total
+        (hs.map(_._3).max - hs.map(_._3).min) should be <= 1L
+        // envelopes are internally sane and bucket-ordered: values only
+        // grow along the bucket axis (ties may straddle a boundary)
+        val sorted = hs.sortBy(_._2)
+        sorted.foreach(h => h._4 should be <= h._5)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => a._5 should be <= b._4
+          case _ =>
+        }
+      }
+    }
+  }
 }
