@@ -305,6 +305,95 @@ object Multimodal extends QueryPack {
         SELECT doc_id, g.bin AS bin,
           CAST(len(list_filter(bins, x -> x = g.bin)) AS BIGINT) AS n
         FROM b, (SELECT unnest(generate_series(0, 15)) AS bin) g
-        ORDER BY doc_id, bin"""))
+        ORDER BY doc_id, bin""")),
+
+    // ── activity segmentation over the payload stream (VAD shape) ──
+    // The voice-activity-detection stage of an audio curation pipeline
+    // (segment speech from silence before transcription/filtering),
+    // run on the stand-in payloads with the same unit-extractor seam
+    // as the pHash sketch: unit = codepoint, per-frame "energy" =
+    // Σ (unit − 32)² over non-overlapping 8-unit frames (whitespace =
+    // silence — exactly zero energy), frames ≥ 36000 are active
+    // (between the fixture's p10 and median, so both states occur),
+    // and maximal active runs become segments via the gaps-and-islands
+    // fold (grp = frame − row_number, the `llm_dup_spans` mechanism on
+    // the frame axis). All-integer arithmetic — no float at the oracle
+    // boundary. A codec deployment swaps the unit extractor for PCM
+    // samples / pixel rows and keeps every downstream stage.
+    // Plan shape: one per-unit explode + ONE (doc, frame)
+    // map-side-combined energy sum, one per-doc islands window
+    // (bounded by doc frame count), one per-doc fold — the Gopher
+    // altitude; the native-expression upgrade is the measured path if
+    // this ever turns hot.
+    "mm_energy_segments" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val frames = Tables.documents(s, d)
+          .filter(length($"text") >= 8)
+          .select($"doc_id",
+            expr("cast(length(text) div 8 as bigint)").as("n_frames"),
+            posexplode(expr(
+              "transform(sequence(1, length(text)), " +
+                // long units: a non-BMP codepoint squared overflows INT
+                "i -> cast(ascii(substring(text, i, 1)) as bigint))"))
+              .as(Seq("p", "u")))
+          .filter($"p" < ($"n_frames" * 8)) // full frames only
+          .withColumn("frame", expr("p div 8"))
+          .groupBy($"doc_id", $"n_frames", $"frame")
+          .agg(sum(($"u" - 32L) * ($"u" - 32L)).as("energy"))
+        val active = frames.filter($"energy" >= 36000L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"frame")
+        val segs = active
+          .withColumn("grp", $"frame" - row_number().over(w))
+          .groupBy($"doc_id", $"grp")
+          .agg(count(lit(1)).as("seg_len"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum($"seg_len").as("n_active"),
+            max($"seg_len").as("longest_seg"))
+        frames.groupBy($"doc_id", $"n_frames").agg(count(lit(1)).as("_nf"))
+          .select($"doc_id", $"n_frames")
+          .join(segs, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_frames",
+            coalesce($"n_active", lit(0L)).as("n_active"),
+            coalesce($"n_segments", lit(0L)).as("n_segments"),
+            coalesce($"longest_seg", lit(0L)).as("longest_seg"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 CAST(length(text) // 8 AS BIGINT) AS n_frames,
+                 unnest(generate_series(0, length(text) - 1)) AS p,
+                 unnest(list_transform(generate_series(1, length(text)),
+                   i -> CAST(unicode(text[i:i]) AS BIGINT))) AS un
+          FROM documents WHERE length(text) >= 8),
+        fr AS (
+          SELECT doc_id, n_frames, p // 8 AS frame,
+                 CAST(SUM((un - 32) * (un - 32)) AS BIGINT) AS energy
+          FROM u WHERE p < n_frames * 8
+          GROUP BY doc_id, n_frames, p // 8),
+        act AS (
+          SELECT doc_id, frame,
+                 frame - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame) AS grp
+          FROM fr WHERE energy >= 36000),
+        seg AS (
+          SELECT doc_id, grp, COUNT(*) AS seg_len
+          FROM act GROUP BY doc_id, grp),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(SUM(seg_len) AS BIGINT) AS n_active,
+                 CAST(MAX(seg_len) AS BIGINT) AS longest_seg
+          FROM seg GROUP BY doc_id),
+        docs AS (SELECT DISTINCT doc_id, n_frames FROM fr)
+        SELECT d.doc_id, d.n_frames,
+               COALESCE(p.n_active, 0) AS n_active,
+               COALESCE(p.n_segments, 0) AS n_segments,
+               COALESCE(p.longest_seg, 0) AS longest_seg
+        FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

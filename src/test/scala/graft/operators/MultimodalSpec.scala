@@ -86,4 +86,36 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val pairs = Multimodal.phashPairs(docs).count()
     pairs should be < n / 25
   }
+
+  test("energy segmentation matches a direct single-threaded recompute") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 8)
+    val expected = docs.map { case (id, t) =>
+      val nf = t.length / 8
+      val energies = (0 until nf).map { f =>
+        t.substring(f * 8, f * 8 + 8)
+          .map(c => { val u = c.toLong - 32; u * u }).sum
+      }
+      val active = energies.map(_ >= 36000L)
+      // maximal runs of active frames
+      val runs = active.foldLeft(List.empty[Long]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+          (acc.head + 1) :: acc.tail
+        case (acc, true) => 1L :: acc
+        case (acc, false) if acc.nonEmpty && acc.head > 0 => 0L :: acc
+        case (acc, false) => acc
+      }.filter(_ > 0)
+      (id, nf.toLong, runs.sum, runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.max)
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("mm_energy_segments")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe expected
+    // both states actually occur on the fixture
+    got.exists(r => r._3 < r._2) shouldBe true
+    got.exists(_._4 > 1) shouldBe true
+  }
 }
