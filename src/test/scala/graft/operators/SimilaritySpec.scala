@@ -58,6 +58,15 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     recall("sim_binary_rerank") should be >= 0.60
   }
 
+  test("prefix-dimension rerank clears its recall floor") {
+    // measured 0.68 (sf0.001) / 0.76 (sf0.01) with a 32-dim prefix at
+    // C=50; the floor sits at 0.56 — far above the ~0.10 random
+    // prefilter. On this untrained fixture the prefix carries signal
+    // ∝ dims (16 dims measured 0.44-0.64), which is exactly the case
+    // for a trained-MRL deployment note, not a higher floor.
+    recall("sim_prefix_rerank") should be >= 0.56
+  }
+
   test("aggregator and window top-k forms are row-identical") {
     val agg = graft.SparkEntry.queries("sim_topk_bruteforce")(spark, sf).collect()
     val win = graft.SparkEntry.queries("sim_topk_window")(spark, sf).collect()
