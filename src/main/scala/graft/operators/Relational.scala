@@ -1053,9 +1053,11 @@ object Relational extends QueryPack {
     // versions and keeping full history. The change batch is derived
     // deterministically from the dimension itself (updates: every
     // custkey ≡ 3 (mod 7) moves to segment 'MOVED' with nationkey+1
-    // mod 25; inserts: every custkey ≡ 5 (mod 11) re-keyed +10^7 into
-    // segment 'NEW'), so the oracle re-derives batch and merge from
-    // scratch. c_acctbal passes through bit-unchanged — no float
+    // mod 25; inserts: every custkey ≡ 5 (mod 11) re-keyed past the
+    // dimension's max key into segment 'NEW' — the offset is the
+    // broadcast MAX(c_custkey), not a constant, so synthetic keys can
+    // never collide with real ones at any scale factor), so the
+    // oracle re-derives batch and merge from scratch. c_acctbal passes through bit-unchanged — no float
     // arithmetic at the oracle boundary. valid_to uses the Kimball
     // high-date sentinel (9999) instead of NULL so "open" rows compare
     // deterministically.
@@ -1077,8 +1079,10 @@ object Relational extends QueryPack {
             (($"c_nationkey" + 1) % 25).as("u_nationkey"),
             $"c_acctbal".as("u_acctbal"),
             lit("MOVED").as("u_mktsegment"))
+        val mx = dim.agg(max($"c_custkey").as("mx"))
         val ins = dim.filter($"c_custkey" % 11 === 5)
-          .select(($"c_custkey" + 10000000L).as("c_custkey"),
+          .crossJoin(broadcast(mx))
+          .select(($"c_custkey" + $"mx").as("c_custkey"),
             $"c_nationkey", $"c_acctbal",
             lit("NEW").as("c_mktsegment"),
             lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
@@ -1126,7 +1130,8 @@ object Relational extends QueryPack {
                  CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
           FROM upd
           UNION ALL
-          SELECT c_custkey + 10000000, c_nationkey, c_acctbal, 'NEW',
+          SELECT c_custkey + (SELECT MAX(c_custkey) FROM dim),
+                 c_nationkey, c_acctbal, 'NEW',
                  CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
           FROM dim WHERE c_custkey % 11 = 5)
         SELECT * FROM merged
