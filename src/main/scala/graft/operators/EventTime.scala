@@ -517,6 +517,159 @@ object EventTime extends QueryPack {
           CAST(COALESCE(list_sum(list_transform(matches, m -> length(m))), 0)
                AS BIGINT) AS matched_events
         FROM m
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ── RFM segmentation (recency / frequency / monetary quintiles) ──
+    // The classic customer-analytics operator: per user, days since
+    // last activity, event count, and DECIMAL-exact spend, each cut
+    // into quintiles (bin 1 = best: most recent / most frequent /
+    // highest spend) and fused into the 3-digit RFM segment code.
+    // The quintile cuts ride `Relational.globalNtile` — range
+    // repartition + rank-by-projection with ZERO post-sort shuffles
+    // per dimension — because at 100 TB the per-user frame is itself
+    // huge and a global ntile window would funnel every user through
+    // one partition. Time arithmetic stays in integer µs (recency =
+    // (max_ts − last_ts) div day) so both engines bin identically.
+    "evt_rfm" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d)
+          .select($"user_id", expr("ts div 1000").as("tus"), $"value")
+          .groupBy($"user_id")
+          .agg(max($"tus").as("last_tus"), count(lit(1)).as("n_events"),
+            dsum($"value").as("monetary"))
+        val mx = per.agg(max($"last_tus").as("mxt"))
+        val base = per.crossJoin(broadcast(mx))
+          .withColumn("recency_days", expr(s"(mxt - last_tus) div $DayUs"))
+          .select($"user_id", $"recency_days", $"n_events", $"monetary")
+          .localCheckpoint() // three quintile passes read it
+        val r = Relational.globalNtile(s, base, 5L,
+            Seq($"recency_days", $"user_id"))
+          .withColumnRenamed("tile", "r_bin")
+        val f = Relational.globalNtile(s, r, 5L,
+            Seq($"n_events".desc, $"user_id"))
+          .withColumnRenamed("tile", "f_bin")
+        Relational.globalNtile(s, f, 5L, Seq($"monetary".desc, $"user_id"))
+          .withColumnRenamed("tile", "m_bin")
+          .select($"user_id", $"recency_days", $"n_events", $"monetary",
+            $"r_bin", $"f_bin", $"m_bin",
+            ($"r_bin" * 100 + $"f_bin" * 10 + $"m_bin").as("rfm_segment"))
+          .orderBy($"user_id")
+      },
+      oracle = Some(s"""
+        WITH per AS (
+          SELECT user_id, MAX(epoch_us(ts)) AS last_tus,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+          FROM events GROUP BY user_id),
+        mx AS (SELECT MAX(last_tus) AS mxt FROM per),
+        base AS (
+          SELECT user_id, (mxt - last_tus) // $DayUs AS recency_days,
+                 n_events, monetary
+          FROM per, mx),
+        b AS (
+          SELECT user_id, recency_days, n_events, monetary,
+            CAST(ntile(5) OVER (ORDER BY recency_days, user_id)
+                 AS BIGINT) AS r_bin,
+            CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id)
+                 AS BIGINT) AS f_bin,
+            CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                 AS BIGINT) AS m_bin
+          FROM base)
+        SELECT user_id, recency_days, n_events, monetary,
+               r_bin, f_bin, m_bin,
+               r_bin*100 + f_bin*10 + m_bin AS rfm_segment
+        FROM b
+        ORDER BY user_id""")),
+
+    // ── multi-touch attribution (linear + last-touch models) ──
+    // The marketing-analytics operator that assigns each purchase's
+    // value to the user's preceding view/click touches inside a 48 h
+    // lookback. Expressed ENTIRELY as RANGE-frame windows on the
+    // user partitioning — the as-of join's altitude, no join at all:
+    // per purchase, two conditional counts and two conditional maxes
+    // over RANGE (−48h, −1µs] give the touch census and the
+    // last-touch identity in ONE shuffle on user_id. Credit is exact
+    // integer micro-dollars: the linear model gives views
+    // floor(total·n_views/n_touches) and clicks the REMAINDER (the
+    // deterministic penny-allocation rule, stated, not floated);
+    // last-touch resolves same-µs view/click ties to click
+    // (documented, both engines identical). RANGE frames order by
+    // tus alone (a RANGE frame admits one ordering key); same-µs
+    // touches of the SAME type are indistinguishable under the
+    // frame, which only affects which equal value the max picks —
+    // the output is tie-free either way.
+    "evt_attribution" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val look = 48L * 3600L * 1000000L
+        val ev = Tables.events(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"event_id", $"user_id", expr("ts div 1000").as("tus"),
+            $"event_type", $"value")
+        val w = Window.partitionBy($"user_id").orderBy($"tus")
+          .rangeBetween(-look, -1)
+        ev
+          .withColumn("n_views",
+            count(when($"event_type" === "view", lit(1))).over(w))
+          .withColumn("n_clicks",
+            count(when($"event_type" === "click", lit(1))).over(w))
+          .withColumn("last_view",
+            max(when($"event_type" === "view", $"tus")).over(w))
+          .withColumn("last_click",
+            max(when($"event_type" === "click", $"tus")).over(w))
+          .filter($"event_type" === "purchase")
+          .withColumn("total_u",
+            (dec($"value") * 100).cast(LongType) * 10000L)
+          .withColumn("n_touches", $"n_views" + $"n_clicks")
+          .withColumn("view_credit_u",
+            when($"n_touches" === 0, lit(0L))
+              .otherwise(expr("(total_u * n_views) div n_touches")))
+          .withColumn("click_credit_u",
+            when($"n_touches" === 0, lit(0L))
+              .otherwise($"total_u" - $"view_credit_u"))
+          .withColumn("last_touch",
+            when($"n_touches" === 0, lit("none"))
+              .when(coalesce($"last_click", lit(-1L)) >=
+                coalesce($"last_view", lit(-1L)), lit("click"))
+              .otherwise(lit("view")))
+          .select($"event_id", $"user_id", $"n_views", $"n_clicks",
+            $"total_u", $"view_credit_u", $"click_credit_u", $"last_touch")
+          .orderBy($"event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        win AS (
+          SELECT event_id, user_id, tus, event_type, value,
+            COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER r AS n_views,
+            COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER r AS n_clicks,
+            MAX(CASE WHEN event_type = 'view' THEN tus END) OVER r AS last_view,
+            MAX(CASE WHEN event_type = 'click' THEN tus END) OVER r AS last_click
+          FROM ev
+          WINDOW r AS (PARTITION BY user_id ORDER BY tus
+                       RANGE BETWEEN 172800000000 PRECEDING
+                             AND 1 PRECEDING)),
+        p AS (
+          SELECT event_id, user_id, n_views, n_clicks,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000
+                   AS total_u,
+                 n_views + n_clicks AS n_touches,
+                 last_view, last_click
+          FROM win WHERE event_type = 'purchase')
+        SELECT event_id, user_id, n_views, n_clicks, total_u,
+          CASE WHEN n_touches = 0 THEN 0
+               ELSE (total_u * n_views) // n_touches END AS view_credit_u,
+          CASE WHEN n_touches = 0 THEN 0
+               ELSE total_u - (total_u * n_views) // n_touches END
+            AS click_credit_u,
+          CASE WHEN n_touches = 0 THEN 'none'
+               WHEN COALESCE(last_click, -1) >= COALESCE(last_view, -1)
+                 THEN 'click'
+               ELSE 'view' END AS last_touch
+        FROM p
+        ORDER BY event_id"""))
   )
 }

@@ -70,4 +70,57 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     // non-vacuity: the fixture actually exercises matching
     got.map(_._3).sum should be > 0L
   }
+
+  test("attribution matches a direct recompute; credit conserves exactly") {
+    val look = 48L * 3600L * 1000000L
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "ts div 1000 as tus", "event_type",
+        "cast(cast(value as decimal(12,2)) * 100 as bigint) as cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+      .filter(e => Set("view", "click", "purchase")(e._4))
+    val byUser = evs.groupBy(_._2)
+    val expected = evs.filter(_._4 == "purchase").map { p =>
+      val touches = byUser(p._2).filter(t =>
+        t._4 != "purchase" && t._3 >= p._3 - look && t._3 <= p._3 - 1)
+      val nv = touches.count(_._4 == "view").toLong
+      val nc = touches.count(_._4 == "click").toLong
+      val total = p._5 * 10000L
+      val vc = if (nv + nc == 0) 0L else total * nv / (nv + nc)
+      val cc = if (nv + nc == 0) 0L else total - vc
+      val lv = touches.filter(_._4 == "view").map(_._3)
+        .reduceOption(_ max _).getOrElse(-1L)
+      val lc = touches.filter(_._4 == "click").map(_._3)
+        .reduceOption(_ max _).getOrElse(-1L)
+      val lt = if (nv + nc == 0) "none" else if (lc >= lv) "click" else "view"
+      (p._1, p._2, nv, nc, total, vc, cc, lt)
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("evt_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    got shouldBe expected
+    // every touched purchase conserves credit to the micro-dollar
+    got.filter(r => r._3 + r._4 > 0)
+      .foreach(r => r._6 + r._7 shouldBe r._5)
+    // all three last-touch classes occur on the fixture
+    got.map(_._8).distinct.toSet shouldBe Set("view", "click", "none")
+  }
+
+  test("RFM bins are quintiles over the per-user frame with exact accounting") {
+    val got = graft.SparkEntry.queries("evt_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val users = got.length
+    // every bin column is a quintile partition: sizes within 1
+    Seq(1, 2, 3).foreach { bi =>
+      val sizes = got.groupBy(_.productElement(bi)).values.map(_.size)
+      sizes.size shouldBe 5
+      (sizes.max - sizes.min) should be <= 1
+      sizes.sum shouldBe users
+    }
+    // segment code composes the three bins
+    got.foreach(r => r._5 shouldBe r._2 * 100 + r._3 * 10 + r._4)
+  }
 }
