@@ -63,6 +63,11 @@ object Dedup extends QueryPack {
     * both branches exercised. */
   private val FuzzyPermille = 50
 
+  /** Sorted-neighborhood window width (positional successors compared
+    * per record). Declared BEFORE the queries Map: the oracle SQL
+    * interpolates it at Map-initialization time. */
+  private val SnWindow = 10
+
 
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tokens", tokensCol)
@@ -1441,7 +1446,194 @@ object Dedup extends QueryPack {
         FROM v
         WHERE lev * 1000 <= max_len * $FuzzyPermille
         ORDER BY doc_a, doc_b""")),
+
+    // ── EXACT set-similarity join via prefix filtering (AllPairs /
+    //    PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08) ──
+    // The third candidate-generation family in the pack, and the only
+    // sub-quadratic one that is EXACT: LSH banding (minhash/simhash)
+    // trades recall for speed; posting-list intersection
+    // (dedup_ngram_jaccard_banded) is exact but must touch every
+    // shared-token pair. Prefix filtering keeps exactness while
+    // joining only on each set's RAREST tokens: under a global
+    // canonical token order (ascending document frequency, then
+    // fingerprint), any pair with Jaccard ≥ τ must share a token
+    // within the first |x| − ⌈τ·|x|⌉ + 1 tokens of each side — so the
+    // equality join runs over prefixes whose tokens are by
+    // construction the lowest-df in the corpus (shortest posting
+    // lists), plus the τ·|a| ≤ |b| ≤ |a|/τ length filter. The DuckDB
+    // oracle is the UNFILTERED quadratic ground truth, so the hash
+    // match is a per-round proof that the filter is LOSSLESS — zero
+    // false negatives, with the exact verify supplying zero false
+    // positives. τ = 1/2 keeps every bound integer-exact (⌈n/2⌉ =
+    // (n+1) div 2; J ≥ 1/2 ⟺ 3·inter ≥ n1+n2): no float at any
+    // decision boundary.
+    // Scale shape: df is one vocabulary-sized aggregate; the per-doc
+    // canonical sort is a window bounded by document length; the
+    // candidate join's fan-out is Σ over prefix tokens of
+    // posting-len², minimized by rarest-first ordering — the measured
+    // reason AllPairs beats banding on high-τ workloads. Verify ships
+    // fps arrays for candidate pairs only.
+    "dedup_prefix_filter_join" -> QueryDef(
+      fn = (s, d) => prefixFilterJoin(s, d),
+      oracle = Some(prefixFilterSql),
+      headline = true),
+
+    // ── sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95
+    //    merge/purge) ──
+    // The fourth candidate-generation family: sort the corpus ONCE by
+    // a domain key that co-locates likely duplicates — here
+    // (lang, n_chars, doc_id), the same signal the blocked Jaccard
+    // face exploits — then compare each record only against its w
+    // positional successors. Candidate count is EXACTLY n·w (linear,
+    // data-independent — the property LSH banding and prefix filtering
+    // cannot promise under skew), at the price of key-bounded recall;
+    // production systems run multiple passes with different keys.
+    // The global rank is [[Relational.globalRank]]: range sort + a
+    // broadcast offset projection, ZERO post-sort shuffles, and the
+    // ±w adjacency join is an EQUALITY join on the rank's div-w block
+    // (each right row tagged into its own and the previous block, ≤2×
+    // replication) — never a range-condition nested loop. The oracle
+    // re-runs rank → window → verify in SQL, so the hash match checks
+    // the distributed rank arithmetic end to end.
+    "dedup_sorted_neighborhood" -> QueryDef(
+      fn = (s, d) => sortedNeighborhoodPairs(s, d, SnWindow),
+      oracle = Some(sortedNeighborhoodSql),
+      headline = false),
   )
+
+  /** The merge/purge pipeline behind `dedup_sorted_neighborhood`:
+    * global rank by (lang, n_chars, doc_id) → ±w positional candidates
+    * via the block-equality join → exact shingle-Jaccard verify at the
+    * weak 0.05 grade. Exposed for DedupSpec. */
+  private[operators] def sortedNeighborhoodPairs(
+      s: SparkSession, d: String, w: Int): DataFrame = {
+    import s.implicits._
+    val ranked = Relational.globalRank(s,
+        Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars"),
+        Seq($"lang", $"n_chars", $"doc_id"))
+      .select($"doc_id", $"rk")
+      .localCheckpoint(true) // both sides of the adjacency join
+    val left = ranked.select($"doc_id".as("doc_a"), $"rk".as("rka"),
+      expr(s"rk div $w").as("blk"))
+    val right = ranked.select($"doc_id".as("doc_b"), $"rk".as("rkb"),
+      explode(array(expr(s"rk div $w"), expr(s"rk div $w - 1"))).as("blk"))
+    val cand = left.join(right,
+        Seq("blk"))
+      .filter($"rkb" - $"rka" >= 1 && $"rkb" - $"rka" <= w)
+      .select($"doc_a", $"doc_b", ($"rkb" - $"rka").as("dist"))
+    val fps = fpsOf(Tables.documents(s, d))
+      .filter(size($"fps") > 0)
+      .withColumn("n", size($"fps").cast(LongType))
+      .localCheckpoint(true)
+    cand
+      .join(fps.select($"doc_id".as("doc_a"), $"fps".as("fps1"),
+        $"n".as("n1")), Seq("doc_a"))
+      .join(fps.select($"doc_id".as("doc_b"), $"fps".as("fps2"),
+        $"n".as("n2")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect($"fps1", $"fps2")).cast(LongType))
+      .withColumn("jaccard",
+        $"inter".cast(DoubleType) /
+          ($"n1" + $"n2" - $"inter").cast(DoubleType))
+      .filter($"jaccard" >= 0.05)
+      .select($"doc_a", $"doc_b", $"dist", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle for `dedup_sorted_neighborhood`: the rank → ±w window →
+    * exact-Jaccard verify pipeline restated in SQL (the blocking is
+    * deterministic — (lang, n_chars, doc_id) is a total order — so the
+    * candidate set itself is engine-reproducible). */
+  private lazy val sortedNeighborhoodSql: String = s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS tokens FROM documents),
+        sh AS (
+          SELECT doc_id, $shinglesSql AS sh FROM toks),
+        nz AS (
+          SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+          FROM sh WHERE len(sh) > 0),
+        rk AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS rk
+          FROM documents),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(b.rk - a.rk AS BIGINT) AS dist
+          FROM rk a JOIN rk b ON b.rk - a.rk BETWEEN 1 AND $SnWindow),
+        v AS (
+          SELECT c.doc_a, c.doc_b, c.dist,
+                 CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 CAST(x.n + y.n - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   AS jaccard
+          FROM cand c
+          JOIN nz x ON x.doc_id = c.doc_a
+          JOIN nz y ON y.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, dist, jaccard
+        FROM v WHERE jaccard >= 0.05
+        ORDER BY doc_a, doc_b"""
+
+  /** The AllPairs/PPJoin pipeline behind `dedup_prefix_filter_join` at
+    * τ = 1/2 (near-duplicate grade). Exposed for DedupSpec's
+    * lossless-vs-quadratic and planted-pair gates. */
+  private[operators] def prefixFilterJoin(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // (doc_id, fps, n): distinct shingle fingerprints + set size.
+    // Checkpointed once; feeds the posting explode and both verify
+    // sides.
+    val docs = fpsOf(Tables.documents(s, d))
+      .filter(size($"fps") > 0)
+      .withColumn("n", size($"fps").cast(LongType))
+      .localCheckpoint(true)
+    val posts = docs.select($"doc_id", $"n", explode($"fps").as("fp"))
+    // document frequency — the canonical-order key (vocabulary-sized)
+    val dfs = posts.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"fp")
+    // rarest-first rank within each doc; prefix keeps the first
+    // n − ⌈n/2⌉ + 1 tokens (integer-exact at τ = 1/2)
+    val prefix = posts.join(dfs, Seq("fp"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" <= expr("n - (n + 1) div 2 + 1"))
+      .select($"doc_id", $"n", $"fp")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id" &&
+          // length filter: τ·max ≤ min ⟺ n_a ≤ 2·n_b ∧ n_b ≤ 2·n_a
+          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc1"), $"fps".as("fps1"),
+        $"n".as("n1")), Seq("doc1"))
+      .join(docs.select($"doc_id".as("doc2"), $"fps".as("fps2"),
+        $"n".as("n2")), Seq("doc2"))
+      .withColumn("inter",
+        size(array_intersect($"fps1", $"fps2")).cast(LongType))
+      .filter($"inter" * 3 >= $"n1" + $"n2") // J ≥ 1/2, integer-exact
+      .select($"doc1", $"doc2",
+        ($"inter".cast(DoubleType) /
+          ($"n1" + $"n2" - $"inter").cast(DoubleType)).as("jaccard"))
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Ground-truth oracle for `dedup_prefix_filter_join`: the UNFILTERED
+    * quadratic Jaccard join over shingle string sets (no lang/length
+    * blocking — the prefix filter must reproduce it exactly). */
+  private lazy val prefixFilterSql: String = s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS tokens FROM documents),
+        sh AS (
+          SELECT doc_id, $shinglesSql AS sh FROM toks),
+        nz AS (
+          SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+          FROM sh WHERE len(sh) > 0)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(a.n + b.n - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE 3 * len(list_intersect(a.sh, b.sh)) >= a.n + b.n
+        ORDER BY doc1, doc2"""
 
   /** The pipeline behind `dedup_fuzzy_edit`, on any (doc_id, text)
     * frame: 8-token window fingerprints (distinct per doc) →

@@ -670,6 +670,58 @@ object EventTime extends QueryPack {
                  THEN 'click'
                ELSE 'view' END AS last_touch
         FROM p
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── per-user OLS trend as an exact rational (least-squares slope) ──
+    // The per-entity trend feature (is this user's metric rising or
+    // falling?) computed WITHOUT a single floating-point operation:
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = minutes since
+    // 2024-01-01 (the slope is shift-invariant; the epoch shift only
+    // keeps magnitudes BIGINT-safe) and y = value in exact centi-units
+    // (the evt_anomaly idiom). Numerator and denominator are emitted as
+    // the exact rational — consumers divide at whatever precision they
+    // need; no cross-engine float-sum ordering can ever drift the
+    // hash. ONE map-side-combined groupBy (five sufficient statistics
+    // per user); the moment combination runs in DECIMAL(38,0) and the
+    // final cast to BIGINT is ANSI-loud if a larger deployment ever
+    // overflows it (then: coarsen x to hours / y to whole units — the
+    // statistics are unit-scaled, not algorithm-changed).
+    "evt_trend_ols" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val ev = Tables.events(s, d).select($"user_id",
+          (expr("(ts div 1000) div 60000000") - 28401120L).cast(big).as("x"),
+          (dec($"value") * 100).cast(LongType).cast(big).as("y"))
+        ev.groupBy($"user_id").agg(
+            count(lit(1)).as("n_events"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+          .select($"user_id", $"n_events",
+            ($"n_events".cast(big) * $"sxy" - $"sx" * $"sy")
+              .cast(LongType).as("slope_num"),
+            ($"n_events".cast(big) * $"sx2" - $"sx" * $"sx")
+              .cast(LongType).as("slope_den"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) // 60000000 - 28401120 AS HUGEINT) AS x,
+                 CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS HUGEINT) AS y
+          FROM events),
+        m AS (
+          SELECT user_id, COUNT(*) AS n_events,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sx2
+          FROM ev GROUP BY user_id)
+        SELECT user_id, n_events,
+               CAST(CAST(n_events AS HUGEINT) * sxy - sx * sy AS BIGINT)
+                 AS slope_num,
+               CAST(CAST(n_events AS HUGEINT) * sx2 - sx * sx AS BIGINT)
+                 AS slope_den
+        FROM m
+        ORDER BY user_id"""))
   )
 }

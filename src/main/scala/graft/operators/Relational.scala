@@ -68,6 +68,41 @@ object Relational extends QueryPack {
     * silently replace (and corrupt) a caller column of the same name —
     * `withColumn` overwrites on collision; only the `tile` output may
     * not pre-exist, enforced loudly. */
+  /** Distributed GLOBAL 0-based rank: input rows plus an `rk` column
+    * equal to `row_number() OVER (ORDER BY sortCols) - 1` — the same
+    * zero-post-sort-shuffle mechanism as [[globalNtile]] (range
+    * repartition → per-partition counts on the driver → broadcast
+    * offsets → pure projection), exposing the RANK itself for
+    * operators that need positional adjacency (sorted-neighborhood
+    * blocking, windowed merges) rather than bucket membership.
+    * `sortCols` must be a total order (unique tiebreak) or ranks of
+    * tied rows are nondeterministic. */
+  private[operators] def globalRank(
+      s: SparkSession, df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    import s.implicits._
+    require(!df.columns.contains("rk"),
+      "globalRank: input already has an 'rk' column — rename it first")
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .withColumn("__gr_ridx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(true)
+    val counts = sorted.groupBy($"__gr_pid").agg(count(lit(1)).as("cnt"))
+      .orderBy($"__gr_pid").collect()
+    require(counts.forall(_.getLong(1) < (1L << 33)),
+      s"globalRank: a range partition exceeds 2^33 rows and would wrap " +
+        s"the record index — raise the partition count above $parts")
+    val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+      .toDF("__gr_pid", "__gr_off")
+    sorted.join(broadcast(offsetDf), Seq("__gr_pid"))
+      .withColumn("rk", $"__gr_ridx" + $"__gr_off")
+      .drop("__gr_pid", "__gr_ridx", "__gr_off")
+  }
+
   private[operators] def globalNtile(
       s: SparkSession, df: DataFrame, k: Long, sortCols: Seq[Column]): DataFrame = {
     import s.implicits._
@@ -1193,7 +1228,192 @@ object Relational extends QueryPack {
           FROM pt GROUP BY bucket)
         SELECT column_name, bucket, n, lo, hi, ndv
         FROM h
-        ORDER BY column_name, bucket"""))
+        ORDER BY column_name, bucket""")),
+
+    // ── snapshot diff (CDC derivation between two table versions) ──
+    // The inverse of q_scd2_merge: SCD2 APPLIES a change stream; this
+    // DERIVES one by comparing two full snapshots — the Delta-style
+    // change-data-feed computation a pipeline runs when the upstream
+    // can't emit its own CDC. new = a deterministic mutation of orders
+    // (delete keys ≡ 0 mod 97, re-price keys ≡ 0 mod 89, insert a
+    // collision-free twin for keys ≡ 0 mod 83 — same idiom as
+    // q_scd2_merge's batch), so both engines construct identical
+    // snapshots. The diff is ONE co-partitioned full-outer join on the
+    // key with column-level IS DISTINCT FROM comparison — at 100 TB
+    // both sides shuffle-hash on o_orderkey (or better, both snapshots
+    // live bucketed on the key and the join is exchange-free); no
+    // broadcast, no row-hash collision risk. Unchanged rows are
+    // dropped BEFORE the sort, so the output is change-sized.
+    "q_snapshot_diff" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val old = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .localCheckpoint(true) // old snapshot + the mutation derive from one scan
+        val neu = old.filter($"o_orderkey" % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 89 === 0, $"o_totalprice" + 1000.0)
+              .otherwise($"o_totalprice"))
+          .unionByName(old.filter($"o_orderkey" % 83 === 0)
+            .select(($"o_orderkey" + lit(1000000000L)).as("o_orderkey"),
+              $"o_orderstatus", lit(0.0).as("o_totalprice")))
+        old.as("a").join(neu.as("b"),
+            $"a.o_orderkey" === $"b.o_orderkey", "full_outer")
+          .withColumn("change_type",
+            when($"b.o_orderkey".isNull, lit("D"))
+              .when($"a.o_orderkey".isNull, lit("I"))
+              .when(!($"a.o_totalprice" <=> $"b.o_totalprice") ||
+                !($"a.o_orderstatus" <=> $"b.o_orderstatus"), lit("U")))
+          .filter($"change_type".isNotNull)
+          .select(coalesce($"a.o_orderkey", $"b.o_orderkey").as("o_orderkey"),
+            $"change_type",
+            $"a.o_totalprice".as("old_price"),
+            $"b.o_totalprice".as("new_price"))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        neu AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM old WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_orderstatus, 0.0
+          FROM old WHERE o_orderkey % 83 = 0)
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'D'
+                    WHEN a.o_orderkey IS NULL THEN 'I'
+                    ELSE 'U' END AS change_type,
+               a.o_totalprice AS old_price,
+               b.o_totalprice AS new_price
+        FROM old a FULL OUTER JOIN neu b ON a.o_orderkey = b.o_orderkey
+        WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+           OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+           OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+        ORDER BY o_orderkey""")),
+
+    // ── distributed triangle counting (oriented wedge join) ──
+    // The "curse of the last reducer" algorithm (Suri &
+    // Vassilvitskii, WWW'11): orient every edge of the co-purchase
+    // graph (parts sharing an order, built from ONE lineitem
+    // self-join) from its lower-(degree, id) endpoint to the higher —
+    // then each triangle is discovered exactly once, as a wedge at its
+    // LOWEST vertex, and the wedge join's per-vertex fan-out is
+    // C(outdeg, 2) with outdeg = O(√m) by the orientation argument,
+    // instead of C(deg, 2) = quadratic at hub vertices. Three
+    // equality joins (wedge + closing edge), no window, no driver
+    // materialization; the per-node credit explode is 3 rows per
+    // triangle. The oracle re-runs the same orientation in SQL, so
+    // the hash checks the degree arithmetic and the closing-edge
+    // orientation invariant (the closing edge always runs from the
+    // (deg, id)-smaller endpoint — compared as a struct, not raw id).
+    "q_triangle_count" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+          .localCheckpoint(true) // degree agg + both orientation joins
+        val deg = edges.select($"u".as("n")).unionByName(
+            edges.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("dg"))
+        val oe = edges
+          .join(deg.select($"n".as("u"), $"dg".as("du")), Seq("u"))
+          .join(deg.select($"n".as("v"), $"dg".as("dv")), Seq("v"))
+          .select(
+            when(struct($"du", $"u") < struct($"dv", $"v"), $"u")
+              .otherwise($"v").as("s"),
+            when(struct($"du", $"u") < struct($"dv", $"v"),
+              struct($"dv".as("td"), $"v".as("tn")))
+              .otherwise(struct($"du".as("td"), $"u".as("tn"))).as("t"))
+          .localCheckpoint(true) // wedge (twice) + closing edge
+        val tri = oe.as("w1").join(oe.as("w2"),
+            $"w1.s" === $"w2.s" && $"w1.t" < $"w2.t")
+          .join(oe.as("e3"),
+            $"e3.s" === $"w1.t.tn" && $"e3.t" === $"w2.t")
+          .select($"w1.s".as("a"), $"w1.t.tn".as("b"), $"w2.t.tn".as("c"))
+        tri.select(explode(array($"a", $"b", $"c")).as("part"))
+          .groupBy($"part").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy($"tri_cnt".desc, $"part")
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT n, COUNT(*) AS dg FROM (
+            SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+          GROUP BY n),
+        oe AS (
+          SELECT CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v)
+                      THEN e0.u ELSE e0.v END AS s,
+                 CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v)
+                      THEN dv.dg ELSE du.dg END AS td,
+                 CASE WHEN (du.dg, e0.u) < (dv.dg, e0.v)
+                      THEN e0.v ELSE e0.u END AS t
+          FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+        tri AS (
+          SELECT w1.s AS a, w1.t AS b, w2.t AS c
+          FROM oe w1 JOIN oe w2
+            ON w1.s = w2.s AND (w1.td, w1.t) < (w2.td, w2.t)
+          JOIN oe e3 ON e3.s = w1.t AND e3.t = w2.t),
+        credit AS (
+          SELECT a AS part FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT part, COUNT(*) AS tri_cnt
+        FROM credit GROUP BY part
+        ORDER BY tri_cnt DESC, part
+        LIMIT 20""")),
+
+    // ── 2-D skyline (Pareto frontier) ──
+    // Parts no other part weakly dominates on (p_retailprice,
+    // p_size): q dominates p iff q.price ≤ p.price ∧ q.size ≤ p.size
+    // with at least one strict. The oracle is the DEFINITION (a
+    // quadratic NOT EXISTS); the Spark plan is the sort-based 2-D
+    // skyline: group to one (price, min_size) row per distinct price —
+    // a corpus-sized map-side-combined aggregate — then a running
+    // strict-prefix minimum over the price-sorted DISTINCT-PRICE table
+    // (vocabulary-sized, the c1 rule: the window runs over thousands
+    // of prices, never the row table), broadcast back. A row survives
+    // iff it holds its price group's min size AND beats every cheaper
+    // price's min — the hash match proves the windowed plan equal to
+    // the dominance definition, ties kept on both sides.
+    "q_skyline_2d" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val p = Tables.part(s, d)
+          .select($"p_partkey", $"p_retailprice", $"p_size")
+        val pm = p.groupBy($"p_retailprice")
+          .agg(min($"p_size").as("ms"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"p_retailprice")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val front = pm.withColumn("pref_min", min($"ms").over(w))
+        p.join(broadcast(front), Seq("p_retailprice"))
+          .filter($"p_size" === $"ms" &&
+            ($"pref_min".isNull || $"p_size" < $"pref_min"))
+          .select($"p_partkey", $"p_retailprice", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      oracle = Some("""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size <= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size < a.p_size))
+        ORDER BY p_partkey"""))
   )
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for

@@ -1189,5 +1189,97 @@ object TextAnalysis extends QueryPack {
                     AS BIGINT) // n_bigrams AS entropy_u
         FROM agg
         ORDER BY doc_id""")),
+
+    // ── interpolated Kneser–Ney bigram surprisal (the KenLM filter) ──
+    // llm_bigram_surprisal interpolates against the raw unigram
+    // distribution; production LM-based quality filters (KenLM /
+    // CCNet's perplexity gate) use Kneser–Ney, whose backoff weights
+    // CONTINUATION counts instead: P(w2|w1) = (c(w1w2) − D)/h(w1) +
+    // (D·N1+(w1·)/h(w1)) · N1+(·w2)/T, with h(w1) the bigram-history
+    // count, N1+(w1·)/N1+(·w2) the distinct-successor/-predecessor
+    // counts, T the distinct bigram types, and D = 0.75 (exactly 3/4
+    // in binary — no literal drift). "san francisco" makes
+    // "francisco" common but a poor NOVEL continuation — exactly what
+    // continuation counts encode and raw-frequency backoff misses.
+    // All model statistics are integer aggregates of the ONE bigram
+    // count table (three vocabulary-sized reductions of c2 — never a
+    // second corpus pass); scoring is the corpus-sized equality join
+    // back, with the ln rounded to 6 digits before the decimal sum
+    // (the pack's ulp rule). Scored bigrams always have c ≥ 1, so the
+    // max(c−D, 0) clamp never truncates and the probability is
+    // strictly positive.
+    "llm_kn_surprisal" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", $"tokens")
+          .localCheckpoint()
+        val big = graft.functions.TextTokens.materialized(
+            toks.filter(size($"tokens") >= 2)
+              .select($"doc_id", expr(
+                """transform(sequence(1, size(tokens) - 1), i ->
+                     struct(tokens[i-1] AS w1, tokens[i] AS w2))""").as("bs")))
+          .select($"doc_id", explode($"bs").as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+          .localCheckpoint()
+        // the single bigram-type table; all four model statistics
+        // derive from it (h, Nfw per w1; Nbw per w2; T global)
+        val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+          .localCheckpoint()
+        val h = c2.groupBy($"w1").agg(
+          sum($"c2").as("h"), count(lit(1)).as("nfw"))
+        val bw = c2.groupBy($"w2").agg(count(lit(1)).as("nbw"))
+        val t = c2.agg(count(lit(1)).as("t"))
+        big
+          .join(c2, Seq("w1", "w2"))
+          .join(h, Seq("w1"))
+          .join(bw, Seq("w2"))
+          .crossJoin(broadcast(t))
+          .withColumn("p",
+            ($"c2".cast(DoubleType) - lit(0.75)) / $"h".cast(DoubleType) +
+              (lit(0.75) * $"nfw".cast(DoubleType) / $"h".cast(DoubleType)) *
+                ($"nbw".cast(DoubleType) / $"t".cast(DoubleType)))
+          .withColumn("surprisal",
+            round(-log($"p"), 6).cast(DecimalType(20, 6)))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum($"surprisal").cast(DoubleType).as("sum_surprisal"))
+          .withColumn("mean_kn_surprisal",
+            round($"sum_surprisal" / $"n_bigrams", 6))
+          .select($"doc_id", $"n_bigrams", $"mean_kn_surprisal")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(tokens[1:len(tokens)-1]) AS w1,
+                 unnest(tokens[2:len(tokens)]) AS w2
+          FROM toks WHERE len(tokens) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        h AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS h, COUNT(*) AS nfw
+              FROM c2 GROUP BY w1),
+        bw AS (SELECT w2, COUNT(*) AS nbw FROM c2 GROUP BY w2),
+        t AS (SELECT COUNT(*) AS t FROM c2),
+        sc AS (
+          SELECT bg.doc_id,
+            CAST(round(-ln(
+              (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(h.h AS DOUBLE) +
+              (0.75 * CAST(h.nfw AS DOUBLE) / CAST(h.h AS DOUBLE)) *
+                (CAST(bw.nbw AS DOUBLE) / CAST(t.t AS DOUBLE))
+            ), 6) AS DECIMAL(20,6)) AS surprisal
+          FROM bg
+          JOIN c2 USING (w1, w2)
+          JOIN h USING (w1)
+          JOIN bw USING (w2)
+          CROSS JOIN t)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(SUM(surprisal) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_kn_surprisal
+        FROM sc GROUP BY doc_id
+        ORDER BY doc_id""")),
   )
 }

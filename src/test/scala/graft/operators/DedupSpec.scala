@@ -321,4 +321,47 @@ class DedupSpec extends AnyFunSuite with Matchers {
     a.mkString shouldBe base
     b.mkString shouldBe shifted
   }
+
+  /** (doc_id -> distinct shingle fp set) collected for brute-force
+    * verification of the candidate-generation operators. */
+  private def fpSets(sfDir: String): Map[Long, Set[Long]] =
+    Dedup.fpsOf(graft.Tables.documents(spark, sfDir))
+      .filter(org.apache.spark.sql.functions.size(col("fps")) > 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+  test("prefix-filter join is LOSSLESS: equals the full quadratic Jaccard join at tau=1/2") {
+    val fps = fpSets(sf)
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      inter = (fps(i) & fps(j)).size
+      if 3L * inter >= fps(i).size + fps(j).size // J >= 1/2
+    } yield (i, j)).toSet
+    val got = rowsOf("dedup_prefix_filter_join")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    got shouldBe expected
+    // non-vacuous at this SF: the fixture contains near-duplicates
+    expected should not be empty
+  }
+
+  test("sorted-neighborhood pairs equal the rank-window candidate set verified at 0.05") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ranked = docs.sortBy { case (id, lang, n) => (lang, n, id) }
+      .map(_._1).zipWithIndex
+    val fps = fpSets(sf)
+    val expected = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb - ra >= 1 && rb - ra <= 10
+      fa <- fps.get(a); fb <- fps.get(b)
+      inter = (fa & fb).size
+      if inter * 20L >= fa.size + fb.size - inter // J >= 0.05
+    } yield (a, b, (rb - ra).toLong)).toSet
+    val got = rowsOf("dedup_sorted_neighborhood")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long])).toSet
+    got shouldBe expected
+  }
 }

@@ -398,4 +398,40 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("prefix-filter join: prefix-token equality joins only — no cartesian, " +
+      "no nested loop") {
+    val p = plan("dedup_prefix_filter_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("sorted-neighborhood: the ±w adjacency is a block-EQUALITY join — no " +
+      "cartesian, no nested loop, no range join") {
+    val p = plan("dedup_sorted_neighborhood")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("triangle count: wedge + closing edge are equality joins — no cartesian, " +
+      "no nested loop") {
+    val p = plan("q_triangle_count")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("snapshot diff: one co-partitioned full-outer join on the key — no " +
+      "broadcast of a snapshot-sized side") {
+    val p = plan("q_snapshot_diff")
+    p should include("FullOuter")
+    p should not include "BroadcastHashJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("per-user OLS trend: one map-side-combined aggregate, no window, no join") {
+    val p = plan("evt_trend_ols")
+    p should not include "Window"
+    p should not include "Join"
+    p should include("partial_sum")
+  }
 }

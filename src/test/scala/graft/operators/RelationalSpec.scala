@@ -142,4 +142,78 @@ class RelationalSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("q_skyline_2d equals the brute-force dominance definition") {
+    val parts = graft.Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qs) =>
+        qr <= pr && qs <= sz && (qr < pr || qs < sz)
+      }
+    }.map(_._1).toSet
+    val got = graft.SparkEntry.queries("q_skyline_2d")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe expected
+    expected should not be empty
+  }
+
+  test("q_triangle_count equals a brute-force per-node triangle census") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val credit = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (u, v) <- edges
+      w <- adj(u) if w > v && adj(v).contains(w)
+    } {
+      credit(u) += 1; credit(v) += 1; credit(w) += 1
+    }
+    val expected = credit.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    val got = graft.SparkEntry.queries("q_triangle_count")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    expected.map(_._2).sum should be > 0L
+  }
+
+  test("evt_trend_ols slope rational matches a BigInt recompute") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "(ts div 1000) div 60000000 - 28401120 as x",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val expected = rows.groupBy(_._1).map { case (u, g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sx2 = g.map(t => t._2 * t._2).sum
+      (u, g.length.toLong, (n * sxy - sx * sy).toLong, (n * sx2 - sx * sx).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_trend_ols")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+    // denominators are nonnegative by Cauchy-Schwarz; a user with
+    // events at distinct times has a strictly positive one
+    got.map(_._4).min should be >= 0L
+  }
+
+  test("q_snapshot_diff classifies every mutated key and nothing else") {
+    val got = graft.SparkEntry.queries("q_snapshot_diff")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val keys = graft.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      if (k % 97 == 0) got.get(k) shouldBe Some("D")
+      else if (k % 89 == 0) got.get(k) shouldBe Some("U")
+      else got.get(k) shouldBe None
+      if (k % 83 == 0) // inserts derive from OLD before the delete filter
+        got.get(k + 1000000000L) shouldBe Some("I")
+    }
+    got.values.toSet shouldBe Set("D", "U", "I")
+  }
 }
