@@ -722,6 +722,100 @@ object EventTime extends QueryPack {
                CAST(CAST(n_events AS HUGEINT) * sx2 - sx * sx AS BIGINT)
                  AS slope_den
         FROM m
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ── time-series resampling onto a daily grid (gap-fill with
+    //    exact linear interpolation) ──
+    // The regularization step before any fixed-step model consumes an
+    // irregular event stream: for each user, a midnight-aligned daily
+    // grid spanning their observed range, each grid point linearly
+    // interpolated between its bracketing observations. The classic
+    // "interleave and fill" plan: union data points + grid points,
+    // ONE per-user ordered window pass carrying the last observation
+    // forward (prev) and the next observation backward — never a
+    // per-grid-point as-of join (which would be G joins) and never a
+    // range join. Interpolation is the weighted-average form
+    // (y₁·(t₂−t) + y₂·(t−t₁)) div (t₂−t₁) in centi-unit integers:
+    // every operand is NONNEGATIVE (values are positive, the grid
+    // point lies inside [t₁,t₂]), so truncating and flooring division
+    // coincide and Spark's `div` matches DuckDB's `//` exactly. Grid
+    // points before a user's first or after their last observation
+    // have no bracket and are dropped (interpolation, not
+    // extrapolation). Simultaneous readings collapse to MAX first so
+    // both engines bracket identical point sets.
+    "evt_resample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val DayUs = 86400000000L
+        val pts = Tables.events(s, d)
+          .select($"user_id", expr("ts div 1000").as("tus"),
+            (dec($"value") * 100).cast(LongType).as("yv"))
+          .groupBy($"user_id", $"tus").agg(max($"yv").as("y"))
+          .localCheckpoint(true) // grid-range agg + the union branch
+        val grid = pts.groupBy($"user_id").agg(
+            expr(s"min(tus) div $DayUs").as("d0"),
+            expr(s"max(tus) div $DayUs").as("d1"))
+          .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+        val u = pts.select($"user_id", $"tus".as("tskey"),
+            lit(0).as("ord"), $"tus".as("dts"), $"y".as("dy"),
+            lit(null).cast(LongType).as("day"))
+          .unionByName(grid.select($"user_id",
+            ($"day" * DayUs).as("tskey"), lit(1).as("ord"),
+            lit(null).cast(LongType).as("dts"),
+            lit(null).cast(LongType).as("dy"), $"day"))
+        val wPrev = Window.partitionBy($"user_id")
+          .orderBy($"tskey", $"ord")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy($"user_id")
+          .orderBy($"tskey", $"ord")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        u.withColumn("pt", last($"dts", ignoreNulls = true).over(wPrev))
+          .withColumn("py", last($"dy", ignoreNulls = true).over(wPrev))
+          .withColumn("nt", first($"dts", ignoreNulls = true).over(wNext))
+          .withColumn("ny", first($"dy", ignoreNulls = true).over(wNext))
+          .filter($"ord" === 1 && $"pt".isNotNull && $"nt".isNotNull)
+          .select($"user_id", $"day",
+            expr("(py * (nt - tskey) + ny * (tskey - pt)) div (nt - pt)")
+              .as("y_interp"))
+          .orderBy($"user_id", $"day")
+      },
+      oracle = Some("""
+        WITH pts AS (
+          SELECT user_id, epoch_us(ts) AS tus,
+                 MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+          FROM events GROUP BY user_id, epoch_us(ts)),
+        rng AS (
+          SELECT user_id, MIN(tus) // 86400000000 AS d0,
+                 MAX(tus) // 86400000000 AS d1
+          FROM pts GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM rng),
+        u AS (
+          SELECT user_id, tus AS tskey, 0 AS ord, tus AS dts, y AS dy,
+                 NULL::BIGINT AS day
+          FROM pts
+          UNION ALL
+          SELECT user_id, day * 86400000000, 1, NULL, NULL, day FROM grid),
+        w AS (
+          SELECT user_id, tskey, ord, day,
+            last_value(dts IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY tskey, ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+            last_value(dy IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY tskey, ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+            first_value(dts IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY tskey, ord
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+            first_value(dy IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY tskey, ord
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny
+          FROM u)
+        SELECT user_id, day,
+               (py * (nt - tskey) + ny * (tskey - pt)) // (nt - pt)
+                 AS y_interp
+        FROM w
+        WHERE ord = 1 AND pt IS NOT NULL AND nt IS NOT NULL
+        ORDER BY user_id, day"""))
   )
 }

@@ -1413,7 +1413,84 @@ object Relational extends QueryPack {
             AND b.p_size <= a.p_size
             AND (b.p_retailprice < a.p_retailprice
                  OR b.p_size < a.p_size))
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ── item-item collaborative filtering (co-occurrence cosine) ──
+    // "Customers who bought X also bought Y": project the bipartite
+    // customer×part purchase graph onto items and rank neighbors by
+    // cosine over co-purchase counts — sim(i,j) = co(i,j)/√(nᵢ·nⱼ),
+    // the classic item-based CF of Sarwar et al. (WWW'01) /
+    // Amazon's item-to-item paper (Linden et al. 2003). Baskets come
+    // from ONE orders⋈lineitem join; the co-occurrence self-join
+    // fans out C(basket,2) pairs per customer — bounded by basket
+    // size², the quantity that stays small as the CATALOG and
+    // CUSTOMER dimensions grow (a pathological whale account routes
+    // through the salting/block-pair primitives like any hot key).
+    // co ≥ 2 prunes coincidence pairs before ranking; top-3 per item
+    // is a per-item window over the item's own candidate list (each
+    // partition = one item's neighbors, never the catalog). The
+    // cosine is √ of an exact integer product, rounded at 9 — the
+    // embedding-cosine determinism contract.
+    "q_item_cf" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val baskets = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"l_partkey".as("item"))
+          .distinct()
+          .localCheckpoint(true) // item counts + both co-join sides
+        val ni = baskets.groupBy($"item").agg(count(lit(1)).as("n"))
+        val co = baskets.as("a").join(baskets.as("b"),
+            $"a.cust" === $"b.cust" && $"a.item" < $"b.item")
+          .groupBy($"a.item".as("i"), $"b.item".as("j"))
+          .agg(count(lit(1)).as("co"))
+          .filter($"co" >= 2)
+        val sym = co.select($"i", $"j", $"co")
+          .unionByName(co.select($"j".as("i"), $"i".as("j"), $"co"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"i").orderBy($"cos".desc, $"j")
+        sym
+          .join(ni.select($"item".as("i"), $"n".as("ni")), Seq("i"))
+          .join(ni.select($"item".as("j"), $"n".as("nj")), Seq("j"))
+          .withColumn("cos",
+            round($"co".cast(DoubleType) /
+              sqrt(($"ni" * $"nj").cast(DoubleType)), 9))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter($"rnk" <= 3)
+          .select($"i".as("item"), $"rnk", $"j".as("neighbor"),
+            $"co", $"cos")
+          .orderBy($"item", $"rnk")
+      },
+      oracle = Some("""
+        WITH baskets AS (
+          SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        ni AS (SELECT item, COUNT(*) AS n FROM baskets GROUP BY item),
+        co AS (
+          SELECT a.item AS i, b.item AS j, COUNT(*) AS co
+          FROM baskets a JOIN baskets b
+            ON a.cust = b.cust AND a.item < b.item
+          GROUP BY a.item, b.item
+          HAVING COUNT(*) >= 2),
+        sym AS (
+          SELECT i, j, co FROM co
+          UNION ALL
+          SELECT j, i, co FROM co),
+        scored AS (
+          SELECT sym.i AS item, sym.j AS neighbor, sym.co,
+                 round(CAST(sym.co AS DOUBLE) /
+                   sqrt(CAST(ni.n * nj.n AS DOUBLE)), 9) AS cos
+          FROM sym
+          JOIN ni ON ni.item = sym.i
+          JOIN ni nj ON nj.item = sym.j)
+        SELECT item, rnk, neighbor, co, cos FROM (
+          SELECT item, neighbor, co, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY item
+                      ORDER BY cos DESC, neighbor) AS BIGINT) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+        ORDER BY item, rnk"""))
   )
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for

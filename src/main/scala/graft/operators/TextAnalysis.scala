@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,6 +60,86 @@ object TextAnalysis extends QueryPack {
 
   /** Documents returned by the BM25 ranking. */
   private val BmK = 10
+
+  /** Per-document integer BM25 scores for [[BmQueryTerms]] — the
+    * pipeline behind `llm_bm25_topk`, factored out so the hybrid
+    * RRF fusion (`llm_hybrid_rrf`) ranks with EXACTLY the same
+    * arithmetic. Returns (doc_id, score_u). */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens).as("term"))
+    val dl = Tables.documents(s, d)
+      .select($"doc_id", size(tokens).cast(LongType).as("dl"))
+      .filter($"dl" >= 1)
+      .localCheckpoint() // feeds the stats aggregate AND the score join
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sumdl"))
+      .withColumn("avg_u",
+        expr("(sumdl div n_docs) * 1000000 + " +
+          "((sumdl % n_docs) * 1000000) div n_docs"))
+    val tf = toks.filter($"term".isin(BmQueryTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df AND the per-doc score
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select($"term",
+        expr("cast(round(ln((2.0*n_docs + 2.0)/(2.0*df + 1.0)), 6) " +
+          "as decimal(20,6))").as("idf_d6"))
+    tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select($"avg_u")))
+      .withColumn("r_u", expr("(dl * 1000000) div avg_u"))
+      .withColumn("den", lit(10000000L) * $"tf" + lit(3000000L) +
+        lit(9L) * $"r_u")
+      .withColumn("ratio_u",
+        expr("(cast(22000000 * tf as decimal(38,0)) * 1000000) div den"))
+      .groupBy($"doc_id")
+      .agg(expr("cast(floor(sum(idf_d6 * ratio_u)) as bigint)")
+        .as("score_u"))
+  }
+
+  /** The BM25 oracle CTE chain up to `scored` (doc_id, score_u) —
+    * shared by `llm_bm25_topk` and `llm_hybrid_rrf` so the two
+    * rankings can never diverge in SQL either. */
+  private val Bm25ScoredCtes: String = s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        dl AS (
+          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+          FROM toks WHERE len(tokens) >= 1),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sumdl
+          FROM dl),
+        st AS (
+          SELECT n_docs, sumdl,
+                 (sumdl // n_docs) * 1000000 +
+                   ((sumdl % n_docs) * 1000000) // n_docs AS avg_u
+          FROM stats),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM t
+          WHERE term IN ($BmQueryTermsSql)
+          GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        idf AS (
+          SELECT term,
+                 CAST(round(ln((2.0*st.n_docs + 2.0)/(2.0*df + 1.0)), 6)
+                      AS DECIMAL(20,6)) AS idf_d6
+          FROM dfq, st),
+        scored AS (
+          SELECT tf.doc_id,
+            CAST(FLOOR(SUM(idf.idf_d6 *
+              ((CAST(22000000 * tf.tf AS HUGEINT) * 1000000) //
+               (10000000 * tf.tf + 3000000 +
+                9 * ((dl.dl * 1000000) // st.avg_u))))) AS BIGINT) AS score_u
+          FROM tf
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN idf ON idf.term = tf.term
+          CROSS JOIN st
+          GROUP BY tf.doc_id)"""
 
   /** Maximal cross-document duplicated spans over a (doc_id, text)
     * frame — the Lee et al. 2022 exact-substring removal operator
@@ -1044,39 +1124,8 @@ object TextAnalysis extends QueryPack {
     "llm_bm25_topk" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val terms = BmQueryTerms
-        val toks = Tables.documents(s, d)
-          .select($"doc_id", explode(tokens).as("term"))
-        val dl = Tables.documents(s, d)
-          .select($"doc_id", size(tokens).cast(LongType).as("dl"))
-          .filter($"dl" >= 1)
-          .localCheckpoint() // feeds the stats aggregate AND the score join
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sumdl"))
-          .withColumn("avg_u",
-            expr("(sumdl div n_docs) * 1000000 + " +
-              "((sumdl % n_docs) * 1000000) div n_docs"))
-        val tf = toks.filter($"term".isin(terms: _*))
-          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-          .localCheckpoint() // feeds df AND the per-doc score
-        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        val idf = dfreq.crossJoin(broadcast(stats))
-          .select($"term",
-            expr("cast(round(ln((2.0*n_docs + 2.0)/(2.0*df + 1.0)), 6) " +
-              "as decimal(20,6))").as("idf_d6"))
         val topk = udaf(new graft.functions.TopKAggregator(BmK))
-        val scored = tf
-          .join(dl, Seq("doc_id"))
-          .join(broadcast(idf), Seq("term"))
-          .crossJoin(broadcast(stats.select($"avg_u")))
-          .withColumn("r_u", expr("(dl * 1000000) div avg_u"))
-          .withColumn("den", lit(10000000L) * $"tf" + lit(3000000L) +
-            lit(9L) * $"r_u")
-          .withColumn("ratio_u",
-            expr("(cast(22000000 * tf as decimal(38,0)) * 1000000) div den"))
-          .groupBy($"doc_id")
-          .agg(expr("cast(floor(sum(idf_d6 * ratio_u)) as bigint)")
-            .as("score_u"))
-        scored
+        bm25Scored(s, d)
           .groupBy()
           .agg(topk($"score_u".cast(DoubleType), $"doc_id").as("top"))
           .select(posexplode(arrays_zip($"top.scores", $"top.ids"))
@@ -1087,49 +1136,96 @@ object TextAnalysis extends QueryPack {
           .orderBy($"rnk")
       },
       oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
-          FROM documents),
-        dl AS (
-          SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
-          FROM toks WHERE len(tokens) >= 1),
-        stats AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 CAST(SUM(dl) AS BIGINT) AS sumdl
-          FROM dl),
-        st AS (
-          SELECT n_docs, sumdl,
-                 (sumdl // n_docs) * 1000000 +
-                   ((sumdl % n_docs) * 1000000) // n_docs AS avg_u
-          FROM stats),
-        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
-        tf AS (
-          SELECT doc_id, term, COUNT(*) AS tf FROM t
-          WHERE term IN ($BmQueryTermsSql)
-          GROUP BY doc_id, term),
-        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        idf AS (
-          SELECT term,
-                 CAST(round(ln((2.0*st.n_docs + 2.0)/(2.0*df + 1.0)), 6)
-                      AS DECIMAL(20,6)) AS idf_d6
-          FROM dfq, st),
-        scored AS (
-          SELECT tf.doc_id,
-            CAST(FLOOR(SUM(idf.idf_d6 *
-              ((CAST(22000000 * tf.tf AS HUGEINT) * 1000000) //
-               (10000000 * tf.tf + 3000000 +
-                9 * ((dl.dl * 1000000) // st.avg_u))))) AS BIGINT) AS score_u
-          FROM tf
-          JOIN dl ON dl.doc_id = tf.doc_id
-          JOIN idf ON idf.term = tf.term
-          CROSS JOIN st
-          GROUP BY tf.doc_id)
+        $Bm25ScoredCtes
         SELECT CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
                  AS BIGINT) AS rnk, doc_id, score_u
         FROM scored
         ORDER BY score_u DESC, doc_id
         LIMIT $BmK"""),
       headline = true),
+
+    // ── hybrid retrieval: BM25 ⊕ dense-vector ranking fused by RRF ──
+    // The modern search-serving shape: a lexical ranking (the exact
+    // integer BM25 above, via [[bm25Scored]] — shared code AND shared
+    // oracle CTEs, so the two surfaces can never drift) and a dense
+    // ranking (cosine against a query vector — here vec_id 0's
+    // embedding, docs and vectors sharing the id space) each produce
+    // a top-k; Reciprocal Rank Fusion (Cormack et al., SIGIR'09)
+    // combines them with score Σ 1/(60 + rank). The fusion runs in
+    // exact integer micro-units (10¹² div (60+r)) — rank arithmetic
+    // needs no floats. Both top-k's ride the bounded-buffer
+    // TopKAggregator (≤k rows cross each shuffle); the fuse join is
+    // k-row × k-row. The dense face is the brute-force scan at
+    // fixture scale — a deployment swaps in the IVF/PQ index
+    // (sim_ann_ivfpq) for the candidate set without touching the
+    // fusion; the single-row query-vector broadcast is the
+    // coordinator-probe pattern.
+    "llm_hybrid_rrf" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions
+        val topkL = udaf(new graft.functions.TopKAggregator(BmK))
+        val topkV = udaf(new graft.functions.TopKAggregator(BmK))
+        val lexTop = bm25Scored(s, d)
+          .groupBy()
+          .agg(topkL($"score_u".cast(DoubleType), $"doc_id").as("top"))
+          .select(posexplode(arrays_zip($"top.scores", $"top.ids"))
+            .as(Seq("i", "pair")))
+          .select(($"i" + 1).cast(LongType).as("lex_rnk"),
+            $"pair.ids".as("doc_id"))
+        val q = Tables.embeddings(s, d).filter($"vec_id" === 0)
+          .select(VectorFunctions.toDoubleArray($"embedding").as("qemb"))
+        val vecTop = Tables.embeddings(s, d).filter($"vec_id" =!= 0)
+          .select($"vec_id", VectorFunctions.toDoubleArray($"embedding").as("emb"))
+          .crossJoin(broadcast(q))
+          .select($"vec_id",
+            round(VectorFunctions.cosine($"emb", $"qemb"), 9).as("cos"))
+          .groupBy()
+          .agg(topkV($"cos", $"vec_id").as("top"))
+          .select(posexplode(arrays_zip($"top.scores", $"top.ids"))
+            .as(Seq("i", "pair")))
+          .select(($"i" + 1).cast(LongType).as("vec_rnk"),
+            $"pair.ids".as("doc_id"))
+        lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_u",
+            coalesce(expr("1000000000000 div (60 + lex_rnk)"), lit(0L)) +
+              coalesce(expr("1000000000000 div (60 + vec_rnk)"), lit(0L)))
+          .select($"doc_id", $"lex_rnk", $"vec_rnk", $"rrf_u")
+          .orderBy($"rrf_u".desc, $"doc_id")
+      },
+      oracle = Some(s"""
+        $Bm25ScoredCtes,
+        lt AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+                   AS BIGINT) AS lex_rnk
+          FROM scored
+          ORDER BY score_u DESC, doc_id
+          LIMIT $BmK),
+        q AS (
+          SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0),
+        ce AS (
+          SELECT vec_id,
+            round(
+              list_sum(list_transform(generate_series(1, len(emb)),
+                i -> emb[i] * qemb[i])) /
+              (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+               sqrt(list_sum(list_transform(qemb, x -> x*x)))), 9) AS cos
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+                FROM embeddings WHERE vec_id <> 0)
+          CROSS JOIN q),
+        vt AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                   AS BIGINT) AS vec_rnk
+          FROM ce
+          ORDER BY cos DESC, vec_id
+          LIMIT $BmK)
+        SELECT COALESCE(lt.doc_id, vt.doc_id) AS doc_id,
+               lt.lex_rnk, vt.vec_rnk,
+               COALESCE(1000000000000 // (60 + lex_rnk), 0) +
+               COALESCE(1000000000000 // (60 + vec_rnk), 0) AS rrf_u
+        FROM lt FULL OUTER JOIN vt ON lt.doc_id = vt.doc_id
+        ORDER BY rrf_u DESC, doc_id""")),
 
     // ── character-bigram entropy (compression-proxy quality filter) ──
     // The entropy/compressibility heuristic of the Dolma/RefinedWeb

@@ -123,4 +123,34 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     // segment code composes the three bins
     got.foreach(r => r._5 shouldBe r._2 * 100 + r._3 * 10 + r._4)
   }
+
+  test("evt_resample equals a per-user scalar interpolation recompute") {
+    val DayUs = 86400000000L
+    val pts = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000 as tus",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(p => (p._1, p._2)).map { case ((u, t), g) =>
+        (u, t, g.map(_._3).max) }.toSeq
+    val expected = pts.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.map(p => (p._2, p._3)).sortBy(_._1)
+      val (d0, d1) = (sorted.head._1 / DayUs, sorted.last._1 / DayUs)
+      (d0 to d1).flatMap { day =>
+        val t = day * DayUs
+        val prev = sorted.filter(_._1 <= t).lastOption
+        val next = sorted.find(_._1 > t)
+        // a data point exactly AT the grid instant brackets from the
+        // left (prev), and the right bracket must be strictly later
+        (prev, next) match {
+          case (Some((t1, y1)), Some((t2, y2))) =>
+            Some((u, day, (y1 * (t2 - t) + y2 * (t - t1)) / (t2 - t1)))
+          case _ => None
+        }
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.SparkEntry.queries("evt_resample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    expected should not be empty
+  }
 }

@@ -434,4 +434,28 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "Join"
     p should include("partial_sum")
   }
+
+  test("item CF: co-occurrence joins on customer equality — no cartesian, " +
+      "no nested loop") {
+    val p = plan("q_item_cf")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("resample: interleave-and-fill runs JOIN-FREE — one union + per-user " +
+      "window passes, never per-grid-point as-of joins") {
+    val p = plan("evt_resample")
+    p should not include "Join"
+    p should include("Window")
+    p should include("Union")
+  }
+
+  test("hybrid RRF: both rankings ride the bounded top-k aggregator, and the " +
+      "fuse join is k-row-sized — no full-candidate window sort") {
+    val p = plan("llm_hybrid_rrf")
+    p should not include "CartesianProduct"
+    // rankings come from the TopKAggregator posexplode, never a
+    // row_number window over the full candidate set
+    p should not include "Window"
+  }
 }

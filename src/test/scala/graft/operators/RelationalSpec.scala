@@ -216,4 +216,32 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     }
     got.values.toSet shouldBe Set("D", "U", "I")
   }
+
+  test("q_item_cf equals a brute-force co-occurrence cosine recompute") {
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ni = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = baskets.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    val sym = co.toSeq.flatMap { case ((i, j), c) => Seq((i, j, c), (j, i, c)) }
+    val expected = sym.groupBy(_._1).flatMap { case (i, g) =>
+      g.map { case (_, j, c) =>
+        val cos = BigDecimal(c.toDouble / math.sqrt((ni(i) * ni(j)).toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (j, c, cos)
+      }.sortBy(t => (-t._3, t._1)).take(3).zipWithIndex
+        .map { case ((j, c, cos), k) => (i, (k + 1).toLong, j, c, cos) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.SparkEntry.queries("q_item_cf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    got shouldBe expected
+    expected should not be empty
+  }
 }

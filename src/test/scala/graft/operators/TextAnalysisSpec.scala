@@ -179,4 +179,29 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       .toSeq
     got shouldBe expected
   }
+
+  test("hybrid RRF fuses exactly the BM25 top-k ranks and integer RRF arithmetic") {
+    val bm = graft.SparkEntry.queries("llm_bm25_topk")(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap // doc -> rnk
+    val rows = graft.SparkEntry.queries("llm_hybrid_rrf")(spark, sf)
+      .collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3))
+      }
+    // the lexical side of the fusion IS the BM25 query's ranking
+    rows.flatMap(r => r._2.map(r._1 -> _)).toMap shouldBe bm
+    // both sides contribute a full top-k
+    rows.count(_._2.isDefined) shouldBe bm.size
+    rows.count(_._3.isDefined) shouldBe bm.size
+    // the fused score is the exact integer RRF of the two ranks
+    rows.foreach { case (_, lex, vec, rrf) =>
+      val exp = lex.map(r => 1000000000000L / (60 + r)).getOrElse(0L) +
+        vec.map(r => 1000000000000L / (60 + r)).getOrElse(0L)
+      rrf shouldBe exp
+    }
+    // output is sorted by fused score desc (doc asc on ties)
+    rows.map(_._4).toSeq shouldBe rows.map(_._4).sortBy(-_).toSeq
+  }
 }
