@@ -93,6 +93,66 @@ object CorpusAssembly extends QueryPack {
 
   private val baseQueries: Map[String, QueryDef] = Map(
 
+    // ── data-quality constraint audit (single-pass, Deequ shape) ──
+    // The admission gate a corpus build runs before any curation step
+    // (Schelter et al., VLDB 2018, "Automating Large-Scale Data
+    // Quality Verification"): six declarative constraints —
+    // completeness, key uniqueness, derived-column consistency,
+    // categorical domain, value range, non-emptiness — evaluated in
+    // ONE aggregation pass over the table (the conditional counts all
+    // share the scan; the distinct key count rides the same
+    // aggregate), then unpivoted to the long (check, num, den,
+    // passed) audit report. Every metric is an exact integer pair, so
+    // the report is bit-identical across engines. The language
+    // allowlist is deliberately narrower than the data, so the audit
+    // demonstrates a FAILING constraint row (zh docs) instead of a
+    // vacuous all-green. 100 TB shape: one map-side-combined scan
+    // folding to a single row — the distinct-count expand doubles map
+    // output but the exchange carries only per-key partials — and the
+    // stack unpivot of that row is free.
+    "llm_dq_audit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).agg(
+            count(lit(1)).as("n_rows"),
+            count($"text").as("c_complete"),
+            countDistinct($"doc_id").as("c_unique"),
+            count(when($"n_chars" === length($"text"), 1)).as("c_consistent"),
+            count(when($"lang".isin("en", "de", "fr", "es"), 1)).as("c_lang"),
+            count(when($"n_chars".between(1L, 100000L), 1)).as("c_range"),
+            count(when(length($"text") > 0, 1)).as("c_nonempty"))
+          .select(expr("""stack(6,
+              'completeness_text',   c_complete,   n_rows,
+              'uniqueness_doc_id',   c_unique,     n_rows,
+              'consistency_n_chars', c_consistent, n_rows,
+              'domain_lang',         c_lang,       n_rows,
+              'range_n_chars',       c_range,      n_rows,
+              'nonempty_text',       c_nonempty,   n_rows)
+            AS (check_name, num, den)"""))
+          .withColumn("passed", $"num" === $"den")
+          .orderBy($"check_name")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT COUNT(*) AS n_rows,
+                 COUNT(text) AS c_complete,
+                 COUNT(DISTINCT doc_id) AS c_unique,
+                 COUNT(*) FILTER (n_chars = length(text)) AS c_consistent,
+                 COUNT(*) FILTER (lang IN ('en','de','fr','es')) AS c_lang,
+                 COUNT(*) FILTER (n_chars BETWEEN 1 AND 100000) AS c_range,
+                 COUNT(*) FILTER (length(text) > 0) AS c_nonempty
+          FROM documents),
+        long AS (
+          SELECT 'completeness_text' AS check_name, c_complete AS num,
+                 n_rows AS den FROM m
+          UNION ALL SELECT 'uniqueness_doc_id', c_unique, n_rows FROM m
+          UNION ALL SELECT 'consistency_n_chars', c_consistent, n_rows FROM m
+          UNION ALL SELECT 'domain_lang', c_lang, n_rows FROM m
+          UNION ALL SELECT 'range_n_chars', c_range, n_rows FROM m
+          UNION ALL SELECT 'nonempty_text', c_nonempty, n_rows FROM m)
+        SELECT check_name, num, den, num = den AS passed
+        FROM long ORDER BY check_name""")),
+
     // ── sequence packing: concatenate-and-chunk into fixed token
     //    budgets (how pretraining batches are actually laid out) ──
     // Each language's token stream (docs in doc_id order) is cut into

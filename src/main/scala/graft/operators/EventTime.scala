@@ -816,6 +816,64 @@ object EventTime extends QueryPack {
                  AS y_interp
         FROM w
         WHERE ord = 1 AND pt IS NOT NULL AND nt IS NOT NULL
-        ORDER BY user_id, day"""))
+        ORDER BY user_id, day""")),
+
+    // ── exponentially weighted smoothing (truncated EWMA) ──
+    // The denoising pass before thresholding/trend logic on a metric
+    // stream: per-user exponential smoothing at alpha = 1/2, truncated
+    // at 8 taps (the tail weight below 2^-8 is under 0.4% of the
+    // estimate). Weights are EXACT powers of two in integer units
+    // (tap i carries 2^(7-i)), so the smoothed value is the rational
+    // smooth_num / smooth_den emitted as two exact BIGINTs — no
+    // floating recurrence, no cross-engine drift, and series heads
+    // (fewer than 8 observations) renormalize by construction because
+    // missing taps contribute to neither sum. ONE window pass per
+    // user computes all 8 lags (a single sort, codegen'd projection);
+    // the classic sequential EWMA recurrence cannot parallelize, the
+    // truncated form is embarrassingly parallel at any scale.
+    "evt_ewma" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val ev = Tables.events(s, d).select($"user_id", $"event_id",
+          expr("ts div 1000").as("tus"),
+          (dec($"value") * 100).cast(LongType).as("y"))
+        val taps = (0 to 7).map { i =>
+          val wgt = 1L << (7 - i)
+          val lv = if (i == 0) $"y" else lag($"y", i).over(w)
+          (coalesce(lv * wgt, lit(0L)),
+            when(lv.isNotNull, lit(wgt)).otherwise(lit(0L)))
+        }
+        ev.select($"user_id", $"event_id",
+            taps.map(_._1).reduce(_ + _).as("smooth_num"),
+            taps.map(_._2).reduce(_ + _).as("smooth_den"))
+          .orderBy($"user_id", $"event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        l AS (
+          SELECT user_id, event_id, y,
+                 LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2,
+                 LAG(y, 3) OVER w AS y3, LAG(y, 4) OVER w AS y4,
+                 LAG(y, 5) OVER w AS y5, LAG(y, 6) OVER w AS y6,
+                 LAG(y, 7) OVER w AS y7
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        SELECT user_id, event_id,
+               128 * y + COALESCE(64 * y1, 0) + COALESCE(32 * y2, 0)
+                 + COALESCE(16 * y3, 0) + COALESCE(8 * y4, 0)
+                 + COALESCE(4 * y5, 0) + COALESCE(2 * y6, 0)
+                 + COALESCE(y7, 0) AS smooth_num,
+               128 + CASE WHEN y1 IS NULL THEN 0 ELSE 64 END
+                 + CASE WHEN y2 IS NULL THEN 0 ELSE 32 END
+                 + CASE WHEN y3 IS NULL THEN 0 ELSE 16 END
+                 + CASE WHEN y4 IS NULL THEN 0 ELSE 8 END
+                 + CASE WHEN y5 IS NULL THEN 0 ELSE 4 END
+                 + CASE WHEN y6 IS NULL THEN 0 ELSE 2 END
+                 + CASE WHEN y7 IS NULL THEN 0 ELSE 1 END AS smooth_den
+        FROM l ORDER BY user_id, event_id"""))
   )
 }

@@ -142,6 +142,81 @@ object Relational extends QueryPack {
       .drop("__gn_pid", "__gn_ridx", "__gn_off", "__gn_rank0")
   }
 
+  /** PER-GROUP distributed ntile with zero post-sort shuffles — the
+    * grouped sibling of [[globalNtile]]. A window
+    * `ntile() OVER (PARTITION BY grp ORDER BY ...)` funnels each
+    * group through ONE task, so a handful of large groups (languages,
+    * tenants) serializes the whole job; here the data is range-
+    * partitioned on (grp, sortCols) — a group spans as many partitions
+    * as its size demands — and ranks are reconstructed from
+    * per-(partition, group) extents: `cnt` and the first record index
+    * `fst` of each group slice, collected once, turned into running
+    * in-group offsets on the driver, and broadcast back so the tile is
+    * a pure projection. Driver materialization is O(partitions +
+    * distinct groups) — the slice list, NOT the data; the loud cap
+    * below keeps that contract honest. `grp` must name a string
+    * column; `sortCols` must total-order rows WITHIN a group (unique
+    * tiebreak) or ties land in either tile. Per-group tile widths
+    * follow the SQL NTILE contract (first `total mod k` tiles get the
+    * extra row). */
+  private[operators] def groupNtile(
+      s: SparkSession, df: DataFrame, k: Long, grp: String,
+      sortCols: Seq[Column]): DataFrame = {
+    import s.implicits._
+    require(!df.columns.contains("tile"),
+      "groupNtile: input already has a 'tile' column — rename it first")
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val keys = col(grp) +: sortCols
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__gq_pid", spark_partition_id())
+      .withColumn("__gq_ridx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(true)
+    val ext = sorted.groupBy($"__gq_pid", col(grp).as("__gq_grp"))
+      .agg(count(lit(1)).as("cnt"), min($"__gq_ridx").as("fst"))
+      .orderBy($"__gq_pid", $"__gq_grp").collect()
+    require(ext.forall(_.getLong(2) < (1L << 33)),
+      s"groupNtile: a range partition exceeds 2^33 rows and would wrap " +
+        s"the record index — raise the partition count above $parts")
+    require(ext.length <= (1 << 20),
+      "groupNtile: over 1M (partition, group) slices — the driver-side " +
+        "extent list assumes O(partitions + groups) stays small; this " +
+        "grouping is too fine for the ntile mechanism")
+    // per-group totals, then per-slice running offsets in (pid) order
+    val totals = ext.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val offsets = scala.collection.mutable.Map.empty[String, Long]
+    val sliceRows = ext.map { r =>
+      val (pid, g, cnt, fst) =
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val off = offsets.getOrElse(g, 0L)
+      offsets(g) = off + cnt
+      val total = totals(g)
+      val q = total / k
+      val rem = total % k
+      (pid, g, fst, off, q, rem, (q + 1) * rem)
+    }.toSeq
+    val sliceDf = sliceRows.toDF(
+      "__gq_pid", "__gq_grp", "__gq_fst", "__gq_off",
+      "__gq_q", "__gq_r", "__gq_cut")
+    sorted
+      .join(broadcast(sliceDf),
+        sorted("__gq_pid") === sliceDf("__gq_pid") &&
+          col(grp) === sliceDf("__gq_grp"))
+      .drop(sliceDf("__gq_pid"))
+      .withColumn("__gq_rank0", $"__gq_ridx" - $"__gq_fst" + $"__gq_off")
+      .withColumn("tile",
+        when($"__gq_rank0" < $"__gq_cut",
+          expr("__gq_rank0 div (__gq_q + 1)") + 1L)
+          .otherwise(
+            expr("(__gq_rank0 - __gq_cut) div greatest(__gq_q, 1)")
+              + $"__gq_r" + 1L))
+      .drop("__gq_pid", "__gq_ridx", "__gq_grp", "__gq_fst", "__gq_off",
+        "__gq_q", "__gq_r", "__gq_cut", "__gq_rank0")
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── TPC-H Q1 analog: full-scan aggregate with exact decimal math ──

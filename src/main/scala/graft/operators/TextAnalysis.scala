@@ -791,6 +791,82 @@ object TextAnalysis extends QueryPack {
         FROM s GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ── CCNet-style per-language perplexity bucketing ──
+    // The head/middle/tail split CCNet (Wenzek et al. 2020) cuts each
+    // language into by LM perplexity terciles — the curation knob that
+    // keeps "low perplexity" from meaning "looks like English". The
+    // per-doc score is the unigram-surprisal chain in EXACT fixed
+    // point (decimal sum of 6-digit-quantized ln terms, floored to
+    // micro-units per token — every operand nonnegative, so floor and
+    // truncate agree across engines); terciles are PER LANGUAGE via
+    // [[Relational.groupNtile]] — range-partitioned on (lang, score),
+    // so a dominant language spans many partitions instead of
+    // funneling through one window task, with zero post-sort shuffles
+    // and driver state O(partitions + languages). Output is the
+    // (lang, bucket) census with exact score envelopes.
+    "llm_perplexity_buckets" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", $"lang", explode($"tokens").as("term"))
+          .localCheckpoint()
+        val counts = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum($"c").as("n_total"))
+        val scored = toks.join(counts, Seq("term"))
+          .crossJoin(broadcast(total))
+          .withColumn("surprisal",
+            round(log($"n_total".cast(DoubleType) / $"c"), 6)
+              .cast(DecimalType(20, 6)))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum($"surprisal").as("sum_s"))
+          .withColumn("mean_micro",
+            expr("cast(sum_s * 1000000 as bigint) div n_tokens"))
+          .select($"doc_id", $"lang", $"mean_micro")
+        Relational.groupNtile(s, scored, 3L, "lang",
+            Seq($"mean_micro", $"doc_id"))
+          .groupBy($"lang", $"tile".as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min($"mean_micro").as("min_score"),
+            max($"mean_micro").as("max_score"))
+          .orderBy($"lang", $"bucket")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        t AS (SELECT doc_id, lang, unnest(tokens) AS term FROM toks),
+        c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_total FROM t),
+        sd AS (
+          SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+                 SUM(CAST(round(ln(CAST(n.n_total AS DOUBLE) / c.c), 6)
+                     AS DECIMAL(20,6))) AS sum_s
+          FROM t JOIN c USING (term) CROSS JOIN n
+          GROUP BY t.doc_id, t.lang),
+        scored AS (
+          SELECT lang, doc_id,
+                 CAST(sum_s * 1000000 AS BIGINT) // n_tokens AS mean_micro
+          FROM sd),
+        r AS (
+          SELECT lang, mean_micro,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY mean_micro, doc_id) - 1 AS rank0,
+                 COUNT(*) OVER (PARTITION BY lang) AS total
+          FROM scored),
+        b AS (
+          SELECT lang, mean_micro,
+            CASE WHEN rank0 < ((total // 3) + 1) * (total % 3)
+                 THEN rank0 // ((total // 3) + 1) + 1
+                 ELSE (rank0 - ((total // 3) + 1) * (total % 3))
+                      // greatest(total // 3, 1) + (total % 3) + 1
+            END AS bucket
+          FROM r)
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+               MIN(mean_micro) AS min_score, MAX(mean_micro) AS max_score
+        FROM b GROUP BY lang, bucket
+        ORDER BY lang, bucket""")),
+
     // ── bigram-LM surprisal: context-aware fluency scoring ──
     // Unigram surprisal scores vocabulary rarity; a bigram model also
     // scores SEQUENCE plausibility — the fluency signal that separates

@@ -252,4 +252,35 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     }
     gotApply.map { case (_, _, nc, ns) => nc - ns }.sum should be > 0L
   }
+
+  test("llm_dq_audit: every constraint audits against a direct recompute, " +
+      "and the narrowed language allowlist actually fails") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val n = docs.length.toLong
+    val expected = Map(
+      "completeness_text" -> docs.count(_._2 != null).toLong,
+      "uniqueness_doc_id" -> docs.map(_._1).distinct.length.toLong,
+      "consistency_n_chars" -> docs.count(d => d._4 == d._2.length).toLong,
+      "domain_lang" -> docs.count(d =>
+        Set("en", "de", "fr", "es").contains(d._3)).toLong,
+      "range_n_chars" -> docs.count(d => d._4 >= 1 && d._4 <= 100000).toLong,
+      "nonempty_text" -> docs.count(_._2.nonEmpty).toLong)
+    val got = run("llm_dq_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (check, (num, den, passed)) =>
+      withClue(s"$check:") {
+        den shouldBe n
+        num shouldBe expected(check)
+        passed shouldBe (num == den)
+      }
+    }
+    // the audit is not vacuous: zh documents exist, so the narrowed
+    // allowlist reports a real failure while the rest stay green
+    got("domain_lang")._3 shouldBe false
+    (got - "domain_lang").values.foreach(_._3 shouldBe true)
+  }
 }

@@ -153,4 +153,39 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
     expected should not be empty
   }
+
+  test("evt_ewma matches a sequential per-user fold, heads renormalize") {
+    // independent recompute: per user, sort by (tus, event_id), then a
+    // direct sliding sum of the last <=8 centi-unit values with binary
+    // weights 128,64,...,1 — the sequential form of the truncated
+    // recurrence the window query parallelizes
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(p => (p._3, p._2)).toIndexedSeq
+      sorted.indices.map { t =>
+        val taps = (0 to math.min(t, 7)).map { i =>
+          (sorted(t - i)._4, 1L << (7 - i))
+        }
+        (u, sorted(t)._2,
+          taps.map { case (y, w) => y * w }.sum, taps.map(_._2).sum)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.SparkEntry.queries("evt_ewma")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    expected should not be empty
+    // series heads renormalize: the k-th event of a user (time order)
+    // carries den = 2^8 - 2^(7-min(k,7)) and saturates at 255 from the
+    // 8th on — so per user the DEN MULTISET is fully determined by the
+    // series length (order-free check; `got` is sorted by event_id,
+    // not time)
+    got.groupBy(_._1).values.foreach { rows =>
+      val expectDens = rows.indices.map(k => 256L - (1L << (7 - math.min(k, 7))))
+      rows.map(_._4).sorted shouldBe expectDens.sorted
+    }
+  }
 }

@@ -60,6 +60,38 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     (4L to 10L).foreach(t => sizes(t) shouldBe 2)
   }
 
+  test("groupNtile equals the per-group window ntile on uneven groups, " +
+      "including a group smaller than the tile count") {
+    // groups of size 23, 7, 2 (< k=3 exercises the total<k guard: every
+    // rank sits below the cut so the q=0 branch never divides by zero)
+    // with values colliding across groups so the range partitioner must
+    // keep group boundaries straight. Drives the PRODUCTION helper.
+    import spark.implicits._
+    val rows =
+      (1 to 23).map(i => ("alpha", i.toLong, (i * 37 % 23).toLong)) ++
+      (1 to 7).map(i => ("beta", 100L + i, (i * 5 % 7).toLong)) ++
+      (1 to 2).map(i => ("gamma", 200L + i, i.toLong))
+    val df = rows.toDF("grp", "id", "v")
+    val w = Window.partitionBy($"grp").orderBy($"v", $"id")
+    val naive = df.withColumn("t", ntile(3).over(w).cast("long"))
+      .select($"id", $"t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Relational.groupNtile(spark, df, 3L, "grp", Seq($"v", $"id"))
+      .select($"id", $"tile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe naive.keySet
+    got.foreach { case (id, tile) =>
+      withClue(s"id=$id") { tile shouldBe naive(id) }
+    }
+    // remainder rule per group: 23 = 8+8+7, 7 = 3+2+2, 2 = 1+1
+    val byGrp = rows.map { case (g, id, _) => id -> g }.toMap
+    val sizes = got.toSeq.groupBy { case (id, t) => (byGrp(id), t) }
+      .map { case (k2, vs) => k2 -> vs.size }
+    sizes(("alpha", 1L)) shouldBe 8; sizes(("alpha", 3L)) shouldBe 7
+    sizes(("beta", 1L)) shouldBe 3; sizes(("beta", 2L)) shouldBe 2
+    sizes(("gamma", 1L)) shouldBe 1; sizes(("gamma", 2L)) shouldBe 1
+    sizes.get(("gamma", 3L)) shouldBe None
+  }
+
   test("incremental aggregate fold genuinely folds two non-empty phases per group") {
     import org.apache.spark.sql.functions.col
     // non-vacuity for the oracle's incremental==one-pass equality: every

@@ -204,4 +204,35 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     // output is sorted by fused score desc (doc asc on ties)
     rows.map(_._4).toSeq shouldBe rows.map(_._4).sortBy(-_).toSeq
   }
+
+  test("llm_perplexity_buckets: per-language terciles balance to within " +
+      "one doc, score envelopes are ordered, and the census covers the " +
+      "whole corpus") {
+    val got = graft.SparkEntry.queries("llm_perplexity_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byLang = got.groupBy(_._1)
+    val langDocs = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.keySet shouldBe langDocs.keySet
+    byLang.foreach { case (lang, rows) =>
+      withClue(s"$lang:") {
+        // the NTILE balance contract: tercile sizes differ by <= 1 and
+        // sum to the language's doc count
+        rows.map(_._3).sum shouldBe langDocs(lang)
+        (rows.map(_._3).max - rows.map(_._3).min) should be <= 1L
+        rows.map(_._2).sorted.toSeq shouldBe (1L to rows.length).toSeq
+        // head/middle/tail really partition the score axis: each
+        // bucket's max never exceeds the next bucket's min
+        val ordered = rows.sortBy(_._2)
+        ordered.foreach { case (_, _, _, lo, hi) => hi should be >= lo }
+        ordered.sliding(2).foreach {
+          case Array((_, _, _, _, hi1), (_, _, _, lo2, _)) =>
+            hi1 should be <= lo2
+          case _ =>
+        }
+      }
+    }
+  }
 }
