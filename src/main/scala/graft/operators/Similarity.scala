@@ -1964,6 +1964,116 @@ object Similarity extends QueryPack {
                                     ORDER BY cos_sim DESC, vec_id) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY query_id, rnk"""))
+        ORDER BY query_id, rnk""")),
+
+    // ── k-means|| scalable seeding (Bahmani et al., VLDB 2012) ──
+    // The init the Lloyd builds above take as given: k-means++ picks
+    // one center per SEQUENTIAL pass (k passes over the data — dead at
+    // scale); k-means|| oversamples ~l centers per pass independently
+    // across points, needing only O(rounds) passes, then weights the
+    // oversampled set for a driver-trivial final reduction. Each round
+    // here is ONE crossJoin against the broadcast (tiny) center table
+    // + a map-side-combined min per point; the Bernoulli draw p =
+    // min(1, l·d²/φ) is DERANDOMIZED into pure integer arithmetic so
+    // both engines sample the identical set: d² is floored to exact
+    // micro-units (floor on a shared IEEE product — never round(), the
+    // half-up trap), φ is their exact BIGINT sum, the per-(point,
+    // round) hash is the Knuth-multiply gate in [0, P), and the
+    // comparison hash·φ < l·d²µ·P runs in DECIMAL/HUGEINT (overflow-
+    // free by width). A point already a center has d² = 0 and can
+    // never re-sample, so rounds stay disjoint. Output is the weighted
+    // coreset (center, round added, #points assigned) — the artifact
+    // the final k-clustering consumes. Zero windows: assignment argmin
+    // is min(struct(dist, cid)) with map-side combine.
+    "sim_kmeanspar_init" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        val L = 16L // oversampling l = 2k for the k=8 builds above
+        val P = 1000000007L
+        var cents = e.orderBy(expr(seedHashSql), $"vec_id").limit(1)
+          .select($"vec_id".as("cid"), $"emb".as("cemb"),
+            lit(0L).as("round_added"))
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          val md = e.crossJoin(broadcast(cents.select($"cid", $"cemb")))
+            .withColumn("dist", l2sq($"emb", $"cemb"))
+            .groupBy($"vec_id")
+            .agg(min($"dist").as("dmin"))
+            .withColumn("d2u", expr("cast(floor(dmin * 1000000) as bigint)"))
+          val phi = md.agg(sum($"d2u").as("phi"))
+          val sampled = md.crossJoin(broadcast(phi))
+            .filter(expr(
+              s"cast(((vec_id % 1000003 + $r) * 2654435761) % $P " +
+                s"as decimal(19,0)) * cast(phi as decimal(19,0)) < " +
+                s"cast(d2u as decimal(19,0)) * cast($L as decimal(10,0)) * " +
+                s"cast($P as decimal(19,0))"))
+            .join(e, Seq("vec_id"))
+            .select($"vec_id".as("cid"), $"emb".as("cemb"),
+              lit(r.toLong).as("round_added"))
+          cents = cents.unionByName(sampled).localCheckpoint(true)
+        }
+        e.crossJoin(broadcast(cents.select($"cid", $"cemb")))
+          .withColumn("dist", l2sq($"emb", $"cemb"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"dist", $"cid")).as("m"))
+          .groupBy($"m.cid".as("cid"))
+          .agg(count(lit(1)).as("weight"))
+          .join(broadcast(cents.select($"cid", $"round_added")), Seq("cid"))
+          .select($"cid".as("vec_id"), $"round_added", $"weight")
+          .orderBy($"vec_id")
+      },
+      oracle = Some(kmeansParOracleSql))
   )
+
+  /** Self-contained oracle for `sim_kmeanspar_init`: the three
+    * oversampling rounds unroll as CTE chains — per round the exact
+    * micro-unit min-distance table, its BIGINT potential, and the
+    * derandomized HUGEINT sampling gate — then the final weighted
+    * assignment. Identical arithmetic, identical tie-breaks. */
+  private lazy val kmeansParOracleSql: String = {
+    def round(r: Int): String = {
+      val prev = s"k${r - 1}"
+      s"""
+        md$r AS (
+          SELECT e.vec_id,
+                 CAST(floor(MIN(list_sum(list_transform(
+                     generate_series(1, $Dim),
+                     i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))))
+                   * 1000000) AS BIGINT) AS d2u
+          FROM e, $prev c GROUP BY e.vec_id),
+        p$r AS (SELECT CAST(SUM(d2u) AS BIGINT) AS phi FROM md$r),
+        s$r AS (
+          SELECT m.vec_id, e.emb
+          FROM md$r m JOIN e USING (vec_id) CROSS JOIN p$r
+          WHERE CAST(((m.vec_id % 1000003 + $r) * 2654435761) % 1000000007
+                  AS HUGEINT) * p$r.phi
+              < CAST(m.d2u AS HUGEINT) * 16 * 1000000007),
+        k$r AS (
+          SELECT * FROM $prev
+          UNION ALL
+          SELECT vec_id, emb, CAST($r AS BIGINT) FROM s$r)"""
+    }
+    s"""
+        $embCteSql,
+        k0 AS (
+          SELECT vec_id AS cid, emb AS cemb, CAST(0 AS BIGINT) AS round_added
+          FROM e ORDER BY $seedHashSql, vec_id LIMIT 1),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)},
+        fin AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))) ASC,
+                c.cid) AS rn
+            FROM e, k3 c) x
+          WHERE rn = 1)
+        SELECT k.cid AS vec_id, k.round_added, COUNT(*) AS weight
+        FROM fin f JOIN k3 k ON k.cid = f.cid
+        GROUP BY k.cid, k.round_added
+        ORDER BY vec_id"""
+  }
 }

@@ -177,4 +177,51 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       withClue(s"vec $id sub $sub code: ") { code shouldBe bestCode }
     }
   }
+
+  test("sim_kmeanspar_init equals a sequential recompute of the " +
+      "derandomized Bahmani rounds; the oversampling really fires") {
+    val embs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) as emb")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seedId = embs.keys.toSeq
+      .minBy(id => (((id % 1000003) * 2654435761L) % 1000000007L, id))
+    var cents = Vector(seedId -> 0L)
+    for (r <- 1 to 3) {
+      val d2u = embs.map { case (id, v) =>
+        id -> math.floor(
+          cents.map(c => l2(v, embs(c._1))).min * 1000000).toLong
+      }
+      val phi = d2u.values.sum
+      val sampled = embs.keys.filter { id =>
+        val h = ((id % 1000003 + r) * 2654435761L) % 1000000007L
+        BigInt(h) * phi < BigInt(d2u(id)) * 16 * 1000000007L
+      }.toSeq.sorted
+      cents = cents ++ sampled.map(_ -> r.toLong)
+    }
+    val byCid = cents.toMap
+    val weights = embs.keys.toSeq
+      .groupBy { id =>
+        cents.map { case (cid, _) => (l2(embs(id), embs(cid)), cid) }.min._2
+      }
+      .map { case (cid, ids) => cid -> ids.size.toLong }
+    val expected = weights.toSeq.sorted
+      .map { case (cid, w) => (cid, byCid(cid), w) }
+    val got = graft.SparkEntry.queries("sim_kmeanspar_init")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    // the oversampling genuinely fired: beyond the single round-0 seed,
+    // at least two rounds contributed centers, and every point is
+    // accounted for exactly once in the weights
+    got.count(_._2 == 0L) shouldBe 1
+    got.map(_._2).distinct.size should be >= 3
+    got.map(_._3).sum shouldBe embs.size.toLong
+    got.size should be > 8 // more centers than k — the coreset property
+  }
 }
