@@ -153,6 +153,55 @@ object CorpusAssembly extends QueryPack {
         SELECT check_name, num, den, num = den AS passed
         FROM long ORDER BY check_name""")),
 
+    // ── contrastive negative-pair generation ──
+    // The sampling step of every contrastive-embedding build
+    // (in-batch negatives don't survive curated sharding, so
+    // pipelines pre-materialize negatives): each anchor document
+    // draws 4 deterministic pseudo-random candidates via the
+    // pure-arithmetic hash chain (slot-salted Knuth multiply mod the
+    // 1e9+7 prime, reduced mod corpus size — identical on any engine
+    // or cluster), mapped to real documents by an EQUALITY join on
+    // doc_id — never a cross join or per-anchor scan — then filtered
+    // by the hard-negative rule (a negative must come from a
+    // DIFFERENT source than its anchor; self-draws drop). Map-only
+    // expansion (4 rows per anchor) + one co-partitionable id join;
+    // the corpus-size scalar is a broadcast aggregate. Slot counts
+    // per anchor vary where the filter bites — that is the documented
+    // semantic (candidates are drawn, validity is enforced), not
+    // nondeterminism.
+    "llm_negative_pairs" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"source")
+          .localCheckpoint(true) // anchor side + negative side
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        docs.crossJoin(broadcast(n))
+          .select($"doc_id", $"source".as("a_source"),
+            explode(sequence(lit(0), lit(3))).as("slot"), $"n_docs")
+          .withColumn("neg_id", expr(
+            "(((doc_id % 1000003) * 2654435761 + slot * 97003) " +
+              "% 1000000007) % n_docs"))
+          .join(docs.select($"doc_id".as("neg_id"),
+            $"source".as("neg_source")), Seq("neg_id"))
+          .filter($"neg_id" =!= $"doc_id" && $"neg_source" =!= $"a_source")
+          .select($"doc_id", $"slot".cast(LongType).as("slot"),
+            $"neg_id", $"neg_source")
+          .orderBy($"doc_id", $"slot")
+      },
+      oracle = Some("""
+        WITH docs AS (SELECT doc_id, source FROM documents),
+        n AS (SELECT COUNT(*) AS n_docs FROM docs),
+        cand AS (
+          SELECT d.doc_id, d.source AS a_source, s.slot,
+                 (((d.doc_id % 1000003) * 2654435761 + s.slot * 97003)
+                   % 1000000007) % n.n_docs AS neg_id
+          FROM docs d CROSS JOIN n CROSS JOIN range(0, 4) s(slot))
+        SELECT c.doc_id, CAST(c.slot AS BIGINT) AS slot, c.neg_id,
+               g.source AS neg_source
+        FROM cand c JOIN docs g ON g.doc_id = c.neg_id
+        WHERE c.neg_id <> c.doc_id AND g.source <> c.a_source
+        ORDER BY c.doc_id, slot""")),
+
     // ── sequence packing: concatenate-and-chunk into fixed token
     //    budgets (how pretraining batches are actually laid out) ──
     // Each language's token stream (docs in doc_id order) is cut into

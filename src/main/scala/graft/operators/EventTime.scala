@@ -874,6 +874,104 @@ object EventTime extends QueryPack {
                  + CASE WHEN y5 IS NULL THEN 0 ELSE 4 END
                  + CASE WHEN y6 IS NULL THEN 0 ELSE 2 END
                  + CASE WHEN y7 IS NULL THEN 0 ELSE 1 END AS smooth_den
-        FROM l ORDER BY user_id, event_id"""))
+        FROM l ORDER BY user_id, event_id""")),
+
+    // ── robust outlier census: median/MAD (the modified z-score) ──
+    // evt_anomaly's 3σ rule breaks down exactly when it matters —
+    // outliers inflate the mean and stddev that define them; the
+    // robust form thresholds |y − median| > 5·MAD instead. Everything
+    // here is EXACT INTEGER algebra: medians are computed at 2× scale
+    // (M2 = v1 + v2, the two middle order statistics — equal when the
+    // count is odd), deviations at 2× (dev = |2y − M2|), MAD at 4×
+    // (D2 = the 2×-median of dev), and the threshold |y−med| > 5·MAD
+    // becomes 2·dev > 5·D2 — no division, no doubles, no cross-engine
+    // rounding surface anywhere. The plan scans events ONCE into the
+    // (type, value, count) frequency table; both median passes and the
+    // outlier count derive from that table, so every shuffle and
+    // window is bounded by the DISTINCT VALUE DOMAIN (not the corpus)
+    // — the count-based exact median that stays cheap at 100 TB where
+    // a per-group sort/percentile would funnel each type's raw rows
+    // through one aggregator.
+    "evt_mad_outliers" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        // the one corpus scan: per-(type, centi-value) counts
+        val vc = Tables.events(s, d)
+          .select($"event_type", (dec($"value") * 100).cast(LongType).as("v"))
+          .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val n = vc.groupBy($"event_type").agg(sum($"c").as("n"))
+        // 2×-scale median of a (type, value, count) table: the two
+        // middle order statistics picked off the cumulative counts
+        def median2(df: org.apache.spark.sql.DataFrame,
+            vCol: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy($"event_type").orderBy(col(vCol))
+          df.withColumn("cum", sum($"c").over(w))
+            .join(broadcast(n), Seq("event_type"))
+            .groupBy($"event_type")
+            .agg(
+              min(when($"cum" >= expr("(n + 1) div 2"), col(vCol))).as("v1"),
+              min(when($"cum" >= expr("n div 2 + 1"), col(vCol))).as("v2"))
+            .select($"event_type", ($"v1" + $"v2").as("m2"))
+        }
+        val med = median2(vc, "v") // m2 = 2·median(y)
+        val dev = vc.join(broadcast(med), Seq("event_type"))
+          .select($"event_type", abs(lit(2) * $"v" - $"m2").as("dv"), $"c")
+          .groupBy($"event_type", $"dv").agg(sum($"c").as("c"))
+        val mad = median2(dev, "dv") // m2 = 4·MAD(y)
+        vc.join(broadcast(med.select($"event_type", $"m2".as("med2"))),
+            Seq("event_type"))
+          .join(broadcast(mad.select($"event_type", $"m2".as("mad4"))),
+            Seq("event_type"))
+          .groupBy($"event_type", $"med2", $"mad4")
+          .agg(sum($"c").as("n_events"),
+            sum(when(lit(2) * abs(lit(2) * $"v" - $"med2") > lit(5) * $"mad4",
+              $"c").otherwise(lit(0L))).as("n_outliers"))
+          .select($"event_type", $"n_events", $"med2", $"mad4", $"n_outliers")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH vc AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM vc GROUP BY 1),
+        cum1 AS (
+          SELECT vc.event_type, vc.v, n.n,
+                 SUM(vc.c) OVER (PARTITION BY vc.event_type
+                                 ORDER BY vc.v) AS cum
+          FROM vc JOIN n USING (event_type)),
+        med AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                 + MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) AS med2
+          FROM cum1 GROUP BY event_type),
+        dev AS (
+          SELECT vc.event_type, abs(2 * vc.v - med.med2) AS dv,
+                 CAST(SUM(vc.c) AS BIGINT) AS c
+          FROM vc JOIN med USING (event_type)
+          GROUP BY 1, 2),
+        cum2 AS (
+          SELECT dev.event_type, dev.dv, n.n,
+                 SUM(dev.c) OVER (PARTITION BY dev.event_type
+                                  ORDER BY dev.dv) AS cum
+          FROM dev JOIN n USING (event_type)),
+        mad AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= (n + 1) // 2 THEN dv END)
+                 + MIN(CASE WHEN cum >= n // 2 + 1 THEN dv END) AS mad4
+          FROM cum2 GROUP BY event_type)
+        SELECT vc.event_type, CAST(SUM(vc.c) AS BIGINT) AS n_events,
+               med.med2, mad.mad4,
+               CAST(SUM(CASE WHEN 2 * abs(2 * vc.v - med.med2)
+                                  > 5 * mad.mad4
+                             THEN vc.c ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM vc
+        JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+        GROUP BY vc.event_type, med.med2, mad.mad4
+        ORDER BY event_type"""))
   )
 }

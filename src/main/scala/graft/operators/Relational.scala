@@ -1565,7 +1565,77 @@ object Relational extends QueryPack {
                       ORDER BY cos DESC, neighbor) AS BIGINT) AS rnk
           FROM scored)
         WHERE rnk <= 3
-        ORDER BY item, rnk"""))
+        ORDER BY item, rnk""")),
+
+    // ── association rules (the Apriori/market-basket census) ──
+    // The directional sibling of q_item_cf: per-ORDER baskets (CF uses
+    // per-customer), pairwise supports from one bounded-fanout
+    // self-join (C(basket, 2) per order — never item×item), then each
+    // surviving pair emits both rules a→b and b→a with confidence
+    // supp(ab)/supp(a) and lift supp(ab)·N / (supp(a)·supp(b)). Lift
+    // is emitted as the EXACT BIGINT rational (num, den) — the
+    // repo-wide alternative to round-on-double at an oracle boundary —
+    // with a 9-digit confidence double alongside (the established
+    // round-9 pairing). Scale: two map-side-combined aggregates + the
+    // basket self-join; the N scalar is a broadcast aggregate, and
+    // min-support prunes BEFORE the rule expansion.
+    "q_assoc_rules" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val baskets = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("bid"), $"l_partkey".as("item"))
+          .distinct()
+          .localCheckpoint(true) // item supports + both self-join sides
+        val nB = baskets.select($"bid").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val ni = baskets.groupBy($"item").agg(count(lit(1)).as("supp"))
+        val co = baskets.as("a").join(baskets.as("b"),
+            $"a.bid" === $"b.bid" && $"a.item" < $"b.item")
+          .groupBy($"a.item".as("i"), $"b.item".as("j"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter($"supp_ab" >= 2)
+        val sym = co.unionByName(
+          co.select($"j".as("i"), $"i".as("j"), $"supp_ab"))
+        sym
+          .join(ni.select($"item".as("i"), $"supp".as("supp_a")), Seq("i"))
+          .join(ni.select($"item".as("j"), $"supp".as("supp_b")), Seq("j"))
+          .crossJoin(broadcast(nB))
+          .select($"i".as("antecedent"), $"j".as("consequent"),
+            $"supp_ab", $"supp_a",
+            round($"supp_ab".cast(DoubleType) / $"supp_a", 9)
+              .as("confidence"),
+            ($"supp_ab" * $"n_baskets").as("lift_num"),
+            ($"supp_a" * $"supp_b").as("lift_den"))
+          .orderBy($"antecedent", $"consequent")
+      },
+      oracle = Some("""
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+          FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT bid) AS n_baskets FROM baskets),
+        ni AS (SELECT item, COUNT(*) AS supp FROM baskets GROUP BY item),
+        co AS (
+          SELECT a.item AS i, b.item AS j, COUNT(*) AS supp_ab
+          FROM baskets a JOIN baskets b
+            ON a.bid = b.bid AND a.item < b.item
+          GROUP BY a.item, b.item
+          HAVING COUNT(*) >= 2),
+        sym AS (
+          SELECT i, j, supp_ab FROM co
+          UNION ALL
+          SELECT j, i, supp_ab FROM co)
+        SELECT sym.i AS antecedent, sym.j AS consequent,
+               CAST(sym.supp_ab AS BIGINT) AS supp_ab,
+               CAST(na.supp AS BIGINT) AS supp_a,
+               round(CAST(sym.supp_ab AS DOUBLE) / na.supp, 9)
+                 AS confidence,
+               CAST(sym.supp_ab * nb.n_baskets AS BIGINT) AS lift_num,
+               CAST(na.supp * nj.supp AS BIGINT) AS lift_den
+        FROM sym
+        JOIN ni na ON na.item = sym.i
+        JOIN ni nj ON nj.item = sym.j
+        CROSS JOIN nb
+        ORDER BY antecedent, consequent"""))
   )
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for

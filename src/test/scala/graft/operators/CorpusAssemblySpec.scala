@@ -253,6 +253,35 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     gotApply.map { case (_, _, nc, ns) => nc - ns }.sum should be > 0L
   }
 
+  test("llm_negative_pairs: draws match the hash chain, validity rules " +
+      "hold, and the filter genuinely fires") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val srcOf = docs.toMap
+    val n = docs.length.toLong
+    val expected = (for {
+      (id, aSrc) <- docs
+      slot <- 0L to 3L
+      negId = (((id % 1000003) * 2654435761L + slot * 97003) % 1000000007L) % n
+      if srcOf.contains(negId) && negId != id && srcOf(negId) != aSrc
+    } yield (id, slot, negId, srcOf(negId))).sortBy(t => (t._1, t._2)).toSeq
+    val got = graft.SparkEntry.queries("llm_negative_pairs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    got shouldBe expected
+    // validity: never self, never same-source
+    got.foreach { case (id, _, negId, negSrc) =>
+      negId should not be id
+      negSrc should not be srcOf(id)
+    }
+    // the rules bit: the validity filter dropped SOME candidates, but
+    // nearly every anchor keeps most of its slots
+    got.size should be < docs.length * 4
+    got.size should be > docs.length * 2
+    got.map(_._1).distinct.size should be >= (docs.length * 9) / 10
+  }
+
   test("llm_dq_audit: every constraint audits against a direct recompute, " +
       "and the narrowed language allowlist actually fails") {
     val docs = Tables.documents(spark, sf)

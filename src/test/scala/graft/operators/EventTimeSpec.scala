@@ -188,4 +188,38 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
       rows.map(_._4).sorted shouldBe expectDens.sorted
     }
   }
+
+  test("evt_mad_outliers matches a direct sort-based median/MAD recompute") {
+    // the query derives medians from cumulative counts over the
+    // distinct-value table; this recompute sorts the raw values — an
+    // independent formulation of the same order statistics
+    def median2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      s((n - 1) / 2) + s(n / 2) // v1 + v2; equal when n is odd
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, g) =>
+      val ys = g.map(_._2).toSeq
+      val med2 = median2(ys)
+      val devs = ys.map(y => math.abs(2 * y - med2))
+      val mad4 = median2(devs)
+      val outliers = devs.count(dv => 2 * dv > 5 * mad4).toLong
+      (t, ys.length.toLong, med2, mad4, outliers)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_mad_outliers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // the robust threshold is non-degenerate on the fixture: MAD > 0
+    // everywhere and at least one type flags at least one outlier
+    got.foreach { case (t, _, _, mad4, _) =>
+      withClue(s"$t:") { mad4 should be > 0L }
+    }
+    got.map(_._5).sum should be > 0L
+  }
 }

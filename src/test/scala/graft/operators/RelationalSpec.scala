@@ -190,6 +190,35 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     expected should not be empty
   }
 
+  test("q_assoc_rules equals a brute-force market-basket recompute") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nBaskets = li.map(_._1).distinct.length.toLong
+    val supp = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSupp = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val expected = pairSupp.toSeq.flatMap { case ((a, b), sab) =>
+      Seq((a, b, sab), (b, a, sab))
+    }.map { case (a, b, sab) =>
+      (a, b, sab, supp(a),
+        BigDecimal.decimal(sab.toDouble / supp(a))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        sab * nBaskets, supp(a) * supp(b))
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // both directions of every pair appear, and some rule has lift > 1
+    // (lift_num > lift_den) — association beyond independence exists
+    got.count(t => t._6 > t._7) should be > 0
+  }
+
   test("q_triangle_count equals a brute-force per-node triangle census") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()
