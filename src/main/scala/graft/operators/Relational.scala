@@ -1635,7 +1635,67 @@ object Relational extends QueryPack {
         JOIN ni na ON na.item = sym.i
         JOIN ni nj ON nj.item = sym.j
         CROSS JOIN nb
-        ORDER BY antecedent, consequent"""))
+        ORDER BY antecedent, consequent""")),
+
+    // ── incremental join-view maintenance (delta-join IVM) ──
+    // agg_incremental_fold maintains an AGGREGATE view; this maintains
+    // a JOIN view — the other half of incremental view maintenance.
+    // Given V = orders ⋈ lineitem materialized over the "old" halves
+    // of both tables, the arriving increments ΔO and ΔL (deterministic
+    // row-level splits of each table) produce the view delta by the
+    // distributive rule ΔV = ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL — three
+    // joins, EVERY one with an increment side, never old⋈old (the full
+    // view is never recomputed; RelationalSpec proves ΔV equals
+    // V(all) \ V(old) as a multiset). The three terms are disjoint by
+    // construction (old/delta partition rows), each is tagged with its
+    // provenance. Scale: each term joins a small delta against a base
+    // — broadcast or co-partitioned on the join key; the whole job is
+    // O(Δ · fanout), independent of view size.
+    "q_join_view_increment" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_linenumber",
+          (dec($"l_extendedprice") * omd($"l_discount"))
+            .cast(DoubleType).as("rev"))
+        val oldO = o.filter($"o_orderkey" % 7 =!= 0)
+        val dO = o.filter($"o_orderkey" % 7 === 0)
+        val lsplit = ($"l_orderkey" * 31 + $"l_linenumber") % 5
+        val oldL = l.filter(lsplit =!= 0)
+        val dL = l.filter(lsplit === 0)
+        def term(os: DataFrame, ls: DataFrame, tag: String) =
+          os.join(ls, $"o_orderkey" === $"l_orderkey")
+            .select($"o_orderkey", $"l_linenumber", $"o_custkey", $"rev",
+              lit(tag).as("src"))
+        term(dO, oldL, "dO")
+          .unionByName(term(oldO, dL, "dL"))
+          .unionByName(term(dO, dL, "dd"))
+          .orderBy($"o_orderkey", $"l_linenumber")
+      },
+      oracle = Some(s"""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        l AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(${sqlD.format("l_extendedprice")} * $sqlOmd AS DOUBLE)
+                   AS rev
+          FROM lineitem),
+        old_o AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        d_o AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+        old_l AS (SELECT * FROM l
+                  WHERE (l_orderkey * 31 + l_linenumber) % 5 <> 0),
+        d_l AS (SELECT * FROM l
+                WHERE (l_orderkey * 31 + l_linenumber) % 5 = 0)
+        SELECT o_orderkey, l_linenumber, o_custkey, rev, src FROM (
+          SELECT a.o_orderkey, b.l_linenumber, a.o_custkey, b.rev,
+                 'dO' AS src
+          FROM d_o a JOIN old_l b ON a.o_orderkey = b.l_orderkey
+          UNION ALL
+          SELECT a.o_orderkey, b.l_linenumber, a.o_custkey, b.rev, 'dL'
+          FROM old_o a JOIN d_l b ON a.o_orderkey = b.l_orderkey
+          UNION ALL
+          SELECT a.o_orderkey, b.l_linenumber, a.o_custkey, b.rev, 'dd'
+          FROM d_o a JOIN d_l b ON a.o_orderkey = b.l_orderkey)
+        ORDER BY o_orderkey, l_linenumber"""))
   )
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for

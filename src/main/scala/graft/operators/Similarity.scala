@@ -25,6 +25,13 @@ object Similarity extends QueryPack {
 
   private val Dim = 64
 
+  /** Output dims of the JL projection (`sim_jl_project`) and the
+    * plane-id offset keeping its matrix disjoint from the LSH/banding
+    * plane families. Declared before the query map: the oracle string
+    * is forced at object init. */
+  private val JlDim = 16
+  private val JlPlaneBase = 4096
+
   /** Cells each IVF query scans in the multiprobe path: the assignment
     * cell plus the next-nearest centroids. 3 of 8 cells lifts measured
     * recall@5 from the single-cell ceiling (0.28 on the near-uniform
@@ -2023,8 +2030,65 @@ object Similarity extends QueryPack {
           .select($"cid".as("vec_id"), $"round_added", $"weight")
           .orderBy($"vec_id")
       },
-      oracle = Some(kmeansParOracleSql))
+      oracle = Some(kmeansParOracleSql)),
+
+    // ── Johnson–Lindenstrauss random projection (dimensionality
+    //    reduction before the index) ──
+    // The pre-ANN compaction step: project 64 dims onto 16 with a
+    // deterministic dense random matrix (the same splitmix64
+    // component stream the LSH planes draw from — uniform[-0.5, 0.5),
+    // scaled by sqrt(12/16) so component variance is 1/16 and
+    // expected norms are preserved; JL distortion bounds follow,
+    // SimilaritySpec measures them). ENTIRELY map-only: the 16×64
+    // matrix folds into the plan as literals, the projection codegens
+    // into the scan stage, and there is no shuffle at all — the shape
+    // that matters when the input is 10^9 vectors of storage. Values
+    // round to 9 digits off the shared left-to-right dot fold, the
+    // established cross-engine pairing, and emit long-form (vec_id,
+    // dim, value) — one row per projected component, the layout the
+    // downstream index build consumes.
+    "sim_jl_project" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val scale = math.sqrt(12.0 / JlDim)
+        val e = embDouble(s, d)
+        val comps = (0 until JlDim).map { j =>
+          val p = array((0 until Dim).map(i =>
+            lit(graft.functions.VectorFunctions.planeComponent(
+              JlPlaneBase + j, i, Dim))): _*)
+          struct(lit(j.toLong).as("dim"),
+            round(graft.functions.VectorFunctions.dot($"emb", p) * scale, 9)
+              .as("value"))
+        }
+        e.select($"vec_id", explode(array(comps: _*)).as("x"))
+          .select($"vec_id", $"x.dim".as("dim"), $"x.value".as("value"))
+          .orderBy($"vec_id", $"dim")
+      },
+      oracle = Some(jlOracleSql))
   )
+
+  /** Self-contained oracle for `sim_jl_project`: all 16×64 matrix
+    * components as literals (Double.toString round-trips exactly),
+    * the identical left-to-right dot fold, the identical sqrt scale. */
+  private lazy val jlOracleSql: String = {
+    val planeRows = (0 until JlDim).map { j =>
+      val comps = (0 until Dim)
+        .map(i => graft.functions.VectorFunctions.planeComponent(
+          JlPlaneBase + j, i, Dim))
+        .mkString(", ")
+      s"($j, [$comps])"
+    }.mkString(",\n            ")
+    s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        planes AS (
+          SELECT * FROM (VALUES
+            $planeRows) t(j, p))
+        SELECT e.vec_id, CAST(pl.j AS BIGINT) AS dim,
+               round(list_sum(list_transform(generate_series(1, $Dim),
+                 i -> e.emb[i] * pl.p[i])) * sqrt(12.0 / $JlDim), 9) AS value
+        FROM e CROSS JOIN planes pl
+        ORDER BY vec_id, dim"""
+  }
 
   /** Self-contained oracle for `sim_kmeanspar_init`: the three
     * oversampling rounds unroll as CTE chains — per round the exact

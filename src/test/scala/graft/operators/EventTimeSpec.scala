@@ -222,4 +222,36 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     }
     got.map(_._5).sum should be > 0L
   }
+
+  test("evt_cusum: the window prefix-min identity equals the sequential " +
+      "CUSUM recurrence, and the detector discriminates") {
+    // independent recompute: the SEQUENTIAL recurrence the closed form
+    // replaces — S_t = max(0, S_{t-1} + (n·y_t − Σy − n·K))
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val ys = g.sortBy(e => (e._3, e._2)).map(_._4)
+      val n = ys.length.toLong
+      val sy = ys.sum
+      var s = 0L; var maxS = 0L; var alarms = 0L
+      ys.foreach { y =>
+        s = math.max(0L, s + (n * y - sy - n * 7500L))
+        maxS = math.max(maxS, s)
+        if (s > 10000L * n) alarms += 1
+      }
+      (u, n, maxS, alarms)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_cusum")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe expected
+    // the slack does its job: the detector neither fires for everyone
+    // nor for no one
+    val alarming = got.count(_._4 > 0)
+    alarming should be > 0
+    alarming should be < got.size
+  }
 }

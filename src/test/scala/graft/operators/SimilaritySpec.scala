@@ -224,4 +224,43 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     got.map(_._3).sum shouldBe embs.size.toLong
     got.size should be > 8 // more centers than k — the coreset property
   }
+
+  test("sim_jl_project preserves pairwise distances within JL distortion " +
+      "bounds and matches a direct matrix recompute") {
+    val proj = graft.SparkEntry.queries("sim_jl_project")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val orig = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) as emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    proj.keySet shouldBe orig.keySet
+    proj.values.foreach(_.length shouldBe 16)
+    // direct recompute of one vector through the literal matrix
+    val scale = math.sqrt(12.0 / 16)
+    val id0 = orig.keys.min
+    val expect0 = (0 until 16).map { j =>
+      val dotv = (0 until 64).map(i =>
+        orig(id0)(i) * graft.functions.VectorFunctions
+          .planeComponent(4096 + j, i, 64)).sum
+      BigDecimal.decimal(dotv * scale)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    proj(id0).toSeq shouldBe expect0
+    // JL distortion over all pairs of the first 30 vectors: the
+    // projected/original squared-distance ratio concentrates near 1
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      i <- ids.indices; j <- i + 1 until ids.length
+    } yield d2(proj(ids(i)), proj(ids(j))) / d2(orig(ids(i)), orig(ids(j)))
+    all(ratios) should (be > 0.15 and be < 2.5)
+    val sorted = ratios.sorted
+    val median = sorted(sorted.length / 2)
+    median should (be > 0.7 and be < 1.3)
+    ratios.count(r => r > 0.4 && r < 2.2).toDouble / ratios.size should
+      be > 0.9
+  }
 }
