@@ -1637,6 +1637,113 @@ object Relational extends QueryPack {
         CROSS JOIN nb
         ORDER BY antecedent, consequent""")),
 
+    // ── multi-round BFS level propagation (Pregel-in-SQL) ──
+    // The traversal face of graph work (triangles count, components
+    // cluster — this REACHES): single-source BFS over the undirected
+    // co-purchase graph from the smallest part id, 3 rounds unrolled.
+    // Each round is ONE equality join of the previous frontier
+    // against the symmetric edge list plus ONE anti-join against the
+    // labeled set — the iterative-join shape TextRank established
+    // (never a transitive-closure blowup), with a checkpoint barrier
+    // per round so round r never re-executes rounds 1..r-1. Levels
+    // are exact by induction; the oracle unrolls the same 3 rounds.
+    // At 10^11 edges each round shuffles O(frontier·degree) on the
+    // node key — the standard Pregel superstep cost.
+    "q_bfs_levels" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        val sym = edges.unionByName(
+            edges.select($"v".as("u"), $"u".as("v")))
+          .localCheckpoint(true) // one join per round reads this
+        // u < v on every raw edge, so min(u) IS the smallest vertex
+        var lvl = sym.agg(min($"u").as("node"))
+          .select($"node", lit(0L).as("lvl"))
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          val frontier = lvl.filter($"lvl" === (r - 1L))
+            .join(sym, $"node" === $"u")
+            .select($"v".as("node")).distinct()
+          val fresh = frontier.join(lvl, Seq("node"), "left_anti")
+            .select($"node", lit(r.toLong).as("lvl"))
+          lvl = lvl.unionByName(fresh).localCheckpoint(true)
+        }
+        lvl.orderBy($"lvl", $"node")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS (
+          SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS lvl FROM sym),
+        f1 AS (
+          SELECT DISTINCT s.v AS node FROM sym s
+          JOIN l0 ON s.u = l0.node
+          WHERE s.v NOT IN (SELECT node FROM l0)),
+        l1 AS (SELECT * FROM l0
+               UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1),
+        f2 AS (
+          SELECT DISTINCT s.v AS node FROM sym s
+          JOIN l1 ON s.u = l1.node AND l1.lvl = 1
+          WHERE s.v NOT IN (SELECT node FROM l1)),
+        l2 AS (SELECT * FROM l1
+               UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2),
+        f3 AS (
+          SELECT DISTINCT s.v AS node FROM sym s
+          JOIN l2 ON s.u = l2.node AND l2.lvl = 2
+          WHERE s.v NOT IN (SELECT node FROM l2)),
+        l3 AS (SELECT * FROM l2
+               UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3)
+        SELECT node, lvl FROM l3 ORDER BY lvl, node""")),
+
+    // ── distributed percent_rank / cume_dist (rank-statistic
+    //    normalization without a global window) ──
+    // The engine's own window definitions — percent_rank = min rank
+    // among ties / (n−1), cume_dist = max rank among ties + 1 over n
+    // — derived WITHOUT the single-task global window: `globalRank`
+    // assigns the 0-based total-order rank (zero post-sort shuffles),
+    // one map-side-combined groupBy(value) collapses ties to their
+    // min/max ranks, and the final divisions are single IEEE ops both
+    // engines perform identically. The ORACLE uses DuckDB's native
+    // percent_rank()/cume_dist() — so the distributed derivation is
+    // hash-checked against the engine definition itself, every round.
+    "q_percent_rank" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderkey",
+          dec($"o_totalprice").cast(DoubleType).as("price"))
+        val ranked = globalRank(s, o, Seq($"price", $"o_orderkey"))
+          .localCheckpoint(true) // tie stats + the output join
+        val n = ranked.agg(count(lit(1)).as("n"))
+        val ties = ranked.groupBy($"price".as("p"))
+          .agg(min($"rk").as("minrk"), max($"rk").as("maxrk"))
+        ranked.join(ties, $"price" === $"p")
+          .crossJoin(broadcast(n))
+          .select($"o_orderkey", $"price",
+            ($"minrk".cast(DoubleType) / ($"n" - 1L)).as("pct_rank"),
+            (($"maxrk" + 1L).cast(DoubleType) / $"n").as("cume"))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+               percent_rank() OVER (ORDER BY
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
+                 AS pct_rank,
+               cume_dist() OVER (ORDER BY
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
+                 AS cume
+        FROM orders
+        ORDER BY o_orderkey""")),
+
     // ── incremental join-view maintenance (delta-join IVM) ──
     // agg_incremental_fold maintains an AGGREGATE view; this maintains
     // a JOIN view — the other half of incremental view maintenance.

@@ -251,6 +251,65 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.map(_._5).distinct.sorted.toSeq shouldBe Seq("dL", "dO", "dd")
   }
 
+  test("q_bfs_levels equals a queue-based BFS recompute") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj: Map[Long, Set[Long]] =
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = adj.keys.min
+    var levels = Map(src -> 0L)
+    var frontier = Set(src)
+    for (r <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(levels.keySet)
+      levels = levels ++ next.map(_ -> r.toLong)
+      frontier = next
+    }
+    val expected = levels.toSeq.sortBy(t => (t._2, t._1))
+    val got = graft.SparkEntry.queries("q_bfs_levels")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    // the traversal is non-degenerate: at least three distinct levels
+    got.map(_._2).distinct.size should be >= 3
+  }
+
+  test("q_percent_rank equals the single-partition engine definition") {
+    import spark.implicits._
+    val w = Window.orderBy($"price")
+    val naive = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        graft.functions.Exact.dec($"o_totalprice").cast("double").as("price"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy($"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val got = graft.SparkEntry.queries("q_percent_rank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    got shouldBe naive
+    // rank-statistic contract: endpoints and monotonicity along the
+    // price order (sf0.001 has no duplicate prices — the tie path is
+    // exercised by the sf0.01 oracle gate, where one tie pair exists,
+    // and by the min/max collapse in the derivation)
+    val byPrice = got.sortBy(_._2)
+    byPrice.head._3 shouldBe 0.0
+    byPrice.last._4 shouldBe 1.0
+    byPrice.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => b should be >= a
+      case _ =>
+    }
+    byPrice.map(_._4).sliding(2).foreach {
+      case Seq(a, b) => b should be >= a
+      case _ =>
+    }
+  }
+
   test("q_triangle_count equals a brute-force per-node triangle census") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()
