@@ -372,6 +372,49 @@ object Dedup extends QueryPack {
     * constant-size. DedupSpec proves the two paths emit identical
     * labels on the fixture graph.
     */
+  /** Connected-component labels by alternating large-star/small-star
+    * (Kiveris et al., SoCC 2014) — the third labeling algorithm (see
+    * `dedup_cc_star`). Converges to stars rooted at each component's
+    * minimum id in O(log²) rounds regardless of component DIAMETER;
+    * returns (doc_id, cluster) for every non-isolated vertex, exactly
+    * [[componentLabels]]'s contract. */
+  private[operators] def starComponentLabels(
+      s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    var edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint(true)
+    def sym(e: DataFrame) =
+      e.select($"a".as("u"), $"b".as("v"))
+        .unionByName(e.select($"b".as("u"), $"a".as("v")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 30) {
+      // large-star: every v > u attaches to min(N(u) ∪ {u})
+      val s1 = sym(edges)
+      val m1 = s1.groupBy($"u").agg(min(least($"v", $"u")).as("m"))
+      val ls = s1.join(m1, Seq("u")).filter($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b"))
+        .filter($"a" =!= $"b").distinct().localCheckpoint(true)
+      // small-star: every v ≤ u (and u itself) attaches to the
+      // minimum of that closed ≤-neighborhood
+      val s2 = sym(ls).filter($"v" <= $"u")
+        .unionByName(sym(ls).select($"u", $"u".as("v")).distinct())
+      val m2 = s2.groupBy($"u").agg(min($"v").as("m"))
+      val ss = s2.join(m2, Seq("u")).filter($"v" =!= $"m")
+        .select($"v".as("a"), $"m".as("b")).distinct()
+        .localCheckpoint(true)
+      changed = ss.join(edges, Seq("a", "b"), "left_anti").count() +
+        edges.join(ss, Seq("a", "b"), "left_anti").count()
+      edges = ss
+      iter += 1
+    }
+    // stars: every vertex's component is the min of its closed
+    // neighborhood (the root labels itself)
+    sym(edges)
+      .groupBy($"u").agg(min(least($"v", $"u")).as("cluster"))
+      .select($"u".as("doc_id"), $"cluster")
+  }
+
   private[operators] def componentLabels(
       s: SparkSession,
       pairs: DataFrame,
@@ -992,6 +1035,37 @@ object Dedup extends QueryPack {
       },
       oracle = Some(clustersSql),
       headline = true),
+
+    // ── connected components via alternating large-star/small-star ──
+    // A THIRD component algorithm (after dedup_clusters' size-gated
+    // union-find and connected-vertex label propagation), sharing
+    // dedup_clusters' oracle — so all three are proven equal by hash
+    // every round. This is the Kiveris et al. (SoCC 2014) "Connected
+    // Components in MapReduce" scheme production graph stacks ship:
+    // LARGE-STAR rewires every neighbor v > u onto u's neighborhood
+    // minimum, SMALL-STAR rewires the ≤ u neighbors; alternating the
+    // two converges in O(log²) rounds to a forest of stars rooted at
+    // each component's minimum id — no per-vertex iteration count
+    // proportional to component DIAMETER (label propagation's cost on
+    // path-shaped components) and no single-task fallback. Each round
+    // is two groupBy-min aggregates + equality joins on node id; the
+    // convergence check is two anti-join counts on the (tiny relative
+    // to corpus) edge set — the standard driver-side fixpoint test.
+    "dedup_cc_star" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val pairs = bandedSimhashPairs(s, d).select($"doc1", $"doc2")
+          .localCheckpoint(true)
+        val labels = starComponentLabels(s, pairs)
+        val isolated = Tables.documents(s, d).select($"doc_id")
+          .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"doc_id".as("cluster"))
+        labels.union(isolated)
+          .select($"doc_id", $"cluster".as("cluster_id"),
+            ($"doc_id" === $"cluster").as("is_canonical"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(clustersSql)),
 
     // ── exact word-shingle Jaccard pairs (ORACLE FACE: quadratic within
     //    the (lang, |Δn_chars| ≤ 50) block — the small-SF fixture; the

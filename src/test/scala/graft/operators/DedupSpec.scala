@@ -364,4 +364,29 @@ class DedupSpec extends AnyFunSuite with Matchers {
         r(2).asInstanceOf[Long])).toSet
     got shouldBe expected
   }
+
+  test("large-star/small-star components equal union-find on graphs " +
+      "where diameter hurts label propagation") {
+    import spark.implicits._
+    // a 100-node PATH (diameter 99 — the worst case the star scheme's
+    // O(log²) convergence exists for), a star, a triangle with a tail,
+    // and isolated-pairs — ids interleaved so min-roots aren't just
+    // first-seen
+    val path = (0 until 99).map(i => (200L + i, 201L + i))
+    val star = (1 to 5).map(i => (100L, 100L + i))
+    val triTail = Seq((50L, 51L), (51L, 52L), (50L, 52L), (52L, 53L))
+    val pairsSeq = (path ++ star ++ triTail ++ Seq((7L, 9L))).reverse
+    val pairs = pairsSeq.toDF("doc1", "doc2")
+    val gotStar = Dedup.starComponentLabels(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotUf = Dedup.componentLabels(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotStar shouldBe gotUf
+    // ground truth: every path node labels 200, the star labels 100,
+    // the tailed triangle labels 50, the pair labels 7
+    (200L to 299L).foreach(n => gotStar(n) shouldBe 200L)
+    (100L to 105L).foreach(n => gotStar(n) shouldBe 100L)
+    (50L to 53L).foreach(n => gotStar(n) shouldBe 50L)
+    gotStar(9L) shouldBe 7L
+  }
 }
