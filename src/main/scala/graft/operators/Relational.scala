@@ -1182,70 +1182,46 @@ object Relational extends QueryPack {
     "q_scd2_merge" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val dim = Tables.customer(s, d)
-          .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
-        val upd = dim.filter($"c_custkey" % 7 === 3)
-          .select($"c_custkey",
-            (($"c_nationkey" + 1) % 25).as("u_nationkey"),
-            $"c_acctbal".as("u_acctbal"),
-            lit("MOVED").as("u_mktsegment"))
-        val mx = dim.agg(max($"c_custkey").as("mx"))
-        val ins = dim.filter($"c_custkey" % 11 === 5)
-          .crossJoin(broadcast(mx))
-          .select(($"c_custkey" + $"mx").as("c_custkey"),
-            $"c_nationkey", $"c_acctbal",
-            lit("NEW").as("c_mktsegment"),
-            lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
-            lit(true).as("is_current"))
-        val merged = dim.join(broadcast(upd), Seq("c_custkey"), "left")
-          .select($"c_custkey", explode(when($"u_mktsegment".isNotNull,
-            array(
-              struct($"c_nationkey", $"c_acctbal", $"c_mktsegment",
-                lit(0L).as("valid_from"), lit(1L).as("valid_to"),
-                lit(false).as("is_current")),
-              struct($"u_nationkey".as("c_nationkey"),
-                $"u_acctbal".as("c_acctbal"),
-                $"u_mktsegment".as("c_mktsegment"),
-                lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
-                lit(true).as("is_current"))))
-            .otherwise(array(
-              struct($"c_nationkey", $"c_acctbal", $"c_mktsegment",
-                lit(0L).as("valid_from"), lit(9999L).as("valid_to"),
-                lit(true).as("is_current"))))).as("v"))
-          .select($"c_custkey", $"v.c_nationkey", $"v.c_acctbal",
-            $"v.c_mktsegment", $"v.valid_from", $"v.valid_to",
-            $"v.is_current")
-        merged.unionByName(ins)
-          .orderBy($"c_custkey", $"valid_from")
+        scd2VersionedDim(s, d).orderBy($"c_custkey", $"valid_from")
       },
-      oracle = Some("""
-        WITH dim AS (
-          SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
-          FROM customer),
-        upd AS (
-          SELECT c_custkey,
-                 CAST((c_nationkey + 1) % 25 AS INTEGER) AS u_nationkey,
-                 c_acctbal AS u_acctbal,
-                 'MOVED' AS u_mktsegment
-          FROM dim WHERE c_custkey % 7 = 3),
-        merged AS (
-          SELECT d.c_custkey, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
-                 CAST(0 AS BIGINT) AS valid_from,
-                 CAST(CASE WHEN u.c_custkey IS NULL THEN 9999 ELSE 1 END
-                      AS BIGINT) AS valid_to,
-                 u.c_custkey IS NULL AS is_current
-          FROM dim d LEFT JOIN upd u USING (c_custkey)
-          UNION ALL
-          SELECT c_custkey, u_nationkey, u_acctbal, u_mktsegment,
-                 CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
-          FROM upd
-          UNION ALL
-          SELECT c_custkey + (SELECT MAX(c_custkey) FROM dim),
-                 c_nationkey, c_acctbal, 'NEW',
-                 CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
-          FROM dim WHERE c_custkey % 11 = 5)
-        SELECT * FROM merged
+      oracle = Some(s"""
+        WITH $scd2DimCtes
+        SELECT * FROM sdim
         ORDER BY c_custkey, valid_from""")),
+
+    // ── SCD2 point-in-time (PIT) join ──
+    // The lookup every versioned-dimension build exists to serve:
+    // each fact row joins the dim VERSION valid at the fact's time —
+    // join on the key EQUALITY (versions per key are few and bounded,
+    // so the timeline band is a cheap post-join filter, never a range
+    // join over the fact table), and the SCD2 validity invariant
+    // (versions partition the timeline) guarantees exactly one
+    // surviving row per fact. Shares [[scd2VersionedDim]] and the
+    // `sdim` oracle CTEs with q_scd2_merge, so the dim this reads is
+    // the hash-checked one. Fact time is o_orderkey mod 2, spanning
+    // both sides of every update's version boundary.
+    "q_scd2_pit_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val dimv = scd2VersionedDim(s, d)
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", ($"o_orderkey" % 2).as("t"))
+          .join(dimv, $"o_custkey" === $"c_custkey" &&
+            $"t" >= $"valid_from" && $"t" < $"valid_to")
+          .select($"o_orderkey", $"o_custkey", $"t",
+            $"c_mktsegment", $"c_nationkey")
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some(s"""
+        WITH $scd2DimCtes,
+        fact AS (
+          SELECT o_orderkey, o_custkey, o_orderkey % 2 AS t FROM orders)
+        SELECT f.o_orderkey, f.o_custkey, f.t,
+               m.c_mktsegment, m.c_nationkey
+        FROM fact f JOIN sdim m
+          ON m.c_custkey = f.o_custkey
+          AND f.t >= m.valid_from AND f.t < m.valid_to
+        ORDER BY o_orderkey""")),
 
     // ── equi-height column histograms (ANALYZE ... FOR COLUMNS shape) ──
     // The optimizer-stats maintenance job every warehouse schedules:
@@ -1804,6 +1780,78 @@ object Relational extends QueryPack {
           FROM d_o a JOIN d_l b ON a.o_orderkey = b.l_orderkey)
         ORDER BY o_orderkey, l_linenumber"""))
   )
+
+  /** The SCD2 versioned customer dimension shared by `q_scd2_merge`
+    * (which IS this frame, ordered) and `q_scd2_pit_join` (which
+    * joins facts against it): original rows closed at version-time 1
+    * where an update arrived, update/insert rows open-ended. One
+    * broadcast batch join + a per-key explode — the Kimball fold. */
+  private def scd2VersionedDim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+    val upd = dim.filter($"c_custkey" % 7 === 3)
+      .select($"c_custkey",
+        (($"c_nationkey" + 1) % 25).as("u_nationkey"),
+        $"c_acctbal".as("u_acctbal"),
+        lit("MOVED").as("u_mktsegment"))
+    val mx = dim.agg(max($"c_custkey").as("mx"))
+    val ins = dim.filter($"c_custkey" % 11 === 5)
+      .crossJoin(broadcast(mx))
+      .select(($"c_custkey" + $"mx").as("c_custkey"),
+        $"c_nationkey", $"c_acctbal",
+        lit("NEW").as("c_mktsegment"),
+        lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
+        lit(true).as("is_current"))
+    val merged = dim.join(broadcast(upd), Seq("c_custkey"), "left")
+      .select($"c_custkey", explode(when($"u_mktsegment".isNotNull,
+        array(
+          struct($"c_nationkey", $"c_acctbal", $"c_mktsegment",
+            lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+            lit(false).as("is_current")),
+          struct($"u_nationkey".as("c_nationkey"),
+            $"u_acctbal".as("c_acctbal"),
+            $"u_mktsegment".as("c_mktsegment"),
+            lit(1L).as("valid_from"), lit(9999L).as("valid_to"),
+            lit(true).as("is_current"))))
+        .otherwise(array(
+          struct($"c_nationkey", $"c_acctbal", $"c_mktsegment",
+            lit(0L).as("valid_from"), lit(9999L).as("valid_to"),
+            lit(true).as("is_current"))))).as("v"))
+      .select($"c_custkey", $"v.c_nationkey", $"v.c_acctbal",
+        $"v.c_mktsegment", $"v.valid_from", $"v.valid_to",
+        $"v.is_current")
+    merged.unionByName(ins)
+  }
+
+  /** The SCD2 dim as shared oracle CTEs ending in `sdim` — single
+    * source for `q_scd2_merge`'s and `q_scd2_pit_join`'s oracles. */
+  private lazy val scd2DimCtes: String = """
+        dim AS (
+          SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer),
+        upd AS (
+          SELECT c_custkey,
+                 CAST((c_nationkey + 1) % 25 AS INTEGER) AS u_nationkey,
+                 c_acctbal AS u_acctbal,
+                 'MOVED' AS u_mktsegment
+          FROM dim WHERE c_custkey % 7 = 3),
+        sdim AS (
+          SELECT d.c_custkey, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+                 CAST(0 AS BIGINT) AS valid_from,
+                 CAST(CASE WHEN u.c_custkey IS NULL THEN 9999 ELSE 1 END
+                      AS BIGINT) AS valid_to,
+                 u.c_custkey IS NULL AS is_current
+          FROM dim d LEFT JOIN upd u USING (c_custkey)
+          UNION ALL
+          SELECT c_custkey, u_nationkey, u_acctbal, u_mktsegment,
+                 CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
+          FROM upd
+          UNION ALL
+          SELECT c_custkey + (SELECT MAX(c_custkey) FROM dim),
+                 c_nationkey, c_acctbal, 'NEW',
+                 CAST(1 AS BIGINT), CAST(9999 AS BIGINT), TRUE
+          FROM dim WHERE c_custkey % 11 = 5)"""
 
   /** Shared oracle of the giant-group top-k pair — identical SQL for
     * the window and aggregator plans is the equality proof. */

@@ -150,6 +150,24 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_scd2_pit_join: exactly one version per fact, and facts on " +
+      "either side of an update boundary see their own version") {
+    val rows = graft.SparkEntry.queries("q_scd2_pit_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    rows.length.toLong shouldBe nOrders // the exactly-one PIT contract
+    rows.map(_._1).distinct.length.toLong shouldBe nOrders
+    // updated customers (custkey % 7 == 3): t=0 facts see the original
+    // segment, t=1 facts see the update
+    val updated = rows.filter(_._2 % 7 == 3)
+    updated.filter(_._3 == 1L).map(_._4).distinct.toSeq shouldBe Seq("MOVED")
+    updated.filter(_._3 == 0L).foreach(_._4 should not be "MOVED")
+    // both sides of the boundary actually occur on the fixture
+    updated.count(_._3 == 0L) should be > 0
+    updated.count(_._3 == 1L) should be > 0
+  }
+
   test("q_stats_histogram: equi-height buckets, ordered non-overlapping " +
       "envelopes, exact row accounting") {
     val total = graft.Tables.lineitem(spark, sf).count()
