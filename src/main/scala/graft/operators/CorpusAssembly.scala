@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -201,6 +202,71 @@ object CorpusAssembly extends QueryPack {
         FROM cand c JOIN docs g ON g.doc_id = c.neg_id
         WHERE c.neg_id <> c.doc_id AND g.source <> c.a_source
         ORDER BY c.doc_id, slot""")),
+
+    // ── T5-style span-corruption accounting ──
+    // The data-prep op behind span-corruption pretraining (Raffel et
+    // al. 2020): mask ~15% of token positions via the deterministic
+    // (doc, pos)-salted hash gate, collapse adjacent masked positions
+    // into spans (the gaps-and-islands fold: pos − rank-among-masked
+    // is constant within a run), and account the corrupted layout per
+    // document — tokens, masked tokens, spans, and the corrupted
+    // sequence length n_tokens − n_masked + n_spans (each span
+    // becomes ONE sentinel token). Every doc is reproducible on any
+    // engine or cluster (pure arithmetic gate, no RNG state). One
+    // explode + one per-doc window (bounded by document length) + one
+    // groupBy — the map-heavy shape that scales with the corpus.
+    "llm_span_corruption" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", posexplode($"tokens").as(Seq("pos", "term")))
+        val gated = toks.withColumn("masked",
+          expr("(((doc_id % 1000003) * 2654435761 + pos * 97003) " +
+            "% 1000000007) < 150000001"))
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        gated
+          .withColumn("mrank",
+            sum(when($"masked", 1L).otherwise(0L)).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("island",
+            when($"masked", $"pos" - $"mrank"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when($"masked", 1L).otherwise(0L)).as("n_masked"),
+            countDistinct($"island").as("n_spans"))
+          .withColumn("n_corrupted_len",
+            $"n_tokens" - $"n_masked" + $"n_spans")
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS tokens FROM documents),
+        t AS (
+          SELECT doc_id, unnest(tokens) AS term,
+                 generate_subscripts(tokens, 1) - 1 AS pos
+          FROM toks),
+        g AS (
+          SELECT doc_id, pos,
+                 (((doc_id % 1000003) * 2654435761 + pos * 97003)
+                   % 1000000007) < 150000001 AS masked
+          FROM t),
+        isl AS (
+          SELECT doc_id, pos, masked,
+                 CASE WHEN masked THEN pos - SUM(CASE WHEN masked THEN 1
+                   ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 END AS island
+          FROM g)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked,
+               CAST(COUNT(DISTINCT island) AS BIGINT) AS n_spans,
+               COUNT(*) - CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+                 AS BIGINT) + CAST(COUNT(DISTINCT island) AS BIGINT)
+                 AS n_corrupted_len
+        FROM isl
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
 
     // ── sequence packing: concatenate-and-chunk into fixed token
     //    budgets (how pretraining batches are actually laid out) ──

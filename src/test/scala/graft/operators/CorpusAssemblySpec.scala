@@ -282,6 +282,34 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     got.map(_._1).distinct.size should be >= (docs.length * 9) / 10
   }
 
+  test("llm_span_corruption matches a sequential mask-and-runs recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val expected = docs.map { case (id, t) =>
+      val n = toks(t).length
+      val masked = (0 until n).map { pos =>
+        (((id % 1000003) * 2654435761L + pos * 97003) % 1000000007L) <
+          150000001L
+      }
+      val nMasked = masked.count(identity).toLong
+      val nSpans = masked.zipWithIndex.count { case (m, i) =>
+        m && (i == 0 || !masked(i - 1)) }.toLong
+      (id, n.toLong, nMasked, nSpans, n - nMasked + nSpans)
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("llm_span_corruption")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    // the gate really masks ~15%: corpus-wide rate inside (10%, 20%),
+    // and adjacent masks coalesced somewhere (spans < masked)
+    val totTok = got.map(_._2).sum.toDouble
+    val totMask = got.map(_._3).sum.toDouble
+    (totMask / totTok) should (be > 0.10 and be < 0.20)
+    got.count(r => r._4 < r._3) should be > 0
+  }
+
   test("llm_dq_audit: every constraint audits against a direct recompute, " +
       "and the narrowed language allowlist actually fails") {
     val docs = Tables.documents(spark, sf)

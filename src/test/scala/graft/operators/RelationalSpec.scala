@@ -269,6 +269,29 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.map(_._5).distinct.sorted.toSeq shouldBe Seq("dL", "dO", "dd")
   }
 
+  test("agg_f2_sketch counters match a JDK-MessageDigest recompute and " +
+      "the accuracy contract holds") {
+    val keys = graft.Tables.lineitem(spark, sf)
+      .select("l_partkey").collect().map(_.getLong(0))
+    def sign(k: Long, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${k}_$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1L else -1L
+    }
+    val estNum = (0 until 64).map { r =>
+      val s = keys.map(sign(_, r)).sum; s * s
+    }.sum
+    val exact = keys.groupBy(identity).values
+      .map(g => g.length.toLong * g.length).sum
+    val got = graft.SparkEntry.queries("agg_f2_sketch")(spark, sf)
+      .collect().head
+    got.getLong(0) shouldBe exact
+    got.getLong(1) shouldBe estNum
+    got.getBoolean(2) shouldBe true
+    math.abs(estNum - 64L * exact) should be <= 32L * exact
+  }
+
   test("q_bfs_levels equals a queue-based BFS recompute") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()
