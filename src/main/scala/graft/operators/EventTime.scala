@@ -974,6 +974,52 @@ object EventTime extends QueryPack {
         GROUP BY vc.event_type, med.med2, mad.mad4
         ORDER BY event_type""")),
 
+    // ── sliding-window distinct users WITHOUT a distinct aggregate ──
+    // "Distinct users in the trailing 7 days, per day" — the DAU/WAU
+    // family. The naive plan explodes every user-day to its 7 covered
+    // windows and runs countDistinct per window: a 7× row blowup INTO
+    // a distinct aggregate, the expensive shape. This plan deletes
+    // the distinct: a user active on day d covers windows [d−6, d];
+    // the union of those intervals over the user's active days merges
+    // into DISJOINT runs by the islands fold (consecutive active days
+    // ≤ 6 apart overlap), and disjointness means each user counts
+    // exactly once per covered window with a PLAIN count — no
+    // distinct state at all. Per-user ordered pass (bounded by active
+    // days) + one map-side-combined count; the oracle is the naive
+    // brute-force windows × COUNT(DISTINCT) definition, so the hash
+    // match PROVES the interval-merge trick exact every round.
+    "evt_sliding_distinct" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val days = Tables.events(s, d)
+          .select($"user_id", expr(s"(ts div 1000) div $DayUs").as("day"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val runs = days
+          .withColumn("prev", lag($"day", 1).over(w))
+          .withColumn("brk",
+            when($"prev".isNull || $"day" - $"prev" > 6, 1L).otherwise(0L))
+          .withColumn("run",
+            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"run")
+          .agg(min($"day").as("a"), max($"day").as("b"))
+        runs
+          .select(explode(sequence($"a" - 6, $"b")).as("win"))
+          .groupBy($"win").agg(count(lit(1)).as("n_users"))
+          .orderBy($"win")
+      },
+      oracle = Some(s"""
+        WITH ud AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+          FROM events),
+        rng AS (SELECT MIN(day) - 6 AS lo, MAX(day) AS hi FROM ud),
+        wins AS (
+          SELECT unnest(generate_series(lo, hi)) AS win FROM rng)
+        SELECT w.win, COUNT(DISTINCT u.user_id) AS n_users
+        FROM wins w JOIN ud u ON u.day BETWEEN w.win AND w.win + 6
+        GROUP BY w.win
+        ORDER BY w.win""")),
+
     // ── CUSUM change detection (Page 1954) via the prefix-min
     //    identity ──
     // The classic drift detector S_t = max(0, S_{t-1} + (y_t − μ)) is

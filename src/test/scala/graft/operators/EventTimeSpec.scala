@@ -223,6 +223,28 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_sliding_distinct equals the brute-force per-window distinct " +
+      "census") {
+    val ud = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 as day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val lo = ud.map(_._2).min - 6
+    val hi = ud.map(_._2).max
+    val expected = (lo to hi).flatMap { w =>
+      val n = ud.filter(t => t._2 >= w && t._2 <= w + 6)
+        .map(_._1).distinct.length.toLong
+      if (n > 0) Some((w, n)) else None
+    }
+    val got = graft.SparkEntry.queries("evt_sliding_distinct")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    // windows genuinely slide: counts vary across the range (ramp-up
+    // at the edges at minimum), and none exceeds the user universe
+    val users = ud.map(_._1).distinct.length.toLong
+    got.foreach(_._2 should be <= users)
+    got.map(_._2).distinct.size should be > 1
+  }
+
   test("evt_cusum: the window prefix-min identity equals the sequential " +
       "CUSUM recurrence, and the detector discriminates") {
     // independent recompute: the SEQUENTIAL recurrence the closed form

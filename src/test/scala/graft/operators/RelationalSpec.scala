@@ -292,6 +292,36 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     math.abs(estNum - 64L * exact) should be <= 32L * exact
   }
 
+  test("agg_join_size_sketch counters match a direct recompute and the " +
+      "estimate brackets the exact join size") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sign(k: Long, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${k}_$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1L else -1L
+    }
+    val estNum = (0 until 64).map { r =>
+      val a = rows.filter(_._2 == "R").map(t => sign(t._1, r)).sum
+      val b = rows.filter(_._2 != "R").map(t => sign(t._1, r)).sum
+      a * b
+    }.sum
+    val ca = rows.filter(_._2 == "R").groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val cb = rows.filter(_._2 != "R").groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    // keys is a SET — map through a Seq or duplicate products collapse
+    val exact = ca.keys.toSeq.filter(cb.contains).map(k => ca(k) * cb(k)).sum
+    val got = graft.SparkEntry.queries("agg_join_size_sketch")(spark, sf)
+      .collect().head
+    got.getLong(0) shouldBe exact
+    got.getLong(1) shouldBe estNum
+    got.getBoolean(2) shouldBe true
+    math.abs(estNum - 64L * exact) should be <= 32L * exact
+  }
+
   test("q_bfs_levels equals a queue-based BFS recompute") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()
