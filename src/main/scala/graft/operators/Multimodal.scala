@@ -394,6 +394,91 @@ object Multimodal extends QueryPack {
                COALESCE(p.n_segments, 0) AS n_segments,
                COALESCE(p.longest_seg, 0) AS longest_seg
         FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ── shot-boundary detection (scene cuts) over payload streams ──
+    // The video-curation segmentation stage: a cut is where adjacent
+    // frames' features jump — here the per-frame energy of the
+    // stand-in payloads (the mm_energy_segments extractor; a
+    // codec-backed deployment swaps in color histograms or embeddings
+    // and keeps everything downstream). The cut test is EXACT INTEGER
+    // relative change — 4·|e_f − e_{f−1}| > max(e_f, e_{f−1}), a >25%
+    // jump (50% never fires on the homogeneous text stand-ins;
+    // measured: 25% yields 0-14 cuts/doc with 68/500 uncut) — and
+    // shots are the islands between cuts (shot id = running cut
+    // count), giving per-payload shot structure: frames, cuts, shots
+    // = cuts+1, longest shot. One explode + two doc-bounded window
+    // passes + one groupBy — map-heavy, corpus-scalable.
+    "mm_shot_boundary" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"frame")
+        Tables.documents(s, d)
+          .filter(length($"text") >= 8)
+          .select($"doc_id",
+            expr("cast(length(text) div 8 as bigint)").as("n_frames"),
+            posexplode(expr(
+              "transform(sequence(1, length(text)), " +
+                "i -> cast(ascii(substring(text, i, 1)) as bigint))"))
+              .as(Seq("p", "u")))
+          .filter($"p" < ($"n_frames" * 8))
+          .withColumn("frame", expr("p div 8"))
+          .groupBy($"doc_id", $"n_frames", $"frame")
+          .agg(sum(($"u" - 32L) * ($"u" - 32L)).as("e"))
+          .withColumn("pe", lag($"e", 1).over(w))
+          .withColumn("cut",
+            when($"pe".isNotNull &&
+              lit(4L) * abs($"e" - $"pe") > greatest($"e", $"pe"), 1L)
+              .otherwise(0L))
+          .withColumn("shot",
+            sum($"cut").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy($"doc_id", $"n_frames", $"shot")
+          .agg(count(lit(1)).as("shot_len"))
+          .groupBy($"doc_id", $"n_frames")
+          .agg((count(lit(1)) - 1L).as("n_cuts"),
+            count(lit(1)).as("n_shots"),
+            max($"shot_len").as("longest_shot"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 CAST(length(text) // 8 AS BIGINT) AS n_frames,
+                 unnest(generate_series(0, length(text) - 1)) AS p,
+                 unnest(list_transform(generate_series(1, length(text)),
+                   i -> CAST(unicode(text[i:i]) AS BIGINT))) AS un
+          FROM documents WHERE length(text) >= 8),
+        fr AS (
+          SELECT doc_id, n_frames, p // 8 AS frame,
+                 CAST(SUM((un - 32) * (un - 32)) AS BIGINT) AS e
+          FROM u WHERE p < n_frames * 8
+          GROUP BY doc_id, n_frames, p // 8),
+        l AS (
+          SELECT doc_id, n_frames, frame, e,
+                 LAG(e) OVER w AS pe
+          FROM fr
+          WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        c AS (
+          SELECT doc_id, n_frames, frame,
+                 CASE WHEN pe IS NOT NULL AND 4 * abs(e - pe)
+                        > greatest(e, pe) THEN 1 ELSE 0 END AS cut
+          FROM l),
+        sh AS (
+          SELECT doc_id, n_frames,
+                 SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS shot
+          FROM c),
+        sl AS (
+          SELECT doc_id, n_frames, shot, COUNT(*) AS shot_len
+          FROM sh GROUP BY doc_id, n_frames, shot)
+        SELECT doc_id, n_frames,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts,
+               CAST(COUNT(*) AS BIGINT) AS n_shots,
+               CAST(MAX(shot_len) AS BIGINT) AS longest_shot
+        FROM sl GROUP BY doc_id, n_frames
         ORDER BY doc_id"""))
   )
 }

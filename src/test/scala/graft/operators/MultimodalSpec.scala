@@ -118,4 +118,39 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     got.exists(r => r._3 < r._2) shouldBe true
     got.exists(_._4 > 1) shouldBe true
   }
+
+  test("mm_shot_boundary matches a sequential cut-and-runs recompute " +
+      "and the detector discriminates") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 8)
+    val expected = docs.map { case (id, t) =>
+      val nf = t.length / 8
+      val energies = (0 until nf).map { f =>
+        (0 until 8).map { j =>
+          val u = t.charAt(f * 8 + j).toLong; (u - 32) * (u - 32)
+        }.sum
+      }
+      val cuts = (1 until nf).count { f =>
+        4 * math.abs(energies(f) - energies(f - 1)) >
+          math.max(energies(f), energies(f - 1))
+      }.toLong
+      val shotLens = {
+        val bounds = 0 +: (1 until nf).filter { f =>
+          4 * math.abs(energies(f) - energies(f - 1)) >
+            math.max(energies(f), energies(f - 1))
+        } :+ nf
+        bounds.sliding(2).map { case Seq(a, b) => (b - a).toLong }.toSeq
+      }
+      (id, nf.toLong, cuts, cuts + 1, shotLens.max)
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("mm_shot_boundary")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    // cuts happen, but not everywhere — the threshold discriminates
+    got.exists(_._3 > 0) shouldBe true
+    got.exists(_._3 == 0) shouldBe true
+  }
 }
