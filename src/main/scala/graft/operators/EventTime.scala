@@ -974,6 +974,61 @@ object EventTime extends QueryPack {
         GROUP BY vc.event_type, med.med2, mad.mad4
         ORDER BY event_type""")),
 
+    // ── peak concurrency by sweep line over session intervals ──
+    // "How many sessions were open at once, per day" — the capacity
+    // question behind connection pools and rate limits. The textbook
+    // answer is a +1/−1 sweep with a GLOBAL running sum — a
+    // single-task window at scale; here the sweep rides
+    // [[Relational.globalPrefixSum]] (range partition → per-partition
+    // ordered accumulation → O(parts) driver offsets → broadcast), so
+    // the scan parallelizes and nothing funnels. Sessions come from
+    // the shared 30-minute-gap rule (the sessionize semantics);
+    // intervals are inclusive, so the −1 lands at end+1µs and ties
+    // order +1 before −1 (delta desc) — an instant's peak counts
+    // everything open AT it. Daily peaks aggregate the state-change
+    // instants inside each day (order-invariant per tie group). All
+    // integer µs arithmetic.
+    "evt_peak_concurrency" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val sessions = ev
+          .withColumn("prev_tus", lag($"tus", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_tus".isNull || $"tus" - $"prev_tus" > GapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum($"new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_no")
+          .agg(min($"tus").as("a"), max($"tus").as("b"))
+        val deltas = sessions.select($"a".as("t"), lit(1L).as("delta"))
+          .unionByName(
+            sessions.select(($"b" + 1L).as("t"), lit(-1L).as("delta")))
+        Relational.globalPrefixSum(s, deltas,
+            Seq($"t", $"delta".desc), "delta")
+          .groupBy(expr(s"t div $DayUs").as("day"))
+          .agg(max($"psum").as("peak_concurrency"))
+          .orderBy($"day")
+      },
+      oracle = Some(s"""
+        WITH $sessionsCte,
+        iv AS (
+          SELECT user_id, session_no, MIN(tus) AS a, MAX(tus) AS b
+          FROM sessions GROUP BY user_id, session_no),
+        d AS (
+          SELECT a AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT b + 1, -1 FROM iv),
+        sw AS (
+          SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+          FROM d)
+        SELECT t // $DayUs AS day,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        FROM sw GROUP BY t // $DayUs
+        ORDER BY day""")),
+
     // ── sliding-window distinct users WITHOUT a distinct aggregate ──
     // "Distinct users in the trailing 7 days, per day" — the DAU/WAU
     // family. The naive plan explodes every user-day to its 7 covered

@@ -217,6 +217,50 @@ object Relational extends QueryPack {
         "__gq_q", "__gq_r", "__gq_cut", "__gq_rank0")
   }
 
+  /** Distributed GLOBAL inclusive prefix sum over a total order — the
+    * classic two-level scan (Blelloch): range-partition on `sortCols`,
+    * one in-order pass per partition accumulating the LOCAL prefix
+    * (mapPartitions — the down-sweep; an ordered accumulation has no
+    * declarative form), per-partition TOTALS to the driver (O(parts)),
+    * exclusive-scanned into offsets and broadcast back, so the global
+    * prefix is local + offset. Zero shuffles beyond the range
+    * partition; never a single-task global window. Values may be
+    * negative (the sweep-line use case); `valueCol` must be a Long
+    * column; ties in `sortCols` receive the values of SOME order
+    * within the tie — consumers must aggregate per tie group (max/min
+    * over a full group is order-invariant for monotone runs). */
+  private[operators] def globalPrefixSum(
+      s: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      valueCol: String): DataFrame = {
+    import s.implicits._
+    require(!df.columns.contains("psum"),
+      "globalPrefixSum: input already has a 'psum' column — rename it")
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__ps_pid", spark_partition_id())
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = sorted.schema.add("__ps_local", LongType)
+    val withLocal = sorted.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .localCheckpoint(true) // totals job + the output projection
+    val totals = withLocal.groupBy($"__ps_pid")
+      .agg(sum(col(valueCol)).as("tot"))
+      .orderBy($"__ps_pid").collect()
+    val offsets = totals.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = totals.map(_.getInt(0)).zip(offsets).toSeq
+      .toDF("__ps_pid", "__ps_off")
+    withLocal.join(broadcast(offsetDf), Seq("__ps_pid"))
+      .withColumn("psum", $"__ps_local" + $"__ps_off")
+      .drop("__ps_pid", "__ps_local", "__ps_off")
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── TPC-H Q1 analog: full-scan aggregate with exact decimal math ──

@@ -667,6 +667,76 @@ object TextAnalysis extends QueryPack {
         ORDER BY n DESC, bigram
         LIMIT 30""")),
 
+    // ── PMI collocations (pointwise mutual information) ──
+    // The corpus-linguistics collocation extractor: PMI(a,b) =
+    // ln(p(ab)/(p(a)p(b))) = ln(c₂·T₁² / (T₂·c₁(a)·c₁(b))) over the
+    // corpus bigram/unigram tables — high-PMI pairs are multiword
+    // expressions ("new york"), the signal tokenizer-vocab and
+    // phrase-mining passes rank by. Exact plan: two count shuffles
+    // (bigram, unigram — both map-side combined), the two broadcast
+    // totals, a min-count floor c₂ ≥ 5 BEFORE the unigram joins, the
+    // ratio as one cross-engine-identical double division, ln
+    // quantized to 6 digits (the DSIR idiom), and top-20 via
+    // TakeOrdered (distributed bounded sort, never a global window).
+    "llm_pmi_collocations" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .filter(size($"tokens") >= 2)
+          .select($"doc_id", $"tokens")
+          .localCheckpoint() // unigram AND bigram branches
+        val uni = toks.select(explode($"tokens").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+          .localCheckpoint(true) // both join sides + the total
+        val t1 = uni.agg(sum($"c1").as("t1"))
+        val bi = toks.select($"doc_id", expr(
+            "transform(sequence(1, size(tokens) - 1), " +
+              "i -> struct(tokens[i-1] AS a, tokens[i] AS b))")
+            .as("bigrams"))
+          .transform(graft.functions.TextTokens.materialized)
+          .select(explode($"bigrams").as("g"))
+          .select($"g.a".as("a"), $"g.b".as("b"))
+        val c2 = bi.groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
+        val t2 = c2.agg(sum($"c2").as("t2"))
+        c2.filter($"c2" >= 5)
+          .join(uni.select($"w".as("a"), $"c1".as("ca")), Seq("a"))
+          .join(uni.select($"w".as("b"), $"c1".as("cb")), Seq("b"))
+          .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+          .withColumn("pmi",
+            round(log(($"c2" * $"t1" * $"t1").cast(DoubleType) /
+              ($"t2" * $"ca" * $"cb").cast(DoubleType)), 6))
+          .select($"a", $"b", $"c2", $"pmi")
+          .orderBy($"pmi".desc, $"a", $"b")
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        tk AS (SELECT doc_id, tokens FROM toks WHERE len(tokens) >= 2),
+        uni AS (
+          SELECT w, COUNT(*) AS c1 FROM (
+            SELECT unnest(tokens) AS w FROM tk)
+          GROUP BY w),
+        t1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1 FROM uni),
+        bi AS (
+          SELECT g.a, g.b FROM (
+            SELECT unnest(list_transform(generate_series(2, len(tokens)),
+              i -> {'a': tokens[i-1], 'b': tokens[i]})) AS g
+            FROM tk) x),
+        c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bi GROUP BY a, b),
+        t2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS t2 FROM c2)
+        SELECT c2.a, c2.b, c2.c2,
+               round(ln(CAST(c2.c2 * t1.t1 * t1.t1 AS DOUBLE) /
+                 CAST(t2.t2 * ua.c1 * ub.c1 AS DOUBLE)), 6) AS pmi
+        FROM c2
+        JOIN uni ua ON ua.w = c2.a
+        JOIN uni ub ON ub.w = c2.b
+        CROSS JOIN t1 CROSS JOIN t2
+        WHERE c2.c2 >= 5
+        ORDER BY pmi DESC, c2.a, c2.b
+        LIMIT 20""")),
+
     // ── stratified sampling for training-data mixes ──
     // Deterministic hash-gated sampling with a per-language rate table
     // (broadcast dim join): reproducible across runs, machines, and

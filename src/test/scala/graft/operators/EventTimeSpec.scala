@@ -245,6 +245,42 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._2).distinct.size should be > 1
   }
 
+  test("evt_peak_concurrency equals a sequential sweep over session " +
+      "intervals") {
+    val GapUs = 30L * 60L * 1000000L
+    val DayUs = 86400000000L
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000 as tus", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sessions by the 30-min gap rule, sequentially per user
+    val intervals = ev.groupBy(_._1).values.flatMap { g =>
+      val ts = g.sortBy(e => (e._2, e._3)).map(_._2)
+      val runs = scala.collection.mutable.ArrayBuffer((ts.head, ts.head))
+      ts.tail.foreach { t =>
+        if (t - runs.last._2 > GapUs) runs += ((t, t))
+        else runs(runs.length - 1) = (runs.last._1, t)
+      }
+      runs
+    }.toSeq
+    // sequential sweep: +1 at start, −1 at end+1, ties +1 first
+    val deltas = (intervals.map(i => (i._1, 1L)) ++
+      intervals.map(i => (i._2 + 1L, -1L)))
+      .sortBy { case (t, dlt) => (t, -dlt) }
+    var conc = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, dlt) =>
+      conc += dlt
+      val day = t / DayUs
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), conc)
+    }
+    val expected = peaks.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_peak_concurrency")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    // concurrency is genuinely plural somewhere
+    got.map(_._2).max should be > 1L
+  }
+
   test("evt_cusum: the window prefix-min identity equals the sequential " +
       "CUSUM recurrence, and the detector discriminates") {
     // independent recompute: the SEQUENTIAL recurrence the closed form

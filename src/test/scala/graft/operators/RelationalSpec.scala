@@ -269,6 +269,22 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.map(_._5).distinct.sorted.toSeq shouldBe Seq("dL", "dO", "dd")
   }
 
+  test("globalPrefixSum equals a sequential scan, negatives included") {
+    import spark.implicits._
+    val rows = (1 to 257).map(i => (i.toLong, ((i * 37) % 23 - 11).toLong))
+    val df = rows.toDF("k", "v")
+    val seq = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (k, v)) => (k, acc + v)
+    }.drop(1).toMap
+    val got = Relational.globalPrefixSum(spark, df, Seq($"k"), "v")
+      .select($"k", $"psum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe seq
+    // negatives actually occurred, and the running sum dipped below 0
+    rows.map(_._2).min should be < 0L
+    got.values.min should be < 0L
+  }
+
   test("agg_f2_sketch counters match a JDK-MessageDigest recompute and " +
       "the accuracy contract holds") {
     val keys = graft.Tables.lineitem(spark, sf)

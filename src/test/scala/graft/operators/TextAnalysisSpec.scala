@@ -205,6 +205,33 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     rows.map(_._4).toSeq shouldBe rows.map(_._4).sortBy(-_).toSeq
   }
 
+  test("llm_pmi_collocations equals a direct PMI recompute") {
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val seqs = docs.map(toks).filter(_.length >= 2)
+    val uni = seqs.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val t1 = seqs.map(_.length.toLong).sum
+    val bi = seqs.flatMap(ts => ts.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t2 = bi.values.sum
+    val expected = bi.toSeq.filter(_._2 >= 5).map { case ((a, b), c2) =>
+      val pmi = BigDecimal.decimal(
+        math.log((c2 * t1 * t1).toDouble / (t2 * uni(a) * uni(b)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c2, pmi)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    val got = graft.SparkEntry.queries("llm_pmi_collocations")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // collocations beat independence: the head has strictly positive PMI
+    got.head._4 should be > 0.0
+  }
+
   test("llm_perplexity_buckets: per-language terciles balance to within " +
       "one doc, score envelopes are ordered, and the census covers the " +
       "whole corpus") {
