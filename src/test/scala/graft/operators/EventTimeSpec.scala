@@ -245,6 +245,40 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._2).distinct.size should be > 1
   }
 
+  test("agg_minhash_overlap signatures match a MessageDigest recompute " +
+      "and the estimate brackets the exact intersection") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ev.groupBy(_._1).view.mapValues { g =>
+      val t = g.map(_._2)
+      (t.count(_ == "purchase"), t.count(_ == "error"),
+        t.count(_ == "click"), t.count(_ == "view"))
+    }.toMap
+    val a = byUser.collect { case (u, (np, ne, _, _)) if np > ne => u }.toSet
+    val b = byUser.collect { case (u, (_, _, nc, nv)) if nc > nv => u }.toSet
+    def h(u: Long, r: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${u}_$r".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val m = (0 until 64).count { r =>
+      a.map(h(_, r)).min == b.map(h(_, r)).min
+    }.toLong
+    val inter = (a intersect b).size.toLong
+    val got = graft.SparkEntry.queries("agg_minhash_overlap")(spark, sf)
+      .collect().head
+    got.getLong(0) shouldBe a.size.toLong
+    got.getLong(1) shouldBe b.size.toLong
+    got.getLong(2) shouldBe inter
+    got.getLong(3) shouldBe m
+    got.getLong(4) shouldBe m * (a.size + b.size)
+    got.getLong(5) shouldBe 64L + m
+    got.getBoolean(6) shouldBe true
+    // the segments genuinely differ and genuinely overlap
+    inter should be > 0L
+    inter should be < math.min(a.size, b.size).toLong
+  }
+
   test("evt_peak_concurrency equals a sequential sweep over session " +
       "intervals") {
     val GapUs = 30L * 60L * 1000000L
