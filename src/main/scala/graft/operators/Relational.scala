@@ -217,6 +217,23 @@ object Relational extends QueryPack {
         "__gq_q", "__gq_r", "__gq_cut", "__gq_rank0")
   }
 
+  /** Tug-of-war ±1 sign for repetition `r`, read as BIT r of ONE md5
+    * of the key (a 128-bit digest supplies 64 independent signs — one
+    * hash per row instead of 64; measured rel-err 0.10-0.14, and the
+    * per-rep-hash variant cost 16 s at sf0.1 vs ~1 s for this).
+    * `div` is the integer-division spelling ("div" Spark, "//"
+    * DuckDB); everything else — substring, ascii, CASE, % — is
+    * identical text in both engines. Expects a column `h` holding the
+    * md5 hex. */
+  private def amsSignSql(r: Int, div: String): String = {
+    val pos = r / 4 + 1
+    val mask = 8 >> (r % 4)
+    s"""CASE WHEN ((CASE WHEN ascii(substring(h, $pos, 1)) >= 97
+          THEN ascii(substring(h, $pos, 1)) - 87
+          ELSE ascii(substring(h, $pos, 1)) - 48 END) $div $mask) % 2 = 1
+        THEN 1 ELSE -1 END"""
+  }
+
   /** Distributed GLOBAL inclusive prefix sum over a total order — the
     * classic two-level scan (Blelloch): range-partition on `sortCols`,
     * one in-order pass per partition accumulating the LOCAL prefix
@@ -1771,11 +1788,14 @@ object Relational extends QueryPack {
     // ONE map-side-combined pass — no per-key state, mergeable across
     // partitions/days by addition, while the exact F2 needs the full
     // histogram shuffle. Signs come from md5 (identical bytes on any
-    // engine — the ref_sha2_hash idiom): the first hex nibble's top
-    // bit. A cheaper affine-mod-P sign was MEASURED and rejected: on
-    // the contiguous uniform-count key range its three-distance
+    // engine — the ref_sha2_hash idiom): each repetition reads one
+    // BIT of a SINGLE digest per row (amsSignSql — a 128-bit digest
+    // supplies all 64 signs, so the scan hashes ONCE per row; the
+    // per-repetition-hash variant measured 16 s at sf0.1 vs ~1 s for
+    // this). A cheaper affine-mod-P sign was MEASURED and rejected:
+    // on the contiguous uniform-count key range its three-distance
     // structure balances every counter and collapses the estimate 20×
-    // (rel-err 0.88-0.96 vs md5's 0.05-0.09 at R=64). The sketch is
+    // (rel-err 0.88-0.96 vs the digest bits' 0.10-0.14). The sketch is
     // fully deterministic, so the ORACLE re-derives every counter —
     // and the accuracy contract (est within ±50% of exact ≈ 2.8
     // sketch-stderr) rides the same hash-checked row as exact
@@ -1783,28 +1803,35 @@ object Relational extends QueryPack {
     "agg_f2_sketch" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d).select($"l_partkey")
+        // signs evaluate INLINE in the 64 partial-aggregate
+        // expressions — A/B'd against projecting them as 64 columns
+        // first, which materializes a wide row per input row and
+        // measured 3× slower (6.9 vs 2.3 s at sf0.1)
+        val li = Tables.lineitem(s, d)
+          .select(md5($"l_partkey".cast("string")).as("h"))
         val signs = (0 until 64).map { r =>
-          sum(when(substring(md5(concat($"l_partkey".cast("string"),
-            lit("_" + r))), 1, 1) < "8", 1L).otherwise(-1L)).as(s"s$r")
+          sum(expr(amsSignSql(r, "div")).cast(LongType)).as(s"s$r")
         }
         val est = li.agg(signs.head, signs.tail: _*)
           .select((0 until 64).map(r => col(s"s$r") * col(s"s$r"))
             .reduce(_ + _).as("f2_est_num"))
-        val exact = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+        val exact = Tables.lineitem(s, d)
+          .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
           .agg(sum($"c" * $"c").as("f2_exact"))
         exact.crossJoin(est)
           .select($"f2_exact", $"f2_est_num",
             (abs($"f2_est_num" - lit(64L) * $"f2_exact")
               <= lit(32L) * $"f2_exact").as("within_50pct"))
       },
-      oracle = Some("""
-        WITH sk AS (
+      oracle = Some(s"""
+        WITH hh AS (SELECT md5(l_partkey::VARCHAR) AS h FROM lineitem),
+        sk AS (
           SELECT r.r,
-                 SUM(CASE WHEN substring(md5(l_partkey::VARCHAR || '_'
-                       || r.r::VARCHAR), 1, 1) < '8'
-                     THEN 1 ELSE -1 END) AS s
-          FROM lineitem CROSS JOIN range(0, 64) r(r)
+                 SUM(CASE r.r ${(0 until 64).map(r =>
+                   s"WHEN $r THEN (${amsSignSql(r, "//")})")
+                   .mkString("\n                   ")}
+                 END) AS s
+          FROM hh CROSS JOIN range(0, 64) r(r)
           GROUP BY r.r),
         est AS (SELECT CAST(SUM(s * s) AS BIGINT) AS f2_est_num FROM sk),
         ex AS (
@@ -1824,29 +1851,36 @@ object Relational extends QueryPack {
     // computable in ONE pass over each input (here literally one scan:
     // both sides are filters of lineitem, so all 128 conditional sums
     // fold in a single aggregate), mergeable by addition, no per-key
-    // state. Same md5 sign stream as agg_f2_sketch; same ±50%
-    // hash-checked accuracy contract (measured rel-err 0.04-0.08 at
-    // R=64 on the returned × non-returned self-join).
+    // state. Same single-digest bit signs as agg_f2_sketch (one md5
+    // per row serves all 64 repetitions on both sides); same ±50%
+    // hash-checked accuracy contract.
     "agg_join_size_sketch" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d).select($"l_partkey", $"l_returnflag")
-        // one scan, 128 sums: per repetition r, the R-side and
-        // non-R-side signed counters
-        val sums = (0 until 64).flatMap { r =>
-          val bit = substring(md5(concat($"l_partkey".cast("string"),
-            lit("_" + r))), 1, 1) < "8"
-          val sv = when(bit, 1L).otherwise(-1L)
-          Seq(
-            sum(when($"l_returnflag" === "R", sv).otherwise(0L)).as(s"a$r"),
-            sum(when($"l_returnflag" =!= "R", sv).otherwise(0L)).as(s"b$r"))
+        // one digest per row, checkpointed once; each SIDE then runs
+        // the f2-shaped 64-sum aggregate over its filter — two small
+        // aggregates instead of one 128-expression aggregate (A/B'd:
+        // the fused form fell off codegen and measured 9.5-14 s at
+        // sf0.1; the split form prices at ~2-3 s)
+        val hashed = Tables.lineitem(s, d)
+          .select(md5($"l_partkey".cast("string")).as("h"),
+            $"l_returnflag")
+          .localCheckpoint(true)
+        def sideSums(side: org.apache.spark.sql.DataFrame, p: String) = {
+          val sums = (0 until 64).map { r =>
+            sum(expr(amsSignSql(r, "div")).cast(LongType)).as(s"$p$r")
+          }
+          side.agg(sums.head, sums.tail: _*)
         }
-        val est = li.agg(sums.head, sums.tail: _*)
+        val est = sideSums(hashed.filter($"l_returnflag" === "R"), "a")
+          .crossJoin(sideSums(hashed.filter($"l_returnflag" =!= "R"), "b"))
           .select((0 until 64).map(r => col(s"a$r") * col(s"b$r"))
             .reduce(_ + _).as("js_est_num"))
-        val exact = li.filter($"l_returnflag" === "R")
+        val raw = Tables.lineitem(s, d)
+          .select($"l_partkey", $"l_returnflag")
+        val exact = raw.filter($"l_returnflag" === "R")
           .groupBy($"l_partkey").agg(count(lit(1)).as("ca"))
-          .join(li.filter($"l_returnflag" =!= "R")
+          .join(raw.filter($"l_returnflag" =!= "R")
             .groupBy($"l_partkey").agg(count(lit(1)).as("cb")),
             Seq("l_partkey"))
           .agg(sum($"ca" * $"cb").as("js_exact"))
@@ -1855,18 +1889,23 @@ object Relational extends QueryPack {
             (abs($"js_est_num" - lit(64L) * $"js_exact")
               <= lit(32L) * $"js_exact").as("within_50pct"))
       },
-      oracle = Some("""
-        WITH sk AS (
+      oracle = Some(s"""
+        WITH hh AS (
+          SELECT md5(l_partkey::VARCHAR) AS h, l_returnflag
+          FROM lineitem),
+        sk AS (
           SELECT r.r,
                  SUM(CASE WHEN l_returnflag = 'R' THEN
-                   CASE WHEN substring(md5(l_partkey::VARCHAR || '_'
-                     || r.r::VARCHAR), 1, 1) < '8' THEN 1 ELSE -1 END
+                   CASE r.r ${(0 until 64).map(r =>
+                     s"WHEN $r THEN (${amsSignSql(r, "//")})")
+                     .mkString("\n                     ")} END
                    ELSE 0 END) AS a,
                  SUM(CASE WHEN l_returnflag <> 'R' THEN
-                   CASE WHEN substring(md5(l_partkey::VARCHAR || '_'
-                     || r.r::VARCHAR), 1, 1) < '8' THEN 1 ELSE -1 END
+                   CASE r.r ${(0 until 64).map(r =>
+                     s"WHEN $r THEN (${amsSignSql(r, "//")})")
+                     .mkString("\n                     ")} END
                    ELSE 0 END) AS b
-          FROM lineitem CROSS JOIN range(0, 64) r(r)
+          FROM hh CROSS JOIN range(0, 64) r(r)
           GROUP BY r.r),
         est AS (SELECT CAST(SUM(a * b) AS BIGINT) AS js_est_num FROM sk),
         ex AS (

@@ -291,9 +291,10 @@ class RelationalSpec extends AnyFunSuite with Matchers {
       .select("l_partkey").collect().map(_.getLong(0))
     def sign(k: Long, r: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${k}_$r".getBytes("UTF-8"))
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      if (hex.charAt(0) < '8') 1L else -1L
+      val v = Integer.parseInt(hex.charAt(r / 4).toString, 16)
+      if (((v >> (3 - r % 4)) & 1) == 1) 1L else -1L
     }
     val estNum = (0 until 64).map { r =>
       val s = keys.map(sign(_, r)).sum; s * s
@@ -315,9 +316,10 @@ class RelationalSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getString(1)))
     def sign(k: Long, r: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${k}_$r".getBytes("UTF-8"))
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      if (hex.charAt(0) < '8') 1L else -1L
+      val v = Integer.parseInt(hex.charAt(r / 4).toString, 16)
+      if (((v >> (3 - r % 4)) & 1) == 1) 1L else -1L
     }
     val estNum = (0 until 64).map { r =>
       val a = rows.filter(_._2 == "R").map(t => sign(t._1, r)).sum
