@@ -1111,7 +1111,8 @@ object EventTime extends QueryPack {
         SELECT t // $DayUs AS day,
                CAST(MAX(conc) AS BIGINT) AS peak_concurrency
         FROM sw GROUP BY t // $DayUs
-        ORDER BY day""")),
+        ORDER BY day"""),
+      headline = true),
 
     // ── sliding-window distinct users WITHOUT a distinct aggregate ──
     // "Distinct users in the trailing 7 days, per day" — the DAU/WAU

@@ -1070,8 +1070,7 @@ object Relational extends QueryPack {
             dec($"pair.scores").cast(DoubleType).as("total_price"))
           .orderBy($"o_orderstatus", $"rk")
       },
-      oracle = Some(topkSkewSql),
-      headline = true),
+      oracle = Some(topkSkewSql)),
 
     "q_topk_skew_window" -> QueryDef(
       fn = (s, d) => {
@@ -1840,7 +1839,8 @@ object Relational extends QueryPack {
         SELECT ex.f2_exact, est.f2_est_num,
                abs(est.f2_est_num - 64 * ex.f2_exact) <= 32 * ex.f2_exact
                  AS within_50pct
-        FROM ex CROSS JOIN est""")),
+        FROM ex CROSS JOIN est"""),
+      headline = true),
 
     // ── AMS inner-product sketch: JOIN SIZE estimation ──
     // The companion planner sketch to agg_f2_sketch: |A ⋈ B| on a key

@@ -458,4 +458,50 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     // row_number window over the full candidate set
     p should not include "Window"
   }
+
+  test("JL projection is map-only: no joins, and the only exchange is " +
+      "the output ordering") {
+    val p = plan("sim_jl_project")
+    // one scan, the literal-matrix projection, the explode, the final
+    // output sort — nothing joins, nothing shuffles except that sort
+    p should not include "Join"
+    countOccurrences(p, "Exchange") should be <= 1
+  }
+
+  test("negative-pair generation resolves candidates by an id-equality " +
+      "join — no cartesian; the only nested-loop is the broadcast " +
+      "corpus-size scalar") {
+    val p = plan("llm_negative_pairs")
+    p should not include "CartesianProduct"
+    countOccurrences(p, "BroadcastNestedLoopJoin") should be <= 1
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
+  test("SCD2 point-in-time join keys on custkey equality — the timeline " +
+      "band is a filter, never a range/nested-loop join over facts") {
+    val p = plan("q_scd2_pit_join")
+    p should not include "CartesianProduct"
+    // the dim build broadcasts a max-key scalar (one nested loop);
+    // the fact join itself must be an equality join
+    countOccurrences(p, "BroadcastNestedLoopJoin") should be <= 1
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+  }
+
+  test("association rules join baskets and supports by equality — " +
+      "no cartesian; only the basket-count scalar rides a nested loop") {
+    val p = plan("q_assoc_rules")
+    p should not include "CartesianProduct"
+    countOccurrences(p, "BroadcastNestedLoopJoin") should be <= 1
+  }
+
+  test("AMS F2 sketch aggregates map-side: partial aggregation on the " +
+      "sign sums") {
+    val p = plan("agg_f2_sketch")
+    p should include ("partial_sum") // map-side combine of the counters
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
 }
