@@ -498,10 +498,11 @@ object Dedup extends QueryPack {
     }
   }
 
-  /** Recursive-CTE oracle for `dedup_clusters`: component id = min
-    * doc_id reachable over the verified near-dup pair graph. */
-  private lazy val clustersSql: String = s"""
-        WITH RECURSIVE
+  /** The near-dup component chain as shared oracle CTEs ending in
+    * `comp` (doc_id, lbl = reachable labels) — single source for
+    * `dedup_clusters`'s / `dedup_cc_star`'s labeling oracle and
+    * `dedup_golden_record`'s survivorship oracle. */
+  private lazy val clusterCtes: String = s"""
         toks AS (SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
         tok AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks),
         f AS (SELECT doc_id, lang,
@@ -526,7 +527,13 @@ object Dedup extends QueryPack {
         comp(doc_id, lbl) AS (
           SELECT doc_id, doc_id FROM documents
           UNION
-          SELECT e.dst, c.lbl FROM comp c JOIN edges e ON c.doc_id = e.src)
+          SELECT e.dst, c.lbl FROM comp c JOIN edges e ON c.doc_id = e.src)"""
+
+  /** Recursive-CTE oracle for `dedup_clusters`: component id = min
+    * doc_id reachable over the verified near-dup pair graph. */
+  private lazy val clustersSql: String = s"""
+        WITH RECURSIVE
+        $clusterCtes
         SELECT doc_id, MIN(lbl) AS cluster_id,
                (doc_id = MIN(lbl)) AS is_canonical
         FROM comp GROUP BY doc_id
@@ -1066,6 +1073,91 @@ object Dedup extends QueryPack {
           .orderBy($"doc_id")
       },
       oracle = Some(clustersSql)),
+
+    // ── golden-record survivorship (the MDM merge step) ──
+    // Clustering finds the duplicates; SOMETHING must then produce
+    // the one record a downstream system keeps. This is the
+    // field-level survivorship fold of master-data management: per
+    // near-dup cluster (≥2 members — the same component labels the
+    // clustering queries emit), majority vote on the categorical
+    // fields (ties break to the lexicographically smallest value, so
+    // the vote is deterministic), MAX on the size field, and the
+    // longest-document rule (ties to the smallest id) for the body
+    // survivor — each rule a plain AGGREGATE: majorities are
+    // min(struct(-count, value)) over the per-value counts and the
+    // survivor is min(struct(-n_chars, doc_id)), so no windows and
+    // no per-cluster sort anywhere. Shares the component machinery
+    // (and oracle CTEs) with dedup_clusters.
+    "dedup_golden_record" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val pairs = bandedSimhashPairs(s, d).select($"doc1", $"doc2")
+          .localCheckpoint(true)
+        val labels = componentLabels(s, pairs)
+        val mem = labels.join(
+            Tables.documents(s, d)
+              .select($"doc_id", $"lang", $"source", $"n_chars"),
+            Seq("doc_id"))
+          .localCheckpoint(true) // base + two majority aggregates
+        val base = mem.groupBy($"cluster")
+          .agg(count(lit(1)).as("n_members"),
+            max($"n_chars").as("n_chars_max"),
+            min(struct((-$"n_chars").as("negn"), $"doc_id".as("id")))
+              .as("ld"))
+        val langM = mem.groupBy($"cluster", $"lang")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"cluster")
+          .agg(min(struct((-$"c").as("negc"), $"lang".as("v"))).as("lm"))
+        val srcM = mem.groupBy($"cluster", $"source")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"cluster")
+          .agg(min(struct((-$"c").as("negc"), $"source".as("v"))).as("sm"))
+        base.join(langM, Seq("cluster")).join(srcM, Seq("cluster"))
+          .filter($"n_members" >= 2)
+          .select($"cluster".as("cluster_id"), $"n_members",
+            $"lm.v".as("lang_golden"), $"sm.v".as("source_golden"),
+            $"n_chars_max", $"ld.id".as("longest_doc"))
+          .orderBy($"cluster_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE
+        $clusterCtes,
+        lab AS (
+          SELECT doc_id, MIN(lbl) AS cluster_id FROM comp GROUP BY doc_id),
+        mem AS (
+          SELECT l.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+          FROM lab l JOIN documents d USING (doc_id)),
+        base AS (
+          SELECT cluster_id, COUNT(*) AS n_members,
+                 MAX(n_chars) AS n_chars_max
+          FROM mem GROUP BY cluster_id),
+        ld AS (
+          SELECT cluster_id, doc_id AS longest_doc FROM (
+            SELECT cluster_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) AS rn
+            FROM mem) x WHERE rn = 1),
+        lm AS (
+          SELECT cluster_id, lang AS lang_golden FROM (
+            SELECT cluster_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM mem GROUP BY cluster_id, lang) x WHERE rn = 1),
+        sm AS (
+          SELECT cluster_id, source AS source_golden FROM (
+            SELECT cluster_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY COUNT(*) DESC, source) AS rn
+            FROM mem GROUP BY cluster_id, source) x WHERE rn = 1)
+        SELECT b.cluster_id, b.n_members, lm.lang_golden, sm.source_golden,
+               b.n_chars_max, ld.longest_doc
+        FROM base b
+        JOIN lm USING (cluster_id)
+        JOIN sm USING (cluster_id)
+        JOIN ld USING (cluster_id)
+        WHERE b.n_members >= 2
+        ORDER BY cluster_id"""),
+      headline = false),
 
     // ── exact word-shingle Jaccard pairs (ORACLE FACE: quadratic within
     //    the (lang, |Δn_chars| ≤ 50) block — the small-SF fixture; the

@@ -365,6 +365,41 @@ class DedupSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("dedup_golden_record survivorship equals a direct per-cluster " +
+      "recompute over the clustering query's own labels") {
+    val labels = rowsOf("dedup_clusters")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    def majority(vs: Seq[String]): String =
+      vs.groupBy(identity).toSeq
+        .map { case (v, g) => (-g.size, v) }.min._2
+    val expected = labels.groupBy(_._2).filter(_._2.size >= 2)
+      .map { case (cl, g) =>
+        val ms = g.map(_._1).sorted
+        val fields = ms.map(docs)
+        (cl, ms.size.toLong,
+          majority(fields.map(_._1)), majority(fields.map(_._2)),
+          fields.map(_._3).max,
+          ms.map(id => (-docs(id)._3, id)).min(
+            Ordering.Tuple2[Long, Long])._2)
+      }.toSeq.sortBy(_._1)
+    val got = rowsOf("dedup_golden_record")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[String], r(3).asInstanceOf[String],
+        r(4).asInstanceOf[Long], r(5).asInstanceOf[Long]))
+    got shouldBe expected
+    expected should not be empty
+    // the vote is non-vacuous: some cluster mixes sources, so the
+    // majority rule (not a constant) decided the golden value
+    val mixed = labels.groupBy(_._2).filter(_._2.size >= 2).exists {
+      case (_, g) => g.map(m => docs(m._1)._2).distinct.size > 1
+    }
+    mixed shouldBe true
+  }
+
   test("large-star/small-star components equal union-find on graphs " +
       "where diameter hurts label propagation") {
     import spark.implicits._
