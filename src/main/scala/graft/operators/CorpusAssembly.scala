@@ -203,6 +203,82 @@ object CorpusAssembly extends QueryPack {
         WHERE c.neg_id <> c.doc_id AND g.source <> c.a_source
         ORDER BY c.doc_id, slot""")),
 
+    // ── dataset card: the corpus manifest in one pass ──
+    // The "Datasheets for Datasets" summary artifact (Gebru et al.
+    // 2021) every corpus release ships: scale (docs, tokens, bytes),
+    // composition (languages, sources, vocabulary), duplication rate,
+    // and length statistics — assembled from TWO passes (one over
+    // documents for the row-level stats incl. the exact-dup census
+    // via distinct content hashes; one over the exploded token stream
+    // for vocabulary size) joined as single-row broadcast aggregates.
+    // The mean is the exact centi-char rational (sum·100 div n), the
+    // median rides the same 2×-scale order-statistic idiom as
+    // evt_mad_outliers. Everything is an exact integer, so the whole
+    // card is one hash-checked row.
+    "llm_dataset_card" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).localCheckpoint(true)
+        val a1 = docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          (count(lit(1)) - countDistinct(sha2($"text", 256)))
+            .as("n_exact_dups"),
+          sum($"n_chars").as("sum_chars"),
+          max($"n_chars").as("max_chars"))
+        val a2 = docs.withColumn("tokens", tokens)
+          .select(explode($"tokens").as("w"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct($"w").as("vocab_size"))
+        // 2×-scale exact median of n_chars off the frequency table
+        val vc = docs.groupBy($"n_chars").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy($"n_chars")
+        val med = vc.withColumn("cum", sum($"c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+          .agg(
+            (min(when($"cum" >= expr("(n + 1) div 2"), $"n_chars"))
+              + min(when($"cum" >= expr("n div 2 + 1"), $"n_chars")))
+              .as("median_chars_x2"))
+        a1.crossJoin(broadcast(a2)).crossJoin(broadcast(med))
+          .select($"n_docs", $"n_tokens", $"n_langs", $"n_sources",
+            $"vocab_size", $"n_exact_dups",
+            expr("sum_chars * 100 div n_docs").as("mean_chars_x100"),
+            $"median_chars_x2", $"max_chars")
+      },
+      oracle = Some(s"""
+        WITH a1 AS (
+          SELECT COUNT(*) AS n_docs,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 COUNT(DISTINCT source) AS n_sources,
+                 COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_exact_dups,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                 MAX(n_chars) AS max_chars
+          FROM documents),
+        a2 AS (
+          SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS vocab_size
+          FROM (SELECT unnest($tokensSql) AS w FROM documents)),
+        vc AS (
+          SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+        cum AS (
+          SELECT n_chars,
+                 SUM(c) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 (SELECT COUNT(*) FROM documents) AS n
+          FROM vc),
+        med AS (
+          SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END)
+                 + MIN(CASE WHEN cum >= n // 2 + 1 THEN n_chars END)
+                   AS median_chars_x2
+          FROM cum)
+        SELECT a1.n_docs, a2.n_tokens, a1.n_langs, a1.n_sources,
+               a2.vocab_size, a1.n_exact_dups,
+               a1.sum_chars * 100 // a1.n_docs AS mean_chars_x100,
+               med.median_chars_x2, a1.max_chars
+        FROM a1 CROSS JOIN a2 CROSS JOIN med""")),
+
     // ── T5-style span-corruption accounting ──
     // The data-prep op behind span-corruption pretraining (Raffel et
     // al. 2020): mask ~15% of token positions via the deterministic

@@ -282,6 +282,31 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     got.map(_._1).distinct.size should be >= (docs.length * 9) / 10
   }
 
+  test("llm_dataset_card matches a direct whole-corpus recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val allToks = docs.flatMap(d => toks(d._2))
+    val lens = docs.map(_._5).sorted
+    val n = docs.length
+    val expected = (n.toLong, allToks.length.toLong,
+      docs.map(_._3).distinct.length.toLong,
+      docs.map(_._4).distinct.length.toLong,
+      allToks.distinct.length.toLong,
+      (n - docs.map(_._2).distinct.length).toLong,
+      docs.map(_._5).sum * 100 / n,
+      lens((n - 1) / 2) + lens(n / 2),
+      lens.last)
+    val got = graft.SparkEntry.queries("llm_dataset_card")(spark, sf)
+      .collect().head
+    (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6), got.getLong(7),
+      got.getLong(8)) shouldBe expected
+  }
+
   test("llm_span_corruption matches a sequential mask-and-runs recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
