@@ -389,6 +389,74 @@ object EventTime extends QueryPack {
         GROUP BY ev.event_type
         ORDER BY ev.event_type""")),
 
+    // ── seasonal (day-of-week) anomaly detection ──
+    // evt_anomaly thresholds against the UNCONDITIONAL per-type
+    // moments; real metric streams have weekly structure, and a
+    // weekend level that is normal FOR WEEKENDS should not alarm.
+    // Same integer-exact 3σ identity ((n·c − Σc)² > 9·(n·Σc² − Σc²)),
+    // but the moments condition on (event_type, day-of-week) — and
+    // the UNCONDITIONAL verdict is computed alongside from the same
+    // scan, so the output exposes exactly where seasonal conditioning
+    // changes the answer (the n_outliers_global vs n_outliers_seasonal
+    // gap). Epoch day 0 is a Thursday: dow = (day + 4) mod 7 puts
+    // 0 = Sunday, spelled identically in both engines. Two tiny
+    // moment tables broadcast back over one events scan.
+    "evt_seasonal_anomaly" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val ev = Tuning.scanOnce(Tables.events(s, d)
+          .select($"event_type",
+            expr(s"((ts div 1000) div $DayUs + 4) % 7").as("dow"),
+            (dec($"value") * 100).cast(LongType).cast(big).as("c")))
+        val seas = ev.groupBy($"event_type", $"dow").agg(
+          count(lit(1)).cast(big).as("sn"),
+          sum($"c").as("ssc"), sum($"c" * $"c").as("ssc2"))
+        val glob = ev.groupBy($"event_type").agg(
+          count(lit(1)).cast(big).as("gn"),
+          sum($"c").as("gsc"), sum($"c" * $"c").as("gsc2"))
+        ev.join(broadcast(seas), Seq("event_type", "dow"))
+          .join(broadcast(glob), Seq("event_type"))
+          .groupBy($"event_type", $"dow")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(($"sn" * $"c" - $"ssc") * ($"sn" * $"c" - $"ssc")
+              > lit(9) * ($"sn" * $"ssc2" - $"ssc" * $"ssc"), 1L)
+              .otherwise(0L)).as("n_outliers_seasonal"),
+            sum(when(($"gn" * $"c" - $"gsc") * ($"gn" * $"c" - $"gsc")
+              > lit(9) * ($"gn" * $"gsc2" - $"gsc" * $"gsc"), 1L)
+              .otherwise(0L)).as("n_outliers_global"))
+          .orderBy($"event_type", $"dow")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT event_type,
+                 (epoch_us(ts) // $DayUs + 4) % 7 AS dow,
+                 CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS HUGEINT) AS c
+          FROM events),
+        seas AS (
+          SELECT event_type, dow, CAST(COUNT(*) AS HUGEINT) AS sn,
+                 SUM(c) AS ssc, SUM(c * c) AS ssc2
+          FROM ev GROUP BY event_type, dow),
+        gm AS (
+          SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS gn,
+                 SUM(c) AS gsc, SUM(c * c) AS gsc2
+          FROM ev GROUP BY event_type)
+        SELECT ev.event_type, ev.dow, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN (s.sn * ev.c - s.ssc) * (s.sn * ev.c - s.ssc)
+                                  > 9 * (s.sn * s.ssc2 - s.ssc * s.ssc)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers_seasonal,
+               CAST(SUM(CASE WHEN (g.gn * ev.c - g.gsc) * (g.gn * ev.c - g.gsc)
+                                  > 9 * (g.gn * g.gsc2 - g.gsc * g.gsc)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers_global
+        FROM ev
+        JOIN seas s ON s.event_type = ev.event_type AND s.dow = ev.dow
+        JOIN gm g ON g.event_type = ev.event_type
+        GROUP BY ev.event_type, ev.dow
+        ORDER BY ev.event_type, ev.dow""")),
+
     // ── MERGEABLE distinct sketches: per-day HLL rolled up by union ──
     // The pre-aggregation pattern that makes distinct counts feasible
     // at 100 TB: each partition/day keeps a fixed-size Datasketches HLL

@@ -1842,6 +1842,92 @@ object Relational extends QueryPack {
         FROM ex CROSS JOIN est"""),
       headline = true),
 
+    // ── bitmap index: build + intersect (the OLAP filter index) ──
+    // The other file-skipping/selection structure next to Layout's
+    // Bloom filters: per category a BITMAP over the row-id space
+    // (62-bit words — the Layout word-width idiom, keeping shifted
+    // values positive — built by one bit_or aggregate per word), and
+    // predicate COMBINATION is wordwise AND + popcount, never a data
+    // rescan. Row ids are the deterministic (orderkey·8 + linenumber)
+    // injection. The output is self-verifying per category: the
+    // bitmap's total popcount next to the direct row count, and the
+    // bitmap-AND answer for "flag ∧ orderkey ≤ mid" next to the
+    // direct predicate count — both equalities ride the hash-checked
+    // row, so the driver re-proves build AND query correctness every
+    // round. Scale: build is one map-side-combined bit_or groupBy
+    // (words = rows/62); the AND is an equality join on word id.
+    // The row-id space is the (orderkey, linenumber) KEY — a real
+    // table's primary key; the fixture generator emits duplicate
+    // (orderkey, linenumber) pairs (6000 rows, 4599 distinct), so the
+    // build dedupes to the key space first, exactly as an index over
+    // a keyed table would see it.
+    "q_bitmap_index" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val mx = Tables.lineitem(s, d).agg(max($"l_orderkey").as("mx"))
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_returnflag",
+            ($"l_orderkey" * 8 + $"l_linenumber").as("rid"))
+          .distinct()
+          .crossJoin(broadcast(mx))
+          .withColumn("word", expr("rid div 62"))
+          .withColumn("m", expr("shiftleft(1L, cast(rid % 62 as int))"))
+          .localCheckpoint(true) // both bitmap builds + direct counts
+        val bmFlag = li.groupBy($"l_returnflag", $"word")
+          .agg(bit_or($"m").as("b1"))
+        val bmPred = li.groupBy($"word")
+          .agg(bit_or(when($"l_orderkey" <= expr("mx div 2"), $"m")
+            .otherwise(0L)).as("b2"))
+        val viaBitmap = bmFlag.join(bmPred, Seq("word"))
+          .groupBy($"l_returnflag")
+          .agg(sum(bit_count($"b1")).as("n_set"),
+            sum(bit_count($"b1".bitwiseAND($"b2"))).as("n_and"))
+        val direct = li.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when($"l_orderkey" <= expr("mx div 2"), 1L).otherwise(0L))
+              .as("n_and_direct"))
+        viaBitmap.join(direct, Seq("l_returnflag"))
+          .select($"l_returnflag", $"n_rows", $"n_set",
+            $"n_and", $"n_and_direct",
+            ($"n_set" === $"n_rows" && $"n_and" === $"n_and_direct")
+              .as("bitmap_exact"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        WITH mx AS (SELECT MAX(l_orderkey) AS mx FROM lineitem),
+        li AS (
+          SELECT DISTINCT l_orderkey, l_returnflag,
+                 l_orderkey * 8 + l_linenumber AS rid, mx.mx
+          FROM lineitem CROSS JOIN mx),
+        w AS (
+          SELECT l_orderkey, l_returnflag, mx, rid // 62 AS word,
+                 (1::BIGINT << CAST(rid % 62 AS INTEGER)) AS m
+          FROM li),
+        bmflag AS (
+          SELECT l_returnflag, word, bit_or(m) AS b1
+          FROM w GROUP BY l_returnflag, word),
+        bmpred AS (
+          SELECT word,
+                 bit_or(CASE WHEN l_orderkey <= mx // 2 THEN m
+                        ELSE 0 END) AS b2
+          FROM w GROUP BY word),
+        via AS (
+          SELECT f.l_returnflag,
+                 CAST(SUM(bit_count(f.b1)) AS BIGINT) AS n_set,
+                 CAST(SUM(bit_count(f.b1 & p.b2)) AS BIGINT) AS n_and
+          FROM bmflag f JOIN bmpred p USING (word)
+          GROUP BY f.l_returnflag),
+        direct AS (
+          SELECT l_returnflag, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN l_orderkey <= mx // 2 THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_and_direct
+          FROM w GROUP BY l_returnflag)
+        SELECT v.l_returnflag, d.n_rows, v.n_set, v.n_and, d.n_and_direct,
+               v.n_set = d.n_rows AND v.n_and = d.n_and_direct
+                 AS bitmap_exact
+        FROM via v JOIN direct d USING (l_returnflag)
+        ORDER BY l_returnflag""")),
+
     // ── AMS inner-product sketch: JOIN SIZE estimation ──
     // The companion planner sketch to agg_f2_sketch: |A ⋈ B| on a key
     // equals the histogram inner product Σ c_A(k)·c_B(k), and the

@@ -279,6 +279,35 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     inter should be < math.min(a.size, b.size).toLong
   }
 
+  test("evt_seasonal_anomaly matches a direct recompute and conditioning " +
+      "on day-of-week changes some verdicts") {
+    val DayUs = 86400000000L
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", s"((ts div 1000) div $DayUs + 4) % 7 as dow",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def outliers(g: Seq[Long], probe: Seq[Long]): Long = {
+      val n = BigInt(g.length); val sc = g.map(BigInt(_)).sum
+      val sc2 = g.map(v => BigInt(v) * v).sum
+      probe.count { v =>
+        val lhs = (n * v - sc) * (n * v - sc)
+        lhs > 9 * (n * sc2 - sc * sc)
+      }.toLong
+    }
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    val expected = ev.groupBy(t => (t._1, t._2)).map { case ((tp, dw), g) =>
+      val vs = g.map(_._3).toSeq
+      (tp, dw, vs.size.toLong, outliers(vs, vs), outliers(byType(tp), vs))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("evt_seasonal_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    // the seasonal baseline genuinely changes at least one verdict
+    got.exists(t => t._4 != t._5) shouldBe true
+    got.map(_._5).sum should be > 0L
+  }
+
   test("evt_peak_concurrency equals a sequential sweep over session " +
       "intervals") {
     val GapUs = 30L * 60L * 1000000L

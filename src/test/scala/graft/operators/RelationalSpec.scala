@@ -285,6 +285,30 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("q_bitmap_index: self-verification holds, the census is complete, " +
+      "and the AND predicate is genuinely selective") {
+    val got = graft.SparkEntry.queries("q_bitmap_index")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    got.foreach { case (flag, nRows, nSet, nAnd, nAndDirect, exact) =>
+      withClue(s"$flag:") {
+        exact shouldBe true
+        nSet shouldBe nRows
+        nAnd shouldBe nAndDirect
+        nAnd should be < nRows // the mid-orderkey predicate selects
+        nAnd should be > 0L
+      }
+    }
+    // census over the KEY SPACE the index is defined on (the fixture
+    // has duplicate (orderkey, linenumber) pairs — see the scaladoc)
+    val nKeys = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_returnflag",
+        "l_orderkey * 8 + l_linenumber as rid")
+      .distinct().count()
+    got.map(_._2).sum shouldBe nKeys
+    got.map(_._1).sorted.toSeq shouldBe Seq("A", "N", "R")
+  }
+
   test("agg_f2_sketch counters match a JDK-MessageDigest recompute and " +
       "the accuracy contract holds") {
     val keys = graft.Tables.lineitem(spark, sf)
