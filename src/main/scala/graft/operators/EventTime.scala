@@ -1042,6 +1042,48 @@ object EventTime extends QueryPack {
         GROUP BY vc.event_type, med.med2, mad.mad4
         ORDER BY event_type""")),
 
+    // ── per-user behavioral entropy (feature engineering) ──
+    // The diversity feature behind bot/engagement models: Shannon
+    // entropy of each user's event-type distribution, H = ln n −
+    // (Σ c·ln c)/n over the per-(user, type) counts — two map-side-
+    // combined aggregates, no per-event work beyond the count.
+    // Cross-engine exactness by the unigram-surprisal idiom: each
+    // ln quantized to 6 digits before entering the DECIMAL sum
+    // (associative), one double division, outer round to 6.
+    "evt_user_entropy" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("clnc",
+            ($"c" * round(log($"c".cast(DoubleType)), 6)
+              .cast(DecimalType(20, 6))).cast(DecimalType(27, 6)))
+          .groupBy($"user_id")
+          .agg(sum($"c").as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum($"clnc").as("sclnc"))
+          .withColumn("entropy",
+            round(log($"n_events".cast(DoubleType)) -
+              $"sclnc".cast(DoubleType) / $"n_events", 6))
+          .select($"user_id", $"n_events", $"n_types", $"entropy")
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY user_id, event_type),
+        u AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                 COUNT(*) AS n_types,
+                 SUM(CAST(c * CAST(round(ln(CAST(c AS DOUBLE)), 6)
+                   AS DECIMAL(20,6)) AS DECIMAL(27,6))) AS sclnc
+          FROM c GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+               round(ln(CAST(n_events AS DOUBLE))
+                 - CAST(sclnc AS DOUBLE) / n_events, 6) AS entropy
+        FROM u ORDER BY user_id""")),
+
     // ── MinHash set-overlap estimation (audience intersection) ──
     // "How many users are in BOTH segments" without materializing
     // either segment's membership centrally: each side keeps a K=64

@@ -308,6 +308,35 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_user_entropy matches a direct recompute and orders users " +
+      "by behavioral diversity") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val counts = g.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val n = counts.sum
+      val sclnc = counts.map { c =>
+        (BigDecimal(c) * BigDecimal.decimal(math.log(c.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }.sum
+      (u, n, counts.size.toLong,
+        BigDecimal.decimal(math.log(n.toDouble) - sclnc.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_user_entropy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    got shouldBe expected
+    // entropies are positive (all users mix types) and below ln(5)
+    got.foreach { case (u, _, _, h) =>
+      withClue(s"user $u:") {
+        h should be > 0.0
+        h should be <= math.log(5.0) + 1e-6
+      }
+    }
+  }
+
   test("evt_peak_concurrency equals a sequential sweep over session " +
       "intervals") {
     val GapUs = 30L * 60L * 1000000L
