@@ -203,6 +203,99 @@ object CorpusAssembly extends QueryPack {
         WHERE c.neg_id <> c.doc_id AND g.source <> c.a_source
         ORDER BY c.doc_id, slot""")),
 
+    // ── Neyman-allocation stratified sampling ──
+    // llm_stratified_sample applies GIVEN per-stratum rates; this
+    // derives the OPTIMAL ones: Neyman allocation puts budget where
+    // the variance is, quota_h ∝ N_h·sd_h — and N_h·sd_h collapses to
+    // √(N_h·Σx² − (Σx)²), one sqrt over an exact integer, no mean or
+    // division anywhere. Weights floor to micro-units (identical
+    // doubles → identical floor; never round-on-double), the integer
+    // largest-remainder method splits the budget of 100 exactly
+    // (base = (B·wᵤ) div Wᵤ, extras by remainder rank), and members
+    // fill each quota in the deterministic hash order. The census
+    // output proves the SELECTION, not just the counts: per stratum
+    // the XOR fold of sampled doc ids — any membership difference
+    // flips it. Per-stratum ranking is a window over the lang
+    // partitioning (the llm_token_budget shape; a production run
+    // sub-shards the stratum key).
+    "llm_neyman_sample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val st = Tables.documents(s, d).groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+            sum($"n_chars" * $"n_chars").as("sx2"))
+          .withColumn("wu", expr(
+            "cast(floor(sqrt(cast(n * sx2 - sx * sx as double)) " +
+              "* 1000000) as bigint)"))
+        val wtot = st.agg(sum($"wu").as("wt"))
+        val alloc = st.crossJoin(broadcast(wtot))
+          .withColumn("base", expr("(100 * wu) div wt"))
+          .withColumn("rem", expr("(100 * wu) % wt"))
+        val spare = alloc.agg((lit(100L) - sum($"base")).as("extras"))
+        val wR = Window.orderBy($"rem".desc, $"lang")
+        val quotas = alloc.crossJoin(broadcast(spare))
+          .withColumn("rk", row_number().over(wR))
+          .withColumn("quota",
+            $"base" + when($"rk" <= $"extras", 1L).otherwise(0L))
+          .select($"lang", $"n", $"wu", $"quota")
+          .localCheckpoint(true) // join side + output side
+        val wS = Window.partitionBy($"lang")
+          .orderBy(expr(gateExpr), $"doc_id")
+        val sampled = Tables.documents(s, d)
+          .select($"doc_id", $"lang")
+          .withColumn("rk", row_number().over(wS))
+          .join(quotas.select($"lang", $"quota"), Seq("lang"))
+          .filter($"rk" <= $"quota")
+        quotas.join(
+            sampled.groupBy($"lang")
+              .agg(count(lit(1)).as("n_sampled"),
+                expr("bit_xor(doc_id)").as("xor_ids")),
+            Seq("lang"), "left")
+          .select($"lang", $"n".as("n_docs"), $"wu", $"quota",
+            coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+            coalesce($"xor_ids", lit(0L)).as("xor_ids"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH st AS (
+          SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sx,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+          FROM documents GROUP BY lang),
+        w AS (
+          SELECT lang, n,
+                 CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                   * 1000000) AS BIGINT) AS wu
+          FROM st),
+        wt AS (SELECT CAST(SUM(wu) AS BIGINT) AS wt FROM w),
+        alloc AS (
+          SELECT w.lang, w.n, w.wu,
+                 (100 * w.wu) // wt.wt AS base,
+                 (100 * w.wu) % wt.wt AS rem
+          FROM w CROSS JOIN wt),
+        sp AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS extras FROM alloc),
+        q AS (
+          SELECT lang, n, wu,
+                 base + CASE WHEN ROW_NUMBER() OVER
+                   (ORDER BY rem DESC, lang) <= sp.extras
+                   THEN 1 ELSE 0 END AS quota
+          FROM alloc CROSS JOIN sp),
+        ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY $gateExpr, doc_id) AS rk
+          FROM documents),
+        sampled AS (
+          SELECT r.lang, COUNT(*) AS n_sampled,
+                 CAST(bit_xor(r.doc_id) AS BIGINT) AS xor_ids
+          FROM ranked r JOIN q ON q.lang = r.lang AND r.rk <= q.quota
+          GROUP BY r.lang)
+        SELECT q.lang, q.n AS n_docs, q.wu, CAST(q.quota AS BIGINT)
+                 AS quota,
+               COALESCE(s.n_sampled, 0) AS n_sampled,
+               COALESCE(s.xor_ids, 0) AS xor_ids
+        FROM q LEFT JOIN sampled s USING (lang)
+        ORDER BY q.lang""")),
+
     // ── dataset card: the corpus manifest in one pass ──
     // The "Datasheets for Datasets" summary artifact (Gebru et al.
     // 2021) every corpus release ships: scale (docs, tokens, bytes),

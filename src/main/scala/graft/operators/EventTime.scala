@@ -1042,6 +1042,65 @@ object EventTime extends QueryPack {
         GROUP BY vc.event_type, med.med2, mad.mad4
         ORDER BY event_type""")),
 
+    // ── decile lift chart (the model-eval gains table) ──
+    // The evaluation artifact scoring models are judged by: rank the
+    // population by a score (here click volume — the fixture has no
+    // model scores; the mechanism is score-agnostic), cut into
+    // deciles, report each decile's response rate against the
+    // population rate as an EXACT lift rational (num = responders·U,
+    // den = users·R — no float division at the oracle boundary).
+    // Response = the behavioral cohort rule (more purchases than
+    // errors), scale-invariant on any fixture. Deciles ride
+    // [[Relational.globalNtile]] (zero post-sort shuffles, never a
+    // single-task global window); the population scalars broadcast.
+    "evt_lift_chart" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val u = Tables.events(s, d).groupBy($"user_id")
+          .agg(
+            count(when($"event_type" === "click", 1)).as("score"),
+            (count(when($"event_type" === "purchase", 1)) >
+              count(when($"event_type" === "error", 1))).as("resp"))
+        val tiles = Relational.globalNtile(s, u, 10L,
+          Seq($"score".desc, $"user_id"))
+        val tot = tiles.agg(count(lit(1)).as("tu"),
+          sum(when($"resp", 1L).otherwise(0L)).as("tr"))
+        tiles.groupBy($"tile".as("decile"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when($"resp", 1L).otherwise(0L)).as("n_responders"))
+          .crossJoin(broadcast(tot))
+          .select($"decile", $"n_users", $"n_responders",
+            ($"n_responders" * $"tu").as("lift_num"),
+            ($"n_users" * $"tr").as("lift_den"))
+          .orderBy($"decile")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id,
+                 COUNT(*) FILTER (event_type = 'click') AS score,
+                 COUNT(*) FILTER (event_type = 'purchase') >
+                   COUNT(*) FILTER (event_type = 'error') AS resp
+          FROM events GROUP BY user_id),
+        t AS (
+          SELECT user_id, resp,
+                 CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+                   AS BIGINT) AS decile
+          FROM u),
+        tot AS (
+          SELECT COUNT(*) AS tu,
+                 CAST(SUM(CASE WHEN resp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tr
+          FROM t)
+        SELECT t.decile, COUNT(*) AS n_users,
+               CAST(SUM(CASE WHEN t.resp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_responders,
+               CAST(SUM(CASE WHEN t.resp THEN 1 ELSE 0 END) * tot.tu
+                 AS BIGINT) AS lift_num,
+               CAST(COUNT(*) * tot.tr AS BIGINT) AS lift_den
+        FROM t CROSS JOIN tot
+        GROUP BY t.decile, tot.tu, tot.tr
+        ORDER BY decile""")),
+
     // ── per-user behavioral entropy (feature engineering) ──
     // The diversity feature behind bot/engagement models: Shannon
     // entropy of each user's event-type distribution, H = ln n −

@@ -282,6 +282,42 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     got.map(_._1).distinct.size should be >= (docs.length * 9) / 10
   }
 
+  test("llm_neyman_sample: allocation follows Neyman weights, the budget " +
+      "splits exactly, and the XOR census pins the selected members") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    val wu = byLang.view.mapValues { g =>
+      val n = BigInt(g.length); val sx = g.map(d => BigInt(d._3)).sum
+      val sx2 = g.map(d => BigInt(d._3) * d._3).sum
+      math.floor(math.sqrt((n * sx2 - sx * sx).toDouble) * 1e6).toLong
+    }.toMap
+    val wt = wu.values.sum
+    val base = wu.view.mapValues(w => 100L * w / wt).toMap
+    val rem = wu.map { case (l, w) => l -> (100L * w % wt) }
+    val extras = 100L - base.values.sum
+    val order = rem.toSeq.sortBy { case (l, r) => (-r, l) }.map(_._1)
+    val quota = base ++ order.take(extras.toInt).map(l => l -> (base(l) + 1))
+    def gate(id: Long) = ((id % 1000003) * 2654435761L) % 1000000L
+    val expected = byLang.map { case (l, g) =>
+      val chosen = g.map(_._1).sortBy(id => (gate(id), id))
+        .take(quota(l).toInt)
+      (l, g.length.toLong, wu(l), quota(l), chosen.length.toLong,
+        chosen.foldLeft(0L)(_ ^ _))
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("llm_neyman_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expected
+    // the budget splits exactly and the allocation is non-uniform
+    got.map(_._4).sum shouldBe 100L
+    got.map(_._4).distinct.size should be > 1
+    got.foreach { case (l, _, _, q, n, _) =>
+      withClue(s"$l:") { n shouldBe q }
+    }
+  }
+
   test("llm_dataset_card matches a direct whole-corpus recompute") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source", "n_chars").collect()

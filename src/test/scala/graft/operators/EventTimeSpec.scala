@@ -308,6 +308,38 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_lift_chart matches a direct decile recompute and the lift " +
+      "rationals are conserved") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.groupBy(_._1).map { case (u, g) =>
+      val t = g.map(_._2)
+      (u, t.count(_ == "click").toLong,
+        t.count(_ == "purchase") > t.count(_ == "error"))
+    }.toSeq.sortBy { case (u, sc, _) => (-sc, u) }
+    val n = users.length
+    val (q, r) = (n / 10, n % 10)
+    def tileOf(rank0: Int): Long =
+      if (rank0 < (q + 1) * r) rank0 / (q + 1) + 1L
+      else (rank0 - (q + 1) * r) / math.max(q, 1) + r + 1L
+    val tu = n.toLong
+    val tr = users.count(_._3).toLong
+    val expected = users.zipWithIndex
+      .groupBy { case (_, i) => tileOf(i) }
+      .map { case (d, g) =>
+        val resp = g.count(_._1._3).toLong
+        (d, g.size.toLong, resp, resp * tu, g.size * tr)
+      }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_lift_chart")(spark, sf)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2),
+        r2.getLong(3), r2.getLong(4))).toSeq
+    got shouldBe expected
+    // conservation: responders across deciles sum to the population
+    got.map(_._3).sum shouldBe tr
+    got.map(_._2).sum shouldBe tu
+  }
+
   test("evt_user_entropy matches a direct recompute and orders users " +
       "by behavioral diversity") {
     val ev = graft.Tables.events(spark, sf)
