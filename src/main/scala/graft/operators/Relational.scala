@@ -1842,6 +1842,78 @@ object Relational extends QueryPack {
         FROM ex CROSS JOIN est"""),
       headline = true),
 
+    // ── order-invariant table checksum (replication verification) ──
+    // The handshake two sides of a replication/migration compare
+    // WITHOUT moving data: per table, a commutative fold (bit_xor) of
+    // a per-row digest — insensitive to row order and partitioning,
+    // sensitive to any changed/missing/duplicated row (XOR cancels
+    // exact duplicates pairwise, so the row-count rides alongside to
+    // close that hole). The digest is a 60-bit integer rebuilt from
+    // md5's first 15 hex nibbles by positional arithmetic — the
+    // amsSignSql nibble idiom — over a canonical '|'-joined row
+    // serialization restricted to integer/string/epoch columns (float
+    // FORMATTING is engine-specific; a production checksum fixes a
+    // canonical encoding the same way). One map-side-combined
+    // aggregate per table; the oracle re-derives every digest.
+    "q_table_checksum" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        def nibbleSum(): String =
+          (0 until 15).map { i =>
+            val pos = i + 1
+            val w = s"CASE WHEN ascii(substring(h, $pos, 1)) >= 97 " +
+              s"THEN ascii(substring(h, $pos, 1)) - 87 " +
+              s"ELSE ascii(substring(h, $pos, 1)) - 48 END"
+            s"CAST($w AS BIGINT) * ${1L << (4 * i)}"
+          }.mkString(" + ")
+        val o = Tables.orders(s, d)
+          .select(md5(concat_ws("|",
+            $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+            $"o_orderstatus", $"o_orderpriority",
+            expr("cast(unix_micros(cast(o_orderdate as timestamp)) " +
+              "as string)"))).as("h"))
+          .withColumn("dig", expr(nibbleSum()))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(dig)").as("checksum"))
+          .select(lit("orders").as("tbl"), $"n_rows", $"checksum")
+        val c = Tables.customer(s, d)
+          .select(md5(concat_ws("|",
+            $"c_custkey".cast("string"), $"c_nationkey".cast("string"),
+            $"c_mktsegment")).as("h"))
+          .withColumn("dig", expr(nibbleSum()))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(dig)").as("checksum"))
+          .select(lit("customer").as("tbl"), $"n_rows", $"checksum")
+        o.unionByName(c).orderBy($"tbl")
+      },
+      oracle = Some {
+        val nibbleSum = (0 until 15).map { i =>
+          val pos = i + 1
+          val w = s"CASE WHEN ascii(substring(h, $pos, 1)) >= 97 " +
+            s"THEN ascii(substring(h, $pos, 1)) - 87 " +
+            s"ELSE ascii(substring(h, $pos, 1)) - 48 END"
+          s"CAST($w AS BIGINT) * ${1L << (4 * i)}"
+        }.mkString(" + ")
+        s"""
+        WITH ho AS (
+          SELECT md5(concat_ws('|', o_orderkey::VARCHAR,
+            o_custkey::VARCHAR, o_orderstatus, o_orderpriority,
+            epoch_us(o_orderdate)::VARCHAR)) AS h
+          FROM orders),
+        hc AS (
+          SELECT md5(concat_ws('|', c_custkey::VARCHAR,
+            c_nationkey::VARCHAR, c_mktsegment)) AS h
+          FROM customer)
+        SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+               CAST(bit_xor($nibbleSum) AS BIGINT) AS checksum
+        FROM hc
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+               CAST(bit_xor($nibbleSum) AS BIGINT)
+        FROM ho
+        ORDER BY tbl"""
+      }),
+
     // ── bitmap index: build + intersect (the OLAP filter index) ──
     // The other file-skipping/selection structure next to Layout's
     // Bloom filters: per category a BITMAP over the row-id space

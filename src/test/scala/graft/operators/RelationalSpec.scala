@@ -285,6 +285,34 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("q_table_checksum: digests match a MessageDigest recompute, the " +
+      "fold is order-invariant, and a single-field flip is detected") {
+    def dig(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 15).map { i =>
+        val v = Integer.parseInt(hex.charAt(i).toString, 16).toLong
+        v * (1L << (4 * i))
+      }.sum
+    }
+    val rows = graft.Tables.orders(spark, sf).selectExpr(
+      "concat_ws('|', cast(o_orderkey as string), " +
+        "cast(o_custkey as string), o_orderstatus, o_orderpriority, " +
+        "cast(unix_micros(cast(o_orderdate as timestamp)) as string)) as s")
+      .collect().map(_.getString(0))
+    val expected = rows.map(dig).foldLeft(0L)(_ ^ _)
+    val got = graft.SparkEntry.queries("q_table_checksum")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    got("orders")._1 shouldBe rows.length.toLong
+    got("orders")._2 shouldBe expected
+    // order-invariance: fold over a reversed row order is identical
+    rows.reverse.map(dig).foldLeft(0L)(_ ^ _) shouldBe expected
+    // sensitivity: flipping one field of one row changes the checksum
+    val tampered = rows.updated(0, rows(0) + "x")
+    tampered.map(dig).foldLeft(0L)(_ ^ _) should not be expected
+  }
+
   test("q_bitmap_index: self-verification holds, the census is complete, " +
       "and the AND predicate is genuinely selective") {
     val got = graft.SparkEntry.queries("q_bitmap_index")(spark, sf)
