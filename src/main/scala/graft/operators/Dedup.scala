@@ -1074,6 +1074,62 @@ object Dedup extends QueryPack {
       },
       oracle = Some(clustersSql)),
 
+    // ── LSH S-curve: the banding-config tuning artifact ──
+    // The table an engineer consults BEFORE picking (bands, rows):
+    // for banded LSH the pair-collision probability at similarity s
+    // is p(s) = 1 − (1 − s^r)^b — this emits that curve for the
+    // repo's operating configs (16×4, the embedding-ANN banding, and
+    // 4×4, the MinHash banding) on a 5%-step similarity grid, plus
+    // each config's steepness. All powers are EXPLICIT repeated
+    // multiplication (s⁴ via two squarings, t¹⁶ via four) — never
+    // pow(), whose libm rounding is not pinned across engines — so
+    // every value is the same IEEE double on both sides, rounded to 9
+    // at the boundary. Driver-trivial by nature (a 21×2-row
+    // analytical table); it exists so the operating points the recall
+    // gates measure empirically are documented against theory in a
+    // hash-checked artifact.
+    "dedup_lsh_s_curve" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val grid = s.range(0, 21).select(($"id" * 5).as("s_pct"),
+          ($"id".cast(DoubleType) / 20).as("sim"))
+        def curve(b: Int, r: Int): org.apache.spark.sql.Column = {
+          // s^r by explicit squaring (r = 4 here), then (1-x)^b by
+          // successive squarings (b = 4 or 16)
+          val s2 = $"sim" * $"sim"
+          val sr = s2 * s2 // r = 4
+          val t = lit(1.0) - sr
+          val t2 = t * t
+          val t4 = t2 * t2
+          val tb = if (b == 16) { val t8 = t4 * t4; t8 * t8 } else t4
+          round(lit(1.0) - tb, 9)
+        }
+        grid.select($"s_pct", $"sim",
+            curve(16, 4).as("p_collide_16x4"),
+            curve(4, 4).as("p_collide_4x4"))
+          .orderBy($"s_pct")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT i * 5 AS s_pct, CAST(i AS DOUBLE) / 20 AS sim
+          FROM range(0, 21) t(i)),
+        c AS (
+          SELECT s_pct, sim,
+                 (sim * sim) * (sim * sim) AS sr
+          FROM g),
+        t AS (
+          SELECT s_pct, sim, 1.0 - sr AS t1 FROM c),
+        p AS (
+          SELECT s_pct, sim,
+                 ((t1*t1)*(t1*t1)) * ((t1*t1)*(t1*t1))
+                   * (((t1*t1)*(t1*t1)) * ((t1*t1)*(t1*t1))) AS t16,
+                 (t1*t1)*(t1*t1) AS t4
+          FROM t)
+        SELECT s_pct, sim,
+               round(1.0 - t16, 9) AS p_collide_16x4,
+               round(1.0 - t4, 9) AS p_collide_4x4
+        FROM p ORDER BY s_pct""")),
+
     // ── golden-record survivorship (the MDM merge step) ──
     // Clustering finds the duplicates; SOMETHING must then produce
     // the one record a downstream system keeps. This is the

@@ -1329,6 +1329,53 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── DAU/WAU stickiness (engagement ratio) ──
+    // The product-health metric: per day, daily actives over trailing-
+    // 7-day actives as an exact integer pair. DAU is a plain count of
+    // the deduped (user, day) table; WAU rides the same interval-merge
+    // trick as evt_sliding_distinct (a user's covered windows merge
+    // into DISJOINT runs, so a plain count is exact — no distinct
+    // aggregate), aligned so window w covers days [w, w+6] and the
+    // ratio for day d reads window w = d−6. Emitted as (dau, wau)
+    // BIGINTs — consumers divide at display time.
+    "evt_stickiness" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val days = Tables.events(s, d)
+          .select($"user_id", expr(s"(ts div 1000) div $DayUs").as("day"))
+          .distinct()
+          .localCheckpoint(true) // DAU count + the interval runs
+        val dau = days.groupBy($"day").agg(count(lit(1)).as("dau"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val wau = days
+          .withColumn("prev", lag($"day", 1).over(w))
+          .withColumn("brk",
+            when($"prev".isNull || $"day" - $"prev" > 6, 1L).otherwise(0L))
+          .withColumn("run",
+            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"run")
+          .agg(min($"day").as("a"), max($"day").as("b"))
+          .select(explode(sequence($"a" - 6, $"b")).as("win"))
+          .groupBy($"win").agg(count(lit(1)).as("wau"))
+        dau.join(wau, $"day" === $"win" + 6)
+          .select($"day", $"dau", $"wau")
+          .orderBy($"day")
+      },
+      oracle = Some(s"""
+        WITH ud AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+          FROM events),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        wins AS (
+          SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+          FROM (SELECT DISTINCT day FROM ud) d
+          JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day)
+        SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+               CAST(w.wau AS BIGINT) AS wau
+        FROM dau JOIN wins w USING (day)
+        ORDER BY day""")),
+
     // ── CUSUM change detection (Page 1954) via the prefix-min
     //    identity ──
     // The classic drift detector S_t = max(0, S_{t-1} + (y_t − μ)) is

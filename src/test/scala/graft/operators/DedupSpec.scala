@@ -365,6 +365,26 @@ class DedupSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("dedup_lsh_s_curve: endpoints, monotonicity, more bands dominate, " +
+      "and values match the closed form") {
+    val got = rowsOf("dedup_lsh_s_curve").map(r =>
+      (r(0).asInstanceOf[Long], r(1).asInstanceOf[Double],
+        r(2).asInstanceOf[Double], r(3).asInstanceOf[Double]))
+    got.size shouldBe 21
+    got.head._3 shouldBe 0.0; got.head._4 shouldBe 0.0
+    got.last._3 shouldBe 1.0; got.last._4 shouldBe 1.0
+    got.sliding(2).foreach { case Seq(a, b) =>
+      b._3 should be >= a._3; b._4 should be >= a._4
+    }
+    got.foreach { case (_, s, p16, p4) =>
+      p16 should be >= p4 // more bands, more collisions, pointwise
+      val expect16 = BigDecimal.decimal(
+        1.0 - math.pow(1.0 - math.pow(s, 4), 16))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      p16 shouldBe expect16 +- 1e-8 // closed form, pow-computed
+    }
+  }
+
   test("dedup_golden_record survivorship equals a direct per-cluster " +
       "recompute over the clustering query's own labels") {
     val labels = rowsOf("dedup_clusters")

@@ -308,6 +308,27 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_stickiness matches a brute-force DAU/WAU recompute and " +
+      "WAU dominates DAU") {
+    val ud = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 as day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = ud.map(_._2).distinct.sorted.map { d =>
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = ud.filter(t => t._2 >= d - 6 && t._2 <= d)
+        .map(_._1).distinct.length.toLong
+      (d, dau, wau)
+    }.toSeq
+    val got = graft.SparkEntry.queries("evt_stickiness")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    got.foreach { case (d, dau, wau) =>
+      withClue(s"day $d:") { wau should be >= dau }
+    }
+    // the window genuinely widens the audience somewhere
+    got.exists(t => t._3 > t._2) shouldBe true
+  }
+
   test("evt_lift_chart matches a direct decile recompute and the lift " +
       "rationals are conserved") {
     val ev = graft.Tables.events(spark, sf)
