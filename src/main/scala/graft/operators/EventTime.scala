@@ -1329,6 +1329,70 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── chi-square independence test (type × day-of-week) ──
+    // The statistical gate behind "does behavior depend on weekday":
+    // the contingency table of (event_type, dow) with each cell's χ²
+    // contribution (o·N − r·c)² / (N·r·c) — numerator exact in
+    // HUGEINT/DECIMAL, ONE double division per cell quantized to 6
+    // digits before the decimal sum (the surprisal discipline), so
+    // the statistic is bit-identical across engines. Output: the
+    // per-type χ² rollup with its cell count (dof = (types−1)(dows−1)
+    // is the reader's table lookup). Margins are two tiny aggregates
+    // + a broadcast total — the contingency table is states × 7 rows
+    // no matter the corpus size.
+    "evt_chi_square" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val cell = Tables.events(s, d)
+          .select($"event_type",
+            expr(s"((ts div 1000) div $DayUs + 4) % 7").as("dow"))
+          .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+          .localCheckpoint(true) // margins + cells
+        val rowM = cell.groupBy($"event_type").agg(sum($"o").as("r"))
+        val colM = cell.groupBy($"dow").agg(sum($"o").as("c"))
+        val tot = cell.agg(sum($"o").as("n"))
+        cell.join(broadcast(rowM), Seq("event_type"))
+          .join(broadcast(colM), Seq("dow"))
+          .crossJoin(broadcast(tot))
+          .withColumn("num",
+            ($"o".cast(big) * $"n" - $"r".cast(big) * $"c") *
+              ($"o".cast(big) * $"n" - $"r".cast(big) * $"c"))
+          .withColumn("den", $"n".cast(big) * $"r" * $"c")
+          .withColumn("contrib",
+            round($"num".cast(DoubleType) / $"den".cast(DoubleType), 6)
+              .cast(DecimalType(20, 6)))
+          .groupBy($"event_type")
+          .agg(sum($"o").as("n_events"),
+            sum($"contrib").cast(DoubleType).as("chi2_type"),
+            count(lit(1)).as("n_cells"))
+          .orderBy($"event_type")
+      },
+      oracle = Some(s"""
+        WITH cell AS (
+          SELECT event_type,
+                 (epoch_us(ts) // $DayUs + 4) % 7 AS dow,
+                 CAST(COUNT(*) AS HUGEINT) AS o
+          FROM events GROUP BY event_type, dow),
+        rm AS (SELECT event_type, SUM(o) AS r FROM cell GROUP BY 1),
+        cm AS (SELECT dow, SUM(o) AS c FROM cell GROUP BY 1),
+        n AS (SELECT SUM(o) AS n FROM cell),
+        k AS (
+          SELECT cell.event_type, cell.o,
+                 CAST(round(CAST((cell.o * n.n - rm.r * cm.c)
+                     * (cell.o * n.n - rm.r * cm.c) AS DOUBLE) /
+                   CAST(n.n * rm.r * cm.c AS DOUBLE), 6)
+                   AS DECIMAL(20,6)) AS contrib
+          FROM cell
+          JOIN rm USING (event_type)
+          JOIN cm USING (dow)
+          CROSS JOIN n)
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_events,
+               CAST(SUM(contrib) AS DOUBLE) AS chi2_type,
+               COUNT(*) AS n_cells
+        FROM k GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ── DAU/WAU stickiness (engagement ratio) ──
     // The product-health metric: per day, daily actives over trailing-
     // 7-day actives as an exact integer pair. DAU is a plain count of

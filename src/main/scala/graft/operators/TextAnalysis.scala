@@ -667,6 +667,87 @@ object TextAnalysis extends QueryPack {
         ORDER BY n DESC, bigram
         LIMIT 30""")),
 
+    // ── Zipf-law fit of the rank–frequency curve ──
+    // The corpus-health diagnostic: natural text follows freq ∝
+    // rank^(−s) with s ≈ 1; a corpus whose fitted exponent drifts far
+    // from that is boilerplate-heavy or synthetic. Ranks come from
+    // [[Relational.globalRank]] over (freq desc, term) — zero
+    // post-sort shuffles, never a single-task window over the
+    // vocabulary — and the exponent is the OLS slope of ln f vs ln r
+    // with every ln quantized to exact micro-units (decimal-cast
+    // before scaling — never float×1e6), the moment sums in
+    // DECIMAL(38), and the slope/R² surfaced as the two final double
+    // divisions both engines perform identically. The hapax tail
+    // (freq < 2) is truncated as Zipf fits conventionally do.
+    "llm_zipf_fit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val tf = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select(explode($"tokens").as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("f"))
+          .filter($"f" >= 2)
+        val ranked = Relational.globalRank(s, tf,
+          Seq($"f".desc, $"term"))
+        val pts = ranked.select(
+          (round(log(($"rk" + 1L).cast(DoubleType)), 6)
+            .cast(DecimalType(20, 6)) * 1000000)
+            .cast(LongType).cast(big).as("x"),
+          (round(log($"f".cast(DoubleType)), 6)
+            .cast(DecimalType(20, 6)) * 1000000)
+            .cast(LongType).cast(big).as("y"))
+        pts.agg(count(lit(1)).as("n_terms"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"),
+            sum($"x" * $"x").as("sx2"),
+            sum($"y" * $"y").as("sy2"))
+          .select($"n_terms",
+            round(
+              ($"n_terms".cast(big) * $"sxy" - $"sx" * $"sy")
+                .cast(DoubleType) /
+              ($"n_terms".cast(big) * $"sx2" - $"sx" * $"sx")
+                .cast(DoubleType), 9).as("slope"),
+            round(
+              (($"n_terms".cast(big) * $"sxy" - $"sx" * $"sy")
+                .cast(DoubleType) *
+               ($"n_terms".cast(big) * $"sxy" - $"sx" * $"sy")
+                .cast(DoubleType)) /
+              (($"n_terms".cast(big) * $"sx2" - $"sx" * $"sx")
+                .cast(DoubleType) *
+               ($"n_terms".cast(big) * $"sy2" - $"sy" * $"sy")
+                .cast(DoubleType)), 6).as("r2"))
+      },
+      oracle = Some(s"""
+        WITH tf AS (
+          SELECT term, COUNT(*) AS f FROM (
+            SELECT unnest(${graft.functions.TextTokens.tokensSql}) AS term
+            FROM documents) t
+          GROUP BY term HAVING COUNT(*) >= 2),
+        ranked AS (
+          SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank
+          FROM tf),
+        pts AS (
+          SELECT CAST(CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 6)
+                   AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS HUGEINT)
+                   AS x,
+                 CAST(CAST(CAST(round(ln(CAST(f AS DOUBLE)), 6)
+                   AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS HUGEINT)
+                   AS y
+          FROM ranked),
+        m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                 SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sx2, SUM(y * y) AS sy2
+          FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sx2 - sx * sx AS DOUBLE), 9) AS slope,
+               round((CAST(n * sxy - sx * sy AS DOUBLE) *
+                      CAST(n * sxy - sx * sy AS DOUBLE)) /
+                 (CAST(n * sx2 - sx * sx AS DOUBLE) *
+                  CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS r2
+        FROM m""")),
+
     // ── PMI collocations (pointwise mutual information) ──
     // The corpus-linguistics collocation extractor: PMI(a,b) =
     // ln(p(ab)/(p(a)p(b))) = ln(c₂·T₁² / (T₂·c₁(a)·c₁(b))) over the

@@ -308,6 +308,35 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_chi_square matches a direct contingency recompute") {
+    val DayUs = 86400000000L
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", s"((ts div 1000) div $DayUs + 4) % 7 as dow")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowM = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colM = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(ev.length)
+    val expected = cells.keys.toSeq.groupBy(_._1).map { case (tp, ks) =>
+      val contribs = ks.map { case (t, dw) =>
+        val o = BigInt(cells((t, dw)))
+        val num = (o * n - BigInt(rowM(t)) * colM(dw))
+        val c = BigDecimal.decimal(
+          (num * num).toDouble / (n * rowM(t) * colM(dw)).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        c
+      }
+      (tp, ks.map(k => cells(k)).sum, contribs.sum.toDouble,
+        ks.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_chi_square")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    got shouldBe expected
+    // every type observed every weekday on the fixture
+    got.foreach(_._4 shouldBe 7L)
+  }
+
   test("evt_stickiness matches a brute-force DAU/WAU recompute and " +
       "WAU dominates DAU") {
     val ud = graft.Tables.events(spark, sf)

@@ -205,6 +205,44 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     rows.map(_._4).toSeq shouldBe rows.map(_._4).sortBy(-_).toSeq
   }
 
+  test("llm_zipf_fit equals a direct micro-unit OLS recompute") {
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val tf = docs.flatMap(toks).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap.filter(_._2 >= 2)
+    val ranked = tf.toSeq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+    def mu(v: Double): BigInt = BigInt(
+      (BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact)
+    val pts = ranked.map { case ((_, f), i) =>
+      (mu(math.log((i + 1).toDouble)), mu(math.log(f.toDouble)))
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sx2 = pts.map(p => p._1 * p._1).sum
+    val sy2 = pts.map(p => p._2 * p._2).sum
+    val slope = BigDecimal.decimal(
+      (n * sxy - sx * sy).toDouble / (n * sx2 - sx * sx).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2 = BigDecimal.decimal(
+      ((n * sxy - sx * sy).toDouble * (n * sxy - sx * sy).toDouble) /
+        ((n * sx2 - sx * sx).toDouble * (n * sy2 - sy * sy).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.SparkEntry.queries("llm_zipf_fit")(spark, sf)
+      .collect().head
+    got.getLong(0) shouldBe pts.length.toLong
+    got.getDouble(1) shouldBe slope
+    got.getDouble(2) shouldBe r2
+    // frequency falls with rank, and R² is a valid coefficient — on
+    // this 31-word synthetic vocabulary the fit correctly reports
+    // NON-Zipfian structure (low R²), which is the diagnostic working
+    got.getDouble(1) should be < 0.0
+    got.getDouble(2) should (be >= 0.0 and be <= 1.0)
+  }
+
   test("llm_pmi_collocations equals a direct PMI recompute") {
     val docs = Tables.documents(spark, sf).select("text").collect()
       .map(_.getString(0))
