@@ -1329,6 +1329,62 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── rolling OLS trend (the windowed slope feature) ──
+    // evt_trend_ols fits each user's WHOLE history; live features want
+    // the trend of the last few observations. Same exact-rational
+    // formula — slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) in shifted
+    // minutes × centi-units, zero float ops — but all five moments
+    // come from ONE window pass (trailing 8 rows per user), so every
+    // event carries its own local trend. A window whose x values
+    // coincide (same-minute bursts) yields den = 0 — emitted as-is,
+    // the honest "no trend defined" the consumer handles; identical
+    // in both engines.
+    "evt_rolling_trend" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+          .rowsBetween(-7, 0)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", expr("ts div 1000").as("tus"),
+            (expr("(ts div 1000) div 60000000") - 28401120L)
+              .cast(big).as("x"),
+            (dec($"value") * 100).cast(LongType).cast(big).as("y"))
+          .withColumn("nw", count(lit(1)).over(w))
+          .withColumn("sx", sum($"x").over(w))
+          .withColumn("sy", sum($"y").over(w))
+          .withColumn("sxy", sum($"x" * $"y").over(w))
+          .withColumn("sx2", sum($"x" * $"x").over(w))
+          .select($"user_id", $"event_id", $"nw".as("n_win"),
+            ($"nw".cast(big) * $"sxy" - $"sx" * $"sy")
+              .cast(LongType).as("slope_num"),
+            ($"nw".cast(big) * $"sx2" - $"sx" * $"sx")
+              .cast(LongType).as("slope_den"))
+          .orderBy($"user_id", $"event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CAST(epoch_us(ts) // 60000000 - 28401120 AS HUGEINT) AS x,
+                 CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS HUGEINT) AS y
+          FROM events),
+        m AS (
+          SELECT user_id, event_id,
+                 COUNT(*) OVER w AS nw,
+                 SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                 SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sx2
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, CAST(nw AS BIGINT) AS n_win,
+               CAST(CAST(nw AS HUGEINT) * sxy - sx * sy AS BIGINT)
+                 AS slope_num,
+               CAST(CAST(nw AS HUGEINT) * sx2 - sx * sx AS BIGINT)
+                 AS slope_den
+        FROM m
+        ORDER BY user_id, event_id""")),
+
     // ── chi-square independence test (type × day-of-week) ──
     // The statistical gate behind "does behavior depend on weekday":
     // the contingency table of (event_type, dow) with each cell's χ²

@@ -1842,6 +1842,90 @@ object Relational extends QueryPack {
         FROM ex CROSS JOIN est"""),
       headline = true),
 
+    // ── personalized PageRank (the recommendation walk) ──
+    // "Parts related to THIS part": random walk with restart from a
+    // single source over the weighted co-purchase graph — the
+    // recommendation primitive item-item CF's one-hop cosine cannot
+    // give (PPR aggregates ALL paths, damped by length). Same
+    // integer nano-unit fixed point as llm_textrank (floor after
+    // every damped division, so both engines agree bit-for-bit), but
+    // the teleport mass goes to the SOURCE alone and is UNIONED into
+    // each round (the source may receive no inbound contribution in
+    // a round — a groupBy-only formulation would silently drop its
+    // restart mass). 5 rounds × (one O(edges) equality join + one
+    // map-side-combined sum); mass never visits nodes the walk
+    // cannot reach. Source = the smallest part id, the BFS query's
+    // convention.
+    "q_ppr" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val pairs = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("w"))
+        val edges = pairs.unionByName(
+            pairs.select($"v".as("u"), $"u".as("v"), $"w"))
+          .localCheckpoint(true) // wsum + all 5 rounds
+        val wsum = edges.groupBy($"u").agg(sum($"w").as("wu"))
+        val ew = edges.join(wsum, Seq("u"))
+        val srcDf = edges.agg(min($"u").as("src")).localCheckpoint(true)
+        var ranks = srcDf.select($"src".as("node"),
+          lit(1000000000L).as("r"))
+        for (_ <- 1 to 5) {
+          val contribs = ew.join(ranks, $"u" === $"node")
+            .select($"v",
+              floor(lit(0.85) * $"r" * $"w" / $"wu").cast(LongType).as("c"))
+          val tele = srcDf.select($"src".as("v"),
+            lit(150000000L).as("c"))
+          ranks = contribs.unionByName(tele)
+            .groupBy($"v").agg(sum($"c").as("r"))
+            .select($"v".as("node"), $"r")
+            .localCheckpoint(true)
+        }
+        ranks.select($"node", $"r".as("rank_nano"))
+          .orderBy($"rank_nano".desc, $"node")
+          .limit(25)
+      },
+      oracle = Some {
+        val rounds = (1 to 5).map { i =>
+          s"""
+        c$i AS (
+          SELECT e.v,
+                 CAST(SUM(CAST(FLOOR(0.85::DOUBLE * p.r * e.w / ws.wu)
+                   AS BIGINT)) AS BIGINT) AS c
+          FROM edges e JOIN r${i - 1} p ON p.node = e.u
+                       JOIN wsum ws ON ws.u = e.u
+          GROUP BY e.v),
+        r$i AS (
+          SELECT v AS node, CAST(SUM(c) AS BIGINT) AS r FROM (
+            SELECT v, c FROM c$i
+            UNION ALL
+            SELECT src, CAST(150000000 AS BIGINT) FROM srcdf) x
+          GROUP BY v)"""
+        }.mkString(",")
+        s"""
+        WITH pairs AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey),
+        edges AS (
+          SELECT u, v, w FROM pairs
+          UNION ALL
+          SELECT v, u, w FROM pairs),
+        wsum AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu
+                 FROM edges GROUP BY u),
+        srcdf AS (SELECT MIN(u) AS src FROM edges),
+        r0 AS (
+          SELECT src AS node, CAST(1000000000 AS BIGINT) AS r
+          FROM srcdf),$rounds
+        SELECT node, r AS rank_nano FROM r5
+        ORDER BY rank_nano DESC, node
+        LIMIT 25"""
+      }),
+
     // ── order-invariant table checksum (replication verification) ──
     // The handshake two sides of a replication/migration compare
     // WITHOUT moving data: per table, a commutative fold (bit_xor) of

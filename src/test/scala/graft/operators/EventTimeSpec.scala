@@ -308,6 +308,35 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_rolling_trend matches a sliding-window OLS recompute") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus",
+        "(ts div 1000) div 60000000 - 28401120 as x",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2)).toIndexedSeq
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 7), i + 1)
+        val n = BigInt(win.length)
+        val sx = win.map(e => BigInt(e._4)).sum
+        val sy = win.map(e => BigInt(e._5)).sum
+        val sxy = win.map(e => BigInt(e._4) * e._5).sum
+        val sx2 = win.map(e => BigInt(e._4) * e._4).sum
+        (u, sorted(i)._2, win.length.toLong,
+          (n * sxy - sx * sy).toLong, (n * sx2 - sx * sx).toLong)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("evt_rolling_trend")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    // trends point both ways somewhere (rises and falls)
+    got.exists(t => t._4 > 0) shouldBe true
+    got.exists(t => t._4 < 0) shouldBe true
+  }
+
   test("evt_chi_square matches a direct contingency recompute") {
     val DayUs = 86400000000L
     val ev = graft.Tables.events(spark, sf)

@@ -285,6 +285,41 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("q_ppr equals a sequential random-walk-with-restart recompute " +
+      "and concentrates mass near the source") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    li.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2)
+      for (a <- ps; b <- ps if a < b) w((a, b)) += 1L
+    }
+    val edges = w.toSeq.flatMap { case ((u, v), c) =>
+      Seq((u, v, c), (v, u, c)) }
+    val wsum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val src = edges.map(_._1).min
+    var r = Map(src -> 1000000000L)
+    for (_ <- 1 to 5) {
+      val contribs = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (u, v, ew) =>
+        r.get(u).foreach { ru =>
+          contribs(v) += math.floor(0.85 * ru * ew / wsum(u)).toLong
+        }
+      }
+      contribs(src) += 150000000L
+      r = contribs.toMap
+    }
+    val expected = r.toSeq.sortBy { case (n, rv) => (-rv, n) }.take(25)
+    val got = graft.SparkEntry.queries("q_ppr")(spark, sf)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    got shouldBe expected
+    // personalization: the source itself ranks at the top
+    got.head._1 shouldBe src
+  }
+
   test("q_table_checksum: digests match a MessageDigest recompute, the " +
       "fold is order-invariant, and a single-field flip is detected") {
     def dig(s: String): Long = {
