@@ -1842,6 +1842,64 @@ object Relational extends QueryPack {
         FROM ex CROSS JOIN est"""),
       headline = true),
 
+    // ── ABC / Pareto classification (the 80-20 inventory cut) ──
+    // Rank parts by revenue, walk the cumulative share, and classify:
+    // A = parts up to 80% of revenue, B = to 95%, C = the tail — the
+    // inventory-control primitive. The cumulative walk is the
+    // [[globalPrefixSum]] two-level scan over the revenue-ranked
+    // order (centi-unit exact integers; the 80/95 cuts compare
+    // 100·cum ≤ 80·total — no percentage division anywhere), the
+    // ranking is a range partition, and NOTHING passes through a
+    // single-task window. Classes census to (n_parts, revenue share
+    // as an exact rational).
+    "q_abc_classes" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val rev = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(sum((dec($"l_extendedprice") * omd($"l_discount"))
+            .cast(DecimalType(18, 4))).as("revd"))
+          .select($"l_partkey",
+            ($"revd" * 10000).cast(LongType).as("rev"))
+        val tot = rev.agg(sum($"rev").as("trev"))
+        val swept = globalPrefixSum(s, rev,
+          Seq($"rev".desc, $"l_partkey"), "rev")
+        swept.crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when($"psum" * 100L <= $"trev" * 80L, "A")
+              .when($"psum" * 100L <= $"trev" * 95L, "B")
+              .otherwise("C"))
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_parts"),
+            sum($"rev").as("class_rev"),
+            max($"trev").as("total_rev"))
+          .orderBy($"cls")
+      },
+      oracle = Some(s"""
+        WITH rev AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(${sqlD.format("l_extendedprice")} * $sqlOmd
+                   AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS trev FROM rev),
+        sw AS (
+          SELECT l_partkey, rev,
+                 CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS psum
+          FROM rev),
+        cls AS (
+          SELECT CASE WHEN psum * 100 <= trev * 80 THEN 'A'
+                      WHEN psum * 100 <= trev * 95 THEN 'B'
+                      ELSE 'C' END AS cls,
+                 rev, trev
+          FROM sw CROSS JOIN tot)
+        SELECT cls, COUNT(*) AS n_parts,
+               CAST(SUM(rev) AS BIGINT) AS class_rev,
+               CAST(MAX(trev) AS BIGINT) AS total_rev
+        FROM cls GROUP BY cls
+        ORDER BY cls""")),
+
     // ── personalized PageRank (the recommendation walk) ──
     // "Parts related to THIS part": random walk with restart from a
     // single source over the weighted co-purchase graph — the

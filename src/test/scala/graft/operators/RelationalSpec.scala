@@ -285,6 +285,37 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("q_abc_classes matches a sequential cumulative-share recompute") {
+    val rev = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey",
+        "cast(cast(l_extendedprice as decimal(12,2)) * " +
+          "cast(1 - cast(l_discount as decimal(4,2)) as decimal(5,2)) " +
+          "as decimal(18,4)) as r")
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+      .groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).sum * 10000).toLongExact).toMap
+    val total = rev.values.sum
+    var cum = 0L
+    val classes = rev.toSeq.sortBy { case (k, v) => (-v, k) }.map {
+      case (k, v) =>
+        cum += v
+        val cls = if (cum * 100 <= total * 80) "A"
+          else if (cum * 100 <= total * 95) "B" else "C"
+        (cls, v)
+    }
+    val expected = classes.groupBy(_._1).map { case (c, g) =>
+      (c, g.size.toLong, g.map(_._2).sum, total)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_abc_classes")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe expected
+    // Pareto shape: A has far more parts than C and ≥ 75% of revenue
+    val byCls = got.map(t => t._1 -> t).toMap
+    byCls("A")._3 * 100 should be >= total * 75
+    byCls("A")._2 should be > byCls("C")._2
+  }
+
   test("q_ppr equals a sequential random-walk-with-restart recompute " +
       "and concentrates mass near the source") {
     val li = graft.Tables.lineitem(spark, sf)
