@@ -1329,6 +1329,99 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── inter-arrival distribution (median/MAD of gaps) ──
+    // The traffic-model profile: per event type, robust statistics of
+    // the inter-event gaps (consecutive events of that type per user
+    // — ONE lag window on the user partitioning), then the
+    // evt_mad_outliers count-based exact medians: medians at 2× scale
+    // off the (type, gap, count) frequency table, MAD at 4× — every
+    // shuffle after the lag bounded by the distinct GAP domain, all
+    // integer µs, no percentile sort of raw rows anywhere.
+    "evt_interarrival" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"tus", $"event_id")
+        val gaps = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"event_id",
+            expr("ts div 1000").as("tus"))
+          .withColumn("gap", $"tus" - lag($"tus", 1).over(w))
+          .filter($"gap".isNotNull)
+          .select($"event_type", $"gap")
+        val vc = gaps.groupBy($"event_type", $"gap")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val n = vc.groupBy($"event_type").agg(sum($"c").as("n"))
+        def median2(df: org.apache.spark.sql.DataFrame,
+            vCol: String): org.apache.spark.sql.DataFrame = {
+          val w2 = Window.partitionBy($"event_type").orderBy(col(vCol))
+          df.withColumn("cum", sum($"c").over(w2))
+            .join(broadcast(n), Seq("event_type"))
+            .groupBy($"event_type")
+            .agg(
+              min(when($"cum" >= expr("(n + 1) div 2"), col(vCol))).as("v1"),
+              min(when($"cum" >= expr("n div 2 + 1"), col(vCol))).as("v2"))
+            .select($"event_type", ($"v1" + $"v2").as("m2"))
+        }
+        val med = median2(vc, "gap")
+        val dev = vc.join(broadcast(med), Seq("event_type"))
+          .select($"event_type", abs(lit(2) * $"gap" - $"m2").as("dv"), $"c")
+          .groupBy($"event_type", $"dv").agg(sum($"c").as("c"))
+        val mad = median2(dev, "dv")
+        n.join(med.select($"event_type", $"m2".as("med_gap_x2")),
+            Seq("event_type"))
+          .join(mad.select($"event_type", $"m2".as("mad_gap_x4")),
+            Seq("event_type"))
+          .select($"event_type", $"n".as("n_gaps"),
+            $"med_gap_x2", $"mad_gap_x4")
+          .orderBy($"event_type")
+      },
+      oracle = Some("""
+        WITH g0 AS (
+          SELECT event_type,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts), event_id) AS gap
+          FROM events),
+        gaps AS (SELECT event_type, gap FROM g0 WHERE gap IS NOT NULL),
+        vc AS (
+          SELECT event_type, gap, COUNT(*) AS c
+          FROM gaps GROUP BY 1, 2),
+        n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM vc GROUP BY 1),
+        cum1 AS (
+          SELECT vc.event_type, vc.gap, n.n,
+                 SUM(vc.c) OVER (PARTITION BY vc.event_type
+                                 ORDER BY vc.gap) AS cum
+          FROM vc JOIN n USING (event_type)),
+        med AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END)
+                 + MIN(CASE WHEN cum >= n // 2 + 1 THEN gap END) AS m2
+          FROM cum1 GROUP BY event_type),
+        dev AS (
+          SELECT vc.event_type, abs(2 * vc.gap - med.m2) AS dv,
+                 CAST(SUM(vc.c) AS BIGINT) AS c
+          FROM vc JOIN med USING (event_type)
+          GROUP BY 1, 2),
+        cum2 AS (
+          SELECT dev.event_type, dev.dv, n.n,
+                 SUM(dev.c) OVER (PARTITION BY dev.event_type
+                                  ORDER BY dev.dv) AS cum
+          FROM dev JOIN n USING (event_type)),
+        mad AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cum >= (n + 1) // 2 THEN dv END)
+                 + MIN(CASE WHEN cum >= n // 2 + 1 THEN dv END) AS m2
+          FROM cum2 GROUP BY event_type)
+        SELECT n.event_type, n.n AS n_gaps,
+               med.m2 AS med_gap_x2, mad.m2 AS mad_gap_x4
+        FROM n
+        JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+        ORDER BY event_type"""))
+      ,
+
     // ── rolling OLS trend (the windowed slope feature) ──
     // evt_trend_ols fits each user's WHOLE history; live features want
     // the trend of the last few observations. Same exact-rational

@@ -667,6 +667,56 @@ object TextAnalysis extends QueryPack {
         ORDER BY n DESC, bigram
         LIMIT 30""")),
 
+    // ── term burstiness (dispersion index) ──
+    // The corpus-linguistics signal separating TOPICAL words (bursty:
+    // absent from most documents, dense in a few) from FUNCTION words
+    // (evenly spread): the variance-to-mean ratio of per-document
+    // counts, D = (n·Σc² − (Σc)²) / ((n−1)·Σc), emitted as the exact
+    // BIGINT rational — D > 1 means burstier than Poisson. Zero
+    // counts contribute nothing to either sum, so the per-(term, doc)
+    // table only carries occurrences; n is the broadcast corpus size.
+    // Two map-side-combined aggregates + a bounded top-20 by corpus
+    // frequency.
+    "llm_term_burstiness" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val td = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", explode($"tokens").as("term"))
+          .groupBy($"term", $"doc_id").agg(count(lit(1)).as("c"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        td.groupBy($"term")
+          .agg(sum($"c").as("k"), sum($"c" * $"c").as("k2"),
+            count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .select($"term", $"k".as("total"), $"df",
+            ($"n".cast(big) * $"k2" - $"k".cast(big) * $"k")
+              .cast(LongType).as("disp_num"),
+            (($"n" - 1L).cast(big) * $"k")
+              .cast(LongType).as("disp_den"))
+          .orderBy($"total".desc, $"term")
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH td AS (
+          SELECT term, doc_id, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(${graft.functions.TextTokens.tokensSql}) AS term
+            FROM documents) t
+          GROUP BY term, doc_id),
+        nd AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents),
+        agg AS (
+          SELECT term, CAST(SUM(c) AS HUGEINT) AS k,
+                 CAST(SUM(c * c) AS HUGEINT) AS k2,
+                 COUNT(*) AS df
+          FROM td GROUP BY term)
+        SELECT term, CAST(k AS BIGINT) AS total, df,
+               CAST(nd.n * k2 - k * k AS BIGINT) AS disp_num,
+               CAST((nd.n - 1) * k AS BIGINT) AS disp_den
+        FROM agg CROSS JOIN nd
+        ORDER BY total DESC, term
+        LIMIT 20""")),
+
     // ── Zipf-law fit of the rank–frequency curve ──
     // The corpus-health diagnostic: natural text follows freq ∝
     // rank^(−s) with s ≈ 1; a corpus whose fitted exponent drifts far

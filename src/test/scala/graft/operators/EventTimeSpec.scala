@@ -308,6 +308,32 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_interarrival matches a sort-based gap median/MAD recompute") {
+    def median2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; s0((s0.length - 1) / 2) + s0(s0.length / 2)
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "event_id", "ts div 1000 as tus")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val ts = g.sortBy(e => (e._4, e._3)).map(_._4)
+      ts.zip(ts.drop(1)).map { case (a, b) => (g.head._2, b - a) }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (t, g) =>
+      val vs = g.map(_._2)
+      (t, vs.length.toLong, median2(vs), median2(
+        vs.map(v => math.abs(2 * v - median2(vs)))))
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_interarrival")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe expected
+    got.foreach { case (t, n, m2, _) =>
+      withClue(s"$t:") { n should be > 0L; m2 should be > 0L }
+    }
+  }
+
   test("evt_rolling_trend matches a sliding-window OLS recompute") {
     val ev = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts div 1000 as tus",

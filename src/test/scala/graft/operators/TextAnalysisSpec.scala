@@ -205,6 +205,33 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     rows.map(_._4).toSeq shouldBe rows.map(_._4).sortBy(-_).toSeq
   }
 
+  test("llm_term_burstiness equals a direct dispersion recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val n = BigInt(docs.length)
+    val perTermDoc = docs.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => (w, id, g.length.toLong) }
+    }
+    val expected = perTermDoc.groupBy(_._1).map { case (w, g) =>
+      val k = g.map(e => BigInt(e._3)).sum
+      val k2 = g.map(e => BigInt(e._3) * e._3).sum
+      (w, k.toLong, g.length.toLong,
+        (n * k2 - k * k).toLong, ((n - 1) * k).toLong)
+    }.toSeq.sortBy { case (w, k, _, _, _) => (-k, w) }.take(20)
+    val got = graft.SparkEntry.queries("llm_term_burstiness")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    // dispersion is a valid index: nonnegative numerators, positive
+    // denominators, and at least one term is burstier than Poisson
+    got.foreach { case (w, _, _, num, den) =>
+      withClue(s"$w:") { num should be >= 0L; den should be > 0L }
+    }
+    got.exists(t => t._4 > t._5) shouldBe true
+  }
+
   test("llm_zipf_fit equals a direct micro-unit OLS recompute") {
     val docs = Tables.documents(spark, sf).select("text").collect()
       .map(_.getString(0))
