@@ -1329,6 +1329,51 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── SLO error-budget burn (the reliability dashboard fold) ──
+    // Against a 20% error-rate objective (the fixture's base rate is
+    // ~20%, so the budget position genuinely oscillates — at 5% every
+    // day breaches trivially; measured 19/30 breach days at 20%),
+    // track the cumulative budget position per day: burn(d) =
+    // Σ_{d'≤d} (5·errors − total) in exact integers (the ×5 clears
+    // the 20% fraction — no division, no floats), breach where the
+    // running burn is positive — the
+    // multi-window SLO arithmetic every reliability dashboard runs.
+    // Daily rollup is one map-side-combined aggregate; the cumulative
+    // walk is a window over the DAY table (30 rows at any corpus
+    // size — days, not events).
+    "evt_slo_burn" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            ($"event_type" === "error").as("is_err"))
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"is_err", 1L).otherwise(0L)).as("n_errors"))
+          .withColumn("burn_x5",
+            sum(lit(5L) * $"n_errors" - $"n_total").over(w))
+          .withColumn("breached", $"burn_x5" > 0L)
+          .select($"day", $"n_total", $"n_errors", $"burn_x5", $"breached")
+          .orderBy($"day")
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_errors
+          FROM events GROUP BY 1)
+        SELECT day, n_total, n_errors,
+               CAST(SUM(5 * n_errors - n_total) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS burn_x5,
+               SUM(5 * n_errors - n_total) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                 AS breached
+        FROM d ORDER BY day""")),
+
     // ── inter-arrival distribution (median/MAD of gaps) ──
     // The traffic-model profile: per event type, robust statistics of
     // the inter-event gaps (consecutive events of that type per user

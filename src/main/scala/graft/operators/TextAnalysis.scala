@@ -667,6 +667,62 @@ object TextAnalysis extends QueryPack {
         ORDER BY n DESC, bigram
         LIMIT 30""")),
 
+    // ── vocabulary coverage curve (the vocab-size selection artifact) ──
+    // llm_vocab_coverage evaluates ONE vocab size; choosing it needs
+    // the CURVE: cumulative token share of the top-K frequency-ranked
+    // vocabulary at K ∈ {1,2,4,8,16,32} — the knee of this curve is
+    // where tokenizer budgets land. Ranks via zero-shuffle
+    // `globalRank`, the running share via a cumulative window over
+    // the VOCABULARY table (vocab-sized, never the corpus), emitted
+    // as exact (covered, total) BIGINT rationals per K.
+    "llm_vocab_curve" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val tf = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select(explode($"tokens").as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("f"))
+        val ranked = Relational.globalRank(s, tf, Seq($"f".desc, $"term"))
+        // the running share rides globalPrefixSum (third consumer of
+        // the scan primitive) — even a vocabulary-sized cumulative
+        // never funnels through a single-task window
+        val cum = Relational.globalPrefixSum(s, ranked, Seq($"rk"), "f")
+          .withColumnRenamed("psum", "cumf")
+          .localCheckpoint(true) // one pass feeds all K cuts
+        val tot = cum.agg(sum($"f").as("total"), count(lit(1)).as("vocab"))
+        val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L).toDF("k")
+        broadcast(ks).join(cum, $"rk" === $"k" - 1L, "left")
+          .crossJoin(broadcast(tot))
+          .select($"k",
+            coalesce($"cumf", $"total").as("covered"),
+            $"total", $"vocab",
+            least($"k", $"vocab").as("k_effective"))
+          .orderBy($"k")
+      },
+      oracle = Some(s"""
+        WITH tf AS (
+          SELECT term, COUNT(*) AS f FROM (
+            SELECT unnest(${graft.functions.TextTokens.tokensSql}) AS term
+            FROM documents) t
+          GROUP BY term),
+        ranked AS (
+          SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) - 1 AS rk
+          FROM tf),
+        cum AS (
+          SELECT rk, SUM(f) OVER (ORDER BY rk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumf
+          FROM ranked),
+        tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total,
+                       COUNT(*) AS vocab FROM tf),
+        ks AS (SELECT unnest([1,2,4,8,16,32]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(COALESCE(cum.cumf, tot.total) AS BIGINT) AS covered,
+               tot.total, tot.vocab,
+               CAST(least(ks.k, tot.vocab) AS BIGINT) AS k_effective
+        FROM ks
+        LEFT JOIN cum ON cum.rk = ks.k - 1
+        CROSS JOIN tot
+        ORDER BY k""")),
+
     // ── term burstiness (dispersion index) ──
     // The corpus-linguistics signal separating TOPICAL words (bursty:
     // absent from most documents, dense in a few) from FUNCTION words

@@ -205,6 +205,33 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     rows.map(_._4).toSeq shouldBe rows.map(_._4).sortBy(-_).toSeq
   }
 
+  test("llm_vocab_curve matches a direct cumulative-share recompute and " +
+      "the curve is monotone to saturation") {
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    val tf = docs.flatMap(toks).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val ranked = tf.toSeq.sortBy { case (w, f) => (-f, w) }.map(_._2)
+    val total = ranked.sum
+    val vocab = ranked.length.toLong
+    val expected = Seq(1L, 2L, 4L, 8L, 16L, 32L).map { k =>
+      val covered = ranked.take(k.toInt).sum
+      (k, covered, total, vocab, math.min(k, vocab))
+    }
+    val got = graft.SparkEntry.queries("llm_vocab_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    // coverage grows with K and saturates at the full token count
+    got.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => b should be >= a
+      case _ =>
+    }
+    got.last._2 shouldBe total
+  }
+
   test("llm_term_burstiness equals a direct dispersion recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
