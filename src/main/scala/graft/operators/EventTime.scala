@@ -1329,6 +1329,38 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── cumulative user growth (distinct-to-date via first touch) ──
+    // "Total unique users ever seen, per day" — naively a cumulative
+    // COUNT(DISTINCT) per day (quadratic re-scans or heavy state);
+    // exactly computable with the FIRST-TOUCH identity: a user adds
+    // to the cumulative exactly once, on their first-seen day, so
+    // cum_users(d) = Σ_{d'≤d} new_users(d') — one min-aggregate per
+    // user, one count per day, one running sum over the 30-row day
+    // table. The growth-analytics staple, distinct-free like
+    // evt_sliding_distinct.
+    "evt_user_growth" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select($"user_id", expr(s"(ts div 1000) div $DayUs").as("dy"))
+          .groupBy($"user_id").agg(min($"dy").as("day"))
+          .groupBy($"day").agg(count(lit(1)).as("n_new"))
+          .withColumn("cum_users", sum($"n_new").over(w))
+          .orderBy($"day")
+      },
+      oracle = Some(s"""
+        WITH ft AS (
+          SELECT user_id, MIN(epoch_us(ts) // $DayUs) AS day
+          FROM events GROUP BY user_id),
+        nd AS (SELECT day, COUNT(*) AS n_new FROM ft GROUP BY day)
+        SELECT day, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM nd ORDER BY day""")),
+
     // ── SLO error-budget burn (the reliability dashboard fold) ──
     // Against a 20% error-rate objective (the fixture's base rate is
     // ~20%, so the budget position genuinely oscillates — at 5% every

@@ -1842,6 +1842,68 @@ object Relational extends QueryPack {
         FROM ex CROSS JOIN est"""),
       headline = true),
 
+    // ── Tukey-fence outliers (the boxplot rule, exactly) ──
+    // The IQR outlier rule on the heavy-tailed event values (the
+    // near-uniform order totals have NO fence-crossers — measured —
+    // so the exponential-tailed metric is the honest target: 463
+    // upper outliers at sf0.01), all integer: quartiles as
+    // ORDER STATISTICS off the cumulative counts of the (value, count)
+    // frequency table (Q1 at position ⌈n/4⌉, Q3 at ⌈3n/4⌉ — the
+    // documented plain-order-statistic convention, no interpolation),
+    // fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR compared as
+    // 2·x < 2·Q1 − 3·IQR (the ×2 clears the 1.5 — no floats). The
+    // whole plan scans once into the frequency table; everything
+    // after is bounded by the distinct VALUE domain.
+    "q_tukey_outliers" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val vc = Tables.events(s, d)
+          .select((dec($"value") * 100).cast(LongType).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // quartiles + the outlier count
+        val n = vc.agg(sum($"c").as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, 0)
+        val qs = vc.withColumn("cum", sum($"c").over(w))
+          .crossJoin(broadcast(n))
+          .agg(
+            min(when($"cum" * 4 >= $"n", $"v")).as("q1"),
+            min(when($"cum" * 4 >= $"n" * 3, $"v")).as("q3"))
+        vc.crossJoin(broadcast(qs))
+          .agg(sum($"c").as("n_events"),
+            max($"q1").as("q1_cents"), max($"q3").as("q3_cents"),
+            sum(when(
+              lit(2L) * $"v" < lit(2L) * $"q1" - lit(3L) * ($"q3" - $"q1"),
+              $"c").otherwise(0L)).as("n_low"),
+            sum(when(
+              lit(2L) * $"v" > lit(2L) * $"q3" + lit(3L) * ($"q3" - $"q1"),
+              $"c").otherwise(0L)).as("n_high"))
+      },
+      oracle = Some("""
+        WITH vc AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+        cum AS (
+          SELECT v, SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            n.n
+          FROM vc CROSS JOIN n),
+        qs AS (
+          SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+                 MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+          FROM cum)
+        SELECT CAST(SUM(vc.c) AS BIGINT) AS n_events,
+               qs.q1 AS q1_cents, qs.q3 AS q3_cents,
+               CAST(SUM(CASE WHEN 2 * vc.v < 2 * qs.q1 - 3 * (qs.q3 - qs.q1)
+                        THEN vc.c ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 2 * vc.v > 2 * qs.q3 + 3 * (qs.q3 - qs.q1)
+                        THEN vc.c ELSE 0 END) AS BIGINT) AS n_high
+        FROM vc CROSS JOIN qs
+        GROUP BY qs.q1, qs.q3""")),
+
     // ── ABC / Pareto classification (the 80-20 inventory cut) ──
     // Rank parts by revenue, walk the cumulative share, and classify:
     // A = parts up to 80% of revenue, B = to 95%, C = the tail — the

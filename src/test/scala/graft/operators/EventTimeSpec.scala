@@ -308,6 +308,27 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_user_growth: first-touch identity equals a brute cumulative " +
+      "distinct") {
+    val DayUs = 86400000000L
+    val ud = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", s"(ts div 1000) div $DayUs as day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val days = firstDay.values.toSeq.distinct.sorted
+    val expected = days.map { d =>
+      val nNew = firstDay.count(_._2 == d).toLong
+      // brute-force cumulative distinct — the definition the
+      // first-touch identity replaces
+      val cum = ud.filter(_._2 <= d).map(_._1).distinct.length.toLong
+      (d, nNew, cum)
+    }
+    val got = graft.SparkEntry.queries("evt_user_growth")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    got.last._3 shouldBe firstDay.size.toLong
+  }
+
   test("evt_slo_burn matches a sequential budget fold and the objective " +
       "discriminates") {
     val DayUs = 86400000000L

@@ -285,6 +285,28 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("q_tukey_outliers matches a direct order-statistic recompute and " +
+      "the upper fence genuinely fires") {
+    val vs = graft.Tables.events(spark, sf)
+      .selectExpr("cast(cast(value as decimal(12,2)) * 100 as long) as v")
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length.toLong
+    def atQ(mult: Long): Long = {
+      // smallest v whose cumulative count×4 >= n×mult
+      val idx = ((n * mult + 3) / 4).toInt - 1 // ceil(n·mult/4), 0-based
+      vs(idx)
+    }
+    val (q1, q3) = (atQ(1), atQ(3))
+    val low = vs.count(v => 2 * v < 2 * q1 - 3 * (q3 - q1)).toLong
+    val high = vs.count(v => 2 * v > 2 * q3 + 3 * (q3 - q1)).toLong
+    val got = graft.SparkEntry.queries("q_tukey_outliers")(spark, sf)
+      .collect().head
+    (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) shouldBe ((n, q1, q3, low, high))
+    q1 should be < q3
+    high should be > 0L // the exponential tail crosses the upper fence
+  }
+
   test("q_abc_classes matches a sequential cumulative-share recompute") {
     val rev = graft.Tables.lineitem(spark, sf)
       .selectExpr("l_partkey",
