@@ -1842,6 +1842,116 @@ object Relational extends QueryPack {
         FROM ex CROSS JOIN est"""),
       headline = true),
 
+    // ── foreign-key audit (cross-table referential integrity) ──
+    // The schema-wide sibling of llm_dq_audit's single-table checks:
+    // every FK edge of the star schema audited in one report — child
+    // rows, orphan rows (no parent), and the DISTINCT orphan keys a
+    // repair job would backfill. Each edge is one LEFT ANTI join on
+    // the key (broadcast where the parent is a dim) + counts; the
+    // edges union into the long-form report a pipeline gates deploys
+    // on. All-integer; orphan-free edges report zeros rather than
+    // vanishing.
+    "q_fk_audit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        def edge(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+          val orphans = child.join(parent
+              .select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+              countDistinct(col(ck)).as("n_orphan_keys")))
+            .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans",
+              $"n_orphan_keys")
+        }
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val p = Tables.part(s, d)
+        val na = Tables.nation(s, d)
+        val re = Tables.region(s, d)
+        Seq(
+          edge("lineitem->orders", li.select($"l_orderkey"),
+            "l_orderkey", o, "o_orderkey"),
+          edge("lineitem->part", li.select($"l_partkey"),
+            "l_partkey", p, "p_partkey"),
+          edge("lineitem->supplier", li.select($"l_suppkey"),
+            "l_suppkey", su, "s_suppkey"),
+          edge("orders->customer", o.select($"o_custkey"),
+            "o_custkey", c, "c_custkey"),
+          edge("customer->nation", c.select($"c_nationkey"),
+            "c_nationkey", na, "n_nationkey"),
+          edge("supplier->nation", su.select($"s_nationkey"),
+            "s_nationkey", na, "n_nationkey"),
+          edge("nation->region", na.select($"n_regionkey"),
+            "n_regionkey", re, "r_regionkey"))
+          .reduce(_ unionByName _)
+          .orderBy($"fk_edge")
+      },
+      oracle = Some("""
+        WITH e1 AS (
+          SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_child,
+                 CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_orphans,
+                 CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                   THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey),
+        e2 AS (
+          SELECT 'lineitem->part', COUNT(*),
+                 CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL
+                   THEN l.l_partkey END) AS BIGINT)
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+            ON l.l_partkey = p.p_partkey),
+        e3 AS (
+          SELECT 'lineitem->supplier', COUNT(*),
+                 CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL
+                   THEN l.l_suppkey END) AS BIGINT)
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+            ON l.l_suppkey = s.s_suppkey),
+        e4 AS (
+          SELECT 'orders->customer', COUNT(*),
+                 CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                   THEN o.o_custkey END) AS BIGINT)
+          FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey),
+        e5 AS (
+          SELECT 'customer->nation', COUNT(*),
+                 CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                   THEN c.c_nationkey END) AS BIGINT)
+          FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+            ON c.c_nationkey = n.n_nationkey),
+        e6 AS (
+          SELECT 'supplier->nation', COUNT(*),
+                 CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                   THEN s.s_nationkey END) AS BIGINT)
+          FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+            ON s.s_nationkey = n.n_nationkey),
+        e7 AS (
+          SELECT 'nation->region', COUNT(*),
+                 CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(COUNT(DISTINCT CASE WHEN r.r_regionkey IS NULL
+                   THEN n.n_regionkey END) AS BIGINT)
+          FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+            ON n.n_regionkey = r.r_regionkey)
+        SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+        UNION ALL SELECT * FROM e7
+        ORDER BY fk_edge""")),
+
     // ── Tukey-fence outliers (the boxplot rule, exactly) ──
     // The IQR outlier rule on the heavy-tailed event values (the
     // near-uniform order totals have NO fence-crossers — measured —

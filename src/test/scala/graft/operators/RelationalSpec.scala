@@ -285,6 +285,37 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("q_fk_audit covers every star-schema edge with correct child " +
+      "counts and a referentially-sound fixture reports all zeros") {
+    val got = graft.SparkEntry.queries("q_fk_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got.map(_._1).sorted shouldBe Seq("customer->nation",
+      "lineitem->orders", "lineitem->part", "lineitem->supplier",
+      "nation->region", "orders->customer", "supplier->nation")
+    val counts = Map(
+      "lineitem->orders" -> graft.Tables.lineitem(spark, sf).count(),
+      "orders->customer" -> graft.Tables.orders(spark, sf).count(),
+      "customer->nation" -> graft.Tables.customer(spark, sf).count(),
+      "supplier->nation" -> graft.Tables.supplier(spark, sf).count(),
+      "nation->region" -> graft.Tables.nation(spark, sf).count())
+    got.foreach { case (e, nChild, nOrph, nKeys) =>
+      withClue(s"$e:") {
+        counts.get(e).foreach(nChild shouldBe _)
+        // the driver fixture is referentially sound — zeros are the
+        // honest report (a broken edge fails the oracle hash loudly)
+        nOrph shouldBe 0L
+        nKeys shouldBe 0L
+      }
+    }
+    // independent recompute of one heavy edge's orphan count
+    val ok = graft.Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val orphans = graft.Tables.lineitem(spark, sf).select("l_orderkey")
+      .collect().map(_.getLong(0)).count(!ok.contains(_))
+    orphans shouldBe 0
+  }
+
   test("q_tukey_outliers matches a direct order-statistic recompute and " +
       "the upper fence genuinely fires") {
     val vs = graft.Tables.events(spark, sf)
