@@ -573,6 +573,64 @@ object CorpusAssembly extends QueryPack {
         ORDER BY train_doc, eval_doc"""),
       headline = false),
 
+    // ── train/val n-gram overlap (the generalization estimate) ──
+    // llm_contamination hunts cross-SOURCE leakage; this measures the
+    // cross-SPLIT overlap a benchmark's "novelty" rests on: for every
+    // validation document (the llm_train_val_split hash gate), how
+    // many of its distinct 8-gram fingerprints appear ANYWHERE in the
+    // train split — high overlap means the val loss measures
+    // memorization, not generalization. Fingerprint grams (8-byte
+    // keys) on the Spark side, string grams in the oracle — the hash
+    // match doubles as the per-round collision-freeness proof, the
+    // llm_contamination discipline. One gram expansion feeds both
+    // sides; the train side collapses to its DISTINCT gram set before
+    // the semi-join.
+    "llm_split_overlap" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val grams = materialized(
+          Tables.documents(s, d)
+            .withColumn("tokens", tokens)
+            .filter(size($"tokens") >= 8)
+            .select($"doc_id",
+              (expr(gateExpr) < 900000L).as("is_train"),
+              transform(sequence(lit(8), size($"tokens")),
+                i => graft.functions.RollingHash.rolling_hash2(
+                  concat_ws(" ", slice($"tokens", i - 7, lit(8))))).as("grams")))
+          .select($"doc_id", $"is_train", explode($"grams").as("gram"))
+          .distinct()
+          .localCheckpoint(true) // train set + val side
+        val train = grams.filter($"is_train").select($"gram").distinct()
+        val valg = grams.filter(!$"is_train").select($"doc_id", $"gram")
+        val seen = valg.join(train, Seq("gram"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_seen"))
+        valg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(seen, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_grams",
+            coalesce($"n_seen", lit(0L)).as("n_seen"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS tokens FROM documents),
+        g AS (
+          SELECT doc_id, $gateExpr < 900000 AS is_train,
+                 unnest(list_transform(generate_series(8, len(tokens)),
+                        i -> array_to_string(tokens[i-7:i], ' '))) AS gram
+          FROM toks WHERE len(tokens) >= 8),
+        gd AS (SELECT DISTINCT doc_id, is_train, gram FROM g),
+        tr AS (SELECT DISTINCT gram FROM gd WHERE is_train),
+        vg AS (SELECT doc_id, gram FROM gd WHERE NOT is_train),
+        seen AS (
+          SELECT v.doc_id, COUNT(*) AS n_seen
+          FROM vg v JOIN tr USING (gram)
+          GROUP BY v.doc_id)
+        SELECT vg.doc_id, COUNT(*) AS n_grams,
+               COALESCE(MAX(seen.n_seen), 0) AS n_seen
+        FROM vg LEFT JOIN seen USING (doc_id)
+        GROUP BY vg.doc_id
+        ORDER BY doc_id""")),
+
     // ── repetition scoring: type-token ratio + top-token share ──
     // The Gopher-style repetition gate (boilerplate has a few tokens
     // dominating). Two aggregations — (doc, term) then doc — both

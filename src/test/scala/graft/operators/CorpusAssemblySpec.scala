@@ -282,6 +282,34 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     got.map(_._1).distinct.size should be >= (docs.length * 9) / 10
   }
 
+  test("llm_split_overlap matches a direct cross-split recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+    def grams(t: String): Set[String] =
+      toks(t).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    def isTrain(id: Long) =
+      ((id % 1000003) * 2654435761L) % 1000000L < 900000L
+    val withGrams = docs.map { case (id, t) => (id, grams(t)) }
+      .filter(_._2.nonEmpty)
+    val trainGrams = withGrams.filter(d => isTrain(d._1))
+      .flatMap(_._2).toSet
+    val expected = withGrams.filterNot(d => isTrain(d._1)).map {
+      case (id, g) =>
+        (id, g.size.toLong, g.count(trainGrams.contains).toLong)
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("llm_split_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // seen counts stay within bounds, and overlap genuinely occurs
+    got.foreach { case (id, ng, ns) =>
+      withClue(s"doc $id:") { ns should be <= ng }
+    }
+    got.map(_._3).sum should be > 0L
+  }
+
   test("llm_neyman_sample: allocation follows Neyman weights, the budget " +
       "splits exactly, and the XOR census pins the selected members") {
     val docs = Tables.documents(spark, sf)
