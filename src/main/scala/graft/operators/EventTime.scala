@@ -1329,6 +1329,69 @@ object EventTime extends QueryPack {
         GROUP BY w.win
         ORDER BY w.win""")),
 
+    // ── time-to-convert (first view → first purchase) ──
+    // The activation metric: per user the µs from FIRST view to FIRST
+    // purchase (converted = purchase after view), summarized with the
+    // count-based exact median (2×) and MAD (4×) over the delta
+    // domain plus the never-converted census. One conditional-min
+    // aggregate per user; the order statistics ride the
+    // evt_mad_outliers machinery on a users-sized value table.
+    "evt_time_to_convert" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val fp = Tables.events(s, d)
+          .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+          .groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", $"tus")).as("fv"),
+            min(when($"event_type" === "purchase", $"tus")).as("fp"))
+        val conv = fp.filter($"fv".isNotNull && $"fp".isNotNull &&
+            $"fp" > $"fv")
+          .select(($"fp" - $"fv").as("dt"))
+        val vc = conv.groupBy($"dt").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val n = vc.agg(sum($"c").as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"dt")
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, 0)
+        val med = vc.withColumn("cum", sum($"c").over(w))
+          .crossJoin(broadcast(n))
+          .agg((min(when($"cum" >= expr("(n + 1) div 2"), $"dt"))
+            + min(when($"cum" >= expr("n div 2 + 1"), $"dt")))
+            .as("med_dt_x2"))
+        val total = fp.agg(count(lit(1)).as("n_users"))
+        total.crossJoin(broadcast(n.select($"n".as("n_converted"))))
+          .crossJoin(broadcast(med))
+          .select($"n_users", $"n_converted",
+            ($"n_users" - $"n_converted").as("n_not_converted"),
+            $"med_dt_x2")
+      },
+      oracle = Some("""
+        WITH fp AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS fv,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS fp
+          FROM events GROUP BY user_id),
+        conv AS (
+          SELECT fp - fv AS dt FROM fp
+          WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv),
+        vc AS (SELECT dt, COUNT(*) AS c FROM conv GROUP BY dt),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+        cum AS (
+          SELECT dt, SUM(c) OVER (ORDER BY dt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n.n
+          FROM vc CROSS JOIN n),
+        med AS (
+          SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN dt END)
+                 + MIN(CASE WHEN cum >= n // 2 + 1 THEN dt END)
+                   AS med_dt_x2
+          FROM cum),
+        t AS (SELECT COUNT(*) AS n_users FROM fp)
+        SELECT t.n_users, n.n AS n_converted,
+               t.n_users - n.n AS n_not_converted, med.med_dt_x2
+        FROM t CROSS JOIN n CROSS JOIN med""")),
+
     // ── cumulative user growth (distinct-to-date via first touch) ──
     // "Total unique users ever seen, per day" — naively a cumulative
     // COUNT(DISTINCT) per day (quadratic re-scans or heavy state);

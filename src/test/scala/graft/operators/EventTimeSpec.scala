@@ -308,6 +308,29 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.map(_._5).sum should be > 0L
   }
 
+  test("evt_time_to_convert matches a direct first-touch recompute") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 as tus")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).view.mapValues { g =>
+      (g.filter(_._2 == "view").map(_._3).minOption,
+        g.filter(_._2 == "purchase").map(_._3).minOption)
+    }.toMap
+    val dts = byUser.values.collect {
+      case (Some(fv), Some(fpv)) if fpv > fv => fpv - fv
+    }.toSeq
+    def median2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; s0((s0.length - 1) / 2) + s0(s0.length / 2)
+    }
+    val got = graft.SparkEntry.queries("evt_time_to_convert")(spark, sf)
+      .collect().head
+    got.getLong(0) shouldBe byUser.size.toLong
+    got.getLong(1) shouldBe dts.size.toLong
+    got.getLong(2) shouldBe (byUser.size - dts.size).toLong
+    got.getLong(3) shouldBe median2(dts)
+    dts.size should be > 0
+  }
+
   test("evt_user_growth: first-touch identity equals a brute cumulative " +
       "distinct") {
     val DayUs = 86400000000L
