@@ -1227,6 +1227,235 @@ object EventTime extends QueryPack {
                  <= 6 * (64 + m.m_agree) * k.exact_inter AS within_60pct
         FROM k CROSS JOIN m""")),
 
+    // ── KMV / theta-sketch set algebra (union ∩ difference) ──
+    // The Apache-DataSketches handshake MinHash can't give: from ONE
+    // K-minimum-values sketch per segment (the K smallest 52-bit
+    // hashes of the members), estimate |A|, |B|, |A∪B|, |A∩B| AND
+    // |A∖B| — full distinct-count set algebra over sketches that
+    // merge by "keep the K smallest", so they build map-side and
+    // compose across partitions, days, or datacenters. θ = the K-th
+    // smallest (the sketch's sampling threshold); estimates are the
+    // Beyer et al. (SIGMOD 2007) KMV estimator (K−1)·U/θ and the
+    // theta-sketch rule c·U/θ over the values retained below
+    // θ = min(θ_A, θ_B) (Dasgupta et al., "Theta sketches"). A
+    // sketch holding fewer than K values IS its set — estimates
+    // degenerate to exact counts (the sf0.001 face; sf0.01/0.1
+    // exercise the estimating branch, measured rel-err ≤ 0.11).
+    // Hashes are md5's first 13 nibbles by positional arithmetic (the
+    // q_table_checksum idiom) — deterministic in both engines, so the
+    // oracle re-derives the sketches, the thetas, the retained-set
+    // algebra, the exact-integer (num, den) estimate rationals, and
+    // the ±40% contracts on one hash-checked row. The exact_* columns
+    // are the verification harness; a 100 TB deployment drops them —
+    // that is the point of the sketch.
+    "agg_theta_setops" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val K = 64
+        val U = 1L << 52
+        def nib13: String = (0 until 13).map { i =>
+          val pos = i + 1
+          val w = s"CASE WHEN ascii(substring(h, $pos, 1)) >= 97 " +
+            s"THEN ascii(substring(h, $pos, 1)) - 87 " +
+            s"ELSE ascii(substring(h, $pos, 1)) - 48 END"
+          s"CAST($w AS BIGINT) * ${1L << (4 * i)}"
+        }.mkString(" + ")
+        val c = Tables.events(s, d).groupBy($"user_id")
+          .agg(
+            count(when($"event_type" === "purchase", 1)).as("np"),
+            count(when($"event_type" === "error", 1)).as("ne"),
+            count(when($"event_type" === "click", 1)).as("nc"),
+            count(when($"event_type" === "view", 1)).as("nv"))
+          .localCheckpoint(true) // segments + exact contract joins
+        val a = c.filter($"np" > $"ne").select($"user_id")
+        val b = c.filter($"nc" > $"nv").select($"user_id")
+        // Bottom-K = TakeOrdered (per-partition partial top-k, K-row
+        // merge) — the sketch never exceeds K rows anywhere.
+        def sketch(side: org.apache.spark.sql.DataFrame) = side
+          .select(md5(concat($"user_id".cast("string"), lit("_kmv")))
+            .as("h"))
+          .select(expr(nib13).as("hv")).distinct()
+          .orderBy($"hv").limit(K).localCheckpoint(true)
+        val ska = sketch(a)
+        val skb = sketch(b)
+        // Union sketch: K smallest of the merged sketches — equal to
+        // the K smallest of A∪B because any of those is in some
+        // side's own bottom-K.
+        val sku = ska.unionByName(skb).distinct()
+          .orderBy($"hv").limit(K).localCheckpoint(true)
+        def stats(sk: org.apache.spark.sql.DataFrame, p: String) =
+          sk.agg(count(lit(1)).as(s"k$p"), max($"hv").as(s"mx$p"))
+        val t = stats(ska, "a").crossJoin(stats(skb, "b"))
+          .crossJoin(stats(sku, "u"))
+          .withColumn("theta_a", when($"ka" >= K, $"mxa").otherwise(lit(U)))
+          .withColumn("theta_b", when($"kb" >= K, $"mxb").otherwise(lit(U)))
+          .withColumn("theta_u", when($"ku" >= K, $"mxu").otherwise(lit(U)))
+          .withColumn("theta", least($"theta_a", $"theta_b"))
+          .localCheckpoint(true)
+        // Retained sets: values strictly below the common θ (hv < U
+        // always holds, so a complete sketch retains everything).
+        val ra = ska.crossJoin(broadcast(t.select($"theta")))
+          .filter($"hv" < $"theta").select($"hv")
+        val rb = skb.crossJoin(broadcast(t.select($"theta")))
+          .filter($"hv" < $"theta").select($"hv")
+        val ic = ra.join(rb, Seq("hv")).agg(count(lit(1)).as("c_inter"))
+        val dc = ra.join(rb, Seq("hv"), "left_anti")
+          .agg(count(lit(1)).as("c_diff"))
+        val ex = a.agg(count(lit(1)).as("n_a"))
+          .crossJoin(b.agg(count(lit(1)).as("n_b")))
+          .crossJoin(a.join(b, Seq("user_id"))
+            .agg(count(lit(1)).as("exact_inter")))
+          .crossJoin(a.unionByName(b).distinct()
+            .agg(count(lit(1)).as("exact_union")))
+        val dec = DecimalType(38, 0)
+        def within40(num: org.apache.spark.sql.Column,
+            den: org.apache.spark.sql.Column,
+            exact: org.apache.spark.sql.Column) =
+          when(exact === 0L, num === 0L).otherwise(
+            lit(5).cast(dec) * abs(num.cast(dec) - exact.cast(dec) * den.cast(dec))
+              <= lit(2).cast(dec) * exact.cast(dec) * den.cast(dec))
+        t.crossJoin(ic).crossJoin(dc).crossJoin(ex)
+          .withColumn("est_a_num",
+            when($"ka" >= K, lit((K - 1L) * U)).otherwise($"ka"))
+          .withColumn("est_a_den",
+            when($"ka" >= K, $"theta_a").otherwise(lit(1L)))
+          .withColumn("est_b_num",
+            when($"kb" >= K, lit((K - 1L) * U)).otherwise($"kb"))
+          .withColumn("est_b_den",
+            when($"kb" >= K, $"theta_b").otherwise(lit(1L)))
+          .withColumn("est_union_num",
+            when($"ku" >= K, lit((K - 1L) * U)).otherwise($"ku"))
+          .withColumn("est_union_den",
+            when($"ku" >= K, $"theta_u").otherwise(lit(1L)))
+          .withColumn("est_inter_num", $"c_inter" * U)
+          .withColumn("est_inter_den", $"theta")
+          .withColumn("est_diff_num", $"c_diff" * U)
+          .withColumn("est_diff_den", $"theta")
+          .select(
+            $"ka", $"kb", $"ku", $"theta_a", $"theta_b", $"theta_u",
+            $"theta", $"c_inter", $"c_diff",
+            $"n_a", $"n_b", $"exact_inter", $"exact_union",
+            $"est_a_num", $"est_a_den", $"est_b_num", $"est_b_den",
+            $"est_union_num", $"est_union_den",
+            $"est_inter_num", $"est_inter_den",
+            $"est_diff_num", $"est_diff_den",
+            within40($"est_a_num", $"est_a_den", $"n_a")
+              .as("a_within_40"),
+            within40($"est_b_num", $"est_b_den", $"n_b")
+              .as("b_within_40"),
+            within40($"est_union_num", $"est_union_den", $"exact_union")
+              .as("union_within_40"),
+            within40($"est_inter_num", $"est_inter_den", $"exact_inter")
+              .as("inter_within_40"),
+            within40($"est_diff_num", $"est_diff_den",
+              $"n_a" - $"exact_inter").as("diff_within_40"))
+      },
+      oracle = Some {
+        val K = 64
+        val U = 1L << 52
+        val nib13 = (0 until 13).map { i =>
+          val pos = i + 1
+          val w = s"CASE WHEN ascii(substring(h, $pos, 1)) >= 97 " +
+            s"THEN ascii(substring(h, $pos, 1)) - 87 " +
+            s"ELSE ascii(substring(h, $pos, 1)) - 48 END"
+          s"CAST($w AS BIGINT) * ${1L << (4 * i)}"
+        }.mkString(" + ")
+        def within40(num: String, den: String, exact: String) =
+          s"""CASE WHEN $exact = 0 THEN $num = 0
+              ELSE 5 * abs(CAST($num AS HUGEINT) - CAST($exact AS HUGEINT) * $den)
+                <= 2 * CAST($exact AS HUGEINT) * $den END"""
+        s"""
+        WITH c AS (
+          SELECT user_id,
+                 COUNT(*) FILTER (event_type = 'purchase') AS np,
+                 COUNT(*) FILTER (event_type = 'error') AS ne,
+                 COUNT(*) FILTER (event_type = 'click') AS nc,
+                 COUNT(*) FILTER (event_type = 'view') AS nv
+          FROM events GROUP BY user_id),
+        a AS (SELECT user_id FROM c WHERE np > ne),
+        b AS (SELECT user_id FROM c WHERE nc > nv),
+        ha AS (SELECT DISTINCT ($nib13) AS hv FROM (
+          SELECT md5(user_id::VARCHAR || '_kmv') AS h FROM a)),
+        hb AS (SELECT DISTINCT ($nib13) AS hv FROM (
+          SELECT md5(user_id::VARCHAR || '_kmv') AS h FROM b)),
+        ska AS (SELECT hv FROM ha ORDER BY hv LIMIT $K),
+        skb AS (SELECT hv FROM hb ORDER BY hv LIMIT $K),
+        sku AS (SELECT hv FROM (
+          SELECT hv FROM ska UNION SELECT hv FROM skb)
+          ORDER BY hv LIMIT $K),
+        t AS (
+          SELECT (SELECT COUNT(*) FROM ska) AS ka,
+                 (SELECT COUNT(*) FROM skb) AS kb,
+                 (SELECT COUNT(*) FROM sku) AS ku,
+                 (SELECT MAX(hv) FROM ska) AS mxa,
+                 (SELECT MAX(hv) FROM skb) AS mxb,
+                 (SELECT MAX(hv) FROM sku) AS mxu),
+        tt AS (
+          SELECT ka, kb, ku,
+                 CASE WHEN ka >= $K THEN mxa ELSE $U END AS theta_a,
+                 CASE WHEN kb >= $K THEN mxb ELSE $U END AS theta_b,
+                 CASE WHEN ku >= $K THEN mxu ELSE $U END AS theta_u,
+                 LEAST(CASE WHEN ka >= $K THEN mxa ELSE $U END,
+                       CASE WHEN kb >= $K THEN mxb ELSE $U END) AS theta
+          FROM t),
+        ra AS (SELECT hv FROM ska, tt WHERE hv < tt.theta),
+        rb AS (SELECT hv FROM skb, tt WHERE hv < tt.theta),
+        ic AS (SELECT COUNT(*) AS c_inter FROM ra JOIN rb USING (hv)),
+        dc AS (SELECT COUNT(*) AS c_diff FROM ra ANTI JOIN rb USING (hv)),
+        ex AS (
+          SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                 (SELECT COUNT(*) FROM b) AS n_b,
+                 (SELECT COUNT(*) FROM a JOIN b USING (user_id))
+                   AS exact_inter,
+                 (SELECT COUNT(*) FROM (
+                   SELECT user_id FROM a UNION SELECT user_id FROM b))
+                   AS exact_union),
+        est AS (
+          SELECT tt.*, ic.c_inter, dc.c_diff, ex.*,
+                 CASE WHEN ka >= $K THEN ${(K - 1L) * U} ELSE ka END
+                   AS est_a_num,
+                 CASE WHEN ka >= $K THEN theta_a ELSE 1 END AS est_a_den,
+                 CASE WHEN kb >= $K THEN ${(K - 1L) * U} ELSE kb END
+                   AS est_b_num,
+                 CASE WHEN kb >= $K THEN theta_b ELSE 1 END AS est_b_den,
+                 CASE WHEN ku >= $K THEN ${(K - 1L) * U} ELSE ku END
+                   AS est_union_num,
+                 CASE WHEN ku >= $K THEN theta_u ELSE 1 END
+                   AS est_union_den,
+                 c_inter * ${U}::BIGINT AS est_inter_num,
+                 theta AS est_inter_den,
+                 c_diff * ${U}::BIGINT AS est_diff_num,
+                 theta AS est_diff_den
+          FROM tt, ic, dc, ex)
+        SELECT CAST(ka AS BIGINT) AS ka, CAST(kb AS BIGINT) AS kb,
+               CAST(ku AS BIGINT) AS ku,
+               theta_a, theta_b, theta_u, theta,
+               CAST(c_inter AS BIGINT) AS c_inter,
+               CAST(c_diff AS BIGINT) AS c_diff,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(exact_inter AS BIGINT) AS exact_inter,
+               CAST(exact_union AS BIGINT) AS exact_union,
+               CAST(est_a_num AS BIGINT) AS est_a_num,
+               CAST(est_a_den AS BIGINT) AS est_a_den,
+               CAST(est_b_num AS BIGINT) AS est_b_num,
+               CAST(est_b_den AS BIGINT) AS est_b_den,
+               CAST(est_union_num AS BIGINT) AS est_union_num,
+               CAST(est_union_den AS BIGINT) AS est_union_den,
+               CAST(est_inter_num AS BIGINT) AS est_inter_num,
+               CAST(est_inter_den AS BIGINT) AS est_inter_den,
+               CAST(est_diff_num AS BIGINT) AS est_diff_num,
+               CAST(est_diff_den AS BIGINT) AS est_diff_den,
+               ${within40("est_a_num", "est_a_den", "n_a")} AS a_within_40,
+               ${within40("est_b_num", "est_b_den", "n_b")} AS b_within_40,
+               ${within40("est_union_num", "est_union_den", "exact_union")}
+                 AS union_within_40,
+               ${within40("est_inter_num", "est_inter_den", "exact_inter")}
+                 AS inter_within_40,
+               ${within40("est_diff_num", "est_diff_den",
+                  "n_a - exact_inter")} AS diff_within_40
+        FROM est"""
+      }),
+
     // ── peak concurrency by sweep line over session intervals ──
     // "How many sessions were open at once, per day" — the capacity
     // question behind connection pools and rate limits. The textbook

@@ -766,6 +766,84 @@ object Relational extends QueryPack {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // ── exact k-th order statistic by two-pass bucket selection ──
+    // Exact global quantiles WITHOUT a global sort — the classic
+    // distributed SELECTION algorithm: pass 1 histograms the value
+    // domain into fixed-width buckets (map-side-combined, driver gets
+    // O(domain/width) counts — price-domain-bounded, NOT data-bounded),
+    // the driver walks the cumulative counts to locate each rank's
+    // bucket and in-bucket offset, and pass 2 ranks ONLY that bucket
+    // (globalRank — range partition, zero post-sort shuffles) and
+    // projects the row at the offset. Four ranks (p25/p50/p75/p90)
+    // share the single histogram; each adds one pushed-down
+    // bucket-filter scan. Contrast q_percentiles (per-GROUP exact
+    // percentile aggregate) and q_ntile_global (every row labeled):
+    // this answers "the exact global p99" on 10^12 rows while sorting
+    // only ~1/1000th of them. k = ceil(p·n/100); ties in `cents` make
+    // any in-bucket tie order yield the same VALUE, so the selection
+    // is deterministic end to end. The oracle re-derives buckets,
+    // offsets, and the selected values by definition (global window
+    // rank — fine single-node, the exact thing this plan avoids).
+    "q_select_kth" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val W = 10000L // $100 buckets over the cents domain
+        val v = Tables.lineitem(s, d)
+          .select((dec($"l_extendedprice") * 100).cast(LongType).as("cents"))
+          .localCheckpoint(true) // histogram + the per-rank bucket scans
+        val hist = v.groupBy(expr(s"cents div $W").as("b"))
+          .agg(count(lit(1)).as("c")).orderBy($"b").collect()
+        val n = hist.map(_.getLong(1)).sum
+        val cumThrough = hist.map(_.getLong(1)).scanLeft(0L)(_ + _)
+        val slices = Seq(25L, 50L, 75L, 90L).map { p =>
+          val k = (p * n + 99L) / 100L
+          val idx = cumThrough.indexWhere(_ >= k) - 1
+          val bucket = hist(idx).getLong(0)
+          val bucketCount = hist(idx).getLong(1)
+          val offset = k - cumThrough(idx)
+          globalRank(s,
+              v.filter(expr(s"cents div $W") === lit(bucket)), Seq($"cents"))
+            .filter($"rk" === offset - 1L)
+            .select(lit(p).as("p"), lit(n).as("n"), lit(k).as("k"),
+              lit(bucket).as("bucket"),
+              lit(bucketCount).as("bucket_count"),
+              lit(offset).as("offset_in_bucket"),
+              $"cents".as("value_cents"))
+        }
+        slices.reduce(_ unionByName _).orderBy($"p")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+            AS BIGINT) AS cents FROM lineitem),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        ks AS (
+          SELECT CAST(p AS BIGINT) AS p, n, (p * n + 99) // 100 AS k
+          FROM (VALUES (25), (50), (75), (90)) t(p), nn),
+        hist AS (
+          SELECT cents // 10000 AS b, COUNT(*) AS c FROM v GROUP BY 1),
+        cum AS (
+          SELECT b, c, SUM(c) OVER (ORDER BY b) AS cm FROM hist),
+        sel AS (
+          SELECT ks.p, ks.n, ks.k, MIN(cum.b) AS bucket
+          FROM ks JOIN cum ON cum.cm >= ks.k
+          GROUP BY ks.p, ks.n, ks.k),
+        bs AS (
+          SELECT sel.p, sel.n, sel.k, sel.bucket, cum.c AS bucket_count,
+                 sel.k - (cum.cm - cum.c) AS offset_in_bucket
+          FROM sel JOIN cum ON cum.b = sel.bucket),
+        rv AS (
+          SELECT cents, cents // 10000 AS b,
+                 row_number() OVER (PARTITION BY cents // 10000
+                   ORDER BY cents) AS rn
+          FROM v)
+        SELECT bs.p, bs.n, CAST(bs.k AS BIGINT) AS k, bs.bucket,
+               CAST(bs.bucket_count AS BIGINT) AS bucket_count,
+               CAST(bs.offset_in_bucket AS BIGINT) AS offset_in_bucket,
+               rv.cents AS value_cents
+        FROM bs JOIN rv ON rv.b = bs.bucket AND rv.rn = bs.offset_in_bucket
+        ORDER BY p""")),
+
     // ── GLOBAL ntile, distributed (no single-partition window) ──
     // Deciles of the whole orders table by price via [[globalNtile]]
     // — the scale-safe replacement for `ntile(10) OVER (ORDER BY …)`,
@@ -1739,6 +1817,79 @@ object Relational extends QueryPack {
         l3 AS (SELECT * FROM l2
                UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3)
         SELECT node, lvl FROM l3 ORDER BY lvl, node""")),
+
+    // ── weighted single-source shortest paths (Bellman–Ford) ──
+    // The MIN-PLUS companion to q_bfs_levels: hop count is the wrong
+    // metric when edges carry costs, and Dijkstra's priority queue
+    // has no distributed form — Bellman–Ford does: each round relaxes
+    // EVERY edge (one dist⋈edges equality join + one map-side-combined
+    // groupBy-min), giving the cheapest path of ≤r edges after r
+    // rounds. 3 rounds unrolled, checkpoint barrier per round (the
+    // TextRank/BFS iterative-join shape — never transitive closure).
+    // Weights make frequent co-purchases CLOSER (w = 100 div supp + 1,
+    // exact integers), so the cheapest route and the hop-minimal route
+    // genuinely diverge — 16-46 nodes on the fixtures still improve
+    // their distance in round 3, after BFS would have frozen them
+    // (RelationalSpec gates this). At 10^11 edges a round shuffles
+    // O(E) on the node key; production iterates to fixpoint relaxing
+    // only the CHANGED frontier (the delta optimization) — the
+    // per-round plan is identical.
+    "q_sssp_weighted" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("supp"))
+          .select($"u", $"v", (expr("100 div supp") + 1L).as("w"))
+        val sym = e0.unionByName(
+            e0.select($"v".as("u"), $"u".as("v"), $"w"))
+          .localCheckpoint(true) // one join per round reads this
+        var dist = sym.agg(min($"u").as("node"))
+          .select($"node", lit(0L).as("dist"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val relaxed = dist.join(sym, $"node" === $"u")
+            .select($"v".as("node"), ($"dist" + $"w").as("dist"))
+          dist = dist.unionByName(relaxed)
+            .groupBy($"node").agg(min($"dist").as("dist"))
+            .localCheckpoint(true)
+        }
+        dist.orderBy($"node")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS supp
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey),
+        sym AS (
+          SELECT u, v, 100 // supp + 1 AS w FROM e0
+          UNION ALL
+          SELECT v, u, 100 // supp + 1 FROM e0),
+        d0 AS (
+          SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM sym),
+        d1 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT * FROM d0
+          UNION ALL
+          SELECT s.v, d0.dist + s.w FROM d0 JOIN sym s ON d0.node = s.u)
+          GROUP BY node),
+        d2 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT * FROM d1
+          UNION ALL
+          SELECT s.v, d1.dist + s.w FROM d1 JOIN sym s ON d1.node = s.u)
+          GROUP BY node),
+        d3 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT * FROM d2
+          UNION ALL
+          SELECT s.v, d2.dist + s.w FROM d2 JOIN sym s ON d2.node = s.u)
+          GROUP BY node)
+        SELECT node, CAST(dist AS BIGINT) AS dist
+        FROM d3 ORDER BY node""")),
 
     // ── distributed percent_rank / cume_dist (rank-statistic
     //    normalization without a global window) ──

@@ -1167,6 +1167,114 @@ object Similarity extends QueryPack {
         .orderBy(col("query_id"), col("rnk")),
       oracle = Some(bruteforceOracleSql)),
 
+    // ── maximum-inner-product top-k via the norm-augmentation
+    //    reduction (MIPS → cosine) ──
+    // Recommendation serving ranks by RAW dot product (norms encode
+    // popularity), but every ANN index here is a cosine index — and
+    // the textbook bridge (Bachrach et al., RecSys 2014) makes one
+    // serve the other: append sqrt(M²−‖x‖²) to each corpus vector
+    // (M = max corpus norm) and 0 to the query, making every
+    // augmented corpus norm exactly M, so augmented-cosine order IS
+    // dot-product order. The fixture embeddings are unit-norm (where
+    // MIPS degenerates to cosine), so the corpus is first given the
+    // deterministic per-item popularity weight 1 + (vec_id%7)/10 —
+    // the item-popularity norms MIPS exists to respect; cosine order
+    // cancels the weight, dot order doesn't, and SimilaritySpec gates
+    // that the two genuinely diverge. The query runs BOTH rankings —
+    // raw dot, and cosine over the literally-constructed augmented
+    // vectors — through the bounded TopKAggregator (≤k rows per query
+    // cross the shuffle, no WindowExec), joins them per rank, and
+    // emits `reduction_agrees`; the oracle rebuilds the weighting,
+    // the augmentation (list_append + the same IEEE sqrt/divide) and
+    // both rankings, so the reduction's exactness is hash-re-proven
+    // every round. M² is ONE broadcast scalar; everything else is
+    // the map-only scoring scan of the cosine path.
+    "sim_mips_topk" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val items = e.withColumn("emb",
+          transform($"emb",
+            x => x * (lit(1.0d) + ($"vec_id" % 7).cast(DoubleType) * lit(0.1d))))
+        val m2 = items.agg(max(normSq($"emb")).as("m2"))
+        val pairs = items.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"query_id")
+          .crossJoin(broadcast(m2))
+          .withColumn("dp", dot($"qemb", $"emb"))
+          .withColumn("aug_cos", cosine(
+            concat($"qemb", array(lit(0.0d))),
+            concat($"emb", array(sqrt($"m2" - normSq($"emb"))))))
+        val topk = udaf(new graft.functions.TopKAggregator(10))
+        def rank(score: org.apache.spark.sql.Column,
+            outId: String, outScore: String) = pairs
+          .groupBy($"query_id")
+          .agg(topk(score, $"vec_id").as("top"))
+          .select($"query_id",
+            posexplode(arrays_zip($"top.scores", $"top.ids"))
+              .as(Seq("i", "pair")))
+          .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
+            $"pair.ids".as(outId), round($"pair.scores", 9).as(outScore))
+        rank($"dp", "vec_by_dot", "dot_sim")
+          .join(rank($"aug_cos", "vec_by_aug", "aug_cos"),
+            Seq("query_id", "rnk"))
+          .withColumn("reduction_agrees", $"vec_by_dot" === $"vec_by_aug")
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        it AS (
+          SELECT vec_id,
+                 list_transform(emb,
+                   x -> x * (1.0 + (vec_id % 7) * 0.1)) AS emb
+          FROM e),
+        e2 AS (
+          SELECT vec_id, emb,
+                 list_sum(list_transform(emb, x -> x*x)) AS n2
+          FROM it),
+        m AS (SELECT MAX(n2) AS m2 FROM e2),
+        ax AS (
+          SELECT vec_id, emb, n2,
+                 list_append(emb, sqrt(m.m2 - n2)) AS aemb
+          FROM e2, m),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb,
+                 list_append(emb, 0.0) AS qaemb
+          FROM e WHERE vec_id < 5),
+        pairs AS (
+          SELECT q.query_id, ax.vec_id,
+            list_sum(list_transform(generate_series(1, len(q.qemb)),
+              i -> q.qemb[i] * ax.emb[i])) AS dp,
+            list_sum(list_transform(generate_series(1, len(q.qaemb)),
+              i -> q.qaemb[i] * ax.aemb[i])) /
+            (sqrt(list_sum(list_transform(q.qaemb, x -> x*x))) *
+             sqrt(list_sum(list_transform(ax.aemb, x -> x*x)))) AS aug
+          FROM q, ax WHERE ax.vec_id <> q.query_id),
+        bydot AS (
+          SELECT query_id, rnk, vec_id AS vec_by_dot,
+                 round(dp, 9) AS dot_sim
+          FROM (SELECT query_id, vec_id, dp,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dp DESC, vec_id) AS rnk
+                FROM pairs)
+          WHERE rnk <= 10),
+        byaug AS (
+          SELECT query_id, rnk, vec_id AS vec_by_aug,
+                 round(aug, 9) AS aug_cos
+          FROM (SELECT query_id, vec_id, aug,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY aug DESC, vec_id) AS rnk
+                FROM pairs)
+          WHERE rnk <= 10)
+        SELECT bydot.query_id, bydot.rnk, vec_by_dot, dot_sim,
+               vec_by_aug, aug_cos,
+               vec_by_dot = vec_by_aug AS reduction_agrees
+        FROM bydot JOIN byaug
+          ON bydot.query_id = byaug.query_id AND bydot.rnk = byaug.rnk
+        ORDER BY bydot.query_id, bydot.rnk""")),
+
     // ── random-hyperplane LSH with hamming-1 multiprobe ──
     // FULLY value-checked: the hyperplanes are pure splitmix64
     // arithmetic ([[graft.functions.VectorFunctions.planeComponent]]),

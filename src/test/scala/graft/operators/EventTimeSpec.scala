@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -277,6 +278,88 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     // the segments genuinely differ and genuinely overlap
     inter should be > 0L
     inter should be < math.min(a.size, b.size).toLong
+  }
+
+  test("agg_theta_setops: full KMV/theta-sketch recompute at sf0.001 " +
+      "(exact branch) and sf0.01 (estimating branch), contracts hold") {
+    val K = 64
+    val U = 1L << 52
+    def h52(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${u}_kmv".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 13).map { i =>
+        val c = hex(i)
+        val w = if (c >= 'a') c - 'a' + 10 else c - '0'
+        w.toLong << (4 * i)
+      }.sum
+    }
+    def checkDir(dir: String): (Boolean, Row) = {
+      val ev = graft.Tables.events(spark, dir)
+        .select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val byUser = ev.groupBy(_._1).view.mapValues { g =>
+        val t = g.map(_._2)
+        (t.count(_ == "purchase"), t.count(_ == "error"),
+          t.count(_ == "click"), t.count(_ == "view"))
+      }.toMap
+      val a = byUser.collect { case (u, (np, ne, _, _)) if np > ne => u }.toSet
+      val b = byUser.collect { case (u, (_, _, nc, nv)) if nc > nv => u }.toSet
+      val ska = a.map(h52).toSeq.sorted.take(K)
+      val skb = b.map(h52).toSeq.sorted.take(K)
+      val sku = (ska ++ skb).distinct.sorted.take(K)
+      val thetaA = if (ska.size >= K) ska.max else U
+      val thetaB = if (skb.size >= K) skb.max else U
+      val thetaU = if (sku.size >= K) sku.max else U
+      val theta = math.min(thetaA, thetaB)
+      val ra = ska.filter(_ < theta).toSet
+      val rb = skb.filter(_ < theta).toSet
+      val cInter = (ra intersect rb).size.toLong
+      val cDiff = (ra diff rb).size.toLong
+      val row = graft.SparkEntry.queries("agg_theta_setops")(spark, dir)
+        .collect().head
+      row.getAs[Long]("ka") shouldBe ska.size.toLong
+      row.getAs[Long]("kb") shouldBe skb.size.toLong
+      row.getAs[Long]("ku") shouldBe sku.size.toLong
+      row.getAs[Long]("theta_a") shouldBe thetaA
+      row.getAs[Long]("theta_b") shouldBe thetaB
+      row.getAs[Long]("theta_u") shouldBe thetaU
+      row.getAs[Long]("theta") shouldBe theta
+      row.getAs[Long]("c_inter") shouldBe cInter
+      row.getAs[Long]("c_diff") shouldBe cDiff
+      row.getAs[Long]("n_a") shouldBe a.size.toLong
+      row.getAs[Long]("n_b") shouldBe b.size.toLong
+      row.getAs[Long]("exact_inter") shouldBe (a intersect b).size.toLong
+      row.getAs[Long]("exact_union") shouldBe (a union b).size.toLong
+      row.getAs[Long]("est_a_num") shouldBe
+        (if (ska.size >= K) (K - 1L) * U else ska.size.toLong)
+      row.getAs[Long]("est_a_den") shouldBe
+        (if (ska.size >= K) thetaA else 1L)
+      row.getAs[Long]("est_inter_num") shouldBe cInter * U
+      row.getAs[Long]("est_inter_den") shouldBe theta
+      row.getAs[Long]("est_diff_num") shouldBe cDiff * U
+      row.getAs[Long]("est_diff_den") shouldBe theta
+      Seq("a_within_40", "b_within_40", "union_within_40",
+        "inter_within_40", "diff_within_40").foreach { f =>
+        withClue(f) { row.getAs[Boolean](f) shouldBe true }
+      }
+      (ska.size >= K, row)
+    }
+    // sf0.001: segments smaller than K — the sketch IS the set, so
+    // every estimate rational reduces to the exact count
+    val (full0, r0) = checkDir(sf)
+    full0 shouldBe false
+    r0.getAs[Long]("est_a_num") shouldBe r0.getAs[Long]("n_a")
+    r0.getAs[Long]("est_inter_num") / r0.getAs[Long]("est_inter_den") shouldBe
+      r0.getAs[Long]("exact_inter")
+    // sf0.01: both segments exceed K — the genuinely-estimating branch
+    // runs, θ < U, and the estimates STILL sit inside ±40%
+    val (full1, r1) = checkDir("/root/testdata/sf0.01")
+    full1 shouldBe true
+    r1.getAs[Long]("theta") should be < U
+    // the estimate is genuinely an estimate there (not the exact count)
+    (BigInt(r1.getAs[Long]("est_a_num")) ==
+      BigInt(r1.getAs[Long]("n_a")) * r1.getAs[Long]("est_a_den")) shouldBe false
   }
 
   test("evt_seasonal_anomaly matches a direct recompute and conditioning " +

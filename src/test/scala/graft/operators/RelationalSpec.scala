@@ -538,6 +538,81 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.map(_._2).distinct.size should be >= 3
   }
 
+  test("q_sssp_weighted equals a sequential Bellman-Ford recompute and " +
+      "weighted routes genuinely diverge from hop-count BFS") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // weighted symmetric edges: supp = shared orders, w = 100/supp + 1
+    val supp: Map[(Long, Long), Long] = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq.sorted
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges: Seq[(Long, Long, Long)] = supp.toSeq.flatMap {
+      case ((a, b), c) =>
+        val w = 100L / c + 1L
+        Seq((a, b, w), (b, a, w))
+    }
+    val adj: Map[Long, Seq[(Long, Long)]] =
+      edges.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val src = edges.map(_._1).min
+    // sequential BF must relax from the PREVIOUS round's table only
+    def round(d: Map[Long, Long]): Map[Long, Long] = {
+      val cand = d.toSeq ++ d.toSeq.flatMap { case (n, dist) =>
+        adj.getOrElse(n, Seq.empty).map { case (v, w) => (v, dist + w) } }
+      cand.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val d1 = round(Map(src -> 0L))
+    val d2 = round(d1)
+    val d3 = round(d2)
+    val expected = d3.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_sssp_weighted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    // min-plus beats hop-count: some node's distance still improves in
+    // round 3 (a longer-hop but cheaper route) — BFS would have frozen
+    // it at its first-touch level
+    d3.count { case (n, dist) => d2.get(n).exists(dist < _) } should be > 0
+    // reachable set after 3 rounds equals BFS's ≤3-level set
+    var seen = Set(src); var frontier = Set(src)
+    for (_ <- 1 to 3) {
+      val next = frontier.flatMap(n =>
+        adj.getOrElse(n, Seq.empty).map(_._1)).diff(seen)
+      seen = seen ++ next; frontier = next
+    }
+    got.map(_._1).toSet shouldBe seen
+  }
+
+  test("q_select_kth matches a sorted-sequence selection recompute and " +
+      "the bucket arithmetic is internally consistent") {
+    val W = 10000L
+    val cents = graft.Tables.lineitem(spark, sf)
+      .selectExpr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as long)")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val got = graft.SparkEntry.queries("q_select_kth")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got.map(_._1) shouldBe Seq(25L, 50L, 75L, 90L)
+    got.foreach { case (p, gn, k, bucket, bucketCount, offset, value) =>
+      gn shouldBe n
+      k shouldBe (p * n + 99L) / 100L
+      // the definitional k-th smallest
+      value shouldBe cents((k - 1).toInt)
+      // bucket arithmetic: the selected value lives in the bucket, the
+      // offset is its rank within it, and the census matches
+      bucket shouldBe value / W
+      bucketCount shouldBe cents.count(_ / W == bucket).toLong
+      offset shouldBe (k - cents.count(_ / W < bucket).toLong)
+      offset should be >= 1L
+      offset should be <= bucketCount
+      // selection genuinely restricted: pass 2 sorts a strict subset
+      bucketCount should be < n
+    }
+    // the four ranks land on genuinely different values on the fixture
+    got.map(_._7).distinct.size shouldBe 4
+  }
+
   test("q_percent_rank equals the single-partition engine definition") {
     import spark.implicits._
     val w = Window.orderBy($"price")

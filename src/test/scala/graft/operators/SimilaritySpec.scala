@@ -309,4 +309,51 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     ratios.count(r => r > 0.4 && r < 2.2).toDouble / ratios.size should
       be > 0.9
   }
+
+  test("sim_mips_topk equals a direct dot-product recompute, the " +
+      "augmented-cosine route agrees, and MIPS order genuinely differs " +
+      "from cosine order") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val got = graft.SparkEntry.queries("sim_mips_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(6)))
+    // the query's deterministic popularity weight on the item side
+    val items = rows.map { case (id, emb) =>
+      val w = 1.0 + (id % 7).toDouble * 0.1
+      (id, emb.map(_ * w))
+    }
+    var diverges = false
+    (0L until 5L).foreach { qid =>
+      val qemb = rows.find(_._1 == qid).get._2
+      val scored = items.filter(_._1 != qid)
+        .map { case (id, emb) => (id, dot(qemb, emb)) }
+      val byDot = scored.sortBy { case (id, dp) => (-dp, id) }
+        .take(10).map(_._1).toSeq
+      val byCos = scored
+        .map { case (id, dp) =>
+          (id, dp / (norm(qemb) * norm(items.find(_._1 == id).get._2))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      mine.map(_._3).toSeq shouldBe byDot
+      // the augmentation route lands on the same ids at every rank
+      mine.foreach { t => withClue(s"q=$qid rnk=${t._2}: ") {
+        t._6 shouldBe true; t._5 shouldBe t._3 } }
+      // dot_sim is the rounded dot product of that pair
+      mine.foreach { t =>
+        val dp = scored.find(_._1 == t._3).get._2
+        t._4 shouldBe BigDecimal.decimal(dp)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      if (byDot != byCos) diverges = true
+    }
+    // MIPS is a different problem than cosine search: at least one
+    // query's dot-product top-10 differs from its cosine top-10
+    diverges shouldBe true
+  }
 }
