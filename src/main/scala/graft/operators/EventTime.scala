@@ -1621,6 +1621,107 @@ object EventTime extends QueryPack {
                t.n_users - n.n AS n_not_converted, med.med_dt_x2
         FROM t CROSS JOIN n CROSS JOIN med""")),
 
+    // ── Kaplan–Meier survival over time-to-convert (censoring-aware) ──
+    // The churn/conversion curve done RIGHT: evt_time_to_convert's
+    // median throws away the users who haven't converted YET — the
+    // KM estimator (Kaplan & Meier 1958) keeps them as censored
+    // observations (censor time = study end − first view), so the
+    // curve is unbiased under right-censoring. At each conversion
+    // time t: n_risk = subjects whose observed time ≥ t (deaths
+    // before censorings on ties — censored-at-t stay at risk),
+    // d = conversions at t, S(t) = Π (1 − d/n). The product becomes
+    // the surprisal-idiom SUM: ln((n−d)/n) quantized to 6 digits →
+    // exact micro-unit integers → the running ln S(t) rides
+    // [[Relational.globalPrefixSum]] over the time order (as does the
+    // at-risk cumulative) — zero single-task windows, shuffles are
+    // one groupBy(user) + one groupBy(t) + two range partitions.
+    // Steps are emitted while n_risk > d (S stays positive; a
+    // total-extinction terminal step would be S = 0 — none exists on
+    // any fixture, the guard keeps the arithmetic total).
+    "evt_survival_km" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+          .localCheckpoint(true) // first-touch agg + study-end scalar
+        val tend = ev.agg(max($"tus").as("t_end"))
+        val subj = ev.groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", $"tus")).as("fv"),
+            min(when($"event_type" === "purchase", $"tus")).as("fp"))
+          .filter($"fv".isNotNull)
+        val obs = subj.crossJoin(broadcast(tend))
+          .select(
+            when($"fp".isNotNull && $"fp" > $"fv", $"fp" - $"fv")
+              .otherwise($"t_end" - $"fv").as("t"),
+            when($"fp".isNotNull && $"fp" > $"fv", 1L).otherwise(0L)
+              .as("died"))
+        val tbl = obs.groupBy($"t")
+          .agg(sum($"died").as("d"), sum(lit(1L) - $"died").as("c"))
+          .withColumn("dc", $"d" + $"c")
+          .localCheckpoint(true) // census + the prefix pass
+        val n = tbl.agg(sum($"dc").as("n_subjects"))
+        val steps = Relational.globalPrefixSum(s, tbl, Seq($"t"), "dc")
+          .withColumnRenamed("psum", "cumall")
+          .crossJoin(broadcast(n))
+          .withColumn("n_risk", $"n_subjects" - ($"cumall" - $"dc"))
+          .filter($"d" > 0L && $"n_risk" > $"d")
+          .withColumn("f_micro",
+            (round(log(($"n_risk" - $"d").cast(DoubleType) /
+                $"n_risk".cast(DoubleType)), 6)
+              .cast(DecimalType(20, 6)) * 1000000).cast(LongType))
+          .select($"t", $"n_risk", $"d", $"c", $"f_micro")
+        Relational.globalPrefixSum(s, steps, Seq($"t"), "f_micro")
+          .withColumnRenamed("psum", "ln_s_micro")
+          .select($"t".as("t_us"), $"n_risk", $"d".as("d_events"),
+            $"c".as("c_censored_here"), $"ln_s_micro",
+            round(exp($"ln_s_micro".cast(DoubleType) / 1e6), 6).as("surv"))
+          .orderBy($"t_us")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        tend AS (SELECT MAX(tus) AS t_end FROM ev),
+        subj AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN tus END) AS fv,
+                 MIN(CASE WHEN event_type = 'purchase' THEN tus END) AS fp
+          FROM ev GROUP BY user_id
+          HAVING MIN(CASE WHEN event_type = 'view' THEN tus END)
+            IS NOT NULL),
+        obs AS (
+          SELECT CASE WHEN fp IS NOT NULL AND fp > fv THEN fp - fv
+                      ELSE t_end - fv END AS t,
+                 CASE WHEN fp IS NOT NULL AND fp > fv THEN 1 ELSE 0 END
+                   AS died
+          FROM subj, tend),
+        tbl AS (
+          SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+                 CAST(SUM(1 - died) AS BIGINT) AS c
+          FROM obs GROUP BY t),
+        n AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_subjects FROM tbl),
+        cum AS (
+          SELECT t, d, c,
+                 SUM(d + c) OVER (ORDER BY t) AS cumall
+          FROM tbl),
+        steps AS (
+          SELECT t, d, c,
+                 n_subjects - (cumall - (d + c)) AS n_risk,
+                 CAST(CAST(round(ln(CAST(n_subjects - (cumall - (d + c)) - d
+                     AS DOUBLE) /
+                   (n_subjects - (cumall - (d + c)))), 6)
+                   AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS f_micro
+          FROM cum, n
+          WHERE d > 0 AND n_subjects - (cumall - (d + c)) > d),
+        km AS (
+          SELECT t, n_risk, d, c, f_micro,
+                 SUM(f_micro) OVER (ORDER BY t) AS ln_s_micro
+          FROM steps)
+        SELECT t AS t_us, CAST(n_risk AS BIGINT) AS n_risk,
+               d AS d_events, c AS c_censored_here,
+               CAST(ln_s_micro AS BIGINT) AS ln_s_micro,
+               round(exp(CAST(ln_s_micro AS DOUBLE) / 1e6), 6) AS surv
+        FROM km ORDER BY t_us""")),
+
     // ── cumulative user growth (distinct-to-date via first touch) ──
     // "Total unique users ever seen, per day" — naively a cumulative
     // COUNT(DISTINCT) per day (quadratic re-scans or heavy state);
@@ -1858,6 +1959,90 @@ object EventTime extends QueryPack {
     // is the reader's table lookup). Margins are two tiny aggregates
     // + a broadcast total — the contingency table is states × 7 rows
     // no matter the corpus size.
+    // ── two-sample Kolmogorov–Smirnov drift test (first half vs
+    //    second half of the event timeline) ──
+    // The distribution-drift monitor behind "did `value` change
+    // regime": D = max_v |ECDF_A(v) − ECDF_B(v)| between the two
+    // temporal halves, computed EXACTLY — per-value side counts (one
+    // map-side-combined groupBy on centi-unit values), then BOTH
+    // cumulative counts ride [[Relational.globalPrefixSum]] over the
+    // value order (two range-partitioned passes, zero single-task
+    // windows), and D is the max of |n_B·cumA − n_A·cumB| as an exact
+    // integer — D's rational is (d_num, n_A·n_B). The α=0.05 verdict
+    // avoids the sqrt in the critical value c(α)√((n_A+n_B)/(n_A·n_B))
+    // by squaring: reject ⇔ 10⁸·d_num² > 1.3581²·10⁸·(n_A+n_B)·d_den
+    // — one exact DECIMAL(38) comparison both engines evaluate
+    // identically. Argmax tie → smallest value (max-struct idiom).
+    "evt_ks_drift" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+        val rng = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        val cnt = ev.crossJoin(broadcast(rng))
+          .withColumn("side",
+            when($"day" < expr("(d0 + d1 + 1) div 2"), 0).otherwise(1))
+          .groupBy($"y")
+          .agg(sum(when($"side" === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when($"side" === 1, 1L).otherwise(0L)).as("cb"))
+          .localCheckpoint(true) // totals + two prefix passes
+        val nn = cnt.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
+        val cumA = Relational.globalPrefixSum(s, cnt, Seq($"y"), "ca")
+          .withColumnRenamed("psum", "cuma")
+        val cum = Relational.globalPrefixSum(s, cumA, Seq($"y"), "cb")
+          .withColumnRenamed("psum", "cumb")
+        val dev = cum.crossJoin(broadcast(nn))
+          .withColumn("dv",
+            abs($"n_b".cast(big) * $"cuma".cast(big) -
+              $"n_a".cast(big) * $"cumb".cast(big)))
+        dev.agg(max(struct($"dv", (-$"y").as("ny"))).as("m"),
+            first($"n_a").as("n_a"), first($"n_b").as("n_b"))
+          .select($"n_a", $"n_b",
+            $"m.dv".cast(LongType).as("d_num"),
+            ($"n_a" * $"n_b").as("d_den"),
+            (-$"m.ny").as("at_value"),
+            (lit(100000000L).cast(big) * $"m.dv" * $"m.dv" >
+              lit(184443561L).cast(big) * ($"n_a" + $"n_b").cast(big) *
+                ($"n_a".cast(big) * $"n_b".cast(big))).as("reject_at_05"))
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        cnt AS (
+          SELECT y,
+                 CAST(COUNT(*) FILTER (day < (d0 + d1 + 1) // 2)
+                   AS BIGINT) AS ca,
+                 CAST(COUNT(*) FILTER (day >= (d0 + d1 + 1) // 2)
+                   AS BIGINT) AS cb
+          FROM ev, rng GROUP BY y),
+        nn AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                 CAST(SUM(cb) AS BIGINT) AS n_b FROM cnt),
+        cum AS (
+          SELECT y, SUM(ca) OVER (ORDER BY y) AS cuma,
+                 SUM(cb) OVER (ORDER BY y) AS cumb
+          FROM cnt),
+        dev AS (
+          SELECT y,
+                 abs(CAST(n_b AS HUGEINT) * cuma
+                   - CAST(n_a AS HUGEINT) * cumb) AS dv
+          FROM cum, nn),
+        mx AS (SELECT dv, y FROM dev ORDER BY dv DESC, y LIMIT 1)
+        SELECT nn.n_a, nn.n_b,
+               CAST(mx.dv AS BIGINT) AS d_num,
+               nn.n_a * nn.n_b AS d_den,
+               mx.y AS at_value,
+               100000000 * mx.dv * mx.dv >
+                 184443561 * CAST(nn.n_a + nn.n_b AS HUGEINT)
+                   * (nn.n_a * nn.n_b) AS reject_at_05
+        FROM nn, mx""")),
+
     "evt_chi_square" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._

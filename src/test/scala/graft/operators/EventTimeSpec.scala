@@ -362,6 +362,93 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
       BigInt(r1.getAs[Long]("n_a")) * r1.getAs[Long]("est_a_den")) shouldBe false
   }
 
+  test("evt_survival_km equals a sequential Kaplan-Meier recompute and " +
+      "censoring is genuinely present") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 as tus")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tEnd = ev.map(_._3).max
+    val byUser = ev.groupBy(_._1).view.mapValues { g =>
+      (g.filter(_._2 == "view").map(_._3).minOption,
+        g.filter(_._2 == "purchase").map(_._3).minOption)
+    }.toMap
+    val obs = byUser.values.collect {
+      case (Some(fv), fp) =>
+        fp.filter(_ > fv).map(p => (p - fv, true))
+          .getOrElse((tEnd - fv, false))
+    }.toSeq
+    val nSubjects = obs.size.toLong
+    val deaths = obs.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong)
+    val censByT = obs.filterNot(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong)
+    val times = obs.map(_._1).distinct.sorted
+    var before = 0L
+    var lnMicro = 0L
+    val expected = Seq.newBuilder[(Long, Long, Long, Long, Long, Double)]
+    times.foreach { t =>
+      val d = deaths.getOrElse(t, 0L)
+      val c = censByT.getOrElse(t, 0L)
+      val nRisk = nSubjects - before
+      if (d > 0 && nRisk > d) {
+        val f = (BigDecimal.decimal(math.log((nRisk - d).toDouble / nRisk))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+        lnMicro += f
+        val surv = BigDecimal.decimal(math.exp(lnMicro.toDouble / 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        expected += ((t, nRisk, d, c, lnMicro, surv))
+      }
+      before += d + c
+    }
+    val got = graft.SparkEntry.queries("evt_survival_km")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    got shouldBe expected.result()
+    // the curve is a genuine survival curve: strictly decreasing
+    // survival across steps, and censored subjects exist
+    got.map(_._6).sliding(2).foreach {
+      case Seq(a, b) => b should be < a
+      case _ => ()
+    }
+    obs.count(!_._2) should be > 0
+    got.last._6 should be > 0.0
+  }
+
+  test("evt_ks_drift equals a brute-force two-sample ECDF recompute") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("(ts div 1000) div 86400000000 as day",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._1).min
+    val d1 = ev.map(_._1).max
+    val split = (d0 + d1 + 1) / 2
+    val a = ev.filter(_._1 < split).map(_._2)
+    val b = ev.filter(_._1 >= split).map(_._2)
+    a.length should be > 0
+    b.length should be > 0
+    val devs = (a ++ b).distinct.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      ((BigInt(b.length) * ca - BigInt(a.length) * cb).abs, v)
+    }
+    val dmax = devs.map(_._1).max
+    val atv = devs.filter(_._1 == dmax).map(_._2).min
+    val row = graft.SparkEntry.queries("evt_ks_drift")(spark, sf)
+      .collect().head
+    row.getAs[Long]("n_a") shouldBe a.length.toLong
+    row.getAs[Long]("n_b") shouldBe b.length.toLong
+    row.getAs[Long]("d_num") shouldBe dmax.toLong
+    row.getAs[Long]("d_den") shouldBe a.length.toLong * b.length
+    row.getAs[Long]("at_value") shouldBe atv
+    // the exact squared comparison agrees with the floating-point
+    // textbook form (far from the boundary on this fixture)
+    val dD = dmax.toDouble / (a.length.toLong * b.length)
+    val crit = 1.3581 * math.sqrt(
+      (a.length + b.length).toDouble / (a.length.toLong * b.length))
+    row.getAs[Boolean]("reject_at_05") shouldBe (dD > crit)
+    // the statistic is non-degenerate: the two halves are not identical
+    dmax should be > BigInt(0)
+  }
+
   test("evt_seasonal_anomaly matches a direct recompute and conditioning " +
       "on day-of-week changes some verdicts") {
     val DayUs = 86400000000L
