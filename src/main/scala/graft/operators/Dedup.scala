@@ -1721,6 +1721,140 @@ object Dedup extends QueryPack {
       fn = (s, d) => sortedNeighborhoodPairs(s, d, SnWindow),
       oracle = Some(sortedNeighborhoodSql),
       headline = false),
+
+    // ── Fellegi–Sunter probabilistic record linkage ──
+    // The PRINCIPLED scorer the blocking families feed (Fellegi &
+    // Sunter, JASA 1969): cross-SOURCE candidate pairs (length-bucket
+    // blocking, one equality self-join) scored by the log-likelihood
+    // ratio Σ_f ln(m_f/u_f) over field agreements — lang, first token,
+    // last token, exact length. The u-probabilities (chance agreement
+    // between NON-matches) are estimated EXACTLY from the data as
+    // Σ_v c_v(c_v−1) / N(N−1) per field (four tiny count aggregates,
+    // broadcast as ONE weight row); the m-probabilities are the fixed
+    // plausibilities a deployment would EM-fit (0.95/0.90/0.90/0.85 —
+    // swapping them in changes only four literals). Each weight is
+    // ln-quantized to exact micro-units (the surprisal idiom), so pair
+    // scores are exact integers and the match set (score > 3e6 ≙
+    // likelihood ratio e³ ≈ 20:1) is deterministic. Blocking here is
+    // bounded by the length-bucket census; a skew-prone corpus would
+    // route the same pair generation through the bounded-bucket
+    // primitive the banded LSH faces use. The oracle re-derives the
+    // u-estimates, all eight weights, the blocking join, and every
+    // pair score.
+    "dedup_fs_linkage" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"source", $"n_chars",
+            element_at(split($"text", " "), 1).as("ft"),
+            element_at(split($"text", " "), -1).as("lt"))
+          .localCheckpoint(true) // 4 u-aggregates + both join sides
+        val n = docs.agg(count(lit(1)).as("n"))
+          .select(($"n" * ($"n" - 1L)).as("u_den"))
+        def uNum(c: Column, name: String) = docs.groupBy(c.as("v"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum($"c" * ($"c" - 1L)).as(name))
+        // m and 1−m are BOTH explicit literals (1.0 − 0.95 in Scala is
+        // 0.05000000000000004 — one ulp off DuckDB's parsed 0.05)
+        def wPair(uNumCol: Column, uDen: Column, m: Double, m1: Double,
+            aName: String, dName: String) = Seq(
+          (round(log(lit(m) * uDen.cast(DoubleType) /
+              uNumCol.cast(DoubleType)), 6)
+            .cast(DecimalType(20, 6)) * 1000000).cast(LongType).as(aName),
+          (round(log(lit(m1) * uDen.cast(DoubleType) /
+              (uDen - uNumCol).cast(DoubleType)), 6)
+            .cast(DecimalType(20, 6)) * 1000000).cast(LongType).as(dName))
+        val w = n.crossJoin(uNum($"lang", "ul"))
+          .crossJoin(uNum($"ft", "uf"))
+          .crossJoin(uNum($"lt", "ut"))
+          .crossJoin(uNum($"n_chars", "un"))
+          .select(
+            wPair($"ul", $"u_den", 0.95, 0.05, "wl_a", "wl_d") ++
+            wPair($"uf", $"u_den", 0.90, 0.10, "wf_a", "wf_d") ++
+            wPair($"ut", $"u_den", 0.90, 0.10, "wt_a", "wt_d") ++
+            wPair($"un", $"u_den", 0.85, 0.15, "wn_a", "wn_d"): _*)
+        val blk = docs.withColumn("blk", expr("n_chars div 25"))
+        val pairs = blk.as("a").join(blk.as("b"),
+            $"a.blk" === $"b.blk" && $"a.source" < $"b.source")
+          .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+            ($"a.lang" === $"b.lang").as("g_lang"),
+            ($"a.ft" === $"b.ft").as("g_first"),
+            ($"a.lt" === $"b.lt").as("g_last"),
+            ($"a.n_chars" === $"b.n_chars").as("g_len"))
+        pairs.crossJoin(broadcast(w))
+          .withColumn("score_micro",
+            when($"g_lang", $"wl_a").otherwise($"wl_d") +
+            when($"g_first", $"wf_a").otherwise($"wf_d") +
+            when($"g_last", $"wt_a").otherwise($"wt_d") +
+            when($"g_len", $"wn_a").otherwise($"wn_d"))
+          .filter($"score_micro" > 3000000L)
+          .select($"a_id", $"b_id", $"g_lang", $"g_first", $"g_last",
+            $"g_len", $"score_micro")
+          .orderBy($"a_id", $"b_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, lang, source, n_chars,
+                 split_part(text, ' ', 1) AS ft,
+                 list_extract(string_split(text, ' '),
+                   len(string_split(text, ' '))) AS lt
+          FROM documents),
+        nn AS (SELECT COUNT(*) * (COUNT(*) - 1) AS u_den FROM d),
+        ul AS (SELECT SUM(c * (c - 1)) AS u FROM (
+          SELECT COUNT(*) AS c FROM d GROUP BY lang)),
+        uf AS (SELECT SUM(c * (c - 1)) AS u FROM (
+          SELECT COUNT(*) AS c FROM d GROUP BY ft)),
+        ut AS (SELECT SUM(c * (c - 1)) AS u FROM (
+          SELECT COUNT(*) AS c FROM d GROUP BY lt)),
+        un AS (SELECT SUM(c * (c - 1)) AS u FROM (
+          SELECT COUNT(*) AS c FROM d GROUP BY n_chars)),
+        w AS (
+          SELECT
+            CAST(CAST(round(ln(0.95 * CAST(u_den AS DOUBLE)
+              / CAST(ul.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              AS BIGINT) AS wl_a,
+            CAST(CAST(round(ln(0.05 * CAST(u_den AS DOUBLE)
+              / CAST(u_den - ul.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              * 1000000 AS BIGINT) AS wl_d,
+            CAST(CAST(round(ln(0.9 * CAST(u_den AS DOUBLE)
+              / CAST(uf.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              AS BIGINT) AS wf_a,
+            CAST(CAST(round(ln(0.1 * CAST(u_den AS DOUBLE)
+              / CAST(u_den - uf.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              * 1000000 AS BIGINT) AS wf_d,
+            CAST(CAST(round(ln(0.9 * CAST(u_den AS DOUBLE)
+              / CAST(ut.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              AS BIGINT) AS wt_a,
+            CAST(CAST(round(ln(0.1 * CAST(u_den AS DOUBLE)
+              / CAST(u_den - ut.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              * 1000000 AS BIGINT) AS wt_d,
+            CAST(CAST(round(ln(0.85 * CAST(u_den AS DOUBLE)
+              / CAST(un.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              AS BIGINT) AS wn_a,
+            CAST(CAST(round(ln(0.15 * CAST(u_den AS DOUBLE)
+              / CAST(u_den - un.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              * 1000000 AS BIGINT) AS wn_d
+          FROM nn, ul, uf, ut, un),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.lang = b.lang AS g_lang,
+                 a.ft = b.ft AS g_first,
+                 a.lt = b.lt AS g_last,
+                 a.n_chars = b.n_chars AS g_len
+          FROM d a JOIN d b
+            ON a.n_chars // 25 = b.n_chars // 25
+           AND a.source < b.source),
+        scored AS (
+          SELECT a_id, b_id, g_lang, g_first, g_last, g_len,
+                 (CASE WHEN g_lang THEN wl_a ELSE wl_d END) +
+                 (CASE WHEN g_first THEN wf_a ELSE wf_d END) +
+                 (CASE WHEN g_last THEN wt_a ELSE wt_d END) +
+                 (CASE WHEN g_len THEN wn_a ELSE wn_d END) AS score_micro
+          FROM pairs, w)
+        SELECT a_id, b_id, g_lang, g_first, g_last, g_len,
+               CAST(score_micro AS BIGINT) AS score_micro
+        FROM scored WHERE score_micro > 3000000
+        ORDER BY a_id, b_id""")),
   )
 
   /** The merge/purge pipeline behind `dedup_sorted_neighborhood`:

@@ -444,4 +444,50 @@ class DedupSpec extends AnyFunSuite with Matchers {
     (50L to 53L).foreach(n => gotStar(n) shouldBe 50L)
     gotStar(9L) shouldBe 7L
   }
+
+  test("dedup_fs_linkage equals a full Fellegi-Sunter recompute and the " +
+      "match set is non-trivial") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars", "text").collect()
+      .map { r =>
+        val toks = r.getString(4).split(" ", -1)
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          toks.head, toks.last)
+      }
+    val n = docs.length.toLong
+    val uDen = n * (n - 1)
+    def uNum[T](f: ((Long, String, String, Long, String, String)) => T): Long =
+      docs.groupBy(f).values.map(g => g.size.toLong * (g.size - 1)).sum
+    def w(m: Double, u: Long): Long =
+      (BigDecimal.decimal(math.log(m * uDen.toDouble / u.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    val (ul, uf, ut, un) = (uNum(_._2), uNum(_._5), uNum(_._6), uNum(_._4))
+    val weights = Map(
+      ("lang", true) -> w(0.95, ul), ("lang", false) -> w(0.05, uDen - ul),
+      ("ft", true) -> w(0.90, uf), ("ft", false) -> w(0.10, uDen - uf),
+      ("lt", true) -> w(0.90, ut), ("lt", false) -> w(0.10, uDen - ut),
+      ("len", true) -> w(0.85, un), ("len", false) -> w(0.15, uDen - un))
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._4 / 25 == b._4 / 25 && a._3 < b._3
+    } yield {
+      val (gl, gf, gt, gn) =
+        (a._2 == b._2, a._5 == b._5, a._6 == b._6, a._4 == b._4)
+      (a._1, b._1, gl, gf, gt, gn,
+        weights(("lang", gl)) + weights(("ft", gf)) +
+          weights(("lt", gt)) + weights(("len", gn)))
+    }).filter(_._7 > 3000000L).sortBy(t => (t._1, t._2)).toSeq
+    val got = graft.SparkEntry.queries("dedup_fs_linkage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getLong(6))).toSeq
+    got shouldBe expected
+    got should not be empty
+    // the scorer tolerates disagreement: some match has a false flag
+    got.exists(t => !(t._3 && t._4 && t._5 && t._6)) shouldBe true
+    // and full agreement scores strictly higher than any mixed match
+    val full = got.filter(t => t._3 && t._4 && t._5 && t._6).map(_._7)
+    val mixed = got.filterNot(t => t._3 && t._4 && t._5 && t._6).map(_._7)
+    if (full.nonEmpty && mixed.nonEmpty) full.min should be > mixed.max
+  }
 }
