@@ -1959,6 +1959,83 @@ object EventTime extends QueryPack {
     // is the reader's table lookup). Margins are two tiny aggregates
     // + a broadcast total — the contingency table is states × 7 rows
     // no matter the corpus size.
+    // ── A/B experiment readout (Welch's unequal-variance z-test) ──
+    // The decision query behind every experimentation platform: users
+    // hash into two variants (user_id % 2 — a deployment assigns at
+    // exposure), the metric is per-user purchase revenue, and the
+    // readout is Welch's t = (x̄_A−x̄_B)/√(s²_A/n_A + s²_B/n_B) with
+    // the two-sided α=0.05 verdict. ONE map-side-combined aggregate
+    // produces all six exact-integer moments (n, Σy, Σy² per side —
+    // the mergeable sufficient statistics, so variant totals compose
+    // across partitions/days exactly like the sketch family); the t
+    // statistic is a short chain of IEEE ops both engines perform
+    // identically on those integers, the verdict compares the
+    // UNROUNDED statistic to 1.959964. The fixtures exercise both
+    // branches (|t| = 0.45/0.88 below, 2.34 above at sf0.1). Σy² stays
+    // exact in BIGINT here; a 100 TB deployment lifts the moments to
+    // DECIMAL(38) — the plan is unchanged.
+    "evt_ab_ttest" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val u = Tables.events(s, d)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+            .as("y"))
+          .withColumn("v", $"user_id" % 2)
+        val m = u.agg(
+          sum(when($"v" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"v" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"v" === 0, $"y")).as("sum_a"),
+          sum(when($"v" === 1, $"y")).as("sum_b"),
+          sum(when($"v" === 0, $"y" * $"y")).as("sumsq_a"),
+          sum(when($"v" === 1, $"y" * $"y")).as("sumsq_b"))
+        val va = ($"sumsq_a".cast(DoubleType) -
+          $"sum_a".cast(DoubleType) * $"sum_a" / $"n_a") / ($"n_a" - 1L)
+        val vb = ($"sumsq_b".cast(DoubleType) -
+          $"sum_b".cast(DoubleType) * $"sum_b" / $"n_b") / ($"n_b" - 1L)
+        val t = ($"sum_a".cast(DoubleType) / $"n_a" -
+          $"sum_b".cast(DoubleType) / $"n_b") /
+          sqrt(va / $"n_a" + vb / $"n_b")
+        m.select($"n_a", $"n_b", $"sum_a", $"sum_b",
+          $"sumsq_a", $"sumsq_b",
+          round(t, 6).as("t_stat"),
+          (abs(t) > 1.959964d).as("significant_05"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, user_id % 2 AS v,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        m AS (
+          SELECT CAST(COUNT(*) FILTER (v = 0) AS BIGINT) AS n_a,
+                 CAST(COUNT(*) FILTER (v = 1) AS BIGINT) AS n_b,
+                 CAST(SUM(y) FILTER (v = 0) AS BIGINT) AS sum_a,
+                 CAST(SUM(y) FILTER (v = 1) AS BIGINT) AS sum_b,
+                 CAST(SUM(y * y) FILTER (v = 0) AS BIGINT) AS sumsq_a,
+                 CAST(SUM(y * y) FILTER (v = 1) AS BIGINT) AS sumsq_b
+          FROM u)
+        SELECT n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+               round((CAST(sum_a AS DOUBLE) / n_a
+                   - CAST(sum_b AS DOUBLE) / n_b) /
+                 sqrt(((CAST(sumsq_a AS DOUBLE)
+                     - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1))
+                     / n_a
+                   + ((CAST(sumsq_b AS DOUBLE)
+                     - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1))
+                     / n_b), 6) AS t_stat,
+               abs((CAST(sum_a AS DOUBLE) / n_a
+                   - CAST(sum_b AS DOUBLE) / n_b) /
+                 sqrt(((CAST(sumsq_a AS DOUBLE)
+                     - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1))
+                     / n_a
+                   + ((CAST(sumsq_b AS DOUBLE)
+                     - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1))
+                     / n_b)) > 1.959964 AS significant_05
+        FROM m""")),
+
     // ── two-sample Kolmogorov–Smirnov drift test (first half vs
     //    second half of the event timeline) ──
     // The distribution-drift monitor behind "did `value` change

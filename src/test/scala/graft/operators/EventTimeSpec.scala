@@ -362,6 +362,39 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
       BigInt(r1.getAs[Long]("n_a")) * r1.getAs[Long]("est_a_den")) shouldBe false
   }
 
+  test("evt_ab_ttest equals a direct Welch recompute on exact moments") {
+    val ys = graft.Tables.events(spark, sf)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (u, g) => (u % 2, g.map(_._2).sum) }
+    val a = ys.filter(_._1 == 0L).map(_._2)
+    val b = ys.filter(_._1 == 1L).map(_._2)
+    def mom(xs: Seq[Long]) = (xs.size.toLong, xs.sum, xs.map(y => y * y).sum)
+    val (na, sa, qa) = mom(a)
+    val (nb, sb, qb) = mom(b)
+    val va = (qa.toDouble - sa.toDouble * sa / na) / (na - 1)
+    val vb = (qb.toDouble - sb.toDouble * sb / nb) / (nb - 1)
+    val t = (sa.toDouble / na - sb.toDouble / nb) /
+      math.sqrt(va / na + vb / nb)
+    val row = graft.SparkEntry.queries("evt_ab_ttest")(spark, sf)
+      .collect().head
+    row.getAs[Long]("n_a") shouldBe na
+    row.getAs[Long]("n_b") shouldBe nb
+    row.getAs[Long]("sum_a") shouldBe sa
+    row.getAs[Long]("sum_b") shouldBe sb
+    row.getAs[Long]("sumsq_a") shouldBe qa
+    row.getAs[Long]("sumsq_b") shouldBe qb
+    row.getAs[Double]("t_stat") shouldBe BigDecimal.decimal(t)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    row.getAs[Boolean]("significant_05") shouldBe (math.abs(t) > 1.959964)
+    // both variants are populated and the metric genuinely varies
+    na should be > 1L
+    nb should be > 1L
+    (va + vb) should be > 0.0
+  }
+
   test("evt_survival_km equals a sequential Kaplan-Meier recompute and " +
       "censoring is genuinely present") {
     val ev = graft.Tables.events(spark, sf)
