@@ -1109,7 +1109,70 @@ object CorpusAssembly extends QueryPack {
         SELECT r.lang, r.n_lang, COALESCE(k.n_kept, 0) AS n_kept,
                round(r.rate, 6) AS rate6
         FROM r LEFT JOIN k USING (lang)
-        ORDER BY r.lang"""))
+        ORDER BY r.lang""")),
+
+    // ── overlapping context-window chunking (RAG/pretrain ingestion) ──
+    // The chunker in front of every retrieval index and many packing
+    // pipelines: windows of 32 tokens at stride 24 (8-token overlap so
+    // no boundary sentence is lost), each chunk fingerprinted with the
+    // double-prime rolling hash and joined against the GLOBAL
+    // fingerprint census — `fp_count > 1` is the chunk-level duplicate
+    // signal a RAG store dedups on before embedding (12× duplicated
+    // chunks exist at sf0.1). Plan: tokens materialized ONCE per doc
+    // (the Generate-fan-out barrier), starts from one `sequence`
+    // posexplode, slice+join+hash map-side per chunk, then ONE
+    // map-side-combined groupBy(fp) and ONE fp-equality join back —
+    // no all-pairs anything. Short tails stay honest: the last chunk
+    // is `least(32, n−start)` tokens, never padded.
+    "llm_chunk_overlap" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val t = materialized(
+            Tables.documents(s, d).select($"doc_id", tokens.as("toks")))
+          .withColumn("n", size($"toks").cast(LongType))
+          .filter($"n" > 0L)
+        val ch = t
+          .select($"doc_id", $"n", $"toks",
+            posexplode(sequence(lit(0L), $"n" - 1L, lit(24L)))
+              .as(Seq("i", "start")))
+          .withColumn("n_toks", least(lit(32L), $"n" - $"start"))
+          .withColumn("fp", graft.functions.RollingHash.rolling_hash2(
+            array_join(slice($"toks", ($"start" + 1L).cast("int"),
+              $"n_toks".cast("int")), " ")))
+          .select($"doc_id", expr("start div 24").as("chunk_no"),
+            $"start".as("tok_start"), $"n_toks", $"fp")
+          .localCheckpoint(true) // census + the join back
+        val cnt = ch.groupBy($"fp").agg(count(lit(1)).as("fp_count"))
+        ch.join(cnt, Seq("fp"))
+          .select($"doc_id", $"chunk_no", $"tok_start", $"n_toks",
+            $"fp", $"fp_count")
+          .orderBy($"doc_id", $"chunk_no")
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, $tokensSql AS toks FROM documents),
+        t AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+          FROM d WHERE len(toks) > 0),
+        st AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, n - 1, 24)) AS s
+          FROM t),
+        cs AS (
+          SELECT doc_id, s, LEAST(32, n - s) AS n_toks,
+                 array_to_string(toks[s + 1 : s + LEAST(32, n - s)], ' ')
+                   AS chunk_str
+          FROM st),
+        ch AS (
+          SELECT doc_id, s // 24 AS chunk_no, s AS tok_start, n_toks,
+                 ${graft.functions.RollingHash.fp2Sql("chunk_str")} AS fp
+          FROM cs),
+        cnt AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS fp_count
+                FROM ch GROUP BY fp)
+        SELECT ch.doc_id, ch.chunk_no, ch.tok_start,
+               CAST(ch.n_toks AS BIGINT) AS n_toks, ch.fp, cnt.fp_count
+        FROM ch JOIN cnt USING (fp)
+        ORDER BY ch.doc_id, ch.chunk_no"""))
   )
 
   /** Number of BPE merges the learn/apply pair performs. */

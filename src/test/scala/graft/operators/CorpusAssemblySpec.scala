@@ -429,4 +429,41 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     got("domain_lang")._3 shouldBe false
     (got - "domain_lang").values.foreach(_._3 shouldBe true)
   }
+
+  test("llm_chunk_overlap equals a sequential chunker recompute, chunks " +
+      "overlap by 8 tokens, and duplicate chunks exist") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+    def fp2(s0: String): Long = graft.functions.RollingHash.hash2(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+    val chunks = docs.flatMap { case (id, text) =>
+      val tk = toks(text)
+      (0 until tk.length by 24).map { start =>
+        val nt = math.min(32, tk.length - start)
+        (id, (start / 24).toLong, start.toLong, nt.toLong,
+          fp2(tk.slice(start, start + nt).mkString(" ")))
+      }
+    }
+    val census = chunks.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+    val expected = chunks.map(c =>
+      (c._1, c._2, c._3, c._4, c._5, census(c._5)))
+      .sortBy(c => (c._1, c._2)).toSeq
+    val got = graft.SparkEntry.queries("llm_chunk_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expected
+    // stride/overlap arithmetic: consecutive full chunks share 8 tokens
+    got.sliding(2).foreach {
+      case Seq(a, b) if a._1 == b._1 && a._4 == 32L =>
+        (b._3 - a._3) shouldBe 24L
+      case _ => ()
+    }
+    // the dedup census is non-vacuous: some chunk text repeats
+    got.exists(_._6 > 1L) shouldBe true
+    // tails are honest: some final chunk is shorter than 32 tokens
+    got.exists(_._4 < 32L) shouldBe true
+  }
 }
