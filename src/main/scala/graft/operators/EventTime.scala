@@ -1959,6 +1959,78 @@ object EventTime extends QueryPack {
     // is the reader's table lookup). Margins are two tiny aggregates
     // + a broadcast total — the contingency table is states × 7 rows
     // no matter the corpus size.
+    // ── additive seasonal decomposition (trend / day-of-week /
+    //    remainder), exact ──
+    // The classical decomposition behind every "is this growth or just
+    // the weekend" question: y_d = trend + seasonal(dow) + remainder,
+    // with trend the CENTERED 7-day moving average (full calendar
+    // windows only — a gap-adjacent day has no honest trend), seasonal
+    // the per-dow mean of the detrended series, remainder the rest.
+    // Everything stays an exact integer by scaling through the
+    // denominators: r7 = 7·y − Σ₇y (units of 7·cents), seasonal as the
+    // (Σ r7, count) rational per dow, remainder_num = r7·s_den − s_num
+    // (units of 7·s_den·cents) — consumers divide at the edge. The
+    // corpus-sized work is ONE groupBy(day); the ordered window then
+    // runs over the DAILY SERIES, whose length is O(days) regardless
+    // of corpus size — the one place a global window is legitimately
+    // single-task. Identity 7·y·s_den = trend·s_den + s_num + rem_num
+    // holds exactly on every row (gated in the spec).
+    "evt_seasonal_decompose" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"day").agg(sum($"y").as("y_cents"))
+          .localCheckpoint(true) // O(days) series
+        val w = Window.orderBy($"day").rowsBetween(-3, 3)
+        val t = daily
+          .withColumn("trend_num", sum($"y_cents").over(w))
+          .withColumn("wcnt", count(lit(1)).over(w))
+          .withColumn("wspan", max($"day").over(w) - min($"day").over(w))
+          .filter($"wcnt" === 7L && $"wspan" === 6L)
+          .withColumn("dow", expr("(day + 4) % 7"))
+          .withColumn("r7", $"y_cents" * 7L - $"trend_num")
+          .localCheckpoint(true) // seasonal agg + the join back
+        val seas = t.groupBy($"dow")
+          .agg(sum($"r7").as("s_num"), count(lit(1)).as("s_den"))
+        t.join(broadcast(seas), Seq("dow"))
+          .select($"day", $"dow", $"y_cents", $"trend_num", $"r7",
+            $"s_num", $"s_den",
+            ($"r7" * $"s_den" - $"s_num").as("rem_num"))
+          .orderBy($"day")
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS y_cents
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT day, y_cents,
+                 SUM(y_cents) OVER win AS trend_num,
+                 COUNT(*) OVER win AS wcnt,
+                 MAX(day) OVER win - MIN(day) OVER win AS wspan
+          FROM daily
+          WINDOW win AS (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        f AS (
+          SELECT day, (day + 4) % 7 AS dow, y_cents, trend_num,
+                 y_cents * 7 - trend_num AS r7
+          FROM t WHERE wcnt = 7 AND wspan = 6),
+        seas AS (
+          SELECT dow, CAST(SUM(r7) AS BIGINT) AS s_num,
+                 CAST(COUNT(*) AS BIGINT) AS s_den
+          FROM f GROUP BY dow)
+        SELECT f.day, f.dow, f.y_cents,
+               CAST(f.trend_num AS BIGINT) AS trend_num,
+               CAST(f.r7 AS BIGINT) AS r7,
+               seas.s_num, seas.s_den,
+               CAST(f.r7 * seas.s_den - seas.s_num AS BIGINT) AS rem_num
+        FROM f JOIN seas USING (dow)
+        ORDER BY f.day""")),
+
     // ── A/B experiment readout (Welch's unequal-variance z-test) ──
     // The decision query behind every experimentation platform: users
     // hash into two variants (user_id % 2 — a deployment assigns at

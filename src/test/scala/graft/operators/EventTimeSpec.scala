@@ -362,6 +362,46 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
       BigInt(r1.getAs[Long]("n_a")) * r1.getAs[Long]("est_a_den")) shouldBe false
   }
 
+  test("evt_seasonal_decompose equals a sequential recompute and the " +
+      "additive identity holds exactly on every row") {
+    val DayUs = 86400000000L
+    val daily = graft.Tables.events(spark, sf)
+      .selectExpr(s"(ts div 1000) div $DayUs as day",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (d, g) => (d, g.map(_._2).sum) }
+      .sortBy(_._1)
+    val full = daily.indices.flatMap { i =>
+      val win = daily.slice(math.max(0, i - 3), math.min(daily.size, i + 4))
+      if (win.size == 7 && win.last._1 - win.head._1 == 6)
+        Some((daily(i)._1, (daily(i)._1 + 4) % 7, daily(i)._2,
+          win.map(_._2).sum))
+      else None
+    }
+    val r7s = full.map { case (d, dow, y, tr) => (d, dow, y, tr, 7 * y - tr) }
+    val seas = r7s.groupBy(_._2).view.mapValues(g =>
+      (g.map(_._5).sum, g.size.toLong)).toMap
+    val expected = r7s.map { case (d, dow, y, tr, r7) =>
+      val (sn, sd) = seas(dow)
+      (d, dow, y, tr, r7, sn, sd, r7 * sd - sn)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_seasonal_decompose")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    got shouldBe expected
+    got should not be empty
+    // the additive identity 7·y·s_den = trend·s_den + s_num + rem_num
+    got.foreach { r =>
+      7L * r._3 * r._7 shouldBe r._4 * r._7 + r._6 + r._8
+    }
+    // seasonality is non-degenerate: day-of-week indices genuinely
+    // differ (as rationals — compare cross-multiplied)
+    val idx = got.map(r => (r._6, r._7)).distinct
+    idx.combinations(2).exists { case Seq((n1, d1), (n2, d2)) =>
+      n1 * d2 != n2 * d1 } shouldBe true
+  }
+
   test("evt_ab_ttest equals a direct Welch recompute on exact moments") {
     val ys = graft.Tables.events(spark, sf)
       .filter("event_type = 'purchase'")
