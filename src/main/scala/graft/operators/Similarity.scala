@@ -1275,6 +1275,128 @@ object Similarity extends QueryPack {
           ON bydot.query_id = byaug.query_id AND bydot.rnk = byaug.rnk
         ORDER BY bydot.query_id, bydot.rnk""")),
 
+    // ── MMR diversification rerank (maximal marginal relevance) ──
+    // The serving-side fix for "my top-5 are five copies of the same
+    // document" (Carbonell & Goldstein, SIGIR 1998): greedily pick 5
+    // of the cosine top-20, each round maximizing
+    // λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) with λ = 0.7 — the
+    // redundancy penalty is the max similarity to what's ALREADY
+    // picked, so near-duplicates of an earlier pick are suppressed
+    // (8-9 of the 25 fixture picks differ from the plain top-5;
+    // SimilaritySpec gates the divergence). The pool is the bounded
+    // TopKAggregator's top-20 per query; the 4 greedy rounds then run
+    // over O(queries × 20) rows — each ONE equality join against the
+    // ≤4-row picked set, a map-side-combined max, and a max-struct
+    // argmax (ties → smallest vec_id). Every similarity is rounded to
+    // 9 digits before comparison in BOTH engines, so the greedy
+    // trajectory is deterministic and the oracle (all 4 rounds
+    // unrolled) replays it exactly.
+    "sim_mmr_rerank" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val topk = udaf(new graft.functions.TopKAggregator(20))
+        val pool = e.crossJoin(broadcast(q))
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("rel", round(cosine($"qemb", $"emb"), 9))
+          .groupBy($"query_id")
+          .agg(topk($"rel", $"vec_id").as("top"))
+          .select($"query_id",
+            posexplode(arrays_zip($"top.scores", $"top.ids"))
+              .as(Seq("i", "p")))
+          .select($"query_id", $"p.ids".as("vec_id"), $"p.scores".as("rel"))
+          .join(e.select($"vec_id", $"emb"), Seq("vec_id"))
+          .select($"query_id", $"vec_id", $"rel", $"emb")
+          .localCheckpoint(true) // all 4 rounds + pick 1 read this
+        def argmax(cand: org.apache.spark.sql.DataFrame, score: String) =
+          cand.groupBy($"query_id")
+            .agg(max(struct(col(score).as("sc"), (-$"vec_id").as("nid")))
+              .as("m"))
+            .select($"query_id", (-$"m.nid").as("vec_id"))
+        val p1 = pool.join(argmax(pool, "rel"), Seq("query_id", "vec_id"))
+          .select($"query_id", $"vec_id", $"rel", $"emb",
+            lit(1L).as("pick_no"), lit(0.0d).as("maxsim"),
+            round(lit(0.7d) * $"rel", 9).as("score"))
+          .localCheckpoint(true)
+        var all = p1
+        for (r <- 2 to 5) {
+          val rem = pool.join(all.select($"query_id", $"vec_id"),
+            Seq("query_id", "vec_id"), "left_anti")
+          val sims = rem.as("c")
+            .join(all.select($"query_id".as("sq"), $"emb".as("semb")),
+              $"c.query_id" === $"sq")
+            .select($"c.query_id".as("query_id"), $"c.vec_id".as("vec_id"),
+              round(cosine($"c.emb", $"semb"), 9).as("sim"))
+            .groupBy($"query_id", $"vec_id").agg(max($"sim").as("maxsim"))
+          val scored = rem.join(sims, Seq("query_id", "vec_id"))
+            .withColumn("score",
+              round(lit(0.7d) * $"rel" - lit(0.3d) * $"maxsim", 9))
+          val pick = scored
+            .join(argmax(scored, "score"), Seq("query_id", "vec_id"))
+            .select($"query_id", $"vec_id", $"rel", $"emb",
+              lit(r.toLong).as("pick_no"), $"maxsim", $"score")
+          all = all.unionByName(pick).localCheckpoint(true)
+        }
+        all.select($"query_id", $"pick_no", $"vec_id", $"rel",
+            $"maxsim", $"score")
+          .orderBy($"query_id", $"pick_no")
+      },
+      oracle = Some {
+        def cosSql(a: String, b: String) =
+          s"""round(list_sum(list_transform(generate_series(1, len($a)),
+                i -> $a[i] * $b[i])) /
+              (sqrt(list_sum(list_transform($a, x -> x*x))) *
+               sqrt(list_sum(list_transform($b, x -> x*x)))), 9)"""
+        val rounds = (2 to 5).map { r =>
+          val p = r - 1
+          s""",
+        rem$r AS (
+          SELECT p.* FROM pool p ANTI JOIN all$p s
+            ON s.query_id = p.query_id AND s.vec_id = p.vec_id),
+        sims$r AS (
+          SELECT r.query_id, r.vec_id,
+                 MAX(${cosSql("r.emb", "s.emb")}) AS maxsim
+          FROM rem$r r JOIN all$p s ON s.query_id = r.query_id
+          GROUP BY r.query_id, r.vec_id),
+        scored$r AS (
+          SELECT rem$r.*, sims$r.maxsim,
+                 round(0.7 * rel - 0.3 * maxsim, 9) AS score
+          FROM rem$r JOIN sims$r USING (query_id, vec_id)),
+        sel$r AS (
+          SELECT query_id, vec_id, rel, emb,
+                 CAST($r AS BIGINT) AS pick_no, maxsim, score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS rr FROM scored$r)
+          WHERE rr = 1),
+        all$r AS (SELECT * FROM all$p UNION ALL SELECT * FROM sel$r)"""
+        }.mkString
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS qemb
+              FROM e WHERE vec_id < 5),
+        sc0 AS (
+          SELECT q.query_id, e.vec_id, ${cosSql("q.qemb", "e.emb")} AS rel,
+                 e.emb
+          FROM q, e WHERE e.vec_id <> q.query_id),
+        pool AS (
+          SELECT query_id, vec_id, rel, emb FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id) AS rnk FROM sc0)
+          WHERE rnk <= 20),
+        sel1 AS (
+          SELECT query_id, vec_id, rel, emb, CAST(1 AS BIGINT) AS pick_no,
+                 0.0 AS maxsim, round(0.7 * rel, 9) AS score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, vec_id) AS rr FROM pool)
+          WHERE rr = 1),
+        all1 AS (SELECT * FROM sel1)$rounds
+        SELECT query_id, pick_no, vec_id, rel, maxsim, score
+        FROM all5 ORDER BY query_id, pick_no"""
+      }),
+
     // ── random-hyperplane LSH with hamming-1 multiprobe ──
     // FULLY value-checked: the hyperplanes are pure splitmix64
     // arithmetic ([[graft.functions.VectorFunctions.planeComponent]]),

@@ -310,6 +310,59 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       be > 0.9
   }
 
+  test("sim_mmr_rerank replays a sequential greedy MMR recompute and " +
+      "genuinely diversifies away from the plain top-5") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r9(x: Double): Double = BigDecimal.decimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos9(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      r9(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    }
+    val byId = rows.toMap
+    val expected = (0L until 5L).flatMap { qid =>
+      val qe = byId(qid)
+      val pool = rows.filter(_._1 != qid)
+        .map { case (id, em) => (id, cos9(qe, em)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      var picked = Vector.empty[(Long, Long, Double, Double, Double)]
+      var rem = pool
+      (1 to 5).foreach { pn =>
+        val scored = rem.map { case (id, rel) =>
+          val maxsim = if (picked.isEmpty) 0.0
+            else picked.map(p => cos9(byId(id), byId(p._2))).max
+          val score = if (pn == 1) r9(0.7 * rel)
+            else r9(0.7 * rel - 0.3 * maxsim)
+          (id, rel, maxsim, score)
+        }
+        val best = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+        picked :+= ((pn.toLong, best._1, best._2, best._3, best._4))
+        rem = rem.filter(_._1 != best._1)
+      }
+      picked.map(p => (qid, p._1, p._2, p._3, p._4, p._5))
+    }
+    val got = graft.SparkEntry.queries("sim_mmr_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    got shouldBe expected
+    // the diversifier works: some pick is NOT in the plain top-5
+    val plain = (0L until 5L).flatMap { qid =>
+      val qe = byId(qid)
+      rows.filter(_._1 != qid).map { case (id, em) => (qid, id, cos9(qe, em)) }
+        .sortBy { case (_, id, rel) => (-rel, id) }.take(5)
+        .map(t => (t._1, t._2))
+    }.toSet
+    got.map(t => (t._1, t._3)).exists(!plain.contains(_)) shouldBe true
+    // pick 1 is always the relevance leader (maxsim 0), and the
+    // redundancy penalty genuinely engages (cosines can be negative on
+    // this corpus, so the gate is on the max penalty, not each one)
+    got.filter(_._2 == 1L).foreach(_._5 shouldBe 0.0)
+    got.filter(_._2 > 1L).map(_._5).max should be > 0.0
+  }
+
   test("sim_mips_topk equals a direct dot-product recompute, the " +
       "augmented-cosine route agrees, and MIPS order genuinely differs " +
       "from cosine order") {
