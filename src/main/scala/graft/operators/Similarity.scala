@@ -1275,6 +1275,80 @@ object Similarity extends QueryPack {
           ON bydot.query_id = byaug.query_id AND bydot.rnk = byaug.rnk
         ORDER BY bydot.query_id, bydot.rnk""")),
 
+    // ── k-center diversity sample (Gonzalez farthest-point traversal) ──
+    // The coreset/diversity sampler for embedding-space COVERAGE
+    // (Gonzalez 1985, the 2-approximation for k-center): start from
+    // vec_id 0, then repeatedly pick the point FARTHEST from everything
+    // picked so far (max over corpus of min over picks, squared L2
+    // rounded to 9 — deterministic in both engines, ties → smallest
+    // id). Six picks are emitted because pick k+1's separation IS the
+    // coverage radius of the first k — the Gonzalez invariant that
+    // separations are non-increasing is gated in SimilaritySpec. Unlike
+    // sim_mmr_rerank (query-conditioned, pool-restricted) this is the
+    // query-free GLOBAL selection a curation pipeline runs to seed
+    // balanced training mixes or pick k-means-grade centers with a
+    // guarantee. Each round is one map-side broadcast join against the
+    // ≤5-row picked set + one map-side-combined min + one max-struct
+    // argmax — O(rounds) passes over the corpus, no pairwise blowup.
+    "sim_kcenter_sample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embCheckpointed(s, d)
+        var all = e.filter($"vec_id" === 0L)
+          .select($"vec_id", $"emb", lit(1L).as("pick_no"),
+            lit(0.0d).as("sep"))
+          .localCheckpoint(true)
+        for (r <- 2 to 6) {
+          val cand = e.join(all.select($"vec_id"), Seq("vec_id"),
+            "left_anti")
+          val mind = cand.as("c")
+            .crossJoin(broadcast(all.select($"emb".as("pemb"))))
+            .select($"c.vec_id".as("vec_id"),
+              round(l2sq($"c.emb", $"pemb"), 9).as("d2"))
+            .groupBy($"vec_id").agg(min($"d2").as("mind"))
+          val pick = mind.groupBy()
+            .agg(max(struct($"mind".as("sc"), (-$"vec_id").as("nid")))
+              .as("m"))
+            .select((-$"m.nid").as("vec_id"))
+          all = all.unionByName(
+              mind.join(pick, Seq("vec_id"))
+                .join(e.select($"vec_id", $"emb"), Seq("vec_id"))
+                .select($"vec_id", $"emb", lit(r.toLong).as("pick_no"),
+                  $"mind".as("sep")))
+            .localCheckpoint(true)
+        }
+        all.select($"pick_no", $"vec_id", $"sep").orderBy($"pick_no")
+      },
+      oracle = Some {
+        def l2Sql(a: String, b: String) =
+          s"""round(list_sum(list_transform(generate_series(1, len($a)),
+                i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 9)"""
+        val rounds = (2 to 6).map { r =>
+          val p = r - 1
+          s""",
+        cand$r AS (
+          SELECT e.* FROM e ANTI JOIN all$p x ON x.vec_id = e.vec_id),
+        mind$r AS (
+          SELECT c.vec_id, MIN(${l2Sql("c.emb", "s.emb")}) AS mind
+          FROM cand$r c, all$p s
+          GROUP BY c.vec_id),
+        sel$r AS (
+          SELECT m.vec_id, e.emb, CAST($r AS BIGINT) AS pick_no,
+                 m.mind AS sep
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id)
+                  AS rr FROM mind$r) m JOIN e ON e.vec_id = m.vec_id
+          WHERE m.rr = 1),
+        all$r AS (SELECT * FROM all$p UNION ALL SELECT * FROM sel$r)"""
+        }.mkString
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        all1 AS (
+          SELECT vec_id, emb, CAST(1 AS BIGINT) AS pick_no, 0.0 AS sep
+          FROM e WHERE vec_id = 0)$rounds
+        SELECT pick_no, vec_id, sep FROM all6 ORDER BY pick_no"""
+      }),
+
     // ── MMR diversification rerank (maximal marginal relevance) ──
     // The serving-side fix for "my top-5 are five copies of the same
     // document" (Carbonell & Goldstein, SIGIR 1998): greedily pick 5

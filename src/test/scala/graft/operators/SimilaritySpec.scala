@@ -310,6 +310,40 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       be > 0.9
   }
 
+  test("sim_kcenter_sample replays a sequential farthest-point traversal " +
+      "and separations are non-increasing (the Gonzalez invariant)") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r9(x: Double): Double = BigDecimal.decimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      r9(a.indices.foldLeft(0.0)((s, i) =>
+        s + (a(i) - b(i)) * (a(i) - b(i))))
+    val byId = rows.toMap
+    var picked = Vector((1L, 0L, 0.0))
+    (2 to 6).foreach { r =>
+      val cand = rows.filterNot(c => picked.exists(_._2 == c._1))
+      val best = cand.map { case (id, em) =>
+        (id, picked.map(p => l2(em, byId(p._2))).min)
+      }.minBy { case (id, mind) => (-mind, id) }
+      picked :+= ((r.toLong, best._1, best._2))
+    }
+    val got = graft.SparkEntry.queries("sim_kcenter_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    got shouldBe picked
+    // Gonzalez invariant: each pick is no farther out than the last
+    got.drop(1).map(_._3).sliding(2).foreach {
+      case Seq(a, b) => b should be <= a
+      case _ => ()
+    }
+    // the traversal genuinely spreads: all six picks distinct, and
+    // separations are strictly positive
+    got.map(_._2).distinct.size shouldBe 6
+    got.drop(1).foreach(_._3 should be > 0.0)
+  }
+
   test("sim_mmr_rerank replays a sequential greedy MMR recompute and " +
       "genuinely diversifies away from the plain top-5") {
     val rows = graft.Tables.embeddings(spark, sf)
