@@ -339,6 +339,94 @@ object EventTime extends QueryPack {
         FROM cells
         ORDER BY prev_type, next_type""")),
 
+    // ── stationary distribution of the event-type Markov chain ──
+    // evt_transitions answers "where does a click go NEXT"; this
+    // answers where the process SETTLES — the long-run occupancy the
+    // chain converges to, the baseline behind "is purchase share
+    // drifting". Five power-iteration rounds in the TextRank integer
+    // nano-unit fixed point (1e9 ≙ 1): each round one edge join +
+    // map-side-combined sum, every per-edge contribution
+    // (π·n) div n_out floored deterministically in both engines, so
+    // the trajectory is bit-exact and the oracle unrolls all five
+    // rounds. The state space is the event-type alphabet (≤5 here) —
+    // the plan is the iterative-join shape that scales to vocab-sized
+    // chains; at 10^12 transitions you'd pre-normalize P once to nano
+    // fractions to keep the per-edge product bounded. Floor losses
+    // bound Σπ within rounds·states nano of 1e9 (spec-gated).
+    "evt_markov_stationary" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val cells = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type",
+            expr("ts div 1000").as("tus"))
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type".as("src"), $"event_type".as("dst"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // row sums + states + 5 rounds
+        val rowSums = cells.groupBy($"src").agg(sum($"n").as("n_out"))
+        val edges = cells.join(rowSums, Seq("src"))
+          .localCheckpoint(true)
+        val states = cells.select($"src".as("state"))
+          .unionByName(cells.select($"dst".as("state"))).distinct()
+          .localCheckpoint(true)
+        val k = states.count()
+        var pi = states
+          .select($"state", lit(1000000000L / k).as("pi_nano"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 5) {
+          pi = pi.join(edges, $"state" === $"src")
+            .select($"dst".as("state"),
+              expr("pi_nano * n div n_out").as("c"))
+            .groupBy($"state").agg(sum($"c").as("pi_nano"))
+            .localCheckpoint(true)
+        }
+        pi.join(rowSums.select($"src".as("state"), $"n_out"),
+            Seq("state"), "left")
+          .select($"state", $"pi_nano",
+            coalesce($"n_out", lit(0L)).as("n_out"))
+          .orderBy($"state")
+      },
+      oracle = Some {
+        val rounds = (1 to 5).map { r =>
+          val p = r - 1
+          s""",
+        pi$r AS (
+          SELECT e.dst AS state,
+                 CAST(SUM(pi$p.pi_nano * e.n // e.n_out) AS BIGINT)
+                   AS pi_nano
+          FROM pi$p JOIN e ON e.src = pi$p.state
+          GROUP BY e.dst)"""
+        }.mkString
+        s"""
+        WITH t AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id)
+                   AS prev_type
+          FROM events),
+        cells AS (
+          SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+          FROM t WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2),
+        rs AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out
+               FROM cells GROUP BY src),
+        e AS (SELECT cells.src, cells.dst, cells.n, rs.n_out
+              FROM cells JOIN rs USING (src)),
+        states AS (
+          SELECT src AS state FROM cells
+          UNION SELECT dst FROM cells),
+        cnt AS (SELECT COUNT(*) AS k FROM states),
+        pi0 AS (
+          SELECT state, CAST(1000000000 // k AS BIGINT) AS pi_nano
+          FROM states, cnt)$rounds
+        SELECT pi5.state, pi5.pi_nano,
+               COALESCE(rs.n_out, 0) AS n_out
+        FROM pi5 LEFT JOIN rs ON rs.src = pi5.state
+        ORDER BY pi5.state"""
+      }),
+
     // ── z-score outlier counts in EXACT integer arithmetic ──
     // Per event_type, count events more than 3 standard deviations from
     // the type mean. The float formulation ((x-μ)/σ) can flip a

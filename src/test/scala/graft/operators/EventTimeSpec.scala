@@ -362,6 +362,46 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
       BigInt(r1.getAs[Long]("n_a")) * r1.getAs[Long]("est_a_den")) shouldBe false
   }
 
+  test("evt_markov_stationary equals a sequential power-iteration " +
+      "recompute and mass stays within the floor-loss bound") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as tus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val cells = ev.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(e => (e._4, e._2)).map(_._3)
+      seq.zip(seq.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nOut = cells.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val states = (cells.keys.map(_._1) ++ cells.keys.map(_._2)).toSeq
+      .distinct.sorted
+    var pi: Map[String, Long] =
+      states.map(_ -> 1000000000L / states.size).toMap
+    for (_ <- 1 to 5) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      pi.foreach { case (src, mass) =>
+        cells.foreach { case ((s0, d0), n) =>
+          if (s0 == src) next(d0) += mass * n / nOut(s0)
+        }
+      }
+      pi = next.toMap
+    }
+    val expected = pi.toSeq.sortBy(_._1)
+      .map { case (st, p) => (st, p, nOut.getOrElse(st, 0L)) }
+    val got = graft.SparkEntry.queries("evt_markov_stationary")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    got shouldBe expected
+    // mass conservation up to floor losses: within rounds·states·edges
+    // nano of 1e9, and the distribution is genuinely non-uniform
+    val total = got.map(_._2).sum
+    total should be <= 1000000000L
+    total should be >= 1000000000L - 5L * states.size * states.size * 5L
+    got.map(_._2).distinct.size should be > 1
+  }
+
   test("evt_seasonal_decompose equals a sequential recompute and the " +
       "additive identity holds exactly on every row") {
     val DayUs = 86400000000L
