@@ -100,9 +100,35 @@ object Bench {
         name -> elapsed
       }.toMap
     }
+    // Spread-triggered extra passes: interleaving defends against a
+    // single contaminated pass, but an ambient-load window spanning TWO
+    // of three passes still captures the median (r08: q1_pricing_summary
+    // 10.02/1.06/5.36 -> median 5.36 vs settled 0.88). When a query's
+    // cross-pass spread (max/min) exceeds 3x, something other than the
+    // plan drove at least one rep; re-run that query alone up to 2 more
+    // times — later in wall-clock, so decorrelated from the load window —
+    // and take the median of ALL its samples. Cost is bounded: only
+    // high-spread queries pay, at most 2 extra reps each.
+    val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD", "3.0").toDouble
+    val extraReps = math.max(0, sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt)
     val results = names.map { name =>
-      val times = passTimes.map(_(name))
-      name -> (if (times.exists(_ < 0)) (-1.0, times) else (median(times), times))
+      val base = passTimes.map(_(name))
+      if (base.exists(_ < 0)) name -> (-1.0, base)
+      else {
+        val spread = base.max / math.max(base.min, 1e-9)
+        val times =
+          if (reps < 2 || spread <= spreadLimit) base
+          else base ++ (1 to extraReps).map { _ =>
+            val t0 = System.nanoTime()
+            val t =
+              try { materialize(SparkEntry.queries(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name extra-rep FAILED: ${e.getMessage}"); -1.0 }
+            releaseStorage(spark)
+            t
+          }.filter(_ >= 0)
+        name -> (median(times), times)
+      }
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
