@@ -657,6 +657,107 @@ object Dedup extends QueryPack {
         Seq("doc_id"), "left_anti")
   }
 
+  /** Prefix postings under the FIXED canonical token order (ascending
+    * fingerprint) — the streaming-safe variant of the batch query's
+    * rarest-first order: an incremental AllPairs join must rank every
+    * document's tokens by the SAME total order in every batch, and
+    * document frequencies drift as the corpus accumulates, so the
+    * stream pins the order to the fp value itself. The documented
+    * tradeoff: prefix-filter (and positional-filter) LOSSLESSNESS only
+    * needs a consistent total order — rarest-first is the batch side's
+    * performance heuristic, unavailable without frequency drift.
+    * Emits (doc_id, n, r, fp): r the 1-based rank, kept while
+    * r ≤ n − ⌈n/2⌉ + 1 (τ = 1/2, integer-exact). */
+  private[graft] def fixedOrderPrefix(incFps: DataFrame): DataFrame = {
+    val s = incFps.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"fp")
+    incFps
+      .filter(size($"fps") > 0)
+      .withColumn("n", size($"fps").cast(LongType))
+      .select($"doc_id", $"n", explode($"fps").as("fp"))
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .filter($"r" <= expr("n - (n + 1) div 2 + 1"))
+      .select($"doc_id", $"n", $"r", $"fp")
+  }
+
+  /** Incremental AllPairs/PPJoin against PERSISTED posting state — the
+    * [[incrementalAgainstState]] asymmetry applied to the EXACT
+    * τ = 1/2 set-similarity JOIN (the continuous form of
+    * `dedup_prefix_filter_join`): the accumulated corpus lives in two
+    * bucketed tables and NEVER shuffles —
+    *
+    *  - `prefixTable` (doc_id, n, r, fp) bucketed by fp: the batch's
+    *    prefix postings equality-join it for cross-batch candidates
+    *    under the length AND positional filters, batch side aligning
+    *    with the bucketing;
+    *  - `fpsTable` (doc_id, fps) bucketed by doc_id: candidate pairs
+    *    fetch state fingerprint sets for the exact-Jaccard verify,
+    *    co-located on the state side.
+    *
+    * In-batch pairs come from the batch prefix frame's own self-join
+    * under the SAME fixed order and filters, so a pair is found
+    * whether its members arrive together or batches apart. Emits every
+    * verified pair as (doc_a, doc_b, jaccard), doc_a < doc_b — a JOIN,
+    * not a dedup: nothing is suppressed, the caller folds the whole
+    * batch into state. `incPrefix` lets the caller run the prefix job
+    * once and share it with its own state fold. */
+  private[graft] def prefixIncrementalAgainstState(
+      s: SparkSession,
+      incFps: DataFrame,
+      prefixTable: String,
+      fpsTable: String,
+      incPrefix: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val inc = incFps.filter(size($"fps") > 0)
+    val pref = incPrefix.getOrElse(fixedOrderPrefix(inc))
+    // the PPJoin bounds, shared by both candidate branches: length
+    // filter τ·max ≤ min and positional remaining-overlap bound
+    // (see prefixFilterCandidates for the losslessness argument —
+    // it only requires the shared total order, which fp-order is)
+    def lenOk(an: Column, bn: Column): Column =
+      an <= bn * 2 && bn <= an * 2
+    def posOk(an: Column, ar: Column, bn: Column, br: Column): Column =
+      (least(an - ar, bn - br) + 1) * 3 >= an + bn
+    def verify(cand: DataFrame, left: DataFrame, right: DataFrame): DataFrame =
+      cand
+        .join(left, Seq("id1"))
+        .join(right, Seq("id2"))
+        .withColumn("inter",
+          size(array_intersect($"f1", $"f2")).cast(LongType))
+        .filter($"inter" * 3 >=
+          (size($"f1") + size($"f2")).cast(LongType)) // J ≥ 1/2, exact
+        .select(least($"id1", $"id2").as("doc_a"),
+          greatest($"id1", $"id2").as("doc_b"),
+          ($"inter".cast(DoubleType) /
+            ((size($"f1") + size($"f2")).cast(LongType) - $"inter")
+              .cast(DoubleType)).as("jaccard"))
+    // cross-batch: batch prefixes meet the fp-bucketed state ON its
+    // bucketing — zero exchange on the state scan (BucketingSpec gate)
+    val candState = pref.as("i")
+      .join(s.table(prefixTable).as("st"), $"i.fp" === $"st.fp" &&
+        lenOk($"i.n", $"st.n") &&
+        posOk($"i.n", $"i.r", $"st.n", $"st.r"))
+      .select($"i.doc_id".as("id1"), $"st.doc_id".as("id2"))
+      .distinct()
+    val verifiedState = verify(candState,
+      inc.select($"doc_id".as("id1"), $"fps".as("f1")),
+      s.table(fpsTable).select($"doc_id".as("id2"), $"fps".as("f2")))
+    // in-batch: the batch prefix frame against itself
+    val candBatch = pref.as("a")
+      .join(pref.as("b"), $"a.fp" === $"b.fp" &&
+        $"a.doc_id" < $"b.doc_id" &&
+        lenOk($"a.n", $"b.n") &&
+        posOk($"a.n", $"a.r", $"b.n", $"b.r"))
+      .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+      .distinct()
+    val verifiedBatch = verify(candBatch,
+      inc.select($"doc_id".as("id1"), $"fps".as("f1")),
+      inc.select($"doc_id".as("id2"), $"fps".as("f2")))
+    verifiedState.unionByName(verifiedBatch)
+  }
+
   override val queries: Map[String, QueryDef] = Map(
 
     // ── exact dedup: group identical bodies by sha-256 ──
@@ -1693,8 +1794,11 @@ object Dedup extends QueryPack {
     // canonical sort is a window bounded by document length; the
     // candidate join's fan-out is Σ over prefix tokens of
     // posting-len², minimized by rarest-first ordering — the measured
-    // reason AllPairs beats banding on high-τ workloads. Verify ships
-    // fps arrays for candidate pairs only.
+    // reason AllPairs beats banding on high-τ workloads — and further
+    // cut by the PPJoin POSITIONAL filter (each occurrence's
+    // remaining-overlap upper bound, pruned before the verify at zero
+    // recall cost; see prefixFilterCandidates). Verify ships fps
+    // arrays for candidate pairs only.
     "dedup_prefix_filter_join" -> QueryDef(
       fn = (s, d) => prefixFilterJoin(s, d),
       oracle = Some(prefixFilterSql),
@@ -1755,14 +1859,20 @@ object Dedup extends QueryPack {
           .agg(count(lit(1)).as("c"))
           .agg(sum($"c" * ($"c" - 1L)).as(name))
         // m and 1−m are BOTH explicit literals (1.0 − 0.95 in Scala is
-        // 0.05000000000000004 — one ulp off DuckDB's parsed 0.05)
+        // 0.05000000000000004 — one ulp off DuckDB's parsed 0.05).
+        // Both u-counts are clamped to ≥1 pair (the standard FS
+        // smoothing floor u ≥ 1/u_den): a fully-DISTINCT field would
+        // give uNum = 0 → ln(∞) → null after the Decimal cast (silently
+        // dropping every pair in Spark, an error in DuckDB), and a
+        // fully-CONSTANT field the mirror u_den − uNum = 0. The oracle
+        // applies the identical greatest(…, 1).
         def wPair(uNumCol: Column, uDen: Column, m: Double, m1: Double,
             aName: String, dName: String) = Seq(
           (round(log(lit(m) * uDen.cast(DoubleType) /
-              uNumCol.cast(DoubleType)), 6)
+              greatest(uNumCol, lit(1L)).cast(DoubleType)), 6)
             .cast(DecimalType(20, 6)) * 1000000).cast(LongType).as(aName),
           (round(log(lit(m1) * uDen.cast(DoubleType) /
-              (uDen - uNumCol).cast(DoubleType)), 6)
+              greatest(uDen - uNumCol, lit(1L)).cast(DoubleType)), 6)
             .cast(DecimalType(20, 6)) * 1000000).cast(LongType).as(dName))
         val w = n.crossJoin(uNum($"lang", "ul"))
           .crossJoin(uNum($"ft", "uf"))
@@ -1811,28 +1921,28 @@ object Dedup extends QueryPack {
         w AS (
           SELECT
             CAST(CAST(round(ln(0.95 * CAST(u_den AS DOUBLE)
-              / CAST(ul.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              / CAST(greatest(ul.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
               AS BIGINT) AS wl_a,
             CAST(CAST(round(ln(0.05 * CAST(u_den AS DOUBLE)
-              / CAST(u_den - ul.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              / CAST(greatest(u_den - ul.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6))
               * 1000000 AS BIGINT) AS wl_d,
             CAST(CAST(round(ln(0.9 * CAST(u_den AS DOUBLE)
-              / CAST(uf.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              / CAST(greatest(uf.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
               AS BIGINT) AS wf_a,
             CAST(CAST(round(ln(0.1 * CAST(u_den AS DOUBLE)
-              / CAST(u_den - uf.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              / CAST(greatest(u_den - uf.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6))
               * 1000000 AS BIGINT) AS wf_d,
             CAST(CAST(round(ln(0.9 * CAST(u_den AS DOUBLE)
-              / CAST(ut.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              / CAST(greatest(ut.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
               AS BIGINT) AS wt_a,
             CAST(CAST(round(ln(0.1 * CAST(u_den AS DOUBLE)
-              / CAST(u_den - ut.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              / CAST(greatest(u_den - ut.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6))
               * 1000000 AS BIGINT) AS wt_d,
             CAST(CAST(round(ln(0.85 * CAST(u_den AS DOUBLE)
-              / CAST(un.u AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
+              / CAST(greatest(un.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6)) * 1000000
               AS BIGINT) AS wn_a,
             CAST(CAST(round(ln(0.15 * CAST(u_den AS DOUBLE)
-              / CAST(u_den - un.u AS DOUBLE)), 6) AS DECIMAL(20,6))
+              / CAST(greatest(u_den - un.u, 1) AS DOUBLE)), 6) AS DECIMAL(20,6))
               * 1000000 AS BIGINT) AS wn_d
           FROM nn, ul, uf, ut, un),
         pairs AS (
@@ -1928,6 +2038,48 @@ object Dedup extends QueryPack {
         FROM v WHERE jaccard >= 0.05
         ORDER BY doc_a, doc_b"""
 
+  /** Candidate generation for [[prefixFilterJoin]]: rarest-first
+    * prefixes, fp-equality self-join under the length filter, and —
+    * when `positional` — the PPJoin positional filter (Xiao et al.,
+    * WWW 2008). Each candidate OCCURRENCE carries the matching prefix
+    * token's rarest-first rank r on both sides; the remaining-overlap
+    * upper bound for that occurrence is min(n_a − r_a, n_b − r_b) + 1
+    * (both docs are sorted in the SAME canonical order, so common
+    * tokens after the match are bounded by the shorter remaining
+    * suffix). Pruning occurrences with 3·ubound < n_a + n_b (⟺
+    * ubound < ⌈τ/(1+τ)·(n_a+n_b)⌉ at τ = 1/2, integer-exact) is
+    * LOSSLESS: for a true pair, its FIRST common token t₁ has zero
+    * common tokens before it, so overlap ≤ 1 + min(n_a−r_a, n_b−r_b)
+    * at t₁ — that occurrence always survives, and `distinct` keeps the
+    * pair. Exposed (with `positional = false`) for DedupSpec's
+    * candidate-reduction gate. */
+  private[operators] def prefixFilterCandidates(
+      s: SparkSession, docs: DataFrame, positional: Boolean): DataFrame = {
+    import s.implicits._
+    val posts = docs.select($"doc_id", $"n", explode($"fps").as("fp"))
+    // document frequency — the canonical-order key (vocabulary-sized)
+    val dfs = posts.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"fp")
+    // rarest-first rank within each doc; prefix keeps the first
+    // n − ⌈n/2⌉ + 1 tokens (integer-exact at τ = 1/2)
+    val prefix = posts.join(dfs, Seq("fp"))
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .filter($"r" <= expr("n - (n + 1) div 2 + 1"))
+      .select($"doc_id", $"n", $"r", $"fp")
+    val positionalOk =
+      if (!positional) lit(true)
+      else (least($"a.n" - $"a.r", $"b.n" - $"b.r") + 1) * 3 >=
+        $"a.n" + $"b.n"
+    prefix.as("a").join(prefix.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id" &&
+          // length filter: τ·max ≤ min ⟺ n_a ≤ 2·n_b ∧ n_b ≤ 2·n_a
+          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
+          positionalOk)
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .distinct()
+  }
+
   /** The AllPairs/PPJoin pipeline behind `dedup_prefix_filter_join` at
     * τ = 1/2 (near-duplicate grade). Exposed for DedupSpec's
     * lossless-vs-quadratic and planted-pair gates. */
@@ -1941,24 +2093,7 @@ object Dedup extends QueryPack {
       .filter(size($"fps") > 0)
       .withColumn("n", size($"fps").cast(LongType))
       .localCheckpoint(true)
-    val posts = docs.select($"doc_id", $"n", explode($"fps").as("fp"))
-    // document frequency — the canonical-order key (vocabulary-sized)
-    val dfs = posts.groupBy($"fp").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"fp")
-    // rarest-first rank within each doc; prefix keeps the first
-    // n − ⌈n/2⌉ + 1 tokens (integer-exact at τ = 1/2)
-    val prefix = posts.join(dfs, Seq("fp"))
-      .withColumn("r", row_number().over(w))
-      .filter($"r" <= expr("n - (n + 1) div 2 + 1"))
-      .select($"doc_id", $"n", $"fp")
-    val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id" &&
-          // length filter: τ·max ≤ min ⟺ n_a ≤ 2·n_b ∧ n_b ≤ 2·n_a
-          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
-      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-      .distinct()
-    cand
+    prefixFilterCandidates(s, docs, positional = true)
       .join(docs.select($"doc_id".as("doc1"), $"fps".as("fps1"),
         $"n".as("n1")), Seq("doc1"))
       .join(docs.select($"doc_id".as("doc2"), $"fps".as("fps2"),

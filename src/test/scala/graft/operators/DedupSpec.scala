@@ -345,6 +345,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
     expected should not be empty
   }
 
+  test("PPJoin positional filter strictly prunes candidates at zero recall cost") {
+    val docs = Dedup.fpsOf(graft.Tables.documents(spark, sf))
+      .filter(expr("size(fps) > 0"))
+      .withColumn("n", expr("cast(size(fps) as long)"))
+      .localCheckpoint(true)
+    def cands(positional: Boolean): Set[(Long, Long)] =
+      Dedup.prefixFilterCandidates(spark, docs, positional)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = cands(positional = false)
+    val pruned = cands(positional = true)
+    // the positional bound must actually fire on this corpus…
+    pruned.size should be < base.size
+    pruned.subsetOf(base) shouldBe true
+    // …and remain LOSSLESS: every true pair survives the pruning
+    val fps = fpSets(sf)
+    val ids = fps.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      inter = (fps(i) & fps(j)).size
+      if 3L * inter >= fps(i).size + fps(j).size
+    } yield (i, j)).toSet
+    truth should not be empty
+    truth.subsetOf(pruned) shouldBe true
+  }
+
   test("sorted-neighborhood pairs equal the rank-window candidate set verified at 0.05") {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "lang", "n_chars").collect()
