@@ -177,6 +177,77 @@ object TextAnalysis extends QueryPack {
       .orderBy($"doc_id", $"start")
   }
 
+  /** Applies the duplicated-span REMOVAL (the output Lee et al. 2022's
+    * pipeline actually consumes): cut every maximal duplicated span ≥
+    * `minLen` tokens from each NON-canonical document — the canonical
+    * copy (the MIN doc_id among the documents sharing each duplicated
+    * window) keeps its text — and re-derive token counts. Emits
+    * (doc_id, n_tokens, n_tokens_clean, clean_text) for the WHOLE
+    * corpus; untouched documents pass through byte-exact.
+    *
+    * Plan shape: same wfp scan + fp-keyed aggregate as [[dupSpans]]
+    * (min(doc_id) rides the existing groupBy for free), islands are a
+    * per-doc window over duplicated positions only, and the apply is
+    * ONE equality join of the corpus against the doc-keyed span lists
+    * (tiny relative to the corpus) followed by a codegen'd
+    * higher-order-function projection — map-only, no per-token
+    * explode on the Spark side. Islands are disjoint by construction,
+    * so each token index is covered by at most one span. Exposed for
+    * TextAnalysisSpec's planted-duplicate gates. */
+  private[operators] def dupSpansApply(docs: DataFrame, minLen: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .withColumn("tokens", tokens)
+      .select($"doc_id", $"tokens")
+      .localCheckpoint(true) // the wfp scan + the apply join both read it
+    val wfp = toks
+      .filter(size($"tokens") >= 8)
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(tokens) - 7), i ->
+             concat_ws(' ', slice(tokens, i, 8)))""").as("grams"))
+      .transform(graft.functions.TextTokens.materialized)
+      .select($"doc_id", posexplode($"grams").as(Seq("j", "gram")))
+      .withColumn("fp", graft.functions.RollingHash.rolling_hash2($"gram"))
+      .select($"doc_id", $"j", $"fp")
+      .localCheckpoint(true)
+    // duplicated fps with their canonical owner: min doc_id keeps
+    val dupFps = wfp.select($"doc_id", $"fp").distinct()
+      .groupBy($"fp").agg(countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("min_doc"))
+      .filter($"n_docs" >= 2)
+      .select($"fp", $"min_doc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"j")
+    val spans = wfp.join(dupFps, Seq("fp"))
+      .filter($"doc_id" > $"min_doc") // non-canonical occurrences only
+      .select($"doc_id", $"j")
+      .withColumn("grp", $"j" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"j").as("jmin"), max($"j").as("jmax"))
+      .filter($"jmax" - $"jmin" + 8 >= minLen)
+      .select($"doc_id", $"jmin".cast(LongType).as("s_lo"),
+        ($"jmax" + 8).cast(LongType).as("s_hi")) // token idx [s_lo, s_hi)
+    val spanArr = spans.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s_lo", $"s_hi"))).as("spans"))
+    toks.join(spanArr, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"tokens").cast(LongType).as("n_tokens"),
+        // spans IS NULL guards the untouched majority: `not exists`
+        // over a null array is null, which `filter` would read as
+        // drop-everything
+        expr("""transform(
+                  filter(transform(tokens, (t, i) -> struct(t as t, i as i)),
+                         x -> spans is null or
+                              not exists(spans, sp -> x.i >= sp.s_lo
+                                                  and x.i <  sp.s_hi)),
+                  x -> x.t)""").as("kept"))
+      .select($"doc_id", $"n_tokens",
+        size($"kept").cast(LongType).as("n_tokens_clean"),
+        concat_ws(" ", $"kept").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
     s"(length(text) - length(replace(text, ' $kw '))) div ${kw.length + 2}"
@@ -355,11 +426,10 @@ object TextAnalysis extends QueryPack {
         GROUP BY term
         ORDER BY n DESC, term
         LIMIT 50"""),
-      // DEMOTES next round (its tf groupBy + bounded global top-k
-      // shape is priced by both llm_tfidf_top_terms and llm_bm25_topk)
-      // but stays headlined THIS round: it carries a round-7 `weak`
-      // mark that only a driver-visible clean record can clear
-      headline = true),
+      // DEMOTED round 9 as scheduled: its round-7 `weak` mark cleared
+      // in the BENCH_r08 driver record (0.22 s), and its tf groupBy +
+      // bounded global top-k shape is priced by llm_bm25_topk
+      headline = false),
 
     // ── document fingerprint via the native RollingHash expression ──
     "llm_fingerprint" -> QueryDef(
@@ -581,6 +651,70 @@ object TextAnalysis extends QueryPack {
         HAVING MAX(j) - MIN(j) + 8 >= $DupSpanMinLen
         ORDER BY doc_id, start"""),
       headline = true),
+
+    // ── duplicated-span removal APPLIED: the cleaned corpus ──
+    // llm_dup_spans emits the (start, len) spans; this query CONSUMES
+    // them — the actual Lee et al. 2022 output a training pipeline
+    // reads: every maximal duplicated span is cut from each
+    // non-canonical document (the min-doc_id copy survives), token
+    // counts re-derived, untouched documents byte-exact. The oracle
+    // re-derives islands, the canonical-owner rule, and splices the
+    // kept tokens per document via an index explode + NOT EXISTS — a
+    // per-token restatement the Spark side replaces with one doc-keyed
+    // span join + a codegen'd higher-order filter (no per-token
+    // explode at scale). See [[dupSpansApply]] for the plan shape.
+    "llm_dup_spans_apply" -> QueryDef(
+      fn = (s, d) => dupSpansApply(
+        Tables.documents(s, d), DupSpanMinLen),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(8, len(tokens)),
+                   i -> array_to_string(tokens[i-7:i], ' '))) AS gram,
+                 unnest(generate_series(0, len(tokens) - 8)) AS j
+          FROM toks WHERE len(tokens) >= 8),
+        wfp AS (
+          SELECT doc_id, j, ${fp2Sql("gram")} AS fp
+          FROM grams),
+        fd AS (
+          SELECT fp, MIN(doc_id) AS min_doc
+          FROM wfp GROUP BY fp
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        dup AS (
+          SELECT w.doc_id, w.j
+          FROM wfp w JOIN fd USING (fp)
+          WHERE w.doc_id > fd.min_doc),
+        isl AS (
+          SELECT doc_id, j,
+                 j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+                   AS grp
+          FROM dup),
+        spans AS (
+          SELECT doc_id, MIN(j) AS s_lo, MAX(j) + 8 AS s_hi
+          FROM isl
+          GROUP BY doc_id, grp
+          HAVING MAX(j) - MIN(j) + 8 >= $DupSpanMinLen),
+        idx AS (
+          SELECT doc_id, unnest(generate_series(0, len(tokens) - 1)) AS i
+          FROM toks WHERE len(tokens) >= 1),
+        kept AS (
+          SELECT x.doc_id, x.i
+          FROM idx x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = x.doc_id
+              AND x.i >= s.s_lo AND x.i < s.s_hi))
+        SELECT t.doc_id,
+               CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(k.i) AS BIGINT) AS n_tokens_clean,
+               coalesce(string_agg(t.tokens[k.i + 1], ' ' ORDER BY k.i), '')
+                 AS clean_text
+        FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        GROUP BY t.doc_id, t.tokens
+        ORDER BY t.doc_id""")),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a
@@ -1268,7 +1402,10 @@ object TextAnalysis extends QueryPack {
           FROM scored)
         WHERE rk <= 3
         ORDER BY doc_id, rk"""),
-      headline = true),
+      // DEMOTED round 9 (headline-cap conformance): term scoring +
+      // per-doc windowed top-k is priced by llm_bm25_topk (integer
+      // BM25 over the same tf/df aggregates); stays oracle-checked
+      headline = false),
 
     // ── vocabulary coverage: corpus-built top-K vocab + per-doc OOV ──
     // The tokenizer-design loop's first question: how much of each

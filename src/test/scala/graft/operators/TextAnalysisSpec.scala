@@ -97,6 +97,33 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     got shouldBe Seq((1L, 20L, 30L), (2L, 5L, 30L))
   }
 
+  test("dup-span removal cuts the planted duplicate from the non-canonical " +
+      "doc only; unique content and the canonical copy survive byte-exact") {
+    import spark.implicits._
+    val shared = (0 until 30).map(i => s"s$i").mkString(" ")
+    val d1 = ((0 until 20).map(i => s"a$i") :+ shared) ++
+      (0 until 10).map(i => s"z$i")
+    val d2 = ((0 until 5).map(i => s"b$i") :+ shared) ++
+      (0 until 15).map(i => s"y$i")
+    val d3 = (0 until 60).map(i => s"c$i")
+    val docs = Seq(
+      (1L, d1.mkString(" ")), (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpansApply(docs, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // doc 1 is the canonical (min doc_id) owner: untouched
+    got(0) shouldBe (1L, 60L, 60L, d1.mkString(" "))
+    // doc 2 loses EXACTLY the 30-token run; its unique prefix/suffix
+    // splice back together byte-exact
+    val d2clean = ((0 until 5).map(i => s"b$i") ++
+      (0 until 15).map(i => s"y$i")).mkString(" ")
+    got(1) shouldBe (2L, 50L, 20L, d2clean)
+    got(1)._4 should not include "s0"
+    // doc 3 shares nothing: untouched
+    got(2) shouldBe (3L, 60L, 60L, d3.mkString(" "))
+  }
+
   test("BM25 top-k matches an independent integer-arithmetic recompute") {
     // reimplements the llm_bm25_topk score chain with BigInt/BigDecimal
     // (no Spark expressions), so a broken floor/div/quantization in the
