@@ -912,6 +912,100 @@ object Similarity extends QueryPack {
   private[operators] def ivfModelFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfModel(s, embCheckpointed(s, d))
 
+  /** The deterministic arriving batch both index-maintenance queries
+    * use (`sim_ivfpq_append`, `sim_ivfpq_retrain_signal`): midpoints of
+    * consecutive base vectors, ids offset by 1e6. Floor-based fixed
+    * point, not round(double, 6): Spark rounds the shortest-decimal
+    * string HALF_UP while DuckDB rounds the binary double, and a
+    * midpoint landing on a decimal half boundary would split the
+    * engines; floor(x*1e6)/1e6 is the same IEEE arithmetic in both. */
+  private[operators] def midpointBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embCheckpointed(s, d)
+    val base = e.filter($"vec_id" < 10).select($"vec_id", $"emb")
+    val nxt = e.filter($"vec_id" >= 1 && $"vec_id" <= 10)
+      .select(($"vec_id" - 1).as("vec_id"), $"emb".as("emb2"))
+    base.join(nxt, Seq("vec_id"))
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        zip_with($"emb", $"emb2",
+          (a, b) => floor((a + b) / 2 * lit(1e6)) / lit(1e6)).as("emb"))
+      .localCheckpoint() // ≥2 consumers in every caller
+  }
+
+  /** The retrain-decision monitor between "frozen-index append"
+    * (`sim_ivfpq_append`) and "scheduled rebuild": assign an arriving
+    * `batch` against the FROZEN persisted centroids and compare, per
+    * cell, the batch's population share and residual energy against
+    * the base index. Emits one row per cell — (n_base, n_new, exact
+    * micro-unit residual-energy sums, the population-drift numerator
+    * |n_new·N₀ − n_base·N₁| over the implicit denominator N₀·N₁) —
+    * plus two calibrated flags and the global `rebuild_now` boolean:
+    *   energy_flag: batch mean residual > 2× base mean residual
+    *     (cross-multiplied exact: new_d2u·n_base > 2·base_d2u·n_new),
+    *     i.e. arriving vectors land FAR from every centroid — the
+    *     cells no longer describe the distribution;
+    *   pop_flag: share drift > 1/2 (|·|·2 > N₀·N₁) — mass is
+    *     collapsing into cells the index balanced differently.
+    * All comparisons are integer cross-multiplications on floor-to-
+    * micro residuals (the shared IEEE l2sq fold), so both engines
+    * reach identical verdicts. Plan shape: base energy reads the
+    * artifact's OWN assignments (vec_id join + 8-row broadcast cents —
+    * no argmin over the corpus), the batch argmin is O(batch × cells)
+    * map work, and everything after the two groupBys is 8-row
+    * arithmetic. Exposed for SimilaritySpec's planted-shift gate. */
+  private[operators] def retrainSignal(
+      s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val (cells, cents) = ivfpqPersistedModel(s, d)
+    val e = embCheckpointed(s, d)
+    val base = cells.select($"vec_id", $"centroid_id")
+      .join(e.select($"vec_id", $"emb"), Seq("vec_id"))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("dist", l2sq($"emb", $"cemb"))
+      .withColumn("d2u", expr("cast(floor(dist * 1000000) as bigint)"))
+      .groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_base"), sum($"d2u").as("base_d2u"))
+    val wCell = Window.partitionBy($"vec_id")
+      .orderBy($"dist".asc, $"centroid_id")
+    val nw = batch.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq($"emb", $"cemb"))
+      .withColumn("r", row_number().over(wCell)).filter($"r" === 1)
+      .withColumn("d2u", expr("cast(floor(dist * 1000000) as bigint)"))
+      .groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_new"), sum($"d2u").as("new_d2u"))
+    val joined = base.join(nw, Seq("centroid_id"), "left")
+      .select($"centroid_id", $"n_base",
+        coalesce($"n_new", lit(0L)).as("n_new"), $"base_d2u",
+        coalesce($"new_d2u", lit(0L)).as("new_d2u"))
+      .localCheckpoint(true) // totals + per-cell flags
+    val tot = joined.agg(sum($"n_base").as("n0"), sum($"n_new").as("n1"))
+    val flags = joined.crossJoin(broadcast(tot))
+      .select($"centroid_id", $"n_base", $"n_new", $"base_d2u", $"new_d2u",
+        abs($"n_new" * $"n0" - $"n_base" * $"n1").as("pop_drift_num"),
+        ($"n_new" > 0 &&
+          $"new_d2u" * $"n_base" > $"base_d2u" * $"n_new" * 2)
+          .as("energy_flag"),
+        (abs($"n_new" * $"n0" - $"n_base" * $"n1") * 2 > $"n0" * $"n1")
+          .as("pop_flag"))
+      .localCheckpoint(true) // rows + the bool_or fold
+    flags.crossJoin(broadcast(
+        flags.agg(expr("bool_or(energy_flag or pop_flag)")
+          .as("rebuild_now"))))
+      .orderBy($"centroid_id")
+  }
+
+  /** DuckDB twin of [[midpointBatch]] — the `nv` CTE both maintenance
+    * oracles compose after `e` (single-sourced so the batch definition
+    * cannot diverge between them). */
+  private lazy val nvBatchCte: String = s"""
+        nv AS (
+          SELECT b.vec_id + 1000000 AS vec_id,
+                 list_transform(generate_series(1, $Dim),
+                   i -> floor((b.emb[i] + n.emb2[i]) / 2 * 1e6) / 1e6) AS emb
+          FROM (SELECT vec_id, emb FROM e WHERE vec_id < 10) b
+          JOIN (SELECT vec_id - 1 AS vec_id, emb AS emb2 FROM e
+                WHERE vec_id BETWEEN 1 AND 10) n USING (vec_id))"""
+
   /** The one CTE both index builds hang off: the embedding table as
     * DOUBLE[] arrays. Factored out so [[ivfBuildCtes]] and
     * [[pqBuildCtes]] compose into a single statement for the IVF+PQ
@@ -1760,22 +1854,11 @@ object Similarity extends QueryPack {
     "sim_ivfpq_append" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val e = embCheckpointed(s, d)
         val (_, cents) = ivfpqPersistedModel(s, d)
         val (_, books) = pqPersistedModel(s, d)
-        val base = e.filter($"vec_id" < 10).select($"vec_id", $"emb")
-        val nxt = e.filter($"vec_id" >= 1 && $"vec_id" <= 10)
-          .select(($"vec_id" - 1).as("vec_id"), $"emb".as("emb2"))
-        // floor-based fixed point, not round(double, 6): Spark rounds the
-        // shortest-decimal string HALF_UP while DuckDB rounds the binary
-        // double, and a midpoint landing on a decimal half boundary would
-        // split the engines. floor(x*1e6)/1e6 is the same IEEE arithmetic
-        // in both.
-        val newVecs = base.join(nxt, Seq("vec_id"))
-          .select(($"vec_id" + 1000000L).as("vec_id"),
-            zip_with($"emb", $"emb2",
-              (a, b) => floor((a + b) / 2 * lit(1e6)) / lit(1e6)).as("emb"))
-          .localCheckpoint() // 2 consumers: cell assign + subvector encode
+        // the deterministic arriving batch (see [[midpointBatch]]) —
+        // checkpointed there; 2 consumers: cell assign + subvector encode
+        val newVecs = midpointBatch(s, d)
         val wCell = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
         val assigned = newVecs.crossJoin(broadcast(cents))
           .withColumn("dist", l2sq($"emb", $"cemb"))
@@ -1795,13 +1878,7 @@ object Similarity extends QueryPack {
         $embCteSql,
         $ivfBuildChain,
         $pqBuildChain,
-        nv AS (
-          SELECT b.vec_id + 1000000 AS vec_id,
-                 list_transform(generate_series(1, $Dim),
-                   i -> floor((b.emb[i] + n.emb2[i]) / 2 * 1e6) / 1e6) AS emb
-          FROM (SELECT vec_id, emb FROM e WHERE vec_id < 10) b
-          JOIN (SELECT vec_id - 1 AS vec_id, emb AS emb2 FROM e
-                WHERE vec_id BETWEEN 1 AND 10) n USING (vec_id)),
+        $nvBatchCte,
         cellq AS (
           SELECT vec_id, centroid_id FROM (
             SELECT nv.vec_id, c.centroid_id,
@@ -1828,6 +1905,76 @@ object Similarity extends QueryPack {
         SELECT a.vec_id, a.centroid_id, e2.sub, e2.code
         FROM cellq a JOIN enc e2 USING (vec_id)
         ORDER BY vec_id, sub""")),
+
+    // ── retrain signal: when does the frozen index need a rebuild? ──
+    // `sim_ivfpq_append` folds arriving batches into the frozen index;
+    // `sim_centroid_drift` watches the raw embedding population. This
+    // is the missing decision between them: per frozen CELL, does the
+    // arriving batch still look like the index — population share and
+    // residual energy — and if not, flip `rebuild_now`. Thresholds are
+    // exact integer cross-multiplications (batch mean residual > 2×
+    // base mean; share drift > 1/2), so the verdict is deterministic
+    // in both engines; see [[retrainSignal]] for the full contract and
+    // the 100 TB plan shape (artifact-assignments join + 8-row
+    // broadcast arithmetic — no corpus argmin). SimilaritySpec plants
+    // a distribution shift that must trip the signal and verifies the
+    // unshifted midpoint batch does not.
+    "sim_ivfpq_retrain_signal" -> QueryDef(
+      fn = (s, d) => retrainSignal(s, d, midpointBatch(s, d)),
+      oracle = Some(s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $nvBatchCte,
+        basea AS (
+          SELECT f.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_base,
+                 CAST(SUM(CAST(floor(list_sum(list_transform(
+                     generate_series(1, $Dim),
+                     i -> (f.emb[i] - c.cemb[i]) * (f.emb[i] - c.cemb[i])))
+                   * 1000000) AS BIGINT)) AS BIGINT) AS base_d2u
+          FROM fin f JOIN c3 c USING (centroid_id)
+          GROUP BY f.centroid_id),
+        newd AS (
+          SELECT vec_id, centroid_id, d2u FROM (
+            SELECT nv.vec_id, c.centroid_id,
+              CAST(floor(list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (nv.emb[i] - c.cemb[i]) * (nv.emb[i] - c.cemb[i])))
+                * 1000000) AS BIGINT) AS d2u,
+              ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (nv.emb[i] - c.cemb[i]) * (nv.emb[i] - c.cemb[i])))
+                ASC, c.centroid_id) AS rn
+            FROM nv, c3 c) x
+          WHERE rn = 1),
+        newa AS (
+          SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_new,
+                 CAST(SUM(d2u) AS BIGINT) AS new_d2u
+          FROM newd GROUP BY centroid_id),
+        cellsj AS (
+          SELECT b.centroid_id, b.n_base,
+                 CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+                 b.base_d2u,
+                 CAST(COALESCE(n.new_d2u, 0) AS BIGINT) AS new_d2u
+          FROM basea b LEFT JOIN newa n USING (centroid_id)),
+        tot AS (
+          SELECT CAST(SUM(n_base) AS BIGINT) AS n0,
+                 CAST(SUM(n_new) AS BIGINT) AS n1
+          FROM cellsj),
+        flags AS (
+          SELECT c.centroid_id, c.n_base, c.n_new, c.base_d2u, c.new_d2u,
+                 CAST(abs(c.n_new * t.n0 - c.n_base * t.n1) AS BIGINT)
+                   AS pop_drift_num,
+                 (c.n_new > 0 AND
+                  c.new_d2u * c.n_base > 2 * c.base_d2u * c.n_new)
+                   AS energy_flag,
+                 (abs(c.n_new * t.n0 - c.n_base * t.n1) * 2 > t.n0 * t.n1)
+                   AS pop_flag
+          FROM cellsj c, tot t)
+        SELECT f.centroid_id, f.n_base, f.n_new, f.base_d2u, f.new_d2u,
+               f.pop_drift_num, f.energy_flag, f.pop_flag, r.rebuild_now
+        FROM flags f,
+             (SELECT bool_or(energy_flag OR pop_flag) AS rebuild_now
+              FROM flags) r
+        ORDER BY f.centroid_id""")),
 
     // ── IVFADC: residual-encoded IVF+PQ (Jégou et al. 2011) ──
     // The fidelity upgrade over `sim_ann_ivfpq`'s raw-vector codes: PQ

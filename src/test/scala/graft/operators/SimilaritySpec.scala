@@ -178,6 +178,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("retrain signal: a planted distribution shift trips rebuild_now; " +
+      "the unshifted midpoint append does not") {
+    import org.apache.spark.sql.functions._
+    def signalOf(batch: org.apache.spark.sql.DataFrame) =
+      Similarity.retrainSignal(spark, sf, batch).collect()
+    val unshifted = signalOf(Similarity.midpointBatch(spark, sf))
+    unshifted.length shouldBe 8
+    // the calm case: same distribution, no flag of either kind
+    all(unshifted.map(_.getAs[Boolean]("rebuild_now"))) shouldBe false
+    all(unshifted.map(_.getAs[Boolean]("energy_flag"))) shouldBe false
+    // the batch really was assigned (the signal is not vacuous)
+    unshifted.map(_.getAs[Long]("n_new")).sum shouldBe 10L
+    // planted shift: +1.0 on every component pushes each arriving
+    // vector ~Dim further from every frozen centroid — the energy
+    // flag must fire somewhere and flip the global verdict
+    val shifted = signalOf(Similarity.midpointBatch(spark, sf)
+      .select(col("vec_id"),
+        transform(col("emb"), v => v + lit(1.0)).as("emb")))
+    all(shifted.map(_.getAs[Boolean]("rebuild_now"))) shouldBe true
+    shifted.map(_.getAs[Boolean]("energy_flag")).count(identity) should be >= 1
+    // base-side columns are batch-invariant
+    shifted.map(r => (r.getAs[Int]("centroid_id"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("base_d2u"))).toSeq shouldBe
+      unshifted.map(r => (r.getAs[Int]("centroid_id"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("base_d2u"))).toSeq
+  }
+
   test("sim_kmeanspar_init equals a sequential recompute of the " +
       "derandomized Bahmani rounds; the oversampling really fires") {
     val embs = graft.Tables.embeddings(spark, sf)
