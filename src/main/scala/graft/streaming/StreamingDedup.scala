@@ -186,6 +186,65 @@ object StreamingDedup {
       }
       .start()
 
+  /** Continuous EXACT set-similarity JOIN — the streaming face of
+    * `dedup_prefix_filter_join` (incremental AllPairs/PPJoin at
+    * τ = 1/2): per micro-batch, the batch's prefix postings under the
+    * FIXED canonical order ([[graft.operators.Dedup.fixedOrderPrefix]])
+    * probe the fp-bucketed state posting table for cross-batch
+    * candidates under the length + positional filters (ZERO exchange
+    * on the state scan), in-batch candidates come from the batch's
+    * own prefix self-join, both verify by exact fingerprint Jaccard
+    * (state fps from the doc_id-bucketed fps table), and `sink`
+    * receives every verified pair (doc_a, doc_b, jaccard). This is a
+    * JOIN, not a dedup — nothing is suppressed: the WHOLE batch then
+    * folds into both state tables bucket-aligned, and every
+    * `compactEvery` batches both compact back to one file per bucket.
+    * Replay safety: a re-run batch re-emits its pairs (at-least-once,
+    * the ingest delivery contract) and double-appends state rows,
+    * which only produce duplicate CANDIDATES that the distinct +
+    * verify collapse — no later batch's pair set changes. At 100 TB
+    * of accumulated postings the per-batch cost is proportional to
+    * the BATCH's prefix fan-out, never the state. */
+  def prefixJoinStream(
+      records: DataFrame,
+      prefixTable: String,
+      fpsTable: String,
+      buckets: Int,
+      checkpointDir: String,
+      sink: DataFrame => Unit,
+      compactEvery: Long = 0L): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.functions.expr
+        val inc = Dedup.fpsOf(batch.select(col("doc_id"), col("text")))
+          .filter(expr("size(fps) > 0"))
+          .localCheckpoint(true) // feeds prefix job, verify, and the fold
+        Bucketing.recoverCompaction(s, prefixTable)
+        Bucketing.recoverCompaction(s, fpsTable)
+        // the prefix job runs ONCE per batch; the state probe, the
+        // in-batch pair plan, and the fold all share this frame
+        val pref = Dedup.fixedOrderPrefix(inc).localCheckpoint(true)
+        if (!s.catalog.tableExists(prefixTable))
+          Bucketing.writeBucketed(pref.limit(0), prefixTable, "fp", buckets)
+        if (!s.catalog.tableExists(fpsTable))
+          Bucketing.writeBucketed(inc.limit(0), fpsTable, "doc_id", buckets)
+        // materialize BEFORE the folds: the pair plan reads the very
+        // tables the folds append to
+        val pairs = Dedup.prefixIncrementalAgainstState(
+          s, inc, prefixTable, fpsTable, incPrefix = Some(pref))
+          .localCheckpoint(true)
+        sink(pairs)
+        Bucketing.appendBucketAligned(pref, prefixTable)
+        Bucketing.appendBucketAligned(inc, fpsTable)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Bucketing.compact(s, prefixTable)
+          Bucketing.compact(s, fpsTable)
+        }
+      }
+      .start()
+
   private val BandingProp = "graft.near.banding"
 
   /** Pin (or validate) the banding configuration on the bands state

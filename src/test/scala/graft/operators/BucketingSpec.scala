@@ -233,6 +233,57 @@ class BucketingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("prefix-join posting state co-locates: batch-side exchange on the " +
+      "probe only, zero on the state scans, pairs equal brute force") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, expr}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val all = Dedup.fpsOf(Tables.documents(spark, sf))
+        .filter(expr("size(fps) > 0")).localCheckpoint(true)
+      val stateFps = all.filter(col("doc_id") % 4 < 3).localCheckpoint(true)
+      Bucketing.writeBucketed(Dedup.fixedOrderPrefix(stateFps),
+        "b_pfx_posts", "fp", 4)
+      Bucketing.writeBucketed(stateFps, "b_pfx_fps", "doc_id", 4)
+      val inc = all.filter(col("doc_id") % 4 >= 3).localCheckpoint(true)
+      val pref = Dedup.fixedOrderPrefix(inc).localCheckpoint(true)
+
+      // the candidate probe: batch prefixes meet the fp-bucketed state
+      // ON its bucketing — the only hash exchange is the batch side
+      val cand = pref.as("i")
+        .join(spark.table("b_pfx_posts").as("st"), col("i.fp") === col("st.fp"))
+      val cp = cand.queryExecution.executedPlan.toString
+      cp should include("SortMergeJoin")
+      "Exchange hashpartitioning".r.findAllIn(cp).size shouldBe 1
+
+      // the full operator: both state tables scan exactly once; the
+      // state sides are proven exchange-free by the probe gate above
+      val op = Dedup.prefixIncrementalAgainstState(
+        spark, inc, "b_pfx_posts", "b_pfx_fps", incPrefix = Some(pref))
+      val opPlan = op.queryExecution.executedPlan.toString
+      "Scan parquet".r.findAllIn(opPlan).size shouldBe 2
+
+      // and the pair set equals the brute-force quadratic over every
+      // pair touching the increment (cross-batch ∪ in-batch)
+      val fpsMap = all.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val ids = fpsMap.keys.toSeq.sorted
+      val isInc = (id: Long) => id % 4 >= 3
+      val expected = (for {
+        i <- ids; j <- ids if i < j && (isInc(i) || isInc(j))
+        inter = (fpsMap(i) & fpsMap(j)).size
+        if 3L * inter >= fpsMap(i).size + fpsMap(j).size
+      } yield (i, j)).toSet
+      expected should not be empty
+      op.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_pfx_posts")
+      spark.sql("DROP TABLE IF EXISTS b_pfx_fps")
+    }
+  }
+
   test("recoverCompaction finishes an interrupted drop-then-rename swap") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.{col, sha2}

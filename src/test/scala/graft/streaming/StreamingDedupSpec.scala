@@ -191,6 +191,59 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming prefix join: in-batch and cross-batch pairs emit with exact " +
+      "jaccard, the whole corpus folds into state, compaction keeps it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val posts = "spj_posts"; val fps = "spj_fps"
+    val ckpt = Files.createTempDirectory("graft-spjoin-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $posts")
+    spark.sql(s"DROP TABLE IF EXISTS $fps")
+    // 30-token docs with doc-distinct vocab: 28 distinct 3-shingles;
+    // appending one token adds 1 shingle and keeps all 28 → jaccard
+    // 28/29, comfortably over τ = 1/2; unrelated docs sit at 0
+    def doc(prefix: String) = (0 until 30).map(i => s"$prefix$i").mkString(" ")
+    val (a, b, c) = (doc("alpha"), doc("beta"), doc("gamma"))
+    val input = MemoryStream[(Long, String)]
+    @volatile var out = Vector.empty[(Long, Long, Double)]
+    val q = StreamingDedup.prefixJoinStream(
+      input.toDF().toDF("doc_id", "text"), posts, fps, buckets = 4,
+      ckpt.toString,
+      sink = ds => out ++= ds.collect().toVector
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)),
+      compactEvery = 2L)
+    try {
+      // batch 0: 3 is a τ-pair of 1 IN-BATCH; 2 is unrelated
+      input.addData((1L, a), (2L, b), (3L, a + " alphaX"))
+      q.processAllAvailable()
+      out.map(t => (t._1, t._2)) shouldBe Vector((1L, 3L))
+      out.head._3 shouldBe 28.0 / 29.0 // |∩|=28, |∪|=29 — exact
+      // batch 1: 5 pairs CROSS-BATCH with both 1 and 3; 4 is
+      // unrelated. Compaction of both tables runs after this batch.
+      input.addData((4L, c), (5L, a + " alphaY"))
+      q.processAllAvailable()
+      out.map(t => (t._1, t._2)) shouldBe
+        Vector((1L, 3L), (1L, 5L), (3L, 5L))
+      out(2)._3 shouldBe 28.0 / 30.0 // two 29-sets sharing 28
+      // batch 2: a cross-batch match found AFTER the compaction
+      input.addData((6L, b + " betaX"))
+      q.processAllAvailable()
+      out.map(t => (t._1, t._2)) shouldBe
+        Vector((1L, 3L), (1L, 5L), (3L, 5L), (2L, 6L))
+      // a JOIN, not a dedup: the WHOLE corpus folded into both tables
+      spark.table(fps).select("doc_id").collect()
+        .map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+      spark.table(posts).select("doc_id").distinct().collect()
+        .map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $posts")
+      spark.sql(s"DROP TABLE IF EXISTS $fps")
+    }
+  }
+
   test("streaming NEAR-dup: banded state blocks tau-matches across batches, " +
       "folds and compaction keep both state tables") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
