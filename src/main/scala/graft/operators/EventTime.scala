@@ -299,7 +299,10 @@ object EventTime extends QueryPack {
         WHERE ev.day >= c.cohort_day
         GROUP BY 1, 2
         ORDER BY cohort_day, day_offset"""),
-      headline = true),
+      // DEMOTED round 9 (headline-cap conformance): its cohort-join +
+      // two-key groupBy shape is priced by evt_windowed_agg and the
+      // sessionize family; 0.41 s steady since r07, stays oracle-checked
+      headline = false),
 
     // ── event-type transition matrix (first-order Markov counts) ──
     // Per-user ordered LAG pairs (one shuffle on user_id), then a count
@@ -351,8 +354,14 @@ object EventTime extends QueryPack {
     // rounds. The state space is the event-type alphabet (≤5 here) —
     // the plan is the iterative-join shape that scales to vocab-sized
     // chains; at 10^12 transitions you'd pre-normalize P once to nano
-    // fractions to keep the per-edge product bounded. Floor losses
-    // bound Σπ within rounds·states nano of 1e9 (spec-gated).
+    // fractions to keep the per-edge product bounded. Convention for
+    // DANGLING states (appearing only as dst, no outgoing edges): the
+    // inner join drops their mass each round — the absorbing-discard
+    // reading; a PageRank-style deployment would instead redistribute
+    // it uniformly (one extra broadcast scalar per round). No state is
+    // dangling in the fixture, so both conventions coincide here.
+    // Floor losses bound Σπ within rounds·edges nano of 1e9 (each
+    // round loses < 1 nano per edge; spec-gated at that bound).
     "evt_markov_stationary" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -2036,17 +2045,6 @@ object EventTime extends QueryPack {
         FROM m
         ORDER BY user_id, event_id""")),
 
-    // ── chi-square independence test (type × day-of-week) ──
-    // The statistical gate behind "does behavior depend on weekday":
-    // the contingency table of (event_type, dow) with each cell's χ²
-    // contribution (o·N − r·c)² / (N·r·c) — numerator exact in
-    // HUGEINT/DECIMAL, ONE double division per cell quantized to 6
-    // digits before the decimal sum (the surprisal discipline), so
-    // the statistic is bit-identical across engines. Output: the
-    // per-type χ² rollup with its cell count (dof = (types−1)(dows−1)
-    // is the reader's table lookup). Margins are two tiny aggregates
-    // + a broadcast total — the contingency table is states × 7 rows
-    // no matter the corpus size.
     // ── additive seasonal decomposition (trend / day-of-week /
     //    remainder), exact ──
     // The classical decomposition behind every "is this growth or just
@@ -2210,6 +2208,13 @@ object EventTime extends QueryPack {
     // by squaring: reject ⇔ 10⁸·d_num² > 1.3581²·10⁸·(n_A+n_B)·d_den
     // — one exact DECIMAL(38) comparison both engines evaluate
     // identically. Argmax tie → smallest value (max-struct idiom).
+    // Width bound: d_num can reach n_A·n_B, so the squared left side
+    // needs ~8 + 2·log₁₀(n_A·n_B) digits — exact in DECIMAL(38) /
+    // HUGEINT up to n_A·n_B ≈ 10¹⁵ (~3·10⁷ rows PER SIDE, far above
+    // any per-day value census this query feeds on). Past that, reduce
+    // d_num/d_den by their gcd before squaring (the verdict is scale-
+    // invariant in the rational) — a two-literal change, left out here
+    // to keep the hot path one comparison.
     "evt_ks_drift" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -2280,6 +2285,17 @@ object EventTime extends QueryPack {
                    * (nn.n_a * nn.n_b) AS reject_at_05
         FROM nn, mx""")),
 
+    // ── chi-square independence test (type × day-of-week) ──
+    // The statistical gate behind "does behavior depend on weekday":
+    // the contingency table of (event_type, dow) with each cell's χ²
+    // contribution (o·N − r·c)² / (N·r·c) — numerator exact in
+    // HUGEINT/DECIMAL, ONE double division per cell quantized to 6
+    // digits before the decimal sum (the surprisal discipline), so
+    // the statistic is bit-identical across engines. Output: the
+    // per-type χ² rollup with its cell count (dof = (types−1)(dows−1)
+    // is the reader's table lookup). Margins are two tiny aggregates
+    // + a broadcast total — the contingency table is states × 7 rows
+    // no matter the corpus size.
     "evt_chi_square" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._

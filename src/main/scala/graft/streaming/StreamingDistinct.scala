@@ -11,8 +11,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * fully described by the DISJOINT RUNS of window ids their activity
   * covers (activity day d covers window ids [d−6, d], the batch
   * query's convention), so per-user state is the merged run list —
-  * runs coalesce as activity accumulates, and a watermark would age
-  * out runs entirely below it. Each event emits at most 7 (user, win)
+  * runs coalesce as activity accumulates. Each event emits at most 7 (user, win)
   * DELTAS — the window ids newly covered — and every (user, win) pair
   * is emitted EXACTLY ONCE over the stream's lifetime, so the running
   * per-window distinct count is a plain additive fold of the deltas:
@@ -20,8 +19,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never needs a distinct.
   *
   * 100 TB shape: the only shuffle is the groupByKey on user_id; state
-  * is O(runs per user) (coalescing, watermark-prunable); emission is
-  * ≤7 rows per event with no growth over time. StreamingDistinctSpec
+  * is O(runs per user) and runs coalesce, but it is watermark-prunable
+  * only IN PRINCIPLE — this implementation runs NoTimeout with no
+  * watermark, so per-user run state is never aged out (a run with
+  * end < watermarkDay − 6 could be dropped safely: no future event can
+  * cover a window that old — wiring that needs an event-time column +
+  * EventTimeTimeout, a contract change left to a deployment); emission
+  * is ≤7 rows per event with no growth over time. StreamingDistinctSpec
   * proves: per-pair exactly-once, per-boundary equality with the
   * brute-force windowed COUNT(DISTINCT) of the prefix, and final
   * equality with the batch `evt_sliding_distinct` output itself.
