@@ -103,6 +103,87 @@ object Relational extends QueryPack {
       .drop("__gr_pid", "__gr_ridx", "__gr_off")
   }
 
+  /** Exact k-th order statistics over a single `cents` LongType column
+    * — the `q_select_kth` machinery with the driver collect bounded by
+    * a CONSTANT across value domains. Each round histograms the
+    * current [lo, hi] range into ≤ `B` equal-width coarse buckets
+    * (one map-side-combined aggregate, ≤ B rows to the driver) and
+    * narrows to the bucket holding rank k; when the range fits B
+    * W-wide buckets, the final W-ALIGNED histogram (cents div W — the
+    * output contract, not the narrowed offsets) locates the k-th
+    * row's bucket, the full-bucket count is reconstructed (plus one
+    * 1-row count when the narrowed range cuts into the bucket's head),
+    * and [[globalRank]] ranks ONLY that bucket to project the value.
+    * Rounds share histograms across the requested percentiles via
+    * memoization — at most O(log_B(domain/W)) aggregate passes total.
+    * `probe` observes every driver collect's row count (the spec gate
+    * pins max ≤ B + 1 on a 10^12-wide domain). */
+  private[operators] def selectKthCents(
+      v: DataFrame, ps: Seq[Long], W: Long, B: Long = 128L,
+      probe: Int => Unit = _ => ()): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    def collected(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+      val r = df.collect(); probe(r.length); r
+    }
+    val rng = collected(v.agg(min($"cents").as("lo"), max($"cents").as("hi"),
+      count(lit(1)).as("n")))(0)
+    val (gLo, gHi, n) = (rng.getLong(0), rng.getLong(1), rng.getLong(2))
+    val memo = scala.collection.mutable.Map
+      .empty[(Long, Long, Long), Seq[(Long, Long)]]
+    // coarse: bucket index relative to lo at width `width`
+    def histCoarse(lo: Long, hi: Long, width: Long): Seq[(Long, Long)] =
+      memo.getOrElseUpdate((lo, hi, width), collected(
+        v.filter($"cents" >= lo && $"cents" <= hi)
+          .groupBy(expr(s"(cents - $lo) div $width").as("b"))
+          .agg(count(lit(1)).as("c")).orderBy($"b"))
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // final: GLOBALLY aligned W-buckets (the output contract)
+    def histAligned(lo: Long, hi: Long): Seq[(Long, Long)] =
+      memo.getOrElseUpdate((lo, hi, -W), collected(
+        v.filter($"cents" >= lo && $"cents" <= hi)
+          .groupBy(expr(s"cents div $W").as("b"))
+          .agg(count(lit(1)).as("c")).orderBy($"b"))
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val slices = ps.map { p =>
+      val k = (p * n + 99L) / 100L
+      var lo = gLo; var hi = gHi
+      var below = 0L // rows with cents < lo
+      while (hi - lo + 1 > B * W) {
+        val cw = (hi - lo + 1 + B - 1) / B
+        val h = histCoarse(lo, hi, cw)
+        var cum = below; var i = 0
+        while (cum + h(i)._2 < k) { cum += h(i)._2; i += 1 }
+        below = cum
+        val newLo = lo + h(i)._1 * cw
+        hi = math.min(hi, newLo + cw - 1)
+        lo = math.max(lo, newLo)
+      }
+      val hf = histAligned(lo, hi)
+      var cum = below; var i = 0
+      while (cum + hf(i)._2 < k) { cum += hf(i)._2; i += 1 }
+      val bucket = hf(i)._1
+      // rows of this W-bucket BELOW the narrowed range (the range cut
+      // into the bucket's head) — one 1-row count, only when needed
+      val headCnt =
+        if (bucket == lo / W && lo % W != 0L)
+          collected(v.filter($"cents" >= bucket * W && $"cents" < lo)
+            .agg(count(lit(1)).as("c")))(0).getLong(0)
+        else 0L
+      val bucketCount = hf(i)._2 + headCnt
+      val offset = k - (cum - headCnt)
+      globalRank(s,
+          v.filter(expr(s"cents div $W") === lit(bucket)), Seq($"cents"))
+        .filter($"rk" === offset - 1L)
+        .select(lit(p).as("p"), lit(n).as("n"), lit(k).as("k"),
+          lit(bucket).as("bucket"),
+          lit(bucketCount).as("bucket_count"),
+          lit(offset).as("offset_in_bucket"),
+          $"cents".as("value_cents"))
+    }
+    slices.reduce(_ unionByName _).orderBy($"p")
+  }
+
   private[operators] def globalNtile(
       s: SparkSession, df: DataFrame, k: Long, sortCols: Seq[Column]): DataFrame = {
     import s.implicits._
@@ -766,51 +847,38 @@ object Relational extends QueryPack {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
-    // ── exact k-th order statistic by two-pass bucket selection ──
+    // ── exact k-th order statistic by multi-round bucket selection ──
     // Exact global quantiles WITHOUT a global sort — the classic
-    // distributed SELECTION algorithm: pass 1 histograms the value
-    // domain into fixed-width buckets (map-side-combined, driver gets
-    // O(domain/width) counts — price-domain-bounded, NOT data-bounded),
-    // the driver walks the cumulative counts to locate each rank's
-    // bucket and in-bucket offset, and pass 2 ranks ONLY that bucket
-    // (globalRank — range partition, zero post-sort shuffles) and
-    // projects the row at the offset. Four ranks (p25/p50/p75/p90)
-    // share the single histogram; each adds one pushed-down
-    // bucket-filter scan. Contrast q_percentiles (per-GROUP exact
-    // percentile aggregate) and q_ntile_global (every row labeled):
-    // this answers "the exact global p99" on 10^12 rows while sorting
-    // only ~1/1000th of them. k = ceil(p·n/100); ties in `cents` make
-    // any in-bucket tie order yield the same VALUE, so the selection
-    // is deterministic end to end. The oracle re-derives buckets,
-    // offsets, and the selected values by definition (global window
-    // rank — fine single-node, the exact thing this plan avoids).
+    // distributed SELECTION algorithm, with the driver collect bounded
+    // by a CONSTANT regardless of the value domain (the round-8 scheme
+    // collected one fixed-width histogram, O(domain/W) rows — bounded
+    // at the cents domain, driver-risky at an unbounded one): each
+    // round histograms the CURRENT range into ≤128 equal-width coarse
+    // buckets and recurses into the one holding rank k, until the
+    // range fits 128 of the final W-wide buckets; the last round
+    // locates the k-th row's W-bucket and pass 2 ranks ONLY that
+    // bucket (globalRank — range partition, zero post-sort shuffles)
+    // and projects the row at the offset. The narrowing is invisible
+    // in the output — bucket/bucket_count/offset keep the fixed
+    // cents-div-W contract, so the definitional oracle is unchanged.
+    // Four ranks (p25/p50/p75/p90) share each round's histogram via
+    // memoization; every driver collect is ≤ 129 rows (spec-gated
+    // across a 10^12-wide synthetic domain). Contrast q_percentiles
+    // (per-GROUP exact percentile aggregate) and q_ntile_global (every
+    // row labeled): this answers "the exact global p99" on 10^12 rows
+    // while sorting only the target bucket. k = ceil(p·n/100); ties in
+    // `cents` make any in-bucket tie order yield the same VALUE, so
+    // the selection is deterministic end to end. The oracle re-derives
+    // buckets, offsets, and the selected values by definition (global
+    // window rank — fine single-node, the exact thing this plan
+    // avoids).
     "q_select_kth" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val W = 10000L // $100 buckets over the cents domain
         val v = Tables.lineitem(s, d)
           .select((dec($"l_extendedprice") * 100).cast(LongType).as("cents"))
-          .localCheckpoint(true) // histogram + the per-rank bucket scans
-        val hist = v.groupBy(expr(s"cents div $W").as("b"))
-          .agg(count(lit(1)).as("c")).orderBy($"b").collect()
-        val n = hist.map(_.getLong(1)).sum
-        val cumThrough = hist.map(_.getLong(1)).scanLeft(0L)(_ + _)
-        val slices = Seq(25L, 50L, 75L, 90L).map { p =>
-          val k = (p * n + 99L) / 100L
-          val idx = cumThrough.indexWhere(_ >= k) - 1
-          val bucket = hist(idx).getLong(0)
-          val bucketCount = hist(idx).getLong(1)
-          val offset = k - cumThrough(idx)
-          globalRank(s,
-              v.filter(expr(s"cents div $W") === lit(bucket)), Seq($"cents"))
-            .filter($"rk" === offset - 1L)
-            .select(lit(p).as("p"), lit(n).as("n"), lit(k).as("k"),
-              lit(bucket).as("bucket"),
-              lit(bucketCount).as("bucket_count"),
-              lit(offset).as("offset_in_bucket"),
-              $"cents".as("value_cents"))
-        }
-        slices.reduce(_ unionByName _).orderBy($"p")
+          .localCheckpoint(true) // histograms + the per-rank bucket scans
+        selectKthCents(v, Seq(25L, 50L, 75L, 90L), W = 10000L)
       },
       oracle = Some("""
         WITH v AS (

@@ -731,4 +731,39 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
     expected should not be empty
   }
+
+  test("selectKthCents: driver collects stay <= B+1 rows on a 1e12-wide " +
+      "domain and results equal a local selection on every domain") {
+    import spark.implicits._
+    val W = 10000L
+    def check(values: Seq[Long]): Int = {
+      val v = values.toDF("cents").localCheckpoint(true)
+      var maxCollect = 0
+      val got = Relational.selectKthCents(v, Seq(25L, 50L, 75L, 90L), W,
+          probe = sz => maxCollect = math.max(maxCollect, sz))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      val sorted = values.sorted
+      val n = sorted.length.toLong
+      val expected = Seq(25L, 50L, 75L, 90L).map { p =>
+        val k = (p * n + 99L) / 100L
+        val value = sorted((k - 1).toInt)
+        val bucket = value / W
+        val bucketCount = sorted.count(_ / W == bucket).toLong
+        val offset = k - sorted.count(_ / W < bucket).toLong
+        (p, n, k, bucket, bucketCount, offset, value)
+      }
+      got.toSeq shouldBe expected
+      maxCollect
+    }
+    // narrow domain (one coarse round is skipped entirely)
+    val narrow = (0 until 1000).map(i => (i * 7919L) % 40000L)
+    check(narrow) should be <= 129
+    // 1e12-wide sparse domain: the round-8 fixed-width histogram would
+    // have collected ~1e8 rows here; the multi-round narrowing must
+    // keep EVERY collect <= B+1 = 129 rows
+    val wide = (0 until 1000).map(i => (i * 999999999989L) % 1000000000000L)
+    check(wide) should be <= 129
+  }
 }
