@@ -1111,6 +1111,99 @@ object CorpusAssembly extends QueryPack {
         FROM r LEFT JOIN k USING (lang)
         ORDER BY r.lang""")),
 
+    // ── DoReMi-style domain reweighting (one exponentiated-gradient
+    //    round; Xie et al. 2023) ──
+    // The principled sibling of llm_domain_mix's fixed targets and
+    // llm_temperature_mix's count heuristic: re-weight domains by
+    // EXCESS LOSS — domains a reference model finds harder than
+    // average get up-weighted, α'_d ∝ α_d·exp(η·excess_d) (α₀ uniform
+    // here, so it cancels into w_d/Σw). The per-domain loss proxy is
+    // the corpus-unigram surprisal the CCNet-style scorers already
+    // price (a deployment swaps in proxy-model losses — one column):
+    // per-token mean surprisal as an EXACT integer micro rational
+    // (decimal sum of 6-digit ln terms → su_units div n_tokens, both
+    // engines flooring identically), excess as an exact integer
+    // difference against the corpus-wide mean, and only then ONE
+    // exp + one normalizing division in quantized double (the
+    // ln/sqrt ulp discipline). Scale shape: the corpus-sized work is
+    // the same two aggregates + broadcast-vocab join every surprisal
+    // query runs; everything after the per-domain groupBy is
+    // |domains|-row arithmetic.
+    "llm_doremi_reweight" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).withColumn("tokens", tokens)
+          .select($"doc_id", $"source", explode($"tokens").as("term"))
+          .localCheckpoint() // vocab counts + the scored join
+        val counts = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum($"c").as("n_total"))
+        val dom = toks.join(counts, Seq("term"))
+          .crossJoin(broadcast(total))
+          .withColumn("surprisal",
+            round(log($"n_total".cast(DoubleType) / $"c"), 6)
+              .cast(DecimalType(20, 6)))
+          .groupBy($"source")
+          .agg(countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_tokens"),
+            (sum($"surprisal") * 1000000).cast(LongType).as("su_units"))
+          .withColumn("loss_micro", expr("su_units div n_tokens"))
+          .localCheckpoint(true) // ref mean + the weight rows
+        val ref = dom.agg(expr("sum(su_units) div sum(n_tokens)")
+          .as("ref_micro"))
+        val wts = dom.crossJoin(broadcast(ref))
+          .withColumn("excess_micro",
+            greatest(lit(0L), $"loss_micro" - $"ref_micro"))
+          .withColumn("w",
+            round(exp($"excess_micro".cast(DoubleType) / 1000000.0 * 0.1), 6)
+              .cast(DecimalType(20, 6)))
+          .localCheckpoint(true) // weight sum + the output rows
+        val sw = wts.agg(sum($"w").cast(DoubleType).as("sum_w"))
+        wts.crossJoin(broadcast(sw))
+          .select($"source", $"n_docs", $"n_tokens", $"loss_micro",
+            $"excess_micro",
+            round($"w".cast(DoubleType) / $"sum_w", 9).as("weight"))
+          .orderBy($"source")
+      },
+      oracle = Some(s"""
+        WITH toksrc AS (
+          SELECT doc_id, source, $tokensSql AS tokens FROM documents),
+        t AS (SELECT doc_id, source, unnest(tokens) AS term FROM toksrc),
+        c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_total FROM t),
+        sc AS (
+          SELECT t.doc_id, t.source,
+            CAST(round(ln(CAST(n.n_total AS DOUBLE) / c.c), 6)
+              AS DECIMAL(20,6)) AS surprisal
+          FROM t JOIN c USING (term) CROSS JOIN n),
+        dom AS (
+          SELECT source,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(surprisal) * 1000000 AS BIGINT) AS su_units
+          FROM sc GROUP BY source),
+        dom2 AS (
+          SELECT source, n_docs, n_tokens, su_units,
+                 CAST(su_units // n_tokens AS BIGINT) AS loss_micro
+          FROM dom),
+        ref AS (
+          SELECT CAST(SUM(su_units) // SUM(n_tokens) AS BIGINT)
+            AS ref_micro FROM dom2),
+        wts AS (
+          SELECT d2.source, d2.n_docs, d2.n_tokens, d2.loss_micro,
+                 CAST(greatest(0, d2.loss_micro - ref.ref_micro) AS BIGINT)
+                   AS excess_micro,
+                 CAST(round(exp(
+                     CAST(greatest(0, d2.loss_micro - ref.ref_micro)
+                       AS DOUBLE) / 1000000.0 * 0.1), 6)
+                   AS DECIMAL(20,6)) AS w
+          FROM dom2 d2, ref),
+        sw AS (SELECT CAST(SUM(w) AS DOUBLE) AS sum_w FROM wts)
+        SELECT wts.source, wts.n_docs, wts.n_tokens, wts.loss_micro,
+               wts.excess_micro,
+               round(CAST(wts.w AS DOUBLE) / sw.sum_w, 9) AS weight
+        FROM wts, sw
+        ORDER BY wts.source""")),
+
     // ── overlapping context-window chunking (RAG/pretrain ingestion) ──
     // The chunker in front of every retrieval index and many packing
     // pipelines: windows of 32 tokens at stride 24 (8-token overlap so

@@ -466,4 +466,49 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     // tails are honest: some final chunk is shorter than 32 tokens
     got.exists(_._4 < 32L) shouldBe true
   }
+
+  test("doremi reweighting equals an independent BigDecimal recompute and " +
+      "genuinely moves weight toward high-surprisal domains") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).toSeq
+    val terms = docs.flatMap { case (id, src, t) => toks(t).map(w => (src, w)) }
+    val cnt = terms.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTotal = terms.length.toLong
+    def su6(term: String): Long = // 6-digit-quantized ln, in micro units
+      BigDecimal(math.log(nTotal.toDouble / cnt(term)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    val byDom = terms.groupBy(_._1).view.mapValues { g =>
+      val su = g.map(t => su6(t._2)).sum
+      (g.size.toLong, su)
+    }.toMap
+    val refMicro = byDom.values.map(_._2).sum / byDom.values.map(_._1).sum
+    val expected = byDom.toSeq.sortBy(_._1).map { case (src, (nt, su)) =>
+      val loss = su / nt
+      val excess = math.max(0L, loss - refMicro)
+      val w = BigDecimal(math.exp(excess.toDouble / 1000000.0 * 0.1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (src, nt, loss, excess, w)
+    }
+    val sumW = expected.map(_._5).sum.toDouble
+    val got = graft.SparkEntry.queries("llm_doremi_reweight")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    got.length shouldBe expected.length
+    got.zip(expected).foreach { case ((gs, gnt, gl, ge, gw),
+        (es, ent, el, ee, ew)) =>
+      gs shouldBe es; gnt shouldBe ent; gl shouldBe el; ge shouldBe ee
+      gw shouldBe BigDecimal(ew.toDouble / sumW)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // the update is non-vacuous: some domain sits above the mean (gets
+    // up-weighted) and some at it (excess clamps to 0)
+    got.count(_._4 > 0L) should be >= 1
+    got.count(_._4 === 0L) should be >= 1
+    // weights normalize
+    math.abs(got.map(_._5).sum - 1.0) should be < 1e-6
+  }
 }
