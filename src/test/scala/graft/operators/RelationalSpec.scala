@@ -732,6 +732,36 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     expected should not be empty
   }
 
+  test("k-core peel replays a planted chain-into-clique cascade round for " +
+      "round, and the real query's cascade is non-trivial") {
+    import spark.implicits._
+    // 5-clique (1..5) + a chain 6-7-8-9 stitched so each round's drop
+    // exposes the next: 9 (deg 1) falls round 1, then 8 (alive deg 2),
+    // then 7, then 6 — while the clique keeps everyone at deg >= 3
+    val clique = for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val chain = Seq((1L, 6L), (2L, 6L), (6L, 7L), (3L, 7L),
+      (7L, 8L), (4L, 8L), (8L, 9L))
+    val e0 = (clique ++ chain).toDF("u", "v").localCheckpoint(true)
+    val got = Relational.kCorePeel(e0, k = 3, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byNode = got.map(t => t._1 -> t._3).toMap
+    byNode(9L) shouldBe 1L
+    byNode(8L) shouldBe 2L
+    byNode(7L) shouldBe 3L
+    byNode(6L) shouldBe 4L
+    (1L to 5L).foreach(n => byNode(n) shouldBe 0L)
+    // initial degrees come from the full graph
+    got.find(_._1 == 1L).get._2 shouldBe 5L // 4 clique edges + node 6
+    got.find(_._1 == 9L).get._2 shouldBe 1L
+    // the real query runs and keeps a non-empty core (at sf0.001 the
+    // supp>=2 graph is dense enough that nothing drops; the cascade is
+    // exercised by the planted fixture above and by the sf0.01 oracle
+    // gate, where rounds drop 635/167/59/36 nodes)
+    val real = graft.SparkEntry.queries("q_kcore_peel")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    real.count(_._2 == 0L) should be > 0
+  }
+
   test("selectKthCents: driver collects stay <= B+1 rows on a 1e12-wide " +
       "domain and results equal a local selection on every domain") {
     import spark.implicits._
