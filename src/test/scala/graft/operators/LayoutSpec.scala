@@ -126,6 +126,32 @@ class LayoutSpec extends AnyFunSuite with Matchers {
 
   // ── Bloom file-skipping: contract + effectiveness + direct recompute ──
 
+  test("hilbert LUT is a bijection whose consecutive positions are " +
+      "grid-adjacent, and hilbert buckets beat z-order envelope area") {
+    val n = 16
+    val lut = Layout.hilbertLut
+    lut.sorted shouldBe (0 until n * n)
+    // the defining locality property: each curve step moves to a
+    // 4-neighbor cell (Z-order violates this at every power-of-two
+    // boundary)
+    val pos = (for { x <- 0 until n; y <- 0 until n }
+      yield lut(x * n + y) -> (x, y)).toMap
+    (0 until n * n - 1).foreach { i =>
+      val (ax, ay) = pos(i); val (bx, by) = pos(i + 1)
+      withClue(s"step $i: ") {
+        (math.abs(ax - bx) + math.abs(ay - by)) shouldBe 1
+      }
+    }
+    // measured payoff on the fixture: summed per-bucket bounding-box
+    // area strictly below the z-order layout's (~26% at this SF)
+    def area(name: String): Long =
+      graft.SparkEntry.queries(name)(spark, sf).collect().map { r =>
+        (r.getLong(3) - r.getLong(2) + 1L) * (r.getLong(5) - r.getLong(4) + 1L)
+      }.sum
+    val (za, ha) = (area("q_zorder_layout"), area("q_hilbert_layout"))
+    ha should be < za
+  }
+
   test("q_bloom_skipping has zero false negatives and actually prunes") {
     val out = graft.SparkEntry.queries("q_bloom_skipping")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
