@@ -56,7 +56,119 @@ object EventTime extends QueryPack {
                    AS session_no
           FROM flags)"""
 
+  // SPRT (Wald 1945) parameters for `evt_sprt`: H0 conversion p0 vs
+  // H1 p1, α = β = 0.05. The per-event log-likelihood increments and
+  // the decision boundaries are computed ONCE here and interpolated
+  // into both engines as integer micro-unit literals — the whole walk
+  // is exact integer arithmetic with no transcendental in either
+  // engine's plan.
+  private val SprtP0 = 0.18
+  private val SprtP1 = 0.22
+  private val SprtStepSucc = math.round(math.log(SprtP1 / SprtP0) * 1e6)
+  private val SprtStepFail =
+    math.round(math.log((1.0 - SprtP1) / (1.0 - SprtP0)) * 1e6)
+  private val SprtUpper = math.round(math.log(0.95 / 0.05) * 1e6)
+  private val SprtLower = -SprtUpper
+
+  /** The SPRT walk behind `evt_sprt` over a (variant, tus, event_id,
+    * succ) frame — exposed for EventTimeSpec's planted-sequence gates.
+    * Per variant: the cumulative log-likelihood ratio after event i is
+    * a·s_i + b·(i − s_i) = prefix-sum of the per-event increment, so
+    * the walk rides [[Relational.globalPrefixSum]] (range partition +
+    * per-partition scan + broadcast offsets — never a single-task
+    * window); the first boundary crossing is one min(struct) aggregate.
+    * Two passes per variant (prefix + rank) — a fused deployment
+    * computes both in the one partition scan; variants here are 2. */
+  private[operators] def sprtDecisions(
+      s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val perVariant = Seq(0L, 1L).map { vv =>
+      val one = ev.filter($"variant" === vv)
+        .withColumn("v", when($"succ" === 1L, lit(SprtStepSucc))
+          .otherwise(lit(SprtStepFail)))
+      val cum = Relational.globalPrefixSum(s, one,
+        Seq($"tus", $"event_id"), "v")
+      val ranked = Relational.globalRank(s, cum, Seq($"tus", $"event_id"))
+      ranked.agg(
+          count(lit(1)).as("n_events"),
+          sum($"succ").as("n_success"),
+          min(when($"psum" >= SprtUpper || $"psum" <= SprtLower,
+            struct($"rk", $"psum"))).as("m"))
+        .select(lit(vv).as("variant"), $"n_events", $"n_success",
+          (lit(SprtStepSucc) * $"n_success" +
+            lit(SprtStepFail) * ($"n_events" - $"n_success"))
+            .as("llr_end_micro"),
+          when($"m".isNull, lit("continue"))
+            .when($"m.psum" >= SprtUpper, lit("accept_h1"))
+            .otherwise(lit("accept_h0")).as("decision"),
+          coalesce($"m.rk" + 1L, lit(0L)).as("decided_at_n"),
+          coalesce($"m.psum", lit(0L)).as("llr_at_decision_micro"))
+    }
+    perVariant.reduce(_ unionByName _).orderBy($"variant")
+  }
+
   override val queries: Map[String, QueryDef] = Map(
+
+    // ── sequential probability ratio test (Wald 1945) ──
+    // The SEQUENTIAL sibling of evt_ab_ttest's fixed-horizon readout:
+    // an experiment that peeks after every event needs boundaries
+    // calibrated for continuous monitoring — the SPRT is the optimal
+    // such test. Per variant (user_id parity), walk events in time
+    // order accumulating the Bernoulli log-likelihood ratio of
+    // H1: p=0.22 vs H0: p=0.18 ('purchase' = success) and stop at the
+    // first crossing of ln((1−β)/α) = ±ln 19. The two per-event
+    // increments and both boundaries are PRE-COMPUTED integer micro
+    // literals (single-sourced from one Scala ln), so the whole query
+    // — walk, crossing, verdict — is exact integer arithmetic in both
+    // engines; the cumulative walk is a prefix sum riding
+    // globalPrefixSum, never a single-task window on the Spark side.
+    // Output per variant: totals, final llr, the decision, and where
+    // the walk first crossed (0/continue if it never did).
+    "evt_sprt" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        sprtDecisions(s, Tables.events(s, d)
+          .select(($"user_id" % 2).as("variant"),
+            expr("ts div 1000").as("tus"), $"event_id",
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("succ")))
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id % 2 AS variant, epoch_us(ts) AS tus, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+          FROM events),
+        w AS (
+          SELECT variant, succ,
+                 SUM(CASE WHEN succ = 1 THEN $SprtStepSucc
+                          ELSE $SprtStepFail END)
+                   OVER (PARTITION BY variant ORDER BY tus, event_id)
+                   AS llr,
+                 ROW_NUMBER() OVER (PARTITION BY variant
+                                    ORDER BY tus, event_id) AS i
+          FROM ev),
+        cr AS (
+          SELECT variant, i, llr FROM (
+            SELECT variant, i, llr,
+                   ROW_NUMBER() OVER (PARTITION BY variant ORDER BY i) AS rn
+            FROM w WHERE llr >= $SprtUpper OR llr <= $SprtLower) x
+          WHERE rn = 1),
+        agg AS (
+          SELECT variant, COUNT(*) AS n_events,
+                 CAST(SUM(succ) AS BIGINT) AS n_success
+          FROM ev GROUP BY variant)
+        SELECT a.variant, a.n_events, a.n_success,
+               CAST($SprtStepSucc * a.n_success +
+                    $SprtStepFail * (a.n_events - a.n_success) AS BIGINT)
+                 AS llr_end_micro,
+               CASE WHEN cr.variant IS NULL THEN 'continue'
+                    WHEN cr.llr >= $SprtUpper THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               CAST(COALESCE(cr.i, 0) AS BIGINT) AS decided_at_n,
+               CAST(COALESCE(cr.llr, 0) AS BIGINT)
+                 AS llr_at_decision_micro
+        FROM agg a LEFT JOIN cr ON cr.variant = a.variant
+        ORDER BY a.variant""")),
 
     // ── tumbling 1-hour event-time windows ──
     "evt_windowed_agg" -> QueryDef(

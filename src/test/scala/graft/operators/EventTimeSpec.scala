@@ -895,4 +895,41 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     alarming should be > 0
     alarming should be < got.size
   }
+
+  test("SPRT: an all-success sequence accepts H1 at the calibrated step, " +
+      "an all-failure sequence accepts H0, and the walk matches a replay") {
+    import spark.implicits._
+    val a = math.round(math.log(0.22 / 0.18) * 1e6) //  200671
+    val b = math.round(math.log(0.78 / 0.82) * 1e6) //  -50010
+    val bound = math.round(math.log(19.0) * 1e6) //  2944439
+    // variant 0: 100 successes — crosses +bound at ceil(bound/a);
+    // variant 1: 100 failures — crosses -bound at ceil(bound/-b)
+    val nUp = (bound + a - 1) / a
+    val nDn = (bound + (-b) - 1) / (-b)
+    val ev = ((1 to 100).map(i => (0L, i.toLong, i.toLong, 1L)) ++
+      (1 to 100).map(i => (1L, i.toLong, (1000 + i).toLong, 0L)))
+      .toDF("variant", "tus", "event_id", "succ")
+    val got = EventTime.sprtDecisions(spark, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+    got(0) shouldBe (0L, 100L, 100L, 100L * a, "accept_h1", nUp, nUp * a)
+    got(1) shouldBe (1L, 100L, 0L, 100L * b, "accept_h0", nDn, nDn * b)
+    // and the real query's walk agrees with a sequential replay
+    val events = Tables.events(spark, sf)
+      .selectExpr("user_id % 2 as variant", "ts div 1000 as tus", "event_id",
+        "case when event_type = 'purchase' then 1L else 0L end as succ")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val real = graft.SparkEntry.queries("evt_sprt")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(5), r.getLong(6)))
+    Seq(0L, 1L).foreach { vv =>
+      val walk = events.filter(_._1 == vv).sortBy(t => (t._2, t._3))
+        .scanLeft(0L)((acc, e) => acc + (if (e._4 == 1L) a else b)).drop(1)
+      val crossIdx = walk.indexWhere(l => l >= bound || l <= -bound)
+      val (decision, at, llr) =
+        if (crossIdx < 0) ("continue", 0L, 0L)
+        else (if (walk(crossIdx) >= bound) "accept_h1" else "accept_h0",
+          crossIdx + 1L, walk(crossIdx))
+      real.find(_._1 == vv).get shouldBe (vv, decision, at, llr)
+    }
+  }
 }
