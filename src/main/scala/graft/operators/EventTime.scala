@@ -108,7 +108,124 @@ object EventTime extends QueryPack {
     perVariant.reduce(_ unionByName _).orderBy($"variant")
   }
 
+  /** Theil–Sen robust trend over an (x, y) LongType series — the
+    * machinery behind `evt_theil_sen`, exposed for EventTimeSpec's
+    * planted-outlier gate. Median selection is DETERMINISTIC: pairs
+    * order by (IEEE num/den, num, den) — both engines compute the
+    * identical division on identical longs, and the integer tiebreak
+    * pins equal-value rationals — and the LOWER median is picked by
+    * rank, never averaged (no rational addition). The slope is then
+    * broadcast and the intercept is the lower median of the exact
+    * residual numerators y·den − num·x over the same discipline.
+    * Both rank passes ride [[Relational.globalRank]]; the pair join is
+    * O(days²) on the SERIES (already aggregated — days, not rows). */
+  private[operators] def theilSen(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val series = daily.localCheckpoint(true) // pair join ×2 + residuals
+    val pairs = series.as("a").join(series.as("b"), $"a.x" < $"b.x")
+      .select(($"b.y" - $"a.y").as("num"), ($"b.x" - $"a.x").as("den"))
+    val rankedP = Relational.globalRank(s,
+        pairs.withColumn("v", $"num".cast(DoubleType) / $"den"),
+        Seq($"v", $"num", $"den"))
+      .localCheckpoint(true) // count + the pick
+    val np = rankedP.agg(count(lit(1)).as("n_pairs"))
+    val slope = rankedP.crossJoin(broadcast(np))
+      .filter($"rk" === expr("(n_pairs + 1) div 2 - 1"))
+      .select($"num".as("slope_num"), $"den".as("slope_den"), $"n_pairs")
+      .localCheckpoint(true) // residual broadcast + the output row
+    val resid = series.crossJoin(broadcast(slope))
+      .select(($"y" * $"slope_den" - $"slope_num" * $"x").as("rnum"),
+        $"slope_den")
+    val rankedR = Relational.globalRank(s,
+        resid.withColumn("v", $"rnum".cast(DoubleType) / $"slope_den"),
+        Seq($"v", $"rnum"))
+      .localCheckpoint(true)
+    val nd = rankedR.agg(count(lit(1)).as("n_days"))
+    rankedR.crossJoin(broadcast(nd))
+      .filter($"rk" === expr("(n_days + 1) div 2 - 1"))
+      .select($"n_days", $"rnum".as("icept_num"),
+        $"slope_den".as("icept_den"))
+      .crossJoin(broadcast(slope))
+      .select($"n_days", $"n_pairs", $"slope_num", $"slope_den",
+        round($"slope_num".cast(DoubleType) / $"slope_den", 6)
+          .as("slope_per_x"),
+        $"icept_num", $"icept_den",
+        round($"icept_num".cast(DoubleType) / $"icept_den", 6)
+          .as("icept"))
+  }
+
   override val queries: Map[String, QueryDef] = Map(
+
+    // ── Theil–Sen robust trend (median of pairwise slopes) ──
+    // The robust companion to evt_trend_ols: one corrupted day drags a
+    // least-squares slope arbitrarily far, while the MEDIAN of all
+    // pairwise slopes (Theil 1950; Sen 1968) has a 29% breakdown
+    // point. Runs on the daily revenue series in cents: the
+    // corpus-sized work is ONE groupBy(day); the O(days²) pair join,
+    // both rank passes, and the residual-median intercept all operate
+    // on the SERIES. Slopes stay exact (num, den) rationals — the
+    // median is selected by rank under the deterministic
+    // (IEEE division, num, den) order, never averaged — and the
+    // intercept is the residual-numerator median at the slope's exact
+    // denominator. EventTimeSpec plants an outlier the OLS slope
+    // chases and Theil–Sen ignores.
+    "evt_theil_sen" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val raw = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"day").agg(sum($"y").as("y"))
+        val d0 = raw.agg(min($"day").as("d0"))
+        theilSen(raw.crossJoin(broadcast(d0))
+          .select(($"day" - $"d0").as("x"), $"y"))
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        raw AS (SELECT day, CAST(SUM(y) AS BIGINT) AS y
+                FROM ev GROUP BY day),
+        d0 AS (SELECT MIN(day) AS d0 FROM raw),
+        daily AS (SELECT day - d0.d0 AS x, y FROM raw, d0),
+        pairs AS (
+          SELECT b.y - a.y AS num, b.x - a.x AS den
+          FROM daily a JOIN daily b ON a.x < b.x),
+        rp AS (
+          SELECT num, den,
+                 ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den,
+                                    num, den) AS rk,
+                 COUNT(*) OVER () AS n_pairs
+          FROM pairs),
+        slope AS (
+          SELECT num AS slope_num, den AS slope_den,
+                 CAST(n_pairs AS BIGINT) AS n_pairs
+          FROM rp WHERE rk = (n_pairs + 1) // 2),
+        resid AS (
+          SELECT d.y * s.slope_den - s.slope_num * d.x AS rnum,
+                 s.slope_den
+          FROM daily d, slope s),
+        rr AS (
+          SELECT rnum, slope_den,
+                 ROW_NUMBER() OVER (ORDER BY CAST(rnum AS DOUBLE) / slope_den,
+                                    rnum) AS rk,
+                 COUNT(*) OVER () AS n_days
+          FROM resid),
+        icept AS (
+          SELECT rnum AS icept_num, slope_den AS icept_den,
+                 CAST(n_days AS BIGINT) AS n_days
+          FROM rr WHERE rk = (n_days + 1) // 2)
+        SELECT i.n_days, s.n_pairs, s.slope_num, s.slope_den,
+               round(CAST(s.slope_num AS DOUBLE) / s.slope_den, 6)
+                 AS slope_per_x,
+               i.icept_num, i.icept_den,
+               round(CAST(i.icept_num AS DOUBLE) / i.icept_den, 6)
+                 AS icept
+        FROM slope s, icept i""")),
 
     // ── sequential probability ratio test (Wald 1945) ──
     // The SEQUENTIAL sibling of evt_ab_ttest's fixed-horizon readout:

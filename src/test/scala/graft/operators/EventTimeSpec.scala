@@ -896,6 +896,51 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     alarming should be < got.size
   }
 
+  test("Theil-Sen ignores a planted outlier that drags OLS, and the real " +
+      "query equals a local median-of-slopes recompute") {
+    import spark.implicits._
+    // y = 5x exactly, except the LAST day is corrupted 500x: the
+    // pairwise-slope median stays exactly 5 (190 of 210 pairs avoid
+    // the outlier), while OLS chases it
+    val series = (0L to 20L).map(x =>
+      (x, if (x == 20L) 50000L else 5L * x)).toDF("x", "y")
+    val planted = EventTime.theilSen(series).collect()(0)
+    planted.getAs[Long]("slope_num").toDouble /
+      planted.getAs[Long]("slope_den") shouldBe 5.0
+    // OLS on the same series is nowhere near 5 (the point of the op)
+    val pts = (0L to 20L).map(x => (x.toDouble,
+      if (x == 20L) 50000.0 else 5.0 * x))
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sx2 = pts.map(p => p._1 * p._1).sum
+    val ols = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    math.abs(ols - 5.0) should be > 10.0
+    // the real query equals a local recompute under the same
+    // deterministic (value, num, den) order
+    val daily = Tables.events(spark, sf)
+      .selectExpr(s"(ts div 1000) div ${24L * 3600 * 1000000L} as day",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as y")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("y").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val x0 = daily.map(_._1).min
+    val xs = daily.map(t => (t._1 - x0, t._2)).sortBy(_._1)
+    val pairSlopes = (for {
+      i <- xs.indices; j <- i + 1 until xs.length
+    } yield (xs(j)._2 - xs(i)._2, xs(j)._1 - xs(i)._1))
+      .sortBy { case (num, den) => (num.toDouble / den, num, den) }
+    val (sn, sd) = pairSlopes((pairSlopes.length + 1) / 2 - 1)
+    val resid = xs.map { case (x, y) => y * sd - sn * x }
+      .sortBy(r => (r.toDouble / sd, r))
+    val in = resid((resid.length + 1) / 2 - 1)
+    val got = graft.SparkEntry.queries("evt_theil_sen")(spark, sf)
+      .collect()(0)
+    got.getAs[Long]("slope_num") shouldBe sn
+    got.getAs[Long]("slope_den") shouldBe sd
+    got.getAs[Long]("icept_num") shouldBe in
+    got.getAs[Long]("n_pairs") shouldBe pairSlopes.length.toLong
+  }
+
   test("SPRT: an all-success sequence accepts H1 at the calibrated step, " +
       "an all-failure sequence accepts H0, and the walk matches a replay") {
     import spark.implicits._
