@@ -227,6 +227,89 @@ object EventTime extends QueryPack {
                  AS icept
         FROM slope s, icept i""")),
 
+    // ── changepoint detection: optimal single split (binary
+    //    segmentation step) ──
+    // "When did the level shift?" — the first step of binary
+    // segmentation: the split τ minimizing SSE_left + SSE_right.
+    // Since Σy² is split-invariant, that is the τ MAXIMIZING
+    // G(τ) = S_l²/n_l + S_r²/n_r, which needs only the prefix sums of
+    // y — computed via [[Relational.globalPrefixSum]] over the daily
+    // series (range partition + broadcast offsets, no single-task
+    // window), with the candidate scoring pure per-row arithmetic:
+    // G's numerator S_l²·n_r + S_r²·n_l is exact DECIMAL(38,0) (HUGEINT
+    // in the oracle), and the argmax is selected under the
+    // deterministic (IEEE G, smallest x) order via ONE max(struct)
+    // aggregate — both engines build the same doubles from the same
+    // integers, and the x tiebreak pins exact-tie splits. Output: the
+    // chosen boundary with each side's exact count/sum and mean.
+    "evt_changepoint" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val daily = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"day").agg(sum($"y").as("y"))
+        val cum = Relational.globalPrefixSum(s, daily, Seq($"day"), "y")
+        val ranked = Relational.globalRank(s, cum, Seq($"day"))
+          .localCheckpoint(true) // totals + the candidate scan
+        val tot = ranked.agg(count(lit(1)).as("n"), sum($"y").as("s"))
+        val best = ranked.crossJoin(broadcast(tot))
+          .withColumn("n_l", $"rk" + 1L)
+          .withColumn("n_r", $"n" - $"n_l")
+          .filter($"n_r" > 0L)
+          .withColumn("s_l", $"psum")
+          .withColumn("s_r", $"s" - $"psum")
+          .withColumn("g_num",
+            $"s_l".cast(big) * $"s_l".cast(big) * $"n_r".cast(big) +
+              $"s_r".cast(big) * $"s_r".cast(big) * $"n_l".cast(big))
+          .withColumn("g", $"g_num".cast(DoubleType) /
+            ($"n_l" * $"n_r").cast(DoubleType))
+          .agg(max(struct($"g", (-$"day").as("negx"), $"n", $"n_l",
+            $"n_r", $"s_l", $"s_r", $"day")).as("m"))
+        best.select($"m.n".as("n_days"), $"m.day".as("split_day"),
+          $"m.n_l".as("n_left"), $"m.n_r".as("n_right"),
+          $"m.s_l".as("sum_left_cents"), $"m.s_r".as("sum_right_cents"),
+          round($"m.s_l".cast(DoubleType) / $"m.n_l", 6).as("mean_left"),
+          round($"m.s_r".cast(DoubleType) / $"m.n_r", 6).as("mean_right"))
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        daily AS (SELECT day, CAST(SUM(y) AS BIGINT) AS y
+                  FROM ev GROUP BY day),
+        cum AS (
+          SELECT day, y,
+                 SUM(y) OVER (ORDER BY day) AS psum,
+                 ROW_NUMBER() OVER (ORDER BY day) AS i,
+                 COUNT(*) OVER () AS n,
+                 SUM(y) OVER () AS s
+          FROM daily),
+        cand AS (
+          SELECT day, CAST(n AS BIGINT) AS n,
+                 CAST(i AS BIGINT) AS n_l,
+                 CAST(n - i AS BIGINT) AS n_r,
+                 CAST(psum AS BIGINT) AS s_l,
+                 CAST(s - psum AS BIGINT) AS s_r
+          FROM cum WHERE n - i > 0),
+        scored AS (
+          SELECT *,
+                 CAST(CAST(s_l AS HUGEINT) * s_l * n_r +
+                      CAST(s_r AS HUGEINT) * s_r * n_l AS DOUBLE)
+                   / CAST(n_l * n_r AS DOUBLE) AS g
+          FROM cand),
+        sel AS (
+          SELECT * FROM scored ORDER BY g DESC, day ASC LIMIT 1)
+        SELECT n AS n_days, day AS split_day, n_l AS n_left,
+               n_r AS n_right, s_l AS sum_left_cents,
+               s_r AS sum_right_cents,
+               round(CAST(s_l AS DOUBLE) / n_l, 6) AS mean_left,
+               round(CAST(s_r AS DOUBLE) / n_r, 6) AS mean_right
+        FROM sel""")),
+
     // ── sequential probability ratio test (Wald 1945) ──
     // The SEQUENTIAL sibling of evt_ab_ttest's fixed-horizon readout:
     // an experiment that peeks after every event needs boundaries

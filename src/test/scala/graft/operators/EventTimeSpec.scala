@@ -896,6 +896,38 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     alarming should be < got.size
   }
 
+  test("changepoint split equals a BigInt argmax replay of every candidate") {
+    val DayUs = 86400000000L
+    val daily = Tables.events(spark, sf)
+      .selectExpr(s"(ts div 1000) div $DayUs as day",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as y")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("y").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    val cands = daily.dropRight(1).zipWithIndex.map { case ((day, y), i) =>
+      cum += y
+      val (nl, nr) = (i + 1L, n - i - 1L)
+      val (sl, sr) = (cum, total - cum)
+      val g = (BigInt(sl) * sl * nr + BigInt(sr) * sr * nl).toDouble /
+        (nl * nr).toDouble
+      (day, nl, nr, sl, sr, g)
+    }
+    val best = cands.maxBy(c => (c._6, -c._1))
+    val got = graft.SparkEntry.queries("evt_changepoint")(spark, sf)
+      .collect()(0)
+    got.getAs[Long]("split_day") shouldBe best._1
+    got.getAs[Long]("n_left") shouldBe best._2
+    got.getAs[Long]("n_right") shouldBe best._3
+    got.getAs[Long]("sum_left_cents") shouldBe best._4
+    got.getAs[Long]("sum_right_cents") shouldBe best._5
+    got.getAs[Long]("n_days") shouldBe n.toLong
+    // a split exists strictly inside the series
+    best._2 should be >= 1L
+    best._3 should be >= 1L
+  }
+
   test("Theil-Sen ignores a planted outlier that drags OLS, and the real " +
       "query equals a local median-of-slopes recompute") {
     import spark.implicits._
