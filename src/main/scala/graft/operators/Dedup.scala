@@ -1848,6 +1848,123 @@ object Dedup extends QueryPack {
     "dedup_fs_linkage" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        fsScoredPairs(s, d)
+          .filter($"score_micro" > 3000000L)
+          .select($"a_id", $"b_id", $"g_lang", $"g_first", $"g_last",
+            $"g_len", $"score_micro")
+          .orderBy($"a_id", $"b_id")
+      },
+      oracle = Some(s"""$FsScoredCtesSql
+        SELECT a_id, b_id, g_lang, g_first, g_last, g_len,
+               CAST(score_micro AS BIGINT) AS score_micro
+        FROM scored WHERE score_micro > 3000000
+        ORDER BY a_id, b_id""")),
+
+    // ── Fellegi–Sunter EM refit (one M-step from the classified set) ──
+    // dedup_fs_linkage scores with PRIOR m-probabilities; this is the
+    // step a deployment actually iterates: classify candidate pairs
+    // with the current weights, then RE-ESTIMATE per field
+    // m = P(agree | matched) and u = P(agree | unmatched) from the
+    // classified sets (Laplace-smoothed: (agree+1)/(n+2) — no zero or
+    // one probability can arise, the EM analogue of the u-clamp
+    // above), and emit the re-fitted agreement/disagreement weights.
+    // Every probability is an exact integer rational and each weight
+    // is ONE quantized ln of a rational of exact longs — bit-identical
+    // across engines. Scale shape: one pass over the blocked candidate
+    // pairs (already bounded by the length-bucket census) computing 10
+    // counters map-side; everything after is 4-row arithmetic. The
+    // oracle recomputes the whole chain off the SAME scored CTEs the
+    // linkage oracle uses (single-sourced), so the two queries cannot
+    // drift in classification.
+    "dedup_fs_em" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val m = $"score_micro" > 3000000L
+        def amau(g: Column, f: String) = Seq(
+          sum(when(m && g, 1L).otherwise(0L)).as(s"am_$f"),
+          sum(when(!m && g, 1L).otherwise(0L)).as(s"au_$f"))
+        val aggs: Seq[Column] =
+          Seq(sum(when(m, 1L).otherwise(0L)).as("nm"),
+            count(lit(1)).as("np")) ++
+          amau($"g_lang", "lang") ++ amau($"g_first", "first") ++
+          amau($"g_last", "last") ++ amau($"g_len", "len")
+        val em = fsScoredPairs(s, d).agg(aggs.head, aggs.tail: _*)
+        val fields = em.select(explode(array(
+            struct(lit("first").as("field"), $"am_first".as("am"),
+              $"au_first".as("au"), $"nm", ($"np" - $"nm").as("nu")),
+            struct(lit("lang").as("field"), $"am_lang".as("am"),
+              $"au_lang".as("au"), $"nm", ($"np" - $"nm").as("nu")),
+            struct(lit("last").as("field"), $"am_last".as("am"),
+              $"au_last".as("au"), $"nm", ($"np" - $"nm").as("nu")),
+            struct(lit("len").as("field"), $"am_len".as("am"),
+              $"au_len".as("au"), $"nm", ($"np" - $"nm").as("nu"))))
+            .as("x"))
+          .select($"x.*")
+        fields.select($"field", $"nm".as("n_matched"),
+            $"nu".as("n_unmatched"), $"am".as("agree_matched"),
+            $"au".as("agree_unmatched"),
+            (round(log((($"am" + 1L) * ($"nu" + 2L)).cast(DoubleType) /
+                (($"nm" + 2L) * ($"au" + 1L)).cast(DoubleType)), 6)
+              .cast(DecimalType(20, 6)) * 1000000).cast(LongType)
+              .as("w_agree_micro"),
+            (round(log((($"nm" + 1L - $"am") * ($"nu" + 2L)).cast(DoubleType) /
+                (($"nm" + 2L) * ($"nu" + 1L - $"au")).cast(DoubleType)), 6)
+              .cast(DecimalType(20, 6)) * 1000000).cast(LongType)
+              .as("w_disagree_micro"))
+          .orderBy($"field")
+      },
+      oracle = Some(s"""$FsScoredCtesSql,
+        em AS (
+          SELECT
+            CAST(SUM(CASE WHEN score_micro > 3000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nm,
+            CAST(COUNT(*) AS BIGINT) AS np,
+            CAST(SUM(CASE WHEN score_micro > 3000000 AND g_lang
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_lang,
+            CAST(SUM(CASE WHEN score_micro <= 3000000 AND g_lang
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_lang,
+            CAST(SUM(CASE WHEN score_micro > 3000000 AND g_first
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_first,
+            CAST(SUM(CASE WHEN score_micro <= 3000000 AND g_first
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_first,
+            CAST(SUM(CASE WHEN score_micro > 3000000 AND g_last
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_last,
+            CAST(SUM(CASE WHEN score_micro <= 3000000 AND g_last
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_last,
+            CAST(SUM(CASE WHEN score_micro > 3000000 AND g_len
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_len,
+            CAST(SUM(CASE WHEN score_micro <= 3000000 AND g_len
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_len
+          FROM scored),
+        fields AS (
+          SELECT 'first' AS field, am_first AS am, au_first AS au,
+                 nm, np - nm AS nu FROM em
+          UNION ALL SELECT 'lang', am_lang, au_lang, nm, np - nm FROM em
+          UNION ALL SELECT 'last', am_last, au_last, nm, np - nm FROM em
+          UNION ALL SELECT 'len', am_len, au_len, nm, np - nm FROM em)
+        SELECT field, nm AS n_matched, nu AS n_unmatched,
+               am AS agree_matched, au AS agree_unmatched,
+               CAST(CAST(round(ln(
+                   CAST((am + 1) * (nu + 2) AS DOUBLE) /
+                   CAST((nm + 2) * (au + 1) AS DOUBLE)), 6)
+                 AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS w_agree_micro,
+               CAST(CAST(round(ln(
+                   CAST((nm + 1 - am) * (nu + 2) AS DOUBLE) /
+                   CAST((nm + 2) * (nu + 1 - au) AS DOUBLE)), 6)
+                 AS DECIMAL(20,6)) * 1000000 AS BIGINT)
+                 AS w_disagree_micro
+        FROM fields ORDER BY field""")),
+
+  )
+
+  /** The Fellegi–Sunter scored candidate pairs shared by
+    * `dedup_fs_linkage` (filter > e³) and `dedup_fs_em` (the M-step
+    * re-estimation): blocking, data-estimated u-probabilities, prior
+    * m-weights, and the per-pair integer score — one pipeline, two
+    * consumers, so classification can never drift between them. */
+  private[operators] def fsScoredPairs(
+      s: SparkSession, d: String): DataFrame = {
+        import s.implicits._
         val docs = Tables.documents(s, d)
           .select($"doc_id", $"lang", $"source", $"n_chars",
             element_at(split($"text", " "), 1).as("ft"),
@@ -1897,12 +2014,11 @@ object Dedup extends QueryPack {
             when($"g_first", $"wf_a").otherwise($"wf_d") +
             when($"g_last", $"wt_a").otherwise($"wt_d") +
             when($"g_len", $"wn_a").otherwise($"wn_d"))
-          .filter($"score_micro" > 3000000L)
-          .select($"a_id", $"b_id", $"g_lang", $"g_first", $"g_last",
-            $"g_len", $"score_micro")
-          .orderBy($"a_id", $"b_id")
-      },
-      oracle = Some("""
+  }
+
+  /** DuckDB twin of [[fsScoredPairs]] — the CTE chain ending in
+    * `scored`, single-sourced for both FS oracles. */
+  private lazy val FsScoredCtesSql: String = """
         WITH d AS (
           SELECT doc_id, lang, source, n_chars,
                  split_part(text, ' ', 1) AS ft,
@@ -1960,12 +2076,7 @@ object Dedup extends QueryPack {
                  (CASE WHEN g_first THEN wf_a ELSE wf_d END) +
                  (CASE WHEN g_last THEN wt_a ELSE wt_d END) +
                  (CASE WHEN g_len THEN wn_a ELSE wn_d END) AS score_micro
-          FROM pairs, w)
-        SELECT a_id, b_id, g_lang, g_first, g_last, g_len,
-               CAST(score_micro AS BIGINT) AS score_micro
-        FROM scored WHERE score_micro > 3000000
-        ORDER BY a_id, b_id""")),
-  )
+          FROM pairs, w)"""
 
   /** The merge/purge pipeline behind `dedup_sorted_neighborhood`:
     * global rank by (lang, n_chars, doc_id) → ±w positional candidates

@@ -345,6 +345,41 @@ class DedupSpec extends AnyFunSuite with Matchers {
     expected should not be empty
   }
 
+  test("FS EM refit equals a direct recompute from the scored pairs and " +
+      "re-fitted weights separate matched from unmatched agreement") {
+    val scored = Dedup.fsScoredPairs(spark, sf).collect()
+      .map(r => (r.getAs[Boolean]("g_lang"), r.getAs[Boolean]("g_first"),
+        r.getAs[Boolean]("g_last"), r.getAs[Boolean]("g_len"),
+        r.getAs[Long]("score_micro")))
+    val nm = scored.count(_._5 > 3000000L).toLong
+    val nu = scored.length - nm
+    def w(am: Long, au: Long): (Long, Long) = {
+      def q(x: Double) = BigDecimal(math.log(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+      (q((am + 1.0) * (nu + 2.0) / ((nm + 2.0) * (au + 1.0))),
+        q((nm + 1.0 - am) * (nu + 2.0) / ((nm + 2.0) * (nu + 1.0 - au))))
+    }
+    val got = graft.SparkEntry.queries("dedup_fs_em")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val sel = Map[String, ((Boolean, Boolean, Boolean, Boolean, Long)) => Boolean](
+      "lang" -> (_._1), "first" -> (_._2), "last" -> (_._3), "len" -> (_._4))
+    sel.foreach { case (f, g) =>
+      val am = scored.count(p => p._5 > 3000000L && g(p)).toLong
+      val au = scored.count(p => p._5 <= 3000000L && g(p)).toLong
+      val (wa, wd) = w(am, au)
+      withClue(s"field $f: ") {
+        got(f) shouldBe (nm, nu, am, au, wa, wd)
+      }
+    }
+    nm should be > 0L
+    nu should be > 0L
+    // the refit is informative: at least one field's agreement weight
+    // is positive (matched pairs agree more often than unmatched)
+    got.values.map(_._5).max should be > 0L
+  }
+
   test("PPJoin positional filter strictly prunes candidates at zero recall cost") {
     val docs = Dedup.fpsOf(graft.Tables.documents(spark, sf))
       .filter(expr("size(fps) > 0"))
