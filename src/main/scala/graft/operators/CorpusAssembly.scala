@@ -1056,6 +1056,61 @@ object CorpusAssembly extends QueryPack {
         WHERE cum_before < $TokenBudget
         ORDER BY doc_id""")),
 
+    // ── the end-to-end curation ledger (dedup → quality → budget) ──
+    // The composition a curation run actually ships, as an AUDITABLE
+    // ledger instead of a survivors-only view (llm_corpus_filter emits
+    // the survivors; a data-governance review needs to know why every
+    // OTHER document fell): one row per document with its final status
+    // under the standard stage order — `duplicate` (exact dup, min
+    // doc_id keeps), then `quality` (the corpus_filter gates: lang
+    // allowlist, alpha ratio ≥ 0.6, 20 ≤ tokens ≤ 5000), then
+    // `budget` (per-language token budget over the deterministic
+    // shuffle order, counting CANDIDATE tokens only — dropped docs
+    // must not consume budget), else `kept`. All three stages fold
+    // into ONE corpus pass: the sha window, the quality predicates,
+    // and the budget's conditional running sum share the checkpointed
+    // scan; at 100 TB the per-language window sub-shards by
+    // (lang, shard) exactly as llm_token_budget documents. Stage
+    // PRECEDENCE is part of the contract (a duplicate that also fails
+    // quality reads `duplicate`), and the oracle re-derives the whole
+    // ledger including the precedence.
+    "llm_curation_pipeline" -> QueryDef(
+      fn = (s, d) => curationLedger(Tables.documents(s, d)),
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text,
+                     '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0)
+                   AS alpha_ratio,
+                 MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id,
+                 $shuffleHashSql AS h
+          FROM documents),
+        lab AS (
+          SELECT doc_id, lang, n_tokens, h,
+                 CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                      WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+                           OR alpha_ratio < 0.6
+                           OR n_tokens NOT BETWEEN 20 AND 5000
+                        THEN 'quality'
+                      ELSE 'candidate' END AS status0
+          FROM t),
+        cum AS (
+          SELECT doc_id, lang, n_tokens, status0,
+                 COALESCE(CAST(SUM(CASE WHEN status0 = 'candidate'
+                     THEN n_tokens END)
+                   OVER (PARTITION BY lang ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+          FROM lab)
+        SELECT doc_id, lang, n_tokens,
+               CASE WHEN status0 <> 'candidate' THEN status0
+                    WHEN cum_before >= $TokenBudget THEN 'budget'
+                    ELSE 'kept' END AS status
+        FROM cum
+        ORDER BY doc_id""")),
+
     // ── temperature-based language sampling: keep rate ∝ n^α / n ──
     // The multilingual-mix sampler (mT5/XLM-R shape): languages are
     // sampled with probability proportional to count^α, α<1, so
@@ -1325,6 +1380,42 @@ object CorpusAssembly extends QueryPack {
                                  ' ' || b.u || b.v || ' ') AS seq
           FROM s${i - 1}, b$i b)"""
   }.mkString(",")
+
+  /** The curation ledger behind `llm_curation_pipeline`, over any
+    * (doc_id, text, lang) frame — exposed for CorpusAssemblySpec's
+    * planted-duplicate and cross-query-consistency gates. See the
+    * query's comment for the stage order and precedence contract. */
+  private[operators] def curationLedger(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .withColumn("n_tokens", size(tokens).cast(LongType))
+      .withColumn("alpha_ratio",
+        (length($"text") - length(regexp_replace($"text", "[a-zA-Z]", "")))
+          .cast(DoubleType) /
+          nullif(length($"text").cast(DoubleType), lit(0.0)))
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy(sha2($"text", 256))))
+      .withColumn("h", expr(shuffleHashExpr))
+    val labeled = base.withColumn("status0",
+      when($"doc_id" =!= $"keep_id", "duplicate")
+        .when(!$"lang".isin("en", "de", "fr", "es") ||
+          $"alpha_ratio" < 0.6 ||
+          !$"n_tokens".between(20, 5000), "quality")
+        .otherwise("candidate"))
+    val wB = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    labeled
+      .withColumn("cum_before", coalesce(
+        sum(when($"status0" === "candidate", $"n_tokens")).over(wB),
+        lit(0L)))
+      .select($"doc_id", $"lang", $"n_tokens",
+        when($"status0" =!= "candidate", $"status0")
+          .when($"cum_before" >= TokenBudget, "budget")
+          .otherwise("kept").as("status"))
+      .orderBy($"doc_id")
+  }
 
   override val queries: Map[String, QueryDef] = baseQueries ++ Map(
 

