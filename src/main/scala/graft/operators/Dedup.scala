@@ -415,7 +415,7 @@ object Dedup extends QueryPack {
       .select($"u".as("doc_id"), $"cluster")
   }
 
-  private[operators] def componentLabels(
+  private[graft] def componentLabels(
       s: SparkSession,
       pairs: DataFrame,
       localEdgeThreshold: Long = 2000000L): DataFrame = {

@@ -245,6 +245,142 @@ object StreamingDedup {
       }
       .start()
 
+  /** Continuous connected-component maintenance — duplicate CLUSTERS
+    * kept current as pair evidence streams in (the state face of
+    * `dedup_clusters`): per micro-batch, endpoint labels are fetched
+    * from the node-bucketed labels table (zero state-side exchange)
+    * and resolved through the SMALL alias table (broadcast), the
+    * batch's edges collapse to a QUOTIENT graph over resolved labels
+    * (bounded by the batch, never the corpus), one union-find over the
+    * quotient yields the merge map, and the state updates WITHOUT
+    * rewriting accumulated labels: new nodes append bucket-aligned
+    * with their final root, while merges land as alias entries
+    * (old_root → new_root) — the alias table is re-composed through
+    * the merge map each batch so it stays FLAT (every dst is a current
+    * root; reads are one broadcast hop). `sink` receives each batch's
+    * merge events. At 100 TB the asymmetry IS the operator: labels
+    * (corpus-sized) are append-only; the alias (≤ #merges, usually
+    * tiny) is the only thing rewritten, and [[compactComponents]]
+    * periodically folds it away. Replay safety is the membership-set
+    * argument: a re-run batch double-appends identical label rows and
+    * recomputes the same alias — resolution is unchanged (the read
+    * face dedups), emission is at-least-once.
+    *
+    * Alias overwrite uses managed-table Overwrite (drop-then-recreate,
+    * not atomic — the documented caveat on [[graft.operators.Bucketing
+    * .writeBucketed]]); a deployment versions it with the GenSwap
+    * pattern. */
+  def componentStream(
+      edges: DataFrame,
+      labelsTable: String,
+      aliasTable: String,
+      buckets: Int,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        val e = batch
+          .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+          .localCheckpoint(true) // nodes + the quotient join
+        Bucketing.recoverCompaction(s, labelsTable)
+        if (!s.catalog.tableExists(labelsTable))
+          Bucketing.writeBucketed(
+            Seq.empty[(Long, Long)].toDF("node", "label"),
+            labelsTable, "node", buckets)
+        if (!s.catalog.tableExists(aliasTable))
+          Seq.empty[(Long, Long)].toDF("src", "dst")
+            .write.format("parquet").saveAsTable(aliasTable)
+        val aliasDf = s.table(aliasTable)
+        val nodes = e.select($"u".as("node"))
+          .unionByName(e.select($"v".as("node"))).distinct()
+        val looked = nodes
+          .join(s.table(labelsTable), Seq("node"), "left")
+          .join(broadcast(aliasDf), col("label") === col("src"), "left")
+          .select($"node", $"label".as("base"),
+            coalesce($"dst", $"label", $"node").as("resolved"))
+          .localCheckpoint(true) // quotient ×2 + appends + alias update
+        val quotient = e
+          .join(looked.select($"node".as("u"), $"resolved".as("lu")), Seq("u"))
+          .join(looked.select($"node".as("v"), $"resolved".as("lv")), Seq("v"))
+          .filter($"lu" =!= $"lv")
+          .select(least($"lu", $"lv").as("doc1"),
+            greatest($"lu", $"lv").as("doc2"))
+          .distinct()
+        val mergeMap = Dedup.componentLabels(s, quotient)
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id").as("old"), col("cluster").as("root"))
+          .localCheckpoint(true) // sink + appends + both alias branches
+        sink(mergeMap.select($"old".as("old_label"), $"root".as("new_label")))
+        // new nodes append WITH their final root — no alias entry needed
+        Bucketing.appendBucketAligned(
+          looked.filter($"base".isNull)
+            .join(broadcast(mergeMap), $"resolved" === $"old", "left")
+            .select($"node", coalesce($"root", $"resolved").as("label")),
+          labelsTable)
+        // alias: compose existing entries through the merge map, add
+        // entries for EXISTING labels that just lost root status
+        val newAlias = looked.filter($"base".isNotNull)
+          .select($"resolved").distinct()
+          .join(broadcast(mergeMap), $"resolved" === $"old")
+          .select($"resolved".as("src"), $"root".as("dst"))
+        val updated = aliasDf.as("a")
+          .join(broadcast(mergeMap), col("a.dst") === col("old"), "left")
+          .select(col("a.src").as("src"),
+            coalesce(col("root"), col("a.dst")).as("dst"))
+          .unionByName(newAlias)
+          .localCheckpoint(true) // pinned BEFORE overwriting its input
+        updated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(aliasTable)
+        // Overwrite recreates the table at the same name: drop the
+        // cached file listing or the next batch reads vanished files
+        s.catalog.refreshTable(aliasTable)
+      }
+      .start()
+
+  /** The component-stream read face: every accumulated node with its
+    * CURRENT component label — one broadcast alias hop over the
+    * node-bucketed labels table (distinct defends against replayed
+    * double-appends). */
+  def resolvedComponents(
+      s: org.apache.spark.sql.SparkSession,
+      labelsTable: String, aliasTable: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // the stream's foreachBatch runs on a CLONED session whose
+    // refreshTable cannot reach this session's relation cache — the
+    // alias overwrite happens over there, so drop any cached listing
+    // before planning the read
+    s.catalog.refreshTable(aliasTable)
+    s.catalog.refreshTable(labelsTable)
+    s.table(labelsTable).as("l")
+      .join(broadcast(s.table(aliasTable)).as("a"),
+        col("l.label") === col("a.src"), "left")
+      .select(col("l.node"),
+        coalesce(col("a.dst"), col("l.label")).as("label"))
+      .distinct()
+  }
+
+  /** Scheduled compaction for the component stream: fold the alias
+    * hops into the labels table (ONE full rewrite — the cost the
+    * per-batch path avoids) and truncate the alias. */
+  def compactComponents(
+      s: org.apache.spark.sql.SparkSession,
+      labelsTable: String, aliasTable: String, buckets: Int): Unit = {
+    import s.implicits._
+    val resolved = resolvedComponents(s, labelsTable, aliasTable)
+      .localCheckpoint(true) // pinned before overwriting its inputs
+    Bucketing.writeBucketed(resolved, labelsTable, "node", buckets)
+    Seq.empty[(Long, Long)].toDF("src", "dst")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(aliasTable)
+    s.catalog.refreshTable(labelsTable)
+    s.catalog.refreshTable(aliasTable)
+  }
+
   private val BandingProp = "graft.near.banding"
 
   /** Pin (or validate) the banding configuration on the bands state

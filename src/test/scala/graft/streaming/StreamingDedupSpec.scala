@@ -191,6 +191,67 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("continuous components: cross-batch merges resolve through the alias, " +
+      "labels never rewrite, compaction folds the alias away") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val labels = "scc_labels"; val alias = "scc_alias"
+    val ckpt = Files.createTempDirectory("graft-scc-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $labels")
+    spark.sql(s"DROP TABLE IF EXISTS $alias")
+    val input = MemoryStream[(Long, Long)]
+    @volatile var merges = Vector.empty[(Long, Long)]
+    val q = StreamingDedup.componentStream(
+      input.toDF().toDF("u", "v"), labels, alias, buckets = 4,
+      ckpt.toString,
+      sink = ds => merges ++= ds.collect().toVector
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+    def resolved(): Map[Long, Long] =
+      StreamingDedup.resolvedComponents(spark, labels, alias)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    try {
+      // batch 0: two separate components
+      input.addData((1L, 2L), (3L, 4L))
+      q.processAllAvailable()
+      merges.toSet shouldBe Set((2L, 1L), (4L, 3L))
+      resolved() shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L)
+      // batch 1: a bridge merges them — the OLD root 3 must re-root to
+      // 1 via the alias, with no labels rewrite
+      input.addData((2L, 3L))
+      q.processAllAvailable()
+      merges.toSet shouldBe Set((2L, 1L), (4L, 3L), (3L, 1L))
+      resolved() shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+      // labels rows still carry their ORIGINAL append-time values
+      spark.table(labels).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+        .apply(4L) shouldBe 3L
+      // batch 2: a fresh pair attaches through an old member — 5 and 6
+      // land in component 1 the batch they arrive
+      input.addData((5L, 6L), (4L, 5L))
+      q.processAllAvailable()
+      resolved() shouldBe (1L to 6L).map(_ -> 1L).toMap
+      // the final state equals the batch union-find over ALL edges
+      val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (5L, 6L), (4L, 5L))
+        .toDF("doc1", "doc2")
+      val batchLabels = graft.operators.Dedup.componentLabels(spark, all)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      resolved() shouldBe batchLabels
+      // the alias is FLAT: no dst ever appears as a src
+      val a = spark.table(alias).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      a.map(_._2).toSet.intersect(a.map(_._1).toSet) shouldBe Set.empty
+      // scheduled compaction folds the alias into labels; reads agree
+      StreamingDedup.compactComponents(spark, labels, alias, 4)
+      spark.table(alias).count() shouldBe 0L
+      resolved() shouldBe batchLabels
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $labels")
+      spark.sql(s"DROP TABLE IF EXISTS $alias")
+    }
+  }
+
   test("streaming prefix join: in-batch and cross-batch pairs emit with exact " +
       "jaccard, the whole corpus folds into state, compaction keeps it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
