@@ -502,6 +502,21 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should include ("partial_sum") // map-side combine of the counters
   }
 
+  test("dup-span removal applies via a higher-order filter — the ONLY " +
+      "generator is the window-fingerprint posexplode, never a per-token " +
+      "explode on the apply side") {
+    val p = plan("llm_dup_spans_apply")
+    // ZERO Generate nodes in the apply plan: the window-fingerprint
+    // posexplode runs once inside the checkpointed wfp branch, and the
+    // APPLY side is a codegen'd transform/filter projection over the
+    // doc-keyed span join — any Generate here would mean the cleaned
+    // corpus is being built by exploding every token, the shape the
+    // operator exists to avoid (the oracle restates it that way; the
+    // Spark side must not)
+    countOccurrences(p, "Generate") shouldBe 0
+    p should include ("transform")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
