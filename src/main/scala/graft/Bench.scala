@@ -37,6 +37,43 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
   }
+  /** Settled-band TOPS per headliner: the upper edge of each query's
+    * quiet-machine median band, from BASELINE.md's settled records
+    * (r07-r09 closes) re-checked by the round-10 calibration run.
+    * These feed the band trigger only — they are never subtracted
+    * from or substituted for a measured time. Deliberately generous
+    * (band TOP, and the trigger adds a further bandFactor margin):
+    * a breach means "all passes look inflated vs every quiet record
+    * we have", which is exactly when decorrelated extra samples are
+    * worth their cost. */
+  private[graft] val settledBandTop: Map[String, Double] = Map(
+    "agg_f2_sketch" -> 2.9,
+    "dedup_clusters" -> 2.8,
+    "dedup_incremental_near" -> 1.9,
+    "dedup_ngram_jaccard_banded" -> 1.6,
+    "dedup_prefix_filter_join" -> 2.6,
+    "evt_peak_concurrency" -> 1.9,
+    "evt_windowed_agg" -> 0.4,
+    "llm_bm25_topk" -> 1.4,
+    "llm_bpe_learn" -> 1.9,
+    "llm_dsir_weights" -> 1.2,
+    "llm_dup_spans" -> 1.9,
+    "llm_gopher_rules" -> 3.4,
+    "llm_heavy_hitters" -> 1.1,
+    "llm_repeated_spans" -> 1.5,
+    "llm_textrank" -> 2.2,
+    "llm_token_count" -> 0.3,
+    "llm_winnowing" -> 1.4,
+    "q1_pricing_summary" -> 1.1,
+    "q3_shipping_priority" -> 0.9,
+    "q5_local_supplier" -> 1.0,
+    "q6_revenue_forecast" -> 0.3,
+    "q_topk_aggregate" -> 0.8,
+    "q_zorder_layout" -> 5.0,
+    "ref_tail_offsets" -> 0.6,
+    "sim_ann_ivfpq" -> 1.4,
+    "sim_topk_bruteforce" -> 0.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,13 +148,29 @@ object Bench {
     // high-spread queries pay, at most 2 extra reps each.
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD", "3.0").toDouble
     val extraReps = math.max(0, sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt)
+    // Band-triggered extra passes: the spread trigger is blind to
+    // UNIFORM elevation — an ambient window spanning ALL passes keeps
+    // max/min under 3x while every sample is inflated (r09:
+    // llm_repeated_spans 2.66/3.44/1.88, spread 1.83, median 2.66 vs
+    // its settled 1.2-1.5 band, code byte-unchanged). Each headliner
+    // carries its settled-band TOP (quiet-machine medians from
+    // BASELINE.md's settled records + the round-10 calibration run);
+    // when the cross-pass median breaches bandFactor x bandTop, the
+    // same solo extra passes fire even at low spread. A genuine plan
+    // regression stays elevated through the extra passes and still
+    // reports high — the band only buys decorrelated samples, never
+    // forgiveness. Queries without an entry (new this round) rely on
+    // the spread trigger alone until a settled record prices them.
+    val bandFactor = sys.env.getOrElse("SPARK_GRAFT_BAND_FACTOR", "1.5").toDouble
     val results = names.map { name =>
       val base = passTimes.map(_(name))
       if (base.exists(_ < 0)) name -> (-1.0, base)
       else {
         val spread = base.max / math.max(base.min, 1e-9)
+        val bandBreach = Bench.settledBandTop.get(name)
+          .exists(top => median(base) > bandFactor * top)
         val times =
-          if (reps < 2 || spread <= spreadLimit) base
+          if (reps < 2 || (spread <= spreadLimit && !bandBreach)) base
           else base ++ (1 to extraReps).map { _ =>
             val t0 = System.nanoTime()
             val t =

@@ -1021,19 +1021,27 @@ object CorpusAssembly extends QueryPack {
     // Docs stream in the deterministic shuffle order; a doc is taken
     // while the cumulative token count BEFORE it is inside the budget
     // (the straddling doc is included, matching how sequence packing
-    // consumes it). One window scan per language — the same (lang,
-    // shard) sub-partitioning note as llm_seq_packing at 100 TB, with
-    // per-shard budgets summing to the language budget.
+    // consumes it). The running sum is Relational.keyedPrefixSum —
+    // range partition on (lang, h, doc_id), per-(partition, lang)
+    // offsets through the driver (O(parts + langs) rows), prefix as a
+    // pure projection — so a language's scan parallelizes across as
+    // many partitions as its data needs; no per-language single-task
+    // window anywhere in the plan (PlanShapeSpec gates WindowExec out).
     "llm_token_budget" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"lang").orderBy($"h", $"doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
+        // the per-lang running sum rides Relational.keyedPrefixSum
+        // (range partition on (lang, h, doc_id) + per-key offsets) —
+        // a lang spans as many partitions as its size demands, never
+        // the single-task-per-lang window this query shipped with
+        // through round 9; cum_before is the EXCLUSIVE prefix, i.e.
+        // the inclusive psum minus the row's own tokens
+        val t = Tables.documents(s, d)
           .withColumn("n_tokens", size(tokens).cast(LongType))
           .withColumn("h", expr(shuffleHashExpr))
-          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        Relational.keyedPrefixSum(s, t, "lang",
+            Seq($"h", $"doc_id"), "n_tokens")
+          .withColumn("cum_before", $"psum" - $"n_tokens")
           .filter($"cum_before" < TokenBudget)
           .select($"doc_id", $"lang", $"n_tokens", $"cum_before")
           .orderBy($"doc_id")
@@ -1068,9 +1076,9 @@ object CorpusAssembly extends QueryPack {
     // shuffle order, counting CANDIDATE tokens only — dropped docs
     // must not consume budget), else `kept`. All three stages fold
     // into ONE corpus pass: the sha window, the quality predicates,
-    // and the budget's conditional running sum share the checkpointed
-    // scan; at 100 TB the per-language window sub-shards by
-    // (lang, shard) exactly as llm_token_budget documents. Stage
+    // and the budget's conditional running sum (keyedPrefixSum with
+    // value 0 for non-candidates — a lang spans as many partitions as
+    // its size demands, no single-task-per-lang window). Stage
     // PRECEDENCE is part of the contract (a duplicate that also fails
     // quality reads `duplicate`), and the oracle re-derives the whole
     // ledger including the precedence.
@@ -1404,12 +1412,17 @@ object CorpusAssembly extends QueryPack {
           $"alpha_ratio" < 0.6 ||
           !$"n_tokens".between(20, 5000), "quality")
         .otherwise("candidate"))
-    val wB = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    labeled
-      .withColumn("cum_before", coalesce(
-        sum(when($"status0" === "candidate", $"n_tokens")).over(wB),
-        lit(0L)))
+    // budget stage: per-lang running sum of CANDIDATE tokens only via
+    // Relational.keyedPrefixSum (range partition on (lang, h, doc_id)
+    // + per-key offsets — a lang spans as many partitions as its size
+    // demands, never a single-task-per-lang window); non-candidates
+    // carry value 0 so they consume no budget, and the EXCLUSIVE
+    // prefix is the inclusive psum minus the row's own contribution
+    val valued = labeled.withColumn("bv",
+      when($"status0" === "candidate", $"n_tokens").otherwise(0L))
+    Relational.keyedPrefixSum(s, valued, "lang",
+        Seq($"h", $"doc_id"), "bv")
+      .withColumn("cum_before", $"psum" - $"bv")
       .select($"doc_id", $"lang", $"n_tokens",
         when($"status0" =!= "candidate", $"status0")
           .when($"cum_before" >= TokenBudget, "budget")

@@ -735,8 +735,13 @@ object Dedup extends QueryPack {
               .cast(DoubleType)).as("jaccard"))
     // cross-batch: batch prefixes meet the fp-bucketed state ON its
     // bucketing — zero exchange on the state scan (BucketingSpec gate)
+    // the doc-id inequality guard makes at-least-once replay safe: if
+    // this batch was already folded into state, a document meets its
+    // own persisted copy here — without the guard that emits a
+    // degenerate (A, A, 1.0) pair violating the doc_a < doc_b contract
     val candState = pref.as("i")
       .join(s.table(prefixTable).as("st"), $"i.fp" === $"st.fp" &&
+        $"i.doc_id" =!= $"st.doc_id" &&
         lenOk($"i.n", $"st.n") &&
         posOk($"i.n", $"i.r", $"st.n", $"st.r"))
       .select($"i.doc_id".as("id1"), $"st.doc_id".as("id2"))

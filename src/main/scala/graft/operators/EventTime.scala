@@ -78,12 +78,28 @@ object EventTime extends QueryPack {
     * per-partition scan + broadcast offsets — never a single-task
     * window); the first boundary crossing is one min(struct) aggregate.
     * Two passes per variant (prefix + rank) — a fused deployment
-    * computes both in the one partition scan; variants here are 2. */
+    * computes both in the one partition scan. The variant list is
+    * derived FROM the data (one distinct aggregate, O(#variants)
+    * driver rows), so an absent parity class emits no row — matching
+    * the oracle's GROUP BY — instead of a null-aggregate row. */
   private[operators] def sprtDecisions(
       s: org.apache.spark.sql.SparkSession,
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val perVariant = Seq(0L, 1L).map { vv =>
+    val variants = ev.select($"variant").distinct().orderBy($"variant")
+      .collect().map(_.getLong(0)).toSeq
+    if (variants.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("variant", LongType),
+          StructField("n_events", LongType),
+          StructField("n_success", LongType),
+          StructField("llr_end_micro", LongType),
+          StructField("decision", StringType),
+          StructField("decided_at_n", LongType),
+          StructField("llr_at_decision_micro", LongType))))
+    val perVariant = variants.map { vv =>
       val one = ev.filter($"variant" === vv)
         .withColumn("v", when($"succ" === 1L, lit(SprtStepSucc))
           .otherwise(lit(SprtStepFail)))

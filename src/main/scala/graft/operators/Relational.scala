@@ -112,7 +112,8 @@ object Relational extends QueryPack {
     * W-wide buckets, the final W-ALIGNED histogram (cents div W — the
     * output contract, not the narrowed offsets) locates the k-th
     * row's bucket, the full-bucket count is reconstructed (plus one
-    * 1-row count when the narrowed range cuts into the bucket's head),
+    * 1-row count per side when the narrowed range cuts into the
+    * bucket's head or tail),
     * and [[globalRank]] ranks ONLY that bucket to project the value.
     * Rounds share histograms across the requested percentiles via
     * memoization — at most O(log_B(domain/W)) aggregate passes total.
@@ -170,7 +171,16 @@ object Relational extends QueryPack {
           collected(v.filter($"cents" >= bucket * W && $"cents" < lo)
             .agg(count(lit(1)).as("c")))(0).getLong(0)
         else 0L
-      val bucketCount = hf(i)._2 + headCnt
+      // rows of this W-bucket ABOVE the narrowed range (the range cut
+      // into the bucket's tail) — symmetric to headCnt; no offset
+      // adjustment needed because these rows rank after the k-th
+      val tailCnt =
+        if (bucket == hi / W && (hi + 1L) % W != 0L)
+          collected(v.filter($"cents" > hi &&
+              expr(s"cents div $W") === lit(bucket))
+            .agg(count(lit(1)).as("c")))(0).getLong(0)
+        else 0L
+      val bucketCount = hf(i)._2 + headCnt + tailCnt
       val offset = k - (cum - headCnt)
       globalRank(s,
           v.filter(expr(s"cents div $W") === lit(bucket)), Seq($"cents"))
@@ -396,6 +406,72 @@ object Relational extends QueryPack {
     withLocal.join(broadcast(offsetDf), Seq("__ps_pid"))
       .withColumn("psum", $"__ps_local" + $"__ps_off")
       .drop("__ps_pid", "__ps_local", "__ps_off")
+  }
+
+  /** PER-KEY distributed inclusive prefix sum — the grouped sibling of
+    * [[globalPrefixSum]], built like [[groupNtile]]: a window
+    * `SUM(v) OVER (PARTITION BY key ORDER BY ...)` funnels each key
+    * through ONE task, so a handful of large keys (languages, tenants)
+    * serializes the whole job; here the data is range-partitioned on
+    * (key, sortCols) — a key spans as many partitions as its size
+    * demands — each partition accumulates its LOCAL per-key prefix in
+    * one ordered pass (resetting at key changes; the range sort keeps
+    * every key's rows contiguous), the per-(partition, key) totals go
+    * to the driver (O(partitions + distinct keys) rows, the loud cap
+    * below), are exclusive-scanned per key in partition order, and
+    * broadcast back so the global per-key prefix is local + offset.
+    * Zero shuffles beyond the range partition. `grp` must name a
+    * non-null string column; `valueCol` a Long column; `sortCols`
+    * must total-order rows WITHIN a key (unique tiebreak). `probe`
+    * observes the driver collect's row count (spec gate). */
+  private[operators] def keyedPrefixSum(
+      s: SparkSession, df: DataFrame, grp: String, sortCols: Seq[Column],
+      valueCol: String, probe: Int => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    require(!df.columns.contains("psum"),
+      "keyedPrefixSum: input already has a 'psum' column — rename it")
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val keys = col(grp) +: sortCols
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__kp_pid", spark_partition_id())
+    val gIdx = sorted.schema.fieldIndex(grp)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = sorted.schema.add("__kp_local", LongType)
+    val withLocal = sorted.mapPartitions { it =>
+      var cur: String = null
+      var acc = 0L
+      it.map { r =>
+        val g = r.getString(gIdx)
+        if (g != cur) { cur = g; acc = 0L }
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .localCheckpoint(true) // totals job + the output projection
+    val ext = withLocal.groupBy($"__kp_pid", col(grp).as("__kp_grp"))
+      .agg(sum(col(valueCol)).as("tot"))
+      .orderBy($"__kp_pid", $"__kp_grp").collect()
+    probe(ext.length)
+    require(ext.length <= (1 << 20),
+      "keyedPrefixSum: over 1M (partition, key) slices — the driver-side " +
+        "extent list assumes O(partitions + keys) stays small; this " +
+        "grouping is too fine for the prefix-sum mechanism")
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val offRows = ext.map { r => // ext is (pid, key)-ordered
+      val (pid, g, tot) = (r.getInt(0), r.getString(1), r.getLong(2))
+      val off = running.getOrElse(g, 0L)
+      running(g) = off + tot
+      (pid, g, off)
+    }.toSeq
+    val offDf = offRows.toDF("__kp_pid", "__kp_grp", "__kp_off")
+    withLocal.join(broadcast(offDf),
+        withLocal("__kp_pid") === offDf("__kp_pid") &&
+          col(grp) === offDf("__kp_grp"))
+      .drop(offDf("__kp_pid"))
+      .withColumn("psum", $"__kp_local" + $"__kp_off")
+      .drop("__kp_pid", "__kp_grp", "__kp_local", "__kp_off")
   }
 
   override val queries: Map[String, QueryDef] = Map(

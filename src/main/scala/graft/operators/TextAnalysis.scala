@@ -189,10 +189,16 @@ object TextAnalysis extends QueryPack {
     * (min(doc_id) rides the existing groupBy for free), islands are a
     * per-doc window over duplicated positions only, and the apply is
     * ONE equality join of the corpus against the doc-keyed span lists
-    * (tiny relative to the corpus) followed by a codegen'd
-    * higher-order-function projection — map-only, no per-token
-    * explode on the Spark side. Islands are disjoint by construction,
-    * so each token index is covered by at most one span. Exposed for
+    * (tiny relative to the corpus) followed by the native compiled
+    * [[graft.functions.SpanCut]] projection — map-only, no per-token
+    * explode on the Spark side, O(tokens + spans) per doc. Spans MAY
+    * overlap (islands whose gram positions sit closer than the
+    * 8-token window yield overlapping [s_lo, s_hi) intervals); a
+    * token is dropped iff it falls inside ANY span — union coverage,
+    * insensitive to overlap, identical in both engines. The prior HOF
+    * formulation (per-token `exists` over the span array) ran
+    * interpreted (CodegenFallback) at O(tokens × spans) — the A/B
+    * that retired it is in BASELINE.md. Exposed for
     * TextAnalysisSpec's planted-duplicate gates. */
   private[operators] def dupSpansApply(docs: DataFrame, minLen: Int): DataFrame = {
     val s = docs.sparkSession
@@ -233,18 +239,16 @@ object TextAnalysis extends QueryPack {
     toks.join(spanArr, Seq("doc_id"), "left")
       .select($"doc_id",
         size($"tokens").cast(LongType).as("n_tokens"),
-        // spans IS NULL guards the untouched majority: `not exists`
-        // over a null array is null, which `filter` would read as
-        // drop-everything
-        expr("""transform(
-                  filter(transform(tokens, (t, i) -> struct(t as t, i as i)),
-                         x -> spans is null or
-                              not exists(spans, sp -> x.i >= sp.s_lo
-                                                  and x.i <  sp.s_hi)),
-                  x -> x.t)""").as("kept"))
+        // the left join leaves the untouched majority with NULL spans;
+        // SpanCut is null-intolerant, so map that to the empty span
+        // list (= keep every token) before the compiled sweep
+        graft.functions.SpanCut.span_cut($"tokens",
+          coalesce($"spans",
+            expr("cast(array() as array<struct<s_lo: bigint, s_hi: bigint>>)")))
+          .as("sc"))
       .select($"doc_id", $"n_tokens",
-        size($"kept").cast(LongType).as("n_tokens_clean"),
-        concat_ws(" ", $"kept").as("clean_text"))
+        $"sc".getField("n_kept").as("n_tokens_clean"),
+        $"sc".getField("clean_text").as("clean_text"))
       .orderBy($"doc_id")
   }
 

@@ -201,4 +201,48 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .select(graft.functions.VectorExprs.pqAdcSum($"codes", $"lut"))
       .collect().foreach(_.isNullAt(0) shouldBe true)
   }
+
+  test("SpanCut equals the HOF filter/exists formulation it replaced, " +
+      "including OVERLAPPING spans (union coverage)") {
+    import spark.implicits._
+    val cases: Seq[(Seq[String], Seq[(Long, Long)])] = Seq(
+      // overlapping pair: [1,4) ∪ [3,6) covers {1..5} — a per-span
+      // disjointness assumption would double-drop or mis-splice here
+      (Seq("a", "b", "c", "d", "e", "f", "g", "h"), Seq((1L, 4L), (3L, 6L))),
+      (Seq("a", "b", "c"), Seq.empty),                  // no spans: keep all
+      (Seq("a", "b", "c"), Seq((0L, 3L))),              // cut everything
+      (Seq("a", "b", "c", "d"), Seq((0L, 1L), (3L, 9L))), // hi past end
+      (Seq("a", "b", "c", "d", "e"), Seq((1L, 2L), (1L, 4L))), // same lo
+      (Seq.empty, Seq.empty),                           // empty doc
+      (Seq("x"), Seq((5L, 7L))),                        // span beyond doc
+      (Seq("a", null, "c"), Seq((2L, 3L))))             // null token kept
+    val df = cases.zipWithIndex
+      .map { case ((t, sp), i) => (i.toLong, t, sp) }
+      .toDF("id", "tokens", "sp")
+      .select($"id", $"tokens", expr(
+        "transform(sp, x -> struct(x._1 as s_lo, x._2 as s_hi))").as("spans"))
+      .localCheckpoint(true)
+    val got = df
+      .select($"id", SpanCut.span_cut($"tokens", $"spans").as("sc"))
+      .select($"id", $"sc.n_kept", $"sc.clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    val hof = df
+      .select($"id", expr(
+        """transform(
+             filter(transform(tokens, (t, i) -> struct(t as t, i as i)),
+                    x -> not exists(spans, sp -> x.i >= sp.s_lo
+                                             and x.i <  sp.s_hi)),
+             x -> x.t)""").as("kept"))
+      .select($"id",
+        org.apache.spark.sql.functions.size($"kept").cast("long"),
+        concat_ws(" ", $"kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    got shouldBe hof
+    // the overlap case, pinned by value: {1..5} cut from 8 tokens
+    got(0) shouldBe (0L, 3L, "a g h")
+    // null token: counted kept (size semantics), skipped in the join
+    got(7) shouldBe (7L, 2L, "a")
+  }
 }

@@ -277,10 +277,26 @@ class BucketingSpec extends AnyFunSuite with Matchers {
       } yield (i, j)).toSet
       expected should not be empty
       op.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+
+      // at-least-once replay safety: fold the SAME batch into state and
+      // re-run — a document now meets its own persisted copy, and the
+      // doc-id inequality guard must keep the degenerate (A, A, 1.0)
+      // pair out while every real pair still satisfies doc_a < doc_b
+      Bucketing.writeBucketed(Dedup.fixedOrderPrefix(all),
+        "b_pfx_posts_rp", "fp", 4)
+      Bucketing.writeBucketed(all, "b_pfx_fps_rp", "doc_id", 4)
+      val replay = Dedup.prefixIncrementalAgainstState(
+          spark, inc, "b_pfx_posts_rp", "b_pfx_fps_rp",
+          incPrefix = Some(pref))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      replay.foreach { case (a, b) => a should be < b }
+      replay.toSet shouldBe expected
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_pfx_posts")
       spark.sql("DROP TABLE IF EXISTS b_pfx_fps")
+      spark.sql("DROP TABLE IF EXISTS b_pfx_posts_rp")
+      spark.sql("DROP TABLE IF EXISTS b_pfx_fps_rp")
     }
   }
 

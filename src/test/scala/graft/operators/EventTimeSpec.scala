@@ -991,6 +991,15 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
         r.getString(4), r.getLong(5), r.getLong(6)))
     got(0) shouldBe (0L, 100L, 100L, 100L * a, "accept_h1", nUp, nUp * a)
     got(1) shouldBe (1L, 100L, 0L, 100L * b, "accept_h0", nDn, nDn * b)
+    // absent parity class: a corpus with only variant 0 emits ONE row
+    // (the oracle's GROUP BY shape), never a null-aggregate row for
+    // the missing variant; the empty corpus emits zero rows
+    val solo = EventTime.sprtDecisions(spark,
+      ev.filter($"variant" === 0L)).collect()
+    solo.map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    solo(0).getString(4) shouldBe "accept_h1"
+    EventTime.sprtDecisions(spark, ev.filter($"variant" === 99L))
+      .collect() shouldBe empty
     // and the real query's walk agrees with a sequential replay
     val events = Tables.events(spark, sf)
       .selectExpr("user_id % 2 as variant", "ts div 1000 as tus", "event_id",

@@ -502,19 +502,40 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should include ("partial_sum") // map-side combine of the counters
   }
 
-  test("dup-span removal applies via a higher-order filter — the ONLY " +
+  test("dup-span removal applies via the native span-cut sweep — the ONLY " +
       "generator is the window-fingerprint posexplode, never a per-token " +
       "explode on the apply side") {
     val p = plan("llm_dup_spans_apply")
     // ZERO Generate nodes in the apply plan: the window-fingerprint
     // posexplode runs once inside the checkpointed wfp branch, and the
-    // APPLY side is a codegen'd transform/filter projection over the
+    // APPLY side is the compiled graft_span_cut sweep over the
     // doc-keyed span join — any Generate here would mean the cleaned
     // corpus is being built by exploding every token, the shape the
     // operator exists to avoid (the oracle restates it that way; the
-    // Spark side must not)
+    // Spark side must not). The HOF transform/filter/exists chain it
+    // replaced was CodegenFallback (interpreted, O(tokens × spans));
+    // asserting its ABSENCE pins the A/B outcome
     countOccurrences(p, "Generate") shouldBe 0
-    p should include ("transform")
+    p should include ("graft_span_cut")
+    p should not include "exists"
+  }
+
+  test("token budget runs zero Window nodes — the per-lang running sum " +
+      "is the keyed prefix sum, never a single-task-per-lang window") {
+    val p = plan("llm_token_budget")
+    countOccurrences(p, "Window") shouldBe 0
+  }
+
+  test("curation ledger's final plan runs zero Window nodes — the " +
+      "per-lang budget sum is the keyed prefix sum, never a whole-lang " +
+      "window") {
+    // the only window in the ledger is min(doc_id) over the sha256
+    // groups (per-duplicate-set, ~1-2 rows per group — shuffled on a
+    // high-cardinality key, no single-task funnel), and it executes
+    // inside keyedPrefixSum's checkpointed scan job; the FINAL plan —
+    // where the per-lang budget window lived through round 9 — must
+    // carry no Window node at all
+    countOccurrences(plan("llm_curation_pipeline"), "Window") shouldBe 0
   }
 
   private def countOccurrences(s: String, sub: String): Int =

@@ -285,6 +285,37 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.values.min should be < 0L
   }
 
+  test("keyedPrefixSum equals the per-key window formulation; driver " +
+      "collect stays O(partitions + keys)") {
+    import spark.implicits._
+    // 5 keys x 2000 rows each: every key spans MANY range partitions
+    // (the single-task-per-key window shape this primitive retires),
+    // values include zeros, sort key (s, id) is a total order per key
+    val rows = (0 until 10000).map { i =>
+      (s"k${i % 5}", ((i * 7919) % 100000).toLong, i.toLong,
+        ((i * 31) % 997 - 100).toLong)
+    }
+    val df = rows.toDF("grp", "s", "id", "v")
+    var maxCollect = 0
+    val got = Relational.keyedPrefixSum(spark, df, "grp",
+        Seq($"s", $"id"), "v", sz => maxCollect = math.max(maxCollect, sz))
+      .select($"grp", $"id", $"psum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(t => (t._2, t._3)).scanLeft(("", 0L, 0L)) {
+        case ((_, _, acc), (_, _, id, v)) => (g, id, acc + v)
+      }.drop(1).map(t => (t._1, t._2) -> t._3)
+    }
+    got shouldBe expected
+    // range partitioning keeps every key's rows contiguous, so the
+    // (partition, key) slice list is bounded by parts + keys - 1 —
+    // O(partitions + keys), never O(partitions x keys)
+    maxCollect should be <= (spark.sparkContext.defaultParallelism + 5)
+    // zero Window nodes anywhere in the mechanism (the point)
+    Relational.keyedPrefixSum(spark, df, "grp", Seq($"s", $"id"), "v")
+      .queryExecution.executedPlan.toString should not include "Window"
+  }
+
   test("q_fk_audit covers every star-schema edge with correct child " +
       "counts and a referentially-sound fixture reports all zeros") {
     val got = graft.SparkEntry.queries("q_fk_audit")(spark, sf)
@@ -795,5 +826,13 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     // keep EVERY collect <= B+1 = 129 rows
     val wide = (0 until 1000).map(i => (i * 999999999989L) % 1000000000000L)
     check(wide) should be <= 129
+    // straddled-tail reconstruction: the narrowed range's upper edge
+    // cuts INTO the k-th row's W-bucket (hi = 15625 lands mid-bucket 1,
+    // excluding 15630 from histAligned); bucket_count must still be the
+    // full global count of bucket 1 = {15620, 15630} = 2
+    check(Seq(0L, 15620L, 15630L, 2000000L)) should be <= 129
+    // and the symmetric head+tail cut on a denser straddled bucket
+    check(Seq(5L, 9990L, 10010L, 15620L, 15630L, 19990L, 2000000L,
+      2000005L)) should be <= 129
   }
 }
