@@ -124,6 +124,65 @@ object EventTime extends QueryPack {
     perVariant.reduce(_ unionByName _).orderBy($"variant")
   }
 
+  /** The 5-round power iteration behind `evt_markov_stationary`, over
+    * any (src, dst, n) transition-count frame — exposed for
+    * EventTimeSpec's planted-dangling-state mass-conservation gate.
+    * Integer nano fixed point (1e9 ≙ 1); per round: one edge join +
+    * map-side-combined sum for the inflow, one O(1)-row aggregate of
+    * the mass sitting on DANGLING states (no outgoing edges),
+    * redistributed uniformly as D div k to every state (the PageRank
+    * treatment — total mass stays 1e9 up to floor losses and no
+    * state's mass vanishes into an absorbing sink). The new π covers
+    * the FULL state list via left join, so zero-inflow states carry
+    * their redistribution share. */
+  private[operators] def markovStationary(
+      s: org.apache.spark.sql.SparkSession,
+      cells0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cells = cells0.localCheckpoint(true) // row sums + states + rounds
+    val rowSums = cells.groupBy($"src").agg(sum($"n").as("n_out"))
+      .localCheckpoint(true)
+    val edges = cells.join(rowSums, Seq("src"))
+      .localCheckpoint(true)
+    val states = cells.select($"src".as("state"))
+      .unionByName(cells.select($"dst".as("state"))).distinct()
+      .localCheckpoint(true)
+    val k = states.count()
+    var pi = states
+      .select($"state", lit(1000000000L / k).as("pi_nano"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val contrib = pi.join(edges, $"state" === $"src")
+        .select($"dst".as("state"),
+          expr("pi_nano * n div n_out").as("c"))
+        .groupBy($"state").agg(sum($"c").as("cin"))
+      val dang = pi
+        .join(rowSums.select($"src".as("state")), Seq("state"), "left_anti")
+        .agg(coalesce(sum($"pi_nano"), lit(0L)).as("dm")) // ONE row
+      pi = states.join(contrib, Seq("state"), "left")
+        .crossJoin(broadcast(dang))
+        .select($"state",
+          (coalesce($"cin", lit(0L)) + expr(s"dm div $k")).as("pi_nano"))
+        .localCheckpoint(true)
+    }
+    pi.join(rowSums.select($"src".as("state"), $"n_out"),
+        Seq("state"), "left")
+      .select($"state", $"pi_nano",
+        coalesce($"n_out", lit(0L)).as("n_out"))
+      .orderBy($"state")
+  }
+
+  /** The exact α=0.05 two-sample KS verdict behind `evt_ks_drift`:
+    * reject ⇔ 10⁸·d_num² > 1.3581²·10⁸·(n_A+n_B)·n_A·n_B, evaluated
+    * in unbounded integer arithmetic so the decision boundary has NO
+    * width ceiling (the in-plan DECIMAL(38) spelling this replaced
+    * overflowed past n_A·n_B ≈ 10¹⁵). Runs on the driver over the
+    * single aggregate row — O(1) work at any corpus size. Exposed
+    * for EventTimeSpec's past-the-ceiling boundary gates. */
+  private[operators] def ksReject(nA: Long, nB: Long, dNum: BigInt): Boolean =
+    BigInt(100000000L) * dNum * dNum >
+      BigInt(184443561L) * (BigInt(nA) + BigInt(nB)) * BigInt(nA) * BigInt(nB)
+
   /** Theil–Sen robust trend over an (x, y) LongType series — the
     * machinery behind `evt_theil_sen`, exposed for EventTimeSpec's
     * planted-outlier gate. Median selection is DETERMINISTIC: pairs
@@ -682,14 +741,19 @@ object EventTime extends QueryPack {
     // rounds. The state space is the event-type alphabet (≤5 here) —
     // the plan is the iterative-join shape that scales to vocab-sized
     // chains; at 10^12 transitions you'd pre-normalize P once to nano
-    // fractions to keep the per-edge product bounded. Convention for
-    // DANGLING states (appearing only as dst, no outgoing edges): the
-    // inner join drops their mass each round — the absorbing-discard
-    // reading; a PageRank-style deployment would instead redistribute
-    // it uniformly (one extra broadcast scalar per round). No state is
-    // dangling in the fixture, so both conventions coincide here.
-    // Floor losses bound Σπ within rounds·edges nano of 1e9 (each
-    // round loses < 1 nano per edge; spec-gated at that bound).
+    // fractions to keep the per-edge product bounded. DANGLING states
+    // (appearing only as dst, no outgoing edges) get the PageRank
+    // treatment: their round mass D is redistributed uniformly —
+    // every state receives D div k — so total mass stays pinned at
+    // 1e9 nanos (up to floor losses) and no state's mass silently
+    // vanishes into an absorbing sink. Cost: one O(1)-row dangling
+    // aggregate broadcast per round; the new π is built over the FULL
+    // state list (left join on contributions), so a state with no
+    // inflow carries its redistribution share instead of dropping out.
+    // Floor losses bound Σπ within rounds·(edges + k) nano of 1e9
+    // (each round loses < 1 nano per edge plus < k nano of dangling
+    // remainder; spec-gated at that bound with a PLANTED dangling
+    // state).
     "evt_markov_stationary" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -701,40 +765,26 @@ object EventTime extends QueryPack {
           .filter($"prev_type".isNotNull)
           .groupBy($"prev_type".as("src"), $"event_type".as("dst"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // row sums + states + 5 rounds
-        val rowSums = cells.groupBy($"src").agg(sum($"n").as("n_out"))
-        val edges = cells.join(rowSums, Seq("src"))
-          .localCheckpoint(true)
-        val states = cells.select($"src".as("state"))
-          .unionByName(cells.select($"dst".as("state"))).distinct()
-          .localCheckpoint(true)
-        val k = states.count()
-        var pi = states
-          .select($"state", lit(1000000000L / k).as("pi_nano"))
-          .localCheckpoint(true)
-        for (_ <- 1 to 5) {
-          pi = pi.join(edges, $"state" === $"src")
-            .select($"dst".as("state"),
-              expr("pi_nano * n div n_out").as("c"))
-            .groupBy($"state").agg(sum($"c").as("pi_nano"))
-            .localCheckpoint(true)
-        }
-        pi.join(rowSums.select($"src".as("state"), $"n_out"),
-            Seq("state"), "left")
-          .select($"state", $"pi_nano",
-            coalesce($"n_out", lit(0L)).as("n_out"))
-          .orderBy($"state")
+        markovStationary(s, cells)
       },
       oracle = Some {
         val rounds = (1 to 5).map { r =>
           val p = r - 1
           s""",
+        dang$p AS (
+          SELECT CAST(COALESCE(SUM(pi_nano), 0) AS BIGINT) AS dm
+          FROM pi$p WHERE state NOT IN (SELECT src FROM rs)),
         pi$r AS (
-          SELECT e.dst AS state,
-                 CAST(SUM(pi$p.pi_nano * e.n // e.n_out) AS BIGINT)
+          SELECT st.state,
+                 CAST(COALESCE(c.cin, 0) + dang$p.dm // cnt.k AS BIGINT)
                    AS pi_nano
-          FROM pi$p JOIN e ON e.src = pi$p.state
-          GROUP BY e.dst)"""
+          FROM states st
+          LEFT JOIN (
+            SELECT e.dst AS state,
+                   CAST(SUM(pi$p.pi_nano * e.n // e.n_out) AS BIGINT)
+                     AS cin
+            FROM pi$p JOIN e ON e.src = pi$p.state
+            GROUP BY e.dst) c ON c.state = st.state, dang$p, cnt)"""
         }.mkString
         s"""
         WITH t AS (
@@ -2533,16 +2583,19 @@ object EventTime extends QueryPack {
     // windows), and D is the max of |n_B·cumA − n_A·cumB| as an exact
     // integer — D's rational is (d_num, n_A·n_B). The α=0.05 verdict
     // avoids the sqrt in the critical value c(α)√((n_A+n_B)/(n_A·n_B))
-    // by squaring: reject ⇔ 10⁸·d_num² > 1.3581²·10⁸·(n_A+n_B)·d_den
-    // — one exact DECIMAL(38) comparison both engines evaluate
-    // identically. Argmax tie → smallest value (max-struct idiom).
-    // Width bound: d_num can reach n_A·n_B, so the squared left side
-    // needs ~8 + 2·log₁₀(n_A·n_B) digits — exact in DECIMAL(38) /
-    // HUGEINT up to n_A·n_B ≈ 10¹⁵ (~3·10⁷ rows PER SIDE, far above
-    // any per-day value census this query feeds on). Past that, reduce
-    // d_num/d_den by their gcd before squaring (the verdict is scale-
-    // invariant in the rational) — a two-literal change, left out here
-    // to keep the hot path one comparison.
+    // by squaring: reject ⇔ 10⁸·d_num² > 1.3581²·10⁸·(n_A+n_B)·d_den.
+    // Argmax tie → smallest value (max-struct idiom). The squared
+    // verdict is evaluated in UNBOUNDED integer arithmetic ([[ksReject]],
+    // BigInt) on the driver over the ONE aggregate row the distributed
+    // plan produces — an O(1) driver materialization, so the decision
+    // boundary is exact at ANY row count (d_num² · 10⁸ needs ~8 +
+    // 2·log₁₀(n_A·n_B) digits, which outgrows DECIMAL(38) past
+    // n_A·n_B ≈ 10¹⁵ — the pre-round-10 in-plan comparison's ceiling,
+    // now gone; EventTimeSpec gates the boundary at n_A·n_B = 10¹⁸).
+    // The d_num/d_den OUTPUT columns remain Long — a reporting
+    // contract good to n_A·n_B < 2⁶³, separate from the verdict. The
+    // oracle's HUGEINT spelling keeps its own ~10¹⁵ width, irrelevant
+    // at oracle scale (sf0.01).
     "evt_ks_drift" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -2568,15 +2621,17 @@ object EventTime extends QueryPack {
           .withColumn("dv",
             abs($"n_b".cast(big) * $"cuma".cast(big) -
               $"n_a".cast(big) * $"cumb".cast(big)))
-        dev.agg(max(struct($"dv", (-$"y").as("ny"))).as("m"),
+        val r = dev.agg(max(struct($"dv", (-$"y").as("ny"))).as("m"),
             first($"n_a").as("n_a"), first($"n_b").as("n_b"))
-          .select($"n_a", $"n_b",
-            $"m.dv".cast(LongType).as("d_num"),
-            ($"n_a" * $"n_b").as("d_den"),
-            (-$"m.ny").as("at_value"),
-            (lit(100000000L).cast(big) * $"m.dv" * $"m.dv" >
-              lit(184443561L).cast(big) * ($"n_a" + $"n_b").cast(big) *
-                ($"n_a".cast(big) * $"n_b".cast(big))).as("reject_at_05"))
+          .select($"n_a", $"n_b", $"m.dv".as("dv"),
+            (-$"m.ny").as("at_value"))
+          .collect()(0) // the single verdict row — O(1) driver rows
+        val (nA, nB) = (r.getLong(0), r.getLong(1))
+        val dNum = BigInt(r.getDecimal(2).toBigInteger)
+        Seq((nA, nB, dNum.toLong, nA * nB, r.getLong(3),
+            ksReject(nA, nB, dNum)))
+          .toDF("n_a", "n_b", "d_num", "d_den", "at_value",
+            "reject_at_05")
       },
       oracle = Some(s"""
         WITH ev AS (

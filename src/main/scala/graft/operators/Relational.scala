@@ -198,10 +198,19 @@ object Relational extends QueryPack {
     * DISTINCT edge list (u, v) — exposed for RelationalSpec's planted
     * chain-into-clique cascade. Each round drops every node whose
     * degree among STILL-ALIVE nodes is < k; emits one row per node
-    * (node, deg0, dropped_round), dropped_round 0 for nodes alive
-    * after `rounds` rounds. */
+    * (node, deg0, dropped_round), dropped_round 0 for nodes alive at
+    * the end. `rounds` is a MAX-rounds guard, not a fixed unroll: an
+    * empty drop set means the fixpoint is reached (every later round
+    * would drop nothing), so the loop exits early — one O(1)
+    * driver-side emptiness probe per round on the already-
+    * checkpointed drop frame, and a cascade that settles in 2 rounds
+    * pays for 2+1, never `rounds`. Results are identical either way
+    * (post-fixpoint rounds are no-ops), which is why the fixed-unroll
+    * oracle still hash-matches. `probe` observes each executed round
+    * number (the spec's early-exit gate). */
   private[operators] def kCorePeel(
-      e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+      e0: DataFrame, k: Int, rounds: Int,
+      probe: Int => Unit = _ => ()): DataFrame = {
     val s = e0.sparkSession
     import s.implicits._
     val sym = e0.select($"u", $"v")
@@ -213,7 +222,8 @@ object Relational extends QueryPack {
       .localCheckpoint(true) // round-0 alive set + the output join
     var alive = deg0.select($"node")
     var dropped = Seq.empty[(Long, Long)].toDF("node", "dropped_round")
-    for (r <- 1 to rounds) {
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val survivors = sym
         .join(alive.select($"node".as("u")), Seq("u"))
         .join(alive.select($"node".as("v")), Seq("v"))
@@ -223,9 +233,13 @@ object Relational extends QueryPack {
       val drop = alive.join(survivors, Seq("node"), "left_anti")
         .select($"node", lit(r.toLong).as("dropped_round"))
         .localCheckpoint(true) // the union AND next round's anti-join
-      dropped = dropped.unionByName(drop)
-      alive = alive.join(drop.select($"node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+      probe(r)
+      if (drop.isEmpty) converged = true
+      else {
+        dropped = dropped.unionByName(drop)
+        alive = alive.join(drop.select($"node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+      }
     }
     deg0.join(dropped, Seq("node"), "left")
       .select($"node", $"deg0",

@@ -386,7 +386,10 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
           if (s0 == src) next(d0) += mass * n / nOut(s0)
         }
       }
-      pi = next.toMap
+      // PageRank dangling treatment: mass on states with no outgoing
+      // edges is redistributed uniformly (floor); π spans ALL states
+      val dm = pi.collect { case (st, m) if !nOut.contains(st) => m }.sum
+      pi = states.map(st => st -> (next(st) + dm / states.size)).toMap
     }
     val expected = pi.toSeq.sortBy(_._1)
       .map { case (st, p) => (st, p, nOut.getOrElse(st, 0L)) }
@@ -400,6 +403,38 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     total should be <= 1000000000L
     total should be >= 1000000000L - 5L * states.size * states.size * 5L
     got.map(_._2).distinct.size should be > 1
+  }
+
+  test("markovStationary conserves a planted dangling state's mass: " +
+      "redistributed uniformly per round, total pinned near 1e9, no " +
+      "state vanishes") {
+    import spark.implicits._
+    // c is DANGLING (appears only as dst): a -> b (2), b -> {a, c}
+    val cellSeq = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))
+    val got = EventTime.markovStationary(spark,
+        cellSeq.toDF("src", "dst", "n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent sequential recompute with the same conventions
+    val nOut = Map("a" -> 2L, "b" -> 2L)
+    val states = Seq("a", "b", "c")
+    var pi = states.map(_ -> 1000000000L / 3).toMap
+    for (_ <- 1 to 5) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      cellSeq.foreach { case (s0, d0, n) =>
+        next(d0) += pi(s0) * n / nOut(s0)
+      }
+      val dm = pi("c") // the dangling mass this round
+      pi = states.map(st => st -> (next(st) + dm / 3)).toMap
+    }
+    got shouldBe states.map(st => (st, pi(st), nOut.getOrElse(st, 0L)))
+    // the absorbing-discard convention this replaced lost c's full
+    // share every round; with redistribution the total stays within
+    // the floor-loss bound of 1e9 and c itself keeps receiving mass
+    val total = got.map(_._2).sum
+    total should be >= 1000000000L - 5L * (3L + 3L)
+    total should be <= 1000000000L
+    got.find(_._1 == "c").get._2 should be > 0L
   }
 
   test("evt_seasonal_decompose equals a sequential recompute and the " +
@@ -560,6 +595,36 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     row.getAs[Boolean]("reject_at_05") shouldBe (dD > crit)
     // the statistic is non-degenerate: the two halves are not identical
     dmax should be > BigInt(0)
+  }
+
+  test("ksReject has no width ceiling: the verdict flips at the exact " +
+      "integer boundary for n_a*n_b = 1e18, past the old DECIMAL(38) " +
+      "spelling's ~1e15 limit") {
+    val nA = 1000000000L
+    val nB = 1000000000L
+    // reject <=> 1e8*d^2 > rhs <=> d^2 > q (rhs divisible by 1e8 here)
+    val rhs = BigInt(184443561L) * (BigInt(nA) + nB) * BigInt(nA) * nB
+    val q = rhs / BigInt(100000000L)
+    (q * BigInt(100000000L)) shouldBe rhs
+    // independent integer sqrt via BigDecimal.sqrt at 60 digits, then
+    // PROVEN exact by the bracketing property (not by re-running the
+    // formula under test)
+    val dStar = BigInt(new java.math.BigDecimal(q.bigInteger)
+      .sqrt(new java.math.MathContext(60))
+      .setScale(0, java.math.RoundingMode.FLOOR).toBigIntegerExact)
+    (dStar * dStar <= q) shouldBe true
+    ((dStar + 1) * (dStar + 1) > q) shouldBe true
+    // q is 28 digits: d^2*1e8 is ~3.7e35 at the boundary — representable
+    // in DECIMAL(38), but d_num can reach n_a*n_b = 1e18, whose squared
+    // left side is 1e44: the old in-plan compare overflowed exactly
+    // where this one stays exact
+    EventTime.ksReject(nA, nB, dStar) shouldBe false
+    EventTime.ksReject(nA, nB, dStar + 1) shouldBe true
+    // the D = 1 extreme at n_a*n_b = 1.6e19 (> Long nab) stays defined
+    EventTime.ksReject(4000000000L, 4000000000L,
+      BigInt(4000000000L) * BigInt(4000000000L)) shouldBe true
+    // and D = 0 never rejects at any size
+    EventTime.ksReject(4000000000L, 4000000000L, BigInt(0)) shouldBe false
   }
 
   test("evt_seasonal_anomaly matches a direct recompute and conditioning " +

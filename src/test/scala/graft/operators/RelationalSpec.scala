@@ -784,6 +784,16 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     // initial degrees come from the full graph
     got.find(_._1 == 1L).get._2 shouldBe 5L // 4 clique edges + node 6
     got.find(_._1 == 9L).get._2 shouldBe 1L
+    // fixpoint early exit: with a 100-round budget the same planted
+    // cascade settles after round 5 (rounds 1-4 drop 9/8/7/6, round 5
+    // drops nothing and stops the loop) with IDENTICAL results — the
+    // max-rounds guard is a ceiling, not a cost
+    var executed = 0
+    val gotFix = Relational.kCorePeel(e0, k = 3, rounds = 100,
+        probe = r => executed = math.max(executed, r)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    executed shouldBe 5
+    gotFix.sortBy(_._1) shouldBe got.sortBy(_._1)
     // the real query runs and keeps a non-empty core (at sf0.001 the
     // supp>=2 graph is dense enough that nothing drops; the cascade is
     // exercised by the planted fixture above and by the sf0.01 oracle
