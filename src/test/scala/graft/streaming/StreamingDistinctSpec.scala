@@ -82,4 +82,57 @@ class StreamingDistinctSpec extends AnyFunSuite with Matchers {
     val laterUsers = deltas.slice(marks(0), deltas.size).map(_._1).toSet
     (seg1Users intersect laterUsers) should not be empty
   }
+
+  test("watermark aging removes idle users' run state (21 -> 1 state " +
+      "rows) while deltas stay exactly-once and definitionally correct") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-sdist-age-ckpt")
+
+    // users 1..20 active on days 100-101 only; user 0 keeps the stream
+    // alive on days 100/130/160/190. With the 7-day watermark delay,
+    // after the day-130 batch the watermark reaches day 123, so users
+    // 1..20 (newest run end 101, alarm day 108) time out and their
+    // state is REMOVED in the next batch — the state-bound guarantee
+    // the NoTimeout implementation could not make.
+    val b1 = (1 to 20).flatMap(u => Seq((u.toLong, 100L), (u.toLong, 101L))) :+
+      ((0L, 100L))
+    val b2 = Seq((0L, 130L))
+    val b3 = Seq((0L, 160L))
+    val b4 = Seq((0L, 190L))
+
+    val input = MemoryStream[(Long, Long)]
+    @volatile var deltas = Vector.empty[(Long, Long)]
+    val q = StreamingDistinct.slidingDistinctStream(
+      input.toDF().toDF("user_id", "day"),
+      ckpt.toString,
+      sink = df => df.collect().foreach { r =>
+        deltas :+= ((r.getLong(0), r.getLong(1)))
+      })
+    var stateRows = Vector.empty[Long]
+    try {
+      Seq(b1, b2, b3, b4).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        stateRows :+= q.lastProgress.stateOperators.apply(0).numRowsTotal
+      }
+    } finally q.stop()
+
+    // all 21 users carried state after batch 1; only user 0 survives
+    // the watermark passing the idle users' age-out alarm
+    stateRows.head shouldBe 21L
+    stateRows.last shouldBe 1L
+    // aging changed STATE, not RESULTS: exactly-once per pair, and the
+    // fold equals the brute-force windowed COUNT(DISTINCT) (no event
+    // here is late, so the horizon clamp suppresses nothing)
+    deltas.distinct.size shouldBe deltas.size
+    val all = b1 ++ b2 ++ b3 ++ b4
+    val wins = (all.map(_._2).min - 6) to all.map(_._2).max
+    val brute = wins.map { w =>
+      w -> all.filter(e => e._2 >= w && e._2 <= w + 6)
+        .map(_._1).distinct.size.toLong
+    }.filter(_._2 > 0).toMap
+    deltas.groupBy(_._2).view.mapValues(_.size.toLong).toMap shouldBe brute
+  }
 }
