@@ -39,6 +39,23 @@ object Similarity extends QueryPack {
     * of the corpus. */
   private val IvfNProbe = 3
 
+  /** Graph-based ANN (`sim_ann_graph`, NSW-style): out-degree of the
+    * directed kNN-ish graph, the symmetrized adjacency's degree cap
+    * (2M — the HNSW discipline), beam width, fixed superstep count,
+    * and the number of deterministic (seed-hash-ordered) entry
+    * points. Sized so the probe budget — entries + ≤ beam·cap new
+    * candidates per round, measured 171-185 scanned/query — matches
+    * IVF probe3's 3-of-8-cells scan (~187/query on the 500-vector
+    * fixture), making the 0.50 recall floor a like-for-like contract:
+    * measured recall@5 0.60 (sf0.001) / 0.64 (sf0.01) vs 0.36 for the
+    * asymmetric-M=8/beam-8/3-round shape first tried (in-links are
+    * what make a near-uniform graph navigable). */
+  private val GraphM = 8
+  private val GraphDegCap = 16
+  private val GraphBeam = 12
+  private val GraphRounds = 4
+  private val GraphEntries = 4
+
   // Product quantization: 8 subspaces of 8 dims, 4 codewords each,
   // 2 Lloyd rounds — 64 doubles compress to 8 codes (64x). Small k on
   // the near-uniform fixture; a real deployment uses k=256 per
@@ -159,6 +176,98 @@ object Similarity extends QueryPack {
     * (the pre-reduction keeps the product inside a Long under ANSI),
     * unlike the xxhash64 it replaced, which DuckDB cannot reproduce. */
   private val seedHashSql = "((vec_id % 1000003) * 2654435761) % 1000000007"
+
+  /** Bounded-degree neighbor graph for `sim_ann_graph` (the HNSW/NSW
+    * family's base layer, Spark-shaped): candidate pairs come from the
+    * SAME equality-join discipline as every other candidate generator —
+    * each node probes its own LSH bucket plus the 6 hamming-1 flips,
+    * so cross-bucket edges exist and the graph is navigable — and each
+    * node keeps its top-[[GraphM]] out-neighbors by (cosine desc,
+    * vec_id), which are then SYMMETRIZED (in-links added, the HNSW
+    * discipline) and re-capped at [[GraphDegCap]] = 2M — on
+    * near-uniform data the in-links are what make the graph navigable
+    * (recall 0.36 → 0.60+ in the build A/B). 100 TB shape: one
+    * bucketed equality join (never all-pairs) + two per-node bounded
+    * windows; the edge list is ≤ n·2M rows, distributed on `u`.
+    * Cosine is symmetric and the element fold order is identical in
+    * both directions, so the reversed edge carries the identical
+    * rounded score and the union dedups exactly. */
+  private def graphEdges(s: SparkSession, eIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val nPlanes = 6
+    val e = eIn.withColumn("bucket", lshBucket($"emb", nPlanes, Dim))
+    val probes = e.select($"vec_id".as("u"), $"emb".as("uemb"),
+      explode(concat(array($"bucket"),
+        array((0 until nPlanes).map(j =>
+          $"bucket".bitwiseXOR(lit(1L << j))): _*))).as("probe"))
+    val cand = probes.join(
+        e.select($"vec_id".as("v"), $"emb".as("vemb"), $"bucket"),
+        $"probe" === $"bucket")
+      .filter($"u" =!= $"v")
+      .withColumn("cs", round(cosine($"uemb", $"vemb"), 9))
+    val w = Window.partitionBy($"u").orderBy($"cs".desc, $"v")
+    val out = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= GraphM)
+      .select($"u", $"v", $"cs")
+    val und = out
+      .unionByName(out.select($"v".as("u"), $"u".as("v"), $"cs"))
+      .distinct()
+    und.withColumn("rn", row_number().over(w)).filter($"rn" <= GraphDegCap)
+      .select($"u", $"v")
+  }
+
+  /** Fixed-round beam search over [[graphEdges]] — the superstep-join
+    * formulation of NSW greedy search (the `q_bfs_levels` machinery
+    * with a scored, width-capped frontier). Entry points are the
+    * [[GraphEntries]] smallest seed-hash nodes (engine-reproducible);
+    * each round expands the beam by its out-neighbors, scores the
+    * union against the query, and keeps the top-[[GraphBeam]] by
+    * (cosine desc, vec_id). Returns (final ranked beam, every scored
+    * (query, candidate) pair distinct) — the second frame is the
+    * probe-budget accounting `sim_ann_recall` prices. Per-round cost
+    * is queries × beam × M scored rows — never corpus-sized; each
+    * round's beam is checkpointed so the iterative lineage stays flat. */
+  private def graphBeamSearch(
+      s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val edges = graphEdges(s, e).localCheckpoint(true)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+      .localCheckpoint(true)
+    val entries = e.select($"vec_id", expr(seedHashSql).as("h"))
+      .orderBy($"h", $"vec_id").limit(GraphEntries).select($"vec_id")
+    def score(candIds: DataFrame): DataFrame =
+      candIds.join(e.select($"vec_id", $"emb"), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+        .select($"query_id", $"vec_id", $"cos_sim")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"vec_id")
+    var beam = score(q.select($"query_id").crossJoin(broadcast(entries)))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .localCheckpoint(true)
+    var scanned = beam
+    for (_ <- 1 to GraphRounds) {
+      val expand = beam.select($"query_id", $"vec_id")
+        .join(broadcast(edges), $"vec_id" === $"u")
+        .select($"query_id", $"v".as("vec_id"))
+      val candIds = beam.select($"query_id", $"vec_id")
+        .unionByName(expand).distinct()
+      val scored = score(candIds)
+      beam = scored
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
+        .select($"query_id", $"vec_id", $"cos_sim")
+        .localCheckpoint(true)
+      scanned = scanned.unionByName(scored).distinct()
+        .localCheckpoint(true)
+    }
+    val ranked = beam
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
+    (ranked, scanned)
+  }
 
   /** Final IVF cell assignment (vec_id, label, emb, centroid_id):
     * k-means cells from deterministic seeds + 3 Lloyd rounds. Every
@@ -1124,13 +1233,118 @@ object Similarity extends QueryPack {
     * rounded parser, and the sign test `dot > 0` is ulp-robust: a plane
     * dot within float-noise of zero has ~0 probability on continuous
     * embeddings (and a flip would fail the hash compare loudly). */
-  private lazy val lshOracleSql: String = {
-    val planeRows = (0 until 6).map { j =>
+  /** The 6×64 LSH plane components as DuckDB VALUES rows — shared by
+    * the LSH and graph-ANN oracles so the bucket assignment cannot
+    * drift between them. */
+  private lazy val planeRowsSql: String =
+    (0 until 6).map { j =>
       val comps = (0 until Dim)
         .map(i => graft.functions.VectorFunctions.planeComponent(j, i, Dim))
         .mkString(", ")
       s"($j, [$comps])"
     }.mkString(",\n            ")
+
+  /** Full value oracle for `sim_ann_graph`: DuckDB independently
+    * rebuilds the buckets, the hamming-1 candidate pairs, the top-M
+    * neighbor graph, the seed-hash entry points, and every unrolled
+    * beam round — the whole navigable-graph mechanism is
+    * hash-checked end to end, like the IVF Lloyd unroll. */
+  private lazy val graphOracleSql: String = {
+    def cosSql(a: String, b: String) =
+      s"""round(
+              list_sum(list_transform(generate_series(1, $Dim),
+                i -> $a[i] * $b[i])) /
+              (sqrt(list_sum(list_transform($a, x -> x*x))) *
+               sqrt(list_sum(list_transform($b, x -> x*x)))), 9)"""
+    val rounds = (1 to GraphRounds).map { r =>
+      val p = r - 1
+      s""",
+        c$r AS (
+          SELECT DISTINCT query_id, vec_id FROM (
+            SELECT query_id, vec_id FROM beam$p
+            UNION ALL
+            SELECT b.query_id, n.v AS vec_id
+            FROM beam$p b JOIN nbr n ON n.u = b.vec_id) t$r),
+        beam$r AS (
+          SELECT query_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM (
+            SELECT c.query_id, c.vec_id,
+                   ${cosSql("q.qemb", "e.emb")} AS cos_sim
+            FROM c$r c
+            JOIN e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+            WHERE c.vec_id <> c.query_id) s$r
+          QUALIFY rn <= $GraphBeam)"""
+    }.mkString
+    s"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        planes AS (
+          SELECT * FROM (VALUES
+            $planeRowsSql) t(j, p)),
+        bkt AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_sum(list_transform(
+                        generate_series(1, $Dim), i -> e.emb[i] * pl.p[i])) > 0
+                      THEN (1::BIGINT << pl.j) ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, planes pl
+          GROUP BY e.vec_id),
+        be AS (
+          SELECT e.vec_id, e.emb, bkt.bucket
+          FROM e JOIN bkt USING (vec_id)),
+        pr AS (
+          SELECT vec_id AS u, emb AS uemb,
+                 unnest(list_prepend(bucket,
+                   list_transform(generate_series(0, 5),
+                     j -> xor(bucket, 1::BIGINT << j)))) AS probe
+          FROM be),
+        nbr0 AS (
+          SELECT u, v, cs FROM (
+            SELECT pr.u, b.vec_id AS v,
+                   ${cosSql("pr.uemb", "b.emb")} AS cs,
+                   ROW_NUMBER() OVER (PARTITION BY pr.u
+                     ORDER BY ${cosSql("pr.uemb", "b.emb")} DESC, b.vec_id)
+                     AS rn
+            FROM pr JOIN be b ON b.bucket = pr.probe AND b.vec_id <> pr.u)
+          WHERE rn <= $GraphM),
+        und AS (
+          SELECT u, v, cs FROM nbr0
+          UNION
+          SELECT v AS u, u AS v, cs FROM nbr0),
+        nbr AS (
+          SELECT u, v FROM (
+            SELECT u, v,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                     ORDER BY cs DESC, v) AS rn
+            FROM und)
+          WHERE rn <= $GraphDegCap),
+        q AS (SELECT vec_id AS query_id, emb AS qemb
+              FROM e WHERE vec_id < 5),
+        ent AS (
+          SELECT vec_id FROM (
+            SELECT vec_id, $seedHashSql AS h FROM e
+            ORDER BY h, vec_id LIMIT $GraphEntries)),
+        beam0 AS (
+          SELECT query_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM (
+            SELECT q.query_id, ent.vec_id,
+                   ${cosSql("q.qemb", "e.emb")} AS cos_sim
+            FROM q, ent
+            JOIN e ON e.vec_id = ent.vec_id
+            WHERE ent.vec_id <> q.query_id) s0
+          QUALIFY rn <= $GraphBeam)$rounds
+        SELECT query_id, CAST(rn AS BIGINT) AS rnk, vec_id, cos_sim
+        FROM beam$GraphRounds
+        WHERE rn <= 5
+        ORDER BY query_id, rnk"""
+  }
+
+  private lazy val lshOracleSql: String = {
+    val planeRows = planeRowsSql
     s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         planes AS (
@@ -1576,6 +1790,33 @@ object Similarity extends QueryPack {
         .orderBy(col("query_id"), col("rnk")),
       oracle = Some(lshOracleSql)),
 
+    // ── graph-based ANN: NSW-style beam search over a bounded-degree
+    //    neighbor graph ──
+    // The one major ANN family IVF/PQ/LSH don't cover: navigable-graph
+    // search (HNSW's base layer), re-expressed Spark-first. The graph
+    // build is a bucketed equality join (own LSH bucket + hamming-1
+    // flips, so cross-bucket edges keep it navigable) + a per-node
+    // top-M window — n·M edges, never all-pairs; the search is
+    // GraphRounds superstep joins with a width-GraphBeam scored
+    // frontier (the BFS machinery with a beam), so per-round cost is
+    // queries × beam × M — independent of corpus size once the graph
+    // exists. Entry points are the GraphEntries smallest seed-hash
+    // nodes: deterministic, engine-reproducible. FULLY value-checked:
+    // the oracle rebuilds planes, buckets, candidate pairs, the top-M
+    // graph, entries, and every unrolled beam round in SQL. Recall is
+    // priced against brute force in sim_ann_recall's `graph` row at a
+    // floor MATCHING ivf_probe3's (0.50) on a matched probe budget:
+    // measured recall@5 0.60 (sf0.001) / 0.64 (sf0.01) at 171-185
+    // scanned candidates/query vs probe3's ~187 (3/8 of the corpus).
+    // The symmetrized, 2M-capped adjacency is load-bearing: the
+    // directed top-M graph alone measured 0.36 (in-links are what
+    // make a near-uniform graph navigable).
+    "sim_ann_graph" -> QueryDef(
+      fn = (s, d) => graphBeamSearch(s, embCheckpointed(s, d))._1
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk")),
+      oracle = Some(graphOracleSql)),
+
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
     // The operation a real pipeline runs before trusting an ANN index:
     // measure each approximate path's top-k against the exact top-k,
@@ -1587,10 +1828,12 @@ object Similarity extends QueryPack {
     // brute force). On this fixture (near-uniform synthetic embeddings,
     // the hard case for sign-LSH) all paths clear ~2-3× random;
     // measured recall@5 at sf0.001/0.01: LSH 0.24-0.36, IVF single-cell
-    // 0.28, IVF probe3 0.56-0.76 — each also asserted against an
-    // absolute per-method floor (`meets_floor`), with ivf_probe3's
-    // floor set ABOVE the single-cell measurement so the multiprobe
-    // gain is itself part of the contract.
+    // 0.28, IVF probe3 0.56-0.76, graph beam 0.60-0.64 — each also
+    // asserted against an absolute per-method floor (`meets_floor`),
+    // with ivf_probe3's floor set ABOVE the single-cell measurement so
+    // the multiprobe gain is itself part of the contract, and the
+    // graph row held to probe3's own 0.50 floor at a MATCHED probe
+    // budget (171-185 scanned/query vs probe3's ~187).
     // The recall VALUE is computed Spark-side, so — as with
     // `agg_approx_distinct` — the oracle-checkable contract is the
     // assertion: all counts are exact integers, the ratios
@@ -1636,15 +1879,18 @@ object Similarity extends QueryPack {
         // EXCEEDS the single-cell measurement, so the multiprobe gain
         // itself is oracle-asserted every round (deterministic inputs:
         // these are exact computations on fixed data, no drift)
-        eval("ivf_cell1", 0.25, ivfCandidatesFrom(s, assigned))
+        eval("graph", 0.50, graphBeamSearch(s, e)._2)
+          .unionAll(eval("ivf_cell1", 0.25, ivfCandidatesFrom(s, assigned)))
           .unionAll(eval("ivf_probe3", 0.50,
             ivfProbedCandidates(s, assigned, cents, IvfNProbe)))
           .unionAll(eval("lsh", 0.18, lshCandidates(s, e)))
           .orderBy($"method")
       },
       oracle = Some("""
-        SELECT 'ivf_cell1' AS method, 5::BIGINT AS n_queries,
+        SELECT 'graph' AS method, 5::BIGINT AS n_queries,
                TRUE AS beats_random_scan, TRUE AS meets_floor
+        UNION ALL
+        SELECT 'ivf_cell1', 5::BIGINT, TRUE, TRUE
         UNION ALL
         SELECT 'ivf_probe3', 5::BIGINT, TRUE, TRUE
         UNION ALL
