@@ -247,6 +247,104 @@ object Relational extends QueryPack {
       .orderBy($"node")
   }
 
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007)
+    * behind `q_label_prop`, over any undirected DISTINCT edge list
+    * (u, v) — exposed for RelationalSpec's planted two-community
+    * gate. Labels start as each node's own id; every round EVERY
+    * node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label (the deterministic
+    * stand-in for the paper's random tie-break: both engines apply
+    * the identical (−count, label) order, so rounds replay exactly).
+    * Unlike the components' min-label spread (`dedup_cc_star`), the
+    * MODE update respects community boundaries — a dense cluster's
+    * majority label out-votes a sparse bridge's intrusion, so two
+    * triangles joined by one edge keep separate labels where
+    * components would merge them. Fixed `rounds` unroll: synchronous
+    * LPA has no monotone fixpoint (bipartite structures can
+    * oscillate), so a bounded round count IS the operator's
+    * contract, same as TextRank's fixed power rounds. Each round is
+    * ONE equality join of the symmetric edge list against the label
+    * table (shuffle on the node key) + TWO map-side-combined
+    * aggregates ((node, label) vote counts, then the per-node
+    * arg-max as a struct-min over (−count, label) — no window), with
+    * a checkpoint barrier per round: the Pregel superstep cost,
+    * O(E) per round at any scale. */
+  private[operators] def labelPropagate(
+      e0: DataFrame, rounds: Int): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val sym = e0.select($"u", $"v")
+      .unionByName(e0.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true) // one vote join per round reads this
+    var lbl = sym.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      lbl = sym.join(lbl, $"v" === $"node")
+        .groupBy($"u", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"u")
+        .agg(min(struct((-$"c").as("nc"), $"label".as("lb"))).as("top"))
+        .select($"u".as("node"), $"top".getField("lb").as("label"))
+        .localCheckpoint(true) // barrier: round r never replays r-1
+    }
+    lbl.orderBy($"node")
+  }
+
+  /** HITS hubs/authorities (Kleinberg, JACM 1999) behind `q_hits`,
+    * over any directed DISTINCT edge list (u, v) — exposed for
+    * RelationalSpec's planted hub-and-spoke gate. `iters` full
+    * (authority, hub) update pairs in fixed-point integer
+    * arithmetic: after every half-update the scores are rescaled to
+    * parts-per-million of that round's maximum (sc = raw·10⁶ div
+    * max(raw), the product in DECIMAL(38) so it cannot overflow at
+    * any degree; DuckDB mirrors in HUGEINT). That is the integer
+    * face of the paper's per-round normalization — it pins the
+    * scale drift that would otherwise overflow 64 bits at ~10¹¹
+    * edges while keeping every value exact (floor division of
+    * non-negative integers, identical in both engines; doubles
+    * would drift across summation orders). Nodes with no in-edges
+    * hold authority 0, no out-edges hub 0 — kept in the output
+    * rather than dropped. Each half-update is ONE equality join of
+    * the edge list against the current score table (shuffle on the
+    * node key) + ONE map-side-combined groupBy-sum + a broadcast of
+    * the 1-row max: O(E) per round, no window, no driver
+    * materialization. */
+  private[operators] def hitsScores(e0: DataFrame, iters: Int): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val e = e0.select($"u", $"v").localCheckpoint(true)
+    val nodes = e.select($"u".as("node"))
+      .unionByName(e.select($"v".as("node")))
+      .distinct()
+      .localCheckpoint(true) // both half-updates + the output join
+    def rescale(raws: DataFrame): DataFrame = {
+      val mx = raws.agg(max($"raw").as("mx"))
+      raws.crossJoin(broadcast(mx))
+        .select($"node",
+          expr("cast(cast(raw as decimal(38,0)) * 1000000 div mx as bigint)")
+            .as("sc"))
+    }
+    var hub = nodes.select($"node", lit(1000000L).as("sc"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.select($"node".as("u"), $"sc"), Seq("u"))
+        .groupBy($"v").agg(sum($"sc").as("raw"))
+      auth = rescale(nodes
+          .join(aRaw.select($"v".as("node"), $"raw"), Seq("node"), "left")
+          .select($"node", coalesce($"raw", lit(0L)).as("raw")))
+        .localCheckpoint(true) // read by the hub half-update + output
+      val hRaw = e.join(auth.select($"node".as("v"), $"sc"), Seq("v"))
+        .groupBy($"u").agg(sum($"sc").as("raw"))
+      hub = rescale(nodes
+          .join(hRaw.select($"u".as("node"), $"raw"), Seq("node"), "left")
+          .select($"node", coalesce($"raw", lit(0L)).as("raw")))
+        .localCheckpoint(true)
+    }
+    nodes.join(auth.select($"node", $"sc".as("auth")), Seq("node"))
+      .join(hub.select($"node", $"sc".as("hub")), Seq("node"))
+      .orderBy($"node")
+  }
+
   private[operators] def globalNtile(
       s: SparkSession, df: DataFrame, k: Long, sortCols: Seq[Column]): DataFrame = {
     import s.implicits._
@@ -2153,6 +2251,119 @@ object Relational extends QueryPack {
                  WHEN d0.node IN (SELECT node FROM a1) THEN 2
                  ELSE 1 END AS BIGINT) AS dropped_round
         FROM d0 ORDER BY node""")),
+
+    // ── label propagation communities (3 synchronous rounds) ──
+    // The community-detection face of graph work: components answer
+    // "reachable?", LPA answers "densely knit?" — the mode-of-
+    // neighbor-labels update lets a dense cluster out-vote a sparse
+    // bridge, so communities stay separate where components would
+    // merge (RelationalSpec plants exactly that). See
+    // [[labelPropagate]] for the per-round plan (one edge⋈label
+    // join + two map-side-combined aggregates, checkpoint barrier).
+    // The oracle unrolls the same 3 rounds, arg-max via the
+    // identical (c DESC, label) order — ROW_NUMBER there, struct-min
+    // here, same total order, so the hash checks every round's vote.
+    "q_label_prop" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        labelPropagate(e0, rounds = 3)
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+        c1 AS (SELECT s.u AS node, l.label AS label, COUNT(*) AS c
+               FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER
+                   (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT s.u AS node, l.label AS label, COUNT(*) AS c
+               FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER
+                   (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c2) WHERE rn = 1),
+        c3 AS (SELECT s.u AS node, l.label AS label, COUNT(*) AS c
+               FROM sym s JOIN l2 l ON s.v = l.node GROUP BY 1, 2),
+        l3 AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER
+                   (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c3) WHERE rn = 1)
+        SELECT node, label FROM l3 ORDER BY node""")),
+
+    // ── HITS hubs & authorities (2 iterations, PPM fixed point) ──
+    // The link-analysis companion to PPR/TextRank: two mutually
+    // recursive scores on the DIRECTED (u < v) co-purchase graph.
+    // See [[hitsScores]] for the arithmetic contract (per-round
+    // rescale to 10⁶ of max in DECIMAL(38)/HUGEINT — exact at any
+    // scale) and the per-half-update plan (one edge⋈score join +
+    // one map-side-combined sum + a broadcast 1-row max). The
+    // oracle replays all four half-updates with scalar-subquery
+    // maxima; the hash checks every floor division.
+    "q_hits" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        hitsScores(e0, iters = 2)
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+        a1r AS (SELECT n.node,
+                  -- sum h0 = 10^6 per MATCHED in-edge only: a bare
+                  -- SUM(1000000) would also count the unmatched
+                  -- NULL row of an in-degree-0 node
+                  COALESCE(SUM(CASE WHEN e.u IS NOT NULL
+                                    THEN 1000000 END), 0) AS raw
+                FROM nodes n LEFT JOIN e0 e ON e.v = n.node
+                GROUP BY n.node),
+        a1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000
+                 // (SELECT MAX(raw) FROM a1r) AS BIGINT) AS sc
+               FROM a1r),
+        h1r AS (SELECT n.node, COALESCE(SUM(a.sc), 0) AS raw
+                FROM nodes n LEFT JOIN e0 e ON e.u = n.node
+                LEFT JOIN a1 a ON a.node = e.v
+                GROUP BY n.node),
+        h1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000
+                 // (SELECT MAX(raw) FROM h1r) AS BIGINT) AS sc
+               FROM h1r),
+        a2r AS (SELECT n.node, COALESCE(SUM(h.sc), 0) AS raw
+                FROM nodes n LEFT JOIN e0 e ON e.v = n.node
+                LEFT JOIN h1 h ON h.node = e.u
+                GROUP BY n.node),
+        a2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000
+                 // (SELECT MAX(raw) FROM a2r) AS BIGINT) AS sc
+               FROM a2r),
+        h2r AS (SELECT n.node, COALESCE(SUM(a.sc), 0) AS raw
+                FROM nodes n LEFT JOIN e0 e ON e.u = n.node
+                LEFT JOIN a2 a ON a.node = e.v
+                GROUP BY n.node),
+        h2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000
+                 // (SELECT MAX(raw) FROM h2r) AS BIGINT) AS sc
+               FROM h2r)
+        SELECT n.node, a2.sc AS auth, h2.sc AS hub
+        FROM nodes n
+        JOIN a2 ON a2.node = n.node
+        JOIN h2 ON h2.node = n.node
+        ORDER BY n.node""")),
 
     // ── distributed percent_rank / cume_dist (rank-statistic
     //    normalization without a global window) ──
