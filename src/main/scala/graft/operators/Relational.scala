@@ -345,6 +345,49 @@ object Relational extends QueryPack {
       .orderBy($"node")
   }
 
+  /** Newman modularity of a node partition, EXACT — behind
+    * `q_modularity`, exposed for RelationalSpec's planted gate.
+    * `labels` is (node, label) covering every endpoint of the
+    * DISTINCT undirected edge list `e0` (u, v). Q = Σ_c [e_c/m −
+    * (d_c/2m)²] is emitted in integer-rational form: one row per
+    * community with its numerator contribution q_num = 4·m·e_c −
+    * d_c² over the COMMON denominator 4m² (m the edge count, e_c
+    * intra-community edges, d_c the community degree sum) — no
+    * doubles cross the engines, and Q itself is Σ q_num / 4m².
+    * 64-bit note: q_num stays exact while 4·m·e_c < 2⁶³ (m ≲ 1.5e9
+    * edges); past that the same two aggregates run in DECIMAL(38),
+    * the HITS treatment. Plan: ONE degree count over the symmetric
+    * edges, ONE labels⋈degrees groupBy for (n_nodes, d_c), ONE
+    * double label join of e0 filtered to intra edges + groupBy for
+    * e_c, a broadcast 1-row m — all equality joins on node/label
+    * keys, no window, no driver materialization. */
+  private[operators] def modularityByLabel(
+      e0: DataFrame, labels: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val e = e0.select($"u", $"v").localCheckpoint(true)
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select($"u".as("node"))
+      .unionByName(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("dg"))
+    val comm = labels.join(deg, Seq("node"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"dg").as("deg_sum"))
+    val intra = e
+      .join(labels.select($"node".as("u"), $"label".as("lu")), Seq("u"))
+      .join(labels.select($"node".as("v"), $"label".as("lv")), Seq("v"))
+      .filter($"lu" === $"lv")
+      .groupBy($"lu".as("label")).agg(count(lit(1)).as("intra_edges"))
+    comm.join(intra, Seq("label"), "left")
+      .select($"label", $"n_nodes",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"), $"deg_sum")
+      .crossJoin(broadcast(m))
+      .select($"label", $"n_nodes", $"intra_edges", $"deg_sum", $"m",
+        (lit(4L) * $"m" * $"intra_edges" - $"deg_sum" * $"deg_sum")
+          .as("q_num"))
+      .orderBy($"label")
+  }
+
   private[operators] def globalNtile(
       s: SparkSession, df: DataFrame, k: Long, sortCols: Seq[Column]): DataFrame = {
     import s.implicits._
@@ -1138,6 +1181,64 @@ object Relational extends QueryPack {
                rv.cents AS value_cents
         FROM bs JOIN rv ON rv.b = bs.bucket AND rv.rn = bs.offset_in_bucket
         ORDER BY p""")),
+
+    // ── per-group weighted median (keyed prefix sum, no window) ──
+    // The robust per-group center when rows carry mass: the lower
+    // weighted median is the smallest value whose cumulative weight
+    // reaches half the group total (2·cum ≥ W, exact integers — no
+    // halving division). Quantity-weighted price per return flag.
+    // The running weight rides [[keyedPrefixSum]] (range partition on
+    // (flag, cents, tiebreak), per-key offsets, O(parts + keys)
+    // driver rows) — NEVER a single-task-per-flag window, the same
+    // scale posture as llm_token_budget; the crossing row is one
+    // min(struct) aggregate per flag (weights ≥ 1 make psum strictly
+    // increasing, so the min is the unique first crossing). The
+    // oracle uses the definitional per-flag window cumsum — fine at
+    // oracle scale, and it hash-checks the distributed prefix sum.
+    "q_weighted_median" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_returnflag".as("flag"),
+            (dec($"l_extendedprice") * 100).cast(LongType).as("cents"),
+            dec($"l_quantity").cast(LongType).as("w"),
+            $"l_orderkey", $"l_linenumber")
+        val cum = keyedPrefixSum(s, li, "flag",
+          Seq($"cents", $"l_orderkey", $"l_linenumber"), "w")
+        val tot = li.groupBy($"flag").agg(sum($"w").as("wtot"))
+        cum.join(broadcast(tot), Seq("flag"))
+          .filter($"psum" * 2L >= $"wtot")
+          .groupBy($"flag")
+          .agg(min(struct($"psum".as("ps"), $"cents".as("ce"))).as("fst"),
+            max($"wtot").as("wt")) // wtot is constant per flag
+          .select($"flag", $"fst".getField("ce").as("median_cents"),
+            $"wt".as("total_weight"))
+          .orderBy($"flag")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_returnflag AS flag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                   AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS w,
+                 l_orderkey, l_linenumber
+          FROM lineitem),
+        cum AS (
+          SELECT flag, cents, w,
+                 SUM(w) OVER (PARTITION BY flag
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS psum
+          FROM li),
+        tot AS (SELECT flag, SUM(w) AS wtot FROM li GROUP BY flag),
+        sel AS (
+          SELECT c.flag, c.cents, c.psum, t.wtot,
+                 ROW_NUMBER() OVER (PARTITION BY c.flag
+                   ORDER BY c.psum) AS rn
+          FROM cum c JOIN tot t USING (flag)
+          WHERE c.psum * 2 >= t.wtot)
+        SELECT flag, cents AS median_cents,
+               CAST(wtot AS BIGINT) AS total_weight
+        FROM sel WHERE rn = 1 ORDER BY flag""")),
 
     // ── GLOBAL ntile, distributed (no single-partition window) ──
     // Deciles of the whole orders table by price via [[globalNtile]]
@@ -2364,6 +2465,69 @@ object Relational extends QueryPack {
         JOIN a2 ON a2.node = n.node
         JOIN h2 ON h2.node = n.node
         ORDER BY n.node""")),
+
+    // ── partition modularity (exact rational, over the LPA labels) ──
+    // The quality metric a community pipeline GATES on: how much
+    // denser inside the detected communities than a random rewiring
+    // with the same degrees. Runs on `q_label_prop`'s own 3-round
+    // labels, so the two queries hash-check each other: any drift in
+    // a round's votes moves e_c/d_c here. See [[modularityByLabel]]
+    // for the exact integer-rational contract (q_num over 4m²) and
+    // the plan. The oracle replays the LPA unroll AND the modularity
+    // arithmetic in HUGEINT.
+    "q_modularity" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+          .localCheckpoint(true) // labels + degrees + intra all read it
+        modularityByLabel(e0, labelPropagate(e0, rounds = 3))
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+        c1 AS (SELECT s.u AS node, l.label AS label, COUNT(*) AS c
+               FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER
+                   (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT s.u AS node, l.label AS label, COUNT(*) AS c
+               FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER
+                   (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c2) WHERE rn = 1),
+        c3 AS (SELECT s.u AS node, l.label AS label, COUNT(*) AS c
+               FROM sym s JOIN l2 l ON s.v = l.node GROUP BY 1, 2),
+        l3 AS (SELECT node, label FROM (
+                 SELECT node, label, ROW_NUMBER() OVER
+                   (PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c3) WHERE rn = 1),
+        deg AS (SELECT u AS node, COUNT(*) AS dg FROM sym GROUP BY u),
+        mm AS (SELECT COUNT(*) AS m FROM e0),
+        comm AS (SELECT l.label, COUNT(*) AS n_nodes, SUM(d.dg) AS deg_sum
+                 FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.label),
+        intra AS (SELECT a.label, COUNT(*) AS intra_edges
+                  FROM e0 e JOIN l3 a ON a.node = e.u
+                  JOIN l3 b ON b.node = e.v
+                  WHERE a.label = b.label GROUP BY a.label)
+        SELECT c.label, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+               CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               CAST(c.deg_sum AS BIGINT) AS deg_sum,
+               CAST(mm.m AS BIGINT) AS m,
+               CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+                 - c.deg_sum * c.deg_sum AS BIGINT) AS q_num
+        FROM comm c LEFT JOIN intra i ON i.label = c.label, mm
+        ORDER BY c.label""")),
 
     // ── distributed percent_rank / cume_dist (rank-statistic
     //    normalization without a global window) ──

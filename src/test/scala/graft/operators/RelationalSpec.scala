@@ -878,6 +878,62 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     real.map(_._2).toSet.size should be >= 1
   }
 
+  test("modularityByLabel: planted triangles-with-bridge to exact " +
+      "rationals, and a single community scores exactly zero") {
+    import spark.implicits._
+    // the labelPropagate fixture's graph and final labels: m = 7,
+    // each triangle has e_c = 3 intra edges and d_c = 7 (degrees
+    // 2+2+3), so q_num = 4·7·3 − 7² = 35 per community and
+    // Q = (35+35)/(4·49) = 5/14
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("u", "v").localCheckpoint(true)
+    val lbl = Relational.labelPropagate(e0, rounds = 3)
+    val got = Relational.modularityByLabel(e0, lbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    got.toSeq.sorted shouldBe Seq(
+      (1L, 3L, 3L, 7L, 7L, 35L),
+      (3L, 3L, 3L, 7L, 7L, 35L))
+    // one-community partition: e_c = m and d_c = 2m make the
+    // numerator 4m² − 4m² = 0 — modularity's "no better than random"
+    // zero point, exactly. (The sf0.001 co-purchase graph collapses
+    // to one LPA community, so the real query pins this too.)
+    val one = lbl.select($"node", lit(1L).as("label"))
+    val q1 = Relational.modularityByLabel(e0, one).collect()
+    q1.map(_.getLong(5)).sum shouldBe 0L
+    val real = graft.SparkEntry.queries("q_modularity")(spark, sf)
+      .collect()
+    real.map(_.getLong(5)).sum shouldBe 0L
+    real.map(_.getLong(4)).head should be > 0L
+  }
+
+  test("q_weighted_median equals a sequential weighted-median recompute") {
+    import graft.functions.Exact._
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q_weighted_median")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute force: per flag, sort by (cents, orderkey, linenumber),
+    // walk the cumulative weight to the first 2·cum >= W row
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        (dec($"l_extendedprice") * 100).cast("long").as("cents"),
+        dec($"l_quantity").cast("long").as("w"),
+        $"l_orderkey", $"l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4).toLong))
+    val naive = rows.groupBy(_._1).map { case (flag, rs) =>
+      val sortedRs = rs.sortBy(t => (t._2, t._4, t._5))
+      val wtot = rs.map(_._3).sum
+      var cum = 0L
+      val med = sortedRs.find { t => cum += t._3; 2 * cum >= wtot }.get._2
+      flag -> (med, wtot)
+    }
+    got shouldBe naive
+  }
+
   test("hitsScores replays a planted hub-and-spoke graph to exact PPM " +
       "values, including floor divisions and degree-0 zeros") {
     import spark.implicits._
