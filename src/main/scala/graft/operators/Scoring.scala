@@ -405,5 +405,97 @@ object Scoring extends QueryPack {
         GROUP BY pe.term, pe.cnt_true
         ORDER BY cnt_true DESC, term"""
       }),
+
+    // ── Count-Min heavy-change detection (sketch deltoids) ──
+    // llm_count_min prices "how frequent is this term"; the DRIFT
+    // question a corpus-refresh pipeline asks is "whose frequency
+    // CHANGED most between snapshots" (Cormode & Muthukrishnan's
+    // deltoids). Two CM sketches — one per doc-id-parity half — built
+    // by the same [[cmCounters]] one-pass mergeable aggregation (so
+    // at 100 TB each snapshot's sketch folds from per-shard sketches
+    // without re-reading the other snapshot), estimated change per
+    // probed term = est_A − est_B with each side's min-row probe.
+    // Being a difference of two one-sided overestimates, the delta
+    // estimate is two-sided-bounded by the per-side errors rather
+    // than one-sided — the per-term signed error is reported against
+    // the exact delta, and ScoringSpec property-gates BOTH
+    // per-side overestimate guarantees on every term. Probes: the 20
+    // largest exact |Δ| terms (deterministic |Δ| desc / term order) —
+    // the candidate set a production deltoid sketch maintains
+    // group-tested; here the exact top keeps the oracle total.
+    "agg_cm_heavy_change" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(($"doc_id" % 2).as("half"), explode(tokens).as("term"))
+          .withColumn("fp", rolling_hash($"term"))
+          .localCheckpoint() // 2 sketch builds + the exact counts
+        val ctrA = cmCounters(toks.filter($"half" === 0L))
+        val ctrB = cmCounters(toks.filter($"half" === 1L))
+        val probes = toks.groupBy($"term", $"fp")
+          .agg(sum(when($"half" === 0L, 1L).otherwise(0L)).as("cnt_a"),
+            sum(when($"half" === 1L, 1L).otherwise(0L)).as("cnt_b"))
+          .orderBy(abs($"cnt_a" - $"cnt_b").desc, $"term").limit(20)
+        // per-side probe with MISSING COUNTER = 0 (a term absent from
+        // one half may hash to cells nothing in that half touched;
+        // an inner-join probe would drop those rows, and min over
+        // the survivors overestimates — min over coalesced zeros is
+        // the exact CM estimate, and 0-cell ⇒ true count 0)
+        val pcols = probes.select(probes.columns.map(col) :+
+          posexplode(array(CmHashes.map { case (a, b) =>
+            cmCol($"fp", a, b) }: _*)).as(Seq("r", "col")): _*)
+        def estSide(ctr: DataFrame, alias: String): DataFrame =
+          pcols.join(broadcast(ctr), Seq("r", "col"), "left")
+            .groupBy($"term", $"cnt_a", $"cnt_b")
+            .agg(min(coalesce($"cnt", lit(0L))).as(alias))
+        val ea = estSide(ctrA, "est_a")
+        val eb = estSide(ctrB, "est_b")
+        ea.join(eb, Seq("term", "cnt_a", "cnt_b"))
+          .select($"term", ($"cnt_a" - $"cnt_b").as("delta_true"),
+            ($"est_a" - $"est_b").as("delta_est"),
+            (($"est_a" - $"est_b") - ($"cnt_a" - $"cnt_b")).as("err"))
+          .orderBy(abs($"delta_true").desc, $"term")
+      },
+      oracle = Some {
+        val rowsSql = CmHashes.zipWithIndex
+          .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+        s"""
+        WITH t AS (
+          SELECT doc_id % 2 AS half, unnest($tokensSql) AS term
+          FROM documents),
+        f AS (SELECT half, term, ${fpSql("term", 31L)} AS fp FROM t),
+        hr AS (SELECT * FROM (VALUES $rowsSql) v(r, a, b)),
+        ctra AS (
+          SELECT hr.r, (((hr.a * f.fp) + hr.b) % $CmMod) % $CmW AS col,
+                 COUNT(*) AS cnt
+          FROM f, hr WHERE f.half = 0 GROUP BY 1, 2),
+        ctrb AS (
+          SELECT hr.r, (((hr.a * f.fp) + hr.b) % $CmMod) % $CmW AS col,
+                 COUNT(*) AS cnt
+          FROM f, hr WHERE f.half = 1 GROUP BY 1, 2),
+        ex AS (
+          SELECT term, fp,
+                 CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS cnt_a,
+                 CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS cnt_b
+          FROM f GROUP BY term, fp),
+        probes AS (SELECT * FROM ex
+                   ORDER BY abs(cnt_a - cnt_b) DESC, term LIMIT 20),
+        pe AS (
+          SELECT p.term, p.cnt_a, p.cnt_b, hr.r,
+                 (((hr.a * p.fp) + hr.b) % $CmMod) % $CmW AS col
+          FROM probes p, hr),
+        ests AS (
+          SELECT pe.term, pe.cnt_a, pe.cnt_b,
+                 MIN(COALESCE(ca.cnt, 0)) AS est_a,
+                 MIN(COALESCE(cb.cnt, 0)) AS est_b
+          FROM pe LEFT JOIN ctra ca ON ca.r = pe.r AND ca.col = pe.col
+          LEFT JOIN ctrb cb ON cb.r = pe.r AND cb.col = pe.col
+          GROUP BY pe.term, pe.cnt_a, pe.cnt_b)
+        SELECT term, cnt_a - cnt_b AS delta_true,
+               CAST(est_a - est_b AS BIGINT) AS delta_est,
+               CAST(est_a - est_b AS BIGINT) - (cnt_a - cnt_b) AS err
+        FROM ests
+        ORDER BY abs(cnt_a - cnt_b) DESC, term"""
+      }),
   )
 }

@@ -627,6 +627,59 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     EventTime.ksReject(4000000000L, 4000000000L, BigInt(0)) shouldBe false
   }
 
+  test("evt_mannwhitney equals a brute-force midrank recompute, and " +
+      "mwReject pins a hand example and stays exact past 64 bits") {
+    import org.apache.spark.sql.functions.expr
+    // brute force: collect both halves, walk the sorted value domain
+    // accumulating midranks at 2x scale and the tie term
+    val dayUs = 24L * 3600L * 1000000L
+    val evs = graft.Tables.events(spark, sf)
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (evs.map(_._1).min + evs.map(_._1).max + 1) / 2
+    val a = evs.filter(_._1 < mid).map(_._2)
+    val b = evs.filter(_._1 >= mid).map(_._2)
+    var cum = 0L; var r2a = BigInt(0); var tie = BigInt(0)
+    for ((v, rs) <- (a.map((_, 0)) ++ b.map((_, 1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)) {
+      val t = rs.length.toLong; cum += t
+      r2a += BigInt(rs.count(_._2 == 0)) * (2 * cum - t + 1)
+      tie += BigInt(t) * t * t - t
+    }
+    val (nA, nB) = (a.length.toLong, b.length.toLong)
+    val u2a = r2a - BigInt(nA) * (nA + 1)
+    val d2 = u2a - BigInt(nA) * nB
+    val row = graft.SparkEntry.queries("evt_mannwhitney")(spark, sf)
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getBoolean(5)) shouldBe
+      (nA, nB, u2a.toLong, d2.toLong, tie.toLong,
+        EventTime.mwReject(nA, nB, d2, tie))
+    // hand example A=[1,2,2] B=[2,3]: midranks 1/3/3/3/5 give
+    // R_A = 7, U_A = 1 (checks against the #(a>b)+half-ties census),
+    // u2 = 2, d2 = 2 - 6 = -4, T = 3^3-3 = 24; z far under 1.96
+    EventTime.mwReject(3L, 2L, BigInt(-4), BigInt(24)) shouldBe false
+    // exact boundary past 64 bits: nA = nB = 1e9, T = 0 —
+    // reject <=> 7500 d2^2 n(n-1) > 9604 nAnB(n^3-n)
+    val n9 = 1000000000L
+    val nn = BigInt(n9) * 2
+    val rhs = BigInt(9604) * n9 * n9 * (nn * nn * nn - nn)
+    val lhsK = BigInt(7500) * nn * (nn - 1)
+    val dStar = BigInt(new java.math.BigDecimal((rhs / lhsK).bigInteger)
+      .sqrt(new java.math.MathContext(60))
+      .setScale(0, java.math.RoundingMode.FLOOR).toBigIntegerExact)
+    // bracketing proof, then the helper flips within +-1 of the
+    // true real boundary (rhs/lhsK is not a perfect square, so the
+    // strict inequality flips between dStar and dStar + 1)
+    (dStar * dStar * lhsK <= rhs) shouldBe true
+    ((dStar + 1) * (dStar + 1) * lhsK > rhs) shouldBe true
+    EventTime.mwReject(n9, n9, dStar, BigInt(0)) shouldBe false
+    EventTime.mwReject(n9, n9, dStar + 1, BigInt(0)) shouldBe true
+    // degenerate: zero rank displacement never rejects
+    EventTime.mwReject(n9, n9, BigInt(0), BigInt(0)) shouldBe false
+  }
+
   test("evt_seasonal_anomaly matches a direct recompute and conditioning " +
       "on day-of-week changes some verdicts") {
     val DayUs = 86400000000L

@@ -538,6 +538,32 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     countOccurrences(plan("llm_curation_pipeline"), "Window") shouldBe 0
   }
 
+  test("weighted median runs zero Window nodes — the per-flag running " +
+      "weight is the keyed prefix sum, and the crossing pick is a " +
+      "struct-min aggregate") {
+    val p = plan("q_weighted_median")
+    countOccurrences(p, "Window") shouldBe 0
+    p should not include "SinglePartition"
+  }
+
+  test("Mann-Whitney's distributed phase runs zero Window nodes — the " +
+      "cumulative count rides globalPrefixSum, the verdict is one " +
+      "driver row") {
+    // the query's fn collects its single aggregate row and returns a
+    // literal frame, so gate the heavy phase directly: the per-value
+    // count table + prefix sum + one aggregate, as the real fn builds
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val cnt = graft.Tables.events(spark, sf)
+      .select(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+        .as("y"))
+      .groupBy($"y").agg(count(lit(1)).as("ct"))
+    val cum = Relational.globalPrefixSum(spark, cnt, Seq($"y"), "ct")
+    val p = cum.queryExecution.executedPlan.toString
+    countOccurrences(p, "Window") shouldBe 0
+    p should not include "SinglePartition"
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }

@@ -229,4 +229,57 @@ class ScoringSpec extends AnyFunSuite with Matchers {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     merged shouldBe whole
   }
+
+  test("agg_cm_heavy_change: per-side estimates bound the true per-half " +
+      "counts for EVERY probed term, and every output column replays " +
+      "from an independent sketch recompute") {
+    import org.apache.spark.sql.functions.{col, explode, sum, when}
+    val got = graft.SparkEntry.queries("agg_cm_heavy_change")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.length shouldBe 20
+    // exact per-half counts through the SAME tokenizer
+    val exact = graft.Tables.documents(spark, sf)
+      .select((col("doc_id") % 2).as("half"),
+        explode(graft.functions.TextTokens.tokens).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("cb"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // both halves' counters rebuilt locally from the exact counts
+    val hashes = Scoring.CmHashes
+    def fpOf(t: String): Long =
+      graft.functions.RollingHash.hash(UTF8String.fromString(t), 31L)
+    def colOf(fp: Long, a: Long, b: Long): Long =
+      ((a * fp + b) % Scoring.CmMod) % Scoring.CmW
+    def countersOfHalf(side: ((Long, Long)) => Long): Map[(Int, Long), Long] =
+      exact.toSeq.flatMap { case (t, cc) =>
+        hashes.zipWithIndex.map { case ((a, b), r) =>
+          (r, colOf(fpOf(t), a, b)) -> side(cc)
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ctrA = countersOfHalf(_._1)
+    val ctrB = countersOfHalf(_._2)
+    got.foreach { case (term, dTrue, dEst, err) =>
+      val (ca, cb) = exact(term)
+      val estA = hashes.zipWithIndex.map { case ((a, b), r) =>
+        ctrA.getOrElse((r, colOf(fpOf(term), a, b)), 0L) }.min
+      val estB = hashes.zipWithIndex.map { case ((a, b), r) =>
+        ctrB.getOrElse((r, colOf(fpOf(term), a, b)), 0L) }.min
+      withClue(s"term '$term':") {
+        dTrue shouldBe ca - cb
+        dEst shouldBe estA - estB
+        err shouldBe dEst - dTrue
+        estA should be >= ca // each side keeps CM's one-sided bound
+        estB should be >= cb
+      }
+    }
+    // the probe set is exactly the exact top-20 by (|delta| desc, term)
+    val top = exact.toSeq
+      .map { case (t, (ca, cb)) => (t, ca - cb) }
+      .sortBy { case (t, dl) => (-math.abs(dl), t) }
+      .take(20).map(_._1)
+    got.map(_._1).toSeq shouldBe top
+  }
 }
