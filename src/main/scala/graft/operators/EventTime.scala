@@ -199,6 +199,22 @@ object EventTime extends QueryPack {
       BigInt(9604) * BigInt(nA) * BigInt(nB) * (n * n * n - n - tieT)
   }
 
+  /** The exact α=0.05 two-sided Wilcoxon signed-rank verdict behind
+    * `evt_wilcoxon`: with n nonzero pairs, d2 = 2·W⁺ − n(n+1)/2
+    * (= 2(W⁺ − μ), integral — n(n+1)/2 always is) and the tie term
+    * T = Σ(t³−t) over tie groups of |d|, reject ⇔ |z| > 1.96 ⇔
+    * 7500·d2² > 2401·(2n(n+1)(2n+1) − T)
+    * (z² = d2²/(4σ²), σ² = [n(n+1)(2n+1) − T/2]/24 =
+    * [2n(n+1)(2n+1) − T]/48 — tie-corrected, cross-multiplied).
+    * Driver BigInt over the single aggregate row: exact at any pair
+    * count, the [[ksReject]] discipline. */
+  private[operators] def wilcoxonReject(
+      n: Long, d2: BigInt, tieT: BigInt): Boolean = {
+    val nb = BigInt(n)
+    BigInt(7500) * d2 * d2 >
+      BigInt(2401) * (BigInt(2) * nb * (nb + 1) * (2 * nb + 1) - tieT)
+  }
+
   /** Theil–Sen robust trend over an (x, y) LongType series — the
     * machinery behind `evt_theil_sen`, exposed for EventTimeSpec's
     * planted-outlier gate. Median selection is DETERMINISTIC: pairs
@@ -2776,6 +2792,180 @@ object EventTime extends QueryPack {
                    * ((CAST(n AS HUGEINT) * n * n - n) - tie_t)
                  AS reject_at_05
         FROM fin""")),
+
+    // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
+    // KS and Mann–Whitney compare two INDEPENDENT samples; the
+    // question "did each user's own spend change" is paired — every
+    // user is their own control, which kills between-user variance.
+    // Subjects: users active in BOTH temporal halves; the pair
+    // statistic is the per-user cents-sum difference d = s_B − s_A,
+    // zero differences dropped (the standard convention). Midranks of
+    // |d| at 2× scale over the |d|-value domain (2·cum − t + 1, the
+    // Mann–Whitney discipline — ranks never materialize per row, the
+    // cumulative rides [[Relational.globalPrefixSum]]), W⁺ as ONE
+    // DECIMAL(38) aggregate of cpos·mid2, tie term on the same pass,
+    // verdict in [[wilcoxonReject]] driver BigInt — exact at any pair
+    // count. The per-user pairing itself is ONE map-side-combined
+    // groupBy(user) with conditional sums — at 10¹² events it
+    // shuffles #users rows, nothing per-event. Output columns are
+    // the Long reporting contract; the oracle replays pair sums,
+    // midranks, W⁺, ties, and the HUGEINT verdict.
+    "evt_wilcoxon" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            $"user_id",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+        val rng = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        val dd = ev.crossJoin(broadcast(rng))
+          .withColumn("side",
+            when($"day" < expr("(d0 + d1 + 1) div 2"), 0).otherwise(1))
+          .groupBy($"user_id")
+          .agg(sum(when($"side" === 0, $"y").otherwise(0L)).as("sa"),
+            sum(when($"side" === 0, 1L).otherwise(0L)).as("na"),
+            sum(when($"side" === 1, $"y").otherwise(0L)).as("sb"),
+            sum(when($"side" === 1, 1L).otherwise(0L)).as("nb"))
+          .filter($"na" > 0L && $"nb" > 0L && $"sb" =!= $"sa")
+          .select(($"sb" - $"sa").as("dd"))
+        val byAbs = dd
+          .select(abs($"dd").as("ad"),
+            when($"dd" > 0L, 1L).otherwise(0L).as("pos"))
+          .groupBy($"ad")
+          .agg(sum($"pos").as("cpos"), count(lit(1)).as("ct"))
+          .localCheckpoint(true) // totals + the prefix pass
+        val nn = byAbs.agg(coalesce(sum($"ct"), lit(0L)).as("n"))
+        val cum = Relational.globalPrefixSum(s, byAbs, Seq($"ad"), "ct")
+        val r = cum
+          .agg(
+            coalesce(sum($"cpos".cast(big) *
+              (lit(2L) * $"psum" - $"ct" + 1L)), lit(0L).cast(big))
+              .as("w2"),
+            coalesce(sum($"ct".cast(big) * $"ct" * $"ct" - $"ct"),
+              lit(0L).cast(big)).as("tie_t"))
+          .crossJoin(broadcast(nn))
+          .collect()(0) // the single verdict row — O(1) driver rows
+        val w2 = BigInt(r.getDecimal(0).toBigInteger)
+        val tieT = BigInt(r.getDecimal(1).toBigInteger)
+        val n = r.getLong(2)
+        val d2 = w2 - BigInt(n) * (n + 1) / 2
+        Seq((n, w2.toLong, d2.toLong, tieT.toLong,
+            wilcoxonReject(n, d2, tieT)))
+          .toDF("n_pairs", "w2_plus", "d2", "tie_t", "reject_at_05")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day, user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        pu AS (
+          SELECT user_id,
+                 SUM(y) FILTER (day < (d0 + d1 + 1) // 2) AS sa,
+                 COUNT(*) FILTER (day < (d0 + d1 + 1) // 2) AS na,
+                 SUM(y) FILTER (day >= (d0 + d1 + 1) // 2) AS sb,
+                 COUNT(*) FILTER (day >= (d0 + d1 + 1) // 2) AS nb
+          FROM ev, rng GROUP BY user_id),
+        dd AS (
+          SELECT sb - sa AS dd FROM pu
+          WHERE na > 0 AND nb > 0 AND sb <> sa),
+        ba AS (
+          SELECT abs(dd) AS ad,
+                 CAST(COUNT(*) FILTER (dd > 0) AS BIGINT) AS cpos,
+                 CAST(COUNT(*) AS BIGINT) AS ct
+          FROM dd GROUP BY abs(dd)),
+        nn AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS n FROM ba),
+        cum AS (
+          SELECT ad, cpos, ct, SUM(ct) OVER (ORDER BY ad) AS cumt
+          FROM ba),
+        ag AS (
+          SELECT COALESCE(SUM(CAST(cpos AS HUGEINT)
+                   * (2 * cumt - ct + 1)), 0) AS w2,
+                 COALESCE(SUM(CAST(ct AS HUGEINT) * ct * ct - ct), 0)
+                   AS tie_t
+          FROM cum),
+        fin AS (
+          SELECT nn.n, ag.w2, ag.tie_t,
+                 ag.w2 - (CAST(nn.n AS HUGEINT) * (nn.n + 1)) // 2 AS d2
+          FROM nn, ag)
+        SELECT n AS n_pairs, CAST(w2 AS BIGINT) AS w2_plus,
+               CAST(d2 AS BIGINT) AS d2,
+               CAST(tie_t AS BIGINT) AS tie_t,
+               7500 * d2 * d2
+                 > 2401 * (2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                   - tie_t) AS reject_at_05
+        FROM fin""")),
+
+    // ── lag-k autocorrelation of the daily series ──
+    // The seasonality DETECTOR in front of evt_seasonal_anomaly's
+    // decomposition: is today's revenue correlated with yesterday's
+    // (momentum, lag 1) and with the same weekday's (weekly cycle,
+    // lag 7)? Pearson r over the (y_t, y_{t−k}) pairs of the daily
+    // cents series — the q_corr_manual double-discipline: every sum
+    // is EXACT (per-event cents are integers; the pair moments
+    // accumulate in DECIMAL(38) — daily sums at 10¹² events square
+    // past 2⁶³), cast to DOUBLE once, and the final expression is
+    // the identical IEEE chain in both engines with the zero-variance
+    // NULLIF/greatest guards. Corpus-sized work is ONE groupBy(day);
+    // the lag joins and moment aggregates run on the SERIES. Lags
+    // share the single checkpointed daily frame.
+    "evt_autocorr" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val daily = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"day").agg(sum($"y").as("y"))
+          .localCheckpoint(true) // both lag self-joins read it
+        val byLag = Seq(1L, 7L).map { k =>
+          daily.as("a").join(daily.as("b"), $"a.day" === $"b.day" + k)
+            .select(lit(k).as("lag"), $"b.y".as("x"), $"a.y".as("yy"))
+        }.reduce(_ unionByName _)
+        byLag.groupBy($"lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"x".cast(big)).cast(DoubleType).as("sx"),
+            sum($"yy".cast(big)).cast(DoubleType).as("sy"),
+            sum($"x".cast(big) * $"x").cast(DoubleType).as("sxx"),
+            sum($"yy".cast(big) * $"yy").cast(DoubleType).as("syy"),
+            sum($"x".cast(big) * $"yy").cast(DoubleType).as("sxy"))
+          .select($"lag", $"n_pairs",
+            (($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+              nullif(sqrt(greatest(lit(0.0),
+                ($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+                  ($"n_pairs" * $"syy" - $"sy" * $"sy"))), lit(0.0)))
+              .as("autocorr"))
+          .orderBy($"lag")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        daily AS (SELECT day, CAST(SUM(y) AS BIGINT) AS y
+                  FROM ev GROUP BY day),
+        pairs AS (
+          SELECT k.lag, b.y AS x, a.y AS yy
+          FROM (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT))) k(lag)
+          JOIN daily a ON true
+          JOIN daily b ON a.day = b.day + k.lag),
+        m AS (
+          SELECT lag, COUNT(*) AS n_pairs,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(yy AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(yy AS HUGEINT) * yy) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(x AS HUGEINT) * yy) AS DOUBLE) AS sxy
+          FROM pairs GROUP BY lag)
+        SELECT lag, n_pairs,
+               (n_pairs * sxy - sx * sy) /
+                 NULLIF(sqrt(greatest(0.0,
+                   (n_pairs * sxx - sx * sx)
+                     * (n_pairs * syy - sy * sy))), 0.0) AS autocorr
+        FROM m ORDER BY lag""")),
 
     // ── chi-square independence test (type × day-of-week) ──
     // The statistical gate behind "does behavior depend on weekday":

@@ -629,7 +629,77 @@ object Relational extends QueryPack {
       .drop("__kp_pid", "__kp_grp", "__kp_local", "__kp_off")
   }
 
+  /** Benford first-digit expectations, PPM, floor(10⁶·log₁₀(1+1/d))
+    * for d = 1..9 — computed ONCE here and string-interpolated into
+    * BOTH the Spark plan and the DuckDB oracle (the SPRT ln-19
+    * discipline: no transcendental evaluates in either engine).
+    * They sum to 999 995 (five ppm of floor loss). */
+  private val BenfordPpm: IndexedSeq[Long] = IndexedSeq(
+    301029L, 176091L, 124938L, 96910L, 79181L,
+    66946L, 57991L, 51152L, 45757L)
+
   override val queries: Map[String, QueryDef] = Map(
+
+    // ── Benford first-digit audit census ──
+    // The classic fabricated-data screen (Newcomb 1881; Benford 1938;
+    // Nigrini's audit practice): naturally-grown magnitudes lead with
+    // 1 about 30.1% of the time, and ledgers that don't deserve a
+    // look. Census of extendedprice leading digits against the
+    // [[BenfordPpm]] literal expectations — leading digit via string
+    // head of the cents integer (identical text semantics in both
+    // engines for positive integers, no log in either plan),
+    // observed shares in exact floor-ppm (n_obs·10⁶ div N, good to
+    // N < 2⁶³⁻²⁰ rows), one map-side-combined digit groupBy + a
+    // broadcast 9-row expectation join + a broadcast 1-row total.
+    // All nine digits emit even at zero observations.
+    "q_benford" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val cents = Tables.lineitem(s, d)
+          .select((dec($"l_extendedprice") * 100).cast(LongType).as("cents"))
+          .filter($"cents" > 0L)
+          .localCheckpoint(true) // total + the digit census
+        val n = cents.agg(count(lit(1)).as("n"))
+        val expDf = BenfordPpm.zipWithIndex
+          .map { case (e, i) => (i + 1L, e) }.toDF("digit", "exp_ppm")
+        val obs = cents
+          .select(expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
+            .as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        expDf.join(obs, Seq("digit"), "left")
+          .crossJoin(broadcast(n))
+          .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"),
+            $"exp_ppm",
+            expr("coalesce(n_obs, 0) * 1000000 div n").as("obs_ppm"),
+            (expr("coalesce(n_obs, 0) * 1000000 div n") - $"exp_ppm")
+              .as("dev_ppm"))
+          .orderBy($"digit")
+      },
+      oracle = Some {
+        val valuesSql = BenfordPpm.zipWithIndex
+          .map { case (e, i) => s"(${i + 1}, $e)" }.mkString(", ")
+        s"""
+        WITH v AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+            AS BIGINT) AS cents FROM lineitem),
+        vp AS (SELECT cents FROM v WHERE cents > 0),
+        nn AS (SELECT COUNT(*) AS n FROM vp),
+        e AS (SELECT * FROM (VALUES $valuesSql) t(digit, exp_ppm)),
+        o AS (
+          SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+                 COUNT(*) AS n_obs
+          FROM vp GROUP BY 1)
+        SELECT CAST(e.digit AS BIGINT) AS digit,
+               CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+               CAST(COALESCE(o.n_obs, 0) * 1000000 // nn.n AS BIGINT)
+                 AS obs_ppm,
+               CAST(COALESCE(o.n_obs, 0) * 1000000 // nn.n - e.exp_ppm
+                 AS BIGINT) AS dev_ppm
+        FROM e LEFT JOIN o ON o.digit = e.digit, nn
+        ORDER BY digit"""
+      }),
 
     // ── TPC-H Q1 analog: full-scan aggregate with exact decimal math ──
     "q1_pricing_summary" -> QueryDef(

@@ -680,6 +680,87 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     EventTime.mwReject(n9, n9, BigInt(0), BigInt(0)) shouldBe false
   }
 
+  test("evt_wilcoxon equals a brute-force per-user paired recompute, " +
+      "and wilcoxonReject pins a hand example") {
+    import org.apache.spark.sql.functions.expr
+    val dayUs = 24L * 3600L * 1000000L
+    val evs = graft.Tables.events(spark, sf)
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        expr("user_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (evs.map(_._1).min + evs.map(_._1).max + 1) / 2
+    // per-user paired sums; only users active in BOTH halves, zero
+    // differences dropped
+    val diffs = evs.groupBy(_._2).values.flatMap { rs =>
+      val a = rs.filter(_._1 < mid)
+      val b = rs.filter(_._1 >= mid)
+      if (a.isEmpty || b.isEmpty) None
+      else {
+        val dd = b.map(_._3).sum - a.map(_._3).sum
+        if (dd == 0L) None else Some(dd)
+      }
+    }.toSeq
+    var cum = 0L; var w2 = BigInt(0); var tie = BigInt(0)
+    for ((ad, ds) <- diffs.groupBy(d => math.abs(d)).toSeq.sortBy(_._1)) {
+      val t = ds.length.toLong; cum += t
+      w2 += BigInt(ds.count(_ > 0)) * (2 * cum - t + 1)
+      tie += BigInt(t) * t * t - t
+    }
+    val n = diffs.length.toLong
+    val d2 = w2 - BigInt(n) * (n + 1) / 2
+    n should be > 0L // the fixture genuinely pairs users
+    val row = graft.SparkEntry.queries("evt_wilcoxon")(spark, sf)
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getBoolean(4)) shouldBe
+      (n, w2.toLong, d2.toLong, tie.toLong,
+        EventTime.wilcoxonReject(n, d2, tie))
+    // hand example: diffs {+1, -2, +3} -> |d| ranks 1,2,3,
+    // W+ = 1 + 3 = 4, w2 = 8, d2 = 8 - 6 = 2, T = 0: far from 1.96
+    EventTime.wilcoxonReject(3L, BigInt(2), BigInt(0)) shouldBe false
+    // and the all-positive extreme {+1,+2,+3}: W+ = 6, w2 = 12,
+    // d2 = 6 — still not significant at n = 3 (needs n >= 6 at
+    // alpha = .05 two-sided, the textbook minimum)
+    EventTime.wilcoxonReject(3L, BigInt(6), BigInt(0)) shouldBe false
+    // n = 6 all-positive: W+ = 21, w2 = 42, d2 = 21: z = 2.20 > 1.96
+    EventTime.wilcoxonReject(6L, BigInt(21), BigInt(0)) shouldBe true
+  }
+
+  test("evt_autocorr equals a BigInt-exact-then-one-double-chain " +
+      "recompute at both lags") {
+    import org.apache.spark.sql.functions.expr
+    val dayUs = 24L * 3600L * 1000000L
+    val daily = graft.Tables.events(spark, sf)
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def naive(k: Long): (Long, Double) = {
+      val pairs = daily.toSeq.flatMap { case (day, yy) =>
+        daily.get(day - k).map(x => (x, yy)) }
+      val n = pairs.length.toLong
+      // EXACT moments, then the identical IEEE chain the query runs
+      val sx = pairs.map(p => BigInt(p._1)).sum.toDouble
+      val sy = pairs.map(p => BigInt(p._2)).sum.toDouble
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum.toDouble
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum.toDouble
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum.toDouble
+      val den = math.sqrt(math.max(0.0,
+        (n * sxx - sx * sx) * (n * syy - sy * sy)))
+      (n, (n * sxy - sx * sy) / den)
+    }
+    val got = graft.SparkEntry.queries("evt_autocorr")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    got.keySet shouldBe Set(1L, 7L)
+    Seq(1L, 7L).foreach { k =>
+      val (n, r) = naive(k)
+      got(k)._1 shouldBe n
+      got(k)._2 shouldBe r
+    }
+  }
+
   test("evt_seasonal_anomaly matches a direct recompute and conditioning " +
       "on day-of-week changes some verdicts") {
     val DayUs = 86400000000L

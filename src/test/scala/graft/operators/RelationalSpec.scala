@@ -878,6 +878,35 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     real.map(_._2).toSet.size should be >= 1
   }
 
+  test("q_benford equals a brute-force leading-digit census and the " +
+      "ppm literals are the true floor(1e6*log10(1+1/d)) values") {
+    import spark.implicits._
+    import graft.functions.Exact._
+    // the literals must BE the mathematical constants (single-sourced
+    // into both engines, so an error here would pass the hash check)
+    val truth = (1 to 9).map(dd =>
+      math.floor(1e6 * math.log10(1.0 + 1.0 / dd)).toLong)
+    val got = graft.SparkEntry.queries("q_benford")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.map(_._3).toSeq shouldBe truth
+    truth.sum shouldBe 999995L
+    // brute-force census
+    val cents = graft.Tables.lineitem(spark, sf)
+      .select((dec($"l_extendedprice") * 100).cast("long").as("cents"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val n = cents.length.toLong
+    val byDigit = cents.groupBy(c => c.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    got.length shouldBe 9
+    got.foreach { case (digit, nObs, expPpm, obsPpm, devPpm) =>
+      nObs shouldBe byDigit.getOrElse(digit, 0L)
+      obsPpm shouldBe nObs * 1000000L / n
+      devPpm shouldBe obsPpm - expPpm
+    }
+    got.map(_._2).sum shouldBe n
+  }
+
   test("modularityByLabel: planted triangles-with-bridge to exact " +
       "rationals, and a single community scores exactly zero") {
     import spark.implicits._
