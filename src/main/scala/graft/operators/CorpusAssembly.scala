@@ -111,6 +111,59 @@ object CorpusAssembly extends QueryPack {
     // folding to a single row — the distinct-count expand doubles map
     // output but the exchange carries only per-key partials — and the
     // stack unpivot of that row is free.
+    // ── corpus concentration: exact Gini of document mass ──
+    // The one-number inequality readout a curation dashboard carries:
+    // how concentrated is corpus mass across documents (G = 0 every
+    // doc equal, → 1 a few giants carry everything)? Fuels dedup/
+    // length-trim decisions — a post-trim G should DROP. Exact via
+    // the rank formulation G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with
+    // x ascending and i the 1-based rank: ranks ride
+    // [[Relational.globalRank]] (never a single-task sort), both
+    // moments accumulate in DECIMAL(38) (Σ i·x_i ≤ n²·max overflows
+    // 2⁶³ at corpus scale) in ONE aggregate, and the output is the
+    // exact (g_num, g_den) integer rational plus floor-ppm — no
+    // double anywhere (g_num ≥ 0 by the rearrangement inequality, so
+    // BigInt truncation = floor = DuckDB's `//`). Output columns are
+    // the Long reporting contract; the verdict-free single row is an
+    // O(1) driver collect.
+    "llm_doc_gini" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+        val ranked = Relational.globalRank(s, docs,
+          Seq($"n_chars", $"doc_id"))
+        val r = ranked.agg(
+            count(lit(1)).as("n"),
+            sum($"n_chars".cast(big)).as("sx"),
+            sum(($"rk" + 1L).cast(big) * $"n_chars").as("six"))
+          .collect()(0) // the single readout row — O(1) driver rows
+        val n = r.getLong(0)
+        val sx = BigInt(r.getDecimal(1).toBigInteger)
+        val six = BigInt(r.getDecimal(2).toBigInteger)
+        val gNum = BigInt(2) * six - BigInt(n + 1) * sx
+        val gDen = BigInt(n) * sx
+        Seq((n, sx.toLong, gNum.toLong, gDen.toLong,
+            ((BigInt(1000000) * gNum) / gDen).toLong))
+          .toDF("n_docs", "sum_chars", "g_num", "g_den", "gini_ppm")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT n_chars,
+                 ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+          FROM documents),
+        ag AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(n_chars AS HUGEINT)) AS sx,
+                 SUM(CAST(rn AS HUGEINT) * n_chars) AS six
+          FROM r)
+        SELECT n AS n_docs, CAST(sx AS BIGINT) AS sum_chars,
+               CAST(2 * six - (n + 1) * sx AS BIGINT) AS g_num,
+               CAST(n * sx AS BIGINT) AS g_den,
+               CAST((1000000 * (2 * six - (n + 1) * sx)) // (n * sx)
+                 AS BIGINT) AS gini_ppm
+        FROM ag""")),
+
     "llm_dq_audit" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._

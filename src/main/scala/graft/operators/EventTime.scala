@@ -215,6 +215,24 @@ object EventTime extends QueryPack {
       BigInt(2401) * (BigInt(2) * nb * (nb + 1) * (2 * nb + 1) - tieT)
   }
 
+  /** The exact α=0.05 two-sided Wald–Wolfowitz runs verdict behind
+    * `evt_runs_test`: with n = n₁+n₂ dichotomized observations and R
+    * observed runs, dn = n·R − 2n₁n₂ − n (= n·(R − μ_R), integral),
+    * reject ⇔ |z| > 1.96 ⇔ 625·dn²·(n−1) > 4802·n₁n₂·(2n₁n₂ − n)
+    * (z² = dn²/(n²σ²), n²σ² = 2n₁n₂(2n₁n₂−n)/(n−1), cross-multiplied;
+    * 2·2401 = 4802). Degenerate cases (n₁ = 0 or n₂ = 0, or n < 2:
+    * σ = 0) report false — a constant-sign series has nothing to
+    * test. Driver BigInt, the [[ksReject]] discipline. */
+  private[operators] def runsReject(n1: Long, n2: Long, r: Long): Boolean = {
+    if (n1 == 0L || n2 == 0L || n1 + n2 < 2L) false
+    else {
+      val n = BigInt(n1) + BigInt(n2)
+      val p = BigInt(2) * n1 * n2
+      val dn = n * r - p - n
+      BigInt(625) * dn * dn * (n - 1) > BigInt(4802) * BigInt(n1) * n2 * (p - n)
+    }
+  }
+
   /** Theil–Sen robust trend over an (x, y) LongType series — the
     * machinery behind `evt_theil_sen`, exposed for EventTimeSpec's
     * planted-outlier gate. Median selection is DETERMINISTIC: pairs
@@ -2966,6 +2984,92 @@ object EventTime extends QueryPack {
                    (n_pairs * sxx - sx * sx)
                      * (n_pairs * syy - sy * sy))), 0.0) AS autocorr
         FROM m ORDER BY lag""")),
+
+    // ── Wald–Wolfowitz runs test (is the daily series random?) ──
+    // Autocorrelation measures LINEAR memory; the runs test asks the
+    // weaker, assumption-free question — do above-median and
+    // below-median days alternate like coin flips, or do they clump
+    // (momentum) / flip-flop (overcorrection)? Dichotomize the daily
+    // cents series against its exact lower median (median-valued days
+    // dropped, the standard convention), count maximal same-sign runs
+    // in day order. Median via [[Relational.globalRank]] (never a
+    // single-task sort); adjacency via the rank self-join rk = rk+1
+    // on the filtered SERIES (two globalRank passes, both
+    // series-sized — the corpus-sized work is ONE groupBy(day));
+    // verdict in [[runsReject]] driver BigInt — exact at any length.
+    // The oracle replays median, signs, LAG-based run count, and the
+    // HUGEINT verdict.
+    "evt_runs_test" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"day").agg(sum($"y").as("y"))
+          .localCheckpoint(true) // median rank + the sign pass
+        val n0 = daily.agg(count(lit(1)).as("n0"))
+        val med = Relational.globalRank(s, daily, Seq($"y", $"day"))
+          .crossJoin(broadcast(n0))
+          .filter($"rk" === expr("(n0 + 1) div 2 - 1"))
+          .select($"y".as("ym"))
+        val signed = daily.crossJoin(broadcast(med))
+          .filter($"y" =!= $"ym")
+          .select($"day", when($"y" > $"ym", 1L).otherwise(0L).as("sgn"))
+        val ranked = Relational.globalRank(s, signed, Seq($"day"))
+          .localCheckpoint(true) // both sides of the adjacency join
+        val r = ranked.as("a")
+          .join(ranked.as("b"), $"a.rk" === $"b.rk" + 1L)
+          .agg(sum(when($"a.sgn" =!= $"b.sgn", 1L).otherwise(0L))
+            .as("changes"))
+          .crossJoin(broadcast(
+            ranked.agg(sum(when($"sgn" === 1L, 1L).otherwise(0L)).as("n1"),
+              sum(when($"sgn" === 0L, 1L).otherwise(0L)).as("n2"))))
+          .collect()(0) // the single verdict row — O(1) driver rows
+        val changes = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val (n1, n2) = (r.getLong(1), r.getLong(2))
+        val runs = if (n1 + n2 == 0L) 0L else changes + 1L
+        val dn = (n1 + n2) * runs - 2L * n1 * n2 - (n1 + n2)
+        Seq((n1, n2, runs, dn, runsReject(n1, n2, runs)))
+          .toDF("n_above", "n_below", "n_runs", "dn", "reject_at_05")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        daily AS (SELECT day, CAST(SUM(y) AS BIGINT) AS y
+                  FROM ev GROUP BY day),
+        n0 AS (SELECT COUNT(*) AS n0 FROM daily),
+        med AS (
+          SELECT y AS ym FROM (
+            SELECT y, ROW_NUMBER() OVER (ORDER BY y, day) AS rn
+            FROM daily), n0
+          WHERE rn = (n0 + 1) // 2),
+        f AS (
+          SELECT day, CASE WHEN y > ym THEN 1 ELSE 0 END AS sgn
+          FROM daily, med WHERE y <> ym),
+        o AS (
+          SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM f),
+        st AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                   AND sgn <> prev THEN 1 END), 0) AS BIGINT) AS changes,
+                 CAST(COUNT(*) FILTER (sgn = 1) AS BIGINT) AS n1,
+                 CAST(COUNT(*) FILTER (sgn = 0) AS BIGINT) AS n2
+          FROM o),
+        fin AS (
+          SELECT n1, n2,
+                 CASE WHEN n1 + n2 = 0 THEN 0 ELSE changes + 1 END AS r,
+                 n1 + n2 AS n
+          FROM st)
+        SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+               n * r - 2 * n1 * n2 - n AS dn,
+               CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN false ELSE
+                 625 * CAST(n * r - 2 * n1 * n2 - n AS HUGEINT)
+                   * (n * r - 2 * n1 * n2 - n) * (n - 1)
+                 > 4802 * CAST(n1 AS HUGEINT) * n2 * (2 * n1 * n2 - n)
+               END AS reject_at_05
+        FROM fin""")),
 
     // ── chi-square independence test (type × day-of-week) ──
     // The statistical gate behind "does behavior depend on weekday":

@@ -543,4 +543,28 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     // weights normalize
     math.abs(got.map(_._5).sum - 1.0) should be < 1e-6
   }
+
+  test("llm_doc_gini equals a sequential rank-formula recompute and " +
+      "satisfies the Gini identities") {
+    val chars = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = chars.length.toLong
+    val sx = chars.map(BigInt(_)).sum
+    val six = chars.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gNum = BigInt(2) * six - BigInt(n + 1) * sx
+    val gDen = BigInt(n) * sx
+    val row = graft.SparkEntry.queries("llm_doc_gini")(spark, sf)
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) shouldBe
+      (n, sx.toLong, gNum.toLong, gDen.toLong,
+        ((BigInt(1000000) * gNum) / gDen).toLong)
+    // identities: 0 <= G < 1 (rearrangement inequality lower bound;
+    // finite corpus upper), and ppm is the floor of the rational
+    gNum should be >= BigInt(0)
+    gNum should be < gDen
+    (BigInt(row.getLong(4)) * gDen) should be <= (BigInt(1000000) * gNum)
+  }
 }

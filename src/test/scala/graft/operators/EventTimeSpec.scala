@@ -727,6 +727,42 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     EventTime.wilcoxonReject(6L, BigInt(21), BigInt(0)) shouldBe true
   }
 
+  test("evt_runs_test equals a sequential run census, and runsReject " +
+      "pins alternating/clumped/balanced hand cases") {
+    import org.apache.spark.sql.functions.expr
+    val dayUs = 24L * 3600L * 1000000L
+    val daily = graft.Tables.events(spark, sf)
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    // lower median by (y, day) order, drop median-valued days
+    val ym = daily.sortBy(t => (t._2, t._1))
+      .apply((daily.length + 1) / 2 - 1)._2
+    val signs = daily.filter(_._2 != ym).map(t => t._2 > ym)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val runs =
+      if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val row = graft.SparkEntry.queries("evt_runs_test")(spark, sf)
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getBoolean(4)) shouldBe
+      (n1, n2, runs, (n1 + n2) * runs - 2 * n1 * n2 - (n1 + n2),
+        EventTime.runsReject(n1, n2, runs))
+    // perfect alternation (R = 20 at n1 = n2 = 10): z = +4.13, reject
+    EventTime.runsReject(10L, 10L, 20L) shouldBe true
+    // perfect clumping (R = 2): z = -4.13, the two-sided verdict
+    // rejects on the other tail through the same squared comparison
+    EventTime.runsReject(10L, 10L, 2L) shouldBe true
+    // R = 11 = the exact mean: never rejects
+    EventTime.runsReject(10L, 10L, 11L) shouldBe false
+    // constant-sign degenerates report false, never divide by zero
+    EventTime.runsReject(20L, 0L, 1L) shouldBe false
+    EventTime.runsReject(1L, 1L, 2L) shouldBe false
+  }
+
   test("evt_autocorr equals a BigInt-exact-then-one-double-chain " +
       "recompute at both lags") {
     import org.apache.spark.sql.functions.expr
