@@ -171,4 +171,91 @@ object StreamingScoring {
       }
       .start()
   }
+
+  /** Continuous heavy-change — the streaming face of
+    * `agg_cm_heavy_change` and the epoch-aware member of the CM
+    * stream pair: a corpus refresh asks "whose frequency is CHANGING
+    * across snapshots", so the state holds TWO sketches — the
+    * CURRENT epoch's accumulating counters and the PREVIOUS epoch's
+    * frozen ones. Every folded batch pays the same ONE
+    * map-side-combined counter aggregation as [[countMinStream]];
+    * after `epochBatches` folds the epoch ROTATES (prev ← cur,
+    * cur ← 0) — coordinator work stays O(depth×W), history is never
+    * re-scanned, and the pair gives the downstream probe
+    * est_cur(t) − est_prev(t) with MISSING COUNTER = 0 per side (the
+    * batch query's exact parity discipline). State: long-form
+    * (r, col, cnt_cur, cnt_prev) cells — a cell survives rotation
+    * while either side is nonzero — plus epoch, folds-in-epoch, and
+    * the last folded batch id (a zero-cell sentinel keeps those
+    * scalars durable even if both sketches are empty),
+    * GenSwap-committed BEFORE emission: a replayed batch hits the
+    * batch-id guard and re-emits without re-folding. `sink` receives
+    * (r, col, cnt_cur, cnt_prev, epoch, batch_id) per batch. */
+  def cmChangeStream(
+      records: DataFrame,
+      epochBatches: Int,
+      stateDir: String,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    require(epochBatches >= 1, "cmChangeStream: epochBatches must be >= 1")
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/cmchg"
+        val old = s"$stateDir/cmchg.old"
+        val tmp = s"$stateDir/cmchg.tmp"
+        val (cur0, prev0, epoch0, folds0, lastBatch) =
+          GenSwap.readable(target, old) match {
+            case Some(dir) =>
+              val rows = s.read.parquet(dir).collect()
+              val cur = rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+                .filter(_._2 != 0L).toMap
+              val prev = rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3))
+                .filter(_._2 != 0L).toMap
+              val ep = if (rows.isEmpty) 0L else rows.head.getLong(4)
+              val fo = if (rows.isEmpty) 0L else rows.head.getLong(5)
+              val lb = if (rows.isEmpty) -1L else rows.head.getLong(6)
+              (cur, prev, ep, fo, lb)
+            case None =>
+              (Map.empty[(Int, Long), Long], Map.empty[(Int, Long), Long],
+                0L, 0L, -1L)
+          }
+        val (cur, prev, epoch) =
+          if (batchId <= lastBatch) (cur0, prev0, epoch0) // replay: fold once
+          else {
+            val batchCtrs = graft.operators.Scoring.cmCounters(
+              batch.select(explode(graft.functions.TextTokens.tokens).as("term"))
+                .withColumn("fp",
+                  graft.functions.RollingHash.rolling_hash($"term")))
+              .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+              .toMap
+            val folded = (cur0.toSeq ++ batchCtrs.toSeq)
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            // rotation fires as the epoch's LAST batch folds; the next
+            // batch starts the fresh epoch against the frozen snapshot
+            val (c2, p2, e2, f2) =
+              if (folds0 + 1 >= epochBatches)
+                (Map.empty[(Int, Long), Long], folded, epoch0 + 1, 0L)
+              else (folded, prev0, epoch0, folds0 + 1)
+            val cells0 = (c2.keySet ++ p2.keySet).toSeq
+            val cells = if (cells0.nonEmpty) cells0 else Seq((0, 0L))
+            new java.io.File(stateDir).mkdirs()
+            cells.map { k => (k._1, k._2, c2.getOrElse(k, 0L),
+                p2.getOrElse(k, 0L), e2, f2, batchId) }
+              .toDF("r", "col", "cnt_cur", "cnt_prev", "epoch", "folds",
+                "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            GenSwap.publish(tmp, target, old)
+            (c2, p2, e2)
+          }
+        val cells0 = (cur.keySet ++ prev.keySet).toSeq
+        val cells = if (cells0.nonEmpty) cells0 else Seq((0, 0L))
+        sink(cells.map { k => (k._1, k._2, cur.getOrElse(k, 0L),
+            prev.getOrElse(k, 0L), epoch, batchId) }
+          .toDF("r", "col", "cnt_cur", "cnt_prev", "epoch", "batch_id"))
+      }
+      .start()
+  }
 }

@@ -156,4 +156,111 @@ class StreamingScoringSpec extends AnyFunSuite with Matchers {
     finally q2.stop()
     checkAgainst(emitted.last)
   }
+
+  test("continuous heavy-change: the sketch pair rotates on epoch " +
+      "boundaries, folds exactly, survives restart, and per-side " +
+      "estimates keep the CM bound") {
+    val src = java.nio.file.Files.createTempDirectory("graft-schg-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-schg-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-schg-state")
+
+    var nextId = 0
+    def writeDocs(name: String, texts: Seq[String]): Unit = {
+      java.nio.file.Files.write(src.resolve(name),
+        texts.zipWithIndex.map { case (t, i) =>
+          s"""{"doc_id":${nextId + i},"text":"$t"}""" }
+          .mkString("\n").getBytes(UTF_8))
+      nextId += texts.size
+    }
+
+    @volatile var emitted = Vector.empty[Array[Row]]
+    def start() = StreamingScoring.cmChangeStream(
+      spark.readStream.schema("doc_id LONG, text STRING").json(src.toString),
+      epochBatches = 2, state.toString, ckpt.toString,
+      sink = df => emitted :+= df.collect())
+
+    val hashes = graft.operators.Scoring.CmHashes
+    def fp(t: String): Long =
+      graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 31L)
+    def cmCol(f: Long, a: Long, b: Long): Long = (a * f + b) % 1000000007L % 64L
+    def directCounters(terms: Seq[String]): Map[(Int, Long), Long] =
+      terms.flatMap { t =>
+        hashes.zipWithIndex.map { case ((a, b), r) => (r, cmCol(fp(t), a, b)) }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def curOf(rows: Array[Row]): Map[(Int, Long), Long] =
+      rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .filter(_._2 != 0L).toMap
+    def prevOf(rows: Array[Row]): Map[(Int, Long), Long] =
+      rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3))
+        .filter(_._2 != 0L).toMap
+    def epochOf(rows: Array[Row]): Long = rows.head.getLong(4)
+
+    val b0 = Seq(Seq.fill(20)("alpha").mkString(" "))
+    val b1 = Seq(Seq.fill(10)("beta").mkString(" "))
+    val b2 = Seq(Seq.fill(5)("alpha").mkString(" "),
+      (0 until 30).map(i => s"noise$i").mkString(" "))
+    val b3 = Seq(Seq.fill(7)("gamma").mkString(" "))
+
+    // batch 0: first fold of epoch 0 — no rotation yet
+    writeDocs("b0.json", b0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    curOf(emitted.last) shouldBe directCounters(b0.flatMap(toks))
+    prevOf(emitted.last) shouldBe Map.empty
+    epochOf(emitted.last) shouldBe 0L
+
+    // batch 1: second fold completes epoch 0 — rotation freezes the
+    // epoch's sketch into prev and clears cur
+    writeDocs("b1.json", b1)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    curOf(emitted.last) shouldBe Map.empty
+    prevOf(emitted.last) shouldBe directCounters((b0 ++ b1).flatMap(toks))
+    epochOf(emitted.last) shouldBe 1L
+
+    // batch 2 (after a restart boundary): fresh epoch accumulates
+    // against the frozen snapshot — the change probe's two sides
+    writeDocs("b2.json", b2)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val rows2 = emitted.last
+    curOf(rows2) shouldBe directCounters(b2.flatMap(toks))
+    prevOf(rows2) shouldBe directCounters((b0 ++ b1).flatMap(toks))
+    epochOf(rows2) shouldBe 1L
+    // per-side CM bound through the coalesced-zero probe (the batch
+    // query's exact discipline), for every term either epoch saw
+    val curTruth = b2.flatMap(toks).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val prevTruth = (b0 ++ b1).flatMap(toks).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cur2 = curOf(rows2); val prev2 = prevOf(rows2)
+    (curTruth.keySet ++ prevTruth.keySet).foreach { t =>
+      val eCur = hashes.zipWithIndex.map { case ((a, b), r) =>
+        cur2.getOrElse((r, cmCol(fp(t), a, b)), 0L) }.min
+      val ePrev = hashes.zipWithIndex.map { case ((a, b), r) =>
+        prev2.getOrElse((r, cmCol(fp(t), a, b)), 0L) }.min
+      withClue(s"term $t:") {
+        eCur should be >= curTruth.getOrElse(t, 0L)
+        ePrev should be >= prevTruth.getOrElse(t, 0L)
+      }
+    }
+    // "alpha" cooled (20 -> 5): its estimated delta must be negative
+    // (est_cur can overcount by collisions but stays bounded by the
+    // small current epoch)
+    val dAlpha = hashes.zipWithIndex.map { case ((a, b), r) =>
+      cur2.getOrElse((r, cmCol(fp("alpha"), a, b)), 0L) }.min -
+      hashes.zipWithIndex.map { case ((a, b), r) =>
+        prev2.getOrElse((r, cmCol(fp("alpha"), a, b)), 0L) }.min
+    dAlpha should be < 0L
+
+    // batch 3: rotation again — epoch 2, prev = epoch-1 sketch only
+    writeDocs("b3.json", b3)
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    curOf(emitted.last) shouldBe Map.empty
+    prevOf(emitted.last) shouldBe directCounters((b2 ++ b3).flatMap(toks))
+    epochOf(emitted.last) shouldBe 2L
+  }
 }
