@@ -564,6 +564,25 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "SinglePartition"
   }
 
+  test("graph community trio (LPA / modularity / HITS) plans: equality " +
+      "joins only — no cartesian, no window, no single partition") {
+    // each round/half-update is an edges-table equality join + map-side
+    // aggregates with checkpoint barriers; the 1-row maxima and m ride
+    // broadcasts. A Window here would mean a rank/normalization fell
+    // back to a single task; a CartesianProduct would mean a join lost
+    // its key. (SinglePartition DOES legitimately appear — the final
+    // stage of the 1-row scalar aggregates (m, per-round maxima)
+    // carries O(partitions) partial rows, the standard global-agg
+    // shape — so it is deliberately not asserted against.)
+    Seq("q_label_prop", "q_modularity", "q_hits").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q:") {
+        p should not include "CartesianProduct"
+        countOccurrences(p, "Window") shouldBe 0
+      }
+    }
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
