@@ -760,7 +760,15 @@ object Dedup extends QueryPack {
     val verifiedBatch = verify(candBatch,
       inc.select($"doc_id".as("id1"), $"fps".as("f1")),
       inc.select($"doc_id".as("id2"), $"fps".as("f2")))
-    verifiedState.unionByName(verifiedBatch)
+    // exactly-once per pair: in a clean run the two branches are
+    // disjoint (a state pair's partner is not in the batch), but an
+    // at-least-once REPLAY puts both members in batch AND state, so
+    // the state branch finds the pair in both orientations and the
+    // batch branch a third time — all canonicalized to the same
+    // (doc_a, doc_b) by the verify projection. The distinct collapses
+    // them so additive downstream folds see each pair once; it
+    // shuffles only the VERIFIED near-dup pairs, not candidates
+    verifiedState.unionByName(verifiedBatch).distinct()
   }
 
   override val queries: Map[String, QueryDef] = Map(

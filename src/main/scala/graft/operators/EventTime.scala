@@ -3026,8 +3026,13 @@ object EventTime extends QueryPack {
             ranked.agg(sum(when($"sgn" === 1L, 1L).otherwise(0L)).as("n1"),
               sum(when($"sgn" === 0L, 1L).otherwise(0L)).as("n2"))))
           .collect()(0) // the single verdict row — O(1) driver rows
+        // every aggregate is null when the dichotomized series is
+        // EMPTY (all daily totals equal the median — e.g. a single-day
+        // corpus); the oracle's COALESCEs emit the (0,0,0,0,false)
+        // degenerate row there, so mirror them
         val changes = if (r.isNullAt(0)) 0L else r.getLong(0)
-        val (n1, n2) = (r.getLong(1), r.getLong(2))
+        val n1 = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val n2 = if (r.isNullAt(2)) 0L else r.getLong(2)
         val runs = if (n1 + n2 == 0L) 0L else changes + 1L
         val dn = (n1 + n2) * runs - 2L * n1 * n2 - (n1 + n2)
         Seq((n1, n2, runs, dn, runsReject(n1, n2, runs)))

@@ -71,13 +71,12 @@ object StreamingDistinct {
       .filter(_._2 >= horizon)
     if (state.hasTimedOut) {
       // invoked because the watermark passed the timeout stamp, not by
-      // data: after the prune the user is either fully aged (remove —
-      // THE state-bound guarantee) or keeps a live tail (re-arm)
-      if (runs.isEmpty) state.remove()
-      else {
-        state.update(Runs(runs))
-        state.setTimeoutTimestamp((runs.map(_._2).max + 7L) * DayMs)
-      }
+      // data — and that stamp was ≥ (maxHi + 7)·day when last armed,
+      // so wm/day ≥ maxHi + 7 ⇒ horizon ≥ maxHi + 1 > every run's hi:
+      // the prune above is provably total and removal is THE outcome
+      // (a live tail cannot survive its own age-out alarm; any newer
+      // data would have re-armed the alarm with a newer maxHi first)
+      state.remove()
       Iterator.empty
     } else {
       val out = Seq.newBuilder[Delta]
@@ -109,9 +108,14 @@ object StreamingDistinct {
       }
       state.update(Runs(runs))
       // age-out alarm: the first instant the watermark proves every
-      // current run unreachable ((maxHi + 7) days > watermark always
-      // holds here, as EventTimeTimeout requires)
-      state.setTimeoutTimestamp((runs.map(_._2).max + 7L) * DayMs)
+      // current run unreachable — CLAMPED above the current eviction
+      // watermark, because a straggler batch can reach here with the
+      // alarm already in the past (Spark admits rows against the
+      // PREVIOUS batch's watermark while setTimeoutTimestamp validates
+      // against the CURRENT one and throws below it, which would kill
+      // the query); the clamped alarm just fires on the next batch
+      state.setTimeoutTimestamp(
+        math.max((runs.map(_._2).max + 7L) * DayMs, wmMs + 1L))
       out.result().iterator
     }
   }

@@ -291,6 +291,11 @@ class BucketingSpec extends AnyFunSuite with Matchers {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       replay.foreach { case (a, b) => a should be < b }
       replay.toSet shouldBe expected
+      // MULTIPLICITY, not just set equality: replay finds each pair in
+      // both state orientations plus the in-batch branch — the output
+      // distinct must collapse them to exactly one row per pair, or an
+      // additive downstream fold triple-counts on every replay
+      replay.length shouldBe expected.size
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_pfx_posts")

@@ -135,4 +135,40 @@ class StreamingDistinctSpec extends AnyFunSuite with Matchers {
     }.filter(_._2 > 0).toMap
     deltas.groupBy(_._2).view.mapValues(_.size.toLong).toMap shouldBe brute
   }
+
+  test("a straggler between the lagged late-events watermark and the " +
+      "eviction watermark cannot kill the stream: the age-out alarm " +
+      "clamps above the current watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-sdist-strag-ckpt")
+    val input = MemoryStream[(Long, Long)]
+    @volatile var deltas = Vector.empty[(Long, Long)]
+    val q = StreamingDistinct.slidingDistinctStream(
+      input.toDF().toDF("user_id", "day"), ckpt.toString,
+      sink = df => df.collect().foreach { r =>
+        deltas :+= ((r.getLong(0), r.getLong(1))) })
+    try {
+      input.addData((1L, 100L)); q.processAllAvailable() // wm -> day 93
+      input.addData((1L, 130L)); q.processAllAvailable() // wm -> day 123
+      // straggler: day 110 for a NEW user, with a raw age-out alarm
+      // (110 + 7 = day 117) BELOW the current eviction watermark
+      // (123). Depending on the engine's watermark propagation the
+      // row is either dropped by the late filter or ADMITTED (Spark's
+      // two-watermark semantics filter input against the lagged
+      // late-events watermark while setTimeoutTimestamp validates
+      // against the current one, throwing below it); the alarm clamp
+      // makes the armed stamp valid in the admitted case, and this
+      // gate pins stream survival + window suppression either way
+      input.addData((2L, 110L)); q.processAllAvailable()
+      // the straggler's windows ([104, 110]) are entirely below the
+      // horizon (117): suppressed, per the documented lateness
+      // contract — and the stream is alive to process more data
+      deltas.filter(_._1 == 2L) shouldBe empty
+      input.addData((1L, 131L)); q.processAllAvailable()
+      q.isActive shouldBe true
+      deltas.filter(_._1 == 1L).map(_._2).distinct.size should be > 0
+    } finally q.stop()
+  }
 }
