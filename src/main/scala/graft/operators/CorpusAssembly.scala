@@ -139,12 +139,22 @@ object CorpusAssembly extends QueryPack {
             sum(($"rk" + 1L).cast(big) * $"n_chars").as("six"))
           .collect()(0) // the single readout row — O(1) driver rows
         val n = r.getLong(0)
-        val sx = BigInt(r.getDecimal(1).toBigInteger)
-        val six = BigInt(r.getDecimal(2).toBigInteger)
-        val gNum = BigInt(2) * six - BigInt(n + 1) * sx
+        // Degenerate-corpus guard: an empty table (n = 0, null sums)
+        // or an all-zero-mass corpus (sx = 0) has no concentration to
+        // measure — G is defined as 0 with a 0 denominator, mirroring
+        // the oracle's CASE spelling, instead of dividing by zero.
+        val sx =
+          if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger)
+        val six =
+          if (r.isNullAt(2)) BigInt(0) else BigInt(r.getDecimal(2).toBigInteger)
         val gDen = BigInt(n) * sx
-        Seq((n, sx.toLong, gNum.toLong, gDen.toLong,
-            ((BigInt(1000000) * gNum) / gDen).toLong))
+        val (gNum, ppm) =
+          if (gDen == 0) (BigInt(0), 0L)
+          else {
+            val gn = BigInt(2) * six - BigInt(n + 1) * sx
+            (gn, ((BigInt(1000000) * gn) / gDen).toLong)
+          }
+        Seq((n, sx.toLong, gNum.toLong, gDen.toLong, ppm))
           .toDF("n_docs", "sum_chars", "g_num", "g_den", "gini_ppm")
       },
       oracle = Some("""
@@ -157,11 +167,13 @@ object CorpusAssembly extends QueryPack {
                  SUM(CAST(n_chars AS HUGEINT)) AS sx,
                  SUM(CAST(rn AS HUGEINT) * n_chars) AS six
           FROM r)
-        SELECT n AS n_docs, CAST(sx AS BIGINT) AS sum_chars,
-               CAST(2 * six - (n + 1) * sx AS BIGINT) AS g_num,
-               CAST(n * sx AS BIGINT) AS g_den,
-               CAST((1000000 * (2 * six - (n + 1) * sx)) // (n * sx)
-                 AS BIGINT) AS gini_ppm
+        SELECT n AS n_docs, CAST(COALESCE(sx, 0) AS BIGINT) AS sum_chars,
+               CAST(CASE WHEN COALESCE(n * sx, 0) = 0 THEN 0
+                 ELSE 2 * six - (n + 1) * sx END AS BIGINT) AS g_num,
+               CAST(COALESCE(n * sx, 0) AS BIGINT) AS g_den,
+               CAST(CASE WHEN COALESCE(n * sx, 0) = 0 THEN 0
+                 ELSE (1000000 * (2 * six - (n + 1) * sx)) // (n * sx)
+                 END AS BIGINT) AS gini_ppm
         FROM ag""")),
 
     "llm_dq_audit" -> QueryDef(

@@ -148,6 +148,13 @@ object EventTime extends QueryPack {
       .unionByName(cells.select($"dst".as("state"))).distinct()
       .localCheckpoint(true)
     val k = states.count()
+    // Empty-transition-frame guard (sprtDecisions' empty-variant
+    // discipline): with zero states the uniform seed 1e9/k is a
+    // division by zero at plan-build time; the defined answer is the
+    // empty stationary frame, schema preserved via the empty states.
+    if (k == 0L)
+      return states.select($"state", lit(0L).as("pi_nano"),
+        lit(0L).as("n_out"))
     var pi = states
       .select($"state", lit(1000000000L / k).as("pi_nano"))
       .localCheckpoint(true)
@@ -2676,10 +2683,19 @@ object EventTime extends QueryPack {
           .select($"n_a", $"n_b", $"m.dv".as("dv"),
             (-$"m.ny").as("at_value"))
           .collect()(0) // the single verdict row — O(1) driver rows
-        val (nA, nB) = (r.getLong(0), r.getLong(1))
-        val dNum = BigInt(r.getDecimal(2).toBigInteger)
-        Seq((nA, nB, dNum.toLong, nA * nB, r.getLong(3),
-            ksReject(nA, nB, dNum)))
+        // Empty-corpus guard (evt_runs_test's discipline): the
+        // all-null aggregate row over zero events becomes a defined
+        // degenerate verdict — nothing observed, nothing rejected —
+        // matching the oracle's COALESCE spelling below.
+        val out =
+          if (r.isNullAt(0)) (0L, 0L, 0L, 0L, 0L, false)
+          else {
+            val (nA, nB) = (r.getLong(0), r.getLong(1))
+            val dNum = BigInt(r.getDecimal(2).toBigInteger)
+            (nA, nB, dNum.toLong, nA * nB, r.getLong(3),
+              ksReject(nA, nB, dNum))
+          }
+        Seq(out)
           .toDF("n_a", "n_b", "d_num", "d_den", "at_value",
             "reject_at_05")
       },
@@ -2709,14 +2725,14 @@ object EventTime extends QueryPack {
                    - CAST(n_a AS HUGEINT) * cumb) AS dv
           FROM cum, nn),
         mx AS (SELECT dv, y FROM dev ORDER BY dv DESC, y LIMIT 1)
-        SELECT nn.n_a, nn.n_b,
-               CAST(mx.dv AS BIGINT) AS d_num,
-               nn.n_a * nn.n_b AS d_den,
-               mx.y AS at_value,
-               100000000 * mx.dv * mx.dv >
+        SELECT COALESCE(nn.n_a, 0) AS n_a, COALESCE(nn.n_b, 0) AS n_b,
+               COALESCE(CAST(mx.dv AS BIGINT), 0) AS d_num,
+               COALESCE(nn.n_a * nn.n_b, 0) AS d_den,
+               COALESCE(mx.y, 0) AS at_value,
+               COALESCE(100000000 * mx.dv * mx.dv >
                  184443561 * CAST(nn.n_a + nn.n_b AS HUGEINT)
-                   * (nn.n_a * nn.n_b) AS reject_at_05
-        FROM nn, mx""")),
+                   * (nn.n_a * nn.n_b), FALSE) AS reject_at_05
+        FROM nn LEFT JOIN mx ON TRUE""")),
 
     // ── Mann–Whitney U rank-sum drift (the KS companion) ──
     // KS asks "did the DISTRIBUTION change" (max ECDF gap — sensitive
@@ -2762,13 +2778,21 @@ object EventTime extends QueryPack {
             sum($"ct".cast(big) * $"ct" * $"ct" - $"ct").as("tie_t"))
           .crossJoin(broadcast(nn))
           .collect()(0) // the single verdict row — O(1) driver rows
-        val r2a = BigInt(r.getDecimal(0).toBigInteger)
-        val tieT = BigInt(r.getDecimal(1).toBigInteger)
-        val (nA, nB) = (r.getLong(2), r.getLong(3))
-        val u2a = r2a - BigInt(nA) * (nA + 1)
-        val d2 = u2a - BigInt(nA) * nB
-        Seq((nA, nB, u2a.toLong, d2.toLong, tieT.toLong,
-            mwReject(nA, nB, d2, tieT)))
+        // Empty-corpus guard (evt_runs_test's discipline): zero
+        // events → all-null aggregates → a defined degenerate row,
+        // mirrored by the oracle's COALESCE spelling below.
+        val out =
+          if (r.isNullAt(2)) (0L, 0L, 0L, 0L, 0L, false)
+          else {
+            val r2a = BigInt(r.getDecimal(0).toBigInteger)
+            val tieT = BigInt(r.getDecimal(1).toBigInteger)
+            val (nA, nB) = (r.getLong(2), r.getLong(3))
+            val u2a = r2a - BigInt(nA) * (nA + 1)
+            val d2 = u2a - BigInt(nA) * nB
+            (nA, nB, u2a.toLong, d2.toLong, tieT.toLong,
+              mwReject(nA, nB, d2, tieT))
+          }
+        Seq(out)
           .toDF("n_a", "n_b", "u2_a", "d2", "tie_t", "reject_at_05")
       },
       oracle = Some(s"""
@@ -2802,13 +2826,14 @@ object EventTime extends QueryPack {
                  ag.r2a - CAST(nn.n_a AS HUGEINT) * (nn.n_a + 1) AS u2a,
                  ag.tie_t
           FROM nn, ag)
-        SELECT n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
-               CAST(d2 AS BIGINT) AS d2,
-               CAST(tie_t AS BIGINT) AS tie_t,
-               7500 * d2 * d2 * CAST(n AS HUGEINT) * (n - 1)
+        SELECT COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+               COALESCE(CAST(u2a AS BIGINT), 0) AS u2_a,
+               COALESCE(CAST(d2 AS BIGINT), 0) AS d2,
+               COALESCE(CAST(tie_t AS BIGINT), 0) AS tie_t,
+               COALESCE(7500 * d2 * d2 * CAST(n AS HUGEINT) * (n - 1)
                  > 9604 * CAST(n_a AS HUGEINT) * n_b
-                   * ((CAST(n AS HUGEINT) * n * n - n) - tie_t)
-                 AS reject_at_05
+                   * ((CAST(n AS HUGEINT) * n * n - n) - tie_t),
+                 FALSE) AS reject_at_05
         FROM fin""")),
 
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkEntry, Tables, TestSpark}
+
+/** Empty-corpus gates for the driver-collect verdict queries (ADVICE
+  * round 10): each one aggregates to a single row and reads it on the
+  * driver, so an all-null aggregate over ZERO input rows must become a
+  * defined degenerate verdict — never an NPE on getLong/getDecimal or
+  * a division by zero at plan-build time. The fixtures are real empty
+  * parquet tables (sf0.001 schemas, zero rows) run through the SAME
+  * registered query functions the driver executes, so the guard under
+  * test is the production path, not a test-only twin.
+  */
+class EmptyInputSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  /** A temp sf-dir whose events/documents tables carry the real
+    * schemas with zero rows. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq("events", "documents").foreach { t =>
+      Tables(spark, "/root/testdata/sf0.001", t)
+        .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def one(name: String): org.apache.spark.sql.Row = {
+    val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
+    rows.length shouldBe 1
+    rows(0)
+  }
+
+  test("evt_ks_drift on an empty events table yields the degenerate " +
+      "no-drift verdict row") {
+    val r = one("evt_ks_drift")
+    (0 to 4).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L, 0L)
+    r.getBoolean(5) shouldBe false
+  }
+
+  test("evt_mannwhitney on an empty events table yields the degenerate " +
+      "verdict row") {
+    val r = one("evt_mannwhitney")
+    (0 to 4).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L, 0L)
+    r.getBoolean(5) shouldBe false
+  }
+
+  test("evt_wilcoxon on an empty events table yields the degenerate " +
+      "verdict row") {
+    val r = one("evt_wilcoxon")
+    (0 to 3).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L)
+    r.getBoolean(4) shouldBe false
+  }
+
+  test("evt_runs_test keeps its degenerate row on an empty events table") {
+    val r = one("evt_runs_test")
+    r.getBoolean(r.length - 1) shouldBe false
+  }
+
+  test("llm_doc_gini on an empty documents table yields gini 0 with a " +
+      "0 denominator instead of dividing by it") {
+    val r = one("llm_doc_gini")
+    (0 to 4).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L, 0L)
+  }
+
+  test("llm_doc_gini on an all-zero-mass corpus (sx = 0, n > 0) " +
+      "yields the same defined degenerate readout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zmass").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(5).withColumn("n_chars", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("llm_doc_gini")(spark, dir).collect()(0)
+    r.getLong(0) shouldBe 5L
+    (1 to 4).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L)
+  }
+
+  test("markovStationary returns an empty stationary frame on an empty " +
+      "transition frame instead of dividing by k = 0") {
+    import spark.implicits._
+    val cells = Seq.empty[(String, String, Long)].toDF("src", "dst", "n")
+    val out = EventTime.markovStationary(spark, cells)
+    out.columns.toSeq shouldBe Seq("state", "pi_nano", "n_out")
+    out.count() shouldBe 0L
+  }
+}
