@@ -9,45 +9,67 @@ import graft.{QueryDef, QueryPack, Tables}
 /** Multimodal-column operators (SURVEY.md §2.3): media payloads are
   * opaque `binary` columns with typed metadata — exactly the reference's
   * data model, whose record values are raw bytes
-  * (`SimpleFileConverter.scala:50-51`). The documents' text bodies stand
-  * in as payloads (the container has no image/audio codecs), so the
-  * *decode* step is a clearly-marked deterministic stub
-  * ([[Multimodal.decodeStub]]); everything around it — binary schema,
-  * batch-shaped `mapPartitions`, frame sampling, metadata extraction —
-  * is real Spark plumbing and oracle-tested where SQL-expressible.
+  * (`SimpleFileConverter.scala:50-51`). The decode step is REAL: a
+  * pure-Scala BMP parser ([[Bmp.decode]] — magic, little-endian
+  * headers, bottom-up padded pixel rows) runs inside the batch-shaped
+  * `mapPartitions` pipeline, over payloads generated from the
+  * documents by [[Bmp.fromText]]'s oracle-replayable arithmetic (the
+  * container ships no image files, so the corpus's images are
+  * synthesized — but the bytes, the parser, and the pixel walk are
+  * the production path, value-checked end to end).
   */
 object Multimodal extends QueryPack {
 
-  /** Typed metadata the stub "decoder" yields for a payload. */
+  /** Typed metadata the decoder yields for a payload. */
   final case class MediaMeta(
-      doc_id: Long, byte_len: Long, width: Int, height: Int, format: String)
-
-  /** STUB — deterministic fake decode. A real deployment swaps this for
-    * an image/audio codec (on PySpark: a pandas UDF over mapInPandas);
-    * the signature and batch shape are what matter to the pipeline. */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length
-    MediaMeta(
-      doc_id = docId,
-      byte_len = n.toLong,
-      width = (n % 640) + 1,
-      height = ((n * 3) % 480) + 1,
-      format = (n % 3) match {
-        case 0 => "img/fake-png"
-        case 1 => "img/fake-jpeg"
-        case _ => "audio/fake-wav"
-      })
-  }
+      doc_id: Long, byte_len: Long, width: Int, height: Int, bpp: Int)
 
   /** Batch-shaped decode: one partition in, one iterator of typed
     * metadata out — the Scala twin of `mapInPandas` (vectorized batches,
-    * decoder initialized once per partition, never per row). */
+    * decoder state initialized once per partition, never per row). */
   def decodePartitions(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       // per-partition decoder init would go here (expensive codec setup)
-      it.map { case (id, bytes) => decodeStub(id, bytes) }
+      it.map { case (id, bytes) =>
+        val img = Bmp.decode(bytes)
+        MediaMeta(id, img.fileSize, img.width, img.height, img.bpp)
+      }
     }
+  }
+
+  /** Channel sums + the position-weighted checksum of a decoded
+    * image, the readout both pixel queries emit: Σr, Σg, Σb, and
+    * Σ (i+1)·(r + 2g + 4b) over TOP-DOWN pixel index i. The weighted
+    * term is what makes storage layout load-bearing — plain sums are
+    * order-invariant, so a decoder that forgot to un-flip the
+    * bottom-up rows or mis-sized the row padding would still match
+    * them; the index-weighted fold catches exactly those. */
+  private def pixelReadout(px: Array[Int]): (Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val r = (p >> 16) & 0xff
+      val g = (p >> 8) & 0xff
+      val b = p & 0xff
+      sr += r; sg += g; sb += b
+      ws += (i + 1).toLong * (r + 2L * g + 4L * b)
+      i += 1
+    }
+    (sr, sg, sb, ws)
+  }
+
+  /** The documents with their printable-ASCII payload text (the
+    * alphabet on which JVM char codes and DuckDB `unicode()` agree —
+    * the [[phashSketch]] discipline); empty-after-strip docs carry no
+    * image. */
+  private def asciiDocs(s: SparkSession, d: String): Dataset[(Long, String)] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("atext", regexp_replace($"text", "[^\\x20-\\x7e]", ""))
+      .filter(length($"atext") > 0)
+      .select($"doc_id", $"atext").as[(Long, String)]
   }
 
   /** dHash-style perceptual sketch of a payload: resample to 61 units
@@ -213,61 +235,135 @@ object Multimodal extends QueryPack {
         FROM f
         ORDER BY doc_id, frame_idx""")),
 
-    // ── typed mapPartitions decode path (stubbed codec) ──
-    "mm_decode_stub" -> QueryDef(
+    // ── real BMP decode over the typed mapPartitions path ──
+    // Each document's printable-ASCII text generates a REAL 24bpp BMP
+    // ([[Bmp.fromText]]: dims (m%21)+4 × (m%13)+3, channels
+    // r = c, g = (7c+i)%256, b = (31i+doc_id)%256 at top-down pixel i
+    // with character c = t[i mod m]); [[Bmp.decode]] then PARSES the
+    // bytes — magic, little-endian header fields, bottom-up rows, the
+    // 4-byte row padding — and the query emits header facts plus the
+    // pixel readout. The oracle prices every output from the
+    // generating formula by integer arithmetic (byte_len is the
+    // header+stride arithmetic, never a codec), so a decoder that
+    // mis-read a field, mis-sized the stride, or forgot the row flip
+    // hash-mismatches (the wsum term is position-weighted precisely
+    // so layout errors cannot cancel). 100 TB shape: map-only typed
+    // partitions — the mapInPandas batch shape — no shuffle at all.
+    "mm_decode" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val payloads = Tables.documents(s, d)
-          .select($"doc_id", $"text".cast(BinaryType).as("payload"))
-          .as[(Long, Array[Byte])]
-        decodePartitions(payloads).toDF().orderBy($"doc_id")
-      },
-      // the stub decode is deterministic arithmetic, so even the typed
-      // mapPartitions path gets a full value oracle
-      oracle = Some("""
-        SELECT doc_id,
-          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-          CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
-          CAST(((octet_length(encode(text)) * 3) % 480) + 1 AS INT) AS height,
-          CASE octet_length(encode(text)) % 3
-            WHEN 0 THEN 'img/fake-png'
-            WHEN 1 THEN 'img/fake-jpeg'
-            ELSE 'audio/fake-wav' END AS format
-        FROM documents
-        ORDER BY doc_id""")),
-
-    // ── resize: deterministic stride downsample of the payload ──
-    // The resize stage of a media pipeline, payload-agnostic: pick every
-    // k-th unit (k = ceil(len/64), so output ≤ 64 units) — the Spark
-    // plumbing a real codec-backed resize shares (per-row HOF over the
-    // payload, codegen'd, no shuffle); only the kernel is the stub.
-    "mm_resize_stub" -> QueryDef(
-      fn = (s, d) => {
-        import s.implicits._
-        Tables.documents(s, d)
-          .filter(length($"text") > 0)
-          .withColumn("k", expr("(length(text) - 1) div 64 + 1"))
-          .select($"doc_id", $"k".as("stride"),
-            expr("""concat_ws('', transform(
-                      sequence(0, (length(text) - 1) div k),
-                      i -> substring(text, CAST(i * k + 1 AS INT), 1)))""")
-              .as("resized"))
-          .withColumn("out_len", length($"resized").cast(LongType))
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val bytes = Bmp.fromText(id, t)
+            val img = Bmp.decode(bytes)
+            val (sr, sg, sb, ws) = pixelReadout(img.pixels)
+            (id, img.fileSize, img.width.toLong, img.height.toLong,
+              img.bpp.toLong, img.width.toLong * img.height, sr, sg, sb, ws)
+          }
+        }.toDF("doc_id", "byte_len", "width", "height", "bpp",
+          "n_pixels", "sum_r", "sum_g", "sum_b", "wsum")
           .orderBy($"doc_id")
       },
       oracle = Some("""
-        WITH p AS (
-          SELECT doc_id, text, (length(text) - 1) // 64 + 1 AS k
-          FROM documents WHERE length(text) > 0)
-        SELECT doc_id, k AS stride,
-          array_to_string(list_transform(
-            generate_series(0, (length(text) - 1) // k),
-            i -> substr(text, CAST(i * k + 1 AS INT), 1)), '') AS resized,
-          CAST(length(array_to_string(list_transform(
-            generate_series(0, (length(text) - 1) // k),
-            i -> substr(text, CAST(i * k + 1 AS INT), 1)), '')) AS BIGINT)
-            AS out_len
-        FROM p
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        dim AS (
+          SELECT doc_id, t, m, (m % 21) + 4 AS w, (m % 13) + 3 AS h
+          FROM p),
+        px AS (
+          SELECT doc_id, w, h, t, m,
+                 unnest(generate_series(0, w * h - 1)) AS i
+          FROM dim),
+        ch AS (
+          SELECT doc_id, w, h, i,
+                 unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) % 256 AS r,
+                 (unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 7 + i)
+                   % 256 AS g,
+                 (i * 31 + doc_id) % 256 AS b
+          FROM px)
+        SELECT doc_id,
+          CAST(54 + h * (((w * 3 + 3) // 4) * 4) AS BIGINT) AS byte_len,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(24 AS BIGINT) AS bpp,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((i + 1) * (r + 2 * g + 4 * b)) AS BIGINT) AS wsum
+        FROM ch
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id""")),
+
+    // ── real nearest-neighbor image resize over decoded pixels ──
+    // The thumbnail stage on REAL pixel semantics: decode the BMP
+    // ([[Bmp.decode]]), then nearest-neighbor-resample to a fixed
+    // 16×12 grid — out pixel (x, y) reads source pixel
+    // (⌊x·w/16⌋, ⌊y·h/12⌋), the standard NN kernel in pure integer
+    // division — and emit the resized readout. The oracle replays the
+    // source-index arithmetic against the generating formula, so a
+    // kernel that rounded instead of floored, swapped axes, or read
+    // the un-flipped row order mismatches. Map-only, no shuffle;
+    // output is 192 pixels/doc regardless of source size — exactly
+    // how a thumbnail pass behaves at 100 TB.
+    "mm_resize" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (ow, oh) = (16, 12)
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val img = Bmp.decode(Bmp.fromText(id, t))
+            val out = new Array[Int](ow * oh)
+            var j = 0
+            while (j < out.length) {
+              val sx = (j % ow) * img.width / ow
+              val sy = (j / ow) * img.height / oh
+              out(j) = img.pixels(sy * img.width + sx)
+              j += 1
+            }
+            val (sr, sg, sb, ws) = pixelReadout(out)
+            (id, img.width.toLong, img.height.toLong,
+              ow.toLong, oh.toLong, sr, sg, sb, ws)
+          }
+        }.toDF("doc_id", "src_w", "src_h", "out_w", "out_h",
+          "sum_r", "sum_g", "sum_b", "wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        dim AS (
+          SELECT doc_id, t, m, (m % 21) + 4 AS w, (m % 13) + 3 AS h
+          FROM p),
+        o AS (
+          SELECT doc_id, w, h, t, m,
+                 unnest(generate_series(0, 16 * 12 - 1)) AS j
+          FROM dim),
+        src AS (
+          SELECT doc_id, w, h, t, m, j,
+                 ((j // 16) * h // 12) * w + ((j % 16) * w // 16) AS i
+          FROM o),
+        ch AS (
+          SELECT doc_id, w, h, j,
+                 unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) % 256 AS r,
+                 (unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 7 + i)
+                   % 256 AS g,
+                 (i * 31 + doc_id) % 256 AS b
+          FROM src)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+          CAST(16 AS BIGINT) AS out_w, CAST(12 AS BIGINT) AS out_h,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((j + 1) * (r + 2 * g + 4 * b)) AS BIGINT) AS wsum
+        FROM ch
+        GROUP BY doc_id, w, h
         ORDER BY doc_id""")),
 
     // ── feature extraction: 16-bin payload-unit histogram ──

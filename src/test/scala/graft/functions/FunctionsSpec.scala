@@ -147,16 +147,19 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     fps should be < 50
   }
 
-  test("multimodal decode stub: batch shape and determinism") {
+  test("multimodal decode: batch shape over real BMP payloads") {
     import spark.implicits._
-    val payloads = Seq((1L, "abcd".getBytes), (2L, Array.emptyByteArray))
+    import graft.operators.Bmp
+    val payloads = Seq(
+      (1L, Bmp.encode(3, 2, i => (i, 2 * i, 3 * i))), // stride padding case
+      (2L, Bmp.fromText(2L, "abcd")))
       .toDS()
     val out = graft.operators.Multimodal.decodePartitions(payloads)
       .collect().sortBy(_.doc_id)
-    out.map(_.byte_len) shouldBe Seq(4L, 0L)
-    out.head.width shouldBe 5
-    out.head.format shouldBe "img/fake-jpeg"
-    out(1).format shouldBe "img/fake-png"
+    out.map(m => (m.width, m.height)) shouldBe Seq((3, 2), (8, 7))
+    out.map(_.bpp) shouldBe Seq(24, 24)
+    // file size = 54-byte header + height * 4-padded rows
+    out.map(_.byte_len) shouldBe Seq(54L + 2 * 12, 54L + 7 * 24)
   }
 
   test("PqAdcSum matches the decimal reference fold and nulls every bad shape") {

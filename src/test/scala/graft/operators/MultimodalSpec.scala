@@ -153,4 +153,68 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     got.exists(_._3 > 0) shouldBe true
     got.exists(_._3 == 0) shouldBe true
   }
+
+  test("BMP decoder parses a HAND-WRITTEN planted image exactly — " +
+      "bytes authored independently of the encoder") {
+    // 2x2, 24bpp: row stride = ((2*3+3)/4)*4 = 8 (2 padding bytes).
+    // Logical (top-down) pixels: (0,0)=red, (1,0)=green,
+    //                            (0,1)=blue, (1,1)=white.
+    // File rows are BOTTOM-UP and BGR, so the first stored row is the
+    // logical bottom row (blue, white).
+    def u32(v: Long): Seq[Int] =
+      Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+        .map(_.toInt)
+    val header: Seq[Int] =
+      Seq('B'.toInt, 'M'.toInt) ++ u32(54 + 2 * 8) ++ u32(0) ++ u32(54) ++
+        u32(40) ++ u32(2) ++ u32(2) ++ Seq(1, 0) ++ Seq(24, 0) ++
+        u32(0) ++ u32(16) ++ u32(2835) ++ u32(2835) ++ u32(0) ++ u32(0)
+    val rows: Seq[Int] = Seq(
+      255, 0, 0,  255, 255, 255,  0, 0, // bottom row: blue, white + pad
+      0, 0, 255,  0, 255, 0,      0, 0) // top row: red, green + pad
+    val bytes = (header ++ rows).map(_.toByte).toArray
+    bytes.length shouldBe 70
+    val img = Bmp.decode(bytes)
+    (img.width, img.height, img.bpp, img.fileSize) shouldBe (2, 2, 24, 70L)
+    img.pixels.toSeq shouldBe Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+  }
+
+  test("BMP encode -> decode round-trips pixels exactly across stride " +
+      "paddings and degenerate dims") {
+    for (w <- 1 to 6; h <- Seq(1, 2, 5)) {
+      val pix = (i: Int) => ((i * 37) % 256, (i * 101 + 13) % 256, (i * 7) % 256)
+      val img = Bmp.decode(Bmp.encode(w, h, pix))
+      withClue(s"${w}x$h") {
+        (img.width, img.height) shouldBe (w, h)
+        img.pixels.toSeq shouldBe (0 until w * h).map { i =>
+          val (r, g, b) = pix(i); (r << 16) | (g << 8) | b
+        }
+      }
+    }
+  }
+
+  test("fromText payloads decode to the oracle's generating formula " +
+      "pixel for pixel") {
+    val t = "The quick brown fox!"
+    val m = t.length // 20 -> w = 24, h = 10
+    val img = Bmp.decode(Bmp.fromText(7L, t))
+    (img.width, img.height) shouldBe ((m % 21) + 4, (m % 13) + 3)
+    for (i <- 0 until img.pixels.length) {
+      val c = t.charAt(i % m).toInt
+      val expect = ((c % 256) << 16) | (((c * 7 + i) % 256) << 8) |
+        ((i * 31 + 7) % 256)
+      withClue(s"pixel $i") { img.pixels(i) shouldBe expect }
+    }
+  }
+
+  test("decoder rejects structural lies: bad magic, wrong declared " +
+      "size, truncated pixel array") {
+    val good = Bmp.encode(3, 2, i => (i, i, i))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy Bmp.decode(badMagic)
+    val badSize = good.clone(); badSize(2) = (badSize(2) + 1).toByte
+    an[IllegalArgumentException] should be thrownBy Bmp.decode(badSize)
+    // consistent file size but a height that overruns the pixel array
+    val badH = good.clone(); badH(22) = 200.toByte
+    an[IllegalArgumentException] should be thrownBy Bmp.decode(badH)
+  }
 }
