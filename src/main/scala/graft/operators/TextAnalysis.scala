@@ -252,6 +252,196 @@ object TextAnalysis extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Exact repeated-substring structure via a DISTRIBUTED SUFFIX ARRAY
+    * (prefix doubling — Manber–Myers, the formulation Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" build
+    * their exact-substring dedup on). The fingerprint family above is
+    * fixed-granularity: a repeat shorter than the 8-token window is
+    * invisible to `llm_dup_spans`/`llm_repeated_spans` no matter how
+    * exact the rest of the stack is. Here detection is exact at ANY
+    * length threshold: for every token position, `maxrep` = the length
+    * of the longest substring starting there that occurs ≥ 2 times
+    * anywhere in the corpus (cross- OR intra-document).
+    *
+    * Mechanism, all in the repo's range-sort machinery (never a
+    * single-task window):
+    *   1. Token positions get contiguous global ids per doc
+    *      ([[Relational.globalPrefixSum]] over doc lengths), with a
+    *      per-doc UNIQUE sentinel appended — so suffix comparisons
+    *      can never run across a document boundary, and the doubling
+    *      converges once the window covers the longest DOCUMENT, not
+    *      the corpus: rounds = ⌈log₂(max doc tokens + 1)⌉, identical
+    *      at sf0.01 and at 100 TB of same-shaped documents.
+    *   2. Initial ranks: dense term ranks ([[Relational.globalRank]]
+    *      over the distinct vocabulary); sentinel of the r-th doc
+    *      ranks V + r (pairwise distinct, above every real token).
+    *   3. Each doubling round self-joins the rank table at offset
+    *      2^k (one equality join) and re-keys the (rk, rk2) pairs —
+    *      alternating a map-only COMPOSITE key (r1·(n+2) + r2+1,
+    *      order-preserving and tie-equal while the inputs are dense;
+    *      n < 2³¹ guard, past which every round sorts) with a dense
+    *      re-rank (distinct + globalRank + join back). The round
+    *      count is fixed upfront by ⌈log₂(max dlen)⌉ — no per-round
+    *      convergence probes. All intermediate levels are retained,
+    *      each checkpointed so the offset join runs exactly once.
+    *   4. Final ranks are dense and distinct = the suffix array
+    *      itself; adjacent suffix pairs are ONE self-join on rank+1.
+    *   5. LCP of each adjacent pair by the standard descending walk
+    *      over the retained levels: if level-k ranks at (a+lcp,
+    *      b+lcp) agree, the suffixes share those 2^k tokens — two
+    *      equality joins per level, log(max doc len) levels.
+    *   6. Per position: maxrep = max(LCP with SA-predecessor, with
+    *      SA-successor) — exact by the suffix-array LCP lemma (any
+    *      non-adjacent pair's LCP is the min over the adjacent LCPs
+    *      between them, and sentinels sort after every real suffix,
+    *      so they never sit between real neighbors).
+    *
+    * The alphabet order is internal only — ANY total token order
+    * yields the same maxrep — so the DuckDB oracle checks values by a
+    * mechanism-independent brute force (every (position, length) gram
+    * counted corpus-wide), never replaying the doubling. Emits one
+    * row per non-empty doc: (doc_id, n_tokens, n_dup_pos ≥ minLen,
+    * max_rep_len). Driver footprint: one Long per round + the two
+    * prefix/rank offset lists — O(partitions + rounds). */
+  private[operators] def suffixDups(docs: DataFrame, minLen: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .withColumn("tokens", tokens)
+      .select($"doc_id", $"tokens")
+      .filter(size($"tokens") >= 1)
+      .localCheckpoint(true) // offsets, positions, sentinels all read it
+    val lens = toks.select($"doc_id",
+      (size($"tokens") + 1).cast(LongType).as("dlen")) // +1: the sentinel
+    val offs = Relational.globalPrefixSum(s, lens, Seq($"doc_id"), "dlen")
+      .withColumn("off", $"psum" - $"dlen")
+      .select($"doc_id", $"off")
+    val docMeta = Relational.globalRank(s, offs, Seq($"doc_id"))
+      .withColumnRenamed("rk", "docrk")
+    val withOff = toks.join(docMeta, Seq("doc_id"))
+      .localCheckpoint(true) // real positions + sentinels both read it
+    val real = withOff
+      .select($"doc_id", $"off", $"tokens")
+      .transform(graft.functions.TextTokens.materialized)
+      .select($"doc_id", $"off", posexplode($"tokens").as(Seq("p", "term")))
+      .select($"doc_id", ($"off" + $"p").as("gid"), $"term")
+      .localCheckpoint(true) // term ranking + r0 + the final mapping
+    val termRanks = Relational.globalRank(s,
+        real.select($"term").distinct(), Seq($"term"))
+      .withColumnRenamed("rk", "trk")
+    val vocab = termRanks.count()
+    if (vocab == 0L) // empty corpus: nothing to rank, nothing repeated
+      return toks.select($"doc_id", lit(0L).as("n_tokens"),
+        lit(0L).as("n_dup_pos"), lit(0L).as("max_rep_len"))
+    val r0 = real.join(termRanks, Seq("term")).select($"gid", $"trk".as("rk"))
+      .unionByName(withOff.select(
+        ($"off" + size($"tokens")).as("gid"),
+        (lit(vocab) + $"docrk").as("rk")))
+      .localCheckpoint(true)
+    // The round count is known UPFRONT: per-doc unique sentinels make
+    // every suffix distinct once the window covers the longest doc
+    // (incl. its sentinel), so rounds = ceil(log2(max dlen)) — one
+    // O(1)-row aggregate now instead of a convergence probe per round
+    // (each probe was a full extra job on the rank table).
+    val mm = lens.agg(max($"dlen"), sum($"dlen")).head
+    val (maxLen, nTotal) = (mm.getLong(0), mm.getLong(1))
+    // Alternate-round COMPOSITE re-rank: when the previous round's
+    // ranks are dense (bounded by nTotal), the pair (r1, r2) maps to
+    // the single Long r1·(n+2) + (r2+1) — order-preserving, equal
+    // exactly on equal pairs — so every other doubling round needs NO
+    // sort at all, just the offset lookup join. The composite values
+    // are not dense (≈ n²), so the NEXT round densifies via the sort
+    // path; the LCP walk only ever tests EQUALITY, so composite level
+    // tables serve it as-is. Guarded to n < 2³¹ (n² must stay inside
+    // a Long): past that — trillions of tokens — every round takes
+    // the sort path, which has no width ceiling.
+    val canCompose = nTotal < (1L << 31)
+    var levels = Vector[(Long, DataFrame)]((1L, r0))
+    var cur = r0
+    var span = 1L
+    var composed = false
+    while (span < maxLen) {
+      val shifted = cur.select(($"gid" - span).as("gid"), $"rk".as("r2"))
+      val paired = cur.select($"gid", $"rk".as("r1"))
+        .join(shifted, Seq("gid"), "left")
+        .select($"gid", $"r1", coalesce($"r2", lit(-1L)).as("r2"))
+      if (!composed && canCompose) {
+        // map-only doubling: checkpoint runs the offset join ONCE and
+        // nothing else — no distinct, no rank sort, no re-rank join
+        cur = paired
+          .select($"gid", ($"r1" * (nTotal + 2L) + ($"r2" + 1L)).as("rk"))
+          .localCheckpoint(true)
+        composed = true
+      } else {
+        // sort path. Checkpoint the offset join FIRST: globalRank's
+        // range sampling, its sorted checkpoint, and the re-rank
+        // join-back each execute their input — un-checkpointed, the
+        // self-join ran ~3x per round (the dominant cost of the first
+        // cut of this operator).
+        val p = paired.localCheckpoint(true)
+        val pairRanks = Relational.globalRank(s,
+          p.select($"r1", $"r2").distinct(), Seq($"r1", $"r2"))
+        cur = p.join(pairRanks, Seq("r1", "r2"))
+          .select($"gid", $"rk")
+          .localCheckpoint(true) // next round + the LCP walk read it
+        composed = false
+      }
+      span *= 2
+      levels = levels :+ ((span, cur))
+    }
+    // SA adjacency below needs DENSE distinct final ranks; densify if
+    // the last round composed
+    if (composed) {
+      val dr = Relational.globalRank(s,
+        cur.select($"rk".as("cr")).distinct(), Seq($"cr"))
+      cur = cur.withColumnRenamed("rk", "cr")
+        .join(dr, Seq("cr"))
+        .select($"gid", $"rk")
+        .localCheckpoint(true)
+    }
+    // adjacent suffix pairs: dense distinct final ranks ARE SA positions
+    val adj = cur.select($"rk".as("sap"), $"gid".as("ga"))
+      .join(cur.select(($"rk" - 1L).as("sap"), $"gid".as("gb")), Seq("sap"))
+      .select($"ga", $"gb", lit(0L).as("lcp"))
+    // descending walk over every level below the final (the final is
+    // all-distinct: it can never contribute, only cost two joins)
+    var lcpF = adj
+    val walk = levels.init.reverse
+    for (((spanJ, tbl), j) <- walk.zipWithIndex) {
+      val ra = tbl.select($"gid".as("_ga"), $"rk".as("ra"))
+      val rb = tbl.select($"gid".as("_gb"), $"rk".as("rb"))
+      lcpF = lcpF
+        .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
+        .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
+        .select($"ga", $"gb",
+          ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
+            .otherwise(lit(0L))).as("lcp"))
+      // bound the walk's plan growth, but pay the materialization job
+      // only every other level (two levels = four joins of lineage —
+      // still well inside codegen limits)
+      if (j % 2 == 1 || j == walk.length - 1)
+        lcpF = lcpF.localCheckpoint(true)
+    }
+    val perPos = lcpF.select($"ga".as("gid"), $"lcp")
+      .unionByName(lcpF.select($"gb".as("gid"), $"lcp"))
+      .groupBy($"gid").agg(max($"lcp").as("maxrep"))
+    real.select($"doc_id", $"gid")
+      .join(perPos, Seq("gid"), "left")
+      .withColumn("maxrep", coalesce($"maxrep", lit(0L)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"maxrep" >= minLen, 1L).otherwise(0L)).as("n_dup_pos"),
+        max($"maxrep").as("max_rep_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Detection threshold for `llm_suffix_dups` — deliberately BELOW
+    * the 8-token fingerprint window, because finding shorter repeats
+    * than the window allows is precisely what the suffix array buys
+    * (TextAnalysisSpec gates a planted 6-token duplicate that
+    * [[dupSpans]] provably misses). */
+  private val SuffixDupMinLen = 6
+
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
     s"(length(text) - length(replace(text, ' $kw '))) div ${kw.length + 2}"
@@ -719,6 +909,55 @@ object TextAnalysis extends QueryPack {
         FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
         GROUP BY t.doc_id, t.tokens
         ORDER BY t.doc_id""")),
+
+    // ── exact any-length repeated substrings: distributed suffix array ──
+    // What the fingerprint family CANNOT see: repeats shorter than the
+    // 8-token window. [[suffixDups]] builds the corpus suffix array by
+    // prefix doubling (rounds bounded by log2 of the longest DOCUMENT
+    // thanks to per-doc sentinels — the same handful of rounds at
+    // sf0.01 and at 100 TB) and reads exact per-position longest-repeat
+    // lengths off adjacent-suffix LCPs. Threshold 6 < 8 by design. The
+    // oracle is mechanism-independent brute force — every (position,
+    // length) gram of the corpus counted for a second occurrence — so
+    // the two engines share NO intermediate structure, only the answer
+    // (quadratic in doc length: fine at sf0.01, the scale path is the
+    // Spark side's n·log(doc) sorts).
+    "llm_suffix_dups" -> QueryDef(
+      fn = (s, d) => suffixDups(Tables.documents(s, d), SuffixDupMinLen),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        tt AS (
+          SELECT doc_id, tokens, len(tokens) AS n
+          FROM toks WHERE len(tokens) >= 1),
+        pos AS (
+          SELECT doc_id, tokens, n,
+                 unnest(generate_series(1, CAST(n AS INT))) AS p
+          FROM tt),
+        gs AS (
+          SELECT doc_id, p,
+                 unnest(generate_series(1, CAST(n - p + 1 AS INT))) AS l,
+                 tokens
+          FROM pos),
+        g AS (
+          SELECT doc_id, p, l,
+                 array_to_string(tokens[p:p+l-1], ' ') AS gram
+          FROM gs),
+        cnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        rep AS (
+          SELECT g.doc_id, g.p,
+                 MAX(CASE WHEN cnt.c >= 2 THEN g.l ELSE 0 END) AS maxrep
+          FROM g JOIN cnt USING (gram)
+          GROUP BY g.doc_id, g.p)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (maxrep >= $SuffixDupMinLen) AS BIGINT)
+                 AS n_dup_pos,
+               CAST(MAX(maxrep) AS BIGINT) AS max_rep_len
+        FROM rep
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a

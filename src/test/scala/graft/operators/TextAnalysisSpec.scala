@@ -381,4 +381,79 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  /** Sequential brute-force maxrep: for every position the longest
+    * substring starting there that occurs at >= 2 positions corpus-wide
+    * — independent of BOTH the suffix-array mechanism and the DuckDB
+    * oracle's SQL spelling. */
+  private def bruteMaxRep(docs: Seq[(Long, Array[String])]): Map[(Long, Int), Int] = {
+    val grams = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- docs; p <- ts.indices; l <- 1 to (ts.length - p)) {
+      val g = ts.slice(p, p + l).mkString(" ")
+      grams(g) = grams.getOrElse(g, 0) + 1
+    }
+    (for ((id, ts) <- docs; p <- ts.indices) yield {
+      val best = (1 to (ts.length - p)).reverse
+        .find(l => grams(ts.slice(p, p + l).mkString(" ")) >= 2)
+        .getOrElse(0)
+      (id, p) -> best
+    }).toMap
+  }
+
+  private def tok(t: String): Array[String] =
+    t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+
+  test("suffix-array dedup finds a planted 6-token duplicate the " +
+      "8-token fingerprint path provably misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta quick brown fox jumps"),
+      (2L, "one two three alpha beta gamma delta epsilon zeta lazy dog"))
+      .toDF("doc_id", "text")
+    // the fingerprint path: NO shared 8-gram exists, so nothing at all
+    TextAnalysis.dupSpans(docs, 6).count() shouldBe 0L
+    // the suffix array: the 6-token repeat is found exactly
+    val got = TextAnalysis.suffixDups(docs, 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got(1L) shouldBe ((10L, 1L, 6L)) // only the span start reaches 6
+    got(2L) shouldBe ((11L, 1L, 6L))
+  }
+
+  test("suffix-array dedup sees INTRA-document repeats the cross-doc " +
+      "fingerprint aggregation ignores") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "p q r s t u v w END p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.suffixDups(docs, 6).collect()(0)
+    // 8-token run repeats inside one doc: maxrep 8 at the first 'p'
+    (r.getLong(1), r.getLong(3)) shouldBe ((17L, 8L))
+    // both copies count: positions p,q,r of EACH occurrence start
+    // repeats of length >= 6
+    r.getLong(2) shouldBe 6L
+  }
+
+  test("suffix-array dedup agrees with a sequential brute force on the " +
+      "whole sf0.001 corpus, per document") {
+    import spark.implicits._
+    val raw = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docs = raw.map { case (id, t) => (id, tok(t)) }.toSeq
+      .filter(_._2.nonEmpty)
+    val brute = bruteMaxRep(docs)
+    val expect = docs.map { case (id, ts) =>
+      val reps = ts.indices.map(p => brute((id, p)))
+      id -> ((ts.length.toLong,
+        reps.count(_ >= 6).toLong, reps.max.toLong))
+    }.toMap
+    val got = TextAnalysis.suffixDups(
+        graft.Tables.documents(spark, sf).select($"doc_id", $"text"), 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got.keySet shouldBe expect.keySet
+    for (id <- expect.keySet)
+      withClue(s"doc $id") { got(id) shouldBe expect(id) }
+  }
 }
