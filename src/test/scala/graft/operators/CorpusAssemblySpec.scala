@@ -567,4 +567,134 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     gNum should be < gDen
     (BigInt(row.getLong(4)) * gDen) should be <= (BigInt(1000000) * gNum)
   }
+
+  // ── unigram-LM tokenizer ──────────────────────────────────────────
+
+  /** Sequential hard-EM trainer mirroring [[CorpusAssembly.uniTrain]]'s
+    * semantics exactly (seed top-64 + singles, micro-nat HALF_UP costs,
+    * Viterbi with the (cost·8 + 4−k) longer-piece tie-break, 2 rounds
+    * of recount with the +1 singles floor). */
+  private object SeqUnigram {
+    val MaxPiece = 4; val SeedK = 64; val Rounds = 2
+
+    def costUof(c: Long, t: Long): Long =
+      BigDecimal(math.log(c.toDouble / t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(-1000000)).toLongExact
+
+    def costs(vocab: Map[String, Long]): Map[String, Long] = {
+      val t = vocab.values.sum
+      vocab.map { case (p, c) => p -> costUof(c, t) }
+    }
+
+    /** Viterbi: (total micro-nat cost, pieces). */
+    def segment(word: String, cost: Map[String, Long]): (Long, Seq[String]) = {
+      val n = word.length
+      val dp = Array.fill(n + 1)(0L)
+      val back = Array.fill(n + 1)(0L)
+      for (j <- 1 to n) {
+        val cands = (1 to math.min(MaxPiece, j)).flatMap { k =>
+          cost.get(word.substring(j - k, j))
+            .map(cu => (dp(j - k) + cu) * 8 + (4 - k))
+        }
+        back(j) = cands.min
+        dp(j) = back(j) / 8
+      }
+      val pieces = scala.collection.mutable.ListBuffer.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val k = (4 - back(pos) % 8).toInt
+        pieces.prepend(word.substring(pos - k, pos))
+        pos -= k
+      }
+      (dp(n), pieces.toSeq)
+    }
+
+    def train(words: Map[String, Long]): Map[String, Long] = {
+      val sub = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, f) <- words; i <- 0 until w.length;
+           k <- 1 to math.min(MaxPiece, w.length - i))
+        sub(w.substring(i, i + k)) += f
+      val topK = sub.toSeq.sortBy { case (p, c) => (-c, p) }.take(SeedK)
+      var vocab = (topK ++ sub.filter(_._1.length == 1)).toMap
+      for (_ <- 1 to Rounds) {
+        val cm = costs(vocab)
+        val vit = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        for ((w, f) <- words; p <- segment(w, cm)._2) vit(p) += f
+        vocab = vocab.keySet.filter(_.length == 1)
+          .map(p => p -> (vit(p) + 1L)).toMap ++
+          vit.filter(_._1.length > 1)
+      }
+      vocab
+    }
+  }
+
+  private def corpusWords: Map[String, Long] =
+    Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => r.getString(0).trim.toLowerCase
+        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  test("llm_unigram_learn equals a sequential hard-EM recompute") {
+    val vocab = SeqUnigram.train(corpusWords)
+    val cm = SeqUnigram.costs(vocab)
+    val expected = vocab.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, c, cm(p)) }
+    val got = run("llm_unigram_learn").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got shouldBe expected
+    // non-degenerate: some multi-char piece survived EM, and EM pruned
+    // at least one seeded multi-char candidate that Viterbi never used
+    vocab.keys.count(_.length > 1) should be >= 1
+    val seedSize = {
+      val sub = scala.collection.mutable.Set.empty[String]
+      corpusWords.keys.foreach { w =>
+        for (i <- 0 until w.length;
+             k <- 1 to math.min(SeqUnigram.MaxPiece, w.length - i))
+          sub += w.substring(i, i + k)
+      }
+      math.min(SeqUnigram.SeedK, sub.size) // before the singles union
+    }
+    vocab.size should be < seedSize + corpusWords.keys.flatten.toSet.size
+  }
+
+  test("llm_unigram_apply: per-doc piece counts equal sequential Viterbi " +
+      "under the learned vocabulary") {
+    val cm = SeqUnigram.costs(SeqUnigram.train(corpusWords))
+    val segCache = corpusWords.keys
+      .map(w => w -> SeqUnigram.segment(w, cm)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase
+        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).toSeq))
+    val expected = docs.filter(_._2.nonEmpty).sortBy(_._1).map {
+      case (id, ws) =>
+        (id, ws.size.toLong,
+          ws.map(w => segCache(w)._2.size.toLong).sum,
+          ws.map(w => segCache(w)._1).sum)
+    }.toSeq
+    val got = run("llm_unigram_apply").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got shouldBe expected
+    // segmentation is real: some word splits into >1 piece
+    expected.map(_._3).sum should be > expected.map(_._2).sum
+  }
+
+  test("unigram Viterbi breaks exact cost ties to the longer piece and " +
+      "falls back to single chars off-vocabulary") {
+    import spark.implicits._
+    val words = Seq(("ab", 1L), ("xy", 1L)).toDF("word", "f")
+    // cost(ab) == cost(a)+cost(b): an exact tie — the (cost·8 + 4−k)
+    // encoding must pick the single 2-char piece. x/y cover the
+    // off-vocabulary fallback (multi-char never required).
+    val cost = Seq(("a", 2000000L), ("b", 2000000L), ("ab", 4000000L),
+      ("x", 1000000L), ("y", 1000000L)).toDF("piece", "cost_u")
+    val seg = CorpusAssembly.uniSegmented(words, cost)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getSeq[String](3).toList))).toMap
+    seg("ab") shouldBe ((4000000L, List("ab")))
+    seg("xy") shouldBe ((2000000L, List("x", "y")))
+  }
 }
