@@ -496,4 +496,63 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // query's dot-product top-10 differs from its cosine top-10
     diverges shouldBe true
   }
+
+  test("hierarchical entry selection: on a 10x clustered fixture, " +
+      "graph_hier recall >= flat recall at a matched probe budget") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 5000 vectors (10x the sf fixture) in 8 well-separated clusters —
+    // the regime hierarchical entries exist for: fixed global entries
+    // land in arbitrary clusters and the beam pays a random-walk
+    // prefix; cell-local entries start in the query's region.
+    val dim = 64
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Double = // deterministic in [-1, 1]
+      (mix(seed) >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    val n = 5000
+    val vecs: Map[Long, Array[Double]] = (0L until n.toLong).map { id =>
+      val g = (id % 8).toInt
+      id -> Array.tabulate(dim)(i =>
+        unit(g * 1000L + i) + 0.15 * unit(id * 100000L + i))
+    }.toMap
+    val e = vecs.toSeq.sortBy(_._1)
+      .map { case (id, a) => (id, (id % 8).toString, a.toSeq) }
+      .toDF("vec_id", "label", "emb")
+      .localCheckpoint(true)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact10x: Set[(Long, Long)] = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5)
+        .map { case (v, _) => (q, v) }
+    }.toSet
+    def evalPath(res: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)): (Double, Long) = {
+      val found = res._1.filter(col("rnk") <= 5)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact10x.count(found.contains).toDouble / exact10x.size,
+        res._2.count())
+    }
+    val (rFlat, scanFlat) = evalPath(Similarity.graphBeamSearch(spark, e))
+    val (rHier, scanHier) = evalPath(Similarity.graphBeamSearchHier(spark, e))
+    info(s"recall@5 flat=$rFlat ($scanFlat scanned), " +
+      s"hier=$rHier ($scanHier scanned)")
+    withClue(s"flat=$rFlat($scanFlat scanned) hier=$rHier($scanHier): ") {
+      // matched budget: same entries/beam/rounds — scanned candidate
+      // counts within 10% (the 8 centroid distances are metadata)
+      scanHier.toDouble should be <= scanFlat * 1.1
+      rHier should be >= rFlat
+      rHier should be >= 0.50 // the sim_ann_recall gate, held at 10x
+    }
+  }
 }
