@@ -156,13 +156,22 @@ object StreamingDedup {
     * against the state, which is the rsync/restic storage economics
     * run continuously. Replay safety is the same membership-set
     * argument as exact dedup: a re-run batch double-appends cfp rows,
-    * which change no later batch's anti-join. */
+    * which change no later batch's anti-join. The sink receives the
+    * BATCH ID so a deployment writes idempotently (overwrite-by-batch):
+    * a crash between sink and fold re-delivers the identical increment
+    * under the same id — multiplicity 1, chaos-gated in
+    * StreamingDedupSpec. The one corner idempotence-by-batch cannot
+    * cover: a crash AFTER the fold but before the batch commits makes
+    * the replay's increment EMPTY (its chunks anti-join away against
+    * its own fold) — chunk identity is preserved in state either way;
+    * a sink that must re-emit across that corner keys by cfp instead
+    * (content-keyed idempotence). */
   def cdcDedupStream(
       records: DataFrame,
       stateTable: String,
       buckets: Int,
       checkpointDir: String,
-      sink: DataFrame => Unit,
+      sink: (DataFrame, Long) => Unit,
       compactEvery: Long = 0L): StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -179,7 +188,7 @@ object StreamingDedup {
         // the anti-join reads
         val fresh = Dedup.cdcIncrementalAgainstState(s, chunks, stateTable)
           .localCheckpoint(true)
-        sink(fresh)
+        sink(fresh, batchId)
         Bucketing.appendBucketAligned(fresh.select("cfp"), stateTable)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           Bucketing.compact(s, stateTable)
@@ -199,19 +208,28 @@ object StreamingDedup {
     * JOIN, not a dedup — nothing is suppressed: the WHOLE batch then
     * folds into both state tables bucket-aligned, and every
     * `compactEvery` batches both compact back to one file per bucket.
-    * Replay safety: a re-run batch re-emits its pairs (at-least-once,
-    * the ingest delivery contract) and double-appends state rows,
-    * which only produce duplicate CANDIDATES that the distinct +
-    * verify collapse — no later batch's pair set changes. At 100 TB
-    * of accumulated postings the per-batch cost is proportional to
-    * the BATCH's prefix fan-out, never the state. */
+    * Replay safety: the sink receives the BATCH ID, and a replayed
+    * batch emits the IDENTICAL pair set whether or not the crashed
+    * attempt reached its state fold — unfolded, the recompute is
+    * bit-identical; folded, the batch meets its own persisted copy
+    * and the doc-id guard + distinct in
+    * [[graft.operators.Dedup.prefixIncrementalAgainstState]] collapse
+    * the extra orientations back to the same set. So an
+    * overwrite-by-batch sink is exactly-once per pair under a
+    * mid-batch kill at ANY point — chaos-gated in StreamingDedupSpec
+    * across a real checkpoint restart under both state providers.
+    * State double-appends from the folded-then-crashed corner only
+    * produce duplicate CANDIDATES that the distinct + verify collapse
+    * — no later batch's pair set changes. At 100 TB of accumulated
+    * postings the per-batch cost is proportional to the BATCH's
+    * prefix fan-out, never the state. */
   def prefixJoinStream(
       records: DataFrame,
       prefixTable: String,
       fpsTable: String,
       buckets: Int,
       checkpointDir: String,
-      sink: DataFrame => Unit,
+      sink: (DataFrame, Long) => Unit,
       compactEvery: Long = 0L): StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -235,7 +253,7 @@ object StreamingDedup {
         val pairs = Dedup.prefixIncrementalAgainstState(
           s, inc, prefixTable, fpsTable, incPrefix = Some(pref))
           .localCheckpoint(true)
-        sink(pairs)
+        sink(pairs, batchId)
         Bucketing.appendBucketAligned(pref, prefixTable)
         Bucketing.appendBucketAligned(inc, fpsTable)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {

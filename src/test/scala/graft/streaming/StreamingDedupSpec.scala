@@ -143,7 +143,7 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
     val q = StreamingDedup.cdcDedupStream(
       input.toDF().toDF("doc_id", "text"), table, buckets = 4,
       ckpt.toString,
-      sink = ds => out ++= ds.collect().toVector
+      sink = (ds, _) => out ++= ds.collect().toVector
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1),
       compactEvery = 2L)
 
@@ -271,7 +271,7 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
     val q = StreamingDedup.prefixJoinStream(
       input.toDF().toDF("doc_id", "text"), posts, fps, buckets = 4,
       ckpt.toString,
-      sink = ds => out ++= ds.collect().toVector
+      sink = (ds, _) => out ++= ds.collect().toVector
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)),
       compactEvery = 2L)
@@ -374,5 +374,199 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE IF EXISTS $bands")
       spark.sql(s"DROP TABLE IF EXISTS $fps")
     }
+  }
+
+  // ── chaos gates: mid-batch kill + restart over the checkpoint ────
+  // The sink records every delivery under its batch id (the
+  // idempotent-sink discipline the batchId parameter exists for) and
+  // THROWS after recording the armed batch — the crash lands between
+  // externalization and the state fold, the worst spot. The restarted
+  // query replays the batch from the checkpoint; exactly-once =
+  // multiplicity 1 per pair/chunk over the overwrite-by-batch view,
+  // with the re-delivery proven bit-identical to the killed attempt.
+  // Run under BOTH state-store providers (foreachBatch keeps no
+  // operator state, but the offset/commit-log recovery machinery is
+  // what the chaos exercises and the conf must not disturb it).
+
+  private val hdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  private def withProvider(name: String)(body: String => Unit): Unit = {
+    val prev = spark.conf.getOption(StateStores.ProviderKey)
+    val cls = if (name == "rocksdb") StateStores.RocksDB else hdfsProvider
+    StateStores.select(spark, cls)
+    try body(name)
+    finally prev match {
+      case Some(v) => spark.conf.set(StateStores.ProviderKey, v)
+      case None => spark.conf.unset(StateStores.ProviderKey)
+    }
+  }
+
+  test("chaos: prefix-join mid-batch kill + restart keeps pair multiplicity 1 " +
+      "under HDFS and RocksDB providers, even when the killed attempt folded") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    def doc(prefix: String) = (0 until 30).map(i => s"$prefix$i").mkString(" ")
+    val (a, b) = (doc("alpha"), doc("beta"))
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val posts = s"cpj_${prov}_posts"; val fpsT = s"cpj_${prov}_fps"
+      val dir = Files.createTempDirectory(s"graft-cpj-$prov-src")
+      val ckpt = Files.createTempDirectory(s"graft-cpj-$prov-ckpt")
+      spark.sql(s"DROP TABLE IF EXISTS $posts")
+      spark.sql(s"DROP TABLE IF EXISTS $fpsT")
+      def writeDocs(name: String, docs: (Long, String)*): Unit =
+        Files.write(dir.resolve(name),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes(UTF_8))
+      val byBatch = scala.collection.concurrent.TrieMap
+        .empty[Long, Vector[(Long, Long)]]
+      @volatile var deliveries = Vector.empty[(Long, Vector[(Long, Long)])]
+      @volatile var armed = false
+      val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (ds, bid) => {
+        val pairs = ds.collect().toVector
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+        deliveries :+= (bid, pairs)
+        byBatch(bid) = pairs // overwrite-by-batch: the idempotent sink
+        if (armed && bid == 1L) { armed = false; sys.error("chaos kill") }
+      }
+      def start() = StreamingDedup.prefixJoinStream(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .json(dir.toString),
+        posts, fpsT, buckets = 4, ckpt.toString, sink)
+      try {
+        writeDocs("b0.json", (1L, a), (2L, b), (3L, a + " alphaX"))
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          byBatch(0L) shouldBe Vector((1L, 3L))
+          // batch 1 pairs 5 with 1 and 3 cross-batch; the armed sink
+          // records the delivery, then dies mid-batch
+          writeDocs("b1.json", (5L, a + " alphaY"))
+          armed = true
+          intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        byBatch(1L) shouldBe Vector((1L, 5L), (3L, 5L))
+        // worst corner: pretend the killed attempt ALSO completed its
+        // state folds before dying (crash after append, before the
+        // batch commit) — the replay must then meet its own persisted
+        // copy and still emit the identical pair set exactly once
+        val incB1 = graft.operators.Dedup.fpsOf(
+            Seq((5L, a + " alphaY")).toDF("doc_id", "text"))
+          .filter(expr("size(fps) > 0")).localCheckpoint(true)
+        graft.operators.Bucketing.appendBucketAligned(
+          graft.operators.Dedup.fixedOrderPrefix(incB1), posts)
+        graft.operators.Bucketing.appendBucketAligned(incB1, fpsT)
+        val q2 = start()
+        try {
+          q2.processAllAvailable() // replays batch 1 over the fold
+          // the re-delivery is bit-identical to the killed attempt
+          deliveries.filter(_._1 == 1L).map(_._2).distinct.size shouldBe 1
+          deliveries.count(_._1 == 1L) shouldBe 2
+          // cross-restart pairs still resolve (batch 2)
+          writeDocs("b2.json", (6L, b + " betaX"))
+          q2.processAllAvailable()
+          byBatch(2L) shouldBe Vector((2L, 6L))
+        } finally q2.stop()
+        // THE gate: multiplicity 1 per pair over the idempotent view
+        val all = byBatch.values.flatten.toVector
+        all.groupBy(identity).values.foreach(_.size shouldBe 1)
+        all.toSet shouldBe Set((1L, 3L), (1L, 5L), (3L, 5L), (2L, 6L))
+        // the double fold is benign for pairs, and doc membership is
+        // intact (doc 5's rows appear twice — the documented corner)
+        spark.table(fpsT).select(col("doc_id")).distinct().collect()
+          .map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L, 5L, 6L)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $posts")
+        spark.sql(s"DROP TABLE IF EXISTS $fpsT")
+      }
+    })
+  }
+
+  test("chaos: CDC-dedup mid-batch kill + restart keeps chunk multiplicity 1 " +
+      "under HDFS and RocksDB providers") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.unsafe.types.UTF8String
+    def cdcChunks(text: String): Seq[String] = {
+      val n = text.length
+      val cuts = (8 to n).filter { i =>
+        graft.functions.RollingHash.hash(
+          UTF8String.fromString(text.substring(i - 8, i)), 31L) % 16 == 0
+      }.filter(_ < n)
+      val bounds = (0 +: cuts) :+ n
+      bounds.sliding(2).map { case Seq(x, y) => text.substring(x, y) }.toSeq
+    }
+    def fpsOf(text: String): Set[Long] = cdcChunks(text)
+      .map(c => graft.functions.RollingHash.hash2(UTF8String.fromString(c)))
+      .toSet
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest before nightfall comes again"
+    val other = "entirely different content words making a separate " +
+      "document body so its chunk fingerprints are disjoint from the first"
+    val shifted = "X" + base
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val table = s"ccdc_${prov}_state"
+      val dir = Files.createTempDirectory(s"graft-ccdc-$prov-src")
+      val ckpt = Files.createTempDirectory(s"graft-ccdc-$prov-ckpt")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      def writeDocs(name: String, docs: (Long, String)*): Unit =
+        Files.write(dir.resolve(name),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes(UTF_8))
+      val byBatch = scala.collection.concurrent.TrieMap
+        .empty[Long, Vector[Long]]
+      @volatile var deliveries = Vector.empty[(Long, Vector[Long])]
+      @volatile var armed = false
+      val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (ds, bid) => {
+        val cfps = ds.collect().toVector.map(_.getLong(0)).sorted
+        deliveries :+= (bid, cfps)
+        byBatch(bid) = cfps
+        if (armed && bid == 1L) { armed = false; sys.error("chaos kill") }
+      }
+      def start() = StreamingDedup.cdcDedupStream(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .json(dir.toString),
+        table, buckets = 4, ckpt.toString, sink)
+      try {
+        writeDocs("b0.json", (1L, base), (2L, other))
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          byBatch(0L).toSet shouldBe (fpsOf(base) ++ fpsOf(other))
+          // batch 1: a front insertion re-sends base — only the
+          // disturbed prefix chunk(s) are new; the armed sink records
+          // the increment, then dies before the state fold
+          writeDocs("b1.json", (3L, shifted))
+          armed = true
+          intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        val expectedNew = fpsOf(shifted) -- fpsOf(base)
+        byBatch(1L).toSet shouldBe expectedNew
+        val q2 = start()
+        try {
+          q2.processAllAvailable() // replay: state unfolded → identical
+          deliveries.filter(_._1 == 1L).map(_._2).distinct.size shouldBe 1
+          deliveries.count(_._1 == 1L) shouldBe 2
+          // a verbatim resend after the restart emits zero new chunks
+          writeDocs("b2.json", (4L, other))
+          q2.processAllAvailable()
+          byBatch(2L) shouldBe Vector.empty
+        } finally q2.stop()
+        // multiplicity 1 per chunk over the idempotent view, and the
+        // state folded each fingerprint exactly once despite the kill
+        val all = byBatch.values.flatten.toVector
+        all.groupBy(identity).values.foreach(_.size shouldBe 1)
+        all.toSet shouldBe (fpsOf(base) ++ fpsOf(other) ++ expectedNew)
+        spark.table(table).count() shouldBe
+          spark.table(table).distinct().count()
+        spark.table(table).collect().map(_.getLong(0)).toSet shouldBe all.toSet
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    })
   }
 }
