@@ -70,6 +70,15 @@ object EventTime extends QueryPack {
   private val SprtUpper = math.round(math.log(0.95 / 0.05) * 1e6)
   private val SprtLower = -SprtUpper
 
+  /** χ²₀.₀₅ at 2 degrees of freedom for `evt_kruskal`'s fixed-k=3
+    * verdict, as an integer micro literal (the SPRT ln-19 discipline:
+    * computed ONCE here, interpolated into both engines, spec-gated
+    * against the true constant). For df = 2 the chi-square tail is
+    * exactly exponential — P(H > x) = e^(−x/2) — so the critical
+    * value has the closed form 2·ln 20 = 5.991465…, no table lookup
+    * or numeric inversion involved. */
+  private[operators] val KwCritMicro = math.round(2.0 * math.log(20.0) * 1e6)
+
   /** The SPRT walk behind `evt_sprt` over a (variant, tus, event_id,
     * succ) frame — exposed for EventTimeSpec's planted-sequence gates.
     * Per variant: the cumulative log-likelihood ratio after event i is
@@ -220,6 +229,35 @@ object EventTime extends QueryPack {
     val nb = BigInt(n)
     BigInt(7500) * d2 * d2 >
       BigInt(2401) * (BigInt(2) * nb * (nb + 1) * (2 * nb + 1) - tieT)
+  }
+
+  /** The exact α=0.05 Kruskal–Wallis verdict behind `evt_kruskal`
+    * (fixed k = 3, so the critical value is the [[KwCritMicro]]
+    * literal): with group sizes nᵢ and DOUBLED midrank sums R2ᵢ
+    * (Σ R2ᵢ = n(n+1)), let D = n₀n₁n₂,
+    * S = R2₀²n₁n₂ + R2₁²n₀n₂ + R2₂²n₀n₁ (= D·Σ R2ᵢ²/nᵢ),
+    * X = S − D·n(n+1)² (≥ 0: Σ R2ᵢ²/nᵢ ≥ (Σ R2ᵢ)²/n by
+    * Cauchy–Schwarz) and the tie term T = Σ(t³−t). The tie-corrected
+    * statistic H = [12/(n(n+1))·Σ(R2ᵢ/2)²/nᵢ − 3(n+1)] / (1 − T/(n³−n))
+    * reduces to 3·X·(n−1) / (D·Y) with Y = n³−n−T, and the verdict is
+    * the cross-multiplied 3·10⁶·X·(n−1) > KwCritMicro·D·Y — no
+    * division in the decision. Returns (⌊10⁶·H⌋, reject); degenerate
+    * (an empty group, or every value tied → Y = 0) reports (0, false).
+    * Driver BigInt over the single aggregate row — exact at any event
+    * count (the [[ksReject]] discipline). */
+  private[operators] def kwVerdict(n0: Long, n1: Long, n2: Long,
+      r20: BigInt, r21: BigInt, r22: BigInt, tieT: BigInt): (Long, Boolean) = {
+    val n = BigInt(n0) + BigInt(n1) + BigInt(n2)
+    val y = n * n * n - n - tieT
+    if (n0 == 0L || n1 == 0L || n2 == 0L || y <= 0) (0L, false)
+    else {
+      val d = BigInt(n0) * BigInt(n1) * BigInt(n2)
+      val s = r20 * r20 * n1 * n2 + r21 * r21 * n0 * n2 +
+        r22 * r22 * n0 * n1
+      val x = s - d * n * (n + 1) * (n + 1)
+      val num = BigInt(3000000) * x * (n - 1)
+      ((num / (d * y)).toLong, num > BigInt(KwCritMicro) * d * y)
+    }
   }
 
   /** The exact α=0.05 two-sided Wald–Wolfowitz runs verdict behind
@@ -2834,6 +2872,230 @@ object EventTime extends QueryPack {
                  > 9604 * CAST(n_a AS HUGEINT) * n_b
                    * ((CAST(n AS HUGEINT) * n * n - n) - tie_t),
                  FALSE) AS reject_at_05
+        FROM fin""")),
+
+    // ── Kruskal–Wallis rank test (the k-SAMPLE nonparametric) ──
+    // Completes the quartet: KS (two-sample distribution), MW (two-
+    // sample location), Wilcoxon (paired) — KW answers "did the cents
+    // distribution differ across the THREE temporal thirds", the
+    // one-way-ANOVA-without-normality a drift dashboard asks of k
+    // cohorts. Same machinery as MW end to end: tied values take
+    // doubled midranks off the inclusive cumulative (2·cum − t + 1,
+    // riding [[Relational.globalPrefixSum]] over the value domain —
+    // ranks never materialize per row), the three rank sums and the
+    // tie term are ONE DECIMAL(38) aggregate row, and the verdict is
+    // [[kwVerdict]] driver BigInt: the tie-corrected H = 3X(n−1)/(DY)
+    // cross-multiplied against the 2·ln 20 micro literal (exact χ² at
+    // df = 2 — the tail is e^(−x/2), no table) — exact at any event
+    // count, no division in the decision. k is FIXED at 3 so the
+    // critical value is a compile-time literal, spec-gated against
+    // the true constant. Output Longs are the MW reporting contract;
+    // degenerate inputs (an empty third, all values tied) report
+    // (0, false) identically in both engines.
+    "evt_kruskal" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+        val rng = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        val cnt = ev.crossJoin(broadcast(rng))
+          .withColumn("grp",
+            expr("least(2, ((day - d0) * 3) div (d1 - d0 + 1))"))
+          .groupBy($"y")
+          .agg(sum(when($"grp" === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when($"grp" === 1, 1L).otherwise(0L)).as("c1"),
+            sum(when($"grp" === 2, 1L).otherwise(0L)).as("c2"))
+          .withColumn("ct", $"c0" + $"c1" + $"c2")
+          .localCheckpoint(true) // totals + the prefix pass
+        val cum = Relational.globalPrefixSum(s, cnt, Seq($"y"), "ct")
+        val mid2 = lit(2L) * $"psum" - $"ct" + 1L
+        val r = cum
+          .agg(
+            sum($"c0").as("n_0"), sum($"c1").as("n_1"),
+            sum($"c2").as("n_2"),
+            sum($"c0".cast(big) * mid2).as("r2_0"),
+            sum($"c1".cast(big) * mid2).as("r2_1"),
+            sum($"c2".cast(big) * mid2).as("r2_2"),
+            sum($"ct".cast(big) * $"ct" * $"ct" - $"ct").as("tie_t"))
+          .collect()(0) // the single verdict row — O(1) driver rows
+        val out =
+          if (r.isNullAt(0)) (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+          else {
+            val (n0, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            val r2 = (3 to 5).map(i => BigInt(r.getDecimal(i).toBigInteger))
+            val tieT = BigInt(r.getDecimal(6).toBigInteger)
+            val (hMicro, rej) =
+              kwVerdict(n0, n1, n2, r2(0), r2(1), r2(2), tieT)
+            (n0, n1, n2, r2(0).toLong, r2(1).toLong, r2(2).toLong,
+              tieT.toLong, hMicro, rej)
+          }
+        Seq(out).toDF("n_0", "n_1", "n_2", "r2_0", "r2_1", "r2_2",
+          "tie_t", "h_micro", "reject_at_05")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        cnt AS (
+          SELECT y,
+                 CAST(COUNT(*) FILTER (
+                   LEAST(2, ((day - d0) * 3) // (d1 - d0 + 1)) = 0)
+                   AS BIGINT) AS c0,
+                 CAST(COUNT(*) FILTER (
+                   LEAST(2, ((day - d0) * 3) // (d1 - d0 + 1)) = 1)
+                   AS BIGINT) AS c1,
+                 CAST(COUNT(*) FILTER (
+                   LEAST(2, ((day - d0) * 3) // (d1 - d0 + 1)) = 2)
+                   AS BIGINT) AS c2
+          FROM ev, rng GROUP BY y),
+        cum AS (
+          SELECT y, c0, c1, c2, c0 + c1 + c2 AS ct,
+                 SUM(c0 + c1 + c2) OVER (ORDER BY y) AS cumt
+          FROM cnt),
+        ag AS (
+          SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                 CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2,
+                 SUM(CAST(c0 AS HUGEINT) * (2 * cumt - ct + 1)) AS r2_0,
+                 SUM(CAST(c1 AS HUGEINT) * (2 * cumt - ct + 1)) AS r2_1,
+                 SUM(CAST(c2 AS HUGEINT) * (2 * cumt - ct + 1)) AS r2_2,
+                 SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie_t
+          FROM cum),
+        fin AS (
+          SELECT n0, n1, n2, r2_0, r2_1, r2_2, tie_t,
+                 CAST(n0 + n1 + n2 AS HUGEINT) AS n,
+                 CAST(n0 AS HUGEINT) * n1 * n2 AS dd,
+                 r2_0 * r2_0 * n1 * n2 + r2_1 * r2_1 * n0 * n2
+                   + r2_2 * r2_2 * n0 * n1 AS s
+          FROM ag),
+        vd AS (
+          SELECT n0, n1, n2, r2_0, r2_1, r2_2, tie_t,
+                 n0 > 0 AND n1 > 0 AND n2 > 0
+                   AND n * n * n - n - tie_t > 0 AS valid,
+                 3000000 * (s - dd * n * (n + 1) * (n + 1)) * (n - 1)
+                   AS hnum,
+                 dd * (n * n * n - n - tie_t) AS hden
+          FROM fin)
+        SELECT COALESCE(n0, 0) AS n_0, COALESCE(n1, 0) AS n_1,
+               COALESCE(n2, 0) AS n_2,
+               COALESCE(CAST(r2_0 AS BIGINT), 0) AS r2_0,
+               COALESCE(CAST(r2_1 AS BIGINT), 0) AS r2_1,
+               COALESCE(CAST(r2_2 AS BIGINT), 0) AS r2_2,
+               COALESCE(CAST(tie_t AS BIGINT), 0) AS tie_t,
+               CASE WHEN COALESCE(valid, FALSE)
+                    THEN CAST(hnum // hden AS BIGINT) ELSE 0 END AS h_micro,
+               COALESCE(valid, FALSE)
+                 AND hnum > $KwCritMicro * hden AS reject_at_05
+        FROM vd""")),
+
+    // ── Spearman rank correlation (monotone association) ──
+    // Pearson's r (q_corr_manual, evt_autocorr) measures LINEAR
+    // association and one outlier day owns it; Spearman's ρ on ranks
+    // is the robust monotone version — the standard first question
+    // between two operational series ("does activity drive revenue,
+    // monotonically?"), here between daily event count and daily
+    // cents volume. Ties take DOUBLED midranks (2·cum − t + 1) off
+    // [[Relational.globalPrefixSum]] over each value domain — ranks
+    // never sort in a single task, and the 2× scale cancels in the
+    // correlation. Moments are ONE exact DECIMAL(38) aggregate row;
+    // ρ is the evt_autocorr double-discipline — exact integers cast
+    // to DOUBLE once, then an IDENTICAL IEEE chain (one multiply, one
+    // sqrt, one divide) in both engines, zero-variance guarded. The
+    // integer outputs are the MW Long reporting contract (exact to
+    // ~5·10⁴ days — 137 years of daily series; the driver BigInt
+    // itself is unbounded).
+    "evt_spearman" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val daily = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .groupBy($"day")
+          .agg(count(lit(1)).as("x"), sum($"cents").as("yv"))
+          .localCheckpoint(true) // two rank passes + the join
+        def ranks(keyCol: String,
+            outCol: String): org.apache.spark.sql.DataFrame = {
+          val cnt = daily.groupBy(col(keyCol)).agg(count(lit(1)).as("t"))
+          Relational.globalPrefixSum(s, cnt, Seq(col(keyCol)), "t")
+            .select(col(keyCol), (lit(2L) * $"psum" - $"t" + 1L).as(outCol))
+        }
+        val ranked = daily
+          .join(ranks("x", "rx2"), Seq("x"))
+          .join(ranks("yv", "ry2"), Seq("yv"))
+        val m = ranked.agg(
+            count(lit(1)).as("n"),
+            sum($"rx2".cast(big)).as("sx"),
+            sum($"ry2".cast(big)).as("sy"),
+            sum($"rx2".cast(big) * $"rx2").as("sxx"),
+            sum($"ry2".cast(big) * $"ry2").as("syy"),
+            sum($"rx2".cast(big) * $"ry2").as("sxy"))
+          .collect()(0) // the single moment row — O(1) driver rows
+        val out =
+          if (m.getLong(0) == 0L) (0L, 0L, 0L, 0L, 0.0)
+          else {
+            val n = m.getLong(0)
+            val mom = (1 to 5).map(i => BigInt(m.getDecimal(i).toBigInteger))
+            val (sx, sy, sxx, syy, sxy) =
+              (mom(0), mom(1), mom(2), mom(3), mom(4))
+            val num = BigInt(n) * sxy - sx * sy
+            val vx = BigInt(n) * sxx - sx * sx
+            val vy = BigInt(n) * syy - sy * sy
+            val rho =
+              if (vx == 0 || vy == 0) 0.0
+              else num.toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+            (n, num.toLong, vx.toLong, vy.toLong, rho)
+          }
+        Seq(out).toDF("n_days", "num_xy", "var2_x", "var2_y", "rho")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(SUM(cents) AS BIGINT) AS yv
+          FROM ev GROUP BY day),
+        cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t
+               FROM daily GROUP BY x),
+        rx AS (SELECT x, 2 * SUM(t) OVER (ORDER BY x) - t + 1 AS rx2
+               FROM cx),
+        cy AS (SELECT yv, CAST(COUNT(*) AS BIGINT) AS t
+               FROM daily GROUP BY yv),
+        ry AS (SELECT yv, 2 * SUM(t) OVER (ORDER BY yv) - t + 1 AS ry2
+               FROM cy),
+        j AS (
+          SELECT rx.rx2, ry.ry2
+          FROM daily d JOIN rx USING (x) JOIN ry USING (yv)),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(rx2 AS HUGEINT)) AS sx,
+                 SUM(CAST(ry2 AS HUGEINT)) AS sy,
+                 SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+                 SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+                 SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+          FROM j),
+        fin AS (
+          SELECT n, n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS vx,
+                 n * syy - sy * sy AS vy
+          FROM m)
+        SELECT COALESCE(n, 0) AS n_days,
+               COALESCE(CAST(num AS BIGINT), 0) AS num_xy,
+               COALESCE(CAST(vx AS BIGINT), 0) AS var2_x,
+               COALESCE(CAST(vy AS BIGINT), 0) AS var2_y,
+               CASE WHEN COALESCE(vx, 0) = 0 OR COALESCE(vy, 0) = 0
+                    THEN 0.0
+                    ELSE CAST(num AS DOUBLE)
+                      / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+               END AS rho
         FROM fin""")),
 
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──

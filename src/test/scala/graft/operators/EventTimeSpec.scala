@@ -680,6 +680,121 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     EventTime.mwReject(n9, n9, BigInt(0), BigInt(0)) shouldBe false
   }
 
+  test("evt_kruskal equals a brute-force three-group midrank recompute, " +
+      "kwVerdict pins the textbook example, and the critical literal " +
+      "is the true chi-square tail") {
+    import org.apache.spark.sql.functions.expr
+    // brute force: walk the sorted value domain accumulating doubled
+    // midranks per temporal third and the tie term
+    val dayUs = 24L * 3600L * 1000000L
+    val evs = graft.Tables.events(spark, sf)
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (d0, d1) = (evs.map(_._1).min, evs.map(_._1).max)
+    def grp(day: Long): Int =
+      math.min(2L, (day - d0) * 3 / (d1 - d0 + 1)).toInt
+    val tagged = evs.map(e => (e._2, grp(e._1)))
+    var cum = 0L; val r2 = Array.fill(3)(BigInt(0)); var tie = BigInt(0)
+    for ((_, rs) <- tagged.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val t = rs.length.toLong; cum += t
+      for (g <- 0 to 2)
+        r2(g) += BigInt(rs.count(_._2 == g)) * (2 * cum - t + 1)
+      tie += BigInt(t) * t * t - t
+    }
+    val n = (0 to 2).map(g => tagged.count(_._2 == g).toLong)
+    val (hM, rej) = EventTime.kwVerdict(
+      n(0), n(1), n(2), r2(0), r2(1), r2(2), tie)
+    val row = graft.SparkEntry.queries("evt_kruskal")(spark, sf)
+      .collect()(0)
+    (0 to 2).foreach(i => row.getLong(i) shouldBe n(i))
+    (3 to 5).foreach(i => row.getLong(i) shouldBe r2(i - 3).toLong)
+    row.getLong(6) shouldBe tie.toLong
+    row.getLong(7) shouldBe hM
+    row.getBoolean(8) shouldBe rej
+    // all three thirds genuinely populated on the fixture
+    n.foreach(_ should be > 0L)
+    // textbook pin: A=[1,2,3] B=[4,5,6] C=[7,8,9] — no ties, doubled
+    // rank sums (12, 30, 48); H = 12/(9·10)·(4+25+64)·9/3 − 30 = 7.2
+    // > 5.9915 → reject, and the micro floor is exactly 7200000
+    val (h72, rej72) = EventTime.kwVerdict(
+      3L, 3L, 3L, BigInt(12), BigInt(30), BigInt(48), BigInt(0))
+    h72 shouldBe 7200000L
+    rej72 shouldBe true
+    // all nine values tied: one tie group of 9 → T = 720 → Y = 0 →
+    // the degenerate row (each member's doubled midrank is 10)
+    EventTime.kwVerdict(3L, 3L, 3L,
+      BigInt(30), BigInt(30), BigInt(30), BigInt(720)) shouldBe ((0L, false))
+    // an empty third never rejects
+    EventTime.kwVerdict(0L, 3L, 3L,
+      BigInt(0), BigInt(21), BigInt(63), BigInt(0)) shouldBe ((0L, false))
+    // identical rank distributions: X = 0 → H = 0, no rejection
+    EventTime.kwVerdict(3L, 3L, 3L,
+      BigInt(30), BigInt(30), BigInt(30), BigInt(0))._2 shouldBe false
+    // the literal is the TRUE constant, not just self-consistent: at
+    // df = 2 the chi-square tail is e^(−x/2), so the α = 0.05 critical
+    // value must satisfy e^(−c/2) = 0.05 — checked against math.exp,
+    // which breaks the single-source circularity. Micro-rounding moves
+    // the tail by at most 0.05·(e^(0.25e−6) − 1) ≈ 1.25e−8.
+    math.abs(math.exp(-EventTime.KwCritMicro / 2e6) - 0.05) should be < 1.3e-8
+    math.abs(EventTime.KwCritMicro - 2.0 * math.log(20.0) * 1e6) should be <= 0.5
+  }
+
+  test("evt_spearman equals a brute-force midrank recompute, satisfies " +
+      "the rank-sum identity, and a monotone hand series pins rho = ±1") {
+    import org.apache.spark.sql.functions.expr
+    val dayUs = 24L * 3600L * 1000000L
+    val daily = graft.Tables.events(spark, sf)
+      .select(expr(s"(ts div 1000) div $dayUs").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .map { case (_, es) => (es.length.toLong, es.map(_._2).sum) }
+    def mid2(vals: Seq[Long]): Map[Long, Long] = {
+      var cum = 0L
+      vals.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        val t = g.length.toLong; cum += t
+        v -> (2 * cum - t + 1)
+      }.toMap
+    }
+    def spearman(xs: Seq[Long], ys: Seq[Long])
+        : (Long, BigInt, BigInt, BigInt, Double) = {
+      val (mx, my) = (mid2(xs), mid2(ys))
+      val n = xs.length.toLong
+      val rx = xs.map(mx); val ry = ys.map(my)
+      def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+      def s2(a: Seq[Long], b: Seq[Long]) =
+        a.zip(b).map { case (p, q) => BigInt(p) * q }.sum
+      val num = BigInt(n) * s2(rx, ry) - s(rx) * s(ry)
+      val vx = BigInt(n) * s2(rx, rx) - s(rx) * s(rx)
+      val vy = BigInt(n) * s2(ry, ry) - s(ry) * s(ry)
+      val rho = if (vx == 0 || vy == 0) 0.0
+        else num.toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+      (n, num, vx, vy, rho)
+    }
+    val (n, num, vx, vy, rho) =
+      spearman(daily.map(_._1), daily.map(_._2))
+    // the doubled-midrank sums obey Σ mid2 = n(n+1) on BOTH axes
+    mid2(daily.map(_._1)).map { case (v, m2) =>
+      BigInt(m2) * daily.count(_._1 == v) }.sum shouldBe BigInt(n) * (n + 1)
+    val row = graft.SparkEntry.queries("evt_spearman")(spark, sf)
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe
+      ((n, num.toLong, vx.toLong, vy.toLong))
+    row.getDouble(4) shouldBe rho
+    math.abs(rho) should be <= 1.0
+    // hand pins through the same recompute: a strictly monotone map
+    // is rho = 1 exactly, its reversal −1, and heavy x-ties damp the
+    // correlation strictly below 1 while staying positive
+    spearman(Seq(1, 2, 3, 4), Seq(10, 20, 30, 40))._5 shouldBe 1.0
+    spearman(Seq(1, 2, 3, 4), Seq(40, 30, 20, 10))._5 shouldBe -1.0
+    val tied = spearman(Seq(1, 1, 1, 2), Seq(10, 20, 30, 40))._5
+    tied should be > 0.0
+    tied should be < 1.0
+    // constant series: zero variance guards to rho = 0
+    spearman(Seq(5, 5, 5), Seq(1, 2, 3))._5 shouldBe 0.0
+  }
+
   test("evt_wilcoxon equals a brute-force per-user paired recompute, " +
       "and wilcoxonReject pins a hand example") {
     import org.apache.spark.sql.functions.expr
