@@ -1753,6 +1753,134 @@ object CorpusAssembly extends QueryPack {
       (0 until UniRounds).map(i =>
         uniDpCtesSql(i, s"cost$i") + "," + uniRecountSql(i)).mkString(",")
 
+  // ── WordPiece tokenizer (the third production family) ────────────
+  // Schuster & Nakajima 2012 / Wu et al. 2016: BPE merges the most
+  // FREQUENT adjacent pair; WordPiece merges the pair maximizing the
+  // unigram-LM likelihood GAIN, score = count(uv)/(count(u)·count(v))
+  // — a frequent pair of rare symbols beats a frequent pair of
+  // ubiquitous ones. Training rides the BPE machinery (sentinel-
+  // spaced distinct-word table, literal-replace merges) with the
+  // argmax re-scored; inference is WordPiece's OTHER distinctive
+  // half: greedy longest-match-first against the learned vocabulary
+  // (not merge-order replay — the two can disagree, which is why
+  // BERT's tokenizer ships the vocab, not the merges).
+
+  /** Number of WordPiece merge rounds. */
+  private val WpMerges = 6
+
+  /** The M scored merge rounds over a seed frame carrying `c` and
+    * `seq` (the [[bpeTrain]] contract). The argmax key is the
+    * likelihood score as ONE double division over exact integers —
+    * CAST(pair_n)/(CAST(u_n)·CAST(v_n)) is the identical IEEE chain
+    * in both engines (the q_corr_manual discipline), and distinct
+    * rationals colliding at double precision fall to the
+    * deterministic (pair_n desc, u, v) tiebreak, so the trajectory is
+    * engine-reproducible. Each round: one vocabulary-sized symbol
+    * count, one pair count, a 1-row broadcast winner. */
+  private[operators] def wpTrain(seqs0: org.apache.spark.sql.DataFrame)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val s = seqs0.sparkSession
+    import s.implicits._
+    val carry = seqs0.columns.filterNot(_ == "seq")
+    var seqs = seqs0
+    val bests = (1 to WpMerges).map { _ =>
+      val symd = seqs.withColumn("syms", split(trim($"seq"), " +"))
+        .localCheckpoint(true) // symbol counts + pair counts + merge
+      val unit = symd.select($"c", explode($"syms").as("sym"))
+        .groupBy($"sym").agg(sum($"c").as("sym_n"))
+      val best = symd
+        .filter(size($"syms") >= 2)
+        .select($"c", explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
+          .as("p"))
+        .groupBy($"p.u".as("u"), $"p.v".as("v"))
+        .agg(sum($"c").as("pair_n"))
+        .join(unit.select($"sym".as("u"), $"sym_n".as("u_n")), Seq("u"))
+        .join(unit.select($"sym".as("v"), $"sym_n".as("v_n")), Seq("v"))
+        .withColumn("score", $"pair_n".cast(DoubleType) /
+          ($"u_n".cast(DoubleType) * $"v_n".cast(DoubleType)))
+        .orderBy($"score".desc, $"pair_n".desc, $"u", $"v").limit(1)
+        .localCheckpoint() // tiny; consumed by the merge AND the output
+      seqs = symd.drop("syms")
+        .crossJoin(broadcast(best.select($"u", $"v")))
+        .select(carry.map(col) :+
+          expr("replace(seq, concat(' ', u, '  ', v, ' '), concat(' ', u, v, ' '))")
+            .as("seq"): _*)
+      best
+    }
+    (bests, seqs)
+  }
+
+  /** DuckDB spelling of the M scored rounds over CTE `s0` — the
+    * [[bpeRoundsSql]] shape with the likelihood argmax. Every CTE is
+    * AS MATERIALIZED (the unigram lesson: a recursive consumer would
+    * otherwise re-evaluate the whole chain per iteration). */
+  private def wpRoundsSql(carry: String): String = (1 to WpMerges).map { i =>
+    s"""
+        u$i AS MATERIALIZED (
+          SELECT sym, CAST(SUM(c) AS BIGINT) AS sym_n
+          FROM (SELECT c, unnest(string_split_regex(trim(seq), ' +')) AS sym
+                FROM s${i - 1})
+          GROUP BY sym),
+        p$i AS MATERIALIZED (
+          SELECT syms[j-1] AS u, syms[j] AS v, CAST(SUM(c) AS BIGINT) AS pair_n
+          FROM (SELECT c, string_split_regex(trim(seq), ' +') AS syms FROM s${i - 1}),
+               unnest(generate_series(2, len(syms))) AS t(j)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        b$i AS MATERIALIZED (
+          SELECT u, v, pair_n, uu.sym_n AS u_n, vv.sym_n AS v_n,
+                 CAST(pair_n AS DOUBLE)
+                   / (CAST(uu.sym_n AS DOUBLE) * CAST(vv.sym_n AS DOUBLE))
+                   AS score
+          FROM p$i
+          JOIN u$i uu ON uu.sym = p$i.u
+          JOIN u$i vv ON vv.sym = p$i.v
+          ORDER BY score DESC, pair_n DESC, u, v LIMIT 1),
+        s$i AS MATERIALIZED (
+          SELECT $carry, replace(seq, ' ' || b.u || '  ' || b.v || ' ',
+                                 ' ' || b.u || b.v || ' ') AS seq
+          FROM s${i - 1}, b$i b)"""
+  }.mkString(",")
+
+  /** Greedy longest-match piece count per distinct word under a
+    * COLLECTED WordPiece vocabulary (coordinator-sized by
+    * construction: the initial characters plus one piece per merge —
+    * the PQ-LUT discipline). The per-word matcher is one codegen'd
+    * fold: at each position take the longest vocab piece that fits
+    * (single characters always match, so in-corpus words always
+    * segment); the fold runs length(word) steps, enough since every
+    * step advances ≥ 1. */
+  private[operators] def wpGreedyCount(
+      words: org.apache.spark.sql.DataFrame,
+      pieces: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val maxL = pieces.map(_.length).max
+    val vc = pieces.sortBy(identity)
+      .map(p => (p, 1)).toDF("piece", "one")
+      .agg(map_from_entries(collect_list(struct($"piece", $"one"))).as("vc"))
+    def kExpr(pos: String): String = {
+      val cands = (maxL to 1 by -1).map { k =>
+        s"""IF(length(word) - $pos + 1 >= $k AND
+              try_element_at(vc, substring(word, $pos, $k)) IS NOT NULL,
+              $k, cast(null as int))"""
+      }
+      s"coalesce(${cands.mkString(", ")})"
+    }
+    words.crossJoin(broadcast(vc))
+      .withColumn("n_pieces", expr(
+        s"""aggregate(
+              sequence(1, length(word)),
+              named_struct('pos', 1, 'np', cast(0 as bigint)),
+              (st, x) -> IF(st.pos <= length(word),
+                named_struct('pos', st.pos + ${kExpr("st.pos")},
+                             'np', st.np + 1),
+                st),
+              st -> st.np)"""))
+      .drop("vc")
+  }
+
   override val queries: Map[String, QueryDef] = baseQueries ++ Map(
 
     // ── BPE merge learning: tokenizer TRAINING, distributed ──
@@ -1916,6 +2044,130 @@ object CorpusAssembly extends QueryPack {
         FROM t
         JOIN seg$UniRounds s ON s.word = t.word
         JOIN path$UniRounds p ON p.word = t.word
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ── WordPiece tokenizer TRAINING (likelihood-scored merges) ──
+    // See the WordPiece section comment above [[wpTrain]]: the BPE
+    // trajectory with the argmax re-scored to the unigram-likelihood
+    // gain count(uv)/(count(u)·count(v)) — the third production
+    // tokenizer family beside BPE (frequency merges) and unigram-LM
+    // (probabilistic pruning). Output: the merge table with its
+    // likelihood evidence per round — pair count, both symbol counts,
+    // and the score (ONE double division over exact integers,
+    // IEEE-identical in both engines). The oracle unrolls all rounds:
+    // symbol counts, pair counts, the scored argmax, and every merged
+    // sequence are re-derived in SQL, so the whole trajectory —
+    // including every double comparison the argmax made — is
+    // hash-checked.
+    "llm_wordpiece_learn" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val seqs0 = Tables.documents(s, d)
+          .select(explode(tokens).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+          .select($"c", seqExpr($"term").as("seq"))
+          .localCheckpoint() // one corpus scan; M rounds re-read it
+        val (bests, _) = wpTrain(seqs0)
+        bests.zipWithIndex.map { case (b, i) =>
+          b.select(lit(i + 1).as("step"), $"u".as("lhs"), $"v".as("rhs"),
+            $"pair_n", $"u_n".as("lhs_n"), $"v_n".as("rhs_n"), $"score")
+        }.reduce(_ union _).orderBy($"step")
+      },
+      oracle = Some {
+        val out = (1 to WpMerges)
+          .map(i => s"SELECT $i AS step, u AS lhs, v AS rhs, pair_n, " +
+            s"u_n AS lhs_n, v_n AS rhs_n, score FROM b$i")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH w AS (
+          SELECT term, COUNT(*) AS c FROM (
+            SELECT unnest($tokensSql) AS term FROM documents)
+          GROUP BY term),
+        s0 AS (
+          SELECT c, ' ' || array_to_string(
+            list_filter(string_split(term, ''), ch -> ch <> ''), '  ') || ' ' AS seq
+          FROM w),${wpRoundsSql("c")}
+        $out
+        ORDER BY step"""
+      }),
+
+    // ── WordPiece INFERENCE: greedy longest-match segmentation ──
+    // WordPiece's distinctive apply half: BERT-style tokenizers ship
+    // the VOCABULARY (initial characters + one piece per merge) and
+    // segment each word greedily, always taking the longest vocab
+    // piece that fits — NOT a replay of the merge order (the two can
+    // disagree once a late merge absorbs an early piece). The learned
+    // vocabulary is coordinator-sized by construction (chars + M
+    // pieces), so it rides one collected broadcast map and the greedy
+    // matcher is one codegen'd fold per DISTINCT word; per-doc counts
+    // are one broadcast join + a map-side-combined sum (the unigram
+    // apply shape — corpus rows are never re-segmented). The oracle
+    // replays learn + the greedy walk (a recursive CTE advancing each
+    // word's cursor by its longest match, MATERIALIZED inputs per the
+    // unigram lesson) and hash-checks every per-doc count.
+    "llm_wordpiece_apply" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docToks = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens).as("term"))
+          .localCheckpoint() // vocab build + per-doc join
+        val seqs0 = docToks
+          .groupBy($"term").agg(count(lit(1)).as("c"))
+          .select($"term", $"c", seqExpr($"term").as("seq"))
+          .localCheckpoint(true) // chars + the merge trajectory
+        val (bests, _) = wpTrain(seqs0.select($"c", $"seq"))
+        // the shipped vocabulary: every initial character + the M
+        // merge outputs — collected ONCE, ≤ |alphabet| + M rows
+        val chars = seqs0
+          .select(explode(split(trim($"seq"), " +")).as("piece"))
+          .distinct()
+        val merged = bests
+          .map(_.select(concat($"u", $"v").as("piece")))
+          .reduce(_ unionByName _)
+        val pieces = chars.unionByName(merged).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val seg = wpGreedyCount(
+          seqs0.select($"term".as("word")), pieces)
+        docToks.join(broadcast(
+            seg.select($"word".as("term"), $"n_pieces")), Seq("term"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length($"term")).cast(LongType).as("n_chars"),
+            sum($"n_pieces").as("n_pieces"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE t AS MATERIALIZED (
+          SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+        w AS MATERIALIZED (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        s0 AS MATERIALIZED (
+          SELECT term, c, ' ' || array_to_string(
+            list_filter(string_split(term, ''), ch -> ch <> ''), '  ') || ' ' AS seq
+          FROM w),${wpRoundsSql("term, c")},
+        vocab AS MATERIALIZED (
+          SELECT DISTINCT piece FROM (
+            SELECT unnest(list_filter(string_split(term, ''), ch -> ch <> ''))
+              AS piece FROM w
+            UNION ALL
+            ${(1 to WpMerges).map(i => s"SELECT u || v AS piece FROM b$i")
+              .mkString("\n            UNION ALL\n            ")})),
+        g AS (
+          SELECT term, 1 AS pos, CAST(0 AS BIGINT) AS np FROM w
+          UNION ALL
+          SELECT term, pos + k, np + 1 FROM (
+            SELECT r.term, r.pos, r.np, MAX(len(v.piece)) AS k
+            FROM g r JOIN vocab v
+              ON substr(r.term, r.pos, len(v.piece)) = v.piece
+            WHERE r.pos <= len(r.term)
+            GROUP BY r.term, r.pos, r.np) m),
+        seg AS MATERIALIZED (
+          SELECT term, np AS n_pieces FROM g WHERE pos = len(term) + 1)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(t.term)) AS BIGINT) AS n_chars,
+               CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces
+        FROM t JOIN seg s USING (term)
         GROUP BY t.doc_id
         ORDER BY t.doc_id""")),
   )

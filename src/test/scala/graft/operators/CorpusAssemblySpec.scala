@@ -682,6 +682,113 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     expected.map(_._3).sum should be > expected.map(_._2).sum
   }
 
+  // ── WordPiece tokenizer ──────────────────────────────────────────
+
+  /** Sequential WordPiece trainer mirroring [[CorpusAssembly.wpTrain]]:
+    * sentinel-free symbol lists, likelihood-scored argmax with the
+    * (score desc, pair_n desc, u, v) order, left-to-right
+    * non-overlapping merges. */
+  private def wpTrainSeq(words: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long, Long, Long, Double)] = {
+    var seqs: Map[Vector[String], Long] = words
+      .groupBy(_._1.toSeq.map(_.toString).toVector)
+      .view.mapValues(_.values.sum).toMap
+    (1 to rounds).map { _ =>
+      val unit = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, c) <- seqs) {
+        syms.foreach(sym => unit(sym) += c)
+        syms.sliding(2).foreach {
+          case Vector(u, v) => pair((u, v)) += c
+          case _ => ()
+        }
+      }
+      // the same total order as (score desc, pair_n desc, u, v)
+      val (u, v, pn) = pair.toSeq.map { case ((pu, pv), n) =>
+        (pu, pv, n, n.toDouble / (unit(pu).toDouble * unit(pv).toDouble))
+      }.sortBy { case (pu, pv, n, sc) => (-sc, -n.toDouble, pu, pv) }
+        .head match { case (pu, pv, n, _) => (pu, pv, n) }
+      val (un, vn) = (unit(u), unit(v))
+      // left-to-right non-overlapping merge
+      seqs = seqs.toSeq.map { case (syms, c) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == u && syms(i + 1) == v) {
+            out += u + v; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toVector, c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (u, v, pn, un, vn, pn.toDouble / (un.toDouble * vn.toDouble))
+    }
+  }
+
+  test("llm_wordpiece_learn equals a sequential likelihood-scored " +
+      "recompute, and the score argmax genuinely diverges from BPE's " +
+      "frequency argmax") {
+    val expected = wpTrainSeq(corpusWords, 6)
+    val got = run("llm_wordpiece_learn").collect().toSeq.map(r =>
+      (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+    got shouldBe expected
+    // the load-bearing semantic: on a corpus where the most FREQUENT
+    // pair is made of ubiquitous symbols, WordPiece merges the rarer
+    // but more PREDICTIVE pair first — (x,y) at score 3/9 beats (a,a)
+    // at 10/400 even though 10 > 3
+    val hand = Map("aa" -> 10L, "xy" -> 3L)
+    val first = wpTrainSeq(hand, 1).head
+    (first._1, first._2) shouldBe (("x", "y"))
+    first._3 shouldBe 3L // pair_n: BPE's key would have picked (a,a)=10
+  }
+
+  test("llm_wordpiece_apply: per-doc greedy counts equal a sequential " +
+      "longest-match recompute under the learned vocabulary") {
+    val merges = wpTrainSeq(corpusWords, 6)
+    val vocab: Set[String] =
+      corpusWords.keys.flatMap(_.toSeq.map(_.toString)).toSet ++
+        merges.map(m => m._1 + m._2)
+    val maxL = vocab.map(_.length).max
+    def greedy(word: String): Long = {
+      var pos = 0; var np = 0L
+      while (pos < word.length) {
+        val k = (math.min(maxL, word.length - pos) to 1 by -1)
+          .find(k => vocab.contains(word.substring(pos, pos + k))).get
+        pos += k; np += 1
+      }
+      np
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase
+        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty)
+    val expected = docs.sortBy(_._1).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(greedy).sum)
+    }.toSeq
+    val got = run("llm_wordpiece_apply").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got shouldBe expected
+    // compression is real: pieces strictly fewer than characters
+    expected.map(_._4).sum should be < expected.map(_._3).sum
+  }
+
+  test("wpGreedyCount takes the LONGEST match, not the merge order: " +
+      "vocab {a,b,c,ab,bc} segments 'abc' as [ab,c], never [a,bc]") {
+    import spark.implicits._
+    val words = Seq("abc").toDF("word")
+    val got = CorpusAssembly
+      .wpGreedyCount(words, Seq("a", "b", "c", "ab", "bc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe Array(("abc", 2L)) // [ab, c] — greedy longest-first
+    // and a vocab without the leading bigram falls back per char
+    CorpusAssembly.wpGreedyCount(words, Seq("a", "b", "c", "bc"))
+      .collect().map(_.getLong(1)) shouldBe Array(2L) // [a, bc]
+  }
+
   test("unigram Viterbi breaks exact cost ties to the longer piece and " +
       "falls back to single chars off-vocabulary") {
     import spark.implicits._
