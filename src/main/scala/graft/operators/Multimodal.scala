@@ -575,6 +575,145 @@ object Multimodal extends QueryPack {
                CAST(COUNT(*) AS BIGINT) AS n_shots,
                CAST(MAX(shot_len) AS BIGINT) AS longest_shot
         FROM sl GROUP BY doc_id, n_frames
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── real WAV/PCM decode over the typed mapPartitions path ──
+    // The audio face of the real-codec pair ([[Bmp]] is the image
+    // face): each document's printable-ASCII text generates a REAL
+    // RIFF/WAVE mono PCM16 clip ([[Wav.fromText]]: n = (m%97)+32
+    // samples at rate 8000+(m%8)·1000, sample i =
+    // ((c·523 + i·1031 + doc_id) mod 65536) − 32768 with character
+    // c = t[i mod m]); [[Wav.decode]] then PARSES the bytes — RIFF
+    // magic, little-endian chunk sizes, the fmt-chunk consistency
+    // checks, two's-complement sample words — and the query emits
+    // header facts plus the sample readout. The oracle prices every
+    // output from the generating formula by integer arithmetic
+    // (byte_len is header+payload arithmetic, never a codec); the
+    // position-weighted wsum pins sample ORDER and the signed peak
+    // pins the sign-extension of the high byte, so an offset slip,
+    // an endianness flip, or an unsigned read hash-mismatches.
+    // 100 TB shape: map-only typed partitions — the mapInPandas
+    // batch shape — no shuffle at all.
+    "mm_wav_decode" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val au = Wav.decode(Wav.fromText(id, t))
+            var sum = 0L; var ws = 0L; var peak = 0L
+            var i = 0
+            while (i < au.samples.length) {
+              val v = au.samples(i)
+              sum += v
+              ws += (i + 1).toLong * v
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              i += 1
+            }
+            (id, au.fileSize, au.sampleRate.toLong,
+              au.samples.length.toLong, sum, ws, peak)
+          }
+        }.toDF("doc_id", "byte_len", "sample_rate", "n_samples",
+          "sum_s", "wsum", "peak")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        d AS (
+          SELECT doc_id, t, m, (m % 97) + 32 AS n,
+                 8000 + (m % 8) * 1000 AS rate
+          FROM p),
+        s AS (
+          SELECT doc_id, t, m, n, rate,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM d),
+        v AS (
+          SELECT doc_id, n, rate, i,
+                 ((unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 523
+                   + i * 1031 + doc_id) % 65536) - 32768 AS sv
+          FROM s)
+        SELECT doc_id,
+          CAST(44 + 2 * n AS BIGINT) AS byte_len,
+          CAST(rate AS BIGINT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(SUM(sv) AS BIGINT) AS sum_s,
+          CAST(SUM((i + 1) * sv) AS BIGINT) AS wsum,
+          CAST(MAX(abs(sv)) AS BIGINT) AS peak
+        FROM v GROUP BY doc_id, n, rate
+        ORDER BY doc_id""")),
+
+    // ── frame-level audio analysis over decoded PCM samples ──
+    // The frame stage every audio pipeline runs before filtering or
+    // transcription (energy gating, silence trimming, voiced/unvoiced
+    // split), on REAL decoded samples: non-overlapping 16-sample
+    // frames (n ≥ 32 by construction, so every clip has ≥2 full
+    // frames; the ragged tail is dropped, as hop-aligned framing
+    // does), per frame the energy Σs², the zero-crossing count over
+    // the 15 adjacent in-frame pairs (sign change = strict negative
+    // vs non-negative disagreement — two's-complement-sensitive), and
+    // the peak |s|. The oracle replays the generating formula, so a
+    // frame boundary off by one, a pair that straddles frames, or an
+    // unsigned sample read mismatches. Map-only flatMap over typed
+    // partitions, output ≤ n/16 rows per clip — no shuffle.
+    "mm_wav_frames" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.flatMap { case (id, t) =>
+            val au = Wav.decode(Wav.fromText(id, t))
+            val nf = au.samples.length / 16
+            (0 until nf).iterator.map { f =>
+              var e = 0L; var zc = 0L; var peak = 0L
+              var k = 0
+              while (k < 16) {
+                val v = au.samples(f * 16 + k)
+                e += v.toLong * v
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                if (k < 15) {
+                  val w = au.samples(f * 16 + k + 1)
+                  if ((v < 0) != (w < 0)) zc += 1
+                }
+                k += 1
+              }
+              (id, f.toLong, e, zc, peak)
+            }
+          }
+        }.toDF("doc_id", "frame_idx", "energy", "zcr", "peak")
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        d AS (SELECT doc_id, t, m, (m % 97) + 32 AS n FROM p),
+        s AS (
+          SELECT doc_id, t, m, n,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM d),
+        v AS (
+          SELECT doc_id, n, i,
+                 ((unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 523
+                   + i * 1031 + doc_id) % 65536) - 32768 AS sv
+          FROM s),
+        f AS (
+          SELECT doc_id, i // 16 AS frame, i, sv,
+                 LEAD(sv) OVER (PARTITION BY doc_id, i // 16 ORDER BY i)
+                   AS nx
+          FROM v WHERE i < (n // 16) * 16)
+        SELECT doc_id,
+          CAST(frame AS BIGINT) AS frame_idx,
+          CAST(SUM(sv * sv) AS BIGINT) AS energy,
+          CAST(SUM(CASE WHEN nx IS NOT NULL AND ((sv < 0) <> (nx < 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+          CAST(MAX(abs(sv)) AS BIGINT) AS peak
+        FROM f GROUP BY doc_id, frame
+        ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -217,4 +217,63 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val badH = good.clone(); badH(22) = 200.toByte
     an[IllegalArgumentException] should be thrownBy Bmp.decode(badH)
   }
+
+  test("WAV decode parses a hand-built byte-literal clip, including " +
+      "sign extension of the high byte") {
+    def u16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def u32(v: Long) = (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toInt)
+    def tag(t: String) = t.map(_.toInt)
+    // 3 samples: +1, -2 (0xFFFE little-endian: FE FF), -32768 (00 80)
+    val bytes = (tag("RIFF") ++ u32(42L) ++ tag("WAVE") ++
+      tag("fmt ") ++ u32(16L) ++ u16(1) ++ u16(1) ++ u32(8000L) ++
+      u32(16000L) ++ u16(2) ++ u16(16) ++ tag("data") ++ u32(6L) ++
+      u16(1) ++ Seq(0xfe, 0xff) ++ Seq(0x00, 0x80)).map(_.toByte).toArray
+    bytes.length shouldBe 50
+    val au = Wav.decode(bytes)
+    (au.sampleRate, au.channels, au.bits, au.fileSize) shouldBe
+      (8000, 1, 16, 50L)
+    au.samples.toSeq shouldBe Seq(1, -2, -32768)
+  }
+
+  test("WAV encode -> decode round-trips samples exactly across sizes " +
+      "and the full signed range") {
+    for (n <- Seq(1, 2, 31, 97)) {
+      val s = Array.tabulate(n)(i =>
+        (((i * 7919L + 3) % 65536L) - 32768L).toShort)
+      val au = Wav.decode(Wav.encode(11025, s))
+      withClue(s"n=$n") {
+        au.sampleRate shouldBe 11025
+        au.samples.toSeq shouldBe s.map(_.toInt).toSeq
+      }
+    }
+  }
+
+  test("fromText clips decode to the oracle's generating formula " +
+      "sample for sample") {
+    val t = "The quick brown fox!"
+    val m = t.length // 20 -> n = 52, rate = 12000
+    val au = Wav.decode(Wav.fromText(7L, t))
+    au.samples.length shouldBe (m % 97) + 32
+    au.sampleRate shouldBe 8000 + (m % 8) * 1000
+    for (i <- au.samples.indices) {
+      val c = t.charAt(i % m).toInt
+      val expect = ((c * 523L + i * 1031L + 7L) % 65536L - 32768L).toInt
+      withClue(s"sample $i") { au.samples(i) shouldBe expect }
+    }
+  }
+
+  test("WAV decoder rejects structural lies: bad magic, wrong RIFF " +
+      "size, truncated data chunk, stereo, 8-bit") {
+    val good = Wav.encode(8000, Array.tabulate(4)(i => (i * 100).toShort))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy Wav.decode(badMagic)
+    val badRiff = good.clone(); badRiff(4) = (badRiff(4) + 1).toByte
+    an[IllegalArgumentException] should be thrownBy Wav.decode(badRiff)
+    val badData = good.clone(); badData(40) = (badData(40) + 2).toByte
+    an[IllegalArgumentException] should be thrownBy Wav.decode(badData)
+    val stereo = good.clone(); stereo(22) = 2.toByte
+    an[IllegalArgumentException] should be thrownBy Wav.decode(stereo)
+    val eightBit = good.clone(); eightBit(34) = 8.toByte
+    an[IllegalArgumentException] should be thrownBy Wav.decode(eightBit)
+  }
 }
