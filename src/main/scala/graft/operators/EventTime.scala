@@ -3098,6 +3098,179 @@ object EventTime extends QueryPack {
                END AS rho
         FROM fin""")),
 
+    // ── Kendall's tau-b (concordance, by distributed inversions) ──
+    // Spearman correlates the RANKS; Kendall counts the PAIRS — tau
+    // is the probability a random user pair orders the same way on
+    // activity (event count) and on spend (cents volume), minus the
+    // probability it orders oppositely: the association measure whose
+    // value is a pair-level statement, robust to any monotone
+    // transform, with tie corrections that are exact counts rather
+    // than midrank adjustments (Kendall 1938; tau-b per Kendall 1945).
+    // The naive form is the quadratic pair join — exactly what the
+    // oracle runs, and exactly what cannot run at 10⁹ subjects. Here
+    // discordance D is an INVERSION COUNT: sort subjects by
+    // (x, yv, id) — x-tied pairs sit yv-ascending so they count zero,
+    // yv-tied pairs count zero by strictness — and D = inversions of
+    // the yv sequence, via [[Relational.inversionCount]]'s three-way
+    // split (per-partition Fenwick passes + a driver band matrix +
+    // band-local cross sweeps; O(n log n) work, driver rows bounded by
+    // partitions·bands). The tie terms n1/n2/n3 are map-side-combined
+    // group counts; C is then pair-space arithmetic, every count exact
+    // BigInt on the driver. tau_b casts the exact integers to DOUBLE
+    // once through the same IEEE chain as the oracle (one multiply,
+    // one sqrt, one divide — the evt_spearman discipline).
+    "evt_kendall" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d)
+          .select($"user_id",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("x"), sum($"cents").as("yv"))
+          .localCheckpoint(true) // tie aggregates + the inversion pass
+        def tiePairs(cols: Seq[org.apache.spark.sql.Column]): BigInt = {
+          val r = perUser.groupBy(cols: _*)
+            .agg(count(lit(1)).as("t"))
+            .agg(sum(expr("t * (t - 1) div 2")).as("tp"))
+            .collect()(0)
+          if (r.isNullAt(0)) BigInt(0) else BigInt(r.getLong(0))
+        }
+        val n = perUser.count()
+        val out =
+          if (n == 0L) (0L, 0L, 0L, 0L, 0L, 0L, 0.0)
+          else {
+            val n0 = BigInt(n) * (n - 1) / 2
+            val n1 = tiePairs(Seq($"x"))
+            val n2 = tiePairs(Seq($"yv"))
+            val n3 = tiePairs(Seq($"x", $"yv"))
+            val dI = Relational.inversionCount(s, perUser,
+              Seq($"x", $"yv", $"user_id"))
+            val cI = n0 - n1 - n2 + n3 - dI
+            val denx = n0 - n1
+            val deny = n0 - n2
+            val tau =
+              if (denx == 0 || deny == 0) 0.0
+              else (cI - dI).toDouble /
+                math.sqrt(denx.toDouble * deny.toDouble)
+            (n, cI.toLong, dI.toLong, n1.toLong, n2.toLong, n3.toLong, tau)
+          }
+        Seq(out).toDF("n_users", "conc", "disc",
+          "ties_x", "ties_y", "ties_xy", "tau_b")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        u AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(SUM(cents) AS BIGINT) AS yv
+          FROM ev GROUP BY user_id),
+        p AS (
+          SELECT a.x AS xa, a.yv AS ya, b.x AS xb, b.yv AS yb
+          FROM u a JOIN u b ON a.user_id < b.user_id),
+        m AS (
+          SELECT
+            CAST(COUNT(*) AS BIGINT) AS n0,
+            CAST(COUNT(*) FILTER ((xa < xb AND ya < yb)
+              OR (xa > xb AND ya > yb)) AS BIGINT) AS conc,
+            CAST(COUNT(*) FILTER ((xa < xb AND ya > yb)
+              OR (xa > xb AND ya < yb)) AS BIGINT) AS disc,
+            CAST(COUNT(*) FILTER (xa = xb) AS BIGINT) AS ties_x,
+            CAST(COUNT(*) FILTER (ya = yb) AS BIGINT) AS ties_y,
+            CAST(COUNT(*) FILTER (xa = xb AND ya = yb) AS BIGINT)
+              AS ties_xy
+          FROM p),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u)
+        SELECT n AS n_users, conc, disc, ties_x, ties_y, ties_xy,
+          CASE WHEN n0 - ties_x = 0 OR n0 - ties_y = 0 THEN 0.0
+               ELSE CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(n0 - ties_x AS DOUBLE)
+                        * CAST(n0 - ties_y AS DOUBLE))
+          END AS tau_b
+        FROM m, c""")),
+
+    // ── exact higher moments: skewness and excess kurtosis ──
+    // The distribution-SHAPE census behind every "is this metric
+    // healthy" judgment: variance says how wide, g1 says how lopsided
+    // (revenue-grade data is strongly right-skewed), g2 says how
+    // heavy the tails run versus a Gaussian — the first screen before
+    // choosing between mean-based and rank-based monitoring. ONE
+    // map-side-combined aggregate row of raw power sums Σx..Σx⁴ in
+    // DECIMAL(38) (exact: cents⁴ ≈ 10¹⁷/row leaves ~10²¹ rows of
+    // headroom), then the central-moment identities on the driver in
+    // unbounded BigInt — M2 = nS2−S1², M3 = n²S3−3nS1S2+2S1³,
+    // M4 = n³S4−4n²S1S3+6nS1²S2−3S1⁴ — where the n-powers all cancel:
+    // g1 = M3/M2^{3/2}, g2 = M4/M2²−3, no divide-by-n anywhere, so
+    // the only doubles are the final casts through the same IEEE
+    // chain as the oracle (multiply, sqrt, divide — the evt_spearman
+    // discipline). Zero-variance and empty inputs yield the defined
+    // degenerate row. Scale shape: nothing but the one aggregate
+    // crosses the shuffle, at 10¹² events same as 10⁴.
+    "evt_moments" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val m = Tables.events(s, d)
+          .select(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("x"))
+          .agg(count(lit(1)).as("n"),
+            sum($"x".cast(big)).as("s1"),
+            sum($"x".cast(big) * $"x").as("s2"),
+            sum($"x".cast(big) * $"x" * $"x").as("s3"),
+            sum($"x".cast(big) * $"x" * $"x" * $"x").as("s4"))
+          .collect()(0) // the single moment row — O(1) driver rows
+        val out =
+          if (m.getLong(0) == 0L) (0L, 0L, 0L, 0.0, 0.0)
+          else {
+            val n = BigInt(m.getLong(0))
+            val Seq(s1, s2, s3, s4) =
+              (1 to 4).map(i => BigInt(m.getDecimal(i).toBigInteger))
+            val m2 = n * s2 - s1 * s1
+            val m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            val m4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+              6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+            val (g1, g2) =
+              if (m2 == 0) (0.0, 0.0)
+              else (m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble)),
+                m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0)
+            (n.toLong, s1.toLong, s2.toLong, g1, g2)
+          }
+        Seq(out).toDF("n_events", "sum_cents", "sum_sq",
+          "skew_g1", "kurt_g2")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+          FROM events),
+        m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s1,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS s2,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x * x), 0) AS s3,
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x * x * x), 0) AS s4
+          FROM ev),
+        c AS (
+          SELECT n, s1, s2,
+                 n * s2 - s1 * s1 AS m2,
+                 n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+                 n * n * n * s4 - 4 * n * n * s1 * s3
+                   + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+          FROM m)
+        SELECT CAST(n AS BIGINT) AS n_events,
+               CAST(s1 AS BIGINT) AS sum_cents,
+               CAST(s2 AS BIGINT) AS sum_sq,
+               CASE WHEN m2 = 0 THEN 0.0
+                    ELSE CAST(m3 AS DOUBLE)
+                      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+               END AS skew_g1,
+               CASE WHEN m2 = 0 THEN 0.0
+                    ELSE CAST(m4 AS DOUBLE)
+                      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0
+               END AS kurt_g2
+        FROM c""")),
+
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
     // KS and Mann–Whitney compare two INDEPENDENT samples; the
     // question "did each user's own spend change" is paired — every

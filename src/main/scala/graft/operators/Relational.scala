@@ -247,6 +247,92 @@ object Relational extends QueryPack {
       .orderBy($"node")
   }
 
+  /** k-truss edge peeling (Cohen 2008; Wang–Cheng VLDB'12) behind
+    * `q_ktruss`, over any undirected DISTINCT edge list with u < v —
+    * the EDGE-grade sibling of [[kCorePeel]]: where k-core keeps
+    * nodes with enough neighbors, k-truss keeps edges embedded in
+    * enough TRIANGLES (support ≥ k−2), so a hub that merely fans out
+    * is peeled while a cohesive clique survives — the standard
+    * community-core definition one notch stronger than degree.
+    * Each round recounts support over the still-alive edges with the
+    * q_triangle_count machinery — degree-oriented wedges, so every
+    * triangle is found once at its lowest-(degree, id) vertex and
+    * per-vertex fan-out is C(outdeg, 2) with outdeg O(√m), never
+    * quadratic at hubs — then credits each triangle's three edges
+    * (one explode, 3 rows per triangle) and drops every edge below
+    * threshold: removal of one edge can take its triangles' OTHER
+    * edges below threshold next round, the cascade that makes this a
+    * fixpoint rather than a filter. `rounds` is a max-rounds guard
+    * with the [[kCorePeel]] early exit (an empty drop set ends the
+    * loop; post-fixpoint rounds are no-ops, so the fixed-unroll
+    * oracle still hash-matches). Emits one row per INPUT edge:
+    * (u, v, supp0, dropped_round), dropped_round 0 for edges alive
+    * at the end. O(E^1.5) work per round, checkpoint barrier per
+    * round, no window, no driver rows beyond the emptiness probe. */
+  private[operators] def kTrussPeel(
+      e0: DataFrame, k: Int, rounds: Int,
+      probe: Int => Unit = _ => ()): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    require(k >= 3, s"kTrussPeel: k = $k below the smallest truss grade")
+    require(rounds >= 1, "kTrussPeel: need at least one peel round")
+    val base = e0.select($"u", $"v").localCheckpoint(true)
+    // support of every alive edge = triangles it closes, counted by
+    // the oriented wedge join (each triangle once, then 3 credits)
+    def support(alive: DataFrame): DataFrame = {
+      val sym = alive.unionByName(alive.select($"v".as("u"), $"u".as("v")))
+      val deg = sym.groupBy($"u").agg(count(lit(1)).as("dg"))
+        .select($"u".as("n"), $"dg")
+      val oe = alive
+        .join(deg.select($"n".as("u"), $"dg".as("du")), Seq("u"))
+        .join(deg.select($"n".as("v"), $"dg".as("dv")), Seq("v"))
+        .select(
+          when(struct($"du", $"u") < struct($"dv", $"v"), $"u")
+            .otherwise($"v").as("s"),
+          when(struct($"du", $"u") < struct($"dv", $"v"),
+            struct($"dv".as("td"), $"v".as("tn")))
+            .otherwise(struct($"du".as("td"), $"u".as("tn"))).as("t"))
+        .localCheckpoint(true) // wedge (twice) + closing edge
+      val tri = oe.as("w1").join(oe.as("w2"),
+          $"w1.s" === $"w2.s" && $"w1.t" < $"w2.t")
+        .join(oe.as("e3"),
+          $"e3.s" === $"w1.t.tn" && $"e3.t" === $"w2.t")
+        .select($"w1.s".as("a"), $"w1.t.tn".as("b"), $"w2.t.tn".as("c"))
+      tri.select(explode(array(
+          struct(least($"a", $"b").as("u"), greatest($"a", $"b").as("v")),
+          struct(least($"a", $"c").as("u"), greatest($"a", $"c").as("v")),
+          struct(least($"b", $"c").as("u"), greatest($"b", $"c").as("v"))))
+          .as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+    }
+    var alive = base
+    var dropped = Seq.empty[(Long, Long, Long)]
+      .toDF("u", "v", "dropped_round")
+    var supp0: DataFrame = null
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
+      val sp = alive.join(support(alive), Seq("u", "v"), "left")
+        .select($"u", $"v", coalesce($"supp", lit(0L)).as("supp"))
+        .localCheckpoint(true) // the drop filter AND the survivor set
+      if (r == 1) supp0 = sp
+      val drop = sp.filter($"supp" < (k - 2).toLong)
+      probe(r)
+      if (drop.isEmpty) converged = true
+      else {
+        dropped = dropped.unionByName(
+          drop.select($"u", $"v", lit(r.toLong).as("dropped_round")))
+        alive = sp.filter($"supp" >= (k - 2).toLong).select($"u", $"v")
+          .localCheckpoint(true)
+      }
+    }
+    supp0.select($"u", $"v", $"supp".as("supp0"))
+      .join(dropped, Seq("u", "v"), "left")
+      .select($"u", $"v", $"supp0",
+        coalesce($"dropped_round", lit(0L)).as("dropped_round"))
+      .orderBy($"u", $"v")
+  }
+
   /** Synchronous label propagation (Raghavan–Albert–Kumara 2007)
     * behind `q_label_prop`, over any undirected DISTINCT edge list
     * (u, v) — exposed for RelationalSpec's planted two-community
@@ -627,6 +713,176 @@ object Relational extends QueryPack {
       .drop(offDf("__kp_pid"))
       .withColumn("psum", $"__kp_local" + $"__kp_off")
       .drop("__kp_pid", "__kp_grp", "__kp_local", "__kp_off")
+  }
+
+  /** Exact GLOBAL inversion count of the Long column `yv` over the
+    * total order given by `sortCols`:
+    * |{(a, b) : a strictly before b in sort order ∧ yv_a > yv_b}| —
+    * the O(n log n) statistic behind Kendall's tau (discordant
+    * pairs), computed WITHOUT the quadratic pair join and WITHOUT a
+    * single-task window. Three disjoint pair classes, each summed by
+    * a mechanism that scales:
+    *
+    *  1. SAME range partition — the input is range-partitioned and
+    *     sorted on `sortCols` (the [[globalRank]] layout, pinned by
+    *     checkpoint), and each partition counts its own inversions
+    *     in one ordered pass over a Fenwick tree on locally
+    *     compressed values: O(n_p log n_p) per task, no driver rows.
+    *  2. DIFFERENT partition, DIFFERENT value band — yv-space is cut
+    *     into `buckets` equal-width bands; the (partition × band)
+    *     count matrix goes to the driver (loud 1M-entry cap — it is
+    *     partitions·buckets, never data-sized) where the cross term
+    *     Σ_{p<q, g>h} c[p][g]·c[q][h] is a BigInt prefix scan:
+    *     every such pair is an inversion by band monotonicity alone.
+    *  3. DIFFERENT partition, SAME band — rows regroup by band (one
+    *     shuffle whose partitions hold ~n/buckets rows; a value-skewed
+    *     band concentrates, but equal-yv pairs are never inversions so
+    *     the dominant-value band contributes only its minority pairs);
+    *     each band counts pairs (pid_a < pid_b ∧ yv_a > yv_b) by a
+    *     descending-yv sweep over a Fenwick tree on partition ids,
+    *     yv-tie blocks queried before insertion so equal values never
+    *     count. Range partitions are ordered by id, so pid_a < pid_b
+    *     IS "a before b" for cross-partition rows.
+    *
+    * `sortCols` must be a total order (unique tiebreak); rows tied on
+    * a sort prefix but differing in yv must be ordered yv-ascending
+    * by the caller (put yv itself in the key before the tiebreak) so
+    * such pairs count zero — the Kendall convention. Returns 0 on
+    * empty input. `probe` observes each driver collect's row count
+    * (spec gate: O(partitions·buckets), never O(n)). */
+  private[operators] def inversionCount(
+      s: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      buckets: Int = 1024, probe: Int => Unit = _ => ()): BigInt = {
+    import s.implicits._
+    require(df.columns.contains("yv"), "inversionCount: need a 'yv' column")
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    require(parts.toLong * buckets <= 1000000L,
+      s"inversionCount: $parts partitions x $buckets buckets exceeds the " +
+        "1M driver-matrix cap — lower `buckets`")
+    require(!df.columns.contains("__iv_pid"),
+      "inversionCount: input already has an '__iv_pid' column")
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__iv_pid", spark_partition_id())
+      .localCheckpoint(true) // three jobs read this frozen layout
+    val rng = sorted.agg(min($"yv").as("lo"), max($"yv").as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    probe(1)
+    if (rng.isNullAt(0)) return BigInt(0)
+    val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+    val span = BigInt(hi) - BigInt(lo) + 1
+    // band of yv, computed driver-side per row group via the exact
+    // BigInt boundary list (spans near 2^64 would overflow a plan-side
+    // (yv - lo) * buckets); bands are value-monotone by construction
+    val bounds = (1 until buckets)
+      .map(g => (BigInt(lo) + span * g / buckets - 1).toLong).toArray
+    def bandOf(y: Long): Int = {
+      // first band whose upper bound >= y (binary search, exact)
+      var a = 0; var b = buckets - 1
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (bounds(m) >= y) b = m else a = m + 1
+      }
+      a
+    }
+    val yIdx = sorted.schema.fieldIndex("yv")
+    val pIdx = sorted.schema.fieldIndex("__iv_pid")
+    // (1) per-partition inversions: Fenwick over locally compressed yv
+    val localInv = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val ys = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach(r => ys += r.getLong(yIdx))
+      val dist = ys.distinct.sorted.toArray
+      val pos = dist.zipWithIndex.toMap
+      val bit = new Array[Long](dist.length + 1)
+      def add(i0: Int): Unit = {
+        var i = i0 + 1
+        while (i <= dist.length) { bit(i) += 1L; i += i & (-i) }
+      }
+      def leq(i0: Int): Long = { // count inserted with index <= i0
+        var i = i0 + 1; var c = 0L
+        while (i > 0) { c += bit(i); i -= i & (-i) }
+        c
+      }
+      var inv = BigInt(0)
+      var seen = 0L
+      ys.foreach { y =>
+        val p = pos(y)
+        inv += seen - leq(p) // earlier rows with strictly greater yv
+        add(p); seen += 1L
+      }
+      Iterator.single(inv.toString())
+    }.collect().map(BigInt(_)).sum
+    probe(parts)
+    // (2) the (partition, band) count matrix — driver-capped above
+    val cellRows = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val m = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      it.foreach { r =>
+        val k = (r.getInt(pIdx), bandOf(r.getLong(yIdx)))
+        m(k) = m.getOrElse(k, 0L) + 1L
+      }
+      m.iterator.map { case ((p, g), c) => (p, g, c) }
+    }.collect()
+    probe(cellRows.length)
+    val cells = Array.ofDim[Long](parts, buckets)
+    cellRows.foreach { case (p, g, c) => cells(p)(g) = c }
+    // earlier-partition counts per band, swept p ascending; the
+    // suffix-above scan turns Σ_{g>h} into O(buckets) per partition
+    var cross = BigInt(0)
+    val earlier = new Array[Long](buckets)
+    for (p <- 0 until parts) {
+      var above = BigInt(0) // Σ_{g' > h} earlier(g'), h descending
+      var h = buckets - 1
+      while (h >= 0) {
+        cross += above * cells(p)(h)
+        above += BigInt(earlier(h))
+        h -= 1
+      }
+      var g = 0
+      while (g < buckets) { earlier(g) += cells(p)(g); g += 1 }
+    }
+    // (3) same band, different partition: descending-yv sweep with a
+    // Fenwick over partition ids, tie blocks queried before insertion
+    val sameBand = sorted
+      .select($"__iv_pid".as("pid"), $"yv")
+      .as[(Int, Long)]
+      .map { case (p, y) => (bandOf(y), p, y) }
+      .repartition(parts, $"_1")
+      .mapPartitions { it =>
+        val byBand = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long)]]
+        it.foreach { case (g, p, y) =>
+          byBand.getOrElseUpdate(g,
+            scala.collection.mutable.ArrayBuffer.empty) += ((p, y))
+        }
+        byBand.valuesIterator.map { items =>
+          val arr = items.sortBy { case (p, y) => (-y, p) }.toArray
+          val bit = new Array[Long](parts + 1)
+          def add(i0: Int): Unit = {
+            var i = i0 + 1
+            while (i <= parts) { bit(i) += 1L; i += i & (-i) }
+          }
+          def lt(i0: Int): Long = { // inserted with pid < i0
+            var i = i0; var c = 0L
+            while (i > 0) { c += bit(i); i -= i & (-i) }
+            c
+          }
+          var inv = BigInt(0)
+          var i = 0
+          while (i < arr.length) {
+            var j = i // [i, j) = the yv-tie block
+            while (j < arr.length && arr(j)._2 == arr(i)._2) j += 1
+            var k = i
+            while (k < j) { inv += lt(arr(k)._1); k += 1 }
+            k = i
+            while (k < j) { add(arr(k)._1); k += 1 }
+            i = j
+          }
+          inv.toString()
+        }
+      }.collect().map(BigInt(_)).sum
+    probe(parts)
+    localInv + cross + sameBand
   }
 
   /** Benford first-digit expectations, PPM, floor(10⁶·log₁₀(1+1/d))
@@ -2422,6 +2678,243 @@ object Relational extends QueryPack {
                  WHEN d0.node IN (SELECT node FROM a1) THEN 2
                  ELSE 1 END AS BIGINT) AS dropped_round
         FROM d0 ORDER BY node""")),
+
+    // ── k-truss decomposition (triangle-support edge peeling) ──
+    // One cohesion notch above q_kcore_peel: a node survives k-core
+    // by ANY k neighbors, an edge survives the k-truss only inside
+    // k−2 TRIANGLES — bridges and hub fans peel away, cohesive
+    // neighborhoods stay (Cohen 2008). k = 6 over the full
+    // co-purchase graph: at sf0.01 the cascade genuinely chains
+    // (1231/257/52 edge drops over three rounds — an edge that held
+    // support 4 loses it when a dropped edge was one of its
+    // triangles). See [[kTrussPeel]] for the per-round plan (the
+    // oriented-wedge triangle recount + one explode + one
+    // map-side-combined count per round; O(E^1.5) work, no window).
+    // The oracle unrolls the same three rounds with the
+    // orientation-free support count — support is a triangle count,
+    // identical under any wedge orientation, so the hash checks the
+    // oriented plan against the definitional recount round by round.
+    "q_ktruss" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        kTrussPeel(e0, k = 6, rounds = 3)
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym0 AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        sp1 AS MATERIALIZED (
+          SELECT e.u, e.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS supp
+          FROM e0 e LEFT JOIN (
+            SELECT e.u, e.v, COUNT(*) AS c
+            FROM e0 e JOIN sym0 s1 ON s1.u = e.u
+                      JOIN sym0 s2 ON s2.u = e.v AND s2.v = s1.v
+            GROUP BY e.u, e.v) c USING (u, v)),
+        a1 AS MATERIALIZED (SELECT u, v FROM sp1 WHERE supp >= 4),
+        sym1 AS MATERIALIZED (
+          SELECT u, v FROM a1 UNION ALL SELECT v, u FROM a1),
+        sp2 AS MATERIALIZED (
+          SELECT e.u, e.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS supp
+          FROM a1 e LEFT JOIN (
+            SELECT e.u, e.v, COUNT(*) AS c
+            FROM a1 e JOIN sym1 s1 ON s1.u = e.u
+                      JOIN sym1 s2 ON s2.u = e.v AND s2.v = s1.v
+            GROUP BY e.u, e.v) c USING (u, v)),
+        a2 AS MATERIALIZED (SELECT u, v FROM sp2 WHERE supp >= 4),
+        sym2 AS MATERIALIZED (
+          SELECT u, v FROM a2 UNION ALL SELECT v, u FROM a2),
+        sp3 AS MATERIALIZED (
+          SELECT e.u, e.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS supp
+          FROM a2 e LEFT JOIN (
+            SELECT e.u, e.v, COUNT(*) AS c
+            FROM a2 e JOIN sym2 s1 ON s1.u = e.u
+                      JOIN sym2 s2 ON s2.u = e.v AND s2.v = s1.v
+            GROUP BY e.u, e.v) c USING (u, v)),
+        a3 AS MATERIALIZED (SELECT u, v FROM sp3 WHERE supp >= 4)
+        SELECT sp1.u, sp1.v, sp1.supp AS supp0,
+          CAST(CASE
+            WHEN a3.u IS NOT NULL THEN 0
+            WHEN a2x.u IS NOT NULL THEN 3
+            WHEN a1x.u IS NOT NULL THEN 2
+            ELSE 1 END AS BIGINT) AS dropped_round
+        FROM sp1
+        LEFT JOIN a3 ON a3.u = sp1.u AND a3.v = sp1.v
+        LEFT JOIN a2 a2x ON a2x.u = sp1.u AND a2x.v = sp1.v
+        LEFT JOIN a1 a1x ON a1x.u = sp1.u AND a1x.v = sp1.v
+        ORDER BY sp1.u, sp1.v""")),
+
+    // ── closeness centrality (multi-source BFS, 3-hop horizon) ──
+    // "Which catalog anchors sit closest to everything else" — the
+    // centrality whose answer is a DISTANCE SUM, not a neighbor
+    // count: for each of the 4 smallest vertices (a deterministic
+    // seed panel; production samples sources, Eppstein–Wang style),
+    // the number of nodes reached within 3 hops and the sum of their
+    // hop distances. ALL sources ride ONE frontier keyed by
+    // (src, node) — per round one equality join frontier⋈edges + one
+    // distinct + one (src, node) anti-join against the visited set,
+    // the q_bfs_levels shape fanned out by source: k sources cost one
+    // traversal of k× the frontier width, not k traversals. The
+    // 3-round unroll matches the oracle's; at 10¹¹ edges each round
+    // shuffles O(frontier·deg) rows on the node key, and the visited
+    // set stays (src, node)-bucketed — never collected.
+    "q_closeness" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        val sym = edges.unionByName(
+            edges.select($"v".as("u"), $"u".as("v")))
+          .localCheckpoint(true) // one join per round reads this
+        val srcs = sym.select($"u").distinct()
+          .orderBy($"u").limit(4).select($"u".as("src"))
+        var lvl = srcs
+          .select($"src", $"src".as("node"), lit(0L).as("d"))
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          val frontier = lvl.filter($"d" === (r - 1L))
+            .join(sym, $"node" === $"u")
+            .select($"src", $"v".as("node")).distinct()
+          val fresh = frontier.join(lvl, Seq("src", "node"), "left_anti")
+            .select($"src", $"node", lit(r.toLong).as("d"))
+          lvl = lvl.unionByName(fresh).localCheckpoint(true)
+        }
+        lvl.groupBy($"src")
+          .agg((count(lit(1)) - 1L).as("n_reached"),
+            sum($"d").as("sum_dist"))
+          .orderBy($"src")
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        srcs AS MATERIALIZED (
+          SELECT u AS src FROM (SELECT DISTINCT u FROM sym)
+          ORDER BY u LIMIT 4),
+        l0 AS MATERIALIZED (SELECT src, src AS node, 0 AS d FROM srcs),
+        f1 AS MATERIALIZED (
+          SELECT DISTINCT l.src, s.v AS node
+          FROM l0 l JOIN sym s ON s.u = l.node),
+        n1 AS MATERIALIZED (
+          SELECT f1.src, f1.node FROM f1
+          LEFT JOIN l0 ON l0.src = f1.src AND l0.node = f1.node
+          WHERE l0.node IS NULL),
+        l1 AS MATERIALIZED (
+          SELECT * FROM l0 UNION ALL SELECT src, node, 1 FROM n1),
+        f2 AS MATERIALIZED (
+          SELECT DISTINCT l.src, s.v AS node
+          FROM l1 l JOIN sym s ON s.u = l.node WHERE l.d = 1),
+        n2 AS MATERIALIZED (
+          SELECT f2.src, f2.node FROM f2
+          LEFT JOIN l1 ON l1.src = f2.src AND l1.node = f2.node
+          WHERE l1.node IS NULL),
+        l2 AS MATERIALIZED (
+          SELECT * FROM l1 UNION ALL SELECT src, node, 2 FROM n2),
+        f3 AS MATERIALIZED (
+          SELECT DISTINCT l.src, s.v AS node
+          FROM l2 l JOIN sym s ON s.u = l.node WHERE l.d = 2),
+        n3 AS MATERIALIZED (
+          SELECT f3.src, f3.node FROM f3
+          LEFT JOIN l2 ON l2.src = f3.src AND l2.node = f3.node
+          WHERE l2.node IS NULL),
+        l3 AS MATERIALIZED (
+          SELECT * FROM l2 UNION ALL SELECT src, node, 3 FROM n3)
+        SELECT src, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(SUM(d) AS BIGINT) AS sum_dist
+        FROM l3 GROUP BY src ORDER BY src""")),
+
+    // ── link prediction (common-neighbor candidate scoring) ──
+    // The recommendation face of graph work: score NON-edges by how
+    // much structure already surrounds them — common-neighbor count
+    // (Newman 2001), neighborhood Jaccard in exact floor-ppm, and
+    // preferential attachment deg·deg (Barabási) — the classic
+    // link-prediction panel (Liben-Nowell & Kleinberg 2003). Run on
+    // the support-≥2 co-purchase graph (the q_assoc_rules edge
+    // grade: the support filter is also the hub bound — candidate
+    // fan-out per center is C(deg, 2) of the FILTERED degree).
+    // Wedges come from ONE sym self-join on the center + a
+    // map-side-combined (u, v) count; existing edges leave by
+    // anti-join; degrees broadcast back. Top 20 by (cn, u, v) — a
+    // TakeOrdered, never a global sort. The oracle replays wedge
+    // counting quadratically and must agree to the ppm.
+    "q_link_predict" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2L)
+          .select($"u", $"v")
+          .localCheckpoint(true) // sym (twice) + the anti-join
+        val sym = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+        val deg = sym.groupBy($"u").agg(count(lit(1)).as("dg"))
+          .select($"u".as("n"), $"dg")
+        val cn = sym.as("s1").join(sym.as("s2"),
+            $"s1.u" === $"s2.u" && $"s1.v" < $"s2.v")
+          .groupBy($"s1.v".as("u"), $"s2.v".as("v"))
+          .agg(count(lit(1)).as("cn"))
+        cn.join(e0, Seq("u", "v"), "left_anti")
+          .join(broadcast(deg.select($"n".as("u"), $"dg".as("du"))),
+            Seq("u"))
+          .join(broadcast(deg.select($"n".as("v"), $"dg".as("dv"))),
+            Seq("v"))
+          .select($"u", $"v", $"cn",
+            expr("cn * 1000000 div (du + dv - cn)").as("jacc_ppm"),
+            ($"du" * $"dv").as("pref_attach"))
+          .orderBy($"cn".desc, $"u", $"v")
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS MATERIALIZED (
+          SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS dg
+          FROM sym GROUP BY u),
+        cn AS MATERIALIZED (
+          SELECT s1.v AS u, s2.v AS v, CAST(COUNT(*) AS BIGINT) AS cn
+          FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+          GROUP BY s1.v, s2.v),
+        cand AS MATERIALIZED (
+          SELECT cn.u, cn.v, cn.cn FROM cn
+          LEFT JOIN e0 ON e0.u = cn.u AND e0.v = cn.v
+          WHERE e0.u IS NULL)
+        SELECT c.u, c.v, c.cn,
+          CAST(c.cn * 1000000 // (du.dg + dv.dg - c.cn) AS BIGINT)
+            AS jacc_ppm,
+          CAST(du.dg * dv.dg AS BIGINT) AS pref_attach
+        FROM cand c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+        ORDER BY c.cn DESC, c.u, c.v
+        LIMIT 20""")),
 
     // ── label propagation communities (3 synchronous rounds) ──
     // The community-detection face of graph work: components answer

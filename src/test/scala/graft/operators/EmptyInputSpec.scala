@@ -87,4 +87,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     out.columns.toSeq shouldBe Seq("state", "pi_nano", "n_out")
     out.count() shouldBe 0L
   }
+
+  test("evt_kendall on an empty events table yields the degenerate " +
+      "zero-association row (no inversion pass, no NPE)") {
+    val r = one("evt_kendall")
+    (0 to 5).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L, 0L, 0L)
+    r.getDouble(6) shouldBe 0.0
+  }
 }

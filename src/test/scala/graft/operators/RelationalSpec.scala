@@ -991,4 +991,72 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     real.map(_._1).max shouldBe 1000000L
     real.map(_._2).max shouldBe 1000000L
   }
+
+  test("kTrussPeel replays a planted triangle-strip cascade edge for " +
+      "edge and early-exits at the fixpoint") {
+    import spark.implicits._
+    // triangle strip 1-2-3-4-5-6: the six support-1 edges peel in
+    // round 1, which strips the spine edges (2,3)(3,4)(4,5) of their
+    // triangles -> they cascade in round 2; a K5 on 10..14 (every
+    // edge support 3) must survive untouched
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val k5 = for {
+      a <- 10L to 14L; b <- (a + 1) to 14L
+    } yield (a, b)
+    val e0 = (strip ++ k5).toDF("u", "v")
+    var probes = List.empty[Int]
+    val got = Relational.kTrussPeel(e0, k = 4, rounds = 4,
+        probe = probes ::= _)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val expected =
+      Seq((1L, 2L) -> (1L, 1L), (1L, 3L) -> (1L, 1L), (2L, 4L) -> (1L, 1L),
+        (3L, 5L) -> (1L, 1L), (4L, 6L) -> (1L, 1L), (5L, 6L) -> (1L, 1L),
+        (2L, 3L) -> (2L, 2L), (3L, 4L) -> (2L, 2L), (4L, 5L) -> (2L, 2L)
+      ).toMap ++ k5.map(e => e -> (3L, 0L)).toMap
+    got shouldBe expected
+    // round 3 finds nothing to drop -> fixpoint, round 4 never runs
+    probes.sorted shouldBe List(1, 2, 3)
+  }
+
+  test("inversionCount equals the quadratic definition across tie-heavy, " +
+      "sorted, reversed, constant, and empty inputs") {
+    import spark.implicits._
+    def brute(xs: Seq[(Long, Long, Long)]): BigInt = {
+      // definition: pairs strictly ordered by (x, yv, id) with yv_a > yv_b
+      val s = xs.sortBy(identity)
+      var inv = BigInt(0)
+      for (i <- s.indices; j <- i + 1 until s.length)
+        if (s(i)._2 > s(j)._2) inv += 1
+      inv
+    }
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Seq[(Long, Long, Long)]] = Seq(
+      // tie-heavy: few distinct x AND yv values -> every pair class
+      (0 until 500).map(i =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(9).toLong, i.toLong)),
+      // wide random values (exercises band split + local Fenwick)
+      (0 until 400).map(i =>
+        (rnd.nextLong() % 1000000L, rnd.nextLong() % 1000000L, i.toLong)),
+      // already sorted -> zero inversions
+      (0 until 100).map(i => (i.toLong, i.toLong, i.toLong)),
+      // reverse association -> near-maximal inversions
+      (0 until 100).map(i => (i.toLong, (100 - i).toLong, i.toLong)),
+      // constant yv -> zero (ties never count)
+      (0 until 100).map(i => (rnd.nextInt(5).toLong, 7L, i.toLong)),
+      Seq.empty)
+    cases.zipWithIndex.foreach { case (xs, ci) =>
+      val df = xs.toDF("x", "yv", "id")
+      // small band count so the fixture actually exercises all three
+      // pair classes (same-partition, cross-band, same-band-cross-part)
+      var probes = List.empty[Int]
+      val got = Relational.inversionCount(spark, df,
+        Seq($"x", $"yv", $"id"), buckets = 8, probe = probes ::= _)
+      withClue(s"case $ci: ") { got shouldBe brute(xs) }
+      // driver materialization stays O(partitions x bands), never O(n)
+      val parts = spark.sparkContext.defaultParallelism
+      probes.foreach(_ should be <= math.max(parts * 8, parts + 1))
+    }
+  }
 }
