@@ -546,6 +546,67 @@ object CorpusAssembly extends QueryPack {
         FROM g GROUP BY split, lang
         ORDER BY split, lang""")),
 
+    // ── fill-in-the-middle transformation (PSM reordering) ──
+    // The infilling data transform behind code models (Bavarian et
+    // al. 2022: "FIM-for-free"): split each document's token sequence
+    // at deterministic pivots (30%/70% — arithmetic both engines
+    // replay, where production uses a seeded hash gate with the SAME
+    // map-only shape) and emit the Prefix-Suffix-Middle reordering
+    // <PRE>p<SUF>s<MID>m the model trains on — the reorder is the
+    // whole trick: the middle moves to the END so autoregressive
+    // training teaches infilling without architecture changes. The
+    // sentinel-joined sequence is reported as its sha256 plus the
+    // three exact segment lengths, so a pivot off by one token, a
+    // swapped segment order, or a join-separator slip all
+    // hash-mismatch. Map-only projection over [[tokens]] — no
+    // shuffle, no explode; 10¹² docs cost one codegen'd pass.
+    "llm_fim" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", tokens)
+          .withColumn("k", size($"toks").cast(LongType))
+          .withColumn("p1", expr("k * 3 div 10"))
+          .withColumn("p2", expr("k * 7 div 10"))
+          .withColumn("psm", concat(
+            lit("<PRE>"),
+            array_join(expr("slice(toks, 1, cast(p1 as int))"), " "),
+            lit("<SUF>"),
+            array_join(
+              expr("slice(toks, cast(p2 + 1 as int), cast(k - p2 as int))"),
+              " "),
+            lit("<MID>"),
+            array_join(
+              expr("slice(toks, cast(p1 + 1 as int), cast(p2 - p1 as int))"),
+              " ")))
+          .select($"doc_id", $"k".as("n_tokens"),
+            $"p1".as("n_pre"), ($"p2" - $"p1").as("n_mid"),
+            ($"k" - $"p2").as("n_suf"),
+            sha2($"psm", 256).as("psm_sha"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS toks FROM documents),
+        k AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS k
+          FROM toks),
+        p AS (
+          SELECT doc_id, toks, k,
+                 k * 3 // 10 AS p1, k * 7 // 10 AS p2
+          FROM k)
+        SELECT doc_id, k AS n_tokens, p1 AS n_pre,
+               p2 - p1 AS n_mid, k - p2 AS n_suf,
+               sha256('<PRE>'
+                 || array_to_string(toks[1:CAST(p1 AS INT)], ' ')
+                 || '<SUF>'
+                 || array_to_string(toks[CAST(p2 + 1 AS INT):CAST(k AS INT)], ' ')
+                 || '<MID>'
+                 || array_to_string(toks[CAST(p1 + 1 AS INT):CAST(p2 AS INT)], ' '))
+                 AS psm_sha
+        FROM p
+        ORDER BY doc_id""")),
+
     "llm_seq_packing" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._

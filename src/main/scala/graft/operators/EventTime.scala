@@ -3271,6 +3271,126 @@ object EventTime extends QueryPack {
                END AS kurt_g2
         FROM c""")),
 
+    // ── OHLC resample (open-high-low-close candles) ──
+    // The finance-native downsample every monitoring stack reuses:
+    // per day the FIRST value, the extremes, and the LAST value —
+    // open/close are position statements, not extremes, which is what
+    // makes this more than a min/max groupBy. First/last ride ONE
+    // map-side-combined aggregate as struct-min/struct-max over the
+    // unique (ts_us, event_id) key with the value along for the ride
+    // (the labelPropagate arg-max discipline: a total order makes
+    // first-by-time a MIN, no window, no sort) — so the whole candle
+    // table is a single groupBy(day) pass, mergeable across any
+    // partitioning, at 10¹² events exactly as at 10⁴. The oracle
+    // replays the same struct extremes field for field.
+    "evt_ohlc" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("ts div 1000").as("tu"), $"event_id",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("c"))
+          .groupBy($"day")
+          .agg(
+            min(struct($"tu", $"event_id", $"c")).getField("c")
+              .as("open_c"),
+            max(struct($"tu", $"event_id", $"c")).getField("c")
+              .as("close_c"),
+            max($"c").as("high_c"),
+            min($"c").as("low_c"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"day")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day, epoch_us(ts) AS tu,
+                 event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events)
+        SELECT day,
+          (min({'t': tu, 'e': event_id, 'c': c})).c AS open_c,
+          (max({'t': tu, 'e': event_id, 'c': c})).c AS close_c,
+          max(c) AS high_c,
+          min(c) AS low_c,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY day ORDER BY day""")),
+
+    // ── lagged cross-correlation (does activity LEAD revenue?) ──
+    // evt_autocorr asks whether a series remembers ITSELF;
+    // cross-correlation at lag k asks whether one series PREDICTS
+    // another — corr(errors_{t−k}, cents_t) for k = 0..3, the
+    // lead-lag screen behind "do error spikes depress tomorrow's
+    // volume". Same discipline as evt_autocorr: ONE corpus-sized
+    // groupBy(day) builds both series in one pass (conditional count
+    // + sum on the same row), the per-lag pairing is a series-sized
+    // self-join (days, not events), moments are exact DECIMAL(38)
+    // sums cast to DOUBLE once, and the correlation runs through the
+    // identical IEEE chain in both engines, zero-variance guarded
+    // via NULLIF. Lag 0 doubles as the plain Pearson between the
+    // two daily series.
+    "evt_cross_corr" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val daily = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            when($"event_type" === "error", 1L).otherwise(0L).as("e"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("c"))
+          .groupBy($"day")
+          .agg(sum($"e").as("xc"), sum($"c").as("yv"))
+          .localCheckpoint(true) // all four lag self-joins read it
+        val byLag = Seq(0L, 1L, 2L, 3L).map { k =>
+          daily.as("a").join(daily.as("b"), $"a.day" === $"b.day" + k)
+            .select(lit(k).as("lag"), $"b.xc".as("x"), $"a.yv".as("yy"))
+        }.reduce(_ unionByName _)
+        byLag.groupBy($"lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"x".cast(big)).cast(DoubleType).as("sx"),
+            sum($"yy".cast(big)).cast(DoubleType).as("sy"),
+            sum($"x".cast(big) * $"x").cast(DoubleType).as("sxx"),
+            sum($"yy".cast(big) * $"yy").cast(DoubleType).as("syy"),
+            sum($"x".cast(big) * $"yy").cast(DoubleType).as("sxy"))
+          .select($"lag", $"n_pairs",
+            (($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+              nullif(sqrt(greatest(lit(0.0),
+                ($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+                  ($"n_pairs" * $"syy" - $"sy" * $"sy"))), lit(0.0)))
+              .as("crosscorr"))
+          .orderBy($"lag")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events),
+        daily AS (
+          SELECT day, CAST(SUM(e) AS BIGINT) AS xc,
+                 CAST(SUM(c) AS BIGINT) AS yv
+          FROM ev GROUP BY day),
+        pairs AS (
+          SELECT k.lag, b.xc AS x, a.yv AS yy
+          FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+                       (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) k(lag)
+          JOIN daily a ON true
+          JOIN daily b ON a.day = b.day + k.lag),
+        m AS (
+          SELECT lag, COUNT(*) AS n_pairs,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(yy AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(yy AS HUGEINT) * yy) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(x AS HUGEINT) * yy) AS DOUBLE) AS sxy
+          FROM pairs GROUP BY lag)
+        SELECT lag, n_pairs,
+               (n_pairs * sxy - sx * sy) /
+                 NULLIF(sqrt(greatest(0.0,
+                   (n_pairs * sxx - sx * sx)
+                     * (n_pairs * syy - sy * sy))), 0.0) AS crosscorr
+        FROM m ORDER BY lag""")),
+
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
     // KS and Mann–Whitney compare two INDEPENDENT samples; the
     // question "did each user's own spend change" is paired — every
