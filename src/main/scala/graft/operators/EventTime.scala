@@ -3391,6 +3391,94 @@ object EventTime extends QueryPack {
                      * (n_pairs * syy - sy * sy))), 0.0) AS crosscorr
         FROM m ORDER BY lag""")),
 
+    // ── SAX symbolization (PAA + exact-quantile alphabet) ──
+    // The series-to-string bridge (Lin/Keogh 2003): aggregate the
+    // stream into fixed 6-hour segments (the Piecewise Aggregate
+    // Approximation, one corpus-sized map-side-combined groupBy —
+    // exact segment SUMS, no float means), cut the segment
+    // distribution at its exact quartiles, and spell each day as a
+    // 4-symbol word over {a,b,c,d} — after which motif discovery,
+    // anomaly grep, and similarity all become STRING problems on a
+    // table thousands of times smaller than the events. Breakpoints
+    // ride [[Relational.selectKthCents]] (the bounded-driver exact
+    // order statistic — never a single-task sort, ≤ B+1 driver rows
+    // per histogram pass) with the same k = ceil(p·n/100) contract
+    // the oracle replays by row_number; the day word assembles as a
+    // map-side collect_list sorted by slot — deterministic without a
+    // window. Classic SAX z-normalizes with Gaussian breakpoints;
+    // data-derived exact quantiles are the distribution-free variant
+    // and keep both engines in integers until the symbols.
+    "evt_sax" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val segUs = 6L * HourUs
+        val seg = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $segUs").as("seg"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("c"))
+          .groupBy($"seg").agg(sum($"c").as("cents"))
+          .localCheckpoint(true) // breakpoint passes + the symbol scan
+        if (seg.isEmpty)
+          Seq.empty[(Long, String, Long, Long)]
+            .toDF("day", "sax", "n_segs", "day_cents")
+        else {
+          val bp = Relational.selectKthCents(
+              seg.select($"cents"), Seq(25L, 50L, 75L), W = 1000000L)
+            .select($"p", $"value_cents").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          seg
+            .withColumn("sym",
+              when($"cents" < bp(25L), "a")
+                .when($"cents" < bp(50L), "b")
+                .when($"cents" < bp(75L), "c")
+                .otherwise("d"))
+            .select(expr("seg div 4").as("day"),
+              expr("seg % 4").as("slot"), $"sym", $"cents")
+            .groupBy($"day")
+            .agg(
+              array_join(expr("transform(array_sort(" +
+                "collect_list(struct(slot, sym))), x -> x.sym)"), "")
+                .as("sax"),
+              count(lit(1)).as("n_segs"),
+              sum($"cents").as("day_cents"))
+            .orderBy($"day")
+        }
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT epoch_us(ts) // ${6L * HourUs} AS seg,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events),
+        seg AS (
+          SELECT seg, CAST(SUM(c) AS BIGINT) AS cents
+          FROM ev GROUP BY seg),
+        nn AS (SELECT COUNT(*) AS n FROM seg),
+        ks AS (
+          SELECT p, (p * n + 99) // 100 AS k
+          FROM (VALUES (25), (50), (75)) t(p), nn),
+        ranked AS (
+          SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+          FROM seg),
+        bp AS (
+          SELECT MAX(CASE WHEN p = 25 THEN cents END) AS q25,
+                 MAX(CASE WHEN p = 50 THEN cents END) AS q50,
+                 MAX(CASE WHEN p = 75 THEN cents END) AS q75
+          FROM ks JOIN ranked ON ranked.rn = ks.k),
+        sym AS (
+          SELECT seg.seg, seg.cents,
+                 CASE WHEN cents < q25 THEN 'a'
+                      WHEN cents < q50 THEN 'b'
+                      WHEN cents < q75 THEN 'c'
+                      ELSE 'd' END AS sym
+          FROM seg, bp),
+        w AS (
+          SELECT seg // 4 AS day, seg % 4 AS slot, sym, cents
+          FROM sym)
+        SELECT day, string_agg(sym, '' ORDER BY slot) AS sax,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(cents) AS BIGINT) AS day_cents
+        FROM w GROUP BY day ORDER BY day""")),
+
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
     // KS and Mann–Whitney compare two INDEPENDENT samples; the
     // question "did each user's own spend change" is paired — every

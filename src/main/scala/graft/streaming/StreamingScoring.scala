@@ -258,4 +258,107 @@ object StreamingScoring {
       }
       .start()
   }
+
+  /** Continuous distribution-shape monitor — the streaming face of
+    * `evt_moments`, and the exact-statistics member of this file's
+    * mergeable-summary family: raw power sums (n, Σx, Σx², Σx³, Σx⁴)
+    * form a summary mergeable by PLAIN ADDITION, so each micro-batch
+    * pays ONE map-side-combined per-key aggregate over its own rows
+    * (key-count rows cross the shuffle, nothing per-event) and the
+    * accumulated state updates with a driver-side O(keys) BigInt add —
+    * the skewness and excess kurtosis of EVERYTHING streamed so far,
+    * per key, with history never re-scanned. Sums persist as BigInt
+    * STRINGS (the driver-BigInt discipline: no DECIMAL(38) ceiling at
+    * any stream length — batch sums are bounded by the DECIMAL(38)
+    * aggregate, the accumulated total is not), g1/g2 derive from the
+    * exact central-moment identities of `evt_moments` with doubles
+    * only at the final cast.
+    *
+    * Same state discipline as [[heavyHittersStream]]: per-key sum rows
+    * plus the last folded batch id, GenSwap-committed BEFORE emission —
+    * a replayed batch hits the batch-id guard and re-emits without
+    * re-folding (exactly-once state on at-least-once emission).
+    * `records` must carry a `key` string and an `x` long column;
+    * `sink` receives, per batch, one row per key:
+    * (key, n, skew_g1, kurt_g2, batch_id). `stateDir` is PAIRED with
+    * `checkpointDir` (batch ids are scoped to one checkpoint). */
+  def momentsStream(
+      records: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/mom"
+        val old = s"$stateDir/mom.old"
+        val tmp = s"$stateDir/mom.tmp"
+        type Sums = (Long, BigInt, BigInt, BigInt, BigInt)
+
+        val (state, lastBatch) = GenSwap.readable(target, old) match {
+          case Some(dir) =>
+            val rows = s.read.parquet(dir).collect()
+            val lb = if (rows.isEmpty) -1L else rows.head.getLong(6)
+            (rows.map { r =>
+              r.getString(0) -> ((r.getLong(1), BigInt(r.getString(2)),
+                BigInt(r.getString(3)), BigInt(r.getString(4)),
+                BigInt(r.getString(5))))
+            }.toMap, lb)
+          case None => (Map.empty[String, Sums], -1L)
+        }
+
+        val merged =
+          if (batchId <= lastBatch) state // replayed batch: fold once
+          else {
+            val big = org.apache.spark.sql.types.DecimalType(38, 0)
+            val batchSums = batch.select($"key", $"x")
+              .groupBy($"key")
+              .agg(count(lit(1)).as("n"),
+                sum($"x".cast(big)).as("s1"),
+                sum($"x".cast(big) * $"x").as("s2"),
+                sum($"x".cast(big) * $"x" * $"x").as("s3"),
+                sum($"x".cast(big) * $"x" * $"x" * $"x").as("s4"))
+              .collect() // one row per key — coordinator-sized
+              .map { r =>
+                r.getString(0) -> ((r.getLong(1),
+                  BigInt(r.getDecimal(2).toBigInteger),
+                  BigInt(r.getDecimal(3).toBigInteger),
+                  BigInt(r.getDecimal(4).toBigInteger),
+                  BigInt(r.getDecimal(5).toBigInteger)))
+              }.toMap
+            val m = (state.keySet ++ batchSums.keySet).map { k =>
+              val a = state.getOrElse(k, (0L, BigInt(0), BigInt(0),
+                BigInt(0), BigInt(0)))
+              val b = batchSums.getOrElse(k, (0L, BigInt(0), BigInt(0),
+                BigInt(0), BigInt(0)))
+              k -> ((a._1 + b._1, a._2 + b._2, a._3 + b._3,
+                a._4 + b._4, a._5 + b._5))
+            }.toMap
+            new java.io.File(stateDir).mkdirs()
+            m.toSeq.map { case (k, (n, s1, s2, s3, s4)) =>
+              (k, n, s1.toString, s2.toString, s3.toString, s4.toString,
+                batchId)
+            }.toDF("key", "n", "s1", "s2", "s3", "s4", "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            GenSwap.publish(tmp, target, old)
+            m
+          }
+
+        sink(merged.toSeq.map { case (k, (nL, s1, s2, s3, s4)) =>
+          val n = BigInt(nL)
+          val m2 = n * s2 - s1 * s1
+          val m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+          val m4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+            6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+          val (g1, g2) =
+            if (m2 == 0) (0.0, 0.0)
+            else (m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble)),
+              m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0)
+          (k, nL, g1, g2, batchId)
+        }.toDF("key", "n", "skew_g1", "kurt_g2", "batch_id"))
+      }
+      .start()
+  }
 }

@@ -263,4 +263,77 @@ class StreamingScoringSpec extends AnyFunSuite with Matchers {
     prevOf(emitted.last) shouldBe directCounters((b2 ++ b3).flatMap(toks))
     epochOf(emitted.last) shouldBe 2L
   }
+
+  test("continuous moments: per-key skew/kurtosis fold exactly across " +
+      "batches and restarts via BigInt power sums") {
+    val src = java.nio.file.Files.createTempDirectory("graft-smo-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smo-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-smo-state")
+
+    def writeRows(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        rows.map { case (k, x) => s"""{"key":"$k","x":$x}""" }
+          .mkString("\n").getBytes(UTF_8))
+
+    @volatile var emitted = Vector.empty[Array[Row]]
+    def start() = StreamingScoring.momentsStream(
+      spark.readStream.schema("key STRING, x LONG").json(src.toString),
+      state.toString, ckpt.toString,
+      sink = df => emitted :+= df.collect())
+
+    // the same BigInt -> double chain the stream (and evt_moments) runs
+    def direct(xs: Seq[Long]): (Long, Double, Double) = {
+      val n = BigInt(xs.length)
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val s3 = xs.map(x => BigInt(x) * x * x).sum
+      val s4 = xs.map(x => BigInt(x) * x * x * x).sum
+      val m2 = n * s2 - s1 * s1
+      val m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      val m4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      if (m2 == 0) (xs.length.toLong, 0.0, 0.0)
+      else (xs.length.toLong,
+        m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble)),
+        m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0)
+    }
+
+    val rnd = new scala.util.Random(7)
+    // right-skewed "pay" stream vs constant "flat" stream (m2 = 0 path)
+    val b0 = (0 until 200).map(_ =>
+      ("pay", (math.abs(rnd.nextLong()) % 100L) + 1L)) ++
+      (0 until 50).map(_ => ("flat", 42L))
+    val b1 = (0 until 100).map(_ => ("pay", 100000L)) ++
+      (0 until 30).map(_ => ("flat", 42L))
+    val all = scala.collection.mutable.Buffer.empty[(String, Long)]
+
+    def checkAgainst(rows: Array[Row]): Unit = {
+      val byKey = all.groupBy(_._1)
+      val got = rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      got.keySet shouldBe byKey.keySet
+      byKey.foreach { case (k, kv) =>
+        withClue(s"key $k: ") { got(k) shouldBe direct(kv.map(_._2).toSeq) }
+      }
+    }
+
+    writeRows("b0.json", b0); all ++= b0
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // restart boundary
+    checkAgainst(emitted.last)
+    emitted.last.find(_.getString(0) == "flat").get
+      .getDouble(2) shouldBe 0.0 // the zero-variance degenerate path
+    val skew0 = emitted.last.find(_.getString(0) == "pay").get.getDouble(2)
+
+    // resumed query folds only the new batch onto the persisted sums
+    writeRows("b1.json", b1); all ++= b1
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    checkAgainst(emitted.last)
+    // the late heavy mass genuinely moved the shape: near-uniform b0
+    // (|g1| small) gains a far-right mode -> clearly right-skewed now
+    val skew1 = emitted.last.find(_.getString(0) == "pay").get.getDouble(2)
+    math.abs(skew0) should be < 0.3
+    skew1 should be > skew0 + 0.3
+  }
 }
