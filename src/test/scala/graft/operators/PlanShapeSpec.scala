@@ -583,6 +583,59 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("OHLC candles are ONE map-side-combined aggregate — no window, " +
+      "no join, first/last as partial struct extremes") {
+    val p = plan("evt_ohlc")
+    p should not include "Window"
+    p should not include "Join"
+    p should include("partial_min")
+  }
+
+  test("SAX symbolization runs zero Window nodes — breakpoints come off " +
+      "the bounded-driver order statistic, day words off a slot-sorted " +
+      "collect_list") {
+    val p = plan("evt_sax")
+    countOccurrences(p, "Window") shouldBe 0
+    p should not include "CartesianProduct"
+  }
+
+  test("FIM reordering is a map-only scan — no join, no hash exchange") {
+    val p = plan("llm_fim")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("WAV decode and frame analysis are map-only typed passes — no " +
+      "join, no hash exchange, only the output ordering shuffles") {
+    Seq("mm_wav_decode", "mm_wav_frames").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q:") {
+        p should not include "Join"
+        p should not include "hashpartitioning"
+      }
+    }
+  }
+
+  test("graph additions (k-truss / closeness / link prediction) join by " +
+      "equality only — no cartesian, no nested loop, no window") {
+    Seq("q_ktruss", "q_closeness", "q_link_predict").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q:") {
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoopJoin"
+        countOccurrences(p, "Window") shouldBe 0
+      }
+    }
+  }
+
+  test("cross-correlation pairs by day-shift equality joins and " +
+      "aggregates map-side — no cartesian, no window") {
+    val p = plan("evt_cross_corr")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    p should include("partial_sum")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
