@@ -700,6 +700,64 @@ object CorpusAssembly extends QueryPack {
         ORDER BY train_doc, eval_doc"""),
       headline = false),
 
+    // ── first-occurrence novelty (marginal-content census) ──
+    // llm_contamination asks "who copied whom"; this asks the data-
+    // mixing question "what does each document ADD": the fraction of
+    // a doc's distinct 8-grams whose corpus-wide FIRST occurrence
+    // (min doc_id — the deterministic stand-in for ingestion order)
+    // is the doc itself. Curation uses it to rank sources by marginal
+    // contribution — a source full of low-novelty docs is paying
+    // tokens for content the corpus already has. Fingerprinted grams
+    // Spark-side vs string grams in the oracle (the llm_contamination
+    // discipline: the hash match doubles as the per-round collision-
+    // freeness proof); ONE gram expansion feeds the min-reduction and
+    // the per-doc census, joined back by gram equality — never
+    // all-pairs.
+    "llm_novelty" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val grams = materialized(
+          Tables.documents(s, d)
+            .withColumn("tokens", tokens)
+            .filter(size($"tokens") >= 8)
+            .select($"doc_id",
+              transform(sequence(lit(8), size($"tokens")),
+                i => graft.functions.RollingHash.rolling_hash2(
+                  concat_ws(" ", slice($"tokens", i - 7, lit(8))))).as("grams")))
+          .select($"doc_id", explode($"grams").as("gram"))
+          .distinct()
+          .localCheckpoint(true) // first-occurrence table + per-doc census
+        val firstDoc = grams.groupBy($"gram")
+          .agg(min($"doc_id").as("first_doc"))
+        grams.join(firstDoc, Seq("gram"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $tokensSql AS tokens FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(8, len(tokens)),
+                        i -> array_to_string(tokens[i-7:i], ' '))) AS gram
+          FROM toks WHERE len(tokens) >= 8),
+        gd AS (SELECT DISTINCT doc_id, gram FROM g),
+        fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM gd GROUP BY gram),
+        c AS (
+          SELECT gd.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN fd.first_doc = gd.doc_id THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_novel
+          FROM gd JOIN fd USING (gram)
+          GROUP BY gd.doc_id)
+        SELECT doc_id, n_grams, n_novel,
+               n_novel * 1000000 // n_grams AS novelty_ppm
+        FROM c ORDER BY doc_id""")),
+
     // ── train/val n-gram overlap (the generalization estimate) ──
     // llm_contamination hunts cross-SOURCE leakage; this measures the
     // cross-SPLIT overlap a benchmark's "novelty" rests on: for every
@@ -1075,6 +1133,100 @@ object CorpusAssembly extends QueryPack {
                      CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
         FROM c
         ORDER BY doc_id""")),
+
+    // ── RAKE keyword extraction (stopword-delimited phrases) ──
+    // The unsupervised keyword extractor beside llm_textrank's graph
+    // ranking (Rose et al. 2010): candidate phrases are the maximal
+    // stopword-free token runs (the stopword list is the phrase
+    // DELIMITER — that's RAKE's whole trick), each word scores
+    // deg/freq (deg = Σ length of the phrases it occurs in — words
+    // that travel in long phrases beat loners), and a phrase scores
+    // the sum of its member words. All-integer: word scores in exact
+    // floor-ppm, phrase scores as their BIGINT sums. Plan: one token
+    // explode + a per-doc islands window (bounded by doc length, the
+    // llm_span_corruption shape) + three map-side-combined aggregates
+    // + ONE word-equality join; top 20 by (score, phrase) is a
+    // TakeOrdered, never a global sort.
+    "llm_rake" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val stopArr = array(stopwords.map(lit): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val ph = materialized(
+            Tables.documents(s, d).withColumn("toks", tokens))
+          .select($"doc_id", posexplode($"toks").as(Seq("pos", "term")))
+          .withColumn("stop", array_contains(stopArr, $"term"))
+          .withColumn("nsrank",
+            sum(when($"stop", 0L).otherwise(1L)).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .filter(!$"stop")
+          .groupBy($"doc_id", ($"pos" - $"nsrank").as("grp"))
+          .agg(array_join(expr("transform(array_sort(" +
+              "collect_list(struct(pos, term))), x -> x.term)"), " ")
+              .as("phrase"),
+            count(lit(1)).as("len"))
+          .localCheckpoint(true) // word stats + the phrase-score join
+        val wordOcc = ph.select($"len",
+          explode(split($"phrase", " ")).as("term"))
+        val wsc = wordOcc.groupBy($"term")
+          .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+          .select($"term", expr("deg * 1000000 div freq").as("score_ppm"))
+        val pd = ph.groupBy($"phrase", $"len")
+          .agg(count(lit(1)).as("n_occ"))
+        pd.select($"phrase", $"len", $"n_occ",
+            explode(split($"phrase", " ")).as("term"))
+          .join(wsc, Seq("term"))
+          .groupBy($"phrase", $"len", $"n_occ")
+          .agg(sum($"score_ppm").as("score_ppm"))
+          .select($"phrase", $"len".as("n_words"), $"n_occ", $"score_ppm")
+          .orderBy($"score_ppm".desc, $"phrase")
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $tokensSql AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM t),
+        f AS (
+          SELECT doc_id, pos, term,
+                 list_contains($stopwordsSqlList, term) AS stop
+          FROM tok),
+        r AS (
+          SELECT doc_id, pos, term, stop,
+                 SUM(CASE WHEN stop THEN 0 ELSE 1 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS nsrank
+          FROM f),
+        ph AS (
+          SELECT doc_id, pos - nsrank AS grp,
+                 string_agg(term, ' ' ORDER BY pos) AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS len
+          FROM r WHERE NOT stop GROUP BY doc_id, pos - nsrank),
+        wocc AS (
+          SELECT len, unnest(string_split(phrase, ' ')) AS term FROM ph),
+        wsc AS (
+          SELECT term,
+                 CAST(SUM(len) AS BIGINT) * 1000000
+                   // CAST(COUNT(*) AS BIGINT) AS score_ppm
+          FROM wocc GROUP BY term),
+        pd AS (
+          SELECT phrase, len, CAST(COUNT(*) AS BIGINT) AS n_occ
+          FROM ph GROUP BY phrase, len),
+        pw AS (
+          SELECT pd.phrase, pd.len, pd.n_occ,
+                 unnest(string_split(pd.phrase, ' ')) AS term
+          FROM pd),
+        sc AS (
+          SELECT phrase, len, n_occ,
+                 CAST(SUM(wsc.score_ppm) AS BIGINT) AS score_ppm
+          FROM pw JOIN wsc USING (term) GROUP BY phrase, len, n_occ)
+        SELECT phrase, len AS n_words, n_occ, score_ppm
+        FROM sc ORDER BY score_ppm DESC, phrase LIMIT 20""")),
 
     // ── percentile length trimming: drop per-language outliers ──
     // Keeps docs whose token count sits inside the [5th, 95th]
