@@ -3479,6 +3479,126 @@ object EventTime extends QueryPack {
                CAST(SUM(cents) AS BIGINT) AS day_cents
         FROM w GROUP BY day ORDER BY day""")),
 
+    // ── Hill tail-index estimator (how heavy is the tail?) ──
+    // evt_moments says the tail is heavy (kurtosis); Hill (1975) says
+    // HOW heavy — the power-law exponent α of P(X > x) ~ x^(−α),
+    // which decides whether means/variances even exist and how to
+    // size risk reserves. Estimated from the top k+1 = 101 order
+    // statistics: 1/α = (1/k)·Σ ln(x_i / x_(k+1)) — since ln of the
+    // minimum contributes zero, the tie-free formulation is
+    // Σ ln(x_i) − m·ln(x_(k+1)) over ALL m collected rows, so
+    // boundary ties need no instance accounting. The top-101 is a
+    // TakeOrdered (per-partition top-k then merge — never a global
+    // sort); each ln is quantized to 6 digits before the DECIMAL sum
+    // (the unigram-surprisal idiom), then ONE identical double chain
+    // in both engines. Empty/degenerate inputs yield the defined
+    // zero row.
+    "evt_hill_tail" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val top = Tables.events(s, d)
+          .select(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("c"))
+          .filter($"c" > 0L)
+          .orderBy($"c".desc)
+          .limit(101)
+          .localCheckpoint(true) // the one aggregate below reads it
+        top.agg(
+            count(lit(1)).as("m"),
+            coalesce(min($"c"), lit(0L)).as("xk1_cents"),
+            coalesce(sum(round(log($"c".cast(DoubleType)), 6)
+              .cast(DecimalType(20, 6))).cast(DecimalType(27, 6)),
+              lit(BigDecimal(0)).cast(DecimalType(27, 6))).as("sln"))
+          .withColumn("hill_inv",
+            when($"m" <= 1L, 0.0).otherwise(
+              ($"sln".cast(DoubleType) -
+                $"m" * round(log($"xk1_cents".cast(DoubleType)), 6)) /
+                ($"m" - 1L)))
+          .withColumn("alpha",
+            when($"hill_inv" > 0.0, lit(1.0) / $"hill_inv").otherwise(0.0))
+          .select(($"m" - when($"m" > 0L, 1L).otherwise(0L)).as("k"),
+            $"xk1_cents", $"hill_inv", $"alpha")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100
+            AS BIGINT) > 0),
+        top AS (SELECT c FROM ev ORDER BY c DESC LIMIT 101),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 COALESCE(MIN(c), 0) AS xk1,
+                 COALESCE(SUM(CAST(round(ln(CAST(c AS DOUBLE)), 6)
+                   AS DECIMAL(20,6)))::DECIMAL(27,6),
+                   0::DECIMAL(27,6)) AS sln
+          FROM top),
+        h AS (
+          SELECT m, xk1, sln,
+                 CASE WHEN m <= 1 THEN 0.0
+                      ELSE (CAST(sln AS DOUBLE)
+                        - m * round(ln(CAST(xk1 AS DOUBLE)), 6)) / (m - 1)
+                 END AS hill_inv
+          FROM a)
+        SELECT m - CASE WHEN m > 0 THEN 1 ELSE 0 END AS k,
+               CAST(xk1 AS BIGINT) AS xk1_cents, hill_inv,
+               CASE WHEN hill_inv > 0.0 THEN 1.0 / hill_inv
+                    ELSE 0.0 END AS alpha
+        FROM h""")),
+
+    // ── exponentially-decayed engagement sum (EXACT dyadic weights) ──
+    // The recency-weighted score every ranking/engagement system
+    // keeps: value decayed by half per day of age. With a 1-day
+    // half-life the weight 2^(−age) is DYADIC, so the whole aggregate
+    // is exact integer arithmetic — each event contributes
+    // c·2^(30−age) and the per-user sum carries denominator 2^30,
+    // no float decay drift, engine-identical at any corpus size (the
+    // 30-bit base covers the fixture's day span; a production run
+    // sizes base to its horizon or clamps ages beyond it to weight
+    // zero). ONE map-side-combined groupBy(user) after a broadcast
+    // 1-row max-day — at 10¹² events nothing but per-user partials
+    // cross the shuffle, the evt_trend_ols altitude.
+    "evt_decay_sum" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id",
+            expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("c"))
+          .localCheckpoint(true) // the max-day scalar + the main sum
+        val mx = ev.agg(max($"day").as("maxd"))
+        ev.crossJoin(broadcast(mx))
+          .select($"user_id", $"c", ($"maxd" - $"day").as("d"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("cast(c as decimal(38,0)) * " +
+              "shiftleft(cast(1 as bigint), cast(30 - d as int))"))
+              .as("num"))
+          .select($"user_id", $"n_events",
+            $"num".cast(LongType).as("decayed_num"),
+            expr("cast(num div 1073741824 as bigint)")
+              .as("decayed_floor_cents"))
+          .orderBy($"user_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // $DayUs AS day,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events),
+        mx AS (SELECT MAX(day) AS maxd FROM ev),
+        w AS (
+          SELECT user_id, c, CAST(maxd - day AS BIGINT) AS d
+          FROM ev, mx),
+        s AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 SUM(CAST(c AS HUGEINT)
+                   * (CAST(1 AS HUGEINT) << CAST(30 - d AS INT))) AS num
+          FROM w GROUP BY user_id)
+        SELECT user_id, n_events,
+               CAST(num AS BIGINT) AS decayed_num,
+               CAST(num // 1073741824 AS BIGINT) AS decayed_floor_cents
+        FROM s ORDER BY user_id""")),
+
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
     // KS and Mann–Whitney compare two INDEPENDENT samples; the
     // question "did each user's own spend change" is paired — every

@@ -497,5 +497,41 @@ object Scoring extends QueryPack {
         FROM ests
         ORDER BY abs(cnt_a - cnt_b) DESC, term"""
       }),
+
+    // ── feature hashing (the hashing-trick document embedding) ──
+    // The fixed-width text featurizer that needs NO vocabulary
+    // (Weinberger et al., ICML 2009 — the fastText/Vowpal input
+    // layer): token → rolling-hash fingerprint → dimension fp mod 16,
+    // sign from the next fingerprint bit ((fp div 16) mod 2), vector =
+    // signed occurrence counts. The sign bit is what makes collisions
+    // cancel in expectation instead of stacking — the property that
+    // lets 16 dims stand in for an unbounded vocabulary. ONE token
+    // explode + ONE map-side-combined (doc, dim) groupBy, emitted
+    // long-form like mm_feature_hist (the vector never materializes
+    // as a row-width column); at 10¹² docs nothing but (doc, dim)
+    // partial sums cross the shuffle. The oracle replays the full
+    // fingerprint chain ([[fpSql]]), so dim routing and sign parity
+    // are hash-checked per token.
+    "llm_feature_hashing" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("toks", tokens)
+          .select($"doc_id", explode($"toks").as("term"))
+          .withColumn("fp", rolling_hash($"term"))
+          .groupBy($"doc_id", ($"fp" % 16L).as("dim"))
+          .agg(sum(when(expr("(fp div 16) % 2 = 0"), 1L).otherwise(-1L))
+            .as("val"))
+          .orderBy($"doc_id", $"dim")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+        f AS (SELECT doc_id, ${fpSql("term", 31L)} AS fp FROM t)
+        SELECT doc_id, fp % 16 AS dim,
+               CAST(SUM(CASE WHEN (fp // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                 AS BIGINT) AS val
+        FROM f GROUP BY doc_id, fp % 16
+        ORDER BY doc_id, dim""")),
   )
 }
