@@ -804,4 +804,83 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     seg("ab") shouldBe ((4000000L, List("ab")))
     seg("xy") shouldBe ((2000000L, List("x", "y")))
   }
+
+  private def docToks: Seq[(Long, Seq[String])] =
+    graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase
+          .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).toSeq)).toSeq
+
+  test("llm_fim equals a sequential pivot-and-reorder recompute") {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docToks.sortBy(_._1).map { case (id, t) =>
+      val k = t.length.toLong
+      val p1 = (k * 3 / 10).toInt
+      val p2 = (k * 7 / 10).toInt
+      val psm = "<PRE>" + t.take(p1).mkString(" ") +
+        "<SUF>" + t.drop(p2).mkString(" ") +
+        "<MID>" + t.slice(p1, p2).mkString(" ")
+      (id, k, p1.toLong, (p2 - p1).toLong, k - p2, sha(psm))
+    }
+    val got = graft.SparkEntry.queries("llm_fim")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    got shouldBe expected
+    // the reorder is real: middle genuinely lands at the end
+    expected.exists(_._4 > 0) shouldBe true
+  }
+
+  test("llm_rake equals a sequential phrase-scoring recompute on the " +
+      "top-20 panel") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is",
+      "der", "die", "das", "und", "le", "la", "et", "el", "los", "y")
+    // phrases: maximal stopword-free runs per doc
+    val phrases = docToks.flatMap { case (_, t) =>
+      val runs = Seq.newBuilder[Seq[String]]
+      var cur = Seq.newBuilder[String]
+      var open = false
+      t.foreach { w =>
+        if (stop(w)) { if (open) { runs += cur.result(); open = false } }
+        else { if (!open) { cur = Seq.newBuilder[String]; open = true }
+          cur += w }
+      }
+      if (open) runs += cur.result()
+      runs.result()
+    }
+    val wordScore = phrases.flatMap(p => p.map(w => (w, p.length.toLong)))
+      .groupBy(_._1).map { case (w, occ) =>
+        w -> occ.map(_._2).sum * 1000000L / occ.size
+      }
+    val expected = phrases.groupBy(identity).map { case (p, occ) =>
+      (p.mkString(" "), p.length.toLong, occ.size.toLong,
+        p.map(wordScore).sum)
+    }.toSeq.sortBy(r => (-r._4, r._1)).take(20)
+    val got = graft.SparkEntry.queries("llm_rake")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    // multi-word phrases genuinely surface (the point of RAKE)
+    got.exists(_._2 > 1) shouldBe true
+  }
+
+  test("llm_novelty equals a sequential first-occurrence recompute") {
+    val grams = docToks.filter(_._2.length >= 8).map { case (id, t) =>
+      (id, t.sliding(8).map(_.mkString(" ")).toSet)
+    }
+    val firstDoc = grams.flatMap { case (id, gs) => gs.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = grams.sortBy(_._1).map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, gs.size.toLong, novel, novel * 1000000L / gs.size)
+    }
+    val got = graft.SparkEntry.queries("llm_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    // the metric discriminates: early docs are novel, late ones repeat
+    expected.head._4 shouldBe 1000000L
+    expected.exists(_._4 < 1000000L) shouldBe true
+  }
 }

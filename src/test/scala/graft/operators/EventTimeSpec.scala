@@ -1368,4 +1368,141 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
       real.find(_._1 == vv).get shouldBe (vv, decision, at, llr)
     }
   }
+
+  private val DayUs = 86400000000L
+
+  /** (day, ts_us, event_id, cents, event_type, user_id) off the
+    * normalized events contract — shared by the round-11 recomputes. */
+  private def evRows: Seq[(Long, Long, Long, Long, String, Long)] =
+    graft.Tables.events(spark, sf)
+      .selectExpr("(ts div 1000) div 86400000000 as day", "ts div 1000 as tu",
+        "event_id", "cast(cast(value as decimal(18,2)) * 100 as long) as c",
+        "event_type", "user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSeq
+
+  test("evt_ohlc equals a sequential first/last/extremes recompute") {
+    val expected = evRows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (day, es) =>
+        val byTime = es.sortBy(e => (e._2, e._3))
+        (day, byTime.head._4, byTime.last._4,
+          es.map(_._4).max, es.map(_._4).min, es.size.toLong)
+    }
+    val got = graft.SparkEntry.queries("evt_ohlc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expected
+    // open/close are genuinely positional, not extremes, somewhere
+    got.exists(r => r._2 != r._4 && r._2 != r._5) shouldBe true
+  }
+
+  test("evt_sax equals a sequential PAA + exact-quartile recompute") {
+    val segs = evRows.groupBy(e => e._2 / (6L * 3600000000L))
+      .map { case (seg, es) => (seg, es.map(_._4).sum) }.toSeq
+    val sorted = segs.map(_._2).sorted
+    val n = sorted.length
+    def q(p: Long) = sorted(((p * n + 99) / 100 - 1).toInt)
+    val (q25, q50, q75) = (q(25), q(50), q(75))
+    def sym(c: Long) =
+      if (c < q25) "a" else if (c < q50) "b" else if (c < q75) "c" else "d"
+    val expected = segs.groupBy(_._1 / 4).toSeq.sortBy(_._1).map {
+      case (day, ss) =>
+        val bySlot = ss.sortBy(_._1)
+        (day, bySlot.map(s => sym(s._2)).mkString,
+          ss.size.toLong, ss.map(_._2).sum)
+    }
+    val got = graft.SparkEntry.queries("evt_sax")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    // the alphabet genuinely discriminates on the fixture
+    got.map(_._2).mkString.toSet.size should be >= 3
+  }
+
+  test("evt_moments equals a BigInt central-moment recompute") {
+    val xs = evRows.map(_._4)
+    val n = BigInt(xs.length)
+    val s1 = xs.map(BigInt(_)).sum
+    val s2 = xs.map(x => BigInt(x) * x).sum
+    val s3 = xs.map(x => BigInt(x) * x * x).sum
+    val s4 = xs.map(x => BigInt(x) * x * x * x).sum
+    val m2 = n * s2 - s1 * s1
+    val m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+    val m4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+      6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+    val r = graft.SparkEntry.queries("evt_moments")(spark, sf).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe
+      (xs.length.toLong, s1.toLong, s2.toLong)
+    r.getDouble(3) shouldBe
+      m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble))
+    r.getDouble(4) shouldBe m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0
+    // the fixture tail is genuinely right-skewed and heavy
+    r.getDouble(3) should be > 0.5
+    r.getDouble(4) should be > 0.0
+  }
+
+  test("evt_cross_corr equals a direct paired-moment recompute at " +
+      "every lag") {
+    val daily = evRows.groupBy(_._1).map { case (day, es) =>
+      (day, es.count(_._5 == "error").toLong, es.map(_._4).sum)
+    }.toSeq
+    val byDay = daily.map(d => d._1 -> d).toMap
+    val got = graft.SparkEntry.queries("evt_cross_corr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    got.foreach { case (k, nPairs, corr) =>
+      val pairs = daily.flatMap { case (day, _, yv) =>
+        byDay.get(day - k).map(b => (b._2, yv)) // x from day−k, y at day
+      }
+      nPairs shouldBe pairs.size.toLong
+      val n = BigInt(pairs.size)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = math.sqrt(math.max(0.0,
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)))
+      withClue(s"lag $k: ") {
+        den should be > 0.0 // both fixture series genuinely vary
+        math.abs(corr - num / den) should be < 1e-9
+      }
+    }
+  }
+
+  test("evt_hill_tail equals a sequential top-101 quantized-ln recompute " +
+      "and lands in a plausible alpha range") {
+    val top = evRows.map(_._4).filter(_ > 0).sorted.reverse.take(101)
+    val q6 = (v: Long) =>
+      BigDecimal(math.log(v.toDouble)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)
+    val sln = top.map(q6).sum
+    val m = top.length
+    val hill = (sln.toDouble - m * q6(top.min).toDouble) / (m - 1)
+    val r = graft.SparkEntry.queries("evt_hill_tail")(spark, sf).collect()(0)
+    r.getLong(0) shouldBe (m - 1).toLong
+    r.getLong(1) shouldBe top.min
+    math.abs(r.getDouble(2) - hill) should be < 1e-9
+    r.getDouble(3) should be > 1.0 // a finite-mean tail on the fixture
+  }
+
+  test("evt_decay_sum equals a sequential dyadic-weight recompute") {
+    val maxd = evRows.map(_._1).max
+    val expected = evRows.groupBy(_._6).toSeq.sortBy(_._1).map {
+      case (u, es) =>
+        val num = es.map(e =>
+          BigInt(e._4) << (30 - (maxd - e._1)).toInt).sum
+        (u, es.size.toLong, num.toLong, (num >> 30).toLong)
+    }
+    val got = graft.SparkEntry.queries("evt_decay_sum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    // decay genuinely discounts: the decayed floor is under the raw sum
+    val raw = evRows.groupBy(_._6).view.mapValues(_.map(_._4).sum)
+    got.foreach { case (u, _, _, fl) => fl should be < raw(u) }
+  }
 }

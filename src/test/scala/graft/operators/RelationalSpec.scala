@@ -992,6 +992,75 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     real.map(_._2).max shouldBe 1000000L
   }
 
+  /** Distinct co-purchase edges (u < v) with support, off the collected
+    * lineitem fixture — shared by the round-11 graph recomputes. */
+  private def coEdges: Map[(Long, Long), Long] = {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+  }
+
+  test("q_closeness equals a queue-based multi-source BFS recompute") {
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    coEdges.keys.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val srcs = adj.keys.toSeq.sorted.take(4)
+    val expected = srcs.map { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      val q = scala.collection.mutable.Queue(s0)
+      while (q.nonEmpty) {
+        val x = q.dequeue()
+        if (dist(x) < 3L) adj(x).foreach { y =>
+          if (!dist.contains(y)) { dist(y) = dist(x) + 1L; q += y }
+        }
+      }
+      (s0, dist.size.toLong - 1L, dist.values.sum)
+    }
+    val got = graft.SparkEntry.queries("q_closeness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    // multiple hop levels genuinely occur: the distance sum exceeds the
+    // reach count, so some reached node sits beyond one hop
+    got.foreach { case (_, reached, sumDist) =>
+      sumDist should be > reached
+    }
+  }
+
+  test("q_link_predict equals a brute-force common-neighbor recompute " +
+      "on the top-20 panel") {
+    val edges = coEdges.filter(_._2 >= 2L).keySet
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      i <- nodes.indices.iterator
+      j <- (i + 1) until nodes.length
+      u = nodes(i); v = nodes(j)
+      if !edges((u, v))
+      cn = (adj(u) & adj(v)).size.toLong
+      if cn > 0
+    } yield {
+      val du = adj(u).size.toLong; val dv = adj(v).size.toLong
+      (u, v, cn, cn * 1000000L / (du + dv - cn), du * dv)
+    }).toSeq.sortBy(r => (-r._3, r._1, r._2)).take(20)
+    val got = graft.SparkEntry.queries("q_link_predict")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+  }
+
   test("kTrussPeel replays a planted triangle-strip cascade edge for " +
       "edge and early-exits at the fixpoint") {
     import spark.implicits._

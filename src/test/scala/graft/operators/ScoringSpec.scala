@@ -282,4 +282,30 @@ class ScoringSpec extends AnyFunSuite with Matchers {
       .take(20).map(_._1)
     got.map(_._1).toSeq shouldBe top
   }
+
+  test("llm_feature_hashing equals a direct fingerprint-routed recompute " +
+      "and signs genuinely cancel") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      text.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+        .map { w =>
+          val fp = graft.functions.RollingHash.hash(
+            UTF8String.fromString(w), 31L)
+          ((id, fp % 16L), if ((fp / 16L) % 2L == 0L) 1L else -1L)
+        }
+    }.groupBy(_._1).map { case ((id, dim), xs) =>
+      (id, dim, xs.map(_._2).sum)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.SparkEntry.queries("llm_feature_hashing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    // the sign bit is live: positive, negative, and cancelled-to-zero
+    // dimensions all occur on the fixture
+    got.exists(_._3 > 0L) shouldBe true
+    got.exists(_._3 < 0L) shouldBe true
+    got.exists(_._3 == 0L) shouldBe true
+  }
 }
