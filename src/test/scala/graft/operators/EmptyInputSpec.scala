@@ -94,4 +94,27 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     (0 to 5).map(r.getLong) shouldBe Seq(0L, 0L, 0L, 0L, 0L, 0L)
     r.getDouble(6) shouldBe 0.0
   }
+
+  test("evt_moments on an empty events table yields the degenerate " +
+      "zero-shape row instead of an NPE on the null power sums") {
+    val r = one("evt_moments")
+    (0 to 2).map(r.getLong) shouldBe Seq(0L, 0L, 0L)
+    r.getDouble(3) shouldBe 0.0
+    r.getDouble(4) shouldBe 0.0
+  }
+
+  test("evt_hill_tail on an empty events table yields the defined " +
+      "zero row (no ln(0) evaluates on either engine)") {
+    val r = one("evt_hill_tail")
+    (0 to 1).map(r.getLong) shouldBe Seq(0L, 0L)
+    r.getDouble(2) shouldBe 0.0
+    r.getDouble(3) shouldBe 0.0
+  }
+
+  test("evt_sax on an empty events table yields an empty frame " +
+      "instead of collecting breakpoints from nothing") {
+    val out = SparkEntry.queries("evt_sax")(spark, emptyDir)
+    out.columns.toSeq shouldBe Seq("day", "sax", "n_segs", "day_cents")
+    out.count() shouldBe 0L
+  }
 }
