@@ -3599,6 +3599,66 @@ object EventTime extends QueryPack {
                CAST(num // 1073741824 AS BIGINT) AS decayed_floor_cents
         FROM s ORDER BY user_id""")),
 
+    // ── Fano factor (burstiness/dispersion screen, exact rational) ──
+    // Before any burst detector runs, the screening question is
+    // whether arrivals even DEVIATE from Poisson: the index of
+    // dispersion F = var/mean of per-hour counts is 1 for a Poisson
+    // process, >1 for bursty (clumped) traffic, <1 for regular
+    // (rate-limited) traffic. Per event type over the corpus's full
+    // hour span H (silent hours count as zero — they contribute
+    // nothing to either sum, so observed bins suffice):
+    // F = (H·Σc² − N²)/(H·N), an exact nonnegative rational
+    // (Cauchy–Schwarz keeps the numerator ≥ 0, so floor and truncate
+    // agree across engines) emitted in floor-ppm with the verdict as
+    // an integer cross-comparison. ONE (type, hour) map-side-combined
+    // count + ONE per-type rollup + a broadcast 1-row span — at 10¹²
+    // events only (type, hour) partials cross the shuffle.
+    "evt_fano" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_type",
+            expr(s"(ts div 1000) div $HourUs").as("hr"))
+          .localCheckpoint(true) // the span scalar + the bin counts
+        val rng = ev.agg((max($"hr") - min($"hr") + 1L).as("h"))
+        ev.groupBy($"event_type", $"hr")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"event_type")
+          .agg(sum($"c").as("n"),
+            sum($"c" * $"c").as("s2"),
+            count(lit(1)).as("n_active"))
+          .crossJoin(broadcast(rng))
+          .select($"event_type", $"n", $"n_active",
+            expr("""cast((cast(h as decimal(38,0)) * s2
+                     - cast(n as decimal(38,0)) * n) * 1000000
+                    div (cast(h as decimal(38,0)) * n) as bigint)""")
+              .as("fano_ppm"),
+            expr("""cast(h as decimal(38,0)) * s2
+                    - cast(n as decimal(38,0)) * n
+                    > cast(h as decimal(38,0)) * n""").as("overdispersed"))
+          .orderBy($"event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) // $HourUs AS hr FROM events),
+        rng AS (SELECT MAX(hr) - MIN(hr) + 1 AS h FROM ev),
+        c AS (
+          SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ev GROUP BY event_type, hr),
+        t AS (
+          SELECT event_type,
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(c * c) AS BIGINT) AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM c GROUP BY event_type)
+        SELECT event_type, n, n_active,
+               CAST((CAST(h AS HUGEINT) * s2 - CAST(n AS HUGEINT) * n)
+                 * 1000000 // (CAST(h AS HUGEINT) * n) AS BIGINT)
+                 AS fano_ppm,
+               CAST(h AS HUGEINT) * s2 - CAST(n AS HUGEINT) * n
+                 > CAST(h AS HUGEINT) * n AS overdispersed
+        FROM t, rng ORDER BY event_type""")),
+
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
     // KS and Mann–Whitney compare two INDEPENDENT samples; the
     // question "did each user's own spend change" is paired — every

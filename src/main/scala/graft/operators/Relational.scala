@@ -2916,6 +2916,77 @@ object Relational extends QueryPack {
         ORDER BY c.cn DESC, c.u, c.v
         LIMIT 20""")),
 
+    // ── grid-density clustering (the DBSCAN grid variant) ──
+    // Density clustering at warehouse scale: exact DBSCAN's
+    // ε-neighborhood probe is a distance self-join, but the GRID
+    // relaxation (bin points into cells, keep cells at or above the
+    // density threshold, merge adjacent core cells — the GriDBSCAN /
+    // cell-based family) turns it into counting plus an 8-adjacency
+    // component merge, and the cell table — not the point table — is
+    // what every later stage touches. Points = parts in the
+    // (price-cents, size) plane, cells ($5 × 5-size), core at
+    // n ≥ 12: at sf0.01 the fixture yields genuine structure (52 core
+    // cells in 9 clusters, the largest spanning ~20 cells beside
+    // singletons). Adjacency is an EQUALITY join — each core cell
+    // announces its 8 neighbor keys by arithmetic, a hit on another
+    // core cell's own key is an edge (the spatial grid-join trick; no
+    // band join, no cartesian); components ride
+    // [[Dedup.componentLabels]] (size-gated union-find / star
+    // propagation — cluster id = min cell key). Per-core-cell output;
+    // non-core cells are noise by omission. At 10¹² points only
+    // (cell, count) partials cross the shuffle — the cell table is
+    // grid-bounded, never data-sized.
+    "q_dbscan_grid" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        import graft.functions.Exact.dec
+        val cells = Tables.part(s, d)
+          .select((dec($"p_retailprice") * 100).cast(LongType).as("cents"),
+            $"p_size")
+          .groupBy(expr("cents div 500").as("cx"),
+            expr("cast(p_size div 5 as bigint)").as("cy"))
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" >= 12L)
+          .withColumn("key", $"cx" * 1024L + $"cy")
+          .localCheckpoint(true) // neighbor explode + the label join
+        val nb = cells.select($"key", explode(expr(
+            """transform(array(-1025, -1024, -1023, -1, 1, 1023, 1024,
+                 1025), o -> key + o)""")).as("nkey"))
+        val edges = nb
+          .join(cells.select($"key".as("nkey")), Seq("nkey"))
+          .filter($"key" < $"nkey")
+          .select($"key".as("doc1"), $"nkey".as("doc2"))
+        val labels = Dedup.componentLabels(s, edges)
+        cells.join(labels, cells("key") === labels("doc_id"), "left")
+          .select($"cx", $"cy", $"n".as("n_points"),
+            coalesce($"cluster", $"key").as("cluster_id"))
+          .orderBy($"cx", $"cy")
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        p AS (
+          SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+            AS BIGINT) AS cents, p_size
+          FROM part),
+        c AS (
+          SELECT cents // 500 AS cx, p_size // 5 AS cy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 12),
+        k AS (SELECT cx, cy, n, cx * 1024 + cy AS key FROM c),
+        e0 AS (
+          SELECT a.key AS src, b.key AS dst
+          FROM k a JOIN k b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            AND a.key <> b.key),
+        comp(key, lbl) AS (
+          SELECT key, key FROM k
+          UNION
+          SELECT e.dst, c2.lbl FROM comp c2 JOIN e0 e ON c2.key = e.src)
+        SELECT k.cx, k.cy, k.n AS n_points, MIN(comp.lbl) AS cluster_id
+        FROM k JOIN comp ON comp.key = k.key
+        GROUP BY k.cx, k.cy, k.n
+        ORDER BY k.cx, k.cy""")),
+
     // ── label propagation communities (3 synchronous rounds) ──
     // The community-detection face of graph work: components answer
     // "reachable?", LPA answers "densely knit?" — the mode-of-

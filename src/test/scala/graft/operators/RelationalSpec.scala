@@ -1061,6 +1061,53 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("q_dbscan_grid equals a flood-fill recompute over the core cells") {
+    import graft.functions.Exact.dec
+    import spark.implicits._
+    // sf0.01: the 200-part sf0.001 fixture has no cell at the density
+    // threshold, so the structural claims need the larger grid (52
+    // core cells in 9 clusters)
+    val sf = "/root/testdata/sf0.01"
+    val pts = graft.Tables.part(spark, sf)
+      .select((dec($"p_retailprice") * 100).cast("long").as("cents"),
+        $"p_size")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val counts = pts.groupBy { case (c, sz) => (c / 500, (sz / 5).toLong) }
+      .view.mapValues(_.length.toLong).toMap
+    val core = counts.filter(_._2 >= 12L).keySet
+    // flood fill over 8-adjacency; cluster id = min key
+    val labels = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    core.toSeq.sorted.foreach { c0 =>
+      if (!labels.contains(c0)) {
+        val comp = scala.collection.mutable.Set.empty[(Long, Long)]
+        val stack = scala.collection.mutable.Stack(c0)
+        while (stack.nonEmpty) {
+          val x = stack.pop()
+          if (!comp(x)) {
+            comp += x
+            for (dx <- -1L to 1L; dy <- -1L to 1L) {
+              val nb = (x._1 + dx, x._2 + dy)
+              if (core(nb) && !comp(nb)) stack.push(nb)
+            }
+          }
+        }
+        val id = comp.map { case (cx, cy) => cx * 1024L + cy }.min
+        comp.foreach(labels(_) = id)
+      }
+    }
+    val expected = core.toSeq.sorted.map { case (cx, cy) =>
+      (cx, cy, counts((cx, cy)), labels((cx, cy)))
+    }
+    val got = graft.SparkEntry.queries("q_dbscan_grid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe expected
+    // density structure is real on the fixture: at least one
+    // multi-cell cluster AND at least one singleton coexist
+    val byCluster = expected.groupBy(_._4).values.map(_.size)
+    byCluster.exists(_ > 1) shouldBe true
+  }
+
   test("kTrussPeel replays a planted triangle-strip cascade edge for " +
       "edge and early-exits at the fixpoint") {
     import spark.implicits._
