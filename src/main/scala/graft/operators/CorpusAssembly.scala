@@ -546,6 +546,68 @@ object CorpusAssembly extends QueryPack {
         FROM g GROUP BY split, lang
         ORDER BY split, lang""")),
 
+    // ── population stability index (split drift monitor) ──
+    // The production drift metric between two distributions of the
+    // same feature — here the token-length profile of the train vs
+    // val split (the llm_train_val_split hash gate): PSI =
+    // Σ (p_i − q_i)·ln(p_i/q_i) over fixed 10-token length bands (capped at 8),
+    // the symmetric-KL-flavored number every model-monitoring stack
+    // thresholds at 0.1/0.25. Add-one smoothing per band keeps every
+    // term defined (the standard convention for empty cells); each
+    // band's ln quantizes to 6 digits and each term to 9 before the
+    // DECIMAL sum (the unigram-surprisal idiom — associative, so
+    // engine-identical), emitted per band (rounded to 9) plus the
+    // band populations, so the hash pins every cell of the
+    // contingency table, not just the total. ONE corpus-sized
+    // map-side-combined (band, split) count; everything after is
+    // 8 rows.
+    "llm_psi_drift" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val bands = Tables.documents(s, d)
+          .withColumn("toks", tokens)
+          .select(least(lit(7L), (size($"toks") / 10).cast(LongType))
+            .as("band"),
+            (expr(gateExpr) < 900000L).as("is_train"))
+          .groupBy($"band")
+          .agg(sum(when($"is_train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(!$"is_train", 1L).otherwise(0L)).as("n_val"))
+          .localCheckpoint(true) // totals + the term projection
+        val tot = bands.agg(
+          (sum($"n_train") + 8L).as("tt"), (sum($"n_val") + 8L).as("tv"))
+        bands.crossJoin(broadcast(tot))
+          .select($"band", $"n_train", $"n_val",
+            expr("""round(
+                (cast(n_train + 1 as double) / tt
+                  - cast(n_val + 1 as double) / tv)
+                * round(ln((cast(n_train + 1 as double) / tt)
+                        / (cast(n_val + 1 as double) / tv)), 6),
+                9)""").as("psi_term"))
+          .orderBy($"band")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT least(7, len($tokensSql) // 10) AS band,
+                 $gateExpr < 900000 AS is_train
+          FROM documents),
+        b AS (
+          SELECT band,
+                 CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+                 CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_val
+          FROM t GROUP BY band),
+        tot AS (
+          SELECT SUM(n_train) + 8 AS tt, SUM(n_val) + 8 AS tv FROM b)
+        SELECT band, n_train, n_val,
+               round(
+                 (CAST(n_train + 1 AS DOUBLE) / tt
+                   - CAST(n_val + 1 AS DOUBLE) / tv)
+                 * round(ln((CAST(n_train + 1 AS DOUBLE) / tt)
+                         / (CAST(n_val + 1 AS DOUBLE) / tv)), 6),
+                 9) AS psi_term
+        FROM b, tot ORDER BY band""")),
+
     // ── fill-in-the-middle transformation (PSM reordering) ──
     // The infilling data transform behind code models (Bavarian et
     // al. 2022: "FIM-for-free"): split each document's token sequence
