@@ -3659,6 +3659,65 @@ object EventTime extends QueryPack {
                  > CAST(h AS HUGEINT) * n AS overdispersed
         FROM t, rng ORDER BY event_type""")),
 
+    // ── peaks over threshold (the extreme-value companion to Hill) ──
+    // evt_hill_tail fits the tail's SHAPE from the top order
+    // statistics; POT is the operational face — pick a high threshold
+    // u (the exact p95 via [[Relational.selectKthCents]]: bounded
+    // driver collects, never a single-task sort), then the exceedance
+    // count and the MEAN EXCESS E[X−u | X>u], the quantity whose
+    // linearity in u is the GPD diagnostic every risk pipeline plots
+    // before extrapolating quantiles. Excess sums are exact integers
+    // (one filtered map-side-combined aggregate — at 10¹² events only
+    // the survivors' partials cross the shuffle); the single double is
+    // the final division, same chain both engines. Empty corpus →
+    // empty frame (the threshold is undefined, matching the oracle's
+    // empty join).
+    "evt_pot_tail" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val v = Tables.events(s, d)
+          .select(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("cents"))
+          .localCheckpoint(true) // threshold passes + the excess scan
+        if (v.isEmpty)
+          Seq.empty[(Long, Long, Long, Double)]
+            .toDF("u_cents", "n_exceed", "sum_excess", "mean_excess")
+        else {
+          val u = Relational.selectKthCents(v, Seq(95L), W = 100L)
+            .select($"value_cents").collect()(0).getLong(0)
+          v.filter($"cents" > u)
+            .agg(count(lit(1)).as("n_exceed"),
+              coalesce(sum($"cents" - u), lit(0L)).as("sum_excess"))
+            .select(lit(u).as("u_cents"), $"n_exceed", $"sum_excess",
+              when($"n_exceed" === 0L, 0.0)
+                .otherwise($"sum_excess".cast(DoubleType) / $"n_exceed")
+                .as("mean_excess"))
+        }
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+          FROM events),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        ks AS (SELECT (95 * n + 99) // 100 AS k FROM nn WHERE n > 0),
+        r AS (
+          SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+          FROM v),
+        u AS (SELECT r.cents AS u FROM r JOIN ks ON r.rn = ks.k),
+        e AS (
+          SELECT u.u,
+                 CAST(COUNT(*) FILTER (v.cents > u.u) AS BIGINT)
+                   AS n_exceed,
+                 CAST(COALESCE(SUM(v.cents - u.u)
+                   FILTER (v.cents > u.u), 0) AS BIGINT) AS sum_excess
+          FROM v, u GROUP BY u.u)
+        SELECT u AS u_cents, n_exceed, sum_excess,
+               CASE WHEN n_exceed = 0 THEN 0.0
+                    ELSE CAST(sum_excess AS DOUBLE) / n_exceed
+               END AS mean_excess
+        FROM e""")),
+
     // ── Wilcoxon signed-rank (the PAIRED nonparametric test) ──
     // KS and Mann–Whitney compare two INDEPENDENT samples; the
     // question "did each user's own spend change" is paired — every

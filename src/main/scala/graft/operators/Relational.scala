@@ -2987,6 +2987,93 @@ object Relational extends QueryPack {
         GROUP BY k.cx, k.cy, k.n
         ORDER BY k.cx, k.cy""")),
 
+    // ── Theil index decomposition (where does inequality LIVE?) ──
+    // Gini (llm_doc_gini) says HOW unequal; Theil's entropy index says
+    // WHERE — it is the inequality measure that decomposes EXACTLY
+    // into a between-group term plus population-weighted within-group
+    // terms (Theil 1967; Shorrocks 1980 on decomposability), the
+    // standard answer to "is revenue concentration a market problem or
+    // an inside-each-market problem". Per nation over customer revenue:
+    // T_within = (1/n_g)·Σ (x/μ_g)·ln(x/μ_g) and the between term
+    // s_g·ln(μ_g/μ). Customer totals are ONE map-side-combined
+    // groupBy; group stats broadcast back (25 rows), so the per-row
+    // entropy term is a map-only projection — at 10¹² orders only
+    // per-customer partials cross the shuffle. Each ln quantizes to 6
+    // digits and each term to 9 before the DECIMAL sum (the surprisal
+    // idiom), doubles through identical chains in both engines.
+    "q_theil_decomp" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val cust = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(sum(dec($"o_totalprice") * 100).cast(LongType).as("x"))
+        val j = cust
+          .join(Tables.customer(s, d)
+            .select($"c_custkey", $"c_nationkey"),
+            $"c_custkey" === $"o_custkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select($"n_nationkey", $"n_name")),
+            $"n_nationkey" === $"c_nationkey")
+          .select($"n_name".as("nation"), $"x")
+          .localCheckpoint(true) // group stats + the per-row term scan
+        val g = j.groupBy($"nation")
+          .agg(count(lit(1)).as("n_cust"), sum($"x").as("rev"))
+          .localCheckpoint(true) // broadcast join + totals + output
+        val tot = g.agg(sum($"n_cust").as("n"), sum($"rev").as("xx"))
+        val w = j.join(broadcast(g), Seq("nation"))
+          .select($"nation", expr(
+            """cast(round(
+                 (cast(x as double) / (cast(rev as double) / n_cust))
+                 * round(ln(cast(x as double)
+                     / (cast(rev as double) / n_cust)), 6),
+                 9) as decimal(27,9))""").as("t"))
+          .groupBy($"nation").agg(sum($"t").as("sw"))
+        g.join(w, Seq("nation")).crossJoin(broadcast(tot))
+          .select($"nation", $"n_cust", $"rev",
+            round($"sw".cast(DoubleType) / $"n_cust", 6)
+              .as("theil_within"),
+            expr("""round((cast(rev as double) / xx)
+                    * round(ln((cast(rev as double) / n_cust)
+                            / (cast(xx as double) / n)), 6), 6)""")
+              .as("between_term"))
+          .orderBy($"nation")
+      },
+      oracle = Some("""
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                   AS BIGINT) AS x
+          FROM orders GROUP BY o_custkey),
+        j AS (
+          SELECT n.n_name AS nation, c2.x
+          FROM cust c2 JOIN customer c ON c.c_custkey = c2.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        g AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                 CAST(SUM(x) AS BIGINT) AS rev
+          FROM j GROUP BY nation),
+        tot AS (
+          SELECT CAST(SUM(n_cust) AS BIGINT) AS n,
+                 CAST(SUM(rev) AS BIGINT) AS xx
+          FROM g),
+        w AS (
+          SELECT j.nation,
+                 SUM(CAST(round(
+                   (CAST(j.x AS DOUBLE)
+                     / (CAST(g.rev AS DOUBLE) / g.n_cust))
+                   * round(ln(CAST(j.x AS DOUBLE)
+                       / (CAST(g.rev AS DOUBLE) / g.n_cust)), 6),
+                   9) AS DECIMAL(27,9))) AS sw
+          FROM j JOIN g USING (nation) GROUP BY j.nation)
+        SELECT g.nation, g.n_cust, g.rev,
+               round(CAST(w.sw AS DOUBLE) / g.n_cust, 6) AS theil_within,
+               round((CAST(g.rev AS DOUBLE) / tot.xx)
+                 * round(ln((CAST(g.rev AS DOUBLE) / g.n_cust)
+                         / (CAST(tot.xx AS DOUBLE) / tot.n)), 6), 6)
+                 AS between_term
+        FROM g JOIN w USING (nation), tot
+        ORDER BY g.nation""")),
+
     // ── label propagation communities (3 synchronous rounds) ──
     // The community-detection face of graph work: components answer
     // "reachable?", LPA answers "densely knit?" — the mode-of-

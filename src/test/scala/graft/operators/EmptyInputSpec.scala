@@ -117,4 +117,12 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     out.columns.toSeq shouldBe Seq("day", "sax", "n_segs", "day_cents")
     out.count() shouldBe 0L
   }
+
+  test("evt_pot_tail on an empty events table yields an empty frame " +
+      "(the threshold is undefined), matching the oracle's empty join") {
+    val out = SparkEntry.queries("evt_pot_tail")(spark, emptyDir)
+    out.columns.toSeq shouldBe
+      Seq("u_cents", "n_exceed", "sum_excess", "mean_excess")
+    out.count() shouldBe 0L
+  }
 }

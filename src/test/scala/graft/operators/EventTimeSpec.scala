@@ -1510,6 +1510,21 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     got.foreach(_._4 should (be > 500000L and be < 2000000L))
   }
 
+  test("evt_pot_tail equals a sequential order-statistic + excess recompute") {
+    val xs = evRows.map(_._4).sorted
+    val k = ((95L * xs.length + 99L) / 100L).toInt
+    val u = xs(k - 1)
+    val exceed = xs.filter(_ > u)
+    val r = graft.SparkEntry.queries("evt_pot_tail")(spark, sf).collect()(0)
+    r.getLong(0) shouldBe u
+    r.getLong(1) shouldBe exceed.length.toLong
+    r.getLong(2) shouldBe exceed.map(_ - u).sum
+    r.getDouble(3) shouldBe
+      exceed.map(_ - u).sum.toDouble / exceed.length
+    // the tail is genuinely heavy: mean excess well above zero
+    r.getDouble(3) should be > 100.0
+  }
+
   test("evt_decay_sum equals a sequential dyadic-weight recompute") {
     val maxd = evRows.map(_._1).max
     val expected = evRows.groupBy(_._6).toSeq.sortBy(_._1).map {

@@ -1108,6 +1108,45 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     byCluster.exists(_ > 1) shouldBe true
   }
 
+  test("q_theil_decomp equals a sequential quantized-entropy recompute " +
+      "and the decomposition discriminates") {
+    def q6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP)
+    val custs = graft.Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as long) as c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nat = graft.Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "cast(c_nationkey as bigint)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val names = graft.Tables.nation(spark, sf)
+      .selectExpr("cast(n_nationkey as bigint)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byNation = custs.toSeq.groupBy { case (ck, _) => names(nat(ck)) }
+    val n = custs.size.toLong
+    val xx = custs.values.sum
+    val expected = byNation.toSeq.sortBy(_._1).map { case (nm, xs) =>
+      val ng = xs.size.toLong
+      val rev = xs.map(_._2).sum
+      val mu = rev.toDouble / ng
+      val sw = xs.map { case (_, x) =>
+        q9((x.toDouble / mu) * q6(math.log(x.toDouble / mu)))
+      }.sum
+      val between = q6((rev.toDouble / xx) *
+        q6(math.log(mu / (xx.toDouble / n))))
+      (nm, ng, rev, q6(sw.toDouble / ng), between)
+    }
+    val got = graft.SparkEntry.queries("q_theil_decomp")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    got shouldBe expected
+    // inequality genuinely lives WITHIN markets on this fixture
+    got.map(_._4).max should be > got.map(_._5).map(math.abs).max
+  }
+
   test("kTrussPeel replays a planted triangle-strip cascade edge for " +
       "edge and early-exits at the fixpoint") {
     import spark.implicits._
