@@ -1752,10 +1752,14 @@ object Relational extends QueryPack {
             // variance product is clamped at 0 first — double rounding
             // can push it a few ulps NEGATIVE for near-constant groups,
             // where Spark's sqrt returns NaN but DuckDB's ERRORS out
-            (($"n" * $"sxy" - $"sx" * $"sy") /
+            // round(12) kills the 1-ulp knife edge DuckDB's fused
+            // multiply-add can open in n·sxy − sx·sy (observed at
+            // sf0.001, flag A) — the correlation itself is unaffected
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
               nullif(sqrt(greatest(lit(0.0),
                 ($"n" * $"sxx" - $"sx" * $"sx") *
-                  ($"n" * $"syy" - $"sy" * $"sy"))), lit(0.0))).as("corr_qty_price"))
+                  ($"n" * $"syy" - $"sy" * $"sy"))), lit(0.0)), 12)
+              .as("corr_qty_price"))
           .orderBy($"l_returnflag")
       },
       oracle = Some("""
@@ -1768,9 +1772,9 @@ object Relational extends QueryPack {
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-          (n * sxy - sx * sy) /
+          round((n * sxy - sx * sy) /
             NULLIF(sqrt(greatest(0.0,
-              (n * sxx - sx * sx) * (n * syy - sy * sy))), 0.0)
+              (n * sxx - sx * sx) * (n * syy - sy * sy))), 0.0), 12)
             AS corr_qty_price
         FROM s
         ORDER BY l_returnflag""")),
