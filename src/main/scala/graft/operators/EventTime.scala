@@ -3151,8 +3151,9 @@ object EventTime extends QueryPack {
             val deny = n0 - n2
             val tau =
               if (denx == 0 || deny == 0) 0.0
-              else (cI - dI).toDouble /
-                math.sqrt(denx.toDouble * deny.toDouble)
+              else BigDecimal((cI - dI).toDouble /
+                math.sqrt(denx.toDouble * deny.toDouble))
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
             (n, cI.toLong, dI.toLong, n1.toLong, n2.toLong, n3.toLong, tau)
           }
         Seq(out).toDF("n_users", "conc", "disc",
@@ -3185,9 +3186,9 @@ object EventTime extends QueryPack {
         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u)
         SELECT n AS n_users, conc, disc, ties_x, ties_y, ties_xy,
           CASE WHEN n0 - ties_x = 0 OR n0 - ties_y = 0 THEN 0.0
-               ELSE CAST(conc - disc AS DOUBLE)
+               ELSE round(CAST(conc - disc AS DOUBLE)
                  / sqrt(CAST(n0 - ties_x AS DOUBLE)
-                        * CAST(n0 - ties_y AS DOUBLE))
+                        * CAST(n0 - ties_y AS DOUBLE)), 12)
           END AS tau_b
         FROM m, c""")),
 
@@ -3231,10 +3232,12 @@ object EventTime extends QueryPack {
             val m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
             val m4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
               6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+            def r12(x: Double) = BigDecimal(x).setScale(12,
+              BigDecimal.RoundingMode.HALF_UP).toDouble
             val (g1, g2) =
               if (m2 == 0) (0.0, 0.0)
-              else (m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble)),
-                m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0)
+              else (r12(m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble))),
+                r12(m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0))
             (n.toLong, s1.toLong, s2.toLong, g1, g2)
           }
         Seq(out).toDF("n_events", "sum_cents", "sum_sq",
@@ -3262,12 +3265,12 @@ object EventTime extends QueryPack {
                CAST(s1 AS BIGINT) AS sum_cents,
                CAST(s2 AS BIGINT) AS sum_sq,
                CASE WHEN m2 = 0 THEN 0.0
-                    ELSE CAST(m3 AS DOUBLE)
-                      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+                    ELSE round(CAST(m3 AS DOUBLE)
+                      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 12)
                END AS skew_g1,
                CASE WHEN m2 = 0 THEN 0.0
-                    ELSE CAST(m4 AS DOUBLE)
-                      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0
+                    ELSE round(CAST(m4 AS DOUBLE)
+                      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 12)
                END AS kurt_g2
         FROM c""")),
 
@@ -3353,10 +3356,11 @@ object EventTime extends QueryPack {
             sum($"yy".cast(big) * $"yy").cast(DoubleType).as("syy"),
             sum($"x".cast(big) * $"yy").cast(DoubleType).as("sxy"))
           .select($"lag", $"n_pairs",
-            (($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+            // round(12): the q_corr_manual FMA-knife-edge hardening
+            round(($"n_pairs" * $"sxy" - $"sx" * $"sy") /
               nullif(sqrt(greatest(lit(0.0),
                 ($"n_pairs" * $"sxx" - $"sx" * $"sx") *
-                  ($"n_pairs" * $"syy" - $"sy" * $"sy"))), lit(0.0)))
+                  ($"n_pairs" * $"syy" - $"sy" * $"sy"))), lit(0.0)), 12)
               .as("crosscorr"))
           .orderBy($"lag")
       },
@@ -3385,10 +3389,10 @@ object EventTime extends QueryPack {
                  CAST(SUM(CAST(x AS HUGEINT) * yy) AS DOUBLE) AS sxy
           FROM pairs GROUP BY lag)
         SELECT lag, n_pairs,
-               (n_pairs * sxy - sx * sy) /
+               round((n_pairs * sxy - sx * sy) /
                  NULLIF(sqrt(greatest(0.0,
                    (n_pairs * sxx - sx * sx)
-                     * (n_pairs * syy - sy * sy))), 0.0) AS crosscorr
+                     * (n_pairs * syy - sy * sy))), 0.0), 12) AS crosscorr
         FROM m ORDER BY lag""")),
 
     // ── SAX symbolization (PAA + exact-quantile alphabet) ──
@@ -3511,11 +3515,12 @@ object EventTime extends QueryPack {
               lit(BigDecimal(0)).cast(DecimalType(27, 6))).as("sln"))
           .withColumn("hill_inv",
             when($"m" <= 1L, 0.0).otherwise(
-              ($"sln".cast(DoubleType) -
+              round(($"sln".cast(DoubleType) -
                 $"m" * round(log($"xk1_cents".cast(DoubleType)), 6)) /
-                ($"m" - 1L)))
+                ($"m" - 1L), 12)))
           .withColumn("alpha",
-            when($"hill_inv" > 0.0, lit(1.0) / $"hill_inv").otherwise(0.0))
+            when($"hill_inv" > 0.0, round(lit(1.0) / $"hill_inv", 12))
+              .otherwise(0.0))
           .select(($"m" - when($"m" > 0L, 1L).otherwise(0L)).as("k"),
             $"xk1_cents", $"hill_inv", $"alpha")
       },
@@ -3535,13 +3540,14 @@ object EventTime extends QueryPack {
         h AS (
           SELECT m, xk1, sln,
                  CASE WHEN m <= 1 THEN 0.0
-                      ELSE (CAST(sln AS DOUBLE)
-                        - m * round(ln(CAST(xk1 AS DOUBLE)), 6)) / (m - 1)
+                      ELSE round((CAST(sln AS DOUBLE)
+                        - m * round(ln(CAST(xk1 AS DOUBLE)), 6))
+                        / (m - 1), 12)
                  END AS hill_inv
           FROM a)
         SELECT m - CASE WHEN m > 0 THEN 1 ELSE 0 END AS k,
                CAST(xk1 AS BIGINT) AS xk1_cents, hill_inv,
-               CASE WHEN hill_inv > 0.0 THEN 1.0 / hill_inv
+               CASE WHEN hill_inv > 0.0 THEN round(1.0 / hill_inv, 12)
                     ELSE 0.0 END AS alpha
         FROM h""")),
 

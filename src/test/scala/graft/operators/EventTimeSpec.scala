@@ -1434,9 +1434,12 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     val r = graft.SparkEntry.queries("evt_moments")(spark, sf).collect()(0)
     (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe
       (xs.length.toLong, s1.toLong, s2.toLong)
+    def r12(x: Double) = BigDecimal(x).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
     r.getDouble(3) shouldBe
-      m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble))
-    r.getDouble(4) shouldBe m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0
+      r12(m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble)))
+    r.getDouble(4) shouldBe
+      r12(m4.toDouble / (m2.toDouble * m2.toDouble) - 3.0)
     // the fixture tail is genuinely right-skewed and heavy
     r.getDouble(3) should be > 0.5
     r.getDouble(4) should be > 0.0
