@@ -3250,17 +3250,45 @@ object EventTime extends QueryPack {
         m AS (
           SELECT CAST(COUNT(*) AS HUGEINT) AS n,
                  COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s1,
-                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS s2,
-                 COALESCE(SUM(CAST(x AS HUGEINT) * x * x), 0) AS s3,
-                 COALESCE(SUM(CAST(x AS HUGEINT) * x * x * x), 0) AS s4
+                 COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS s2
           FROM ev),
+        -- central moments are shift-invariant, so re-aggregate about
+        -- the integer mean: the shifted power sums t_k carry the
+        -- DEVIATION scale, not the raw-value scale, which removes the
+        -- s1^4-magnitude terms that overflow HUGEINT (~1.7e38) once
+        -- total cents pass ~1e10 — the Spark side's unbounded BigInt
+        -- needs no such care, and the identities below are EXACTLY
+        -- the raw-sum ones (any integer shift gives the same m2/m3/m4)
+        sh AS (
+          SELECT n, s1, s2,
+                 CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+                      ELSE s1 // n END AS cs
+          FROM m),
+        t AS (
+          SELECT n, s1, s2,
+            COALESCE(SUM(CAST(x AS HUGEINT) - cs), 0) AS t1,
+            COALESCE(SUM((CAST(x AS HUGEINT) - cs)
+              * (CAST(x AS HUGEINT) - cs)), 0) AS t2,
+            COALESCE(SUM((CAST(x AS HUGEINT) - cs)
+              * (CAST(x AS HUGEINT) - cs)
+              * (CAST(x AS HUGEINT) - cs)), 0) AS t3,
+            COALESCE(SUM((CAST(x AS HUGEINT) - cs)
+              * (CAST(x AS HUGEINT) - cs)
+              * (CAST(x AS HUGEINT) - cs)
+              * (CAST(x AS HUGEINT) - cs)), 0) AS t4
+          FROM ev, sh GROUP BY n, s1, s2, cs),
         c AS (
           SELECT n, s1, s2,
-                 n * s2 - s1 * s1 AS m2,
-                 n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
-                 n * n * n * s4 - 4 * n * n * s1 * s3
-                   + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
-          FROM m)
+                 n * t2 - t1 * t1 AS m2,
+                 n * n * t3 - 3 * n * t1 * t2 + 2 * t1 * t1 * t1 AS m3,
+                 n * n * n * t4 - 4 * n * n * t1 * t3
+                   + 6 * n * t1 * t1 * t2
+                   - 3 * t1 * t1 * t1 * t1 AS m4
+          FROM t
+          UNION ALL
+          SELECT n, s1, s2, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+                 CAST(0 AS HUGEINT)
+          FROM m WHERE n = 0)
         SELECT CAST(n AS BIGINT) AS n_events,
                CAST(s1 AS BIGINT) AS sum_cents,
                CAST(s2 AS BIGINT) AS sum_sq,
@@ -3558,9 +3586,10 @@ object EventTime extends QueryPack {
     // is exact integer arithmetic — each event contributes
     // c·2^(30−age) and the per-user sum carries denominator 2^30,
     // no float decay drift, engine-identical at any corpus size (the
-    // 30-bit base covers the fixture's day span; a production run
-    // sizes base to its horizon or clamps ages beyond it to weight
-    // zero). ONE map-side-combined groupBy(user) after a broadcast
+    // 30-bit base covers a 30-day horizon; ages beyond it clamp to
+    // weight ZERO in both engines — enforced in the plan, since the
+    // JVM would otherwise mask the negative shift count into 2^63
+    // garbage). ONE map-side-combined groupBy(user) after a broadcast
     // 1-row max-day — at 10¹² events nothing but per-user partials
     // cross the shuffle, the evt_trend_ols altitude.
     "evt_decay_sum" -> QueryDef(
@@ -3576,9 +3605,13 @@ object EventTime extends QueryPack {
         ev.crossJoin(broadcast(mx))
           .select($"user_id", $"c", ($"maxd" - $"day").as("d"))
           .groupBy($"user_id")
+          // ages past the 30-day horizon clamp to weight ZERO (not a
+          // comment-only contract: the JVM masks negative shift counts,
+          // so an unguarded 1<<(30-d) at d=31 silently yields 2^63)
           .agg(count(lit(1)).as("n_events"),
-            sum(expr("cast(c as decimal(38,0)) * " +
-              "shiftleft(cast(1 as bigint), cast(30 - d as int))"))
+            sum(expr("cast(c as decimal(38,0)) * (case when d > 30 " +
+              "then cast(0 as bigint) else " +
+              "shiftleft(cast(1 as bigint), cast(30 - d as int)) end)"))
               .as("num"))
           .select($"user_id", $"n_events",
             $"num".cast(LongType).as("decayed_num"),
@@ -3598,7 +3631,9 @@ object EventTime extends QueryPack {
         s AS (
           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                  SUM(CAST(c AS HUGEINT)
-                   * (CAST(1 AS HUGEINT) << CAST(30 - d AS INT))) AS num
+                   * (CASE WHEN d > 30 THEN CAST(0 AS HUGEINT)
+                      ELSE CAST(1 AS HUGEINT) << CAST(30 - d AS INT)
+                      END)) AS num
           FROM w GROUP BY user_id)
         SELECT user_id, n_events,
                CAST(num AS BIGINT) AS decayed_num,

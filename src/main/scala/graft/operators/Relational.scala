@@ -715,6 +715,12 @@ object Relational extends QueryPack {
       .drop("__kp_pid", "__kp_grp", "__kp_local", "__kp_off")
   }
 
+  /** Preferred band count for [[inversionCount]]'s class-2 matrix in
+    * AUTO mode (bucketsIn = 0): the function coarsens it to fit the
+    * 1M driver cap at high parallelism. An explicit argument is never
+    * clamped — it hits the hard require instead. */
+  private[operators] val DefaultInvBuckets = 1024
+
   /** Exact GLOBAL inversion count of the Long column `yv` over the
     * total order given by `sortCols`:
     * |{(a, b) : a strictly before b in sort order ∧ yv_a > yv_b}| —
@@ -752,10 +758,31 @@ object Relational extends QueryPack {
     * (spec gate: O(partitions·buckets), never O(n)). */
   private[operators] def inversionCount(
       s: SparkSession, df: DataFrame, sortCols: Seq[Column],
-      buckets: Int = 1024, probe: Int => Unit = _ => ()): BigInt = {
+      bucketsIn: Int = 0, probe: Int => Unit = _ => (),
+      partsIn: Int = 0): BigInt = {
     import s.implicits._
     require(df.columns.contains("yv"), "inversionCount: need a 'yv' column")
-    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    // partsIn > 0 simulates a cluster parallelism in local-mode specs
+    // (the clamp below is what keeps evt_kendall alive at >=1024
+    // cores); 0 = the session's real default parallelism.
+    val parts =
+      if (partsIn > 0) partsIn
+      else math.max(1, s.sparkContext.defaultParallelism)
+    // Cluster-scale clamp (round-11 verdict #2): with the old fixed
+    // default of 1024 buckets, any cluster with >=1024 default-
+    // parallelism cores tripped the 1M driver-matrix require — the
+    // exact environment the operator targets. The band matrix is
+    // CORRECT at any bucket count (class 3's band-local sweeps absorb
+    // whatever class 2's coarser bands no longer separate; fewer bands
+    // only shifts work from the driver scan to the distributed
+    // sweeps), so in AUTO mode (bucketsIn = 0, the default) coarsen
+    // DefaultInvBuckets to fit the cap instead of throwing. An
+    // EXPLICIT buckets argument still hits the hard require below —
+    // the caller asked for a specific matrix and must know it fits.
+    val buckets =
+      if (bucketsIn == 0)
+        math.max(2, math.min(DefaultInvBuckets, (1000000L / parts).toInt))
+      else bucketsIn
     require(parts.toLong * buckets <= 1000000L,
       s"inversionCount: $parts partitions x $buckets buckets exceeds the " +
         "1M driver-matrix cap — lower `buckets`")

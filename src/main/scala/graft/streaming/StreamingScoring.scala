@@ -322,6 +322,16 @@ object StreamingScoring {
                 sum($"x".cast(big) * $"x" * $"x" * $"x").as("s4"))
               .collect() // one row per key — coordinator-sized
               .map { r =>
+                // a DECIMAL(38,0) overflow (s4 = Σx⁴ first, at |x|
+                // around 10^9 with ~10^2 rows/key/batch) comes back
+                // NULL in non-ANSI mode; folding a NULL as zero would
+                // CORRUPT the accumulated moments silently, so fail
+                // loudly with the offending key instead
+                for (i <- 2 to 5)
+                  require(!r.isNullAt(i),
+                    s"momentsStream: power sum s${i - 1} overflowed " +
+                      s"DECIMAL(38,0) for key '${r.getString(0)}' in " +
+                      s"batch $batchId — reduce |x| or batch size")
                 r.getString(0) -> ((r.getLong(1),
                   BigInt(r.getDecimal(2).toBigInteger),
                   BigInt(r.getDecimal(3).toBigInteger),

@@ -1207,11 +1207,31 @@ class RelationalSpec extends AnyFunSuite with Matchers {
       // pair classes (same-partition, cross-band, same-band-cross-part)
       var probes = List.empty[Int]
       val got = Relational.inversionCount(spark, df,
-        Seq($"x", $"yv", $"id"), buckets = 8, probe = probes ::= _)
+        Seq($"x", $"yv", $"id"), bucketsIn = 8, probe = probes ::= _)
       withClue(s"case $ci: ") { got shouldBe brute(xs) }
       // driver materialization stays O(partitions x bands), never O(n)
       val parts = spark.sparkContext.defaultParallelism
       probes.foreach(_ should be <= math.max(parts * 8, parts + 1))
     }
+    // cluster-parallelism clamp (round-11 verdict #2): at a simulated
+    // 4096-partition parallelism, the DEFAULT bucket count must
+    // auto-coarsen to fit the 1M driver-matrix cap (4096 x 244 <= 1M)
+    // instead of throwing — and the count stays exact, because fewer
+    // bands only shifts cross-partition pairs from the band matrix
+    // (class 2) to the band-local sweeps (class 3).
+    val big = (0 until 600).map(i =>
+      (rnd.nextInt(11).toLong, rnd.nextLong() % 100000L, i.toLong))
+    var probes4k = List.empty[Int]
+    val got4k = Relational.inversionCount(spark, big.toDF("x", "yv", "id"),
+      Seq($"x", $"yv", $"id"), probe = probes4k ::= _, partsIn = 4096)
+    got4k shouldBe brute(big)
+    // the matrix collect stayed under the cap despite 4096 partitions
+    probes4k.foreach(_ should be <= 1000000)
+    // an EXPLICIT bucket argument is never clamped: it must throw
+    val ex = intercept[IllegalArgumentException] {
+      Relational.inversionCount(spark, big.toDF("x", "yv", "id"),
+        Seq($"x", $"yv", $"id"), bucketsIn = 1024, partsIn = 4096)
+    }
+    ex.getMessage should include("driver-matrix cap")
   }
 }
