@@ -108,8 +108,14 @@ object Bmp {
     require(bpp == 24, s"bmp: unsupported bit depth $bpp")
     require(getU32(bytes, 30) == 0L, "bmp: compressed BMP unsupported")
     val rowBytes = stride(w)
-    require(dataOff + h.toLong * rowBytes <= bytes.length,
-      "bmp: pixel array overruns the file")
+    // gap-free layout: the pixel array must START where the headers
+    // end and FILL the file exactly. Without the exact-fit check a
+    // bit-flipped dataOff (e.g. 54 -> 38) still keeps the array in
+    // bounds and the decoder would silently read header bytes as
+    // pixels — the shifted-pixel failure mode the fuzz spec forbids.
+    require(dataOff >= 54 && dataOff + h.toLong * rowBytes == fileSize,
+      s"bmp: pixel array [$dataOff, ${dataOff + h.toLong * rowBytes}) " +
+        s"does not exactly fill the $fileSize-byte file")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {

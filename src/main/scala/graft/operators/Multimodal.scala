@@ -297,6 +297,68 @@ object Multimodal extends QueryPack {
         GROUP BY doc_id, w, h
         ORDER BY doc_id""")),
 
+    // ── real COMPRESSED-format decode: PNG via the JDK's zlib ──
+    // BMP/WAV prove fixed-layout parsing; this exercises the missing
+    // tier — a chunked container with per-chunk CRC-32, a deflated
+    // pixel stream (java.util.zip.Inflater, no new deps), and PNG's
+    // five predictive row filters reversed byte-exactly
+    // ([[Png.decode]]; rows cycle filter types 0-4 by construction,
+    // h ≥ 5 so every type occurs). Compression is lossless, so the
+    // oracle prices the pixel readout from the generating formula by
+    // integer arithmetic exactly as for mm_decode — a decoder that
+    // mis-reversed Sub/Up/Average/Paeth, dropped an IDAT, or skipped
+    // a CRC hash-mismatches (the position-weighted wsum cannot
+    // cancel). The container byte length is deflate-dependent, hence
+    // deliberately NOT emitted. 100 TB shape: map-only typed
+    // partitions, no shuffle.
+    "mm_png_decode" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val img = Png.decode(Png.fromText(id, t))
+            val (sr, sg, sb, ws) = pixelReadout(img.pixels)
+            (id, img.width.toLong, img.height.toLong,
+              img.bitDepth.toLong, img.colorType.toLong,
+              img.width.toLong * img.height, sr, sg, sb, ws)
+          }
+        }.toDF("doc_id", "width", "height", "bit_depth", "color_type",
+          "n_pixels", "sum_r", "sum_g", "sum_b", "wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        dim AS (
+          SELECT doc_id, t, m, (m % 19) + 4 AS w, (m % 11) + 5 AS h
+          FROM p),
+        px AS (
+          SELECT doc_id, w, h, t, m,
+                 unnest(generate_series(0, w * h - 1)) AS i
+          FROM dim),
+        ch AS (
+          SELECT doc_id, w, h, i,
+                 unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) % 256 AS r,
+                 (unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 11 + i)
+                   % 256 AS g,
+                 (i * 17 + doc_id) % 256 AS b
+          FROM px)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(8 AS BIGINT) AS bit_depth,
+          CAST(2 AS BIGINT) AS color_type,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((i + 1) * (r + 2 * g + 4 * b)) AS BIGINT) AS wsum
+        FROM ch
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id""")),
+
     // ── real nearest-neighbor image resize over decoded pixels ──
     // The thumbnail stage on REAL pixel semantics: decode the BMP
     // ([[Bmp.decode]]), then nearest-neighbor-resample to a fixed

@@ -2050,6 +2050,84 @@ object Similarity extends QueryPack {
       },
       oracle = Some(ivfProbeOracleSql)),
 
+    // ── filtered ANN: predicate + vector search in ONE scan ──
+    // Production retrieval is rarely "nearest anywhere": it is
+    // "nearest WHERE lang = X AND ts > T". Post-filtering an
+    // unfiltered top-k silently UNDER-RETURNS when the predicate is
+    // selective (filter 10% of the corpus and an unfiltered top-5
+    // keeps ~0.5 survivors — SimilaritySpec proves the miss on this
+    // fixture); the correct shape pushes the predicate INTO the index
+    // scan: filter each probed cell's rows BEFORE any distance is
+    // computed, then rank only survivors, so the full k comes back
+    // whenever the probed cells hold k matches. Here the predicate is
+    // label % 7 = 3 (~10% selective); the recall contract vs the
+    // FILTERED brute-force top-5 lives in SimilaritySpec. 100 TB
+    // shape: the filter is a codegen'd predicate on the cell scan —
+    // candidate work SHRINKS with selectivity, the broadcast probe
+    // fan-out is unchanged, and a partition-pruned label column would
+    // skip whole files before the scan.
+    "sim_ann_filtered" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (assigned, cents) = ivfModel(s, embCheckpointed(s, d))
+        val q = assigned.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val wProbe = Window.partitionBy($"query_id")
+          .orderBy($"cdist".asc, $"centroid_id")
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("cdist", l2sq($"qemb", $"cemb"))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter($"pr" <= IvfNProbe)
+          .select($"query_id", $"qemb", $"centroid_id".as("pcell"))
+        // predicate FIRST: rows failing it never reach the distance
+        val cell = assigned.filter($"label" % 7 === 3)
+        val wRank = Window.partitionBy($"query_id")
+          .orderBy($"cos_sim".desc, $"vec_id")
+        broadcast(probes).join(cell, $"pcell" === $"centroid_id")
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"rnk".cast(LongType).as("rnk"),
+            $"vec_id", $"label".cast(LongType).as("label"), $"cos_sim")
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some(s"""
+        $ivfBuildCtes,
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb
+          FROM fin WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qemb, centroid_id AS pcell FROM (
+            SELECT q.query_id, q.qemb, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS pr
+            FROM q, c3 c) x
+          WHERE pr <= $IvfNProbe),
+        flt AS (
+          SELECT f.vec_id, f.emb, f.centroid_id,
+                 CAST(em.label AS BIGINT) AS label
+          FROM fin f JOIN embeddings em ON em.vec_id = f.vec_id
+          WHERE em.label % 7 = 3),
+        scored AS (
+          SELECT p.query_id, f.vec_id, f.label,
+            round(
+              list_sum(list_transform(generate_series(1, len(p.qemb)),
+                i -> p.qemb[i] * f.emb[i])) /
+              (sqrt(list_sum(list_transform(p.qemb, x -> x*x))) *
+               sqrt(list_sum(list_transform(f.emb, x -> x*x)))), 9) AS cos_sim
+          FROM probes p JOIN flt f ON f.centroid_id = p.pcell
+          WHERE f.vec_id <> p.query_id)
+        SELECT query_id, rnk, vec_id, label, cos_sim FROM (
+          SELECT query_id, vec_id, label, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored) r
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
+
     // ── product quantization: reconstruction fidelity ──
     // The compression companion to sim_quantize_int8: 64 doubles → 8
     // codebook codes (64x smaller). Per-vector reconstruction error is
