@@ -64,6 +64,7 @@ object Bench {
     "llm_gopher_rules" -> 3.4,
     "llm_heavy_hitters" -> 1.1,
     "llm_repeated_spans" -> 1.5,
+    "llm_suffix_dups" -> 22.0,
     "llm_textrank" -> 2.2,
     "llm_token_count" -> 0.3,
     "llm_winnowing" -> 1.4,
@@ -74,6 +75,7 @@ object Bench {
     "q_topk_aggregate" -> 0.8,
     "q_zorder_layout" -> 5.0,
     "ref_tail_offsets" -> 0.6,
+    "sim_ann_graph_hier" -> 8.0,
     "sim_ann_ivfpq" -> 1.4,
     "sim_topk_bruteforce" -> 0.5)
 

@@ -1921,7 +1921,10 @@ object Similarity extends QueryPack {
       fn = (s, d) => graphBeamSearchHier(s, embCheckpointed(s, d))._1
         .filter(col("rnk") <= 5)
         .orderBy(col("query_id"), col("rnk")),
-      oracle = Some(graphHierOracleSql)),
+      oracle = Some(graphHierOracleSql),
+      // HEADLINED round 12 (verdict #2): the layered beam walk is the
+      // most expensive ANN plan in the pack and was unpriced
+      headline = true),
 
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
     // The operation a real pipeline runs before trusting an ANN index:

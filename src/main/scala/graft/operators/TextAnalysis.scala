@@ -957,7 +957,10 @@ object TextAnalysis extends QueryPack {
                CAST(MAX(maxrep) AS BIGINT) AS max_rep_len
         FROM rep
         GROUP BY doc_id
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      // HEADLINED round 12 (verdict #2): the O(log n) doubling rounds
+      // are the most expensive batch plan in the repo and were unpriced
+      headline = true),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a

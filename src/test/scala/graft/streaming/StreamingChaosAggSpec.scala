@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Chaos gates for the AGGREGATING streaming faces (round-11 verdict
+  * #5). The CDC/prefix-join gates prove pair MULTIPLICITY under a
+  * mid-batch kill; these faces carry arithmetic state where a replayed
+  * fold corrupts VALUES — a double-folded power sum changes skewness,
+  * a double-folded counter changes every estimate — so the gate here
+  * is stronger: after a kill between emission and batch commit plus a
+  * restart over the checkpoint, the final aggregates must be
+  * BIT-IDENTICAL to an unkilled control run on the same batches
+  * (doubles compared via raw bits). Run under BOTH state-store
+  * providers: DGIM's flatMapGroupsWithState state lives in the
+  * provider itself; the GenSwap faces exercise the offset/commit-log
+  * recovery the provider conf must not disturb.
+  */
+class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val hdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  private def withProvider(name: String)(body: String => Unit): Unit = {
+    val prev = spark.conf.getOption(StateStores.ProviderKey)
+    val cls = if (name == "rocksdb") StateStores.RocksDB else hdfsProvider
+    StateStores.select(spark, cls)
+    try body(name)
+    finally prev match {
+      case Some(v) => spark.conf.set(StateStores.ProviderKey, v)
+      case None => spark.conf.unset(StateStores.ProviderKey)
+    }
+  }
+
+  /** Rows rendered comparison-stable: doubles as raw long bits. */
+  private def stable(rows: Array[Row]): Vector[Seq[Any]] =
+    rows.toVector.map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case d: Double => java.lang.Double.doubleToRawLongBits(d)
+          case v => v
+        }
+      }
+    }.sortBy(_.mkString("|"))
+
+  private def writeJson(dir: java.nio.file.Path, name: String,
+      lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes(UTF_8))
+
+  /** Drive one face through b0 / b1 (armed kill + restart) / b2 and
+    * return the final delivery; `control = true` skips the kill so the
+    * same driver doubles as the unkilled reference run. */
+  private def drive(
+      start: (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path,
+        Array[Row] => Boolean) => org.apache.spark.sql.streaming.StreamingQuery,
+      batches: Seq[Seq[String]], chaos: Boolean, tag: String): Vector[Seq[Any]] = {
+    val src = Files.createTempDirectory(s"graft-chaos-$tag-src")
+    val ckpt = Files.createTempDirectory(s"graft-chaos-$tag-ckpt")
+    val state = Files.createTempDirectory(s"graft-chaos-$tag-state")
+    @volatile var last: Array[Row] = Array.empty
+    @volatile var armed = false
+    val sink: Array[Row] => Boolean = rows => {
+      last = rows
+      val kill = armed; armed = false; kill
+    }
+    writeJson(src, "b0.json", batches(0))
+    val q1 = start(src, ckpt, state, sink)
+    try q1.processAllAvailable() finally if (chaos) () else q1.stop()
+    if (chaos) {
+      // arm, feed batch 1, die between emission and the batch commit
+      writeJson(src, "b1.json", batches(1))
+      armed = true
+      try {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      val killedDelivery = stable(last)
+      // restart over the checkpoint: batch 1 REPLAYS; the re-delivery
+      // must be bit-identical to the killed attempt's
+      val q2 = start(src, ckpt, state, sink)
+      try {
+        q2.processAllAvailable()
+        stable(last) shouldBe killedDelivery
+        writeJson(src, "b2.json", batches(2))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    } else {
+      writeJson(src, "b1.json", batches(1))
+      val q2 = start(src, ckpt, state, sink)
+      try {
+        q2.processAllAvailable()
+        writeJson(src, "b2.json", batches(2))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    stable(last)
+  }
+
+  private val rnd = new scala.util.Random(19)
+  private def momRows(n: Int, key: String, lo: Long, hi: Long): Seq[String] =
+    (0 until n).map { _ =>
+      val x = lo + (math.abs(rnd.nextLong()) % (hi - lo + 1))
+      s"""{"key":"$key","x":$x}"""
+    }
+
+  test("chaos: momentsStream kill between emission and commit + restart " +
+      "yields aggregates bit-identical to an unkilled run, both providers") {
+    // fixed batch content: generate ONCE, reuse for control and chaos
+    val batches = Seq(
+      momRows(120, "pay", 1, 90) ++ momRows(40, "flat", 42, 42),
+      momRows(60, "pay", 100000, 100100) ++ momRows(10, "flat", 42, 42),
+      momRows(30, "pay", 5, 25))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingScoring.momentsStream(
+        spark.readStream.schema("key STRING, x LONG").json(src.toString),
+        state.toString, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"mom-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"mom-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
+  test("chaos: cmChangeStream kill between emission and commit + restart " +
+      "yields counters bit-identical to an unkilled run, both providers") {
+    val terms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    def cmRows(n: Int, seed: Int): Seq[String] = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        val t = (0 until 5).map(_ => terms(r.nextInt(terms.size)))
+          .mkString(" ")
+        s"""{"doc_id":${seed * 1000 + i},"text":"$t"}"""
+      }
+    }
+    val batches = Seq(cmRows(16, 1), cmRows(18, 2), cmRows(14, 3))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingScoring.cmChangeStream(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .json(src.toString),
+        epochBatches = 2, state.toString, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"cmc-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"cmc-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
+  test("chaos: dgimStream kill between emission and commit + restart " +
+      "yields window state bit-identical to an unkilled run, both providers") {
+    def evRows(keyDays: Seq[(String, Long)], idBase: Long): Seq[String] =
+      keyDays.zipWithIndex.map { case ((k, d), i) =>
+        s"""{"key":"$k","day":$d,"event_id":${idBase + i}}"""
+      }
+    val batches = Seq(
+      evRows(Seq.tabulate(40)(i => ("clk", (i / 4).toLong)), 0L),
+      evRows(Seq.tabulate(30)(i => ("clk", 10L + i / 3)) ++
+        Seq.tabulate(12)(i => ("buy", (i / 2).toLong)), 1000L),
+      evRows(Seq.tabulate(20)(i => ("clk", 20L + i / 5)), 2000L))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingDgim.dgimStream(
+        spark.readStream.schema("key STRING, day LONG, event_id LONG")
+          .json(src.toString),
+        windowDays = 7L, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"dgim-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"dgim-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+}
