@@ -303,48 +303,114 @@ object TextAnalysis extends QueryPack {
     * row per non-empty doc: (doc_id, n_tokens, n_dup_pos ≥ minLen,
     * max_rep_len). Driver footprint: one Long per round + the two
     * prefix/rank offset lists — O(partitions + rounds). */
-  private[operators] def suffixDups(docs: DataFrame, minLen: Int): DataFrame = {
+  /** The frozen artifacts of one [[suffixIndex]] build — everything a
+    * later APPEND ([[suffixDupsAppend]]) reads without re-ranking:
+    * per-level rank tables (dense iff `dense` was requested), the
+    * final ranks (= the suffix array), adjacent-suffix LCPs keyed by
+    * SA position, per-position longest-repeat lengths, and the term
+    * index. `gid`s occupy `[gidBase, gidBase + nTotal)`. */
+  private[operators] final case class SuffixIndex(
+      real: DataFrame,                   // (doc_id, gid, term)
+      levels: Vector[(Long, DataFrame)], // (span, (gid, rk)); last = final
+      finalRanks: DataFrame,             // (gid, rk) dense distinct = SA
+      adjLcp: DataFrame,                 // (sap, ga, gb, lcp); ga=SA[sap]
+      perPos: DataFrame,                 // (doc_id, gid, maxrep) real pos
+      termIdx: DataFrame,                // (term, trk) dense [0, vocab)
+      vocab: Long,
+      nDocs: Long,                       // docs with >= 1 token
+      nTotal: Long,                      // gids = tokens + sentinels
+      maxLen: Long,                      // max per-doc dlen (tokens + 1)
+      gidBase: Long)
+
+  /** Stats-resetting eager checkpoint for the suffix machinery's
+    * round-over-round self-joins — see
+    * [[org.apache.spark.sql.graftshim.Shim.cutCheckpoint]] for why the
+    * plain `localCheckpoint(true)` is exponential planning poison in
+    * ITERATIVE self-joining operators (carried `originStats` products
+    * double in bit length every round). */
+  private def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.Shim.cutCheckpoint(df)
+
+  /** Per-doc aggregate over a per-position longest-repeat table — the
+    * shared tail of [[suffixDups]] and [[suffixDupsAppend]]. */
+  private def aggDups(perPos: DataFrame, minLen: Int): DataFrame = {
+    val s = perPos.sparkSession
+    import s.implicits._
+    perPos.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"maxrep" >= minLen, 1L).otherwise(0L)).as("n_dup_pos"),
+        max($"maxrep").as("max_rep_len"))
+      .orderBy($"doc_id")
+  }
+
+  private[operators] def suffixDups(docs: DataFrame, minLen: Int): DataFrame =
+    suffixIndex(docs, dense = false, gidBase = 0L, minSpan = 1L) match {
+      case None =>
+        val s = docs.sparkSession
+        import s.implicits._
+        docs.limit(0).select($"doc_id", lit(0L).as("n_tokens"),
+          lit(0L).as("n_dup_pos"), lit(0L).as("max_rep_len"))
+      case Some(ix) => aggDups(ix.perPos, minLen)
+    }
+
+  /** Builds the corpus suffix index (see the algorithm notes above) and
+    * returns its artifacts; None when the corpus has no tokens.
+    *
+    * @param dense   force the sort path every doubling round so EVERY
+    *                level table carries dense ranks — required when the
+    *                index will serve as the frozen base of an append
+    *                (the append's floor arithmetic indexes old keys by
+    *                dense position); the plain batch query keeps the
+    *                cheaper alternating composite rounds.
+    * @param gidBase first gid (an append's shard starts after the base)
+    * @param minSpan doubling continues until span >= max(maxLen,
+    *                minSpan) — an append must run to the COMBINED
+    *                maximum document length so floors refine all the
+    *                way to old FINAL ranks. */
+  private[operators] def suffixIndex(
+      docs: DataFrame, dense: Boolean, gidBase: Long,
+      minSpan: Long): Option[SuffixIndex] = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs
       .withColumn("tokens", tokens)
       .select($"doc_id", $"tokens")
       .filter(size($"tokens") >= 1)
-      .localCheckpoint(true) // offsets, positions, sentinels all read it
+      .transform(cut) // offsets, positions, sentinels all read it
     val lens = toks.select($"doc_id",
       (size($"tokens") + 1).cast(LongType).as("dlen")) // +1: the sentinel
     val offs = Relational.globalPrefixSum(s, lens, Seq($"doc_id"), "dlen")
-      .withColumn("off", $"psum" - $"dlen")
+      .withColumn("off", $"psum" - $"dlen" + lit(gidBase))
       .select($"doc_id", $"off")
     val docMeta = Relational.globalRank(s, offs, Seq($"doc_id"))
       .withColumnRenamed("rk", "docrk")
     val withOff = toks.join(docMeta, Seq("doc_id"))
-      .localCheckpoint(true) // real positions + sentinels both read it
+      .transform(cut) // real positions + sentinels both read it
     val real = withOff
       .select($"doc_id", $"off", $"tokens")
       .transform(graft.functions.TextTokens.materialized)
       .select($"doc_id", $"off", posexplode($"tokens").as(Seq("p", "term")))
       .select($"doc_id", ($"off" + $"p").as("gid"), $"term")
-      .localCheckpoint(true) // term ranking + r0 + the final mapping
+      .transform(cut) // term ranking + r0 + the final mapping
     val termRanks = Relational.globalRank(s,
         real.select($"term").distinct(), Seq($"term"))
       .withColumnRenamed("rk", "trk")
+      .transform(cut) // r0 + the append's level-0 floor both read
     val vocab = termRanks.count()
-    if (vocab == 0L) // empty corpus: nothing to rank, nothing repeated
-      return toks.select($"doc_id", lit(0L).as("n_tokens"),
-        lit(0L).as("n_dup_pos"), lit(0L).as("max_rep_len"))
+    if (vocab == 0L) return None // empty corpus: nothing to rank
     val r0 = real.join(termRanks, Seq("term")).select($"gid", $"trk".as("rk"))
       .unionByName(withOff.select(
         ($"off" + size($"tokens")).as("gid"),
         (lit(vocab) + $"docrk").as("rk")))
-      .localCheckpoint(true)
+      .transform(cut)
     // The round count is known UPFRONT: per-doc unique sentinels make
     // every suffix distinct once the window covers the longest doc
     // (incl. its sentinel), so rounds = ceil(log2(max dlen)) — one
     // O(1)-row aggregate now instead of a convergence probe per round
     // (each probe was a full extra job on the rank table).
-    val mm = lens.agg(max($"dlen"), sum($"dlen")).head
-    val (maxLen, nTotal) = (mm.getLong(0), mm.getLong(1))
+    val mm = lens.agg(max($"dlen"), sum($"dlen"), count(lit(1))).head
+    val (maxLen, nTotal, nDocs) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2))
     // Alternate-round COMPOSITE re-rank: when the previous round's
     // ranks are dense (bounded by nTotal), the pair (r1, r2) maps to
     // the single Long r1·(n+2) + (r2+1) — order-preserving, equal
@@ -355,12 +421,13 @@ object TextAnalysis extends QueryPack {
     // tables serve it as-is. Guarded to n < 2³¹ (n² must stay inside
     // a Long): past that — trillions of tokens — every round takes
     // the sort path, which has no width ceiling.
-    val canCompose = nTotal < (1L << 31)
+    val canCompose = !dense && nTotal < (1L << 31)
     var levels = Vector[(Long, DataFrame)]((1L, r0))
     var cur = r0
     var span = 1L
     var composed = false
-    while (span < maxLen) {
+    val target = math.max(maxLen, minSpan)
+    while (span < target) {
       val shifted = cur.select(($"gid" - span).as("gid"), $"rk".as("r2"))
       val paired = cur.select($"gid", $"rk".as("r1"))
         .join(shifted, Seq("gid"), "left")
@@ -370,7 +437,7 @@ object TextAnalysis extends QueryPack {
         // nothing else — no distinct, no rank sort, no re-rank join
         cur = paired
           .select($"gid", ($"r1" * (nTotal + 2L) + ($"r2" + 1L)).as("rk"))
-          .localCheckpoint(true)
+          .transform(cut)
         composed = true
       } else {
         // sort path. Checkpoint the offset join FIRST: globalRank's
@@ -378,12 +445,12 @@ object TextAnalysis extends QueryPack {
         // join-back each execute their input — un-checkpointed, the
         // self-join ran ~3x per round (the dominant cost of the first
         // cut of this operator).
-        val p = paired.localCheckpoint(true)
+        val p = paired.transform(cut)
         val pairRanks = Relational.globalRank(s,
           p.select($"r1", $"r2").distinct(), Seq($"r1", $"r2"))
         cur = p.join(pairRanks, Seq("r1", "r2"))
           .select($"gid", $"rk")
-          .localCheckpoint(true) // next round + the LCP walk read it
+          .transform(cut) // next round + the LCP walk read it
         composed = false
       }
       span *= 2
@@ -397,12 +464,12 @@ object TextAnalysis extends QueryPack {
       cur = cur.withColumnRenamed("rk", "cr")
         .join(dr, Seq("cr"))
         .select($"gid", $"rk")
-        .localCheckpoint(true)
+        .transform(cut)
     }
     // adjacent suffix pairs: dense distinct final ranks ARE SA positions
     val adj = cur.select($"rk".as("sap"), $"gid".as("ga"))
       .join(cur.select(($"rk" - 1L).as("sap"), $"gid".as("gb")), Seq("sap"))
-      .select($"ga", $"gb", lit(0L).as("lcp"))
+      .select($"sap", $"ga", $"gb", lit(0L).as("lcp"))
     // descending walk over every level below the final (the final is
     // all-distinct: it can never contribute, only cost two joins)
     var lcpF = adj
@@ -413,26 +480,295 @@ object TextAnalysis extends QueryPack {
       lcpF = lcpF
         .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
         .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
-        .select($"ga", $"gb",
+        .select($"sap", $"ga", $"gb",
           ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
             .otherwise(lit(0L))).as("lcp"))
       // bound the walk's plan growth, but pay the materialization job
       // only every other level (two levels = four joins of lineage —
       // still well inside codegen limits)
       if (j % 2 == 1 || j == walk.length - 1)
-        lcpF = lcpF.localCheckpoint(true)
+        lcpF = lcpF.transform(cut)
     }
-    val perPos = lcpF.select($"ga".as("gid"), $"lcp")
+    val perRank = lcpF.select($"ga".as("gid"), $"lcp")
       .unionByName(lcpF.select($"gb".as("gid"), $"lcp"))
       .groupBy($"gid").agg(max($"lcp").as("maxrep"))
-    real.select($"doc_id", $"gid")
-      .join(perPos, Seq("gid"), "left")
+    val perPos = real.select($"doc_id", $"gid")
+      .join(perRank, Seq("gid"), "left")
       .withColumn("maxrep", coalesce($"maxrep", lit(0L)))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when($"maxrep" >= minLen, 1L).otherwise(0L)).as("n_dup_pos"),
-        max($"maxrep").as("max_rep_len"))
-      .orderBy($"doc_id")
+      .transform(cut) // batch aggregate + append update both read
+    Some(SuffixIndex(real, levels, cur, lcpF, perPos,
+      termRanks, vocab, nDocs, nTotal, maxLen, gidBase))
+  }
+
+  /** APPENDED-SHARD suffix-repeat update: [[suffixDups]] semantics over
+    * (base ∪ shard) while RANKING only the shard's suffixes — the
+    * `sim_ivfpq_append` frozen-index discipline applied to text. A full
+    * rebuild re-sorts all n_base + n_shard windows every doubling
+    * round; here the base's level tables are a FROZEN INDEX that is
+    * read (equality joins, one merge against the vocabulary) but never
+    * re-ranked, sound because per-doc sentinels make every base suffix
+    * order decision independent of what is appended after the corpus
+    * (any comparison is decided at or before the earlier sentinel, so
+    * the frozen order IS the combined order restricted to base
+    * suffixes).
+    *
+    * Mechanism, per doubling level (span 2^k, halves A·B):
+    *  1. A shard window's rank is the PAIR (maj, mn): maj = the dense
+    *     index of the greatest frozen level-k key ≤ it (-1 below all),
+    *     mn = 0 iff it EQUALS that key, else 1 + the rank of its key
+    *     among the shard's novel keys (globally key-ordered, hence
+    *     order-consistent inside every gap). Equal windows get equal
+    *     pairs; the pair order is the true window order — the doubling
+    *     invariant survives with old ranks byte-frozen.
+    *  2. maj refines by CASE, all equality joins against two frozen
+    *     per-level directories (`dk`: level index ↔ half-index pair;
+    *     `cumFirst`: last level index per first-half index):
+    *     A novel (mnA ≥ 1) → no old key shares A: maj = cumFirst(majA).
+    *     A = old key, B arbitrary → floor inside old group majA: a
+    *     keyed prefix count over ONLY the touched groups' directory
+    *     slice (IVF-style: probed cells, not the whole index).
+    *     Exact (mnA = mnB = 0, pair ∈ dk) → (that index, 0).
+    *  3. The final level's maj are insertion floors among the base's
+    *     FINAL ranks = suffix-array positions; [[Relational.globalRank]]
+    *     over (maj, mn) — shard rows only — yields the merged order.
+    *  4. LCPs by the usual descending-level walks: shard-shard pairs
+    *     test (maj, mn) equality; shard-base pairs test mn = 0 ∧ maj =
+    *     frozen rank. Per gap only (first, SA[maj]) and (last,
+    *     SA[maj+1]) cross pairs are needed.
+    *  5. Base positions update WITHOUT any scan: for base suffix q at
+    *     SA position f, max LCP against the shard = LCP with a merged
+    *     NEIGHBOR (SA-LCP lemma), and a non-adjacent old neighbor's LCP
+    *     is ≤ the frozen maxrep — so maxrep' = greatest(frozen, the two
+    *     gap-boundary cross LCPs at f), two equality joins on f.
+    *
+    * Ranked rows in the append phase (everything passed to globalRank,
+    * observable via `onRank`) are O(shard windows × levels) and
+    * INDEPENDENT of the base size — the spec gate builds the same
+    * shard over a 1× and a 4× base and counts identical totals. The
+    * base is touched only by: the level loop's directory reads, one
+    * vocabulary merge (metadata-scale), and the O(1)-per-gap SA/seed
+    * joins. Oracle: mechanism-independent brute force over the UNION —
+    * hash-equality against a full rebuild is the contract.
+    *
+    * @param onRank spec hook — called with the row count of every
+    *               DataFrame the append phase ranks (null = no-op,
+    *               zero overhead). */
+  private[operators] def suffixDupsAppend(
+      baseDocs: DataFrame, shardDocs: DataFrame, minLen: Int,
+      onRank: Long => Unit = null): DataFrame = {
+    val s = baseDocs.sparkSession
+    import s.implicits._
+    def ranked(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column])
+        : DataFrame = {
+      if (onRank != null) onRank(df.count())
+      Relational.globalRank(s, df, sortCols)
+    }
+    // shard tokenization first — the base build must double out to the
+    // COMBINED maximum document length so floors refine to final ranks
+    val toksN = shardDocs.withColumn("tokens", tokens)
+      .select($"doc_id", $"tokens").filter(size($"tokens") >= 1)
+      .transform(cut)
+    val mmN = toksN
+      .agg(coalesce(max(size($"tokens") + 1).cast(LongType), lit(0L))).head
+    val maxLenN = mmN.getLong(0)
+    val baseIx =
+      suffixIndex(baseDocs, dense = true, gidBase = 0L, minSpan = maxLenN)
+    if (baseIx.isEmpty) // empty base: everything is touched — plain build
+      return suffixDups(baseDocs.unionByName(shardDocs), minLen)
+    val bx = baseIx.get
+    if (maxLenN == 0L) // empty shard: the frozen answer is the answer
+      return aggDups(bx.perPos, minLen)
+
+    // ── shard layout: gids continue after the base block ──
+    val lensN = toksN.select($"doc_id",
+      (size($"tokens") + 1).cast(LongType).as("dlen"))
+    val offsN = Relational.globalPrefixSum(s, lensN, Seq($"doc_id"), "dlen")
+      .withColumn("off", $"psum" - $"dlen" + lit(bx.nTotal))
+      .select($"doc_id", $"off")
+    val docMetaN = ranked(offsN, Seq($"doc_id")).withColumnRenamed("rk", "docrk")
+    val withOffN = toksN.join(docMetaN, Seq("doc_id")).transform(cut)
+    val realN = withOffN.select($"doc_id", $"off", $"tokens")
+      .transform(graft.functions.TextTokens.materialized)
+      .select($"doc_id", $"off", posexplode($"tokens").as(Seq("p", "term")))
+      .select($"doc_id", ($"off" + $"p").as("gid"), $"term")
+      .transform(cut)
+    val sentN = withOffN.select(($"off" + size($"tokens")).as("gid"), $"docrk")
+
+    // ── level 0: place shard terms into the frozen alphabet order ──
+    // (terms < sentinels; shard sentinels above base sentinels — any
+    // consistent total order yields the same repeats)
+    val m0 = bx.vocab + bx.nDocs
+    val newTerms = realN.select($"term").distinct().transform(cut)
+    val matched0 = newTerms.join(bx.termIdx, Seq("term"))
+      .select($"term", $"trk".as("maj"), lit(0L).as("mn"))
+    val novel0 = newTerms.join(bx.termIdx, Seq("term"), "left_anti")
+      .transform(cut)
+    // floor by one merge against the vocabulary — the single base
+    // structure small enough (metadata-scale) to sort against whole
+    val fl0 = Relational.globalPrefixSum(s,
+        bx.termIdx.select($"term", lit(1L).as("iso"))
+          .unionByName(novel0.select($"term", lit(0L).as("iso"))),
+        Seq($"term"), "iso")
+      .filter($"iso" === 0L)
+      .select($"term", ($"psum" - 1L).as("maj"))
+    val novRk0 = ranked(novel0, Seq($"term")).withColumnRenamed("rk", "nrk")
+    val termMap = matched0.unionByName(
+        fl0.join(novRk0, Seq("term"))
+          .select($"term", $"maj", ($"nrk" + 1L).as("mn")))
+      .transform(cut)
+    var nl = realN.join(termMap, Seq("term")).select($"gid", $"maj", $"mn")
+      .unionByName(sentN.select($"gid",
+        lit(m0 - 1L).as("maj"), ($"docrk" + 1L).as("mn")))
+      .transform(cut)
+    var nlevels = Vector[(Long, DataFrame)]((1L, nl))
+
+    // ── prefix doubling over the shard only ──
+    var span = 1L
+    var li = 0
+    val target = math.max(bx.maxLen, maxLenN)
+    while (span < target) {
+      val h = span
+      val prevOld = bx.levels(li)._2
+      val curOld = bx.levels(li + 1)._2
+      // frozen directory: dense level index ↔ (first, second) half
+      // indices; cumFirst = last level index per first-half index
+      val dk = curOld
+        .join(prevOld.withColumnRenamed("rk", "ra"), Seq("gid"))
+        .join(prevOld.select(($"gid" - h).as("gid"), $"rk".as("rb")),
+          Seq("gid"), "left")
+        .select($"rk", $"ra", coalesce($"rb", lit(-1L)).as("rb"))
+        .distinct()
+        .transform(cut)
+      val cumFirst = dk.groupBy($"ra").agg(max($"rk").as("hi"))
+        .transform(cut)
+      val pairs = nl.select($"gid", $"maj".as("amaj"), $"mn".as("amn"))
+        .join(nl.select(($"gid" - h).as("gid"),
+          $"maj".as("bmaj"), $"mn".as("bmn")), Seq("gid"), "left")
+        .select($"gid", $"amaj", $"amn",
+          coalesce($"bmaj", lit(-1L)).as("bmaj"),
+          coalesce($"bmn", lit(0L)).as("bmn"))
+        .transform(cut)
+      val dp = pairs.select($"amaj", $"amn", $"bmaj", $"bmn").distinct()
+        .transform(cut)
+      // exact: both halves equal old keys and the pair is a key
+      val exact = dp.filter($"amn" === 0L && $"bmn" === 0L)
+        .join(dk, dp("amaj") === dk("ra") && dp("bmaj") === dk("rb"))
+        .select($"amaj", $"amn", $"bmaj", $"bmn",
+          $"rk".as("maj"), lit(0L).as("mn"))
+        .transform(cut)
+      // novel first half: no old key shares A — floor is the last old
+      // key whose first half <= A, i.e. cumFirst(majA) (-1 below all)
+      val novA = dp.filter($"amn" >= 1L)
+        .join(cumFirst.withColumnRenamed("ra", "amaj"), Seq("amaj"), "left")
+        .select($"amaj", $"amn", $"bmaj", $"bmn",
+          coalesce($"hi", lit(-1L)).as("fl"))
+      // A equals old key majA (and not exact): floor INSIDE group majA
+      // via a prefix count over only the touched groups' slice
+      val aM = dp.filter($"amn" === 0L)
+        .join(exact, Seq("amaj", "amn", "bmaj", "bmn"), "left_anti")
+      val slice = dk.join(
+          aM.select($"amaj".as("ra")).distinct(), Seq("ra"), "left_semi")
+      val scanIn = slice
+        .select($"ra".as("g"), $"rb".as("kk"), lit(0L).as("tag"),
+          lit(1L).as("iso"))
+        .unionByName(aM.select($"amaj".as("g"), $"bmaj".as("kk"),
+          lit(1L).as("tag"), lit(0L).as("iso")).distinct())
+        .withColumn("gs", $"g".cast(StringType))
+      // old (rb, 0) <= new B=(bmaj, bmn) iff rb <= bmaj, both mn cases
+      val scanned = Relational.keyedPrefixSum(s, scanIn, "gs",
+        Seq($"kk", $"tag"), "iso")
+      val grpFloor = scanned.filter($"tag" === 1L)
+        .select($"g".as("amaj"), $"kk".as("bmaj"), $"psum".as("c"))
+        .join(cumFirst.select(($"ra" + 1L).as("amaj"), $"hi".as("lom1")),
+          Seq("amaj"), "left")
+        .select($"amaj", $"bmaj",
+          (coalesce($"lom1", lit(-1L)) + $"c").as("fl")) // lo-1 + count
+      val novAll = novA.unionByName(
+          aM.join(grpFloor, Seq("amaj", "bmaj"))
+            .select($"amaj", $"amn", $"bmaj", $"bmn", $"fl"))
+        .transform(cut)
+      val novRk = ranked(novAll, Seq($"amaj", $"amn", $"bmaj", $"bmn"))
+      val classified = exact.unionByName(
+          novRk.select($"amaj", $"amn", $"bmaj", $"bmn",
+            $"fl".as("maj"), ($"rk" + 1L).as("mn")))
+        .transform(cut)
+      nl = pairs.join(classified, Seq("amaj", "amn", "bmaj", "bmn"))
+        .select($"gid", $"maj", $"mn").transform(cut)
+      span *= 2
+      li += 1
+      nlevels = nlevels :+ ((span, nl))
+    }
+
+    // ── merge: insertion gaps, cross pairs, LCP walks ──
+    val nr = ranked(nl, Seq($"maj", $"mn")).transform(cut)
+    val gapEnds = nr.groupBy($"maj")
+      .agg(min_by($"gid", $"rk").as("fgid"), max_by($"gid", $"rk").as("lgid"))
+      .transform(cut)
+    val sa = bx.finalRanks // (gid, rk): dense final ranks = SA positions
+    val lower = gapEnds
+      .join(sa.select($"rk".as("maj"), $"gid".as("og")), Seq("maj"))
+      .select($"maj", $"fgid".as("ng"), $"og") // drops maj = -1 itself
+    val upper = gapEnds
+      .join(sa.select(($"rk" - 1L).as("maj"), $"gid".as("og")), Seq("maj"))
+      .select($"maj", $"lgid".as("ng"), $"og") // drops maj = nTotal-1
+    def crossWalk(pairsIn: DataFrame): DataFrame = {
+      var cw = pairsIn.withColumn("lcp", lit(0L))
+      val wlk = nlevels.zip(bx.levels).init.reverse
+      for ((((spanJ, ntbl), (_, otbl)), j) <- wlk.zipWithIndex) {
+        cw = cw
+          .join(ntbl.select($"gid".as("_ng"), $"maj".as("nmaj"),
+            $"mn".as("nmn")), cw("ng") + cw("lcp") === col("_ng"), "left")
+          .join(otbl.select($"gid".as("_og"), $"rk".as("ork")),
+            cw("og") + cw("lcp") === col("_og"), "left")
+          .select($"maj", $"ng", $"og",
+            ($"lcp" + when($"nmn" === 0L && $"nmaj" === $"ork", lit(spanJ))
+              .otherwise(lit(0L))).as("lcp"))
+        if (j % 2 == 1 || j == wlk.length - 1) cw = cw.transform(cut)
+      }
+      cw
+    }
+    val lw = crossWalk(lower).transform(cut)
+    val uw = crossWalk(upper).transform(cut)
+    // shard-shard merged adjacency: consecutive merged ranks, same gap
+    var nnW = nr.select($"rk".as("xrk"), $"gid".as("ga"), $"maj".as("majA"))
+      .join(nr.select(($"rk" - 1L).as("xrk"), $"gid".as("gb"),
+        $"maj".as("majB")), Seq("xrk"))
+      .filter($"majA" === $"majB")
+      .select($"ga", $"gb", lit(0L).as("lcp"))
+    val wlkN = nlevels.init.reverse
+    for (((spanJ, tbl), j) <- wlkN.zipWithIndex) {
+      nnW = nnW
+        .join(tbl.select($"gid".as("_ga"), $"maj".as("ma"), $"mn".as("mna")),
+          nnW("ga") + nnW("lcp") === col("_ga"), "left")
+        .join(tbl.select($"gid".as("_gb"), $"maj".as("mb"), $"mn".as("mnb")),
+          nnW("gb") + nnW("lcp") === col("_gb"), "left")
+        .select($"ga", $"gb",
+          ($"lcp" + when($"ma".isNotNull && $"ma" === $"mb" &&
+            $"mna" === $"mnb", lit(spanJ)).otherwise(lit(0L))).as("lcp"))
+      if (j % 2 == 1 || j == wlkN.length - 1) nnW = nnW.transform(cut)
+    }
+
+    // ── per-position repeats: shard rows from their merged neighbors,
+    //    base rows from greatest(frozen, gap-boundary seeds) — the
+    //    SA-LCP lemma makes any farther pair's LCP <= one of these ──
+    val contrib = nnW.select($"ga".as("gid"), $"lcp")
+      .unionByName(nnW.select($"gb".as("gid"), $"lcp"))
+      .unionByName(lw.select($"ng".as("gid"), $"lcp"))
+      .unionByName(uw.select($"ng".as("gid"), $"lcp"))
+      .groupBy($"gid").agg(max($"lcp").as("maxrep"))
+    val newPerPos = realN.select($"doc_id", $"gid")
+      .join(contrib, Seq("gid"), "left")
+      .select($"doc_id", $"gid", coalesce($"maxrep", lit(0L)).as("maxrep"))
+    val dSeed = uw.select(($"maj" + 1L).as("sap"), $"lcp".as("dv"))
+    val uSeed = lw.select($"maj".as("sap"), $"lcp".as("uv"))
+    val oldUpd = bx.perPos
+      .join(sa, Seq("gid")).withColumnRenamed("rk", "sap")
+      .join(dSeed, Seq("sap"), "left")
+      .join(uSeed, Seq("sap"), "left")
+      .select($"doc_id", $"gid",
+        greatest($"maxrep", coalesce($"dv", lit(0L)),
+          coalesce($"uv", lit(0L))).as("maxrep"))
+    aggDups(oldUpd.unionByName(newPerPos), minLen)
   }
 
   /** Detection threshold for `llm_suffix_dups` — deliberately BELOW
@@ -441,6 +777,47 @@ object TextAnalysis extends QueryPack {
     * (TextAnalysisSpec gates a planted 6-token duplicate that
     * [[dupSpans]] provably misses). */
   private val SuffixDupMinLen = 6
+
+  /** Mechanism-independent brute-force oracle shared by
+    * `llm_suffix_dups` and `llm_suffix_dups_append` (the append's
+    * contract IS hash-equality with a full rebuild, so the two queries
+    * must answer to one oracle): every (position, length) gram of the
+    * corpus counted for a second occurrence — quadratic in doc length,
+    * fine at sf0.01; the scale path is the Spark side. */
+  private val SuffixDupsOracleSql: String = s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        tt AS (
+          SELECT doc_id, tokens, len(tokens) AS n
+          FROM toks WHERE len(tokens) >= 1),
+        pos AS (
+          SELECT doc_id, tokens, n,
+                 unnest(generate_series(1, CAST(n AS INT))) AS p
+          FROM tt),
+        gs AS (
+          SELECT doc_id, p,
+                 unnest(generate_series(1, CAST(n - p + 1 AS INT))) AS l,
+                 tokens
+          FROM pos),
+        g AS (
+          SELECT doc_id, p, l,
+                 array_to_string(tokens[p:p+l-1], ' ') AS gram
+          FROM gs),
+        cnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        rep AS (
+          SELECT g.doc_id, g.p,
+                 MAX(CASE WHEN cnt.c >= 2 THEN g.l ELSE 0 END) AS maxrep
+          FROM g JOIN cnt USING (gram)
+          GROUP BY g.doc_id, g.p)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (maxrep >= $SuffixDupMinLen) AS BIGINT)
+                 AS n_dup_pos,
+               CAST(MAX(maxrep) AS BIGINT) AS max_rep_len
+        FROM rep
+        GROUP BY doc_id
+        ORDER BY doc_id"""
 
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   private def kwCount(kw: String): String =
@@ -924,43 +1301,29 @@ object TextAnalysis extends QueryPack {
     // Spark side's n·log(doc) sorts).
     "llm_suffix_dups" -> QueryDef(
       fn = (s, d) => suffixDups(Tables.documents(s, d), SuffixDupMinLen),
-      oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
-          FROM documents),
-        tt AS (
-          SELECT doc_id, tokens, len(tokens) AS n
-          FROM toks WHERE len(tokens) >= 1),
-        pos AS (
-          SELECT doc_id, tokens, n,
-                 unnest(generate_series(1, CAST(n AS INT))) AS p
-          FROM tt),
-        gs AS (
-          SELECT doc_id, p,
-                 unnest(generate_series(1, CAST(n - p + 1 AS INT))) AS l,
-                 tokens
-          FROM pos),
-        g AS (
-          SELECT doc_id, p, l,
-                 array_to_string(tokens[p:p+l-1], ' ') AS gram
-          FROM gs),
-        cnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
-        rep AS (
-          SELECT g.doc_id, g.p,
-                 MAX(CASE WHEN cnt.c >= 2 THEN g.l ELSE 0 END) AS maxrep
-          FROM g JOIN cnt USING (gram)
-          GROUP BY g.doc_id, g.p)
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               CAST(COUNT(*) FILTER (maxrep >= $SuffixDupMinLen) AS BIGINT)
-                 AS n_dup_pos,
-               CAST(MAX(maxrep) AS BIGINT) AS max_rep_len
-        FROM rep
-        GROUP BY doc_id
-        ORDER BY doc_id"""),
+      oracle = Some(SuffixDupsOracleSql),
       // HEADLINED round 12 (verdict #2): the O(log n) doubling rounds
       // are the most expensive batch plan in the repo and were unpriced
       headline = true),
+
+    // ── incremental suffix array: append a shard, rank ONLY the shard ──
+    // A training corpus grows by shards; re-running the full doubling
+    // over 100 TB to ingest 1 TB is the scale failure [[suffixDupsAppend]]
+    // removes: the base's level tables are a frozen index (read via
+    // equality joins), shard windows get interleaved (floor, novel-rank)
+    // pair ranks per level, and base positions update from the SA-LCP
+    // lemma's gap-boundary seeds alone. The contract is HASH-EQUALITY
+    // with a full rebuild — one oracle serves both queries — and the
+    // spec additionally gates that ranked-row totals don't move when
+    // the base quadruples. Split: every 8th doc arrives as the shard.
+    "llm_suffix_dups_append" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        suffixDupsAppend(docs.filter($"doc_id" % 8 =!= 0),
+          docs.filter($"doc_id" % 8 === 0), SuffixDupMinLen)
+      },
+      oracle = Some(SuffixDupsOracleSql)),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a

@@ -456,4 +456,77 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     for (id <- expect.keySet)
       withClue(s"doc $id") { got(id) shouldBe expect(id) }
   }
+
+  private def collectDups(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1).toSeq
+
+  test("suffix-array APPEND equals a full rebuild on a fixture exercising " +
+      "every merge path") {
+    import spark.implicits._
+    // base: internal repeats, shared phrases, a short doc
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta quick brown fox jumps"),
+      (2L, "one two three alpha beta gamma delta epsilon zeta lazy dog"),
+      (3L, "p q r s t u v w END p q r s t u v w"),
+      (4L, "solo")).toDF("doc_id", "text")
+    // shard: repeats base text verbatim (raises doc 1/2's maxrep),
+    // novel vocabulary, shard-internal repeats, a shard-shard shared
+    // phrase, and a doc LONGER than any base doc (extra doubling
+    // levels past the frozen index's natural depth)
+    val shard = Seq(
+      (11L, "zz alpha beta gamma delta epsilon zeta quick brown fox yy"),
+      (12L, "nova mira lyra vega nova mira lyra vega nova mira lyra vega"),
+      (13L, "argo ceti deneb phact argo ceti deneb phact tail one two three"),
+      (14L, ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 " +
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 coda")),
+      (15L, "solo")).toDF("doc_id", "text")
+    val rebuild = collectDups(
+      TextAnalysis.suffixDups(base.unionByName(shard), 3))
+    val append = collectDups(
+      TextAnalysis.suffixDupsAppend(base, shard, 3))
+    append shouldBe rebuild
+  }
+
+  test("suffix-array APPEND equals a full rebuild on the sf0.001 corpus " +
+      "split 7:1") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val rebuild = collectDups(TextAnalysis.suffixDups(docs, 6))
+    val append = collectDups(TextAnalysis.suffixDupsAppend(
+      docs.filter($"doc_id" % 8 =!= 0), docs.filter($"doc_id" % 8 === 0), 6))
+    append shouldBe rebuild
+  }
+
+  test("suffix-array APPEND ranks only the shard: ranked-row totals are " +
+      "IDENTICAL under a 4x larger base") {
+    import spark.implicits._
+    val base1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta quick brown fox jumps"),
+      (2L, "one two three alpha beta gamma delta epsilon zeta lazy dog"))
+      .toDF("doc_id", "text")
+    // 6 extra docs over a DISJOINT alphabet: they cannot change which
+    // shard windows are novel, so if only the shard is ranked the
+    // totals cannot move; a rebuild's ranked rows grow with the base
+    val extra = (20L to 25L).map(i =>
+      (i, (0 until 12).map(j => s"x${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (11L, "zz alpha beta gamma delta epsilon zeta quick brown fox yy"),
+      (12L, "nova mira lyra vega nova mira lyra vega nova mira lyra vega"))
+      .toDF("doc_id", "text")
+    var c1 = 0L
+    var c4 = 0L
+    val r1 = collectDups(
+      TextAnalysis.suffixDupsAppend(base1, shard, 3, onRank = c1 += _))
+    val r4 = collectDups(TextAnalysis.suffixDupsAppend(
+      base1.unionByName(extra), shard, 3, onRank = c4 += _))
+    r1 shouldBe collectDups(
+      TextAnalysis.suffixDups(base1.unionByName(shard), 3))
+    r4 shouldBe collectDups(TextAnalysis.suffixDups(
+      base1.unionByName(extra).unionByName(shard), 3))
+    withClue(s"ranked rows: 1x base $c1, 4x base $c4") { c4 shouldBe c1 }
+    c1 should be > 0L
+  }
 }
