@@ -56,6 +56,14 @@ object CorpusAssembly extends QueryPack {
     * IEEE rate arithmetic directly. */
   private val TemperatureBudget = 200.0
 
+  /** `llm_unimax_mix` parameters: character budget + epoch cap, sized
+    * against the fixture per-source totals (~6.3k-9.2k chars each, 20
+    * sources, ~150k total at both sf0.001 and sf0.01) so BOTH allocator
+    * branches fire — the smallest sources hit the E·n_d epoch cap, the
+    * largest are budget-limited (4-5 capped at each fixture scale). */
+  private val UniMaxBudget = 140000L
+  private val UniMaxEpochs = 1L
+
   /** Per-language token budget for `llm_token_budget` — sized so the
     * fixture selects a strict, non-trivial subset of every language. */
   private val TokenBudget = 10000L
@@ -1464,6 +1472,70 @@ object CorpusAssembly extends QueryPack {
     // The multilingual-mix sampler (mT5/XLM-R shape): languages are
     // sampled with probability proportional to count^α, α<1, so
     // low-resource languages are UP-weighted relative to their natural
+    // ── UniMax mixing: epoch-capped uniform allocation over sources ──
+    // The mT5/UniMax discipline (Chung et al. 2023): rather than
+    // temperature-weighting (which over-samples small domains without
+    // bound), give every domain an EQUAL share of the remaining budget
+    // unless its full content x E epochs is smaller — processing
+    // domains ASCENDING by size makes the shares self-balancing (what a
+    // capped small domain leaves unspent raises everyone else's share).
+    // All-integer semantics (floor division, sizes in chars) so the
+    // sequential recurrence replays EXACTLY in the oracle's recursive
+    // CTE. Scale shape: the corpus is scanned once for per-source
+    // totals (map-side-combined aggregate); the allocator itself is
+    // metadata-scale (#domains rows on the driver, loudly capped) —
+    // the same discipline as the tokenizer vocab rounds.
+    "llm_unimax_mix" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val counts = Tables.documents(s, d).groupBy($"source")
+          .agg(sum($"n_chars").cast(LongType).as("nd"))
+          .orderBy($"nd", $"source")
+          .collect()
+        require(counts.length <= (1 << 20),
+          "llm_unimax_mix: over 1M domains — the driver-side allocator " +
+            "assumes a metadata-scale domain census")
+        var remaining = UniMaxBudget
+        val m = counts.length
+        val rows = counts.zipWithIndex.map { case (r, idx) =>
+          val nd = r.getLong(1)
+          val cap = UniMaxEpochs * nd
+          val share = remaining / (m - idx) // remaining domains incl. me
+          val a = math.min(cap, share)
+          remaining -= a
+          (r.getString(0), nd, a, a == cap)
+        }
+        rows.toSeq.toDF("source", "nd", "alloc", "capped")
+          .orderBy($"source")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE c AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS nd
+          FROM documents GROUP BY source),
+        o AS (
+          SELECT source, nd,
+                 CAST(row_number() OVER (ORDER BY nd, source) AS BIGINT) AS i,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c) AS m
+          FROM c),
+        alloc AS (
+          SELECT CAST(0 AS BIGINT) AS i,
+                 CAST($UniMaxBudget AS BIGINT) AS remaining,
+                 CAST(NULL AS VARCHAR) AS source,
+                 CAST(NULL AS BIGINT) AS nd, CAST(NULL AS BIGINT) AS a
+          UNION ALL
+          SELECT o.i,
+                 alloc.remaining
+                   - least($UniMaxEpochs * o.nd,
+                           alloc.remaining // (o.m - o.i + 1)),
+                 o.source, o.nd,
+                 least($UniMaxEpochs * o.nd,
+                       alloc.remaining // (o.m - o.i + 1))
+          FROM alloc JOIN o ON o.i = alloc.i + 1)
+        SELECT source, nd, a AS alloc, a = $UniMaxEpochs * nd AS capped
+        FROM alloc WHERE i >= 1
+        ORDER BY source"""),
+      headline = false),
+
     // share without the explicit per-domain targets of llm_domain_mix
     // (the fixture's lang column is genuinely skewed, en ≈ 3× fr). α
     // is fixed at 1/2 deliberately: sqrt is IEEE-correctly-rounded in

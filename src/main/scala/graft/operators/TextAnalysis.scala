@@ -39,6 +39,16 @@ object TextAnalysis extends QueryPack {
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "555-[0-9]{4}"
 
+  /** Blocklist fixture for `llm_blocklist_match` — single-sourced into
+    * the oracle's VALUES list. Deliberately includes NESTED patterns
+    * ("table"/"able", "scan"/"row scan", "window"/"stream window") so
+    * the all-occurrences contract (overlaps counted, every suffix
+    * pattern reported via the failure-chain closure) is load-bearing,
+    * plus one pattern absent from the corpus. */
+  private val BlocklistPats = Seq(
+    "slow filter", "big table", "table", "able", "row scan",
+    "scan", "stream window", "window", "never matches anything")
+
   /** Minimum token length for an emitted duplicated span
     * (`llm_dup_spans`). Lee et al. 2022 use 50 BPE tokens against
     * web-scale corpora; the fixture's documents are short, so the
@@ -1324,6 +1334,48 @@ object TextAnalysis extends QueryPack {
           docs.filter($"doc_id" % 8 === 0), SuffixDupMinLen)
       },
       oracle = Some(SuffixDupsOracleSql)),
+
+    // ── multi-pattern blocklist: the whole dictionary in ONE scan ──
+    // N `contains` probes (or one N-way regex alternation) cost O(N)
+    // scans or O(N)-per-position work; [[graft.functions.BlocklistScan]]
+    // runs the Aho-Corasick DFA — O(1) per byte for the ENTIRE pattern
+    // set, counting every overlapping occurrence and the distinct
+    // patterns present. The fixture list nests patterns ("table"/"able",
+    // "scan"/"row scan") so overlap counting is actually exercised; the
+    // oracle brute-forces every (position, pattern) pair.
+    "llm_blocklist_match" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val h = graft.functions.BlocklistScan
+          .blocklist_scan(lower($"text"), BlocklistPats)
+        Tables.documents(s, d)
+          .select($"doc_id", h.as("h"))
+          .select($"doc_id", $"h.n_hits".as("n_hits"),
+            $"h.n_patterns".as("n_patterns"),
+            ($"h.n_hits" > 0L).as("blocked"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH pats AS (SELECT * FROM (VALUES
+          ${BlocklistPats.map(p => s"('$p')").mkString(", ")}) AS t(p)),
+        pos AS (
+          SELECT doc_id, lower(text) AS lt,
+                 unnest(generate_series(1, CAST(length(text) AS INT))) AS i
+          FROM documents),
+        hit AS (
+          SELECT doc_id, p
+          FROM pos JOIN pats ON substring(lt, i, length(p)) = p),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(count(DISTINCT p) AS BIGINT) AS n_patterns
+          FROM hit GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_hits, 0) AS n_hits,
+               coalesce(a.n_patterns, 0) AS n_patterns,
+               coalesce(a.n_hits, 0) > 0 AS blocked
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""),
+      headline = false),
 
     // ── PII detection + redaction ──
     // A 100 TB training-data pipeline scrubs emails/phone numbers in a

@@ -148,6 +148,28 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     kept shouldBe expected
   }
 
+  test("UniMax allocation: budget-exhausting, self-balancing, both branches live") {
+    val rows = run("llm_unimax_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.length shouldBe 20
+    // the whole budget is spent (total corpus exceeds it at this fixture)
+    rows.map(_._3).sum shouldBe 140000L
+    // an allocation never exceeds the epoch cap or the domain's content
+    rows.foreach { case (_, nd, a, capped) =>
+      a should be <= nd
+      capped shouldBe (a == nd)
+    }
+    // BOTH allocator branches must stay exercised — if a testdata
+    // regeneration made every source cap (or none), the oracle would
+    // still agree but the query would stop discriminating
+    rows.count(_._4) should be > 0
+    rows.count(!_._4) should be > 0
+    // self-balancing signature: every uncapped domain gets >= the
+    // naive equal share (caps only ever RELEASE budget to the rest)
+    val naive = 140000L / 20
+    rows.filter(!_._4).foreach { case (_, _, a, _) => a should be >= naive }
+  }
+
   test("temperature sampling up-weights low-resource languages and meets its budget") {
     val rows = run("llm_temperature_mix").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
