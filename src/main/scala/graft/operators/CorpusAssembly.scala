@@ -1741,7 +1741,117 @@ object CorpusAssembly extends QueryPack {
         SELECT ch.doc_id, ch.chunk_no, ch.tok_start,
                CAST(ch.n_toks AS BIGINT) AS n_toks, ch.fp, cnt.fp_count
         FROM ch JOIN cnt USING (fp)
-        ORDER BY ch.doc_id, ch.chunk_no"""))
+        ORDER BY ch.doc_id, ch.chunk_no"""),
+      headline = false),
+
+    // ── paragraph-level dedup with document reassembly (CCNet) ──
+    // The web-corpus cleaner between exact-doc dedup and model
+    // training (CCNet, Wenzek 2020; RefinedWeb keeps the same stage):
+    // boilerplate paragraphs — navbars, cookie banners, license
+    // footers — repeat across MILLIONS of pages that are not document
+    // duplicates, so dedup must act BELOW the document: split every
+    // doc into paragraphs (here non-overlapping 16-token blocks, the
+    // llm_chunk_overlap splitter at stride = width), fingerprint each,
+    // keep only the corpus-wide FIRST occurrence (smallest
+    // (doc_id, para_no) — deterministic, order-independent), and
+    // REASSEMBLE each doc from its surviving paragraphs in original
+    // order. Plan: one posexplode per doc, ONE map-side-combined
+    // groupBy(fp) min for the keeper census, ONE fp-equality join
+    // back, then a per-doc collect_list bounded by the doc's own
+    // length (never a corpus-wide window). The emitted kept_fp is the
+    // rolling hash OF THE REASSEMBLED TEXT, so the oracle hash proves
+    // the reassembly order, not just the counts; docs stripped to
+    // nothing emit NULL on both engines. At 100 TB the keeper census
+    // shuffles one (fp, key) pair per paragraph and the join is
+    // fp-equality — never all-pairs; the first-occurrence rule keeps
+    // the operator idempotent (re-running on its own output is the
+    // identity), which is what makes it safe to run per-crawl-batch.
+    // Paragraph ordinals stay below 2^20 (a 16M-token doc), so the
+    // composite keeper key doc_id·2^20 + para_no is collision-free —
+    // enforced with a loud require, not a comment.
+    "llm_paragraph_dedup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val t = materialized(
+            Tables.documents(s, d).select($"doc_id", tokens.as("toks")))
+          .withColumn("n", size($"toks").cast(LongType))
+          .filter($"n" > 0L)
+        val ch = t
+          .select($"doc_id", $"n", $"toks",
+            posexplode(sequence(lit(0L), $"n" - 1L, lit(16L)))
+              .as(Seq("i", "start")))
+          .withColumn("para_no", expr("start div 16"))
+          .withColumn("n_toks", least(lit(16L), $"n" - $"start"))
+          .withColumn("para_str", array_join(
+            slice($"toks", ($"start" + 1L).cast("int"),
+              $"n_toks".cast("int")), " "))
+          .withColumn("fp",
+            graft.functions.RollingHash.rolling_hash2($"para_str"))
+          .withColumn("kk",
+            when($"para_no" < (1L << 20),
+                $"doc_id" * (1L << 20) + $"para_no")
+              .otherwise(raise_error(lit(
+                "llm_paragraph_dedup: para_no overflows the composite " +
+                  "keeper key — widen the key"))))
+          .select($"doc_id", $"para_no", $"n_toks", $"para_str",
+            $"fp", $"kk")
+          .localCheckpoint(true) // keeper census + the join back
+        val keeper = ch.groupBy($"fp").agg(min($"kk").as("keep_kk"))
+        ch.join(keeper, Seq("fp"))
+          .withColumn("kept", ($"kk" === $"keep_kk").cast("long"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_paras"),
+            sum($"kept").as("n_kept"),
+            sum($"n_toks" * $"kept").as("kept_tokens"),
+            sort_array(collect_list(when($"kept" === 1L,
+              struct($"para_no", $"para_str")))).as("keptl"))
+          .select($"doc_id", $"n_paras", $"n_kept", $"kept_tokens",
+            when($"n_kept" > 0L, graft.functions.RollingHash.rolling_hash2(
+              array_join(expr("transform(keptl, x -> x.para_str)"), " ")))
+              .as("kept_fp"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, $tokensSql AS toks FROM documents),
+        t AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+          FROM d WHERE len(toks) > 0),
+        st AS (
+          SELECT doc_id, n, toks,
+                 unnest(generate_series(0, n - 1, 16)) AS s
+          FROM t),
+        cs AS (
+          SELECT doc_id, s // 16 AS para_no,
+                 LEAST(16, n - s) AS n_toks,
+                 array_to_string(toks[s + 1 : s + LEAST(16, n - s)], ' ')
+                   AS para_str
+          FROM st),
+        ch AS (
+          SELECT doc_id, para_no, n_toks, para_str,
+                 ${graft.functions.RollingHash.fp2Sql("para_str")} AS fp,
+                 doc_id * 1048576 + para_no AS kk
+          FROM cs),
+        keeper AS (
+          SELECT fp, MIN(kk) AS keep_kk FROM ch GROUP BY fp),
+        kd AS (
+          SELECT ch.*, CASE WHEN ch.kk = keeper.keep_kk
+                            THEN 1 ELSE 0 END AS kept
+          FROM ch JOIN keeper USING (fp)),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_paras,
+                 CAST(SUM(kept) AS BIGINT) AS n_kept,
+                 CAST(SUM(n_toks * kept) AS BIGINT) AS kept_tokens,
+                 string_agg(para_str, ' ' ORDER BY para_no)
+                   FILTER (WHERE kept = 1) AS kept_str
+          FROM kd GROUP BY doc_id)
+        SELECT doc_id, n_paras, n_kept, kept_tokens,
+               CASE WHEN n_kept > 0
+                    THEN ${graft.functions.RollingHash.fp2Sql("kept_str")}
+                    ELSE NULL END AS kept_fp
+        FROM agg ORDER BY doc_id"""))
   )
 
   /** Number of BPE merges the learn/apply pair performs. */

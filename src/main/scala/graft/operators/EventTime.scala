@@ -29,6 +29,14 @@ object EventTime extends QueryPack {
   // µs-resolution TIMESTAMP, so ns-resolution comparisons on the Spark
   // side could order same-µs events differently. `ts div 1000` aligns
   // both engines on identical integers.
+  /** evt_holt tap tables (single source for BOTH engines): stage-one
+    * kernel 2^(7−k), and its self-convolution — the two-stage (Brown)
+    * kernel (k+1 or 15−k)·2^(14−k). Σ = 255 and 255² = 65025. */
+  private val HoltW1: IndexedSeq[Long] =
+    (0 to 7).map(k => 1L << (7 - k))
+  private val HoltW2: IndexedSeq[Long] =
+    (0 to 14).map(k => (if (k <= 7) k + 1L else 15L - k) << (14 - k))
+
   private val HourUs = 3600L * 1000000L
   private val DayUs = 24L * HourUs
   private val GapUs = 30L * 60L * 1000000L
@@ -1513,6 +1521,137 @@ object EventTime extends QueryPack {
                  + CASE WHEN y6 IS NULL THEN 0 ELSE 2 END
                  + CASE WHEN y7 IS NULL THEN 0 ELSE 1 END AS smooth_den
         FROM l ORDER BY user_id, event_id""")),
+
+    // ── Holt-style level + trend smoothing (Brown double EWMA) ──
+    // evt_ewma denoises but LAGS a trending series — every EWMA of a
+    // ramp sits systematically below it. Brown's double exponential
+    // smoothing (Brown 1959) fixes that with zero extra passes: run
+    // the same α=1/2 smoother TWICE (s2 = EWMA of s1), then
+    // level = 2·s1 − s2, trend = s1 − s2 (α/(1−α) = 1 at α = 1/2),
+    // one-step forecast = 3·s1 − 2·s2. Truncated at 8 taps per stage,
+    // s2's kernel is the CONVOLUTION of s1's with itself — 15 taps
+    // with weights (k+1 or 15−k)·2^(14−k), still EXACT integers — so
+    // the whole statistic is the rational (num, den) pair of two
+    // integer convolutions: no floating recurrence, no cross-engine
+    // drift, series heads renormalize per stage by construction. ONE
+    // window pass per user computes all 15 lags (a single sort, then
+    // codegen'd arithmetic); the sequential Holt recurrence cannot
+    // parallelize, the truncated form is embarrassingly parallel at
+    // any scale. Tap tables are single-source Scala values
+    // interpolated into BOTH engines' expressions.
+    "evt_holt" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val ev = Tables.events(s, d).select($"user_id", $"event_id",
+          expr("ts div 1000").as("tus"),
+          (dec($"value") * 100).cast(LongType).as("y"))
+        def lv(i: Int) = if (i == 0) $"y" else lag($"y", i).over(w)
+        def conv(weights: IndexedSeq[Long]) = (
+          weights.indices.map { i =>
+            coalesce(lv(i) * weights(i), lit(0L))
+          }.reduce(_ + _),
+          weights.indices.map { i =>
+            when(lv(i).isNotNull, lit(weights(i))).otherwise(lit(0L))
+          }.reduce(_ + _))
+        val (s1n, s1d) = conv(HoltW1)
+        val (s2n, s2d) = conv(HoltW2)
+        ev.select($"user_id", $"event_id",
+            s1n.as("s1n"), s1d.as("s1d"), s2n.as("s2n"), s2d.as("s2d"))
+          .select($"user_id", $"event_id",
+            (lit(2L) * $"s1n" * $"s2d" - $"s2n" * $"s1d").as("level_num"),
+            ($"s1n" * $"s2d" - $"s2n" * $"s1d").as("trend_num"),
+            (lit(3L) * $"s1n" * $"s2d" - lit(2L) * $"s2n" * $"s1d")
+              .as("forecast_num"),
+            ($"s1d" * $"s2d").as("den"))
+          .orderBy($"user_id", $"event_id")
+      },
+      oracle = Some {
+        def term(w: Long, k: Int) =
+          if (k == 0) s"$w * y" else s"COALESCE($w * y$k, 0)"
+        def denTerm(w: Long, k: Int) =
+          if (k == 0) s"$w"
+          else s"CASE WHEN y$k IS NULL THEN 0 ELSE $w END"
+        val lags = (1 to 14)
+          .map(k => s"LAG(y, $k) OVER w AS y$k").mkString(", ")
+        val s1n = HoltW1.zipWithIndex.map { case (w, k) => term(w, k) }
+          .mkString(" + ")
+        val s1d = HoltW1.zipWithIndex.map { case (w, k) => denTerm(w, k) }
+          .mkString(" + ")
+        val s2n = HoltW2.zipWithIndex.map { case (w, k) => term(w, k) }
+          .mkString(" + ")
+        val s2d = HoltW2.zipWithIndex.map { case (w, k) => denTerm(w, k) }
+          .mkString(" + ")
+        s"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        l AS (
+          SELECT user_id, event_id, y, $lags
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        m AS (
+          SELECT user_id, event_id,
+                 $s1n AS s1n, $s1d AS s1d, $s2n AS s2n, $s2d AS s2d
+          FROM l)
+        SELECT user_id, event_id,
+               2 * s1n * s2d - s2n * s1d AS level_num,
+               s1n * s2d - s2n * s1d AS trend_num,
+               3 * s1n * s2d - 2 * s2n * s1d AS forecast_num,
+               s1d * s2d AS den
+        FROM m ORDER BY user_id, event_id"""
+      }),
+
+    // ── maximum drawdown (worst drop from a running peak) ──
+    // The risk statistic a mean or variance cannot see: how far below
+    // its own best-so-far a series ever fell — the canonical
+    // "max drawdown" of finance and the regression-from-peak measure
+    // an SLO dashboard wants for any monotone-target metric. Exact
+    // integer algebra in cents: ONE per-user ordered window pass
+    // computes the running peak (a rows-unbounded-preceding MAX — the
+    // streaming-friendly prefix extreme, not a self-join), drawdown is
+    // peak − y, then ONE map-side-combined groupBy(user) folds the
+    // census: overall peak, worst drawdown, and how many events sat
+    // strictly underwater. Window partitions are users (millions of
+    // keys at 100 TB, never a global window); everything after the one
+    // sort is codegen'd arithmetic.
+    "evt_drawdown" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            expr("ts div 1000").as("tus"),
+            (dec($"value") * 100).cast(LongType).as("y"))
+          .withColumn("runpeak", max($"y").over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max($"y").as("peak_cents"),
+            max($"runpeak" - $"y").as("max_drawdown_cents"),
+            sum(when($"y" < $"runpeak", 1L).otherwise(0L))
+              .as("n_underwater"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        r AS (
+          SELECT user_id, y,
+                 MAX(y) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS runpeak
+          FROM ev)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(y) AS BIGINT) AS peak_cents,
+               CAST(MAX(runpeak - y) AS BIGINT) AS max_drawdown_cents,
+               CAST(SUM(CASE WHEN y < runpeak THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_underwater
+        FROM r GROUP BY user_id ORDER BY user_id""")),
 
     // ── robust outlier census: median/MAD (the modified z-score) ──
     // evt_anomaly's 3σ rule breaks down exactly when it matters —

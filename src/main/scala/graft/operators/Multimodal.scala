@@ -359,6 +359,73 @@ object Multimodal extends QueryPack {
         GROUP BY doc_id, w, h
         ORDER BY doc_id""")),
 
+    // ── real DICTIONARY-coding decode: GIF87a with from-scratch LZW ──
+    // The compression-family ladder's last classic rung: PNG exercised
+    // LZ77+Huffman through the JDK's zlib; GIF's LZW is implemented
+    // HERE from the public spec — variable-width codes growing 9→12
+    // bits (with the off-by-one width-change sync every LZW pairing
+    // must get right), LSB-first bit packing, in-band CLEAR/EOI
+    // control codes, dictionary reset at the 4096-entry cap, the
+    // KwKwK self-reference, 255-byte sub-block framing, and a
+    // 256-entry global color table the decoder READS (never assumes).
+    // Lossless, so the oracle prices the palette-index readout and
+    // the post-palette color sums from the generating formula — a
+    // decoder that desynced code widths, mishandled a reset, or
+    // misread the palette hash-mismatches (the position-weighted wsum
+    // cannot cancel). 100 TB shape: map-only typed partitions, no
+    // shuffle ([[Gif]]).
+    "mm_gif_decode" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val img = Gif.decode(Gif.fromText(id, t))
+            val (sr, sg, sb, ws) = pixelReadout(img.pixels)
+            var sumIdx = 0L
+            img.indices.foreach(sumIdx += _)
+            (id, img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, sumIdx, sr, sg, sb, ws)
+          }
+        }.toDF("doc_id", "width", "height", "n_pixels", "sum_idx",
+          "sum_r", "sum_g", "sum_b", "wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        dim AS (
+          SELECT doc_id, t, m, (m % 17) + 5 AS w, (m % 7) + 4 AS h
+          FROM p),
+        px AS (
+          SELECT doc_id, w, h, t, m,
+                 unnest(generate_series(0, w * h - 1)) AS i
+          FROM dim),
+        ix AS (
+          SELECT doc_id, w, h, i,
+                 (unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 13
+                   + i * 29 + doc_id) % 256 AS idx
+          FROM px),
+        ch AS (
+          SELECT doc_id, w, h, i, idx,
+                 idx AS r,
+                 (3 * idx + 7) % 256 AS g,
+                 (5 * idx + 11) % 256 AS b
+          FROM ix)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(idx) AS BIGINT) AS sum_idx,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((i + 1) * (r + 2 * g + 4 * b)) AS BIGINT) AS wsum
+        FROM ch
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id""")),
+
     // ── real nearest-neighbor image resize over decoded pixels ──
     // The thumbnail stage on REAL pixel semantics: decode the BMP
     // ([[Bmp.decode]]), then nearest-neighbor-resample to a fixed
@@ -776,6 +843,155 @@ object Multimodal extends QueryPack {
                         THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
           CAST(MAX(abs(sv)) AS BIGINT) AS peak
         FROM f GROUP BY doc_id, frame
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ── real RUN-LENGTH decode: BI_RLE8 BMP ──
+    // The fourth classic compression family after zlib (PNG) and LZW
+    // (GIF): run-length coding in its canonical container, the
+    // 8-bit-palette RLE BMP — encoded run packets, ABSOLUTE literal
+    // packets with word-alignment pad bytes, end-of-line / end-of-
+    // bitmap escapes, bottom-up row order to un-flip, and a palette
+    // the decoder READS from the file ([[BmpRle]]). The generator's
+    // two-regime index formula guarantees both packet kinds occur on
+    // real corpora; lossless, so the oracle prices the index and
+    // post-palette color readout from the formula — a decoder that
+    // dropped a pad byte, mis-joined runs across rows, or skipped the
+    // un-flip hash-mismatches via the position-weighted wsum. 100 TB
+    // shape: map-only typed partitions, no shuffle.
+    "mm_rle_decode" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val img = BmpRle.decode(BmpRle.fromText(id, t))
+            val (sr, sg, sb, ws) = pixelReadout(img.pixels)
+            var sumIdx = 0L
+            img.indices.foreach(sumIdx += _)
+            (id, img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, sumIdx, sr, sg, sb, ws)
+          }
+        }.toDF("doc_id", "width", "height", "n_pixels", "sum_idx",
+          "sum_r", "sum_g", "sum_b", "wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        dim AS (
+          SELECT doc_id, t, m, (m % 13) + 6 AS w, (m % 5) + 3 AS h
+          FROM p),
+        px AS (
+          SELECT doc_id, w, h, t, m,
+                 unnest(generate_series(0, w * h - 1)) AS i
+          FROM dim),
+        ix AS (
+          SELECT doc_id, w, h, i,
+                 CASE WHEN (i // 4) % 4 = 0 THEN
+                   (unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 17
+                     + i * 23 + doc_id) % 256
+                 ELSE
+                   (unicode(substr(t, CAST(((i // 4) % m) + 1 AS INT), 1))
+                     * 17 + (i // 4) * 23 + doc_id) % 256
+                 END AS idx
+          FROM px),
+        ch AS (
+          SELECT doc_id, w, h, i, idx,
+                 (7 * idx + 3) % 256 AS r,
+                 (11 * idx + 5) % 256 AS g,
+                 (13 * idx + 9) % 256 AS b
+          FROM ix)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(SUM(idx) AS BIGINT) AS sum_idx,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((i + 1) * (r + 2 * g + 4 * b)) AS BIGINT) AS wsum
+        FROM ch
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id""")),
+
+    // ── real audio resample: linear interpolation over decoded PCM ──
+    // The audio twin of mm_resize: decode the WAV ([[Wav.decode]]),
+    // then LINEAR-resample the clip to a fixed 48-sample grid — out
+    // sample j sits at source position j·(n−1)/47, value
+    // s(i0)·(47−frac) + s(i0+1)·frac with i0 = ⌊j(n−1)/47⌋ and
+    // frac = j(n−1) mod 47 — the standard first-order kernel kept as
+    // the EXACT rational num/47 (no float rounding surface; nearest-
+    // neighbor was mm_resize's kernel, interpolation is the piece it
+    // didn't price). The oracle replays the index arithmetic against
+    // the generating formula, so a kernel that floored the wrong way,
+    // swapped endpoints, or read off-by-one samples mismatches via
+    // the position-weighted checksum. Map-only, no shuffle; output is
+    // 48 samples/doc regardless of clip length — how a feature
+    // frontend behaves at 100 TB.
+    "mm_wav_resample" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val R = 48
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val au = Wav.decode(Wav.fromText(id, t))
+            val n = au.samples.length
+            var sum = 0L; var ws = 0L
+            var j = 0
+            while (j < R) {
+              val posNum = j.toLong * (n - 1)
+              val i0 = (posNum / (R - 1)).toInt
+              val frac = posNum % (R - 1)
+              val s1 = au.samples(i0).toLong
+              val s2 = au.samples(math.min(i0 + 1, n - 1)).toLong
+              val outNum = s1 * ((R - 1) - frac) + s2 * frac
+              sum += outNum
+              ws += (j + 1).toLong * outNum
+              j += 1
+            }
+            (id, n.toLong, au.sampleRate.toLong, R.toLong, sum, ws)
+          }
+        }.toDF("doc_id", "n_samples", "sample_rate", "out_samples",
+          "sum_num", "wsum_num")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        d AS (SELECT doc_id, t, m, (m % 97) + 32 AS n,
+                     8000 + (m % 8) * 1000 AS rate
+              FROM p),
+        o AS (
+          SELECT doc_id, t, m, n, rate,
+                 unnest(generate_series(0, 47)) AS j
+          FROM d),
+        ix AS (
+          SELECT doc_id, t, m, n, rate, j,
+                 (j * (n - 1)) // 47 AS i0,
+                 (j * (n - 1)) % 47 AS frac
+          FROM o),
+        sv AS (
+          SELECT doc_id, n, rate, j, frac,
+            ((unicode(substr(t, CAST((i0 % m) + 1 AS INT), 1)) * 523
+              + i0 * 1031 + doc_id) % 65536) - 32768 AS s1,
+            ((unicode(substr(t,
+                CAST((LEAST(i0 + 1, n - 1) % m) + 1 AS INT), 1)) * 523
+              + LEAST(i0 + 1, n - 1) * 1031 + doc_id) % 65536) - 32768
+              AS s2
+          FROM ix)
+        SELECT doc_id,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(rate AS BIGINT) AS sample_rate,
+          CAST(48 AS BIGINT) AS out_samples,
+          CAST(SUM(s1 * (47 - frac) + s2 * frac) AS BIGINT) AS sum_num,
+          CAST(SUM((j + 1) * (s1 * (47 - frac) + s2 * frac)) AS BIGINT)
+            AS wsum_num
+        FROM sv
+        GROUP BY doc_id, n, rate
+        ORDER BY doc_id"""))
   )
 }

@@ -2571,6 +2571,85 @@ object Relational extends QueryPack {
                UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3)
         SELECT node, lvl FROM l3 ORDER BY lvl, node""")),
 
+    // ── shortest-path COUNTING BFS (the Brandes σ stage) ──
+    // q_bfs_levels answers "how far"; this answers "along how many
+    // distinct shortest routes" — σ(v), the number of shortest paths
+    // from the source to v, the integer half of Brandes' betweenness
+    // algorithm (Brandes 2001) and the redundancy census a network
+    // planner reads directly (σ = 1 marks a single-route choke point).
+    // σ is exact by the DAG recurrence: a node first reached at round
+    // r inherits σ = Σ σ(u) over its distance-(r−1) neighbors, so
+    // each round is the SAME frontier⋈edges join as BFS plus one
+    // map-side-combined groupBy-sum in place of the distinct — path
+    // counts cost nothing over reachability. 3 rounds unrolled,
+    // checkpoint barrier per round; at 10^11 edges a round shuffles
+    // O(frontier·degree) rows on the node key, and σ stays a BIGINT
+    // sum (the 3-hop counts are far below 2^63; a deeper horizon
+    // would swap in the evt_moments BigInt-string discipline). The
+    // oracle replays the recurrence round by round — the hash checks
+    // the join-shaped plan against the definitional level sums.
+    "q_bfs_sigma" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        val sym = edges.unionByName(
+            edges.select($"v".as("u"), $"u".as("v")))
+          .localCheckpoint(true) // one join per round reads this
+        // u < v on every raw edge, so min(u) IS the smallest vertex
+        var lvl = sym.agg(min($"u").as("node"))
+          .select($"node", lit(0L).as("lvl"), lit(1L).as("sigma"))
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          val cand = lvl.filter($"lvl" === (r - 1L))
+            .join(sym, $"node" === $"u")
+            .select($"v".as("node"), $"sigma")
+          val fresh = cand.join(lvl.select($"node"), Seq("node"), "left_anti")
+            .groupBy($"node")
+            .agg(sum($"sigma").as("sigma"))
+            .select($"node", lit(r.toLong).as("lvl"), $"sigma")
+          lvl = lvl.unionByName(fresh).localCheckpoint(true)
+        }
+        lvl.orderBy($"lvl", $"node")
+      },
+      oracle = Some("""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS (
+          SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS lvl,
+                 CAST(1 AS BIGINT) AS sigma FROM sym),
+        f1 AS (
+          SELECT s.v AS node, SUM(l0.sigma) AS sigma FROM sym s
+          JOIN l0 ON s.u = l0.node
+          WHERE s.v NOT IN (SELECT node FROM l0)
+          GROUP BY s.v),
+        l1 AS (SELECT * FROM l0
+               UNION ALL SELECT node, CAST(1 AS BIGINT), sigma FROM f1),
+        f2 AS (
+          SELECT s.v AS node, SUM(l1.sigma) AS sigma FROM sym s
+          JOIN l1 ON s.u = l1.node AND l1.lvl = 1
+          WHERE s.v NOT IN (SELECT node FROM l1)
+          GROUP BY s.v),
+        l2 AS (SELECT * FROM l1
+               UNION ALL SELECT node, CAST(2 AS BIGINT), sigma FROM f2),
+        f3 AS (
+          SELECT s.v AS node, SUM(l2.sigma) AS sigma FROM sym s
+          JOIN l2 ON s.u = l2.node AND l2.lvl = 2
+          WHERE s.v NOT IN (SELECT node FROM l2)
+          GROUP BY s.v),
+        l3 AS (SELECT * FROM l2
+               UNION ALL SELECT node, CAST(3 AS BIGINT), sigma FROM f3)
+        SELECT node, lvl, CAST(sigma AS BIGINT) AS sigma
+        FROM l3 ORDER BY lvl, node""")),
+
     // ── weighted single-source shortest paths (Bellman–Ford) ──
     // The MIN-PLUS companion to q_bfs_levels: hop count is the wrong
     // metric when edges carry costs, and Dijkstra's priority queue

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -362,6 +363,83 @@ object TextAnalysis extends QueryPack {
           lit(0L).as("n_dup_pos"), lit(0L).as("max_rep_len"))
       case Some(ix) => aggDups(ix.perPos, minLen)
     }
+
+  /** Cross-split contamination at ANY length: for every EVAL-split
+    * document position, the longest substring starting there that also
+    * occurs ANYWHERE in the train split — read off the shared
+    * [[suffixIndex]], never a pairwise comparison.
+    *
+    * Mechanism (the nearest-other-split SA scan, Manber–Myers LCP
+    * lemma): the LCP of two arbitrary suffixes is the MIN of the
+    * adjacent-pair LCPs between their SA positions, so the best train
+    * match for an eval suffix is realized at the NEAREST train suffix
+    * above or below it in SA order (a longer span can only lower the
+    * min). Both directions reduce to segment scans: ONE global prefix
+    * count of train positions over SA order splits the array into
+    * train-delimited segments, and within each segment a running MIN
+    * of the adjacent LCPs (a window whose partitions are the
+    * inter-train gaps — thousands of tiny partitions, never a global
+    * window) prices every eval position's chain back to its delimiter.
+    * Sentinel positions ride along as chain links with LCP 0, which is
+    * exactly right — a shared substring cannot cross a document
+    * boundary. Work beyond the index build: one prefix sum + two
+    * segment windows + equality joins, all O(n). The eval gate is the
+    * SAME multiplicative hash `llm_train_val_split` trains on, so the
+    * report prices the actual split. */
+  private[operators] def suffixContamination(
+      docs: DataFrame, minLen: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val evalGate =
+      "((doc_id % 1000003) * 2654435761) % 1000000 >= 900000"
+    suffixIndex(docs, dense = false, gidBase = 0L, minSpan = 1L) match {
+      case None =>
+        docs.limit(0).select($"doc_id", lit(0L).as("n_tokens"),
+          lit(0L).as("n_contam_pos"), lit(0L).as("max_shared_len"))
+      case Some(ix) =>
+        val lcpD = ix.adjLcp.select($"sap", $"lcp".as("lcp_down"))
+        val rows = ix.finalRanks
+          .join(ix.real.select($"gid", $"doc_id"), Seq("gid"), "left")
+          .select($"rk".as("sap"), $"doc_id",
+            when($"doc_id".isNotNull && expr(evalGate), 1L)
+              .otherwise(0L).as("is_eval"),
+            when($"doc_id".isNotNull && !expr(evalGate), 1L)
+              .otherwise(0L).as("is_train"))
+          .join(lcpD, Seq("sap"), "left")
+          .join(lcpD.select(($"sap" + 1L).as("sap"),
+            $"lcp_down".as("lcp_up")), Seq("sap"), "left")
+        val ps = Relational.globalPrefixSum(s, rows, Seq($"sap"), "is_train")
+          .withColumnRenamed("psum", "cnt_t")
+          .transform(cut) // the total + both windows read it
+        val tot = ps.agg(max($"cnt_t").as("tot_t"))
+        val seg = ps.crossJoin(broadcast(tot))
+          .withColumn("seg_t_desc", $"tot_t" - $"cnt_t" + $"is_train")
+        // ascending pass: chain min back DOWN to the nearest train
+        // suffix (the segment's first row — its own entering edge is
+        // outside the chain, hence nulled); descending pass mirrors
+        val wDown = Window.partitionBy($"cnt_t").orderBy($"sap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wUp = Window.partitionBy($"seg_t_desc").orderBy($"sap".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val best = seg
+          .withColumn("best_down", when($"cnt_t" === 0L, lit(null))
+            .otherwise(min(when($"is_train" === 1L, lit(null))
+              .otherwise($"lcp_up")).over(wDown)))
+          .withColumn("best_up", when($"seg_t_desc" === 0L, lit(null))
+            .otherwise(min(when($"is_train" === 1L, lit(null))
+              .otherwise($"lcp_down")).over(wUp)))
+        best.filter($"is_eval" === 1L)
+          .withColumn("shared", greatest(
+            coalesce($"best_down", lit(0L)),
+            coalesce($"best_up", lit(0L))))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when($"shared" >= minLen, 1L).otherwise(0L))
+              .as("n_contam_pos"),
+            max($"shared").as("max_shared_len"))
+          .orderBy($"doc_id")
+    }
+  }
 
   /** Builds the corpus suffix index (see the algorithm notes above) and
     * returns its artifacts; None when the corpus has no tokens.
@@ -1334,6 +1412,62 @@ object TextAnalysis extends QueryPack {
           docs.filter($"doc_id" % 8 === 0), SuffixDupMinLen)
       },
       oracle = Some(SuffixDupsOracleSql)),
+
+    // ── cross-split contamination at ANY length (suffix-array) ──
+    // llm_contamination's fixed 8-gram join answers "does an eval
+    // 8-gram appear in train"; this answers the question a
+    // decontamination audit actually asks — the LONGEST train
+    // substring each eval document contains, at any length, plus how
+    // many of its positions start a ≥6-token shared run. One shared
+    // [[suffixIndex]] over the tagged union, then the
+    // nearest-other-split scan ([[suffixContamination]]): a global
+    // prefix count + two gap-partitioned segment windows, O(n) beyond
+    // the index build — NEVER an eval×train comparison. The eval gate
+    // is the same multiplicative hash llm_train_val_split uses. The
+    // oracle is mechanism-independent brute force (every eval
+    // (position, length) gram probed against the train gram set), so
+    // the engines share no intermediate structure, only the answer.
+    "llm_suffix_contain" -> QueryDef(
+      fn = (s, d) =>
+        suffixContamination(Tables.documents(s, d), SuffixDupMinLen),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
+          FROM documents),
+        tt AS (
+          SELECT doc_id, tokens, len(tokens) AS n,
+                 ((doc_id % 1000003) * 2654435761) % 1000000 >= 900000
+                   AS is_eval
+          FROM toks WHERE len(tokens) >= 1),
+        pos AS (
+          SELECT doc_id, is_eval, tokens, n,
+                 unnest(generate_series(1, CAST(n AS INT))) AS p
+          FROM tt),
+        gs AS (
+          SELECT doc_id, is_eval, p,
+                 unnest(generate_series(1, CAST(n - p + 1 AS INT))) AS l,
+                 tokens
+          FROM pos),
+        g AS (
+          SELECT doc_id, is_eval, p, l,
+                 array_to_string(tokens[p:p+l-1], ' ') AS gram
+          FROM gs),
+        tg AS (SELECT DISTINCT gram FROM g WHERE NOT is_eval),
+        rep AS (
+          SELECT g.doc_id, g.p,
+                 MAX(CASE WHEN tg.gram IS NOT NULL THEN g.l ELSE 0 END)
+                   AS maxshared
+          FROM g LEFT JOIN tg USING (gram)
+          WHERE g.is_eval
+          GROUP BY g.doc_id, g.p)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (maxshared >= $SuffixDupMinLen)
+                 AS BIGINT) AS n_contam_pos,
+               CAST(MAX(maxshared) AS BIGINT) AS max_shared_len
+        FROM rep
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
 
     // ── multi-pattern blocklist: the whole dictionary in ONE scan ──
     // N `contains` probes (or one N-way regex alternation) cost O(N)

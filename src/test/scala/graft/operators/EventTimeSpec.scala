@@ -190,6 +190,81 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("evt_holt matches a sequential two-stage fold and genuinely " +
+      "de-lags a ramp where plain EWMA trails it") {
+    // independent recompute: per user, time-sorted, stage-one kernel
+    // 2^(7-i) over <=8 taps and the two-stage (convolved) kernel
+    // (k+1 | 15-k) * 2^(14-k) over <=15 taps, then Brown's identities
+    // in exact integers — the sequential form of the window query
+    val w1 = (0 to 7).map(k => 1L << (7 - k))
+    val w2 = (0 to 14).map(k => (if (k <= 7) k + 1L else 15L - k) << (14 - k))
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(p => (p._3, p._2)).toIndexedSeq
+      sorted.indices.map { t =>
+        def conv(w: IndexedSeq[Long]) = {
+          val taps = (0 to math.min(t, w.length - 1))
+            .map(i => (sorted(t - i)._4, w(i)))
+          (taps.map { case (y, c) => y * c }.sum, taps.map(_._2).sum)
+        }
+        val (s1n, s1d) = conv(w1)
+        val (s2n, s2d) = conv(w2)
+        (u, sorted(t)._2, 2L * s1n * s2d - s2n * s1d,
+          s1n * s2d - s2n * s1d, 3L * s1n * s2d - 2L * s2n * s1d,
+          s1d * s2d)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.SparkEntry.queries("evt_holt")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // the POINT of the second stage: on a pure ramp y = c*t the Brown
+    // level equals y exactly once both kernels are saturated, while
+    // single EWMA lags by a constant — check the algebra on a
+    // synthetic saturated ramp through the same tap tables
+    val ramp = (0 until 20).map(_ * 10L)
+    val t = 19
+    def conv(w: IndexedSeq[Long]) = {
+      val taps = w.indices.map(i => (ramp(t - i), w(i)))
+      (taps.map { case (y, c) => y * c }.sum, taps.map(_._2).sum)
+    }
+    val (s1n, s1d) = conv(w1)
+    val (s2n, s2d) = conv(w2)
+    // level = 2*s1 - s2 == y_t exactly; s1 alone sits below y_t
+    (2L * s1n * s2d - s2n * s1d) shouldBe ramp(t) * (s1d * s2d)
+    s1n should be < ramp(t) * s1d
+  }
+
+  test("evt_drawdown matches a sequential per-user running-peak fold") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val ys = g.sortBy(p => (p._3, p._2)).map(_._4)
+      var peak = Long.MinValue
+      var maxDd = Long.MinValue
+      var under = 0L
+      ys.foreach { y =>
+        peak = math.max(peak, y)
+        maxDd = math.max(maxDd, peak - y)
+        if (y < peak) under += 1
+      }
+      (u, ys.length.toLong, peak, maxDd, under)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_drawdown")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // non-degenerate: somebody actually went underwater
+    expected.map(_._5).sum should be > 0L
+  }
+
   test("evt_mad_outliers matches a direct sort-based median/MAD recompute") {
     // the query derives medians from cumulative counts over the
     // distinct-value table; this recompute sorts the raw values — an

@@ -420,6 +420,184 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("GIF round-trips pixels exactly: uniform runs (the KwKwK LZW " +
+      "case), small images, and a large pseudo-random image that " +
+      "forces width growth 9-12 bits AND a 4096-entry dictionary reset") {
+    // uniform image: the encoder emits cScSc... so the decoder MUST
+    // take the code==next (KwKwK) branch — a decoder without it throws
+    val uni = Gif.decode(Gif.encode(9, 7, _ => 42))
+    uni.indices.toSeq shouldBe Seq.fill(63)(42)
+    uni.pixels.toSeq shouldBe Seq.fill(63)(
+      (Gif.paletteR(42) << 16) | (Gif.paletteG(42) << 8) | Gif.paletteB(42))
+    // small mixed image
+    def pix(i: Int): Int = (i * 37 + 11) % 256
+    val small = Gif.decode(Gif.encode(13, 5, pix))
+    small.indices.toSeq shouldBe (0 until 65).map(pix)
+    // large pseudo-random image: an LCG stream compresses poorly, so
+    // the dictionary marches through every code width and past the
+    // 4096-entry cap (>= 30k pixels with ~unit match length), forcing
+    // at least one in-band CLEAR reset — the whole LZW surface
+    val n = 200 * 150
+    val rndPix = Array.tabulate(n)(i => ((i * 1103515245L + 12345) >> 7).toInt & 0xff)
+    val big = Gif.decode(Gif.encode(200, 150, rndPix))
+    big.width shouldBe 200
+    big.height shouldBe 150
+    big.indices.toSeq shouldBe rndPix.toSeq
+  }
+
+  test("GIF fromText matches the oracle's generating formula index " +
+      "for index through the palette") {
+    val t = "graphics interchange五 format!".filter(c => c >= ' ' && c <= '~')
+    val m = t.length
+    val img = Gif.decode(Gif.fromText(5L, t))
+    img.width shouldBe (m % 17) + 5
+    img.height shouldBe (m % 7) + 4
+    for (i <- img.indices.indices) {
+      val c = t.charAt(i % m).toInt
+      val idx = ((c * 13L + i * 29L + 5L) % 256L).toInt
+      withClue(s"pixel $i: ") {
+        img.indices(i) shouldBe idx
+        img.pixels(i) shouldBe ((Gif.paletteR(idx) << 16) |
+          (Gif.paletteG(idx) << 8) | Gif.paletteB(idx))
+      }
+    }
+  }
+
+  test("GIF fuzz: every single-bit flip either throws the codec's own " +
+      "error or decodes to a well-formed image (GIF has no CRC), " +
+      "never an index crash; truncation/extension always throws") {
+    val good = Gif.fromText(23L, "lempel ziv welch, variable width")
+    val base = Gif.decode(good)
+    val rnd = new scala.util.Random(11)
+    for (off <- 0 until good.length; bit <- Seq(0, rnd.nextInt(7) + 1)) {
+      val m = good.clone(); m(off) = (m(off) ^ (1 << bit)).toByte
+      withClue(s"byte $off bit $bit: ") {
+        try {
+          val img = Gif.decode(m)
+          // no integrity check covers the GCT, so palette flips
+          // legitimately decode — but framing can never drift: the
+          // structural fields are all validated
+          img.width shouldBe base.width
+          img.height shouldBe base.height
+          img.indices.length shouldBe base.indices.length
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage should include("gif")
+        }
+      }
+    }
+    for (k <- Seq(0, 5, 6, 12, 500, 790, good.length - 2, good.length - 1)) {
+      withClue(s"truncate to $k: ") {
+        intercept[IllegalArgumentException](Gif.decode(good.take(k)))
+          .getMessage should include("gif")
+      }
+    }
+    intercept[IllegalArgumentException](
+      Gif.decode(good ++ Array[Byte](0)))
+      .getMessage should include("gif")
+  }
+
+  test("RLE8 BMP round-trips exactly: uniform runs, >255-pixel run " +
+      "splits, singleton stretches through ABSOLUTE packets (whitebox: " +
+      "the packet really occurs), and bottom-up rows un-flip") {
+    // uniform: one encoded run per row
+    val uni = BmpRle.decode(BmpRle.encode(9, 4, _ => 200))
+    uni.indices.toSeq shouldBe Seq.fill(36)(200)
+    uni.pixels(0) shouldBe ((BmpRle.paletteR(200) << 16) |
+      (BmpRle.paletteG(200) << 8) | BmpRle.paletteB(200))
+    // a 300-wide constant row forces the 255-count packet split
+    val wide = BmpRle.decode(BmpRle.encode(300, 2, i => if (i < 300) 7 else 9))
+    wide.indices.take(300).toSeq shouldBe Seq.fill(300)(7)
+    wide.indices.drop(300).toSeq shouldBe Seq.fill(300)(9)
+    // all-distinct row: MUST encode as one absolute packet [0, 10, ...]
+    val distinct = BmpRle.encode(10, 1, i => i * 7 % 256)
+    val dataOff = 54 + 1024
+    (distinct(dataOff) & 0xff) shouldBe 0
+    (distinct(dataOff + 1) & 0xff) shouldBe 10
+    BmpRle.decode(distinct).indices.toSeq shouldBe
+      (0 until 10).map(_ * 7 % 256)
+    // row order: top row differs from bottom row -> un-flip is pinned
+    val asym = BmpRle.decode(BmpRle.encode(4, 2, i => if (i < 4) 1 else 2))
+    asym.indices.toSeq shouldBe Seq(1, 1, 1, 1, 2, 2, 2, 2)
+  }
+
+  test("RLE8 BMP fromText matches the oracle's two-regime generating " +
+      "formula index for index through the palette") {
+    val t = "run length encoded bitmap五!".filter(c => c >= ' ' && c <= '~')
+    val m = t.length
+    val img = BmpRle.decode(BmpRle.fromText(9L, t))
+    img.width shouldBe (m % 13) + 6
+    img.height shouldBe (m % 5) + 3
+    for (i <- img.indices.indices) {
+      val idx =
+        if ((i / 4) % 4 == 0)
+          ((t.charAt(i % m).toInt * 17L + i * 23L + 9L) % 256L).toInt
+        else
+          ((t.charAt((i / 4) % m).toInt * 17L + (i / 4) * 23L + 9L) % 256L).toInt
+      withClue(s"pixel $i: ") {
+        img.indices(i) shouldBe idx
+        img.pixels(i) shouldBe ((BmpRle.paletteR(idx) << 16) |
+          (BmpRle.paletteG(idx) << 8) | BmpRle.paletteB(idx))
+      }
+    }
+  }
+
+  test("RLE8 BMP fuzz: every single-bit flip either throws the codec's " +
+      "own error or decodes to the same dimensions (no CRC in BMP), " +
+      "never an index crash; truncation/extension always throws") {
+    val good = BmpRle.fromText(31L, "absolute packets need three singletons")
+    val base = BmpRle.decode(good)
+    val rnd = new scala.util.Random(13)
+    for (off <- 0 until good.length; bit <- Seq(0, rnd.nextInt(7) + 1)) {
+      val m = good.clone(); m(off) = (m(off) ^ (1 << bit)).toByte
+      withClue(s"byte $off bit $bit: ") {
+        try {
+          val img = BmpRle.decode(m)
+          img.width shouldBe base.width
+          img.height shouldBe base.height
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage should include("bmprle")
+        }
+      }
+    }
+    for (k <- Seq(0, 1, 13, 53, 1000, 1078, good.length - 1)) {
+      withClue(s"truncate to $k: ") {
+        intercept[IllegalArgumentException](BmpRle.decode(good.take(k)))
+          .getMessage should include("bmprle")
+      }
+    }
+    intercept[IllegalArgumentException](
+      BmpRle.decode(good ++ Array[Byte](0)))
+      .getMessage should include("bmprle")
+  }
+
+  test("WAV linear resample pins the first-order kernel: exact " +
+      "endpoints, constant clips stay constant, a linear ramp " +
+      "resamples to the exact rational line") {
+    val s = Wav.decode(Wav.fromText(3L, "linear interpolation kernel test"))
+      .samples
+    val n = s.length
+    def outNum(j: Int): Long = {
+      val posNum = j.toLong * (n - 1)
+      val i0 = (posNum / 47).toInt
+      val frac = posNum % 47
+      s(i0).toLong * (47 - frac) + s(math.min(i0 + 1, n - 1)).toLong * frac
+    }
+    outNum(0) shouldBe s(0).toLong * 47
+    outNum(47) shouldBe s(n - 1).toLong * 47
+    // a synthetic ramp r(i) = 5i: out_num(j)/47 == 5*j*(n-1)/47 exactly
+    val rampN = 12
+    def rampOut(j: Int): Long = {
+      val posNum = j.toLong * (rampN - 1)
+      val i0 = posNum / 47
+      val frac = posNum % 47
+      5L * i0 * (47 - frac) + 5L * math.min(i0 + 1, rampN - 1) * frac
+    }
+    for (j <- 0 to 47)
+      withClue(s"ramp j=$j: ") { rampOut(j) shouldBe 5L * j * (rampN - 1) }
+  }
+
   test("WAV decoder rejects structural lies: bad magic, wrong RIFF " +
       "size, truncated data chunk, stereo, 8-bit") {
     val good = Wav.encode(8000, Array.tabulate(4)(i => (i * 100).toShort))

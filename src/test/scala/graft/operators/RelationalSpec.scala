@@ -569,6 +569,44 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.map(_._2).distinct.size should be >= 3
   }
 
+  test("q_bfs_sigma equals a queue-based path-counting recompute") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj: Map[Long, Set[Long]] =
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = adj.keys.min
+    // sequential Brandes sigma stage: sigma(v) sums over the
+    // distance-(r-1) predecessors, exactly the DAG recurrence
+    var levels = Map(src -> 0L)
+    var sigma = Map(src -> 1L)
+    var frontier = Set(src)
+    for (r <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(levels.keySet)
+      val nextSigma = next.map { v =>
+        v -> adj.getOrElse(v, Set.empty).toSeq
+          .filter(u => levels.get(u).contains(r - 1L))
+          .map(sigma).sum
+      }.toMap
+      levels = levels ++ next.map(_ -> r.toLong)
+      sigma = sigma ++ nextSigma
+      frontier = next
+    }
+    val expected = levels.toSeq.map { case (n, l) => (n, l, sigma(n)) }
+      .sortBy(t => (t._2, t._1))
+    val got = graft.SparkEntry.queries("q_bfs_sigma")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    // path counting is non-degenerate: some node holds sigma > 1
+    // (several shortest routes), so the census says more than BFS does
+    got.map(_._3).max should be > 1L
+  }
+
   test("q_sssp_weighted equals a sequential Bellman-Ford recompute and " +
       "weighted routes genuinely diverge from hop-count BFS") {
     val li = graft.Tables.lineitem(spark, sf)

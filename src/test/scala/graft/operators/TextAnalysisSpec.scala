@@ -457,6 +457,64 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       withClue(s"doc $id") { got(id) shouldBe expect(id) }
   }
 
+  private def evalGate(id: Long): Boolean =
+    ((id % 1000003L) * 2654435761L) % 1000000L >= 900000L
+
+  test("suffix-array contamination scores ONLY eval<->train shares: a " +
+      "planted 7-token cross-split run is found at full length, an " +
+      "eval-eval duplicate contributes nothing") {
+    import spark.implicits._
+    val evalIds = (1L to 200L).filter(evalGate)
+    val trainIds = (1L to 200L).filterNot(evalGate)
+    val (e1, e2, t1) = (evalIds(0), evalIds(1), trainIds(0))
+    val docs = Seq(
+      // e1 shares a 7-token run with TRAIN doc t1 (vocab otherwise
+      // disjoint), and a 6-token run with fellow EVAL doc e2
+      (e1, "k1 k2 r1 r2 r3 r4 r5 r6 r7 k3 s1 s2 s3 s4 s5 s6"),
+      (t1, "m1 m2 m3 r1 r2 r3 r4 r5 r6 r7 m4"),
+      (e2, "z1 s1 s2 s3 s4 s5 s6 z2 z3"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.suffixContamination(docs, 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got.keySet shouldBe Set(e1, e2) // the report is eval-docs-only
+    // positions r1, r2 start >=6-token train runs (7 then 6 long)
+    got(e1) shouldBe ((16L, 2L, 7L))
+    // e2's only repeat partner is e1 — another EVAL doc: clean
+    got(e2) shouldBe ((9L, 0L, 0L))
+  }
+
+  test("suffix-array contamination agrees with a sequential brute force " +
+      "on the whole sf0.001 corpus, per eval document") {
+    import spark.implicits._
+    val raw = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docs = raw.map { case (id, t) => (id, tok(t)) }.filter(_._2.nonEmpty)
+    val trainGrams = scala.collection.mutable.Set.empty[String]
+    for ((id, ts) <- docs if !evalGate(id); p <- ts.indices;
+         l <- 1 to (ts.length - p))
+      trainGrams += ts.slice(p, p + l).mkString(" ")
+    val expect = docs.filter(d => evalGate(d._1)).map { case (id, ts) =>
+      val best = ts.indices.map { p =>
+        (1 to (ts.length - p)).reverse
+          .find(l => trainGrams(ts.slice(p, p + l).mkString(" ")))
+          .getOrElse(0)
+      }
+      id -> ((ts.length.toLong, best.count(_ >= 6).toLong, best.max.toLong))
+    }.toMap
+    // non-degenerate: the fixture really contains >=6-token
+    // cross-split runs (272 contaminated positions at sf0.001)
+    expect.values.map(_._2).sum should be > 0L
+    val got = TextAnalysis.suffixContamination(
+        graft.Tables.documents(spark, sf).select($"doc_id", $"text"), 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got.keySet shouldBe expect.keySet
+    for (id <- expect.keySet)
+      withClue(s"doc $id") { got(id) shouldBe expect(id) }
+  }
+
   private def collectDups(df: org.apache.spark.sql.DataFrame) =
     df.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))

@@ -159,6 +159,37 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: drawdownStream kill between emission and commit + restart " +
+      "yields a census bit-identical to an unkilled run, both providers") {
+    // a replayed fold would double-count n_events/n_underwater and can
+    // inflate max_drawdown (peak from the killed attempt re-applied)
+    def ddRows(keyYs: Seq[(Long, Long)], idBase: Long): Seq[String] =
+      keyYs.zipWithIndex.map { case ((u, y), i) =>
+        s"""{"user_id":$u,"tus":${idBase + i},"event_id":${idBase + i},"y":$y}"""
+      }
+    val r = new scala.util.Random(23)
+    def walk(u: Long, n: Int): Seq[(Long, Long)] =
+      (0 until n).map(_ => (u, 1000L + r.nextInt(500).toLong - 250L))
+    val batches = Seq(
+      ddRows(walk(1L, 30) ++ walk(2L, 20), 0L),
+      ddRows(walk(1L, 25) ++ walk(3L, 15), 1000L),
+      ddRows(walk(2L, 10) ++ walk(3L, 10), 2000L))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingDrawdown.drawdownStream(
+        spark.readStream
+          .schema("user_id LONG, tus LONG, event_id LONG, y LONG")
+          .json(src.toString),
+        ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"dd-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"dd-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
   test("chaos: dgimStream kill between emission and commit + restart " +
       "yields window state bit-identical to an unkilled run, both providers") {
     def evRows(keyDays: Seq[(String, Long)], idBase: Long): Seq[String] =
