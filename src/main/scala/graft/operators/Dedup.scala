@@ -1399,6 +1399,66 @@ object Dedup extends QueryPack {
       oracle = Some(ngramJaccardSql),
       headline = true),
 
+    // ── shingle CONTAINMENT: the asymmetric (quote/subset) detector ──
+    // Symmetric Jaccard structurally MISSES the commonest real
+    // duplication shape: a short document quoted whole inside a long
+    // one scores |A|/|B| ≈ 0 Jaccard however exact the copy. Broder's
+    // containment c(A,B) = |A∩B| / |A| is the directional fix; pairs
+    // are ORIENTED (smaller shingle set ⊆ larger, doc_id tiebreak) so
+    // each candidate is scored exactly once in the direction that
+    // means something. Same lossless posting-join shape as the banded
+    // Jaccard — containment ≥ 0.8 > 0 implies a shared shingle, the
+    // fp-equality join's group count IS |A∩B| — but deliberately NO
+    // |Δn_chars| size block: asymmetric sizes are the point. The
+    // decision boundary is exact integers (10·inter ≥ 8·n_small);
+    // the emitted ratio is round-9 per the house double idiom. At
+    // 100 TB cost is O(Σ posting-list²) like every posting join here;
+    // the fixture contains genuine full containments (c = 1.0 pairs
+    // at sf0.01 that Jaccard scores ~0.5).
+    "dedup_containment" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = materialized(docsWithTokens(s, d)
+            .select($"doc_id", $"lang", shinglesCol.as("sh")))
+          .filter(size($"sh") > 0)
+          .select($"doc_id", $"lang",
+            array_distinct(transform($"sh", x => rolling_hash2(x))).as("fps"))
+          .localCheckpoint(true) // the posting explode reads it twice
+        val posts = docs.select($"doc_id", $"lang",
+          size($"fps").cast(LongType).as("n"), explode($"fps").as("fp"))
+        posts.as("a").join(posts.as("b"),
+            $"a.fp" === $"b.fp" && $"a.lang" === $"b.lang" &&
+            struct($"a.n", $"a.doc_id") < struct($"b.n", $"b.doc_id"))
+          .groupBy($"a.doc_id".as("doc_small"), $"b.doc_id".as("doc_big"),
+            $"a.n".as("n_small"), $"b.n".as("n_big"))
+          .agg(count(lit(1)).as("inter"))
+          .filter($"inter" * 10L >= $"n_small" * 8L)
+          .select($"doc_small", $"doc_big", $"inter", $"n_small", $"n_big",
+            round($"inter".cast(DoubleType) / $"n_small".cast(DoubleType), 9)
+              .as("containment"))
+          .orderBy($"doc_small", $"doc_big")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
+        sh AS (
+          SELECT doc_id, lang, $shinglesSql AS sh FROM toks),
+        nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(a.sh) AS BIGINT) AS n_small,
+                 CAST(len(b.sh) AS BIGINT) AS n_big
+          FROM nz a JOIN nz b
+            ON a.lang = b.lang
+           AND (len(a.sh) < len(b.sh)
+                OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+        SELECT doc_small, doc_big, inter, n_small, n_big,
+               round(CAST(inter AS DOUBLE) / n_small, 9) AS containment
+        FROM pairs
+        WHERE inter * 10 >= n_small * 8
+        ORDER BY doc_small, doc_big""")),
+
     // ── embedding-cosine near-duplicate pairs (ORACLE FACE: unblocked
     //    all-pairs — the small-SF fixture; the blocked twin below is the
     //    distributed plan and shares this oracle as its equality proof) ──

@@ -550,4 +550,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val mixed = got.filterNot(t => t._3 && t._4 && t._5 && t._6).map(_._7)
     if (full.nonEmpty && mixed.nonEmpty) full.min should be > mixed.max
   }
+
+  test("containment catches a whole-document quote that symmetric " +
+      "Jaccard structurally misses, oriented small-into-big") {
+    import spark.implicits._
+    // doc 2 is doc 1's text quoted whole inside 3x more material:
+    // containment(2 in 1... actually small=2's shingles ⊆ big=1)
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"one two three four five six seven eight nine ten $short " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    Seq((1L, long, "en", "web", long.length.toLong),
+        (2L, short, "en", "web", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_containment")(spark, dir)
+      .collect()
+    got.length shouldBe 1
+    val r = got(0)
+    (r.getLong(0), r.getLong(1)) shouldBe ((2L, 1L)) // small ⊆ big
+    r.getLong(2) shouldBe r.getLong(3) // inter == n_small: fully contained
+    r.getDouble(5) shouldBe 1.0
+    // the symmetric detector at ITS working threshold scores this pair
+    // far below duplicate grade: jaccard = n_small / n_big << 0.8
+    val jac = r.getLong(2).toDouble /
+      (r.getLong(3) + r.getLong(4) - r.getLong(2))
+    jac should be < 0.4
+  }
 }
