@@ -602,4 +602,58 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       rHier should be >= 0.50 // the sim_ann_recall gate, held at 10x
     }
   }
+
+  test("range search on a clustered fixture: brute-force-equal results " +
+      "while the triangle inequality prunes most cells") {
+    import spark.implicits._
+    // 8 well-separated clusters: a radius that captures same-cluster
+    // neighbors keeps ~1 cell per query ball — the regime the
+    // metric-tree bound exists for
+    val dim = 64
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Double =
+      (mix(seed) >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    val n = 2000
+    val vecs: Map[Long, Array[Double]] = (0L until n.toLong).map { id =>
+      val g = (id % 8).toInt
+      id -> Array.tabulate(dim)(i =>
+        unit(g * 1000L + i) + 0.15 * unit(id * 100000L + i))
+    }.toMap
+    val e = vecs.toSeq.sortBy(_._1)
+      .map { case (id, a) => (id, (id % 8).toString, a.toSeq) }
+      .toDF("vec_id", "label", "emb")
+      .localCheckpoint(true)
+    val r2 = 2.0
+    // sequential brute force with the query's exact rounding (round-9
+    // HALF_UP over the same left-to-right double sum)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(v => (q, v, d2(vecs(q), vecs(v))))
+        .filter(_._3 <= r2)
+    }.sortBy(t => (t._1, t._2))
+    expect should not be empty
+    @volatile var probes: Array[(Long, Long)] = Array.empty
+    val got = Similarity.rangeSearch(
+        Similarity.ivfModel(spark, e), r2,
+        onProbes = df => probes = df.collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    got shouldBe expect
+    // the pruning is real: across 5 queries x 8 cells, most cells are
+    // skipped (clusters are far apart), yet the answer above is the
+    // full brute-force set — pruning admitted no loss
+    probes.length should be < 20
+    probes.length should be >= 5 // every query keeps at least its own cell
+  }
 }
