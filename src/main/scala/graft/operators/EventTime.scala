@@ -2221,6 +2221,77 @@ object EventTime extends QueryPack {
         ORDER BY day"""),
       headline = true),
 
+    // ── interval UNION length (covered time / utilization) ──
+    // evt_peak_concurrency's sweep reduced to MAX; this is the other
+    // classic reduction — how much time was covered AT ALL: each event
+    // opens a half-open activity interval [t, t + dur) (dur a
+    // deterministic function of the amount, 10-60 min, so intervals
+    // genuinely overlap), and the per-user union length is the billing/
+    // SLA-coverage number double-counted by any plain SUM of durations.
+    // The standard boundary sweep in exact integers: ±1 deltas, one
+    // per-user ordered window pass (running coverage count + lead),
+    // covered time = Σ gap·[count > 0]; +1 sorts before −1 at equal
+    // timestamps so touching intervals merge, in BOTH engines. Window
+    // partitions are users — millions of keys at scale, never global;
+    // everything else is one map-side-combined groupBy. Span and
+    // covered are exact micros; utilization stays a ratio of the two
+    // emitted BIGINTs (no double division surface).
+    "evt_interval_union" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id",
+            expr("ts div 1000").as("t0"),
+            (dec($"value") * 100).cast(LongType).as("y"))
+          .withColumn("dur", (abs($"y") % 3000L + 600L) * 1000000L)
+          .withColumn("t1", $"t0" + $"dur")
+        val pts = ev.select($"user_id", $"t0".as("t"), lit(1L).as("delta"))
+          .unionByName(
+            ev.select($"user_id", $"t1".as("t"), lit(-1L).as("delta")))
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"delta".desc)
+        val swept = pts
+          .withColumn("run", sum($"delta")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("nxt", lead($"t", 1).over(w))
+          .withColumn("cov",
+            when($"run" > 0L && $"nxt".isNotNull, $"nxt" - $"t")
+              .otherwise(0L))
+        swept.groupBy($"user_id")
+          .agg((count(lit(1)) / 2).cast(LongType).as("n_intervals"),
+            sum($"cov").as("covered_us"),
+            (max($"t") - min($"t")).as("span_us"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS t0,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        iv AS (
+          SELECT user_id, t0,
+                 t0 + (abs(y) % 3000 + 600) * 1000000 AS t1
+          FROM ev),
+        pts AS (
+          SELECT user_id, t0 AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT user_id, t1, -1 FROM iv),
+        sw AS (
+          SELECT user_id, t,
+                 SUM(delta) OVER w AS run,
+                 LEAD(t, 1) OVER w AS nxt
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, delta DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        cov AS (
+          SELECT user_id,
+                 CASE WHEN run > 0 AND nxt IS NOT NULL
+                      THEN nxt - t ELSE 0 END AS cov, t
+          FROM sw)
+        SELECT user_id,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+               CAST(SUM(cov) AS BIGINT) AS covered_us,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+        FROM cov GROUP BY user_id ORDER BY user_id""")),
+
     // ── sliding-window distinct users WITHOUT a distinct aggregate ──
     // "Distinct users in the trailing 7 days, per day" — the DAU/WAU
     // family. The naive plan explodes every user-day to its 7 covered

@@ -265,6 +265,41 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     expected.map(_._5).sum should be > 0L
   }
 
+  test("evt_interval_union matches a sequential merge-intervals recompute " +
+      "and genuinely deduplicates overlap a plain duration SUM would " +
+      "double-count") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000 as t0",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val ivs = g.map { case (_, t0, y) =>
+        (t0, t0 + (math.abs(y) % 3000L + 600L) * 1000000L)
+      }.sortBy(_._1)
+      // classic merge-intervals fold (touching intervals merge)
+      var covered = 0L
+      var curA = ivs.head._1
+      var curB = ivs.head._2
+      ivs.tail.foreach { case (a, b) =>
+        if (a <= curB) curB = math.max(curB, b)
+        else { covered += curB - curA; curA = a; curB = b }
+      }
+      covered += curB - curA
+      val span = ivs.map(_._2).max - ivs.map(_._1).min
+      (u, ivs.length.toLong, covered, span)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("evt_interval_union")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    expected should not be empty
+    // overlap is real: covered < the naive duration sum for someone
+    val naive = ev.groupBy(_._1).view.mapValues(
+      _.map { case (_, _, y) => (math.abs(y) % 3000L + 600L) * 1000000L }.sum)
+    expected.exists { case (u, _, cov, _) => cov < naive(u) } shouldBe true
+  }
+
   test("evt_mad_outliers matches a direct sort-based median/MAD recompute") {
     // the query derives medians from cumulative counts over the
     // distinct-value table; this recompute sorts the raw values — an
