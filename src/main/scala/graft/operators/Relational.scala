@@ -2723,6 +2723,116 @@ object Relational extends QueryPack {
         SELECT node, CAST(dist AS BIGINT) AS dist
         FROM d3 ORDER BY node""")),
 
+    // ── Borůvka minimum spanning forest (2 contraction rounds) ──
+    // The cheapest-backbone question (network design, single-linkage
+    // clustering's dendrogram skeleton) on the weighted co-purchase
+    // graph — and the ONE classic MST algorithm with a distributed
+    // form: Prim's and Kruskal's are priority-queue-sequential, while
+    // a Borůvka round is pure data-parallel relational algebra — every
+    // component simultaneously hooks its MINIMUM outgoing edge (total
+    // order (w, u, v), so the choice is deterministic and, because
+    // unique-ordered min edges cannot close a cycle, the union is a
+    // forest), then components contract. Per round: one edge⋈labels
+    // equality join both sides + one map-side-combined per-component
+    // struct-min + the [[Dedup.starComponentLabels]] contraction
+    // (O(log²) star rounds, no single task). 2 rounds unrolled — each
+    // round at least HALVES the component count, so the same handful
+    // of rounds finishes at any scale; sssp's 100 div supp + 1
+    // weights, so frequent co-purchase is cheap to keep. The oracle
+    // replays both rounds with a RECURSIVE min-reachable contraction —
+    // the hash match proves the distributed hooking + star contraction
+    // equal to the definitional closure, round for round.
+    "q_boruvka_msf" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("supp"))
+          .select($"u", $"v", (expr("100 div supp") + 1L).as("w"))
+          .localCheckpoint(true) // both rounds' label joins read it
+        def chosen(labels: DataFrame): DataFrame = {
+          val cross = e0
+            .join(labels.select($"node".as("u"), $"lbl".as("lu")), Seq("u"))
+            .join(labels.select($"node".as("v"), $"lbl".as("lv")), Seq("v"))
+            .filter($"lu" =!= $"lv")
+          cross.select($"lu".as("lbl"), $"w", $"u", $"v")
+            .unionByName(cross.select($"lv".as("lbl"), $"w", $"u", $"v"))
+            .groupBy($"lbl")
+            .agg(min(struct($"w", $"u", $"v")).as("m"))
+            .select($"m.w".as("w"), $"m.u".as("u"), $"m.v".as("v"))
+            .distinct()
+        }
+        val nodes = e0.select($"u".as("node"))
+          .unionByName(e0.select($"v".as("node"))).distinct()
+          .localCheckpoint(true) // identity labels + round-2 fill
+        val ch1 = chosen(nodes.select($"node", $"node".as("lbl")))
+          .localCheckpoint(true) // contraction + output both read it
+        val lab2 = nodes
+          .join(Dedup.starComponentLabels(s,
+              ch1.select($"u".as("doc1"), $"v".as("doc2")))
+            .select($"doc_id".as("node"), $"cluster".as("c")),
+            Seq("node"), "left")
+          .select($"node", coalesce($"c", $"node").as("lbl"))
+        val ch2 = chosen(lab2)
+        ch1.select(lit(1L).as("round"), $"w", $"u", $"v")
+          .unionByName(ch2.select(lit(2L).as("round"), $"w", $"u", $"v"))
+          .orderBy($"round", $"w", $"u", $"v")
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 100 // COUNT(*) + 1 AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey),
+        dir1 AS (
+          SELECT u AS lbl, w, u, v FROM e0
+          UNION ALL SELECT v, w, u, v FROM e0),
+        ch1 AS MATERIALIZED (
+          SELECT DISTINCT w, u, v FROM (
+            SELECT lbl, w, u, v,
+                   ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY w, u, v)
+                     AS rn
+            FROM dir1) WHERE rn = 1),
+        sym1 AS (SELECT u AS a, v AS b FROM ch1
+                 UNION ALL SELECT v, u FROM ch1),
+        walk AS (
+          SELECT a AS node, b AS reach FROM sym1
+          UNION
+          SELECT w.node, s.b FROM walk w JOIN sym1 s ON s.a = w.reach),
+        lab2 AS MATERIALIZED (
+          SELECT n.node, LEAST(n.node, COALESCE(m.r, n.node)) AS lbl
+          FROM (SELECT u AS node FROM e0
+                UNION SELECT v FROM e0) n
+          LEFT JOIN (SELECT node, MIN(reach) AS r FROM walk
+                     GROUP BY node) m USING (node)),
+        cr2 AS (
+          SELECT la.lbl AS lu, lb.lbl AS lv, e.w, e.u, e.v
+          FROM e0 e JOIN lab2 la ON la.node = e.u
+                    JOIN lab2 lb ON lb.node = e.v
+          WHERE la.lbl <> lb.lbl),
+        dir2 AS (
+          SELECT lu AS lbl, w, u, v FROM cr2
+          UNION ALL SELECT lv, w, u, v FROM cr2),
+        ch2 AS (
+          SELECT DISTINCT w, u, v FROM (
+            SELECT lbl, w, u, v,
+                   ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY w, u, v)
+                     AS rn
+            FROM dir2) WHERE rn = 1)
+        SELECT CAST(1 AS BIGINT) AS round, CAST(w AS BIGINT) AS w, u, v
+        FROM ch1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(w AS BIGINT), u, v FROM ch2
+        ORDER BY round, w, u, v""")),
+
     // ── k-core peeling (degeneracy decomposition, 4 rounds) ──
     // The graph-sparsification face of graph work (triangles count,
     // BFS reaches, components cluster — this PRUNES): iteratively

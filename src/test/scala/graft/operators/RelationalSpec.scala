@@ -569,6 +569,63 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.map(_._2).distinct.size should be >= 3
   }
 
+  test("q_boruvka_msf equals a sequential Boruvka recompute (hook min " +
+      "outgoing edge, contract, repeat) and the chosen set is acyclic") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val w = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq.sorted
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case ((a, b), supp) => (a, b, 100L / supp + 1L) }.toSeq
+    // sequential Boruvka with the (w, u, v) total order
+    var lbl: Map[Long, Long] =
+      w.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> x).toMap
+    val rounds = (1 to 2).map { _ =>
+      val cross = w.filter(e => lbl(e._1) != lbl(e._2))
+      val chosen = cross.flatMap(e => Seq((lbl(e._1), e), (lbl(e._2), e)))
+        .groupBy(_._1).values
+        .map(_.map(_._2).minBy(e => (e._3, e._1, e._2)))
+        .toSet
+      // contract: min reachable id over the chosen forest
+      val adj = chosen.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var newLbl = lbl
+      def reachMin(start: Long): Long = {
+        var seen = Set(start)
+        var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(seen)
+          seen ++= frontier
+        }
+        seen.min
+      }
+      newLbl = lbl.map { case (n, _) =>
+        n -> (if (adj.contains(n)) reachMin(n) else n)
+      }
+      lbl = newLbl
+      chosen
+    }
+    val expected = rounds.zipWithIndex.flatMap { case (ch, i) =>
+      ch.toSeq.map(e => (i + 1L, e._3, e._1, e._2))
+    }.sortBy(t => (t._1, t._2, t._3, t._4))
+    val got = graft.SparkEntry.queries("q_boruvka_msf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    // forest invariant: the union of both rounds' edges is acyclic
+    val all = expected.map(t => (t._3, t._4))
+    all.size shouldBe all.distinct.size
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct.size
+    // acyclic <=> every connected piece has edges = nodes - 1; check
+    // globally: edges < nodes (a forest over >= 1 components)
+    all.size should be < nodes
+    // round 2 did real work: the graph wasn't fully merged in round 1
+    expected.count(_._1 == 2L) should be > 0
+  }
+
   test("q_bfs_sigma equals a queue-based path-counting recompute") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()
