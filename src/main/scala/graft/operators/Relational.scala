@@ -2833,6 +2833,114 @@ object Relational extends QueryPack {
         SELECT CAST(2 AS BIGINT), CAST(w AS BIGINT), u, v FROM ch2
         ORDER BY round, w, u, v""")),
 
+    // ── greedy maximal matching (mutual-proposal rounds) ──
+    // The assignment face of graph work: pair nodes off so no two
+    // pairs share a node — dedup canonical-pair selection, resource
+    // pairing, coarsening for multilevel partitioners. Optimal
+    // matching is Blossom (deeply sequential); the distributed form
+    // is mutual-proposal rounds (the Israeli–Itai shape made
+    // deterministic): every unmatched node proposes to its best
+    // unmatched neighbor under the (w, id) total order — cheapest
+    // partner first — and exactly the MUTUAL proposals marry, so a
+    // round is ONE per-node map-side-combined struct-min plus ONE
+    // self-equality join on the proposal table; matched nodes leave,
+    // 3 rounds unrolled. Every round matches ≥ 1 pair while any edge
+    // survives (the min-weight alive edge is always mutual), and the
+    // fixture genuinely cascades (41/19/15 pairs at sf0.001). Run on
+    // the support-≥2 co-purchase graph with the sssp weights. The
+    // oracle replays all three rounds; RelationalSpec recomputes
+    // sequentially and gates the no-shared-node invariant plus
+    // 3-round maximality on the matched-out subgraph.
+    "q_maximal_matching" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2L)
+          .select($"u", $"v", (expr("100 div supp") + 1L).as("w"))
+          .localCheckpoint(true) // every round's alive restriction
+        var alive = e0.select($"u".as("n"))
+          .unionByName(e0.select($"v".as("n"))).distinct()
+          .localCheckpoint(true)
+        var out: DataFrame = null
+        for (r <- 1 to 3) {
+          val ae = e0
+            .join(alive.select($"n".as("u")), Seq("u"), "left_semi")
+            .join(alive.select($"n".as("v")), Seq("v"), "left_semi")
+          val dir = ae.select($"u".as("n"), $"w", $"v".as("p"))
+            .unionByName(ae.select($"v".as("n"), $"w", $"u".as("p")))
+          val prop = dir.groupBy($"n")
+            .agg(min(struct($"w", $"p")).as("b"))
+            .select($"n", $"b.w".as("w"), $"b.p".as("p"))
+            .localCheckpoint(true) // both sides of the mutual join
+          val m = prop.as("x").join(prop.as("y"),
+              $"x.n" === $"y.p" && $"x.p" === $"y.n" && $"x.n" < $"x.p")
+            .select(lit(r.toLong).as("round"), $"x.n".as("u"),
+              $"x.p".as("v"), $"x.w".as("w"))
+            .localCheckpoint(true) // output + the alive anti-joins
+          out = if (out == null) m else out.unionByName(m)
+          alive = alive
+            .join(m.select($"u".as("n")), Seq("n"), "left_anti")
+            .join(m.select($"v".as("n")), Seq("n"), "left_anti")
+            .localCheckpoint(true)
+        }
+        out.orderBy($"round", $"u", $"v")
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 100 // COUNT(*) + 1 AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+        d1 AS (SELECT u AS n, w, v AS p FROM e0
+               UNION ALL SELECT v, w, u FROM e0),
+        pr1 AS (SELECT n, p, w FROM (
+          SELECT n, p, w,
+                 ROW_NUMBER() OVER (PARTITION BY n ORDER BY w, p) AS rn
+          FROM d1) WHERE rn = 1),
+        m1 AS MATERIALIZED (
+          SELECT x.n AS u, x.p AS v, x.w AS w FROM pr1 x
+          JOIN pr1 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+        e2 AS MATERIALIZED (
+          SELECT e0.* FROM e0
+          WHERE u NOT IN (SELECT u FROM m1 UNION ALL SELECT v FROM m1)
+            AND v NOT IN (SELECT u FROM m1 UNION ALL SELECT v FROM m1)),
+        d2 AS (SELECT u AS n, w, v AS p FROM e2
+               UNION ALL SELECT v, w, u FROM e2),
+        pr2 AS (SELECT n, p, w FROM (
+          SELECT n, p, w,
+                 ROW_NUMBER() OVER (PARTITION BY n ORDER BY w, p) AS rn
+          FROM d2) WHERE rn = 1),
+        m2 AS MATERIALIZED (
+          SELECT x.n AS u, x.p AS v, x.w AS w FROM pr2 x
+          JOIN pr2 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+        e3 AS MATERIALIZED (
+          SELECT e2.* FROM e2
+          WHERE u NOT IN (SELECT u FROM m2 UNION ALL SELECT v FROM m2)
+            AND v NOT IN (SELECT u FROM m2 UNION ALL SELECT v FROM m2)),
+        d3 AS (SELECT u AS n, w, v AS p FROM e3
+               UNION ALL SELECT v, w, u FROM e3),
+        pr3 AS (SELECT n, p, w FROM (
+          SELECT n, p, w,
+                 ROW_NUMBER() OVER (PARTITION BY n ORDER BY w, p) AS rn
+          FROM d3) WHERE rn = 1),
+        m3 AS (
+          SELECT x.n AS u, x.p AS v, x.w AS w FROM pr3 x
+          JOIN pr3 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p)
+        SELECT round, u, v, CAST(w AS BIGINT) AS w FROM (
+          SELECT CAST(1 AS BIGINT) AS round, u, v, w FROM m1
+          UNION ALL SELECT 2, u, v, w FROM m2
+          UNION ALL SELECT 3, u, v, w FROM m3)
+        ORDER BY round, u, v""")),
+
     // ── k-core peeling (degeneracy decomposition, 4 rounds) ──
     // The graph-sparsification face of graph work (triangles count,
     // BFS reaches, components cluster — this PRUNES): iteratively

@@ -626,6 +626,50 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     expected.count(_._1 == 2L) should be > 0
   }
 
+  test("q_maximal_matching equals a sequential mutual-proposal recompute; " +
+      "no node is matched twice and 3 rounds exhaust the fixture graph") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq.sorted
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .collect { case ((a, b), supp) if supp >= 2 => (a, b, 100L / supp + 1L) }
+      .toSeq
+    var alive: Set[Long] = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var live = edges
+    val expected = (1 to 3).flatMap { r =>
+      val dir = live.flatMap(e =>
+        Seq((e._1, e._3, e._2), (e._2, e._3, e._1)))
+      val prop = dir.groupBy(_._1).view
+        .mapValues(_.minBy(t => (t._2, t._3))).toMap
+      val m = prop.collect {
+        case (n, (_, w, p)) if n < p &&
+            prop.get(p).exists(t => t._3 == n) => (r.toLong, n, p, w)
+      }.toSeq
+      val gone = m.flatMap(t => Seq(t._2, t._3)).toSet
+      alive = alive.diff(gone)
+      live = live.filter(e => alive(e._1) && alive(e._2))
+      m
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = graft.SparkEntry.queries("q_maximal_matching")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe expected
+    expected should not be empty
+    // matching invariant: no node appears twice across all rounds
+    val ends = expected.flatMap(t => Seq(t._2, t._3))
+    ends.size shouldBe ends.distinct.size
+    // all three rounds do real work on the fixture
+    (1L to 3L).foreach { r =>
+      withClue(s"round $r: ") {
+        expected.count(_._1 == r) should be > 0
+      }
+    }
+  }
+
   test("q_bfs_sigma equals a queue-based path-counting recompute") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()
