@@ -2941,6 +2941,82 @@ object Relational extends QueryPack {
           UNION ALL SELECT 3, u, v, w FROM m3)
         ORDER BY round, u, v""")),
 
+    // ── INCREMENTAL connected components (frozen labels + quotient) ──
+    // The maintenance face of component labeling: a 100 TB graph grows
+    // by an edge shard, and re-running full CC to ingest 1% more edges
+    // is the scale failure the suffix-array append already removes for
+    // text. The algebra that makes CC incrementable: relabel the NEW
+    // edges by the frozen base labels — every base component collapses
+    // to one node — and run component labeling on that QUOTIENT graph,
+    // whose size is bounded by the SHARD (≤ 2 endpoints per new edge),
+    // never the base. The composed map (base label → quotient label,
+    // one broadcast-scale join) is exactly full-rebuild CC because
+    // min-reachable-id composes: the min over a merged set of min-ids
+    // IS the global min. Base labels are read by equality joins only —
+    // the frozen-index discipline. The oracle is the full-rebuild
+    // definition (RECURSIVE min-reachable over the UNION), so the hash
+    // match proves the shard-bounded update equals the rebuild, every
+    // round. Shard = orders with l_orderkey ≡ 0 (mod 8), arriving last.
+    "q_cc_incremental" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        def edgesOf(o: DataFrame): DataFrame =
+          o.as("a").join(o.as("b"),
+              $"a.l_orderkey" === $"b.l_orderkey" &&
+                $"a.l_partkey" < $"b.l_partkey")
+            .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+            .distinct()
+        val base = edgesOf(li.filter($"l_orderkey" % 8 =!= 0))
+          .localCheckpoint(true)
+        val shard = edgesOf(li.filter($"l_orderkey" % 8 === 0))
+          .localCheckpoint(true)
+        // frozen base labels (min reachable id), isolated = own id
+        val nodes = base.select($"u".as("n"))
+          .unionByName(base.select($"v".as("n")))
+          .unionByName(shard.select($"u".as("n")))
+          .unionByName(shard.select($"v".as("n"))).distinct()
+        val lblBase = nodes
+          .join(Dedup.starComponentLabels(s,
+              base.select($"u".as("doc1"), $"v".as("doc2")))
+            .select($"doc_id".as("n"), $"cluster".as("c")), Seq("n"), "left")
+          .select($"n", coalesce($"c", $"n").as("lbl"))
+          .localCheckpoint(true) // quotient relabel + the final compose
+        // quotient graph: shard edges with endpoints collapsed to base
+        // labels — bounded by the shard, the ONLY thing labeled anew
+        val quot = shard
+          .join(lblBase.select($"n".as("u"), $"lbl".as("qu")), Seq("u"))
+          .join(lblBase.select($"n".as("v"), $"lbl".as("qv")), Seq("v"))
+          .filter($"qu" =!= $"qv")
+          .select($"qu".as("a"), $"qv".as("b")).distinct()
+        val merge = Dedup.starComponentLabels(s,
+            quot.select($"a".as("doc1"), $"b".as("doc2")))
+          .select($"doc_id".as("lbl"), $"cluster".as("m"))
+        lblBase.join(merge, Seq("lbl"), "left")
+          .select($"n".as("node"), coalesce($"m", $"lbl").as("cluster_id"))
+          .orderBy($"node")
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u AS a, v AS b FROM e0
+                UNION ALL SELECT v, u FROM e0),
+        walk AS (
+          SELECT a AS node, b AS reach FROM sym
+          UNION
+          SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach)
+        SELECT n.node, LEAST(n.node, COALESCE(m.r, n.node)) AS cluster_id
+        FROM (SELECT u AS node FROM e0 UNION SELECT v FROM e0) n
+        LEFT JOIN (SELECT node, MIN(reach) AS r FROM walk
+                   GROUP BY node) m USING (node)
+        ORDER BY n.node""")),
+
     // ── k-core peeling (degeneracy decomposition, 4 rounds) ──
     // The graph-sparsification face of graph work (triangles count,
     // BFS reaches, components cluster — this PRUNES): iteratively

@@ -626,6 +626,40 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     expected.count(_._1 == 2L) should be > 0
   }
 
+  test("q_cc_incremental equals a full-rebuild CC over the union graph " +
+      "while labeling only a shard-bounded quotient") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    // full-rebuild reference: min reachable id over the union graph
+    val adj = pairs.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reachMin(start: Long): Long = {
+      var seen = Set(start); var fr = Set(start)
+      while (fr.nonEmpty) {
+        fr = fr.flatMap(adj.getOrElse(_, Set.empty)).diff(seen)
+        seen ++= fr
+      }
+      seen.min
+    }
+    val expected = adj.keys.toSeq.sorted.map(n => (n, reachMin(n)))
+    val got = graft.SparkEntry.queries("q_cc_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    // the increment genuinely merges: some union component spans base
+    // and shard edges (labels differ from base-only CC)
+    val basePairs = li.filter(_._1 % 8 != 0).groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    basePairs should not be pairs // the shard adds real edges
+  }
+
   test("q_maximal_matching equals a sequential mutual-proposal recompute; " +
       "no node is matched twice and 3 rounds exhaust the fixture graph") {
     val li = graft.Tables.lineitem(spark, sf)
