@@ -2941,6 +2941,103 @@ object Relational extends QueryPack {
           UNION ALL SELECT 3, u, v, w FROM m3)
         ORDER BY round, u, v""")),
 
+    // ── landmark distance oracle (APSP sketch: triangle upper bounds) ──
+    // Exact all-pairs shortest paths is O(n·E) — dead at 10⁹ nodes; the
+    // production answer is the LANDMARK sketch (Das Sarma et al. 2010;
+    // Potamias et al. 2009): precompute distances from k well-placed
+    // sources, then answer ANY pair query in O(k) as the triangle
+    // upper bound min_l d(u,l) + d(l,v) — no graph access at query
+    // time. Reuses q_closeness's multi-source machinery verbatim (4
+    // smallest vertices, ONE (src, node)-keyed frontier, 3 rounds);
+    // the pair table then derives from the dists table by ONE
+    // src-equality self-join restricted to the id<50 query sample +
+    // one map-side-combined (u, v) min — never a cartesian. The bound
+    // is EXACT arithmetic on exact hop counts: always ≥ the true
+    // distance, equality whenever a landmark sits on a shortest path
+    // (pairs containing a landmark achieve it by construction —
+    // RelationalSpec gates both directions against a true-BFS
+    // recompute). The oracle replays the BFS rounds and the pair min.
+    "q_apsp_landmarks" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        val sym = edges.unionByName(
+            edges.select($"v".as("u"), $"u".as("v")))
+          .localCheckpoint(true) // one join per round reads this
+        val srcs = sym.select($"u").distinct()
+          .orderBy($"u").limit(4).select($"u".as("src"))
+        var lvl = srcs
+          .select($"src", $"src".as("node"), lit(0L).as("d"))
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          val frontier = lvl.filter($"d" === (r - 1L))
+            .join(sym, $"node" === $"u")
+            .select($"src", $"v".as("node")).distinct()
+          val fresh = frontier.join(lvl, Seq("src", "node"), "left_anti")
+            .select($"src", $"node", lit(r.toLong).as("d"))
+          lvl = lvl.unionByName(fresh).localCheckpoint(true)
+        }
+        val q = lvl.filter($"node" < 50L)
+        q.as("a").join(q.as("b"),
+            $"a.src" === $"b.src" && $"a.node" < $"b.node")
+          .groupBy($"a.node".as("u"), $"b.node".as("v"))
+          .agg(min($"a.d" + $"b.d").as("ub"),
+            count(lit(1)).as("n_landmarks"))
+          .orderBy($"u", $"v")
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        srcs AS MATERIALIZED (
+          SELECT u AS src FROM (SELECT DISTINCT u FROM sym)
+          ORDER BY u LIMIT 4),
+        l0 AS MATERIALIZED (SELECT src, src AS node, 0 AS d FROM srcs),
+        f1 AS MATERIALIZED (
+          SELECT DISTINCT l.src, s.v AS node
+          FROM l0 l JOIN sym s ON s.u = l.node),
+        n1 AS MATERIALIZED (
+          SELECT f1.src, f1.node FROM f1
+          LEFT JOIN l0 ON l0.src = f1.src AND l0.node = f1.node
+          WHERE l0.node IS NULL),
+        l1 AS MATERIALIZED (
+          SELECT * FROM l0 UNION ALL SELECT src, node, 1 FROM n1),
+        f2 AS MATERIALIZED (
+          SELECT DISTINCT l.src, s.v AS node
+          FROM l1 l JOIN sym s ON s.u = l.node WHERE l.d = 1),
+        n2 AS MATERIALIZED (
+          SELECT f2.src, f2.node FROM f2
+          LEFT JOIN l1 ON l1.src = f2.src AND l1.node = f2.node
+          WHERE l1.node IS NULL),
+        l2 AS MATERIALIZED (
+          SELECT * FROM l1 UNION ALL SELECT src, node, 2 FROM n2),
+        f3 AS MATERIALIZED (
+          SELECT DISTINCT l.src, s.v AS node
+          FROM l2 l JOIN sym s ON s.u = l.node WHERE l.d = 2),
+        n3 AS MATERIALIZED (
+          SELECT f3.src, f3.node FROM f3
+          LEFT JOIN l2 ON l2.src = f3.src AND l2.node = f3.node
+          WHERE l2.node IS NULL),
+        l3 AS MATERIALIZED (
+          SELECT * FROM l2 UNION ALL SELECT src, node, 3 FROM n3),
+        q AS (SELECT src, node, d FROM l3 WHERE node < 50)
+        SELECT a.node AS u, b.node AS v,
+               CAST(MIN(a.d + b.d) AS BIGINT) AS ub,
+               CAST(COUNT(*) AS BIGINT) AS n_landmarks
+        FROM q a JOIN q b ON a.src = b.src AND a.node < b.node
+        GROUP BY a.node, b.node
+        ORDER BY u, v""")),
+
     // ── INCREMENTAL connected components (frozen labels + quotient) ──
     // The maintenance face of component labeling: a 100 TB graph grows
     // by an edge shard, and re-running full CC to ingest 1% more edges

@@ -626,6 +626,52 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     expected.count(_._1 == 2L) should be > 0
   }
 
+  test("q_apsp_landmarks: every bound dominates the true BFS distance " +
+      "and pairs containing a landmark achieve equality") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj: Map[Long, Set[Long]] =
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def bfsDist(src: Long): Map[Long, Long] = {
+      var d = Map(src -> 0L); var fr = Set(src); var r = 1L
+      while (fr.nonEmpty) {
+        fr = fr.flatMap(adj.getOrElse(_, Set.empty)).diff(d.keySet)
+        d = d ++ fr.map(_ -> r); r += 1
+      }
+      d
+    }
+    val got = graft.SparkEntry.queries("q_apsp_landmarks")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    got should not be empty
+    // validity: ub >= the true unbounded-BFS distance for every pair
+    val dCache = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    def dist(u: Long): Map[Long, Long] =
+      dCache.getOrElseUpdate(u, bfsDist(u))
+    got.foreach { case ((u, v), ub) =>
+      withClue(s"pair ($u,$v): ") { ub should be >= dist(u)(v) }
+    }
+    // tightness: a pair whose endpoint IS a landmark (ids 0-3 are the
+    // 4 smallest vertices) bounds exactly
+    // (within the 3-hop horizon — beyond it the landmark's own dist
+    // table has no entry for the partner and another landmark's bound
+    // is legitimately loose)
+    val lms = adj.keys.toSeq.sorted.take(4).toSet
+    val lmPairs = got.keys.filter(p =>
+      (lms(p._1) || lms(p._2)) && dist(p._1)(p._2) <= 3L)
+    lmPairs should not be empty
+    lmPairs.foreach { case (u, v) =>
+      withClue(s"landmark pair ($u,$v): ") {
+        got((u, v)) shouldBe dist(u)(v)
+      }
+    }
+  }
+
   test("q_cc_incremental equals a full-rebuild CC over the union graph " +
       "while labeling only a shard-bounded quotient") {
     import spark.implicits._
