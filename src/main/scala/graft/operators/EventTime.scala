@@ -1603,6 +1603,61 @@ object EventTime extends QueryPack {
         FROM m ORDER BY user_id, event_id"""
       }),
 
+    // ── trailing-window rolling MEDIAN (robust smoother) ──
+    // evt_ewma and evt_holt are linear smoothers — one fat-fingered
+    // spike drags them for 8 taps; the rolling median rejects it
+    // outright (the robust denoiser dashboards put in front of alert
+    // rules). Trailing window of the last ≤5 observations per user,
+    // emitted EXACTLY at 2× scale (med2 = the two middle order
+    // statistics' sum — equal values doubled when the count is odd),
+    // the evt_mad_outliers discipline: no halving, no doubles, no
+    // cross-engine rounding surface. ONE window pass collects the ≤5
+    // lags (a single per-user sort), then the median is a codegen'd
+    // sort of a 5-element array — O(1) per row. Series heads shrink
+    // the window honestly (count prefix, never padding). The
+    // sequential sliding-median heap cannot parallelize; the bounded
+    // trailing form is embarrassingly parallel at any scale.
+    "evt_rolling_median" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val ev = Tables.events(s, d).select($"user_id", $"event_id",
+          expr("ts div 1000").as("tus"),
+          (dec($"value") * 100).cast(LongType).as("y"))
+        val lags = (0 to 4).map(i =>
+          if (i == 0) $"y" else lag($"y", i).over(w))
+        ev.select($"user_id", $"event_id",
+            array(lags: _*).as("win"))
+          .withColumn("vals", array_sort(filter($"win", _.isNotNull)))
+          .select($"user_id", $"event_id",
+            size($"vals").cast(LongType).as("n_window"),
+            (expr("element_at(vals, cast((size(vals) + 1) div 2 as int))") +
+              expr("element_at(vals, cast(size(vals) div 2 + 1 as int))"))
+              .as("med2"))
+          .orderBy($"user_id", $"event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        l AS (
+          SELECT user_id, event_id, y,
+                 LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2,
+                 LAG(y, 3) OVER w AS y3, LAG(y, 4) OVER w AS y4
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (
+          SELECT user_id, event_id,
+                 list_sort(list_filter([y, y1, y2, y3, y4],
+                   x -> x IS NOT NULL)) AS vals
+          FROM l)
+        SELECT user_id, event_id,
+               CAST(len(vals) AS BIGINT) AS n_window,
+               CAST(vals[(len(vals) + 1) // 2]
+                 + vals[len(vals) // 2 + 1] AS BIGINT) AS med2
+        FROM s ORDER BY user_id, event_id""")),
+
     // ── maximum drawdown (worst drop from a running peak) ──
     // The risk statistic a mean or variance cannot see: how far below
     // its own best-so-far a series ever fell — the canonical

@@ -425,6 +425,55 @@ object Similarity extends QueryPack {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** Exact similarity JOIN between the even- and odd-id vector sets:
+    * every cross pair with round-9 d² ≤ r², scanning ONLY cell PAIRS
+    * the bound d(cᵢ, cⱼ) ≤ r + radᵢ + radⱼ (+1e-6 margin) admits —
+    * the set×set face of [[rangeSearch]]'s metric-tree pruning, and
+    * the exact-answer alternative to LSH similarity joins. Per-side
+    * per-cell radii are one map-side-combined max; the cell-pair
+    * table is k², broadcast-scale metadata. `onCellPairs` exposes the
+    * kept pairs for the spec's pruning gate (null = no-op). */
+  private[operators] def rangeJoin(
+      model: (DataFrame, DataFrame), r2: Double,
+      onCellPairs: DataFrame => Unit = null): DataFrame = {
+    val (assigned, cents) = model
+    val s = assigned.sparkSession
+    import s.implicits._
+    val r = math.sqrt(r2)
+    val tagged = assigned
+      .withColumn("side", pmod($"vec_id", lit(2L)))
+      .localCheckpoint(true) // radii + both scan sides read it
+    val radii = tagged.join(broadcast(cents), Seq("centroid_id"))
+      .groupBy($"centroid_id", $"side")
+      .agg(max(sqrt(l2sq($"emb", $"cemb"))).as("radius"))
+    val ra = radii.filter($"side" === 0L)
+      .select($"centroid_id".as("ci"), $"radius".as("rad_a"))
+    val rb = radii.filter($"side" === 1L)
+      .select($"centroid_id".as("cj"), $"radius".as("rad_b"))
+    val kept = cents.select($"centroid_id".as("ci"), $"cemb".as("ca"))
+      .join(ra, Seq("ci")) // inner: a cell with no members can't match
+      .crossJoin(broadcast(
+        cents.select($"centroid_id".as("cj"), $"cemb".as("cb"))
+          .join(rb, Seq("cj"))))
+      .filter(sqrt(l2sq($"ca", $"cb")) <= lit(r) + $"rad_a" + $"rad_b"
+        + lit(1e-6))
+      .select($"ci", $"cj")
+      .localCheckpoint() // k²-bounded; the gate and the scan read it
+    if (onCellPairs != null) onCellPairs(kept)
+    val left = tagged.filter($"side" === 0L)
+      .select($"vec_id".as("a_id"), $"emb".as("a_emb"),
+        $"centroid_id".as("ci"))
+    val right = tagged.filter($"side" === 1L)
+      .select($"vec_id".as("b_id"), $"emb".as("b_emb"),
+        $"centroid_id".as("cj"))
+    left.join(broadcast(kept), Seq("ci"))
+      .join(right, Seq("cj"))
+      .withColumn("d2", round(l2sq($"a_emb", $"b_emb"), 9))
+      .filter($"d2" <= r2)
+      .select($"a_id", $"b_id", $"d2")
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Cell-restricted scored candidates over an [[ivfAssignment]] frame —
     * one scored row per scanned (query, candidate). */
   private def ivfCandidatesFrom(s: SparkSession, assigned: DataFrame): DataFrame = {
@@ -2202,6 +2251,44 @@ object Similarity extends QueryPack {
         SELECT query_id, vec_id, d2 FROM scored
         WHERE d2 <= 1.5
         ORDER BY query_id, vec_id"""
+      }),
+
+    // ── EXACT similarity JOIN (set×set) with cell-PAIR pruning ──
+    // sim_range_search answers 5 queries; the similarity JOIN answers
+    // set×set — "every cross pair within r" between two corpora (the
+    // cross-source dedup / entity-resolution shape) — where the LSH
+    // faces trade recall for speed and the blocked face pays full
+    // O(n·m) compute. This keeps the answer EXACT and still prunes:
+    // per-side per-cell radii + the two-ball bound d(cᵢ, cⱼ) >
+    // r + radᵢ + radⱼ ⇒ no member pair can reach r, so whole CELL
+    // PAIRS are skipped with zero recall risk ([[rangeJoin]]); the
+    // surviving pair list is k² broadcast metadata and the scan is an
+    // equality join on it. Sides = even/odd vector ids over the shared
+    // IVF build. Oracle: mechanism-independent brute force over the
+    // full cross product — the hash proves the pruned join IS the
+    // unpruned answer; SimilaritySpec prunes >60% of cell pairs on the
+    // clustered fixture with the result brute-force-equal.
+    "sim_range_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        rangeJoin(ivfModel(s, embCheckpointed(s, d)), r2 = 1.5)
+      },
+      oracle = Some {
+        val d2 = """round(list_sum(list_transform(generate_series(1, len(a.emb)),
+                i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i]))), 9)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        scored AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id, $d2 AS d2
+          FROM a, b)
+        SELECT a_id, b_id, d2 FROM scored
+        WHERE d2 <= 1.5
+        ORDER BY a_id, b_id"""
       }),
 
     // ── product quantization: reconstruction fidelity ──

@@ -239,6 +239,31 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     s1n should be < ramp(t) * s1d
   }
 
+  test("evt_rolling_median matches a sequential trailing-5 recompute; " +
+      "heads shrink honestly and both parities of the 2x encoding occur") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000 as tus",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(p => (p._3, p._2)).toIndexedSeq
+      sorted.indices.map { t =>
+        val win = (math.max(0, t - 4) to t).map(sorted(_)._4).sorted
+        val n = win.length
+        (u, sorted(t)._2, n.toLong,
+          win((n + 1) / 2 - 1) + win(n / 2 + 1 - 1))
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.SparkEntry.queries("evt_rolling_median")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe expected
+    expected should not be empty
+    // heads: window sizes 1..5 all occur; even sizes exercise the
+    // two-middle-values sum, odd sizes the doubled middle
+    expected.map(_._3).distinct.sorted shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+  }
+
   test("evt_drawdown matches a sequential per-user running-peak fold") {
     val ev = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts div 1000 as tus",

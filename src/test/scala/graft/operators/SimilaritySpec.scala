@@ -656,4 +656,55 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     probes.length should be < 20
     probes.length should be >= 5 // every query keeps at least its own cell
   }
+
+  test("range JOIN on a clustered fixture: brute-force-equal cross pairs " +
+      "while the two-ball bound prunes most cell pairs") {
+    import spark.implicits._
+    val dim = 64
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Double =
+      (mix(seed) >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    val n = 2000
+    // cluster by id/2 so every cluster holds BOTH parities — the
+    // range-search fixture's id%8 clusters are single-parity and would
+    // make the even↔odd cross-pair set vacuously empty
+    val vecs: Map[Long, Array[Double]] = (0L until n.toLong).map { id =>
+      val g = ((id / 2) % 8).toInt
+      id -> Array.tabulate(dim)(i =>
+        unit(g * 1000L + i) + 0.15 * unit(id * 100000L + i))
+    }.toMap
+    val e = vecs.toSeq.sortBy(_._1)
+      .map { case (id, a) => (id, ((id / 2) % 8).toString, a.toSeq) }
+      .toDF("vec_id", "label", "emb")
+      .localCheckpoint(true)
+    val r2 = 2.0
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (for {
+      a <- vecs.keys.toSeq if a % 2 == 0
+      b <- vecs.keys.toSeq if b % 2 == 1
+      dd = d2(vecs(a), vecs(b)) if dd <= r2
+    } yield (a, b, dd)).sortBy(t => (t._1, t._2))
+    expect should not be empty
+    @volatile var cellPairs = 0
+    val got = Similarity.rangeJoin(
+        Similarity.ivfModel(spark, e), r2,
+        onCellPairs = df => cellPairs = df.collect().length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    got shouldBe expect
+    // 8x8 = 64 cell pairs exist; well-separated clusters keep only the
+    // same-cluster diagonal (plus a margin) — most pairs prune, yet the
+    // answer above is the full brute-force cross-pair set
+    cellPairs should be < 25
+    cellPairs should be >= 1
+  }
 }
