@@ -915,6 +915,59 @@ object Multimodal extends QueryPack {
         GROUP BY doc_id, w, h
         ORDER BY doc_id""")),
 
+    // ── real binary ROW-format roundtrip: Avro object container ──
+    // The codec tier a data pipeline actually moves rows in: each
+    // partition's documents are encoded into a REAL Avro object
+    // container ([[graft.sources.AvroLite]] — zigzag-varint longs,
+    // length-prefixed UTF-8, the schema JSON embedded in the header
+    // metadata map, 16-byte sync markers, multi-record block framing)
+    // and decoded back, and every emitted fact reads from the DECODED
+    // rows — so a varint off-by-one, a mis-zigzagged id, a byte/char
+    // length confusion, or a block-framing slip hash-mismatches
+    // against the oracle's direct view of the source table. The
+    // position-weighted code-POINT checksum pins UTF-8 decoding
+    // (multi-byte CJK text is in the fixture); the byte length pins
+    // the encoder's length prefixes. Map-only typed partitions, no
+    // shuffle; the container is partition-local (the write shape of a
+    // row-format sink at any scale).
+    "mm_avro_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", coalesce($"text", lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val docs = it.map { case (id, t) =>
+              graft.sources.AvroLite.Doc(id, t)
+            }.toSeq
+            val decoded = graft.sources.AvroLite.decode(
+              graft.sources.AvroLite.encode(docs, syncSeed = 7L))
+            decoded.iterator.map { doc =>
+              val cps = doc.text.codePoints().toArray
+              var ws = 0L
+              var i = 0
+              while (i < cps.length) {
+                ws += (i + 1).toLong * cps(i)
+                i += 1
+              }
+              (doc.docId, cps.length.toLong,
+                doc.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  .length.toLong, ws)
+            }
+          }
+          .toDF("doc_id", "n_cp", "n_bytes", "char_wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_cp,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          CAST(COALESCE(list_sum(list_transform(
+              generate_series(1, CAST(length(text) AS INT)),
+              i -> i * unicode(text[i]))), 0) AS BIGINT) AS char_wsum
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ── real audio resample: linear interpolation over decoded PCM ──
     // The audio twin of mm_resize: decode the WAV ([[Wav.decode]]),
     // then LINEAR-resample the clip to a fixed 48-sample grid — out
