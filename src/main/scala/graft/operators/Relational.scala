@@ -912,6 +912,65 @@ object Relational extends QueryPack {
     localInv + cross + sameBand
   }
 
+  /** The full ancestor closure of a forest by pointer doubling — the
+    * Spark-native answer to SQL's `WITH RECURSIVE` parent-walk
+    * (Valiant's path doubling; the PRAM list-ranking classic). Input
+    * is one row per non-root node (`node`, `parent`); output is every
+    * (node, anc, dist) ancestry pair with dist ≥ 1. A recursive CTE
+    * walks one level per iteration — O(depth) rounds; doubling keeps
+    * two frames instead:
+    *
+    *   P_k — the EXACT 2^k-th-ancestor pointer (≤ 1 row per node),
+    *   A_k — every pair with dist in 1..2^(k+1)−1,
+    *
+    * and each round runs TWO equality self-joins (P⋈P squares the
+    * pointer; P⋈A extends every known suffix by the new jump), so
+    * `rounds` = ⌈log₂(depth+1)⌉ covers depth 2^rounds −1. Paths in a
+    * forest are unique and every distance has a unique binary
+    * decomposition, so no round ever emits a duplicate pair — no
+    * per-round `distinct` is needed, and the union is append-only.
+    * Each round checkpoints both frames: the lineage would otherwise
+    * double per round (the suffixDups barrier discipline). At 100 TB
+    * the closure is n·depth rows — the right contract for business
+    * hierarchies (org charts, BOMs, category trees, depth ≲ 32),
+    * shuffled on the mid key; never a driver-side walk. */
+  private[operators] def ancestorClosure(
+      parents: DataFrame, rounds: Int): DataFrame = {
+    val s = parents.sparkSession
+    import s.implicits._
+    // Checkpoint AND rebase each round frame. The rebase
+    // (createDataFrame over the checkpointed partitions) strips the
+    // LogicalRDD's origin constraints: localCheckpoint preserves the
+    // pre-checkpoint plan's constraint set, whose attribute ids stay
+    // those of the ORIGINAL self-join inputs, and Union's constraint
+    // rewrite crashes (AttributeMap key-not-found) on any constraint
+    // referencing an attribute outside the branch's own output. A
+    // constraint-free frame with fresh ids unions safely; the
+    // checkpointed partitions are reused, nothing recomputes.
+    def barrier(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      s.createDataFrame(ck.rdd, ck.schema)
+    }
+    var p = barrier(parents.select($"node", $"parent".as("anc"),
+      lit(1L).as("dist")))
+    var all = p
+    for (k <- 1 until rounds) {
+      val jump = 1L << (k - 1)
+      // square the pointer: 2^(k-1) + 2^(k-1) = 2^k, ≤ 1 row per node
+      val p2 = barrier(
+        p.as("x").join(p.as("y"), $"x.anc" === $"y.node")
+          .select($"x.node".as("node"), $"y.anc".as("anc"),
+            lit(2 * jump).as("dist")))
+      // extend: 2^k + d for every d in 1..2^k−1 already in `all`
+      val ext = p2.as("x").join(all.as("y"), $"x.anc" === $"y.node")
+        .select($"x.node".as("node"), $"y.anc".as("anc"),
+          ($"x.dist" + $"y.dist").as("dist"))
+      all = barrier(all.unionByName(p2).unionByName(ext))
+      p = p2
+    }
+    all
+  }
+
   /** Benford first-digit expectations, PPM, floor(10⁶·log₁₀(1+1/d))
     * for d = 1..9 — computed ONCE here and string-interpolated into
     * BOTH the Spark plan and the DuckDB oracle (the SPRT ln-19
@@ -922,6 +981,78 @@ object Relational extends QueryPack {
     66946L, 57991L, 51152L, 45757L)
 
   override val queries: Map[String, QueryDef] = Map(
+
+    // ── recursive hierarchy rollup (WITH RECURSIVE, Spark-native) ──
+    // The one classic SQL shape Spark has no operator for: walk a
+    // parent-pointer hierarchy and aggregate every subtree (org-chart
+    // headcounts, BOM costed explosions, category-tree revenue). The
+    // hierarchy is the deterministic 4-ary forest over part —
+    // parent(k) = (k−1) div 4, root 0 — deep enough at sf0.01 to need
+    // 6 levels, and the plan's round count grows with log(depth), not
+    // depth: [[ancestorClosure]] pointer-doubles the parent relation
+    // (two equality self-joins per round, 5 rounds ⇒ depth ≤ 31)
+    // where the oracle's recursive CTE takes one join per LEVEL. Off
+    // the closure, depth is a per-node count, and every subtree
+    // metric (descendant count, rolled-up cents, deepest reach) is
+    // ONE map-side-combined groupBy on the ancestor key — no
+    // re-walking per subtree. The oracle recurses the same forest in
+    // DuckDB and re-aggregates; exact integer cents end to end.
+    "q_hierarchy_rollup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val nodes = Tables.part(s, d).select($"p_partkey".as("node"),
+            (dec($"p_retailprice") * 100).cast(LongType).as("cents"))
+          .localCheckpoint(true) // parents + value join + output spine
+        val par = nodes.filter($"node" >= 1)
+          .select($"node", expr("(node - 1) div 4").as("parent"))
+        val closure = ancestorClosure(par, rounds = 5)
+        val depth = closure.groupBy($"node")
+          .agg(count(lit(1)).as("depth"))
+        val sub = closure.join(nodes.select($"node", $"cents"), Seq("node"))
+          .groupBy($"anc").agg(count(lit(1)).as("n_desc"),
+            sum($"cents").as("desc_cents"), max($"dist").as("deepest"))
+          .select($"anc".as("node"), $"n_desc", $"desc_cents", $"deepest")
+        nodes.join(depth, Seq("node"), "left")
+          .join(sub, Seq("node"), "left")
+          .select($"node",
+            coalesce($"depth", lit(0L)).as("depth"),
+            coalesce($"n_desc", lit(0L)).as("n_desc"),
+            ($"cents" + coalesce($"desc_cents", lit(0L))).as("subtree_cents"),
+            coalesce($"deepest", lit(0L)).as("deepest"))
+          .orderBy($"node")
+      },
+      oracle = Some("""
+        WITH RECURSIVE nodes AS (
+          SELECT p_partkey AS node,
+                 CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM part),
+        par AS (
+          SELECT node, (node - 1) // 4 AS parent FROM nodes WHERE node >= 1),
+        closure AS (
+          SELECT node, parent AS anc, 1 AS dist FROM par
+          UNION ALL
+          SELECT c.node, p.parent, c.dist + 1
+          FROM closure c JOIN par p ON p.node = c.anc),
+        dep AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS depth
+          FROM closure GROUP BY node),
+        sub AS (
+          SELECT c.anc AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+                 CAST(SUM(n.cents) AS BIGINT) AS desc_cents,
+                 CAST(MAX(c.dist) AS BIGINT) AS deepest
+          FROM closure c JOIN nodes n ON n.node = c.node
+          GROUP BY c.anc)
+        SELECT n.node,
+               CAST(COALESCE(d.depth, 0) AS BIGINT) AS depth,
+               CAST(COALESCE(s.n_desc, 0) AS BIGINT) AS n_desc,
+               CAST(n.cents + COALESCE(s.desc_cents, 0) AS BIGINT)
+                 AS subtree_cents,
+               CAST(COALESCE(s.deepest, 0) AS BIGINT) AS deepest
+        FROM nodes n
+        LEFT JOIN dep d USING (node)
+        LEFT JOIN sub s USING (node)
+        ORDER BY node""")),
 
     // ── Benford first-digit audit census ──
     // The classic fabricated-data screen (Newcomb 1881; Benford 1938;

@@ -1453,4 +1453,33 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     }
     ex.getMessage should include("driver-matrix cap")
   }
+
+  test("ancestorClosure equals the brute-force parent walk on an " +
+      "irregular forest, chains crossing every doubling threshold") {
+    import spark.implicits._
+    // two trees: a 9-deep chain (needs dists 1..9 — exercises the
+    // 2^k + d extension at k = 1, 2, 3) grafted with side branches,
+    // plus a separate star; roots 0 and 100 carry no parent row
+    val parents: Map[Long, Long] = Map(
+      1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 5L,
+      7L -> 6L, 8L -> 7L, 9L -> 8L, // the chain
+      20L -> 3L, 21L -> 3L, 22L -> 20L, // branches off depth 3
+      101L -> 100L, 102L -> 100L, 103L -> 100L) // the star
+    def walk(n: Long): Seq[(Long, Long, Long)] = {
+      var cur = n; var d = 0L
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      while (parents.contains(cur)) {
+        cur = parents(cur); d += 1; out += ((n, cur, d))
+      }
+      out.result()
+    }
+    val expect = parents.keys.toSeq.flatMap(walk).sorted
+    val got = Relational.ancestorClosure(
+        parents.toSeq.map { case (c, p) => (c, p) }.toDF("node", "parent"),
+        rounds = 4) // covers depth 15 >= 9
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    got shouldBe expect
+    // uniqueness: no (node, anc) pair emitted twice by the doubling
+    got.map(t => (t._1, t._2)).distinct.size shouldBe got.size
+  }
 }
