@@ -334,7 +334,108 @@ object EventTime extends QueryPack {
           .as("icept"))
   }
 
+  /** Poisson(1) bootstrap weight read from BYTE `b` of an md5 hex in
+    * column `h` — identical SQL text in Spark and DuckDB (the
+    * amsSignSql nibble-parse idiom: ascii() on hex chars, fixed CASE
+    * thresholds). u8 = the byte as 0..255; the weight is the inverse
+    * CDF of Poisson(1) at u8/256, with thresholds floor(256·CDF) =
+    * 94, 188, 235, 251, 255 (CDF at 0..4 = .36788 .73576 .91970
+    * .98101 .99634 — EventTimeSpec recomputes them from e⁻¹). One
+    * digest per row supplies 16 independent replicate draws. */
+  private[operators] def poissonWeightSql(b: Int): String = {
+    def nib(pos: Int) =
+      s"""(CASE WHEN ascii(substring(h, $pos, 1)) >= 97
+          THEN ascii(substring(h, $pos, 1)) - 87
+          ELSE ascii(substring(h, $pos, 1)) - 48 END)"""
+    val u8 = s"(16 * ${nib(2 * b + 1)} + ${nib(2 * b + 2)})"
+    s"""(CASE WHEN $u8 < 94 THEN 0 WHEN $u8 < 188 THEN 1
+         WHEN $u8 < 235 THEN 2 WHEN $u8 < 251 THEN 3
+         WHEN $u8 < 255 THEN 4 ELSE 5 END)"""
+  }
+
   override val queries: Map[String, QueryDef] = Map(
+
+    // ── Poisson-bootstrap confidence intervals (per event type) ──
+    // THE distributed bootstrap (Chamandy et al., Google 2012;
+    // resampling n rows with replacement is a full shuffle per
+    // replicate, but each row's multiplicity in replicate b is
+    // asymptotically an INDEPENDENT Poisson(1) draw — so all B
+    // resamples become per-row weights folded in the same pass):
+    // 16 replicates of the per-type mean event value, weights read
+    // from the 16 bytes of ONE md5 per row ([[poissonWeightSql]] —
+    // the agg_f2_sketch one-digest discipline), so the corpus-sized
+    // work is a single map-side-combined groupBy computing all 32
+    // weighted partials plus the exact moments. The replicate means
+    // are exact-BIGINT ratios (one IEEE division each); the interval
+    // is the min/max envelope of the 16 means — at B = 16 the
+    // (1/17, 16/17) order statistics, an ~88% percentile-bootstrap
+    // CI. Mergeable across partitions/days by addition like every
+    // sketch in the pack. The oracle re-derives every draw from the
+    // same digest bytes via CROSS JOIN range(0,16).
+    "evt_bootstrap_ci" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type",
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("cents"),
+          md5($"event_id".cast("string")).as("h"))
+        val reps = (0 until 16).flatMap { b =>
+          val w = expr(poissonWeightSql(b)).cast(LongType)
+          Seq(sum(w * $"cents").as(s"s$b"), sum(w).as(s"n$b"))
+        }
+        val wide = ev.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum($"cents").as("sum_cents") +: reps): _*)
+        val long = wide.select($"event_type", $"n_rows", $"sum_cents",
+            explode(array((0 until 16).map(b => struct(
+              col(s"s$b").as("sb"), col(s"n$b").as("nb"))): _*)).as("r"))
+          .select($"event_type", $"n_rows", $"sum_cents",
+            $"r.sb", $"r.nb")
+          .filter($"nb" > 0)
+          .withColumn("mb", $"sb".cast(DoubleType) / $"nb".cast(DoubleType))
+        long.groupBy($"event_type")
+          .agg(max($"n_rows").as("n_rows"),
+            (max($"sum_cents".cast(DoubleType)) /
+              max($"n_rows".cast(DoubleType))).as("mean_cents"),
+            min($"mb").as("boot_lo"), max($"mb").as("boot_hi"),
+            count(lit(1)).as("n_reps"))
+          .orderBy($"event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                 md5(CAST(event_id AS VARCHAR)) AS h
+          FROM events),
+        base AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM ev GROUP BY event_type),
+        rep AS (
+          SELECT event_type, r.r AS b,
+                 CAST(SUM((CASE r.r ${(0 until 16).map(b =>
+                   s"WHEN $b THEN ${poissonWeightSql(b)}")
+                   .mkString("\n                   ")}
+                 END) * cents) AS BIGINT) AS sb,
+                 CAST(SUM(CASE r.r ${(0 until 16).map(b =>
+                   s"WHEN $b THEN ${poissonWeightSql(b)}")
+                   .mkString("\n                   ")}
+                 END) AS BIGINT) AS nb
+          FROM ev CROSS JOIN range(0, 16) r(r)
+          GROUP BY 1, 2),
+        m AS (
+          SELECT event_type,
+                 CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+          FROM rep WHERE nb > 0)
+        SELECT b.event_type, b.n_rows,
+               CAST(b.sum_cents AS DOUBLE) / CAST(b.n_rows AS DOUBLE)
+                 AS mean_cents,
+               MIN(m.mb) AS boot_lo, MAX(m.mb) AS boot_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_reps
+        FROM base b JOIN m USING (event_type)
+        GROUP BY b.event_type, b.n_rows, b.sum_cents
+        ORDER BY b.event_type"""),
+      headline = false),
 
     // ── Theil–Sen robust trend (median of pairwise slopes) ──
     // The robust companion to evt_trend_ols: one corrupted day drags a

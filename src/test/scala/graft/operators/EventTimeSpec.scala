@@ -1679,4 +1679,50 @@ class EventTimeSpec extends AnyFunSuite with Matchers {
     val raw = evRows.groupBy(_._6).view.mapValues(_.map(_._4).sum)
     got.foreach { case (u, _, _, fl) => fl should be < raw(u) }
   }
+
+  test("evt_bootstrap_ci: thresholds are floor(256*PoissonCDF(1)), the " +
+      "envelope brackets the exact mean, and a replicate's weights " +
+      "match a JDK-md5 recompute") {
+    // the fixed CASE thresholds in poissonWeightSql, re-derived:
+    // pmf(k) = e^-1 / k!, cdf = running sum
+    val pmf = (0 to 4).map(k =>
+      math.exp(-1.0) / (1 to k).map(_.toDouble).product)
+    val cdf = pmf.scanLeft(0.0)(_ + _).tail
+    cdf.map(c => math.floor(256 * c).toLong) shouldBe
+      Seq(94L, 188L, 235L, 251L, 255L)
+
+    val rows = graft.SparkEntry.queries("evt_bootstrap_ci")(spark, sf)
+      .collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      lo should be <= hi
+      // the envelope is a resampling CI around the exact mean: each
+      // replicate reweights the same rows, so min <= mean-ish <= max
+      // holds loosely; assert the envelope at least OVERLAPS the mean
+      // within its own width (a sign-error or byte-misparse throws it
+      // orders of magnitude off)
+      val width = math.max(hi - lo, 1.0)
+      math.abs(mean - (lo + hi) / 2) should be <= 3 * width
+    }
+    // brute-force replicate 0 weights on real rows via JDK md5
+    import spark.implicits._
+    val sample = Tables.events(spark, sf)
+      .select($"event_id".cast("string")).limit(64).as[String].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(id: String): Int = {
+      val hex = md.digest(id.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u8 = Integer.parseInt(hex.substring(0, 2), 16)
+      if (u8 < 94) 0 else if (u8 < 188) 1 else if (u8 < 235) 2
+      else if (u8 < 251) 3 else if (u8 < 255) 4 else 5
+    }
+    val viaSql = Tables.events(spark, sf)
+      .select($"event_id".cast("string").as("id"))
+      .limit(64)
+      .selectExpr("id", "md5(id) AS h")
+      .selectExpr("id", EventTime.poissonWeightSql(0) + " AS w")
+      .as[(String, Int)].collect().toMap
+    sample.foreach { id => viaSql(id) shouldBe weight(id) }
+  }
 }
