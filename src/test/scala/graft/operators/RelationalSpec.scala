@@ -1482,4 +1482,43 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     // uniqueness: no (node, anc) pair emitted twice by the doubling
     got.map(t => (t._1, t._2)).distinct.size shouldBe got.size
   }
+
+  test("densestPeel equals a sequential replay of the Bahmani rule and " +
+      "finds the planted clique") {
+    import spark.implicits._
+    // K6 clique (density 2.5) + a 12-node chain grafted onto node 0:
+    // round 0 density is diluted by the chain; peeling strips the
+    // low-degree chain and the best round is the bare clique
+    val clique = for {
+      i <- 0L until 6L; j <- (i + 1) until 6L
+    } yield (i, j)
+    val chain = (0 until 12).map(i =>
+      if (i == 0) (0L, 10L) else (9L + i, 10L + i))
+    val edges = (clique ++ chain).toDF("u", "v")
+    val got = Relational.densestPeel(edges, rounds = 3)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    // sequential replay of the exact-integer rule: round-0 nodes are
+    // the edge endpoints, later rounds carry the keep set forward
+    var es2 = (clique ++ chain).toSet
+    var nodes2: Set[Long] = es2.flatMap(e => Seq(e._1, e._2))
+    var exp2 = Seq.empty[(Long, Long, Long)]
+    for (r <- 0L to 3L) {
+      exp2 :+= ((r, nodes2.size.toLong, es2.size.toLong))
+      if (r < 3 && nodes2.nonEmpty) {
+        val deg = es2.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val nV = nodes2.size.toLong; val nE = es2.size.toLong
+        nodes2 = deg.collect {
+          case (n, dg) if dg * nV > 2L * nE => n }.toSet
+        es2 = es2.filter(e => nodes2(e._1) && nodes2(e._2))
+      }
+    }
+    got.map(t => (t._1, t._2, t._3)) shouldBe exp2
+    // the best round is the bare clique: 6 nodes, 15 edges, density 2.5
+    val best = got.find(_._5).get
+    (best._2, best._3) shouldBe ((6L, 15L))
+    best._4 shouldBe 2.5
+    // exactly one best
+    got.count(_._5) shouldBe 1
+  }
 }
