@@ -1017,6 +1017,147 @@ object TextAnalysis extends QueryPack {
         FROM c
         ORDER BY doc_id""")),
 
+    // ── expected calibration error (reliability diagram) ──
+    // The classifier-audit face the scoring family lacked: a quality
+    // or language classifier is only USEFUL at 100 TB if its
+    // confidence means what it says, and ECE (Naeini et al. AAAI'15;
+    // Guo et al. ICML'17) is the standard readout — bin predictions
+    // by confidence, compare each bin's mean confidence to its
+    // empirical accuracy. The classifier under audit is the marker
+    // language-ID run as a PROBABILITY: p(en) = add-1-smoothed share
+    // of English markers among all four languages' markers, kept in
+    // exact ppm integers, so every bin row is exact BIGINTs and the
+    // per-bin ECE numerator |1e6·n_pos − Σp_ppm| rides the hash as
+    // an integer (total ECE = Σ ece_num / (1e6·N)). One scan, one
+    // map-side-combined groupBy on the 10 bins; conf/acc are single
+    // exact-ratio divisions. At sf0.01 the diagram shows real
+    // miscalibration (bin 7: conf .71 vs acc .17) — which is the
+    // point: the audit MEASURES it.
+    "llm_calibration_ece" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang",
+            expr(kwCount("the")).as("ce"), expr(kwCount("der")).as("cd"),
+            expr(kwCount("le")).as("cf"), expr(kwCount("el")).as("cs"))
+          .select($"lang",
+            expr("cast(1000000 as bigint) * (ce + 1) " +
+              "div (ce + cd + cf + cs + 4)").as("ppm"))
+          .select($"lang", $"ppm",
+            least(lit(9L), expr("ppm div 100000")).as("bin"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ppm").as("sum_p_ppm"),
+            sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_pos"))
+          .select($"bin", $"n_docs", $"sum_p_ppm", $"n_pos",
+            ($"sum_p_ppm".cast(DoubleType) /
+              ($"n_docs" * lit(1000000L)).cast(DoubleType)).as("conf"),
+            ($"n_pos".cast(DoubleType) / $"n_docs".cast(DoubleType))
+              .as("acc"),
+            abs(lit(1000000L) * $"n_pos" - $"sum_p_ppm").as("ece_num"))
+          .orderBy($"bin")
+      },
+      oracle = Some(s"""
+        WITH c AS (
+          SELECT lang,
+            ${kwCountSql("the")} AS ce, ${kwCountSql("der")} AS cd,
+            ${kwCountSql("le")} AS cf, ${kwCountSql("el")} AS cs
+          FROM documents),
+        p AS (
+          SELECT lang, 1000000 * (ce + 1) // (ce + cd + cf + cs + 4) AS ppm
+          FROM c),
+        b AS (
+          SELECT least(9, ppm // 100000) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(ppm) AS BIGINT) AS sum_p_ppm,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pos
+          FROM p GROUP BY 1)
+        SELECT bin, n_docs, sum_p_ppm, n_pos,
+               CAST(sum_p_ppm AS DOUBLE) /
+                 CAST(n_docs * 1000000 AS DOUBLE) AS conf,
+               CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc,
+               CAST(abs(1000000 * n_pos - sum_p_ppm) AS BIGINT) AS ece_num
+        FROM b ORDER BY bin"""),
+      headline = false),
+
+    // ── Cohen's kappa (inter-rater agreement beyond chance) ──
+    // The label-quality gate of annotation pipelines: raw agreement
+    // po flatters raters who both say "yes" to everything, kappa
+    // (Cohen 1960) subtracts the chance agreement pe implied by each
+    // rater's own marginals. Rater A: the strict-argmax marker rule
+    // ("more English markers than the best alternative"); rater B:
+    // the smoothed en-share probability at ≥ 0.5 — two DIFFERENT
+    // readouts of the same evidence, so they disagree exactly where
+    // the evidence is thin (168 docs at sf0.01). One scan folds the
+    // full 2×2 contingency table map-side; po, pe, kappa are short
+    // IEEE chains on the exact counts (pe's N² products stay in
+    // BIGINT here; a 100 TB run lifts them to DECIMAL(38) — the plan
+    // is unchanged).
+    "llm_rater_kappa" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val tab = Tables.documents(s, d)
+          .select(
+            expr(kwCount("the")).as("ce"), expr(kwCount("der")).as("cd"),
+            expr(kwCount("le")).as("cf"), expr(kwCount("el")).as("cs"))
+          .select(
+            ($"ce" > greatest($"cd", $"cf", $"cs")).as("a"),
+            (expr("cast(1000000 as bigint) * (ce + 1) " +
+              "div (ce + cd + cf + cs + 4)") >= 500000L).as("b"))
+          .agg(
+            sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"),
+            sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+            sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+            sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"))
+        tab.select($"n00", $"n01", $"n10", $"n11",
+            (($"n00" + $"n11").cast(DoubleType) /
+              ($"n00" + $"n01" + $"n10" + $"n11").cast(DoubleType))
+              .as("po"),
+            ((($"n10" + $"n11") * ($"n01" + $"n11") +
+              ($"n00" + $"n01") * ($"n00" + $"n10")).cast(DoubleType) /
+              (($"n00" + $"n01" + $"n10" + $"n11") *
+                ($"n00" + $"n01" + $"n10" + $"n11")).cast(DoubleType))
+              .as("pe"))
+          .select($"n00", $"n01", $"n10", $"n11", $"po", $"pe",
+            (($"po" - $"pe") / (lit(1.0) - $"pe")).as("kappa"))
+      },
+      oracle = Some(s"""
+        WITH c AS (
+          SELECT
+            ${kwCountSql("the")} AS ce, ${kwCountSql("der")} AS cd,
+            ${kwCountSql("le")} AS cf, ${kwCountSql("el")} AS cs
+          FROM documents),
+        r AS (
+          SELECT (ce > greatest(cd, cf, cs)) AS a,
+                 (1000000 * (ce + 1) // (ce + cd + cf + cs + 4)
+                   >= 500000) AS b
+          FROM c),
+        t AS (
+          SELECT
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11
+          FROM r),
+        s AS (
+          SELECT n00, n01, n10, n11,
+            CAST(n00 + n11 AS DOUBLE) /
+              CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS po,
+            CAST((n10 + n11) * (n01 + n11) +
+                 (n00 + n01) * (n00 + n10) AS DOUBLE) /
+              CAST((n00 + n01 + n10 + n11) *
+                   (n00 + n01 + n10 + n11) AS DOUBLE) AS pe
+          FROM t)
+        SELECT n00, n01, n10, n11, po, pe,
+               (po - pe) / (1.0 - pe) AS kappa
+        FROM s"""),
+      headline = false),
+
     // ── edit distance between adjacent same-language documents ──
     // (inputs are projected to [a-z0-9 ] first: Spark's levenshtein is
     // codepoint-based while DuckDB's is byte-based, so non-ASCII text

@@ -587,4 +587,53 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     withClue(s"ranked rows: 1x base $c1, 4x base $c4") { c4 shouldBe c1 }
     c1 should be > 0L
   }
+
+  test("llm_calibration_ece and llm_rater_kappa match a from-the-text " +
+      "Scala recompute of the marker probabilities") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+    def cnt(t: String, kw: String): Long = {
+      val pat = s" $kw "
+      (t.length - t.replace(pat, "").length).toLong / pat.length
+    }
+    val feats = docs.map { case (lang, t) =>
+      val (ce, cd, cf, cs) =
+        (cnt(t, "the"), cnt(t, "der"), cnt(t, "le"), cnt(t, "el"))
+      (lang, ce, cd, cf, cs,
+        1000000L * (ce + 1) / (ce + cd + cf + cs + 4))
+    }
+    // ECE bins
+    val bins = feats.groupBy { f => math.min(9L, f._6 / 100000L) }
+      .map { case (b, fs) =>
+        val n = fs.length.toLong
+        val sp = fs.map(_._6).sum
+        val pos = fs.count(_._1 == "en").toLong
+        (b, n, sp, pos, math.abs(1000000L * pos - sp))
+      }.toSeq.sortBy(_._1)
+    val gotE = graft.SparkEntry.queries("llm_calibration_ece")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(6))).toSeq
+    gotE shouldBe bins
+    // kappa from the same features
+    val pairs = feats.map(f =>
+      (f._2 > Seq(f._3, f._4, f._5).max, f._6 >= 500000L))
+    val (n00, n01, n10, n11) = (
+      pairs.count(p => !p._1 && !p._2).toLong,
+      pairs.count(p => !p._1 && p._2).toLong,
+      pairs.count(p => p._1 && !p._2).toLong,
+      pairs.count(p => p._1 && p._2).toLong)
+    val n = (n00 + n01 + n10 + n11).toDouble
+    val po = (n00 + n11) / n
+    val pe = ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)) /
+      (n * n)
+    val gotK = graft.SparkEntry.queries("llm_rater_kappa")(spark, sf)
+      .collect().head
+    (gotK.getLong(0), gotK.getLong(1), gotK.getLong(2), gotK.getLong(3)) shouldBe
+      ((n00, n01, n10, n11))
+    gotK.getDouble(6) shouldBe ((po - pe) / (1.0 - pe)) +- 1e-12
+    // kappa is a real correction: below raw agreement, above zero here
+    gotK.getDouble(6) should be < gotK.getDouble(4)
+  }
 }
