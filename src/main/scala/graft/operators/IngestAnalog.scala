@@ -321,6 +321,53 @@ object IngestAnalog extends QueryPack {
         SELECT event_id,
                CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
         FROM events
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── small-file compaction planning (splittable bin assignment) ──
+    // The ops face every 100 TB ingest pipeline grows: millions of
+    // small files must coalesce into target-sized outputs before they
+    // poison scan parallelism. The "files" are the reference domain's
+    // listing units (user × event_type, size = accumulated bytes);
+    // the plan is the SPLITTABLE-format assignment Spark's own scan
+    // packing uses — path-ordered files, each assigned to the bin its
+    // byte OFFSET falls in (exclusive-prefix div target), so bins
+    // preserve path locality and a file may straddle a boundary
+    // exactly like a splittable scan range. The prefix sum is the
+    // two-level Blelloch scan ([[Relational.globalPrefixSum]]: range
+    // partition + per-partition pass + O(parts) driver offsets),
+    // NEVER a single-task global window; the oracle's window cumsum
+    // is the semantic spec, not the plan.
+    "ref_compaction_bins" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val files = Tables.events(s, d)
+          .groupBy($"user_id", $"event_type")
+          .agg(sum(expr(
+            "cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+            .as("size_b"))
+        Relational.globalPrefixSum(s, files,
+            Seq($"user_id", $"event_type"), "size_b")
+          .select($"user_id", $"event_type", $"size_b",
+            $"psum".as("cum_b"),
+            expr("(psum - size_b) div 10000000").as("bin"))
+          .orderBy($"user_id", $"event_type")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT user_id, event_type,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS size_b
+          FROM events GROUP BY 1, 2),
+        c AS (
+          SELECT user_id, event_type, size_b,
+                 SUM(size_b) OVER (ORDER BY user_id, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+          FROM f)
+        SELECT user_id, event_type, size_b,
+               CAST(cum_b AS BIGINT) AS cum_b,
+               CAST((cum_b - size_b) // 10000000 AS BIGINT) AS bin
+        FROM c
+        ORDER BY user_id, event_type"""))
   )
 }
