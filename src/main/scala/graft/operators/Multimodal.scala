@@ -706,6 +706,79 @@ object Multimodal extends QueryPack {
         FROM sl GROUP BY doc_id, n_frames
         ORDER BY doc_id""")),
 
+    // ── real gzip container roundtrip (the *.jsonl.gz tier) ──
+    // The compression-CONTAINER face ([[Png]] proves deflate inside
+    // an image; this is the wrapper text corpora actually ship in):
+    // each document's ASCII text, repeated 1+(doc_id mod 200) times so
+    // a slice of the corpus genuinely crosses the 65535-byte stored-
+    // block limit, is gzip-ENCODED by [[Gzip.encode]] (spec-determined
+    // stored-mode DEFLATE — container length is pure arithmetic) and
+    // decoded back by [[Gzip.decode]]'s general reader (own header +
+    // CRC32/ISIZE trailer verification, JDK raw inflate). The oracle
+    // prices orig/encoded/deflate lengths and the block count from
+    // the RFC arithmetic, and the position-weighted payload checksum
+    // from the repeat closed form — a decoder that shifted a byte,
+    // dropped a block, or mis-skipped a header field cannot cancel.
+    // 100 TB shape: map-only typed partitions, no shuffle.
+    "mm_gzip_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val reps = (1 + (id % 200)).toInt
+            val sb = new java.lang.StringBuilder(t.length * reps)
+            (0 until reps).foreach(_ => sb.append(t))
+            val payload = sb.toString.getBytes("US-ASCII")
+            val enc = Gzip.encode(payload)
+            val m = Gzip.decode(enc)
+            var ws = 0L
+            var i = 0
+            while (i < m.data.length) {
+              ws += (i + 1).toLong * (m.data(i) & 0xff); i += 1
+            }
+            val ok = java.util.Arrays.equals(m.data, payload) &&
+              m.mtime == 0L && m.os == 255
+            (id, payload.length.toLong,
+              Gzip.storedBlocks(payload.length).toLong,
+              enc.length.toLong, m.deflateLen.toLong, ok, ws)
+          }
+        }.toDF("doc_id", "orig_len", "n_blocks", "encoded_len",
+          "deflate_len", "roundtrip_ok", "wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (
+          SELECT doc_id, t, length(t) AS m, 1 + (doc_id % 200) AS reps
+          FROM a WHERE length(t) > 0),
+        ch AS (
+          SELECT doc_id, t, m, reps,
+                 unnest(generate_series(1, m)) AS j
+          FROM p),
+        cs AS (
+          SELECT doc_id, MAX(m) AS m, MAX(reps) AS reps,
+                 SUM(unicode(substr(t, CAST(j AS INT), 1))) AS s1,
+                 SUM(j * unicode(substr(t, CAST(j AS INT), 1))) AS ws1
+          FROM ch GROUP BY doc_id),
+        f AS (
+          SELECT doc_id, m, reps, s1, ws1,
+                 reps * m AS n,
+                 (reps * m + 65534) // 65535 AS blocks
+          FROM cs)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS orig_len,
+               CAST(blocks AS BIGINT) AS n_blocks,
+               CAST(10 + 5 * blocks + n + 8 AS BIGINT) AS encoded_len,
+               CAST(n + 5 * blocks AS BIGINT) AS deflate_len,
+               TRUE AS roundtrip_ok,
+               CAST(reps * ws1 + m * s1 * reps * (reps - 1) // 2
+                 AS BIGINT) AS wsum
+        FROM f
+        ORDER BY doc_id""")),
+
     // ── real WAV/PCM decode over the typed mapPartitions path ──
     // The audio face of the real-codec pair ([[Bmp]] is the image
     // face): each document's printable-ASCII text generates a REAL

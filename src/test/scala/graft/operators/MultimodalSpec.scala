@@ -612,4 +612,69 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val eightBit = good.clone(); eightBit(34) = 8.toByte
     an[IllegalArgumentException] should be thrownBy Wav.decode(eightBit)
   }
+
+  test("Gzip: roundtrip across block boundaries, length formula, and " +
+      "JDK GZIPOutputStream cross-validation") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 100, 65534, 65535, 65536, 131070, 131071, 150000)) {
+      val payload = Array.fill(n)(rnd.nextInt(256).toByte)
+      val enc = Gzip.encode(payload)
+      enc.length shouldBe Gzip.encodedLength(n)
+      val m = Gzip.decode(enc)
+      m.data shouldBe payload
+      m.mtime shouldBe 0L
+      m.os shouldBe 255
+      m.deflateLen shouldBe n + 5 * Gzip.storedBlocks(n)
+    }
+    // our general reader must decode the JDK's COMPRESSED members too
+    val text = ("the quick brown fox " * 500).getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text); gz.close()
+    val jdk = Gzip.decode(bos.toByteArray)
+    jdk.data shouldBe text
+    // compressed body is genuinely smaller than stored mode would be
+    jdk.deflateLen.toLong should be < text.length.toLong
+    // and the JDK reader accepts OUR members (both directions hold)
+    val ours = Gzip.encode(text)
+    val back = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(ours)).readAllBytes()
+    back shouldBe text
+  }
+
+  test("Gzip: hostile bytes are rejected loudly, never silently shifted") {
+    val payload = "line one\nline two\n".getBytes("US-ASCII")
+    val good = Gzip.encode(payload)
+    def mut(i: Int, f: Byte => Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = f(c(i)); c
+    }
+    // every truncation fails (header, mid-block, inside trailer)
+    for (cut <- Seq(0, 5, 11, 14, good.length - 9, good.length - 1))
+      an[IllegalArgumentException] should be thrownBy
+        Gzip.decode(good.take(cut))
+    // magic, method, reserved flag bits
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(0, _ => 'P'.toByte))
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(2, _ => 7.toByte))
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(3, _ => 0x20.toByte))
+    // stored-block NLEN lie -> inflater rejects the deflate stream
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(13, b => (b ^ 1).toByte))
+    // payload bit-flip -> CRC32 catches it
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(16, b => (b ^ 1).toByte))
+    // trailer lies: CRC then ISIZE
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(good.length - 5, b => (b ^ 1).toByte))
+    an[IllegalArgumentException] should be thrownBy
+      Gzip.decode(mut(good.length - 1, b => (b ^ 1).toByte))
+    // bits OUTSIDE the verified subset (MTIME, XFL) decode to the
+    // identical payload — changed meta, same data, never a shift
+    val mt = Gzip.decode(mut(4, _ => 0x2a.toByte))
+    mt.data shouldBe payload
+    mt.mtime shouldBe 0x2aL
+    Gzip.decode(mut(8, _ => 2.toByte)).data shouldBe payload
+  }
 }
