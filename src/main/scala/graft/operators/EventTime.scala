@@ -342,7 +342,7 @@ object EventTime extends QueryPack {
     * 94, 188, 235, 251, 255 (CDF at 0..4 = .36788 .73576 .91970
     * .98101 .99634 — EventTimeSpec recomputes them from e⁻¹). One
     * digest per row supplies 16 independent replicate draws. */
-  private[operators] def poissonWeightSql(b: Int): String = {
+  private[graft] def poissonWeightSql(b: Int): String = {
     def nib(pos: Int) =
       s"""(CASE WHEN ascii(substring(h, $pos, 1)) >= 97
           THEN ascii(substring(h, $pos, 1)) - 87

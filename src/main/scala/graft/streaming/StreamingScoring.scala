@@ -371,4 +371,100 @@ object StreamingScoring {
       }
       .start()
   }
+
+  /** Continuous Poisson-bootstrap confidence intervals — the
+    * streaming face of `evt_bootstrap_ci`, and the RESAMPLING member
+    * of the mergeable-summary family: all 16 replicates' (Σwx, Σw)
+    * pairs plus the exact (Σx, n) are summaries mergeable by plain
+    * addition, so each micro-batch pays ONE map-side-combined per-key
+    * aggregate (34 partials, key-count rows cross the shuffle) and
+    * the CI over everything streamed so far updates with a driver
+    * O(keys) add. Replicate weights are read from the md5 bytes of
+    * each record's `id` ([[graft.operators.EventTime.poissonWeightSql]]),
+    * which makes replay WEIGHT-STABLE: a re-delivered record would
+    * draw the identical weights, so the batch-id guard's exactly-once
+    * fold is also deterministic under at-least-once delivery.
+    * Accumulated sums persist as BigInt strings (the momentsStream
+    * discipline — no Long ceiling at any stream length; batch sums
+    * are bounded by the micro-batch).
+    *
+    * `records` must carry `key` string, `id` string (the stable
+    * record identity the weights hash), and `x` long. `sink`
+    * receives, per batch, one row per key:
+    * (key, n, mean, boot_lo, boot_hi, n_reps, batch_id). */
+  def bootstrapStream(
+      records: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/boot"
+        val old = s"$stateDir/boot.old"
+        val tmp = s"$stateDir/boot.tmp"
+        // per key: n, Σx, then (Σw_b·x, Σw_b) for b = 0..15 — all BigInt
+        type Sums = IndexedSeq[BigInt]
+        val width = 2 + 32
+
+        val (state, lastBatch) = GenSwap.readable(target, old) match {
+          case Some(dir) =>
+            val rows = s.read.parquet(dir).collect()
+            val lb = if (rows.isEmpty) -1L else rows.head.getLong(2)
+            (rows.map { r =>
+              r.getString(0) ->
+                r.getString(1).split(',').map(BigInt(_)).toIndexedSeq
+            }.toMap, lb)
+          case None => (Map.empty[String, Sums], -1L)
+        }
+
+        val merged =
+          if (batchId <= lastBatch) state // replayed batch: fold once
+          else {
+            val withH = batch.select($"key", $"x",
+              md5($"id".cast("string")).as("h"))
+            val repAggs = (0 until 16).flatMap { b =>
+              val w = expr(graft.operators.EventTime.poissonWeightSql(b))
+                .cast("long")
+              Seq(sum(w * $"x").as(s"s$b"), sum(w).as(s"n$b"))
+            }
+            val batchSums = withH.groupBy($"key")
+              .agg(count(lit(1)).as("n"), (sum($"x").as("s1") +: repAggs): _*)
+              .collect() // one row per key — coordinator-sized
+              .map { r =>
+                r.getString(0) -> (0 until width).map(i =>
+                  BigInt(r.getLong(i + 1))).toIndexedSeq
+              }.toMap
+            val zero = IndexedSeq.fill(width)(BigInt(0))
+            val m = (state.keySet ++ batchSums.keySet).map { k =>
+              val a = state.getOrElse(k, zero)
+              val b = batchSums.getOrElse(k, zero)
+              k -> (0 until width).map(i => a(i) + b(i))
+            }.toMap
+            new java.io.File(stateDir).mkdirs()
+            m.toSeq.map { case (k, ss) =>
+              (k, ss.mkString(","), batchId)
+            }.toDF("key", "sums", "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            GenSwap.publish(tmp, target, old)
+            m
+          }
+
+        sink(merged.toSeq.map { case (k, ss) =>
+          val n = ss(0); val s1 = ss(1)
+          val means = (0 until 16).flatMap { b =>
+            val sb = ss(2 + 2 * b); val nb = ss(3 + 2 * b)
+            if (nb > 0) Some(sb.toDouble / nb.toDouble) else None
+          }
+          val mean = if (n > 0) s1.toDouble / n.toDouble else 0.0
+          val (lo, hi) =
+            if (means.nonEmpty) (means.min, means.max) else (mean, mean)
+          (k, n.toLong, mean, lo, hi, means.length.toLong, batchId)
+        }.toDF("key", "n", "mean", "boot_lo", "boot_hi", "n_reps",
+          "batch_id"))
+      }
+      .start()
+  }
 }

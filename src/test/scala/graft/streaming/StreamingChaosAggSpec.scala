@@ -132,6 +132,36 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: bootstrapStream kill between emission and commit + restart " +
+      "yields CIs bit-identical to an unkilled run, both providers") {
+    // a replayed fold would double every replicate's (Σwx, Σw) — the
+    // envelope stays plausible-looking (means barely move), which is
+    // exactly why the bit-identity gate matters
+    def bootRows(n: Int, key: String, seed: Int): Seq[String] = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map { i =>
+        s"""{"key":"$key","id":"$key-$seed-$i","x":${r.nextInt(10000)}}"""
+      }
+    }
+    val batches = Seq(
+      bootRows(100, "a", 1) ++ bootRows(40, "b", 2),
+      bootRows(60, "a", 3),
+      bootRows(30, "b", 4) ++ bootRows(20, "a", 5))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingScoring.bootstrapStream(
+        spark.readStream.schema("key STRING, id STRING, x LONG")
+          .json(src.toString),
+        state.toString, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"boot-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"boot-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
   test("chaos: cmChangeStream kill between emission and commit + restart " +
       "yields counters bit-identical to an unkilled run, both providers") {
     val terms = Seq("alpha", "beta", "gamma", "delta", "epsilon")

@@ -336,4 +336,83 @@ class StreamingScoringSpec extends AnyFunSuite with Matchers {
     math.abs(skew0) should be < 0.3
     skew1 should be > skew0 + 0.3
   }
+
+  test("continuous bootstrap: per-key CI folds exactly across batches " +
+      "and restarts, equal to a JDK-md5 recompute over everything so far") {
+    val src = java.nio.file.Files.createTempDirectory("graft-sbt-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sbt-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-sbt-state")
+
+    def writeRows(name: String, rows: Seq[(String, String, Long)]): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        rows.map { case (k, id, x) =>
+          s"""{"key":"$k","id":"$id","x":$x}""" }
+          .mkString("\n").getBytes(UTF_8))
+
+    @volatile var emitted = Vector.empty[Array[Row]]
+    def start() = StreamingScoring.bootstrapStream(
+      spark.readStream.schema("key STRING, id STRING, x LONG")
+        .json(src.toString),
+      state.toString, ckpt.toString,
+      sink = df => emitted :+= df.collect())
+
+    // the weight chain the stream runs, from the JDK digest directly
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    def weights(id: String): IndexedSeq[Int] = {
+      val hex = mdt.digest(id.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 16).map { b =>
+        val u8 = Integer.parseInt(hex.substring(2 * b, 2 * b + 2), 16)
+        if (u8 < 94) 0 else if (u8 < 188) 1 else if (u8 < 235) 2
+        else if (u8 < 251) 3 else if (u8 < 255) 4 else 5
+      }
+    }
+    def direct(rows: Seq[(String, Long)]): (Long, Double, Double, Double, Long) = {
+      val n = rows.length.toLong
+      val mean = rows.map(_._2).sum.toDouble / n.toDouble
+      val means = (0 until 16).flatMap { b =>
+        val (sb, nb) = rows.foldLeft((0L, 0L)) { case ((s, c), (id, x)) =>
+          val w = weights(id)(b); (s + w * x, c + w)
+        }
+        if (nb > 0) Some(sb.toDouble / nb.toDouble) else None
+      }
+      (n, mean, means.min, means.max, means.length.toLong)
+    }
+
+    val rnd = new scala.util.Random(11)
+    def gen(k: String, tag: String, n: Int): Seq[(String, String, Long)] =
+      (0 until n).map(i => (k, s"$k-$tag-$i", rnd.nextInt(100000).toLong))
+    val all = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+
+    def check(rows: Array[Row]): Unit = {
+      val byKey = all.groupBy(_._1)
+      rows.map(_.getString(0)).toSet shouldBe byKey.keySet
+      rows.foreach { r =>
+        val k = r.getString(0)
+        val exp = direct(byKey(k).map(t => (t._2, t._3)).toSeq)
+        withClue(s"key $k: ") {
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)) shouldBe exp
+        }
+      }
+    }
+
+    val b0 = gen("a", "b0", 150) ++ gen("b", "b0", 60)
+    writeRows("b0.json", b0); all ++= b0
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // restart boundary
+    check(emitted.last)
+    // the envelope genuinely brackets: lo < mean < hi at these sizes
+    emitted.last.foreach { r =>
+      r.getDouble(3) should be < r.getDouble(2)
+      r.getDouble(4) should be > r.getDouble(2)
+    }
+
+    // resumed query folds only the new batch onto the persisted sums
+    val b1 = gen("a", "b1", 80) ++ gen("c", "b1", 40)
+    writeRows("b1.json", b1); all ++= b1
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    check(emitted.last)
+  }
 }
