@@ -437,6 +437,95 @@ object EventTime extends QueryPack {
         ORDER BY b.event_type"""),
       headline = false),
 
+    // ── one-way ANOVA F test (parametric k-group mean comparison) ──
+    // The parametric sibling of evt_kruskal: same k-group question
+    // ("do event types differ in mean value?") answered from VARIANCE
+    // decomposition instead of ranks — the one k-group classic the
+    // stats pack lacked. The corpus-sized work is ONE map-side-
+    // combined aggregate per group of the mergeable sufficient
+    // statistics (n, Σy, Σy² in cents); SSB and SSW then decompose on
+    // the k group rows with the evt_chi_square discipline: each
+    // group's contribution is an exact-integer rational — SSB_g =
+    // (S_g·N − S·n_g)² / (n_g·N²), SSW_g = (n_g·Q_g − S_g²) / n_g —
+    // rounded at 6 decimals into DECIMAL(20,6) so the cross-group sum
+    // is EXACT decimal addition (no float-order sensitivity), doubles
+    // only at the final F readout. The rejection verdict applies the
+    // df₁ = 4 large-sample critical value 2.372 and is emitted only
+    // when the fixture's k = 5 matches that df (guarded, not
+    // assumed). Σy² stays within DECIMAL(38) here; a 100 TB run keeps
+    // the identical plan (the momentsStream BigInt lift applies).
+    "evt_anova_f" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val big = DecimalType(38, 0)
+        val g = Tables.events(s, d)
+          .select($"event_type",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("ng"),
+            sum($"y".cast(big)).as("sg"),
+            sum($"y".cast(big) * $"y").as("qg"))
+          .localCheckpoint(true) // totals + the contribution join
+        val tot = g.agg(sum($"ng").as("n"), sum($"sg").as("s"),
+          count(lit(1)).as("k"))
+        g.crossJoin(broadcast(tot))
+          .withColumn("dssb",
+            ($"sg" * $"n" - $"s" * $"ng") * ($"sg" * $"n" - $"s" * $"ng"))
+          .withColumn("ssb_c",
+            round($"dssb".cast(DoubleType) /
+              ($"ng".cast(big) * $"n" * $"n").cast(DoubleType), 6)
+              .cast(DecimalType(20, 6)))
+          .withColumn("ssw_c",
+            round(($"qg" * $"ng" - $"sg" * $"sg").cast(DoubleType) /
+              $"ng".cast(DoubleType), 6)
+              .cast(DecimalType(20, 6)))
+          .groupBy($"k", $"n")
+          .agg(sum($"ssb_c").as("ssb_d"), sum($"ssw_c").as("ssw_d"))
+          .select($"k", $"n",
+            $"ssb_d".cast(DoubleType).as("ssb"),
+            $"ssw_d".cast(DoubleType).as("ssw"),
+            (($"ssb_d".cast(DoubleType) / ($"k" - 1).cast(DoubleType)) /
+              ($"ssw_d".cast(DoubleType) / ($"n" - $"k").cast(DoubleType)))
+              .as("f_stat"))
+          .select($"k", $"n", $"ssb", $"ssw", $"f_stat",
+            ($"k" === 5L && $"f_stat" > 2.372).as("reject_alpha05_df4"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS ng,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS HUGEINT) AS sg,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                     AS BIGINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS HUGEINT) AS qg
+          FROM events GROUP BY event_type),
+        t AS (SELECT SUM(ng) AS n, SUM(sg) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS k FROM g),
+        c AS (
+          SELECT t.k, t.n,
+            CAST(round(CAST((g.sg * t.n - t.s * g.ng)
+                * (g.sg * t.n - t.s * g.ng) AS DOUBLE) /
+              CAST(g.ng * t.n * t.n AS DOUBLE), 6) AS DECIMAL(20,6))
+              AS ssb_c,
+            CAST(round(CAST(g.qg * g.ng - g.sg * g.sg AS DOUBLE) /
+              CAST(g.ng AS DOUBLE), 6) AS DECIMAL(20,6)) AS ssw_c
+          FROM g CROSS JOIN t),
+        a AS (
+          SELECT k, CAST(n AS BIGINT) AS n,
+                 SUM(ssb_c) AS ssb_d, SUM(ssw_c) AS ssw_d
+          FROM c GROUP BY k, n)
+        SELECT k, n,
+               CAST(ssb_d AS DOUBLE) AS ssb,
+               CAST(ssw_d AS DOUBLE) AS ssw,
+               (CAST(ssb_d AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+                 (CAST(ssw_d AS DOUBLE) / CAST(n - k AS DOUBLE)) AS f_stat,
+               (k = 5 AND (CAST(ssb_d AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+                 (CAST(ssw_d AS DOUBLE) / CAST(n - k AS DOUBLE)) > 2.372)
+                 AS reject_alpha05_df4
+        FROM a"""),
+      headline = false),
+
     // ── Theil–Sen robust trend (median of pairwise slopes) ──
     // The robust companion to evt_trend_ols: one corrupted day drags a
     // least-squares slope arbitrarily far, while the MEDIAN of all

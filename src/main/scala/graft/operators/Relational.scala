@@ -1031,57 +1031,72 @@ object Relational extends QueryPack {
     all
   }
 
-  /** Benford first-digit expectations, PPM, floor(10⁶·log₁₀(1+1/d))
-    * for d = 1..9 — computed ONCE here and string-interpolated into
-    * BOTH the Spark plan and the DuckDB oracle (the SPRT ln-19
-    * discipline: no transcendental evaluates in either engine).
-    * They sum to 999 995 (five ppm of floor loss). */
-  private val BenfordPpm: IndexedSeq[Long] = IndexedSeq(
-    301029L, 176091L, 124938L, 96910L, 79181L,
-    66946L, 57991L, 51152L, 45757L)
+  /** Incremental maintenance of an [[ancestorClosure]] — the
+    * frozen-index discipline (`sim_ivfpq_append`,
+    * `llm_suffix_dups_append`) applied to hierarchies: when a shard
+    * of NEW nodes arrives (ids above every existing node, the only
+    * append a parent-pointer forest admits — a parent must exist
+    * before its child), the frozen closure never changes, because no
+    * new node can become an ANCESTOR of an old one. The shard's
+    * ancestry is: (1) [[ancestorClosure]] over the shard-internal
+    * parent edges only — the walk STOPS at each path's first frozen
+    * ancestor, since frozen nodes carry no parent row in the shard
+    * edge set; (2) one equality join extending every such exit pair
+    * through the frozen closure. Work scales with shard paths, never
+    * the base (`probe` reports the shard-closure row count — the
+    * spec's incrementality gate). */
+  private[operators] def closureIncrement(
+      baseClosure: DataFrame, shardParents: DataFrame, rounds: Int,
+      probe: Long => Unit = _ => ()): DataFrame = {
+    val s = baseClosure.sparkSession
+    import s.implicits._
+    val within = ancestorClosure(shardParents, rounds)
+      .localCheckpoint(true) // probe count + union + the exit join
+    probe(within.count())
+    val ext = within.as("w")
+      .join(baseClosure.as("b"), $"w.anc" === $"b.node")
+      .select($"w.node".as("node"), $"b.anc".as("anc"),
+        ($"w.dist" + $"b.dist").as("dist"))
+    baseClosure.unionByName(within).unionByName(ext)
+  }
 
-  override val queries: Map[String, QueryDef] = Map(
+  /** The subtree-rollup readout both hierarchy queries share: depth,
+    * descendant count, rolled-up cents, deepest reach per node, all
+    * from one closure frame — two map-side-combined groupBys and the
+    * output spine join. */
+  private def hierarchyRollup(
+      nodes: DataFrame, closure: DataFrame): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val depth = closure.groupBy($"node")
+      .agg(count(lit(1)).as("depth"))
+    val sub = closure.join(nodes.select($"node", $"cents"), Seq("node"))
+      .groupBy($"anc").agg(count(lit(1)).as("n_desc"),
+        sum($"cents").as("desc_cents"), max($"dist").as("deepest"))
+      .select($"anc".as("node"), $"n_desc", $"desc_cents", $"deepest")
+    nodes.join(depth, Seq("node"), "left")
+      .join(sub, Seq("node"), "left")
+      .select($"node",
+        coalesce($"depth", lit(0L)).as("depth"),
+        coalesce($"n_desc", lit(0L)).as("n_desc"),
+        ($"cents" + coalesce($"desc_cents", lit(0L))).as("subtree_cents"),
+        coalesce($"deepest", lit(0L)).as("deepest"))
+      .orderBy($"node")
+  }
 
-    // ── recursive hierarchy rollup (WITH RECURSIVE, Spark-native) ──
-    // The one classic SQL shape Spark has no operator for: walk a
-    // parent-pointer hierarchy and aggregate every subtree (org-chart
-    // headcounts, BOM costed explosions, category-tree revenue). The
-    // hierarchy is the deterministic 4-ary forest over part —
-    // parent(k) = (k−1) div 4, root 0 — deep enough at sf0.01 to need
-    // 6 levels, and the plan's round count grows with log(depth), not
-    // depth: [[ancestorClosure]] pointer-doubles the parent relation
-    // (two equality self-joins per round, 5 rounds ⇒ depth ≤ 31)
-    // where the oracle's recursive CTE takes one join per LEVEL. Off
-    // the closure, depth is a per-node count, and every subtree
-    // metric (descendant count, rolled-up cents, deepest reach) is
-    // ONE map-side-combined groupBy on the ancestor key — no
-    // re-walking per subtree. The oracle recurses the same forest in
-    // DuckDB and re-aggregates; exact integer cents end to end.
-    "q_hierarchy_rollup" -> QueryDef(
-      fn = (s, d) => {
-        import s.implicits._
-        val nodes = Tables.part(s, d).select($"p_partkey".as("node"),
-            (dec($"p_retailprice") * 100).cast(LongType).as("cents"))
-          .localCheckpoint(true) // parents + value join + output spine
-        val par = nodes.filter($"node" >= 1)
-          .select($"node", expr("(node - 1) div 4").as("parent"))
-        val closure = ancestorClosure(par, rounds = 5)
-        val depth = closure.groupBy($"node")
-          .agg(count(lit(1)).as("depth"))
-        val sub = closure.join(nodes.select($"node", $"cents"), Seq("node"))
-          .groupBy($"anc").agg(count(lit(1)).as("n_desc"),
-            sum($"cents").as("desc_cents"), max($"dist").as("deepest"))
-          .select($"anc".as("node"), $"n_desc", $"desc_cents", $"deepest")
-        nodes.join(depth, Seq("node"), "left")
-          .join(sub, Seq("node"), "left")
-          .select($"node",
-            coalesce($"depth", lit(0L)).as("depth"),
-            coalesce($"n_desc", lit(0L)).as("n_desc"),
-            ($"cents" + coalesce($"desc_cents", lit(0L))).as("subtree_cents"),
-            coalesce($"deepest", lit(0L)).as("deepest"))
-          .orderBy($"node")
-      },
-      oracle = Some("""
+  /** The part-forest nodes (value in cents) both hierarchy queries
+    * read: parent(k) = (k−1) div 4, root 0. */
+  private def hierarchyNodes(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select($"p_partkey".as("node"),
+        (dec($"p_retailprice") * 100).cast(LongType).as("cents"))
+      .localCheckpoint(true) // parents + value join + output spine
+  }
+
+  /** Shared oracle of the hierarchy pair — the incremental plan must
+    * hash-identically to the full recursive rebuild. */
+  private lazy val hierarchyOracleSql: String = """
         WITH RECURSIVE nodes AS (
           SELECT p_partkey AS node,
                  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -1112,7 +1127,240 @@ object Relational extends QueryPack {
         FROM nodes n
         LEFT JOIN dep d USING (node)
         LEFT JOIN sub s USING (node)
-        ORDER BY node""")),
+        ORDER BY node"""
+
+  /** Benford first-digit expectations, PPM, floor(10⁶·log₁₀(1+1/d))
+    * for d = 1..9 — computed ONCE here and string-interpolated into
+    * BOTH the Spark plan and the DuckDB oracle (the SPRT ln-19
+    * discipline: no transcendental evaluates in either engine).
+    * They sum to 999 995 (five ppm of floor loss). */
+  private val BenfordPpm: IndexedSeq[Long] = IndexedSeq(
+    301029L, 176091L, 124938L, 96910L, 79181L,
+    66946L, 57991L, 51152L, 45757L)
+
+  override val queries: Map[String, QueryDef] = Map(
+
+    // ── recursive hierarchy rollup (WITH RECURSIVE, Spark-native) ──
+    // The one classic SQL shape Spark has no operator for: walk a
+    // parent-pointer hierarchy and aggregate every subtree (org-chart
+    // headcounts, BOM costed explosions, category-tree revenue). The
+    // hierarchy is the deterministic 4-ary forest over part —
+    // parent(k) = (k−1) div 4, root 0 — deep enough at sf0.01 to need
+    // 6 levels, and the plan's round count grows with log(depth), not
+    // depth: [[ancestorClosure]] pointer-doubles the parent relation
+    // (two equality self-joins per round, 5 rounds ⇒ depth ≤ 31)
+    // where the oracle's recursive CTE takes one join per LEVEL. Off
+    // the closure, depth is a per-node count, and every subtree
+    // metric (descendant count, rolled-up cents, deepest reach) is
+    // ONE map-side-combined groupBy on the ancestor key — no
+    // re-walking per subtree. The oracle recurses the same forest in
+    // DuckDB and re-aggregates; exact integer cents end to end.
+    "q_hierarchy_rollup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val nodes = hierarchyNodes(s, d)
+        val par = nodes.filter($"node" >= 1)
+          .select($"node", expr("(node - 1) div 4").as("parent"))
+        hierarchyRollup(nodes, ancestorClosure(par, rounds = 5))
+      },
+      oracle = Some(hierarchyOracleSql)),
+
+    // ── incremental hierarchy maintenance (append-a-shard) ──
+    // The frozen-index discipline applied to the rollup above: a
+    // batch of NEW nodes (the top id quintile — in a parent-pointer
+    // forest parents precede children, so an append is always an id
+    // suffix) must not re-walk the base. [[closureIncrement]] doubles
+    // ONLY the shard-internal edges (each walk stops at its first
+    // frozen ancestor) and splices through the frozen closure with
+    // one equality join; the oracle is the IDENTICAL full recursive
+    // rebuild, so the hash proves increment ≡ rebuild, and
+    // RelationalSpec proves the work stayed shard-sized via the
+    // shard-closure probe.
+    "q_hierarchy_increment" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val nodes = hierarchyNodes(s, d)
+        // the split scalar: one O(1) driver row (the frozen/new cut)
+        val cut = nodes.agg(max($"node")).collect()(0).getLong(0) * 4 / 5
+        val basePar = nodes.filter($"node" >= 1 && $"node" <= cut)
+          .select($"node", expr("(node - 1) div 4").as("parent"))
+        val shardPar = nodes.filter($"node" > cut)
+          .select($"node", expr("(node - 1) div 4").as("parent"))
+        val frozen = ancestorClosure(basePar, rounds = 5)
+        hierarchyRollup(nodes,
+          closureIncrement(frozen, shardPar, rounds = 5))
+      },
+      oracle = Some(hierarchyOracleSql)),
+
+    // ── k-anonymity audit (quasi-identifier re-identification risk) ──
+    // The governance face a corpus pipeline ships with its dataset
+    // card: group rows by the quasi-identifier tuple an attacker
+    // could link on (here nation × market segment × account-balance
+    // band — the Sweeney 2002 setup on the customer dim), and report
+    // the anonymity-set census: for each set size k, how many groups
+    // and how many PEOPLE sit in sets that small, plus the running
+    // count of rows violating the k ≥ 5 release threshold. Two
+    // map-side-combined groupBys (rows → groups → census); the
+    // violation prefix is a window over the census rows (≤ distinct
+    // k values, never the data). Exact integers end to end.
+    "q_kanon_audit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val groups = Tables.customer(s, d)
+          .select($"c_nationkey", $"c_mktsegment",
+            // +10^7 BEFORE the divide: acctbal can be negative, and
+            // Spark's div truncates toward zero where DuckDB's //
+            // floors — on the shifted (always-positive) value the two
+            // agree for any fixture in range
+            expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) " +
+              "+ 10000000) div 100000").as("bal_band"))
+          .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+          .agg(count(lit(1)).as("k"))
+        val census = groups.groupBy($"k")
+          .agg(count(lit(1)).as("n_groups"),
+            ($"k" * count(lit(1))).as("n_rows"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        census
+          .withColumn("rows_below_5",
+            sum(when($"k" < 5L, $"n_rows").otherwise(0L)).over(w))
+          .select($"k", $"n_groups", $"n_rows",
+            ($"k" < 5L).as("violates_k5"), $"rows_below_5")
+          .orderBy($"k")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment,
+                 (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   + 10000000) // 100000 AS bal_band,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM customer GROUP BY 1, 2, 3),
+        c AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(k * COUNT(*) AS BIGINT) AS n_rows
+          FROM g GROUP BY k)
+        SELECT k, n_groups, n_rows,
+               (k < 5) AS violates_k5,
+               CAST(SUM(CASE WHEN k < 5 THEN n_rows ELSE 0 END)
+                 OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS rows_below_5
+        FROM c
+        ORDER BY k"""),
+      headline = false),
+
+    // ── dyadic quantile digest with provable rank bounds ──
+    // The QUANTILE member of the sketch family (F2/HLL/CM/theta cover
+    // moments, cardinality, frequency, set ops — none answers "what
+    // rank is value q?"): a q-digest-inspired structure (Shrivastava
+    // et al. SenSys'04) made fully DETERMINISTIC for oracle parity —
+    // instead of the sequential bottom-up packing, the digest is every
+    // dyadic cell (17 levels over the 2^16-bucket value domain) whose
+    // count ≥ ⌈N/64⌉. Counts add across shards/days, and the heavy
+    // set is recomputed after any merge, so the sketch is mergeable
+    // like every other in the pack; its size is data-bounded (≤ 64
+    // heavy cells per level). The rank CONTRACT rides the hash: for
+    // each probe q, [0, q) decomposes into level-12 cells, rank_lo
+    // sums the heavy ones, rank_hi adds (thr−1) per light cell —
+    // and the emitted exact rank must sit INSIDE [lo, hi] (`within`,
+    // the q-digest L·N/k error bound made a checked boolean). Plan:
+    // one scan → bucket histogram (≤ 2^16 rows) → 17-way explode of
+    // the HISTOGRAM (never the rows) → map-side-combined cell counts;
+    // probes are an 8-row broadcast.
+    "agg_qdigest_ranks" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val leaf = Tables.events(s, d)
+          .select(least(lit(65535L),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+            .as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // cells explode + totals
+        val tot = leaf.agg(sum($"c").as("n_total"),
+          expr("(sum(c) + 63) div 64").as("thr"))
+        val lvls = array((0 to 16).map(l =>
+          struct(lit(l.toLong).as("level"),
+            expr(s"v div ${1L << l}").as("idx"))): _*)
+        val cells = leaf.select($"c", explode(lvls).as("lc"))
+          .groupBy($"lc.level".as("level"), $"lc.idx".as("idx"))
+          .agg(sum($"c").as("c"))
+          .localCheckpoint(true) // heavy filter + the exact l12 read
+        val heavy = cells.crossJoin(broadcast(tot))
+          .filter($"c" >= $"thr")
+          .localCheckpoint(true) // size scalar + the probe join
+        val l12heavy = heavy.filter($"level" === 12L)
+          .select($"idx", $"c".as("ch"))
+        val l12exact = cells.filter($"level" === 12L)
+          .select($"idx", $"c".as("ce"))
+        val probes = (1L to 8L).toDF("j")
+        val lo = probes.join(l12heavy, $"idx" < $"j", "left")
+          .groupBy($"j").agg(
+            coalesce(sum($"ch"), lit(0L)).as("rank_lo"),
+            count($"idx").as("n_heavy"))
+        val ex = probes.join(l12exact, $"idx" < $"j", "left")
+          .groupBy($"j").agg(
+            coalesce(sum($"ce"), lit(0L)).as("exact_rank"))
+        val size = heavy.agg(count(lit(1)).as("digest_cells"))
+        lo.join(ex, Seq("j")).crossJoin(broadcast(tot))
+          .crossJoin(broadcast(size))
+          .select(($"j" * 4096L).as("q_cents"),
+            $"n_total", $"thr", $"digest_cells",
+            $"rank_lo",
+            ($"rank_lo" + ($"j" - $"n_heavy") * ($"thr" - 1L))
+              .as("rank_hi"),
+            $"exact_rank")
+          .withColumn("within",
+            $"rank_lo" <= $"exact_rank" && $"exact_rank" <= $"rank_hi")
+          .orderBy($"q_cents")
+      },
+      oracle = Some("""
+        WITH leaf AS (
+          SELECT least(65535,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                 CAST((SUM(c) + 63) // 64 AS BIGINT) AS thr
+          FROM leaf),
+        cells AS (
+          SELECT l.l AS level, leaf.v // (1 << l.l) AS idx,
+                 CAST(SUM(leaf.c) AS BIGINT) AS c
+          FROM leaf CROSS JOIN range(0, 17) l(l)
+          GROUP BY 1, 2),
+        heavy AS (
+          SELECT level, idx, c FROM cells CROSS JOIN tot
+          WHERE c >= thr),
+        sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS digest_cells FROM heavy),
+        probes AS (SELECT unnest(generate_series(1, 8)) AS j),
+        lo AS (
+          SELECT p.j,
+                 CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS rank_lo,
+                 CAST(COUNT(h.idx) AS BIGINT) AS n_heavy
+          FROM probes p LEFT JOIN heavy h
+            ON h.level = 12 AND h.idx < p.j
+          GROUP BY p.j),
+        ex AS (
+          SELECT p.j,
+                 CAST(COALESCE(SUM(cl.c), 0) AS BIGINT) AS exact_rank
+          FROM probes p LEFT JOIN cells cl
+            ON cl.level = 12 AND cl.idx < p.j
+          GROUP BY p.j)
+        SELECT CAST(lo.j * 4096 AS BIGINT) AS q_cents,
+               t.n_total, t.thr, sz.digest_cells,
+               lo.rank_lo,
+               CAST(lo.rank_lo + (lo.j - lo.n_heavy) * (t.thr - 1)
+                 AS BIGINT) AS rank_hi,
+               ex.exact_rank,
+               (lo.rank_lo <= ex.exact_rank AND
+                ex.exact_rank <= lo.rank_lo +
+                  (lo.j - lo.n_heavy) * (t.thr - 1)) AS within
+        FROM lo JOIN ex ON lo.j = ex.j
+        CROSS JOIN tot t CROSS JOIN sz
+        ORDER BY q_cents"""),
+      headline = false),
 
     // ── densest subgraph (parallel Charikar peeling, 3 rounds) ──
     // The density face of the cohesion family (k-core keeps a degree

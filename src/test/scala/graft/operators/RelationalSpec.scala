@@ -1483,6 +1483,42 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.map(t => (t._1, t._2)).distinct.size shouldBe got.size
   }
 
+  test("closureIncrement equals the full rebuild while doubling only " +
+      "shard-sized frames") {
+    import spark.implicits._
+    // base: a 5-deep chain 0<-1<-2<-3<-4 plus branches; shard (ids >
+    // 100): a 4-deep chain hanging off base node 3, plus a leaf off a
+    // SHARD node (exercises shard-internal chains) and a leaf off the
+    // root
+    val base: Map[Long, Long] = Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L, 10L -> 1L, 11L -> 10L)
+    val shard: Map[Long, Long] = Map(101L -> 3L, 102L -> 101L,
+      103L -> 102L, 104L -> 103L, 110L -> 102L, 120L -> 0L)
+    def walk(ps: Map[Long, Long])(n: Long): Seq[(Long, Long, Long)] = {
+      var cur = n; var dd = 0L
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      while (ps.contains(cur)) {
+        cur = ps(cur); dd += 1; out += ((n, cur, dd))
+      }
+      out.result()
+    }
+    val all = base ++ shard
+    val expect = all.keys.toSeq.flatMap(walk(all)).sorted
+    val frozen = Relational.ancestorClosure(
+      base.toSeq.map { case (c, p) => (c, p) }.toDF("node", "parent"), 4)
+    var shardRows = -1L
+    val got = Relational.closureIncrement(frozen,
+        shard.toSeq.map { case (c, p) => (c, p) }.toDF("node", "parent"),
+        rounds = 4, probe = shardRows = _)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    got shouldBe expect
+    // the doubled frame held only the shard's own walks (paths that
+    // stop at the first frozen ancestor), never the base closure
+    val shardOnly = shard.keys.toSeq.flatMap(walk(shard)).size.toLong
+    shardRows shouldBe shardOnly
+    shardRows should be < expect.size.toLong / 2
+  }
+
   test("densestPeel equals a sequential replay of the Bahmani rule and " +
       "finds the planted clique") {
     import spark.implicits._

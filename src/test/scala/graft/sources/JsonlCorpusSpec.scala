@@ -121,4 +121,31 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
       .orderBy("doc_id").collect().map(_.toString)
     viaJsonl shouldBe viaParquet
   }
+
+  test("shards written by graft's own Gzip encoder read back through " +
+      "the stock ingest path, row-identical to parquet") {
+    // the third cross-validation direction for operators.Gzip: our
+    // spec-determined stored-block members must satisfy Hadoop's gzip
+    // codec (JsonlCorpus reads .jsonl.gz through Spark natively), so
+    // a corpus staged by this library is consumable by ANY stock
+    // Spark reader — not just our own decoder
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl-owngz")
+    val docs = Tables.documents(spark, sf).orderBy("doc_id").collect()
+    val lines = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(
+          $"doc_id", $"text", $"lang", $"source", $"n_chars")))
+      .as[String].collect()
+    // two shards, split mid-corpus: multi-file reads must union
+    val (s1, s2) = lines.splitAt(lines.length / 2)
+    Seq(("a.jsonl.gz", s1), ("b.jsonl.gz", s2)).foreach { case (n, ls) =>
+      Files.write(dir.resolve(n),
+        graft.operators.Gzip.encode(ls.mkString("\n").getBytes(UTF_8)))
+    }
+    val back = JsonlCorpus.documents(spark, dir.toString)
+      .orderBy("doc_id").collect()
+    back.map(_.toString) shouldBe docs.map(_.toString)
+    JsonlCorpus.quarantine(spark, dir.toString).count() shouldBe 0L
+  }
 }
