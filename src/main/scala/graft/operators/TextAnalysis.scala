@@ -908,6 +908,52 @@ object TextAnalysis extends QueryPack {
         ORDER BY doc_id"""
 
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
+  /** The batch-perceptron loop behind `llm_perceptron_learn`, exposed
+    * for TextAnalysisSpec's planted-separable convergence gate.
+    * `feats` must carry y ∈ {−1, 1} and x0..x4 longs; emits one row
+    * per epoch with the exact post-update weights, update count,
+    * training accuracy, and the pocket flag (best (n_correct, −epoch)
+    * by exact comparison). */
+  private[operators] def perceptronTrain(
+      featsIn: org.apache.spark.sql.DataFrame, epochs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = featsIn.sparkSession
+    import s.implicits._
+    val feats = featsIn.localCheckpoint(true) // 2 aggregates per epoch
+    var w = Array.fill(5)(0L)
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    for (r <- 1 to epochs) {
+      def margin(ws: Array[Long]) =
+        $"y" * (lit(ws(0)) * $"x0" + lit(ws(1)) * $"x1" +
+          lit(ws(2)) * $"x2" + lit(ws(3)) * $"x3" + lit(ws(4)) * $"x4")
+      val mis = margin(w) <= 0L
+      val upd = feats.agg(
+        sum(when(mis, $"y" * $"x0").otherwise(0L)),
+        sum(when(mis, $"y" * $"x1").otherwise(0L)),
+        sum(when(mis, $"y" * $"x2").otherwise(0L)),
+        sum(when(mis, $"y" * $"x3").otherwise(0L)),
+        sum(when(mis, $"y" * $"x4").otherwise(0L)),
+        sum(when(mis, 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
+      w = Array.tabulate(5)(i => w(i) + upd.getLong(i))
+      val nCorrect = feats.agg(
+        sum(when(margin(w) > 0L, 1L).otherwise(0L)))
+        .collect()(0).getLong(0)
+      out += ((r.toLong, w(0), w(1), w(2), w(3), w(4),
+        upd.getLong(5), nCorrect, upd.getLong(6)))
+    }
+    val pocket = out.minBy { case (r, _, _, _, _, _, _, nc, _) =>
+      (-nc, r) }._1
+    out.toSeq
+      .toDF("epoch", "w0", "w1", "w2", "w3", "w4", "n_upd",
+        "n_correct", "n")
+      .withColumn("acc",
+        $"n_correct".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("is_pocket", $"epoch" === pocket)
+      .orderBy($"epoch")
+  }
+
   private def kwCount(kw: String): String =
     s"(length(text) - length(replace(text, ' $kw '))) div ${kw.length + 2}"
   private def kwCountSql(kw: String): String =
@@ -1016,6 +1062,93 @@ object TextAnalysis extends QueryPack {
             ELSE 'es' END) = lang AS is_match
         FROM c
         ORDER BY doc_id""")),
+
+    // ── batch perceptron training with pocket selection ──
+    // The TRAINED-classifier face next to the fixed-rule scorers
+    // (hash classifier, Gopher rules, DSIR): an actual learning loop
+    // whose every state is exact — the batch perceptron (Rosenblatt
+    // 1958) over integer features never needs a sigmoid, so weights,
+    // margins, and gradient sums are BIGINTs both engines reproduce
+    // bit for bit (the no-transcendentals discipline applied to model
+    // TRAINING). Each epoch is ONE map-side-combined aggregate of the
+    // misclassified rows' y·x sums plus one evaluation aggregate;
+    // only the weight scalars reach the driver (the densestPeel
+    // scalar discipline). The full-batch rule settles when a
+    // zero-update fixpoint exists — TextAnalysisSpec plants one and
+    // proves convergence (updates hit zero, accuracy 1.0) — while on
+    // the fixture's non-separable marker features it honestly
+    // CYCLES, which is why the emitted `is_pocket` column
+    // (Gallant 1990: keep the best-scoring epoch, exact
+    // (n_correct, −epoch) argmax) is the model a pipeline ships. The
+    // oracle replays the full trajectory with chained scalar
+    // subqueries.
+    "llm_perceptron_learn" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val feats = Tables.documents(s, d)
+          .select(
+            when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+            lit(1L).as("x0"),
+            expr(kwCount("the")).cast(LongType).as("x1"),
+            expr(kwCount("der")).cast(LongType).as("x2"),
+            expr(kwCount("le")).cast(LongType).as("x3"),
+            expr(kwCount("el")).cast(LongType).as("x4"))
+        perceptronTrain(feats, epochs = 3)
+      },
+      oracle = Some {
+        def dot(u: String) =
+          s"($u.w0 * x0 + $u.w1 * x1 + $u.w2 * x2 + $u.w3 * x3 + $u.w4 * x4)"
+        def upd(prev: String, name: String) = s"""
+        $name AS (
+          SELECT $prev.w0 + CAST(SUM(CASE WHEN y * ${dot(prev)} <= 0
+                   THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+                 $prev.w1 + CAST(SUM(CASE WHEN y * ${dot(prev)} <= 0
+                   THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+                 $prev.w2 + CAST(SUM(CASE WHEN y * ${dot(prev)} <= 0
+                   THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+                 $prev.w3 + CAST(SUM(CASE WHEN y * ${dot(prev)} <= 0
+                   THEN y * x3 ELSE 0 END) AS BIGINT) AS w3,
+                 $prev.w4 + CAST(SUM(CASE WHEN y * ${dot(prev)} <= 0
+                   THEN y * x4 ELSE 0 END) AS BIGINT) AS w4,
+                 CAST(SUM(CASE WHEN y * ${dot(prev)} <= 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+          FROM f CROSS JOIN $prev
+          GROUP BY $prev.w0, $prev.w1, $prev.w2, $prev.w3, $prev.w4)"""
+        def ev(u: String, name: String) = s"""
+        $name AS (
+          SELECT CAST(SUM(CASE WHEN y * ${dot(u)} > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM f CROSS JOIN $u)"""
+        s"""
+        WITH f AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                 1 AS x0,
+                 ${kwCountSql("the")} AS x1, ${kwCountSql("der")} AS x2,
+                 ${kwCountSql("le")} AS x3, ${kwCountSql("el")} AS x4
+          FROM documents),
+        w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3, 0 AS w4),
+        ${upd("w0", "u1").drop(1)},${ev("u1", "e1")},${upd("u1", "u2")},${ev("u2", "e2")},${upd("u2", "u3")},${ev("u3", "e3")}
+        ,all_rows AS (
+        ${Seq(1, 2, 3).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS epoch,
+               CAST(u$r.w0 AS BIGINT) AS w0, CAST(u$r.w1 AS BIGINT) AS w1,
+               CAST(u$r.w2 AS BIGINT) AS w2, CAST(u$r.w3 AS BIGINT) AS w3,
+               CAST(u$r.w4 AS BIGINT) AS w4,
+               u$r.n_upd, e$r.n_correct, e$r.n,
+               CAST(e$r.n_correct AS DOUBLE) / CAST(e$r.n AS DOUBLE) AS acc
+        FROM u$r CROSS JOIN e$r"""
+        }.mkString("\n        UNION ALL\n        ")})
+        SELECT a.*,
+               NOT EXISTS (
+                 SELECT 1 FROM all_rows b
+                 WHERE b.n_correct > a.n_correct
+                    OR (b.n_correct = a.n_correct AND b.epoch < a.epoch))
+                 AS is_pocket
+        FROM all_rows a
+        ORDER BY epoch"""
+      },
+      headline = false),
 
     // ── expected calibration error (reliability diagram) ──
     // The classifier-audit face the scoring family lacked: a quality

@@ -588,6 +588,52 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     c1 should be > 0L
   }
 
+  test("perceptronTrain converges on planted separable data (updates hit " +
+      "zero, pocket = converged epoch) and matches a sequential replay") {
+    import spark.implicits._
+    // positives at x1 >= 1, negatives exactly at x1 = 0: the batch
+    // rule has a zero-update fixpoint here (w = (-neg, sum k) after
+    // two epochs) — unlike the ONLINE perceptron, the full-batch
+    // variant carries no Novikoff guarantee even when separable, so
+    // the spec plants a set where its fixpoint provably exists
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 100).flatMap { _ =>
+      val k = 1L + rnd.nextInt(5)
+      Seq((1L, 1L, k, 0L, 0L, 0L), (-1L, 1L, 0L, 0L, 0L, 0L))
+    }
+    val got = TextAnalysis.perceptronTrain(
+        rows.toDF("y", "x0", "x1", "x2", "x3", "x4"), epochs = 6)
+      .collect()
+    // sequential replay of the identical exact rule
+    var w = Array.fill(5)(0L)
+    val replay = (1 to 6).map { r =>
+      val xs = rows.map(t =>
+        (t._1, Array(t._2, t._3, t._4, t._5, t._6)))
+      def m(ws: Array[Long], t: (Long, Array[Long])) =
+        t._1 * ws.zip(t._2).map { case (a, b) => a * b }.sum
+      val mis = xs.filter(m(w, _) <= 0L)
+      w = Array.tabulate(5)(i => w(i) + mis.map(t => t._1 * t._2(i)).sum)
+      val nc = xs.count(m(w, _) > 0L)
+      (r.toLong, w.toSeq, mis.size.toLong, nc.toLong)
+    }
+    got.map(r => (r.getLong(0),
+      Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)), r.getLong(6), r.getLong(7))).toSeq shouldBe replay
+    // converged: the last epochs update nothing and classify all
+    got.last.getLong(6) shouldBe 0L
+    got.last.getDouble(9) shouldBe 1.0
+    // the pocket is the FIRST perfect epoch
+    val firstPerfect = got.find(_.getLong(7) == rows.size.toLong)
+      .get.getLong(0)
+    got.filter(_.getBoolean(10)).map(_.getLong(0)).toSeq shouldBe
+      Seq(firstPerfect)
+    // cycling case: marker features are non-separable, the pocket row
+    // still singles out exactly one epoch
+    val fx = graft.SparkEntry.queries("llm_perceptron_learn")(spark, sf)
+      .collect()
+    fx.count(_.getBoolean(10)) shouldBe 1
+  }
+
   test("llm_calibration_ece and llm_rater_kappa match a from-the-text " +
       "Scala recompute of the marker probabilities") {
     import spark.implicits._
