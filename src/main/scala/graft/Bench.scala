@@ -51,10 +51,12 @@ object Bench {
     * so neither copy can drift alone. */
   private[graft] val settledBandTop: Map[String, Double] = Map(
     "agg_f2_sketch" -> 2.9,
+    "agg_qdigest_ranks" -> 2.3,
     "dedup_clusters" -> 2.8,
     "dedup_incremental_near" -> 1.9,
     "dedup_ngram_jaccard_banded" -> 1.6,
     "dedup_prefix_filter_join" -> 2.6,
+    "evt_bootstrap_ci" -> 3.3,
     "evt_peak_concurrency" -> 1.9,
     "evt_windowed_agg" -> 0.4,
     "llm_bm25_topk" -> 1.4,
@@ -72,6 +74,7 @@ object Bench {
     "q3_shipping_priority" -> 0.9,
     "q5_local_supplier" -> 1.0,
     "q6_revenue_forecast" -> 0.3,
+    "q_hierarchy_rollup" -> 3.1,
     "q_topk_aggregate" -> 0.8,
     "q_zorder_layout" -> 5.0,
     "ref_tail_offsets" -> 0.6,

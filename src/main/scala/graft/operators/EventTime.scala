@@ -435,7 +435,7 @@ object EventTime extends QueryPack {
         FROM base b JOIN m USING (event_type)
         GROUP BY b.event_type, b.n_rows, b.sum_cents
         ORDER BY b.event_type"""),
-      headline = false),
+      headline = true),
 
     // ── one-way ANOVA F test (parametric k-group mean comparison) ──
     // The parametric sibling of evt_kruskal: same k-group question

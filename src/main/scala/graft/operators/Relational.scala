@@ -1163,7 +1163,8 @@ object Relational extends QueryPack {
           .select($"node", expr("(node - 1) div 4").as("parent"))
         hierarchyRollup(nodes, ancestorClosure(par, rounds = 5))
       },
-      oracle = Some(hierarchyOracleSql)),
+      oracle = Some(hierarchyOracleSql),
+      headline = true),
 
     // ── incremental hierarchy maintenance (append-a-shard) ──
     // The frozen-index discipline applied to the rollup above: a
@@ -1360,7 +1361,7 @@ object Relational extends QueryPack {
         FROM lo JOIN ex ON lo.j = ex.j
         CROSS JOIN tot t CROSS JOIN sz
         ORDER BY q_cents"""),
-      headline = false),
+      headline = true),
 
     // ── densest subgraph (parallel Charikar peeling, 3 rounds) ──
     // The density face of the cohesion family (k-core keeps a degree
