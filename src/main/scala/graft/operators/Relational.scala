@@ -656,6 +656,18 @@ object Relational extends QueryPack {
     * DuckDB); everything else — substring, ascii, CASE, % — is
     * identical text in both engines. Expects a column `h` holding the
     * md5 hex. */
+  /** First 6 hex chars of a digest as one integer (< 2^24) — the
+    * deterministic-sampling face of the amsSignSql nibble parse;
+    * identical text in both engines. `src` is any expression yielding
+    * an md5 hex string. */
+  private def nibOf(src: String, pos: Int): String =
+    s"""(CASE WHEN ascii(substring($src, $pos, 1)) >= 97
+        THEN ascii(substring($src, $pos, 1)) - 87
+        ELSE ascii(substring($src, $pos, 1)) - 48 END)"""
+  private def hex6SqlOn(src: String): String =
+    (1 to 6).map(p => nibOf(src, p)).reduceLeft((a, b) => s"($a * 16 + $b)")
+  private def hex6Sql: String = hex6SqlOn("h")
+
   private def amsSignSql(r: Int, div: String): String = {
     val pos = r / 4 + 1
     val mask = 8 >> (r % 4)
@@ -1192,6 +1204,96 @@ object Relational extends QueryPack {
           closureIncrement(frozen, shardPar, rounds = 5))
       },
       oracle = Some(hierarchyOracleSql)),
+
+    // ── deterministic random walks (DeepWalk corpus generation) ──
+    // The graph-embedding pipeline's data step (Perozzi et al. KDD'14:
+    // walks become "sentences" a word2vec-family trainer consumes):
+    // from EVERY node, a 3-step walk whose neighbor choice at step t
+    // is pseudo-random but fully engine-reproducible — index =
+    // md5(cur:start:t) mod degree(cur), the agg_f2_sketch digest
+    // discipline applied to SAMPLING, with `start` in the digest so
+    // different walks diverge at shared nodes. Each step is one
+    // equality join of the frontier against the rank-indexed
+    // adjacency (never a per-walker loop); the neighbor ranking is a
+    // per-node window on the EDGE table, bounded by max degree. The
+    // oracle replays every hop with the identical digest arithmetic
+    // over a ROW_NUMBER adjacency.
+    "q_random_walks" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2)
+          .select($"u", $"v")
+        val sym = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"u").orderBy($"v")
+        val nbr = sym
+          .withColumn("rank", row_number().over(w).cast(LongType) - 1L)
+          .withColumn("deg", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy($"u")))
+          .localCheckpoint(true) // three hop joins read it
+        def hop(frontier: DataFrame, t: Int): DataFrame =
+          frontier
+            .withColumn("h",
+              md5(concat($"cur".cast(StringType), lit(":"),
+                $"start".cast(StringType), lit(s":$t"))))
+            .withColumn("pick", expr(hex6Sql))
+            .join(nbr, $"cur" === $"u")
+            .filter($"rank" === $"pick" % $"deg")
+            .select($"start", $"v".as("cur"))
+        var frontier = nbr.select($"u".as("start")).distinct()
+          .select($"start", $"start".as("cur"))
+        var out = frontier.select($"start", $"cur".as("node"),
+          lit(0L).as("step"))
+        for (t <- 1 to 3) {
+          frontier = hop(frontier, t).localCheckpoint(true)
+          out = out.unionByName(frontier.select($"start",
+            $"cur".as("node"), lit(t.toLong).as("step")))
+        }
+        out.orderBy($"start", $"step")
+      },
+      oracle = Some {
+        def hopCte(prev: String, name: String, t: Int) = s"""
+        $name AS (
+          SELECT p.start, n.v AS cur
+          FROM $prev p
+          JOIN nbr n ON n.u = p.cur
+           AND n.rank = ${hex6SqlOn(
+            s"md5(p.cur::VARCHAR || ':' || p.start::VARCHAR || ':$t')")}
+               % n.deg)"""
+        s"""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        nbr AS MATERIALIZED (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
+                   AS rank,
+                 COUNT(*) OVER (PARTITION BY u) AS deg
+          FROM sym),
+        w0 AS (SELECT DISTINCT u AS start, u AS cur FROM nbr),
+        ${hopCte("w0", "w1", 1).drop(1)},${hopCte("w1", "w2", 2)},${hopCte("w2", "w3", 3)}
+        SELECT start, CAST(node AS BIGINT) AS node,
+               CAST(step AS BIGINT) AS step
+        FROM (
+          SELECT start, cur AS node, 0 AS step FROM w0
+          UNION ALL SELECT start, cur, 1 FROM w1
+          UNION ALL SELECT start, cur, 2 FROM w2
+          UNION ALL SELECT start, cur, 3 FROM w3)
+        ORDER BY start, step"""
+      },
+      headline = false),
 
     // ── k-anonymity audit (quasi-identifier re-identification risk) ──
     // The governance face a corpus pipeline ships with its dataset
