@@ -779,6 +779,80 @@ object Multimodal extends QueryPack {
         FROM f
         ORDER BY doc_id""")),
 
+    // ── real tar bundle roundtrip (the WebDataset shard tier) ──
+    // The MULTI-FILE container face ([[Gzip]] wraps one stream; this
+    // bundles SAMPLES — the WebDataset convention multimodal training
+    // shards ship in: `id.txt` + `id.json` side by side in a `.tar`,
+    // read sequentially): each document becomes a two-member ustar
+    // archive via [[Tar.encode]] (byte-deterministic: octal fields,
+    // seeded header checksum, 512-block padding) and comes back
+    // through [[Tar.decode]]'s checksum-verified walk. The oracle
+    // prices the archive length from the block arithmetic (header +
+    // ceil(n/512) blocks per member + two terminators), the JSON
+    // member's length from digit counts, and the text payload by the
+    // position-weighted checksum — a decoder that desynced a block,
+    // mis-parsed an octal field, or swapped members cannot cancel.
+    // 100 TB shape: map-only typed partitions, no shuffle.
+    "mm_tar_roundtrip" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        asciiDocs(s, d).mapPartitions { it =>
+          it.map { case (id, t) =>
+            val txt = t.getBytes("US-ASCII")
+            val json = s"""{"id":$id,"n":${txt.length}}"""
+              .getBytes("US-ASCII")
+            val entries = Seq(
+              Tar.Entry(s"$id.txt", id, txt),
+              Tar.Entry(s"$id.json", id, json))
+            val arch = Tar.encode(entries)
+            val back = Tar.decode(arch)
+            var ws = 0L
+            val data0 = back.head.data
+            var i = 0
+            while (i < data0.length) {
+              ws += (i + 1).toLong * (data0(i) & 0xff); i += 1
+            }
+            val ok = back.length == 2 &&
+              back.map(_.name) == entries.map(_.name) &&
+              back.forall(_.mtime == id) &&
+              java.util.Arrays.equals(back(0).data, txt) &&
+              java.util.Arrays.equals(back(1).data, json)
+            (id, back.length.toLong, txt.length.toLong,
+              json.length.toLong, arch.length.toLong, ok, ws)
+          }
+        }.toDF("doc_id", "n_members", "txt_len", "json_len",
+          "archive_len", "roundtrip_ok", "wsum")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (
+          SELECT doc_id, t, length(t) AS m,
+                 12 + length(CAST(doc_id AS VARCHAR))
+                    + length(CAST(length(t) AS VARCHAR)) AS j
+          FROM a WHERE length(t) > 0),
+        ch AS (
+          SELECT doc_id, t, unnest(generate_series(1, m)) AS i
+          FROM p),
+        ws AS (
+          SELECT doc_id,
+                 CAST(SUM(i * unicode(substr(t, CAST(i AS INT), 1)))
+                   AS BIGINT) AS wsum
+          FROM ch GROUP BY doc_id)
+        SELECT p.doc_id,
+               CAST(2 AS BIGINT) AS n_members,
+               CAST(p.m AS BIGINT) AS txt_len,
+               CAST(p.j AS BIGINT) AS json_len,
+               CAST(((p.m + 511) // 512 + (p.j + 511) // 512) * 512
+                 + 2048 AS BIGINT) AS archive_len,
+               TRUE AS roundtrip_ok,
+               ws.wsum
+        FROM p JOIN ws USING (doc_id)
+        ORDER BY p.doc_id""")),
+
     // ── real WAV/PCM decode over the typed mapPartitions path ──
     // The audio face of the real-codec pair ([[Bmp]] is the image
     // face): each document's printable-ASCII text generates a REAL

@@ -642,6 +642,84 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     back shouldBe text
   }
 
+  test("Tar: roundtrip across block boundaries, length formula, and " +
+      "system-tar cross-validation in both directions") {
+    val rnd = new scala.util.Random(7)
+    for (sizes <- Seq(Seq(0), Seq(1), Seq(511, 512, 513), Seq(5000, 3))) {
+      val entries = sizes.zipWithIndex.map { case (n, i) =>
+        Tar.Entry(s"m$i.bin", 1700000000L + i,
+          Array.fill(n)(rnd.nextInt(256).toByte))
+      }
+      val arch = Tar.encode(entries)
+      arch.length.toLong shouldBe Tar.encodedLength(sizes)
+      val back = Tar.decode(arch)
+      back.map(_.name) shouldBe entries.map(_.name)
+      back.map(_.mtime) shouldBe entries.map(_.mtime)
+      back.zip(entries).foreach { case (b, e) => b.data shouldBe e.data }
+    }
+    // cross-validate against the system tar if present
+    val tarBin = new java.io.File("/usr/bin/tar")
+    assume(tarBin.canExecute, "system tar not available")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar")
+    val payload = ("webdataset sample " * 40).getBytes("US-ASCII")
+    java.nio.file.Files.write(dir.resolve("sample.txt"), payload)
+    // direction 1: system tar writes (ustar format), our decoder reads
+    val sysArch = dir.resolve("sys.tar")
+    new ProcessBuilder("/usr/bin/tar", "--format=ustar", "-cf",
+        sysArch.toString, "-C", dir.toString, "sample.txt")
+      .start().waitFor() shouldBe 0
+    val sysEntries = Tar.decode(
+      java.nio.file.Files.readAllBytes(sysArch))
+    sysEntries.map(_.name) should contain("sample.txt")
+    sysEntries.find(_.name == "sample.txt").get.data shouldBe payload
+    // direction 2: our encoder writes, system tar lists and extracts
+    val ours = dir.resolve("ours.tar")
+    java.nio.file.Files.write(ours,
+      Tar.encode(Seq(Tar.Entry("roundtrip.txt", 1700000001L, payload))))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tar-x")
+    new ProcessBuilder("/usr/bin/tar", "-xf", ours.toString,
+        "-C", outDir.toString)
+      .start().waitFor() shouldBe 0
+    java.nio.file.Files.readAllBytes(
+      outDir.resolve("roundtrip.txt")) shouldBe payload
+  }
+
+  test("Tar: hostile bytes are rejected loudly, never silently shifted") {
+    val payload = ("abc" * 100).getBytes("US-ASCII")
+    val good = Tar.encode(Seq(Tar.Entry("a.txt", 42L, payload)))
+    def mut(i: Int, f: Byte => Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = f(c(i)); c
+    }
+    // non-block-aligned, missing terminator, single zero block
+    an[IllegalArgumentException] should be thrownBy
+      Tar.decode(good.take(100))
+    an[IllegalArgumentException] should be thrownBy
+      Tar.decode(good.take(good.length - 1024)) // member, no terminator
+    an[IllegalArgumentException] should be thrownBy
+      Tar.decode(good.take(good.length - 512)) // single zero block
+    // magic lie
+    an[IllegalArgumentException] should be thrownBy
+      Tar.decode(mut(257, _ => 'X'.toByte))
+    // any header byte flip breaks the recomputed checksum: name,
+    // mode, size field, mtime
+    for (off <- Seq(0, 101, 126, 140))
+      an[IllegalArgumentException] should be thrownBy
+        Tar.decode(mut(off, b => (b ^ 1).toByte))
+    // checksum field lie
+    an[IllegalArgumentException] should be thrownBy
+      Tar.decode(mut(149, b => (b ^ 1).toByte))
+    // size overrunning the archive (size field forged WITH checksum:
+    // easier — truncate the data region instead)
+    an[IllegalArgumentException] should be thrownBy
+      Tar.decode(good.take(512) ++ new Array[Byte](1024)) // size>0, no data
+    // payload flips do NOT throw (tar has no payload integrity — that
+    // is gzip's CRC job) but must come back exactly as stored
+    val flipped = mut(512 + 10, b => (b ^ 1).toByte)
+    val back = Tar.decode(flipped)
+    back.head.data(10) shouldBe (payload(10) ^ 1).toByte
+    back.head.data.length shouldBe payload.length
+  }
+
   test("Gzip: hostile bytes are rejected loudly, never silently shifted") {
     val payload = "line one\nline two\n".getBytes("US-ASCII")
     val good = Gzip.encode(payload)
