@@ -668,6 +668,87 @@ object Relational extends QueryPack {
     (1 to 6).map(p => nibOf(src, p)).reduceLeft((a, b) => s"($a * 16 + $b)")
   private def hex6Sql: String = hex6SqlOn("h")
 
+  /** The deterministic 3-step walks behind `q_random_walks` and
+    * `q_walk_skipgrams`: one row per (start, node, step) over the
+    * support-≥2 co-purchase graph; neighbor choice at step t is
+    * md5(cur:start:t) mod degree against a rank-indexed adjacency
+    * (see the q_random_walks scaladoc). Also returns the adjacency's
+    * node census for downstream sampling. */
+  private def randomWalks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2)
+      .select($"u", $"v")
+    val sym = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"u").orderBy($"v")
+    val nbr = sym
+      .withColumn("rank", row_number().over(w).cast(LongType) - 1L)
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"u")))
+      .localCheckpoint(true) // three hop joins read it
+    def hop(frontier: DataFrame, t: Int): DataFrame =
+      frontier
+        .withColumn("h",
+          md5(concat($"cur".cast(StringType), lit(":"),
+            $"start".cast(StringType), lit(s":$t"))))
+        .withColumn("pick", expr(hex6Sql))
+        .join(nbr, $"cur" === $"u")
+        .filter($"rank" === $"pick" % $"deg")
+        .select($"start", $"v".as("cur"))
+    var frontier = nbr.select($"u".as("start")).distinct()
+      .select($"start", $"start".as("cur"))
+    var out = frontier.select($"start", $"cur".as("node"),
+      lit(0L).as("step"))
+    for (t <- 1 to 3) {
+      frontier = hop(frontier, t).localCheckpoint(true)
+      out = out.unionByName(frontier.select($"start",
+        $"cur".as("node"), lit(t.toLong).as("step")))
+    }
+    out
+  }
+
+  /** The walk derivation as shared oracle CTEs ending in `walks` —
+    * single source for the q_random_walks and q_walk_skipgrams
+    * oracles. */
+  private lazy val walkCtes: String = {
+    def hopCte(prev: String, name: String, t: Int) = s"""
+        $name AS (
+          SELECT p.start, n.v AS cur
+          FROM $prev p
+          JOIN nbr n ON n.u = p.cur
+           AND n.rank = ${hex6SqlOn(
+        s"md5(p.cur::VARCHAR || ':' || p.start::VARCHAR || ':$t')")}
+               % n.deg)"""
+    s"""li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        nbr AS MATERIALIZED (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
+                   AS rank,
+                 COUNT(*) OVER (PARTITION BY u) AS deg
+          FROM sym),
+        w0 AS (SELECT DISTINCT u AS start, u AS cur FROM nbr),
+        ${hopCte("w0", "w1", 1).drop(1)},${hopCte("w1", "w2", 2)},${hopCte("w2", "w3", 3)},
+        walks AS (
+          SELECT start, cur AS node, 0 AS step FROM w0
+          UNION ALL SELECT start, cur, 1 FROM w1
+          UNION ALL SELECT start, cur, 2 FROM w2
+          UNION ALL SELECT start, cur, 3 FROM w3)"""
+  }
+
   private def amsSignSql(r: Int, div: String): String = {
     val pos = r / 4 + 1
     val mask = 8 >> (r % 4)
@@ -1221,78 +1302,79 @@ object Relational extends QueryPack {
     "q_random_walks" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_partkey").distinct()
-        val e0 = li.as("a").join(li.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" &&
-              $"a.l_partkey" < $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-          .agg(count(lit(1)).as("supp"))
-          .filter($"supp" >= 2)
-          .select($"u", $"v")
-        val sym = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"u").orderBy($"v")
-        val nbr = sym
-          .withColumn("rank", row_number().over(w).cast(LongType) - 1L)
-          .withColumn("deg", count(lit(1))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy($"u")))
-          .localCheckpoint(true) // three hop joins read it
-        def hop(frontier: DataFrame, t: Int): DataFrame =
-          frontier
-            .withColumn("h",
-              md5(concat($"cur".cast(StringType), lit(":"),
-                $"start".cast(StringType), lit(s":$t"))))
-            .withColumn("pick", expr(hex6Sql))
-            .join(nbr, $"cur" === $"u")
-            .filter($"rank" === $"pick" % $"deg")
-            .select($"start", $"v".as("cur"))
-        var frontier = nbr.select($"u".as("start")).distinct()
-          .select($"start", $"start".as("cur"))
-        var out = frontier.select($"start", $"cur".as("node"),
-          lit(0L).as("step"))
-        for (t <- 1 to 3) {
-          frontier = hop(frontier, t).localCheckpoint(true)
-          out = out.unionByName(frontier.select($"start",
-            $"cur".as("node"), lit(t.toLong).as("step")))
-        }
-        out.orderBy($"start", $"step")
+        randomWalks(s, d).orderBy($"start", $"step")
       },
-      oracle = Some {
-        def hopCte(prev: String, name: String, t: Int) = s"""
-        $name AS (
-          SELECT p.start, n.v AS cur
-          FROM $prev p
-          JOIN nbr n ON n.u = p.cur
-           AND n.rank = ${hex6SqlOn(
-            s"md5(p.cur::VARCHAR || ':' || p.start::VARCHAR || ':$t')")}
-               % n.deg)"""
-        s"""
-        WITH li AS MATERIALIZED (
-          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e0 AS MATERIALIZED (
-          SELECT a.l_partkey AS u, b.l_partkey AS v
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-        nbr AS MATERIALIZED (
-          SELECT u, v,
-                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
-                   AS rank,
-                 COUNT(*) OVER (PARTITION BY u) AS deg
-          FROM sym),
-        w0 AS (SELECT DISTINCT u AS start, u AS cur FROM nbr),
-        ${hopCte("w0", "w1", 1).drop(1)},${hopCte("w1", "w2", 2)},${hopCte("w2", "w3", 3)}
+      oracle = Some(s"""
+        WITH $walkCtes
         SELECT start, CAST(node AS BIGINT) AS node,
                CAST(step AS BIGINT) AS step
-        FROM (
-          SELECT start, cur AS node, 0 AS step FROM w0
-          UNION ALL SELECT start, cur, 1 FROM w1
-          UNION ALL SELECT start, cur, 2 FROM w2
-          UNION ALL SELECT start, cur, 3 FROM w3)
-        ORDER BY start, step"""
+        FROM walks
+        ORDER BY start, step"""),
+      headline = false),
+
+    // ── skip-gram pairs with digest-drawn negatives (word2vec data) ──
+    // The training-pair step that turns [[randomWalks]]' "sentences"
+    // into an embedding dataset (Mikolov et al. 2013): every ordered
+    // (center, context) pair within walk-distance ≤ 2 — one equality
+    // self-join of the walk table on the walk key, the window
+    // predicate on steps — plus, per distinct pair, ONE uniform
+    // negative sample drawn deterministically from the node census by
+    // the same digest discipline (md5(center:context:n) mod |V|
+    // against a ROW_NUMBER-ranked node table), so positives and
+    // negatives are both engine-reproducible. The negative join is an
+    // equality join on the sampled rank; nothing driver-side.
+    "q_walk_skipgrams" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val walks = randomWalks(s, d).localCheckpoint(true)
+        val pairs = walks.as("a").join(walks.as("b"),
+            $"a.start" === $"b.start" &&
+              $"a.step" =!= $"b.step" &&
+              abs($"a.step" - $"b.step") <= 2)
+          .groupBy($"a.node".as("center"), $"b.node".as("context"))
+          .agg(count(lit(1)).as("n_pos"))
+        val nodes = walks.filter($"step" === 0L)
+          .select($"node").distinct()
+        val nw = org.apache.spark.sql.expressions.Window.orderBy($"node")
+        // |V|-row census: the rank window is bounded by the node
+        // count, not the corpus — acceptable for a vocabulary-sized
+        // table (the globalRank machinery takes over at larger |V|)
+        val ranked = nodes
+          .withColumn("nrank", row_number().over(nw).cast(LongType) - 1L)
+          .localCheckpoint(true) // sample join + count scalar
+        val nV = ranked.count()
+        pairs
+          .withColumn("h",
+            md5(concat($"center".cast(StringType), lit(":"),
+              $"context".cast(StringType), lit(":n"))))
+          .withColumn("nrank", expr(hex6Sql) % lit(nV))
+          .join(ranked.select($"nrank", $"node".as("neg_node")),
+            Seq("nrank"))
+          .select($"center", $"context", $"n_pos", $"neg_node")
+          .orderBy($"center", $"context")
       },
+      oracle = Some(s"""
+        WITH $walkCtes,
+        pairs AS (
+          SELECT a.node AS center, b.node AS context,
+                 CAST(COUNT(*) AS BIGINT) AS n_pos
+          FROM walks a JOIN walks b
+            ON a.start = b.start AND a.step <> b.step
+           AND abs(a.step - b.step) <= 2
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT node,
+                 ROW_NUMBER() OVER (ORDER BY node) - 1 AS nrank
+          FROM (SELECT DISTINCT node FROM walks WHERE step = 0)),
+        nv AS (SELECT COUNT(*) AS n FROM ranked)
+        SELECT p.center, p.context, p.n_pos, r.node AS neg_node
+        FROM pairs p
+        CROSS JOIN nv
+        JOIN ranked r
+          ON r.nrank = ${hex6SqlOn(
+        "md5(p.center::VARCHAR || ':' || p.context::VARCHAR || ':n')")}
+             % nv.n
+        ORDER BY p.center, p.context"""),
       headline = false),
 
     // ── k-anonymity audit (quasi-identifier re-identification risk) ──
