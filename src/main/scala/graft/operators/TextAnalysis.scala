@@ -1364,6 +1364,73 @@ object TextAnalysis extends QueryPack {
       // bounded global top-k shape is priced by llm_bm25_topk
       headline = false),
 
+    // ── inverted-index segment build: delta + varint posting lists ──
+    // The index-construction face behind the retrieval pack (BM25 and
+    // friends SCORE; this BUILDS the structure they'd serve from):
+    // per term, the sorted document posting list is delta-encoded and
+    // written as REAL LEB128 bytes ([[graft.functions.Varint]] — the
+    // Lucene posting format's integer codec), then decoded back and
+    // re-accumulated as the roundtrip proof. One shuffle groups
+    // postings by term (sort_array over per-term lists, bounded by
+    // document frequency — the standard index-build shape); the
+    // varint bytes are produced in the typed partition pass. The
+    // oracle prices the segment size by the LEB128 length arithmetic
+    // (a gap costs 1 byte below 2^7, 2 below 2^14, 3 below 2^21 —
+    // doc ids here stay far below that) over LAG-computed deltas; a
+    // codec that mis-split a byte or dropped a continuation bit
+    // cannot match both the length and the reaccumulated last-doc.
+    "llm_postings_varint" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(tokens).as("term"))
+          .filter($"term" =!= "")
+          .distinct()
+          .groupBy($"term")
+          .agg(sort_array(collect_list($"doc_id")).as("ds"),
+            count(lit(1)).as("df"))
+          .filter($"df" >= 20)
+          .as[(String, Seq[Long], Long)]
+          .mapPartitions { it =>
+            it.map { case (term, ds, df) =>
+              val gaps = ds.head +: ds.sliding(2).collect {
+                case Seq(a, b) => b - a }.toSeq
+              val bytes = graft.functions.Varint.encode(gaps)
+              val back = graft.functions.Varint.decode(bytes)
+              val docsBack = back.scanLeft(0L)(_ + _).drop(1)
+              (term, df, bytes.length.toLong, ds.last,
+                docsBack == ds && bytes.length <= 3 * ds.length)
+            }
+          }
+          .toDF("term", "df", "bytes_len", "last_doc", "roundtrip_ok")
+          .orderBy($"term")
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, term
+          FROM (SELECT doc_id,
+                  unnest(${graft.functions.TextTokens.tokensSql}) AS term
+                FROM documents)
+          WHERE term <> ''),
+        g AS (
+          SELECT term, doc_id,
+                 doc_id - COALESCE(LAG(doc_id) OVER (
+                   PARTITION BY term ORDER BY doc_id), 0) AS gap
+          FROM tok),
+        seg AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(CASE WHEN gap < 128 THEN 1
+                               WHEN gap < 16384 THEN 2
+                               WHEN gap < 2097152 THEN 3
+                               ELSE 4 END) AS BIGINT) AS bytes_len,
+                 CAST(MAX(doc_id) AS BIGINT) AS last_doc
+          FROM g GROUP BY term)
+        SELECT term, df, bytes_len, last_doc, TRUE AS roundtrip_ok
+        FROM seg
+        WHERE df >= 20
+        ORDER BY term"""),
+      headline = false),
+
     // ── document fingerprint via the native RollingHash expression ──
     "llm_fingerprint" -> QueryDef(
       fn = (s, d) => {
