@@ -1364,6 +1364,83 @@ object TextAnalysis extends QueryPack {
       // bounded global top-k shape is priced by llm_bm25_topk
       headline = false),
 
+    // ── exact-phrase query via positional posting intersection ──
+    // The POSITIONAL half of the index story (`llm_postings_varint`
+    // builds document postings; real engines answer "exact phrase"
+    // by intersecting POSITION lists with a +1 offset): the query
+    // takes the corpus's most frequent bigram (deterministic
+    // tiebreak), then counts its adjacency occurrences and phrase
+    // documents by one equality join of the two terms' positional
+    // postings on (doc, pos+1) — never a substring rescan — and
+    // reports them against the docs containing both terms anywhere
+    // (the selectivity gap a co-occurrence filter would miss). All
+    // equality joins on (doc, pos); the bigram argmax is a one-row
+    // broadcast. The oracle replays positions via parallel unnest
+    // with generate_subscripts.
+    "llm_phrase_query" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", posexplode(tokens).as(Seq("pos", "term")))
+          .filter($"term" =!= "")
+          .localCheckpoint(true) // bigram argmax + three posting reads
+        val top = tok.as("a").join(tok.as("b"),
+            $"a.doc_id" === $"b.doc_id" && $"b.pos" === $"a.pos" + 1)
+          .groupBy($"a.term".as("t1"), $"b.term".as("t2"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"n_pairs".desc, $"t1", $"t2")
+          .limit(1)
+        val p1 = tok.join(broadcast(top), $"term" === $"t1")
+          .select($"doc_id", $"pos", $"t1", $"t2", $"n_pairs")
+        val p2 = tok.join(broadcast(top.select($"t2".as("t2j"))),
+            $"term" === $"t2j")
+          .select($"doc_id".as("doc2"), $"pos".as("pos2"))
+        val phrase = p1.join(p2,
+            $"doc_id" === $"doc2" && $"pos2" === $"pos" + 1)
+          .groupBy($"t1", $"t2", $"n_pairs")
+          .agg(countDistinct($"doc_id").as("n_phrase_docs"))
+        val both = tok.join(broadcast(top), $"term" === $"t1")
+          .select($"doc_id").distinct()
+          .join(tok.join(broadcast(top.select($"t2".as("t2j"))),
+              $"term" === $"t2j")
+            .select($"doc_id").distinct(), Seq("doc_id"))
+          .agg(count(lit(1)).as("n_both_docs"))
+        phrase.crossJoin(broadcast(both))
+          .select($"t1", $"t2", $"n_pairs", $"n_phrase_docs",
+            $"n_both_docs")
+      },
+      oracle = Some(s"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(${graft.functions.TextTokens.tokensSql}) AS term,
+                 generate_subscripts(${graft.functions.TextTokens.tokensSql},
+                   1) AS pos
+          FROM documents),
+        tk AS MATERIALIZED (SELECT * FROM tok WHERE term <> ''),
+        top AS (
+          SELECT a.term AS t1, b.term AS t2,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM tk a JOIN tk b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2
+          ORDER BY n_pairs DESC, t1, t2
+          LIMIT 1),
+        ph AS (
+          SELECT CAST(COUNT(DISTINCT p1.doc_id) AS BIGINT)
+                   AS n_phrase_docs
+          FROM tk p1 JOIN top ON p1.term = top.t1
+          JOIN tk p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+           AND p2.term = top.t2),
+        bo AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_both_docs FROM (
+            SELECT DISTINCT tk.doc_id FROM tk JOIN top ON tk.term = top.t1
+            INTERSECT
+            SELECT DISTINCT tk.doc_id FROM tk JOIN top ON tk.term = top.t2))
+        SELECT top.t1, top.t2, top.n_pairs, ph.n_phrase_docs,
+               bo.n_both_docs
+        FROM top CROSS JOIN ph CROSS JOIN bo"""),
+      headline = false),
+
     // ── inverted-index segment build: delta + varint posting lists ──
     // The index-construction face behind the retrieval pack (BM25 and
     // friends SCORE; this BUILDS the structure they'd serve from):
