@@ -1810,6 +1810,53 @@ object Dedup extends QueryPack {
     // per pair to O(len·threshold) when the texts are long (the
     // 2-arg form here keeps the oracle spelling identical — DuckDB
     // has no threshold form).
+    // ── Jaro-Winkler linkage scores (cross-implementation proof) ──
+    // The record-linkage community's standard name-matching score
+    // joins the fuzzy family (edit distance counts OPERATIONS;
+    // Jaro-Winkler weights matches by position and boosts shared
+    // prefixes — the right shape for short keys like names and
+    // titles). Scored over the same adjacent same-language ASCII
+    // heads as llm_edit_distance in a typed map — no UDF in the
+    // codegen sense, a deterministic Scala kernel on the pair frame.
+    // The oracle is DuckDB's OWN C++ jaro_winkler_similarity, so the
+    // hash-match is a cross-IMPLEMENTATION proof of the textbook
+    // constants (window ⌊max/2⌋−1, half-transpositions, p = 0.1 over
+    // 4 prefix chars above 0.7), not a replay of our arithmetic;
+    // rounded at 6 decimals on both sides (the FMA discipline).
+    "dedup_jaro_winkler" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            substring(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+              1, 40).as("head"))
+          .localCheckpoint(true) // both self-join sides read it
+        docs.as("a").join(docs.as("b"),
+            $"a.lang" === $"b.lang" && $"b.doc_id" === $"a.doc_id" + 1)
+          .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+            $"a.head".as("h1"), $"b.head".as("h2"))
+          .as[(Long, Long, String, String)]
+          .map { case (d1, d2, h1, h2) =>
+            val jw = graft.functions.JaroWinkler.jaroWinkler(h1, h2)
+            (d1, d2,
+              BigDecimal(jw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          .toDF("doc1", "doc2", "jw_sim")
+          .orderBy($"doc1")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 substring(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+                   'g'), 1, 40) AS head
+          FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               round(jaro_winkler_similarity(a.head, b.head), 6) AS jw_sim
+        FROM h a JOIN h b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+        ORDER BY doc1"""),
+      headline = false),
+
     "dedup_fuzzy_edit" -> QueryDef(
       fn = (s, d) => fuzzyEditPairs(Tables.documents(s, d), FuzzyPermille),
       oracle = Some(s"""
