@@ -1364,6 +1364,94 @@ object TextAnalysis extends QueryPack {
       // bounded global top-k shape is priced by llm_bm25_topk
       headline = false),
 
+    // ── entropy coding: canonical Shannon prefix code roundtrip ──
+    // The compression-AS-QUALITY-SIGNAL face (`llm_char_entropy`
+    // measures the bound; this PAYS it with a real codec): a
+    // corpus-level canonical prefix code ([[graft.functions.ShannonCode]])
+    // whose lengths ⌈log₂(total/freq)⌉ are pure integer arithmetic —
+    // the binary-string length of the ceil-divide, `bin()` in both
+    // engines — unlike Huffman's heap-merge lengths no oracle could
+    // replay; the cost is < 1 bit/symbol vs optimal. One corpus scan
+    // builds the alphabet histogram (the collect is alphabet-sized,
+    // ≤ 95 printable chars), every document then encodes AND decodes
+    // through the real bit-packed codec in a typed map; the oracle
+    // reprices each document's coded size from the histogram. A
+    // document's saved_permille is its compressibility — the
+    // repetitive-junk signal a curation pipeline thresholds on.
+    "llm_shannon_code" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id",
+            regexp_replace($"text", "[^\\x20-\\x7e]", "").as("t"))
+          .filter(length($"t") > 0)
+          .localCheckpoint(true) // histogram job + the coding pass
+        val freq = docs.select(explode(split($"t", "")).as("c"))
+          .filter($"c" =!= "")
+          .groupBy($"c").agg(count(lit(1)).as("f"))
+          .collect() // alphabet-sized: <= 95 printable chars
+        val total = freq.map(_.getLong(1)).sum
+        val lengths = freq.map { r =>
+          val f = r.getLong(1)
+          val k = (total + f - 1) / f
+          val L = if (k <= 1) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(k - 1)
+          r.getString(0).charAt(0) -> L
+        }.toMap
+        val book = graft.functions.ShannonCode.canonical(lengths)
+        docs.as[(Long, String)].mapPartitions { it =>
+          it.map { case (id, t) =>
+            val (bytes, bits) =
+              graft.functions.ShannonCode.encode(t, book)
+            val ok =
+              graft.functions.ShannonCode.decode(bytes, bits, book) == t
+            (id, t.length.toLong, bits, 8L * t.length, ok)
+          }
+        }.toDF("doc_id", "n_chars", "coded_bits", "raw_bits",
+          "roundtrip_ok")
+          // 1000 − ratio, not ratio-of-difference: a rare-alphabet
+          // doc can code LARGER than raw, and negative integer
+          // division truncates in Spark but floors in DuckDB — all
+          // operands here stay positive
+          .withColumn("saved_permille",
+            expr("1000 - 1000 * coded_bits div raw_bits"))
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t FROM a WHERE length(t) > 0),
+        ch AS (
+          SELECT doc_id, unnest(string_split(t, '')) AS c FROM p),
+        freq AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM ch GROUP BY c),
+        tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq),
+        len AS (
+          SELECT c,
+                 CASE WHEN (total + f - 1) // f <= 1 THEN 1
+                      ELSE length(bin((total + f - 1) // f - 1))
+                 END AS L
+          FROM freq CROSS JOIN tot),
+        dc AS (
+          SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ch GROUP BY 1, 2),
+        coded AS (
+          SELECT dc.doc_id,
+                 CAST(SUM(dc.n * len.L) AS BIGINT) AS coded_bits
+          FROM dc JOIN len USING (c) GROUP BY dc.doc_id)
+        SELECT p.doc_id,
+               CAST(length(p.t) AS BIGINT) AS n_chars,
+               coded.coded_bits,
+               CAST(8 * length(p.t) AS BIGINT) AS raw_bits,
+               TRUE AS roundtrip_ok,
+               CAST(1000 - 1000 * coded.coded_bits
+                 // (8 * length(p.t)) AS BIGINT) AS saved_permille
+        FROM p JOIN coded USING (doc_id)
+        ORDER BY p.doc_id"""),
+      headline = false),
+
     // ── exact-phrase query via positional posting intersection ──
     // The POSITIONAL half of the index story (`llm_postings_varint`
     // builds document postings; real engines answer "exact phrase"
