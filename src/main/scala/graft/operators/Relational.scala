@@ -714,6 +714,97 @@ object Relational extends QueryPack {
     out
   }
 
+  /** Truncated Brandes pass behind `q_brandes_delta`, over any
+    * symmetric edge list (u, v): 3-level BFS with path counts from
+    * the minimum vertex, then the backward dependency sweep with
+    * 6-decimal contribution rounding (see the QueryDef scaladoc).
+    * Exposed for RelationalSpec's planted-diamond gate. */
+  private[operators] def brandesDelta(symIn: DataFrame): DataFrame = {
+    val s = symIn.sparkSession
+    import s.implicits._
+    val dec206 = DecimalType(20, 6)
+    val sym = symIn.localCheckpoint(true) // forward + backward joins
+    var lvl = sym.agg(min($"u").as("node"))
+          .select($"node", lit(0L).as("lvl"), lit(1L).as("sigma"))
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          val cand = lvl.filter($"lvl" === (r - 1L))
+            .join(sym, $"node" === $"u")
+            .select($"v".as("node"), $"sigma")
+          val fresh = cand.join(lvl.select($"node"), Seq("node"), "left_anti")
+            .groupBy($"node")
+            .agg(sum($"sigma").as("sigma"))
+            .select($"node", lit(r.toLong).as("lvl"), $"sigma")
+          lvl = lvl.unionByName(fresh).localCheckpoint(true)
+        }
+        // backward sweep: δ at the 3-level frontier is 0 by the bound
+        var delta = lvl.filter($"lvl" === 3L)
+          .select($"node", lit(0).cast(dec206).as("delta"))
+          .localCheckpoint(true)
+        var out = delta.join(lvl, Seq("node"))
+          .select($"node", $"lvl", $"sigma", $"delta")
+        for (ln <- 2 to 0 by -1) {
+          val wSide = lvl.filter($"lvl" === (ln + 1).toLong)
+            .select($"node".as("w"), $"sigma".as("sw"))
+            .join(delta.select($"node".as("w"), $"delta".as("dw")),
+              Seq("w"))
+          val contrib = lvl.filter($"lvl" === ln.toLong)
+            .select($"node", $"sigma".as("sv"))
+            .join(sym, $"node" === $"u")
+            .join(wSide, $"v" === $"w")
+            .withColumn("c",
+              round($"sv".cast(DoubleType) / $"sw".cast(DoubleType) *
+                (lit(1.0) + $"dw".cast(DoubleType)), 6).cast(dec206))
+            .groupBy($"node")
+            .agg(sum($"c").cast(dec206).as("delta"))
+          delta = lvl.filter($"lvl" === ln.toLong).select($"node")
+            .join(contrib, Seq("node"), "left")
+            .select($"node",
+              coalesce($"delta", lit(0).cast(dec206)).as("delta"))
+            .localCheckpoint(true)
+          out = out.unionByName(delta.join(lvl, Seq("node"))
+            .select($"node", $"lvl", $"sigma", $"delta"))
+        }
+        out.select($"node", $"lvl", $"sigma",
+            $"delta".cast(DoubleType).as("delta"))
+          .orderBy($"node")
+      
+  }
+
+  /** The BFS + path-counting derivation as shared oracle CTEs ending
+    * in `l3` (node, lvl, sigma) — single source for the `q_bfs_sigma`
+    * and `q_brandes_delta` oracles. */
+  private lazy val bfsSigmaCtes: String = """e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS (
+          SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS lvl,
+                 CAST(1 AS BIGINT) AS sigma FROM sym),
+        f1 AS (
+          SELECT s.v AS node, SUM(l0.sigma) AS sigma FROM sym s
+          JOIN l0 ON s.u = l0.node
+          WHERE s.v NOT IN (SELECT node FROM l0)
+          GROUP BY s.v),
+        l1 AS (SELECT * FROM l0
+               UNION ALL SELECT node, CAST(1 AS BIGINT), sigma FROM f1),
+        f2 AS (
+          SELECT s.v AS node, SUM(l1.sigma) AS sigma FROM sym s
+          JOIN l1 ON s.u = l1.node AND l1.lvl = 1
+          WHERE s.v NOT IN (SELECT node FROM l1)
+          GROUP BY s.v),
+        l2 AS (SELECT * FROM l1
+               UNION ALL SELECT node, CAST(2 AS BIGINT), sigma FROM f2),
+        f3 AS (
+          SELECT s.v AS node, SUM(l2.sigma) AS sigma FROM sym s
+          JOIN l2 ON s.u = l2.node AND l2.lvl = 2
+          WHERE s.v NOT IN (SELECT node FROM l2)
+          GROUP BY s.v),
+        l3 AS (SELECT * FROM l2
+               UNION ALL SELECT node, CAST(3 AS BIGINT), sigma FROM f3)"""
+
   /** The walk derivation as shared oracle CTEs ending in `walks` —
     * single source for the q_random_walks and q_walk_skipgrams
     * oracles. */
@@ -3323,39 +3414,71 @@ object Relational extends QueryPack {
         }
         lvl.orderBy($"lvl", $"node")
       },
-      oracle = Some("""
-        WITH e0 AS (
-          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM lineitem a JOIN lineitem b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        sym AS (
-          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-        l0 AS (
-          SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS lvl,
-                 CAST(1 AS BIGINT) AS sigma FROM sym),
-        f1 AS (
-          SELECT s.v AS node, SUM(l0.sigma) AS sigma FROM sym s
-          JOIN l0 ON s.u = l0.node
-          WHERE s.v NOT IN (SELECT node FROM l0)
-          GROUP BY s.v),
-        l1 AS (SELECT * FROM l0
-               UNION ALL SELECT node, CAST(1 AS BIGINT), sigma FROM f1),
-        f2 AS (
-          SELECT s.v AS node, SUM(l1.sigma) AS sigma FROM sym s
-          JOIN l1 ON s.u = l1.node AND l1.lvl = 1
-          WHERE s.v NOT IN (SELECT node FROM l1)
-          GROUP BY s.v),
-        l2 AS (SELECT * FROM l1
-               UNION ALL SELECT node, CAST(2 AS BIGINT), sigma FROM f2),
-        f3 AS (
-          SELECT s.v AS node, SUM(l2.sigma) AS sigma FROM sym s
-          JOIN l2 ON s.u = l2.node AND l2.lvl = 2
-          WHERE s.v NOT IN (SELECT node FROM l2)
-          GROUP BY s.v),
-        l3 AS (SELECT * FROM l2
-               UNION ALL SELECT node, CAST(3 AS BIGINT), sigma FROM f3)
+      oracle = Some(s"""
+        WITH $bfsSigmaCtes
         SELECT node, lvl, CAST(sigma AS BIGINT) AS sigma
         FROM l3 ORDER BY lvl, node""")),
+
+    // ── Brandes dependency accumulation (betweenness, one source) ──
+    // The BACKWARD half of Brandes' betweenness (2001) on top of
+    // q_bfs_sigma's forward σ counting: δ(v) = Σ over shortest-path
+    // successors w of (σv/σw)·(1+δw), swept level by level from the
+    // frontier down to the source — per level ONE equality join of
+    // the level's nodes against the next level through the edge list,
+    // the BFS shape run in reverse. Sampled/bounded betweenness runs
+    // exactly this from K sources and sums δ; here K = 1 (the
+    // q_bfs_sigma source) at the same 3-level bound, so σ and δ
+    // describe one consistent truncated-Brandes pass. Cross-engine
+    // determinism uses the evt_chi_square discipline: each successor
+    // CONTRIBUTION is rounded at 6 decimals into DECIMAL(20,6), the
+    // per-node sum is exact decimal addition (no float-order
+    // sensitivity), and the next level consumes the decimal exactly.
+    "q_brandes_delta" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        brandesDelta(edges.unionByName(
+          edges.select($"v".as("u"), $"u".as("v"))))
+      },
+      oracle = Some {
+        def lvlCte(ln: Int) = s"""
+        c$ln AS (
+          SELECT lv.node,
+                 CAST(SUM(CAST(round(
+                     CAST(lv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+                     * (1.0 + CAST(d${ln + 1}.delta AS DOUBLE)), 6)
+                   AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS delta
+          FROM l3 lv
+          JOIN sym s ON s.u = lv.node
+          JOIN l3 w ON w.node = s.v AND w.lvl = ${ln + 1}
+          JOIN d${ln + 1} ON d${ln + 1}.node = w.node
+          WHERE lv.lvl = $ln
+          GROUP BY lv.node),
+        d$ln AS (
+          SELECT l.node,
+                 COALESCE(c$ln.delta, CAST(0 AS DECIMAL(20,6))) AS delta
+          FROM l3 l LEFT JOIN c$ln USING (node)
+          WHERE l.lvl = $ln)"""
+        s"""
+        WITH $bfsSigmaCtes,
+        d3 AS (
+          SELECT node, CAST(0 AS DECIMAL(20,6)) AS delta
+          FROM l3 WHERE lvl = 3),
+        ${lvlCte(2).drop(1)},${lvlCte(1)},${lvlCte(0)}
+        SELECT l.node, l.lvl, CAST(l.sigma AS BIGINT) AS sigma,
+               CAST(dd.delta AS DOUBLE) AS delta
+        FROM l3 l
+        JOIN (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+              UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) dd
+          ON dd.node = l.node
+        ORDER BY l.node"""
+      },
+      headline = false),
 
     // ── weighted single-source shortest paths (Bellman–Ford) ──
     // The MIN-PLUS companion to q_bfs_levels: hop count is the wrong

@@ -1483,6 +1483,21 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     got.map(t => (t._1, t._2)).distinct.size shouldBe got.size
   }
 
+  test("brandesDelta reproduces the hand-computed dependency values on " +
+      "a planted diamond") {
+    import spark.implicits._
+    // 0-1, 1-2, 1-4, 2-3, 4-3: source 0; sigma(3) = 2 via the diamond.
+    // Brandes: delta(2) = delta(4) = (1/2)*(1+0) = 0.5;
+    // delta(1) = 1*(1+0.5) + 1*(1+0.5) = 3; delta(0) = 1*(1+3) = 4
+    val e = Seq((0L, 1L), (1L, 2L), (1L, 4L), (2L, 3L), (4L, 3L))
+    val sym = (e ++ e.map(_.swap)).toDF("u", "v")
+    val got = Relational.brandesDelta(sym)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    got shouldBe Seq(
+      (0L, 0L, 1L, 4.0), (1L, 1L, 1L, 3.0), (2L, 2L, 1L, 0.5),
+      (3L, 3L, 2L, 0.0), (4L, 2L, 1L, 0.5))
+  }
+
   test("closureIncrement equals the full rebuild while doubling only " +
       "shard-sized frames") {
     import spark.implicits._
