@@ -1365,8 +1365,11 @@ object Relational extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val nodes = hierarchyNodes(s, d)
-        // the split scalar: one O(1) driver row (the frozen/new cut)
-        val cut = nodes.agg(max($"node")).collect()(0).getLong(0) * 4 / 5
+        // the split scalar: one O(1) driver row (the frozen/new cut).
+        // An empty forest has no max — the cut defaults to 0 and both
+        // parent sets are empty, so the rollup degenerates cleanly
+        val mx = nodes.agg(max($"node")).collect()(0)
+        val cut = (if (mx.isNullAt(0)) 0L else mx.getLong(0)) * 4 / 5
         val basePar = nodes.filter($"node" >= 1 && $"node" <= cut)
           .select($"node", expr("(node - 1) div 4").as("parent"))
         val shardPar = nodes.filter($"node" > cut)

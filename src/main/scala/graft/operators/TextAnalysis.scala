@@ -936,12 +936,16 @@ object TextAnalysis extends QueryPack {
         sum(when(mis, $"y" * $"x4").otherwise(0L)),
         sum(when(mis, 1L).otherwise(0L)),
         count(lit(1))).collect()(0)
-      w = Array.tabulate(5)(i => w(i) + upd.getLong(i))
-      val nCorrect = feats.agg(
-        sum(when(margin(w) > 0L, 1L).otherwise(0L)))
-        .collect()(0).getLong(0)
+      // zero input rows: every SUM is null — an empty corpus trains
+      // nothing, each epoch stays at the zero weights (the EmptyInput
+      // discipline: defined degenerate rows, never an NPE)
+      def lng(i: Int): Long = if (upd.isNullAt(i)) 0L else upd.getLong(i)
+      w = Array.tabulate(5)(i => w(i) + lng(i))
+      val ncRow = feats.agg(
+        sum(when(margin(w) > 0L, 1L).otherwise(0L))).collect()(0)
+      val nCorrect = if (ncRow.isNullAt(0)) 0L else ncRow.getLong(0)
       out += ((r.toLong, w(0), w(1), w(2), w(3), w(4),
-        upd.getLong(5), nCorrect, upd.getLong(6)))
+        lng(5), nCorrect, upd.getLong(6)))
     }
     val pocket = out.minBy { case (r, _, _, _, _, _, _, nc, _) =>
       (-nc, r) }._1
@@ -949,7 +953,8 @@ object TextAnalysis extends QueryPack {
       .toDF("epoch", "w0", "w1", "w2", "w3", "w4", "n_upd",
         "n_correct", "n")
       .withColumn("acc",
-        $"n_correct".cast(DoubleType) / $"n".cast(DoubleType))
+        when($"n" === 0L, 0.0).otherwise(
+          $"n_correct".cast(DoubleType) / $"n".cast(DoubleType)))
       .withColumn("is_pocket", $"epoch" === pocket)
       .orderBy($"epoch")
   }
@@ -1390,32 +1395,41 @@ object TextAnalysis extends QueryPack {
           .filter($"c" =!= "")
           .groupBy($"c").agg(count(lit(1)).as("f"))
           .collect() // alphabet-sized: <= 95 printable chars
-        val total = freq.map(_.getLong(1)).sum
-        val lengths = freq.map { r =>
-          val f = r.getLong(1)
-          val k = (total + f - 1) / f
-          val L = if (k <= 1) 1
-            else 64 - java.lang.Long.numberOfLeadingZeros(k - 1)
-          r.getString(0).charAt(0) -> L
-        }.toMap
-        val book = graft.functions.ShannonCode.canonical(lengths)
-        docs.as[(Long, String)].mapPartitions { it =>
-          it.map { case (id, t) =>
-            val (bytes, bits) =
-              graft.functions.ShannonCode.encode(t, book)
-            val ok =
-              graft.functions.ShannonCode.decode(bytes, bits, book) == t
-            (id, t.length.toLong, bits, 8L * t.length, ok)
-          }
-        }.toDF("doc_id", "n_chars", "coded_bits", "raw_bits",
-          "roundtrip_ok")
-          // 1000 − ratio, not ratio-of-difference: a rare-alphabet
-          // doc can code LARGER than raw, and negative integer
-          // division truncates in Spark but floors in DuckDB — all
-          // operands here stay positive
-          .withColumn("saved_permille",
-            expr("1000 - 1000 * coded_bits div raw_bits"))
-          .orderBy($"doc_id")
+        if (freq.isEmpty)
+          // an empty corpus has no alphabet and nothing to code —
+          // the defined degenerate result is the empty frame (the
+          // EmptyInput discipline: never a crash at plan-build time)
+          Seq.empty[(Long, Long, Long, Long, Boolean, Long)]
+            .toDF("doc_id", "n_chars", "coded_bits", "raw_bits",
+              "roundtrip_ok", "saved_permille")
+        else {
+          val total = freq.map(_.getLong(1)).sum
+          val lengths = freq.map { r =>
+            val f = r.getLong(1)
+            val k = (total + f - 1) / f
+            val L = if (k <= 1) 1
+              else 64 - java.lang.Long.numberOfLeadingZeros(k - 1)
+            r.getString(0).charAt(0) -> L
+          }.toMap
+          val book = graft.functions.ShannonCode.canonical(lengths)
+          docs.as[(Long, String)].mapPartitions { it =>
+            it.map { case (id, t) =>
+              val (bytes, bits) =
+                graft.functions.ShannonCode.encode(t, book)
+              val ok =
+                graft.functions.ShannonCode.decode(bytes, bits, book) == t
+              (id, t.length.toLong, bits, 8L * t.length, ok)
+            }
+          }.toDF("doc_id", "n_chars", "coded_bits", "raw_bits",
+            "roundtrip_ok")
+            // 1000 − ratio, not ratio-of-difference: a rare-alphabet
+            // doc can code LARGER than raw, and negative integer
+            // division truncates in Spark but floors in DuckDB — all
+            // operands here stay positive
+            .withColumn("saved_permille",
+              expr("1000 - 1000 * coded_bits div raw_bits"))
+            .orderBy($"doc_id")
+        }
       },
       oracle = Some("""
         WITH a AS (

@@ -21,7 +21,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     * schemas with zero rows. */
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    Seq("events", "documents").foreach { t =>
+    Seq("events", "documents", "part", "lineitem").foreach { t =>
       Tables(spark, "/root/testdata/sf0.001", t)
         .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
@@ -124,5 +124,46 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     out.columns.toSeq shouldBe
       Seq("u_cents", "n_exceed", "sum_excess", "mean_excess")
     out.count() shouldBe 0L
+  }
+
+  test("q_hierarchy_increment on an empty part table degenerates to an " +
+      "empty rollup, never an NPE on the cut scalar") {
+    SparkEntry.queries("q_hierarchy_increment")(spark, emptyDir)
+      .collect() shouldBe empty
+  }
+
+  test("llm_perceptron_learn on an empty corpus keeps zero weights and " +
+      "defined zero accuracy for every epoch") {
+    val rows = SparkEntry.queries("llm_perceptron_learn")(spark, emptyDir)
+      .collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      (1 to 7).map(r.getLong) shouldBe Seq.fill(7)(0L)
+      r.getLong(8) shouldBe 0L
+      r.getDouble(9) shouldBe 0.0
+    }
+    // exactly one pocket even in the degenerate trajectory
+    rows.count(_.getBoolean(10)) shouldBe 1
+  }
+
+  test("llm_shannon_code on an empty corpus is the empty frame with " +
+      "the full schema, not an empty-alphabet crash") {
+    val df = SparkEntry.queries("llm_shannon_code")(spark, emptyDir)
+    df.columns.toSeq shouldBe Seq("doc_id", "n_chars", "coded_bits",
+      "raw_bits", "roundtrip_ok", "saved_permille")
+    df.collect() shouldBe empty
+  }
+
+  test("q_densest_subgraph on an empty lineitem table reports four " +
+      "zero-density rounds with round 0 best") {
+    val rows = SparkEntry.queries("q_densest_subgraph")(spark, emptyDir)
+      .collect()
+    rows.length shouldBe 4
+    rows.foreach { r =>
+      r.getLong(1) shouldBe 0L
+      r.getLong(2) shouldBe 0L
+      r.getDouble(3) shouldBe 0.0
+    }
+    rows.count(_.getBoolean(4)) shouldBe 1
   }
 }
