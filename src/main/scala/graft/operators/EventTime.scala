@@ -787,6 +787,93 @@ object EventTime extends QueryPack {
         GROUP BY user_id, session_no
         ORDER BY user_id, session_no""")),
 
+    // ── interval×interval overlap join via bin pruning ──
+    // The two-sided sibling of evt_range_join's point-in-range and
+    // evt_asof_join's nearest-preceding: BOTH sides are intervals
+    // (user sessions × campaign windows — "which sessions ran while
+    // the campaign did, and for how long"), and the naive overlap
+    // predicate is a cross join no engine survives. The distributed
+    // answer is BIN PRUNING: each session explodes over the WEEKS it
+    // touches (bounded by its span), campaigns live in exactly one
+    // week by construction, and the overlap join becomes an EQUALITY
+    // join on the week key with the residual predicate applied after
+    // — each qualifying pair found exactly once, no dedup. Overlap
+    // durations are exact µs on half-open intervals; campaigns with
+    // zero overlapping sessions report zeros rather than vanishing.
+    "evt_overlap_join" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val WeekUs = 7L * DayUs
+        val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val sess = ev
+          .withColumn("prev_tus", lag($"tus", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_tus".isNull || $"tus" - $"prev_tus" > GapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_no",
+            sum($"new_session")
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_no")
+          .agg(min($"tus").as("s_us"), max($"tus").as("e_us"))
+          .localCheckpoint(true) // week span + the binned probe side
+        val campaigns = sess
+          .agg(expr(s"min(s_us) div $WeekUs").as("w0"),
+            expr(s"max(e_us) div $WeekUs").as("w1"))
+          .select(explode(sequence($"w0", $"w1")).as("wk"))
+          .select($"wk", ($"wk" * WeekUs).as("c_start"),
+            ($"wk" * WeekUs + 3 * DayUs).as("c_end"))
+          .localCheckpoint(true) // join build side + the zero spine
+        val binned = sess.select($"user_id", $"s_us", $"e_us",
+          explode(sequence(expr(s"s_us div $WeekUs"),
+            expr(s"e_us div $WeekUs"))).as("wk"))
+        val ag = binned.join(campaigns, Seq("wk"))
+          .withColumn("ov_us",
+            least($"e_us" + 1, $"c_end") - greatest($"s_us", $"c_start"))
+          .filter($"ov_us" > 0)
+          .groupBy($"wk")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct($"user_id").as("n_users"),
+            sum($"ov_us").as("total_overlap_us"))
+        campaigns.join(ag, Seq("wk"), "left")
+          .select($"wk", $"c_start", $"c_end",
+            coalesce($"n_sessions", lit(0L)).as("n_sessions"),
+            coalesce($"n_users", lit(0L)).as("n_users"),
+            coalesce($"total_overlap_us", lit(0L)).as("total_overlap_us"))
+          .orderBy($"wk")
+      },
+      oracle = Some(s"""
+        WITH $sessionsCte,
+        sess AS (
+          SELECT user_id, session_no, MIN(tus) AS s_us, MAX(tus) AS e_us
+          FROM sessions GROUP BY 1, 2),
+        rng AS (
+          SELECT MIN(s_us) // ${7L * DayUs} AS w0,
+                 MAX(e_us) // ${7L * DayUs} AS w1
+          FROM sess),
+        cams AS (
+          SELECT wk, wk * ${7L * DayUs} AS c_start,
+                 wk * ${7L * DayUs} + ${3L * DayUs} AS c_end
+          FROM (SELECT unnest(generate_series(w0, w1)) AS wk FROM rng)),
+        ov AS (
+          SELECT c.wk, s.user_id,
+                 least(s.e_us + 1, c.c_end) - greatest(s.s_us, c.c_start)
+                   AS ov_us
+          FROM sess s JOIN cams c
+            ON s.s_us < c.c_end AND s.e_us + 1 > c.c_start),
+        ag AS (
+          SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+          FROM ov GROUP BY wk)
+        SELECT c.wk, c.c_start, c.c_end,
+               COALESCE(ag.n_sessions, 0) AS n_sessions,
+               COALESCE(ag.n_users, 0) AS n_users,
+               COALESCE(ag.total_overlap_us, 0) AS total_overlap_us
+        FROM cams c LEFT JOIN ag USING (wk)
+        ORDER BY c.wk"""),
+      headline = false),
+
     // ── backward as-of join: each purchase ↔ the user's latest
     //    preceding click (composed from a running conditional max —
     //    no custom operator needed) ──
