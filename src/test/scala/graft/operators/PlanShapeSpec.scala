@@ -636,6 +636,48 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should include("partial_sum")
   }
 
+  test("hierarchy rollup: every closure round joins on node equality — " +
+      "no cartesian, no nested loop, map-side subtree aggregation") {
+    val p = plan("q_hierarchy_rollup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_count")
+  }
+
+  test("random walks: hop joins are rank-equality against the adjacency " +
+      "— no cartesian, no nested loop") {
+    val p = plan("q_random_walks")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("interval overlap join binds on the week key — the only " +
+      "non-equality operators are the broadcast scalar spine") {
+    val p = plan("evt_overlap_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("bootstrap CI folds all 32 replicate partials map-side in one " +
+      "aggregate — no join in the hot path, no window") {
+    val p = plan("evt_bootstrap_ci")
+    p should include("partial_sum")
+    p should not include "Window"
+    // the only joins sit AFTER the aggregation (the 16-row unpivot),
+    // never against the events scan
+    p should not include "CartesianProduct"
+  }
+
+  test("quantile digest probe joins stay equality-shaped (the histogram " +
+      "explode itself sits behind the checkpoint barrier)") {
+    val p = plan("agg_qdigest_ranks")
+    p should not include "CartesianProduct"
+    // the probe-side non-equi join (idx < j) is legal ONLY because
+    // both sides are probe/digest-sized: every such join must be a
+    // broadcast, never a shuffled nested loop
+    p should not include "ShuffledHashJoin( BuildSide: none"
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
