@@ -372,6 +372,90 @@ object StreamingScoring {
       .start()
   }
 
+  /** Continuous quantile-digest rank bounds — the streaming face of
+    * `agg_qdigest_ranks`, and the QUANTILE member of the mergeable-
+    * summary family: the digest's cell counts add across batches, so
+    * the state is ONE bounded histogram (the 256 level-8 dyadic cells
+    * over the 2^16-cent domain — every coarser level derives exactly
+    * from it by halving, so levels 8..16 cost nothing to store) plus
+    * the total, and each micro-batch pays one map-side-combined
+    * 256-ary groupBy. Emissions mirror the batch face: per probe q,
+    * heavy level-12 cells give [rank_lo, rank_hi], the exact level-12
+    * counts give the exact rank, and `within` must hold — the same
+    * checked contract, continuously. Same GenSwap batch-id discipline
+    * as [[momentsStream]]. `records` must carry an `x` long (cents);
+    * `sink` receives 8 probe rows per batch. */
+  def qdigestStream(
+      records: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/qdig"
+        val old = s"$stateDir/qdig.old"
+        val tmp = s"$stateDir/qdig.tmp"
+
+        val (state, lastBatch) = GenSwap.readable(target, old) match {
+          case Some(dir) =>
+            val rows = s.read.parquet(dir).collect()
+            val lb = if (rows.isEmpty) -1L else rows.head.getLong(2)
+            val arr = new Array[Long](256)
+            rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+            (arr, lb)
+          case None => (new Array[Long](256), -1L)
+        }
+
+        val merged =
+          if (batchId <= lastBatch) state // replayed batch: fold once
+          else {
+            val cells = batch
+              .select(greatest(lit(0L), least(lit(65535L),
+                col("x").cast("long"))).as("v"))
+              .selectExpr("cast(v div 256 as int) as c8")
+              .groupBy($"c8").agg(count(lit(1)).as("n"))
+              .collect() // <= 256 rows — the digest's own bound
+            val m = state.clone()
+            cells.foreach(r => m(r.getInt(0)) += r.getLong(1))
+            new java.io.File(stateDir).mkdirs()
+            m.zipWithIndex.collect { case (n, i) if n > 0 =>
+              (i, n, batchId)
+            }.toSeq.toDF("c8", "n", "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            GenSwap.publish(tmp, target, old)
+            m
+          }
+
+        // level-12 cells derive exactly: cell12(i) = Σ c8[16i..16i+15]
+        val l12 = Array.tabulate(16)(i =>
+          (16 * i until 16 * (i + 1)).map(merged).sum)
+        val total = merged.sum
+        val thr = (total + 63) / 64
+        // heavy-cell census over the stored tower (levels 8..16)
+        var digestCells = 0L
+        var lvlCells = merged
+        while (lvlCells.length >= 1) {
+          digestCells += lvlCells.count(_ >= thr)
+          if (lvlCells.length == 1) lvlCells = Array.empty
+          else lvlCells = Array.tabulate(lvlCells.length / 2)(i =>
+            lvlCells(2 * i) + lvlCells(2 * i + 1))
+        }
+        sink((1 to 8).map { j =>
+          val heavy = (0 until j).filter(i => l12(i) >= thr)
+          val lo = heavy.map(l12(_)).sum
+          val hi = lo + (j - heavy.length) * math.max(0L, thr - 1)
+          val exact = (0 until j).map(l12(_)).sum
+          (j * 4096L, total, thr, digestCells, lo, hi, exact,
+            lo <= exact && exact <= hi, batchId)
+        }.toDF("q_cents", "n_total", "thr", "digest_cells", "rank_lo",
+          "rank_hi", "exact_rank", "within", "batch_id"))
+      }
+      .start()
+  }
+
   /** Continuous Poisson-bootstrap confidence intervals — the
     * streaming face of `evt_bootstrap_ci`, and the RESAMPLING member
     * of the mergeable-summary family: all 16 replicates' (Σwx, Σw)

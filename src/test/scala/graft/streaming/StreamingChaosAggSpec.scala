@@ -132,6 +132,27 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: qdigestStream kill between emission and commit + restart " +
+      "yields rank bounds bit-identical to an unkilled run, both providers") {
+    def qdRows(n: Int, seed: Int): Seq[String] = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => s"""{"x":${r.nextInt(60000)}}""")
+    }
+    val batches = Seq(qdRows(120, 1), qdRows(80, 2), qdRows(60, 3))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingScoring.qdigestStream(
+        spark.readStream.schema("x LONG").json(src.toString),
+        state.toString, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"qdig-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"qdig-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
   test("chaos: bootstrapStream kill between emission and commit + restart " +
       "yields CIs bit-identical to an unkilled run, both providers") {
     // a replayed fold would double every replicate's (Σwx, Σw) — the

@@ -337,6 +337,59 @@ class StreamingScoringSpec extends AnyFunSuite with Matchers {
     skew1 should be > skew0 + 0.3
   }
 
+  test("continuous quantile digest: probe bounds fold exactly across " +
+      "batches and restarts, equal to a direct recompute; within holds") {
+    val src = java.nio.file.Files.createTempDirectory("graft-sqd-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqd-ckpt")
+    val state = java.nio.file.Files.createTempDirectory("graft-sqd-state")
+
+    def writeRows(name: String, xs: Seq[Long]): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        xs.map(x => s"""{"x":$x}""").mkString("\n").getBytes(UTF_8))
+
+    @volatile var emitted = Vector.empty[Array[Row]]
+    def start() = StreamingScoring.qdigestStream(
+      spark.readStream.schema("x LONG").json(src.toString),
+      state.toString, ckpt.toString,
+      sink = df => emitted :+= df.collect())
+
+    def check(xs: Seq[Long]): Unit = {
+      val vs = xs.map(x => math.max(0L, math.min(65535L, x)))
+      val l12 = Array.tabulate(16)(i =>
+        vs.count(v => v / 4096 == i).toLong)
+      val total = vs.length.toLong
+      val thr = (total + 63) / 64
+      val rows = emitted.last.sortBy(_.getLong(0))
+      rows.length shouldBe 8
+      (1 to 8).zip(rows).foreach { case (j, r) =>
+        val heavy = (0 until j).filter(i => l12(i) >= thr)
+        val lo = heavy.map(l12(_)).sum
+        val hi = lo + (j - heavy.length) * math.max(0L, thr - 1)
+        val exact = (0 until j).map(l12(_)).sum
+        withClue(s"probe $j: ") {
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getBoolean(7)) shouldBe
+            ((j * 4096L, total, thr, lo, hi, exact, true))
+        }
+      }
+    }
+
+    val rnd = new scala.util.Random(13)
+    val b0 = (0 until 400).map(_ => rnd.nextInt(50000).toLong)
+    val all = scala.collection.mutable.Buffer.empty[Long]
+    writeRows("b0.json", b0); all ++= b0
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // restart boundary
+    check(all.toSeq)
+
+    // skewed second batch shifts the heavy set; fold stays exact
+    val b1 = (0 until 300).map(_ => 3000L + rnd.nextInt(2000))
+    writeRows("b1.json", b1); all ++= b1
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    check(all.toSeq)
+  }
+
   test("continuous bootstrap: per-key CI folds exactly across batches " +
       "and restarts, equal to a JDK-md5 recompute over everything so far") {
     val src = java.nio.file.Files.createTempDirectory("graft-sbt-src")
