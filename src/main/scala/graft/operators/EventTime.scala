@@ -1880,6 +1880,88 @@ object EventTime extends QueryPack {
         FROM m ORDER BY user_id, event_id"""
       }),
 
+    // ── rolling-origin forecast backtest (MASE-style skill score) ──
+    // The evaluation face the forecasting pair (evt_ewma, evt_holt)
+    // lacked: a forecaster is only shippable if it BEATS the naive
+    // carry-forward on held-out origins, and the standard protocol is
+    // rolling-origin backtesting — for every day h, forecast h from
+    // data strictly before h, score against the actual. The Brown
+    // two-stage kernel is a fixed 15-tap convolution, so ALL origins
+    // evaluate in ONE window pass over the daily series (lags shifted
+    // by one: the origin's own day never leaks into its forecast);
+    // day rows are census-sized, so the single-partition window is
+    // the documented evt_theil_sen series discipline. Full-window
+    // origins only (den = 255·65025 constant), so errors stay a
+    // single exact-integer scale: the summary is Σ|y·den − fc_num|
+    // against the naive Σ|y − y_prev|·den, with the MASE-style
+    // permille ratio and the beats_naive verdict as exact-integer
+    // comparisons.
+    "evt_forecast_backtest" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val days = Tables.events(s, d)
+          .select(expr(s"(ts div 1000) div $DayUs").as("day"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+          .groupBy($"day").agg(sum($"y").as("y"))
+        val w = Window.orderBy($"day")
+        def lv(i: Int) = lag($"y", i).over(w)
+        val s1n = HoltW1.zipWithIndex.map { case (wt, k) =>
+          lv(k + 1) * wt }.reduce(_ + _)
+        val s2n = HoltW2.zipWithIndex.map { case (wt, k) =>
+          lv(k + 1) * wt }.reduce(_ + _)
+        val den = 255L * 65025L
+        days
+          .withColumn("fc_num", lit(3L) * 255L * s1n - lit(2L) * s2n)
+          .withColumn("prev", lv(1))
+          .withColumn("full", lv(15).isNotNull)
+          .filter($"full")
+          .select($"day", $"y", $"fc_num", $"prev")
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs($"y" * den - $"fc_num" * 255L)).as("sum_abs_err"),
+            sum(abs($"y" - $"prev") * den).as("sum_abs_naive"))
+          .select($"n_days", $"sum_abs_err", $"sum_abs_naive",
+            when($"sum_abs_naive" === 0L, 0L)
+              .otherwise(expr("1000 * sum_abs_err div sum_abs_naive"))
+              .as("mase_permille"),
+            ($"sum_abs_err" < $"sum_abs_naive").as("beats_naive"))
+      },
+      oracle = Some {
+        val s1n = HoltW1.zipWithIndex.map { case (wt, k) =>
+          s"$wt * y${k + 1}" }.mkString(" + ")
+        val s2n = HoltW2.zipWithIndex.map { case (wt, k) =>
+          s"$wt * y${k + 1}" }.mkString(" + ")
+        val lags = (1 to 15)
+          .map(k => s"LAG(y, $k) OVER w AS y$k").mkString(", ")
+        s"""
+        WITH days AS (
+          SELECT epoch_us(ts) // $DayUs AS day,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        l AS (
+          SELECT day, y, $lags
+          FROM days WINDOW w AS (ORDER BY day)),
+        f AS (
+          SELECT day, y, y1 AS prev,
+                 3 * 255 * ($s1n) - 2 * ($s2n) AS fc_num
+          FROM l WHERE y15 IS NOT NULL),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(abs(y * ${255L * 65025L} - fc_num * 255))
+                   AS BIGINT) AS sum_abs_err,
+                 CAST(SUM(abs(y - prev) * ${255L * 65025L})
+                   AS BIGINT) AS sum_abs_naive
+          FROM f)
+        SELECT n_days, sum_abs_err, sum_abs_naive,
+               CASE WHEN sum_abs_naive = 0 THEN 0
+                    ELSE 1000 * sum_abs_err // sum_abs_naive
+               END AS mase_permille,
+               (sum_abs_err < sum_abs_naive) AS beats_naive
+        FROM a"""
+      },
+      headline = false),
+
     // ── trailing-window rolling MEDIAN (robust smoother) ──
     // evt_ewma and evt_holt are linear smoothers — one fat-fingered
     // spike drags them for 8 taps; the rolling median rejects it
