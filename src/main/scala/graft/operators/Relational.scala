@@ -1471,6 +1471,62 @@ object Relational extends QueryPack {
         ORDER BY p.center, p.context"""),
       headline = false),
 
+    // ── join-key skew report (the pre-salting diagnostic) ──
+    // The operational census a 100 TB operator runs BEFORE choosing a
+    // join strategy: how skewed is this key, and what salt factor
+    // would level it? One map-side-combined key histogram, then one
+    // aggregate over the histogram (key-count rows, never the data):
+    // key cardinality, the heaviest key's exact share in ppm, how
+    // many keys exceed 4× the mean (the AQE skew-partition
+    // heuristic's shape), and the suggested salt = ⌈max/avg⌉ — the
+    // factor the salting machinery (SaltingSpec's operators) would
+    // apply. Exact integers end to end; the heaviest key itself is
+    // reported for the targeted-salt variant.
+    "q_skew_report" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val h = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // the aggregate + the argmax probe
+        val agg = h.agg(count(lit(1)).as("n_keys"),
+          sum($"c").as("n_rows"), max($"c").as("max_cnt"))
+        val top = h.orderBy($"c".desc, $"l_orderkey").limit(1)
+          .select($"l_orderkey".as("heaviest_key"))
+        val over4x = h.crossJoin(broadcast(agg))
+          .filter($"c" * $"n_keys" > lit(4L) * $"n_rows")
+          .agg(count(lit(1)).as("n_keys_over_4x_mean"))
+        agg.crossJoin(broadcast(top)).crossJoin(broadcast(over4x))
+          .select($"n_keys", $"n_rows", $"max_cnt", $"heaviest_key",
+            expr("1000000 * max_cnt div n_rows").as("max_share_ppm"),
+            $"n_keys_over_4x_mean",
+            expr("(max_cnt * n_keys + n_rows - 1) div n_rows")
+              .as("suggested_salt"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_cnt
+          FROM h),
+        t AS (
+          SELECT l_orderkey AS heaviest_key FROM h
+          ORDER BY c DESC, l_orderkey LIMIT 1),
+        o AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_over_4x_mean
+          FROM h CROSS JOIN a
+          WHERE h.c * a.n_keys > 4 * a.n_rows)
+        SELECT a.n_keys, a.n_rows, a.max_cnt, t.heaviest_key,
+               CAST(1000000 * a.max_cnt // a.n_rows AS BIGINT)
+                 AS max_share_ppm,
+               o.n_keys_over_4x_mean,
+               CAST((a.max_cnt * a.n_keys + a.n_rows - 1) // a.n_rows
+                 AS BIGINT) AS suggested_salt
+        FROM a CROSS JOIN t CROSS JOIN o"""),
+      headline = false),
+
     // ── k-anonymity audit (quasi-identifier re-identification risk) ──
     // The governance face a corpus pipeline ships with its dataset
     // card: group rows by the quasi-identifier tuple an attacker
