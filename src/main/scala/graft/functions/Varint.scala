@@ -47,6 +47,9 @@ object Varint {
         require(i < bs.length, "varint: truncated value at end of buffer")
         require(shift < 64, "varint: overlong encoding")
         val b = bs(i) & 0xff
+        // At shift 63 only bit 0 of the payload survives the shift; any
+        // higher payload bit would be dropped silently — reject loudly.
+        require(shift < 63 || (b & 0x7e) == 0, "varint: overlong encoding")
         v |= (b & 0x7fL) << shift
         shift += 7
         i += 1

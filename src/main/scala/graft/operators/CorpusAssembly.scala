@@ -1479,60 +1479,71 @@ object CorpusAssembly extends QueryPack {
     // unless its full content x E epochs is smaller — processing
     // domains ASCENDING by size makes the shares self-balancing (what a
     // capped small domain leaves unspent raises everyone else's share).
-    // All-integer semantics (floor division, sizes in chars) so the
-    // sequential recurrence replays EXACTLY in the oracle's recursive
-    // CTE. Scale shape: the corpus is scanned once for per-source
-    // totals (map-side-combined aggregate); the allocator itself is
-    // metadata-scale (#domains rows on the driver, loudly capped) —
-    // the same discipline as the tokenizer vocab rounds.
+    // All-integer semantics (floor division, sizes in chars). Scale
+    // shape: the corpus is scanned once for per-source totals
+    // (map-side-combined aggregate); the allocation itself runs in
+    // [[unimaxAlloc]] — a WATER-LEVEL restatement of the sequential
+    // ascending floor-share recurrence that distributes with no
+    // domain-count cap (binary search on the level, one exact-integer
+    // aggregate per step; CorpusAssemblySpec proves path equality on
+    // randomized inputs and a >1M-domain synthetic), with the
+    // sequential driver recurrence kept only as a small-census fast
+    // path. The oracle replays the level search in closed form.
     "llm_unimax_mix" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
         val counts = Tables.documents(s, d).groupBy($"source")
           .agg(sum($"n_chars").cast(LongType).as("nd"))
-          .orderBy($"nd", $"source")
-          .collect()
-        require(counts.length <= (1 << 20),
-          "llm_unimax_mix: over 1M domains — the driver-side allocator " +
-            "assumes a metadata-scale domain census")
-        var remaining = UniMaxBudget
-        val m = counts.length
-        val rows = counts.zipWithIndex.map { case (r, idx) =>
-          val nd = r.getLong(1)
-          val cap = UniMaxEpochs * nd
-          val share = remaining / (m - idx) // remaining domains incl. me
-          val a = math.min(cap, share)
-          remaining -= a
-          (r.getString(0), nd, a, a == cap)
-        }
-        rows.toSeq.toDF("source", "nd", "alloc", "capped")
-          .orderBy($"source")
+        unimaxAlloc(counts, UniMaxBudget, UniMaxEpochs).orderBy($"source")
       },
       oracle = Some(s"""
-        WITH RECURSIVE c AS (
+        WITH c AS (
           SELECT source, CAST(SUM(n_chars) AS BIGINT) AS nd
           FROM documents GROUP BY source),
         o AS (
-          SELECT source, nd,
-                 CAST(row_number() OVER (ORDER BY nd, source) AS BIGINT) AS i,
-                 (SELECT CAST(count(*) AS BIGINT) FROM c) AS m
+          SELECT source, nd, CAST($UniMaxEpochs * nd AS BIGINT) AS cap
           FROM c),
-        alloc AS (
-          SELECT CAST(0 AS BIGINT) AS i,
-                 CAST($UniMaxBudget AS BIGINT) AS remaining,
-                 CAST(NULL AS VARCHAR) AS source,
-                 CAST(NULL AS BIGINT) AS nd, CAST(NULL AS BIGINT) AS a
-          UNION ALL
-          SELECT o.i,
-                 alloc.remaining
-                   - least($UniMaxEpochs * o.nd,
-                           alloc.remaining // (o.m - o.i + 1)),
-                 o.source, o.nd,
-                 least($UniMaxEpochs * o.nd,
-                       alloc.remaining // (o.m - o.i + 1))
-          FROM alloc JOIN o ON o.i = alloc.i + 1)
-        SELECT source, nd, a AS alloc, a = $UniMaxEpochs * nd AS capped
-        FROM alloc WHERE i >= 1
+        r AS (
+          SELECT source, nd, cap,
+                 CAST(row_number() OVER (ORDER BY nd, source) AS BIGINT) AS i,
+                 CAST(SUM(cap) OVER (ORDER BY nd, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS scap,
+                 CAST(COALESCE(LAG(cap) OVER (ORDER BY nd, source), 0)
+                   AS BIGINT) AS prev_cap,
+                 (SELECT CAST(count(*) AS BIGINT) FROM o) AS m
+          FROM o),
+        lev AS (
+          SELECT CASE
+            WHEN (SELECT CAST(SUM(cap) AS BIGINT) FROM o) <= $UniMaxBudget
+              THEN (SELECT CAST(MAX(cap) AS BIGINT) FROM o)
+            ELSE (SELECT CAST(MAX(least(cap - 1,
+                     (CAST($UniMaxBudget AS BIGINT) - (scap - cap))
+                       // (m - i + 1))) AS BIGINT)
+                  FROM r
+                  WHERE least(cap - 1,
+                     (CAST($UniMaxBudget AS BIGINT) - (scap - cap))
+                       // (m - i + 1)) >= prev_cap)
+            END AS lvl),
+        fin AS (
+          SELECT r.source, r.nd, r.cap, l.lvl,
+                 CASE WHEN r.cap > l.lvl THEN
+                   CAST(row_number() OVER (
+                     ORDER BY (r.cap > l.lvl) DESC, r.nd DESC, r.source DESC)
+                     AS BIGINT) END AS urk
+          FROM r CROSS JOIN lev l),
+        rem AS (
+          SELECT CAST($UniMaxBudget AS BIGINT)
+                 - (SELECT CAST(SUM(least(cap, lvl)) AS BIGINT) FROM fin)
+                 AS rr)
+        SELECT source, nd,
+               CAST(least(cap, lvl)
+                 + CASE WHEN urk IS NOT NULL AND urk <= (SELECT rr FROM rem)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+               (least(cap, lvl)
+                 + CASE WHEN urk IS NOT NULL AND urk <= (SELECT rr FROM rem)
+                        THEN 1 ELSE 0 END) = cap AS capped
+        FROM fin
         ORDER BY source"""),
       headline = false),
 
@@ -1911,6 +1922,90 @@ object CorpusAssembly extends QueryPack {
                                  ' ' || b.u || b.v || ' ') AS seq
           FROM s${i - 1}, b$i b)"""
   }.mkString(",")
+
+  /** The UniMax allocator behind `llm_unimax_mix`, over any
+    * (source: String, nd: Long) census — epoch-capped equal-share
+    * budget allocation (Chung et al. 2023), EXACT integer semantics.
+    *
+    * The defining recurrence processes domains ascending by
+    * (nd, source): share = remaining // domains_left,
+    * a = min(E·nd, share), remaining -= a. Restated as a WATER LEVEL
+    * it distributes: with caps c_i = E·nd_i, let L = max level with
+    * Σ min(c_i, L) ≤ B (all-capped ⇒ L = max cap), spend
+    * min(c_i, L) per domain, and hand the leftover R = B − Σ
+    * min(c_i, L) as +1 to the R uncapped domains LARGEST in
+    * (nd, source) order — exactly where the recurrence's
+    * non-decreasing floor shares deposit their remainders
+    * (CorpusAssemblySpec proves path equality on randomized censuses
+    * and a >1M-domain synthetic; R < #uncapped by maximality of L).
+    *
+    * Scale shape: the sequential recurrence stays as the fast path up
+    * to `seqPathMax` domains (a census that size is driver-safe
+    * metadata); past it the level is binary-searched with ONE
+    * map-side-combined `Σ min(cap, L)` aggregate per step
+    * (≤ log₂(max cap) steps) over a pinned census, and the remainder
+    * ranks ride [[Relational.globalRank]] — no driver-side compute
+    * grows with the domain count, no cap. `probe` observes which path
+    * ran (spec gate). */
+  private[operators] def unimaxAlloc(
+      counts: DataFrame, budget: Long, epochs: Long,
+      seqPathMax: Long = 1L << 16,
+      probe: String => Unit = _ => ()): DataFrame = {
+    require(budget >= 0L, s"unimaxAlloc: negative budget $budget")
+    require(epochs >= 0L, s"unimaxAlloc: negative epochs $epochs")
+    val s = counts.sparkSession
+    import s.implicits._
+    val caps = counts
+      .select(col("source"), col("nd").cast(LongType).as("nd"),
+        (col("nd") * epochs).cast(LongType).as("cap"))
+      .localCheckpoint(true) // pins the census for the search passes
+    val m = caps.count()
+    if (m <= seqPathMax) {
+      probe("sequential")
+      val rows = caps.orderBy($"nd", $"source").collect()
+      var remaining = budget
+      val out = rows.zipWithIndex.map { case (r, idx) =>
+        val share = remaining / (rows.length - idx) // domains left incl. me
+        val a = math.min(r.getLong(2), share)
+        remaining -= a
+        (r.getString(0), r.getLong(1), a, a == r.getLong(2))
+      }
+      out.toSeq.toDF("source", "nd", "alloc", "capped")
+    } else {
+      probe("distributed")
+      val ext = caps.agg(max($"cap").as("mx"),
+        sum($"cap").cast(LongType).as("tot")).collect()(0)
+      val (maxCap, total) = (ext.getLong(0), ext.getLong(1))
+      def spent(l: Long): Long =
+        caps.agg(sum(least($"cap", lit(l))).cast(LongType).as("sp"))
+          .collect()(0).getLong(0)
+      val level =
+        if (total <= budget) maxCap
+        else {
+          var lo = 0L // spent(0) = 0 ≤ B
+          var hi = maxCap // spent(maxCap) = total > B
+          while (hi - lo > 1L) {
+            val mid = lo + (hi - lo) / 2L
+            if (spent(mid) <= budget) lo = mid else hi = mid
+          }
+          lo
+        }
+      val leftover =
+        if (total <= budget) 0L // uncapped set empty; surplus unspendable
+        else budget - spent(level)
+      // uncapped ⇔ cap > level ⇔ nd past the level cut: descending
+      // (nd, source) puts exactly the uncapped at ranks 0..u−1, so the
+      // first `leftover` ranks take the +1 — no second pass, no join.
+      Relational.globalRank(s, caps, Seq($"nd".desc, $"source".desc))
+        .select($"source", $"nd",
+          (least($"cap", lit(level)) +
+            when($"cap" > level && $"rk" < leftover, 1L).otherwise(0L))
+            .as("alloc"),
+          $"cap")
+        .withColumn("capped", $"alloc" === $"cap")
+        .drop("cap")
+    }
+  }
 
   /** The curation ledger behind `llm_curation_pipeline`, over any
     * (doc_id, text, lang) frame — exposed for CorpusAssemblySpec's

@@ -1086,7 +1086,11 @@ object TextAnalysis extends QueryPack {
     // (Gallant 1990: keep the best-scoring epoch, exact
     // (n_correct, −epoch) argmax) is the model a pipeline ships. The
     // oracle replays the full trajectory with chained scalar
-    // subqueries.
+    // subqueries. ORACLE SCOPE: valid on non-empty fixtures only —
+    // on an empty corpus the Spark side still emits 3 zero-weight
+    // epoch rows (EmptyInputSpec), while the oracle's u1..u3 GROUP BY
+    // chain collapses to zero rows; the driver's check always runs at
+    // sf0.01 so the constraint is never exercised there.
     "llm_perceptron_learn" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -1577,8 +1581,11 @@ object TextAnalysis extends QueryPack {
               val bytes = graft.functions.Varint.encode(gaps)
               val back = graft.functions.Varint.decode(bytes)
               val docsBack = back.scanLeft(0L)(_ + _).drop(1)
-              (term, df, bytes.length.toLong, ds.last,
-                docsBack == ds && bytes.length <= 3 * ds.length)
+              // roundtrip_ok asserts codec fidelity only; the byte SIZE
+              // is pinned by the oracle's bytes_len column (which prices
+              // up to 4-byte gaps), so no length bound belongs here — a
+              // >=2^21 first doc_id is a legal 4-byte gap, not a failure.
+              (term, df, bytes.length.toLong, ds.last, docsBack == ds)
             }
           }
           .toDF("term", "df", "bytes_len", "last_doc", "roundtrip_ok")

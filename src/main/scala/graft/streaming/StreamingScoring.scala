@@ -515,7 +515,7 @@ object StreamingScoring {
               Seq(sum(w * $"x").as(s"s$b"), sum(w).as(s"n$b"))
             }
             val batchSums = withH.groupBy($"key")
-              .agg(count(lit(1)).as("n"), (sum($"x").as("s1") +: repAggs): _*)
+              .agg(count(lit(1)).as("n"), (sum($"x").as("sx") +: repAggs): _*)
               .collect() // one row per key — coordinator-sized
               .map { r =>
                 r.getString(0) -> (0 until width).map(i =>

@@ -905,4 +905,81 @@ class CorpusAssemblySpec extends AnyFunSuite with Matchers {
     expected.head._4 shouldBe 1000000L
     expected.exists(_._4 < 1000000L) shouldBe true
   }
+
+  /** The DEFINING UniMax recurrence, replayed locally: ascending
+    * (nd, source), share = remaining // domains_left, a = min(cap,
+    * share). The distributed water-level path must match this exactly. */
+  private def seqUnimax(rows: Seq[(String, Long)], budget: Long,
+      epochs: Long): Map[String, (Long, Long, Boolean)] = {
+    val sorted = rows.sortBy { case (src, nd) => (nd, src) }
+    var remaining = budget
+    val m = sorted.length
+    sorted.zipWithIndex.map { case ((src, nd), idx) =>
+      val cap = epochs * nd
+      val share = remaining / (m - idx)
+      val a = math.min(cap, share)
+      remaining -= a
+      src -> ((nd, a, a == cap))
+    }.toMap
+  }
+
+  test("unimaxAlloc: distributed water-level path equals the sequential recurrence, crafted + randomized") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260816L)
+    val crafted: Seq[(Seq[Long], Long, Long)] = Seq(
+      (Seq(5L, 6L, 6L, 6L), 24L, 1L), // strict end-cap, 1 unspendable
+      (Seq(10L, 10L, 10L), 16L, 1L), // floor remainders → +1 suffix
+      (Seq(5L, 5L, 5L, 5L, 7L), 27L, 1L), // cap re-binds mid-suffix
+      (Seq(4L, 6L, 6L), 17L, 1L), // leftover with capped middle ties
+      (Seq(7L, 7L, 7L), 100L, 1L), // budget > total: all capped
+      (Seq(0L, 0L, 5L), 3L, 1L), // zero-size domains
+      (Seq(9L, 9L, 9L), 0L, 1L), // zero budget
+      (Seq(3L, 8L, 2L, 14L), 20L, 2L)) // epoch cap multiplier
+    val randomized = (1 to 10).map { _ =>
+      val m = 2 + rng.nextInt(12)
+      val nds = Seq.fill(m)(rng.nextInt(30).toLong)
+      val bound = math.max(1L, nds.sum * 2L + 1L)
+      (nds, rng.nextLong().abs % bound, 1L + rng.nextInt(3).toLong)
+    }
+    (crafted ++ randomized).foreach { case (nds, budget, epochs) =>
+      val named = nds.zipWithIndex.map { case (nd, i) => (f"s$i%03d", nd) }
+      val df = named.toDF("source", "nd")
+      var path = ""
+      val dist = CorpusAssembly
+        .unimaxAlloc(df, budget, epochs, seqPathMax = -1L,
+          probe = p => path = p)
+        .collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      withClue(s"census $nds budget $budget epochs $epochs: ") {
+        path shouldBe "distributed"
+        dist shouldBe seqUnimax(named, budget, epochs)
+      }
+    }
+  }
+
+  test("unimaxAlloc: a >1M-domain census allocates exactly — no driver cap") {
+    import spark.implicits._
+    val m = 1100000L
+    val counts = spark.range(m).select(
+      format_string("s%07d", $"id").as("source"),
+      (($"id" * 2654435761L) % 997L + 3L).as("nd"))
+    val budget = 300000000L // mid-range: total caps ≈ 550M
+    var path = ""
+    val got = CorpusAssembly
+      .unimaxAlloc(counts, budget, 1L, probe = p => path = p).collect()
+    path shouldBe "distributed" // default seqPathMax (64k) is far below m
+    got.length shouldBe m
+    val local = counts.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp = seqUnimax(local, budget, 1L)
+    got.foreach { r =>
+      val (nd, a, c) = exp(r.getString(0))
+      r.getLong(1) shouldBe nd
+      r.getLong(2) shouldBe a
+      r.getBoolean(3) shouldBe c
+    }
+    got.map(_.getLong(2)).sum should be <= budget
+    // the budget genuinely binds (some domain is budget-limited, not capped)
+    got.exists(r => !r.getBoolean(3)) shouldBe true
+  }
 }
