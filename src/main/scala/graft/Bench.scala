@@ -82,6 +82,24 @@ object Bench {
     "sim_ann_ivfpq" -> 1.4,
     "sim_topk_bruteforce" -> 0.5)
 
+  /** History-aware dead-zone closer (round-12 verdict #2): queries
+    * whose PREVIOUS round's driver bench record reported ABOVE their
+    * settled band top. Three consecutive rounds a different query
+    * landed in the 1.0-1.25x "dead zone" — above its quiet-machine
+    * band top but below the bandFactor solo trigger — where the
+    * record cannot distinguish ambient creep from a real ≤25%
+    * regression (r10 dedup_prefix_filter_join, r11 agg_f2_sketch,
+    * r12 llm_gopher_rules 3.67 vs 3.4). For a RECURRING crossing the
+    * ambiguity compounds, so these queries arm the solo probes at
+    * >1.0x band top: one round of elevation is a watch, two earns
+    * decorrelated evidence. Updated each round from the latest
+    * BENCH_r{N} record; the canonical human-audited copy lives in
+    * BASELINE.md ("Prior-round band crossings") and BenchBandsSpec
+    * holds the two identical. Bounded cost: only last round's
+    * crossers (normally 0-1 queries) can pay the extra passes. */
+  private[graft] val priorBandCrossings: Set[String] = Set(
+    "llm_gopher_rules")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -241,7 +259,12 @@ object Bench {
         val medBase = median(base)
         val spreadTrig =
           base.max / math.max(base.min, 1e-9) > spreadLimit
-        val bandTrig = bandTop.exists(top => medBase > bandFactor * top)
+        // A prior-round crosser arms at the band top itself (1.0x):
+        // the 1.0-1.25x dead zone gets solo evidence exactly where it
+        // recurred last round. Everyone else keeps the 1.25x margin.
+        val trigFactor =
+          if (priorBandCrossings.contains(name)) 1.0 else bandFactor
+        val bandTrig = bandTop.exists(top => medBase > trigFactor * top)
         val extra = if (bandTrig) math.max(extraReps, bandReps) else extraReps
         val willSolo = reps >= 2 && (spreadTrig || bandTrig)
         val soloWait = if (willSolo && bandTrig) waitForQuiet() else 0

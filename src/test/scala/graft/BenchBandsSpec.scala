@@ -36,4 +36,22 @@ class BenchBandsSpec extends AnyFunSuite with Matchers {
       "renamed query must drop its band row)") {
     Bench.settledBandTop.keySet -- SparkEntry.headlineQueries.toSet shouldBe empty
   }
+
+  private def parseBaselineCrossings(): Set[String] = {
+    val lines = scala.io.Source.fromFile("BASELINE.md")("UTF-8").getLines().toSeq
+    val start = lines.indexWhere(_.startsWith("## Prior-round band crossings"))
+    start should be >= 0
+    val row = """\|\s*([A-Za-z0-9_]+)\s*\|""".r
+    lines.drop(start + 1).takeWhile(!_.startsWith("## "))
+      .collect { case row(q) if q != "query" => q }.toSet
+  }
+
+  test("BASELINE.md's prior-crossings list and Bench.priorBandCrossings are identical") {
+    parseBaselineCrossings() shouldBe Bench.priorBandCrossings
+  }
+
+  test("every prior-crossing query has a settled band row (the 1.0x " +
+      "trigger is meaningless without a band top)") {
+    Bench.priorBandCrossings -- Bench.settledBandTop.keySet shouldBe empty
+  }
 }
