@@ -262,6 +262,39 @@ object Similarity extends QueryPack {
     graphBeamFrom(s, e, q, entries)
   }
 
+  /** FILTERED hierarchical graph search (`sim_ann_graph_filtered`):
+    * the beam walk of [[graphBeamSearchHier]] with a candidate
+    * predicate pushed INTO the walk — entry points are the
+    * [[GraphEntries]] smallest seed-hash PASSERS of the query's
+    * nearest cell, and every round's expansion filters neighbor ids
+    * against the predicate BEFORE any distance is computed, so the
+    * beam width is spent entirely on survivors (post-filtering the
+    * unfiltered walk keeps ~selectivity × beam rows — the under-return
+    * SimilaritySpec demonstrates). The graph and IVF coarse layer stay
+    * unfiltered shared index artifacts; only the query-time candidate
+    * universe shrinks, so candidate work scales with selectivity. */
+  private[operators] def graphBeamSearchFiltered(
+      s: SparkSession, e: DataFrame,
+      pred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val q = graphQueries(s, e)
+    val (assigned, cents) = ivfModel(s, e)
+    val wCell = Window.partitionBy($"query_id")
+      .orderBy($"dist".asc, $"centroid_id")
+    val qcell = q.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq($"qemb", $"cemb"))
+      .withColumn("r", row_number().over(wCell)).filter($"r" === 1)
+      .select($"query_id", $"centroid_id")
+    val wEnt = Window.partitionBy($"query_id").orderBy($"h", $"vec_id")
+    val entries = qcell
+      .join(assigned.filter(pred).select($"vec_id", $"centroid_id",
+        expr(seedHashSql).as("h")), Seq("centroid_id"))
+      .withColumn("rn", row_number().over(wEnt))
+      .filter($"rn" <= GraphEntries)
+      .select($"query_id", $"vec_id")
+    graphBeamFrom(s, e, q, entries, Some(pred))
+  }
+
   private def graphQueries(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     e.filter($"vec_id" < 5)
@@ -281,11 +314,20 @@ object Similarity extends QueryPack {
     * scored rows — never corpus-sized; each round's beam is
     * checkpointed so the iterative lineage stays flat. */
   private def graphBeamFrom(s: SparkSession, e: DataFrame,
-      q: DataFrame, entries: DataFrame): (DataFrame, DataFrame) = {
+      q: DataFrame, entries: DataFrame,
+      candPred: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val edges = graphEdges(s, e).localCheckpoint(true)
+    // With a predicate, the candidate UNIVERSE is the passers: a
+    // neighbor failing it is dropped by this join BEFORE any distance
+    // is computed, and the beam's width is spent on survivors only.
+    // The graph itself stays the full shared index artifact — edges
+    // are built once over everyone, the predicate is per-query.
+    val universe = candPred.map(e.filter).getOrElse(e)
+      .select($"vec_id", $"emb")
     def score(candIds: DataFrame): DataFrame =
-      candIds.join(e.select($"vec_id", $"emb"), Seq("vec_id"))
+      candIds.join(universe, Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
         .filter($"vec_id" =!= $"query_id")
         .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
@@ -298,9 +340,23 @@ object Similarity extends QueryPack {
       .localCheckpoint(true)
     var scanned = beam
     for (_ <- 1 to GraphRounds) {
-      val expand = beam.select($"query_id", $"vec_id")
+      val hop1 = beam.select($"query_id", $"vec_id")
         .join(broadcast(edges), $"vec_id" === $"u")
         .select($"query_id", $"v".as("vec_id"))
+      // Under a predicate the passer-induced subgraph loses most of
+      // its edges (effective degree ≈ deg × selectivity) and the
+      // one-hop walk stalls; expanding THROUGH non-passing neighbors
+      // to their neighbors (ACORN's two-hop discipline, Patel et al.
+      // 2024) restores ~deg² × selectivity reachable passers per
+      // round. The intermediate hop nodes are never scored — only id
+      // routing; the universe join still drops every non-passer
+      // before any distance. Cost stays queries × beam × M², corpus-
+      // size-independent.
+      val expand =
+        if (candPred.isEmpty) hop1
+        else hop1.unionByName(
+          hop1.join(broadcast(edges), $"vec_id" === $"u")
+            .select($"query_id", $"v".as("vec_id")))
       val candIds = beam.select($"query_id", $"vec_id")
         .unionByName(expand).distinct()
       val scored = score(candIds)
@@ -402,12 +458,21 @@ object Similarity extends QueryPack {
     * `onProbes` for the spec's pruning gate (null = no-op). */
   private[operators] def rangeSearch(
       model: (DataFrame, DataFrame), r2: Double,
-      onProbes: DataFrame => Unit = null): DataFrame = {
+      onProbes: DataFrame => Unit = null,
+      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (assigned, cents) = model
     val s = assigned.sparkSession
     import s.implicits._
     val r = math.sqrt(r2)
-    val radii = assigned.join(broadcast(cents), Seq("centroid_id"))
+    // With a predicate, the candidate universe is the PASSERS, and so
+    // are the per-cell radii: a tighter radius over passers only can
+    // prune cells whose passing members all sit near the centroid even
+    // when non-passing members sprawl — still zero recall risk, since
+    // every candidate the filtered answer may contain is priced into
+    // its cell's (filtered) radius. A cell with NO passers drops out
+    // of the radii inner join entirely. Queries stay unfiltered.
+    val cand = candPred.map(assigned.filter).getOrElse(assigned)
+    val radii = cand.join(broadcast(cents), Seq("centroid_id"))
       .groupBy($"centroid_id")
       .agg(max(sqrt(l2sq($"emb", $"cemb"))).as("radius"))
     val q = assigned.filter($"vec_id" < 5)
@@ -417,7 +482,7 @@ object Similarity extends QueryPack {
       .select($"query_id", $"qemb", $"centroid_id".as("pcell"))
       .localCheckpoint() // tiny; the probe gate and the scan both read
     if (onProbes != null) onProbes(kept.select($"query_id", $"pcell"))
-    broadcast(kept).join(assigned, $"pcell" === $"centroid_id")
+    broadcast(kept).join(cand, $"pcell" === $"centroid_id")
       .filter($"vec_id" =!= $"query_id")
       .withColumn("d2", round(l2sq($"qemb", $"emb"), 9))
       .filter($"d2" <= r2)
@@ -1380,13 +1445,30 @@ object Similarity extends QueryPack {
     * candidate pairs, the top-M neighbor graph, the entry points, and
     * every unrolled beam round — the whole navigable-graph mechanism
     * is hash-checked end to end, like the IVF Lloyd unroll. */
-  private def graphOracleSqlFor(entryCtes: String): String = {
+  /** The graph-walk oracle unroll, parameterized on the entry CTEs
+    * and the candidate UNIVERSE (`cu`): "e" for the unfiltered walks;
+    * a filtered CTE name (declared inside `entryCtes`) for
+    * `sim_ann_graph_filtered`, where every beam round scores only
+    * universe members — the SQL replay of the predicate-inside-the-
+    * walk discipline. */
+  private def graphOracleSqlFor(entryCtes: String,
+      cu: String = "e", twoHop: Boolean = false): String = {
     def cosSql(a: String, b: String) =
       s"""round(
               list_sum(list_transform(generate_series(1, $Dim),
                 i -> $a[i] * $b[i])) /
               (sqrt(list_sum(list_transform($a, x -> x*x))) *
                sqrt(list_sum(list_transform($b, x -> x*x)))), 9)"""
+    // The filtered walk routes THROUGH non-passing neighbors (two-hop
+    // expansion; the intermediate node is never scored — the cu join
+    // below drops non-passers before any cosine).
+    def hop2(p: Int): String =
+      if (!twoHop) ""
+      else s"""
+            UNION ALL
+            SELECT b.query_id, n2.v AS vec_id
+            FROM beam$p b JOIN nbr n ON n.u = b.vec_id
+            JOIN nbr n2 ON n2.u = n.v"""
     val rounds = (1 to GraphRounds).map { r =>
       val p = r - 1
       s""",
@@ -1395,7 +1477,7 @@ object Similarity extends QueryPack {
             SELECT query_id, vec_id FROM beam$p
             UNION ALL
             SELECT b.query_id, n.v AS vec_id
-            FROM beam$p b JOIN nbr n ON n.u = b.vec_id) t$r),
+            FROM beam$p b JOIN nbr n ON n.u = b.vec_id${hop2(p)}) t$r),
         beam$r AS (
           SELECT query_id, vec_id, cos_sim,
                  ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1404,7 +1486,7 @@ object Similarity extends QueryPack {
             SELECT c.query_id, c.vec_id,
                    ${cosSql("q.qemb", "e.emb")} AS cos_sim
             FROM cand$r c
-            JOIN e ON e.vec_id = c.vec_id
+            JOIN $cu e ON e.vec_id = c.vec_id
             JOIN q ON q.query_id = c.query_id
             WHERE c.vec_id <> c.query_id) s$r
           QUALIFY rn <= $GraphBeam)"""
@@ -1463,7 +1545,7 @@ object Similarity extends QueryPack {
                    ${cosSql("q.qemb", "e.emb")} AS cos_sim
             FROM ent
             JOIN q ON q.query_id = ent.query_id
-            JOIN e ON e.vec_id = ent.vec_id
+            JOIN $cu e ON e.vec_id = ent.vec_id
             WHERE ent.vec_id <> ent.query_id) s0
           QUALIFY rn <= $GraphBeam)$rounds
         SELECT query_id, CAST(rn AS BIGINT) AS rnk, vec_id, cos_sim
@@ -1504,6 +1586,36 @@ object Similarity extends QueryPack {
                 ORDER BY $seedHashSql, f.vec_id) AS rn
             FROM qc JOIN fin f ON f.centroid_id = qc.centroid_id) y
           WHERE rn <= $GraphEntries)""")
+
+  /** Filtered walk oracle: hierarchical entries restricted to
+    * predicate PASSERS of the query's nearest cell, and candidate
+    * universe `eu` = passers — every beam round's scoring join runs
+    * against `eu`, so a non-passing neighbor is never scored, exactly
+    * the Spark walk's discipline. */
+  private lazy val graphFilteredOracleSql: String = graphOracleSqlFor(s"""
+        $ivfBuildChain,
+        qc AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS pr
+            FROM q, c3 c) x
+          WHERE pr = 1),
+        eu AS (
+          SELECT vec_id, emb FROM e
+          WHERE vec_id IN
+            (SELECT vec_id FROM embeddings WHERE label % 7 = 3)),
+        ent AS (
+          SELECT query_id, vec_id FROM (
+            SELECT qc.query_id, f.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                ORDER BY $seedHashSql, f.vec_id) AS rn
+            FROM qc JOIN fin f ON f.centroid_id = qc.centroid_id
+            WHERE f.vec_id IN
+              (SELECT vec_id FROM embeddings WHERE label % 7 = 3)) y
+          WHERE rn <= $GraphEntries)""", cu = "eu", twoHop = true)
 
   private lazy val lshOracleSql: String = {
     val planeRows = planeRowsSql
@@ -2008,6 +2120,31 @@ object Similarity extends QueryPack {
       // most expensive ANN plan in the pack and was unpriced
       headline = true),
 
+    // ── FILTERED graph ANN: the predicate inside the beam walk ──
+    // The graph-walk sibling of sim_ann_filtered (round-12 verdict
+    // #3): "nearest passer" ≠ "nearest, then filter" — at ~14%
+    // selectivity post-filtering the unfiltered walk's beam keeps
+    // under one row per query (SimilaritySpec demonstrates the
+    // under-return). Here the predicate rides INSIDE the walk: entry
+    // points are the GraphEntries smallest seed-hash PASSERS of the
+    // query's nearest IVF cell, and each round's neighbor expansion
+    // joins the passer universe BEFORE any cosine is computed, so the
+    // full beam width is spent on survivors. The graph and the IVF
+    // coarse layer remain unfiltered shared index artifacts — the
+    // filter is query-time only, so one index serves every predicate
+    // and candidate work SCALES DOWN with selectivity. FULLY
+    // value-checked: the oracle composes the graph unroll, the IVF
+    // unroll, the passer-restricted entries, and every beam round
+    // over the passer universe. SimilaritySpec holds the walk to a
+    // recall floor vs FILTERED brute force at a selectivity where
+    // post-filtering provably under-returns.
+    "sim_ann_graph_filtered" -> QueryDef(
+      fn = (s, d) => graphBeamSearchFiltered(s, embCheckpointed(s, d),
+          col("label") % 7 === 3)._1
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk")),
+      oracle = Some(graphFilteredOracleSql)),
+
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
     // The operation a real pipeline runs before trusting an ANN index:
     // measure each approximate path's top-k against the exact top-k,
@@ -2245,6 +2382,45 @@ object Similarity extends QueryPack {
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id, $d2 AS d2
+          FROM q, e WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, d2 FROM scored
+        WHERE d2 <= 1.5
+        ORDER BY query_id, vec_id"""
+      }),
+
+    // ── FILTERED exact radius search: predicate inside the cell scan ──
+    // The exact-answer sibling of sim_ann_filtered (round-12 verdict
+    // #3): "everything within r that passes the predicate", with BOTH
+    // properties intact — pruning is metric (triangle inequality),
+    // filtering is a scan predicate, and they compose without recall
+    // risk because the per-cell radii are computed over the PASSERS:
+    // any passer the answer may contain is priced into its cell's
+    // filtered radius, while a cell whose passers all huddle near the
+    // centroid (or that has none — it drops from the radii join
+    // entirely) prunes even when its non-passing members sprawl, so
+    // the filtered scan probes a SUBSET of the unfiltered scan's
+    // cells (SimilaritySpec gates this on the clustered fixture).
+    // The oracle is mechanism-independent FILTERED brute force — the
+    // hash proves the pruned, predicate-pushed scan returns exactly
+    // the unpruned filtered answer.
+    "sim_range_search_filtered" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        rangeSearch(ivfModel(s, embCheckpointed(s, d)), r2 = 1.5,
+          candPred = Some($"label" % 7 === 3))
+      },
+      oracle = Some {
+        val d2 = """round(list_sum(list_transform(generate_series(1, len(q.qe)),
+                i -> (q.qe[i] - e.emb[i]) * (q.qe[i] - e.emb[i]))), 9)"""
+        s"""
+        WITH e0 AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS qe FROM e0 WHERE vec_id < 5),
+        e AS (SELECT vec_id, emb FROM e0 WHERE label % 7 = 3),
         scored AS (
           SELECT q.query_id, e.vec_id, $d2 AS d2
           FROM q, e WHERE e.vec_id <> q.query_id)

@@ -707,4 +707,110 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     cellPairs should be < 25
     cellPairs should be >= 1
   }
+
+  test("filtered graph ANN: predicate inside the beam walk clears its " +
+      "recall floor vs FILTERED brute force, where post-filtering the " +
+      "unfiltered walk provably under-returns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: brute-force top-5 restricted to the predicate
+    // (label % 7 = 3, ~14% selective), computed independently
+    val e = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"),
+        $"label")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+    val dot = expr("aggregate(zip_with(qemb, emb, (a, b) -> a * b), " +
+      "0D, (acc, x) -> acc + x)")
+    val nrm = (c: String) => expr(s"sqrt(aggregate($c, 0D, " +
+      s"(acc, x) -> acc + x * x))")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val truth = q.crossJoin(e.filter($"label" % 7 === 3))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot / (nrm("qemb") * nrm("emb")))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the naive baseline: the UNFILTERED hier walk's top-5, then
+    // post-filter — at ~14% selectivity this keeps under one row per
+    // query, the under-return the in-walk predicate exists to fix
+    val postFiltered = graft.SparkEntry.queries("sim_ann_graph_hier")(spark, sf)
+      .select($"query_id", $"vec_id")
+      .join(e.filter($"label" % 7 === 3).select($"vec_id"), Seq("vec_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val got = graft.SparkEntry.queries("sim_ann_graph_filtered")(spark, sf)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = truth.count(got.contains).toDouble / truth.size
+    info(s"filtered-walk recall@5 = $rec (${got.size} returned); " +
+      s"post-filter keeps ${postFiltered.size} of ${truth.size} truth rows")
+    withClue(s"recall=$rec: ") { rec should be >= 0.50 }
+    // the post-filter baseline returns STRICTLY fewer rows than the
+    // filtered walk — the under-return the operator exists to fix
+    postFiltered.size should be < got.size
+    got.size should be > truth.size / 2
+  }
+
+  test("filtered range search on a clustered fixture: equals filtered " +
+      "brute force while passer-only radii prune MORE cells than the " +
+      "unfiltered scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 64
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Double =
+      (mix(seed) >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    val n = 2000
+    val vecs: Map[Long, Array[Double]] = (0L until n.toLong).map { id =>
+      val g = (id % 8).toInt
+      id -> Array.tabulate(dim)(i =>
+        unit(g * 1000L + i) + 0.15 * unit(id * 100000L + i))
+    }.toMap
+    val e = vecs.toSeq.sortBy(_._1)
+      .map { case (id, a) => (id, (id % 8).toString, a.toSeq) }
+      .toDF("vec_id", "label", "emb")
+      .localCheckpoint(true)
+    val r2 = 2.0
+    // predicate: only cluster "2" passes — 7 of 8 cells have NO
+    // passers, so their radii rows vanish and queries outside cluster
+    // 2 probe NOTHING (vs their own cell in the unfiltered scan)
+    val pred = col("label") === "2"
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(v => v != q && v % 8 == 2).toSeq
+        .map(v => (q, v, d2(vecs(q), vecs(v))))
+        .filter(_._3 <= r2)
+    }.sortBy(t => (t._1, t._2))
+    expect should not be empty // query 2's same-cluster passers
+    val model = Similarity.ivfModel(spark, e)
+    @volatile var probesF: Array[(Long, Long)] = Array.empty
+    val got = Similarity.rangeSearch(model, r2,
+        onProbes = df => probesF = df.collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong)),
+        candPred = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    got shouldBe expect
+    @volatile var probesU: Array[(Long, Long)] = Array.empty
+    Similarity.rangeSearch(model, r2,
+      onProbes = df => probesU = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong))).count()
+    // the filtered probe set is a strict subset of the unfiltered one:
+    // filtering never ADDS probes, and the empty-passer cells' probes
+    // disappear (each query keeps its own cell unfiltered, so ≥ 5
+    // probes there vs ~1 here)
+    probesF.toSet.subsetOf(probesU.toSet) shouldBe true
+    probesF.length should be < probesU.length
+    info(s"probes: filtered ${probesF.length} vs unfiltered ${probesU.length}")
+  }
 }
