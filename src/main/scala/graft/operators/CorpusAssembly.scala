@@ -398,15 +398,17 @@ object CorpusAssembly extends QueryPack {
           .select(explode($"tokens").as("w"))
           .agg(count(lit(1)).as("n_tokens"),
             countDistinct($"w").as("vocab_size"))
-        // 2×-scale exact median of n_chars off the frequency table
+        // 2×-scale exact median of n_chars off the frequency table;
+        // the cumulative count rides Relational.globalPrefixSum — the
+        // distinct LENGTH domain spans up to the max doc length at
+        // 100 TB, too wide for a single-task `Window.orderBy`
+        // (round-12 verdict #5); n_chars is unique in vc
         val vc = docs.groupBy($"n_chars").agg(count(lit(1)).as("c"))
-        val w = Window.orderBy($"n_chars")
-        val med = vc.withColumn("cum", sum($"c").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val med = Relational.globalPrefixSum(s, vc, Seq($"n_chars"), "c")
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
           .agg(
-            (min(when($"cum" >= expr("(n + 1) div 2"), $"n_chars"))
-              + min(when($"cum" >= expr("n div 2 + 1"), $"n_chars")))
+            (min(when($"psum" >= expr("(n + 1) div 2"), $"n_chars"))
+              + min(when($"psum" >= expr("n div 2 + 1"), $"n_chars")))
               .as("median_chars_x2"))
         a1.crossJoin(broadcast(a2)).crossJoin(broadcast(med))
           .select($"n_docs", $"n_tokens", $"n_langs", $"n_sources",

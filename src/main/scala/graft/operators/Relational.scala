@@ -4872,14 +4872,16 @@ object Relational extends QueryPack {
           .groupBy($"v").agg(count(lit(1)).as("c"))
           .localCheckpoint(true) // quartiles + the outlier count
         val n = vc.agg(sum($"c").as("n"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
-          .rowsBetween(org.apache.spark.sql.expressions
-            .Window.unboundedPreceding, 0)
-        val qs = vc.withColumn("cum", sum($"c").over(w))
+        // cumulative counts ride the two-level distributed scan — the
+        // distinct VALUE domain reaches millions of centi-values at
+        // 100 TB, too wide for a single-task `Window.orderBy(v)`
+        // (round-12 verdict #5); v is unique in vc, so the sort is a
+        // total order
+        val qs = globalPrefixSum(s, vc, Seq($"v"), "c")
           .crossJoin(broadcast(n))
           .agg(
-            min(when($"cum" * 4 >= $"n", $"v")).as("q1"),
-            min(when($"cum" * 4 >= $"n" * 3, $"v")).as("q3"))
+            min(when($"psum" * 4 >= $"n", $"v")).as("q1"),
+            min(when($"psum" * 4 >= $"n" * 3, $"v")).as("q3"))
         vc.crossJoin(broadcast(qs))
           .agg(sum($"c").as("n_events"),
             max($"q1").as("q1_cents"), max($"q3").as("q3_cents"),

@@ -680,4 +680,20 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
 
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
+
+  test("value-domain order statistics never funnel through a single-task " +
+      "window: tukey fences and the dataset-card median ride the " +
+      "distributed prefix sum") {
+    // the distinct value/length domains reach millions of rows at
+    // 100 TB — a Window.orderBy(v) without partitioning would funnel
+    // the whole frequency table through ONE task's Window operator
+    // (round-12 verdict #5); the globalPrefixSum path shows no Window
+    // at all (its range sort happens inside the checkpoint job). The
+    // final SCALAR aggregate's Exchange SinglePartition is fine: only
+    // map-side partials cross it, one row per partition.
+    for (q <- Seq("q_tukey_outliers", "llm_dataset_card")) {
+      val p = plan(q)
+      withClue(q) { p should not include "Window" }
+    }
+  }
 }
