@@ -368,6 +368,127 @@ object IngestAnalog extends QueryPack {
                CAST(cum_b AS BIGINT) AS cum_b,
                CAST((cum_b - size_b) // 10000000 AS BIGINT) AS bin
         FROM c
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ── compaction EXECUTED: the rewrite job + its census ──
+    // ref_compaction_bins ASSIGNS bins; this runs the rewrite
+    // (round-12 verdict #7): every "small file" (user_id × event_type
+    // group)'s rows are routed to their bin and REWRITTEN so each bin
+    // lands as exactly ONE parquet file ([[compactionApplied]]:
+    // repartition on bin keeps a bin's rows in one task, partitionBy
+    // splits that task's output per bin — one data file per bin, and
+    // parquet is offset-splittable so downstream scans re-parallelize
+    // inside each file, unlike the tar shards). The rewrite is a
+    // persisted artifact (the pqPersistedModel staging-rename
+    // discipline, keyed by the events-table identity) — compaction IS
+    // a nightly job; the query reads the artifact back and emits the
+    // per-bin census: physical file count from the FS listing (the
+    // contract: 1), group/row/byte totals from the rewritten data.
+    // The oracle re-derives every census column from the ORIGINAL
+    // events table — groups, rows, and byte sums must survive the
+    // route + rewrite + read-back exactly — and prices n_files at the
+    // contractual 1. IngestAnalogSpec proves the payoff: file count
+    // collapses from one-per-group to one-per-bin, full bins land
+    // inside the [target, target + max group) logical band, and the
+    // physical data files are within a small spread — the amortization
+    // story of q_zorder_layout applied to the small-files problem the
+    // monitor's own output creates.
+    "ref_compaction_apply" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val outDir = compactionApplied(s, d)
+        val written = s.read.parquet(outDir)
+        val agg = written.groupBy($"bin")
+          .agg(countDistinct($"user_id", $"event_type").as("n_groups"),
+            count(lit(1)).as("n_rows"),
+            sum($"cents").as("bin_bytes"))
+        // physical files per bin from the FS listing — driver-side but
+        // bin-count-bounded (the listing IS the compaction's output
+        // metadata, never data-sized)
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nf = fs.listStatus(outPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("bin="))
+          .map { st =>
+            val b = st.getPath.getName.stripPrefix("bin=").toLong
+            val files = fs.listStatus(st.getPath)
+              .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            (b, files.toLong)
+          }
+        agg.join(broadcast(nf.toDF("bin", "n_files")), Seq("bin"))
+          .select($"bin".cast(LongType).as("bin"), $"n_files",
+            $"n_groups", $"n_rows", $"bin_bytes")
+          .orderBy($"bin")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT user_id, event_type,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS size_b,
+                 COUNT(*) AS n_rows
+          FROM events GROUP BY 1, 2),
+        c AS (
+          SELECT user_id, event_type, size_b, n_rows,
+                 SUM(size_b) OVER (ORDER BY user_id, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+          FROM f)
+        SELECT CAST((cum_b - size_b) // 10000000 AS BIGINT) AS bin,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(size_b) AS BIGINT) AS bin_bytes
+        FROM c
+        GROUP BY 1
+        ORDER BY bin"""))
   )
+
+  /** The executed compaction behind `ref_compaction_apply`: routes
+    * every event row to its group's bin (the `ref_compaction_bins`
+    * plan, broadcast — the plan is file-census metadata, never
+    * data-sized) and rewrites the rows as ONE offset-splittable
+    * parquet file per bin. `repartition(bin)` puts each bin's rows in
+    * exactly one task (AQE may merge partitions but never splits a
+    * user repartition key), and `partitionBy(bin)` fans that task's
+    * output into per-bin directories — so each bin directory holds
+    * exactly one data file. Persisted once per events-table identity
+    * under the shared artifacts root ([[Similarity.installArtifact]]
+    * staging-rename; the parquet writer's own _SUCCESS is the
+    * completeness marker), because compaction is a nightly job whose
+    * output many scans reuse. */
+  private[graft] def compactionApplied(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import s.implicits._
+    val srcPath = new org.apache.hadoop.fs.Path(d, "events.parquet")
+    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcPath)
+    val key = s"fmt1|binsize10000000|$d|" +
+      s"${src.getModificationTime}|${src.getLen}"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_artifacts/compact_$digest"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def complete: Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    if (!complete) {
+      Similarity.installArtifact(fs, dirPath, "compaction")(complete) {
+        stage =>
+          val ev = Tables.events(s, d).select($"user_id", $"event_type",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          val plan = Relational.globalPrefixSum(s,
+              ev.groupBy($"user_id", $"event_type")
+                .agg(sum($"cents").as("size_b")),
+              Seq($"user_id", $"event_type"), "size_b")
+            .select($"user_id", $"event_type",
+              expr("(psum - size_b) div 10000000").as("bin"))
+          ev.join(broadcast(plan), Seq("user_id", "event_type"))
+            .repartition(col("bin"))
+            .write.partitionBy("bin").mode("overwrite").parquet(stage)
+      }
+    }
+    dir
+  }
 }
