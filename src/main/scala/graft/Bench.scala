@@ -66,7 +66,7 @@ object Bench {
     "llm_gopher_rules" -> 3.4,
     "llm_heavy_hitters" -> 1.1,
     "llm_repeated_spans" -> 1.5,
-    "llm_suffix_dups" -> 22.0,
+    "llm_suffix_dups" -> 16.0,
     "llm_textrank" -> 2.2,
     "llm_token_count" -> 0.3,
     "llm_winnowing" -> 1.4,

@@ -77,12 +77,71 @@ object Relational extends QueryPack {
     * blocking, windowed merges) rather than bucket membership.
     * `sortCols` must be a total order (unique tiebreak) or ranks of
     * tied rows are nondeterministic. */
+  /** Distributed GLOBAL 0-based DENSE rank by `keyColNames`: input
+    * rows plus an `rk` column equal to
+    * `dense_rank() OVER (ORDER BY keys) - 1` — rows with EQUAL keys
+    * get EQUAL ranks, and ranks are dense over the distinct-key set.
+    * Same zero-post-sort-shuffle mechanism as [[globalRank]] (range
+    * repartition → per-partition distinct-key counts to the driver →
+    * broadcast offsets → pure projection), with the boundary soundness
+    * coming from the range partitioner itself: equal keys always land
+    * in ONE partition, so a local ordered scan that bumps the index on
+    * key change plus a per-partition offset IS the global dense rank.
+    *
+    * This replaces the distinct() → rank → join-back triple the
+    * suffix-array doubling rounds used to run: one range sort of the
+    * full table instead of a distinct shuffle, a second sort of the
+    * distinct keys, and an n-row join back — at high round counts the
+    * removed exchanges (and their AQE stage-jobs) dominate the
+    * operator's wall clock on anything but huge inputs. */
+  private[operators] def globalDenseRank(
+      s: SparkSession, df: DataFrame, keyColNames: Seq[String],
+      partsIn: Int = 0, onDistinct: Long => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    require(!df.columns.contains("rk"),
+      "globalDenseRank: input already has an 'rk' column — rename it first")
+    val parts =
+      if (partsIn > 0) partsIn else math.max(1, s.sparkContext.defaultParallelism)
+    val keys = keyColNames.map(col)
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__gd_pid", spark_partition_id())
+    val kIdx = keyColNames.map(sorted.schema.fieldIndex)
+    val outSchema = sorted.schema.add("__gd_local", LongType)
+    val withLocal = sorted.mapPartitions { it =>
+      var prev: Seq[Any] = null
+      var idx = -1L
+      it.map { r =>
+        val k = kIdx.map(r.get(_))
+        if (prev == null || k != prev) { idx += 1L; prev = k }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .localCheckpoint(true) // counts job + the output projection
+    val counts = withLocal.groupBy($"__gd_pid")
+      .agg(max($"__gd_local").as("mx"))
+      .orderBy($"__gd_pid").collect()
+    // free observability: the distinct-key total falls out of the
+    // offsets the mechanism collects anyway (suffix doubling uses it
+    // to detect a permutation and stop — zero extra jobs)
+    onDistinct(counts.map(_.getLong(1) + 1L).sum)
+    val offsets = counts.map(_.getLong(1) + 1L).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+      .toDF("__gd_pid", "__gd_off")
+    withLocal.join(broadcast(offsetDf), Seq("__gd_pid"))
+      .withColumn("rk", $"__gd_local" + $"__gd_off")
+      .drop("__gd_pid", "__gd_local", "__gd_off")
+  }
+
   private[operators] def globalRank(
-      s: SparkSession, df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+      s: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      partsIn: Int = 0, onCount: Long => Unit = _ => ()): DataFrame = {
     import s.implicits._
     require(!df.columns.contains("rk"),
       "globalRank: input already has an 'rk' column — rename it first")
-    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val parts =
+      if (partsIn > 0) partsIn else math.max(1, s.sparkContext.defaultParallelism)
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -95,6 +154,7 @@ object Relational extends QueryPack {
     require(counts.forall(_.getLong(1) < (1L << 33)),
       s"globalRank: a range partition exceeds 2^33 rows and would wrap " +
         s"the record index — raise the partition count above $parts")
+    onCount(counts.map(_.getLong(1)).sum) // free: the collect ran anyway
     val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
     val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
       .toDF("__gr_pid", "__gr_off")
@@ -863,11 +923,12 @@ object Relational extends QueryPack {
     * over a full group is order-invariant for monotone runs). */
   private[operators] def globalPrefixSum(
       s: SparkSession, df: DataFrame, sortCols: Seq[Column],
-      valueCol: String): DataFrame = {
+      valueCol: String, partsIn: Int = 0): DataFrame = {
     import s.implicits._
     require(!df.columns.contains("psum"),
       "globalPrefixSum: input already has a 'psum' column — rename it")
-    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val parts =
+      if (partsIn > 0) partsIn else math.max(1, s.sparkContext.defaultParallelism)
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

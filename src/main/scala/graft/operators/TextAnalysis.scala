@@ -467,10 +467,24 @@ object TextAnalysis extends QueryPack {
       .transform(cut) // offsets, positions, sentinels all read it
     val lens = toks.select($"doc_id",
       (size($"tokens") + 1).cast(LongType).as("dlen")) // +1: the sentinel
-    val offs = Relational.globalPrefixSum(s, lens, Seq($"doc_id"), "dlen")
+    // Corpus extents FIRST: they size every range layout below. The
+    // round count is known upfront (per-doc sentinels, see below), and
+    // partition counts are sized to the data (~64k keys/partition,
+    // capped at the cluster parallelism) — a 275k-token corpus on 32
+    // cores otherwise pays 32 near-empty sort tasks per round, and the
+    // fixed per-task/per-stage overhead, not the data, dominates.
+    val mm = lens.agg(max($"dlen"), sum($"dlen"), count(lit(1))).head
+    if (mm.isNullAt(0)) return None // empty corpus: nothing to rank
+    val (maxLen, nTotal, nDocs) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    def sized(n: Long): Int = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, n / 65536L + 1L)).toInt
+    val offs = Relational.globalPrefixSum(s, lens, Seq($"doc_id"), "dlen",
+        sized(nDocs))
       .withColumn("off", $"psum" - $"dlen" + lit(gidBase))
       .select($"doc_id", $"off")
-    val docMeta = Relational.globalRank(s, offs, Seq($"doc_id"))
+    val docMeta = Relational.globalRank(s, offs, Seq($"doc_id"),
+        sized(nDocs))
       .withColumnRenamed("rk", "docrk")
     val withOff = toks.join(docMeta, Seq("doc_id"))
       .transform(cut) // real positions + sentinels both read it
@@ -480,11 +494,12 @@ object TextAnalysis extends QueryPack {
       .select($"doc_id", $"off", posexplode($"tokens").as(Seq("p", "term")))
       .select($"doc_id", ($"off" + $"p").as("gid"), $"term")
       .transform(cut) // term ranking + r0 + the final mapping
+    var vocab = 0L // filled by the rank's own counts collect
     val termRanks = Relational.globalRank(s,
-        real.select($"term").distinct(), Seq($"term"))
+        real.select($"term").distinct(), Seq($"term"), sized(nTotal),
+        onCount = vocab = _)
       .withColumnRenamed("rk", "trk")
       .transform(cut) // r0 + the append's level-0 floor both read
-    val vocab = termRanks.count()
     if (vocab == 0L) return None // empty corpus: nothing to rank
     val r0 = real.join(termRanks, Seq("term")).select($"gid", $"trk".as("rk"))
       .unionByName(withOff.select(
@@ -494,11 +509,8 @@ object TextAnalysis extends QueryPack {
     // The round count is known UPFRONT: per-doc unique sentinels make
     // every suffix distinct once the window covers the longest doc
     // (incl. its sentinel), so rounds = ceil(log2(max dlen)) — one
-    // O(1)-row aggregate now instead of a convergence probe per round
-    // (each probe was a full extra job on the rank table).
-    val mm = lens.agg(max($"dlen"), sum($"dlen"), count(lit(1))).head
-    val (maxLen, nTotal, nDocs) =
-      (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    // O(1)-row aggregate (already taken above) instead of a
+    // convergence probe per round.
     // Alternate-round COMPOSITE re-rank: when the previous round's
     // ranks are dense (bounded by nTotal), the pair (r1, r2) maps to
     // the single Long r1·(n+2) + (r2+1) — order-preserving, equal
@@ -514,8 +526,9 @@ object TextAnalysis extends QueryPack {
     var cur = r0
     var span = 1L
     var composed = false
+    var total = false // ranks are a permutation: the order is decided
     val target = math.max(maxLen, minSpan)
-    while (span < target) {
+    while (span < target && !total) {
       val shifted = cur.select(($"gid" - span).as("gid"), $"rk".as("r2"))
       val paired = cur.select($"gid", $"rk".as("r1"))
         .join(shifted, Seq("gid"), "left")
@@ -534,12 +547,30 @@ object TextAnalysis extends QueryPack {
         // self-join ran ~3x per round (the dominant cost of the first
         // cut of this operator).
         val p = paired.transform(cut)
-        val pairRanks = Relational.globalRank(s,
-          p.select($"r1", $"r2").distinct(), Seq($"r1", $"r2"))
-        cur = p.join(pairRanks, Seq("r1", "r2"))
+        // ONE range-sort pass: dense ranks directly off the sorted
+        // (r1, r2) layout — the old distinct() → globalRank →
+        // join-back triple paid three extra exchanges per round
+        // (round-12 verdict #8: the rounds' fixed job overhead, not
+        // the data, dominated the bench time)
+        var nKeys = 0L // filled by the rank's own counts collect
+        cur = Relational.globalDenseRank(s, p, Seq("r1", "r2"),
+            sized(nTotal), onDistinct = nKeys = _)
           .select($"gid", $"rk")
           .transform(cut) // next round + the LCP walk read it
         composed = false
+        // EARLY EXIT (round-12 verdict #8, batch path only): the
+        // distinct-key count hitting n means every suffix is already
+        // fully ordered — all later doubling rounds are identity
+        // re-ranks and contribute NOTHING to the LCP walk (a level
+        // with all-distinct ranks can never test equal), so stopping
+        // is hash-exact while skipping the tail rounds AND their walk
+        // joins. The count is FREE (it falls out of the dense rank's
+        // offsets collect); sort rounds only (composite ranks are not
+        // dense). The dense/append base build is excluded: the
+        // append's floor arithmetic walks every level up to the
+        // combined maxLen, so its index must carry them all.
+        if (!dense && nKeys == nTotal)
+          total = true
       }
       span *= 2
       levels = levels :+ ((span, cur))
@@ -547,10 +578,8 @@ object TextAnalysis extends QueryPack {
     // SA adjacency below needs DENSE distinct final ranks; densify if
     // the last round composed
     if (composed) {
-      val dr = Relational.globalRank(s,
-        cur.select($"rk".as("cr")).distinct(), Seq($"cr"))
-      cur = cur.withColumnRenamed("rk", "cr")
-        .join(dr, Seq("cr"))
+      cur = Relational.globalDenseRank(s,
+          cur.withColumnRenamed("rk", "cr"), Seq("cr"), sized(nTotal))
         .select($"gid", $"rk")
         .transform(cut)
     }
@@ -572,9 +601,10 @@ object TextAnalysis extends QueryPack {
           ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
             .otherwise(lit(0L))).as("lcp"))
       // bound the walk's plan growth, but pay the materialization job
-      // only every other level (two levels = four joins of lineage —
-      // still well inside codegen limits)
-      if (j % 2 == 1 || j == walk.length - 1)
+      // only every THIRD level (three levels = six joins of lineage —
+      // still inside codegen limits; each cut is a multi-stage job, so
+      // fewer cuts is the walk's main cost lever)
+      if (j % 3 == 2 || j == walk.length - 1)
         lcpF = lcpF.transform(cut)
     }
     val perRank = lcpF.select($"ga".as("gid"), $"lcp")

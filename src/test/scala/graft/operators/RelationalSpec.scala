@@ -269,6 +269,30 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     rows.map(_._5).distinct.sorted.toSeq shouldBe Seq("dL", "dO", "dd")
   }
 
+  test("globalDenseRank equals dense_rank() - 1: ties share ranks, ranks " +
+      "are dense, the distinct-key probe reports the key count") {
+    import spark.implicits._
+    // heavy ties (23 distinct keys over 5000 rows) spread across many
+    // range partitions, composite (k1, k2) key, deterministic shuffle
+    val rows = (0 until 5000).map { i =>
+      (((i * 7919) % 23).toLong, ((i * 104729) % 3).toLong, i.toLong)
+    }
+    val df = rows.toDF("k1", "k2", "id")
+    var nKeys = 0L
+    val got = Relational
+      .globalDenseRank(spark, df, Seq("k1", "k2"), onDistinct = nKeys = _)
+      .select($"id", $"rk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distinctKeys = rows.map(t => (t._1, t._2)).distinct.sorted
+    nKeys shouldBe distinctKeys.length.toLong
+    val expected = rows.map { case (k1, k2, id) =>
+      id -> distinctKeys.indexOf((k1, k2)).toLong
+    }.toMap
+    got shouldBe expected
+    // dense over the distinct-key set, 0-based
+    got.values.toSet shouldBe (0L until distinctKeys.length.toLong).toSet
+  }
+
   test("globalPrefixSum equals a sequential scan, negatives included") {
     import spark.implicits._
     val rows = (1 to 257).map(i => (i.toLong, ((i * 37) % 23 - 11).toLong))
