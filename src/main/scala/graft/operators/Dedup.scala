@@ -100,6 +100,76 @@ object Dedup extends QueryPack {
         sh => rolling_hash2(sh))).as("fps"))
   }
 
+  /** (doc_id, lang, n, fps) for the containment faces: distinct
+    * 3-shingle fingerprints plus the set size — the per-doc frame both
+    * the batch `dedup_containment` semantics and
+    * [[graft.streaming.StreamingDedup.containmentStream]] consume.
+    * Shingle-less docs drop (they can contain nothing). */
+  private[graft] def containmentFpsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    materialized(docs.withColumn("tokens", tokensCol)
+        .select($"doc_id", $"lang", shinglesCol.as("shingles")))
+      .select($"doc_id", $"lang", array_distinct(transform($"shingles",
+        sh => rolling_hash2(sh))).as("fps"))
+      .filter(size($"fps") > 0)
+      .withColumn("n", size($"fps").cast(LongType))
+  }
+
+  /** One micro-batch of containment pairs against the fp-bucketed
+    * postings state — the incremental-AllPairs discipline of
+    * [[prefixIncrementalAgainstState]] applied to the ASYMMETRIC
+    * measure: candidates are shared-fingerprint (same-lang) pairs from
+    * batch×state (either orientation — an old doc may be the small
+    * side of a new big one) plus batch×batch, canonicalized to
+    * (smaller set, bigger set) by the same (n, doc_id) struct order as
+    * the batch query; verification fetches both full fingerprint sets
+    * by doc_id and keeps inter/n_small ≥ 0.8 exactly. State-side scan
+    * meets the batch ON the fp bucketing — zero state exchange. A
+    * replay's double fold is benign: candidates are distinct-ed, the
+    * doc_id lookup drops duplicate copies (byte-identical content),
+    * and a doc meeting its own persisted copy is excluded by the
+    * doc_id inequality guard — emission is at-least-once per PAIR with
+    * identical rows, the package's delivery contract. */
+  private[graft] def containmentIncrementalAgainstState(
+      s: SparkSession, inc: DataFrame, incPosts: DataFrame,
+      postsTable: String, fpsTable: String): DataFrame = {
+    import s.implicits._
+    val st = s.table(postsTable)
+    val candState = incPosts.as("i")
+      .join(st.as("st"), $"i.fp" === $"st.fp" &&
+        $"i.lang" === $"st.lang" && $"i.doc_id" =!= $"st.doc_id")
+      .select(
+        when(struct($"i.n", $"i.doc_id") < struct($"st.n", $"st.doc_id"),
+          struct($"i.doc_id".as("id_s"), $"st.doc_id".as("id_b")))
+          .otherwise(
+            struct($"st.doc_id".as("id_s"), $"i.doc_id".as("id_b")))
+          .as("p"))
+      .select($"p.id_s".as("id_s"), $"p.id_b".as("id_b"))
+      .distinct()
+    val candBatch = incPosts.as("a")
+      .join(incPosts.as("b"), $"a.fp" === $"b.fp" &&
+        $"a.lang" === $"b.lang" &&
+        struct($"a.n", $"a.doc_id") < struct($"b.n", $"b.doc_id"))
+      .select($"a.doc_id".as("id_s"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val lookup = inc.select($"doc_id", $"n", $"fps")
+      .unionByName(s.table(fpsTable).select($"doc_id", $"n", $"fps"))
+      .dropDuplicates("doc_id") // replayed double folds are byte-equal
+    candState.unionByName(candBatch).distinct()
+      .join(lookup.select($"doc_id".as("id_s"), $"n".as("n_small"),
+        $"fps".as("f_s")), Seq("id_s"))
+      .join(lookup.select($"doc_id".as("id_b"), $"n".as("n_big"),
+        $"fps".as("f_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect($"f_s", $"f_b")).cast(LongType))
+      .filter($"inter" * 10L >= $"n_small" * 8L)
+      .select($"id_s".as("doc_small"), $"id_b".as("doc_big"), $"inter",
+        $"n_small", $"n_big",
+        round($"inter".cast(DoubleType) / $"n_small".cast(DoubleType), 9)
+          .as("containment"))
+  }
+
   /** Distinct unordered id pairs (`id1` < `id2`) co-bucketed by
     * `keyCols` — the candidate primitive behind every LSH band join —
     * with per-task work bounded even under a PATHOLOGICAL hot bucket

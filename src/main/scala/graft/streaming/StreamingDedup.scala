@@ -263,6 +263,63 @@ object StreamingDedup {
       }
       .start()
 
+  /** Continuous CONTAINMENT dedup — the ASYMMETRIC near-dup face
+    * streamed (the 20th face; round-12 verdict #9): symmetric Jaccard
+    * misses subset duplication (a paragraph lifted into a bigger doc),
+    * so this maintains "small ⊆ big at ≥ 0.8" pairs continuously with
+    * the same incremental-AllPairs discipline as [[prefixJoinStream]].
+    * Per micro-batch: fingerprints for the new docs, candidates from
+    * batch postings × the fp-BUCKETED postings state (either
+    * orientation — an accumulated doc may be the small side of a new
+    * big one; zero state-side exchange) plus batch×batch, exact
+    * verification against the doc-bucketed fingerprint-set table, then
+    * both states fold forward as bucket-aligned appends with periodic
+    * zero-exchange compaction. Per-batch cost tracks the BATCH;
+    * replays are at-least-once with byte-identical rows
+    * (StreamingDedupSpec's chaos gate kills mid-batch under both
+    * state-store providers and holds pair multiplicity to 1 over the
+    * idempotent per-batch view, with the killed batch's folds already
+    * applied — the worst corner). */
+  def containmentStream(
+      records: DataFrame,
+      postsTable: String,
+      fpsTable: String,
+      buckets: Int,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      compactEvery: Long = 0L): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.functions.explode
+        val inc = Dedup.containmentFpsOf(
+            batch.select(col("doc_id"), col("lang"), col("text")))
+          .localCheckpoint(true) // postings, lookup, and the fold read it
+        Bucketing.recoverCompaction(s, postsTable)
+        Bucketing.recoverCompaction(s, fpsTable)
+        val incPosts = inc.select(col("doc_id"), col("lang"), col("n"),
+            explode(col("fps")).as("fp"))
+          .localCheckpoint(true) // both candidate branches + the fold
+        if (!s.catalog.tableExists(postsTable))
+          Bucketing.writeBucketed(incPosts.limit(0), postsTable, "fp", buckets)
+        if (!s.catalog.tableExists(fpsTable))
+          Bucketing.writeBucketed(inc.limit(0), fpsTable, "doc_id", buckets)
+        // materialize BEFORE the folds: the pair plan reads the very
+        // tables the folds append to
+        val pairs = Dedup.containmentIncrementalAgainstState(
+          s, inc, incPosts, postsTable, fpsTable)
+          .localCheckpoint(true)
+        sink(pairs, batchId)
+        Bucketing.appendBucketAligned(incPosts, postsTable)
+        Bucketing.appendBucketAligned(inc, fpsTable)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Bucketing.compact(s, postsTable)
+          Bucketing.compact(s, fpsTable)
+        }
+      }
+      .start()
+
   /** Continuous connected-component maintenance — duplicate CLUSTERS
     * kept current as pair evidence streams in (the state face of
     * `dedup_clusters`): per micro-batch, endpoint labels are fetched

@@ -569,4 +569,163 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers {
       }
     })
   }
+
+  // ── the containment face's shared fixture: subset duplication that
+  //    symmetric Jaccard MISSES (small ⊆ big at J ≈ 0.25) ──
+  private def tokensOf(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+  private val cS1 = tokensOf("s", 12) // 10 shingles
+  private val cU = tokensOf("u", 30) // 28 shingles, unrelated to S1
+  private val cB1 = tokensOf("p", 15) ++ cS1 ++ tokensOf("q", 15)
+  private val cB2 = tokensOf("r", 15) ++ cS1 ++ tokensOf("t", 15)
+  private val cS2 = cU.slice(9, 21) // 12 tokens lifted from U's middle
+  private val cB3 = tokensOf("v", 15) ++ cS1 ++ tokensOf("w", 15)
+  private val cDocs: Map[Long, Seq[String]] = Map(
+    1L -> cS1, 2L -> cU, 3L -> cB1, 4L -> cB2, 5L -> cS2, 6L -> cB3)
+
+  /** Independent brute-force recompute of the expected containment
+    * pairs: scala shingle sets, (n, doc_id)-canonical orientation. */
+  private def containmentExpected(ids: Set[Long]): Set[(Long, Long)] = {
+    def sh(t: Seq[String]): Set[String] =
+      t.sliding(3).map(_.mkString(" ")).toSet
+    val sets = cDocs.toSeq.filter { case (id, _) => ids(id) }
+      .map { case (id, t) => id -> sh(t) }
+    (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if Ordering[(Int, Long)].lt((sa.size, ia), (sb.size, ib))
+      if sa.intersect(sb).size * 10 >= sa.size * 8
+    } yield (ia, ib)).toSet
+  }
+
+  test("streaming containment: subset-duplication pairs emit in-batch, " +
+      "cross-batch in BOTH orientations, survive compaction, and the " +
+      "cumulative set equals a brute-force batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val posts = "sct_posts"; val fps = "sct_fps"
+    val ckpt = Files.createTempDirectory("graft-sctain-ckpt")
+    spark.sql(s"DROP TABLE IF EXISTS $posts")
+    spark.sql(s"DROP TABLE IF EXISTS $fps")
+    val input = MemoryStream[(Long, String, String)]
+    @volatile var out = Vector.empty[(Long, Long, Long, Long, Long, Double)]
+    val q = StreamingDedup.containmentStream(
+      input.toDF().toDF("doc_id", "lang", "text"), posts, fps, buckets = 4,
+      ckpt.toString,
+      sink = (ds, _) => out ++= ds.collect().toVector
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+        .sortBy(t => (t._1, t._2)),
+      compactEvery = 2L)
+    def feed(ids: Long*): Unit = {
+      input.addData(ids.map(id => (id, "en", cDocs(id).mkString(" "))): _*)
+      q.processAllAvailable()
+    }
+    try {
+      // batch 0: S1 ⊆ B1 IN-BATCH; U unrelated (Jaccard(S1, B1) ≈ .25
+      // — the symmetric faces would drop this pair at τ = 1/2)
+      feed(1L, 2L, 3L)
+      out.map(t => (t._1, t._2)) shouldBe Vector((1L, 3L))
+      out.head._6 shouldBe 1.0 // all 10 of S1's shingles appear in B1
+      out.head._4 shouldBe 10L
+      // batch 1, BOTH cross-batch orientations: new big B2 ⊇ old
+      // small S1, and new small S2 ⊆ OLD big U (the asymmetric
+      // direction a pure new-vs-state small-side join would miss)
+      feed(4L, 5L)
+      out.map(t => (t._1, t._2)).toSet shouldBe
+        Set((1L, 3L), (1L, 4L), (5L, 2L))
+      // batch 2, after compaction: cross-batch match still resolves
+      feed(6L)
+      val got = out.map(t => (t._1, t._2)).toSet
+      got shouldBe containmentExpected(cDocs.keySet)
+      // the stream IS the batch answer: brute force over all 6 docs
+      got should contain((1L, 6L))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $posts")
+      spark.sql(s"DROP TABLE IF EXISTS $fps")
+    }
+  }
+
+  test("chaos: containment-stream mid-batch kill + restart keeps pair " +
+      "multiplicity 1 under HDFS and RocksDB providers, even when the " +
+      "killed attempt folded") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val posts = s"cct_${prov}_posts"; val fpsT = s"cct_${prov}_fps"
+      val dir = Files.createTempDirectory(s"graft-cct-$prov-src")
+      val ckpt = Files.createTempDirectory(s"graft-cct-$prov-ckpt")
+      spark.sql(s"DROP TABLE IF EXISTS $posts")
+      spark.sql(s"DROP TABLE IF EXISTS $fpsT")
+      def writeDocs(name: String, ids: Long*): Unit =
+        Files.write(dir.resolve(name),
+          ids.map { id =>
+            s"""{"doc_id":$id,"lang":"en","text":"${cDocs(id).mkString(" ")}"}"""
+          }.mkString("\n").getBytes(UTF_8))
+      val byBatch = scala.collection.concurrent.TrieMap
+        .empty[Long, Vector[(Long, Long)]]
+      @volatile var deliveries = Vector.empty[(Long, Vector[(Long, Long)])]
+      @volatile var armed = false
+      val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (ds, bid) => {
+        val pairs = ds.collect().toVector
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+        deliveries :+= (bid, pairs)
+        byBatch(bid) = pairs // overwrite-by-batch: the idempotent sink
+        if (armed && bid == 1L) { armed = false; sys.error("chaos kill") }
+      }
+      def start() = StreamingDedup.containmentStream(
+        spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+          .json(dir.toString),
+        posts, fpsT, buckets = 4, ckpt.toString, sink)
+      try {
+        writeDocs("b0.json", 1L, 2L, 3L)
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          byBatch(0L) shouldBe Vector((1L, 3L))
+          writeDocs("b1.json", 4L, 5L)
+          armed = true
+          intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q1.processAllAvailable()
+          }
+        } finally q1.stop()
+        byBatch(1L) shouldBe Vector((1L, 4L), (5L, 2L))
+        // worst corner: pretend the killed attempt ALSO completed its
+        // state folds before dying — the replay must meet its own
+        // persisted copies and still emit the identical pair set
+        val incB1 = graft.operators.Dedup.containmentFpsOf(
+            Seq((4L, "en", cDocs(4L).mkString(" ")),
+              (5L, "en", cDocs(5L).mkString(" ")))
+              .toDF("doc_id", "lang", "text"))
+          .localCheckpoint(true)
+        graft.operators.Bucketing.appendBucketAligned(
+          incB1.select(col("doc_id"), col("lang"), col("n"),
+            org.apache.spark.sql.functions.explode(col("fps")).as("fp")),
+          posts)
+        graft.operators.Bucketing.appendBucketAligned(incB1, fpsT)
+        val q2 = start()
+        try {
+          q2.processAllAvailable() // replays batch 1 over the fold
+          deliveries.filter(_._1 == 1L).map(_._2).distinct.size shouldBe 1
+          deliveries.count(_._1 == 1L) shouldBe 2
+          writeDocs("b2.json", 6L)
+          q2.processAllAvailable()
+          byBatch(2L) shouldBe Vector((1L, 6L))
+        } finally q2.stop()
+        // THE gate: multiplicity 1 per pair over the idempotent view,
+        // and the set equals the brute-force batch recompute
+        val all = byBatch.values.flatten.toVector
+        all.groupBy(identity).values.foreach(_.size shouldBe 1)
+        all.toSet shouldBe containmentExpected(cDocs.keySet)
+        spark.table(fpsT).select(col("doc_id")).distinct().collect()
+          .map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $posts")
+        spark.sql(s"DROP TABLE IF EXISTS $fpsT")
+      }
+    })
+  }
 }
