@@ -440,7 +440,105 @@ object IngestAnalog extends QueryPack {
                CAST(SUM(size_b) AS BIGINT) AS bin_bytes
         FROM c
         GROUP BY 1
-        ORDER BY bin"""))
+        ORDER BY bin""")),
+
+    // ── rendezvous (highest-random-weight) shard routing ──
+    // The STATELESS routing tier next to the topic router (#14) and
+    // the compaction bins: mod-N routing reshuffles ~everything when
+    // the shard count changes, a real cost when shards are 100 TB of
+    // accumulated bucketed state. Rendezvous hashing (Thaler &
+    // Ravishankar 1996 — the scheme behind consistent object routing)
+    // assigns each doc to argmax over shards of a per-(doc, shard)
+    // hash, so adding a shard moves EXACTLY the docs whose new-shard
+    // weight wins — an expected 1/(n+1) fraction — and every mover
+    // lands ON the new shard (old shards never trade docs: both
+    // arguments of every old-pair comparison are unchanged). The
+    // query emits the per-shard census under 10 and 11 shards plus
+    // n_arrived (docs that changed shard INTO this one going 10→11);
+    // the zero-arrivals-on-old-shards invariant is IN the hashed
+    // output, and the movement fraction sits near 1/11 by
+    // construction. The weight is the repo's Long-safe multiplicative
+    // mix (doc-reduced × shard-salted odd constant, mod the Mersenne
+    // 2^31−1 prime; the shard enters MULTIPLICATIVELY via its own
+    // mod-p constant — a shard-linear weight would make the argmax
+    // collapse to the largest shard), identical integer ops in both
+    // engines. Shape:
+    // the argmax is a codegen'd HOF over the tiny shard array — a
+    // pure per-row projection, NO corpus shuffle, no explode, both
+    // shard counts read off ONE scan; the only exchanges are the two
+    // ≤11-row census aggregates. That projection is exactly what a
+    // writer applies inline at any scale.
+    "ref_rendezvous_route" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        // argmax over shards of the weight, ties to the smaller shard
+        // (max of (w, -shard) structs — the ROW_NUMBER order's twin)
+        // w = mix(a, sh): v0 = a·K_sh mod p, v1 = (v0² + sh + 1) mod p,
+        // w = v1·C mod p — every intermediate provably inside a Long
+        // ((p−1)² + 12 < 2⁶³); the quadratic step is what decorrelates
+        // the argmax across shards (a single multiplicative round
+        // leaves small doc keys wrap-free, and their argmax collapses
+        // onto the globally largest per-shard constant)
+        def sMax(n: Int) = expr(
+          s"""-(array_max(transform(sequence(0L, ${n - 1}L), sh ->
+                struct((transform(
+                    array(((doc_id % 1000003L + 1L)
+                             * (((sh + 1L) * 2654435761L) % 2147483647L))
+                            % 2147483647L),
+                    v0 -> ((v0 * v0 + sh + 1L) % 2147483647L
+                             * 2654435761L) % 2147483647L)[0]) AS w,
+                       -sh AS ns)))).ns""")
+        val routed = Tables.documents(s, d)
+          .select($"doc_id", sMax(10).as("s10"), sMax(11).as("s11"))
+          .localCheckpoint(true) // both censuses read the one scan
+        val c11 = routed.groupBy($"s11".as("shard"))
+          .agg(count(lit(1)).as("n_docs_11"),
+            sum(when($"s10" =!= $"s11", 1L).otherwise(0L)).as("n_arrived"))
+        val c10 = routed.groupBy($"s10".as("shard"))
+          .agg(count(lit(1)).as("n_docs_10"))
+        c11.join(broadcast(c10), Seq("shard"), "left")
+          .select($"shard", coalesce($"n_docs_10", lit(0L)).as("n_docs_10"),
+            $"n_docs_11", $"n_arrived")
+          .orderBy($"shard")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT d.doc_id, s.shard,
+                 (list_transform(
+                    [((d.doc_id % 1000003 + 1)
+                        * (((s.shard + 1) * 2654435761) % 2147483647))
+                       % 2147483647],
+                    v0 -> ((v0 * v0 + s.shard + 1) % 2147483647
+                             * 2654435761) % 2147483647)[1]) AS w
+          FROM documents d,
+               (SELECT unnest(generate_series(0, 10)) AS shard) s),
+        r10 AS (
+          SELECT doc_id, shard AS s10 FROM (
+            SELECT doc_id, shard,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY w DESC, shard ASC) AS rn
+            FROM sh WHERE shard < 10) x WHERE rn = 1),
+        r11 AS (
+          SELECT doc_id, shard AS s11 FROM (
+            SELECT doc_id, shard,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY w DESC, shard ASC) AS rn
+            FROM sh) x WHERE rn = 1),
+        j AS (SELECT r10.doc_id, s10, s11 FROM r10 JOIN r11 USING (doc_id)),
+        c11 AS (
+          SELECT s11 AS shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_11,
+                 CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_arrived
+          FROM j GROUP BY 1),
+        c10 AS (
+          SELECT s10 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_10
+          FROM r10 GROUP BY 1)
+        SELECT c11.shard,
+               CAST(COALESCE(c10.n_docs_10, 0) AS BIGINT) AS n_docs_10,
+               n_docs_11, n_arrived
+        FROM c11 LEFT JOIN c10 ON c10.shard = c11.shard
+        ORDER BY c11.shard"""))
   )
 
   /** The executed compaction behind `ref_compaction_apply`: routes
