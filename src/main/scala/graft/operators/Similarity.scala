@@ -2143,7 +2143,11 @@ object Similarity extends QueryPack {
           col("label") % 7 === 3)._1
         .filter(col("rnk") <= 5)
         .orderBy(col("query_id"), col("rnk")),
-      oracle = Some(graphFilteredOracleSql)),
+      oracle = Some(graphFilteredOracleSql),
+      // HEADLINED round 13: the heaviest new shape of the round (the
+      // two-hop filtered beam walk), priced from three 3-pass
+      // calibration runs (medians 5.8-7.0 s, load1 2-4)
+      headline = true),
 
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
     // The operation a real pipeline runs before trusting an ANN index:
@@ -2411,6 +2415,9 @@ object Similarity extends QueryPack {
         rangeSearch(ivfModel(s, embCheckpointed(s, d)), r2 = 1.5,
           candPred = Some($"label" % 7 === 3))
       },
+      // HEADLINED round 13 with its graph sibling (calibration
+      // medians 2.19-2.30 s across three 3-pass runs)
+      headline = true,
       oracle = Some {
         val d2 = """round(list_sum(list_transform(generate_series(1, len(q.qe)),
                 i -> (q.qe[i] - e.emb[i]) * (q.qe[i] - e.emb[i]))), 9)"""
