@@ -477,8 +477,15 @@ object TextAnalysis extends QueryPack {
     if (mm.isNullAt(0)) return None // empty corpus: nothing to rank
     val (maxLen, nTotal, nDocs) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2))
-    def sized(n: Long): Int = math.max(1L, math.min(
-      s.sparkContext.defaultParallelism.toLong, n / 65536L + 1L)).toInt
+    // ~64k keys/partition locally (the fixed per-task overhead, not
+    // the data, dominates below that), but never FEWER than n/4M
+    // partitions at cluster scale — capping at the core count alone
+    // would hand a trillion-token corpus multi-GB sort partitions
+    def sized(n: Long): Int = {
+      val dp = s.sparkContext.defaultParallelism.toLong
+      math.max(1L, math.min(math.min(Int.MaxValue.toLong,
+        math.max(dp, n / 4000000L)), n / 65536L + 1L)).toInt
+    }
     val offs = Relational.globalPrefixSum(s, lens, Seq($"doc_id"), "dlen",
         sized(nDocs))
       .withColumn("off", $"psum" - $"dlen" + lit(gidBase))

@@ -681,6 +681,29 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  test("round-13 shapes: filtered searches join on cell/graph keys (no " +
+      "cartesian), rendezvous routing is one scan + census aggregates " +
+      "(no window, no corpus shuffle), shard decode is map-only") {
+    for (q <- Seq("sim_ann_graph_filtered", "sim_range_search_filtered")) {
+      val p = plan(q)
+      withClue(q) {
+        p should not include "CartesianProduct"
+        // the only nested-loop joins allowed are broadcast ones over
+        // index metadata (centroids, probe tables) — never shuffled
+        p should not include "ShuffledHashJoin( BuildSide: none"
+      }
+    }
+    val r = plan("ref_rendezvous_route")
+    r should not include "Window" // the argmax is a per-row HOF
+    r should not include "CartesianProduct"
+    val m = plan("mm_shard_decode")
+    // decode is typed map partitions over the tar scan; the only
+    // exchange is the deterministic output ordering
+    m should not include "Window"
+    m should not include "CartesianProduct"
+    countOccurrences(m, "Exchange") should be <= 2
+  }
+
   test("value-domain order statistics never funnel through a single-task " +
       "window: tukey fences and the dataset-card median ride the " +
       "distributed prefix sum") {
