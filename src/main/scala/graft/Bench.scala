@@ -78,10 +78,10 @@ object Bench {
     "q_topk_aggregate" -> 0.8,
     "q_zorder_layout" -> 5.0,
     "ref_tail_offsets" -> 0.6,
-    "sim_ann_graph_filtered" -> 9.0,
-    "sim_ann_graph_hier" -> 8.0,
+    "sim_ann_graph_filtered" -> 5.5,
+    "sim_ann_graph_hier" -> 4.5,
     "sim_ann_ivfpq" -> 1.4,
-    "sim_range_search_filtered" -> 3.2,
+    "sim_range_search_filtered" -> 1.2,
     "sim_topk_bruteforce" -> 0.5)
 
   /** History-aware dead-zone closer (round-12 verdict #2): queries

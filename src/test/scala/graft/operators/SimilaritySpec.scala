@@ -708,6 +708,45 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     cellPairs should be >= 1
   }
 
+  test("persisted NSW-edge and IVF-model artifacts are bit-identical to " +
+      "fresh builds and are REUSED, not rebuilt") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("emb"))
+      .localCheckpoint(true)
+    // bit-identity: the artifact IS a fresh build's output (the first
+    // call may legitimately build on a clean machine)
+    val freshEdges = Similarity.graphEdges(spark, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persistedEdges = Similarity.graphEdgesFor(spark, sf, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    persistedEdges shouldBe freshEdges
+    val (fa, fc) = Similarity.ivfModel(spark, e)
+    val (pa, pc) = Similarity.ivfModelFor(spark, sf)
+    def aset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    aset(pa) shouldBe aset(fa)
+    def cset(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[Double](1).toVector)).toSet
+    cset(pc) shouldBe cset(fc)
+    // reuse: a second call touches no artifact file
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_artifacts")
+    def mtimes(): Map[String, Long] = root.listFiles().toSeq
+      .filter(f => f.getName.startsWith("nsw_") || f.getName.startsWith("ivf_"))
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten :+ d)
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = mtimes()
+    var rebuilt = false
+    Similarity.graphEdgesFor(spark, sf, { rebuilt = true; e }).count()
+    rebuilt shouldBe false // the eFresh thunk must stay unevaluated
+    Similarity.ivfModelFor(spark, sf)._1.count()
+    mtimes() shouldBe before
+  }
+
   test("filtered graph ANN: predicate inside the beam walk clears its " +
       "recall floor vs FILTERED brute force, where post-filtering the " +
       "unfiltered walk provably under-returns") {
