@@ -160,11 +160,17 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
   test("similarity queries scan the embeddings table once (checkpoint barriers)") {
     // query sides derive from the same frame the candidates stream
     // from; at 10^9 vectors a re-inlined scan doubles the query's IO
-    for (q <- Seq("sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+    for (q <- Seq("sim_topk_bruteforce", "sim_ann_lsh",
         "sim_knn_classify", "dedup_embedding_cosine", "dedup_embedding_blocked",
         "dedup_embedding_ann_pairs")) {
       withClue(q) { "Scan parquet".r.findAllIn(plan(q)).size shouldBe 0 }
     }
+    // sim_ann_ivf reads the PERSISTED IVF artifact (round 13): its two
+    // parquet scans are the assigned/cents index tables — the design —
+    // and the embeddings table itself still never re-inlines
+    val p = plan("sim_ann_ivf")
+    "Scan parquet".r.findAllIn(p).size shouldBe 2
+    p should not include "embeddings.parquet"
   }
 
   test("global ntile is rank-by-projection — no window, no re-shuffle, no single partition") {
