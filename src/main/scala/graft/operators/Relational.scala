@@ -1532,6 +1532,113 @@ object Relational extends QueryPack {
         ORDER BY p.center, p.context"""),
       headline = false),
 
+    // ── one-pass table profile (the data-quality first-look) ──
+    // The census every pipeline runs before trusting a new table:
+    // per column, null count, distinct cardinality, and exact min/max
+    // — the inputs to scan pruning decisions (is this column worth a
+    // zone map?), join-key sanity (is the key actually unique?), and
+    // null-contract checks. ONE pass over the table: a single
+    // aggregate computes all 6 columns' counts/distincts/extrema
+    // (Spark plans the multi-DISTINCT via Expand — the scan still
+    // happens once), then `stack` unpivots the 1-row result into the
+    // per-column census, so the cost is a map-side-combined aggregate
+    // regardless of width. Representations are engine-exact: integers
+    // and centi-cents as BIGINT strings, timestamps as epoch-micros
+    // strings — never a float or locale-dependent rendering.
+    "q_profile_table" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val priceCents =
+          expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+        // o_orderdate reads as TIMESTAMP_NTZ; the UTC session (Tuning)
+        // makes the NTZ->instant cast the same integer DuckDB's
+        // epoch_us computes on the naive value
+        val dateUs = expr("unix_micros(cast(o_orderdate as timestamp))")
+        val a = Tables.orders(s, d).agg(
+          count(lit(1)).as("n"),
+          count($"o_orderkey").as("c1"),
+          countDistinct($"o_orderkey").as("d1"),
+          min($"o_orderkey").cast(StringType).as("mn1"),
+          max($"o_orderkey").cast(StringType).as("mx1"),
+          count($"o_custkey").as("c2"),
+          countDistinct($"o_custkey").as("d2"),
+          min($"o_custkey").cast(StringType).as("mn2"),
+          max($"o_custkey").cast(StringType).as("mx2"),
+          count($"o_orderstatus").as("c3"),
+          countDistinct($"o_orderstatus").as("d3"),
+          min($"o_orderstatus").as("mn3"),
+          max($"o_orderstatus").as("mx3"),
+          count(priceCents).as("c4"),
+          countDistinct(priceCents).as("d4"),
+          min(priceCents).cast(StringType).as("mn4"),
+          max(priceCents).cast(StringType).as("mx4"),
+          count(dateUs).as("c5"),
+          countDistinct(dateUs).as("d5"),
+          min(dateUs).cast(StringType).as("mn5"),
+          max(dateUs).cast(StringType).as("mx5"),
+          count($"o_orderpriority").as("c6"),
+          countDistinct($"o_orderpriority").as("d6"),
+          min($"o_orderpriority").as("mn6"),
+          max($"o_orderpriority").as("mx6"))
+        a.select(expr("""stack(6,
+            'o_orderkey', n - c1, d1, mn1, mx1,
+            'o_custkey', n - c2, d2, mn2, mx2,
+            'o_orderstatus', n - c3, d3, mn3, mx3,
+            'o_totalprice_cents', n - c4, d4, mn4, mx4,
+            'o_orderdate_us', n - c5, d5, mn5, mx5,
+            'o_orderpriority', n - c6, d6, mn6, mx6)
+            as (col_name, n_nulls, n_distinct, min_repr, max_repr)"""),
+          $"n".as("n_rows"))
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"min_repr", $"max_repr")
+          .orderBy($"col_name")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(o_orderkey) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d1,
+            CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+            CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+            CAST(COUNT(o_custkey) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d2,
+            CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+            CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+            CAST(COUNT(o_orderstatus) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+            MIN(o_orderstatus) AS mn3,
+            MAX(o_orderstatus) AS mx3,
+            CAST(COUNT(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS c4,
+            CAST(COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              * 100 AS BIGINT)) AS BIGINT) AS d4,
+            CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS VARCHAR) AS mn4,
+            CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS VARCHAR) AS mx4,
+            CAST(COUNT(epoch_us(o_orderdate)) AS BIGINT) AS c5,
+            CAST(COUNT(DISTINCT epoch_us(o_orderdate)) AS BIGINT) AS d5,
+            CAST(MIN(epoch_us(o_orderdate)) AS VARCHAR) AS mn5,
+            CAST(MAX(epoch_us(o_orderdate)) AS VARCHAR) AS mx5,
+            CAST(COUNT(o_orderpriority) AS BIGINT) AS c6,
+            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d6,
+            MIN(o_orderpriority) AS mn6,
+            MAX(o_orderpriority) AS mx6
+          FROM orders)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               min_repr, max_repr
+        FROM (
+          SELECT n, 'o_orderkey' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM a
+          UNION ALL SELECT n, 'o_custkey', n - c2, d2, mn2, mx2 FROM a
+          UNION ALL SELECT n, 'o_orderstatus', n - c3, d3, mn3, mx3 FROM a
+          UNION ALL SELECT n, 'o_totalprice_cents', n - c4, d4, mn4, mx4
+            FROM a
+          UNION ALL SELECT n, 'o_orderdate_us', n - c5, d5, mn5, mx5 FROM a
+          UNION ALL SELECT n, 'o_orderpriority', n - c6, d6, mn6, mx6
+            FROM a)
+        ORDER BY col_name""")),
+
     // ── join-key skew report (the pre-salting diagnostic) ──
     // The operational census a 100 TB operator runs BEFORE choosing a
     // join strategy: how skewed is this key, and what salt factor
