@@ -557,35 +557,22 @@ object IngestAnalog extends QueryPack {
   private[graft] def compactionApplied(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     import s.implicits._
-    val srcPath = new org.apache.hadoop.fs.Path(d, "events.parquet")
-    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"fmt1|binsize10000000|$d|" +
-      s"${src.getModificationTime}|${src.getLen}"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_artifacts/compact_$digest"
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def complete: Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-    if (!complete) {
-      Similarity.installArtifact(fs, dirPath, "compaction")(complete) {
-        stage =>
-          val ev = Tables.events(s, d).select($"user_id", $"event_type",
-            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-              .as("cents"))
-          val plan = Relational.globalPrefixSum(s,
-              ev.groupBy($"user_id", $"event_type")
-                .agg(sum($"cents").as("size_b")),
-              Seq($"user_id", $"event_type"), "size_b")
-            .select($"user_id", $"event_type",
-              expr("(psum - size_b) div 10000000").as("bin"))
-          ev.join(broadcast(plan), Seq("user_id", "event_type"))
-            .repartition(col("bin"))
-            .write.partitionBy("bin").mode("overwrite").parquet(stage)
-      }
+    val dir = Similarity.artifactDir(s, d, "events.parquet", "compact",
+      "fmt1|binsize10000000")
+    Similarity.ensureArtifact(s, dir, "compaction")(
+      Similarity.successAt(s)) { stage =>
+      val ev = Tables.events(s, d).select($"user_id", $"event_type",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+      val plan = Relational.globalPrefixSum(s,
+          ev.groupBy($"user_id", $"event_type")
+            .agg(sum($"cents").as("size_b")),
+          Seq($"user_id", $"event_type"), "size_b")
+        .select($"user_id", $"event_type",
+          expr("(psum - size_b) div 10000000").as("bin"))
+      ev.join(broadcast(plan), Seq("user_id", "event_type"))
+        .repartition(col("bin"))
+        .write.partitionBy("bin").mode("overwrite").parquet(stage)
     }
     dir
   }

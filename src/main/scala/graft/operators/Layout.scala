@@ -221,29 +221,17 @@ object Layout extends QueryPack {
   private[operators] def zorderCutsPersisted(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val srcPath = new org.apache.hadoop.fs.Path(d, "lineitem.parquet")
-    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"fmt1|${zExpr("a", "b", RankBits, "div")}|$Levels|$NBuckets|" +
-      s"$BasePredSql|$d|${src.getModificationTime}|${src.getLen}"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_artifacts/zcuts_$digest"
+    val dir = Similarity.artifactDir(s, d, "lineitem.parquet", "zcuts",
+      s"fmt1|${zExpr("a", "b", RankBits, "div")}|$Levels|$NBuckets|" +
+        BasePredSql)
     val cutsPath = s"$dir/cuts.parquet"
-    val hconf = s.sparkContext.hadoopConfiguration
-    def complete: Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(cutsPath, "_SUCCESS")
-      hp.getFileSystem(hconf).exists(hp)
-    }
-    if (!complete) {
-      val dirPath = new org.apache.hadoop.fs.Path(dir)
-      val fs = dirPath.getFileSystem(hconf)
-      Similarity.installArtifact(fs, dirPath, "Z-order cuts")(complete) { stage =>
-        val base = Tables.lineitem(s, d).filter(expr(BasePredSql))
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-        zorderCutRows(zorderRanked(s, base))
-          .coalesce(1).write.mode("overwrite").parquet(s"$stage/cuts.parquet")
-      }
+    def completeAt(root: String): Boolean =
+      Similarity.successAt(s)(s"$root/cuts.parquet")
+    Similarity.ensureArtifact(s, dir, "Z-order cuts")(completeAt) { stage =>
+      val base = Tables.lineitem(s, d).filter(expr(BasePredSql))
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      zorderCutRows(zorderRanked(s, base))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/cuts.parquet")
     }
     s.read.parquet(cutsPath)
   }

@@ -1317,24 +1317,14 @@ object Multimodal extends QueryPack {
     * tmpdir, in a cluster it points at shared storage. */
   private[graft] def shardedTarDir(s: SparkSession, d: String): String = {
     import s.implicits._
-    val srcPath = new org.apache.hadoop.fs.Path(d, "documents.parquet")
-    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"fmt1|shards$TarShards|png+gif+bmp|$d|" +
-      s"${src.getModificationTime}|${src.getLen}"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_artifacts/tarshard_$digest"
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def complete: Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-    if (!complete) {
-      Similarity.installArtifact(fs, dirPath, "tar-shard")(complete) {
-        stage =>
-          fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
-          asciiDocs(s, d)
+    val dir = Similarity.artifactDir(s, d, "documents.parquet", "tarshard",
+      s"fmt1|shards$TarShards|png+gif+bmp")
+    Similarity.ensureArtifact(s, dir, "tar-shard")(
+      Similarity.successAt(s)) { stage =>
+        val fs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+        asciiDocs(s, d)
             .groupByKey { case (id, _) => id % TarShards }
             .mapGroups { (shard, it) =>
               val members = it.toArray.sortBy(_._1).flatMap {
@@ -1357,10 +1347,8 @@ object Multimodal extends QueryPack {
                 try os.write(bytes) finally os.close()
               }
             }
-          val ok = fs.create(
-            new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
-          ok.close()
-      }
+        fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
+          .close()
     }
     dir
   }

@@ -233,25 +233,21 @@ object Similarity extends QueryPack {
     * build miss. */
   private[operators] def graphEdgesFor(
       s: SparkSession, d: String, eFresh: => DataFrame): DataFrame = {
-    val srcPath = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
-    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"fmt1|nsw|planes6|m$GraphM|cap$GraphDegCap|$planeRowsSql|" +
-      s"$seedHashSql|$d|${src.getModificationTime}|${src.getLen}"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_artifacts/nsw_$digest"
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def complete: Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-    if (!complete) {
-      installArtifact(fs, dirPath, "nsw-graph")(complete) { stage =>
-        graphEdges(s, eFresh).write.parquet(stage)
-      }
+    val dir = artifactDir(s, d, "embeddings.parquet", "nsw",
+      s"fmt1|planes6|m$GraphM|cap$GraphDegCap|$planeRowsSql|$seedHashSql")
+    ensureArtifact(s, dir, "nsw-graph")(successAt(s)) { stage =>
+      graphEdges(s, eFresh).write.parquet(stage)
     }
     s.read.parquet(dir)
+  }
+
+  /** The plain one-_SUCCESS completeness predicate most artifacts use. */
+  private[operators] def successAt(s: SparkSession): String => Boolean = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    p => {
+      val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      hp.getFileSystem(hconf).exists(hp)
+    }
   }
 
   /** Flat NSW search: entry points are the [[GraphEntries]] smallest
@@ -765,13 +761,14 @@ object Similarity extends QueryPack {
       val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       hp.getFileSystem(hconf).exists(hp)
     }
-    def built: Boolean = complete(codesPath) && complete(booksPath)
-    if (!built) {
+    def builtAt(root: String): Boolean =
+      complete(s"$root/codes.parquet") && complete(s"$root/codebook.parquet")
+    if (!builtAt(dir)) {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(hconf)
       // stage → atomic rename: never delete/overwrite the keyed path a
       // reader may already be scanning (see scaladoc above)
-      installArtifact(fs, dirPath, "PQ")(built) { stage =>
+      installArtifact(fs, dirPath, "PQ")(builtAt) { stage =>
         val (codes, books) = pqModel(s, embCheckpointed(s, d))
         books.write.mode("overwrite").parquet(s"$stage/codebook.parquet")
         // wide: one row per vector, codes ordered by sub — the build
@@ -786,12 +783,44 @@ object Similarity extends QueryPack {
     (s.read.parquet(codesPath), s.read.parquet(booksPath))
   }
 
+  /** Keyed artifact directory under the shared root — the ONE place
+    * that states the keying policy (round-13 review: six copies had
+    * grown): `semantics` must be the complete build statement (so any
+    * build change misses the cache), and the source table's identity
+    * comes from the Hadoop FileSystem (a java.io stat of a remote
+    * path silently reads (0, 0) and the key would never change). */
+  private[operators] def artifactDir(s: SparkSession, d: String,
+      srcFile: String, kind: String, semantics: String): String = {
+    val srcPath = new org.apache.hadoop.fs.Path(d, srcFile)
+    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcPath)
+    val key = s"$semantics|$d|${src.getModificationTime}|${src.getLen}"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_artifacts/${kind}_$digest"
+  }
+
+  /** Resolve-or-build: returns once `completeAt(dir)` holds, building
+    * through [[installArtifact]] on a miss. */
+  private[operators] def ensureArtifact(s: SparkSession, dir: String,
+      what: String)(completeAt: String => Boolean)(
+      build: String => Unit): Unit =
+    if (!completeAt(dir)) {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      installArtifact(fs, dirPath, what)(completeAt)(build)
+    }
+
   /** Stage → atomic-rename install shared by the artifact builders: the
     * keyed path is never deleted/overwritten while a reader may be
     * scanning it (see [[pqPersistedModel]]'s scaladoc for the race
-    * analysis). `complete` re-checks whether a concurrent builder won. */
+    * analysis). `completeAt` judges an artifact rooted at the GIVEN
+    * path — path-parameterized so the displaced-occupant re-check
+    * below can run on the moved dir itself. */
   private[operators] def installArtifact(fs: org.apache.hadoop.fs.FileSystem,
-      dirPath: org.apache.hadoop.fs.Path, what: String)(complete: => Boolean)(
+      dirPath: org.apache.hadoop.fs.Path, what: String)(
+      completeAt: String => Boolean)(
       writeTo: String => Unit): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
       dirPath.toString + "_stage_" + java.util.UUID.randomUUID().toString.take(8))
@@ -801,10 +830,25 @@ object Similarity extends QueryPack {
       // destination occupied: a concurrent builder won with a
       // complete artifact (keep theirs — readers may hold it), or a
       // crashed legacy/partial writer left an incomplete dir (no
-      // reader can have passed the _SUCCESS check on it — replace)
-      if (!complete) {
-        fs.delete(dirPath, true)
-        if (!fs.rename(stage, dirPath) && !complete)
+      // reader can have passed the completeness check on it).
+      // An incomplete occupant is DISPLACED by rename — never
+      // deleted in place (round-13 review): the old check-then-delete
+      // could destroy an artifact a concurrent builder completed
+      // between the check and the delete, yanking files from under a
+      // reader that had already passed its completeness check. The
+      // rename is atomic, so exactly one process owns the displaced
+      // dir — and if it turns out to have become complete, it is
+      // atomically put back (or dropped if a third builder installed
+      // meanwhile: deterministic builds make all copies byte-equal).
+      if (!completeAt(dirPath.toString)) {
+        val stale = new org.apache.hadoop.fs.Path(dirPath.toString +
+          "_stale_" + java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(dirPath, stale)) {
+          if (completeAt(stale.toString)) {
+            if (!fs.rename(stale, dirPath)) fs.delete(stale, true)
+          } else fs.delete(stale, true)
+        }
+        if (!fs.rename(stage, dirPath) && !completeAt(dirPath.toString))
           throw new java.io.IOException(
             s"could not install $what artifact at $dirPath")
       }
@@ -874,11 +918,12 @@ object Similarity extends QueryPack {
       val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       hp.getFileSystem(hconf).exists(hp)
     }
-    def built: Boolean = complete(cellsPath) && complete(centsPath)
-    if (!built) {
+    def builtAt(root: String): Boolean =
+      complete(s"$root/cells.parquet") && complete(s"$root/centroids.parquet")
+    if (!builtAt(dir)) {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(hconf)
-      installArtifact(fs, dirPath, "IVF+PQ")(built) { stage =>
+      installArtifact(fs, dirPath, "IVF+PQ")(builtAt) { stage =>
         val (codesWide, _) = pqPersistedModel(s, d)
         val (assigned, cents) = ivfModelFor(s, d)
         cents.write.mode("overwrite").parquet(s"$stage/centroids.parquet")
@@ -1268,30 +1313,19 @@ object Similarity extends QueryPack {
     * oracle is untouched (SimilaritySpec gate). Keyed by the complete
     * build statement + embeddings identity; staging-rename install. */
   private[operators] def ivfModelFor(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val srcPath = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
-    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"fmt1|ivf|$ivfBuildChain|$d|" +
-      s"${src.getModificationTime}|${src.getLen}"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_artifacts/ivf_$digest"
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def complete: Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assigned/_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cents/_SUCCESS"))
-    if (!complete) {
-      installArtifact(fs, dirPath, "ivf-model")(complete) { stage =>
-        val (assigned, cents) = ivfModel(s, embCheckpointed(s, d))
-        assigned.write.parquet(s"$stage/assigned")
-        cents.write.parquet(s"$stage/cents")
-        val ok = fs.create(
-          new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
-        ok.close()
-      }
+    val dir = artifactDir(s, d, "embeddings.parquet", "ivf",
+      s"fmt1|$ivfBuildChain")
+    val ok = successAt(s)
+    def completeAt(root: String): Boolean =
+      ok(root) && ok(s"$root/assigned") && ok(s"$root/cents")
+    ensureArtifact(s, dir, "ivf-model")(completeAt) { stage =>
+      val (assigned, cents) = ivfModel(s, embCheckpointed(s, d))
+      assigned.write.parquet(s"$stage/assigned")
+      cents.write.parquet(s"$stage/cents")
+      val fs = new org.apache.hadoop.fs.Path(stage)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
+        .close()
     }
     (s.read.parquet(s"$dir/assigned"), s.read.parquet(s"$dir/cents"))
   }
@@ -1519,18 +1553,16 @@ object Similarity extends QueryPack {
       s"($j, [$comps])"
     }.mkString(",\n            ")
 
-  /** Full value oracle for the graph-ANN family, parameterized by the
-    * entry-selection CTEs (which must end in `ent(query_id, vec_id)`):
-    * DuckDB independently rebuilds the buckets, the hamming-1
-    * candidate pairs, the top-M neighbor graph, the entry points, and
-    * every unrolled beam round — the whole navigable-graph mechanism
-    * is hash-checked end to end, like the IVF Lloyd unroll. */
-  /** The graph-walk oracle unroll, parameterized on the entry CTEs
-    * and the candidate UNIVERSE (`cu`): "e" for the unfiltered walks;
-    * a filtered CTE name (declared inside `entryCtes`) for
-    * `sim_ann_graph_filtered`, where every beam round scores only
-    * universe members — the SQL replay of the predicate-inside-the-
-    * walk discipline. */
+  /** Full value oracle for the graph-ANN family: DuckDB independently
+    * rebuilds the buckets, the hamming-1 candidate pairs, the top-M
+    * neighbor graph, the entry points, and every unrolled beam round —
+    * the whole navigable-graph mechanism is hash-checked end to end,
+    * like the IVF Lloyd unroll. Parameterized on the entry-selection
+    * CTEs (which must end in `ent(query_id, vec_id)`), the candidate
+    * UNIVERSE `cu` ("e" for the unfiltered walks; a filtered CTE name
+    * declared inside `entryCtes` for `sim_ann_graph_filtered`, where
+    * every beam round scores only universe members), and `twoHop`
+    * (the filtered walk's route-through-non-passers expansion). */
   private def graphOracleSqlFor(entryCtes: String,
       cu: String = "e", twoHop: Boolean = false): String = {
     def cosSql(a: String, b: String) =
@@ -2236,8 +2268,9 @@ object Similarity extends QueryPack {
       },
       oracle = Some(graphFilteredOracleSql),
       // HEADLINED round 13: the heaviest new shape of the round (the
-      // two-hop filtered beam walk), priced from three 3-pass
-      // calibration runs (medians 5.8-7.0 s, load1 2-4)
+      // two-hop filtered beam walk). Post-artifact calibration
+      // (persisted NSW + IVF): medians 3.62-4.03 s across two 3-pass
+      // runs at load1 ~3 — band top 5.5 (BASELINE.md)
       headline = true),
 
     // ── ANN index-quality evaluation: recall@5 priced vs brute force ──
@@ -2295,15 +2328,20 @@ object Similarity extends QueryPack {
               ($"recall" >= floor).as("meets_floor"))
         }
         // ONE IVF build feeds both the single-cell and multiprobe evals
-        val (assigned, cents) = ivfModel(s, e)
+        // the persisted index artifacts serve every row below — the
+        // recall eval prices search quality, not index builds
+        val edges = graphEdgesFor(s, d, e)
+        val (assigned, cents) = ivfModelFor(s, d)
         // floors: safely under the measured recall@5 at sf0.001/0.01
         // (cell1 0.28, probe3 0.56-0.76, lsh 0.24-0.36) but above what
         // the next-cheaper path reaches — ivf_probe3's floor 0.50
         // EXCEEDS the single-cell measurement, so the multiprobe gain
         // itself is oracle-asserted every round (deterministic inputs:
         // these are exact computations on fixed data, no drift)
-        eval("graph", 0.50, graphBeamSearch(s, e)._2)
-          .unionAll(eval("graph_hier", 0.50, graphBeamSearchHier(s, e)._2))
+        eval("graph", 0.50, graphBeamSearch(s, e,
+            edgesIn = Some(edges))._2)
+          .unionAll(eval("graph_hier", 0.50, graphBeamSearchHier(s, e,
+            edgesIn = Some(edges), modelIn = Some((assigned, cents)))._2))
           .unionAll(eval("ivf_cell1", 0.25, ivfCandidatesFrom(s, assigned)))
           .unionAll(eval("ivf_probe3", 0.50,
             ivfProbedCandidates(s, assigned, cents, IvfNProbe)))
@@ -2506,8 +2544,9 @@ object Similarity extends QueryPack {
         rangeSearch(ivfModelFor(s, d), r2 = 1.5,
           candPred = Some($"label" % 7 === 3))
       },
-      // HEADLINED round 13 with its graph sibling (calibration
-      // medians 2.19-2.30 s across three 3-pass runs)
+      // HEADLINED round 13 with its graph sibling. Post-artifact
+      // calibration (persisted IVF): medians 0.70-0.74 s across two
+      // 3-pass runs — band top 1.2 (BASELINE.md)
       headline = true,
       oracle = Some {
         val d2 = """round(list_sum(list_transform(generate_series(1, len(q.qe)),
@@ -2865,7 +2904,7 @@ object Similarity extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val e = embCheckpointed(s, d)
-        val (assigned, cents) = ivfModel(s, e)
+        val (assigned, cents) = ivfModelFor(s, d)
         val (codes, books) = pqModel(s, ivfResiduals(assigned, cents))
         adcProbedTopK(s, e, assigned, cents, codes, books,
           residualLut = true, 5)
@@ -2895,7 +2934,7 @@ object Similarity extends QueryPack {
         val e = embCheckpointed(s, d)
         val exact = exactTopK(s, e, 5, NQ).select($"query_id", $"vec_id")
           .localCheckpoint(true) // joined against both indexes below
-        val (assigned, cents) = ivfModel(s, e)
+        val (assigned, cents) = ivfModelFor(s, d)
         val (rawCodes, rawBooks) = pqModel(s, e)
         val (resCodes, resBooks) = pqModel(s, ivfResiduals(assigned, cents))
         def hitsOf(top: DataFrame): DataFrame = exact
