@@ -921,7 +921,7 @@ object Relational extends QueryPack {
     * column; ties in `sortCols` receive the values of SOME order
     * within the tie — consumers must aggregate per tie group (max/min
     * over a full group is order-invariant for monotone runs). */
-  private[operators] def globalPrefixSum(
+  private[graft] def globalPrefixSum(
       s: SparkSession, df: DataFrame, sortCols: Seq[Column],
       valueCol: String, partsIn: Int = 0): DataFrame = {
     import s.implicits._

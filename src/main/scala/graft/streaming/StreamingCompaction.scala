@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ingest.GenSwap
+import graft.operators.Relational
+
+/** Continuous compaction-bin assignment — the streaming face of
+  * `ref_compaction_bins`/`ref_compaction_apply` (the 22nd face): a
+  * real ingest compactor doesn't batch-scan the corpus nightly, it
+  * assigns every CLOSING small file to its output bin as the file
+  * arrives, and `ref_compaction_apply`'s rewrite job then drains
+  * whole bins. Per micro-batch: arriving (file_id, size_b) rows take
+  * the bin `(carried_offset + running_size − size_b) div binSize` —
+  * the batch face's arithmetic in ARRIVAL order — with the running
+  * sum riding [[Relational.globalPrefixSum]] (never a single-task
+  * window) and only the carried byte offset as state.
+  *
+  * State is TWO scalars (the offset before and after the last folded
+  * batch) GenSwap-committed BEFORE emission: a replayed batch hits
+  * the batch-id guard, recomputes its assignment from the PRE-batch
+  * offset — the deterministic source replay makes the re-emission
+  * bit-identical — and never advances state twice, so bins never
+  * shift under a crash (StreamingChaosAggSpec gates this under both
+  * state-store providers). At 100 TB the asymmetry is the operator:
+  * per-batch cost tracks the batch, state is O(1) bytes.
+  */
+object StreamingCompaction {
+
+  /** Start the bin stream over (file_id: Long unique ascending,
+    * size_b: Long) rows; `sink` receives each batch's
+    * (file_id, size_b, bin, batch_id) assignments. */
+  def binStream(
+      files: DataFrame,
+      binSize: Long,
+      stateDir: String,
+      checkpointDir: String,
+      sink: DataFrame => Unit): StreamingQuery =
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/off"
+        val old = s"$stateDir/off.old"
+        val tmp = s"$stateDir/off.tmp"
+        val (prevOff, nextOff, lastBatch) =
+          GenSwap.readable(target, old) match {
+            case Some(dir) =>
+              val r = s.read.parquet(dir).collect().head
+              (r.getLong(0), r.getLong(1), r.getLong(2))
+            case None => (0L, 0L, -1L)
+          }
+        // replayed batch: the fold already happened — recompute THIS
+        // batch's bins from the offset it was originally assigned
+        // with, so the re-emission is bit-identical
+        val off = if (batchId <= lastBatch) prevOff else nextOff
+        val assigned = Relational.globalPrefixSum(s,
+            batch.select($"file_id".cast("long").as("file_id"),
+              $"size_b".cast("long").as("size_b")),
+            Seq($"file_id"), "size_b")
+          .select($"file_id", $"size_b",
+            expr(s"($off + psum - size_b) div $binSize").as("bin"),
+            lit(batchId).as("batch_id"))
+          .localCheckpoint(true) // the total, the commit, and the sink
+        if (batchId > lastBatch) {
+          val total = assigned.agg(
+            coalesce(sum($"size_b"), lit(0L)).as("t"))
+            .collect()(0).getLong(0)
+          // commit BEFORE emitting (the heavyHittersStream discipline):
+          // a crash between commit and sink re-runs the batch, hits
+          // the guard above, and re-emits the identical assignment
+          new java.io.File(stateDir).mkdirs()
+          Seq((off, off + total, batchId))
+            .toDF("prev_off", "next_off", "last_batch")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          GenSwap.publish(tmp, target, old)
+        }
+        sink(assigned)
+      }
+      .start()
+}

@@ -330,6 +330,50 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: binStream (continuous compaction bins) kill between " +
+      "emission and commit + restart yields assignments bit-identical " +
+      "to an unkilled run, both providers — and equal to a sequential " +
+      "replay of the arrival order") {
+    // a replayed fold would advance the carried byte offset twice and
+    // shift every later file's bin by a whole batch of bytes
+    def fRows(sizes: Seq[Long], idBase: Long): Seq[String] =
+      sizes.zipWithIndex.map { case (sz, i) =>
+        s"""{"file_id":${idBase + i},"size_b":$sz}"""
+      }
+    val r = new scala.util.Random(37)
+    def sizes(n: Int): Seq[Long] =
+      (0 until n).map(_ => 2000000L + r.nextInt(3000000).toLong)
+    val batchSizes = Seq(sizes(9), sizes(7), sizes(8))
+    val batches = batchSizes.zipWithIndex.map { case (ss, b) =>
+      fRows(ss, b * 100L)
+    }
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingCompaction.binStream(
+        spark.readStream.schema("file_id LONG, size_b LONG")
+          .json(src.toString),
+        binSize = 10000000L, state.toString, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"bin-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"bin-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+      // the final batch's bins equal a sequential replay of the whole
+      // arrival order — the carried offset survived the kill exactly
+      var cum = 0L
+      val expect = batchSizes.zipWithIndex.flatMap { case (ss, b) =>
+        ss.zipWithIndex.map { case (sz, i) =>
+          val bin = cum / 10000000L
+          cum += sz
+          (b * 100L + i, sz, bin, b.toLong)
+        }
+      }.filter(_._4 == 2L).map(t => Seq[Any](t._1, t._2, t._3, t._4))
+        .sortBy(_.mkString("|")).toVector
+      control shouldBe expect
+    })
+  }
+
   test("chaos: sessionStream kill between emission and commit + restart " +
       "emits the bit-identical closed-session SET as an unkilled run — " +
       "including a session MERGED across the killed batch boundary — " +
