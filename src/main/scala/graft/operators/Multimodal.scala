@@ -1223,6 +1223,11 @@ object Multimodal extends QueryPack {
         val dir = shardedTarDir(s, d)
         graft.sources.TarBundles.members(s, dir)
           .select($"name", $"data").as[(String, Array[Byte])]
+          // the bundle is MULTIMODAL (wav members ride beside the
+          // images — mm_shard_audio decodes those); the image pass
+          // selects its kinds by member name, the WebDataset idiom
+          .filter(r => Set("png", "gif", "bmp")
+            .contains(r._1.substring(r._1.lastIndexOf('.') + 1)))
           .mapPartitions { it =>
             it.map { case (name, bytes) =>
               val dot = name.lastIndexOf('.')
@@ -1233,11 +1238,8 @@ object Multimodal extends QueryPack {
                   val i = Png.decode(bytes); (i.width, i.height, i.pixels)
                 case "gif" =>
                   val i = Gif.decode(bytes); (i.width, i.height, i.pixels)
-                case "bmp" =>
+                case _ =>
                   val i = Bmp.decode(bytes); (i.width, i.height, i.pixels)
-                case other =>
-                  throw new IllegalArgumentException(
-                    s"mm_shard_decode: unexpected member kind '$other'")
               }
               val (sr, sg, sb, ws) = pixelReadout(px)
               (id, kind, w.toLong, h.toLong, w.toLong * h, sr, sg, sb, ws)
@@ -1295,7 +1297,75 @@ object Multimodal extends QueryPack {
           CAST(SUM((i + 1) * (r + 2 * g + 4 * b)) AS BIGINT) AS wsum
         FROM ch
         GROUP BY doc_id, kind, w, h
-        ORDER BY doc_id, kind"""))
+        ORDER BY doc_id, kind""")),
+
+    // ── the stored bundle's AUDIO members, decoded from tar bytes ──
+    // The same persisted shards carry one WAV clip per document; this
+    // face reads THOSE bytes back through the BinaryType member
+    // column and emits the PCM readout — proving the bundle is
+    // genuinely multimodal end to end (image and audio samples of one
+    // document travel in one shard, the WebDataset contract) with no
+    // generator in the decode path. Same oracle discipline as
+    // mm_wav_decode: the member generation is deterministic, so DuckDB
+    // reprices the sample arithmetic and the hash proves
+    // bytes → shard → scan → RIFF parse → features lossless.
+    "mm_shard_audio" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val dir = shardedTarDir(s, d)
+        graft.sources.TarBundles.members(s, dir)
+          .select($"name", $"data").as[(String, Array[Byte])]
+          .filter(_._1.endsWith(".wav"))
+          .mapPartitions { it =>
+            it.map { case (name, bytes) =>
+              val id = name.substring(0, name.lastIndexOf('.')).toLong
+              val au = Wav.decode(bytes)
+              var sum = 0L; var ws = 0L; var peak = 0L
+              var i = 0
+              while (i < au.samples.length) {
+                val v = au.samples(i)
+                sum += v
+                ws += (i + 1).toLong * v
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                i += 1
+              }
+              (id, au.fileSize, au.sampleRate.toLong,
+                au.samples.length.toLong, sum, ws, peak)
+            }
+          }
+          .toDF("doc_id", "byte_len", "sample_rate", "n_samples",
+            "sum_s", "wsum", "peak")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id, t, length(t) AS m FROM a WHERE length(t) > 0),
+        d AS (
+          SELECT doc_id, t, m, (m % 97) + 32 AS n,
+                 8000 + (m % 8) * 1000 AS rate
+          FROM p),
+        s AS (
+          SELECT doc_id, t, m, n, rate,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM d),
+        v AS (
+          SELECT doc_id, n, rate, i,
+                 ((unicode(substr(t, CAST((i % m) + 1 AS INT), 1)) * 523
+                   + i * 1031 + doc_id) % 65536) - 32768 AS sv
+          FROM s)
+        SELECT doc_id,
+          CAST(44 + 2 * n AS BIGINT) AS byte_len,
+          CAST(rate AS BIGINT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(SUM(sv) AS BIGINT) AS sum_s,
+          CAST(SUM((i + 1) * sv) AS BIGINT) AS wsum,
+          CAST(MAX(abs(sv)) AS BIGINT) AS peak
+        FROM v GROUP BY doc_id, n, rate
+        ORDER BY doc_id"""))
   )
 
   /** Shards for [[shardedTarDir]] — a production run sizes shard COUNT
@@ -1318,7 +1388,7 @@ object Multimodal extends QueryPack {
   private[graft] def shardedTarDir(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = Similarity.artifactDir(s, d, "documents.parquet", "tarshard",
-      s"fmt1|shards$TarShards|png+gif+bmp")
+      s"fmt2|shards$TarShards|png+gif+bmp+wav")
     Similarity.ensureArtifact(s, dir, "tar-shard")(
       Similarity.successAt(s)) { stage =>
         val fs = new org.apache.hadoop.fs.Path(stage)
@@ -1331,7 +1401,8 @@ object Multimodal extends QueryPack {
                 case (id, t) => Seq(
                   Tar.Entry(f"$id%012d.bmp", id, Bmp.fromText(id, t)),
                   Tar.Entry(f"$id%012d.gif", id, Gif.fromText(id, t)),
-                  Tar.Entry(f"$id%012d.png", id, Png.fromText(id, t)))
+                  Tar.Entry(f"$id%012d.png", id, Png.fromText(id, t)),
+                  Tar.Entry(f"$id%012d.wav", id, Wav.fromText(id, t)))
               }.toSeq
               (shard, Tar.encode(members))
             }

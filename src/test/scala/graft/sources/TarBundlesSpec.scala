@@ -73,8 +73,9 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("checksum")
   }
 
-  test("the persisted mm_shard_decode artifact's member bytes round-trip " +
-      "bit-exactly against the generators, one bundle per document") {
+  test("the persisted multimodal-shard artifact's member bytes round-trip " +
+      "bit-exactly against the generators, one image+audio bundle per " +
+      "document") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
@@ -82,12 +83,12 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
     val members = TarBundles.members(spark, dir)
       .select($"name", $"mtime", $"data").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2)))
-    // one png + gif + bmp member per non-empty-ascii document
+    // one png + gif + bmp + wav member per non-empty-ascii document
     val docs = graft.Tables.documents(spark, sf)
       .withColumn("atext", regexp_replace($"text", "[^\\x20-\\x7e]", ""))
       .filter(org.apache.spark.sql.functions.length($"atext") > 0)
       .select($"doc_id", $"atext").as[(Long, String)].collect().toMap
-    members.size shouldBe docs.size * 3
+    members.size shouldBe docs.size * 4
     members.foreach { case (name, mtime, data) =>
       val dot = name.lastIndexOf('.')
       val id = name.substring(0, dot).toLong
@@ -96,6 +97,7 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
         case "png" => graft.operators.Png.fromText(id, docs(id))
         case "gif" => graft.operators.Gif.fromText(id, docs(id))
         case "bmp" => graft.operators.Bmp.fromText(id, docs(id))
+        case "wav" => graft.operators.Wav.fromText(id, docs(id))
       }
       withClue(s"$name: ") { data.toSeq shouldBe expected.toSeq }
     }
