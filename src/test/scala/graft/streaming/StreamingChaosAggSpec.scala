@@ -330,6 +330,155 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: cusumStream kill between emission and commit + restart " +
+      "yields detector reports bit-identical to an unkilled run, both " +
+      "providers") {
+    // a replayed fold re-walks the killed batch's excursion on top of
+    // the already-advanced S — inflating max_cusum and alarm counts
+    val ref = Map(1L -> (10L, 10000L), 2L -> (10L, 12000L),
+      3L -> (10L, 9000L))
+    val r = new scala.util.Random(41)
+    def evJson(u: Long, base: Long, n: Int, lift: Long): Seq[String] =
+      (0 until n).map { i =>
+        val y = 900L + r.nextInt(300) + lift
+        s"""{"user_id":$u,"tus":${base + i},"event_id":${base + i},"y":$y}"""
+      }
+    val batches = Seq(
+      evJson(1L, 0L, 10, 0L) ++ evJson(2L, 0L, 8, 0L),
+      evJson(1L, 100L, 8, 600L) ++ evJson(3L, 100L, 7, 0L), // excursion
+      evJson(2L, 200L, 6, 700L) ++ evJson(1L, 200L, 5, 0L))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingCusum.cusumStream(
+        spark.readStream
+          .schema("user_id LONG, tus LONG, event_id LONG, y LONG")
+          .json(src.toString),
+        ref, slackK = 200L, thresholdH = 1500L, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"cus-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"cus-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
+  test("chaos: patternStream kill between emission and commit + restart " +
+      "yields CEP stats bit-identical to an unkilled run, both providers " +
+      "— including a v..p run split by the killed boundary") {
+    // the run state (inRun, runLen) carries across the killed batch:
+    // a double fold would double-count the split run's events
+    val batches = Seq(
+      Seq((1L, 0L, "v"), (1L, 1L, "c"), (2L, 0L, "x"), (2L, 1L, "v"))
+        .map { case (u, t, c) =>
+          s"""{"user_id":$u,"tus":$t,"event_id":$t,"code":"$c"}""" },
+      // user 1's run CLOSES across the kill boundary; user 2's stays open
+      Seq((1L, 10L, "p"), (2L, 10L, "c"), (3L, 10L, "v"))
+        .map { case (u, t, c) =>
+          s"""{"user_id":$u,"tus":$t,"event_id":$t,"code":"$c"}""" },
+      Seq((2L, 20L, "p"), (3L, 20L, "p"), (1L, 20L, "v"))
+        .map { case (u, t, c) =>
+          s"""{"user_id":$u,"tus":$t,"event_id":$t,"code":"$c"}""" })
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingPattern.patternStream(
+        spark.readStream
+          .schema("user_id LONG, tus LONG, event_id LONG, code STRING")
+          .json(src.toString),
+        ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"pat-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"pat-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+      // the cross-kill run genuinely matched: user 2 (v in b0, c in b1,
+      // p in b2) reports one 3-event match
+      val u2 = control.find(_.head == 2L).get
+      (u2(2), u2(3)) shouldBe ((1L, 3L)) // n_matches, longest_match
+    })
+  }
+
+  test("chaos: topKStream kill between emission and commit + restart " +
+      "yields leaderboards bit-identical to an unkilled run, both " +
+      "providers") {
+    // a replayed fold merges the killed batch's slice into a state
+    // that already absorbed it — harmless only if the merge dedups by
+    // event_id; the gate proves it does
+    val r = new scala.util.Random(43)
+    def evJson(grp: String, base: Long, n: Int): Seq[String] =
+      (0 until n).map { i =>
+        s"""{"grp":"$grp","event_id":${base + i},"y":${r.nextInt(100000)}}"""
+      }
+    val batches = Seq(
+      evJson("a", 0L, 12) ++ evJson("b", 100L, 9),
+      evJson("a", 200L, 8) ++ evJson("c", 300L, 7),
+      evJson("b", 400L, 6) ++ evJson("a", 500L, 4))
+    def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+      StreamingTopK.topKStream(
+        spark.readStream
+          .schema("grp STRING, event_id LONG, y LONG")
+          .json(src.toString),
+        k = 3, ckpt.toString,
+        df => { if (sink(df.collect())) sys.error("chaos kill") })
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val control = drive(starter, batches, chaos = false, s"topk-c-$prov")
+      val chaotic = drive(starter, batches, chaos = true, s"topk-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
+  test("chaos: scd2Stream kill between emission and commit + restart " +
+      "yields version emissions bit-identical to an unkilled run and " +
+      "never double-folds a version, both providers") {
+    def chJson(rows: Seq[(Long, Int, Double, String, Long)]): Seq[String] =
+      rows.map { case (k, n, b, seg, seq) =>
+        s"""{"c_custkey":$k,"c_nationkey":$n,"c_acctbal":$b,""" +
+          s""""c_mktsegment":"$seg","change_seq":$seq}"""
+      }
+    val batches = Seq(
+      chJson(Seq((1L, 5, 100.0, "AUTO", 1L), (2L, 7, 50.0, "BLDG", 2L))),
+      // key 1 changes twice in the killed batch: last-change-wins
+      chJson(Seq((1L, 5, 120.0, "AUTO", 3L), (1L, 6, 130.0, "MACH", 4L),
+        (3L, 9, 75.0, "HOUS", 5L))),
+      chJson(Seq((2L, 7, 60.0, "BLDG", 6L))))
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      val table = s"chaos_scd2_$prov"
+      def starter(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+          state: java.nio.file.Path, sink: Array[Row] => Boolean) =
+        StreamingScd2.scd2Stream(
+          spark.readStream
+            .schema("c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE, " +
+              "c_mktsegment STRING, change_seq LONG")
+            .json(src.toString),
+          table, buckets = 4, ckpt.toString,
+          df => { if (sink(df.collect())) sys.error("chaos kill") })
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val control =
+        try drive(starter, batches, chaos = false, s"scd2-c-$prov")
+        finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      val chaotic =
+        try {
+          val out = drive(starter, batches, chaos = true, s"scd2-k-$prov")
+          // the killed batch folded at most ONCE: exactly one version
+          // row per (key, valid_from) in the state log, and key 1's
+          // batch-1 version is the last-change-wins row
+          val st = spark.table(table)
+            .select("c_custkey", "valid_from", "c_mktsegment").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          st.groupBy(t => (t._1, t._2)).values
+            .foreach(_.length shouldBe 1)
+          st.filter(t => t._1 == 1L && t._2 == 1L)
+            .map(_._3).toSeq shouldBe Seq("MACH")
+          out
+        } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+    })
+  }
+
   test("chaos: binStream (continuous compaction bins) kill between " +
       "emission and commit + restart yields assignments bit-identical " +
       "to an unkilled run, both providers — and equal to a sequential " +
