@@ -923,7 +923,8 @@ object Relational extends QueryPack {
     * over a full group is order-invariant for monotone runs). */
   private[graft] def globalPrefixSum(
       s: SparkSession, df: DataFrame, sortCols: Seq[Column],
-      valueCol: String, partsIn: Int = 0): DataFrame = {
+      valueCol: String, partsIn: Int = 0,
+      rankCol: String = null): DataFrame = {
     import s.implicits._
     require(!df.columns.contains("psum"),
       "globalPrefixSum: input already has a 'psum' column — rename it")
@@ -934,24 +935,39 @@ object Relational extends QueryPack {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__ps_pid", spark_partition_id())
     val vIdx = sorted.schema.fieldIndex(valueCol)
-    val outSchema = sorted.schema.add("__ps_local", LongType)
+    // rankCol: the 0-based global row index over the SAME sorted
+    // layout, for free — a second accumulator in the local pass and
+    // the row counts ride the totals collect the sum already pays
+    // (callers previously ran a whole second globalRank for this)
+    val withRank = rankCol != null
+    val outSchema0 = sorted.schema.add("__ps_local", LongType)
+    val outSchema =
+      if (withRank) outSchema0.add("__ps_idx", LongType) else outSchema0
     val withLocal = sorted.mapPartitions { it =>
       var acc = 0L
+      var idx = -1L
       it.map { r =>
         acc += r.getLong(vIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        idx += 1L
+        val base = r.toSeq :+ acc
+        org.apache.spark.sql.Row.fromSeq(
+          if (withRank) base :+ idx else base)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .localCheckpoint(true) // totals job + the output projection
     val totals = withLocal.groupBy($"__ps_pid")
-      .agg(sum(col(valueCol)).as("tot"))
+      .agg(sum(col(valueCol)).as("tot"), count(lit(1)).as("cnt"))
       .orderBy($"__ps_pid").collect()
     val offsets = totals.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = totals.map(_.getInt(0)).zip(offsets).toSeq
-      .toDF("__ps_pid", "__ps_off")
-    withLocal.join(broadcast(offsetDf), Seq("__ps_pid"))
+    val cntOffs = totals.map(_.getLong(2)).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = totals.map(_.getInt(0)).zip(offsets.zip(cntOffs)).toSeq
+      .map { case (pid, (o, c)) => (pid, o, c) }
+      .toDF("__ps_pid", "__ps_off", "__ps_coff")
+    val joined = withLocal.join(broadcast(offsetDf), Seq("__ps_pid"))
       .withColumn("psum", $"__ps_local" + $"__ps_off")
-      .drop("__ps_pid", "__ps_local", "__ps_off")
+    (if (withRank) joined.withColumn(rankCol, $"__ps_idx" + $"__ps_coff")
+     else joined)
+      .drop("__ps_pid", "__ps_local", "__ps_idx", "__ps_off", "__ps_coff")
   }
 
   /** PER-KEY distributed inclusive prefix sum — the grouped sibling of

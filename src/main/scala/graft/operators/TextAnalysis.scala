@@ -486,13 +486,12 @@ object TextAnalysis extends QueryPack {
       math.max(1L, math.min(math.min(Int.MaxValue.toLong,
         math.max(dp, n / 4000000L)), n / 65536L + 1L)).toInt
     }
-    val offs = Relational.globalPrefixSum(s, lens, Seq($"doc_id"), "dlen",
-        sized(nDocs))
+    // offsets AND doc ranks in ONE range pass: docrk is the free row
+    // index of the same (doc_id)-sorted layout the prefix sum builds
+    val docMeta = Relational.globalPrefixSum(s, lens, Seq($"doc_id"),
+        "dlen", sized(nDocs), rankCol = "docrk")
       .withColumn("off", $"psum" - $"dlen" + lit(gidBase))
-      .select($"doc_id", $"off")
-    val docMeta = Relational.globalRank(s, offs, Seq($"doc_id"),
-        sized(nDocs))
-      .withColumnRenamed("rk", "docrk")
+      .select($"doc_id", $"off", $"docrk")
     val withOff = toks.join(docMeta, Seq("doc_id"))
       .transform(cut) // real positions + sentinels both read it
     val real = withOff
@@ -501,14 +500,29 @@ object TextAnalysis extends QueryPack {
       .select($"doc_id", $"off", posexplode($"tokens").as(Seq("p", "term")))
       .select($"doc_id", ($"off" + $"p").as("gid"), $"term")
       .transform(cut) // term ranking + r0 + the final mapping
-    var vocab = 0L // filled by the rank's own counts collect
-    val termRanks = Relational.globalRank(s,
-        real.select($"term").distinct(), Seq($"term"), sized(nTotal),
-        onCount = vocab = _)
-      .withColumnRenamed("rk", "trk")
-      .transform(cut) // r0 + the append's level-0 floor both read
+    var vocab = 0L // filled by the rank passes' own counts collects
+    // Term ranking, two shapes: the APPEND base (dense = true) must
+    // persist the (term, trk) directory — its vocabulary merges join
+    // it — so it pays distinct + rank + join-back; the batch path
+    // dense-ranks `real` directly in ONE range pass (equal terms get
+    // equal ranks), and the directory stays a LAZY projection nothing
+    // on the batch path ever executes.
+    val (r0core, termRanks) = if (dense) {
+      val tr = Relational.globalRank(s,
+          real.select($"term").distinct(), Seq($"term"), sized(nTotal),
+          onCount = vocab = _)
+        .withColumnRenamed("rk", "trk")
+        .transform(cut) // r0 + the append's level-0 floor both read
+      (real.join(tr, Seq("term")).select($"gid", $"trk".as("rk")), tr)
+    } else {
+      val ranked = Relational.globalDenseRank(s,
+        real.select($"gid", $"term"), Seq("term"), sized(nTotal),
+        onDistinct = vocab = _)
+      (ranked.select($"gid", $"rk"),
+        ranked.select($"term", $"rk".as("trk")).distinct())
+    }
     if (vocab == 0L) return None // empty corpus: nothing to rank
-    val r0 = real.join(termRanks, Seq("term")).select($"gid", $"trk".as("rk"))
+    val r0 = r0core
       .unionByName(withOff.select(
         ($"off" + size($"tokens")).as("gid"),
         (lit(vocab) + $"docrk").as("rk")))
