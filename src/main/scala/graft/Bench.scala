@@ -98,9 +98,29 @@ object Bench {
     * BENCH_r{N} record; the canonical human-audited copy lives in
     * BASELINE.md ("Prior-round band crossings") and BenchBandsSpec
     * holds the two identical. Bounded cost: only last round's
-    * crossers (normally 0-1 queries) can pay the extra passes. */
+    * crossers (normally 0-1 queries) can pay the extra passes.
+    * BENCH_r13 was taken on a machine at load1 11.4 (recorded in its
+    * own load line) and smeared FOURTEEN medians past their tops —
+    * per this list's own update rule all fourteen join for round 14
+    * (and `llm_gopher_rules` leaves: 3.08 < 3.4). The designed,
+    * bounded response to a contaminated record: each gets a 1.0x-armed
+    * decorrelated solo probe next round, and the base passes are now
+    * quiet-gated too (see below) so the record starts clean. */
   private[graft] val priorBandCrossings: Set[String] = Set(
-    "llm_gopher_rules")
+    "llm_repeated_spans",
+    "llm_heavy_hitters",
+    "llm_dup_spans",
+    "ref_tail_offsets",
+    "evt_windowed_agg",
+    "q1_pricing_summary",
+    "dedup_ngram_jaccard_banded",
+    "llm_textrank",
+    "agg_f2_sketch",
+    "dedup_prefix_filter_join",
+    "evt_peak_concurrency",
+    "dedup_incremental_near",
+    "llm_winnowing",
+    "dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +180,26 @@ object Bench {
         .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val loadStart = loadAvg()
+    // Quiet-gate for the BASE passes (round-13 verdict #1a): the solo
+    // passes were already load-gated, but the base passes were not —
+    // BENCH_r13 started at load1 11.4 and produced 14 nominal band
+    // crossings that were pure ambient smear, turning the round-over-
+    // round signal to mush. One bounded wait (same threshold and cap
+    // as the solo gate, recorded as "base_wait_s" in the final JSON
+    // line) before pass 1 makes every future record comparable from
+    // its first sample. loadStart is sampled BEFORE the wait so the
+    // record still shows the ambient state the bench arrived to.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD",
+      (cpus.toInt * 1.5).toString).toDouble
+    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "90").toInt
+    def waitForQuiet(): Int = {
+      var waited = 0
+      while (loadAvg() > quietLoad && waited < quietWaitMax) {
+        Thread.sleep(5000); waited += 5
+      }
+      waited
+    }
+    val baseWait = waitForQuiet()
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passTimes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       loadSamples += loadAvg()
@@ -226,24 +266,11 @@ object Bench {
     // breaches it — previously only a reader with BASELINE.md open
     // could distinguish ambient elevation from a real regression.
     loadSamples += loadAvg()
-    // Quiet-gate for solo passes: when a band breach fires, the solo
-    // passes are the samples the verdict will trust — taking them while
-    // the ambient window is still open wastes them (BENCH_r11: the solo
-    // medians were themselves inflated). If load1 exceeds the threshold
-    // (default 1.5x cores: the bench's own 32-thread bursts decay fast
-    // at a pass boundary; sustained excess means ANOTHER process),
-    // sleep up to SPARK_GRAFT_QUIET_WAIT seconds in 5 s steps before
-    // the solos, and record the wait in the breaches summary.
-    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD",
-      (cpus.toInt * 1.5).toString).toDouble
-    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "90").toInt
-    def waitForQuiet(): Int = {
-      var waited = 0
-      while (loadAvg() > quietLoad && waited < quietWaitMax) {
-        Thread.sleep(5000); waited += 5
-      }
-      waited
-    }
+    // The same waitForQuiet() also gates the SOLO passes: when a band
+    // breach fires, the solos are the samples the verdict will trust —
+    // taking them while the ambient window is still open wastes them
+    // (BENCH_r11: the solo medians were themselves inflated). The wait
+    // is recorded per-breach in the breaches summary.
     final case class Outcome(
         reported: Double, samples: Seq[Double], bandTop: Option[Double],
         bandTriggered: Boolean, spreadTriggered: Boolean,
@@ -368,7 +395,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val loadJson = (loadStart +: loadSamples.toSeq)
       .map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfJson","reps":$reps,"stat":"median-across-passes","breaches":$breachesJson,"load":$loadJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfJson","reps":$reps,"stat":"median-across-passes","breaches":$breachesJson,"base_wait_s":$baseWait,"load":$loadJson}""")
     spark.stop()
   }
 }

@@ -67,4 +67,30 @@ object Tuning {
       case "persist" => df.persist(StorageLevel.DISK_ONLY_2)
       case _         => df.localCheckpoint(eager = true)
     }
+
+  /** Root of the persisted-artifact tier (PQ/IVF/NSW indexes, z-order
+    * cut tables, compaction output, multimodal tar shards), selected by
+    * `spark.graft.artifactsRoot` — a deployment choice like
+    * [[scanOnce]]'s:
+    *
+    *  - default `file:<java.io.tmpdir>/graft_artifacts`: right for
+    *    local/single-JVM sessions (tests, the bench), where driver and
+    *    executors share one filesystem.
+    *  - a cluster deploy MUST point it at shared storage visible to
+    *    every executor AND the driver under the same scheme/path
+    *    (HDFS, S3A, NFS …): artifacts are written executor-side while
+    *    completeness checks and reads resolve the path driver-side, so
+    *    a node-local default would silently fragment the tier — each
+    *    node builds its own partial copy and the driver's `_SUCCESS`
+    *    check consults a third filesystem. The staging-rename install
+    *    ([[graft.operators.Similarity.installArtifact]]) additionally
+    *    wants a root where rename is atomic (HDFS/NFS yes; S3A renames
+    *    are copy-based, safe here but slower).
+    *
+    * Trailing slashes are trimmed so keyed paths concatenate cleanly. */
+  def artifactsRoot(spark: SparkSession): String =
+    spark.conf
+      .get("spark.graft.artifactsRoot",
+        s"${sys.props("java.io.tmpdir")}/graft_artifacts")
+      .stripSuffix("/")
 }

@@ -40,10 +40,12 @@ object ShannonCode {
     text.foreach { ch =>
       val (v, l) = book.getOrElse(ch,
         throw new IllegalArgumentException(s"shannon: '$ch' not in book"))
-      // The 64-bit accumulator may carry up to 7 bits before this
-      // codeword; beyond 56 codeword bits the shift would silently
-      // drop high bits. Unreachable for any total/freq < 2^56 — loud.
-      require(l <= 56, s"shannon: code length $l exceeds accumulator bound 56")
+      // The 64-bit accumulator carries at most 7 bits before this
+      // codeword (the drain loop below leaves nAcc < 8), so a 57-bit
+      // codeword still fits exactly: 7 + 57 = 64. Beyond that the
+      // shift would silently drop high bits. Unreachable for any
+      // total/freq < 2^57 — loud.
+      require(l <= 57, s"shannon: code length $l exceeds accumulator bound 57")
       acc = (acc << l) | v
       nAcc += l
       bits += l

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.{QueryDef, QueryPack, Tables}
+import graft.{QueryDef, QueryPack, Tables, Tuning}
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the embeddings table (SURVEY.md §2.3):
@@ -723,27 +723,19 @@ object Similarity extends QueryPack {
     * testdata regeneration changing the key) are TTL-pruned
     * best-effort after a successful build. */
   private def pqArtifactDir(s: SparkSession, d: String): String = {
-    // key = build semantics + source-table identity (path, mtime, size):
+    // key = build semantics + source-table identity ([[sourceIdentity]]):
     // regenerated testdata or changed build code both miss the cache
-    // instead of pairing with a stale codebook. Identity comes from the
-    // Hadoop FileSystem, not java.io.File — a java.io stat of an
-    // hdfs://. or s3a:// path silently reads (0, 0) and the key would
-    // never change across regenerations; getFileStatus also throws
-    // loudly when the source is absent instead of caching a 0|0 key
-    val srcPath = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
-    val src = srcPath
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
+    // instead of pairing with a stale codebook.
     // "fmt4" = wide codes layout (vec_id, codes array<int> ordered by
     // sub) — one row per vector, the shape the map-only ADC search
     // consumes directly ([[pqCodesLong]] derives the long form without
     // a shuffle); bump on any artifact-format change so old layouts
     // can't be misread
-    val key = s"fmt4|$pqBuildCtes|$d|${src.getModificationTime}|${src.getLen}"
+    val key = s"fmt4|$pqBuildCtes|$d|${sourceIdentity(s, d, "embeddings.parquet")}"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/pq_$digest"
+    s"${Tuning.artifactsRoot(s)}/pq_$digest"
   }
 
   /** Read the persisted PQ artifact for `d`, building it first if (and
@@ -783,22 +775,44 @@ object Similarity extends QueryPack {
     (s.read.parquet(codesPath), s.read.parquet(booksPath))
   }
 
-  /** Keyed artifact directory under the shared root — the ONE place
-    * that states the keying policy (round-13 review: six copies had
-    * grown): `semantics` must be the complete build statement (so any
-    * build change misses the cache), and the source table's identity
-    * comes from the Hadoop FileSystem (a java.io stat of a remote
-    * path silently reads (0, 0) and the key would never change). */
+  /** Source-table identity for artifact cache keys. A parquet "table"
+    * is a DIRECTORY, and keying on the directory's own status is
+    * unsound off the local filesystem (round-13 ADVICE): object-store
+    * directory statuses are synthetic (len 0, mtime 0), so regenerating
+    * the table there would never change the key and a stale index would
+    * be served silently; even local dir-mtime has coarse granularity.
+    * Key on the CONTENTS listing instead — sorted child
+    * name:length:mtime triples — which changes whenever any data file
+    * is rewritten. A plain-file source keeps its own (mtime, len).
+    * Identity always comes from the Hadoop FileSystem, not java.io —
+    * a java.io stat of an hdfs:// or s3a:// path silently reads (0, 0);
+    * getFileStatus/listStatus also throw loudly when the source is
+    * absent instead of caching a 0|0 key. */
+  private[operators] def sourceIdentity(s: SparkSession, d: String,
+      srcFile: String): String = {
+    val srcPath = new org.apache.hadoop.fs.Path(d, srcFile)
+    val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(srcPath)
+    if (!st.isDirectory) s"${st.getModificationTime}|${st.getLen}"
+    else fs.listStatus(srcPath)
+      .map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  /** Keyed artifact directory under the shared root
+    * ([[graft.Tuning.artifactsRoot]] — `spark.graft.artifactsRoot`;
+    * default local tmpdir, a cluster points it at shared storage) —
+    * the ONE place that states the keying policy (round-13 review: six
+    * copies had grown): `semantics` must be the complete build
+    * statement (so any build change misses the cache), and the source
+    * table's identity is its contents listing ([[sourceIdentity]]). */
   private[operators] def artifactDir(s: SparkSession, d: String,
       srcFile: String, kind: String, semantics: String): String = {
-    val srcPath = new org.apache.hadoop.fs.Path(d, srcFile)
-    val src = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"$semantics|$d|${src.getModificationTime}|${src.getLen}"
+    val key = s"$semantics|$d|${sourceIdentity(s, d, srcFile)}"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/${kind}_$digest"
+    s"${Tuning.artifactsRoot(s)}/${kind}_$digest"
   }
 
   /** Resolve-or-build: returns once `completeAt(dir)` holds, building
@@ -840,12 +854,25 @@ object Similarity extends QueryPack {
       // dir — and if it turns out to have become complete, it is
       // atomically put back (or dropped if a third builder installed
       // meanwhile: deterministic builds make all copies byte-equal).
+      // Shrink the displacement window (round-13 ADVICE): a concurrent
+      // builder may COMPLETE the occupant between the outer check and
+      // the rename below — re-check completeness immediately before
+      // displacing, so a reader that just passed its own completeness
+      // check has the narrowest possible window in which its files
+      // could be renamed away. And when a displaced dir turns out to
+      // have become complete but cannot be put back (a third builder
+      // installed meanwhile), LEAVE it for pruneStaleArtifacts' 24 h
+      // TTL instead of deleting inline — a reader that resolved file
+      // paths under the old name may still be scanning them; the TTL
+      // outlives any live query. Only a displaced dir that is
+      // INCOMPLETE under its new name (no reader can have passed the
+      // completeness check on it) is deleted eagerly.
       if (!completeAt(dirPath.toString)) {
         val stale = new org.apache.hadoop.fs.Path(dirPath.toString +
           "_stale_" + java.util.UUID.randomUUID().toString.take(8))
-        if (fs.rename(dirPath, stale)) {
+        if (!completeAt(dirPath.toString) && fs.rename(dirPath, stale)) {
           if (completeAt(stale.toString)) {
-            if (!fs.rename(stale, dirPath)) fs.delete(stale, true)
+            if (!fs.rename(stale, dirPath)) () // leave for TTL prune
           } else fs.delete(stale, true)
         }
         if (!fs.rename(stage, dirPath) && !completeAt(dirPath.toString))
@@ -882,15 +909,11 @@ object Similarity extends QueryPack {
     * change to either index build, or regenerated testdata, misses the
     * cache instead of pairing stale pieces. */
   private def ivfpqArtifactDir(s: SparkSession, d: String): String = {
-    val srcPath = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
-    val src = srcPath
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(srcPath)
-    val key = s"fmt2|$ivfBuildChain|$pqBuildChain|$d|${src.getModificationTime}|${src.getLen}"
+    val key = s"fmt2|$ivfBuildChain|$pqBuildChain|$d|${sourceIdentity(s, d, "embeddings.parquet")}"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/ivfpq_$digest"
+    s"${Tuning.artifactsRoot(s)}/ivfpq_$digest"
   }
 
   /** Deployment-shaped IVF+PQ artifact: the INVERTED-FILE layout a

@@ -55,8 +55,19 @@ object StreamingCompaction {
           }
         // replayed batch: the fold already happened — recompute THIS
         // batch's bins from the offset it was originally assigned
-        // with, so the re-emission is bit-identical
-        val off = if (batchId <= lastBatch) prevOff else nextOff
+        // with, so the re-emission is bit-identical. ONLY the
+        // last-committed batch id can legitimately replay (a crash
+        // between commit and sink): prevOff is the correct base for
+        // batchId == lastBatch and for no other id. A batchId BELOW
+        // lastBatch means the streaming checkpoint was reset while
+        // stateDir survived (batch ids restarted at 0) — recomputing
+        // from the carried offset would silently assign wrong bins,
+        // so fail loudly instead (round-13 ADVICE).
+        if (batchId < lastBatch) throw new IllegalStateException(
+          s"StreamingCompaction: batch $batchId below committed " +
+            s"$lastBatch — checkpoint was reset while state dir " +
+            s"$stateDir survived; clear one or the other")
+        val off = if (batchId == lastBatch) prevOff else nextOff
         val assigned = Relational.globalPrefixSum(s,
             batch.select($"file_id".cast("long").as("file_id"),
               $"size_b".cast("long").as("size_b")),

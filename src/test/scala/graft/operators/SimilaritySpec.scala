@@ -747,6 +747,36 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     mtimes() shouldBe before
   }
 
+  test("spark.graft.artifactsRoot relocates the whole artifact tier: " +
+      "build lands under the custom root and reads back identical") {
+    import spark.implicits._
+    val custom = java.nio.file.Files
+      .createTempDirectory("graft_custom_root").toString
+    val e = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("emb"))
+      .localCheckpoint(true)
+    val defaultEdges = Similarity.graphEdgesFor(spark, sf, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.artifactsRoot", custom)
+    try {
+      val customEdges = Similarity.graphEdgesFor(spark, sf, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      customEdges shouldBe defaultEdges // deterministic build, new home
+      val installed = new java.io.File(custom).listFiles().toSeq
+      installed.count(_.getName.startsWith("nsw_")) shouldBe 1
+      // the IVF model honors the same root
+      Similarity.ivfModelFor(spark, sf)._1.count()
+      new java.io.File(custom).listFiles()
+        .count(_.getName.startsWith("ivf_")) shouldBe 1
+    } finally {
+      spark.conf.unset("spark.graft.artifactsRoot")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(custom))
+      ()
+    }
+  }
+
   test("filtered graph ANN: predicate inside the beam walk clears its " +
       "recall floor vs FILTERED brute force, where post-filtering the " +
       "unfiltered walk provably under-returns") {
