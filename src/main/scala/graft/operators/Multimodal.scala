@@ -1368,56 +1368,105 @@ object Multimodal extends QueryPack {
         ORDER BY doc_id"""))
   )
 
-  /** Shards for [[shardedTarDir]] — a production run sizes shard COUNT
-    * so each shard lands near the 0.5-1 GiB WebDataset convention;
-    * the mechanism (one member bundle per doc, one task per shard) is
-    * count-invariant. */
-  private val TarShards = 8L
+  /** Target shard size in bytes for [[shardedTarDir]] —
+    * `spark.graft.tarShardTargetBytes`, default 1 GiB (the WebDataset
+    * size-targeted-shard convention: big enough that sequential reads
+    * amortize open/seek, small enough that one shard is one sensible
+    * task). The r12 mod-N routing this replaced was COUNT-fixed:
+    * shard bytes grew linearly with the corpus — the silent
+    * whole-file heap hazard SURVEY §7.4 closed for ingest,
+    * reintroduced at the artifact tier (round-13 verdict #3). */
+  private def tarShardTarget(s: SparkSession): Long =
+    s.conf.get("spark.graft.tarShardTargetBytes",
+      (1024L * 1024 * 1024).toString).toLong
 
   /** The persisted tar-shard artifact behind `mm_shard_decode`: one
-    * PNG + GIF + BMP member per document (names `%012d.<kind>`, mtime
-    * = doc_id, members sorted by doc_id), packed shard = all docs
-    * with doc_id ≡ s (mod [[TarShards]]), written ONCE per
-    * (format key, documents identity) under the shared artifacts root
-    * and reused — the [[Similarity.installArtifact]] staging-rename
+    * PNG + GIF + BMP + WAV member per document (names `%012d.<kind>`,
+    * mtime = doc_id, members sorted by doc_id), packed into
+    * SIZE-TARGETED shards — cumulative tar-block size over doc_id
+    * order, bin = floor((psum − size)/target), the same arithmetic as
+    * `compactionApplied`'s bins — written ONCE per (format key,
+    * target, documents identity) under the shared artifacts root and
+    * reused: the [[Similarity.installArtifact]] staging-rename
     * discipline, so concurrent builders are safe and a regenerated
-    * fixture auto-invalidates. Shard bytes are produced and written
-    * EXECUTOR-side (one group per shard, Hadoop FS create), never
-    * driver-collected; locally the artifact root is file://-backed
-    * tmpdir, in a cluster it points at shared storage. */
+    * fixture auto-invalidates.
+    *
+    * 100 TB shape: shard COUNT grows with the corpus while every
+    * shard's bytes stay ≤ target + one bundle (each bundle's START
+    * offset falls inside its bin's [k·target, (k+1)·target) window);
+    * member bytes are generated once ([[graft.Tuning.scanOnce]] pins
+    * the frame — a stored-binary deployment reads them instead), the
+    * bin assignment rides a metadata-sized prefix sum, and each
+    * shard's entries STREAM to the open FS output via
+    * [[Tar.writeEntry]] — task heap holds one member, never a shard
+    * (the r12 whole-shard `Tar.encode` in `mapGroups` materialized
+    * corpus/8 bytes per task). Everything is executor-side (Hadoop FS
+    * create), never driver-collected; locally the artifact root is
+    * file://-backed tmpdir, in a cluster `spark.graft.artifactsRoot`
+    * points at shared storage. */
   private[graft] def shardedTarDir(s: SparkSession, d: String): String = {
     import s.implicits._
+    val target = tarShardTarget(s)
     val dir = Similarity.artifactDir(s, d, "documents.parquet", "tarshard",
-      s"fmt2|shards$TarShards|png+gif+bmp+wav")
+      s"fmt3|target$target|png+gif+bmp+wav")
     Similarity.ensureArtifact(s, dir, "tar-shard")(
       Similarity.successAt(s)) { stage =>
         val fs = new org.apache.hadoop.fs.Path(stage)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
-        asciiDocs(s, d)
-            .groupByKey { case (id, _) => id % TarShards }
-            .mapGroups { (shard, it) =>
-              val members = it.toArray.sortBy(_._1).flatMap {
-                case (id, t) => Seq(
-                  Tar.Entry(f"$id%012d.bmp", id, Bmp.fromText(id, t)),
-                  Tar.Entry(f"$id%012d.gif", id, Gif.fromText(id, t)),
-                  Tar.Entry(f"$id%012d.png", id, Png.fromText(id, t)),
-                  Tar.Entry(f"$id%012d.wav", id, Wav.fromText(id, t)))
-              }.toSeq
-              (shard, Tar.encode(members))
+        // members generated ONCE (the bytes a production pipeline has
+        // stored already), with each bundle priced in tar blocks
+        val members = graft.Tuning.scanOnce(
+          asciiDocs(s, d).map { case (id, t) =>
+            val bmp = Bmp.fromText(id, t); val gif = Gif.fromText(id, t)
+            val png = Png.fromText(id, t); val wav = Wav.fromText(id, t)
+            val sz = Tar.memberLength(bmp.length) +
+              Tar.memberLength(gif.length) + Tar.memberLength(png.length) +
+              Tar.memberLength(wav.length)
+            (id, bmp, gif, png, wav, sz)
+          }.toDF("doc_id", "bmp", "gif", "png", "wav", "size_b"))
+        // metadata-sized binning: prefix-sum the (doc_id, size) census
+        // in doc_id order, bin by cumulative START offset, join the
+        // bin back — the member BYTES shuffle once (the bin
+        // repartition), not through the range sort
+        val bins = Relational.globalPrefixSum(s,
+            members.select($"doc_id", $"size_b"), Seq($"doc_id"), "size_b")
+          .select($"doc_id",
+            expr(s"(psum - size_b) div $target").as("bin"))
+        members.join(bins, Seq("doc_id"))
+          .repartition($"bin")
+          .sortWithinPartitions($"bin", $"doc_id")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            // task-local Hadoop conf: the artifact path's scheme
+            // (file:// here, shared storage in a cluster) resolves
+            // in the executor, no conf serialization needed. Bins
+            // never split across partitions (hash on the full bin
+            // key), so each shard file has exactly one writer; one
+            // stream is open at a time and entries stream through it.
+            val conf = new org.apache.hadoop.conf.Configuration()
+            var cur = Long.MinValue
+            var os: java.io.OutputStream = null
+            def closeShard(): Unit = if (os != null) {
+              Tar.writeTerminator(os); os.close(); os = null
             }
-            .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-              // task-local Hadoop conf: the artifact path's scheme
-              // (file:// here, shared storage in a cluster) resolves
-              // in the executor, no conf serialization needed
-              val conf = new org.apache.hadoop.conf.Configuration()
-              it.foreach { case (shard, bytes) =>
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val bin = r.getLong(6)
+              if (bin != cur) {
+                closeShard()
                 val p = new org.apache.hadoop.fs.Path(
-                  f"$stage/shard-$shard%05d.tar")
-                val os = p.getFileSystem(conf).create(p, true)
-                try os.write(bytes) finally os.close()
+                  f"$stage/shard-$bin%05d.tar")
+                os = p.getFileSystem(conf).create(p, true)
+                cur = bin
               }
+              Tar.writeEntry(os, Tar.Entry(f"$id%012d.bmp", id, r.getAs[Array[Byte]](1)))
+              Tar.writeEntry(os, Tar.Entry(f"$id%012d.gif", id, r.getAs[Array[Byte]](2)))
+              Tar.writeEntry(os, Tar.Entry(f"$id%012d.png", id, r.getAs[Array[Byte]](3)))
+              Tar.writeEntry(os, Tar.Entry(f"$id%012d.wav", id, r.getAs[Array[Byte]](4)))
             }
+            closeShard()
+          }
+        members.unpersist()
         fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
           .close()
     }

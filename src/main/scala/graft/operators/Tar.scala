@@ -74,15 +74,33 @@ object Tar {
     h
   }
 
+  /** Bytes one member occupies in the archive: header block + payload
+    * rounded up to the block size. `encodedLength(ns) = Σ memberLength
+    * + 2·Block`; shard binning prices bundles with this so the on-disk
+    * shard size is exactly Σ memberLength + terminator. */
+  def memberLength(n: Int): Long =
+    Block.toLong + ((n + Block - 1) / Block).toLong * Block
+
+  /** Stream one member to an open sink: header, payload, padding.
+    * Heap use is the member's own bytes — the shard writer calls this
+    * per member against an open FS stream, so a shard's total size
+    * never materializes in memory (the whole-archive `encode` is for
+    * small in-query archives and tests). */
+  def writeEntry(os: java.io.OutputStream, e: Entry): Unit = {
+    os.write(headerFor(e))
+    os.write(e.data)
+    val pad = (Block - e.data.length % Block) % Block
+    if (pad > 0) os.write(new Array[Byte](pad))
+  }
+
+  /** The two-zero-block archive terminator [[decode]] demands. */
+  def writeTerminator(os: java.io.OutputStream): Unit =
+    os.write(new Array[Byte](2 * Block))
+
   def encode(entries: Seq[Entry]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    entries.foreach { e =>
-      out.write(headerFor(e))
-      out.write(e.data)
-      val pad = (Block - e.data.length % Block) % Block
-      out.write(new Array[Byte](pad))
-    }
-    out.write(new Array[Byte](2 * Block))
+    entries.foreach(writeEntry(out, _))
+    writeTerminator(out)
     out.toByteArray
   }
 

@@ -107,4 +107,48 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
     graft.operators.Multimodal.shardedTarDir(spark, sf) shouldBe dir
     new java.io.File(dir).listFiles().map(_.lastModified).toSeq shouldBe before
   }
+
+  test("shards are SIZE-targeted (WebDataset discipline): every shard's " +
+      "bytes ≤ target + one bundle + terminator, and shard count grows " +
+      "with the corpus at a fixed target") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = 48L * 1024 // small enough that sf0.001 spans shards
+    spark.conf.set("spark.graft.tarShardTargetBytes", target.toString)
+    try {
+      val dir = graft.operators.Multimodal
+        .shardedTarDir(spark, "/root/testdata/sf0.001")
+      def tars(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".tar")).toSeq
+      val shards = tars(dir)
+      shards.size should be > 1
+      // the bound's slack term: the LARGEST single bundle (4 members)
+      // in tar-block bytes, priced from the stored members themselves
+      val maxBundle = TarBundles.members(spark, dir)
+        .select($"name", $"data").as[(String, Array[Byte])].collect()
+        .groupBy(_._1.takeWhile(_ != '.'))
+        .values.map(_.map(m =>
+          graft.operators.Tar.memberLength(m._2.length)).sum).max
+      shards.foreach { f =>
+        withClue(s"${f.getName} (${f.length} bytes): ") {
+          f.length should be <= (target + maxBundle + 1024L)
+        }
+      }
+      // every shard still decodes (terminator + checksums intact) and
+      // the union of members is complete: 4 per non-empty-ascii doc
+      val total = TarBundles.members(spark, dir).count()
+      val nDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .withColumn("atext", regexp_replace($"text", "[^\\x20-\\x7e]", ""))
+        .filter(org.apache.spark.sql.functions.length($"atext") > 0).count()
+      total shouldBe nDocs * 4
+      // 10x the corpus (sf0.1: 5000 docs vs 500) at the SAME target =>
+      // more shards, not bigger ones — the count-fixed mod-N routing
+      // this replaced would keep the count and grow every shard 10x
+      val dir10 = graft.operators.Multimodal
+        .shardedTarDir(spark, "/root/testdata/sf0.1")
+      tars(dir10).size should be > (2 * shards.size)
+      tars(dir10).foreach(
+        _.length should be <= (target + 4L * 128 * 1024 + 1024L))
+    } finally spark.conf.unset("spark.graft.tarShardTargetBytes")
+  }
 }
