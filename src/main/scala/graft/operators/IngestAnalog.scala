@@ -543,9 +543,8 @@ object IngestAnalog extends QueryPack {
 
   /** The executed compaction behind `ref_compaction_apply`: routes
     * every event row to its group's bin (the `ref_compaction_bins`
-    * plan, broadcast — the plan is file-census metadata, never
-    * data-sized) and rewrites the rows as ONE offset-splittable
-    * parquet file per bin. `repartition(bin)` puts each bin's rows in
+    * plan) and rewrites the rows as ONE offset-splittable parquet
+    * file per bin. `repartition(bin)` puts each bin's rows in
     * exactly one task (AQE may merge partitions but never splits a
     * user repartition key), and `partitionBy(bin)` fans that task's
     * output into per-bin directories — so each bin directory holds
@@ -553,9 +552,21 @@ object IngestAnalog extends QueryPack {
     * under the shared artifacts root ([[Similarity.installArtifact]]
     * staging-rename; the parquet writer's own _SUCCESS is the
     * completeness marker), because compaction is a nightly job whose
-    * output many scans reuse. */
+    * output many scans reuse.
+    *
+    * The bin plan is one row per (user_id, event_type) "file" — a
+    * file census. SIZE-GATED broadcast (round-13 verdict #4, the
+    * [[Dedup.componentLabels]] idiom): below `broadcastPlanThreshold`
+    * rows it broadcasts (a compaction window's census is usually
+    * metadata-sized and the fact side skips its shuffle); above, it
+    * joins as a plain equality join and lets AQE pick the strategy —
+    * at a 100 TB compaction window the census reaches millions of
+    * rows and an unconditional broadcast hint would pin
+    * driver/executor memory on every routing task. The count the
+    * gate pays is over the PINNED census (scanOnce), which the join
+    * consumes too, so the plan computes once either way. */
   private[graft] def compactionApplied(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
+      d: String, broadcastPlanThreshold: Long = 2000000L): String = {
     import s.implicits._
     val dir = Similarity.artifactDir(s, d, "events.parquet", "compact",
       "fmt1|binsize10000000")
@@ -564,15 +575,21 @@ object IngestAnalog extends QueryPack {
       val ev = Tables.events(s, d).select($"user_id", $"event_type",
         expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
           .as("cents"))
-      val plan = Relational.globalPrefixSum(s,
+      val plan = graft.Tuning.scanOnce(Relational.globalPrefixSum(s,
           ev.groupBy($"user_id", $"event_type")
             .agg(sum($"cents").as("size_b")),
           Seq($"user_id", $"event_type"), "size_b")
         .select($"user_id", $"event_type",
-          expr("(psum - size_b) div 10000000").as("bin"))
-      ev.join(broadcast(plan), Seq("user_id", "event_type"))
+          expr("(psum - size_b) div 10000000").as("bin")))
+      val routed =
+        if (plan.count() <= broadcastPlanThreshold)
+          ev.join(broadcast(plan), Seq("user_id", "event_type"))
+        else ev.join(plan, Seq("user_id", "event_type"))
+      routed
         .repartition(col("bin"))
         .write.partitionBy("bin").mode("overwrite").parquet(stage)
+      plan.unpersist()
+      ()
     }
     dir
   }

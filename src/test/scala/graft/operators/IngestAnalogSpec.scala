@@ -69,4 +69,45 @@ class IngestAnalogSpec extends AnyFunSuite with Matchers {
       sizes.max.toDouble / sizes.min should be < 3.0
     }
   }
+
+  test("the bin-plan broadcast is SIZE-GATED: forced onto the large " +
+      "path (threshold 0 — plain equality join, AQE picks the " +
+      "strategy) the rewrite is bit-identical to the broadcast path") {
+    import spark.implicits._
+    def censusOf(outDir: String) = spark.read.parquet(outDir)
+      .groupBy($"bin")
+      .agg(countDistinct($"user_id", $"event_type").as("n_groups"),
+        count(lit(1)).as("n_rows"), sum($"cents").as("bin_bytes"))
+      .collect()
+      .map(r => (r.getAs[Number]("bin").longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val viaBroadcast = censusOf(IngestAnalog.compactionApplied(spark, sf))
+    // a fresh artifact root forces a rebuild (same key, empty cache)
+    // through the >threshold branch
+    val custom = java.nio.file.Files
+      .createTempDirectory("graft_compact_gate").toString
+    spark.conf.set("spark.graft.artifactsRoot", custom)
+    try {
+      val outDir = IngestAnalog.compactionApplied(spark, sf,
+        broadcastPlanThreshold = 0L)
+      outDir should startWith(custom) // genuinely the fresh build
+      censusOf(outDir) shouldBe viaBroadcast
+      // the physical contract survives the plan-shape change too
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(outPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bin="))
+        .foreach { st =>
+          val files = fs.listStatus(st.getPath)
+            .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          withClue(s"${st.getPath.getName}: ") { files shouldBe 1 }
+        }
+    } finally {
+      spark.conf.unset("spark.graft.artifactsRoot")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(custom))
+      ()
+    }
+  }
 }

@@ -725,4 +725,19 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
       withClue(q) { p should not include "Window" }
     }
   }
+
+  test("skip-gram negative sampling ranks the node census distributed: " +
+      "no single-task window over the vocabulary") {
+    // the node census is vocabulary-sized — tens of millions at
+    // 100 TB — so the rank must come from globalRank (range sort
+    // inside its checkpoint job + broadcast offset join), never a
+    // Window.orderBy over everything in one task (round-13 verdict
+    // #6). The per-node ADJACENCY window (bounded by max degree)
+    // inside the walk build is fine and runs before the checkpoint,
+    // so the executed plan shows no Window and no SinglePartition
+    // exchange on the census path.
+    val p = plan("q_walk_skipgrams")
+    p should not include "Window"
+    p should not include "SinglePartition"
+  }
 }
