@@ -163,6 +163,32 @@ object Relational extends QueryPack {
       .drop("__gr_pid", "__gr_ridx", "__gr_off")
   }
 
+  /** Exact p50/p99 of a LongType column `v` as strings, one row
+    * (p50v, p99v) — the profiler family's quantile line. Convention:
+    * rank = ⌈q·n⌉ over the 1-based ascending order of the non-null
+    * values (both engines replay the identical integer arithmetic:
+    * (q·n + 99) div 100).
+    *
+    * 100 TB shape: a column-pruned map-side-combined value HISTOGRAM
+    * (value-domain-sized, never the data), [[globalPrefixSum]] over
+    * the domain (the tukey/dataset-card discipline — no data sort, no
+    * single-task window), then ONE aggregate probes both ranks: the
+    * quantile value is the smallest value whose cumulative count
+    * reaches the rank. All-null input yields (null, null). */
+  private def exactPctlReprs(s: SparkSession, values: DataFrame): DataFrame = {
+    import s.implicits._
+    val hist = values.filter($"v".isNotNull)
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+    val ps = globalPrefixSum(s, hist, Seq($"v"), "c")
+      .localCheckpoint(true) // the n scalar + the rank probe
+    val nDf = ps.agg(max($"psum").as("nn"))
+    ps.crossJoin(broadcast(nDf)).agg(
+      min(when($"psum" >= expr("(50 * nn + 99) div 100"), $"v"))
+        .cast(StringType).as("p50v"),
+      min(when($"psum" >= expr("(99 * nn + 99) div 100"), $"v"))
+        .cast(StringType).as("p99v"))
+  }
+
   /** Exact k-th order statistics over a single `cents` LongType column
     * — the `q_select_kth` machinery with the driver collect bounded by
     * a CONSTANT across value domains. Each round histograms the
@@ -1549,19 +1575,25 @@ object Relational extends QueryPack {
         ORDER BY p.center, p.context"""),
       headline = false),
 
-    // ── one-pass table profile (the data-quality first-look) ──
+    // ── one-pass table profiles (the data-quality first-look) ──
     // The census every pipeline runs before trusting a new table:
-    // per column, null count, distinct cardinality, and exact min/max
+    // per column, null count, distinct cardinality, exact min/max,
+    // and — on the table's designated measure column — exact p50/p99
     // — the inputs to scan pruning decisions (is this column worth a
-    // zone map?), join-key sanity (is the key actually unique?), and
-    // null-contract checks. ONE pass over the table: a single
-    // aggregate computes all 6 columns' counts/distincts/extrema
-    // (Spark plans the multi-DISTINCT via Expand — the scan still
-    // happens once), then `stack` unpivots the 1-row result into the
-    // per-column census, so the cost is a map-side-combined aggregate
-    // regardless of width. Representations are engine-exact: integers
-    // and centi-cents as BIGINT strings, timestamps as epoch-micros
-    // strings — never a float or locale-dependent rendering.
+    // zone map?), join-key sanity (is the key actually unique?),
+    // null-contract checks, and the dataset card's distribution line.
+    // ONE pass over the table for the census: a single aggregate
+    // computes every column's counts/distincts/extrema (Spark plans
+    // the multi-DISTINCT via Expand — the scan still happens once),
+    // then `stack` unpivots the 1-row result into the per-column
+    // census, so the cost is a map-side-combined aggregate regardless
+    // of width. The quantiles ride [[exactPctlReprs]]: a column-pruned
+    // value histogram + metadata-sized prefix sum — never a data sort,
+    // never a single-task window. Representations are engine-exact:
+    // integers and centi-cents as BIGINT strings, timestamps as
+    // epoch-micros strings — never a float or locale-dependent
+    // rendering. The family covers all four pipeline tables: orders
+    // (TPC-H face), events, documents, embeddings.
     "q_profile_table" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
@@ -1571,6 +1603,8 @@ object Relational extends QueryPack {
         // makes the NTZ->instant cast the same integer DuckDB's
         // epoch_us computes on the naive value
         val dateUs = expr("unix_micros(cast(o_orderdate as timestamp))")
+        val qdf = exactPctlReprs(s,
+          Tables.orders(s, d).select(priceCents.as("v")))
         val a = Tables.orders(s, d).agg(
           count(lit(1)).as("n"),
           count($"o_orderkey").as("c1"),
@@ -1597,17 +1631,23 @@ object Relational extends QueryPack {
           countDistinct($"o_orderpriority").as("d6"),
           min($"o_orderpriority").as("mn6"),
           max($"o_orderpriority").as("mx6"))
-        a.select(expr("""stack(6,
+        a.crossJoin(broadcast(qdf)).select(expr("""stack(6,
             'o_orderkey', n - c1, d1, mn1, mx1,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
             'o_custkey', n - c2, d2, mn2, mx2,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
             'o_orderstatus', n - c3, d3, mn3, mx3,
-            'o_totalprice_cents', n - c4, d4, mn4, mx4,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'o_totalprice_cents', n - c4, d4, mn4, mx4, p50v, p99v,
             'o_orderdate_us', n - c5, d5, mn5, mx5,
-            'o_orderpriority', n - c6, d6, mn6, mx6)
-            as (col_name, n_nulls, n_distinct, min_repr, max_repr)"""),
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'o_orderpriority', n - c6, d6, mn6, mx6,
+              CAST(NULL AS STRING), CAST(NULL AS STRING))
+            as (col_name, n_nulls, n_distinct, min_repr, max_repr,
+                p50_repr, p99_repr)"""),
           $"n".as("n_rows"))
           .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
-            $"min_repr", $"max_repr")
+            $"min_repr", $"max_repr", $"p50_repr", $"p99_repr")
           .orderBy($"col_name")
       },
       oracle = Some("""
@@ -1641,19 +1681,322 @@ object Relational extends QueryPack {
             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d6,
             MIN(o_orderpriority) AS mn6,
             MAX(o_orderpriority) AS mx6
-          FROM orders)
+          FROM orders),
+        v AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT) AS val
+          FROM orders
+          WHERE o_totalprice IS NOT NULL),
+        r AS (
+          SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rk,
+                 COUNT(*) OVER () AS nn
+          FROM v),
+        q AS (
+          SELECT
+            CAST(MIN(CASE WHEN rk >= (50 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p50v,
+            CAST(MIN(CASE WHEN rk >= (99 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p99v
+          FROM r)
         SELECT col_name, n AS n_rows, n_nulls, n_distinct,
-               min_repr, max_repr
+               min_repr, max_repr, p50_repr, p99_repr
         FROM (
           SELECT n, 'o_orderkey' AS col_name, n - c1 AS n_nulls,
-                 d1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM a
-          UNION ALL SELECT n, 'o_custkey', n - c2, d2, mn2, mx2 FROM a
-          UNION ALL SELECT n, 'o_orderstatus', n - c3, d3, mn3, mx3 FROM a
-          UNION ALL SELECT n, 'o_totalprice_cents', n - c4, d4, mn4, mx4
-            FROM a
-          UNION ALL SELECT n, 'o_orderdate_us', n - c5, d5, mn5, mx5 FROM a
-          UNION ALL SELECT n, 'o_orderpriority', n - c6, d6, mn6, mx6
-            FROM a)
+                 d1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr,
+                 CAST(NULL AS VARCHAR) AS p50_repr,
+                 CAST(NULL AS VARCHAR) AS p99_repr FROM a
+          UNION ALL SELECT n, 'o_custkey', n - c2, d2, mn2, mx2,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'o_orderstatus', n - c3, d3, mn3, mx3,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'o_totalprice_cents', n - c4, d4, mn4, mx4,
+            p50v, p99v FROM a CROSS JOIN q
+          UNION ALL SELECT n, 'o_orderdate_us', n - c5, d5, mn5, mx5,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'o_orderpriority', n - c6, d6, mn6, mx6,
+            NULL, NULL FROM a)
+        ORDER BY col_name""")),
+
+    // events profile: the measure column is value (centi-units);
+    // ts rides the epoch-micros convention (`ts div 1000` on the
+    // nanos Long = DuckDB's epoch_us) shared with every evt_* oracle
+    "q_profile_events" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"event_id",
+          expr("ts div 1000").as("ts_us"),
+          $"user_id", $"event_type",
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("value_cents"))
+        val qdf = exactPctlReprs(s, ev.select($"value_cents".as("v")))
+        val a = ev.agg(
+          count(lit(1)).as("n"),
+          count($"event_id").as("c1"),
+          countDistinct($"event_id").as("d1"),
+          min($"event_id").cast(StringType).as("mn1"),
+          max($"event_id").cast(StringType).as("mx1"),
+          count($"ts_us").as("c2"),
+          countDistinct($"ts_us").as("d2"),
+          min($"ts_us").cast(StringType).as("mn2"),
+          max($"ts_us").cast(StringType).as("mx2"),
+          count($"user_id").as("c3"),
+          countDistinct($"user_id").as("d3"),
+          min($"user_id").cast(StringType).as("mn3"),
+          max($"user_id").cast(StringType).as("mx3"),
+          count($"event_type").as("c4"),
+          countDistinct($"event_type").as("d4"),
+          min($"event_type").as("mn4"),
+          max($"event_type").as("mx4"),
+          count($"value_cents").as("c5"),
+          countDistinct($"value_cents").as("d5"),
+          min($"value_cents").cast(StringType).as("mn5"),
+          max($"value_cents").cast(StringType).as("mx5"))
+        a.crossJoin(broadcast(qdf)).select(expr("""stack(5,
+            'event_id', n - c1, d1, mn1, mx1,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'ts_us', n - c2, d2, mn2, mx2,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'user_id', n - c3, d3, mn3, mx3,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'event_type', n - c4, d4, mn4, mx4,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'value_cents', n - c5, d5, mn5, mx5, p50v, p99v)
+            as (col_name, n_nulls, n_distinct, min_repr, max_repr,
+                p50_repr, p99_repr)"""),
+          $"n".as("n_rows"))
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"min_repr", $"max_repr", $"p50_repr", $"p99_repr")
+          .orderBy($"col_name")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS value_cents
+          FROM events),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(event_id) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d1,
+            CAST(MIN(event_id) AS VARCHAR) AS mn1,
+            CAST(MAX(event_id) AS VARCHAR) AS mx1,
+            CAST(COUNT(ts_us) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT ts_us) AS BIGINT) AS d2,
+            CAST(MIN(ts_us) AS VARCHAR) AS mn2,
+            CAST(MAX(ts_us) AS VARCHAR) AS mx2,
+            CAST(COUNT(user_id) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d3,
+            CAST(MIN(user_id) AS VARCHAR) AS mn3,
+            CAST(MAX(user_id) AS VARCHAR) AS mx3,
+            CAST(COUNT(event_type) AS BIGINT) AS c4,
+            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d4,
+            MIN(event_type) AS mn4,
+            MAX(event_type) AS mx4,
+            CAST(COUNT(value_cents) AS BIGINT) AS c5,
+            CAST(COUNT(DISTINCT value_cents) AS BIGINT) AS d5,
+            CAST(MIN(value_cents) AS VARCHAR) AS mn5,
+            CAST(MAX(value_cents) AS VARCHAR) AS mx5
+          FROM e),
+        v AS (SELECT value_cents AS val FROM e
+              WHERE value_cents IS NOT NULL),
+        r AS (
+          SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rk,
+                 COUNT(*) OVER () AS nn
+          FROM v),
+        q AS (
+          SELECT
+            CAST(MIN(CASE WHEN rk >= (50 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p50v,
+            CAST(MIN(CASE WHEN rk >= (99 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p99v
+          FROM r)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               min_repr, max_repr, p50_repr, p99_repr
+        FROM (
+          SELECT n, 'event_id' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr,
+                 CAST(NULL AS VARCHAR) AS p50_repr,
+                 CAST(NULL AS VARCHAR) AS p99_repr FROM a
+          UNION ALL SELECT n, 'ts_us', n - c2, d2, mn2, mx2,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'user_id', n - c3, d3, mn3, mx3,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'event_type', n - c4, d4, mn4, mx4,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'value_cents', n - c5, d5, mn5, mx5,
+            p50v, p99v FROM a CROSS JOIN q)
+        ORDER BY col_name""")),
+
+    // documents profile: the measure column is n_chars — the
+    // dataset-card length distribution every curation pass reads
+    "q_profile_documents" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val t = Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+        val qdf = exactPctlReprs(s, t.select($"n_chars".as("v")))
+        val a = t.agg(
+          count(lit(1)).as("n"),
+          count($"doc_id").as("c1"),
+          countDistinct($"doc_id").as("d1"),
+          min($"doc_id").cast(StringType).as("mn1"),
+          max($"doc_id").cast(StringType).as("mx1"),
+          count($"lang").as("c2"),
+          countDistinct($"lang").as("d2"),
+          min($"lang").as("mn2"),
+          max($"lang").as("mx2"),
+          count($"source").as("c3"),
+          countDistinct($"source").as("d3"),
+          min($"source").as("mn3"),
+          max($"source").as("mx3"),
+          count($"n_chars").as("c4"),
+          countDistinct($"n_chars").as("d4"),
+          min($"n_chars").cast(StringType).as("mn4"),
+          max($"n_chars").cast(StringType).as("mx4"))
+        a.crossJoin(broadcast(qdf)).select(expr("""stack(4,
+            'doc_id', n - c1, d1, mn1, mx1,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'lang', n - c2, d2, mn2, mx2,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'source', n - c3, d3, mn3, mx3,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'n_chars', n - c4, d4, mn4, mx4, p50v, p99v)
+            as (col_name, n_nulls, n_distinct, min_repr, max_repr,
+                p50_repr, p99_repr)"""),
+          $"n".as("n_rows"))
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"min_repr", $"max_repr", $"p50_repr", $"p99_repr")
+          .orderBy($"col_name")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(doc_id) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d1,
+            CAST(MIN(doc_id) AS VARCHAR) AS mn1,
+            CAST(MAX(doc_id) AS VARCHAR) AS mx1,
+            CAST(COUNT(lang) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS d2,
+            MIN(lang) AS mn2,
+            MAX(lang) AS mx2,
+            CAST(COUNT(source) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS d3,
+            MIN(source) AS mn3,
+            MAX(source) AS mx3,
+            CAST(COUNT(n_chars) AS BIGINT) AS c4,
+            CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d4,
+            CAST(MIN(n_chars) AS VARCHAR) AS mn4,
+            CAST(MAX(n_chars) AS VARCHAR) AS mx4
+          FROM documents),
+        v AS (SELECT n_chars AS val FROM documents
+              WHERE n_chars IS NOT NULL),
+        r AS (
+          SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rk,
+                 COUNT(*) OVER () AS nn
+          FROM v),
+        q AS (
+          SELECT
+            CAST(MIN(CASE WHEN rk >= (50 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p50v,
+            CAST(MIN(CASE WHEN rk >= (99 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p99v
+          FROM r)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               min_repr, max_repr, p50_repr, p99_repr
+        FROM (
+          SELECT n, 'doc_id' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr,
+                 CAST(NULL AS VARCHAR) AS p50_repr,
+                 CAST(NULL AS VARCHAR) AS p99_repr FROM a
+          UNION ALL SELECT n, 'lang', n - c2, d2, mn2, mx2,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'source', n - c3, d3, mn3, mx3,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'n_chars', n - c4, d4, mn4, mx4,
+            p50v, p99v FROM a CROSS JOIN q)
+        ORDER BY col_name""")),
+
+    // embeddings profile: emb_dim's census (n_distinct = 1) IS the
+    // fixed-dimension contract check; the measure column is label
+    "q_profile_embeddings" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val t = Tables.embeddings(s, d).select(
+          $"vec_id",
+          size($"embedding").cast(LongType).as("emb_dim"),
+          $"label".cast(LongType).as("label"))
+        val qdf = exactPctlReprs(s, t.select($"label".as("v")))
+        val a = t.agg(
+          count(lit(1)).as("n"),
+          count($"vec_id").as("c1"),
+          countDistinct($"vec_id").as("d1"),
+          min($"vec_id").cast(StringType).as("mn1"),
+          max($"vec_id").cast(StringType).as("mx1"),
+          count($"emb_dim").as("c2"),
+          countDistinct($"emb_dim").as("d2"),
+          min($"emb_dim").cast(StringType).as("mn2"),
+          max($"emb_dim").cast(StringType).as("mx2"),
+          count($"label").as("c3"),
+          countDistinct($"label").as("d3"),
+          min($"label").cast(StringType).as("mn3"),
+          max($"label").cast(StringType).as("mx3"))
+        a.crossJoin(broadcast(qdf)).select(expr("""stack(3,
+            'vec_id', n - c1, d1, mn1, mx1,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'emb_dim', n - c2, d2, mn2, mx2,
+              CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'label', n - c3, d3, mn3, mx3, p50v, p99v)
+            as (col_name, n_nulls, n_distinct, min_repr, max_repr,
+                p50_repr, p99_repr)"""),
+          $"n".as("n_rows"))
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"min_repr", $"max_repr", $"p50_repr", $"p99_repr")
+          .orderBy($"col_name")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(len(embedding) AS BIGINT) AS emb_dim,
+                 CAST(label AS BIGINT) AS label
+          FROM embeddings),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(vec_id) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS d1,
+            CAST(MIN(vec_id) AS VARCHAR) AS mn1,
+            CAST(MAX(vec_id) AS VARCHAR) AS mx1,
+            CAST(COUNT(emb_dim) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT emb_dim) AS BIGINT) AS d2,
+            CAST(MIN(emb_dim) AS VARCHAR) AS mn2,
+            CAST(MAX(emb_dim) AS VARCHAR) AS mx2,
+            CAST(COUNT(label) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT label) AS BIGINT) AS d3,
+            CAST(MIN(label) AS VARCHAR) AS mn3,
+            CAST(MAX(label) AS VARCHAR) AS mx3
+          FROM e),
+        v AS (SELECT label AS val FROM e WHERE label IS NOT NULL),
+        r AS (
+          SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rk,
+                 COUNT(*) OVER () AS nn
+          FROM v),
+        q AS (
+          SELECT
+            CAST(MIN(CASE WHEN rk >= (50 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p50v,
+            CAST(MIN(CASE WHEN rk >= (99 * nn + 99) // 100
+              THEN val END) AS VARCHAR) AS p99v
+          FROM r)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               min_repr, max_repr, p50_repr, p99_repr
+        FROM (
+          SELECT n, 'vec_id' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr,
+                 CAST(NULL AS VARCHAR) AS p50_repr,
+                 CAST(NULL AS VARCHAR) AS p99_repr FROM a
+          UNION ALL SELECT n, 'emb_dim', n - c2, d2, mn2, mx2,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'label', n - c3, d3, mn3, mx3,
+            p50v, p99v FROM a CROSS JOIN q)
         ORDER BY col_name""")),
 
     // ── join-key skew report (the pre-salting diagnostic) ──

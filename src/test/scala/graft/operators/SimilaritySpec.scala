@@ -95,6 +95,60 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     got.size should be > truth.size / 2
   }
 
+  test("filtered IVF+PQ: the in-scan predicate + widened probes recover " +
+      "the EXHAUSTIVE filtered ADC answer (the loss this operator " +
+      "controls), where post-filtering the unfiltered top-5 provably " +
+      "under-returns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // ground truth for the PROBE loss: exhaustive filtered ADC — same
+    // artifact, same codes, same LUT, ALL cells scanned. Exact-L2
+    // truth would gate the QUANTIZER (the repo's sim_ivfpq_recall
+    // already prices that: raw 16-bit codes on this near-uniform
+    // fixture sit near 0.14 recall) — this operator owns the probe
+    // plan and the predicate placement, so that is what it is held to.
+    val (cells, _) = Similarity.ivfpqPersistedModel(spark, sf)
+    val (_, books) = Similarity.pqPersistedModel(spark, sf)
+    val lut = Similarity.pqQueryLutWide(spark, sf, books)
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"vec_id")
+    val truth = cells.filter($"label" % 7 === 3)
+      .crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adist",
+        graft.functions.VectorExprs.pqAdcSum($"codes", $"lut"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the naive baseline: the UNFILTERED IVFADC top-5, post-filtered
+    val e = graft.Tables.embeddings(spark, sf).select($"vec_id", $"label")
+    val postFiltered = graft.SparkEntry.queries("sim_ann_ivfpq")(spark, sf)
+      .select($"query_id", $"vec_id")
+      .join(e.filter($"label" % 7 === 3).select($"vec_id"), Seq("vec_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val got = graft.SparkEntry.queries("sim_ann_ivfpq_filtered")(spark, sf)
+      .select($"query_id", $"vec_id", $"label").collect()
+      .map { r =>
+        // every returned row satisfies the stored-attribute predicate
+        r.getLong(2) % 7 shouldBe 3
+        (r.getLong(0), r.getLong(1))
+      }.toSet
+    val rec = truth.count(got.contains).toDouble / truth.size
+    info(s"filtered IVFADC recall@5 vs exhaustive filtered ADC = $rec " +
+      s"(${got.size} returned); post-filter keeps ${postFiltered.size} " +
+      s"of ${truth.size} truth rows")
+    // 6-of-8 cells probed => the probe loss is bounded; measured 0.84
+    // (sf0.001) on the deterministic fixture (0.48 at the unfiltered
+    // 3-cell budget — the widening is what holds recall under the
+    // predicate)
+    withClue(s"recall=$rec: ") { rec should be >= 0.70 }
+    // the full k comes back (the probed cells hold >= k passers) while
+    // the post-filter baseline under-returns — the miss the in-scan
+    // predicate exists to fix
+    got.size shouldBe truth.size
+    postFiltered.size should be < got.size
+  }
+
   test("graph beam search clears the IVF-probe3 floor at a matched " +
       "probe budget and beats every cheaper ANN path here") {
     // measured 0.60 (sf0.001) / 0.64 (sf0.01) at ~171-185 scanned
