@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.{QueryDef, QueryPack, Tables}
 import graft.functions.Exact._
-import graft.ingest.GlobPath
+import graft.ingest.{GenSwap, GlobPath}
 
 /** The reference's operator pipeline re-expressed as verifiable batch
   * queries over the `events`/`documents` tables (SURVEY.md §2.1 #1-17).
@@ -442,6 +442,84 @@ object IngestAnalog extends QueryPack {
         GROUP BY 1
         ORDER BY bin""")),
 
+    // ── compaction DRAINED incrementally: only bins closed since the
+    //    last run rewrite (round-13 verdict #8) ──
+    // `ref_compaction_apply` rewrites the whole plan each run; a real
+    // nightly compactor drains only what ARRIVED and CLOSED since
+    // yesterday. This face runs [[compactionDrained]]: the census is
+    // ARRIVAL-ordered (file_id = event_id, the monitor's append-only
+    // spool analog — new files always get larger ids, so earlier
+    // offsets NEVER move, unlike the group-keyed plan where an
+    // append can shift every downstream bin), bins come from the same
+    // prefix-sum arithmetic, a bin is CLOSED once a later bin has
+    // started (the last bin stays open — tomorrow's arrivals may
+    // still grow it), and a crash-safe GenSwap WATERMARK records the
+    // highest drained bin so the next run rewrites ONLY (wm, last)
+    // bins. Replays are idempotent: the writer overwrites its own
+    // bins dynamically (deterministic content), never touching
+    // already-drained ones — IngestAnalogSpec proves an append-only
+    // second run rewrites only the new bins and leaves yesterday's
+    // files byte-untouched. The oracle re-derives the full closed-bin
+    // census from the events table: what the incremental runs
+    // accumulate must equal the from-scratch answer exactly.
+    "ref_compaction_drain" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val dir = Similarity.artifactDir(s, d, "events.parquet", "drain",
+          "fmt1|bin4000000|per-event")
+        val files = Tables.events(s, d).select(
+          $"event_id".as("file_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("size_b"))
+        compactionDrained(s, files, 4000000L,
+          s"$dir/state", s"$dir/bins")
+        val written = s.read.parquet(s"$dir/bins")
+        // physical files per drained bin from the FS listing —
+        // bin-count-bounded metadata, the compaction contract: 1
+        val outPath = new org.apache.hadoop.fs.Path(s"$dir/bins")
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nf = fs.listStatus(outPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("bin="))
+          .map { st =>
+            val b = st.getPath.getName.stripPrefix("bin=").toLong
+            val dataFiles = fs.listStatus(st.getPath)
+              .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            (b, dataFiles.toLong)
+          }
+        written.groupBy($"bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum($"size_b").as("bin_bytes"))
+          .join(broadcast(nf.toDF("bin", "n_out_files")), Seq("bin"))
+          .select($"bin".cast(LongType).as("bin"), $"n_files",
+            $"n_out_files", $"bin_bytes")
+          .orderBy($"bin")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT event_id AS file_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS size_b
+          FROM events),
+        c AS (
+          SELECT file_id, size_b,
+                 SUM(size_b) OVER (ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+          FROM f),
+        b AS (
+          SELECT file_id, size_b,
+                 CAST((cum_b - size_b) // 4000000 AS BIGINT) AS bin
+          FROM c),
+        lastb AS (SELECT MAX(bin) AS lb FROM b)
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(1 AS BIGINT) AS n_out_files,
+               CAST(SUM(size_b) AS BIGINT) AS bin_bytes
+        FROM b CROSS JOIN lastb
+        WHERE bin < lb
+        GROUP BY bin
+        ORDER BY bin""")),
+
     // ── rendezvous (highest-random-weight) shard routing ──
     // The STATELESS routing tier next to the topic router (#14) and
     // the compaction bins: mod-N routing reshuffles ~everything when
@@ -592,5 +670,71 @@ object IngestAnalog extends QueryPack {
       ()
     }
     dir
+  }
+
+  /** Incremental compaction drain (round-13 verdict #8): assign bins
+    * over the ARRIVAL-ordered file census (`file_id` ascending,
+    * append-only — earlier cumulative offsets never move when new
+    * files arrive, which is what makes bins STABLE across runs), then
+    * rewrite only the bins that CLOSED since the last run.
+    *
+    *  - A bin is closed once a later bin has started; the LAST bin
+    *    stays open (future arrivals may still land in it) and is
+    *    never written.
+    *  - The watermark (highest drained bin) lives in crash-safe
+    *    GenSwap state at `stateDir`; this run drains exactly the bins
+    *    in (watermark, lastBin).
+    *  - The write is one parquet file per bin (`repartition(bin)` +
+    *    `partitionBy(bin)`, the `compactionApplied` contract) under
+    *    DYNAMIC partition overwrite: a crash between the write and
+    *    the watermark commit replays the same deterministic bins over
+    *    themselves — already-drained bins are never touched, so the
+    *    accumulated output equals the from-scratch answer exactly.
+    *
+    * Returns this run's drained assignment (file_id, size_b, bin) —
+    * empty when nothing new closed. 100 TB shape: the census is
+    * file-metadata-sized, the prefix sum is the two-level Blelloch
+    * scan, the open-bin/watermark logic is O(1) scalars, and each
+    * run's write touches only the new bins' rows. */
+  private[graft] def compactionDrained(
+      s: org.apache.spark.sql.SparkSession,
+      files: org.apache.spark.sql.DataFrame,
+      binSize: Long, stateDir: String,
+      outDir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val binned = Relational.globalPrefixSum(s,
+        files.select($"file_id".cast(LongType).as("file_id"),
+          $"size_b".cast(LongType).as("size_b")),
+        Seq($"file_id"), "size_b")
+      .select($"file_id", $"size_b",
+        expr(s"(psum - size_b) div $binSize").as("bin"))
+      .localCheckpoint(true) // the last-bin scalar + the write
+    // O(1) scalars: the open bin and the committed watermark
+    val lastBin = binned.agg(coalesce(max($"bin"), lit(-1L)))
+      .collect()(0).getLong(0)
+    val target = s"$stateDir/wm"
+    val old = s"$stateDir/wm.old"
+    val tmp = s"$stateDir/wm.tmp"
+    val wm = GenSwap.readable(target, old) match {
+      case Some(dir) => s.read.parquet(dir).collect().head.getLong(0)
+      case None      => -1L
+    }
+    val toDrain = binned
+      .filter($"bin" > wm && $"bin" < lastBin)
+      .localCheckpoint(true) // the write + the caller's census
+    if (wm < lastBin - 1) {
+      toDrain.repartition($"bin")
+        .write.partitionBy("bin")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(outDir)
+      // watermark commits AFTER the write: a crash between them
+      // replays the same bins idempotently (dynamic overwrite of
+      // deterministic content)
+      new java.io.File(stateDir).mkdirs()
+      Seq(lastBin - 1).toDF("wm")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      GenSwap.publish(tmp, target, old)
+    }
+    toDrain
   }
 }

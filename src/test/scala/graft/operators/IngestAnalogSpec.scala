@@ -110,4 +110,64 @@ class IngestAnalogSpec extends AnyFunSuite with Matchers {
       ()
     }
   }
+
+  test("incremental drain: an append-only second run rewrites ONLY the " +
+      "newly closed bins, leaves drained files byte-untouched, " +
+      "accumulates the from-scratch answer, and a no-growth run " +
+      "drains nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_drain").toString
+    val stateDir = s"$root/state"
+    val outDir = s"$root/bins"
+    // arrival census: file i has offset 30*i, binSize 100 => file i is
+    // in bin (30*i) div 100; 40 files close bins 0..10 (bin 11 open)
+    def census(n: Int) = (0 until n).map(i => (i.toLong, 30L))
+      .toDF("file_id", "size_b")
+    def binsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"bin").distinct().as[Long].collect().toSet
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(outDir))
+        .map(f => f.getAbsolutePath -> ((f.length, f.lastModified))).toMap
+    }
+    try {
+      val first = IngestAnalog.compactionDrained(
+        spark, census(40), 100L, stateDir, outDir)
+      val firstBins = binsOf(first)
+      firstBins shouldBe (0L to 10L).toSet
+      val drainedSnapshot = snapshot()
+      // 20 more arrivals: bins 11..16 close (bin 17 opens at 30*59=1770)
+      val second = IngestAnalog.compactionDrained(
+        spark, census(60), 100L, stateDir, outDir)
+      val secondBins = binsOf(second)
+      secondBins shouldBe (11L to 16L).toSet
+      secondBins.intersect(firstBins) shouldBe empty
+      // every file drained in run 1 is byte-untouched by run 2
+      val after = snapshot()
+      drainedSnapshot.foreach { case (path, lm) =>
+        withClue(path) { after(path) shouldBe lm }
+      }
+      // the accumulated output equals the from-scratch closed-bin set
+      val accumulated = spark.read.parquet(outDir)
+        .select($"file_id", $"size_b", $"bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue)).toSet
+      val scratch = (0 until 60)
+        .map(i => (i.toLong, 30L, (30L * i) / 100L))
+        .filter(_._3 < 17L).toSet
+      accumulated shouldBe scratch
+      // nothing new arrived => nothing drains, state/output untouched
+      val third = IngestAnalog.compactionDrained(
+        spark, census(60), 100L, stateDir, outDir)
+      third.count() shouldBe 0L
+      snapshot() shouldBe after
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(root))
+      ()
+    }
+  }
 }
