@@ -92,4 +92,110 @@ object StreamingCompaction {
         sink(assigned)
       }
       .start()
+
+  /** Continuous incremental compaction DRAIN — the streaming twin of
+    * [[graft.operators.IngestAnalog.compactionDrained]] (the 23rd
+    * face): [[binStream]] assigns bins as files arrive; this face
+    * also REWRITES every bin the moment it closes (a later bin has
+    * started), so compacted output trails ingest by one open bin
+    * instead of one nightly job.
+    *
+    * Per micro-batch: arriving rows take bins from the carried byte
+    * offset (the binStream arithmetic), union with the carried OPEN
+    * bin's rows, split on the current open bin (the max assigned bin
+    * — the batch face's closed-bin rule, so the accumulated output
+    * equals the batch drain's exactly), write the closed bins as one
+    * parquet file each under DYNAMIC partition overwrite, and carry
+    * the new open bin forward.
+    *
+    * State = the two offsets + the open bin's file census, BOTH the
+    * pre- and post-batch generations, in one GenSwap dir (scalars +
+    * pending subdirs published atomically): a replayed batch
+    * (batchId == lastBatch — anything lower fails loudly, the
+    * binStream guard) recomputes from the PRE-batch generation, so
+    * its rewrite overwrites the same bins with identical bytes and
+    * its emission is bit-identical; a crash between the bin write and
+    * the state commit re-runs as a normal batch over the same
+    * pre-batch state and overwrites its own output. State is bounded
+    * by ONE bin's file census (never the corpus); the rewrite touches
+    * only newly closed bins. `sink` receives each batch's drained-bin
+    * census (bin, n_files, bin_bytes, batch_id). */
+  def drainStream(
+      files: DataFrame,
+      binSize: Long,
+      stateDir: String,
+      checkpointDir: String,
+      outDir: String,
+      sink: DataFrame => Unit): StreamingQuery =
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/drain"
+        val old = s"$stateDir/drain.old"
+        val tmp = s"$stateDir/drain.tmp"
+        val st = GenSwap.readable(target, old)
+        val (prevOff, nextOff, lastBatch) = st match {
+          case Some(dir) =>
+            val r = s.read.parquet(s"$dir/scalars.parquet").collect().head
+            (r.getLong(0), r.getLong(1), r.getLong(2))
+          case None => (0L, 0L, -1L)
+        }
+        if (batchId < lastBatch) throw new IllegalStateException(
+          s"StreamingCompaction.drainStream: batch $batchId below " +
+            s"committed $lastBatch — checkpoint was reset while state " +
+            s"dir $stateDir survived; clear one or the other")
+        val replay = batchId == lastBatch
+        val off = if (replay) prevOff else nextOff
+        val pendKind = if (replay) "prev" else "next"
+        val pending = st match {
+          case Some(dir) => s.read.parquet(s"$dir/pending.parquet")
+            .filter($"kind" === pendKind)
+            .select($"file_id", $"size_b", $"bin")
+          case None => Seq.empty[(Long, Long, Long)]
+            .toDF("file_id", "size_b", "bin")
+        }
+        val assigned = Relational.globalPrefixSum(s,
+            batch.select($"file_id".cast("long").as("file_id"),
+              $"size_b".cast("long").as("size_b")),
+            Seq($"file_id"), "size_b")
+          .select($"file_id", $"size_b",
+            expr(s"($off + psum - size_b) div $binSize").as("bin"))
+          .localCheckpoint(true) // the total + the union below
+        val all = pending.union(assigned)
+          .localCheckpoint(true) // open-bin scalar + split + write
+        val openBin = all.agg(coalesce(max($"bin"), lit(-1L)))
+          .collect()(0).getLong(0)
+        val closed = all.filter($"bin" < openBin)
+          .localCheckpoint(true) // the write + the census emission
+        val newPending = all.filter($"bin" === openBin)
+        val hasClosed = closed.limit(1).count() > 0
+        if (hasClosed)
+          closed.repartition(col("bin"))
+            .write.partitionBy("bin")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outDir)
+        if (!replay) {
+          val total = assigned.agg(
+            coalesce(sum($"size_b"), lit(0L))).collect()(0).getLong(0)
+          // commit BEFORE emitting (the binStream discipline): both
+          // generations of the open-bin census travel in ONE GenSwap
+          // publish, so state can never hold a half-advanced pair
+          new java.io.File(stateDir).mkdirs()
+          Seq((off, off + total, batchId))
+            .toDF("prev_off", "next_off", "last_batch")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/scalars.parquet")
+          pending.withColumn("kind", lit("prev"))
+            .union(newPending.withColumn("kind", lit("next")))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/pending.parquet")
+          GenSwap.publish(tmp, target, old)
+        }
+        sink(closed.groupBy($"bin")
+          .agg(count(lit(1)).as("n_files"), sum($"size_b").as("bin_bytes"))
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
 }

@@ -523,6 +523,71 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: drainStream (continuous incremental compaction drain) " +
+      "kill between emission and commit + restart: deliveries " +
+      "bit-identical, the accumulated rewrite equals an unkilled run's " +
+      "AND the batch drain from scratch, both providers") {
+    // a replayed fold would either advance the carried offset twice
+    // (shifting every later bin) or drain the open bin's carried rows
+    // twice (duplicating file rows in a rewritten bin); the GenSwap
+    // pair of (offset, open-bin census) generations prevents both
+    def fRows(sizes: Seq[Long], idBase: Long): Seq[String] =
+      sizes.zipWithIndex.map { case (sz, i) =>
+        s"""{"file_id":${idBase + i},"size_b":$sz}"""
+      }
+    val r = new scala.util.Random(41)
+    def sizes(n: Int): Seq[Long] =
+      (0 until n).map(_ => 2000000L + r.nextInt(3000000).toLong)
+    val batchSizes = Seq(sizes(9), sizes(7), sizes(8))
+    val batches = batchSizes.zipWithIndex.map { case (ss, b) =>
+      fRows(ss, b * 100L)
+    }
+    def drained(out: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(out)
+        .select("file_id", "size_b", "bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue)).toSet
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      def withOut(tag: String): (java.nio.file.Path,
+          (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path,
+            Array[Row] => Boolean) => org.apache.spark.sql.streaming.StreamingQuery) = {
+        val out = Files.createTempDirectory(s"graft-chaos-$tag-out")
+        (out, (src, ckpt, state, sink) =>
+          StreamingCompaction.drainStream(
+            spark.readStream.schema("file_id LONG, size_b LONG")
+              .json(src.toString),
+            binSize = 10000000L, state.toString, ckpt.toString,
+            out.toString,
+            df => { if (sink(df.collect())) sys.error("chaos kill") }))
+      }
+      val (outC, startC) = withOut(s"drain-c-$prov")
+      val control = drive(startC, batches, chaos = false, s"drain-c-$prov")
+      val (outK, startK) = withOut(s"drain-k-$prov")
+      val chaotic = drive(startK, batches, chaos = true, s"drain-k-$prov")
+      withClue(s"provider $prov: ") { chaotic shouldBe control }
+      control should not be empty
+      // the accumulated rewrite is kill-invariant...
+      val accC = drained(outC.toString)
+      withClue(s"provider $prov accumulated: ") {
+        drained(outK.toString) shouldBe accC
+      }
+      accC should not be empty
+      // ...and equals the BATCH drain over the same census from
+      // scratch — the two faces share one closed-bin semantics
+      import spark.implicits._
+      val broot = Files
+        .createTempDirectory(s"graft-chaos-drain-batch-$prov")
+      val census = batchSizes.zipWithIndex.flatMap { case (ss, b) =>
+        ss.zipWithIndex.map { case (sz, i) => (b * 100L + i, sz) }
+      }.toDF("file_id", "size_b")
+      graft.operators.IngestAnalog.compactionDrained(spark, census,
+        10000000L, s"$broot/state", s"$broot/bins")
+      withClue(s"provider $prov vs batch drain: ") {
+        drained(s"$broot/bins") shouldBe accC
+      }
+    })
+  }
+
   test("chaos: sessionStream kill between emission and commit + restart " +
       "emits the bit-identical closed-session SET as an unkilled run — " +
       "including a session MERGED across the killed batch boundary — " +
