@@ -81,6 +81,7 @@ object Bench {
     "sim_ann_graph_filtered" -> 5.5,
     "sim_ann_graph_hier" -> 4.5,
     "sim_ann_ivfpq" -> 1.4,
+    "sim_ann_ivfpq_filtered" -> 1.6,
     "sim_range_search_filtered" -> 1.2,
     "sim_topk_bruteforce" -> 0.5)
 
