@@ -166,4 +166,33 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     }
     rows.count(_.getBoolean(4)) shouldBe 1
   }
+
+  test("compactionDrained on an empty census drains nothing, creates no " +
+      "bins, and commits no watermark") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-empty-drain").toString
+    val empty = Seq.empty[(Long, Long)].toDF("file_id", "size_b")
+    val out = IngestAnalog.compactionDrained(
+      spark, empty, 100L, s"$root/state", s"$root/bins")
+    out.count() shouldBe 0L
+    new java.io.File(s"$root/bins").exists() shouldBe false
+    new java.io.File(s"$root/state/wm").exists() shouldBe false
+  }
+
+  test("q_profile_events on an empty events table keeps its 5-row " +
+      "per-column census with zero counts and null extrema/quantiles") {
+    val rows = SparkEntry.queries("q_profile_events")(spark, emptyDir)
+      .collect()
+    rows.length shouldBe 5
+    rows.foreach { r =>
+      r.getLong(1) shouldBe 0L // n_rows
+      r.getLong(2) shouldBe 0L // n_nulls
+      r.getLong(3) shouldBe 0L // n_distinct
+      r.isNullAt(4) shouldBe true // min_repr
+      r.isNullAt(5) shouldBe true // max_repr
+      r.isNullAt(6) shouldBe true // p50_repr
+      r.isNullAt(7) shouldBe true // p99_repr
+    }
+  }
 }
