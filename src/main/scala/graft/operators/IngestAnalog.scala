@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.{QueryDef, QueryPack, Tables}
 import graft.functions.Exact._
-import graft.ingest.{GenSwap, GlobPath}
+import graft.ingest.GlobPath
 
 /** The reference's operator pipeline re-expressed as verifiable batch
   * queries over the `events`/`documents` tables (SURVEY.md §2.1 #1-17).
@@ -453,7 +453,7 @@ object IngestAnalog extends QueryPack {
     // append can shift every downstream bin), bins come from the same
     // prefix-sum arithmetic, a bin is CLOSED once a later bin has
     // started (the last bin stays open — tomorrow's arrivals may
-    // still grow it), and a crash-safe GenSwap WATERMARK records the
+    // still grow it), and a crash-safe FsSwap WATERMARK records the
     // highest drained bin so the next run rewrites ONLY (wm, last)
     // bins. Replays are idempotent: the writer overwrites its own
     // bins dynamically (deterministic content), never touching
@@ -682,7 +682,9 @@ object IngestAnalog extends QueryPack {
     *    stays open (future arrivals may still land in it) and is
     *    never written.
     *  - The watermark (highest drained bin) lives in crash-safe
-    *    GenSwap state at `stateDir`; this run drains exactly the bins
+    *    [[FsSwap]] state at `stateDir` (Hadoop-FS two-generation
+    *    swap — stateDir rides the artifacts root, shared storage on a
+    *    cluster); this run drains exactly the bins
     *    in (watermark, lastBin).
     *  - The write is one parquet file per bin (`repartition(bin)` +
     *    `partitionBy(bin)`, the `compactionApplied` contract) under
@@ -709,13 +711,18 @@ object IngestAnalog extends QueryPack {
       .select($"file_id", $"size_b",
         expr(s"(psum - size_b) div $binSize").as("bin"))
       .localCheckpoint(true) // the last-bin scalar + the write
-    // O(1) scalars: the open bin and the committed watermark
+    // O(1) scalars: the open bin and the committed watermark. State
+    // rides [[FsSwap]], not the java.io GenSwap: stateDir lives under
+    // the artifacts root, which on a cluster is shared storage — a
+    // local-file swap there would desynchronize the watermark from
+    // the bins it guards.
     val lastBin = binned.agg(coalesce(max($"bin"), lit(-1L)))
       .collect()(0).getLong(0)
+    val hconf = s.sparkContext.hadoopConfiguration
     val target = s"$stateDir/wm"
     val old = s"$stateDir/wm.old"
     val tmp = s"$stateDir/wm.tmp"
-    val wm = GenSwap.readable(target, old) match {
+    val wm = FsSwap.readable(hconf, target, old) match {
       case Some(dir) => s.read.parquet(dir).collect().head.getLong(0)
       case None      => -1L
     }
@@ -730,10 +737,9 @@ object IngestAnalog extends QueryPack {
       // watermark commits AFTER the write: a crash between them
       // replays the same bins idempotently (dynamic overwrite of
       // deterministic content)
-      new java.io.File(stateDir).mkdirs()
       Seq(lastBin - 1).toDF("wm")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      GenSwap.publish(tmp, target, old)
+      FsSwap.publish(hconf, tmp, target, old)
     }
     toDrain
   }

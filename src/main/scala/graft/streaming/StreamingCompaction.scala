@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ingest.GenSwap
-import graft.operators.Relational
+import graft.operators.{FsSwap, Relational}
 
 /** Continuous compaction-bin assignment — the streaming face of
   * `ref_compaction_bins`/`ref_compaction_apply` (the 22nd face): a
@@ -19,7 +18,8 @@ import graft.operators.Relational
   * window) and only the carried byte offset as state.
   *
   * State is TWO scalars (the offset before and after the last folded
-  * batch) GenSwap-committed BEFORE emission: a replayed batch hits
+  * batch) FsSwap-committed BEFORE emission (Hadoop-FS two-generation
+  * swap, so stateDir may live on shared storage): a replayed batch hits
   * the batch-id guard, recomputes its assignment from the PRE-batch
   * offset — the deterministic source replay makes the re-emission
   * bit-identical — and never advances state twice, so bins never
@@ -46,8 +46,9 @@ object StreamingCompaction {
         val target = s"$stateDir/off"
         val old = s"$stateDir/off.old"
         val tmp = s"$stateDir/off.tmp"
+        val hconf = s.sparkContext.hadoopConfiguration
         val (prevOff, nextOff, lastBatch) =
-          GenSwap.readable(target, old) match {
+          FsSwap.readable(hconf, target, old) match {
             case Some(dir) =>
               val r = s.read.parquet(dir).collect().head
               (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -83,11 +84,10 @@ object StreamingCompaction {
           // commit BEFORE emitting (the heavyHittersStream discipline):
           // a crash between commit and sink re-runs the batch, hits
           // the guard above, and re-emits the identical assignment
-          new java.io.File(stateDir).mkdirs()
           Seq((off, off + total, batchId))
             .toDF("prev_off", "next_off", "last_batch")
             .coalesce(1).write.mode("overwrite").parquet(tmp)
-          GenSwap.publish(tmp, target, old)
+          FsSwap.publish(hconf, tmp, target, old)
         }
         sink(assigned)
       }
@@ -109,7 +109,7 @@ object StreamingCompaction {
     * the new open bin forward.
     *
     * State = the two offsets + the open bin's file census, BOTH the
-    * pre- and post-batch generations, in one GenSwap dir (scalars +
+    * pre- and post-batch generations, in one FsSwap dir (scalars +
     * pending subdirs published atomically): a replayed batch
     * (batchId == lastBatch — anything lower fails loudly, the
     * binStream guard) recomputes from the PRE-batch generation, so
@@ -135,7 +135,8 @@ object StreamingCompaction {
         val target = s"$stateDir/drain"
         val old = s"$stateDir/drain.old"
         val tmp = s"$stateDir/drain.tmp"
-        val st = GenSwap.readable(target, old)
+        val hconf = s.sparkContext.hadoopConfiguration
+        val st = FsSwap.readable(hconf, target, old)
         val (prevOff, nextOff, lastBatch) = st match {
           case Some(dir) =>
             val r = s.read.parquet(s"$dir/scalars.parquet").collect().head
@@ -180,9 +181,8 @@ object StreamingCompaction {
           val total = assigned.agg(
             coalesce(sum($"size_b"), lit(0L))).collect()(0).getLong(0)
           // commit BEFORE emitting (the binStream discipline): both
-          // generations of the open-bin census travel in ONE GenSwap
+          // generations of the open-bin census travel in ONE FsSwap
           // publish, so state can never hold a half-advanced pair
-          new java.io.File(stateDir).mkdirs()
           Seq((off, off + total, batchId))
             .toDF("prev_off", "next_off", "last_batch")
             .coalesce(1).write.mode("overwrite")
@@ -191,7 +191,7 @@ object StreamingCompaction {
             .union(newPending.withColumn("kind", lit("next")))
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$tmp/pending.parquet")
-          GenSwap.publish(tmp, target, old)
+          FsSwap.publish(hconf, tmp, target, old)
         }
         sink(closed.groupBy($"bin")
           .agg(count(lit(1)).as("n_files"), sum($"size_b").as("bin_bytes"))
