@@ -740,4 +740,36 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "Window"
     p should not include "SinglePartition"
   }
+
+  test("table profiles scan the corpus once: one parquet scan in the " +
+      "executed plan, quantiles ride the checkpointed value histogram, " +
+      "no Window anywhere") {
+    // the census is ONE map-side-combined aggregate over the table
+    // (multi-DISTINCT plans via Expand, still one scan); the exact
+    // p50/p99 come from a column-pruned histogram whose range sort ran
+    // inside exactPctlReprs' checkpoint job — so the visible plan has
+    // exactly one corpus scan and no Window operator at any scale
+    for (q <- Seq("q_profile_table", "q_profile_events",
+        "q_profile_documents", "q_profile_embeddings")) {
+      val p = plan(q)
+      withClue(q) {
+        "Scan parquet".r.findAllIn(p).size shouldBe 1
+        p should not include "Window"
+      }
+    }
+  }
+
+  test("filtered IVFADC carries the probe restriction as a partition " +
+      "filter and the attribute predicate as a data filter — no " +
+      "cartesian, no shuffled nested loop") {
+    val m = formattedPlan("sim_ann_ivfpq_filtered")
+    // cells prune at the scan (metadata), label filters in the scan
+    // stage (codegen'd data predicate on the STORED column — never a
+    // corpus join to fetch the attribute)
+    m should include regex "PartitionFilters.*centroid_id"
+    m should include regex "(?i)label.*% 7\\)? = 3"
+    m should not include "CartesianProduct"
+    m should not include "ShuffledNestedLoop"
+    m should not include "SortMergeJoin"
+  }
 }
