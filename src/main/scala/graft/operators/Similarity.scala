@@ -899,14 +899,18 @@ object Similarity extends QueryPack {
     * prefix as `current` (`pq_*`, `ivfpq_*`, …) under the shared
     * artifacts root — testdata regeneration changes the cache key, and
     * without this the orphaned old-key dirs accumulate in tmpdir
-    * unboundedly. 24 h TTL keeps anything a live process could still
-    * be reading or staging. */
+    * unboundedly. The TTL (`spark.graft.artifactTtlHours`, default 24)
+    * keeps anything a live process could still be reading or staging —
+    * a deployment whose longest query exceeds a day raises it. */
   private def pruneStaleArtifacts(
       fs: org.apache.hadoop.fs.FileSystem,
       current: org.apache.hadoop.fs.Path): Unit =
     try {
+      val ttlHours = SparkSession.getActiveSession
+        .map(_.conf.get("spark.graft.artifactTtlHours", "24").toLong)
+        .getOrElse(24L)
       val prefix = current.getName.substring(0, current.getName.lastIndexOf('_') + 1)
-      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val cutoff = System.currentTimeMillis() - ttlHours * 3600 * 1000
       fs.listStatus(current.getParent).foreach { st =>
         if (prefix.nonEmpty && st.getPath.getName.startsWith(prefix) &&
             st.getPath != current && st.getModificationTime < cutoff)
