@@ -2914,6 +2914,108 @@ object Similarity extends QueryPack {
       oracle = Some(ivfPqFilteredOracleSql),
       headline = true),
 
+    // ── selectivity-aware probe planning: DERIVE the filtered probe
+    //    budget from the per-cell passer census ──
+    // `sim_ann_ivfpq_filtered` widens its probe budget by a fixed 2×;
+    // this face is the COORDINATOR ARITHMETIC that justifies (or
+    // overrides) such a constant: from the artifact's 8-row per-cell
+    // census of predicate passers (a pruned scan of the STORED
+    // attribute column — the labels never join the corpus), probe
+    // cells in query-distance order until the scan covers at least
+    // the passer FRACTION the unfiltered IvfNProbe-cell scan covers
+    // of the whole corpus, and at least k passers. Exact-integer
+    // cross-multiplication (cum_pass·t_rows ≥ uf_rows·t_pass), so
+    // both engines pick the identical budget. Under a predicate that
+    // concentrates in far cells the chosen budget grows per query;
+    // under a cell-uniform predicate it stays near IvfNProbe — the
+    // per-query outputs make the decision auditable. 100 TB shape:
+    // everything after the census is windowing over queries × cells
+    // rows (the coordinator's probe table, tiny by construction);
+    // the census itself is one map-side-combined aggregate of two
+    // pruned columns.
+    "sim_filtered_probe_plan" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (cells, cents) = ivfpqPersistedModel(s, d)
+        val census = cells.groupBy($"centroid_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when($"label" % 7 === 3, 1L).otherwise(0L)).as("n_pass"))
+        val q = embDouble(s, d).filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val wProbe = Window.partitionBy($"query_id")
+          .orderBy($"cdist".asc, $"centroid_id")
+        val ranked = q.crossJoin(broadcast(cents))
+          .withColumn("cdist", l2sq($"qemb", $"cemb"))
+          .withColumn("pr", row_number().over(wProbe))
+          .join(broadcast(census), Seq("centroid_id"))
+        val wCum = Window.partitionBy($"query_id").orderBy($"pr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy($"query_id")
+        val wPick = Window.partitionBy($"query_id").orderBy($"pr")
+        ranked
+          .withColumn("cum_rows", sum($"n_rows").over(wCum))
+          .withColumn("cum_pass", sum($"n_pass").over(wCum))
+          .withColumn("t_rows", sum($"n_rows").over(wAll))
+          .withColumn("t_pass", sum($"n_pass").over(wAll))
+          .withColumn("uf_rows",
+            max(when($"pr" === IvfNProbe, $"cum_rows")).over(wAll))
+          .filter($"cum_pass" * $"t_rows" >= $"uf_rows" * $"t_pass" &&
+            $"cum_pass" >= 5L)
+          .withColumn("rk1", row_number().over(wPick))
+          .filter($"rk1" === 1)
+          .select($"query_id",
+            $"pr".cast(LongType).as("probes_chosen"),
+            $"cum_rows".as("rows_scanned"),
+            $"cum_pass".as("pass_covered"))
+          .orderBy($"query_id")
+      },
+      oracle = Some(s"""
+        $embCteSql,
+        $ivfBuildChain,
+        census AS (
+          SELECT f.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN em.label % 7 = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pass
+          FROM fin f JOIN embeddings em ON em.vec_id = f.vec_id
+          GROUP BY f.centroid_id),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        ranked AS (
+          SELECT q.query_id, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              list_sum(list_transform(generate_series(1, $Dim),
+                i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+              c.centroid_id) AS pr
+          FROM q, c3 c),
+        j AS (
+          SELECT r.query_id, r.pr, s.n_rows, s.n_pass
+          FROM ranked r JOIN census s USING (centroid_id)),
+        cum AS (
+          SELECT query_id, pr,
+            SUM(n_rows) OVER (PARTITION BY query_id ORDER BY pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+            SUM(n_pass) OVER (PARTITION BY query_id ORDER BY pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pass,
+            SUM(n_rows) OVER (PARTITION BY query_id) AS t_rows,
+            SUM(n_pass) OVER (PARTITION BY query_id) AS t_pass
+          FROM j),
+        cum2 AS (
+          SELECT *, MAX(CASE WHEN pr = $IvfNProbe THEN cum_rows END)
+            OVER (PARTITION BY query_id) AS uf_rows
+          FROM cum),
+        adequate AS (
+          SELECT query_id, pr, cum_rows, cum_pass,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pr) AS rk1
+          FROM cum2
+          WHERE cum_pass * t_rows >= uf_rows * t_pass
+            AND cum_pass >= 5)
+        SELECT query_id, CAST(pr AS BIGINT) AS probes_chosen,
+               CAST(cum_rows AS BIGINT) AS rows_scanned,
+               CAST(cum_pass AS BIGINT) AS pass_covered
+        FROM adequate
+        WHERE rk1 = 1
+        ORDER BY query_id""")),
+
     // ── IVF+PQ index maintenance: encode an arriving batch against the
     //    FROZEN serving index — no rebuild, no corpus scan ──
     // The operation a 10^9-vector serving tier runs continuously:
