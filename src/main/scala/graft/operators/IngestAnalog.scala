@@ -473,6 +473,14 @@ object IngestAnalog extends QueryPack {
             .as("size_b"))
         compactionDrained(s, files, 4000000L,
           s"$dir/state", s"$dir/bins")
+        // the drain writes directly (no installArtifact), so stale-key
+        // siblings (drain_* from a regenerated events table) are
+        // TTL-pruned here — the same best-effort hygiene every
+        // installed artifact kind gets
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        Similarity.pruneStaleArtifacts(
+          dirPath.getFileSystem(s.sparkContext.hadoopConfiguration),
+          dirPath)
         val written = s.read.parquet(s"$dir/bins")
         // physical files per drained bin from the FS listing —
         // bin-count-bounded metadata, the compaction contract: 1

@@ -902,7 +902,7 @@ object Similarity extends QueryPack {
     * unboundedly. The TTL (`spark.graft.artifactTtlHours`, default 24)
     * keeps anything a live process could still be reading or staging —
     * a deployment whose longest query exceeds a day raises it. */
-  private def pruneStaleArtifacts(
+  private[operators] def pruneStaleArtifacts(
       fs: org.apache.hadoop.fs.FileSystem,
       current: org.apache.hadoop.fs.Path): Unit =
     try {
