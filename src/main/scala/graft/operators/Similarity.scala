@@ -2918,7 +2918,11 @@ object Similarity extends QueryPack {
     //    budget from the per-cell passer census ──
     // `sim_ann_ivfpq_filtered` widens its probe budget by a fixed 2×;
     // this face is the COORDINATOR ARITHMETIC that justifies (or
-    // overrides) such a constant: from the artifact's 8-row per-cell
+    // overrides) such a constant — the predicate-aware search
+    // planning of metadata-filtered ANN systems (cf. ACORN, Patel et
+    // al. SIGMOD 2024, and the filtered-search tracks of the
+    // big-ann-benchmarks suite), re-expressed over the inverted-file
+    // census: from the artifact's 8-row per-cell
     // census of predicate passers (a pruned scan of the STORED
     // attribute column — the labels never join the corpus), probe
     // cells in query-distance order until the scan covers at least
