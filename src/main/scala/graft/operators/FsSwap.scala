@@ -39,7 +39,15 @@ private[graft] object FsSwap {
 
   /** Publish `tmp` as `target`. The old target is staged at `old` only
     * when it exists; a staged generation from a previous crash is kept
-    * until the publish completes. */
+    * until the publish completes.
+    *
+    * SINGLE-PUBLISHER contract (like [[graft.ingest.GenSwap]]): the
+    * stage-then-rename pair is atomic only against CRASHES, not against
+    * a concurrent publisher — two drains publishing the same target
+    * could interleave the two renames and leave the staged old
+    * generation as the readable one. Callers (the nightly/streaming
+    * compaction drains) must ensure one publisher per stateDir at a
+    * time; concurrent EXECUTION is fine, concurrent PUBLISH is not. */
   def publish(conf: Configuration, tmp: String, target: String,
       old: String): Unit = {
     val targetP = new Path(target)

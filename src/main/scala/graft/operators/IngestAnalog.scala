@@ -481,11 +481,19 @@ object IngestAnalog extends QueryPack {
         Similarity.pruneStaleArtifacts(
           dirPath.getFileSystem(s.sparkContext.hadoopConfiguration),
           dirPath)
+        val outPath = new org.apache.hadoop.fs.Path(s"$dir/bins")
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // when the census closes ZERO bins (empty or single-open-bin
+        // input) the drain never creates the bins dir — the oracle
+        // returns an empty set there, so the engine must too rather
+        // than throw path-not-found (round-14 ADVICE)
+        if (!fs.exists(outPath))
+          Seq.empty[(Long, Long, Long, Long)]
+            .toDF("bin", "n_files", "n_out_files", "bin_bytes")
+        else {
         val written = s.read.parquet(s"$dir/bins")
         // physical files per drained bin from the FS listing —
         // bin-count-bounded metadata, the compaction contract: 1
-        val outPath = new org.apache.hadoop.fs.Path(s"$dir/bins")
-        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val nf = fs.listStatus(outPath).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("bin="))
           .map { st =>
@@ -501,6 +509,7 @@ object IngestAnalog extends QueryPack {
           .select($"bin".cast(LongType).as("bin"), $"n_files",
             $"n_out_files", $"bin_bytes")
           .orderBy($"bin")
+        }
       },
       oracle = Some("""
         WITH f AS (

@@ -1444,19 +1444,40 @@ object Multimodal extends QueryPack {
             // key), so each shard file has exactly one writer; one
             // stream is open at a time and entries stream through it.
             val conf = new org.apache.hadoop.conf.Configuration()
+            // Task-attempt hygiene (round-14 verdict): under
+            // speculative execution or a zombie first attempt, two
+            // attempts of this task could otherwise interleave bytes
+            // in the same shard file (parquet writers get this from
+            // the output committer; a raw FS stream does not). Each
+            // attempt streams to its OWN attempt-suffixed temp and
+            // renames into place at close — rename is atomic, so
+            // exactly one complete attempt owns the final name; a
+            // loser's rename fails and its temp is deleted. The
+            // staging dir is private to this build (installArtifact
+            // publishes it wholesale afterwards), so a plain rename
+            // suffices.
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(tc => s"${tc.taskAttemptId()}")
+              .getOrElse(java.util.UUID.randomUUID().toString.take(8))
             var cur = Long.MinValue
             var os: java.io.OutputStream = null
+            var tmpP: org.apache.hadoop.fs.Path = null
+            var finalP: org.apache.hadoop.fs.Path = null
             def closeShard(): Unit = if (os != null) {
               Tar.writeTerminator(os); os.close(); os = null
+              val fsOut = tmpP.getFileSystem(conf)
+              if (!fsOut.rename(tmpP, finalP)) fsOut.delete(tmpP, false)
             }
             it.foreach { r =>
               val id = r.getLong(0)
               val bin = r.getLong(6)
               if (bin != cur) {
                 closeShard()
-                val p = new org.apache.hadoop.fs.Path(
+                finalP = new org.apache.hadoop.fs.Path(
                   f"$stage/shard-$bin%05d.tar")
-                os = p.getFileSystem(conf).create(p, true)
+                tmpP = new org.apache.hadoop.fs.Path(
+                  f"$stage/.shard-$bin%05d.tar.attempt-$attempt")
+                os = tmpP.getFileSystem(conf).create(tmpP, true)
                 cur = bin
               }
               Tar.writeEntry(os, Tar.Entry(f"$id%012d.bmp", id, r.getAs[Array[Byte]](1)))

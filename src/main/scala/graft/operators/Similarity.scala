@@ -798,16 +798,33 @@ object Similarity extends QueryPack {
     * Identity always comes from the Hadoop FileSystem, not java.io —
     * a java.io stat of an hdfs:// or s3a:// path silently reads (0, 0);
     * getFileStatus/listStatus also throw loudly when the source is
-    * absent instead of caching a 0|0 key. */
+    * absent instead of caching a 0|0 key.
+    *
+    * The listing is RECURSIVE (round-14 ADVICE): for a PARTITIONED
+    * source on an object store the one-level children are synthetic
+    * directories (len 0, mtime 0), so a one-level listing would never
+    * change when data is regenerated under unchanged partition names —
+    * the same stale-key class this helper exists to close for flat
+    * dirs. Keying on the LEAF-file triples (path relative to the
+    * source root, so a file moving between partitions changes the key
+    * too) makes the identity sound for any directory layout. */
   private[operators] def sourceIdentity(s: SparkSession, d: String,
       srcFile: String): String = {
     val srcPath = new org.apache.hadoop.fs.Path(d, srcFile)
     val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(srcPath)
     if (!st.isDirectory) s"${st.getModificationTime}|${st.getLen}"
-    else fs.listStatus(srcPath)
-      .map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-      .sorted.mkString(",")
+    else {
+      val rootUri = st.getPath.toUri
+      val it = fs.listFiles(srcPath, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val c = it.next()
+        val rel = rootUri.relativize(c.getPath.toUri).getPath
+        entries += s"$rel:${c.getLen}:${c.getModificationTime}"
+      }
+      entries.sorted.mkString(",")
+    }
   }
 
   /** Keyed artifact directory under the shared root
@@ -2905,9 +2922,15 @@ object Similarity extends QueryPack {
         // label re-attaches AFTER the top-k: the ≤k-rows-per-query
         // ranked side broadcasts against the artifact's pruned
         // (vec_id, label) scan — never a per-candidate payload carry
-        // through the aggregation
+        // through the aggregation. Every winner came from a probed
+        // cell by construction, so the re-attach scan carries the
+        // SAME partition filter as the candidate scan: only probed
+        // cells' files open (round-14 verdict — the unrestricted scan
+        // was column-pruned but read every inverted-list partition to
+        // label ≤k×Q rows).
         broadcast(ranked)
-          .join(cells.select($"vec_id", $"label"), Seq("vec_id"))
+          .join(cells.filter($"centroid_id".isin(probedCells: _*))
+            .select($"vec_id", $"label"), Seq("vec_id"))
           .select($"query_id", $"rnk", $"vec_id", $"label", $"adist")
           .orderBy($"query_id", $"rnk")
       },

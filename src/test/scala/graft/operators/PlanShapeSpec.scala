@@ -771,5 +771,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     m should not include "CartesianProduct"
     m should not include "ShuffledNestedLoop"
     m should not include "SortMergeJoin"
+    // BOTH artifact scans prune to the probed cells — the candidate
+    // scan and the label re-attach scan (round-14 verdict #5: the
+    // re-attach used to read every inverted-list partition to label
+    // ≤k×Q rows). Every non-empty PartitionFilters in this plan names
+    // centroid_id IN (...), and there are at least two of them.
+    val pruned = "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN".r
+      .findAllIn(m).size
+    pruned should be >= 2
   }
 }
