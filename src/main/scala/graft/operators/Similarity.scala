@@ -47,7 +47,10 @@ object Similarity extends QueryPack {
     * unfiltered path's while the TOTAL ADC work (6 cells × 14% of
     * rows ≈ 0.86× the unfiltered 3-cell scan) still shrinks. Measured
     * on the fixture: recall@5 vs filtered exact brute force 0.32 at 3
-    * probes → 0.68/0.72 (sf0.001/sf0.01) at 6. */
+    * probes → 0.68/0.72 (sf0.001/sf0.01) at 6. Since round 15 this is
+    * also the FLOOR of the planner-driven per-query budget
+    * (`sim_ann_ivfpq_adaptive` consumes [[adaptiveProbeBudgets]]);
+    * the static face keeps it as its whole budget. */
   private val IvfNProbeFiltered = 2 * IvfNProbe
 
   /** Graph-based ANN (`sim_ann_graph`, NSW-style): out-degree of the
@@ -1006,6 +1009,120 @@ object Similarity extends QueryPack {
     (s.read.parquet(cellsPath), s.read.parquet(centsPath))
   }
 
+  /** Ranked probe list for the 5-query batch against the persisted
+    * centroid table — (query_id, centroid_id, pr) with pr the distance
+    * rank (centroid_id tiebreak), collected coordinator-side: the
+    * O(queries × cells) probe table every ANN serving coordinator
+    * holds (the [[pqQueryLutWide]] precedent). */
+  private[operators] def probeRanking(s: SparkSession, d: String,
+      cents: DataFrame): Array[(Long, Int, Int)] = {
+    import s.implicits._
+    val q = embDouble(s, d).filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"cdist".asc, $"centroid_id")
+    q.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sq($"qemb", $"cemb"))
+      .withColumn("pr", row_number().over(wProbe))
+      .select($"query_id", $"centroid_id", $"pr")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+  }
+
+  /** Per-query probe budgets by the PLANNER arithmetic
+    * (`sim_filtered_probe_plan` — round-14 verdict #1: the filtered
+    * search now CONSUMES the budget the planner derives instead of
+    * stopping at the static [[IvfNProbeFiltered]] constant): walk
+    * cells in query-distance order until the scan covers at least the
+    * passer fraction the unfiltered [[IvfNProbe]]-cell scan covers of
+    * the whole corpus AND at least k passers. The static 2× constant
+    * stays as the FLOOR (never probe fewer than the calibrated dial);
+    * ALL cells are the fallback when no prefix is adequate (a
+    * predicate with fewer than k passers anywhere). Exact integer
+    * cross-multiplication on the cells' passer census — identical
+    * arithmetic to the planner's oracle, so both engines (and the
+    * planner face itself) pick the same budgets. Coordinator cost:
+    * one map-side-combined census of two pruned columns (O(cells)
+    * rows) plus arithmetic on the probe table the coordinator already
+    * holds. Under a predicate concentrated in far cells the budget
+    * grows per query exactly where the constant under-returns
+    * (SimilaritySpec's adversarial gate); under a cell-uniform one it
+    * stays at the floor and the plan is byte-identical to the static
+    * face's. */
+  private[operators] def adaptiveProbeBudgets(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column, k: Int = 5): Map[Long, Int] = {
+    import s.implicits._
+    val (cells, cents) = ivfpqPersistedModel(s, d)
+    val census = cells.groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pass"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val tRows = census.valuesIterator.map(_._1).sum
+    val tPass = census.valuesIterator.map(_._2).sum
+    probeRanking(s, d, cents).groupBy(_._1).map { case (qid, rows) =>
+      val ordered = rows.sortBy(_._3).map(_._2)
+      val cumR = ordered.scanLeft(0L)((a, c) => a + census(c)._1).tail
+      val cumP = ordered.scanLeft(0L)((a, c) => a + census(c)._2).tail
+      val ufRows = cumR(math.min(IvfNProbe, ordered.length) - 1)
+      val adequate = (1 to ordered.length).find { pr =>
+        cumP(pr - 1) * tRows >= ufRows * tPass && cumP(pr - 1) >= k
+      }
+      qid -> math.min(ordered.length,
+        math.max(adequate.getOrElse(ordered.length), IvfNProbeFiltered))
+    }
+  }
+
+  /** The filtered IVFADC scan, parameterized by predicate and
+    * PER-QUERY probe budgets — shared by `sim_ann_ivfpq_adaptive`
+    * (planner budgets) and SimilaritySpec's adversarial far-cell gate
+    * (which also runs it at the static constant to prove the
+    * under-return). Plan shape identical to `sim_ann_ivfpq_filtered`:
+    * probed cells prune at the scan (partition filter), the predicate
+    * is a codegen'd data filter on the STORED attribute before any
+    * pairing or ADC work, ≤k rows per query cross the one shuffle,
+    * and the label re-attach scans only the probed cells. Emits
+    * `probes_used` per row so the budget decision is auditable (and
+    * oracle-hash-checked). */
+  private[operators] def ivfpqSearchWithBudgets(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column,
+      budgets: Map[Long, Int]): DataFrame = {
+    import s.implicits._
+    val (cells, cents) = ivfpqPersistedModel(s, d)
+    val (_, books) = pqPersistedModel(s, d)
+    val chosen = probeRanking(s, d, cents).filter { case (qid, _, pr) =>
+      pr <= budgets.getOrElse(qid, IvfNProbeFiltered)
+    }
+    val probedCells = chosen.map(_._2).distinct.toSeq
+    val probePairs = chosen.map { case (qid, cell, _) => (qid, cell) }
+      .toSeq.toDF("query_id", "centroid_id")
+    val budgetDf = budgets.toSeq
+      .map { case (qid, nb) => (qid, nb.toLong) }
+      .toDF("query_id", "probes_used")
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    val ranked = cells
+      .filter($"centroid_id".isin(probedCells: _*))
+      .filter(pred)
+      .join(broadcast(probePairs), Seq("centroid_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(pqQueryLutWide(s, d, books)), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))
+      .groupBy($"query_id")
+      .agg(topk(-$"adist", $"vec_id").as("top"))
+      .select($"query_id",
+        posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+      .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
+        $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
+    broadcast(ranked)
+      .join(cells.filter($"centroid_id".isin(probedCells: _*))
+        .select($"vec_id", $"label"), Seq("vec_id"))
+      .join(broadcast(budgetDf), Seq("query_id"))
+      .select($"query_id", $"rnk", $"vec_id", $"label", $"adist",
+        $"probes_used")
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Long-form (vec_id, sub, code) view of the wide codes artifact —
     * map-only (posexplode preserves the scan's partitioning, so a
     * vec_id-bucketed codes table keeps its zero-exchange property
@@ -1272,6 +1389,97 @@ object Similarity extends QueryPack {
           FROM adc) r
         WHERE rnk <= 5
         ORDER BY query_id, rnk"""
+
+  /** [[ivfPqFilteredOracleSql]] with the probe budget DERIVED by the
+    * planner arithmetic instead of the static constant
+    * (`sim_ann_ivfpq_adaptive`): the per-cell passer census, the
+    * cumulative adequacy walk of `sim_filtered_probe_plan`, then per
+    * query nb = LEAST(n_cells, GREATEST(COALESCE(min adequate pr,
+    * n_cells), $IvfNProbeFiltered)) — floor at the static dial,
+    * all-cells fallback — feeding the same filtered ADC tail. The
+    * budget itself rides the output (`probes_used`), so the hash
+    * checks the planner arithmetic, not just the search. */
+  private lazy val ivfPqAdaptiveOracleSql: String = s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $pqBuildChain,
+        census AS (
+          SELECT f.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN em.label % 7 = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pass
+          FROM fin f JOIN embeddings em ON em.vec_id = f.vec_id
+          GROUP BY f.centroid_id),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        rankedp AS (
+          SELECT q.query_id, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              list_sum(list_transform(generate_series(1, $Dim),
+                i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+              c.centroid_id) AS pr
+          FROM q, c3 c),
+        cum AS (
+          SELECT r.query_id, r.pr, r.centroid_id,
+            SUM(s.n_rows) OVER (PARTITION BY r.query_id ORDER BY r.pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+            SUM(s.n_pass) OVER (PARTITION BY r.query_id ORDER BY r.pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pass,
+            SUM(s.n_rows) OVER (PARTITION BY r.query_id) AS t_rows,
+            SUM(s.n_pass) OVER (PARTITION BY r.query_id) AS t_pass,
+            COUNT(*) OVER (PARTITION BY r.query_id) AS n_cells
+          FROM rankedp r JOIN census s USING (centroid_id)),
+        cum2 AS (
+          SELECT *, MAX(CASE WHEN pr = $IvfNProbe THEN cum_rows END)
+            OVER (PARTITION BY query_id) AS uf_rows
+          FROM cum),
+        plan AS (
+          SELECT query_id, MIN(pr) AS min_pr
+          FROM cum2
+          WHERE cum_pass * t_rows >= uf_rows * t_pass AND cum_pass >= 5
+          GROUP BY query_id),
+        budget AS (
+          SELECT c.query_id,
+                 LEAST(MAX(c.n_cells),
+                   GREATEST(COALESCE(MIN(p.min_pr), MAX(c.n_cells)),
+                            $IvfNProbeFiltered)) AS nb
+          FROM cum2 c LEFT JOIN plan p USING (query_id)
+          GROUP BY c.query_id),
+        probes AS (
+          SELECT r.query_id, r.centroid_id AS pcell
+          FROM rankedp r JOIN budget b USING (query_id)
+          WHERE r.pr <= b.nb),
+        qsub AS (
+          SELECT vec_id AS query_id, sub, semb AS qsemb
+          FROM sv WHERE vec_id < 5),
+        lut AS (
+          SELECT qsub.query_id, c.sub, c.code,
+            CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+              i -> (qsub.qsemb[i] - c.cemb[i]) * (qsub.qsemb[i] - c.cemb[i]))), 9)
+              AS DECIMAL(27,9)) AS pdist
+          FROM qsub JOIN pc2 c ON c.sub = qsub.sub),
+        adc AS (
+          SELECT p.query_id, f.vec_id,
+                 CAST(em.label AS BIGINT) AS label,
+                 CAST(SUM(l.pdist) AS DOUBLE) AS adist
+          FROM probes p
+          JOIN fin f ON f.centroid_id = p.pcell
+          JOIN embeddings em ON em.vec_id = f.vec_id
+          JOIN codes k ON k.vec_id = f.vec_id
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.sub = k.sub AND l.code = k.code
+          WHERE f.vec_id <> p.query_id
+            AND em.label % 7 = 3
+          GROUP BY p.query_id, f.vec_id, em.label)
+        SELECT r.query_id, r.rnk, r.vec_id, r.label, r.adist,
+               CAST(b.nb AS BIGINT) AS probes_used
+        FROM (
+          SELECT query_id, vec_id, label, adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist ASC, vec_id) AS rnk
+          FROM adc) r
+        JOIN budget b USING (query_id)
+        WHERE r.rnk <= 5
+        ORDER BY r.query_id, r.rnk"""
 
   /** IVF residuals x − centroid(x) (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search" — the IVFADC encoding;
@@ -3042,6 +3250,31 @@ object Similarity extends QueryPack {
         FROM adequate
         WHERE rk1 = 1
         ORDER BY query_id""")),
+
+    // ── planner-driven filtered IVFADC: the search CONSUMES the
+    //    planner's per-query budget (round-14 verdict #1) ──
+    // `sim_ann_ivfpq_filtered` probes the static 2× constant;
+    // `sim_filtered_probe_plan` derives what the budget SHOULD be from
+    // the per-cell passer census — this face closes the loop: the same
+    // filtered ADC scan, with each query's probe budget =
+    // max(planner's minimal adequate prefix, the static floor), all
+    // cells when the predicate can never become adequate. Under the
+    // cell-uniformish % 7 predicate the budgets sit at/near the floor
+    // and the scan matches the static face's; under a predicate
+    // concentrated in far cells the budget grows exactly where the
+    // constant under-returns (SimilaritySpec proves the static scan
+    // returns ZERO candidates on a crafted far-cell fixture while
+    // this path still fills k — the failure mode the planner's
+    // scaladoc names, cf. ACORN / the big-ann-benchmarks filtered
+    // track). `probes_used` rides the output so the budget decision
+    // itself is oracle-hash-checked, not just the ranking.
+    "sim_ann_ivfpq_adaptive" -> QueryDef(
+      fn = (s, d) => {
+        val pred = col("label") % 7 === 3
+        ivfpqSearchWithBudgets(s, d, pred, adaptiveProbeBudgets(s, d, pred))
+      },
+      oracle = Some(ivfPqAdaptiveOracleSql),
+      headline = false),
 
     // ── IVF+PQ index maintenance: encode an arriving batch against the
     //    FROZEN serving index — no rebuild, no corpus scan ──

@@ -761,8 +761,11 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
 
   test("filtered IVFADC carries the probe restriction as a partition " +
       "filter and the attribute predicate as a data filter — no " +
-      "cartesian, no shuffled nested loop") {
-    val m = formattedPlan("sim_ann_ivfpq_filtered")
+      "cartesian, no shuffled nested loop (static and planner-driven " +
+      "budgets alike)") {
+    for (q <- Seq("sim_ann_ivfpq_filtered", "sim_ann_ivfpq_adaptive"))
+    withClue(q) {
+    val m = formattedPlan(q)
     // cells prune at the scan (metadata), label filters in the scan
     // stage (codegen'd data predicate on the STORED column — never a
     // corpus join to fetch the attribute)
@@ -779,5 +782,6 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     val pruned = "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN".r
       .findAllIn(m).size
     pruned should be >= 2
+    }
   }
 }

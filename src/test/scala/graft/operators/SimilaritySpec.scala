@@ -936,4 +936,90 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     probesF.length should be < probesU.length
     info(s"probes: filtered ${probesF.length} vs unfiltered ${probesU.length}")
   }
+
+  test("adaptive probe budgets rescue the far-cell predicate the static " +
+      "2x constant provably under-returns on: static scan finds ZERO " +
+      "candidates, planner-driven scan equals the exhaustive filtered " +
+      "ADC answer exactly") {
+    // The failure mode the planner's scaladoc names (ACORN / the
+    // big-ann filtered track): a predicate whose passers concentrate
+    // in cells FAR from the query. Crafted fixture: 8 well-separated
+    // clusters along one axis, queries (vec_id < 5) in cluster 0 —
+    // then, from the BUILT index's own probe ranking, every passer
+    // label is planted in the single farthest-ranked cell. The static
+    // budget (6 of 8 cells, the 2x dial) scans only near cells and
+    // returns nothing; the planner needs cum_pass >= k, so its budget
+    // stretches to the far cell and the scan recovers the full
+    // exhaustive filtered ADC top-5.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val perCluster = 30
+    val fixDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_farcell_fix")
+    val d = fixDir.getAbsolutePath
+    def writeFixture(passers: Set[Long]): Unit =
+      (0 until 8).flatMap { c =>
+        (0 until perCluster).map { i =>
+          val vecId = (c * perCluster + i).toLong
+          val emb = Array.tabulate(dim) { j =>
+            val base = if (j == 0) c * 6.0f else 0.0f
+            base + (((vecId * 31 + j) % 7).toFloat - 3f) * 0.05f
+          }
+          (vecId, emb.toSeq, if (passers.contains(vecId)) 1 else 0)
+        }
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // phase 1: unlabeled fixture -> build the index, read ITS probe
+    // ranking, pick the farthest-ranked cell as the passer home
+    writeFixture(Set.empty)
+    val (cells0, cents0) = Similarity.ivfpqPersistedModel(spark, d)
+    val ranking0 = Similarity.probeRanking(spark, d, cents0)
+    val farCell = ranking0.filter(_._1 == 0L).maxBy(_._3)._2
+    // adversarial by construction for EVERY query: the far cell sits
+    // beyond the static budget in each query's own ranking
+    ranking0.filter(_._2 == farCell).foreach { case (_, _, pr) =>
+      pr should be > 6 // IvfNProbeFiltered
+    }
+    val passers = cells0.filter($"centroid_id" === farCell)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    passers.size should be >= 5
+    // phase 2: same embeddings, passer labels planted — the rebuild is
+    // deterministic on emb, so cells/centroids are bit-identical and
+    // only the stored attribute changes
+    writeFixture(passers)
+    val pred = col("label") === 1
+    val static = Similarity.ivfpqSearchWithBudgets(spark, d, pred,
+      Map.empty) // empty map -> every query at the static floor
+    static.count() shouldBe 0L
+    val budgets = Similarity.adaptiveProbeBudgets(spark, d, pred)
+    budgets.keySet shouldBe (0L until 5L).toSet
+    budgets.values.foreach(_ should be > 6)
+    val got = Similarity.ivfpqSearchWithBudgets(spark, d, pred, budgets)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive filtered ADC over ALL cells — the truth this operator
+    // is held to (probe plan + predicate placement; the quantizer is
+    // priced elsewhere)
+    val (cells, _) = Similarity.ivfpqPersistedModel(spark, d)
+    val (_, books) = Similarity.pqPersistedModel(spark, d)
+    val lut = Similarity.pqQueryLutWide(spark, d, books)
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"vec_id")
+    val truth = cells.filter(pred)
+      .crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adist",
+        graft.functions.VectorExprs.pqAdcSum($"codes", $"lut"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withClue(s"budgets=$budgets got=${got.size} truth=${truth.size}: ") {
+      got shouldBe truth
+    }
+    info(s"far cell $farCell holds ${passers.size} passers; " +
+      s"budgets=${budgets.toSeq.sortBy(_._1)}; static returned 0, " +
+      s"adaptive matched exhaustive filtered ADC exactly (${got.size})")
+  }
 }
