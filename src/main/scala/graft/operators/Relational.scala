@@ -189,6 +189,45 @@ object Relational extends QueryPack {
         .cast(StringType).as("p99v"))
   }
 
+  /** The sketched dataset-card profile of the orders table — the pass
+    * a 100 TB deployment actually runs where `q_profile_table` is the
+    * exact verification face (round-14 verdict #4): ONE map-side-
+    * combined aggregate, per column an HLL sketch estimate
+    * (DataSketches, lgK 14 — the `agg_hll_mergeable` machinery)
+    * instead of an exact countDistinct, and on the measure column a
+    * mergeable approximate percentile pair (±N/200 rank guarantee)
+    * instead of the exact selection; null counts stay exact (count()
+    * rides the same pass for free). Every summary is MERGEABLE, so
+    * sharded/daily profiles union by sketch merge. No Expand, no
+    * Window, one scan — PlanShapeSpec gates this helper's own plan;
+    * `q_profile_approx` is its hash-checked accuracy contract. */
+  private[operators] def approxOrdersProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val priceCents =
+      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+    val dateUs = expr("unix_micros(cast(o_orderdate as timestamp))")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        priceCents.as("price_cents"), dateUs.as("date_us"),
+        $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"o_orderkey").as("c1"),
+        hll_sketch_estimate(hll_sketch_agg($"o_orderkey", lit(14))).as("h1"),
+        count($"o_custkey").as("c2"),
+        hll_sketch_estimate(hll_sketch_agg($"o_custkey", lit(14))).as("h2"),
+        count($"o_orderstatus").as("c3"),
+        hll_sketch_estimate(hll_sketch_agg($"o_orderstatus", lit(14))).as("h3"),
+        count($"price_cents").as("c4"),
+        hll_sketch_estimate(hll_sketch_agg($"price_cents", lit(14))).as("h4"),
+        count($"date_us").as("c5"),
+        hll_sketch_estimate(hll_sketch_agg($"date_us", lit(14))).as("h5"),
+        count($"o_orderpriority").as("c6"),
+        hll_sketch_estimate(hll_sketch_agg($"o_orderpriority", lit(14))).as("h6"),
+        percentile_approx($"price_cents", lit(0.5), lit(200)).as("ap50"),
+        percentile_approx($"price_cents", lit(0.99), lit(200)).as("ap99"))
+  }
+
   /** Exact k-th order statistics over a single `cents` LongType column
     * — the `q_select_kth` machinery with the driver collect bounded by
     * a CONSTANT across value domains. Each round histograms the
@@ -1997,6 +2036,140 @@ object Relational extends QueryPack {
             NULL, NULL FROM a
           UNION ALL SELECT n, 'label', n - c3, d3, mn3, mx3,
             p50v, p99v FROM a CROSS JOIN q)
+        ORDER BY col_name""")),
+
+    // ── SKETCHED table profile: the actual 100 TB dataset-card path ──
+    // The exact profiler family above is the right ORACLE contract,
+    // but its 6 exact countDistincts plan through an Expand that
+    // multiplies the scanned rows by column count — at 100 TB the
+    // dataset card is ONE pass of mergeable sketches (round-14 verdict
+    // #4). [[approxOrdersProfile]] is that pass: a single map-side-
+    // combined aggregate with an HLL sketch (DataSketches, lgK 14 —
+    // the agg_hll_mergeable machinery) per column instead of each
+    // countDistinct, and a rank-bounded approximate percentile pair on
+    // the measure column instead of the exact selection; null counts
+    // and extrema stay exact (they ride the same pass for free).
+    // PlanShapeSpec gates the helper's own plan: ONE scan, no Expand,
+    // no Window.
+    //
+    // This face is the sketched profile's CONTRACT ROW, the
+    // dedup_ann_recall discipline: the same run recomputes the exact
+    // census (the referee, priced at verification scale) and emits,
+    // per column, the exact n_distinct next to a boolean holding the
+    // HLL estimate to ±5% (lgK 14 ≈ 0.8% RSE — the bound is ~6σ, so
+    // the boolean is deterministic on a deterministic input), and on
+    // the measure column booleans pinning the EXACT rank of each
+    // approximate percentile inside ±1% of its target (Spark's
+    // percentile_approx guarantees ±N/accuracy = 0.5% at accuracy
+    // 200; the exact rank probe rides the column-pruned value
+    // histogram — no data sort). DuckDB re-derives every exact value
+    // and expects TRUE, so the accuracy claims are hash-checked, not
+    // asserted in prose.
+    "q_profile_approx" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val approx = approxOrdersProfile(s, d)
+          .localCheckpoint(true) // rank probe + final row assembly
+        val priceCents =
+          expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+        val dateUs = expr("unix_micros(cast(o_orderdate as timestamp))")
+        // the referee: exact distinct census (the Expand the sketched
+        // face exists to avoid — paid here because this IS the gate)
+        val exact = Tables.orders(s, d).agg(
+          countDistinct($"o_orderkey").as("d1"),
+          countDistinct($"o_custkey").as("d2"),
+          countDistinct($"o_orderstatus").as("d3"),
+          countDistinct(priceCents).as("d4"),
+          countDistinct(dateUs).as("d5"),
+          countDistinct($"o_orderpriority").as("d6"))
+        // exact ranks of the two approximate percentile values, from
+        // the column-pruned value histogram (checkpointed: the rank
+        // probe is one aggregate over value-domain-sized rows)
+        val hist = Tables.orders(s, d)
+          .select(priceCents.as("v")).filter($"v".isNotNull)
+          .groupBy($"v").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val ranks = hist
+          .crossJoin(broadcast(approx.select($"ap50", $"ap99")))
+          .agg(
+            sum($"c").as("nv"),
+            sum(when($"v" < $"ap50", $"c").otherwise(0L)).as("lo50"),
+            sum(when($"v" <= $"ap50", $"c").otherwise(0L)).as("le50"),
+            sum(when($"v" < $"ap99", $"c").otherwise(0L)).as("lo99"),
+            sum(when($"v" <= $"ap99", $"c").otherwise(0L)).as("le99"))
+          .select(
+            ($"le50" * 100L >= $"nv" * 49L &&
+              $"lo50" * 100L <= $"nv" * 51L).as("p50ok"),
+            ($"le99" * 100L >= $"nv" * 98L &&
+              $"lo99" * 100L <= $"nv" * 100L).as("p99ok"))
+        def within(h: String, dcol: String) =
+          (abs(col(h) - col(dcol)).cast(DoubleType)
+            <= lit(0.05) * col(dcol))
+        val wide = approx.crossJoin(broadcast(exact))
+          .crossJoin(broadcast(ranks))
+          .withColumn("w1", within("h1", "d1"))
+          .withColumn("w2", within("h2", "d2"))
+          .withColumn("w3", within("h3", "d3"))
+          .withColumn("w4", within("h4", "d4"))
+          .withColumn("w5", within("h5", "d5"))
+          .withColumn("w6", within("h6", "d6"))
+        wide.select(expr("""stack(6,
+              'o_orderkey', n - c1, d1, w1,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_custkey', n - c2, d2, w2,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_orderstatus', n - c3, d3, w3,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_totalprice_cents', n - c4, d4, w4,
+                CAST(p50ok AS STRING), CAST(p99ok AS STRING),
+              'o_orderdate_us', n - c5, d5, w5,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_orderpriority', n - c6, d6, w6,
+                CAST(NULL AS STRING), CAST(NULL AS STRING))
+              as (col_name, n_nulls, n_distinct, distinct_within_5pct,
+                  p50_rank_within_1pct, p99_rank_within_1pct)"""),
+            $"n".as("n_rows"))
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"distinct_within_5pct",
+            $"p50_rank_within_1pct", $"p99_rank_within_1pct")
+          .orderBy($"col_name")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(o_orderkey) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d1,
+            CAST(COUNT(o_custkey) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d2,
+            CAST(COUNT(o_orderstatus) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+            CAST(COUNT(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS c4,
+            CAST(COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              * 100 AS BIGINT)) AS BIGINT) AS d4,
+            CAST(COUNT(epoch_us(o_orderdate)) AS BIGINT) AS c5,
+            CAST(COUNT(DISTINCT epoch_us(o_orderdate)) AS BIGINT) AS d5,
+            CAST(COUNT(o_orderpriority) AS BIGINT) AS c6,
+            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d6
+          FROM orders)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               distinct_within_5pct,
+               p50_rank_within_1pct, p99_rank_within_1pct
+        FROM (
+          SELECT n, 'o_orderkey' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, TRUE AS distinct_within_5pct,
+                 CAST(NULL AS VARCHAR) AS p50_rank_within_1pct,
+                 CAST(NULL AS VARCHAR) AS p99_rank_within_1pct FROM a
+          UNION ALL SELECT n, 'o_custkey', n - c2, d2, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'o_orderstatus', n - c3, d3, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'o_totalprice_cents', n - c4, d4, TRUE,
+            'true', 'true' FROM a
+          UNION ALL SELECT n, 'o_orderdate_us', n - c5, d5, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'o_orderpriority', n - c6, d6, TRUE,
+            NULL, NULL FROM a)
         ORDER BY col_name""")),
 
     // ── join-key skew report (the pre-salting diagnostic) ──

@@ -759,6 +759,19 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the SKETCHED profile pass is one scan with NO Expand: HLL " +
+      "sketches and the approx percentile ride a single map-side-" +
+      "combined aggregate (the 100 TB dataset-card path)") {
+    // the exact faces pay an Expand that multiplies scanned rows by
+    // column count — the honest oracle contract, not the production
+    // pass; the sketched helper must never regress into it
+    val p = Relational.approxOrdersProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Expand"
+    p should not include "Window"
+  }
+
   test("filtered IVFADC carries the probe restriction as a partition " +
       "filter and the attribute predicate as a data filter — no " +
       "cartesian, no shuffled nested loop (static and planner-driven " +
