@@ -1365,7 +1365,65 @@ object Multimodal extends QueryPack {
           CAST(SUM((i + 1) * sv) AS BIGINT) AS wsum,
           CAST(MAX(abs(sv)) AS BIGINT) AS peak
         FROM v GROUP BY doc_id, n, rate
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── incremental shard maintenance: the drain discipline on the
+    //    WebDataset artifact (round-14 stretch) ──
+    // `shardedTarDir` rebuilds the whole shard directory on any corpus
+    // change; a production corpus is APPEND-ONLY and its shard tier
+    // should add shards, not rewrite them. [[shardDrain]] is that
+    // maintainer (arrival-ordered size census, closed-shard FsSwap
+    // watermark, write-then-commit — `compactionDrained`'s arithmetic
+    // on the member census); this face runs it to completion
+    // (flushOpen — the open last shard rewrites until it closes) and
+    // emits the MEMBER census read back from the drained shards: per
+    // member its parsed doc_id/kind, the stored mtime, and a boolean
+    // holding its bytes hash-equal to the batch-built artifact's same
+    // member — so the oracle (which re-derives the full membership
+    // from documents) plus the TRUE column prove the incremental
+    // builder converges to the batch builder byte-for-byte, member by
+    // member. TarBundlesSpec proves the incremental property itself:
+    // an append-only second drain writes only the new shards and
+    // leaves every previously-closed shard file byte-identical.
+    "mm_shard_append" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val target = tarShardTarget(s)
+        val dir = Similarity.artifactDir(s, d, "documents.parquet",
+          "draintar", s"fmt1|target$target|png+gif+bmp+wav")
+        val members = tarMembers(s, d)
+        shardDrain(s, members, target, s"$dir/state", s"$dir/shards",
+          flushOpen = true).count()
+        members.unpersist()
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        Similarity.pruneStaleArtifacts(
+          dirPath.getFileSystem(s.sparkContext.hadoopConfiguration),
+          dirPath)
+        val got = graft.sources.TarBundles.members(s, s"$dir/shards")
+          .select($"name", $"mtime", xxhash64($"data").as("hsh"))
+        val batch = graft.sources.TarBundles
+          .members(s, shardedTarDir(s, d))
+          .select($"name", xxhash64($"data").as("bh"))
+        got.join(batch, Seq("name"))
+          .select(
+            expr("cast(substring(name, 1, 12) as bigint)").as("doc_id"),
+            expr("substring(name, 14)").as("kind"),
+            $"mtime",
+            ($"hsh" === $"bh").as("bytes_match_batch"))
+          .orderBy($"doc_id", $"kind")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+          FROM documents),
+        p AS (SELECT doc_id FROM a WHERE length(t) > 0),
+        k AS (SELECT unnest(['bmp', 'gif', 'png', 'wav']) AS kind)
+        SELECT p.doc_id, k.kind,
+               CAST(p.doc_id AS BIGINT) AS mtime,
+               TRUE AS bytes_match_batch
+        FROM p CROSS JOIN k
+        ORDER BY doc_id, kind"""))
   )
 
   /** Target shard size in bytes for [[shardedTarDir]] —
@@ -1414,17 +1472,7 @@ object Multimodal extends QueryPack {
         val fs = new org.apache.hadoop.fs.Path(stage)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
-        // members generated ONCE (the bytes a production pipeline has
-        // stored already), with each bundle priced in tar blocks
-        val members = graft.Tuning.scanOnce(
-          asciiDocs(s, d).map { case (id, t) =>
-            val bmp = Bmp.fromText(id, t); val gif = Gif.fromText(id, t)
-            val png = Png.fromText(id, t); val wav = Wav.fromText(id, t)
-            val sz = Tar.memberLength(bmp.length) +
-              Tar.memberLength(gif.length) + Tar.memberLength(png.length) +
-              Tar.memberLength(wav.length)
-            (id, bmp, gif, png, wav, sz)
-          }.toDF("doc_id", "bmp", "gif", "png", "wav", "size_b"))
+        val members = tarMembers(s, d)
         // metadata-sized binning: prefix-sum the (doc_id, size) census
         // in doc_id order, bin by cumulative START offset, join the
         // bin back — the member BYTES shuffle once (the bin
@@ -1436,61 +1484,154 @@ object Multimodal extends QueryPack {
         members.join(bins, Seq("doc_id"))
           .repartition($"bin")
           .sortWithinPartitions($"bin", $"doc_id")
-          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-            // task-local Hadoop conf: the artifact path's scheme
-            // (file:// here, shared storage in a cluster) resolves
-            // in the executor, no conf serialization needed. Bins
-            // never split across partitions (hash on the full bin
-            // key), so each shard file has exactly one writer; one
-            // stream is open at a time and entries stream through it.
-            val conf = new org.apache.hadoop.conf.Configuration()
-            // Task-attempt hygiene (round-14 verdict): under
-            // speculative execution or a zombie first attempt, two
-            // attempts of this task could otherwise interleave bytes
-            // in the same shard file (parquet writers get this from
-            // the output committer; a raw FS stream does not). Each
-            // attempt streams to its OWN attempt-suffixed temp and
-            // renames into place at close — rename is atomic, so
-            // exactly one complete attempt owns the final name; a
-            // loser's rename fails and its temp is deleted. The
-            // staging dir is private to this build (installArtifact
-            // publishes it wholesale afterwards), so a plain rename
-            // suffices.
-            val attempt = Option(org.apache.spark.TaskContext.get())
-              .map(tc => s"${tc.taskAttemptId()}")
-              .getOrElse(java.util.UUID.randomUUID().toString.take(8))
-            var cur = Long.MinValue
-            var os: java.io.OutputStream = null
-            var tmpP: org.apache.hadoop.fs.Path = null
-            var finalP: org.apache.hadoop.fs.Path = null
-            def closeShard(): Unit = if (os != null) {
-              Tar.writeTerminator(os); os.close(); os = null
-              val fsOut = tmpP.getFileSystem(conf)
-              if (!fsOut.rename(tmpP, finalP)) fsOut.delete(tmpP, false)
-            }
-            it.foreach { r =>
-              val id = r.getLong(0)
-              val bin = r.getLong(6)
-              if (bin != cur) {
-                closeShard()
-                finalP = new org.apache.hadoop.fs.Path(
-                  f"$stage/shard-$bin%05d.tar")
-                tmpP = new org.apache.hadoop.fs.Path(
-                  f"$stage/.shard-$bin%05d.tar.attempt-$attempt")
-                os = tmpP.getFileSystem(conf).create(tmpP, true)
-                cur = bin
-              }
-              Tar.writeEntry(os, Tar.Entry(f"$id%012d.bmp", id, r.getAs[Array[Byte]](1)))
-              Tar.writeEntry(os, Tar.Entry(f"$id%012d.gif", id, r.getAs[Array[Byte]](2)))
-              Tar.writeEntry(os, Tar.Entry(f"$id%012d.png", id, r.getAs[Array[Byte]](3)))
-              Tar.writeEntry(os, Tar.Entry(f"$id%012d.wav", id, r.getAs[Array[Byte]](4)))
-            }
-            closeShard()
-          }
+          .foreachPartition(writeTarShards(stage) _)
         members.unpersist()
         fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
           .close()
     }
     dir
+  }
+
+  /** The bundle-member frame both shard builders consume — one
+    * BMP/GIF/PNG/WAV member quartet per ascii document with its total
+    * tar-block size — generated ONCE (the bytes a production pipeline
+    * has stored already) and pinned by [[graft.Tuning.scanOnce]].
+    * Callers unpersist when done. */
+  private def tarMembers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tuning.scanOnce(
+      asciiDocs(s, d).map { case (id, t) =>
+        val bmp = Bmp.fromText(id, t); val gif = Gif.fromText(id, t)
+        val png = Png.fromText(id, t); val wav = Wav.fromText(id, t)
+        val sz = Tar.memberLength(bmp.length) +
+          Tar.memberLength(gif.length) + Tar.memberLength(png.length) +
+          Tar.memberLength(wav.length)
+        (id, bmp, gif, png, wav, sz)
+      }.toDF("doc_id", "bmp", "gif", "png", "wav", "size_b"))
+  }
+
+  /** Streams one partition's bin-grouped bundle rows
+    * (doc_id, bmp, gif, png, wav, size_b, bin) into `shard-NNNNN.tar`
+    * files under `dest` — shared by the batch build
+    * ([[shardedTarDir]], dest = private staging dir) and the
+    * incremental drain ([[shardDrain]], dest = the live shard dir).
+    *
+    * Task-local Hadoop conf: the artifact path's scheme (file:// here,
+    * shared storage in a cluster) resolves in the executor, no conf
+    * serialization needed. Bins never split across partitions (hash on
+    * the full bin key), so each shard file has exactly one writing
+    * task; one stream is open at a time and entries stream through it.
+    *
+    * Task-attempt hygiene (round-14 verdict): under speculative
+    * execution or a zombie first attempt, two attempts of this task
+    * could otherwise interleave bytes in the same shard file (parquet
+    * writers get this from the output committer; a raw FS stream does
+    * not). Each attempt streams to its OWN attempt-suffixed temp and
+    * renames into place at close — rename is atomic, so exactly one
+    * complete attempt owns the final name. A rename onto an EXISTING
+    * shard (an idempotent replay of a closed bin, or the incremental
+    * drain re-flushing the grown open bin) deletes the old file and
+    * retries — safe under the drain's single-publisher contract
+    * ([[FsSwap]]); if even the retry loses (a concurrent attempt just
+    * installed the same deterministic bytes), the temp is dropped. */
+  private def writeTarShards(dest: String)(
+      it: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"${tc.taskAttemptId()}")
+      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    var cur = Long.MinValue
+    var os: java.io.OutputStream = null
+    var tmpP: org.apache.hadoop.fs.Path = null
+    var finalP: org.apache.hadoop.fs.Path = null
+    def closeShard(): Unit = if (os != null) {
+      Tar.writeTerminator(os); os.close(); os = null
+      val fsOut = tmpP.getFileSystem(conf)
+      if (!fsOut.rename(tmpP, finalP)) {
+        fsOut.delete(finalP, false)
+        if (!fsOut.rename(tmpP, finalP)) fsOut.delete(tmpP, false)
+      }
+    }
+    it.foreach { r =>
+      val id = r.getLong(0)
+      val bin = r.getLong(6)
+      if (bin != cur) {
+        closeShard()
+        finalP = new org.apache.hadoop.fs.Path(
+          f"$dest/shard-$bin%05d.tar")
+        tmpP = new org.apache.hadoop.fs.Path(
+          f"$dest/.shard-$bin%05d.tar.attempt-$attempt")
+        os = tmpP.getFileSystem(conf).create(tmpP, true)
+        cur = bin
+      }
+      Tar.writeEntry(os, Tar.Entry(f"$id%012d.bmp", id, r.getAs[Array[Byte]](1)))
+      Tar.writeEntry(os, Tar.Entry(f"$id%012d.gif", id, r.getAs[Array[Byte]](2)))
+      Tar.writeEntry(os, Tar.Entry(f"$id%012d.png", id, r.getAs[Array[Byte]](3)))
+      Tar.writeEntry(os, Tar.Entry(f"$id%012d.wav", id, r.getAs[Array[Byte]](4)))
+    }
+    closeShard()
+  }
+
+  /** Incremental tar-shard maintenance — the compaction-drain
+    * discipline ([[IngestAnalog.compactionDrained]]: arrival-ordered
+    * census, closed-bin watermark, write-then-commit) applied to the
+    * WebDataset shard artifact (round-14 stretch): an append-only
+    * corpus ADDS shards instead of rebuilding the directory. The
+    * census prefix-sums member sizes in doc_id (arrival) order — the
+    * batch build's exact bin arithmetic, which has the PREFIX
+    * property: appending documents never moves an earlier member's
+    * cumulative offset, so a shard is IMMUTABLE once a later shard
+    * has started. The [[FsSwap]] watermark (committed AFTER the
+    * write, so a crash replays the same deterministic bins
+    * idempotently) records the highest CLOSED shard drained; each run
+    * writes only bins in (wm, lastBin) plus — when `flushOpen` — the
+    * still-open last bin, which is rewritten (grown) on every run
+    * until it closes and is never watermarked. Returns the run's
+    * written-bin census (bin, n_docs, bin_bytes, closed).
+    * TarBundlesSpec proves an append-only second run writes only the
+    * new shards and leaves every previously-closed shard file
+    * byte-identical. */
+  private[graft] def shardDrain(s: SparkSession, members: DataFrame,
+      target: Long, stateDir: String, outDir: String,
+      flushOpen: Boolean): DataFrame = {
+    import s.implicits._
+    val bins = Relational.globalPrefixSum(s,
+        members.select($"doc_id", $"size_b"), Seq($"doc_id"), "size_b")
+      .select($"doc_id", $"size_b",
+        expr(s"(psum - size_b) div $target").as("bin"))
+      .localCheckpoint(true) // last-bin scalar + the write + census
+    val lastBin = bins.agg(coalesce(max($"bin"), lit(-1L)))
+      .collect()(0).getLong(0)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val target0 = s"$stateDir/wm"
+    val old = s"$stateDir/wm.old"
+    val tmp = s"$stateDir/wm.tmp"
+    val wm = FsSwap.readable(hconf, target0, old) match {
+      case Some(dir) => s.read.parquet(dir).collect().head.getLong(0)
+      case None      => -1L
+    }
+    val toWrite = bins
+      .filter($"bin" > wm &&
+        ($"bin" < lastBin || lit(flushOpen) && $"bin" === lastBin))
+      .localCheckpoint(true) // the write + the returned census
+    if (!toWrite.isEmpty) {
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      outPath.getFileSystem(hconf).mkdirs(outPath)
+      members.join(toWrite.select($"doc_id", $"bin"), Seq("doc_id"))
+        .repartition($"bin")
+        .sortWithinPartitions($"bin", $"doc_id")
+        .foreachPartition(writeTarShards(outDir) _)
+      // watermark commits AFTER the write, over CLOSED bins only
+      if (wm < lastBin - 1) {
+        Seq(lastBin - 1).toDF("wm")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        FsSwap.publish(hconf, tmp, target0, old)
+      }
+    }
+    toWrite.groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"size_b").as("bin_bytes"))
+      .select($"bin", $"n_docs", $"bin_bytes",
+        ($"bin" < lastBin).as("closed"))
+      .orderBy($"bin")
   }
 }

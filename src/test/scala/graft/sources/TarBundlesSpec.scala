@@ -151,4 +151,91 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
         _.length should be <= (target + 4L * 128 * 1024 + 1024L))
     } finally spark.conf.unset("spark.graft.tarShardTargetBytes")
   }
+
+  test("incremental shard drain: an append-only second run writes ONLY " +
+      "the new shards, every previously-closed shard file stays " +
+      "byte-identical, a no-new-data run writes nothing, and the " +
+      "flushed corpus reads back member-exact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sharddrain")
+      .toFile.getAbsolutePath
+    val stateDir = s"$base/state"
+    val outDir = s"$base/shards"
+    val target = 16384L
+    def payload(id: Long, kind: String): Array[Byte] = {
+      val n = ((id * 7 + kind.length * 13) % 200 + 40).toInt
+      Array.tabulate(n)(j => ((id + j * 31 + kind(0)) % 251).toByte)
+    }
+    // deterministic per doc_id, so members(60) is an APPEND-ONLY
+    // superset of members(30) — the drain's prefix property applies
+    def members(n: Int) =
+      (0 until n).map { i =>
+        val id = i.toLong
+        val b = payload(id, "bmp"); val g = payload(id, "gif")
+        val p = payload(id, "png"); val w = payload(id, "wav")
+        val sz = Seq(b, g, p, w).map(x => Tar.memberLength(x.length)).sum
+        (id, b, g, p, w, sz)
+      }.toDF("doc_id", "bmp", "gif", "png", "wav", "size_b")
+    def snapshot(): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(outDir)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".tar"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    // run 1: 30 docs — only CLOSED bins written, the open one waits
+    val c1 = graft.operators.Multimodal.shardDrain(spark, members(30),
+      target, stateDir, outDir, flushOpen = false)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    c1 should not be empty
+    c1.foreach(_._2 shouldBe true) // every drained bin is closed
+    val snap1 = snapshot()
+    snap1.keySet shouldBe
+      c1.map(b => f"shard-${b._1}%05d.tar").toSet
+    // run 2: append-only growth to 60 docs — only NEW bins write;
+    // every file from run 1 must be byte-identical afterwards
+    val c2 = graft.operators.Multimodal.shardDrain(spark, members(60),
+      target, stateDir, outDir, flushOpen = false)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    c2 should not be empty
+    val maxClosed1 = c1.map(_._1).max
+    c2.foreach(_._1 should be > maxClosed1)
+    val snap2 = snapshot()
+    snap1.foreach { case (name, bytes) =>
+      withClue(s"$name rewritten: ") { snap2(name) shouldBe bytes }
+    }
+    snap2.keySet shouldBe snap1.keySet ++
+      c2.map(b => f"shard-${b._1}%05d.tar")
+    // run 3: no new data — nothing to drain, nothing written
+    val c3 = graft.operators.Multimodal.shardDrain(spark, members(60),
+      target, stateDir, outDir, flushOpen = false).collect()
+    c3 shouldBe empty
+    snapshot() shouldBe snap2
+    // run 4: flush the open shard — exactly one non-closed bin writes,
+    // closed files still untouched, and the whole corpus reads back
+    // member-exact through the tar source
+    val c4 = graft.operators.Multimodal.shardDrain(spark, members(60),
+      target, stateDir, outDir, flushOpen = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    c4.length shouldBe 1
+    c4.head._2 shouldBe false
+    snap2.foreach { case (name, bytes) =>
+      withClue(s"$name rewritten by flush: ") {
+        snapshot()(name) shouldBe bytes
+      }
+    }
+    val got = TarBundles.members(spark, outDir)
+      .select($"name", $"mtime", $"data").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq))
+    got.length shouldBe 60 * 4
+    got.foreach { case (name, mtime, data) =>
+      val id = name.substring(0, 12).toLong
+      val kind = name.substring(13)
+      mtime shouldBe id
+      withClue(s"$name bytes: ") {
+        data shouldBe payload(id, kind).toSeq
+      }
+    }
+  }
 }
