@@ -61,26 +61,19 @@ object Bench {
     "evt_windowed_agg" -> 0.4,
     "llm_bm25_topk" -> 1.4,
     "llm_bpe_learn" -> 1.9,
-    "llm_dsir_weights" -> 1.2,
     "llm_dup_spans" -> 1.9,
     "llm_gopher_rules" -> 3.4,
     "llm_heavy_hitters" -> 1.1,
     "llm_repeated_spans" -> 1.5,
     "llm_suffix_dups" -> 16.0,
     "llm_textrank" -> 2.2,
-    "llm_token_count" -> 0.3,
-    "llm_winnowing" -> 1.4,
     "q1_pricing_summary" -> 1.1,
     "q3_shipping_priority" -> 0.9,
-    "q5_local_supplier" -> 1.0,
-    "q6_revenue_forecast" -> 0.3,
     "q_hierarchy_rollup" -> 3.1,
     "q_topk_aggregate" -> 0.8,
     "q_zorder_layout" -> 5.0,
     "ref_tail_offsets" -> 0.6,
     "sim_ann_graph_filtered" -> 5.5,
-    "sim_ann_graph_hier" -> 4.5,
-    "sim_ann_ivfpq" -> 1.4,
     "sim_ann_ivfpq_filtered" -> 1.6,
     "sim_range_search_filtered" -> 1.2,
     "sim_topk_bruteforce" -> 0.5)
@@ -102,26 +95,13 @@ object Bench {
     * crossers (normally 0-1 queries) can pay the extra passes.
     * BENCH_r13 was taken on a machine at load1 11.4 (recorded in its
     * own load line) and smeared FOURTEEN medians past their tops —
-    * per this list's own update rule all fourteen join for round 14
-    * (and `llm_gopher_rules` leaves: 3.08 < 3.4). The designed,
-    * bounded response to a contaminated record: each gets a 1.0x-armed
-    * decorrelated solo probe next round, and the base passes are now
-    * quiet-gated too (see below) so the record starts clean. */
-  private[graft] val priorBandCrossings: Set[String] = Set(
-    "llm_repeated_spans",
-    "llm_heavy_hitters",
-    "llm_dup_spans",
-    "ref_tail_offsets",
-    "evt_windowed_agg",
-    "q1_pricing_summary",
-    "dedup_ngram_jaccard_banded",
-    "llm_textrank",
-    "agg_f2_sketch",
-    "dedup_prefix_filter_join",
-    "evt_peak_concurrency",
-    "dedup_incremental_near",
-    "llm_winnowing",
-    "dedup_clusters")
+    * all fourteen joined for round 14 with 1.0x-armed decorrelated
+    * solo probes, and the base passes were quiet-gated alongside.
+    * BENCH_r14 (quiet-gated, load 6.2→2.5 across its own load line)
+    * reported ZERO crossings — every one of the fourteen settled
+    * under its top — so per the update rule the round-15 list is
+    * EMPTY: the r13 record was ambient smear, fully adjudicated. */
+  private[graft] val priorBandCrossings: Set[String] = Set.empty
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

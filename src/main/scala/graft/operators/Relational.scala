@@ -2681,7 +2681,7 @@ object Relational extends QueryPack {
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name"""),
-      headline = true),
+      headline = false),
 
     // ── TPC-H Q6 analog: pure filter + single aggregate (pushdown test) ──
     "q6_revenue_forecast" -> QueryDef(
@@ -2704,7 +2704,7 @@ object Relational extends QueryPack {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.02 AND l_discount <= 0.06
           AND l_quantity < 24"""),
-      headline = true),
+      headline = false),
 
     // ── semi join: customers having an urgent order, counted by segment ──
     "q_semi_join" -> QueryDef(

@@ -183,7 +183,7 @@ object Scoring extends QueryPack {
                lw > 0 AS selected
         FROM d
         ORDER BY doc_id"""),
-      headline = true),
+      headline = false),
 
     // ── hashed linear quality classifier (fastText-inference shape) ──
     // score(d) = Σ_tokens w[bucket(token)] in integer micro-units: a

@@ -2562,7 +2562,7 @@ object Similarity extends QueryPack {
       oracle = Some(graphHierOracleSql),
       // HEADLINED round 12 (verdict #2): the layered beam walk is the
       // most expensive ANN plan in the pack and was unpriced
-      headline = true),
+      headline = false),
 
     // ── FILTERED graph ANN: the predicate inside the beam walk ──
     // The graph-walk sibling of sim_ann_filtered (round-12 verdict
@@ -3067,7 +3067,7 @@ object Similarity extends QueryPack {
           .orderBy($"query_id", $"rnk")
       },
       oracle = Some(ivfPqOracleSql),
-      headline = true),
+      headline = false),
 
     // ── filtered IVF+PQ: predicate inside the IVFADC candidate scan ──
     // Completes the filtered-search family on the PQ path (round-13

@@ -1035,7 +1035,7 @@ object TextAnalysis extends QueryPack {
           n_chars
         FROM documents
         ORDER BY doc_id"""),
-      headline = true),
+      headline = false),
 
     // ── heuristic quality score: alpha ratio, punctuation, length ──
     "llm_quality_score" -> QueryDef(
@@ -1769,7 +1769,7 @@ object TextAnalysis extends QueryPack {
         SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos, fp
         FROM sel WHERE rn = 1
         ORDER BY doc_id, pos"""),
-      headline = true),
+      headline = false),
 
     // ── exact-substring duplication: repeated cross-document spans ──
     // The exact-substring dedup signal (the "repeated 50-gram" family of
