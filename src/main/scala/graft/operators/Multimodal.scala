@@ -1534,7 +1534,7 @@ object Multimodal extends QueryPack {
     * retries — safe under the drain's single-publisher contract
     * ([[FsSwap]]); if even the retry loses (a concurrent attempt just
     * installed the same deterministic bytes), the temp is dropped. */
-  private def writeTarShards(dest: String)(
+  private[graft] def writeTarShards(dest: String)(
       it: Iterator[org.apache.spark.sql.Row]): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val attempt = Option(org.apache.spark.TaskContext.get())

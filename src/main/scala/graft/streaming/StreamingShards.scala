@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{FsSwap, Multimodal, Relational}
+
+/** Continuous tar-shard maintenance — the streaming face of
+  * [[graft.operators.Multimodal.shardDrain]] (the 24th face): a
+  * WebDataset shard tier over an append-only corpus shouldn't wait
+  * for the nightly drain — each arriving bundle folds into the OPEN
+  * shard as it arrives, and a shard is finalized the moment a later
+  * shard starts, so the serving tier trails ingest by exactly one
+  * open shard.
+  *
+  * Per micro-batch: arriving (doc_id, bmp, gif, png, wav) bundles
+  * take bins from the carried byte offset (`binStream`'s arithmetic
+  * over [[graft.operators.Tar.memberLength]]-priced quartets —
+  * arrival order is doc_id, the batch builder's order, so the
+  * accumulated shards are BYTE-IDENTICAL to a from-scratch batch
+  * drain), union with the carried open-shard census, split on the
+  * current open bin, and stream every touched bin's members through
+  * the shared [[Multimodal.writeTarShards]] writer — the closed
+  * shards finalize, the open shard is rewritten grown. The open
+  * shard's already-arrived member BYTES are not carried in state:
+  * they are read back from the open shard FILE itself (decoded
+  * executor-side through the tar source, restricted to the committed
+  * census — the file may briefly hold a crashed attempt's superset),
+  * so state stays METADATA-sized: two offsets + one bin's
+  * (doc_id, size_b) census, never payload bytes.
+  *
+  * Crash discipline (the `drainStream` protocol): shard writes land
+  * FIRST, then both state generations commit in ONE [[FsSwap]]
+  * publish, then the census emits. A crash BEFORE the commit re-runs
+  * the batch as a normal fold over the pre-batch state — the
+  * deterministic source replay rewrites its own shards
+  * byte-identically (the writer's rename swap replaces them). A crash
+  * AFTER the commit replays with batchId == lastBatch: the shards are
+  * already committed on disk, so the replay SKIPS the writes and
+  * re-emits the bit-identical census from the PREVIOUS generation. A
+  * batchId below the committed one means the streaming checkpoint was
+  * reset while the state dir survived — fail loudly (the binStream
+  * guard). StreamingChaosAggSpec gates kill+restart bit-identity of
+  * both the deliveries and the accumulated shard FILES, against an
+  * unkilled run and against the batch drain from scratch, under both
+  * state-store providers.
+  */
+object StreamingShards {
+
+  /** Start the shard-maintenance stream over (doc_id: Long unique
+    * ascending, bmp/gif/png/wav: Binary) bundle rows; shards
+    * accumulate under `outDir`; `sink` receives each batch's
+    * closed-shard census (bin, n_docs, bin_bytes, batch_id). */
+  def shardStream(
+      bundles: DataFrame,
+      targetBytes: Long,
+      stateDir: String,
+      checkpointDir: String,
+      outDir: String,
+      sink: DataFrame => Unit): StreamingQuery =
+    bundles.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/shards"
+        val old = s"$stateDir/shards.old"
+        val tmp = s"$stateDir/shards.tmp"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val st = FsSwap.readable(hconf, target, old)
+        val (prevOff, nextOff, lastBatch) = st match {
+          case Some(dir) =>
+            val r = s.read.parquet(s"$dir/scalars.parquet").collect().head
+            (r.getLong(0), r.getLong(1), r.getLong(2))
+          case None => (0L, 0L, -1L)
+        }
+        if (batchId < lastBatch) throw new IllegalStateException(
+          s"StreamingShards: batch $batchId below committed " +
+            s"$lastBatch — checkpoint was reset while state dir " +
+            s"$stateDir survived; clear one or the other")
+        val replay = batchId == lastBatch
+        val off = if (replay) prevOff else nextOff
+        val pendKind = if (replay) "prev" else "next"
+        val pending = st match {
+          case Some(dir) => s.read.parquet(s"$dir/pending.parquet")
+            .filter($"kind" === pendKind)
+            .select($"doc_id", $"size_b", $"bin")
+          case None => Seq.empty[(Long, Long, Long)]
+            .toDF("doc_id", "size_b", "bin")
+        }
+        // quartet tar-block price, the batch census arithmetic
+        // (Tar.memberLength: one 512-byte header + 512-padded payload
+        // per member) computed in-plan so the fold is one pass
+        def ml(c: String) =
+          expr(s"512 + ((octet_length($c) + 511) div 512) * 512")
+        val priced = batch
+          .select($"doc_id".cast("long").as("doc_id"),
+            $"bmp", $"gif", $"png", $"wav",
+            (ml("bmp") + ml("gif") + ml("png") + ml("wav")).as("size_b"))
+          .localCheckpoint(true) // census + (non-replay) the write
+        val assigned = Relational.globalPrefixSum(s,
+            priced.select($"doc_id", $"size_b"), Seq($"doc_id"), "size_b")
+          .select($"doc_id", $"size_b",
+            expr(s"($off + psum - size_b) div $targetBytes").as("bin"))
+          .localCheckpoint(true) // total + union + (non-replay) join
+        val all = pending.union(assigned)
+          .localCheckpoint(true) // open-bin scalar + split + commit
+        val openBin = all.agg(coalesce(max($"bin"), lit(-1L)))
+          .collect()(0).getLong(0)
+        val closed = all.filter($"bin" < openBin)
+        val newPending = all.filter($"bin" === openBin)
+        if (!replay) {
+          // bytes for the carried open-shard members come from the
+          // open shard FILE (executor-side tar decode, restricted to
+          // the committed census — a crashed attempt may have left a
+          // superset or already-finalized the file under the same
+          // name; the census filter makes either safe)
+          val pendingBins = pending.select($"bin").distinct()
+            .collect().map(_.getLong(0))
+          val carried: DataFrame = pendingBins.headOption match {
+            case None => priced.limit(0)
+              .select($"doc_id", $"bmp", $"gif", $"png", $"wav")
+            case Some(b) =>
+              graft.sources.TarBundles
+                .members(s, f"$outDir/shard-$b%05d.tar")
+                .select(
+                  expr("cast(substring(name, 1, 12) as bigint)").as("doc_id"),
+                  expr("substring(name, 14)").as("kind"), $"data")
+                .join(broadcast(pending.select($"doc_id")), Seq("doc_id"))
+                .groupBy($"doc_id")
+                .agg(
+                  first(when($"kind" === "bmp", $"data"), true).as("bmp"),
+                  first(when($"kind" === "gif", $"data"), true).as("gif"),
+                  first(when($"kind" === "png", $"data"), true).as("png"),
+                  first(when($"kind" === "wav", $"data"), true).as("wav"))
+          }
+          val bytes = carried
+            .unionByName(priced.select($"doc_id", $"bmp", $"gif", $"png", $"wav"))
+          bytes.join(all.select($"doc_id", $"size_b", $"bin"), Seq("doc_id"))
+            .select($"doc_id", $"bmp", $"gif", $"png", $"wav",
+              $"size_b", $"bin")
+            .repartition($"bin")
+            .sortWithinPartitions($"bin", $"doc_id")
+            .foreachPartition(Multimodal.writeTarShards(outDir) _)
+          // commit AFTER the writes, both generations in ONE publish
+          val total = assigned.agg(
+            coalesce(sum($"size_b"), lit(0L))).collect()(0).getLong(0)
+          Seq((off, off + total, batchId))
+            .toDF("prev_off", "next_off", "last_batch")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/scalars.parquet")
+          pending.withColumn("kind", lit("prev"))
+            .union(newPending.withColumn("kind", lit("next")))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/pending.parquet")
+          FsSwap.publish(hconf, tmp, target, old)
+        }
+        sink(closed.groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"size_b").as("bin_bytes"))
+          .withColumn("batch_id", lit(batchId))
+          .orderBy($"bin"))
+      }
+      .start()
+}

@@ -660,4 +660,80 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
       u1.head(3) shouldBe 4L // n_events: 3 from b0 + 1 from b1
     })
   }
+
+  test("chaos: shardStream (continuous tar-shard maintenance) kill " +
+      "between emission and commit + restart: deliveries bit-identical, " +
+      "the accumulated shard FILES byte-identical to an unkilled run's " +
+      "AND to the batch shardDrain from scratch, both providers") {
+    // a replayed fold would advance the carried byte offset twice
+    // (shifting every later shard boundary) or fold the open shard's
+    // carried members twice (duplicating them in a finalized shard);
+    // the FsSwap pair of (offset, open-shard census) generations
+    // prevents both — and because the open shard's BYTES live in the
+    // shard file itself (state carries only the census), the restart
+    // path also proves the read-back-and-refilter recovery
+    def payload(id: Long, kind: String): Array[Byte] = {
+      val n = ((id * 11 + kind.length * 17) % 300 + 60).toInt
+      Array.tabulate(n)(j => ((id + j * 37 + kind(0)) % 251).toByte)
+    }
+    val b64 = java.util.Base64.getEncoder
+    def dRows(ids: Seq[Long]): Seq[String] = ids.map { id =>
+      def f(k: String) = "\"" + k + "\":\"" +
+        b64.encodeToString(payload(id, k)) + "\""
+      s"""{"doc_id":$id,${f("bmp")},${f("gif")},${f("png")},${f("wav")}}"""
+    }
+    val batches = Seq(dRows(0L until 9L), dRows(9L until 16L),
+      dRows(16L until 24L))
+    val targetB = 16384L
+    def shardBytes(out: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(out)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".tar"))
+        .map(f => f.getName ->
+          Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      def withOut(tag: String): (java.nio.file.Path,
+          (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path,
+            Array[Row] => Boolean) => org.apache.spark.sql.streaming.StreamingQuery) = {
+        val out = Files.createTempDirectory(s"graft-chaos-$tag-out")
+        (out, (src, ckpt, state, sink) =>
+          StreamingShards.shardStream(
+            spark.readStream.schema(
+              "doc_id LONG, bmp BINARY, gif BINARY, png BINARY, wav BINARY")
+              .json(src.toString),
+            targetB, state.toString, ckpt.toString, out.toString,
+            df => { if (sink(df.collect())) sys.error("chaos kill") }))
+      }
+      val (outC, startC) = withOut(s"shard-c-$prov")
+      val control = drive(startC, batches, chaos = false, s"shard-c-$prov")
+      val (outK, startK) = withOut(s"shard-k-$prov")
+      val chaotic = drive(startK, batches, chaos = true, s"shard-k-$prov")
+      withClue(s"provider $prov deliveries: ") { chaotic shouldBe control }
+      control should not be empty
+      // the accumulated shard FILES are kill-invariant byte for byte
+      val accC = shardBytes(outC.toString)
+      accC.keySet should not be empty
+      withClue(s"provider $prov accumulated files: ") {
+        shardBytes(outK.toString) shouldBe accC
+      }
+      // ...and equal the BATCH drain (flushOpen) over the same member
+      // census from scratch — streaming and nightly maintenance share
+      // one shard semantics, down to the bytes
+      import spark.implicits._
+      val broot = Files.createTempDirectory(s"graft-chaos-shard-batch-$prov")
+      val members = (0L until 24L).map { id =>
+        val b = payload(id, "bmp"); val g = payload(id, "gif")
+        val p = payload(id, "png"); val w = payload(id, "wav")
+        val sz = Seq(b, g, p, w)
+          .map(x => graft.operators.Tar.memberLength(x.length)).sum
+        (id, b, g, p, w, sz)
+      }.toDF("doc_id", "bmp", "gif", "png", "wav", "size_b")
+      graft.operators.Multimodal.shardDrain(spark, members, targetB,
+        s"$broot/state", s"$broot/shards", flushOpen = true)
+      withClue(s"provider $prov vs batch drain: ") {
+        shardBytes(s"$broot/shards") shouldBe accC
+      }
+    })
+  }
 }
