@@ -3276,6 +3276,161 @@ object Similarity extends QueryPack {
       oracle = Some(ivfPqAdaptiveOracleSql),
       headline = false),
 
+    // ── filtered-search STRATEGY choice: pre-filter the scan or
+    //    post-filter the unfiltered top-k? ──
+    // The remaining planning decision of a metadata-filtered ANN tier
+    // (ACORN, Patel et al. SIGMOD 2024; the big-ann-benchmarks
+    // filtered track): for a NON-selective predicate, post-filtering
+    // an oversampled UNFILTERED top-k' is cheaper than widening the
+    // probe budget — the unfiltered scan touches fewer cells and its
+    // top-k' already holds ≥ k expected passers; for a selective one
+    // the in-scan predicate path (`sim_ann_ivfpq_adaptive`) wins
+    // because post-filtering would need k' ≈ k/σ oversampling across
+    // ever more cells. This face is that decision as auditable
+    // EXACT-INTEGER coordinator arithmetic per query, from rows the
+    // coordinator already holds (the 8-row passer census + its probe
+    // ranking): the pre-filter path's budget (the planner arithmetic
+    // with its floor) prices as cum_rows(nb) rows READ and
+    // cum_pass(nb) ADC folds; the post-filter path prices as
+    // cum_rows(IvfNProbe) rows read AND folded with oversample
+    // k' = ceil(k·t_rows/t_pass) (expected ≥ k passers in the top-k',
+    // by cross-multiplication — t_pass = 0 falls back to pre). The
+    // verdict picks post-filter iff its ADC fold count is no larger:
+    // folds dominate the serving cost, and both counts come from the
+    // same census so the comparison is deterministic in both engines.
+    // Every input to the decision rides the output row, so the hash
+    // checks the whole cost model, not just the final label.
+    "sim_filtered_strategy" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (cells, cents) = ivfpqPersistedModel(s, d)
+        val census = cells.groupBy($"centroid_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when($"label" % 7 === 3, 1L).otherwise(0L)).as("n_pass"))
+        val q = embDouble(s, d).filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        val wProbe = Window.partitionBy($"query_id")
+          .orderBy($"cdist".asc, $"centroid_id")
+        val ranked = q.crossJoin(broadcast(cents))
+          .withColumn("cdist", l2sq($"qemb", $"cemb"))
+          .withColumn("pr", row_number().over(wProbe))
+          .join(broadcast(census), Seq("centroid_id"))
+        val wCum = Window.partitionBy($"query_id").orderBy($"pr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy($"query_id")
+        val cum = ranked
+          .withColumn("cum_rows", sum($"n_rows").over(wCum))
+          .withColumn("cum_pass", sum($"n_pass").over(wCum))
+          .withColumn("t_rows", sum($"n_rows").over(wAll))
+          .withColumn("t_pass", sum($"n_pass").over(wAll))
+          .withColumn("n_cells", count(lit(1)).over(wAll))
+          .withColumn("uf_rows",
+            max(when($"pr" === IvfNProbe, $"cum_rows")).over(wAll))
+          .localCheckpoint(true) // budget pick + both path prices
+        // the pre-filter budget: the planner arithmetic with its
+        // floor and all-cells fallback (sim_ann_ivfpq_adaptive's nb)
+        val wPick = Window.partitionBy($"query_id").orderBy($"pr")
+        val nb = cum
+          .filter($"cum_pass" * $"t_rows" >= $"uf_rows" * $"t_pass" &&
+            $"cum_pass" >= 5L)
+          .withColumn("rk1", row_number().over(wPick))
+          .filter($"rk1" === 1)
+          .select($"query_id", $"pr".as("min_pr"))
+        val budget = cum.select($"query_id", $"n_cells").distinct()
+          .join(nb, Seq("query_id"), "left")
+          .select($"query_id",
+            least($"n_cells",
+              greatest(coalesce($"min_pr", $"n_cells"),
+                lit(IvfNProbeFiltered))).as("nb"))
+        cum.join(broadcast(budget), Seq("query_id"))
+          .groupBy($"query_id")
+          .agg(
+            max($"t_rows").as("t_rows"),
+            max($"t_pass").as("t_pass"),
+            max(when($"pr" === $"nb", $"cum_rows")).as("rows_pre"),
+            max(when($"pr" === $"nb", $"cum_pass")).as("folds_pre"),
+            max(when($"pr" === IvfNProbe, $"cum_rows")).as("rows_post"),
+            max($"nb").as("probes_pre"))
+          .select($"query_id",
+            expr("t_pass * 1000000 div t_rows").as("sel_ppm"),
+            $"probes_pre".cast(LongType).as("probes_pre"),
+            $"rows_pre", $"folds_pre", $"rows_post",
+            when($"t_pass" > 0L,
+              expr("(5 * t_rows + t_pass - 1) div t_pass"))
+              .otherwise(lit(null)).cast(LongType).as("oversample_k"),
+            when($"t_pass" > 0L && $"rows_post" <= $"folds_pre",
+              lit("post")).otherwise(lit("pre")).as("strategy"))
+          .orderBy($"query_id")
+      },
+      oracle = Some(s"""
+        $embCteSql,
+        $ivfBuildChain,
+        census AS (
+          SELECT f.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN em.label % 7 = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pass
+          FROM fin f JOIN embeddings em ON em.vec_id = f.vec_id
+          GROUP BY f.centroid_id),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        rankedp AS (
+          SELECT q.query_id, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              list_sum(list_transform(generate_series(1, $Dim),
+                i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+              c.centroid_id) AS pr
+          FROM q, c3 c),
+        cum AS (
+          SELECT r.query_id, r.pr,
+            SUM(s.n_rows) OVER (PARTITION BY r.query_id ORDER BY r.pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+            SUM(s.n_pass) OVER (PARTITION BY r.query_id ORDER BY r.pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pass,
+            SUM(s.n_rows) OVER (PARTITION BY r.query_id) AS t_rows,
+            SUM(s.n_pass) OVER (PARTITION BY r.query_id) AS t_pass,
+            COUNT(*) OVER (PARTITION BY r.query_id) AS n_cells
+          FROM rankedp r JOIN census s USING (centroid_id)),
+        cum2 AS (
+          SELECT *, MAX(CASE WHEN pr = $IvfNProbe THEN cum_rows END)
+            OVER (PARTITION BY query_id) AS uf_rows
+          FROM cum),
+        plan AS (
+          SELECT query_id, MIN(pr) AS min_pr
+          FROM cum2
+          WHERE cum_pass * t_rows >= uf_rows * t_pass
+            AND cum_pass >= 5
+          GROUP BY query_id),
+        budget AS (
+          SELECT c.query_id,
+                 LEAST(MAX(c.n_cells),
+                   GREATEST(COALESCE(MIN(p.min_pr), MAX(c.n_cells)),
+                            $IvfNProbeFiltered)) AS nb
+          FROM cum2 c LEFT JOIN plan p USING (query_id)
+          GROUP BY c.query_id),
+        priced AS (
+          SELECT c.query_id,
+            MAX(c.t_rows) AS t_rows, MAX(c.t_pass) AS t_pass,
+            MAX(CASE WHEN c.pr = b.nb THEN c.cum_rows END) AS rows_pre,
+            MAX(CASE WHEN c.pr = b.nb THEN c.cum_pass END) AS folds_pre,
+            MAX(CASE WHEN c.pr = $IvfNProbe THEN c.cum_rows END)
+              AS rows_post,
+            MAX(b.nb) AS probes_pre
+          FROM cum2 c JOIN budget b USING (query_id)
+          GROUP BY c.query_id)
+        SELECT query_id,
+          CAST(t_pass * 1000000 // t_rows AS BIGINT) AS sel_ppm,
+          CAST(probes_pre AS BIGINT) AS probes_pre,
+          CAST(rows_pre AS BIGINT) AS rows_pre,
+          CAST(folds_pre AS BIGINT) AS folds_pre,
+          CAST(rows_post AS BIGINT) AS rows_post,
+          CASE WHEN t_pass > 0
+            THEN CAST((5 * t_rows + t_pass - 1) // t_pass AS BIGINT)
+            ELSE NULL END AS oversample_k,
+          CASE WHEN t_pass > 0 AND rows_post <= folds_pre
+            THEN 'post' ELSE 'pre' END AS strategy
+        FROM priced
+        ORDER BY query_id""")),
+
     // ── IVF+PQ index maintenance: encode an arriving batch against the
     //    FROZEN serving index — no rebuild, no corpus scan ──
     // The operation a 10^9-vector serving tier runs continuously:
