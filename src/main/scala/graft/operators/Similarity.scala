@@ -3276,6 +3276,131 @@ object Similarity extends QueryPack {
       oracle = Some(ivfPqAdaptiveOracleSql),
       headline = false),
 
+    // ── the post-filter executor: oversampled UNFILTERED top-k',
+    //    predicate applied after ranking ──
+    // The other branch of `sim_filtered_strategy`'s decision (the
+    // in-scan branch is `sim_ann_ivfpq_filtered`/`_adaptive`): scan
+    // the UNFILTERED [[IvfNProbe]]-cell budget, rank an OVERSAMPLED
+    // top-k' per query — k' = ceil(k·t_rows/t_pass) from the passer
+    // census, the expected-≥k-passers cross-multiplication, capped at
+    // 200 so the bounded top-k buffer stays bounded — then apply the
+    // predicate to the ≤k' winners and keep the top k passers. Right
+    // when the predicate is non-selective (k' stays near k and the
+    // 3-cell scan beats the widened 6-cell one); at this fixture's
+    // ~12% selectivity k' = 43 and the strategy face says 'pre' — the
+    // two executors plus the chooser are the complete serving story.
+    // The label re-attach and the final re-rank both operate on ≤k'
+    // rows per query (broadcast side), never on candidates; k' rides
+    // the output so the oversampling arithmetic is hash-checked.
+    "sim_ann_ivfpq_postfilter" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (cells, cents) = ivfpqPersistedModel(s, d)
+        val (_, books) = pqPersistedModel(s, d)
+        // global selectivity census: two pruned columns, 8 rows
+        val cRow = cells.agg(count(lit(1)).as("t_rows"),
+          sum(when($"label" % 7 === 3, 1L).otherwise(0L)).as("t_pass"))
+          .collect()(0)
+        val (tRows, tPass) = (cRow.getLong(0), cRow.getLong(1))
+        val kPrime =
+          if (tPass <= 0L) 5L
+          else math.min(200L, (5L * tRows + tPass - 1L) / tPass)
+        val chosen = probeRanking(s, d, cents)
+          .filter(_._3 <= IvfNProbe)
+        val probedCells = chosen.map(_._2).distinct.toSeq
+        val probePairs = chosen.map { case (qid, cell, _) => (qid, cell) }
+          .toSeq.toDF("query_id", "centroid_id")
+        val topk = udaf(new graft.functions.TopKAggregator(kPrime.toInt))
+        val ranked = cells
+          .filter($"centroid_id".isin(probedCells: _*))
+          .join(broadcast(probePairs), Seq("centroid_id"))
+          .filter($"vec_id" =!= $"query_id")
+          .join(broadcast(pqQueryLutWide(s, d, books)), Seq("query_id"))
+          .select($"query_id", $"vec_id",
+            graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))
+          .groupBy($"query_id")
+          .agg(topk(-$"adist", $"vec_id").as("top"))
+          .select($"query_id",
+            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
+          .select($"query_id",
+            $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
+        val wRe = Window.partitionBy($"query_id")
+          .orderBy($"adist".asc, $"vec_id")
+        broadcast(ranked)
+          .join(cells.filter($"centroid_id".isin(probedCells: _*))
+            .select($"vec_id", $"label"), Seq("vec_id"))
+          .filter($"label" % 7 === 3)
+          .withColumn("rnk", row_number().over(wRe).cast(LongType))
+          .filter($"rnk" <= 5)
+          .select($"query_id", $"rnk", $"vec_id", $"label", $"adist",
+            lit(kPrime).as("oversample_k"))
+          .orderBy($"query_id", $"rnk")
+      },
+      oracle = Some(s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $pqBuildChain,
+        sel AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t_rows,
+                 CAST(SUM(CASE WHEN em.label % 7 = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t_pass
+          FROM fin f JOIN embeddings em ON em.vec_id = f.vec_id),
+        kp AS (
+          SELECT CASE WHEN t_pass <= 0 THEN 5
+            ELSE LEAST(200, (5 * t_rows + t_pass - 1) // t_pass)
+            END AS kprime
+          FROM sel),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, centroid_id AS pcell FROM (
+            SELECT q.query_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS pr
+            FROM q, c3 c) x
+          WHERE pr <= $IvfNProbe),
+        qsub AS (
+          SELECT vec_id AS query_id, sub, semb AS qsemb
+          FROM sv WHERE vec_id < 5),
+        lut AS (
+          SELECT qsub.query_id, c.sub, c.code,
+            CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+              i -> (qsub.qsemb[i] - c.cemb[i]) * (qsub.qsemb[i] - c.cemb[i]))), 9)
+              AS DECIMAL(27,9)) AS pdist
+          FROM qsub JOIN pc2 c ON c.sub = qsub.sub),
+        adc AS (
+          SELECT p.query_id, f.vec_id,
+                 CAST(em.label AS BIGINT) AS label,
+                 CAST(SUM(l.pdist) AS DOUBLE) AS adist
+          FROM probes p
+          JOIN fin f ON f.centroid_id = p.pcell
+          JOIN embeddings em ON em.vec_id = f.vec_id
+          JOIN codes k ON k.vec_id = f.vec_id
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.sub = k.sub AND l.code = k.code
+          WHERE f.vec_id <> p.query_id
+          GROUP BY p.query_id, f.vec_id, em.label),
+        over AS (
+          SELECT a.query_id, a.vec_id, a.label, a.adist
+          FROM (
+            SELECT query_id, vec_id, label, adist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, vec_id) AS rnk0
+            FROM adc) a CROSS JOIN kp
+          WHERE a.rnk0 <= kp.kprime)
+        SELECT o.query_id, o.rnk, o.vec_id, o.label, o.adist,
+               CAST(kp.kprime AS BIGINT) AS oversample_k
+        FROM (
+          SELECT query_id, vec_id, label, adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist ASC, vec_id) AS rnk
+          FROM over
+          WHERE label % 7 = 3) o CROSS JOIN kp
+        WHERE o.rnk <= 5
+        ORDER BY o.query_id, o.rnk""")),
+
     // ── filtered-search STRATEGY choice: pre-filter the scan or
     //    post-filter the unfiltered top-k? ──
     // The remaining planning decision of a metadata-filtered ANN tier

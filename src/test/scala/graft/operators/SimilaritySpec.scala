@@ -937,6 +937,27 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     info(s"probes: filtered ${probesF.length} vs unfiltered ${probesU.length}")
   }
 
+  test("the filtered-search strategy trio is coherent on the fixture: " +
+      "the chooser says 'pre' at ~12% selectivity, the in-scan " +
+      "executor fills k for every query, and the post-filter executor " +
+      "measurably under-returns — the cost model's verdict matches " +
+      "what the two executors actually deliver") {
+    import spark.implicits._
+    val strat = graft.SparkEntry.queries("sim_filtered_strategy")(spark, sf)
+      .select($"query_id", $"strategy").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    strat.keySet shouldBe (0L until 5L).toSet
+    strat.values.foreach(_ shouldBe "pre")
+    val preRows = graft.SparkEntry
+      .queries("sim_ann_ivfpq_filtered")(spark, sf).count()
+    val postRows = graft.SparkEntry
+      .queries("sim_ann_ivfpq_postfilter")(spark, sf).count()
+    preRows shouldBe 25L // 5 queries x k — the widened scan fills k
+    withClue(s"post-filter returned $postRows of $preRows: ") {
+      postRows should be < preRows
+    }
+  }
+
   test("adaptive probe budgets rescue the far-cell predicate the static " +
       "2x constant provably under-returns on: static scan finds ZERO " +
       "candidates, planner-driven scan equals the exhaustive filtered " +
