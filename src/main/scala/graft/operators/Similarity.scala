@@ -1061,15 +1061,28 @@ object Similarity extends QueryPack {
     val tRows = census.valuesIterator.map(_._1).sum
     val tPass = census.valuesIterator.map(_._2).sum
     probeRanking(s, d, cents).groupBy(_._1).map { case (qid, rows) =>
-      val ordered = rows.sortBy(_._3).map(_._2)
-      val cumR = ordered.scanLeft(0L)((a, c) => a + census(c)._1).tail
-      val cumP = ordered.scanLeft(0L)((a, c) => a + census(c)._2).tail
-      val ufRows = cumR(math.min(IvfNProbe, ordered.length) - 1)
-      val adequate = (1 to ordered.length).find { pr =>
-        cumP(pr - 1) * tRows >= ufRows * tPass && cumP(pr - 1) >= k
+      // mirror the oracle's census INNER JOIN exactly: a cell with no
+      // inverted-list rows (possible only on degenerate fixtures)
+      // drops out of the cumulative walk, and when the pr=IvfNProbe
+      // row itself is missing the unfiltered-coverage baseline is
+      // undefined — no prefix is adequate and the budget falls back
+      // to all cells, in both engines
+      val present = rows.sortBy(_._3).filter(r => census.contains(r._2))
+      var cumR = 0L; var cumP = 0L
+      var ufRows: Option[Long] = None
+      val cums = present.map { case (_, cell, pr) =>
+        cumR += census(cell)._1; cumP += census(cell)._2
+        if (pr == IvfNProbe) ufRows = Some(cumR)
+        (pr, cumP)
       }
-      qid -> math.min(ordered.length,
-        math.max(adequate.getOrElse(ordered.length), IvfNProbeFiltered))
+      val nCells = present.length
+      val adequate = ufRows.flatMap { uf =>
+        cums.find { case (_, cp) =>
+          cp * tRows >= uf * tPass && cp >= k
+        }.map(_._1)
+      }
+      qid -> math.min(nCells,
+        math.max(adequate.getOrElse(nCells), IvfNProbeFiltered))
     }
   }
 
