@@ -1051,8 +1051,54 @@ object Similarity extends QueryPack {
     * face's. */
   private[operators] def adaptiveProbeBudgets(s: SparkSession, d: String,
       pred: org.apache.spark.sql.Column, k: Int = 5): Map[Long, Int] = {
+    val (cells, cents) = ivfpqPersistedModel(s, d)
+    plannerBudgets(s, cells, probeRanking(s, d, cents), pred, k)
+  }
+
+  /** The per-query cumulative probe walk both distributed planner
+    * faces read (`sim_filtered_probe_plan`, `sim_filtered_strategy`):
+    * the probe ranking joined to the passer census, with running and
+    * total row/passer counts, the joined cell count, and the
+    * unfiltered [[IvfNProbe]]-scan row baseline. One tiny frame
+    * (queries × cells), checkpointed — every caller reads it at least
+    * twice. The collected-side twin of this arithmetic is
+    * [[plannerBudgets]]. */
+  private def probePlanCum(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     val (cells, cents) = ivfpqPersistedModel(s, d)
+    val census = cells.groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pass"))
+    val q = embDouble(s, d).filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"cdist".asc, $"centroid_id")
+    val ranked = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sq($"qemb", $"cemb"))
+      .withColumn("pr", row_number().over(wProbe))
+      .join(broadcast(census), Seq("centroid_id"))
+    val wCum = Window.partitionBy($"query_id").orderBy($"pr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"query_id")
+    ranked
+      .withColumn("cum_rows", sum($"n_rows").over(wCum))
+      .withColumn("cum_pass", sum($"n_pass").over(wCum))
+      .withColumn("t_rows", sum($"n_rows").over(wAll))
+      .withColumn("t_pass", sum($"n_pass").over(wAll))
+      .withColumn("n_cells", count(lit(1)).over(wAll))
+      .withColumn("uf_rows",
+        max(when($"pr" === IvfNProbe, $"cum_rows")).over(wAll))
+      .localCheckpoint(true)
+  }
+
+  /** The planner arithmetic of [[adaptiveProbeBudgets]] on an
+    * already-collected probe ranking — so a caller that also runs the
+    * search computes the ranking (and resolves the artifacts) ONCE. */
+  private[operators] def plannerBudgets(s: SparkSession, cells: DataFrame,
+      ranking: Array[(Long, Int, Int)],
+      pred: org.apache.spark.sql.Column, k: Int = 5): Map[Long, Int] = {
+    import s.implicits._
     val census = cells.groupBy($"centroid_id")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(pred, 1L).otherwise(0L)).as("n_pass"))
@@ -1060,7 +1106,7 @@ object Similarity extends QueryPack {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val tRows = census.valuesIterator.map(_._1).sum
     val tPass = census.valuesIterator.map(_._2).sum
-    probeRanking(s, d, cents).groupBy(_._1).map { case (qid, rows) =>
+    ranking.groupBy(_._1).map { case (qid, rows) =>
       // mirror the oracle's census INNER JOIN exactly: a cell with no
       // inverted-list rows (possible only on degenerate fixtures)
       // drops out of the cumulative walk, and when the pr=IvfNProbe
@@ -1100,22 +1146,61 @@ object Similarity extends QueryPack {
   private[operators] def ivfpqSearchWithBudgets(s: SparkSession, d: String,
       pred: org.apache.spark.sql.Column,
       budgets: Map[Long, Int]): DataFrame = {
-    import s.implicits._
     val (cells, cents) = ivfpqPersistedModel(s, d)
     val (_, books) = pqPersistedModel(s, d)
-    val chosen = probeRanking(s, d, cents).filter { case (qid, _, pr) =>
-      pr <= budgets.getOrElse(qid, IvfNProbeFiltered)
-    }
+    ivfpqSearchOnRanking(s, d, cells, books, probeRanking(s, d, cents),
+      pred, budgets)
+  }
+
+  /** [[ivfpqSearchWithBudgets]] on pre-resolved artifacts and an
+    * already-collected probe ranking. Budgets are made TOTAL over the
+    * ranking's query set first (missing queries take the static
+    * [[IvfNProbeFiltered]] floor), so an empty map genuinely runs the
+    * static-constant search instead of being dropped by the
+    * probes_used join — the mode SimilaritySpec's adversarial gate
+    * measures. */
+  private[operators] def ivfpqSearchOnRanking(s: SparkSession, d: String,
+      cells: DataFrame, books: DataFrame,
+      ranking: Array[(Long, Int, Int)],
+      pred: org.apache.spark.sql.Column,
+      budgets: Map[Long, Int]): DataFrame = {
+    import s.implicits._
+    val eff: Map[Long, Int] = ranking.map(_._1).distinct
+      .map(q => q -> budgets.getOrElse(q, IvfNProbeFiltered)).toMap
+    val chosen = ranking.filter { case (qid, _, pr) => pr <= eff(qid) }
     val probedCells = chosen.map(_._2).distinct.toSeq
     val probePairs = chosen.map { case (qid, cell, _) => (qid, cell) }
       .toSeq.toDF("query_id", "centroid_id")
-    val budgetDf = budgets.toSeq
+    val budgetDf = eff.toSeq
       .map { case (qid, nb) => (qid, nb.toLong) }
       .toDF("query_id", "probes_used")
-    val topk = udaf(new graft.functions.TopKAggregator(5))
-    val ranked = cells
-      .filter($"centroid_id".isin(probedCells: _*))
-      .filter(pred)
+    val ranked = adcTopK(s, d, cells, books, probedCells, probePairs,
+      Some(pred), 5)
+    broadcast(ranked)
+      .join(cells.filter($"centroid_id".isin(probedCells: _*))
+        .select($"vec_id", $"label"), Seq("vec_id"))
+      .join(broadcast(budgetDf), Seq("query_id"))
+      .select($"query_id", $"rnk", $"vec_id", $"label", $"adist",
+        $"probes_used")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** The partition-pruned ADC ranking core shared by the
+    * budget-driven filtered search and the post-filter executor: scan
+    * only the probed cells (partition filter), apply the optional
+    * stored-attribute predicate BEFORE any pairing or distance work,
+    * pair candidates with their queries through the broadcast probe
+    * table, fold the codegen'd ADC distance, and rank through the
+    * bounded top-k buffer — ≤k rows per query cross the one shuffle.
+    * Returns (query_id, rnk, vec_id, adist). */
+  private def adcTopK(s: SparkSession, d: String,
+      cells: DataFrame, books: DataFrame,
+      probedCells: Seq[Int], probePairs: DataFrame,
+      pred: Option[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val scanned = cells.filter($"centroid_id".isin(probedCells: _*))
+    pred.fold(scanned)(scanned.filter)
       .join(broadcast(probePairs), Seq("centroid_id"))
       .filter($"vec_id" =!= $"query_id")
       .join(broadcast(pqQueryLutWide(s, d, books)), Seq("query_id"))
@@ -1127,13 +1212,6 @@ object Similarity extends QueryPack {
         posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
       .select($"query_id", ($"i" + 1).cast(LongType).as("rnk"),
         $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
-    broadcast(ranked)
-      .join(cells.filter($"centroid_id".isin(probedCells: _*))
-        .select($"vec_id", $"label"), Seq("vec_id"))
-      .join(broadcast(budgetDf), Seq("query_id"))
-      .select($"query_id", $"rnk", $"vec_id", $"label", $"adist",
-        $"probes_used")
-      .orderBy($"query_id", $"rnk")
   }
 
   /** Long-form (vec_id, sub, code) view of the wide codes artifact —
@@ -1403,20 +1481,16 @@ object Similarity extends QueryPack {
         WHERE rnk <= 5
         ORDER BY query_id, rnk"""
 
-  /** [[ivfPqFilteredOracleSql]] with the probe budget DERIVED by the
-    * planner arithmetic instead of the static constant
-    * (`sim_ann_ivfpq_adaptive`): the per-cell passer census, the
-    * cumulative adequacy walk of `sim_filtered_probe_plan`, then per
-    * query nb = LEAST(n_cells, GREATEST(COALESCE(min adequate pr,
-    * n_cells), $IvfNProbeFiltered)) — floor at the static dial,
-    * all-cells fallback — feeding the same filtered ADC tail. The
-    * budget itself rides the output (`probes_used`), so the hash
-    * checks the planner arithmetic, not just the search. */
-  private lazy val ivfPqAdaptiveOracleSql: String = s"""
-        $embCteSql,
-        $ivfBuildChain,
-        $pqBuildChain,
-        census AS (
+  /** Shared oracle CTE chain of the planner-arithmetic faces
+    * (`sim_ann_ivfpq_adaptive`, `sim_filtered_strategy`): the passer
+    * census, the distance-ranked probe list, the cumulative adequacy
+    * walk, and the per-query budget nb — ONE copy, so a change to the
+    * adequacy rule or the floor cannot desynchronize the faces while
+    * each still passes its own oracle. Composes after $embCteSql +
+    * $ivfBuildChain; exposes census / rankedp / cum / cum2 / plan /
+    * budget. The distributed twin is [[probePlanCum]], the collected
+    * twin [[plannerBudgets]]. */
+  private lazy val probeBudgetCtes: String = s"""census AS (
           SELECT f.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(SUM(CASE WHEN em.label % 7 = 3 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_pass
@@ -1456,7 +1530,22 @@ object Similarity extends QueryPack {
                    GREATEST(COALESCE(MIN(p.min_pr), MAX(c.n_cells)),
                             $IvfNProbeFiltered)) AS nb
           FROM cum2 c LEFT JOIN plan p USING (query_id)
-          GROUP BY c.query_id),
+          GROUP BY c.query_id)"""
+
+  /** [[ivfPqFilteredOracleSql]] with the probe budget DERIVED by the
+    * planner arithmetic instead of the static constant
+    * (`sim_ann_ivfpq_adaptive`): the per-cell passer census, the
+    * cumulative adequacy walk of `sim_filtered_probe_plan`, then per
+    * query nb = LEAST(n_cells, GREATEST(COALESCE(min adequate pr,
+    * n_cells), $IvfNProbeFiltered)) — floor at the static dial,
+    * all-cells fallback — feeding the same filtered ADC tail. The
+    * budget itself rides the output (`probes_used`), so the hash
+    * checks the planner arithmetic, not just the search. */
+  private lazy val ivfPqAdaptiveOracleSql: String = s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $pqBuildChain,
+        $probeBudgetCtes,
         probes AS (
           SELECT r.query_id, r.centroid_id AS pcell
           FROM rankedp r JOIN budget b USING (query_id)
@@ -3184,29 +3273,8 @@ object Similarity extends QueryPack {
     "sim_filtered_probe_plan" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val (cells, cents) = ivfpqPersistedModel(s, d)
-        val census = cells.groupBy($"centroid_id")
-          .agg(count(lit(1)).as("n_rows"),
-            sum(when($"label" % 7 === 3, 1L).otherwise(0L)).as("n_pass"))
-        val q = embDouble(s, d).filter($"vec_id" < 5)
-          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
-        val wProbe = Window.partitionBy($"query_id")
-          .orderBy($"cdist".asc, $"centroid_id")
-        val ranked = q.crossJoin(broadcast(cents))
-          .withColumn("cdist", l2sq($"qemb", $"cemb"))
-          .withColumn("pr", row_number().over(wProbe))
-          .join(broadcast(census), Seq("centroid_id"))
-        val wCum = Window.partitionBy($"query_id").orderBy($"pr")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy($"query_id")
         val wPick = Window.partitionBy($"query_id").orderBy($"pr")
-        ranked
-          .withColumn("cum_rows", sum($"n_rows").over(wCum))
-          .withColumn("cum_pass", sum($"n_pass").over(wCum))
-          .withColumn("t_rows", sum($"n_rows").over(wAll))
-          .withColumn("t_pass", sum($"n_pass").over(wAll))
-          .withColumn("uf_rows",
-            max(when($"pr" === IvfNProbe, $"cum_rows")).over(wAll))
+        probePlanCum(s, d, col("label") % 7 === 3)
           .filter($"cum_pass" * $"t_rows" >= $"uf_rows" * $"t_pass" &&
             $"cum_pass" >= 5L)
           .withColumn("rk1", row_number().over(wPick))
@@ -3284,7 +3352,14 @@ object Similarity extends QueryPack {
     "sim_ann_ivfpq_adaptive" -> QueryDef(
       fn = (s, d) => {
         val pred = col("label") % 7 === 3
-        ivfpqSearchWithBudgets(s, d, pred, adaptiveProbeBudgets(s, d, pred))
+        // artifacts resolved and the probe ranking collected ONCE —
+        // the planner derives its budgets from the same ranking the
+        // search then probes
+        val (cells, cents) = ivfpqPersistedModel(s, d)
+        val (_, books) = pqPersistedModel(s, d)
+        val ranking = probeRanking(s, d, cents)
+        ivfpqSearchOnRanking(s, d, cells, books, ranking, pred,
+          plannerBudgets(s, cells, ranking, pred))
       },
       oracle = Some(ivfPqAdaptiveOracleSql),
       headline = false),
@@ -3323,20 +3398,9 @@ object Similarity extends QueryPack {
         val probedCells = chosen.map(_._2).distinct.toSeq
         val probePairs = chosen.map { case (qid, cell, _) => (qid, cell) }
           .toSeq.toDF("query_id", "centroid_id")
-        val topk = udaf(new graft.functions.TopKAggregator(kPrime.toInt))
-        val ranked = cells
-          .filter($"centroid_id".isin(probedCells: _*))
-          .join(broadcast(probePairs), Seq("centroid_id"))
-          .filter($"vec_id" =!= $"query_id")
-          .join(broadcast(pqQueryLutWide(s, d, books)), Seq("query_id"))
-          .select($"query_id", $"vec_id",
-            graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))
-          .groupBy($"query_id")
-          .agg(topk(-$"adist", $"vec_id").as("top"))
-          .select($"query_id",
-            posexplode(arrays_zip($"top.scores", $"top.ids")).as(Seq("i", "pair")))
-          .select($"query_id",
-            $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
+        val ranked = adcTopK(s, d, cells, books, probedCells, probePairs,
+            None, kPrime.toInt)
+          .select($"query_id", $"vec_id", $"adist")
         val wRe = Window.partitionBy($"query_id")
           .orderBy($"adist".asc, $"vec_id")
         broadcast(ranked)
@@ -3441,30 +3505,7 @@ object Similarity extends QueryPack {
     "sim_filtered_strategy" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val (cells, cents) = ivfpqPersistedModel(s, d)
-        val census = cells.groupBy($"centroid_id")
-          .agg(count(lit(1)).as("n_rows"),
-            sum(when($"label" % 7 === 3, 1L).otherwise(0L)).as("n_pass"))
-        val q = embDouble(s, d).filter($"vec_id" < 5)
-          .select($"vec_id".as("query_id"), $"emb".as("qemb"))
-        val wProbe = Window.partitionBy($"query_id")
-          .orderBy($"cdist".asc, $"centroid_id")
-        val ranked = q.crossJoin(broadcast(cents))
-          .withColumn("cdist", l2sq($"qemb", $"cemb"))
-          .withColumn("pr", row_number().over(wProbe))
-          .join(broadcast(census), Seq("centroid_id"))
-        val wCum = Window.partitionBy($"query_id").orderBy($"pr")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy($"query_id")
-        val cum = ranked
-          .withColumn("cum_rows", sum($"n_rows").over(wCum))
-          .withColumn("cum_pass", sum($"n_pass").over(wCum))
-          .withColumn("t_rows", sum($"n_rows").over(wAll))
-          .withColumn("t_pass", sum($"n_pass").over(wAll))
-          .withColumn("n_cells", count(lit(1)).over(wAll))
-          .withColumn("uf_rows",
-            max(when($"pr" === IvfNProbe, $"cum_rows")).over(wAll))
-          .localCheckpoint(true) // budget pick + both path prices
+        val cum = probePlanCum(s, d, col("label") % 7 === 3)
         // the pre-filter budget: the planner arithmetic with its
         // floor and all-cells fallback (sim_ann_ivfpq_adaptive's nb)
         val wPick = Window.partitionBy($"query_id").orderBy($"pr")
@@ -3503,48 +3544,7 @@ object Similarity extends QueryPack {
       oracle = Some(s"""
         $embCteSql,
         $ivfBuildChain,
-        census AS (
-          SELECT f.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
-                 CAST(SUM(CASE WHEN em.label % 7 = 3 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_pass
-          FROM fin f JOIN embeddings em ON em.vec_id = f.vec_id
-          GROUP BY f.centroid_id),
-        q AS (
-          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
-        rankedp AS (
-          SELECT q.query_id, c.centroid_id,
-            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-              list_sum(list_transform(generate_series(1, $Dim),
-                i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
-              c.centroid_id) AS pr
-          FROM q, c3 c),
-        cum AS (
-          SELECT r.query_id, r.pr,
-            SUM(s.n_rows) OVER (PARTITION BY r.query_id ORDER BY r.pr
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
-            SUM(s.n_pass) OVER (PARTITION BY r.query_id ORDER BY r.pr
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pass,
-            SUM(s.n_rows) OVER (PARTITION BY r.query_id) AS t_rows,
-            SUM(s.n_pass) OVER (PARTITION BY r.query_id) AS t_pass,
-            COUNT(*) OVER (PARTITION BY r.query_id) AS n_cells
-          FROM rankedp r JOIN census s USING (centroid_id)),
-        cum2 AS (
-          SELECT *, MAX(CASE WHEN pr = $IvfNProbe THEN cum_rows END)
-            OVER (PARTITION BY query_id) AS uf_rows
-          FROM cum),
-        plan AS (
-          SELECT query_id, MIN(pr) AS min_pr
-          FROM cum2
-          WHERE cum_pass * t_rows >= uf_rows * t_pass
-            AND cum_pass >= 5
-          GROUP BY query_id),
-        budget AS (
-          SELECT c.query_id,
-                 LEAST(MAX(c.n_cells),
-                   GREATEST(COALESCE(MIN(p.min_pr), MAX(c.n_cells)),
-                            $IvfNProbeFiltered)) AS nb
-          FROM cum2 c LEFT JOIN plan p USING (query_id)
-          GROUP BY c.query_id),
+        $probeBudgetCtes,
         priced AS (
           SELECT c.query_id,
             MAX(c.t_rows) AS t_rows, MAX(c.t_pass) AS t_pass,
