@@ -1389,6 +1389,13 @@ object Multimodal extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val target = tarShardTarget(s)
+        // keyed on the corpus CONTENTS identity, so a regenerated
+        // fixture (which is NOT append-only) re-keys to a fresh state
+        // dir and rebuilds — this registry face is the CONVERGENCE
+        // gate (incremental result == batch artifact, member by
+        // member); the incremental property itself is spec-proven on
+        // a stable state dir (TarBundlesSpec), and a production
+        // append-only deployment keys its state on the format alone
         val dir = Similarity.artifactDir(s, d, "documents.parquet",
           "draintar", s"fmt1|target$target|png+gif+bmp+wav")
         val members = tarMembers(s, d)
@@ -1485,6 +1492,7 @@ object Multimodal extends QueryPack {
           .repartition($"bin")
           .sortWithinPartitions($"bin", $"doc_id")
           .foreachPartition(writeTarShards(stage) _)
+        sweepAttemptTemps(s, stage)
         members.unpersist()
         fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
           .close()
@@ -1572,6 +1580,26 @@ object Multimodal extends QueryPack {
     closeShard()
   }
 
+  /** Best-effort sweep of attempt-suffixed temp files a failed or
+    * superseded task attempt left under `dest`. A completed write job
+    * has renamed every live temp into place, so anything left is an
+    * orphan (a zombie attempt that completes later just re-renames
+    * the same deterministic bytes). Readers never see temps — they
+    * are dot-prefixed and outside the `*.tar` glob — but without the
+    * sweep a long-lived incremental shard dir accrues one dead
+    * near-shard-sized file per failed attempt, and the batch stage
+    * dir would publish them into the artifact. Runs after each write
+    * job, from the driver. */
+  private[graft] def sweepAttemptTemps(s: SparkSession, dest: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".shard-") && n.contains(".attempt-"))
+        fs.delete(st.getPath, false)
+    }
+  }
+
   /** Incremental tar-shard maintenance — the compaction-drain
     * discipline ([[IngestAnalog.compactionDrained]]: arrival-ordered
     * census, closed-bin watermark, write-then-commit) applied to the
@@ -1621,6 +1649,7 @@ object Multimodal extends QueryPack {
         .repartition($"bin")
         .sortWithinPartitions($"bin", $"doc_id")
         .foreachPartition(writeTarShards(outDir) _)
+      sweepAttemptTemps(s, outDir)
       // watermark commits AFTER the write, over CLOSED bins only
       if (wm < lastBin - 1) {
         Seq(lastBin - 1).toDF("wm")

@@ -97,6 +97,75 @@ object Tar {
   def writeTerminator(os: java.io.OutputStream): Unit =
     os.write(new Array[Byte](2 * Block))
 
+  /** Streaming [[decode]]: members pulled ONE at a time from an open
+    * stream — heap holds one member, never the shard (the read-side
+    * twin of [[writeEntry]]; the whole-array `decode` remains for
+    * small in-query archives and the fuzz gates). Same structural
+    * validations, same loud failures: bad magic, checksum mismatch,
+    * unsupported typeflag, and a single zero block without its twin
+    * all throw; a truncated stream fails with EOF inside readFully.
+    * The iterator ends after the two-zero-block terminator, which it
+    * demands. The caller owns (and closes) the stream. */
+  def entries(in: java.io.InputStream): Iterator[Entry] =
+    new Iterator[Entry] {
+      private val din = new java.io.DataInputStream(in)
+      private var pendingE: Entry = null
+      private var done = false
+      private def readBlock(): Array[Byte] = {
+        val b = new Array[Byte](Block); din.readFully(b); b
+      }
+      private def parseOctal(h: Array[Byte], off: Int, width: Int,
+          what: String): Long = {
+        var v = 0L
+        var i = off
+        val end = off + width
+        while (i < end && (h(i) == ' ' || h(i) == '0')) i += 1
+        while (i < end && h(i) != 0 && h(i) != ' ') {
+          require(h(i) >= '0' && h(i) <= '7',
+            s"tar: non-octal byte in $what")
+          v = v * 8 + (h(i) - '0'); i += 1
+        }
+        v
+      }
+      private def advance(): Unit = if (!done && pendingE == null) {
+        val h = readBlock()
+        if (h.forall(_ == 0)) {
+          require(readBlock().forall(_ == 0),
+            "tar: single zero block is not a valid terminator")
+          done = true
+        } else {
+          val magic = new String(h, 257, 5, US_ASCII)
+          require(magic == "ustar", s"tar: bad magic '$magic'")
+          var sum = 0L
+          var i = 0
+          while (i < Block) {
+            sum += (if (i >= 148 && i < 156) ' '.toInt else (h(i) & 0xff))
+            i += 1
+          }
+          val stored = parseOctal(h, 148, 8, "checksum")
+          require(sum == stored,
+            s"tar: header checksum mismatch (computed $sum, stored $stored)")
+          val nameEnd = (0 until 100).find(h(_) == 0).getOrElse(100)
+          val name = new String(h, 0, nameEnd, US_ASCII)
+          val size = parseOctal(h, 124, 12, "size")
+          val mtime = parseOctal(h, 136, 12, "mtime")
+          require(h(156) == '0' || h(156) == 0,
+            s"tar: unsupported typeflag '${h(156).toChar}'")
+          val data = new Array[Byte](size.toInt)
+          din.readFully(data)
+          val pad = ((Block - size % Block) % Block).toInt
+          if (pad > 0) din.readFully(new Array[Byte](pad))
+          pendingE = Entry(name, mtime, data)
+        }
+      }
+      def hasNext: Boolean = { advance(); pendingE != null }
+      def next(): Entry = {
+        advance()
+        require(pendingE != null, "tar: next() past the terminator")
+        val e = pendingE; pendingE = null; e
+      }
+    }
+
   def encode(entries: Seq[Entry]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     entries.foreach(writeEntry(out, _))

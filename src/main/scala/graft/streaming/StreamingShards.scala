@@ -24,11 +24,12 @@ import graft.operators.{FsSwap, Multimodal, Relational}
   * the shared [[Multimodal.writeTarShards]] writer — the closed
   * shards finalize, the open shard is rewritten grown. The open
   * shard's already-arrived member BYTES are not carried in state:
-  * they are read back from the open shard FILE itself (decoded
-  * executor-side through the tar source, restricted to the committed
-  * census — the file may briefly hold a crashed attempt's superset),
-  * so state stays METADATA-sized: two offsets + one bin's
-  * (doc_id, size_b) census, never payload bytes.
+  * they are read back from the open shard FILE itself — STREAM-
+  * decoded executor-side via [[graft.operators.Tar.entries]], one
+  * member in heap at a time, restricted to the committed census (the
+  * file may briefly hold a crashed attempt's superset) — so state
+  * stays METADATA-sized (two offsets + one bin's (doc_id, size_b)
+  * census) and no task ever holds a shard.
   *
   * Crash discipline (the `drainStream` protocol): shard writes land
   * FIRST, then both state generations commit in ONE [[FsSwap]]
@@ -112,21 +113,32 @@ object StreamingShards {
         val newPending = all.filter($"bin" === openBin)
         if (!replay) {
           // bytes for the carried open-shard members come from the
-          // open shard FILE (executor-side tar decode, restricted to
-          // the committed census — a crashed attempt may have left a
+          // open shard FILE, STREAM-decoded executor-side through
+          // Tar.entries — task heap holds one member, never the shard
+          // (at the production 1 GiB target a whole-file binaryFile
+          // row would materialize the open shard plus its decoded
+          // members every batch). The census join restricts to the
+          // committed generation — a crashed attempt may have left a
           // superset or already-finalized the file under the same
-          // name; the census filter makes either safe)
+          // name; the filter makes either safe.
           val pendingBins = pending.select($"bin").distinct()
             .collect().map(_.getLong(0))
           val carried: DataFrame = pendingBins.headOption match {
             case None => priced.limit(0)
               .select($"doc_id", $"bmp", $"gif", $"png", $"wav")
             case Some(b) =>
-              graft.sources.TarBundles
-                .members(s, f"$outDir/shard-$b%05d.tar")
-                .select(
-                  expr("cast(substring(name, 1, 12) as bigint)").as("doc_id"),
-                  expr("substring(name, 14)").as("kind"), $"data")
+              val shardPath = f"$outDir/shard-$b%05d.tar"
+              s.range(0, 1).mapPartitions { _ =>
+                val conf = new org.apache.hadoop.conf.Configuration()
+                val p = new org.apache.hadoop.fs.Path(shardPath)
+                val in = p.getFileSystem(conf).open(p)
+                Option(org.apache.spark.TaskContext.get()).foreach(
+                  _.addTaskCompletionListener[Unit](_ => in.close()))
+                graft.operators.Tar.entries(in).map { e =>
+                  (e.name.substring(0, 12).toLong,
+                    e.name.substring(13), e.data)
+                }
+              }.toDF("doc_id", "kind", "data")
                 .join(broadcast(pending.select($"doc_id")), Seq("doc_id"))
                 .groupBy($"doc_id")
                 .agg(
@@ -143,6 +155,7 @@ object StreamingShards {
             .repartition($"bin")
             .sortWithinPartitions($"bin", $"doc_id")
             .foreachPartition(Multimodal.writeTarShards(outDir) _)
+          Multimodal.sweepAttemptTemps(s, outDir)
           // commit AFTER the writes, both generations in ONE publish
           val total = assigned.agg(
             coalesce(sum($"size_b"), lit(0L))).collect()(0).getLong(0)

@@ -152,6 +152,38 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.tarShardTargetBytes")
   }
 
+  test("Tar.entries stream-decodes member-by-member equal to the " +
+      "whole-array decode, and fails loudly on truncation, checksum " +
+      "damage, and a lone zero block") {
+    val rnd = new scala.util.Random(57)
+    val es = (0 until 5).map(i => Tar.Entry(s"m$i.bin", 100L + i,
+      Array.fill(1 + rnd.nextInt(1500))(rnd.nextInt(256).toByte)))
+    val bytes = Tar.encode(es)
+    def stream(b: Array[Byte]) = new java.io.ByteArrayInputStream(b)
+    val got = Tar.entries(stream(bytes)).toSeq
+    got.map(_.name) shouldBe es.map(_.name)
+    got.map(_.mtime) shouldBe es.map(_.mtime)
+    got.zip(es).foreach { case (g, e) => g.data.toSeq shouldBe e.data.toSeq }
+    // equal to the array decode
+    val arr = Tar.decode(bytes)
+    got.map(g => (g.name, g.mtime, g.data.toSeq)) shouldBe
+      arr.map(a => (a.name, a.mtime, a.data.toSeq))
+    // truncation mid-member: EOF, never a silent short member
+    intercept[java.io.EOFException] {
+      Tar.entries(stream(bytes.take(bytes.length - 1200))).toSeq
+    }
+    // a flipped payload-adjacent header byte: checksum mismatch
+    val dmg = bytes.clone(); dmg(136) = '9'
+    intercept[IllegalArgumentException] {
+      Tar.entries(stream(dmg)).toSeq
+    }
+    // a lone zero block is not a terminator
+    val lone = bytes.dropRight(1024) ++ new Array[Byte](512)
+    intercept[Exception] {
+      Tar.entries(stream(lone)).toSeq
+    }
+  }
+
   test("incremental shard drain: an append-only second run writes ONLY " +
       "the new shards, every previously-closed shard file stays " +
       "byte-identical, a no-new-data run writes nothing, and the " +
