@@ -757,7 +757,7 @@ object Similarity extends QueryPack {
     * ordered by sub), codebooks = (sub, code, cemb)) backed by
     * parquet — consumers get pruned columnar scans of the tiny tables,
     * not the build plan. */
-  private[operators] def pqPersistedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def pqPersistedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val dir = pqArtifactDir(s, d)
     val codesPath = s"$dir/codes.parquet"
@@ -975,7 +975,7 @@ object Similarity extends QueryPack {
     * ([[ivfModelFor]]) — so DuckDB's from-scratch rebuild of BOTH
     * chains must land on exactly the persisted values; the raw
     * embeddings never enter the artifact. */
-  private[operators] def ivfpqPersistedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def ivfpqPersistedModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val dir = ivfpqArtifactDir(s, d)
     val cellsPath = s"$dir/cells.parquet"
@@ -1017,8 +1017,14 @@ object Similarity extends QueryPack {
   private[operators] def probeRanking(s: SparkSession, d: String,
       cents: DataFrame): Array[(Long, Int, Int)] = {
     import s.implicits._
-    val q = embDouble(s, d).filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+    probeRankingFor(s, cents, embDouble(s, d).filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb")))
+  }
+
+  /** [[probeRanking]] for an arbitrary query frame (query_id, qemb). */
+  private[graft] def probeRankingFor(s: SparkSession, cents: DataFrame,
+      q: DataFrame): Array[(Long, Int, Int)] = {
+    import s.implicits._
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"cdist".asc, $"centroid_id")
     q.crossJoin(broadcast(cents))
@@ -1095,7 +1101,7 @@ object Similarity extends QueryPack {
   /** The planner arithmetic of [[adaptiveProbeBudgets]] on an
     * already-collected probe ranking — so a caller that also runs the
     * search computes the ranking (and resolves the artifacts) ONCE. */
-  private[operators] def plannerBudgets(s: SparkSession, cells: DataFrame,
+  private[graft] def plannerBudgets(s: SparkSession, cells: DataFrame,
       ranking: Array[(Long, Int, Int)],
       pred: org.apache.spark.sql.Column, k: Int = 5): Map[Long, Int] = {
     import s.implicits._
@@ -1148,8 +1154,8 @@ object Similarity extends QueryPack {
       budgets: Map[Long, Int]): DataFrame = {
     val (cells, cents) = ivfpqPersistedModel(s, d)
     val (_, books) = pqPersistedModel(s, d)
-    ivfpqSearchOnRanking(s, d, cells, books, probeRanking(s, d, cents),
-      pred, budgets)
+    ivfpqSearchOnRanking(s, cells, pqQueryLutWide(s, d, books),
+      probeRanking(s, d, cents), pred, budgets)
   }
 
   /** [[ivfpqSearchWithBudgets]] on pre-resolved artifacts and an
@@ -1159,8 +1165,8 @@ object Similarity extends QueryPack {
     * static-constant search instead of being dropped by the
     * probes_used join — the mode SimilaritySpec's adversarial gate
     * measures. */
-  private[operators] def ivfpqSearchOnRanking(s: SparkSession, d: String,
-      cells: DataFrame, books: DataFrame,
+  private[graft] def ivfpqSearchOnRanking(s: SparkSession,
+      cells: DataFrame, lut: DataFrame,
       ranking: Array[(Long, Int, Int)],
       pred: org.apache.spark.sql.Column,
       budgets: Map[Long, Int]): DataFrame = {
@@ -1174,7 +1180,7 @@ object Similarity extends QueryPack {
     val budgetDf = eff.toSeq
       .map { case (qid, nb) => (qid, nb.toLong) }
       .toDF("query_id", "probes_used")
-    val ranked = adcTopK(s, d, cells, books, probedCells, probePairs,
+    val ranked = adcTopK(s, cells, lut, probedCells, probePairs,
       Some(pred), 5)
     broadcast(ranked)
       .join(cells.filter($"centroid_id".isin(probedCells: _*))
@@ -1193,8 +1199,8 @@ object Similarity extends QueryPack {
     * table, fold the codegen'd ADC distance, and rank through the
     * bounded top-k buffer — ≤k rows per query cross the one shuffle.
     * Returns (query_id, rnk, vec_id, adist). */
-  private def adcTopK(s: SparkSession, d: String,
-      cells: DataFrame, books: DataFrame,
+  private def adcTopK(s: SparkSession,
+      cells: DataFrame, lut: DataFrame,
       probedCells: Seq[Int], probePairs: DataFrame,
       pred: Option[org.apache.spark.sql.Column], k: Int): DataFrame = {
     import s.implicits._
@@ -1203,7 +1209,7 @@ object Similarity extends QueryPack {
     pred.fold(scanned)(scanned.filter)
       .join(broadcast(probePairs), Seq("centroid_id"))
       .filter($"vec_id" =!= $"query_id")
-      .join(broadcast(pqQueryLutWide(s, d, books)), Seq("query_id"))
+      .join(broadcast(lut), Seq("query_id"))
       .select($"query_id", $"vec_id",
         graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))
       .groupBy($"query_id")
@@ -1230,7 +1236,16 @@ object Similarity extends QueryPack {
     * so sums stay order-free exact. */
   private[operators] def pqQueryLut(s: SparkSession, d: String, books: DataFrame): DataFrame = {
     import s.implicits._
-    pqSubvectors(s, embDouble(s, d).filter($"vec_id" < 5))
+    pqQueryLutFor(s, embDouble(s, d).filter($"vec_id" < 5), books)
+  }
+
+  /** [[pqQueryLut]] for an ARBITRARY query frame (vec_id, emb) — the
+    * serving tier's shape: a query batch arrives from outside the
+    * corpus, the LUT prices it against the frozen codebooks. */
+  private[graft] def pqQueryLutFor(s: SparkSession, q: DataFrame,
+      books: DataFrame): DataFrame = {
+    import s.implicits._
+    pqSubvectors(s, q)
       .select($"vec_id".as("query_id"), $"sub", $"semb".as("qsemb"))
       .join(broadcast(books), Seq("sub"))
       .select($"query_id", $"sub", $"code",
@@ -1255,7 +1270,14 @@ object Similarity extends QueryPack {
     * precedent). */
   private[operators] def pqQueryLutWide(s: SparkSession, d: String, books: DataFrame): DataFrame = {
     import s.implicits._
-    val rows = pqQueryLut(s, d, books)
+    pqQueryLutWideFor(s, embDouble(s, d).filter($"vec_id" < 5), books)
+  }
+
+  /** [[pqQueryLutWide]] for an arbitrary query frame (vec_id, emb). */
+  private[graft] def pqQueryLutWideFor(s: SparkSession, q: DataFrame,
+      books: DataFrame): DataFrame = {
+    import s.implicits._
+    val rows = pqQueryLutFor(s, q, books)
       .select($"query_id", $"sub", $"code",
         ($"pdist" * 1000000000L).cast(LongType).as("v"))
       .collect()
@@ -3358,8 +3380,8 @@ object Similarity extends QueryPack {
         val (cells, cents) = ivfpqPersistedModel(s, d)
         val (_, books) = pqPersistedModel(s, d)
         val ranking = probeRanking(s, d, cents)
-        ivfpqSearchOnRanking(s, d, cells, books, ranking, pred,
-          plannerBudgets(s, cells, ranking, pred))
+        ivfpqSearchOnRanking(s, cells, pqQueryLutWide(s, d, books),
+          ranking, pred, plannerBudgets(s, cells, ranking, pred))
       },
       oracle = Some(ivfPqAdaptiveOracleSql),
       headline = false),
@@ -3398,8 +3420,8 @@ object Similarity extends QueryPack {
         val probedCells = chosen.map(_._2).distinct.toSeq
         val probePairs = chosen.map { case (qid, cell, _) => (qid, cell) }
           .toSeq.toDF("query_id", "centroid_id")
-        val ranked = adcTopK(s, d, cells, books, probedCells, probePairs,
-            None, kPrime.toInt)
+        val ranked = adcTopK(s, cells, pqQueryLutWide(s, d, books),
+            probedCells, probePairs, None, kPrime.toInt)
           .select($"query_id", $"vec_id", $"adist")
         val wRe = Window.partitionBy($"query_id")
           .orderBy($"adist".asc, $"vec_id")
