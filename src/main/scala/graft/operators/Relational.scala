@@ -2286,6 +2286,62 @@ object Relational extends QueryPack {
         ORDER BY k"""),
       headline = false),
 
+    // ── l-diversity audit (sensitive-attribute homogeneity risk) ──
+    // k-anonymity's standard complement (Machanavajjhala et al. 2007,
+    // "l-Diversity: Privacy Beyond k-Anonymity"): a large anonymity
+    // set is still a leak when everyone in it shares the SENSITIVE
+    // value — the homogeneity attack `q_kanon_audit` cannot see. Group
+    // rows by the linkable quasi-identifier pair (nation × market
+    // segment), count DISTINCT sensitive values (exact account-balance
+    // cents) per group, and report the diversity census: for each l,
+    // how many groups and rows sit at that diversity, the l < 3
+    // release-threshold flag, and the running count of rows in
+    // under-diverse groups. Same plan discipline as the k-face: two
+    // map-side-combined groupBys (one distinct aggregate — no Expand
+    // family), then a window over census rows (≤ distinct l values,
+    // never the data). Exact integers end to end.
+    "q_ldiv_audit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val cents =
+          expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+        val groups = Tables.customer(s, d)
+          .select($"c_nationkey", $"c_mktsegment", cents.as("sens"))
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("k"), countDistinct($"sens").as("l"))
+        val census = groups.groupBy($"l")
+          .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_rows"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"l")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        census
+          .withColumn("rows_below_3",
+            sum(when($"l" < 3L, $"n_rows").otherwise(0L)).over(w))
+          .select($"l", $"n_groups", $"n_rows",
+            ($"l" < 3L).as("violates_l3"), $"rows_below_3")
+          .orderBy($"l")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                   * 100 AS BIGINT)) AS BIGINT) AS l
+          FROM customer GROUP BY 1, 2),
+        c AS (
+          SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(k) AS BIGINT) AS n_rows
+          FROM g GROUP BY l)
+        SELECT l, n_groups, n_rows,
+               (l < 3) AS violates_l3,
+               CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END)
+                 OVER (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS rows_below_3
+        FROM c
+        ORDER BY l"""),
+      headline = false),
+
     // ── dyadic quantile digest with provable rank bounds ──
     // The QUANTILE member of the sketch family (F2/HLL/CM/theta cover
     // moments, cardinality, frequency, set ops — none answers "what
