@@ -2342,6 +2342,115 @@ object Relational extends QueryPack {
         ORDER BY l"""),
       headline = false),
 
+    // ── t-closeness audit (sensitive-DISTRIBUTION skew risk) ──
+    // The third member of the classic release-audit trio (Li, Li &
+    // Venkatasubramanian, ICDE 2007): l-diversity counts distinct
+    // sensitive values but is blind to their DISTRIBUTION — a group
+    // can be "diverse" while still overwhelmingly skewed toward one
+    // value. t-closeness bounds, per quasi-identifier group, the
+    // EARTH MOVER'S DISTANCE between the group's sensitive
+    // distribution and the whole table's. For an ORDERED attribute
+    // over m bands the EMD is the mean absolute cumulative-share gap:
+    // EMD = Σ_b |cumq_b/k − cump_b/N| / (m−1) — re-expressed in exact
+    // integers by cross-multiplication (numerator Σ|cumq_b·N −
+    // cump_b·k|, denominator k·N·(m−1)), reported in ppm so both
+    // engines land on the identical BIGINT. Emits per group its k, l,
+    // t_ppm and the t ≤ 0.2 release flag — the full trio on one row.
+    // Plan: one group×band histogram (map-side combined), the
+    // broadcast m-row global histogram, per-group cumulative windows
+    // BOUNDED by the band count, then one aggregate per group — the
+    // bands, never the data, cross the windows. The dense band
+    // domain rides a broadcast cross join (groups × m rows) so a band
+    // absent from a group still contributes its global share to the
+    // EMD (an absent band is exactly where skew hides).
+    "q_tclose_audit" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val band =
+          expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) " +
+            "+ 10000000) div 100000")
+        val rows = Tables.customer(s, d)
+          .select($"c_nationkey", $"c_mktsegment", band.as("band"))
+          .localCheckpoint(true) // global + per-group histograms
+        val globalH = rows.groupBy($"band")
+          .agg(count(lit(1)).as("gp"))
+          .localCheckpoint(true) // domain + the share join
+        val groupH = rows.groupBy($"c_nationkey", $"c_mktsegment", $"band")
+          .agg(count(lit(1)).as("gq"))
+        val groups = groupH.groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(sum($"gq").as("k"), count(lit(1)).as("l"))
+        // dense domain: every group × every band, zeros included
+        val dense = groups.crossJoin(broadcast(globalH.select($"band")))
+          .join(groupH, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+          .join(broadcast(globalH), Seq("band"))
+          .select($"c_nationkey", $"c_mktsegment", $"band", $"k", $"l",
+            coalesce($"gq", lit(0L)).as("gq"), $"gp")
+        val W = org.apache.spark.sql.expressions.Window
+        val wCum = W.partitionBy($"c_nationkey", $"c_mktsegment")
+          .orderBy($"band")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val nTot = rows.count()
+        val mBands = globalH.count()
+        dense
+          .withColumn("cumq", sum($"gq").over(wCum))
+          .withColumn("cump", sum($"gp").over(wCum))
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(max($"k").as("k"), max($"l").as("l"),
+            sum(abs($"cumq" * nTot - $"cump" * $"k")).as("emd_num"))
+          .select($"c_nationkey", $"c_mktsegment", $"k", $"l",
+            expr(s"emd_num * 1000000 div (k * $nTot * (${mBands - 1L}))")
+              .as("t_ppm"))
+          .withColumn("within_t20", $"t_ppm" <= 200000L)
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT c_nationkey, c_mktsegment,
+                 (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   + 10000000) // 100000 AS band
+          FROM customer),
+        gh AS (
+          SELECT band, CAST(COUNT(*) AS BIGINT) AS gp
+          FROM r GROUP BY band),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_bands FROM gh),
+        qh AS (
+          SELECT c_nationkey, c_mktsegment, band,
+                 CAST(COUNT(*) AS BIGINT) AS gq
+          FROM r GROUP BY 1, 2, 3),
+        grp AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(SUM(gq) AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS l
+          FROM qh GROUP BY 1, 2),
+        dense AS (
+          SELECT g.c_nationkey, g.c_mktsegment, b.band, g.k, g.l,
+                 COALESCE(q.gq, 0) AS gq, b.gp
+          FROM grp g
+          CROSS JOIN gh b
+          LEFT JOIN qh q ON q.c_nationkey = g.c_nationkey
+            AND q.c_mktsegment = g.c_mktsegment AND q.band = b.band),
+        cum AS (
+          SELECT c_nationkey, c_mktsegment, band, k, l,
+            SUM(gq) OVER (PARTITION BY c_nationkey, c_mktsegment
+              ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cumq,
+            SUM(gp) OVER (PARTITION BY c_nationkey, c_mktsegment
+              ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cump
+          FROM dense)
+        SELECT c.c_nationkey, c.c_mktsegment, c.k, c.l,
+               CAST(SUM(ABS(c.cumq * t.n - c.cump * c.k)) * 1000000
+                 // (c.k * t.n * (m.m_bands - 1)) AS BIGINT) AS t_ppm,
+               (CAST(SUM(ABS(c.cumq * t.n - c.cump * c.k)) * 1000000
+                 // (c.k * t.n * (m.m_bands - 1)) AS BIGINT)
+                 <= 200000) AS within_t20
+        FROM cum c CROSS JOIN tot t CROSS JOIN m
+        GROUP BY c.c_nationkey, c.c_mktsegment, c.k, c.l, t.n, m.m_bands
+        ORDER BY c.c_nationkey, c.c_mktsegment"""),
+      headline = false),
+
     // ── dyadic quantile digest with provable rank bounds ──
     // The QUANTILE member of the sketch family (F2/HLL/CM/theta cover
     // moments, cardinality, frequency, set ops — none answers "what
