@@ -1491,7 +1491,7 @@ object Multimodal extends QueryPack {
         members.join(bins, Seq("doc_id"))
           .repartition($"bin")
           .sortWithinPartitions($"bin", $"doc_id")
-          .foreachPartition(writeTarShards(stage) _)
+          .foreachPartition(writeTarShards(stage, hadoopConfBytes(s)) _)
         sweepAttemptTemps(s, stage)
         members.unpersist()
         fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
@@ -1524,9 +1524,10 @@ object Multimodal extends QueryPack {
     * ([[shardedTarDir]], dest = private staging dir) and the
     * incremental drain ([[shardDrain]], dest = the live shard dir).
     *
-    * Task-local Hadoop conf: the artifact path's scheme (file:// here,
-    * shared storage in a cluster) resolves in the executor, no conf
-    * serialization needed. Bins never split across partitions (hash on
+    * The SESSION's Hadoop conf rides along as Writable bytes
+    * ([[hadoopConfBytes]]) so spark.hadoop.* settings (object-store
+    * credentials, fs impls) reach the raw executor-side FS access the
+    * way Spark's own sources propagate them. Bins never split across partitions (hash on
     * the full bin key), so each shard file has exactly one writing
     * task; one stream is open at a time and entries stream through it.
     *
@@ -1542,9 +1543,9 @@ object Multimodal extends QueryPack {
     * retries — safe under the drain's single-publisher contract
     * ([[FsSwap]]); if even the retry loses (a concurrent attempt just
     * installed the same deterministic bytes), the temp is dropped. */
-  private[graft] def writeTarShards(dest: String)(
+  private[graft] def writeTarShards(dest: String, confBytes: Array[Byte])(
       it: Iterator[org.apache.spark.sql.Row]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = confFromBytes(confBytes)
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(tc => s"${tc.taskAttemptId()}")
       .getOrElse(java.util.UUID.randomUUID().toString.take(8))
@@ -1556,8 +1557,14 @@ object Multimodal extends QueryPack {
       Tar.writeTerminator(os); os.close(); os = null
       val fsOut = tmpP.getFileSystem(conf)
       if (!fsOut.rename(tmpP, finalP)) {
-        fsOut.delete(finalP, false)
-        if (!fsOut.rename(tmpP, finalP)) fsOut.delete(tmpP, false)
+        // displace the occupant ONLY while our temp still exists: a
+        // missing temp means the sweep (or a newer run) already
+        // disowned this attempt — deleting the final here would
+        // destroy the winner's shard (round-15 review)
+        if (fsOut.exists(tmpP)) {
+          fsOut.delete(finalP, false)
+          if (!fsOut.rename(tmpP, finalP)) fsOut.delete(tmpP, false)
+        }
       }
     }
     it.foreach { r =>
@@ -1580,6 +1587,28 @@ object Multimodal extends QueryPack {
     closeShard()
   }
 
+  /** The session's Hadoop configuration as Writable bytes — the
+    * executor-side reconstruction path for raw FS access (shard
+    * writers/readers): a bare `new Configuration()` in a task sees
+    * only classpath defaults and silently drops the session's
+    * `spark.hadoop.*` settings (object-store credentials, filesystem
+    * impls) that Spark's own sources propagate. Configuration is a
+    * Hadoop Writable, so the round-trip is public API. */
+  private[graft] def hadoopConfBytes(s: SparkSession): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    s.sparkContext.hadoopConfiguration.write(
+      new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  /** Executor-side twin of [[hadoopConfBytes]]. */
+  private[graft] def confFromBytes(b: Array[Byte]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(b)))
+    c
+  }
+
   /** Best-effort sweep of attempt-suffixed temp files a failed or
     * superseded task attempt left under `dest`. A completed write job
     * has renamed every live temp into place, so anything left is an
@@ -1593,9 +1622,18 @@ object Multimodal extends QueryPack {
   private[graft] def sweepAttemptTemps(s: SparkSession, dest: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dest)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // one-hour grace: a zombie/speculative attempt may still be
+    // streaming its temp when the winning job's sweep runs — deleting
+    // a LIVE temp would convert the writer's rename-retry into
+    // deleting the published shard (closeShard also guards on the
+    // temp's existence, belt and braces). Orphans older than the
+    // grace are long past any task lifetime and are reclaimed by the
+    // NEXT run's sweep — eventual cleanup, never a race.
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && n.startsWith(".shard-") && n.contains(".attempt-"))
+      if (st.isFile && n.startsWith(".shard-") && n.contains(".attempt-")
+          && st.getModificationTime < cutoff)
         fs.delete(st.getPath, false)
     }
   }
@@ -1648,7 +1686,7 @@ object Multimodal extends QueryPack {
       members.join(toWrite.select($"doc_id", $"bin"), Seq("doc_id"))
         .repartition($"bin")
         .sortWithinPartitions($"bin", $"doc_id")
-        .foreachPartition(writeTarShards(outDir) _)
+        .foreachPartition(writeTarShards(outDir, hadoopConfBytes(s)) _)
       sweepAttemptTemps(s, outDir)
       // watermark commits AFTER the write, over CLOSED bins only
       if (wm < lastBin - 1) {

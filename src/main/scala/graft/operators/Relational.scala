@@ -2352,10 +2352,18 @@ object Relational extends QueryPack {
     // distribution and the whole table's. For an ORDERED attribute
     // over m bands the EMD is the mean absolute cumulative-share gap:
     // EMD = Σ_b |cumq_b/k − cump_b/N| / (m−1) — re-expressed in exact
-    // integers by cross-multiplication (numerator Σ|cumq_b·N −
-    // cump_b·k|, denominator k·N·(m−1)), reported in ppm so both
-    // engines land on the identical BIGINT. Emits per group its k, l,
-    // t_ppm and the t ≤ 0.2 release flag — the full trio on one row.
+    // integers by cross-multiplication: the fraction is emitted AS
+    // numerator Σ|cumq_b·N − cump_b·k| over denominator k·N·(m−1)
+    // (a ×10^6 ppm rendering would overflow BIGINT around SF100 —
+    // num ≤ 2·m·k·N ≈ 8·10^15 at SF1000, so num and the ×5 flag
+    // arithmetic stay exact at any plausible scale while num·10^6
+    // does not), and the t ≤ 0.2 release verdict is the
+    // cross-multiplied flag 5·num ≤ den. A single-band domain makes
+    // the EMD the vacuous 0/0 — num is provably 0 there (the only
+    // cumulative point has cumq·N = k·N = cump·k) and the flag reads
+    // true, no division anywhere. Emits per group its k, the
+    // band-diversity n_bands (NOT q_ldiv_audit's exact-value l — the
+    // banded domain collapses nearby values), num, den and the flag.
     // Plan: one group×band histogram (map-side combined), the
     // broadcast m-row global histogram, per-group cumulative windows
     // BOUNDED by the band count, then one aggregate per group — the
@@ -2378,13 +2386,13 @@ object Relational extends QueryPack {
         val groupH = rows.groupBy($"c_nationkey", $"c_mktsegment", $"band")
           .agg(count(lit(1)).as("gq"))
         val groups = groupH.groupBy($"c_nationkey", $"c_mktsegment")
-          .agg(sum($"gq").as("k"), count(lit(1)).as("l"))
+          .agg(sum($"gq").as("k"), count(lit(1)).as("n_bands"))
         // dense domain: every group × every band, zeros included
         val dense = groups.crossJoin(broadcast(globalH.select($"band")))
           .join(groupH, Seq("c_nationkey", "c_mktsegment", "band"), "left")
           .join(broadcast(globalH), Seq("band"))
-          .select($"c_nationkey", $"c_mktsegment", $"band", $"k", $"l",
-            coalesce($"gq", lit(0L)).as("gq"), $"gp")
+          .select($"c_nationkey", $"c_mktsegment", $"band", $"k",
+            $"n_bands", coalesce($"gq", lit(0L)).as("gq"), $"gp")
         val W = org.apache.spark.sql.expressions.Window
         val wCum = W.partitionBy($"c_nationkey", $"c_mktsegment")
           .orderBy($"band")
@@ -2395,12 +2403,12 @@ object Relational extends QueryPack {
           .withColumn("cumq", sum($"gq").over(wCum))
           .withColumn("cump", sum($"gp").over(wCum))
           .groupBy($"c_nationkey", $"c_mktsegment")
-          .agg(max($"k").as("k"), max($"l").as("l"),
+          .agg(max($"k").as("k"), max($"n_bands").as("n_bands"),
             sum(abs($"cumq" * nTot - $"cump" * $"k")).as("emd_num"))
-          .select($"c_nationkey", $"c_mktsegment", $"k", $"l",
-            expr(s"emd_num * 1000000 div (k * $nTot * (${mBands - 1L}))")
-              .as("t_ppm"))
-          .withColumn("within_t20", $"t_ppm" <= 200000L)
+          .select($"c_nationkey", $"c_mktsegment", $"k", $"n_bands",
+            $"emd_num",
+            expr(s"k * $nTot * (${mBands - 1L})").as("emd_den"))
+          .withColumn("within_t20", $"emd_num" * 5L <= $"emd_den")
           .orderBy($"c_nationkey", $"c_mktsegment")
       },
       oracle = Some("""
@@ -2422,17 +2430,17 @@ object Relational extends QueryPack {
         grp AS (
           SELECT c_nationkey, c_mktsegment,
                  CAST(SUM(gq) AS BIGINT) AS k,
-                 CAST(COUNT(*) AS BIGINT) AS l
+                 CAST(COUNT(*) AS BIGINT) AS n_bands
           FROM qh GROUP BY 1, 2),
         dense AS (
-          SELECT g.c_nationkey, g.c_mktsegment, b.band, g.k, g.l,
+          SELECT g.c_nationkey, g.c_mktsegment, b.band, g.k, g.n_bands,
                  COALESCE(q.gq, 0) AS gq, b.gp
           FROM grp g
           CROSS JOIN gh b
           LEFT JOIN qh q ON q.c_nationkey = g.c_nationkey
             AND q.c_mktsegment = g.c_mktsegment AND q.band = b.band),
         cum AS (
-          SELECT c_nationkey, c_mktsegment, band, k, l,
+          SELECT c_nationkey, c_mktsegment, band, k, n_bands,
             SUM(gq) OVER (PARTITION BY c_nationkey, c_mktsegment
               ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
               AND CURRENT ROW) AS cumq,
@@ -2440,14 +2448,15 @@ object Relational extends QueryPack {
               ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
               AND CURRENT ROW) AS cump
           FROM dense)
-        SELECT c.c_nationkey, c.c_mktsegment, c.k, c.l,
-               CAST(SUM(ABS(c.cumq * t.n - c.cump * c.k)) * 1000000
-                 // (c.k * t.n * (m.m_bands - 1)) AS BIGINT) AS t_ppm,
-               (CAST(SUM(ABS(c.cumq * t.n - c.cump * c.k)) * 1000000
-                 // (c.k * t.n * (m.m_bands - 1)) AS BIGINT)
-                 <= 200000) AS within_t20
+        SELECT c.c_nationkey, c.c_mktsegment, c.k, c.n_bands,
+               CAST(SUM(ABS(c.cumq * t.n - c.cump * c.k)) AS BIGINT)
+                 AS emd_num,
+               CAST(c.k * t.n * (m.m_bands - 1) AS BIGINT) AS emd_den,
+               (CAST(SUM(ABS(c.cumq * t.n - c.cump * c.k)) AS BIGINT) * 5
+                 <= c.k * t.n * (m.m_bands - 1)) AS within_t20
         FROM cum c CROSS JOIN tot t CROSS JOIN m
-        GROUP BY c.c_nationkey, c.c_mktsegment, c.k, c.l, t.n, m.m_bands
+        GROUP BY c.c_nationkey, c.c_mktsegment, c.k, c.n_bands,
+                 t.n, m.m_bands
         ORDER BY c.c_nationkey, c.c_mktsegment"""),
       headline = false),
 

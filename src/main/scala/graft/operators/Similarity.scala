@@ -1066,11 +1066,14 @@ object Similarity extends QueryPack {
     * the probe ranking joined to the passer census, with running and
     * total row/passer counts, the joined cell count, and the
     * unfiltered [[IvfNProbe]]-scan row baseline. One tiny frame
-    * (queries × cells), checkpointed — every caller reads it at least
-    * twice. The collected-side twin of this arithmetic is
+    * (queries × cells); `checkpoint` pins it for callers that read it
+    * more than once (the strategy face does; the probe-plan face is a
+    * single pass and skips the eager job — the bench is job-overhead
+    * bound). The collected-side twin of this arithmetic is
     * [[plannerBudgets]]. */
   private def probePlanCum(s: SparkSession, d: String,
-      pred: org.apache.spark.sql.Column): DataFrame = {
+      pred: org.apache.spark.sql.Column,
+      checkpoint: Boolean): DataFrame = {
     import s.implicits._
     val (cells, cents) = ivfpqPersistedModel(s, d)
     val census = cells.groupBy($"centroid_id")
@@ -1087,7 +1090,7 @@ object Similarity extends QueryPack {
     val wCum = Window.partitionBy($"query_id").orderBy($"pr")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy($"query_id")
-    ranked
+    val cum = ranked
       .withColumn("cum_rows", sum($"n_rows").over(wCum))
       .withColumn("cum_pass", sum($"n_pass").over(wCum))
       .withColumn("t_rows", sum($"n_rows").over(wAll))
@@ -1095,7 +1098,7 @@ object Similarity extends QueryPack {
       .withColumn("n_cells", count(lit(1)).over(wAll))
       .withColumn("uf_rows",
         max(when($"pr" === IvfNProbe, $"cum_rows")).over(wAll))
-      .localCheckpoint(true)
+    if (checkpoint) cum.localCheckpoint(true) else cum
   }
 
   /** The planner arithmetic of [[adaptiveProbeBudgets]] on an
@@ -3296,7 +3299,7 @@ object Similarity extends QueryPack {
       fn = (s, d) => {
         import s.implicits._
         val wPick = Window.partitionBy($"query_id").orderBy($"pr")
-        probePlanCum(s, d, col("label") % 7 === 3)
+        probePlanCum(s, d, col("label") % 7 === 3, checkpoint = false)
           .filter($"cum_pass" * $"t_rows" >= $"uf_rows" * $"t_pass" &&
             $"cum_pass" >= 5L)
           .withColumn("rk1", row_number().over(wPick))
@@ -3527,7 +3530,8 @@ object Similarity extends QueryPack {
     "sim_filtered_strategy" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val cum = probePlanCum(s, d, col("label") % 7 === 3)
+        val cum = probePlanCum(s, d, col("label") % 7 === 3,
+          checkpoint = true)
         // the pre-filter budget: the planner arithmetic with its
         // floor and all-cells fallback (sim_ann_ivfpq_adaptive's nb)
         val wPick = Window.partitionBy($"query_id").orderBy($"pr")

@@ -151,6 +151,14 @@ object Tar {
           val mtime = parseOctal(h, 136, 12, "mtime")
           require(h(156) == '0' || h(156) == 0,
             s"tar: unsupported typeflag '${h(156).toChar}'")
+          // the 12-wide octal field permits sizes past Int range; a
+          // negative or JVM-array-overflowing size must fail HERE —
+          // size.toInt truncation would either throw an obscure
+          // NegativeArraySizeException or silently under-read and
+          // desync the stream (the array decode bounds this against
+          // the archive length; the stream has no length to check)
+          require(size >= 0 && size <= Int.MaxValue - 2L * Block,
+            s"tar: member '$name' size $size out of supported range")
           val data = new Array[Byte](size.toInt)
           din.readFully(data)
           val pad = ((Block - size % Block) % Block).toInt

@@ -128,15 +128,25 @@ object StreamingShards {
               .select($"doc_id", $"bmp", $"gif", $"png", $"wav")
             case Some(b) =>
               val shardPath = f"$outDir/shard-$b%05d.tar"
-              s.range(0, 1).mapPartitions { _ =>
-                val conf = new org.apache.hadoop.conf.Configuration()
-                val p = new org.apache.hadoop.fs.Path(shardPath)
-                val in = p.getFileSystem(conf).open(p)
-                Option(org.apache.spark.TaskContext.get()).foreach(
-                  _.addTaskCompletionListener[Unit](_ => in.close()))
-                graft.operators.Tar.entries(in).map { e =>
-                  (e.name.substring(0, 12).toLong,
-                    e.name.substring(13), e.data)
+              val confBytes = Multimodal.hadoopConfBytes(s)
+              // ONE partition, and the closure is iterator-guarded:
+              // without both, every defaultParallelism partition would
+              // open and fully decode the shard, emitting N duplicate
+              // member copies (round-15 review). The session conf
+              // rides along so object-store settings reach the read.
+              s.range(0, 1, 1, numPartitions = 1).mapPartitions { it =>
+                if (!it.hasNext) Iterator.empty
+                else {
+                  val conf = graft.operators.Multimodal
+                    .confFromBytes(confBytes)
+                  val p = new org.apache.hadoop.fs.Path(shardPath)
+                  val in = p.getFileSystem(conf).open(p)
+                  Option(org.apache.spark.TaskContext.get()).foreach(
+                    _.addTaskCompletionListener[Unit](_ => in.close()))
+                  graft.operators.Tar.entries(in).map { e =>
+                    (e.name.substring(0, 12).toLong,
+                      e.name.substring(13), e.data)
+                  }
                 }
               }.toDF("doc_id", "kind", "data")
                 .join(broadcast(pending.select($"doc_id")), Seq("doc_id"))
@@ -154,7 +164,8 @@ object StreamingShards {
               $"size_b", $"bin")
             .repartition($"bin")
             .sortWithinPartitions($"bin", $"doc_id")
-            .foreachPartition(Multimodal.writeTarShards(outDir) _)
+            .foreachPartition(Multimodal.writeTarShards(outDir,
+              Multimodal.hadoopConfBytes(s)) _)
           Multimodal.sweepAttemptTemps(s, outDir)
           // commit AFTER the writes, both generations in ONE publish
           val total = assigned.agg(

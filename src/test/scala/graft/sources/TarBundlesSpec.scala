@@ -177,11 +177,16 @@ class TarBundlesSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       Tar.entries(stream(dmg)).toSeq
     }
-    // a lone zero block is not a terminator
-    val lone = bytes.dropRight(1024) ++ new Array[Byte](512)
-    intercept[Exception] {
+    // a lone zero block followed by a NON-zero block is not a
+    // terminator — this must reach the twin-block require (a stream
+    // that merely ENDS after one zero block fails as EOF instead,
+    // which the truncation case above already covers)
+    val lone = bytes.dropRight(1024) ++ new Array[Byte](512) ++
+      Array.fill(512)(1.toByte)
+    val ex = intercept[IllegalArgumentException] {
       Tar.entries(stream(lone)).toSeq
     }
+    ex.getMessage should include("single zero block")
   }
 
   test("incremental shard drain: an append-only second run writes ONLY " +
