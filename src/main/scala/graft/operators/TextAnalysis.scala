@@ -918,15 +918,17 @@ object TextAnalysis extends QueryPack {
   private val SuffixDupMinLen = 6
 
   /** Mechanism-independent brute-force oracle shared by
-    * `llm_suffix_dups` and `llm_suffix_dups_append` (the append's
-    * contract IS hash-equality with a full rebuild, so the two queries
-    * must answer to one oracle): every (position, length) gram of the
-    * corpus counted for a second occurrence — quadratic in doc length,
-    * fine at sf0.01; the scale path is the Spark side. */
-  private val SuffixDupsOracleSql: String = s"""
+    * `llm_suffix_dups`, `llm_suffix_dups_append`, and the headline
+    * panel face (the append's contract IS hash-equality with a full
+    * rebuild, so the full-corpus queries answer to one oracle; the
+    * panel face passes its doc filter as `docsRel`): every (position,
+    * length) gram of the corpus counted for a second occurrence —
+    * quadratic in doc length, fine at sf0.01; the scale path is the
+    * Spark side. */
+  private def suffixDupsOracle(docsRel: String): String = s"""
         WITH toks AS (
           SELECT doc_id, ${graft.functions.TextTokens.tokensSql} AS tokens
-          FROM documents),
+          FROM $docsRel),
         tt AS (
           SELECT doc_id, tokens, len(tokens) AS n
           FROM toks WHERE len(tokens) >= 1),
@@ -957,6 +959,14 @@ object TextAnalysis extends QueryPack {
         FROM rep
         GROUP BY doc_id
         ORDER BY doc_id"""
+
+  private val SuffixDupsOracleSql: String = suffixDupsOracle("documents")
+
+  /** The headline panel for the suffix census — every 4th document.
+    * The modulus is part of the query's CONTRACT (it parameterizes the
+    * oracle identically), not a sample: the panel face is a complete
+    * suffix-dup census of a fixed quarter of the corpus. */
+  private val SuffixDupPanelMod = 4
 
   /** Occurrences of `kw` in `text` via length arithmetic (exact ints). */
   /** The batch-perceptron loop behind `llm_perceptron_learn`, exposed
@@ -1967,9 +1977,32 @@ object TextAnalysis extends QueryPack {
     // Spark side's n·log(doc) sorts).
     "llm_suffix_dups" -> QueryDef(
       fn = (s, d) => suffixDups(Tables.documents(s, d), SuffixDupMinLen),
-      oracle = Some(SuffixDupsOracleSql),
-      // HEADLINED round 12 (verdict #2): the O(log n) doubling rounds
-      // are the most expensive batch plan in the repo and were unpriced
+      // HEADLINED round 12 (verdict #2), DE-headlined round 16
+      // (verdict #7): at 9-14 s the full-corpus census was ~25% of the
+      // bench record and its ambient swing (±4.5 s between records on
+      // byte-identical code) dwarfed every other query's band width,
+      // masking the rest of the record. The oracle contract is
+      // unchanged; the HEADLINE face is now the fixed quarter-corpus
+      // panel below, which prices the identical plan at a readable
+      // share of the record.
+      oracle = Some(SuffixDupsOracleSql)),
+
+    // ── the suffix census's HEADLINE face: a fixed quarter-panel ──
+    // Identical plan and semantics to llm_suffix_dups (the same
+    // [[suffixDups]] doubling over the same per-doc sentinel layout),
+    // run over the deterministic doc_id % 4 == 0 panel so the bench
+    // prices the operator's plan without the full census's 25%-of-
+    // record wall-clock share. The panel modulus parameterizes the
+    // oracle identically — this is a complete census of a fixed
+    // sub-corpus, not a sample of the full answer.
+    "llm_suffix_dups_panel" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        suffixDups(Tables.documents(s, d)
+          .filter($"doc_id" % SuffixDupPanelMod === 0), SuffixDupMinLen)
+      },
+      oracle = Some(suffixDupsOracle(
+        s"(SELECT doc_id, text FROM documents WHERE doc_id % $SuffixDupPanelMod = 0) documents")),
       headline = true),
 
     // ── incremental suffix array: append a shard, rank ONLY the shard ──
