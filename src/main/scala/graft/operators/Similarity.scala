@@ -811,8 +811,19 @@ object Similarity extends QueryPack {
     * dirs. Keying on the LEAF-file triples (path relative to the
     * source root, so a file moving between partitions changes the key
     * too) makes the identity sound for any directory layout. */
+  /** Test probe hooks (StreamingAnnServeSpec's hoisting gate — round-15
+    * verdict #1): monotone counters bumped by [[sourceIdentity]] and
+    * [[passerCensus]], so a spec can prove that serving a micro-batch
+    * performs NO source-corpus listing and NO inverted-list census
+    * after stream start — the two frozen-index invariants that were
+    * being recomputed per batch. Cost: one atomic increment on paths
+    * that do filesystem listings / full-artifact aggregates anyway. */
+  private[graft] val sourceIdentityCalls = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val passerCensusCalls = new java.util.concurrent.atomic.AtomicLong
+
   private[operators] def sourceIdentity(s: SparkSession, d: String,
       srcFile: String): String = {
+    sourceIdentityCalls.incrementAndGet()
     val srcPath = new org.apache.hadoop.fs.Path(d, srcFile)
     val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(srcPath)
@@ -1101,18 +1112,40 @@ object Similarity extends QueryPack {
     if (checkpoint) cum.localCheckpoint(true) else cum
   }
 
+  /** The per-cell (n_rows, n_pass) passer census of the inverted-list
+    * artifact under `pred` — the O(cells)-row scan+aggregate the
+    * planner arithmetic reads. For a FROZEN index and a fixed
+    * predicate this is batch-invariant: a serving tier computes it
+    * ONCE at stream start and closes over the tiny map
+    * ([[graft.streaming.StreamingAnnServe]] — round-15 verdict #1:
+    * recomputing it per micro-batch is O(corpus) per batch at 10^9
+    * vectors). */
+  private[graft] def passerCensus(cells: DataFrame,
+      pred: org.apache.spark.sql.Column): Map[Int, (Long, Long)] = {
+    passerCensusCalls.incrementAndGet()
+    val s = cells.sparkSession
+    import s.implicits._
+    cells.groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pass"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
   /** The planner arithmetic of [[adaptiveProbeBudgets]] on an
     * already-collected probe ranking — so a caller that also runs the
     * search computes the ranking (and resolves the artifacts) ONCE. */
   private[graft] def plannerBudgets(s: SparkSession, cells: DataFrame,
       ranking: Array[(Long, Int, Int)],
-      pred: org.apache.spark.sql.Column, k: Int = 5): Map[Long, Int] = {
-    import s.implicits._
-    val census = cells.groupBy($"centroid_id")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(pred, 1L).otherwise(0L)).as("n_pass"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      pred: org.apache.spark.sql.Column, k: Int = 5): Map[Long, Int] =
+    plannerBudgetsOnCensus(passerCensus(cells, pred), ranking, k)
+
+  /** [[plannerBudgets]] on an already-collected passer census — pure
+    * coordinator arithmetic, no Spark jobs: the per-batch half a
+    * serving tier runs against the census it resolved at stream
+    * start. */
+  private[graft] def plannerBudgetsOnCensus(census: Map[Int, (Long, Long)],
+      ranking: Array[(Long, Int, Int)], k: Int = 5): Map[Long, Int] = {
     val tRows = census.valuesIterator.map(_._1).sum
     val tPass = census.valuesIterator.map(_._2).sum
     ranking.groupBy(_._1).map { case (qid, rows) =>
@@ -1167,12 +1200,21 @@ object Similarity extends QueryPack {
     * [[IvfNProbeFiltered]] floor), so an empty map genuinely runs the
     * static-constant search instead of being dropped by the
     * probes_used join — the mode SimilaritySpec's adversarial gate
-    * measures. */
+    * measures.
+    *
+    * `excludeSelf` (default true — the registry faces' oracles issue
+    * corpus vectors as queries and exclude the trivial self-match)
+    * drops candidates whose vec_id equals the query_id. A serving
+    * tier whose queries arrive from OUTSIDE the corpus passes false:
+    * query ids live in their own namespace there, and an external
+    * query whose id happens to collide with a corpus vec_id must not
+    * silently lose that vector as a candidate (round-15 ADVICE). */
   private[graft] def ivfpqSearchOnRanking(s: SparkSession,
       cells: DataFrame, lut: DataFrame,
       ranking: Array[(Long, Int, Int)],
       pred: org.apache.spark.sql.Column,
-      budgets: Map[Long, Int]): DataFrame = {
+      budgets: Map[Long, Int],
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     val eff: Map[Long, Int] = ranking.map(_._1).distinct
       .map(q => q -> budgets.getOrElse(q, IvfNProbeFiltered)).toMap
@@ -1184,7 +1226,7 @@ object Similarity extends QueryPack {
       .map { case (qid, nb) => (qid, nb.toLong) }
       .toDF("query_id", "probes_used")
     val ranked = adcTopK(s, cells, lut, probedCells, probePairs,
-      Some(pred), 5)
+      Some(pred), 5, excludeSelf)
     broadcast(ranked)
       .join(cells.filter($"centroid_id".isin(probedCells: _*))
         .select($"vec_id", $"label"), Seq("vec_id"))
@@ -1205,13 +1247,14 @@ object Similarity extends QueryPack {
   private def adcTopK(s: SparkSession,
       cells: DataFrame, lut: DataFrame,
       probedCells: Seq[Int], probePairs: DataFrame,
-      pred: Option[org.apache.spark.sql.Column], k: Int): DataFrame = {
+      pred: Option[org.apache.spark.sql.Column], k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     val topk = udaf(new graft.functions.TopKAggregator(k))
     val scanned = cells.filter($"centroid_id".isin(probedCells: _*))
-    pred.fold(scanned)(scanned.filter)
+    val paired = pred.fold(scanned)(scanned.filter)
       .join(broadcast(probePairs), Seq("centroid_id"))
-      .filter($"vec_id" =!= $"query_id")
+    (if (excludeSelf) paired.filter($"vec_id" =!= $"query_id") else paired)
       .join(broadcast(lut), Seq("query_id"))
       .select($"query_id", $"vec_id",
         graft.functions.VectorExprs.pqAdcSum($"codes", $"lut").as("adist"))

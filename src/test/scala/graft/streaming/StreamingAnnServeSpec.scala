@@ -12,34 +12,55 @@ import graft.TestSpark
   * row-identical to the batch planner face run on the same queries —
   * per-query planner budgets are independent arithmetic, so batch
   * boundaries cannot change any answer.
+  *
+  * Round-16 additions: (a) the HOISTING gate (round-15 verdict #1) —
+  * serving a micro-batch must perform NO source-corpus listing and NO
+  * inverted-list passer census: both are frozen-index invariants
+  * resolved before `.start()`, and the probe-hook counters
+  * ([[graft.operators.Similarity.sourceIdentityCalls]] /
+  * [[graft.operators.Similarity.passerCensusCalls]]) prove it; (b)
+  * the EXTERNAL-query contract (round-15 ADVICE) — an external query
+  * whose id collides with a corpus vec_id must not lose that vector
+  * as a candidate when self-exclusion is off (the serving default).
   */
 class StreamingAnnServeSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("continuous serving equals the batch face: a query set split " +
-      "across two micro-batches emits row-identical answers to " +
-      "sim_ann_ivfpq_adaptive, planner budgets included") {
+  private def corpusQueries(): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val src = Files.createTempDirectory("graft-annserve-src")
-    val ckpt = Files.createTempDirectory("graft-annserve-ckpt")
-    val q = graft.Tables.embeddings(spark, sf)
+    graft.Tables.embeddings(spark, sf)
       .filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"),
         graft.functions.VectorFunctions.toDoubleArray($"embedding")
           .as("qemb"))
       .localCheckpoint(true)
-    // feed query batches as PARQUET files (exact doubles — a JSON
-    // round-trip could perturb the ADC arithmetic's inputs)
-    def feed(cond: org.apache.spark.sql.Column, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft-annserve-feed")
-      q.filter(cond).coalesce(1).write.mode("overwrite")
-        .parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, src.resolve(name))
-    }
+  }
+
+  // feed query batches as PARQUET files (exact doubles — a JSON
+  // round-trip could perturb the ADC arithmetic's inputs)
+  private def feeder(src: java.nio.file.Path,
+      q: org.apache.spark.sql.DataFrame)(
+      cond: org.apache.spark.sql.Column, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-annserve-feed")
+    q.filter(cond).coalesce(1).write.mode("overwrite")
+      .parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, src.resolve(name))
+  }
+
+  test("continuous serving equals the batch face: a query set split " +
+      "across two micro-batches emits row-identical answers to " +
+      "sim_ann_ivfpq_adaptive, planner budgets included — and serving " +
+      "batches does NO artifact re-resolution and NO passer census " +
+      "after stream start") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft-annserve-src")
+    val ckpt = Files.createTempDirectory("graft-annserve-ckpt")
+    val q = corpusQueries()
+    val feed = feeder(src, q) _
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Long, Long, Long)]
     def drain(df: org.apache.spark.sql.DataFrame): Unit =
@@ -51,11 +72,22 @@ class StreamingAnnServeSpec extends AnyFunSuite with Matchers {
     val stream = StreamingAnnServe.serveStream(
       spark.readStream.schema("query_id LONG, qemb ARRAY<DOUBLE>")
         .parquet(src.toString),
-      sf, col("label") % 7 === 3, ckpt.toString, drain)
+      sf, col("label") % 7 === 3, ckpt.toString, drain,
+      // these queries ARE corpus vectors — match the batch face's
+      // self-exclusion so the identity gate compares like for like
+      excludeSelf = true)
     try {
       stream.processAllAvailable()
+      // the hoisting gate: everything batch-invariant was resolved
+      // before .start(); serving further batches must bump NEITHER
+      // probe-hook counter (no recursive source listing, no
+      // inverted-list census — round-15 verdict #1's scale-killer)
+      val identityCalls0 = graft.operators.Similarity.sourceIdentityCalls.get()
+      val censusCalls0 = graft.operators.Similarity.passerCensusCalls.get()
       feed($"query_id" >= 3, "b1.parquet")
       stream.processAllAvailable()
+      graft.operators.Similarity.sourceIdentityCalls.get() shouldBe identityCalls0
+      graft.operators.Similarity.passerCensusCalls.get() shouldBe censusCalls0
     } finally stream.stop()
     // the split genuinely exercised two data batches
     acc.map(_._7).distinct.size shouldBe 2
@@ -69,6 +101,44 @@ class StreamingAnnServeSpec extends AnyFunSuite with Matchers {
     expect.isEmpty shouldBe false
     withClue(s"served ${got.size} vs batch ${expect.size}: ") {
       got shouldBe expect
+    }
+  }
+
+  test("external-query mode (the serving default, excludeSelf = false): " +
+      "a query whose id collides with a corpus vec_id still receives " +
+      "that vector as a candidate neighbor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft-annserve-ext-src")
+    val ckpt = Files.createTempDirectory("graft-annserve-ext-ckpt")
+    // pick a corpus vector that PASSES the predicate, and issue its own
+    // embedding as an external query under its own (colliding) id: the
+    // nearest passer to a passer's embedding is itself (ADC distance 0
+    // to its own codes), so with self-exclusion OFF it must appear in
+    // the answer — under exclusion it provably cannot.
+    val probe = graft.Tables.embeddings(spark, sf)
+      .filter($"label" % 7 === 3)
+      .orderBy($"vec_id").limit(1)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.toDoubleArray($"embedding")
+          .as("qemb"))
+      .localCheckpoint(true)
+    val collidingId = probe.head.getLong(0)
+    val q = probe.select($"vec_id".as("query_id"), $"qemb")
+    val feed = feeder(src, q) _
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      acc ++= df.collect().map(r => (r.getLong(0), r.getLong(2)))
+    feed(lit(true), "b0.parquet")
+    val stream = StreamingAnnServe.serveStream(
+      spark.readStream.schema("query_id LONG, qemb ARRAY<DOUBLE>")
+        .parquet(src.toString),
+      sf, col("label") % 7 === 3, ckpt.toString, drain)
+    try stream.processAllAvailable() finally stream.stop()
+    acc.nonEmpty shouldBe true
+    withClue(s"answers for colliding query $collidingId: $acc — ") {
+      acc.exists { case (qid, vid) =>
+        qid == collidingId && vid == collidingId } shouldBe true
     }
   }
 }
