@@ -1492,7 +1492,10 @@ object Multimodal extends QueryPack {
           .repartition($"bin")
           .sortWithinPartitions($"bin", $"doc_id")
           .foreachPartition(writeTarShards(stage, hadoopConfBytes(s)) _)
-        sweepAttemptTemps(s, stage)
+        // no grace on the STAGE dir: anything dot-prefixed left after
+        // the completed write job is an orphan, and whatever survives
+        // this sweep is published into the immutable artifact
+        sweepAttemptTemps(s, stage, graceMs = 0L)
         members.unpersist()
         fs.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true)
           .close()
@@ -1618,18 +1621,26 @@ object Multimodal extends QueryPack {
     * sweep a long-lived incremental shard dir accrues one dead
     * near-shard-sized file per failed attempt, and the batch stage
     * dir would publish them into the artifact. Runs after each write
-    * job, from the driver. */
-  private[graft] def sweepAttemptTemps(s: SparkSession, dest: String): Unit = {
+    * job, from the driver.
+    *
+    * `graceMs` — the LIVE-temp protection window. The incremental
+    * drain keeps the default hour: its dest is the long-lived
+    * artifact dir and a zombie/speculative attempt may still be
+    * streaming its temp when the winning job's sweep runs; deleting a
+    * live temp is harmless to the SHARD (closeShard displaces the
+    * final only while its own temp still exists) but discards bytes a
+    * later sweep would have reclaimed for free anyway. The BATCH
+    * stage path passes 0 (round-15 ADVICE): by sweep time the write
+    * job has completed, any zombie's rename is already disarmed by
+    * that same temp-exists guard, and a sub-hour orphan left in the
+    * stage dir would otherwise be PUBLISHED into the immutable
+    * installed artifact — permanent near-shard-sized dead files no
+    * later sweep ever revisits. */
+  private[graft] def sweepAttemptTemps(s: SparkSession, dest: String,
+      graceMs: Long = 3600 * 1000L): Unit = {
     val p = new org.apache.hadoop.fs.Path(dest)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // one-hour grace: a zombie/speculative attempt may still be
-    // streaming its temp when the winning job's sweep runs — deleting
-    // a LIVE temp would convert the writer's rename-retry into
-    // deleting the published shard (closeShard also guards on the
-    // temp's existence, belt and braces). Orphans older than the
-    // grace are long past any task lifetime and are reclaimed by the
-    // NEXT run's sweep — eventual cleanup, never a race.
-    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    val cutoff = System.currentTimeMillis() - graceMs
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (st.isFile && n.startsWith(".shard-") && n.contains(".attempt-")

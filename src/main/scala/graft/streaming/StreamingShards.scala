@@ -28,8 +28,16 @@ import graft.operators.{FsSwap, Multimodal, Relational}
   * decoded executor-side via [[graft.operators.Tar.entries]], one
   * member in heap at a time, restricted to the committed census (the
   * file may briefly hold a crashed attempt's superset) — so state
-  * stays METADATA-sized (two offsets + one bin's (doc_id, size_b)
-  * census) and no task ever holds a shard.
+  * stays METADATA-sized (two offsets, the committed max doc_id, and
+  * one bin's (doc_id, size_b) census) and no task ever holds a shard.
+  *
+  * The offset fold's PRECONDITION is validated, not assumed
+  * (round-15 ADVICE): doc_id must be unique ascending across batches
+  * (arrival order IS the bin order — the batch builder's contract),
+  * so each commit carries the max doc_id seen and a batch whose min
+  * is not strictly above it fails loudly, as does a batch with
+  * internal duplicates — one silent out-of-order doc would shift
+  * every later bin boundary and corrupt shard contents.
   *
   * Crash discipline (the `drainStream` protocol): shard writes land
   * FIRST, then both state generations commit in ONE [[FsSwap]]
@@ -70,11 +78,16 @@ object StreamingShards {
         val tmp = s"$stateDir/shards.tmp"
         val hconf = s.sparkContext.hadoopConfiguration
         val st = FsSwap.readable(hconf, target, old)
-        val (prevOff, nextOff, lastBatch) = st match {
+        val (prevOff, nextOff, lastBatch, committedMaxDoc) = st match {
           case Some(dir) =>
             val r = s.read.parquet(s"$dir/scalars.parquet").collect().head
-            (r.getLong(0), r.getLong(1), r.getLong(2))
-          case None => (0L, 0L, -1L)
+            // max_doc joined the scalars in round 16 (the monotonicity
+            // guard below); a pre-upgrade state dir simply starts the
+            // guard from MinValue instead of failing the read
+            val maxDoc = if (r.schema.fieldNames.contains("max_doc"))
+              r.getLong(r.fieldIndex("max_doc")) else Long.MinValue
+            (r.getLong(0), r.getLong(1), r.getLong(2), maxDoc)
+          case None => (0L, 0L, -1L, Long.MinValue)
         }
         if (batchId < lastBatch) throw new IllegalStateException(
           s"StreamingShards: batch $batchId below committed " +
@@ -104,7 +117,40 @@ object StreamingShards {
             priced.select($"doc_id", $"size_b"), Seq($"doc_id"), "size_b")
           .select($"doc_id", $"size_b",
             expr(s"($off + psum - size_b) div $targetBytes").as("bin"))
-          .localCheckpoint(true) // total + union + (non-replay) join
+          .localCheckpoint(true) // scalars + union + (non-replay) join
+        // one tiny aggregate over the pinned frame: the batch's byte
+        // total (committed as the next offset) plus the doc_id range
+        // and distinctness the carried-offset arithmetic DEPENDS on
+        val scalars = assigned.agg(
+          coalesce(sum($"size_b"), lit(0L)), min($"doc_id"),
+          max($"doc_id"), count(lit(1)), count_distinct($"doc_id"))
+          .collect()(0)
+        val total = scalars.getLong(0)
+        val batchMinDoc =
+          if (scalars.isNullAt(1)) None else Some(scalars.getLong(1))
+        val batchMaxDoc =
+          if (scalars.isNullAt(2)) None else Some(scalars.getLong(2))
+        if (scalars.getLong(3) != scalars.getLong(4))
+          throw new IllegalStateException(
+            s"StreamingShards: batch $batchId carries duplicate doc_ids " +
+              s"(${scalars.getLong(3)} rows, ${scalars.getLong(4)} " +
+              "distinct) — doc_id is the arrival order the bin " +
+              "arithmetic folds over; a duplicate would write colliding " +
+              "tar members and shift every later bin boundary")
+        // the cross-batch half of the same contract (round-15 ADVICE):
+        // the carried byte offset assumes doc_id unique ASCENDING
+        // across micro-batches — one out-of-order doc would silently
+        // shift every later bin boundary and corrupt shard contents,
+        // so fail loudly like the checkpoint-reset guard above. A
+        // replay re-presents already-committed doc_ids by design and
+        // is exempt (its max is already folded into the state).
+        if (!replay) batchMinDoc.foreach { mn =>
+          if (mn <= committedMaxDoc) throw new IllegalStateException(
+            s"StreamingShards: batch $batchId min doc_id $mn is not " +
+              s"strictly above the committed max $committedMaxDoc — " +
+              "doc_id must be unique ascending across batches (arrival " +
+              "order IS the bin order)")
+        }
         val all = pending.union(assigned)
           .localCheckpoint(true) // open-bin scalar + split + commit
         val openBin = all.agg(coalesce(max($"bin"), lit(-1L)))
@@ -168,10 +214,9 @@ object StreamingShards {
               Multimodal.hadoopConfBytes(s)) _)
           Multimodal.sweepAttemptTemps(s, outDir)
           // commit AFTER the writes, both generations in ONE publish
-          val total = assigned.agg(
-            coalesce(sum($"size_b"), lit(0L))).collect()(0).getLong(0)
-          Seq((off, off + total, batchId))
-            .toDF("prev_off", "next_off", "last_batch")
+          Seq((off, off + total, batchId,
+              math.max(committedMaxDoc, batchMaxDoc.getOrElse(committedMaxDoc))))
+            .toDF("prev_off", "next_off", "last_batch", "max_doc")
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$tmp/scalars.parquet")
           pending.withColumn("kind", lit("prev"))

@@ -736,4 +736,57 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
       }
     })
   }
+
+  test("shardStream validates its offset fold's precondition: a batch " +
+      "whose min doc_id is not strictly above the committed max fails " +
+      "loudly (as does an internal duplicate) instead of silently " +
+      "shifting every later bin boundary") {
+    def payload(id: Long): Array[Byte] =
+      Array.tabulate(80)(j => ((id + j * 13) % 251).toByte)
+    val b64 = java.util.Base64.getEncoder
+    def dRows(ids: Seq[Long]): Seq[String] = ids.map { id =>
+      def f(k: String) = "\"" + k + "\":\"" +
+        b64.encodeToString(payload(id)) + "\""
+      s"""{"doc_id":$id,${f("bmp")},${f("gif")},${f("png")},${f("wav")}}"""
+    }
+    def start(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        state: java.nio.file.Path, out: java.nio.file.Path) =
+      StreamingShards.shardStream(
+        spark.readStream.schema(
+          "doc_id LONG, bmp BINARY, gif BINARY, png BINARY, wav BINARY")
+          .json(src.toString),
+        16384L, state.toString, ckpt.toString, out.toString, _ => ())
+    // cross-batch regression: b0 commits max doc_id 8, b1 re-presents 5
+    locally {
+      val src = Files.createTempDirectory("graft-shardguard-src")
+      val ckpt = Files.createTempDirectory("graft-shardguard-ckpt")
+      val state = Files.createTempDirectory("graft-shardguard-state")
+      val out = Files.createTempDirectory("graft-shardguard-out")
+      val q = start(src, ckpt, state, out)
+      try {
+        writeJson(src, "b0.json", dRows(0L until 9L))
+        q.processAllAvailable()
+        writeJson(src, "b1.json", dRows(5L until 11L))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        e.getMessage should include("not strictly above the committed max")
+      } finally q.stop()
+    }
+    // within-batch duplicate
+    locally {
+      val src = Files.createTempDirectory("graft-sharddup-src")
+      val ckpt = Files.createTempDirectory("graft-sharddup-ckpt")
+      val state = Files.createTempDirectory("graft-sharddup-state")
+      val out = Files.createTempDirectory("graft-sharddup-out")
+      val q = start(src, ckpt, state, out)
+      try {
+        writeJson(src, "b0.json", dRows(Seq(0L, 1L, 2L, 2L, 3L)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        e.getMessage should include("duplicate doc_ids")
+      } finally q.stop()
+    }
+  }
 }
