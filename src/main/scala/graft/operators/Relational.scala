@@ -319,6 +319,156 @@ object Relational extends QueryPack {
     slices.reduce(_ unionByName _).orderBy($"p")
   }
 
+  /** The Mondrian k-anonymizer behind `q_kanon_generalize` (LeFevre,
+    * DeWitt & Ramakrishnan, ICDE 2006, "Mondrian Multidimensional
+    * k-Anonymity") — the TRANSFORM the audit trio demands: the k/l/t
+    * faces DETECT release violations; this operator makes a failing
+    * table pass. Recursively median-split the 2-D quasi-identifier
+    * domain and generalize each leaf to its ranges.
+    *
+    * Deterministic contract (so DuckDB re-derives every split):
+    * `depth` levels; at level t the split dimension cycles round-robin
+    * (even → d0, odd → d1 — the k-d-tree discipline, which needs no
+    * cross-dimension width normalization); a node's split value is its
+    * LOWER MEDIAN of that dimension (the ⌈n/2⌉-th smallest, exact
+    * rank); the node splits into (v ≤ med) / (v > med) iff BOTH
+    * children hold ≥ k rows, else it passes through unchanged and may
+    * still split at a later level on the other dimension. Leaf ids are
+    * the split path read as a binary integer (leaf' = 2·leaf + side),
+    * so ids are deterministic in both engines and ride the hash.
+    * Inductively every leaf holds ≥ k rows (children are only created
+    * above the threshold, an unsplit node keeps its count), which is
+    * the self-proving k-anonymity guarantee the output carries.
+    *
+    * 100 TB shape: per level ONE map-side-combined (leaf, value)
+    * histogram, [[globalPrefixSum]] over (leaf, val) — never a
+    * single-task `Window.partitionBy(leaf)`: at level 0 the root leaf
+    * IS the whole table, and a per-leaf window would funnel the full
+    * value domain through one task (the selectKthCents lesson) — with
+    * the per-leaf cumulative recovered by subtracting each leaf's
+    * start offset (min(psum − c), a ≤-2^depth-row aggregate), then
+    * two tiny per-leaf aggregates (median probe, left count) and a
+    * BROADCAST plan join back to the rows. The rows frame re-plans
+    * through [[org.apache.spark.sql.graftshim.Shim.cutCheckpoint]]
+    * each level — `depth` chained broadcast joins would otherwise
+    * compound plan stats (the iterative-self-join poison).
+    *
+    * `rows0` must carry (id, d0, d1) with d0/d1 Long quasi-identifier
+    * dimensions and ≥ k rows total. Returns one row per input row:
+    * (id, leaf, d0_lo, d0_hi, d1_lo, d1_hi, leaf_k, meets_k) — the
+    * anonymized relation plus its own audit column. */
+  private[operators] def mondrianAnonymize(
+      rows0: DataFrame, k: Long, depth: Int): DataFrame = {
+    val s = rows0.sparkSession
+    import s.implicits._
+    var rows = org.apache.spark.sql.graftshim.Shim.cutCheckpoint(
+      rows0.select($"id", $"d0", $"d1", lit(0L).as("leaf")))
+    for (t <- 0 until depth) {
+      val dim = if (t % 2 == 0) "d0" else "d1"
+      val hist = rows.groupBy($"leaf", col(dim).as("val"))
+        .agg(count(lit(1)).as("c"))
+      val ps = globalPrefixSum(s, hist, Seq($"leaf", $"val"), "c")
+        .localCheckpoint(true) // leaf starts + median probe + left count
+      // per-leaf start offset and size — O(leaves) rows, broadcast back
+      val leafAgg = ps.groupBy($"leaf")
+        .agg(min($"psum" - $"c").as("start"), sum($"c").as("n"))
+        .withColumn("m", expr("(n + 1) div 2"))
+      // lower median: smallest val whose per-leaf cumulative reaches m
+      val med = ps.join(broadcast(leafAgg), Seq("leaf"))
+        .groupBy($"leaf")
+        .agg(min(when($"psum" - $"start" >= $"m", $"val")).as("med"))
+      val split = ps.join(broadcast(med), Seq("leaf"))
+        .groupBy($"leaf")
+        .agg(sum(when($"val" <= $"med", $"c").otherwise(0L)).as("nleft"),
+          min($"med").as("med"))
+        .join(broadcast(leafAgg.select($"leaf", $"n")), Seq("leaf"))
+        .select($"leaf", $"med",
+          ($"nleft" >= k && $"n" - $"nleft" >= k).as("do_split"))
+      rows = org.apache.spark.sql.graftshim.Shim.cutCheckpoint(
+        rows.join(broadcast(split), Seq("leaf"))
+          .select($"id", $"d0", $"d1",
+            ($"leaf" * 2L + when($"do_split" && col(dim) > $"med", 1L)
+              .otherwise(0L)).as("leaf")))
+    }
+    val stats = rows.groupBy($"leaf")
+      .agg(min($"d0").as("d0_lo"), max($"d0").as("d0_hi"),
+        min($"d1").as("d1_lo"), max($"d1").as("d1_hi"),
+        count(lit(1)).as("leaf_k"))
+    rows.join(broadcast(stats), Seq("leaf"))
+      .select($"id", $"leaf", $"d0_lo", $"d0_hi", $"d1_lo", $"d1_hi",
+        $"leaf_k", ($"leaf_k" >= k).as("meets_k"))
+      .orderBy($"id")
+  }
+
+  /** DuckDB replay of [[mondrianAnonymize]] over the customer
+    * quasi-identifiers — the recursion UNROLLED to `depth` CTE levels
+    * (generated by the same loop bounds as the Spark side, so the two
+    * engines share only the split rule, not code): each level rebuilds
+    * the per-leaf value histogram, takes the lower median by
+    * cumulative rank, and re-leafs through the identical
+    * 2·leaf + side arithmetic under the identical both-children-≥-k
+    * guard. The oracle may use per-leaf windows freely — it runs at
+    * sf0.01; the scale discipline lives on the Spark side. The level
+    * CTEs are MATERIALIZED: DuckDB re-expands a plain CTE per
+    * reference, so an unrolled recursion whose every level reads its
+    * predecessor 2-3 times would otherwise expand EXPONENTIALLY
+    * (depth 8 exhausted the process file-descriptor limit re-opening
+    * the parquet before any row was produced). */
+  private def mondrianOracleSql(k: Long, depth: Int): String = {
+    def dim(t: Int) = if (t % 2 == 0) "d0" else "d1"
+    val levels = (0 until depth).map { t =>
+      s"""        h$t AS MATERIALIZED (
+          SELECT leaf, ${dim(t)} AS val, CAST(COUNT(*) AS BIGINT) AS c
+          FROM r$t GROUP BY 1, 2),
+        lf$t AS (
+          SELECT leaf, CAST(SUM(c) AS BIGINT) AS n,
+                 (CAST(SUM(c) AS BIGINT) + 1) // 2 AS m
+          FROM h$t GROUP BY 1),
+        cw$t AS (
+          SELECT leaf, val, c,
+                 CAST(SUM(c) OVER (PARTITION BY leaf ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw
+          FROM h$t),
+        md$t AS (
+          SELECT c.leaf, MIN(CASE WHEN c.cw >= l.m THEN c.val END) AS med
+          FROM cw$t c JOIN lf$t l ON l.leaf = c.leaf GROUP BY c.leaf),
+        sp$t AS (
+          SELECT h.leaf, m.med, l.n,
+                 CAST(SUM(CASE WHEN h.val <= m.med THEN h.c ELSE 0 END)
+                   AS BIGINT) AS nleft
+          FROM h$t h JOIN md$t m ON m.leaf = h.leaf
+          JOIN lf$t l ON l.leaf = h.leaf
+          GROUP BY h.leaf, m.med, l.n),
+        r${t + 1} AS MATERIALIZED (
+          SELECT r.id, r.d0, r.d1,
+                 2 * r.leaf + CASE WHEN s.nleft >= $k
+                   AND s.n - s.nleft >= $k AND r.${dim(t)} > s.med
+                   THEN 1 ELSE 0 END AS leaf
+          FROM r$t r JOIN sp$t s ON s.leaf = r.leaf)"""
+    }.mkString(",\n")
+    s"""
+        WITH r0 AS MATERIALIZED (
+          SELECT CAST(c_custkey AS BIGINT) AS id,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS d0,
+                 CAST(c_nationkey AS BIGINT) AS d1,
+                 CAST(0 AS BIGINT) AS leaf
+          FROM customer),
+$levels,
+        stats AS (
+          SELECT leaf, CAST(MIN(d0) AS BIGINT) AS d0_lo,
+                 CAST(MAX(d0) AS BIGINT) AS d0_hi,
+                 CAST(MIN(d1) AS BIGINT) AS d1_lo,
+                 CAST(MAX(d1) AS BIGINT) AS d1_hi,
+                 CAST(COUNT(*) AS BIGINT) AS leaf_k
+          FROM r$depth GROUP BY leaf)
+        SELECT r.id, CAST(r.leaf AS BIGINT) AS leaf, s.d0_lo, s.d0_hi,
+               s.d1_lo, s.d1_hi, s.leaf_k, (s.leaf_k >= $k) AS meets_k
+        FROM r$depth r JOIN stats s ON s.leaf = r.leaf
+        ORDER BY r.id"""
+  }
+
   /** The k-core peel behind `q_kcore_peel`, over any undirected
     * DISTINCT edge list (u, v) — exposed for RelationalSpec's planted
     * chain-into-clique cascade. Each round drops every node whose
@@ -2458,6 +2608,38 @@ object Relational extends QueryPack {
         GROUP BY c.c_nationkey, c.c_mktsegment, c.k, c.n_bands,
                  t.n, m.m_bands
         ORDER BY c.c_nationkey, c.c_mktsegment"""),
+      headline = false),
+
+    // ── Mondrian k-anonymization (the release TRANSFORM) ──
+    // The audit trio (k / l / t faces above) DETECTS violations; this
+    // is the operator that makes a failing table pass (LeFevre, DeWitt
+    // & Ramakrishnan, ICDE 2006): recursively median-split the 2-D
+    // quasi-identifier domain (account-balance cents × nation key),
+    // generalize each leaf to its ranges, and emit the anonymized
+    // relation — one row per customer with its generalized QI ranges
+    // in place of the exact values. Splits are fully deterministic
+    // (round-robin dimension, exact lower median, both-children-≥-k
+    // guard — see [[mondrianAnonymize]]), so the oracle re-derives
+    // every one; 8 levels bound the recursion by contract, k = 5
+    // matches `q_kanon_audit`'s release threshold. The output is
+    // SELF-PROVING: `leaf_k` is the count a re-run of the k-audit on
+    // the generalized table would find for this row's group, and
+    // `meets_k` must read true on every row — the inductive ≥-k
+    // invariant made a hash-checked column (RelationalSpec also gates
+    // it directly, plus the partition property: leaves tile the
+    // domain, every row inside its leaf's ranges).
+    "q_kanon_generalize" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        mondrianAnonymize(
+          Tables.customer(s, d).select(
+            $"c_custkey".cast(LongType).as("id"),
+            expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+              .as("d0"),
+            $"c_nationkey".cast(LongType).as("d1")),
+          k = 5L, depth = 8)
+      },
+      oracle = Some(mondrianOracleSql(k = 5L, depth = 8)),
       headline = false),
 
     // ── dyadic quantile digest with provable rank bounds ──

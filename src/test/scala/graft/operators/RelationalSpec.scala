@@ -1596,4 +1596,54 @@ class RelationalSpec extends AnyFunSuite with Matchers {
     // exactly one best
     got.count(_._5) shouldBe 1
   }
+
+  test("mondrianAnonymize: the under-k guard refuses a split that would " +
+      "orphan rows, clean halves split exactly once, every leaf box is " +
+      "disjoint from every other, and re-running the k-audit on the " +
+      "generalized output finds zero groups under k") {
+    import spark.implicits._
+    // planted: splitting at the median would leave a 1-row right child
+    val skew = (0L until 6L).map(i => (i, if (i == 5) 100L else 0L, 0L))
+      .toDF("id", "d0", "d1")
+    val g1 = Relational.mondrianAnonymize(skew, k = 5L, depth = 8).collect()
+    g1.map(_.getLong(1)).distinct.length shouldBe 1
+    g1.foreach { r =>
+      r.getLong(6) shouldBe 6L
+      r.getBoolean(7) shouldBe true
+    }
+    // planted: two clean 5-row halves on d0 split once at level 0, then
+    // every further split (either dimension) would go under k and is
+    // refused - exactly two leaves, k = 5 each
+    val halves = (0L until 10L)
+      .map(i => (i, if (i < 5) 0L else 100L, i % 3))
+      .toDF("id", "d0", "d1")
+    val g2 = Relational.mondrianAnonymize(halves, k = 5L, depth = 8).collect()
+    g2.map(_.getLong(1)).distinct.toSeq.sorted.length shouldBe 2
+    g2.foreach(_.getLong(6) shouldBe 5L)
+    // the registry face on the real table: the self-proving column holds
+    // on every row, leaf_k is exactly the size of the generalized group
+    // (the k-audit re-run on the OUTPUT), and leaf boxes are pairwise
+    // disjoint (each pair diverged at a median split on some dimension)
+    val out = graft.SparkEntry.queries("q_kanon_generalize")(spark, sf)
+      .collect()
+    out.length should be > 0
+    out.foreach(r => r.getBoolean(7) shouldBe true)
+    val byBox = out.groupBy(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    byBox.values.foreach(_.length.toLong should be >= 5L)
+    out.foreach { r =>
+      byBox((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .length.toLong shouldBe r.getLong(6)
+    }
+    val boxes = out.map(r => (r.getLong(1),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).distinct
+    def overlap(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 <= b._2 && b._1 <= a._2
+    for {
+      (l1, b1) <- boxes; (l2, b2) <- boxes if l1 < l2
+    } withClue(s"leaves $l1 $b1 vs $l2 $b2: ") {
+      (overlap((b1._1, b1._2), (b2._1, b2._2)) &&
+        overlap((b1._3, b1._4), (b2._3, b2._4))) shouldBe false
+    }
+  }
 }
