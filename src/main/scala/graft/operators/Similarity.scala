@@ -1266,6 +1266,34 @@ object Similarity extends QueryPack {
         $"pair.ids".as("vec_id"), (-$"pair.scores").as("adist"))
   }
 
+  /** Cell-assign + PQ-encode an arriving (vec_id, emb) frame against
+    * the FROZEN artifacts — the maintenance arithmetic shared by the
+    * batch face (`sim_ivfpq_append`) and the continuous one
+    * ([[graft.streaming.StreamingIndexAppend]]), single-sourced so the
+    * two can never drift: nearest persisted centroid per vector,
+    * nearest persisted codeword per subvector (distance-then-id
+    * tiebreaks — deterministic), both against BROADCAST tables.
+    * Map-only per batch beyond the two batch-sized vec_id windows;
+    * the frozen index is never retrained here. Returns long-form
+    * (vec_id, centroid_id, sub, code). */
+  private[graft] def encodeAgainstFrozen(s: SparkSession, cents: DataFrame,
+      books: DataFrame, newVecs: DataFrame): DataFrame = {
+    import s.implicits._
+    val wCell = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
+    val assigned = newVecs.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq($"emb", $"cemb"))
+      .withColumn("r", row_number().over(wCell)).filter($"r" === 1)
+      .select($"vec_id", $"centroid_id")
+    val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist".asc, $"code")
+    val encoded = pqSubvectors(s, newVecs)
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("dist", l2sq($"semb", $"cemb"))
+      .withColumn("r", row_number().over(wCode)).filter($"r" === 1)
+      .select($"vec_id", $"sub", $"code")
+    assigned.join(encoded, Seq("vec_id"))
+      .select($"vec_id", $"centroid_id", $"sub", $"code")
+  }
+
   /** Long-form (vec_id, sub, code) view of the wide codes artifact —
     * map-only (posexplode preserves the scan's partitioning, so a
     * vec_id-bucketed codes table keeps its zero-exchange property
@@ -1832,7 +1860,7 @@ object Similarity extends QueryPack {
     * string HALF_UP while DuckDB rounds the binary double, and a
     * midpoint landing on a decimal half boundary would split the
     * engines; floor(x*1e6)/1e6 is the same IEEE arithmetic in both. */
-  private[operators] def midpointBatch(s: SparkSession, d: String): DataFrame = {
+  private[graft] def midpointBatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embCheckpointed(s, d)
     val base = e.filter($"vec_id" < 10).select($"vec_id", $"emb")
@@ -3661,20 +3689,7 @@ object Similarity extends QueryPack {
         val (_, books) = pqPersistedModel(s, d)
         // the deterministic arriving batch (see [[midpointBatch]]) —
         // checkpointed there; 2 consumers: cell assign + subvector encode
-        val newVecs = midpointBatch(s, d)
-        val wCell = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"centroid_id")
-        val assigned = newVecs.crossJoin(broadcast(cents))
-          .withColumn("dist", l2sq($"emb", $"cemb"))
-          .withColumn("r", row_number().over(wCell)).filter($"r" === 1)
-          .select($"vec_id", $"centroid_id")
-        val wCode = Window.partitionBy($"vec_id", $"sub").orderBy($"dist".asc, $"code")
-        val encoded = pqSubvectors(s, newVecs)
-          .join(broadcast(books), Seq("sub"))
-          .withColumn("dist", l2sq($"semb", $"cemb"))
-          .withColumn("r", row_number().over(wCode)).filter($"r" === 1)
-          .select($"vec_id", $"sub", $"code")
-        assigned.join(encoded, Seq("vec_id"))
-          .select($"vec_id", $"centroid_id", $"sub", $"code")
+        encodeAgainstFrozen(s, cents, books, midpointBatch(s, d))
           .orderBy($"vec_id", $"sub")
       },
       oracle = Some(s"""

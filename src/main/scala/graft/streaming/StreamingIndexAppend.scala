@@ -1,0 +1,186 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{FsSwap, Similarity}
+
+/** Continuous IVF+PQ index maintenance — the 26th streaming face, and
+  * the lifecycle link the serving face presupposes: `sim_ivfpq_append`
+  * encodes an arriving batch against the frozen index,
+  * [[StreamingAnnServe]] serves from the frozen index — this face
+  * FOLDS the arriving vectors into the cell-partitioned artifact
+  * continuously (the shardDrain discipline applied to inverted lists),
+  * closing the loop build → append → serve → retrain-signal → rebuild.
+  *
+  * Frozen-index invariants (the persisted centroid table and PQ
+  * codebooks, resolved through the recursive source-identity listing)
+  * are read ONCE before `.start()` — the [[StreamingAnnServe]] hoist
+  * discipline; per batch the coordinator does only the maintenance
+  * arithmetic: nearest-centroid assignment + per-subvector PQ encoding
+  * against the BROADCAST frozen tables
+  * ([[Similarity.encodeAgainstFrozen]] — single-sourced with the batch
+  * face, so the two can never drift), widened to the artifact's
+  * inverted-list row shape (vec_id, codes: array&lt;int&gt;, label).
+  *
+  * APPEND-ONLY CELLS: each batch's rows land as ONE new file per
+  * touched cell directory — `cells.parquet/centroid_id=C/
+  * batch-<id>.parquet`, written to a dot-prefixed stage dir and
+  * renamed into place — so previously-written batch files are never
+  * rewritten (the closed-shard property), readers see whole files or
+  * nothing, and the accumulated extension unions with the base
+  * artifact by plain partition discovery. Batch-file names are
+  * deterministic and the encode arithmetic is a pure function of the
+  * frozen index, so a replayed write lands byte-identical files over
+  * its own crashed attempt — idempotent by construction.
+  *
+  * Crash discipline (the drainStream protocol): files land FIRST,
+  * then the watermark commits in ONE [[FsSwap]] publish, then the
+  * census emits. A crash before the commit re-runs the batch and
+  * overwrites its own files byte-identically; a crash after the
+  * commit replays with batchId == lastBatch — the files are already
+  * committed, so the replay SKIPS the writes and re-emits the
+  * identical census. A batchId below the committed one means the
+  * streaming checkpoint was reset while the state dir survived — fail
+  * loudly. And like [[StreamingShards]], the fold's PRECONDITION is
+  * validated, not assumed: vec_id must be unique ascending across
+  * batches (the corpus-id contract — a duplicate would silently
+  * duplicate inverted-list entries), so the watermark carries the max
+  * committed vec_id and violations throw.
+  *
+  * StreamingChaosAggSpec gates kill+restart bit-identity of the
+  * deliveries AND the accumulated batch FILES against an unkilled
+  * run, under both state-store providers — and row-identity of the
+  * accumulated extension against the batch `sim_ivfpq_append` encode
+  * of the same vectors from scratch.
+  *
+  * 100 TB shape: per batch O(batch × cells) assignment + O(batch ×
+  * PqSub × PqK) encoding, one batch-sized shuffle to widen codes and
+  * one to bucket by cell; state is three scalars; the artifact grows
+  * by exactly the batch's rows. No corpus scan, no artifact scan, no
+  * rebuild.
+  */
+object StreamingIndexAppend {
+
+  /** Start the index-append stream over (vec_id: Long unique
+    * ascending, emb: Array[Double], label: Long) rows against the
+    * frozen index of `d`; the inverted-list extension accumulates
+    * under `outDir/cells.parquet`; `sink` receives each batch's
+    * per-cell census (centroid_id, n_vecs, batch_id). */
+  def appendStream(
+      vecs: DataFrame,
+      d: String,
+      stateDir: String,
+      checkpointDir: String,
+      outDir: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    val session = vecs.sparkSession
+    // frozen-index invariants: resolved once, closed over (the
+    // StreamingAnnServe hoist discipline — resolution walks the source
+    // corpus recursively; the index is frozen by this face's premise)
+    val (_, cents) = Similarity.ivfpqPersistedModel(session, d)
+    val (_, books) = Similarity.pqPersistedModel(session, d)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = s"$stateDir/append"
+        val old = s"$stateDir/append.old"
+        val tmp = s"$stateDir/append.tmp"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val (lastBatch, committedMaxVec) =
+          FsSwap.readable(hconf, target, old) match {
+            case Some(dir) =>
+              val r = s.read.parquet(dir).collect().head
+              (r.getLong(0), r.getLong(1))
+            case None => (-1L, Long.MinValue)
+          }
+        if (batchId < lastBatch) throw new IllegalStateException(
+          s"StreamingIndexAppend: batch $batchId below committed " +
+            s"$lastBatch — checkpoint was reset while state dir " +
+            s"$stateDir survived; clear one or the other")
+        val replay = batchId == lastBatch
+        val q = batch
+          .select($"vec_id".cast("long").as("vec_id"), $"emb",
+            $"label".cast("long").as("label"))
+          .localCheckpoint(true) // scalars + encode (2 readers) + label join
+        val scalars = q.agg(min($"vec_id"), max($"vec_id"),
+          count(lit(1)), count_distinct($"vec_id")).collect()(0)
+        if (!scalars.isNullAt(0) && scalars.getLong(2) != scalars.getLong(3))
+          throw new IllegalStateException(
+            s"StreamingIndexAppend: batch $batchId carries duplicate " +
+              s"vec_ids (${scalars.getLong(2)} rows, " +
+              s"${scalars.getLong(3)} distinct) — a duplicate would " +
+              "duplicate inverted-list entries")
+        if (!replay && !scalars.isNullAt(0) &&
+            scalars.getLong(0) <= committedMaxVec)
+          throw new IllegalStateException(
+            s"StreamingIndexAppend: batch $batchId min vec_id " +
+              s"${scalars.getLong(0)} is not strictly above the " +
+              s"committed max $committedMaxVec — vec_id must be unique " +
+              "ascending across batches")
+        // the artifact's inverted-list row shape: wide sub-ordered
+        // codes + the stored attribute, keyed by cell
+        val rows = Similarity
+          .encodeAgainstFrozen(s, cents, books,
+            q.select($"vec_id", $"emb"))
+          .groupBy($"vec_id", $"centroid_id")
+          .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
+          .select($"vec_id",
+            transform($"sc", x => x.getField("code")).as("codes"),
+            $"centroid_id")
+          .join(q.select($"vec_id", $"label"), Seq("vec_id"))
+          .select($"vec_id", $"codes", $"label", $"centroid_id")
+          .localCheckpoint(true) // the write + the census emission
+        if (!replay && !scalars.isNullAt(0)) {
+          // stage → per-cell rename: one file per touched cell, named
+          // by batch id — deterministic, so a crashed attempt's file
+          // is simply overwritten by its byte-identical replay
+          val stagePath = new org.apache.hadoop.fs.Path(
+            outDir, f".batch-$batchId%05d-stage")
+          val fs = stagePath.getFileSystem(hconf)
+          rows.repartition($"centroid_id")
+            .sortWithinPartitions($"centroid_id", $"vec_id")
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(stagePath.toString)
+          val cellsRoot = new org.apache.hadoop.fs.Path(
+            outDir, "cells.parquet")
+          fs.listStatus(stagePath)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("centroid_id="))
+            .foreach { cellDir =>
+              val part = fs.listStatus(cellDir.getPath)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+              require(part.length == 1,
+                s"StreamingIndexAppend: expected one file per cell in " +
+                  s"${cellDir.getPath}, found ${part.length}")
+              val dest = new org.apache.hadoop.fs.Path(
+                new org.apache.hadoop.fs.Path(cellsRoot,
+                  cellDir.getPath.getName),
+                f"batch-$batchId%05d.parquet")
+              fs.mkdirs(dest.getParent)
+              fs.delete(dest, false) // a crashed attempt's copy
+              if (!fs.rename(part(0).getPath, dest))
+                throw new java.io.IOException(
+                  s"StreamingIndexAppend: could not install $dest")
+            }
+          fs.delete(stagePath, true)
+          // watermark commits AFTER the files, one FsSwap publish
+          Seq((batchId,
+              math.max(committedMaxVec, scalars.getLong(1))))
+            .toDF("last_batch", "max_vec")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          FsSwap.publish(hconf, tmp, target, old)
+        }
+        sink(rows.groupBy($"centroid_id")
+          .agg(count(lit(1)).as("n_vecs"))
+          .withColumn("batch_id", lit(batchId))
+          .orderBy($"centroid_id"))
+        q.unpersist(); rows.unpersist()
+        ()
+      }
+      .start()
+  }
+}

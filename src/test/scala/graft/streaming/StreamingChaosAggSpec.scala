@@ -737,6 +737,86 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("chaos: appendStream (continuous IVF+PQ index append) kill + " +
+      "restart: deliveries bit-identical, the accumulated per-batch " +
+      "cell FILES byte-identical to an unkilled run's, and the " +
+      "accumulated extension row-identical to the batch " +
+      "sim_ivfpq_append encode from scratch, both providers") {
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the SAME deterministic arriving vectors the batch face encodes,
+    // split across three micro-batches; doubles ride JSON as shortest
+    // round-trip strings, so the parsed bits are identical
+    val nv = graft.operators.Similarity.midpointBatch(spark, sf)
+      .orderBy($"vec_id").collect()
+    nv.length should be >= 8
+    def dRows(rows: Seq[Row]): Seq[String] = rows.map { r =>
+      val id = r.getLong(0)
+      val emb = r.getSeq[Double](1)
+      s"""{"vec_id":$id,"emb":[${emb.mkString(",")}],"label":${id % 7}}"""
+    }
+    val batches = Seq(dRows(nv.take(4).toSeq), dRows(nv.slice(4, 7).toSeq),
+      dRows(nv.drop(7).toSeq))
+    def cellFiles(out: String): Map[String, Seq[Byte]] = {
+      val root = new java.io.File(out, "cells.parquet")
+      if (!root.exists()) Map.empty
+      else root.listFiles().filter(_.isDirectory).flatMap { cd =>
+        cd.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          s"${cd.getName}/${f.getName}" ->
+            Files.readAllBytes(f.toPath).toSeq
+        }
+      }.toMap
+    }
+    Seq("hdfs", "rocksdb").foreach(withProvider(_) { prov =>
+      def withOut(tag: String): (java.nio.file.Path,
+          (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path,
+            Array[Row] => Boolean) => org.apache.spark.sql.streaming.StreamingQuery) = {
+        val out = Files.createTempDirectory(s"graft-chaos-$tag-out")
+        (out, (src, ckpt, state, sink) =>
+          StreamingIndexAppend.appendStream(
+            spark.readStream.schema(
+              "vec_id LONG, emb ARRAY<DOUBLE>, label LONG")
+              .json(src.toString),
+            sf, state.toString, ckpt.toString, out.toString,
+            df => { if (sink(df.collect())) sys.error("chaos kill") }))
+      }
+      val (outC, startC) = withOut(s"idxapp-c-$prov")
+      val control = drive(startC, batches, chaos = false, s"idxapp-c-$prov")
+      val (outK, startK) = withOut(s"idxapp-k-$prov")
+      val chaotic = drive(startK, batches, chaos = true, s"idxapp-k-$prov")
+      withClue(s"provider $prov deliveries: ") { chaotic shouldBe control }
+      control.nonEmpty shouldBe true
+      val accC = cellFiles(outC.toString)
+      accC.keySet.nonEmpty shouldBe true
+      withClue(s"provider $prov accumulated files: ") {
+        cellFiles(outK.toString) shouldBe accC
+      }
+      // the accumulated extension equals the batch face's encode of
+      // the same vectors from scratch — the index lifecycle's append
+      // step has ONE semantics, batch or continuous
+      val ext = spark.read.parquet(s"${outC.toString}/cells.parquet")
+      val extLong = ext.select($"vec_id",
+          $"centroid_id".cast("long").as("centroid_id"),
+          posexplode($"codes").as(Seq("sub", "code")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+          r.getAs[Number](3).longValue()))
+        .toSet
+      val batchFace = graft.SparkEntry.queries("sim_ivfpq_append")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+          r.getAs[Number](2).longValue(), r.getAs[Number](3).longValue()))
+        .toSet
+      withClue(s"provider $prov extension vs batch face: ") {
+        extLong shouldBe batchFace
+      }
+      // the stored attribute rode along intact
+      ext.select($"vec_id", $"label").collect()
+        .foreach(r => r.getLong(1) shouldBe r.getLong(0) % 7)
+    })
+  }
+
   test("shardStream validates its offset fold's precondition: a batch " +
       "whose min doc_id is not strictly above the committed max fails " +
       "loudly (as does an internal duplicate) instead of silently " +
