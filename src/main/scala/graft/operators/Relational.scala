@@ -206,26 +206,96 @@ object Relational extends QueryPack {
     val priceCents =
       expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
     val dateUs = expr("unix_micros(cast(o_orderdate as timestamp))")
-    Tables.orders(s, d)
-      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
-        priceCents.as("price_cents"), dateUs.as("date_us"),
-        $"o_orderpriority")
+    approxTableProfile(
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          priceCents.as("price_cents"), dateUs.as("date_us"),
+          $"o_orderpriority"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "price_cents",
+        "date_us", "o_orderpriority"),
+      measure = "price_cents")
+  }
+
+  /** The one-pass sketched profile of ANY pre-projected frame — the
+    * generic core behind [[approxOrdersProfile]] and the
+    * events/documents/embeddings faces (round-15 stretch: one sketched
+    * face per pipeline table, single-sourced so the pass's shape can
+    * never drift per table): ONE map-side-combined aggregate emitting,
+    * per column i (1-based, in `cols` order), the exact null-aware
+    * count `c{i}` and the HLL estimate `h{i}` (lgK 14), plus the
+    * mergeable approximate percentile pair (ap50, ap99) on `measure`
+    * and the exact row count `n`. No Expand, no Window, one scan —
+    * PlanShapeSpec gates the plan for all four tables. */
+  private[operators] def approxTableProfile(t: DataFrame,
+      cols: Seq[String], measure: String): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"c${i + 1}"),
+        hll_sketch_estimate(hll_sketch_agg(col(c), lit(14)))
+          .as(s"h${i + 1}"))
+    } ++ Seq(
+      percentile_approx(col(measure), lit(0.5), lit(200)).as("ap50"),
+      percentile_approx(col(measure), lit(0.99), lit(200)).as("ap99"))
+    t.agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Contract-row assembly for a sketched profile — the
+    * `q_profile_approx` discipline generalized: the SAME run
+    * recomputes the exact distinct census (the referee, whose Expand
+    * is the cost the sketched pass avoids — paid here because it IS
+    * the gate) and the exact rank of each approximate percentile from
+    * the column-pruned measure histogram, and emits per column the
+    * exact n_distinct next to hash-checked accuracy booleans (HLL
+    * within ±5%; approximate-percentile rank within ±1% of target).
+    * `colLabels` are the emitted col_name values (a projected column
+    * may carry a unit-suffixed public name). */
+  private def approxProfileContract(s: SparkSession, t: DataFrame,
+      cols: Seq[String], colLabels: Seq[String],
+      measure: String): DataFrame = {
+    import s.implicits._
+    val approx = approxTableProfile(t, cols, measure)
+      .localCheckpoint(true) // rank probe + final row assembly
+    val exact = t.agg(
+      countDistinct(col(cols.head)).as("d1"),
+      cols.tail.zipWithIndex.map { case (c, i) =>
+        countDistinct(col(c)).as(s"d${i + 2}") }: _*)
+    val hist = t.select(col(measure).as("v")).filter($"v".isNotNull)
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ranks = hist
+      .crossJoin(broadcast(approx.select($"ap50", $"ap99")))
       .agg(
-        count(lit(1)).as("n"),
-        count($"o_orderkey").as("c1"),
-        hll_sketch_estimate(hll_sketch_agg($"o_orderkey", lit(14))).as("h1"),
-        count($"o_custkey").as("c2"),
-        hll_sketch_estimate(hll_sketch_agg($"o_custkey", lit(14))).as("h2"),
-        count($"o_orderstatus").as("c3"),
-        hll_sketch_estimate(hll_sketch_agg($"o_orderstatus", lit(14))).as("h3"),
-        count($"price_cents").as("c4"),
-        hll_sketch_estimate(hll_sketch_agg($"price_cents", lit(14))).as("h4"),
-        count($"date_us").as("c5"),
-        hll_sketch_estimate(hll_sketch_agg($"date_us", lit(14))).as("h5"),
-        count($"o_orderpriority").as("c6"),
-        hll_sketch_estimate(hll_sketch_agg($"o_orderpriority", lit(14))).as("h6"),
-        percentile_approx($"price_cents", lit(0.5), lit(200)).as("ap50"),
-        percentile_approx($"price_cents", lit(0.99), lit(200)).as("ap99"))
+        sum($"c").as("nv"),
+        sum(when($"v" < $"ap50", $"c").otherwise(0L)).as("lo50"),
+        sum(when($"v" <= $"ap50", $"c").otherwise(0L)).as("le50"),
+        sum(when($"v" < $"ap99", $"c").otherwise(0L)).as("lo99"),
+        sum(when($"v" <= $"ap99", $"c").otherwise(0L)).as("le99"))
+      .select(
+        ($"le50" * 100L >= $"nv" * 49L &&
+          $"lo50" * 100L <= $"nv" * 51L).as("p50ok"),
+        ($"le99" * 100L >= $"nv" * 98L &&
+          $"lo99" * 100L <= $"nv" * 100L).as("p99ok"))
+    val wide = cols.indices.foldLeft(
+        approx.crossJoin(broadcast(exact)).crossJoin(broadcast(ranks))) {
+      (df, i) =>
+        df.withColumn(s"w${i + 1}",
+          abs(col(s"h${i + 1}") - col(s"d${i + 1}")).cast(DoubleType)
+            <= lit(0.05) * col(s"d${i + 1}"))
+    }
+    val stackRows = cols.zipWithIndex.map { case (c, i) =>
+      val pcts =
+        if (c == measure) "CAST(p50ok AS STRING), CAST(p99ok AS STRING)"
+        else "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+      s"'${colLabels(i)}', n - c${i + 1}, d${i + 1}, w${i + 1}, $pcts"
+    }.mkString(",\n              ")
+    wide.select(expr(s"""stack(${cols.size},
+              $stackRows)
+              as (col_name, n_nulls, n_distinct, distinct_within_5pct,
+                  p50_rank_within_1pct, p99_rank_within_1pct)"""),
+        $"n".as("n_rows"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+        $"distinct_within_5pct",
+        $"p50_rank_within_1pct", $"p99_rank_within_1pct")
+      .orderBy($"col_name")
   }
 
   /** Exact k-th order statistics over a single `cents` LongType column
@@ -2218,71 +2288,19 @@ $levels,
     "q_profile_approx" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val approx = approxOrdersProfile(s, d)
-          .localCheckpoint(true) // rank probe + final row assembly
         val priceCents =
           expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
         val dateUs = expr("unix_micros(cast(o_orderdate as timestamp))")
-        // the referee: exact distinct census (the Expand the sketched
-        // face exists to avoid — paid here because this IS the gate)
-        val exact = Tables.orders(s, d).agg(
-          countDistinct($"o_orderkey").as("d1"),
-          countDistinct($"o_custkey").as("d2"),
-          countDistinct($"o_orderstatus").as("d3"),
-          countDistinct(priceCents).as("d4"),
-          countDistinct(dateUs).as("d5"),
-          countDistinct($"o_orderpriority").as("d6"))
-        // exact ranks of the two approximate percentile values, from
-        // the column-pruned value histogram (checkpointed: the rank
-        // probe is one aggregate over value-domain-sized rows)
-        val hist = Tables.orders(s, d)
-          .select(priceCents.as("v")).filter($"v".isNotNull)
-          .groupBy($"v").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
-        val ranks = hist
-          .crossJoin(broadcast(approx.select($"ap50", $"ap99")))
-          .agg(
-            sum($"c").as("nv"),
-            sum(when($"v" < $"ap50", $"c").otherwise(0L)).as("lo50"),
-            sum(when($"v" <= $"ap50", $"c").otherwise(0L)).as("le50"),
-            sum(when($"v" < $"ap99", $"c").otherwise(0L)).as("lo99"),
-            sum(when($"v" <= $"ap99", $"c").otherwise(0L)).as("le99"))
-          .select(
-            ($"le50" * 100L >= $"nv" * 49L &&
-              $"lo50" * 100L <= $"nv" * 51L).as("p50ok"),
-            ($"le99" * 100L >= $"nv" * 98L &&
-              $"lo99" * 100L <= $"nv" * 100L).as("p99ok"))
-        def within(h: String, dcol: String) =
-          (abs(col(h) - col(dcol)).cast(DoubleType)
-            <= lit(0.05) * col(dcol))
-        val wide = approx.crossJoin(broadcast(exact))
-          .crossJoin(broadcast(ranks))
-          .withColumn("w1", within("h1", "d1"))
-          .withColumn("w2", within("h2", "d2"))
-          .withColumn("w3", within("h3", "d3"))
-          .withColumn("w4", within("h4", "d4"))
-          .withColumn("w5", within("h5", "d5"))
-          .withColumn("w6", within("h6", "d6"))
-        wide.select(expr("""stack(6,
-              'o_orderkey', n - c1, d1, w1,
-                CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_custkey', n - c2, d2, w2,
-                CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_orderstatus', n - c3, d3, w3,
-                CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_totalprice_cents', n - c4, d4, w4,
-                CAST(p50ok AS STRING), CAST(p99ok AS STRING),
-              'o_orderdate_us', n - c5, d5, w5,
-                CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_orderpriority', n - c6, d6, w6,
-                CAST(NULL AS STRING), CAST(NULL AS STRING))
-              as (col_name, n_nulls, n_distinct, distinct_within_5pct,
-                  p50_rank_within_1pct, p99_rank_within_1pct)"""),
-            $"n".as("n_rows"))
-          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
-            $"distinct_within_5pct",
-            $"p50_rank_within_1pct", $"p99_rank_within_1pct")
-          .orderBy($"col_name")
+        approxProfileContract(s,
+          Tables.orders(s, d)
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+              priceCents.as("price_cents"), dateUs.as("date_us"),
+              $"o_orderpriority"),
+          cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "price_cents", "date_us", "o_orderpriority"),
+          colLabels = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice_cents", "o_orderdate_us", "o_orderpriority"),
+          measure = "price_cents")
       },
       oracle = Some("""
         WITH a AS (
@@ -2320,6 +2338,146 @@ $levels,
             NULL, NULL FROM a
           UNION ALL SELECT n, 'o_orderpriority', n - c6, d6, TRUE,
             NULL, NULL FROM a)
+        ORDER BY col_name""")),
+
+    // ── sketched profiles for the OTHER pipeline tables ──
+    // (round-15 stretch) The 100 TB dataset-card path now covers the
+    // whole fixture schema: the same generic one-pass sketched
+    // aggregate ([[approxTableProfile]]) and the same contract-row
+    // discipline ([[approxProfileContract]]) over events, documents,
+    // and embeddings, mirroring the exact profiler family column for
+    // column. Each face's accuracy booleans are hash-checked against
+    // DuckDB's exact re-derivation — the sketched pass is never
+    // trusted, it is MEASURED every round, per table.
+    "q_profile_approx_events" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        approxProfileContract(s,
+          Tables.events(s, d).select(
+            $"event_id",
+            expr("ts div 1000").as("ts_us"),
+            $"user_id", $"event_type",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("value_cents")),
+          cols = Seq("event_id", "ts_us", "user_id", "event_type",
+            "value_cents"),
+          colLabels = Seq("event_id", "ts_us", "user_id", "event_type",
+            "value_cents"),
+          measure = "value_cents")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS value_cents
+          FROM events),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(event_id) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d1,
+            CAST(COUNT(ts_us) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT ts_us) AS BIGINT) AS d2,
+            CAST(COUNT(user_id) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d3,
+            CAST(COUNT(event_type) AS BIGINT) AS c4,
+            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d4,
+            CAST(COUNT(value_cents) AS BIGINT) AS c5,
+            CAST(COUNT(DISTINCT value_cents) AS BIGINT) AS d5
+          FROM e)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               distinct_within_5pct,
+               p50_rank_within_1pct, p99_rank_within_1pct
+        FROM (
+          SELECT n, 'event_id' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, TRUE AS distinct_within_5pct,
+                 CAST(NULL AS VARCHAR) AS p50_rank_within_1pct,
+                 CAST(NULL AS VARCHAR) AS p99_rank_within_1pct FROM a
+          UNION ALL SELECT n, 'ts_us', n - c2, d2, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'user_id', n - c3, d3, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'event_type', n - c4, d4, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'value_cents', n - c5, d5, TRUE,
+            'true', 'true' FROM a)
+        ORDER BY col_name""")),
+
+    "q_profile_approx_documents" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        approxProfileContract(s,
+          Tables.documents(s, d)
+            .select($"doc_id", $"lang", $"source", $"n_chars"),
+          cols = Seq("doc_id", "lang", "source", "n_chars"),
+          colLabels = Seq("doc_id", "lang", "source", "n_chars"),
+          measure = "n_chars")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(doc_id) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d1,
+            CAST(COUNT(lang) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS d2,
+            CAST(COUNT(source) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS d3,
+            CAST(COUNT(n_chars) AS BIGINT) AS c4,
+            CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d4
+          FROM documents)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               distinct_within_5pct,
+               p50_rank_within_1pct, p99_rank_within_1pct
+        FROM (
+          SELECT n, 'doc_id' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, TRUE AS distinct_within_5pct,
+                 CAST(NULL AS VARCHAR) AS p50_rank_within_1pct,
+                 CAST(NULL AS VARCHAR) AS p99_rank_within_1pct FROM a
+          UNION ALL SELECT n, 'lang', n - c2, d2, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'source', n - c3, d3, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'n_chars', n - c4, d4, TRUE,
+            'true', 'true' FROM a)
+        ORDER BY col_name""")),
+
+    "q_profile_approx_embeddings" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        approxProfileContract(s,
+          Tables.embeddings(s, d).select(
+            $"vec_id",
+            size($"embedding").cast(LongType).as("emb_dim"),
+            $"label".cast(LongType).as("label")),
+          cols = Seq("vec_id", "emb_dim", "label"),
+          colLabels = Seq("vec_id", "emb_dim", "label"),
+          measure = "label")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(len(embedding) AS BIGINT) AS emb_dim,
+                 CAST(label AS BIGINT) AS label
+          FROM embeddings),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(vec_id) AS BIGINT) AS c1,
+            CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS d1,
+            CAST(COUNT(emb_dim) AS BIGINT) AS c2,
+            CAST(COUNT(DISTINCT emb_dim) AS BIGINT) AS d2,
+            CAST(COUNT(label) AS BIGINT) AS c3,
+            CAST(COUNT(DISTINCT label) AS BIGINT) AS d3
+          FROM e)
+        SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+               distinct_within_5pct,
+               p50_rank_within_1pct, p99_rank_within_1pct
+        FROM (
+          SELECT n, 'vec_id' AS col_name, n - c1 AS n_nulls,
+                 d1 AS n_distinct, TRUE AS distinct_within_5pct,
+                 CAST(NULL AS VARCHAR) AS p50_rank_within_1pct,
+                 CAST(NULL AS VARCHAR) AS p99_rank_within_1pct FROM a
+          UNION ALL SELECT n, 'emb_dim', n - c2, d2, TRUE,
+            NULL, NULL FROM a
+          UNION ALL SELECT n, 'label', n - c3, d3, TRUE,
+            'true', 'true' FROM a)
         ORDER BY col_name""")),
 
     // ── join-key skew report (the pre-salting diagnostic) ──

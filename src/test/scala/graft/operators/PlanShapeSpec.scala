@@ -764,12 +764,37 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
       "combined aggregate (the 100 TB dataset-card path)") {
     // the exact faces pay an Expand that multiplies scanned rows by
     // column count — the honest oracle contract, not the production
-    // pass; the sketched helper must never regress into it
-    val p = Relational.approxOrdersProfile(spark, sf)
-      .queryExecution.executedPlan.toString
-    "Scan parquet".r.findAllIn(p).size shouldBe 1
-    p should not include "Expand"
-    p should not include "Window"
+    // pass; the sketched helper must never regress into it. All four
+    // pipeline tables ride the same generic pass (round-15 stretch),
+    // so all four plans are gated.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val passes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "orders" -> Relational.approxOrdersProfile(spark, sf),
+      "events" -> Relational.approxTableProfile(
+        graft.Tables.events(spark, sf).select(
+          $"event_id", expr("ts div 1000").as("ts_us"),
+          $"user_id", $"event_type",
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("value_cents")),
+        Seq("event_id", "ts_us", "user_id", "event_type", "value_cents"),
+        "value_cents"),
+      "documents" -> Relational.approxTableProfile(
+        graft.Tables.documents(spark, sf)
+          .select($"doc_id", $"lang", $"source", $"n_chars"),
+        Seq("doc_id", "lang", "source", "n_chars"), "n_chars"),
+      "embeddings" -> Relational.approxTableProfile(
+        graft.Tables.embeddings(spark, sf).select(
+          $"vec_id", org.apache.spark.sql.functions.size($"embedding")
+            .cast("long").as("emb_dim"),
+          $"label".cast("long").as("label")),
+        Seq("vec_id", "emb_dim", "label"), "label"))
+    for ((name, df) <- passes) withClue(s"sketched pass over $name: ") {
+      val p = df.queryExecution.executedPlan.toString
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+      p should not include "Expand"
+      p should not include "Window"
+    }
   }
 
   test("filtered IVFADC carries the probe restriction as a partition " +
