@@ -1947,6 +1947,38 @@ object Similarity extends QueryPack {
           JOIN (SELECT vec_id - 1 AS vec_id, emb AS emb2 FROM e
                 WHERE vec_id BETWEEN 1 AND 10) n USING (vec_id))"""
 
+  /** DuckDB twin of [[encodeAgainstFrozen]] over the `nv` batch — the
+    * frozen-encode CTEs (cellq: nearest final centroid per arriving
+    * vector; nsv: its subvectors; enc: nearest codeword per
+    * subvector), composing after `e` + both build chains +
+    * [[nvBatchCte]]. Single-sourced between `sim_ivfpq_append`'s
+    * oracle and the post-append serving view
+    * (`sim_ann_ivfpq_extended`), so the maintenance arithmetic cannot
+    * diverge between the write face and the read face. */
+  private lazy val nvEncodeCtes: String = s"""cellq AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT nv.vec_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (nv.emb[i] - c.cemb[i]) * (nv.emb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS rn
+            FROM nv, c3 c) x
+          WHERE rn = 1),
+        nsv AS (
+          SELECT vec_id, s.sub,
+                 emb[(s.sub * $PqSubDim + 1):(s.sub * $PqSubDim + $PqSubDim)]
+                   AS semb
+          FROM nv, range(0, $PqSub) s(sub)),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT nsv.vec_id, nsv.sub, c.code,
+              ROW_NUMBER() OVER (PARTITION BY nsv.vec_id, nsv.sub ORDER BY
+                list_sum(list_transform(generate_series(1, $PqSubDim),
+                  i -> (nsv.semb[i] - c.cemb[i]) * (nsv.semb[i] - c.cemb[i]))) ASC,
+                c.code) AS rn
+            FROM nsv JOIN pc2 c ON c.sub = nsv.sub) x
+          WHERE rn = 1)"""
+
   /** The one CTE both index builds hang off: the embedding table as
     * DOUBLE[] arrays. Factored out so [[ivfBuildCtes]] and
     * [[pqBuildCtes]] compose into a single statement for the IVF+PQ
@@ -3697,32 +3729,106 @@ object Similarity extends QueryPack {
         $ivfBuildChain,
         $pqBuildChain,
         $nvBatchCte,
-        cellq AS (
-          SELECT vec_id, centroid_id FROM (
-            SELECT nv.vec_id, c.centroid_id,
-              ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
-                list_sum(list_transform(generate_series(1, $Dim),
-                  i -> (nv.emb[i] - c.cemb[i]) * (nv.emb[i] - c.cemb[i]))) ASC,
-                c.centroid_id) AS rn
-            FROM nv, c3 c) x
-          WHERE rn = 1),
-        nsv AS (
-          SELECT vec_id, s.sub,
-                 emb[(s.sub * $PqSubDim + 1):(s.sub * $PqSubDim + $PqSubDim)]
-                   AS semb
-          FROM nv, range(0, $PqSub) s(sub)),
-        enc AS (
-          SELECT vec_id, sub, code FROM (
-            SELECT nsv.vec_id, nsv.sub, c.code,
-              ROW_NUMBER() OVER (PARTITION BY nsv.vec_id, nsv.sub ORDER BY
-                list_sum(list_transform(generate_series(1, $PqSubDim),
-                  i -> (nsv.semb[i] - c.cemb[i]) * (nsv.semb[i] - c.cemb[i]))) ASC,
-                c.code) AS rn
-            FROM nsv JOIN pc2 c ON c.sub = nsv.sub) x
-          WHERE rn = 1)
+        $nvEncodeCtes
         SELECT a.vec_id, a.centroid_id, e2.sub, e2.code
         FROM cellq a JOIN enc e2 USING (vec_id)
         ORDER BY vec_id, sub""")),
+
+    // ── the post-append SERVING VIEW: filtered search over base ∪
+    //    appended extension ──
+    // What a serving tier actually queries between rebuilds: the
+    // frozen base artifact PLUS everything the maintenance path
+    // ([[encodeAgainstFrozen]] — the batch face above, the continuous
+    // [[graft.streaming.StreamingIndexAppend]]) has folded in since.
+    // The same static filtered ADC search (`sim_ann_ivfpq_filtered`'s
+    // budget; probes_used rides the output), run over the UNION of
+    // the base inverted lists and the appended rows — the probed-cell
+    // restriction pushes through the union, so the base side keeps
+    // its partition pruning and the extension contributes only its
+    // probed cells' rows. Appended ids take the maintenance label
+    // convention (vec_id % 7, the chaos gate's), so some appended
+    // near-duplicates PASS the predicate and must appear in the
+    // answers — SimilaritySpec gates exactly that non-vacuity, plus
+    // base-face equality when the extension is excluded. The oracle
+    // rebuilds both chains AND the batch encode from scratch and
+    // searches the same union, so the whole read-after-append path is
+    // re-proven every round.
+    "sim_ann_ivfpq_extended" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (cells, cents) = ivfpqPersistedModel(s, d)
+        val (_, books) = pqPersistedModel(s, d)
+        val ext = encodeAgainstFrozen(s, cents, books, midpointBatch(s, d))
+          .groupBy($"vec_id", $"centroid_id")
+          .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
+          .select($"vec_id",
+            transform($"sc", x => x.getField("code")).as("codes"),
+            ($"vec_id" % 7L).as("label"), $"centroid_id")
+        val extended = cells
+          .select($"vec_id", $"codes", $"label", $"centroid_id")
+          .unionByName(ext)
+        // empty budgets = the static IvfNProbeFiltered floor for every
+        // query (the totalization in ivfpqSearchOnRanking) — this face
+        // prices the read path, the adaptive face prices the planner
+        ivfpqSearchOnRanking(s, extended, pqQueryLutWide(s, d, books),
+          probeRanking(s, d, cents), col("label") % 7 === 3, Map.empty)
+      },
+      oracle = Some(s"""
+        $embCteSql,
+        $ivfBuildChain,
+        $pqBuildChain,
+        $nvBatchCte,
+        $nvEncodeCtes,
+        allfin AS (
+          SELECT vec_id, centroid_id FROM fin
+          UNION ALL SELECT vec_id, centroid_id FROM cellq),
+        allcodes AS (
+          SELECT vec_id, sub, code FROM codes
+          UNION ALL SELECT vec_id, sub, code FROM enc),
+        alllab AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+          UNION ALL SELECT vec_id, CAST(vec_id % 7 AS BIGINT) FROM nv),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, centroid_id AS pcell FROM (
+            SELECT q.query_id, c.centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, $Dim),
+                  i -> (q.qemb[i] - c.cemb[i]) * (q.qemb[i] - c.cemb[i]))) ASC,
+                c.centroid_id) AS pr
+            FROM q, c3 c) x
+          WHERE pr <= $IvfNProbeFiltered),
+        qsub AS (
+          SELECT vec_id AS query_id, sub, semb AS qsemb
+          FROM sv WHERE vec_id < 5),
+        lut AS (
+          SELECT qsub.query_id, c.sub, c.code,
+            CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim),
+              i -> (qsub.qsemb[i] - c.cemb[i]) * (qsub.qsemb[i] - c.cemb[i]))), 9)
+              AS DECIMAL(27,9)) AS pdist
+          FROM qsub JOIN pc2 c ON c.sub = qsub.sub),
+        adc AS (
+          SELECT p.query_id, f.vec_id, al.label,
+                 CAST(SUM(l.pdist) AS DOUBLE) AS adist
+          FROM probes p
+          JOIN allfin f ON f.centroid_id = p.pcell
+          JOIN alllab al ON al.vec_id = f.vec_id
+          JOIN allcodes k ON k.vec_id = f.vec_id
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.sub = k.sub AND l.code = k.code
+          WHERE f.vec_id <> p.query_id
+            AND al.label % 7 = 3
+          GROUP BY p.query_id, f.vec_id, al.label)
+        SELECT query_id, rnk, vec_id, label, adist,
+               CAST($IvfNProbeFiltered AS BIGINT) AS probes_used
+        FROM (
+          SELECT query_id, vec_id, label, adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist ASC, vec_id) AS rnk
+          FROM adc) r
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
 
     // ── retrain signal: when does the frozen index need a rebuild? ──
     // `sim_ivfpq_append` folds arriving batches into the frozen index;

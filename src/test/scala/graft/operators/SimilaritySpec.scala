@@ -1043,4 +1043,51 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       s"budgets=${budgets.toSeq.sortBy(_._1)}; static returned 0, " +
       s"adaptive matched exhaustive filtered ADC exactly (${got.size})")
   }
+
+  test("the post-append serving view (sim_ann_ivfpq_extended) surfaces " +
+      "appended vectors - at least one answer row is an appended id - " +
+      "and searching the base cells alone under the same static budget " +
+      "reproduces sim_ann_ivfpq_filtered row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("sim_ann_ivfpq_extended")(spark, sf)
+      .collect()
+    got.nonEmpty shouldBe true
+    // non-vacuity: an appended near-duplicate passes the label
+    // convention (vec_id % 7) and outranks base candidates somewhere -
+    // the serving view genuinely reads the extension, not just the base
+    got.exists(_.getLong(2) >= 1000000L) shouldBe true
+    // every appended answer row carries the maintenance label convention
+    got.filter(_.getLong(2) >= 1000000L)
+      .foreach(r => r.getLong(3) shouldBe r.getLong(2) % 7)
+    // base-only run of the same search core under the same static
+    // budget == the static filtered face: the extension is the ONLY
+    // difference between the two read paths
+    val (cells, cents) = Similarity.ivfpqPersistedModel(spark, sf)
+    val (_, books) = Similarity.pqPersistedModel(spark, sf)
+    val baseOnly = Similarity.ivfpqSearchOnRanking(spark,
+        cells.select($"vec_id", $"codes", $"label", $"centroid_id"),
+        Similarity.pqQueryLutWideFor(spark,
+          graft.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+            .select($"vec_id",
+              graft.functions.VectorFunctions.toDoubleArray($"embedding")
+                .as("emb")),
+          books),
+        Similarity.probeRankingFor(spark, cents,
+          graft.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+            .select($"vec_id".as("query_id"),
+              graft.functions.VectorFunctions.toDoubleArray($"embedding")
+                .as("qemb"))),
+        col("label") % 7 === 3, Map.empty)
+      .select($"query_id", $"rnk", $"vec_id", $"label", $"adist")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)))).toSet
+    val staticFace = graft.SparkEntry
+      .queries("sim_ann_ivfpq_filtered")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)))).toSet
+    baseOnly shouldBe staticFace
+  }
 }
