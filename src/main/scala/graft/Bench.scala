@@ -65,6 +65,7 @@ object Bench {
     "llm_gopher_rules" -> 3.4,
     "llm_heavy_hitters" -> 1.1,
     "llm_repeated_spans" -> 1.5,
+    "llm_suffix_dups_panel" -> 8.0,
     "llm_textrank" -> 2.2,
     "q1_pricing_summary" -> 1.1,
     "q3_shipping_priority" -> 0.9,
