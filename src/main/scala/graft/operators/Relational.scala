@@ -431,8 +431,32 @@ object Relational extends QueryPack {
       rows0: DataFrame, k: Long, depth: Int): DataFrame = {
     val s = rows0.sparkSession
     import s.implicits._
+    val (rows, _) = mondrianCore(rows0, k, depth)
+    val stats = rows.groupBy($"leaf")
+      .agg(min($"d0").as("d0_lo"), max($"d0").as("d0_hi"),
+        min($"d1").as("d1_lo"), max($"d1").as("d1_hi"),
+        count(lit(1)).as("leaf_k"))
+    rows.join(broadcast(stats), Seq("leaf"))
+      .select($"id", $"leaf", $"d0_lo", $"d0_hi", $"d1_lo", $"d1_hi",
+        $"leaf_k", ($"leaf_k" >= k).as("meets_k"))
+      .orderBy($"id")
+  }
+
+  /** The split-tree walk shared by [[mondrianAnonymize]] (build) and
+    * [[mondrianApply]] (apply-to-arriving): runs the `depth` levels
+    * over `rows0` and returns BOTH the final leaf assignment and the
+    * per-level split tables ((leaf, med, do_split) — O(2^t) rows each,
+    * `localCheckpoint`-pinned) that ARE the anonymization scheme. The
+    * tree is the frozen artifact of the release pipeline: building it
+    * is one pass over the governed table; applying it to arriving rows
+    * is `depth` broadcast joins and no statistics at all. */
+  private[operators] def mondrianCore(rows0: DataFrame, k: Long,
+      depth: Int): (DataFrame, Seq[DataFrame]) = {
+    val s = rows0.sparkSession
+    import s.implicits._
     var rows = org.apache.spark.sql.graftshim.Shim.cutCheckpoint(
       rows0.select($"id", $"d0", $"d1", lit(0L).as("leaf")))
+    val splits = Seq.newBuilder[DataFrame]
     for (t <- 0 until depth) {
       val dim = if (t % 2 == 0) "d0" else "d1"
       val hist = rows.groupBy($"leaf", col(dim).as("val"))
@@ -454,19 +478,51 @@ object Relational extends QueryPack {
         .join(broadcast(leafAgg.select($"leaf", $"n")), Seq("leaf"))
         .select($"leaf", $"med",
           ($"nleft" >= k && $"n" - $"nleft" >= k).as("do_split"))
+        .localCheckpoint(true) // the re-leaf join + the apply walk
+      splits += split
       rows = org.apache.spark.sql.graftshim.Shim.cutCheckpoint(
         rows.join(broadcast(split), Seq("leaf"))
           .select($"id", $"d0", $"d1",
             ($"leaf" * 2L + when($"do_split" && col(dim) > $"med", 1L)
               .otherwise(0L)).as("leaf")))
     }
-    val stats = rows.groupBy($"leaf")
+    (rows, splits.result())
+  }
+
+  /** Apply a FROZEN Mondrian scheme to arriving rows — the serving
+    * half of the release pipeline: the tree built on `base` is the
+    * published anonymization scheme, and new rows must generalize
+    * through the SAME splits (re-running the anonymizer on base+new
+    * would move medians and re-identify previously released rows by
+    * diffing the two generalizations). Each arriving row walks the
+    * split tables — `depth` broadcast joins, no statistics — and emits
+    * its base leaf's ranges and size plus `in_box`: whether its exact
+    * values fall inside the frozen generalization box. A false
+    * `in_box` is the DRIFT SIGNAL (the retrainSignal idiom): the
+    * arriving distribution has left the box the scheme promised, and
+    * enough of them means rebuild-and-re-release. */
+  private[operators] def mondrianApply(base: DataFrame,
+      arriving: DataFrame, k: Long, depth: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val (baseRows, splits) = mondrianCore(base, k, depth)
+    val stats = baseRows.groupBy($"leaf")
       .agg(min($"d0").as("d0_lo"), max($"d0").as("d0_hi"),
         min($"d1").as("d1_lo"), max($"d1").as("d1_hi"),
-        count(lit(1)).as("leaf_k"))
-    rows.join(broadcast(stats), Seq("leaf"))
+        count(lit(1)).as("base_k"))
+    var r = arriving.select($"id", $"d0", $"d1", lit(0L).as("leaf"))
+    for ((split, t) <- splits.zipWithIndex) {
+      val dim = if (t % 2 == 0) "d0" else "d1"
+      r = r.join(broadcast(split), Seq("leaf"))
+        .select($"id", $"d0", $"d1",
+          ($"leaf" * 2L + when($"do_split" && col(dim) > $"med", 1L)
+            .otherwise(0L)).as("leaf"))
+    }
+    r.join(broadcast(stats), Seq("leaf"))
       .select($"id", $"leaf", $"d0_lo", $"d0_hi", $"d1_lo", $"d1_hi",
-        $"leaf_k", ($"leaf_k" >= k).as("meets_k"))
+        $"base_k",
+        ($"d0" >= $"d0_lo" && $"d0" <= $"d0_hi" &&
+          $"d1" >= $"d1_lo" && $"d1" <= $"d1_hi").as("in_box"))
       .orderBy($"id")
   }
 
@@ -484,7 +540,14 @@ object Relational extends QueryPack {
     * predecessor 2-3 times would otherwise expand EXPONENTIALLY
     * (depth 8 exhausted the process file-descriptor limit re-opening
     * the parquet before any row was produced). */
-  private def mondrianOracleSql(k: Long, depth: Int): String = {
+  /** The per-level build CTEs (histogram → lower median → split rule →
+    * re-leaf) plus the leaf-stats CTE, over `where`-filtered customer
+    * rows — shared by the generalize oracle (src = whole table) and
+    * the apply oracle (src = the base split). `sp$t` is MATERIALIZED
+    * like the level relations: the apply oracle reads each split
+    * table a second time. */
+  private def mondrianLevelCtes(k: Long, depth: Int,
+      where: String): String = {
     def dim(t: Int) = if (t % 2 == 0) "d0" else "d1"
     val levels = (0 until depth).map { t =>
       s"""        h$t AS MATERIALIZED (
@@ -503,7 +566,7 @@ object Relational extends QueryPack {
         md$t AS (
           SELECT c.leaf, MIN(CASE WHEN c.cw >= l.m THEN c.val END) AS med
           FROM cw$t c JOIN lf$t l ON l.leaf = c.leaf GROUP BY c.leaf),
-        sp$t AS (
+        sp$t AS MATERIALIZED (
           SELECT h.leaf, m.med, l.n,
                  CAST(SUM(CASE WHEN h.val <= m.med THEN h.c ELSE 0 END)
                    AS BIGINT) AS nleft
@@ -517,15 +580,18 @@ object Relational extends QueryPack {
                    THEN 1 ELSE 0 END AS leaf
           FROM r$t r JOIN sp$t s ON s.leaf = r.leaf)"""
     }.mkString(",\n")
-    s"""
-        WITH r0 AS MATERIALIZED (
+    s"""r0 AS MATERIALIZED (
           SELECT CAST(c_custkey AS BIGINT) AS id,
                  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
                    AS d0,
                  CAST(c_nationkey AS BIGINT) AS d1,
                  CAST(0 AS BIGINT) AS leaf
-          FROM customer),
-$levels,
+          FROM customer$where),
+$levels"""
+  }
+
+  private def mondrianOracleSql(k: Long, depth: Int): String = s"""
+        WITH ${mondrianLevelCtes(k, depth, "")},
         stats AS (
           SELECT leaf, CAST(MIN(d0) AS BIGINT) AS d0_lo,
                  CAST(MAX(d0) AS BIGINT) AS d0_hi,
@@ -537,6 +603,44 @@ $levels,
                s.d1_lo, s.d1_hi, s.leaf_k, (s.leaf_k >= $k) AS meets_k
         FROM r$depth r JOIN stats s ON s.leaf = r.leaf
         ORDER BY r.id"""
+
+  /** DuckDB replay of [[mondrianApply]]: build the tree on the BASE
+    * split, then walk the arriving rows through the SAME frozen split
+    * tables level by level and attach the base leaf's box + the
+    * in_box drift flag. */
+  private def mondrianApplyOracleSql(k: Long, depth: Int): String = {
+    def dim(t: Int) = if (t % 2 == 0) "d0" else "d1"
+    val walk = (0 until depth).map { t =>
+      s"""        a${t + 1} AS (
+          SELECT a.id, a.d0, a.d1,
+                 2 * a.leaf + CASE WHEN s.nleft >= $k
+                   AND s.n - s.nleft >= $k AND a.${dim(t)} > s.med
+                   THEN 1 ELSE 0 END AS leaf
+          FROM a$t a JOIN sp$t s ON s.leaf = a.leaf)"""
+    }.mkString(",\n")
+    s"""
+        WITH ${mondrianLevelCtes(k, depth, " WHERE c_custkey % 8 <> 0")},
+        stats AS (
+          SELECT leaf, CAST(MIN(d0) AS BIGINT) AS d0_lo,
+                 CAST(MAX(d0) AS BIGINT) AS d0_hi,
+                 CAST(MIN(d1) AS BIGINT) AS d1_lo,
+                 CAST(MAX(d1) AS BIGINT) AS d1_hi,
+                 CAST(COUNT(*) AS BIGINT) AS base_k
+          FROM r$depth GROUP BY leaf),
+        a0 AS (
+          SELECT CAST(c_custkey AS BIGINT) AS id,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS d0,
+                 CAST(c_nationkey AS BIGINT) AS d1,
+                 CAST(0 AS BIGINT) AS leaf
+          FROM customer WHERE c_custkey % 8 = 0),
+$walk
+        SELECT a.id, CAST(a.leaf AS BIGINT) AS leaf, s.d0_lo, s.d0_hi,
+               s.d1_lo, s.d1_hi, s.base_k,
+               (a.d0 >= s.d0_lo AND a.d0 <= s.d0_hi AND
+                a.d1 >= s.d1_lo AND a.d1 <= s.d1_hi) AS in_box
+        FROM a$depth a JOIN stats s ON s.leaf = a.leaf
+        ORDER BY a.id"""
   }
 
   /** The k-core peel behind `q_kcore_peel`, over any undirected
@@ -2798,6 +2902,35 @@ $levels,
           k = 5L, depth = 8)
       },
       oracle = Some(mondrianOracleSql(k = 5L, depth = 8)),
+      headline = false),
+
+    // ── apply the FROZEN anonymization scheme to arriving rows ──
+    // The serving half of the release pipeline: `q_kanon_generalize`
+    // builds and publishes the scheme; new rows must generalize
+    // through the SAME frozen splits (re-running the anonymizer over
+    // base+new would move medians, and diffing the two released
+    // generalizations re-identifies previously published rows). The
+    // base is the c_custkey % 8 != 0 split of customer, the arriving
+    // batch the % 8 == 0 split; each arriving row walks the split
+    // tables — depth broadcast joins, no statistics — and emits its
+    // base leaf's box, the base leaf size, and the `in_box` drift
+    // flag (the retrainSignal idiom: an arriving row outside the box
+    // the scheme promised is the rebuild-and-re-release signal).
+    // The oracle rebuilds the base tree AND replays the identical
+    // walk over the arriving split, so the frozen-scheme application
+    // is re-proven end to end.
+    "q_kanon_apply" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).select(
+          $"c_custkey".cast(LongType).as("id"),
+          expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+            .as("d0"),
+          $"c_nationkey".cast(LongType).as("d1"))
+        mondrianApply(cust.filter($"id" % 8 =!= 0),
+          cust.filter($"id" % 8 === 0), k = 5L, depth = 8)
+      },
+      oracle = Some(mondrianApplyOracleSql(k = 5L, depth = 8)),
       headline = false),
 
     // ── dyadic quantile digest with provable rank bounds ──

@@ -1646,4 +1646,37 @@ class RelationalSpec extends AnyFunSuite with Matchers {
         overlap((b1._3, b1._4), (b2._3, b2._4))) shouldBe false
     }
   }
+
+  test("mondrianApply: replaying the base rows through the frozen " +
+      "splits reproduces the build's own leaf assignment with in_box " +
+      "true everywhere, and a planted far-outside row lands in a valid " +
+      "leaf with the drift flag raised") {
+    import spark.implicits._
+    val base = (0L until 40L)
+      .map(i => (i, (i % 10) * 100L, i % 4))
+      .toDF("id", "d0", "d1")
+    // self-application: the frozen walk IS the build walk
+    val (built, _) = Relational.mondrianCore(base, k = 5L, depth = 6)
+    val builtLeaf = built.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val applied = Relational.mondrianApply(base, base, k = 5L, depth = 6)
+      .collect()
+    applied.length shouldBe 40
+    applied.foreach { r =>
+      r.getLong(1) shouldBe builtLeaf(r.getLong(0))
+      withClue(s"id ${r.getLong(0)} in_box: ") {
+        r.getBoolean(7) shouldBe true
+      }
+      r.getLong(6) should be >= 5L
+    }
+    // drift: a row far outside every base value still walks to SOME
+    // frozen leaf (the tree tiles the whole domain) but the box flag
+    // says the scheme no longer covers it
+    val drifted = Relational.mondrianApply(base,
+      Seq((999L, 1000000L, 99L)).toDF("id", "d0", "d1"),
+      k = 5L, depth = 6).collect()
+    drifted.length shouldBe 1
+    drifted(0).getBoolean(7) shouldBe false
+    drifted(0).getLong(6) should be >= 5L
+  }
 }
