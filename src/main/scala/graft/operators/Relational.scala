@@ -503,6 +503,18 @@ object Relational extends QueryPack {
     * enough of them means rebuild-and-re-release. */
   private[operators] def mondrianApply(base: DataFrame,
       arriving: DataFrame, k: Long, depth: Int): DataFrame = {
+    val (splits, stats) = mondrianScheme(base, k, depth)
+    mondrianApplyWalk(splits, stats, arriving)
+  }
+
+  /** Build the PUBLISHABLE scheme from `base`: the per-level split
+    * tables plus the leaf-box stats — everything
+    * [[mondrianApplyWalk]] needs, all O(2^depth)-row pinned frames. A
+    * serving tier (the streaming face) resolves this ONCE and closes
+    * over it; re-deriving it per batch would re-run the whole
+    * build. */
+  private[graft] def mondrianScheme(base: DataFrame, k: Long,
+      depth: Int): (Seq[DataFrame], DataFrame) = {
     val s = base.sparkSession
     import s.implicits._
     val (baseRows, splits) = mondrianCore(base, k, depth)
@@ -510,6 +522,17 @@ object Relational extends QueryPack {
       .agg(min($"d0").as("d0_lo"), max($"d0").as("d0_hi"),
         min($"d1").as("d1_lo"), max($"d1").as("d1_hi"),
         count(lit(1)).as("base_k"))
+      .localCheckpoint(true) // one reader per applied batch
+    (splits, stats)
+  }
+
+  /** Walk `arriving` rows through a frozen scheme — `depth` broadcast
+    * joins plus the box attach, no statistics (see [[mondrianApply]]'s
+    * scaladoc for why the splits must be the PUBLISHED ones). */
+  private[graft] def mondrianApplyWalk(splits: Seq[DataFrame],
+      stats: DataFrame, arriving: DataFrame): DataFrame = {
+    val s = arriving.sparkSession
+    import s.implicits._
     var r = arriving.select($"id", $"d0", $"d1", lit(0L).as("leaf"))
     for ((split, t) <- splits.zipWithIndex) {
       val dim = if (t % 2 == 0) "d0" else "d1"
