@@ -627,11 +627,13 @@ $levels"""
         FROM r$depth r JOIN stats s ON s.leaf = r.leaf
         ORDER BY r.id"""
 
-  /** DuckDB replay of [[mondrianApply]]: build the tree on the BASE
-    * split, then walk the arriving rows through the SAME frozen split
-    * tables level by level and attach the base leaf's box + the
-    * in_box drift flag. */
-  private def mondrianApplyOracleSql(k: Long, depth: Int): String = {
+  /** The shared CTE chain of the apply-family oracles: build the tree
+    * on the BASE split, walk the arriving rows through the SAME frozen
+    * split tables level by level, and end in `applied` — one row per
+    * arriving row with its leaf, the base leaf's box, base_k, and the
+    * in_box drift flag. [[mondrianApplyOracleSql]] selects it
+    * directly; the drift-census oracle aggregates it. */
+  private def mondrianApplyChain(k: Long, depth: Int): String = {
     def dim(t: Int) = if (t % 2 == 0) "d0" else "d1"
     val walk = (0 until depth).map { t =>
       s"""        a${t + 1} AS (
@@ -641,8 +643,7 @@ $levels"""
                    THEN 1 ELSE 0 END AS leaf
           FROM a$t a JOIN sp$t s ON s.leaf = a.leaf)"""
     }.mkString(",\n")
-    s"""
-        WITH ${mondrianLevelCtes(k, depth, " WHERE c_custkey % 8 <> 0")},
+    s"""${mondrianLevelCtes(k, depth, " WHERE c_custkey % 8 <> 0")},
         stats AS (
           SELECT leaf, CAST(MIN(d0) AS BIGINT) AS d0_lo,
                  CAST(MAX(d0) AS BIGINT) AS d0_hi,
@@ -657,14 +658,21 @@ $levels"""
                  CAST(c_nationkey AS BIGINT) AS d1,
                  CAST(0 AS BIGINT) AS leaf
           FROM customer WHERE c_custkey % 8 = 0),
-$walk
-        SELECT a.id, CAST(a.leaf AS BIGINT) AS leaf, s.d0_lo, s.d0_hi,
-               s.d1_lo, s.d1_hi, s.base_k,
-               (a.d0 >= s.d0_lo AND a.d0 <= s.d0_hi AND
-                a.d1 >= s.d1_lo AND a.d1 <= s.d1_hi) AS in_box
-        FROM a$depth a JOIN stats s ON s.leaf = a.leaf
-        ORDER BY a.id"""
+$walk,
+        applied AS (
+          SELECT a.id, CAST(a.leaf AS BIGINT) AS leaf, s.d0_lo, s.d0_hi,
+                 s.d1_lo, s.d1_hi, s.base_k,
+                 (a.d0 >= s.d0_lo AND a.d0 <= s.d0_hi AND
+                  a.d1 >= s.d1_lo AND a.d1 <= s.d1_hi) AS in_box
+          FROM a$depth a JOIN stats s ON s.leaf = a.leaf)"""
   }
+
+  /** DuckDB replay of [[mondrianApply]] — see [[mondrianApplyChain]]. */
+  private def mondrianApplyOracleSql(k: Long, depth: Int): String = s"""
+        WITH ${mondrianApplyChain(k, depth)}
+        SELECT id, leaf, d0_lo, d0_hi, d1_lo, d1_hi, base_k, in_box
+        FROM applied
+        ORDER BY id"""
 
   /** The k-core peel behind `q_kcore_peel`, over any undirected
     * DISTINCT edge list (u, v) — exposed for RelationalSpec's planted
@@ -2954,6 +2962,61 @@ $walk
           cust.filter($"id" % 8 === 0), k = 5L, depth = 8)
       },
       oracle = Some(mondrianApplyOracleSql(k = 5L, depth = 8)),
+      headline = false),
+
+    // ── drift census over the frozen scheme: when does the release
+    //    need a rebuild? ──
+    // The privacy lifecycle's retrain-signal analog (build → apply →
+    // MONITOR → rebuild-and-re-release, mirroring the index tier's
+    // build → append → serve → retrain-signal): per frozen leaf, how
+    // many arriving rows landed there and how many fell OUTSIDE the
+    // box the published scheme promised, with the cross-multiplied
+    // exact flag (out-share > 1/4 — no division) and the global
+    // `rebuild_now` bool_or riding every row (the
+    // [[Similarity.retrainSignal]] output idiom). Leaves no arriving
+    // row reached are absent by construction — an empty leaf cannot
+    // drift. Census rows are O(leaves); the one aggregate runs over
+    // the applied batch, never the base table.
+    "q_kanon_drift" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).select(
+          $"c_custkey".cast(LongType).as("id"),
+          expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+            .as("d0"),
+          $"c_nationkey".cast(LongType).as("d1"))
+        val perLeaf = mondrianApply(cust.filter($"id" % 8 =!= 0),
+            cust.filter($"id" % 8 === 0), k = 5L, depth = 8)
+          .groupBy($"leaf")
+          .agg(max($"d0_lo").as("d0_lo"), max($"d0_hi").as("d0_hi"),
+            max($"d1_lo").as("d1_lo"), max($"d1_hi").as("d1_hi"),
+            max($"base_k").as("base_k"),
+            count(lit(1)).as("n_arriving"),
+            sum(when($"in_box", 0L).otherwise(1L)).as("n_out_box"))
+          .withColumn("drift_flag", $"n_out_box" * 4L > $"n_arriving")
+          .localCheckpoint(true) // rows + the bool_or fold
+        perLeaf.crossJoin(broadcast(
+            perLeaf.agg(expr("bool_or(drift_flag)").as("rebuild_now"))))
+          .orderBy($"leaf")
+      },
+      oracle = Some(s"""
+        WITH ${mondrianApplyChain(k = 5L, depth = 8)},
+        census AS (
+          SELECT leaf, MAX(d0_lo) AS d0_lo, MAX(d0_hi) AS d0_hi,
+                 MAX(d1_lo) AS d1_lo, MAX(d1_hi) AS d1_hi,
+                 MAX(base_k) AS base_k,
+                 CAST(COUNT(*) AS BIGINT) AS n_arriving,
+                 CAST(SUM(CASE WHEN in_box THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_out_box
+          FROM applied GROUP BY leaf),
+        flags AS (
+          SELECT *, (n_out_box * 4 > n_arriving) AS drift_flag
+          FROM census)
+        SELECT f.leaf, f.d0_lo, f.d0_hi, f.d1_lo, f.d1_hi, f.base_k,
+               f.n_arriving, f.n_out_box, f.drift_flag, g.rebuild_now
+        FROM flags f CROSS JOIN (
+          SELECT bool_or(drift_flag) AS rebuild_now FROM flags) g
+        ORDER BY f.leaf"""),
       headline = false),
 
     // ── dyadic quantile digest with provable rank bounds ──
