@@ -540,6 +540,12 @@ object Relational extends QueryPack {
         .select($"id", $"d0", $"d1",
           ($"leaf" * 2L + when($"do_split" && col(dim) > $"med", 1L)
             .otherwise(0L)).as("leaf"))
+      // re-plan every few levels: depth chained broadcast joins are
+      // the same compounding-stats shape mondrianCore cuts per level;
+      // every 4th keeps the walk's plan bounded without paying a
+      // checkpoint job per level on every streamed micro-batch
+      if (t % 4 == 3 && t != splits.length - 1)
+        r = org.apache.spark.sql.graftshim.Shim.cutCheckpoint(r)
     }
     r.join(broadcast(stats), Seq("leaf"))
       .select($"id", $"leaf", $"d0_lo", $"d0_hi", $"d1_lo", $"d1_hi",

@@ -1294,6 +1294,24 @@ object Similarity extends QueryPack {
       .select($"vec_id", $"centroid_id", $"sub", $"code")
   }
 
+  /** Widen [[encodeAgainstFrozen]]'s long form to the artifact's
+    * inverted-list row shape — (vec_id, codes: array&lt;int&gt;
+    * sub-ordered, centroid_id) — the ONE copy of the codes-array
+    * assembly (round-16 review: the continuous appender and the
+    * extended serving view each carried their own; a drift between
+    * them would write extension files the serving view decodes
+    * differently). Callers attach their own label column. */
+  private[graft] def widenToArtifactRows(encoded: DataFrame): DataFrame = {
+    val s = encoded.sparkSession
+    import s.implicits._
+    encoded
+      .groupBy($"vec_id", $"centroid_id")
+      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
+      .select($"vec_id",
+        transform($"sc", x => x.getField("code")).as("codes"),
+        $"centroid_id")
+  }
+
   /** Long-form (vec_id, sub, code) view of the wide codes artifact —
     * map-only (posexplode preserves the scan's partitioning, so a
     * vec_id-bucketed codes table keeps its zero-exchange property
@@ -3758,12 +3776,10 @@ object Similarity extends QueryPack {
         import s.implicits._
         val (cells, cents) = ivfpqPersistedModel(s, d)
         val (_, books) = pqPersistedModel(s, d)
-        val ext = encodeAgainstFrozen(s, cents, books, midpointBatch(s, d))
-          .groupBy($"vec_id", $"centroid_id")
-          .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
-          .select($"vec_id",
-            transform($"sc", x => x.getField("code")).as("codes"),
-            ($"vec_id" % 7L).as("label"), $"centroid_id")
+        val ext = widenToArtifactRows(
+            encodeAgainstFrozen(s, cents, books, midpointBatch(s, d)))
+          .select($"vec_id", $"codes", ($"vec_id" % 7L).as("label"),
+            $"centroid_id")
         val extended = cells
           .select($"vec_id", $"codes", $"label", $"centroid_id")
           .unionByName(ext)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -28,9 +28,12 @@ import graft.operators.{FsSwap, Similarity}
   * touched cell directory — `cells.parquet/centroid_id=C/
   * batch-<id>.parquet`, written to a dot-prefixed stage dir and
   * renamed into place — so previously-written batch files are never
-  * rewritten (the closed-shard property), readers see whole files or
-  * nothing, and the accumulated extension unions with the base
-  * artifact by plain partition discovery. Batch-file names are
+  * rewritten (the closed-shard property) and readers see whole files
+  * or nothing. The per-cell installs are NOT atomic as a set, so
+  * serving reads go through [[committedExtension]], which filters the
+  * accumulated files to the committed watermark — a torn batch left
+  * by a crash between installs and commit is invisible until its
+  * replay completes. Batch-file names are
   * deterministic and the encode arithmetic is a pure function of the
   * frozen index, so a replayed write lands byte-identical files over
   * its own crashed attempt — idempotent by construction.
@@ -106,6 +109,12 @@ object StreamingIndexAppend {
           .select($"vec_id".cast("long").as("vec_id"), $"emb",
             $"label".cast("long").as("label"))
           .localCheckpoint(true) // scalars + encode (2 readers) + label join
+        var rows: DataFrame = null
+        // unpersists ride a finally: the validation guards below throw
+        // AFTER the eager checkpoints have pinned blocks, and a stream
+        // that keeps failing against the same long-lived session must
+        // not accumulate dead pinned batches (round-16 review)
+        try {
         val scalars = q.agg(min($"vec_id"), max($"vec_id"),
           count(lit(1)), count_distinct($"vec_id")).collect()(0)
         if (!scalars.isNullAt(0) && scalars.getLong(2) != scalars.getLong(3))
@@ -121,16 +130,12 @@ object StreamingIndexAppend {
               s"${scalars.getLong(0)} is not strictly above the " +
               s"committed max $committedMaxVec — vec_id must be unique " +
               "ascending across batches")
-        // the artifact's inverted-list row shape: wide sub-ordered
-        // codes + the stored attribute, keyed by cell
-        val rows = Similarity
-          .encodeAgainstFrozen(s, cents, books,
-            q.select($"vec_id", $"emb"))
-          .groupBy($"vec_id", $"centroid_id")
-          .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
-          .select($"vec_id",
-            transform($"sc", x => x.getField("code")).as("codes"),
-            $"centroid_id")
+        // the artifact's inverted-list row shape: the SHARED widening
+        // ([[Similarity.widenToArtifactRows]] — one copy between this
+        // face and the extended serving view) + the stored attribute
+        rows = Similarity
+          .widenToArtifactRows(Similarity.encodeAgainstFrozen(
+            s, cents, books, q.select($"vec_id", $"emb")))
           .join(q.select($"vec_id", $"label"), Seq("vec_id"))
           .select($"vec_id", $"codes", $"label", $"centroid_id")
           .localCheckpoint(true) // the write + the census emission
@@ -178,9 +183,41 @@ object StreamingIndexAppend {
           .agg(count(lit(1)).as("n_vecs"))
           .withColumn("batch_id", lit(batchId))
           .orderBy($"centroid_id"))
-        q.unpersist(); rows.unpersist()
+        } finally {
+          q.unpersist()
+          if (rows != null) rows.unpersist()
+        }
         ()
       }
       .start()
+  }
+
+  /** The COMMITTED view of the accumulated extension — what a serving
+    * tier unions with the base artifact. The per-cell install loop is
+    * not atomic across cells (rename is per file), so a crash between
+    * a batch's file installs and its watermark commit can leave a
+    * TORN batch on disk until the stream restarts and replays it;
+    * plain partition discovery would serve that half-batch silently
+    * (round-16 review). The deterministic `batch-NNNNN.parquet` names
+    * make the filter cheap: read the extension, keep only files whose
+    * batch id is ≤ the committed watermark. Readers that can tolerate
+    * at-most-one-batch staleness-vs-tearing trade use this; the chaos
+    * gate reads through it. */
+  def committedExtension(s: SparkSession, stateDir: String,
+      outDir: String): DataFrame = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val lastBatch =
+      FsSwap.readable(hconf, s"$stateDir/append", s"$stateDir/append.old")
+        match {
+          case Some(dir) =>
+            s.read.parquet(dir).collect().head.getLong(0)
+          case None => -1L
+        }
+    val ext = s.read.parquet(s"$outDir/cells.parquet")
+    if (lastBatch < 0L) ext.limit(0)
+    else ext.filter(
+      regexp_extract(input_file_name(), "batch-(\\d+)\\.parquet", 1)
+        .cast("long") <= lastBatch)
   }
 }

@@ -781,7 +781,15 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
             sf, state.toString, ckpt.toString, out.toString,
             df => { if (sink(df.collect())) sys.error("chaos kill") }))
       }
-      val (outC, startC) = withOut(s"idxapp-c-$prov")
+      // keep each driver's state dir so the committed-watermark read
+      // face can be pointed at it after the drive
+      var stateC: java.nio.file.Path = null
+      val (outC, startC0) = withOut(s"idxapp-c-$prov")
+      val startC: (java.nio.file.Path, java.nio.file.Path,
+          java.nio.file.Path, Array[Row] => Boolean) =>
+          org.apache.spark.sql.streaming.StreamingQuery =
+        (src, ckpt, state, sink) => { stateC = state
+          startC0(src, ckpt, state, sink) }
       val control = drive(startC, batches, chaos = false, s"idxapp-c-$prov")
       val (outK, startK) = withOut(s"idxapp-k-$prov")
       val chaotic = drive(startK, batches, chaos = true, s"idxapp-k-$prov")
@@ -792,10 +800,13 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
       withClue(s"provider $prov accumulated files: ") {
         cellFiles(outK.toString) shouldBe accC
       }
-      // the accumulated extension equals the batch face's encode of
-      // the same vectors from scratch — the index lifecycle's append
-      // step has ONE semantics, batch or continuous
-      val ext = spark.read.parquet(s"${outC.toString}/cells.parquet")
+      // the accumulated extension — read through the COMMITTED view
+      // (the documented serving read face: a torn batch must be
+      // invisible) — equals the batch face's encode of the same
+      // vectors from scratch: the index lifecycle's append step has
+      // ONE semantics, batch or continuous
+      val ext = StreamingIndexAppend.committedExtension(spark,
+        stateC.toString, outC.toString)
       val extLong = ext.select($"vec_id",
           $"centroid_id".cast("long").as("centroid_id"),
           posexplode($"codes").as(Seq("sub", "code")))
