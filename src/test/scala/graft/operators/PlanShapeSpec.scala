@@ -797,6 +797,18 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the post-append serving view keeps partition pruning through " +
+      "the union: both base-artifact scans still prune to the probed " +
+      "cells, no cartesian (the extension side is data-filtered — it " +
+      "has no partitions to prune)") {
+    val m = formattedPlan("sim_ann_ivfpq_extended")
+    val pruned = "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN".r
+      .findAllIn(m).size
+    pruned should be >= 2
+    m should not include "CartesianProduct"
+    m should not include "ShuffledNestedLoop"
+  }
+
   test("filtered IVFADC carries the probe restriction as a partition " +
       "filter and the attribute predicate as a data filter — no " +
       "cartesian, no shuffled nested loop (static and planner-driven " +
