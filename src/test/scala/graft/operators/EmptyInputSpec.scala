@@ -21,7 +21,7 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     * schemas with zero rows. */
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    Seq("events", "documents", "part", "lineitem").foreach { t =>
+    Seq("events", "documents", "part", "lineitem", "customer").foreach { t =>
       Tables(spark, "/root/testdata/sf0.001", t)
         .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
@@ -32,6 +32,17 @@ class EmptyInputSpec extends AnyFunSuite with Matchers {
     val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
     rows.length shouldBe 1
     rows(0)
+  }
+
+  test("the Mondrian faces on an empty customer table return EMPTY " +
+      "relations — the degenerate split tree has no leaves, and no " +
+      "level's aggregate or prefix sum throws on zero rows") {
+    Seq("q_kanon_generalize", "q_kanon_apply", "q_kanon_drift")
+      .foreach { q =>
+        withClue(q) {
+          SparkEntry.queries(q)(spark, emptyDir).collect().length shouldBe 0
+        }
+      }
   }
 
   test("evt_ks_drift on an empty events table yields the degenerate " +
