@@ -540,13 +540,16 @@ object Relational extends QueryPack {
         .select($"id", $"d0", $"d1",
           ($"leaf" * 2L + when($"do_split" && col(dim) > $"med", 1L)
             .otherwise(0L)).as("leaf"))
-      // re-plan every few levels: depth chained broadcast joins are
-      // the same compounding-stats shape mondrianCore cuts per level;
-      // every 4th keeps the walk's plan bounded without paying a
-      // checkpoint job per level on every streamed micro-batch
-      if (t % 4 == 3 && t != splits.length - 1)
-        r = org.apache.spark.sql.graftshim.Shim.cutCheckpoint(r)
     }
+    // deliberately NO cutCheckpoint inside this loop, unlike
+    // [[mondrianCore]]: the build cuts per level because each level
+    // RE-MATERIALIZES the frame (histogram jobs + the re-leaf join
+    // read it repeatedly — the iterative stats poison), while the walk
+    // is a single lazy chain of `depth` broadcast joins against
+    // ≤2^t-row tables, materialized once by the caller. Pinning
+    // eager checkpoints here would also LEAK on the streaming path:
+    // the walk runs per micro-batch and the blocks have no owner to
+    // unpersist them (the appendStream try/finally lesson).
     r.join(broadcast(stats), Seq("leaf"))
       .select($"id", $"leaf", $"d0_lo", $"d0_hi", $"d1_lo", $"d1_hi",
         $"base_k",

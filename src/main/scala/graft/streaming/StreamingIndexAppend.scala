@@ -93,13 +93,7 @@ object StreamingIndexAppend {
         val old = s"$stateDir/append.old"
         val tmp = s"$stateDir/append.tmp"
         val hconf = s.sparkContext.hadoopConfiguration
-        val (lastBatch, committedMaxVec) =
-          FsSwap.readable(hconf, target, old) match {
-            case Some(dir) =>
-              val r = s.read.parquet(dir).collect().head
-              (r.getLong(0), r.getLong(1))
-            case None => (-1L, Long.MinValue)
-          }
+        val (lastBatch, committedMaxVec) = readWatermark(s, stateDir)
         if (batchId < lastBatch) throw new IllegalStateException(
           s"StreamingIndexAppend: batch $batchId below committed " +
             s"$lastBatch — checkpoint was reset while state dir " +
@@ -205,19 +199,48 @@ object StreamingIndexAppend {
     * gate reads through it. */
   def committedExtension(s: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
-    import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val lastBatch =
-      FsSwap.readable(hconf, s"$stateDir/append", s"$stateDir/append.old")
-        match {
-          case Some(dir) =>
-            s.read.parquet(dir).collect().head.getLong(0)
-          case None => -1L
-        }
-    val ext = s.read.parquet(s"$outDir/cells.parquet")
-    if (lastBatch < 0L) ext.limit(0)
-    else ext.filter(
+    val (lastBatch, _) = readWatermark(s, stateDir)
+    val cellsPath = new org.apache.hadoop.fs.Path(outDir, "cells.parquet")
+    val fs = cellsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fresh deployment / empty-batches-only stream: nothing committed
+    // and possibly nothing on disk — the empty extension, with the
+    // artifact schema, NOT a read of a path that may not exist yet
+    // (round-16 review pass 2: the old guard ordered the read first
+    // and crashed in exactly the states it existed for)
+    if (lastBatch < 0L || !fs.exists(cellsPath))
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], extensionSchema)
+    else s.read.parquet(cellsPath.toString).filter(
       regexp_extract(input_file_name(), "batch-(\\d+)\\.parquet", 1)
         .cast("long") <= lastBatch)
   }
+
+  /** The artifact row shape [[committedExtension]] promises even when
+    * nothing has been installed yet (centroid_id is the discovered
+    * partition column, integer-typed by discovery's inference). */
+  private val extensionSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("centroid_id",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** The ONE reader of the committed watermark — (last_batch, max_vec)
+    * from the FsSwap state, (-1, MinValue) before the first commit —
+    * shared by the per-batch loop and [[committedExtension]] so the
+    * state layout cannot desynchronize between writer and serving
+    * view (round-16 review pass 2). */
+  private def readWatermark(s: SparkSession,
+      stateDir: String): (Long, Long) =
+    FsSwap.readable(s.sparkContext.hadoopConfiguration,
+        s"$stateDir/append", s"$stateDir/append.old") match {
+      case Some(dir) =>
+        val r = s.read.parquet(dir).collect().head
+        (r.getLong(r.fieldIndex("last_batch")),
+          r.getLong(r.fieldIndex("max_vec")))
+      case None => (-1L, Long.MinValue)
+    }
 }

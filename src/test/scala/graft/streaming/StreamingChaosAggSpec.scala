@@ -825,6 +825,37 @@ class StreamingChaosAggSpec extends AnyFunSuite with Matchers {
       // the stored attribute rode along intact
       ext.select($"vec_id", $"label").collect()
         .foreach(r => r.getLong(1) shouldBe r.getLong(0) % 7)
+      // the committed-watermark filter actually FILTERS (review pass
+      // 2: a no-op filter would pass the equality above unchanged):
+      // plant a beyond-watermark file — the torn-batch state a crash
+      // between installs and commit leaves — and the committed view
+      // must exclude it while a plain read serves it
+      val committedCount = ext.count()
+      val cellDir = new java.io.File(s"${outC.toString}/cells.parquet")
+        .listFiles().filter(_.isDirectory)
+        .find(_.getName.startsWith("centroid_id=")).get
+      val donor = cellDir.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val torn = new java.io.File(cellDir, "batch-99999.parquet")
+      Files.copy(donor.toPath, torn.toPath)
+      try {
+        val plain = spark.read
+          .parquet(s"${outC.toString}/cells.parquet").count()
+        plain should be > committedCount
+        withClue(s"provider $prov torn-batch visibility: ") {
+          StreamingIndexAppend.committedExtension(spark,
+            stateC.toString, outC.toString).count() shouldBe committedCount
+        }
+      } finally { torn.delete(); () }
+      // fresh deployment: no commit yet, possibly nothing on disk —
+      // the read face returns the EMPTY extension instead of crashing
+      val freshState = Files.createTempDirectory(s"graft-fresh-$prov")
+      val freshOut = Files.createTempDirectory(s"graft-freshout-$prov")
+      val fresh = StreamingIndexAppend.committedExtension(spark,
+        freshState.toString, freshOut.toString)
+      fresh.columns.toSeq shouldBe
+        Seq("vec_id", "codes", "label", "centroid_id")
+      fresh.count() shouldBe 0L
     })
   }
 
