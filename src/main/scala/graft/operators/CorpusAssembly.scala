@@ -1891,7 +1891,17 @@ object CorpusAssembly extends QueryPack {
           .as("p"))
         .groupBy($"p.u".as("u"), $"p.v".as("v"))
         .agg(sum($"c").as("pair_n"))
-      val best = pairs.orderBy($"pair_n".desc, $"u", $"v").limit(1)
+      // argmax as ONE aggregate (r16): min of the struct
+      // (-pair_n, u, v) IS the first row of ORDER BY pair_n DESC, u,
+      // v — struct comparison is field-lexicographic and string
+      // fields compare binary like the sort — so the global sort +
+      // limit stage collapses into the partial-aggregating groupBy
+      // pass that produced the pair counts (guide §2.3: aggregate
+      // before you shuffle; one exchange fewer per merge round).
+      val best = pairs
+        .agg(min(struct((-$"pair_n").as("np"), $"u", $"v")).as("b"))
+        .select($"b.u".as("u"), $"b.v".as("v"), (-$"b.np").as("pair_n"))
+        .filter($"u".isNotNull) // empty pair set -> 0 rows, like limit(1)
         .localCheckpoint() // tiny; consumed by the merge AND the output
       seqs = seqs.crossJoin(broadcast(best.select($"u", $"v")))
         .select(carry.map(col) :+

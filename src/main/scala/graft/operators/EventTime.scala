@@ -375,12 +375,29 @@ object EventTime extends QueryPack {
     "evt_bootstrap_ci" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
+        // Spark side reads the digest's 16 bytes as four 32-bit
+        // integer chunks (conv once each) instead of 32 hex-nibble
+        // string parses per row: byte b is (v_{b div 4} >> 8·(3 −
+        // b mod 4)) & 255 — the identical u8 the oracle's
+        // [[poissonWeightSql]] nibble arithmetic produces, so every
+        // Poisson draw is unchanged. The r15 shape inlined the
+        // nibble CASEs into all 32 partial aggregates: a ~200 KB
+        // expression tree whose Catalyst planning alone cost ~1 s
+        // per run and whose per-row work was 64 substring/ascii
+        // calls (guide §1.2: per-task work; the plan shrinks 20×).
         val ev = Tables.events(s, d).select($"event_type",
           expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
             .as("cents"),
           md5($"event_id".cast("string")).as("h"))
+          .select(Seq($"event_type", $"cents") ++
+            (0 until 4).map(i => expr(
+              s"cast(conv(substring(h, ${8 * i + 1}, 8), 16, 10) as bigint)")
+              .as(s"v$i")): _*)
         val reps = (0 until 16).flatMap { b =>
-          val w = expr(poissonWeightSql(b)).cast(LongType)
+          val u8 = shiftright(col(s"v${b / 4}"), 8 * (3 - b % 4))
+            .bitwiseAND(lit(255L))
+          val w = when(u8 < 94, 0L).when(u8 < 188, 1L).when(u8 < 235, 2L)
+            .when(u8 < 251, 3L).when(u8 < 255, 4L).otherwise(5L)
           Seq(sum(w * $"cents").as(s"s$b"), sum(w).as(s"n$b"))
         }
         val wide = ev.groupBy($"event_type")

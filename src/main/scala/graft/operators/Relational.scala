@@ -40,6 +40,19 @@ object Relational extends QueryPack {
 
   private def ts(s: String): Column = lit(LocalDateTime.parse(s))
 
+  /** Pin for the layout primitives' internal two-reader frame (the
+    * sorted layout that the counts/totals collect AND the output
+    * projection read). Kept on `localCheckpoint(true)` after an r16
+    * A/B: `Dataset.persist` (both MEMORY_AND_DISK and _SER) routes
+    * through the COLUMNAR CachedBatch cache — an encode on store plus
+    * a decode on every read — and measured 1.5-2.3x slower on the
+    * multi-read layouts (q_zorder_layout 5.5 -> 8.1 s SER / 12.3 s
+    * deser; the checkpoint's raw-row blocks read back for free).
+    * The checkpoint also pins layout/id determinism by construction
+    * (no recompute path at all). */
+  private def pinLayout(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** Distributed GLOBAL ntile: input rows plus a `tile` column in
     * [1, k], identical to SQL `ntile(k) OVER (ORDER BY sortCols)` —
     * without the single-partition window that formulation funnels the
@@ -56,10 +69,11 @@ object Relational extends QueryPack {
     * row_number window would re-shuffle the whole table on pid: the
     * checkpoint hides the layout from Catalyst, so the window's
     * clustering requirement isn't seen as satisfied). The
-    * localCheckpoint is CORRECTNESS, not caching: repartitionByRange
-    * samples its boundaries, so without pinning the layout the counts
-    * job and the final job could disagree on partition assignment —
-    * and the id column must be frozen too.
+    * [[pinLayout]] pin is CORRECTNESS as much as caching:
+    * repartitionByRange samples its boundaries once, so the counts
+    * job and the final job must read ONE materialized layout — see
+    * pinLayout's scaladoc for why serialized persist preserves the
+    * frozen-id contract under recomputation.
     *
     * `sortCols` must be a total order (include a unique tiebreak) or
     * ties may land in either tile.
@@ -118,7 +132,7 @@ object Relational extends QueryPack {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .localCheckpoint(true) // counts job + the output projection
+      .transform(pinLayout) // counts job + the output projection
     val counts = withLocal.groupBy($"__gd_pid")
       .agg(max($"__gd_local").as("mx"))
       .orderBy($"__gd_pid").collect()
@@ -148,7 +162,7 @@ object Relational extends QueryPack {
       .withColumn("__gr_pid", spark_partition_id())
       .withColumn("__gr_ridx",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint(true)
+      .transform(pinLayout)
     val counts = sorted.groupBy($"__gr_pid").agg(count(lit(1)).as("cnt"))
       .orderBy($"__gr_pid").collect()
     require(counts.forall(_.getLong(1) < (1L << 33)),
@@ -1035,7 +1049,7 @@ $walk,
       .withColumn("__gn_pid", spark_partition_id())
       .withColumn("__gn_ridx",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint(true)
+      .transform(pinLayout)
     val counts = sorted.groupBy($"__gn_pid").agg(count(lit(1)).as("cnt"))
       .orderBy($"__gn_pid").collect()
     // the 33-bit record index wraps silently past 2^33 rows in ONE
@@ -1093,7 +1107,7 @@ $walk,
       .withColumn("__gq_pid", spark_partition_id())
       .withColumn("__gq_ridx",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint(true)
+      .transform(pinLayout)
     val ext = sorted.groupBy($"__gq_pid", col(grp).as("__gq_grp"))
       .agg(count(lit(1)).as("cnt"), min($"__gq_ridx").as("fst"))
       .orderBy($"__gq_pid", $"__gq_grp").collect()
@@ -1383,7 +1397,7 @@ $walk,
           if (withRank) base :+ idx else base)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .localCheckpoint(true) // totals job + the output projection
+      .transform(pinLayout) // totals job + the output projection
     val totals = withLocal.groupBy($"__ps_pid")
       .agg(sum(col(valueCol)).as("tot"), count(lit(1)).as("cnt"))
       .orderBy($"__ps_pid").collect()
@@ -1440,7 +1454,7 @@ $walk,
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .localCheckpoint(true) // totals job + the output projection
+      .transform(pinLayout) // totals job + the output projection
     val ext = withLocal.groupBy($"__kp_pid", col(grp).as("__kp_grp"))
       .agg(sum(col(valueCol)).as("tot"))
       .orderBy($"__kp_pid", $"__kp_grp").collect()
@@ -1851,7 +1865,22 @@ $walk,
         val nodes = hierarchyNodes(s, d)
         val par = nodes.filter($"node" >= 1)
           .select($"node", expr("(node - 1) div 4").as("parent"))
-        hierarchyRollup(nodes, ancestorClosure(par, rounds = 5))
+        // Doubling rounds sized to the FOREST's depth, not a constant
+        // (r16, guide §2: scale-adaptive, not tuned for either end):
+        // parent(k) = (k-1) div 4 makes the deepest path the one from
+        // max(node), walked here on the driver from one column-pruned
+        // scalar. rounds r covers every dist ≤ 2^r - 1 (closure-
+        // doubling invariant), so the smallest such r is exact — the
+        // fixed 5 paid two checkpointed identity rounds at bench SFs
+        // (depth ≤ 8 needs 4) and would silently UNDERSHOOT past
+        // depth 31 (4^31 nodes) where adaptive sizing keeps going.
+        val mx = nodes.agg(max($"node")).head
+        var depth = 0L
+        var k = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+        while (k >= 1) { k = (k - 1) / 4; depth += 1 }
+        var r = 1
+        while ((1L << r) - 1 < depth) r += 1
+        hierarchyRollup(nodes, ancestorClosure(par, rounds = r))
       },
       oracle = Some(hierarchyOracleSql),
       headline = true),
@@ -6145,22 +6174,38 @@ $walk,
     "agg_f2_sketch" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        // signs evaluate INLINE in the 64 partial-aggregate
-        // expressions — A/B'd against projecting them as 64 columns
-        // first, which materializes a wide row per input row and
-        // measured 3× slower (6.9 vs 2.3 s at sf0.1)
-        val li = Tables.lineitem(s, d)
-          .select(md5($"l_partkey".cast("string")).as("h"))
-        val signs = (0 until 64).map { r =>
-          sum(expr(amsSignSql(r, "div")).cast(LongType)).as(s"s$r")
-        }
-        val est = li.agg(signs.head, signs.tail: _*)
-          .select((0 until 64).map(r => col(s"s$r") * col(s"s$r"))
-            .reduce(_ + _).as("f2_est_num"))
-        val exact = Tables.lineitem(s, d)
+        // The AMS sign of a ROW is a bit of md5(l_partkey): every row
+        // with the same key draws the SAME sign, so each sketch
+        // counter folds from the per-key frequency table — s_r =
+        // Σ_keys c_k·sign_r(k) — and the exact F2 (Σ c²) rides the
+        // SAME grouped frame: ONE lineitem scan and ONE exchange where
+        // the r15 shape scanned twice and evaluated 64 md5-nibble
+        // parses per ROW (0.03% as many keys as rows at sf0.1; at
+        // 100 TB the digest work drops by the same row/key ratio).
+        // The signs themselves read the digest's high 64 bits as two
+        // 32-bit integer halves (conv once each) and test bits with
+        // shifts — bit (31 - r) of half r/32 IS the old nibble-parse
+        // mask 8>>(r%4) on hex digit r/4+1 — replacing 64 string
+        // parses per input with 2 parses + 64 codegen'd bit-ands
+        // (guide §1.2: per-task work, after the algorithm).
+        val keyed = Tables.lineitem(s, d)
           .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-          .agg(sum($"c" * $"c").as("f2_exact"))
-        exact.crossJoin(est)
+          .select($"c", md5($"l_partkey".cast("string")).as("h"))
+          .select($"c",
+            expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")
+              .as("v1"),
+            expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")
+              .as("v2"))
+        val signs = (0 until 64).map { r =>
+          val half = if (r < 32) $"v1" else $"v2"
+          val bit = shiftright(half, 31 - (r % 32)).bitwiseAND(lit(1L))
+          sum($"c" * (bit * 2L - 1L)).as(s"s$r")
+        }
+        keyed
+          .agg(sum($"c" * $"c").as("f2_exact"), signs: _*)
+          .select($"f2_exact",
+            (0 until 64).map(r => col(s"s$r") * col(s"s$r"))
+              .reduce(_ + _).as("f2_est_num"))
           .select($"f2_exact", $"f2_est_num",
             (abs($"f2_est_num" - lit(64L) * $"f2_exact")
               <= lit(32L) * $"f2_exact").as("within_50pct"))

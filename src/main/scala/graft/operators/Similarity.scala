@@ -396,7 +396,16 @@ object Similarity extends QueryPack {
       .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
       .select($"query_id", $"vec_id", $"cos_sim")
       .localCheckpoint(true)
-    var scanned = beam
+    // Scanned-pair accounting stays LAZY: only `sim_ann_recall` ever
+    // executes it, but the r15 shape unioned+distinct'd+eagerly
+    // checkpointed it EVERY round, charging the three top-k faces
+    // (including the headline filtered walk) 2 jobs and a growing
+    // distinct shuffle per round for a frame they never read (guide
+    // §1.2: don't compute things you throw away). Each round's scored
+    // frame hangs off that round's CHECKPOINTED beam, so the deferred
+    // union's lineage stays flat; the one distinct at the end yields
+    // the identical pair set the incremental distinct produced.
+    val scannedParts = scala.collection.mutable.ArrayBuffer[DataFrame](beam)
     for (_ <- 1 to GraphRounds) {
       val hop1 = beam.select($"query_id", $"vec_id")
         .join(broadcast(edges), $"vec_id" === $"u")
@@ -422,13 +431,12 @@ object Similarity extends QueryPack {
         .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
         .select($"query_id", $"vec_id", $"cos_sim")
         .localCheckpoint(true)
-      scanned = scanned.unionByName(scored).distinct()
-        .localCheckpoint(true)
+      scannedParts += scored
     }
     val ranked = beam
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
-    (ranked, scanned)
+    (ranked, scannedParts.reduce(_.unionByName(_)).distinct())
   }
 
   /** Final IVF cell assignment (vec_id, label, emb, centroid_id):

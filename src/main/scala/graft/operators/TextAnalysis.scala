@@ -550,10 +550,23 @@ object TextAnalysis extends QueryPack {
     var total = false // ranks are a permutation: the order is decided
     val target = math.max(maxLen, minSpan)
     while (span < target && !total) {
-      val shifted = cur.select(($"gid" - span).as("gid"), $"rk".as("r2"))
-      val paired = cur.select($"gid", $"rk".as("r1"))
-        .join(shifted, Seq("gid"), "left")
-        .select($"gid", $"r1", coalesce($"r2", lit(-1L)).as("r2"))
+      // (r1, r2) pairing as a tag-union + ONE group-pivot instead of
+      // the gid self-join (r16): gids are unique, so the left join on
+      // gid is exactly "pivot the two tagged copies by gid" — one
+      // exchange of 2n tagged rows replaces the join's two n-row
+      // exchanges and its sort/hash relation, halving the per-round
+      // AQE stage count at every scale (guide §2.4). A gid whose
+      // side-0 copy is absent (the shifted copy ran off the corpus
+      // front) is dropped by the r1 filter = the old join's left
+      // semantics; an absent side-1 copy coalesces to the same -1.
+      val paired = cur.select($"gid", $"rk", lit(0).as("__sd"))
+        .unionByName(
+          cur.select(($"gid" - span).as("gid"), $"rk", lit(1).as("__sd")))
+        .groupBy($"gid")
+        .agg(max(when($"__sd" === 0, $"rk")).as("r1"),
+          coalesce(max(when($"__sd" === 1, $"rk")), lit(-1L)).as("r2"))
+        .filter($"r1".isNotNull)
+        .select($"gid", $"r1", $"r2")
       if (!composed && canCompose) {
         // map-only doubling: checkpoint runs the offset join ONCE and
         // nothing else — no distinct, no rank sort, no re-rank join
@@ -574,10 +587,18 @@ object TextAnalysis extends QueryPack {
         // (round-12 verdict #8: the rounds' fixed job overhead, not
         // the data, dominated the bench time)
         var nKeys = 0L // filled by the rank's own counts collect
+        // NO post-rank cut (r16): globalDenseRank's output is a
+        // broadcast-offset projection over its own internally pinned
+        // sorted layout — exchange-free, so the consumers (next
+        // round's self-join pair + the LCP walk's two probes) re-run
+        // only a cached-block read + a broadcast hash join each.
+        // The old eager cut here re-materialized the n rows a second
+        // time per sort round: one whole job + its AQE stages, ~10%
+        // of the panel's job budget, for a frame the pin already
+        // holds (guide §1.2: remove passes before tuning them).
         cur = Relational.globalDenseRank(s, p, Seq("r1", "r2"),
             sized(nTotal), onDistinct = nKeys = _)
           .select($"gid", $"rk")
-          .transform(cut) // next round + the LCP walk read it
         composed = false
         // EARLY EXIT (round-12 verdict #8, batch path only): the
         // distinct-key count hitting n means every suffix is already
@@ -604,22 +625,54 @@ object TextAnalysis extends QueryPack {
         .select($"gid", $"rk")
         .transform(cut)
     }
-    // adjacent suffix pairs: dense distinct final ranks ARE SA positions
-    val adj = cur.select($"rk".as("sap"), $"gid".as("ga"))
-      .join(cur.select(($"rk" - 1L).as("sap"), $"gid".as("gb")), Seq("sap"))
+    // adjacent suffix pairs: dense distinct final ranks ARE SA
+    // positions. Same tag-union pivot as the doubling pair above —
+    // ranks are a permutation, so the rk self-join is one group-pivot
+    // (inner semantics: both sides must be present).
+    val adj = cur.select($"rk".as("sap"), $"gid", lit(0).as("__sd"))
+      .unionByName(
+        cur.select(($"rk" - 1L).as("sap"), $"gid", lit(1).as("__sd")))
+      .groupBy($"sap")
+      .agg(max(when($"__sd" === 0, $"gid")).as("ga"),
+        max(when($"__sd" === 1, $"gid")).as("gb"))
+      .filter($"ga".isNotNull && $"gb".isNotNull)
       .select($"sap", $"ga", $"gb", lit(0L).as("lcp"))
     // descending walk over every level below the final (the final is
-    // all-distinct: it can never contribute, only cost two joins)
+    // all-distinct: it can never contribute, only cost probe traffic).
+    // Each level resolves BOTH probe ranks (rank at ga+lcp and at
+    // gb+lcp) with ONE keyed window + ONE group-pivot instead of two
+    // left joins (r16): the probes and the level rows tag-union into
+    // one frame keyed by gid; a max-over-key window attaches the
+    // level rank to every probe sharing its key (gids are unique in a
+    // level, so the max IS the single rank, null when the probe runs
+    // past the corpus — the old joins' left semantics); the pivot by
+    // sap (unique per pair) reassembles (ra, rb). 2 exchanges per
+    // level instead of 4 and no join relations — at 7-10 levels per
+    // build this halves the walk's exchange/AQE-stage budget at every
+    // scale (guide §2.4).
     var lcpF = adj
     val walk = levels.init.reverse
     for (((spanJ, tbl), j) <- walk.zipWithIndex) {
-      val ra = tbl.select($"gid".as("_ga"), $"rk".as("ra"))
-      val rb = tbl.select($"gid".as("_gb"), $"rk".as("rb"))
-      lcpF = lcpF
-        .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
-        .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
+      val nl = lit(null).cast(LongType)
+      val probes = lcpF.select($"sap", ($"ga" + $"lcp").as("k"),
+          lit(0).as("__sd"), $"ga", $"gb", $"lcp", nl.as("rkv"))
+        .unionByName(lcpF.select($"sap", ($"gb" + $"lcp").as("k"),
+          lit(1).as("__sd"), $"ga", $"gb", $"lcp", nl.as("rkv")))
+        .unionByName(tbl.select(lit(-1L).as("sap"), $"gid".as("k"),
+          lit(2).as("__sd"), nl.as("ga"), nl.as("gb"), nl.as("lcp"),
+          $"rk".as("rkv")))
+      val wk = Window.partitionBy($"k")
+      lcpF = probes
+        .withColumn("rkk", max(when($"__sd" === 2, $"rkv")).over(wk))
+        .filter($"__sd" < 2)
+        .groupBy($"sap")
+        .agg(max(when($"__sd" === 0, $"ga")).as("ga"),
+          max(when($"__sd" === 0, $"gb")).as("gb"),
+          max(when($"__sd" === 0, $"lcp")).as("lcp0"),
+          max(when($"__sd" === 0, $"rkk")).as("ra"),
+          max(when($"__sd" === 1, $"rkk")).as("rb"))
         .select($"sap", $"ga", $"gb",
-          ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
+          ($"lcp0" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
             .otherwise(lit(0L))).as("lcp"))
       // bound the walk's plan growth, but pay the materialization job
       // only every THIRD level (three levels = six joins of lineage —
@@ -2907,20 +2960,28 @@ object TextAnalysis extends QueryPack {
           .union(pairs.select($"v".as("u"), $"u".as("v")))
           .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
           .localCheckpoint() // reused by wsum, nodes, and all 5 rounds
-        val wsum = edges.groupBy($"u").agg(sum($"w").as("wu"))
-        val ew = edges.join(wsum, Seq("u"))
-        val nDf = edges.select($"u").distinct().agg(count(lit(1)).as("n"))
+        // ew is read by EVERY power-iteration round; un-pinned, each
+        // round's plan re-ran the wsum aggregate and its join (5×),
+        // and the node-count 1-row frame was re-derived and
+        // re-broadcast per round (6 broadcast jobs + 6 distinct
+        // shuffles). The count is a bounded driver scalar — the
+        // per-round damping terms become literals, byte-identical
+        // arithmetic (same IEEE division + floor) to the old
+        // broadcast column (guide §2.4: remove repeated exchanges).
+        val ew = edges
+          .join(edges.groupBy($"u").agg(sum($"w").as("wu")), Seq("u"))
+          .localCheckpoint(true)
+        val n = edges.select($"u").distinct().count()
+        val r0 = math.floor(1.0e9 / n).toLong
+        val damp = math.floor(0.15e9 / n).toLong
         var ranks = edges.select($"u".as("term")).distinct()
-          .crossJoin(broadcast(nDf))
-          .select($"term", floor(lit(1.0e9) / $"n").cast(LongType).as("r"))
+          .select($"term", lit(r0).as("r"))
         for (_ <- 1 to Iters) {
           ranks = ew.join(ranks, $"u" === $"term")
             .select($"v",
               floor(lit(0.85) * $"r" * $"w" / $"wu").cast(LongType).as("c"))
             .groupBy($"v").agg(sum($"c").as("cs"))
-            .crossJoin(broadcast(nDf))
-            .select($"v".as("term"),
-              (floor(lit(0.15e9) / $"n").cast(LongType) + $"cs").as("r"))
+            .select($"v".as("term"), (lit(damp) + $"cs").as("r"))
         }
         ranks
           .select($"term", $"r".as("rank_nano"))
