@@ -2363,7 +2363,16 @@ object CorpusAssembly extends QueryPack {
         .join(unit.select($"sym".as("v"), $"sym_n".as("v_n")), Seq("v"))
         .withColumn("score", $"pair_n".cast(DoubleType) /
           ($"u_n".cast(DoubleType) * $"v_n".cast(DoubleType)))
-        .orderBy($"score".desc, $"pair_n".desc, $"u", $"v").limit(1)
+        // argmax as ONE aggregate (r16, the bpeTrain move): min of
+        // (-score, -pair_n, u, v) IS the first row of the old ORDER
+        // BY score DESC, pair_n DESC, u, v (score is a positive
+        // finite double, so negation preserves total order); the
+        // global sort + limit stage folds into the scoring pass.
+        .agg(min(struct((-$"score").as("ns"), (-$"pair_n").as("np"),
+          $"u", $"v", $"u_n", $"v_n")).as("b"))
+        .select($"b.u".as("u"), $"b.v".as("v"), (-$"b.np").as("pair_n"),
+          $"b.u_n".as("u_n"), $"b.v_n".as("v_n"), (-$"b.ns").as("score"))
+        .filter($"u".isNotNull) // empty pair set -> 0 rows, like limit(1)
         .localCheckpoint() // tiny; consumed by the merge AND the output
       seqs = symd.drop("syms")
         .crossJoin(broadcast(best.select($"u", $"v")))

@@ -2364,15 +2364,14 @@ object Dedup extends QueryPack {
       .partitionBy($"doc_id").orderBy($"df", $"fp")
     // rarest-first rank within each doc; prefix keeps the first
     // n − ⌈n/2⌉ + 1 tokens (integer-exact at τ = 1/2)
-    // pinned: the a/b SELF-JOIN below would otherwise re-run the
-    // posting explode, the df aggregate, and the rarest-first window
-    // once PER SIDE (r16 probe: the whole prefix pipeline executed
-    // twice; guide §1.2 — don't recompute what you already have)
+    // NOT pinned (r16 A/B): Catalyst's exchange reuse already serves
+    // both sides of the a/b self-join below from one execution of
+    // this pipeline — an eager checkpoint here measured 2.8 -> 4.1 s
+    // (one extra materialization job and the reuse lost).
     val prefix = posts.join(dfs, Seq("fp"))
       .withColumn("r", row_number().over(w).cast(LongType))
       .filter($"r" <= expr("n - (n + 1) div 2 + 1"))
       .select($"doc_id", $"n", $"r", $"fp")
-      .localCheckpoint(true)
     val positionalOk =
       if (!positional) lit(true)
       else (least($"a.n" - $"a.r", $"b.n" - $"b.r") + 1) * 3 >=

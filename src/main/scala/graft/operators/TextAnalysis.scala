@@ -638,41 +638,23 @@ object TextAnalysis extends QueryPack {
       .filter($"ga".isNotNull && $"gb".isNotNull)
       .select($"sap", $"ga", $"gb", lit(0L).as("lcp"))
     // descending walk over every level below the final (the final is
-    // all-distinct: it can never contribute, only cost probe traffic).
-    // Each level resolves BOTH probe ranks (rank at ga+lcp and at
-    // gb+lcp) with ONE keyed window + ONE group-pivot instead of two
-    // left joins (r16): the probes and the level rows tag-union into
-    // one frame keyed by gid; a max-over-key window attaches the
-    // level rank to every probe sharing its key (gids are unique in a
-    // level, so the max IS the single rank, null when the probe runs
-    // past the corpus — the old joins' left semantics); the pivot by
-    // sap (unique per pair) reassembles (ra, rb). 2 exchanges per
-    // level instead of 4 and no join relations — at 7-10 levels per
-    // build this halves the walk's exchange/AQE-stage budget at every
-    // scale (guide §2.4).
+    // all-distinct: it can never contribute, only cost two joins).
+    // KEPT as two narrow left joins after an r16 A/B: folding both
+    // probes into one keyed window + pivot halves the exchange count
+    // but shuffles 3n wide rows per level through a window sort —
+    // measured 24 -> 75 MiB shuffled and 8.6 -> 20.4 s task time on
+    // the panel; the joins move fewer bytes (guide §2.3 beats §2.4
+    // when the "shared" exchange is wider than the two it replaces).
     var lcpF = adj
     val walk = levels.init.reverse
     for (((spanJ, tbl), j) <- walk.zipWithIndex) {
-      val nl = lit(null).cast(LongType)
-      val probes = lcpF.select($"sap", ($"ga" + $"lcp").as("k"),
-          lit(0).as("__sd"), $"ga", $"gb", $"lcp", nl.as("rkv"))
-        .unionByName(lcpF.select($"sap", ($"gb" + $"lcp").as("k"),
-          lit(1).as("__sd"), $"ga", $"gb", $"lcp", nl.as("rkv")))
-        .unionByName(tbl.select(lit(-1L).as("sap"), $"gid".as("k"),
-          lit(2).as("__sd"), nl.as("ga"), nl.as("gb"), nl.as("lcp"),
-          $"rk".as("rkv")))
-      val wk = Window.partitionBy($"k")
-      lcpF = probes
-        .withColumn("rkk", max(when($"__sd" === 2, $"rkv")).over(wk))
-        .filter($"__sd" < 2)
-        .groupBy($"sap")
-        .agg(max(when($"__sd" === 0, $"ga")).as("ga"),
-          max(when($"__sd" === 0, $"gb")).as("gb"),
-          max(when($"__sd" === 0, $"lcp")).as("lcp0"),
-          max(when($"__sd" === 0, $"rkk")).as("ra"),
-          max(when($"__sd" === 1, $"rkk")).as("rb"))
+      val ra = tbl.select($"gid".as("_ga"), $"rk".as("ra"))
+      val rb = tbl.select($"gid".as("_gb"), $"rk".as("rb"))
+      lcpF = lcpF
+        .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
+        .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
         .select($"sap", $"ga", $"gb",
-          ($"lcp0" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
+          ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
             .otherwise(lit(0L))).as("lcp"))
       // bound the walk's plan growth, but pay the materialization job
       // only every THIRD level (three levels = six joins of lineage —
