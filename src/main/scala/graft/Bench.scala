@@ -50,13 +50,13 @@ object Bench {
     * parses that table and fails the build if the two ever diverge,
     * so neither copy can drift alone. */
   private[graft] val settledBandTop: Map[String, Double] = Map(
-    "agg_f2_sketch" -> 2.9,
+    "agg_f2_sketch" -> 1.1,
     "agg_qdigest_ranks" -> 2.3,
     "dedup_clusters" -> 2.8,
     "dedup_incremental_near" -> 1.9,
     "dedup_ngram_jaccard_banded" -> 1.6,
     "dedup_prefix_filter_join" -> 2.6,
-    "evt_bootstrap_ci" -> 3.3,
+    "evt_bootstrap_ci" -> 1.7,
     "evt_peak_concurrency" -> 1.9,
     "evt_windowed_agg" -> 0.4,
     "llm_bm25_topk" -> 1.4,
@@ -69,11 +69,11 @@ object Bench {
     "llm_textrank" -> 2.2,
     "q1_pricing_summary" -> 1.1,
     "q3_shipping_priority" -> 0.9,
-    "q_hierarchy_rollup" -> 3.1,
+    "q_hierarchy_rollup" -> 2.1,
     "q_topk_aggregate" -> 0.8,
     "q_zorder_layout" -> 5.0,
     "ref_tail_offsets" -> 0.6,
-    "sim_ann_graph_filtered" -> 5.5,
+    "sim_ann_graph_filtered" -> 3.0,
     "sim_ann_ivfpq_filtered" -> 1.6,
     "sim_range_search_filtered" -> 1.2,
     "sim_topk_bruteforce" -> 0.5)
