@@ -657,10 +657,11 @@ object TextAnalysis extends QueryPack {
           ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
             .otherwise(lit(0L))).as("lcp"))
       // bound the walk's plan growth, but pay the materialization job
-      // only every THIRD level (three levels = six joins of lineage —
-      // still inside codegen limits; each cut is a multi-stage job, so
-      // fewer cuts is the walk's main cost lever)
-      if (j % 3 == 2 || j == walk.length - 1)
+      // only every FOURTH level (r16 A/B: stride 3 -> 4 saved one cut
+      // job on the panel, 101 -> 99, still inside codegen limits at
+      // eight joins of lineage; stride 5 measured no further gain —
+      // the walk has too few levels for another cut to drop)
+      if (j % 4 == 3 || j == walk.length - 1)
         lcpF = lcpF.transform(cut)
     }
     val perRank = lcpF.select($"ga".as("gid"), $"lcp")
