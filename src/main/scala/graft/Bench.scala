@@ -106,10 +106,22 @@ object Bench {
     * byte-unchanged queries in the 1.0-1.25x dead zone: llm_bm25_topk
     * 1.59/1.4, llm_dup_spans 2.27/1.9, q3_shipping_priority 1.02/0.9,
     * ref_tail_offsets 0.71/0.6 — per the rule all four join for
-    * round 16 and 1.0x-arm decorrelated solos. */
+    * round 16 and 1.0x-arm decorrelated solos.
+    * BENCH_r16 (started at load1 7.4 — under the 0.25x-cpus gate's 8.0,
+    * so base_wait_s stayed 0; the gate is 0.125x cpus since round 17)
+    * cleared all four r15 crossers via their solos (bm25 1.72, dup_spans
+    * 1.48, q3 0.88, ref_tail 0.36) but put FIVE queries above their
+    * tops: evt_windowed_agg 1.00/0.4 (the one breach_final — its solo
+    * ran at load1 5.5; the quiet 8-core driver record BENCH_r16_c8 has
+    * it at 0.40, code byte-unchanged), evt_peak_concurrency 2.33/1.9,
+    * llm_bm25_topk 1.72/1.4, q1_pricing_summary 1.32/1.1, and
+    * dedup_incremental_near 2.06/1.9 (dead zone, no trigger fired —
+    * the update rule is reported-median > top, so it joins too). Per
+    * the rule those five are the round-17 list; r15's dup_spans / q3 /
+    * ref_tail leave (settled under top). */
   private[graft] val priorBandCrossings: Set[String] = Set(
-    "llm_bm25_topk", "llm_dup_spans", "q3_shipping_priority",
-    "ref_tail_offsets")
+    "evt_windowed_agg", "evt_peak_concurrency", "llm_bm25_topk",
+    "q1_pricing_summary", "dedup_incremental_near")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,16 +190,22 @@ object Bench {
     // line) before pass 1 makes every future record comparable from
     // its first sample. loadStart is sampled BEFORE the wait so the
     // record still shows the ambient state the bench arrived to.
-    // Threshold 0.25x cpus since round 16 (r15 verdict #4): the old
-    // 1.5x-cpus setting was calibrated for "no runaway job" and let a
-    // load1-8.2 start through, producing an ambient-tail driver record
-    // whose byte-unchanged queries landed in the 1.0-1.25x dead zone.
-    // 0.25x cpus (= 8 at local[32]) is the level BASELINE.md's own
-    // settled records were taken under; the wait stays bounded
-    // (quietWaitMax) and is recorded as base_wait_s either way.
+    // Threshold 0.125x cpus since round 17 (r16 verdict #2, the same
+    // failure mode a third time at a lower level): 0.25x cpus (= 8 at
+    // local[32]) let a load1-7.4 start through with base_wait_s 0 and
+    // produced one spurious band breach (evt_windowed_agg 1.00/0.4;
+    // 0.40 in the same round's quiet 8-core record, code byte-
+    // unchanged) plus four dead-zone crossers. The bands were
+    // calibrated from records taken at load ~2-3, so the gate must
+    // hold the start below that: 0.125x cpus = 4 at local[32]
+    // (floored at 2.0 so low-core runs keep a reachable gate). The
+    // wait stays bounded (quietWaitMax, raised 90 -> 240 s so one
+    // decaying load spike can actually drain within the gate — 90 s
+    // waits repeatedly expired mid-decay in r13-r16 records) and is
+    // recorded as base_wait_s either way.
     val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD",
-      (cpus.toInt * 0.25).toString).toDouble
-    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "90").toInt
+      math.max(cpus.toInt * 0.125, 2.0).toString).toDouble
+    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "240").toInt
     def waitForQuiet(): Int = {
       var waited = 0
       while (loadAvg() > quietLoad && waited < quietWaitMax) {
