@@ -32,9 +32,20 @@ object Probe {
     val tasks = new AtomicLong; val taskMs = new AtomicLong
     val shufR = new AtomicLong; val shufW = new AtomicLong
     val dumpStages = sys.env.get("PROBE_STAGES").contains("1")
+    val dumpJobs = sys.env.get("PROBE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (dumpJobs) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          println(f"[job] id=${j.jobId}%4d stages=${j.stageIds.size}%2d  " +
+            desc.take(140))
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks.toLong)

@@ -955,10 +955,10 @@ object CorpusAssembly extends QueryPack {
     // Scale shape: ONE gram explosion covering all nine n's (~9× the
     // token stream, generated by the native compiled
     // [[graft.functions.GopherGrams]] grid expression), ONE shuffle
-    // partitioned by (doc, n) serving the gram count and both
-    // per-(doc, n) reductions, a max-struct HASH AGGREGATE for the
-    // top gram (no window sort), and a broadcast 9-row rule grid.
-    // Never all-pairs, no per-n re-scans.
+    // partitioned by (doc, n) serving the gram count and the FUSED
+    // per-(doc, n) reduction (top-gram max-struct + duplicated-chars
+    // sum in one hash aggregate — no window sort, one pass), and a
+    // broadcast 9-row rule grid. Never all-pairs, no per-n re-scans.
     //
     // Grams travel as FINGERPRINTS, never strings: each token hashes
     // once, and a gram's identity is a fused double-prime polynomial
@@ -996,12 +996,20 @@ object CorpusAssembly extends QueryPack {
         val cnt = grams.repartition($"doc_id", $"n")
           .groupBy($"doc_id", $"n", $"fp")
           .agg(count(lit(1)).as("c"), max($"len").as("len"))
-        val top = cnt.groupBy($"doc_id", $"n")
-          .agg(max(struct($"c", $"fp", $"len")).as("t"))
-          .select($"doc_id", $"n", ($"t.c" * $"t.len").as("top_chars"))
-        val dup = cnt.filter($"c" >= 2)
-          .groupBy($"doc_id", $"n")
-          .agg(sum($"c" * $"len").as("dup_chars"))
+        // BOTH per-(doc, n) reductions in ONE aggregate (r17, guide
+        // §1.2): the old top/dup pair shared the exchange but each ran
+        // its own full hash-agg pass over the counted grams — the two
+        // dominant stages of the query's task time — and then joined
+        // back separately. `sum(when(c >= 2, ...))` is null exactly
+        // when the old filtered `dup` group was absent (sum ignores
+        // nulls; a cnt group always has >= 1 row so `top` is always
+        // present), and both shapes coalesce that null to 0 below —
+        // value-identical, one pass + one join instead of two + two.
+        val red = cnt.groupBy($"doc_id", $"n")
+          .agg(max(struct($"c", $"fp", $"len")).as("t"),
+            sum(when($"c" >= 2, $"c" * $"len")).as("dup_chars"))
+          .select($"doc_id", $"n", ($"t.c" * $"t.len").as("top_chars"),
+            $"dup_chars")
         val rules = Seq(
           (2, "top", 0.20), (3, "top", 0.18), (4, "top", 0.16),
           (5, "dup", 0.15), (6, "dup", 0.14), (7, "dup", 0.13),
@@ -1009,8 +1017,7 @@ object CorpusAssembly extends QueryPack {
           .toDF("n", "kind", "threshold")
         base.select($"doc_id", $"doc_len")
           .crossJoin(broadcast(rules))
-          .join(top, Seq("doc_id", "n"), "left")
-          .join(dup, Seq("doc_id", "n"), "left")
+          .join(red, Seq("doc_id", "n"), "left")
           .withColumn("chars",
             when($"kind" === "top", coalesce($"top_chars", lit(0L)))
               .otherwise(coalesce($"dup_chars", lit(0L))))
@@ -1872,25 +1879,29 @@ object CorpusAssembly extends QueryPack {
 
   /** Run the M BPE merge rounds over a seed frame carrying `c` (word
     * count), `seq` (sentinel-spaced symbol string), and any extra
-    * columns (carried through untouched). Returns one 1-row best-pair
-    * frame per round plus the fully-merged frame — the SAME trajectory
-    * serves training (emit the bests) and application (read the final
-    * seqs), which is what keeps the two queries consistent. */
+    * columns (carried through untouched). Returns one best-pair frame
+    * per round (1 literal row; 0 once the pair set empties) plus the
+    * fully-merged frame — the SAME trajectory serves training (emit
+    * the bests) and application (read the final seqs), which is what
+    * keeps the two queries consistent.
+    *
+    * The per-round winner is ONE row, so it comes back as a bounded
+    * driver scalar (r17; the q_hierarchy_rollup / llm_textrank
+    * precedent): the merge becomes a LITERAL replace projection and
+    * each best a literal local relation — no 1-row checkpoint job and
+    * no broadcast exchange inside every later round's plan. An empty
+    * pair set reproduces the old crossJoin-with-empty-best semantics
+    * exactly: the merged frame empties and this and every later round
+    * emit zero rows (the `filter(u.isNotNull)` / limit(1) contract
+    * gated by OptimizationFoldSpec). */
   private def bpeTrain(seqs0: org.apache.spark.sql.DataFrame)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     val s = seqs0.sparkSession
     import s.implicits._
     val carry = seqs0.columns.filterNot(_ == "seq")
     var seqs = seqs0
+    var dead = false
     val bests = (1 to BpeMerges).map { _ =>
-      val pairs = seqs
-        .withColumn("syms", split(trim($"seq"), " +"))
-        .filter(size($"syms") >= 2)
-        .select($"c", explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
-          .as("p"))
-        .groupBy($"p.u".as("u"), $"p.v".as("v"))
-        .agg(sum($"c").as("pair_n"))
       // argmax as ONE aggregate (r16): min of the struct
       // (-pair_n, u, v) IS the first row of ORDER BY pair_n DESC, u,
       // v — struct comparison is field-lexicographic and string
@@ -1898,16 +1909,31 @@ object CorpusAssembly extends QueryPack {
       // limit stage collapses into the partial-aggregating groupBy
       // pass that produced the pair counts (guide §2.3: aggregate
       // before you shuffle; one exchange fewer per merge round).
-      val best = pairs
-        .agg(min(struct((-$"pair_n").as("np"), $"u", $"v")).as("b"))
-        .select($"b.u".as("u"), $"b.v".as("v"), (-$"b.np").as("pair_n"))
-        .filter($"u".isNotNull) // empty pair set -> 0 rows, like limit(1)
-        .localCheckpoint() // tiny; consumed by the merge AND the output
-      seqs = seqs.crossJoin(broadcast(best.select($"u", $"v")))
-        .select(carry.map(col) :+
-          expr("replace(seq, concat(' ', u, '  ', v, ' '), concat(' ', u, v, ' '))")
-            .as("seq"): _*)
-      best
+      val win =
+        if (dead) None
+        else seqs
+          .withColumn("syms", split(trim($"seq"), " +"))
+          .filter(size($"syms") >= 2)
+          .select($"c", explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
+            .as("p"))
+          .groupBy($"p.u".as("u"), $"p.v".as("v"))
+          .agg(sum($"c").as("pair_n"))
+          .agg(min(struct((-$"pair_n").as("np"), $"u", $"v")).as("b"))
+          .select($"b.u".as("u"), $"b.v".as("v"), (-$"b.np").as("pair_n"))
+          .filter($"u".isNotNull) // empty pair set -> 0 rows, like limit(1)
+          .collect().headOption
+      win match {
+        case Some(r) =>
+          val (u, v) = (r.getString(0), r.getString(1))
+          seqs = seqs.select(carry.map(col) :+
+            replace($"seq", lit(s" $u  $v "), lit(s" $u$v ")).as("seq"): _*)
+          Seq((u, v, r.getLong(2))).toDF("u", "v", "pair_n")
+        case None =>
+          dead = true
+          seqs = seqs.limit(0)
+          Seq.empty[(String, String, Long)].toDF("u", "v", "pair_n")
+      }
     }
     (bests, seqs)
   }
@@ -2340,46 +2366,65 @@ object CorpusAssembly extends QueryPack {
     * rationals colliding at double precision fall to the
     * deterministic (pair_n desc, u, v) tiebreak, so the trajectory is
     * engine-reproducible. Each round: one vocabulary-sized symbol
-    * count, one pair count, a 1-row broadcast winner. */
+    * count, one pair count, a 1-row winner collected as a bounded
+    * driver scalar (the merge is then a literal projection). */
   private[operators] def wpTrain(seqs0: org.apache.spark.sql.DataFrame)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     val s = seqs0.sparkSession
     import s.implicits._
     val carry = seqs0.columns.filterNot(_ == "seq")
     var seqs = seqs0
+    var dead = false
     val bests = (1 to WpMerges).map { _ =>
-      val symd = seqs.withColumn("syms", split(trim($"seq"), " +"))
-        .localCheckpoint(true) // symbol counts + pair counts + merge
-      val unit = symd.select($"c", explode($"syms").as("sym"))
-        .groupBy($"sym").agg(sum($"c").as("sym_n"))
-      val best = symd
-        .filter(size($"syms") >= 2)
-        .select($"c", explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
-          .as("p"))
-        .groupBy($"p.u".as("u"), $"p.v".as("v"))
-        .agg(sum($"c").as("pair_n"))
-        .join(unit.select($"sym".as("u"), $"sym_n".as("u_n")), Seq("u"))
-        .join(unit.select($"sym".as("v"), $"sym_n".as("v_n")), Seq("v"))
-        .withColumn("score", $"pair_n".cast(DoubleType) /
-          ($"u_n".cast(DoubleType) * $"v_n".cast(DoubleType)))
-        // argmax as ONE aggregate (r16, the bpeTrain move): min of
-        // (-score, -pair_n, u, v) IS the first row of the old ORDER
-        // BY score DESC, pair_n DESC, u, v (score is a positive
-        // finite double, so negation preserves total order); the
-        // global sort + limit stage folds into the scoring pass.
-        .agg(min(struct((-$"score").as("ns"), (-$"pair_n").as("np"),
-          $"u", $"v", $"u_n", $"v_n")).as("b"))
-        .select($"b.u".as("u"), $"b.v".as("v"), (-$"b.np").as("pair_n"),
-          $"b.u_n".as("u_n"), $"b.v_n".as("v_n"), (-$"b.ns").as("score"))
-        .filter($"u".isNotNull) // empty pair set -> 0 rows, like limit(1)
-        .localCheckpoint() // tiny; consumed by the merge AND the output
-      seqs = symd.drop("syms")
-        .crossJoin(broadcast(best.select($"u", $"v")))
-        .select(carry.map(col) :+
-          expr("replace(seq, concat(' ', u, '  ', v, ' '), concat(' ', u, v, ' '))")
-            .as("seq"): _*)
-      best
+      val win =
+        if (dead) None
+        else {
+          // symbol counts and pair counts are two branches of ONE
+          // action now (the winner collects below), both map-only
+          // replays of the checkpointed seed + the literal replace
+          // chain — the old per-round eager checkpoint of the whole
+          // symbolized vocab frame bought nothing but its own job (r17)
+          val symd = seqs.withColumn("syms", split(trim($"seq"), " +"))
+          val unit = symd.select($"c", explode($"syms").as("sym"))
+            .groupBy($"sym").agg(sum($"c").as("sym_n"))
+          symd
+            .filter(size($"syms") >= 2)
+            .select($"c", explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS u, syms[i] AS v))"))
+              .as("p"))
+            .groupBy($"p.u".as("u"), $"p.v".as("v"))
+            .agg(sum($"c").as("pair_n"))
+            .join(unit.select($"sym".as("u"), $"sym_n".as("u_n")), Seq("u"))
+            .join(unit.select($"sym".as("v"), $"sym_n".as("v_n")), Seq("v"))
+            .withColumn("score", $"pair_n".cast(DoubleType) /
+              ($"u_n".cast(DoubleType) * $"v_n".cast(DoubleType)))
+            // argmax as ONE aggregate (r16, the bpeTrain move): min of
+            // (-score, -pair_n, u, v) IS the first row of the old ORDER
+            // BY score DESC, pair_n DESC, u, v (score is a positive
+            // finite double, so negation preserves total order); the
+            // global sort + limit stage folds into the scoring pass.
+            .agg(min(struct((-$"score").as("ns"), (-$"pair_n").as("np"),
+              $"u", $"v", $"u_n", $"v_n")).as("b"))
+            .select($"b.u".as("u"), $"b.v".as("v"), (-$"b.np").as("pair_n"),
+              $"b.u_n".as("u_n"), $"b.v_n".as("v_n"), (-$"b.ns").as("score"))
+            .filter($"u".isNotNull) // empty pair set -> 0 rows, like limit(1)
+            .collect().headOption // the 1-row winner: a bounded driver
+          // scalar (r17, the bpeTrain move) — the merge below becomes a
+          // literal projection, no broadcast in later rounds' plans
+        }
+      win match {
+        case Some(r) =>
+          val (u, v) = (r.getString(0), r.getString(1))
+          seqs = seqs.select(carry.map(col) :+
+            replace($"seq", lit(s" $u  $v "), lit(s" $u$v ")).as("seq"): _*)
+          Seq((u, v, r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+            .toDF("u", "v", "pair_n", "u_n", "v_n", "score")
+        case None =>
+          dead = true
+          seqs = seqs.limit(0)
+          Seq.empty[(String, String, Long, Long, Long, Double)]
+            .toDF("u", "v", "pair_n", "u_n", "v_n", "score")
+      }
     }
     (bests, seqs)
   }
@@ -2529,6 +2574,8 @@ object CorpusAssembly extends QueryPack {
         val seqs0 = docToks
           .groupBy($"term").agg(count(lit(1)).as("c"))
           .select($"term", $"c", seqExpr($"term").as("seq"))
+          .localCheckpoint() // M rounds re-read the vocab (r17: the
+          // un-pinned frame re-ran its groupBy exchange once per round)
         val (_, applied) = bpeTrain(seqs0)
         val vocab = applied.select($"term",
           size(split(trim($"seq"), " +")).cast(LongType).as("n_sub"))

@@ -117,31 +117,35 @@ object Relational extends QueryPack {
     val parts =
       if (partsIn > 0) partsIn else math.max(1, s.sparkContext.defaultParallelism)
     val keys = keyColNames.map(col)
-    val sorted = df
+    val presorted = df
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__gd_pid", spark_partition_id())
-    val kIdx = keyColNames.map(sorted.schema.fieldIndex)
-    val outSchema = sorted.schema.add("__gd_local", LongType)
-    val withLocal = sorted.mapPartitions { it =>
-      var prev: Seq[Any] = null
-      var idx = -1L
-      it.map { r =>
-        val k = kIdx.map(r.get(_))
-        if (prev == null || k != prev) { idx += 1L; prev = k }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      .transform(pinLayout) // counts job + the output projection
-    val counts = withLocal.groupBy($"__gd_pid")
-      .agg(max($"__gd_local").as("mx"))
-      .orderBy($"__gd_pid").collect()
+    val kIdx = keyColNames.map(presorted.schema.fieldIndex)
+    val outSchema = presorted.schema.add("__gd_local", LongType)
+    // The pin's own materialization job returns the per-partition
+    // distinct counts (last __gd_local + 1 — the local pass is an
+    // ordered key-change counter, so the last row holds the partition
+    // total): the old shape re-read the frame the pin had just frozen
+    // in a whole extra groupBy job per call (r17, guide §1.2).
+    val (withLocal, stats) = org.apache.spark.sql.graftshim.Shim
+      .pinWithPartitionStats(presorted.mapPartitions { it =>
+        var prev: Seq[Any] = null
+        var idx = -1L
+        it.map { r =>
+          val k = kIdx.map(r.get(_))
+          if (prev == null || k != prev) { idx += 1L; prev = k }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)), Seq("__gd_local"))
+    val counts: Array[(Int, Long)] = stats.zipWithIndex.collect {
+      case ((n, lasts), pid) if n > 0L => (pid, lasts(0) + 1L) }
     // free observability: the distinct-key total falls out of the
     // offsets the mechanism collects anyway (suffix doubling uses it
     // to detect a permutation and stop — zero extra jobs)
-    onDistinct(counts.map(_.getLong(1) + 1L).sum)
-    val offsets = counts.map(_.getLong(1) + 1L).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+    onDistinct(counts.map(_._2).sum)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = counts.map(_._1).zip(offsets).toSeq
       .toDF("__gd_pid", "__gd_off")
     withLocal.join(broadcast(offsetDf), Seq("__gd_pid"))
       .withColumn("rk", $"__gd_local" + $"__gd_off")
@@ -156,21 +160,25 @@ object Relational extends QueryPack {
       "globalRank: input already has an 'rk' column — rename it first")
     val parts =
       if (partsIn > 0) partsIn else math.max(1, s.sparkContext.defaultParallelism)
-    val sorted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__gr_pid", spark_partition_id())
-      .withColumn("__gr_ridx",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .transform(pinLayout)
-    val counts = sorted.groupBy($"__gr_pid").agg(count(lit(1)).as("cnt"))
-      .orderBy($"__gr_pid").collect()
-    require(counts.forall(_.getLong(1) < (1L << 33)),
+    // per-partition row counts ride the pin's own materialization job
+    // (r17, guide §1.2) — the old shape paid a whole extra groupBy job
+    // re-reading the frame the pin had just frozen
+    val (sorted, stats) = org.apache.spark.sql.graftshim.Shim
+      .pinWithPartitionStats(df
+        .repartitionByRange(parts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__gr_pid", spark_partition_id())
+        .withColumn("__gr_ridx",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))),
+        Seq.empty)
+    val counts: Array[(Int, Long)] = stats.zipWithIndex.collect {
+      case ((n, _), pid) if n > 0L => (pid, n) }
+    require(counts.forall(_._2 < (1L << 33)),
       s"globalRank: a range partition exceeds 2^33 rows and would wrap " +
         s"the record index — raise the partition count above $parts")
-    onCount(counts.map(_.getLong(1)).sum) // free: the collect ran anyway
-    val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+    onCount(counts.map(_._2).sum) // free: the stats rode the pin job
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = counts.map(_._1).zip(offsets).toSeq
       .toDF("__gr_pid", "__gr_off")
     sorted.join(broadcast(offsetDf), Seq("__gr_pid"))
       .withColumn("rk", $"__gr_ridx" + $"__gr_off")
@@ -1043,25 +1051,29 @@ $walk,
     require(!df.columns.contains("tile"),
       "globalNtile: input already has a 'tile' column — rename it first")
     val parts = math.max(1, s.sparkContext.defaultParallelism)
-    val sorted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__gn_pid", spark_partition_id())
-      .withColumn("__gn_ridx",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .transform(pinLayout)
-    val counts = sorted.groupBy($"__gn_pid").agg(count(lit(1)).as("cnt"))
-      .orderBy($"__gn_pid").collect()
+    // per-partition row counts ride the pin's own materialization job
+    // (r17, guide §1.2) — the old shape paid a whole extra groupBy job
+    // re-reading the frame the pin had just frozen
+    val (sorted, stats) = org.apache.spark.sql.graftshim.Shim
+      .pinWithPartitionStats(df
+        .repartitionByRange(parts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__gn_pid", spark_partition_id())
+        .withColumn("__gn_ridx",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))),
+        Seq.empty)
+    val counts: Array[(Int, Long)] = stats.zipWithIndex.collect {
+      case ((n, _), pid) if n > 0L => (pid, n) }
     // the 33-bit record index wraps silently past 2^33 rows in ONE
     // partition; the per-partition counts are already on the driver,
     // so fail loudly instead of returning wrong ranks (size `parts`
     // so this never trips: it caps partitions at ~8.6B rows)
-    require(counts.forall(_.getLong(1) < (1L << 33)),
+    require(counts.forall(_._2 < (1L << 33)),
       s"globalNtile: a range partition exceeds 2^33 rows and would wrap " +
         s"the record index — raise the partition count above $parts")
-    val total = counts.map(_.getLong(1)).sum
-    val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = counts.map(_._1).zip(offsets).toSeq
       .toDF("__gn_pid", "__gn_off")
     val q = total / k
     val r = total % k
@@ -1386,24 +1398,28 @@ $walk,
     val outSchema0 = sorted.schema.add("__ps_local", LongType)
     val outSchema =
       if (withRank) outSchema0.add("__ps_idx", LongType) else outSchema0
-    val withLocal = sorted.mapPartitions { it =>
-      var acc = 0L
-      var idx = -1L
-      it.map { r =>
-        acc += r.getLong(vIdx)
-        idx += 1L
-        val base = r.toSeq :+ acc
-        org.apache.spark.sql.Row.fromSeq(
-          if (withRank) base :+ idx else base)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      .transform(pinLayout) // totals job + the output projection
-    val totals = withLocal.groupBy($"__ps_pid")
-      .agg(sum(col(valueCol)).as("tot"), count(lit(1)).as("cnt"))
-      .orderBy($"__ps_pid").collect()
-    val offsets = totals.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1)
-    val cntOffs = totals.map(_.getLong(2)).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = totals.map(_.getInt(0)).zip(offsets.zip(cntOffs)).toSeq
+    // The pin's own materialization job returns per partition the last
+    // __ps_local (= the partition's running TOTAL — the local pass is
+    // an ordered accumulator) and the row count: the old shape re-read
+    // the frame the pin had just frozen in a whole extra groupBy job
+    // per call (r17, guide §1.2).
+    val (withLocal, stats) = org.apache.spark.sql.graftshim.Shim
+      .pinWithPartitionStats(sorted.mapPartitions { it =>
+        var acc = 0L
+        var idx = -1L
+        it.map { r =>
+          acc += r.getLong(vIdx)
+          idx += 1L
+          val base = r.toSeq :+ acc
+          org.apache.spark.sql.Row.fromSeq(
+            if (withRank) base :+ idx else base)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)), Seq("__ps_local"))
+    val totals: Array[(Int, Long, Long)] = stats.zipWithIndex.collect {
+      case ((n, lasts), pid) if n > 0L => (pid, lasts(0), n) }
+    val offsets = totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val cntOffs = totals.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+    val offsetDf = totals.map(_._1).zip(offsets.zip(cntOffs)).toSeq
       .map { case (pid, (o, c)) => (pid, o, c) }
       .toDF("__ps_pid", "__ps_off", "__ps_coff")
     val joined = withLocal.join(broadcast(offsetDf), Seq("__ps_pid"))

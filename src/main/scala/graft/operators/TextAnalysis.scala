@@ -2951,6 +2951,13 @@ object TextAnalysis extends QueryPack {
         // per-round damping terms become literals, byte-identical
         // arithmetic (same IEEE division + floor) to the old
         // broadcast column (guide §2.4: remove repeated exchanges).
+        // r17 A/B: pre-partitioning ew on u before the pin was tried
+        // and REVERTED — the round joins broadcast the vocab-sized
+        // ranks side, so ew streams in place and never re-exchanges;
+        // the added repartition was one pure-cost exchange (probe 18
+        // -> 19 jobs). The five per-round exchanges in the plan are
+        // the groupBy(v) rank aggregations — the PageRank data
+        // movement itself.
         val ew = edges
           .join(edges.groupBy($"u").agg(sum($"w").as("wu")), Seq("u"))
           .localCheckpoint(true)

@@ -42,4 +42,58 @@ object Shim {
       lr.isStreaming)(ck.sparkSession)
     org.apache.spark.sql.classic.Dataset.ofRows(ck.sparkSession, fresh)
   }
+
+  /** Eager local checkpoint whose MATERIALIZATION JOB also returns, per
+    * partition, the row count and the LAST row's values of the named
+    * LongType columns (`null` marker for an empty partition; array
+    * order follows `lastCols`; result index IS the partition id).
+    *
+    * The layout primitives (`globalNtile` / `globalRank` /
+    * `globalDenseRank` / `globalPrefixSum`) previously paid a whole
+    * extra job re-reading the frame this checkpoint had just
+    * materialized, only to collect per-partition counts / last-local
+    * aggregates the materialization pass had already streamed past
+    * (guide §1.2: remove passes before tuning them). Mirrors
+    * `Dataset.checkpoint(eager = true, reliable = false)` exactly —
+    * same `.map(_.copy())` before the persist-through-compute, same
+    * first-leaf outputPartitioning rule, same LogicalRDD rebuild —
+    * except the forcing action folds the stats collection in, and the
+    * rebuilt LogicalRDD drops `originStats` like [[cutCheckpoint]]
+    * (every consumer broadcasts explicitly; AQE replans from runtime
+    * sizes). Determinism note: the counts come from the SAME job that
+    * froze the blocks, so they can never disagree with the pinned
+    * layout the way a recomputation could. */
+  def pinWithPartitionStats(
+      df: org.apache.spark.sql.DataFrame, lastCols: Seq[String])
+      : (org.apache.spark.sql.DataFrame, Array[(Long, Array[Long])]) = {
+    val ds =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val qe = ds.queryExecution
+    val physicalPlan = qe.executedPlan
+    val internalRdd = physicalPlan.execute().map(_.copy())
+    internalRdd.localCheckpoint()
+    val ords = lastCols.map(df.schema.fieldIndex).toArray
+    val stats = ds.sparkSession.sparkContext.runJob(internalRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        val lastVals = new Array[Long](ords.length)
+        while (it.hasNext) {
+          val r = it.next(); n += 1L
+          var j = 0
+          while (j < ords.length) { lastVals(j) = r.getLong(ords(j)); j += 1 }
+        }
+        (n, if (n > 0L) lastVals else null)
+      })
+    def firstLeaf(p: org.apache.spark.sql.catalyst.plans.physical.Partitioning)
+        : org.apache.spark.sql.catalyst.plans.physical.Partitioning = p match {
+      case c: org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection =>
+        firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    val fresh = org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, internalRdd,
+      firstLeaf(physicalPlan.outputPartitioning),
+      physicalPlan.outputOrdering, isStreaming = false)(ds.sparkSession)
+    (org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, fresh), stats)
+  }
 }
