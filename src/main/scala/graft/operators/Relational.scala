@@ -53,6 +53,63 @@ object Relational extends QueryPack {
   private def pinLayout(df: DataFrame): DataFrame =
     df.localCheckpoint(true)
 
+  /** Past this partition count the offset projection falls back to a
+    * broadcast join: a literal array per offset column keeps the plan
+    * O(partitions) bytes, fine at thousands, not at hundreds of
+    * thousands. */
+  private val LitOffsetCap = 4096
+
+  /** `out = local + offset(pid)` for each (out, local, offsets) spec,
+    * as a PURE PROJECTION (r17): the per-partition offsets — bounded
+    * by the partition count, already on the driver from the pin's own
+    * stats — fold in as ONE array literal indexed by pid, so there is
+    * no broadcast exchange, no join, and every RE-READ of the pinned
+    * layout is a cached-block scan plus a codegen'd array lookup (the
+    * old broadcast-offset join re-ran its probe on every consumer of
+    * every layout primitive, and its broadcast build was a whole job
+    * per call). Beyond [[LitOffsetCap]] partitions the offsets ride
+    * the old broadcast join to bound plan size. `offsets` arrays must
+    * be indexed by pid (length = partition count). */
+  private def addOffsets(df: DataFrame, pidCol: String, parts: Int,
+      specs: Seq[(String, String, Array[Long])]): DataFrame = {
+    if (parts <= LitOffsetCap) {
+      specs.foldLeft(df) { case (d, (out, local, offs)) =>
+        d.withColumn(out,
+          col(local) + element_at(lit(offs), col(pidCol) + 1))
+      }
+    } else {
+      val s = df.sparkSession
+      val rows = (0 until parts).map { p =>
+        org.apache.spark.sql.Row.fromSeq(p +: specs.map(_._3(p))) }
+      val schema = StructType(StructField(pidCol, IntegerType, false) +:
+        specs.map(sp => StructField(s"__off_${sp._1}", LongType, false)))
+      val offsetDf = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+      val joined = df.join(broadcast(offsetDf), Seq(pidCol))
+      specs.foldLeft(joined) { case (d, (out, local, _)) =>
+        d.withColumn(out, col(local) + col(s"__off_$out"))
+      }.drop(specs.map(sp => s"__off_${sp._1}"): _*)
+    }
+  }
+
+  /** pid-ascending exclusive running offsets over (pid, value) entries,
+    * returned as a pid-indexed array (missing/empty pids get the
+    * running value — harmless, they have no rows). */
+  private def pidOffsets(parts: Int, entries: Array[(Int, Long)]): Array[Long] = {
+    val offs = new Array[Long](parts)
+    var run = 0L
+    var i = 0
+    var pid = 0
+    while (pid < parts) {
+      offs(pid) = run
+      if (i < entries.length && entries(i)._1 == pid) {
+        run += entries(i)._2; i += 1
+      }
+      pid += 1
+    }
+    offs
+  }
+
   /** Distributed GLOBAL ntile: input rows plus a `tile` column in
     * [1, k], identical to SQL `ntile(k) OVER (ORDER BY sortCols)` —
     * without the single-partition window that formulation funnels the
@@ -144,12 +201,9 @@ object Relational extends QueryPack {
     // offsets the mechanism collects anyway (suffix doubling uses it
     // to detect a permutation and stop — zero extra jobs)
     onDistinct(counts.map(_._2).sum)
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = counts.map(_._1).zip(offsets).toSeq
-      .toDF("__gd_pid", "__gd_off")
-    withLocal.join(broadcast(offsetDf), Seq("__gd_pid"))
-      .withColumn("rk", $"__gd_local" + $"__gd_off")
-      .drop("__gd_pid", "__gd_local", "__gd_off")
+    addOffsets(withLocal, "__gd_pid", stats.length,
+        Seq(("rk", "__gd_local", pidOffsets(stats.length, counts))))
+      .drop("__gd_pid", "__gd_local")
   }
 
   private[operators] def globalRank(
@@ -177,12 +231,9 @@ object Relational extends QueryPack {
       s"globalRank: a range partition exceeds 2^33 rows and would wrap " +
         s"the record index — raise the partition count above $parts")
     onCount(counts.map(_._2).sum) // free: the stats rode the pin job
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = counts.map(_._1).zip(offsets).toSeq
-      .toDF("__gr_pid", "__gr_off")
-    sorted.join(broadcast(offsetDf), Seq("__gr_pid"))
-      .withColumn("rk", $"__gr_ridx" + $"__gr_off")
-      .drop("__gr_pid", "__gr_ridx", "__gr_off")
+    addOffsets(sorted, "__gr_pid", stats.length,
+        Seq(("rk", "__gr_ridx", pidOffsets(stats.length, counts))))
+      .drop("__gr_pid", "__gr_ridx")
   }
 
   /** Exact p50/p99 of a LongType column `v` as strings, one row
@@ -1072,20 +1123,17 @@ $walk,
       s"globalNtile: a range partition exceeds 2^33 rows and would wrap " +
         s"the record index — raise the partition count above $parts")
     val total = counts.map(_._2).sum
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = counts.map(_._1).zip(offsets).toSeq
-      .toDF("__gn_pid", "__gn_off")
     val q = total / k
     val r = total % k
     val cut = (q + 1) * r
-    sorted.join(broadcast(offsetDf), Seq("__gn_pid"))
-      .withColumn("__gn_rank0", $"__gn_ridx" + $"__gn_off")
+    addOffsets(sorted, "__gn_pid", stats.length,
+        Seq(("__gn_rank0", "__gn_ridx", pidOffsets(stats.length, counts))))
       .withColumn("tile",
         when($"__gn_rank0" < cut, expr(s"__gn_rank0 div ${q + 1}") + 1L)
           // max(q,1) only guards ANSI div-by-zero when total < k
           // (branch is unreachable then: every rank0 < cut)
           .otherwise(expr(s"(__gn_rank0 - $cut) div ${math.max(q, 1L)}") + r + 1L))
-      .drop("__gn_pid", "__gn_ridx", "__gn_off", "__gn_rank0")
+      .drop("__gn_pid", "__gn_ridx", "__gn_rank0")
   }
 
   /** PER-GROUP distributed ntile with zero post-sort shuffles — the
@@ -1417,16 +1465,15 @@ $walk,
       }(org.apache.spark.sql.Encoders.row(outSchema)), Seq("__ps_local"))
     val totals: Array[(Int, Long, Long)] = stats.zipWithIndex.collect {
       case ((n, lasts), pid) if n > 0L => (pid, lasts(0), n) }
-    val offsets = totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
-    val cntOffs = totals.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
-    val offsetDf = totals.map(_._1).zip(offsets.zip(cntOffs)).toSeq
-      .map { case (pid, (o, c)) => (pid, o, c) }
-      .toDF("__ps_pid", "__ps_off", "__ps_coff")
-    val joined = withLocal.join(broadcast(offsetDf), Seq("__ps_pid"))
-      .withColumn("psum", $"__ps_local" + $"__ps_off")
-    (if (withRank) joined.withColumn(rankCol, $"__ps_idx" + $"__ps_coff")
-     else joined)
-      .drop("__ps_pid", "__ps_local", "__ps_idx", "__ps_off", "__ps_coff")
+    val specs =
+      ("psum", "__ps_local",
+        pidOffsets(stats.length, totals.map(t => (t._1, t._2)))) +:
+      (if (withRank)
+        Seq((rankCol, "__ps_idx",
+          pidOffsets(stats.length, totals.map(t => (t._1, t._3)))))
+      else Nil)
+    addOffsets(withLocal, "__ps_pid", stats.length, specs)
+      .drop("__ps_pid", "__ps_local", "__ps_idx")
   }
 
   /** PER-KEY distributed inclusive prefix sum — the grouped sibling of

@@ -322,7 +322,12 @@ object TextAnalysis extends QueryPack {
     * index. `gid`s occupy `[gidBase, gidBase + nTotal)`. */
   private[operators] final case class SuffixIndex(
       real: DataFrame,                   // (doc_id, gid, term)
-      levels: Vector[(Long, DataFrame)], // (span, (gid, rk)); last = final
+      levels: Vector[(Long, DataFrame)], // dense/append mode: (span,
+                                         //   (gid, rk)), last = final —
+                                         //   the append's frozen ladder;
+                                         // batch mode: (s, (gid, r1,
+                                         //   r2, r3)) quad walk probes
+                                         //   (internal to the build)
       finalRanks: DataFrame,             // (gid, rk) dense distinct = SA
       adjLcp: DataFrame,                 // (sap, ga, gb, lcp); ga=SA[sap]
       perPos: DataFrame,                 // (doc_id, gid, maxrep) real pos
@@ -341,6 +346,13 @@ object TextAnalysis extends QueryPack {
     * double in bit length every round). */
   private def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftshim.Shim.cutCheckpoint(df)
+
+  /** Label the jobs `body` submits (guide §1.5) — thread-local, reset
+    * after, so the attribution is exact and costs nothing. */
+  private def labeled[A](s: SparkSession, what: String)(body: => A): A = {
+    s.sparkContext.setJobDescription(what)
+    try body finally s.sparkContext.setJobDescription(null)
+  }
 
   /** Per-doc aggregate over a per-position longest-repeat table — the
     * shared tail of [[suffixDups]] and [[suffixDupsAppend]]. */
@@ -460,11 +472,11 @@ object TextAnalysis extends QueryPack {
       minSpan: Long): Option[SuffixIndex] = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs
+    val toks = labeled(s, "suffix: tokenize") { docs
       .withColumn("tokens", tokens)
       .select($"doc_id", $"tokens")
       .filter(size($"tokens") >= 1)
-      .transform(cut) // offsets, positions, sentinels all read it
+      .transform(cut) } // offsets, positions, sentinels all read it
     val lens = toks.select($"doc_id",
       (size($"tokens") + 1).cast(LongType).as("dlen")) // +1: the sentinel
     // Corpus extents FIRST: they size every range layout below. The
@@ -473,14 +485,18 @@ object TextAnalysis extends QueryPack {
     // capped at the cluster parallelism) — a 275k-token corpus on 32
     // cores otherwise pays 32 near-empty sort tasks per round, and the
     // fixed per-task/per-stage overhead, not the data, dominates.
-    val mm = lens.agg(max($"dlen"), sum($"dlen"), count(lit(1))).head
+    val mm = labeled(s, "suffix: extents")(
+      lens.agg(max($"dlen"), sum($"dlen"), count(lit(1))).head)
     if (mm.isNullAt(0)) return None // empty corpus: nothing to rank
     val (maxLen, nTotal, nDocs) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2))
     // ~64k keys/partition locally (the fixed per-task overhead, not
-    // the data, dominates below that), but never FEWER than n/4M
-    // partitions at cluster scale — capping at the core count alone
-    // would hand a trillion-token corpus multi-GB sort partitions
+    // the data, dominates below that; r17 A/B re-checked 16k for the
+    // fatter quad rounds — panel 5.5 -> 5.9 s, the extra task
+    // overhead beat the parallelism, so 64k stays), but never FEWER
+    // than n/4M partitions at cluster scale — capping at the core
+    // count alone would hand a trillion-token corpus multi-GB sort
+    // partitions
     def sized(n: Long): Int = {
       val dp = s.sparkContext.defaultParallelism.toLong
       math.max(1L, math.min(math.min(Int.MaxValue.toLong,
@@ -488,18 +504,20 @@ object TextAnalysis extends QueryPack {
     }
     // offsets AND doc ranks in ONE range pass: docrk is the free row
     // index of the same (doc_id)-sorted layout the prefix sum builds
-    val docMeta = Relational.globalPrefixSum(s, lens, Seq($"doc_id"),
-        "dlen", sized(nDocs), rankCol = "docrk")
+    val docMeta = labeled(s, "suffix: offsets")(
+      Relational.globalPrefixSum(s, lens, Seq($"doc_id"),
+        "dlen", sized(nDocs), rankCol = "docrk"))
       .withColumn("off", $"psum" - $"dlen" + lit(gidBase))
       .select($"doc_id", $"off", $"docrk")
-    val withOff = toks.join(docMeta, Seq("doc_id"))
-      .transform(cut) // real positions + sentinels both read it
-    val real = withOff
+    val withOff = labeled(s, "suffix: attach offsets")(
+      toks.join(docMeta, Seq("doc_id"))
+        .transform(cut)) // real positions + sentinels both read it
+    val real = labeled(s, "suffix: positions") { withOff
       .select($"doc_id", $"off", $"tokens")
       .transform(graft.functions.TextTokens.materialized)
       .select($"doc_id", $"off", posexplode($"tokens").as(Seq("p", "term")))
       .select($"doc_id", ($"off" + $"p").as("gid"), $"term")
-      .transform(cut) // term ranking + r0 + the final mapping
+      .transform(cut) } // term ranking + r0 + the final mapping
     var vocab = 0L // filled by the rank passes' own counts collects
     // Term ranking, two shapes: the APPEND base (dense = true) must
     // persist the (term, trk) directory — its vocabulary merges join
@@ -507,7 +525,7 @@ object TextAnalysis extends QueryPack {
     // dense-ranks `real` directly in ONE range pass (equal terms get
     // equal ranks), and the directory stays a LAZY projection nothing
     // on the batch path ever executes.
-    val (r0core, termRanks) = if (dense) {
+    val (r0core, termRanks) = labeled(s, "suffix: r0 rank") { if (dense) {
       val tr = Relational.globalRank(s,
           real.select($"term").distinct(), Seq($"term"), sized(nTotal),
           onCount = vocab = _)
@@ -520,110 +538,108 @@ object TextAnalysis extends QueryPack {
         onDistinct = vocab = _)
       (ranked.select($"gid", $"rk"),
         ranked.select($"term", $"rk".as("trk")).distinct())
-    }
+    } }
     if (vocab == 0L) return None // empty corpus: nothing to rank
-    val r0 = r0core
+    // r0 stays cut: its lineage re-reads the TERM-string-bearing rank
+    // pin plus the token-array withOff pin, and the quad round-1 pivot
+    // union reads it FOUR times — the narrow 2-long materialization is
+    // cheaper than 4 wide block re-reads (r17 A/B: dropping this cut
+    // measured +0.7 s of task time on the round-1 pivot map).
+    val r0 = labeled(s, "suffix: r0") { r0core
       .unionByName(withOff.select(
         ($"off" + size($"tokens")).as("gid"),
         (lit(vocab) + $"docrk").as("rk")))
-      .transform(cut)
+      .transform(cut) }
     // The round count is known UPFRONT: per-doc unique sentinels make
     // every suffix distinct once the window covers the longest doc
-    // (incl. its sentinel), so rounds = ceil(log2(max dlen)) — one
-    // O(1)-row aggregate (already taken above) instead of a
-    // convergence probe per round.
-    // Alternate-round COMPOSITE re-rank: when the previous round's
-    // ranks are dense (bounded by nTotal), the pair (r1, r2) maps to
-    // the single Long r1·(n+2) + (r2+1) — order-preserving, equal
-    // exactly on equal pairs — so every other doubling round needs NO
-    // sort at all, just the offset lookup join. The composite values
-    // are not dense (≈ n²), so the NEXT round densifies via the sort
-    // path; the LCP walk only ever tests EQUALITY, so composite level
-    // tables serve it as-is. Guarded to n < 2³¹ (n² must stay inside
-    // a Long): past that — trillions of tokens — every round takes
-    // the sort path, which has no width ceiling.
-    val canCompose = !dense && nTotal < (1L << 31)
-    var levels = Vector[(Long, DataFrame)]((1L, r0))
-    var cur = r0
-    var span = 1L
-    var composed = false
-    var total = false // ranks are a permutation: the order is decided
+    // (incl. its sentinel) — one O(1)-row aggregate (already taken
+    // above) instead of a convergence probe per round.
     val target = math.max(maxLen, minSpan)
-    while (span < target && !total) {
-      // (r1, r2) pairing as a tag-union + ONE group-pivot instead of
-      // the gid self-join (r16): gids are unique, so the left join on
-      // gid is exactly "pivot the two tagged copies by gid" — one
-      // exchange of 2n tagged rows replaces the join's two n-row
-      // exchanges and its sort/hash relation, halving the per-round
-      // AQE stage count at every scale (guide §2.4). A gid whose
-      // side-0 copy is absent (the shifted copy ran off the corpus
-      // front) is dropped by the r1 filter = the old join's left
-      // semantics; an absent side-1 copy coalesces to the same -1.
-      val paired = cur.select($"gid", $"rk", lit(0).as("__sd"))
-        .unionByName(
-          cur.select(($"gid" - span).as("gid"), $"rk", lit(1).as("__sd")))
-        .groupBy($"gid")
-        .agg(max(when($"__sd" === 0, $"rk")).as("r1"),
-          coalesce(max(when($"__sd" === 1, $"rk")), lit(-1L)).as("r2"))
-        .filter($"r1".isNotNull)
-        .select($"gid", $"r1", $"r2")
-      if (!composed && canCompose) {
-        // map-only doubling: checkpoint runs the offset join ONCE and
-        // nothing else — no distinct, no rank sort, no re-rank join
-        cur = paired
-          .select($"gid", ($"r1" * (nTotal + 2L) + ($"r2" + 1L)).as("rk"))
-          .transform(cut)
-        composed = true
-      } else {
-        // sort path. Checkpoint the offset join FIRST: globalRank's
-        // range sampling, its sorted checkpoint, and the re-rank
-        // join-back each execute their input — un-checkpointed, the
-        // self-join ran ~3x per round (the dominant cost of the first
-        // cut of this operator).
-        val p = paired.transform(cut)
-        // ONE range-sort pass: dense ranks directly off the sorted
-        // (r1, r2) layout — the old distinct() → globalRank →
-        // join-back triple paid three extra exchanges per round
-        // (round-12 verdict #8: the rounds' fixed job overhead, not
-        // the data, dominated the bench time)
-        var nKeys = 0L // filled by the rank's own counts collect
-        // NO post-rank cut (r16): globalDenseRank's output is a
-        // broadcast-offset projection over its own internally pinned
-        // sorted layout — exchange-free, so the consumers (next
-        // round's self-join pair + the LCP walk's two probes) re-run
-        // only a cached-block read + a broadcast hash join each.
-        // The old eager cut here re-materialized the n rows a second
-        // time per sort round: one whole job + its AQE stages, ~10%
-        // of the panel's job budget, for a frame the pin already
-        // holds (guide §1.2: remove passes before tuning them).
-        cur = Relational.globalDenseRank(s, p, Seq("r1", "r2"),
-            sized(nTotal), onDistinct = nKeys = _)
+    var cur = r0
+    var levels = Vector.empty[(Long, DataFrame)]
+    if (dense) {
+      // APPEND-BASE build (dense): classic pair DOUBLING, every round
+      // the sort path — the append's per-level floor arithmetic
+      // (maj/mn refinement, dk directories) indexes halving levels, so
+      // this mode's level ladder is part of the frozen-index contract
+      // and stays byte-stable. The (r1, r2) pairing is a tag-union +
+      // ONE group-pivot instead of a gid self-join (r16): gids are
+      // unique, so the left join on gid is exactly "pivot the two
+      // tagged copies by gid" — one exchange of 2n tagged rows
+      // replaces the join's two n-row exchanges (guide §2.4). A gid
+      // whose side-0 copy is absent is dropped by the r1 filter (the
+      // old join's left semantics); an absent side-1 copy coalesces
+      // to the same -1. The pre-rank cut of `paired` was DROPPED in
+      // r17: since the pin-with-stats shim, globalDenseRank plans its
+      // input ONCE, so its range-sampling job and its pin job share
+      // the pairing's shuffle stage at the RDD level — the r16-era
+      // "~3x per round" recompute came from the old
+      // distinct/rank/join-back triple re-PLANNING the input per
+      // action, which no longer exists.
+      levels = Vector((1L, r0))
+      var span = 1L
+      while (span < target) { labeled(s, s"suffix: round span=$span") {
+        val paired = cur.select($"gid", $"rk", lit(0).as("__sd"))
+          .unionByName(
+            cur.select(($"gid" - span).as("gid"), $"rk", lit(1).as("__sd")))
+          .groupBy($"gid")
+          .agg(max(when($"__sd" === 0, $"rk")).as("r1"),
+            coalesce(max(when($"__sd" === 1, $"rk")), lit(-1L)).as("r2"))
+          .filter($"r1".isNotNull)
+          .select($"gid", $"r1", $"r2")
+        cur = Relational.globalDenseRank(s, paired, Seq("r1", "r2"),
+            sized(nTotal))
           .select($"gid", $"rk")
-        composed = false
-        // EARLY EXIT (round-12 verdict #8, batch path only): the
-        // distinct-key count hitting n means every suffix is already
-        // fully ordered — all later doubling rounds are identity
-        // re-ranks and contribute NOTHING to the LCP walk (a level
-        // with all-distinct ranks can never test equal), so stopping
-        // is hash-exact while skipping the tail rounds AND their walk
-        // joins. The count is FREE (it falls out of the dense rank's
-        // offsets collect); sort rounds only (composite ranks are not
-        // dense). The dense/append base build is excluded: the
-        // append's floor arithmetic walks every level up to the
-        // combined maxLen, so its index must carry them all.
-        if (!dense && nKeys == nTotal)
-          total = true
       }
-      span *= 2
-      levels = levels :+ ((span, cur))
-    }
-    // SA adjacency below needs DENSE distinct final ranks; densify if
-    // the last round composed
-    if (composed) {
-      cur = Relational.globalDenseRank(s,
-          cur.withColumnRenamed("rk", "cr"), Seq("cr"), sized(nTotal))
-        .select($"gid", $"rk")
-        .transform(cut)
+        span *= 2
+        levels = levels :+ ((span, cur))
+      }
+    } else {
+      // BATCH build (r17): prefix-QUADRUPLING — each round ranks the
+      // tuple (rk[g], rk[g+s], rk[g+2s], rk[g+3s]) so the span grows
+      // 4x per round: HALF the doubling's rounds (= half its
+      // sequential sort/exchange barriers) at any scale, for a pivot
+      // union of 4n instead of 2n rows (same total union bytes over
+      // the build). Order correctness is the standard k-ary doubling
+      // invariant: tuple order = window order, equal tuples = equal
+      // windows, and the -1 pad for copies off the corpus end is
+      // never order-deciding (equal tuple prefixes are sentinel-free,
+      // so the next slot is always a real rank — the pair-doubling
+      // argument verbatim). The retained per-round table keeps
+      // (r1, r2, r3) — free columns of the rank's own pinned layout —
+      // because they are exactly the LCP walk's probe tuple: ranks of
+      // span s at offsets 0, s, 2s, i.e. up to THREE base-4 lcp tests
+      // per probe join instead of the pair walk's one (the walk below
+      // visits half the levels with the same two joins per level).
+      // The EARLY EXIT (round-12 verdict #8): distinct-key count
+      // hitting n means every suffix is fully ordered — later rounds
+      // are identity re-ranks and their walk levels can never test
+      // equal; the count is free (it rides the pin's stats).
+      var span = 1L
+      var total = false
+      while (span < target && !total) { labeled(s, s"suffix: round span=$span") {
+        val paired = cur.select($"gid", $"rk", lit(0).as("__sd"))
+          .unionByName(
+            cur.select(($"gid" - span).as("gid"), $"rk", lit(1).as("__sd")))
+          .unionByName(
+            cur.select(($"gid" - 2L * span).as("gid"), $"rk", lit(2).as("__sd")))
+          .unionByName(
+            cur.select(($"gid" - 3L * span).as("gid"), $"rk", lit(3).as("__sd")))
+          .groupBy($"gid")
+          .agg(max(when($"__sd" === 0, $"rk")).as("r1"),
+            coalesce(max(when($"__sd" === 1, $"rk")), lit(-1L)).as("r2"),
+            coalesce(max(when($"__sd" === 2, $"rk")), lit(-1L)).as("r3"),
+            coalesce(max(when($"__sd" === 3, $"rk")), lit(-1L)).as("r4"))
+          .filter($"r1".isNotNull)
+        var nKeys = 0L // filled by the rank pin's own stats
+        val ranked = Relational.globalDenseRank(s, paired,
+          Seq("r1", "r2", "r3", "r4"), sized(nTotal), onDistinct = nKeys = _)
+        cur = ranked.select($"gid", $"rk")
+        levels = levels :+ ((span, ranked.select($"gid", $"r1", $"r2", $"r3")))
+        if (nKeys == nTotal) total = true
+      }
+        span *= 4
+      }
     }
     // adjacent suffix pairs: dense distinct final ranks ARE SA
     // positions. Same tag-union pivot as the doubling pair above —
@@ -637,40 +653,82 @@ object TextAnalysis extends QueryPack {
         max(when($"__sd" === 1, $"gid")).as("gb"))
       .filter($"ga".isNotNull && $"gb".isNotNull)
       .select($"sap", $"ga", $"gb", lit(0L).as("lcp"))
-    // descending walk over every level below the final (the final is
-    // all-distinct: it can never contribute, only cost two joins).
-    // KEPT as two narrow left joins after an r16 A/B: folding both
-    // probes into one keyed window + pivot halves the exchange count
-    // but shuffles 3n wide rows per level through a window sort —
-    // measured 24 -> 75 MiB shuffled and 8.6 -> 20.4 s task time on
-    // the panel; the joins move fewer bytes (guide §2.3 beats §2.4
-    // when the "shared" exchange is wider than the two it replaces).
+    // descending LCP walk. KEPT as two narrow left joins per level
+    // after an r16 A/B: folding both probes into one keyed window +
+    // pivot halves the exchange count but shuffles 3n wide rows per
+    // level through a window sort — measured 24 -> 75 MiB shuffled and
+    // 8.6 -> 20.4 s task time on the panel; the joins move fewer bytes
+    // (guide §2.3 beats §2.4 when the "shared" exchange is wider than
+    // the two it replaces).
     var lcpF = adj
-    val walk = levels.init.reverse
-    for (((spanJ, tbl), j) <- walk.zipWithIndex) {
-      val ra = tbl.select($"gid".as("_ga"), $"rk".as("ra"))
-      val rb = tbl.select($"gid".as("_gb"), $"rk".as("rb"))
-      lcpF = lcpF
-        .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
-        .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
-        .select($"sap", $"ga", $"gb",
-          ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
-            .otherwise(lit(0L))).as("lcp"))
-      // bound the walk's plan growth, but pay the materialization job
-      // only every FOURTH level (r16 A/B: stride 3 -> 4 saved one cut
-      // job on the panel, 101 -> 99, still inside codegen limits at
-      // eight joins of lineage; stride 5 measured no further gain —
-      // the walk has too few levels for another cut to drop)
-      if (j % 4 == 3 || j == walk.length - 1)
-        lcpF = lcpF.transform(cut)
+    if (dense) {
+      // pair levels: walk every level below the final (the final is
+      // all-distinct: it can never contribute), one span test per join
+      val walk = levels.init.reverse
+      for (((spanJ, tbl), j) <- walk.zipWithIndex) {
+        val ra = tbl.select($"gid".as("_ga"), $"rk".as("ra"))
+        val rb = tbl.select($"gid".as("_gb"), $"rk".as("rb"))
+        lcpF = lcpF
+          .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
+          .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
+          .select($"sap", $"ga", $"gb",
+            ($"lcp" + when($"ra".isNotNull && $"ra" === $"rb", lit(spanJ))
+              .otherwise(lit(0L))).as("lcp"))
+        // bound the walk's plan growth, but pay the materialization job
+        // only every FOURTH level (r16 A/B: stride 3 -> 4 saved one cut
+        // job on the panel; stride 5 measured no further gain)
+        if (j % 4 == 3 || j == walk.length - 1)
+          lcpF = labeled(s, s"suffix: walk cut L$j")(lcpF.transform(cut))
+      }
+    } else {
+      // quad levels (r17): each retained table carries (r1, r2, r3) =
+      // the span-s ranks at offsets 0, s, 2s off its own pinned
+      // layout, so ONE probe join per side resolves up to THREE
+      // greedy base-4 tests of span s: advance s while the next
+      // span-s windows of both suffixes agree (digits 0-3 at weight
+      // s, visit weights ratio 4 — exact base-4 representation of any
+      // lcp, and max lcp < 4^rounds is covered by construction, early
+      // exit included). Guards: ra1 is never the -1 pad (the r1
+      // filter), a left-join miss is null -> no advance, and a -1 pad
+      // can only appear at a slot where the tuples already differ
+      // (equal prefixes are sentinel-free, so the next slot is a real
+      // rank) — the `>= 0` checks make that invariant local. Half the
+      // pair walk's levels at the same two joins per level, so the
+      // cut stride drops to TWO levels (= 4 joins of lineage, the
+      // r16-calibrated depth).
+      for (((sp, tbl), j) <- levels.reverse.zipWithIndex) {
+        val ra = tbl.select($"gid".as("_ga"),
+          $"r1".as("ra1"), $"r2".as("ra2"), $"r3".as("ra3"))
+        val rb = tbl.select($"gid".as("_gb"),
+          $"r1".as("rb1"), $"r2".as("rb2"), $"r3".as("rb3"))
+        lcpF = lcpF
+          .join(ra, lcpF("ga") + lcpF("lcp") === ra("_ga"), "left")
+          .join(rb, lcpF("gb") + lcpF("lcp") === rb("_gb"), "left")
+          .select($"sap", $"ga", $"gb",
+            ($"lcp" + when($"ra1".isNotNull && $"ra1" === $"rb1",
+              lit(sp) + when($"ra2" >= 0 && $"ra2" === $"rb2",
+                lit(sp) + when($"ra3" >= 0 && $"ra3" === $"rb3", lit(sp))
+                  .otherwise(lit(0L)))
+                .otherwise(lit(0L)))
+              .otherwise(lit(0L))).as("lcp"))
+        if (j % 2 == 1 || j == levels.length - 1)
+          lcpF = labeled(s, s"suffix: walk cut L$j")(lcpF.transform(cut))
+      }
     }
     val perRank = lcpF.select($"ga".as("gid"), $"lcp")
       .unionByName(lcpF.select($"gb".as("gid"), $"lcp"))
       .groupBy($"gid").agg(max($"lcp").as("maxrep"))
-    val perPos = real.select($"doc_id", $"gid")
+    // cut only for the APPEND base (dense): there perPos is read by
+    // the base-position update joins; on the batch path its ONLY
+    // consumer is the final per-doc aggregate, so the eager cut was a
+    // whole materialization of n rows the one consumer could fold into
+    // its own action (r17; guide §1.2).
+    val perPos0 = real.select($"doc_id", $"gid")
       .join(perRank, Seq("gid"), "left")
       .withColumn("maxrep", coalesce($"maxrep", lit(0L)))
-      .transform(cut) // batch aggregate + append update both read
+    val perPos =
+      if (dense) labeled(s, "suffix: perPos")(perPos0.transform(cut))
+      else perPos0
     Some(SuffixIndex(real, levels, cur, lcpF, perPos,
       termRanks, vocab, nDocs, nTotal, maxLen, gidBase))
   }
