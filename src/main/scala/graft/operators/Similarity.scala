@@ -23,6 +23,13 @@ import graft.functions.VectorFunctions._
   */
 object Similarity extends QueryPack {
 
+  /** Label the jobs `body` submits (guide §1.5) — thread-local, reset
+    * after, so probe/UI attribution is exact and costs nothing. */
+  private def labeled[A](s: SparkSession, what: String)(body: => A): A = {
+    s.sparkContext.setJobDescription(what)
+    try body finally s.sparkContext.setJobDescription(null)
+  }
+
   private val Dim = 64
 
   /** Output dims of the JL projection (`sim_jl_project`) and the
@@ -376,7 +383,22 @@ object Similarity extends QueryPack {
       edgesIn: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    val edges = edgesIn.getOrElse(graphEdges(s, e)).localCheckpoint(true)
+    // AQE is OFF for the superstep loop's own actions (r17): every
+    // frame the rounds materialize is bounded by queries × beam × M²
+    // rows BY CONSTRUCTION — at any scale — so adaptive re-planning
+    // has nothing to adapt, and its one-job-per-exchange scheduling
+    // turned each ~2-exchange round into ~9 jobs (probe: 52 jobs for
+    // the filtered walk, 0.5 s of task time). The joins that touch
+    // corpus-sized frames inside score() broadcast the bounded side
+    // explicitly, so no static-planning regression is possible. The
+    // returned frames are LAZY — their consumers execute outside this
+    // scope with the session's normal AQE setting. Scoped with
+    // restore, not a session constant (guide §1.2: configuration
+    // last, and only where the algorithm makes it safe).
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    def beamLoop(): (DataFrame, DataFrame) = {
+    val edges = labeled(s, "beam: edges")(
+      edgesIn.getOrElse(graphEdges(s, e)).localCheckpoint(true))
     // With a predicate, the candidate UNIVERSE is the passers: a
     // neighbor failing it is dropped by this join BEFORE any distance
     // is computed, and the beam's width is spent on survivors only.
@@ -385,17 +407,20 @@ object Similarity extends QueryPack {
     val universe = candPred.map(e.filter).getOrElse(e)
       .select($"vec_id", $"emb")
     def score(candIds: DataFrame): DataFrame =
-      candIds.join(universe, Seq("vec_id"))
+      // candIds is bounded (queries × beam × M²) at any scale: an
+      // EXPLICIT broadcast keeps the corpus-sized universe side
+      // un-shuffled under static planning (AQE is off in this loop)
+      broadcast(candIds).join(universe, Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
         .filter($"vec_id" =!= $"query_id")
         .withColumn("cos_sim", round(cosine($"qemb", $"emb"), 9))
         .select($"query_id", $"vec_id", $"cos_sim")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_sim".desc, $"vec_id")
-    var beam = score(entries)
+    var beam = labeled(s, "beam: entries") { score(entries)
       .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
       .select($"query_id", $"vec_id", $"cos_sim")
-      .localCheckpoint(true)
+      .localCheckpoint(true) }
     // Scanned-pair accounting stays LAZY: only `sim_ann_recall` ever
     // executes it, but the r15 shape unioned+distinct'd+eagerly
     // checkpointed it EVERY round, charging the three top-k faces
@@ -406,7 +431,7 @@ object Similarity extends QueryPack {
     // union's lineage stays flat; the one distinct at the end yields
     // the identical pair set the incremental distinct produced.
     val scannedParts = scala.collection.mutable.ArrayBuffer[DataFrame](beam)
-    for (_ <- 1 to GraphRounds) {
+    for (round <- 1 to GraphRounds) labeled(s, s"beam: round $round") {
       val hop1 = beam.select($"query_id", $"vec_id")
         .join(broadcast(edges), $"vec_id" === $"u")
         .select($"query_id", $"v".as("vec_id"))
@@ -437,6 +462,21 @@ object Similarity extends QueryPack {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
     (ranked, scannedParts.reduce(_.unionByName(_)).distinct())
+    }
+    // The loop's exchange width is derived from the BOUNDED frames it
+    // moves (≤ queries × beam × M² rows, queries ≤ 5 by the operator's
+    // own definition) — 8 partitions is the right width for a 5-key
+    // window on any cluster; without AQE's coalescer the session-wide
+    // 2×cores default would run 32+ near-empty tasks per exchange
+    // (probe: 389 tasks vs 60). Scoped with restore.
+    val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try beamLoop()
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   /** Final IVF cell assignment (vec_id, label, emb, centroid_id):
@@ -470,7 +510,7 @@ object Similarity extends QueryPack {
     var cents = e.orderBy(expr(seedHashSql), $"vec_id").limit(8)
       .select(row_number().over(Window.orderBy($"vec_id")).as("centroid_id"),
         $"emb".as("cemb"))
-    for (_ <- 1 to 3) {
+    for (lloydRound <- 1 to 3) labeled(s, s"ivf: lloyd $lloydRound") {
       // checkpoint each round's 8-row centroid table: without the
       // barrier every later round (and both consumers of the final
       // assignment) would re-execute the whole nested Lloyd lineage,
@@ -486,7 +526,7 @@ object Similarity extends QueryPack {
           s => s.getField("m")).as("cemb"))
         .localCheckpoint()
     }
-    (assignTo(cents).localCheckpoint(), cents)
+    (labeled(s, "ivf: assign")(assignTo(cents).localCheckpoint()), cents)
   }
 
   /** Multiprobe IVF candidates: each query scans its `nprobe` nearest
