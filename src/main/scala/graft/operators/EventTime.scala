@@ -2393,13 +2393,15 @@ object EventTime extends QueryPack {
         import s.implicits._
         val K = 64
         val U = 1L << 52
-        def nib13: String = (0 until 13).map { i =>
-          val pos = i + 1
-          val w = s"CASE WHEN ascii(substring(h, $pos, 1)) >= 97 " +
-            s"THEN ascii(substring(h, $pos, 1)) - 87 " +
-            s"ELSE ascii(substring(h, $pos, 1)) - 48 END"
-          s"CAST($w AS BIGINT) * ${1L << (4 * i)}"
-        }.mkString(" + ")
+        // the oracle's 13-nibble positional fold, Spark-side as ONE
+        // integer parse (r17, the conv-chunk move): the fold weights
+        // nibble i+1 by 16^i — LITTLE-endian — so conv reads the
+        // REVERSED 13-char prefix; Σ nib(i)·16^(i-1) exactly, < 2^52.
+        // 13 substring/ascii CASE trees per row become one reverse +
+        // one conv (the frames are user-sized, so this is plan size
+        // and codegen hygiene more than bytes).
+        def nib13: String =
+          "cast(conv(reverse(substring(h, 1, 13)), 16, 10) as bigint)"
         val c = Tables.events(s, d).groupBy($"user_id")
           .agg(
             count(when($"event_type" === "purchase", 1)).as("np"),

@@ -1230,6 +1230,12 @@ $walk,
   private def hex6SqlOn(src: String): String =
     (1 to 6).map(p => nibOf(src, p)).reduceLeft((a, b) => s"($a * 16 + $b)")
   private def hex6Sql: String = hex6SqlOn("h")
+  /** Spark-side spelling of [[hex6Sql]] (r17, the conv-chunk move):
+    * the fold is BIG-endian (position 1 most significant), so ONE conv
+    * of the 6-char prefix replaces six substring/ascii CASE trees —
+    * value-identical, < 2^24; the DuckDB oracles keep [[hex6SqlOn]]. */
+  private def hex6Conv: String =
+    "cast(conv(substring(h, 1, 6), 16, 10) as bigint)"
 
   /** The deterministic 3-step walks behind `q_random_walks` and
     * `q_walk_skipgrams`: one row per (start, node, step) over the
@@ -1261,7 +1267,7 @@ $walk,
         .withColumn("h",
           md5(concat($"cur".cast(StringType), lit(":"),
             $"start".cast(StringType), lit(s":$t"))))
-        .withColumn("pick", expr(hex6Sql))
+        .withColumn("pick", expr(hex6Conv))
         .join(nbr, $"cur" === $"u")
         .filter($"rank" === $"pick" % $"deg")
         .select($"start", $"v".as("cur"))
@@ -2040,7 +2046,7 @@ $walk,
           .withColumn("h",
             md5(concat($"center".cast(StringType), lit(":"),
               $"context".cast(StringType), lit(":n"))))
-          .withColumn("nrank", expr(hex6Sql) % lit(nV))
+          .withColumn("nrank", expr(hex6Conv) % lit(nV))
           .join(ranked.select($"nrank", $"node".as("neg_node")),
             Seq("nrank"))
           .select($"center", $"context", $"n_pos", $"neg_node")
@@ -6782,33 +6788,45 @@ $walk,
     "agg_join_size_sketch" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        // one digest per row, checkpointed once; each SIDE then runs
-        // the f2-shaped 64-sum aggregate over its filter — two small
-        // aggregates instead of one 128-expression aggregate (A/B'd:
-        // the fused form fell off codegen and measured 9.5-14 s at
-        // sf0.1; the split form prices at ~2-3 s)
-        val hashed = Tables.lineitem(s, d)
-          .select(md5($"l_partkey".cast("string")).as("h"),
-            $"l_returnflag")
-          .localCheckpoint(true)
-        def sideSums(side: org.apache.spark.sql.DataFrame, p: String) = {
+        // The agg_f2_sketch key-fold applied to BOTH sides (r17): the
+        // sign of a row is a bit of md5(l_partkey), so each side's
+        // counter folds from the per-key frequency table — a_r =
+        // Σ_k cA_k·sign_r(k) — and the EXACT inner product rides the
+        // SAME keyed frame as Σ_k cA·cB (a key missing on a side
+        // contributes a zero product, exactly the old join's inner
+        // semantics): ONE lineitem scan and ONE exchange where the old
+        // shape scanned three times, hashed per ROW, and evaluated 64
+        // hex-nibble string parses per row per side. Signs read the
+        // digest's high 64 bits as two conv'd 32-bit halves + codegen'd
+        // bit-ands (bit 31-r of half r/32 IS the nibble mask 8>>(r%4)
+        // on hex digit r/4+1 — value-identical; the oracle SQL is
+        // untouched). The two 64-sum side aggregates stay SEPARATE:
+        // a fused 128-expression aggregate fell off whole-stage
+        // codegen in the r15 A/B (9.5-14 s vs 2-3 s).
+        val keyed = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when($"l_returnflag" =!= "R", 1L).otherwise(0L)).as("cb"))
+          .select($"ca", $"cb", md5($"l_partkey".cast("string")).as("h"))
+          .select($"ca", $"cb",
+            expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")
+              .as("v1"),
+            expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")
+              .as("v2"))
+          .localCheckpoint(true) // both side aggregates + the exact sum
+        def sideSums(cnt: Column, p: String) = {
           val sums = (0 until 64).map { r =>
-            sum(expr(amsSignSql(r, "div")).cast(LongType)).as(s"$p$r")
+            val half = if (r < 32) $"v1" else $"v2"
+            val bit = shiftright(half, 31 - (r % 32)).bitwiseAND(lit(1L))
+            sum(cnt * (bit * 2L - 1L)).as(s"$p$r")
           }
-          side.agg(sums.head, sums.tail: _*)
+          keyed.agg(sums.head, sums.tail: _*)
         }
-        val est = sideSums(hashed.filter($"l_returnflag" === "R"), "a")
-          .crossJoin(sideSums(hashed.filter($"l_returnflag" =!= "R"), "b"))
+        val est = sideSums($"ca", "a")
+          .crossJoin(sideSums($"cb", "b"))
           .select((0 until 64).map(r => col(s"a$r") * col(s"b$r"))
             .reduce(_ + _).as("js_est_num"))
-        val raw = Tables.lineitem(s, d)
-          .select($"l_partkey", $"l_returnflag")
-        val exact = raw.filter($"l_returnflag" === "R")
-          .groupBy($"l_partkey").agg(count(lit(1)).as("ca"))
-          .join(raw.filter($"l_returnflag" =!= "R")
-            .groupBy($"l_partkey").agg(count(lit(1)).as("cb")),
-            Seq("l_partkey"))
-          .agg(sum($"ca" * $"cb").as("js_exact"))
+        val exact = keyed.agg(sum($"ca" * $"cb").as("js_exact"))
         exact.crossJoin(est)
           .select($"js_exact", $"js_est_num",
             (abs($"js_est_num" - lit(64L) * $"js_exact")
