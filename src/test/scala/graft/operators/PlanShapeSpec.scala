@@ -176,14 +176,17 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
   test("global ntile is rank-by-projection — no window, no re-shuffle, no single partition") {
     val p = plan("q_ntile_global")
     // the range sort happened inside the checkpoint job; the visible
-    // plan must be projection + broadcast offset join + the tiny
-    // 10-group aggregate. A naive global ntile would show Exchange
-    // SinglePartition + Window; a row_number formulation would show
-    // Exchange hashpartitioning(pid…) re-shuffling the whole table.
+    // plan must be pure projection (the pid-indexed offset ARRAY
+    // LITERAL, r17) + the tiny 10-group aggregate. A naive global
+    // ntile would show Exchange SinglePartition + Window; a
+    // row_number formulation would show Exchange hashpartitioning(pid…)
+    // re-shuffling the whole table; the pre-r17 shape joined a
+    // broadcast offset table (one broadcast-build job per consumer).
     p should not include "SinglePartition"
     p should not include "Window"
     p should not include "hashpartitioning(pid"
-    p should include("BroadcastHashJoin")
+    p should not include "BroadcastHashJoin"
+    p should include("element_at")
   }
 
   test("anomaly z-score broadcasts the per-type moments — no fact-fact shuffle join") {
