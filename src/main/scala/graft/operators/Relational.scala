@@ -42,16 +42,18 @@ object Relational extends QueryPack {
 
   /** Pin for the layout primitives' internal two-reader frame (the
     * sorted layout that the counts/totals collect AND the output
-    * projection read). Kept on `localCheckpoint(true)` after an r16
+    * projection read). Kept on the checkpoint family after an r16
     * A/B: `Dataset.persist` (both MEMORY_AND_DISK and _SER) routes
     * through the COLUMNAR CachedBatch cache — an encode on store plus
     * a decode on every read — and measured 1.5-2.3x slower on the
     * multi-read layouts (q_zorder_layout 5.5 -> 8.1 s SER / 12.3 s
     * deser; the checkpoint's raw-row blocks read back for free).
     * The checkpoint also pins layout/id determinism by construction
-    * (no recompute path at all). */
+    * (no recompute path at all). r17: routed through [[Shim.pin]], so
+    * `spark.graft.pin = reliable` swaps in a cluster-survivable
+    * reliable checkpoint without touching the contract. */
   private def pinLayout(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    org.apache.spark.sql.graftshim.Shim.pin(df)
 
   /** Past this partition count the offset projection falls back to a
     * broadcast join: a literal array per offset column keeps the plan

@@ -14,6 +14,37 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Pin strategy (r16 verdict "what's wrong" #3): `localCheckpoint`
+    * (default) stores executor-local, non-recomputable blocks — free
+    * and exactly right on local/ephemeral sessions, but on a real
+    * cluster ONE lost executor kills the query. `spark.graft.pin =
+    * reliable` switches every pin the graft operators take (the layout
+    * primitives' stats pin, the suffix machinery's cuts, pinLayout) to
+    * a RELIABLE checkpoint under `spark.graft.checkpointDir` (MUST be
+    * shared storage on a cluster; defaults to a tmpdir path for
+    * single-JVM sessions). Reliable mode keeps the frozen-id/layout
+    * contract — the data is re-READ from files, never recomputed — at
+    * the documented Spark cost of a second computation to write the
+    * checkpoint files. Fail-loud beats wrong: we deliberately do NOT
+    * offer replicated persist here, because losing all replicas would
+    * silently RECOMPUTE nondeterministic ids instead of failing. */
+  private def reliablePin(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get("spark.graft.pin", "localCheckpoint") == "reliable"
+
+  private def ensureCheckpointDir(s: org.apache.spark.sql.SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        s.conf.get("spark.graft.checkpointDir",
+          sys.props("java.io.tmpdir") + "/graft_checkpoints"))
+
+  /** The flag-dispatched eager pin: Dataset-level, used by operators
+    * that need a materialized multi-reader frame with frozen contents. */
+  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (reliablePin(df.sparkSession)) {
+      ensureCheckpointDir(df.sparkSession)
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
+
   /** Eager local checkpoint that also RESETS the plan's statistics.
     *
     * `Dataset.localCheckpoint` deliberately carries the ORIGINAL plan's
@@ -33,7 +64,7 @@ object Shim {
     * ordering the checkpoint captured are preserved. */
   def cutCheckpoint(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ck = df.localCheckpoint(true)
+    val ck = pin(df)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val lr = ck.queryExecution.optimizedPlan
       .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
@@ -71,7 +102,19 @@ object Shim {
     val qe = ds.queryExecution
     val physicalPlan = qe.executedPlan
     val internalRdd = physicalPlan.execute().map(_.copy())
-    internalRdd.localCheckpoint()
+    if (reliablePin(ds.sparkSession)) {
+      ensureCheckpointDir(ds.sparkSession)
+      // Persist BEFORE checkpoint: the reliable-checkpoint write is a
+      // second job after the stats job, and without a cache it would
+      // RECOMPUTE the partitions — on a nondeterministic frame the
+      // written files could then disagree with the stats collected
+      // below. The cache makes both jobs read one computation; after
+      // doCheckpoint the cached blocks stay as the fast read path with
+      // the checkpoint files as the executor-loss fallback.
+      internalRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      internalRdd.checkpoint() // written (and lineage truncated) right
+      // after the stats job below — SparkContext.runJob runs doCheckpoint
+    } else internalRdd.localCheckpoint()
     val ords = lastCols.map(df.schema.fieldIndex).toArray
     val stats = ds.sparkSession.sparkContext.runJob(internalRdd,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
