@@ -2617,18 +2617,28 @@ object EventTime extends QueryPack {
         import s.implicits._
         val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
         val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
-        val sessions = ev
+        // Both sweep deltas fall out of ONE window pass (r17, guide
+        // §2.4): a session's a = min(tus) is the tus of its FIRST row
+        // (the gap-rule row) and b = max(tus) the tus of its LAST (the
+        // row whose successor starts a new session, or the user's
+        // final row) — rows are tus-ordered within a user, so the
+        // session-start rows emit the +1s and the session-end rows the
+        // −1s directly. The old shape grouped to (a, b) and UNIONED two
+        // projections of it, recomputing the window+agg subtree per
+        // union branch (only the user_id exchange was reused); the
+        // delta multiset here is identical row for row.
+        val marked = ev
           .withColumn("prev_tus", lag($"tus", 1).over(w))
-          .withColumn("new_session",
-            when($"prev_tus".isNull || $"tus" - $"prev_tus" > GapUs, 1L)
-              .otherwise(0L))
-          .withColumn("session_no", sum($"new_session")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy($"user_id", $"session_no")
-          .agg(min($"tus").as("a"), max($"tus").as("b"))
-        val deltas = sessions.select($"a".as("t"), lit(1L).as("delta"))
-          .unionByName(
-            sessions.select(($"b" + 1L).as("t"), lit(-1L).as("delta")))
+          .withColumn("next_tus", lead($"tus", 1).over(w))
+        val deltas = marked.select(explode(filter(array(
+            struct($"tus".as("t"),
+              when($"prev_tus".isNull || $"tus" - $"prev_tus" > GapUs, 1L)
+                .otherwise(0L).as("delta")),
+            struct(($"tus" + 1L).as("t"),
+              when($"next_tus".isNull || $"next_tus" - $"tus" > GapUs, -1L)
+                .otherwise(0L).as("delta"))),
+            e => e("delta") =!= 0L)).as("e"))
+          .select($"e.t".as("t"), $"e.delta".as("delta"))
         Relational.globalPrefixSum(s, deltas,
             Seq($"t", $"delta".desc), "delta")
           .groupBy(expr(s"t div $DayUs").as("day"))
