@@ -98,11 +98,23 @@ object Layout extends QueryPack {
 
   private[operators] def zorderRanked(
       s: org.apache.spark.sql.SparkSession,
-      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      base: org.apache.spark.sql.DataFrame,
+      keepRanks: Boolean = true): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val curved = rankNormalized(s, base).withColumn("z",
       expr(zExpr("(pk_rank - 1)", "(sk_rank - 1)", RankBits, "div")))
-    Relational.globalNtile(s, curved, NBuckets,
+    // keepRanks = false (the census face, r17, guide §2.3): once z is
+    // computed the rank columns are dead weight — the bucket pass sorts
+    // on (z, keys) and the census reads only (bucket, pk, sk) — so
+    // dropping them narrows the third range exchange + sort + pin from
+    // 7 to 5 longs per row. The cut artifact keeps them (its pk/sk cut
+    // rows group by them); bucket assignment is identical either way
+    // (same sort tuple).
+    val pre =
+      if (keepRanks) curved
+      else curved.select($"z", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"l_suppkey")
+    Relational.globalNtile(s, pre, NBuckets,
         Seq($"z", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"))
       .withColumnRenamed("tile", "bucket")
   }
@@ -251,7 +263,7 @@ object Layout extends QueryPack {
         import s.implicits._
         val base = Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-        zorderRanked(s, base)
+        zorderRanked(s, base, keepRanks = false)
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"),
             min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
@@ -317,6 +329,11 @@ object Layout extends QueryPack {
           element_at(array(hilbertLut.map(v => lit(v.toLong)): _*),
             (($"pk_rank" - 1L) * Levels + ($"sk_rank" - 1L) + 1L)
               .cast(IntegerType)))
+          // ranks are dead once h is computed — same §2.3 narrowing as
+          // the z-order census face (5 instead of 7 longs through the
+          // bucket range exchange + sort + pin)
+          .select($"h", $"l_orderkey", $"l_linenumber",
+            $"l_partkey", $"l_suppkey")
         Relational.globalNtile(s, curved, NBuckets,
             Seq($"h", $"l_orderkey", $"l_linenumber", $"l_partkey",
               $"l_suppkey"))
