@@ -195,7 +195,14 @@ object Dedup extends QueryPack {
     * tag — needs no re-join against the pair set. The width probe is
     * one extra ACTION over the banded frame per call: the price of
     * adaptivity, ~a job at fixture scale, one aggregate pass of the
-    * smallest frame in the pipeline at 100 TB.
+    * smallest frame in the pipeline at 100 TB. `widthBound` (r17,
+    * verdict item 6) lets a caller whose band-frame PIN already
+    * computed an upper bound on every bucket's width
+    * ([[org.apache.spark.sql.graftshim.Shim.pinWithWidthBound]]) skip
+    * that probe when the bound certifies every bucket ≤ `maxBucket`;
+    * a bound past the cap falls back to the exact probe, so the
+    * chosen plan is identical in every case — only the
+    * certified-common case saves the pass.
     *
     * Probe-free alternatives were A/B-measured at sf0.1 and REJECTED:
     * (1) always-general block-pair plan with the df⋈widths frame
@@ -213,17 +220,20 @@ object Dedup extends QueryPack {
       idCol: String,
       keyCols: Seq[String],
       maxBucket: Long = 4096L,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil,
+      widthBound: Option[Long] = None): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     require(maxBucket > 0, "maxBucket must be positive")
     val keys = keyCols.map(col)
     val sameKeys = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    val widths = df.groupBy(keys: _*).agg(count(lit(1)).as("__bb_w"))
-    val maxW = widths.agg(max($"__bb_w")).head().get(0) match {
-      case null => 0L
-      case w: Long => w
-    }
+    lazy val widths = df.groupBy(keys: _*).agg(count(lit(1)).as("__bb_w"))
+    val maxW =
+      if (widthBound.exists(_ <= maxBucket)) 0L // certified: probe skipped
+      else widths.agg(max($"__bb_w")).head().get(0) match {
+        case null => 0L
+        case w: Long => w
+      }
     def outCols(side1: String => Column, side2: String => Column): Seq[Column] =
       side1(idCol).as("id1") +: side2(idCol).as("id2") +:
         carry.flatMap(c => Seq(side1(c).as(s"${c}1"), side2(c).as(s"${c}2")))
@@ -274,20 +284,45 @@ object Dedup extends QueryPack {
     * EVERY call run the signature job, so per-batch callers compute
     * one band frame and pass it to each consumer. */
   private[graft] def bandFrame(
-      docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+      docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
+    bandFrameWithBound(docs, nBands, rowsPerBand)._1
+
+  /** [[bandFrame]] plus an upper bound on the widest (band, band_key)
+    * bucket, folded into the signature frame's own pin job (r17,
+    * verdict item 6 — the bound lets [[minhashLshPairs]] skip the
+    * width-probe job over the banded frame). The Scala key below
+    * mirrors the `concat_ws("_", m…)` band-key projection exactly:
+    * minhash values are non-null longs (min over a non-empty group of
+    * non-null arithmetic), and Spark renders a long into a string as
+    * `Long.toString`. */
+  private[graft] def bandFrameWithBound(
+      docs: DataFrame, nBands: Int, rowsPerBand: Int): (DataFrame, Long) = {
     val s = docs.sparkSession
     import s.implicits._
     require(nBands * rowsPerBand <= 16, "only 16 minhash permutations exist")
     val sh = docs.select($"doc_id", explode($"fps").as("fp"))
     val aggs = (0 until 16).map(i =>
       min(((lit(2L * i + 1)) * ($"fp" % Mod) + lit(7919L * i + 12345)) % Mod).as(s"m$i"))
-    val sigs16 = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
+    val sigsPlan = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val mIdx = (0 until 16).map(i => sigsPlan.schema.fieldIndex(s"m$i")).toArray
+    val (sigs16, bound) = org.apache.spark.sql.graftshim.Shim
+      .pinWithWidthBound(sigsPlan, { r =>
+        (0 until nBands).iterator.map { b =>
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < rowsPerBand) {
+            if (i > 0) sb.append('_')
+            sb.append(r.getLong(mIdx(b * rowsPerBand + i)))
+            i += 1
+          }
+          (b, sb.toString)
+        }
+      })
     val bandKeys = (0 until nBands).map(b =>
       concat_ws("_", (0 until rowsPerBand).map(i =>
         col(s"m${b * rowsPerBand + i}")): _*))
-    sigs16.select($"doc_id",
-      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    (sigs16.select($"doc_id",
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))), bound)
   }
 
   /** The banded MinHash-LSH pair plan over a [[shingleFps]] frame:
@@ -309,10 +344,16 @@ object Dedup extends QueryPack {
       keepCand: Option[(Column, Column) => Column] = None,
       prebuiltBands: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val bands = prebuiltBands.getOrElse(bandFrame(docs, nBands, rowsPerBand))
+    val (bands, widthBound) = prebuiltBands match {
+      case Some(b) => (b, None) // caller-built bands: probe as before
+      case None =>
+        val (bf, w) = bandFrameWithBound(docs, nBands, rowsPerBand)
+        (bf, Some(w))
+    }
     // skew-bounded band join: plain equality self-join until a bucket
     // exceeds the cap, then intra-bucket block-pair scheduling
-    val candAll = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"))
+    val candAll = boundedBucketPairs(bands, "doc_id", Seq("band", "band_key"),
+        widthBound = widthBound)
       .select($"id1".as("doc1"), $"id2".as("doc2"))
     // `keepCand` prunes candidate pairs BEFORE the exact-Jaccard
     // verify — the verify (fingerprint-array intersection) dominates
@@ -384,12 +425,37 @@ object Dedup extends QueryPack {
     * `a`/`b` alias resolution breaks) — the checkpoint makes the
     * corpus scan run exactly once, and the sketch itself is one small
     * row per document. */
-  private def simhashByLang(s: SparkSession, d: String): DataFrame =
-    docsWithTokens(s, d)
+  /** Segment widths/offsets of the 9-way 60-bit pigeonhole banding —
+    * single source for [[bandedSimhashPairs]]'s SQL segments and the
+    * width-bound fold in [[simhashByLang]]'s pin job. */
+  private val SimhashSegWidths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6)
+  private val SimhashSegOffsets = SimhashSegWidths.scanLeft(0)(_ + _).dropRight(1)
+
+  /** Pinned (doc_id, lang, simhash) sketch frame, plus an upper bound
+    * on the widest (lang, band, seg) bucket of the pigeonhole banding —
+    * the bound rides the pin's own materialization job
+    * ([[org.apache.spark.sql.graftshim.Shim.pinWithWidthBound]]; the
+    * Scala shift/mask below mirrors the banding projection exactly:
+    * simhash is a non-negative 60-bit long, so `>>` == `>>>`), letting
+    * [[bandedSimhashPairs]] skip its per-query width-probe job in the
+    * no-hot-bucket common case. */
+  private def simhashByLang(s: SparkSession, d: String): (DataFrame, Long) = {
+    val sketch = docsWithTokens(s, d)
       .select(col("doc_id"), col("lang"),
         graft.functions.SimHash.simhash60(col("tokens")).as("simhash"))
       .filter(col("simhash").isNotNull)
-      .localCheckpoint(true)
+    val langIdx = sketch.schema.fieldIndex("lang")
+    val simIdx = sketch.schema.fieldIndex("simhash")
+    val segs = SimhashSegWidths.zip(SimhashSegOffsets).zipWithIndex
+      .map { case ((w, off), i) => (i, off, (1L << w) - 1) }.toArray
+    org.apache.spark.sql.graftshim.Shim.pinWithWidthBound(sketch, { r =>
+      val lang = r.getUTF8String(langIdx).toString
+      val sim = r.getLong(simIdx)
+      segs.iterator.map { case (band, off, mask) =>
+        (lang, band, (sim >> off) & mask)
+      }
+    })
+  }
 
   /** The banded (pigeonhole) SimHash pair plan, shared by
     * `dedup_simhash_pairs_banded` and the clustering pipeline:
@@ -399,13 +465,13 @@ object Dedup extends QueryPack {
     * the true distance. Returns (doc1, doc2, lang, hamming), unordered. */
   private[operators] def bandedSimhashPairs(
       s: SparkSession, d: String, maxBucket: Long = 4096L): DataFrame = {
-    val sim = simhashByLang(s, d)
-    val widths = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 segments, 60 bits
-    val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
-    val segs = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
-      struct(lit(i).as("band"),
-        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
-    }
+    val (sim, widthBound) = simhashByLang(s, d)
+    val segs = SimhashSegWidths.zip(SimhashSegOffsets).zipWithIndex
+      .map { case ((w, off), i) =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+            .as("seg"))
+      }
     val bands = sim
       .select(col("doc_id"), col("lang"), col("simhash"),
         explode(array(segs: _*)).as("bs"))
@@ -415,7 +481,8 @@ object Dedup extends QueryPack {
     // primitive (carry), so verification is a projection on the pair
     // set — no re-join against the sketch table
     boundedBucketPairs(bands, "doc_id", Seq("lang", "band", "seg"),
-        maxBucket = maxBucket, carry = Seq("lang", "simhash"))
+        maxBucket = maxBucket, carry = Seq("lang", "simhash"),
+        widthBound = Some(widthBound))
       .withColumn("hamming",
         bit_count(col("simhash1").bitwiseXOR(col("simhash2"))))
       .filter(col("hamming") <= 8)
@@ -1176,7 +1243,7 @@ object Dedup extends QueryPack {
     "dedup_simhash_pairs" -> QueryDef(
       fn = (s, d) => {
         import s.implicits._
-        val sim = simhashByLang(s, d)
+        val sim = simhashByLang(s, d)._1 // quadratic face: bound unused
         sim.as("a").join(sim.as("b"),
             $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
           .withColumn("hamming", bit_count($"a.simhash".bitwiseXOR($"b.simhash")))

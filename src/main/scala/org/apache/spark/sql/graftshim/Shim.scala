@@ -74,6 +74,59 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(ck.sparkSession, fresh)
   }
 
+  /** Eager pin whose MATERIALIZATION JOB also returns an UPPER BOUND on
+    * the width of any bucket of a derived key: `keysOf` maps each row to
+    * the bucket keys it lands in; each partition counts its own keys and
+    * returns only its single largest count, and the driver sums those
+    * maxes — `max_k Σ_p c(p,k) ≤ Σ_p max_k c(p,k)`, so the sum can never
+    * under-state a bucket. The LSH pair primitive uses the bound to skip
+    * its per-query width-probe job when the bound already certifies
+    * every bucket under the block-pair cap (r16 verdict item 6; guide
+    * §1.2 — the probe was a whole extra pass over the banded frame per
+    * dedup query). A bound past the cap is NOT a skew verdict: the
+    * caller falls back to the exact probe, so plan choice is unchanged —
+    * only the certified-common case saves the pass. Driver memory is one
+    * Long per partition; per-partition key maps live executor-side and
+    * are bounded by that partition's (rows × keys-per-row), the same
+    * scale the probe's hash aggregate would buffer.
+    *
+    * Unlike [[cutCheckpoint]]/[[pinWithPartitionStats]] this pin KEEPS
+    * the origin plan's statistics (`LogicalRDD.fromDataset`, exactly
+    * what `Dataset.localCheckpoint` does): the pinned sketch frames are
+    * join sides whose static broadcast decisions must not change. */
+  def pinWithWidthBound(
+      df: org.apache.spark.sql.DataFrame,
+      keysOf: org.apache.spark.sql.catalyst.InternalRow => Iterator[Any])
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val ds =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val internalRdd = ds.queryExecution.executedPlan.execute().map(_.copy())
+    if (reliablePin(ds.sparkSession)) {
+      ensureCheckpointDir(ds.sparkSession)
+      internalRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      internalRdd.checkpoint()
+    } else internalRdd.localCheckpoint()
+    val partMaxes = ds.sparkSession.sparkContext.runJob(internalRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val counts = new java.util.HashMap[Any, Long]()
+        var mx = 0L
+        while (it.hasNext) {
+          val ks = keysOf(it.next())
+          while (ks.hasNext) {
+            val k = ks.next()
+            val n = counts.getOrDefault(k, 0L) + 1L
+            counts.put(k, n)
+            if (n > mx) mx = n
+          }
+        }
+        mx
+      })
+    val fresh = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(internalRdd, ds, isStreaming = false)
+    (org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, fresh),
+      partMaxes.sum)
+  }
+
   /** Eager local checkpoint whose MATERIALIZATION JOB also returns, per
     * partition, the row count and the LAST row's values of the named
     * LongType columns (`null` marker for an empty partition; array

@@ -52,6 +52,37 @@ class OptimizationFoldSpec extends AnyFunSuite with Matchers {
     empty.count() shouldBe 0L
   }
 
+  test("band-frame width bound dominates the exact bucket width and " +
+      "keeps the pair set identical with the probe skipped") {
+    import spark.implicits._
+    // 40 docs over several partitions; docs 1-10 share ONE fingerprint
+    // set (identical signatures — every band collides, a 10-wide
+    // bucket), the rest are near-unique
+    val docs = (1L to 40L)
+      .map(k => (k, if (k <= 10L) Seq(100L, 200L, 300L)
+                    else Seq(k * 13L, k * 17L, k * 29L)))
+      .toDF("doc_id", "fps")
+      .repartition(5)
+    val (bands, bound) = Dedup.bandFrameWithBound(docs, nBands = 4, rowsPerBand = 2)
+    // the Scala fold's keys must mirror the SQL band-key projection:
+    // the bound (sum of per-partition maxes) can never under-state a
+    // bucket counted from the frame itself
+    val exactMax = bands.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("w")).agg(max($"w")).head().getLong(0)
+    assert(bound >= exactMax,
+      s"width bound $bound under-states exact max bucket width $exactMax")
+    // and the pair primitive returns the same pairs whether the probe
+    // ran (no bound) or the bound certified the plain join
+    val viaProbe = Dedup.boundedBucketPairs(bands, "doc_id",
+        Seq("band", "band_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBound = Dedup.boundedBucketPairs(bands, "doc_id",
+        Seq("band", "band_key"), widthBound = Some(bound))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaBound shouldBe viaProbe
+    viaProbe should not be empty
+  }
+
   test("adaptive closure rounds cover a pure path graph at the depth " +
       "boundary (2^r - 1) and one past it") {
     import spark.implicits._
