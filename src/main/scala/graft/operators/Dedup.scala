@@ -449,10 +449,16 @@ object Dedup extends QueryPack {
     val segs = SimhashSegWidths.zip(SimhashSegOffsets).zipWithIndex
       .map { case ((w, off), i) => (i, off, (1L << w) - 1) }.toArray
     org.apache.spark.sql.graftshim.Shim.pinWithWidthBound(sketch, { r =>
-      val lang = r.getUTF8String(langIdx).toString
-      val sim = r.getLong(simIdx)
-      segs.iterator.map { case (band, off, mask) =>
-        (lang, band, (sim >> off) & mask)
+      // null keys never survive an equi-join (IsNotNull is inferred on
+      // both sides), so they belong to no bucket; simhash is filtered
+      // non-null above, the lang check is defensive
+      if (r.isNullAt(langIdx)) Iterator.empty
+      else {
+        val lang = r.getUTF8String(langIdx).toString
+        val sim = r.getLong(simIdx)
+        segs.iterator.map { case (band, off, mask) =>
+          (lang, band, (sim >> off) & mask)
+        }
       }
     })
   }
@@ -2604,14 +2610,23 @@ object Dedup extends QueryPack {
     val buckets = (0 until nBands).map(t =>
       VectorFunctions.lshBucket(col("emb"), bitsPerBand, dim, base = t * bitsPerBand))
     // 16 rows of (vec_id, band, bucket) per vector; checkpointed so the
-    // width probe and the self-join's two sides don't each recompute
-    // the 16 hyperplane-LSH bucket assignments (4k flops per vector)
-    val banded = e.select(col("vec_id"),
+    // self-join's two sides don't each recompute the 16 hyperplane-LSH
+    // bucket assignments (4k flops per vector). The widest-bucket bound
+    // rides the pin's own job — here the pinned frame IS the banded
+    // frame, so the fold reads the (band, bucket) columns directly (no
+    // projection to mirror) and a certifying bound skips the width probe
+    val bandedPlan = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
-      .localCheckpoint(true)
+    val bandIdx = bandedPlan.schema.fieldIndex("band")
+    val bucketIdx = bandedPlan.schema.fieldIndex("bucket")
+    val (banded, widthBound) = org.apache.spark.sql.graftshim.Shim
+      .pinWithWidthBound(bandedPlan, { r =>
+        Iterator.single((r.getInt(bandIdx), r.getLong(bucketIdx)))
+      })
     // skew-bounded band join (see Dedup.boundedBucketPairs): identical
     // pairs to the plain equality self-join, hot buckets block-paired
-    val cand = boundedBucketPairs(banded, "vec_id", Seq("band", "bucket"))
+    val cand = boundedBucketPairs(banded, "vec_id", Seq("band", "bucket"),
+        widthBound = Some(widthBound))
       .select(col("id1").as("vec1"), col("id2").as("vec2"))
     val byId = e.select(col("vec_id"), col("emb"))
     cand

@@ -119,9 +119,27 @@ object Multimodal extends QueryPack {
     * still >4σ of separation); the narrower 4-5-bit segments cost more
     * candidates per band, which the bounded pair primitive schedules. */
   private[operators] def phashPairs(docs: DataFrame): DataFrame = {
-    val sk = phashSketch(docs).localCheckpoint(true) // both band-join sides
     val widths = Seq(5, 5, 5, 5, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4) // 14 segs, 60 bits
     val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
+    // the widest-bucket bound rides the sketch pin's own job (r17, the
+    // dedup_simhash machinery's move): the Scala shift/mask mirrors the
+    // banding projection below exactly — phash is a non-negative 60-bit
+    // long, so `>>` == `>>>` — and a certifying bound skips the
+    // width-probe job in Dedup.boundedBucketPairs
+    val sketch = phashSketch(docs)
+    val phashIdx = sketch.schema.fieldIndex("phash")
+    val segInfo = widths.zip(offsets).zipWithIndex
+      .map { case ((w, off), i) => (i, off, (1L << w) - 1) }.toArray
+    val (sk, widthBound) = org.apache.spark.sql.graftshim.Shim
+      .pinWithWidthBound(sketch, { r =>
+        if (r.isNullAt(phashIdx)) Iterator.empty // null keys join nothing
+        else {
+          val ph = r.getLong(phashIdx)
+          segInfo.iterator.map { case (band, off, mask) =>
+            (band, (ph >> off) & mask)
+          }
+        }
+      })
     val segs = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
       struct(lit(i).as("band"),
         shiftright(col("phash"), off).bitwiseAND(lit((1L << w) - 1)).as("seg"))
@@ -131,7 +149,7 @@ object Multimodal extends QueryPack {
       .select(col("doc_id"), col("phash"),
         col("bs.band").as("band"), col("bs.seg").as("seg"))
     Dedup.boundedBucketPairs(bands, "doc_id", Seq("band", "seg"),
-        carry = Seq("phash"))
+        carry = Seq("phash"), widthBound = Some(widthBound))
       .withColumn("hamming",
         bit_count(col("phash1").bitwiseXOR(col("phash2"))))
       .filter(col("hamming") <= 13)
